@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import Num._
+
+/** Core relational queries re-expressing the reference's operator inventory
+  * (SURVEY.md §2) on the TESTDATA tables, each paired with a DuckDB oracle.
+  *
+  * Naming: q{NN}_{operator} — NN groups by SURVEY §2 section.
+  * Every query ends in a deterministic ORDER BY (mirrored in the oracle SQL)
+  * so the hash compare is row-order independent.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── §2.1 Gatherer + Reducer/Combiner: scan → shuffle agg ────────────────
+  // Reference: KijiGatherer.gather + SimpleIntSumReducer
+  // (KM/gather/KijiGatherer.java:158). Spark: groupBy().agg() — partial+final
+  // hash aggregate gives the combiner for free.
+  val q01_gather_agg: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("sum_disc_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  val q01_sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+       |  ${sqlAvg("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ── §2.1/§5 Gatherer + distinct-count reducer (TestGathererReducer:
+  // distinct users per zip). Here: distinct customers per order priority. ──
+  val q02_gather_distinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_cust"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+  val q02_sql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ── §2.1 Producer: per-row derivation written back to the entity row
+  // (KijiProducer.produce, KM/produce/KijiProducer.java:183). ──────────────
+  val q03_producer: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select(
+        $"c_custkey".as("entity_id"),
+        upper($"c_name").as("name_upper"),
+        floor($"c_acctbal").cast(DoubleType).as("bal_floor"),
+        when($"c_acctbal" < 0, "neg")
+          .when($"c_acctbal" < 5000, "mid")
+          .otherwise("high").as("bal_bucket"))
+      .orderBy($"entity_id")
+  }
+  val q03_sql: String =
+    """SELECT c_custkey AS entity_id, upper(c_name) AS name_upper,
+      |  CAST(floor(c_acctbal) AS DOUBLE) AS bal_floor,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg'
+      |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket
+      |FROM customer ORDER BY entity_id""".stripMargin
+
+  // ── §2.1 Pivoter: scan table A, write cells keyed by a different entity
+  // (KijiPivoter.produce, KM/pivot/KijiPivoter.java:168). Re-key lineitem
+  // rows onto the supplier entity. ─────────────────────────────────────────
+  val q04_pivoter: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_suppkey".as("entity_id"))
+      .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("total_qty"))
+      .orderBy($"entity_id")
+  }
+  val q04_sql: String =
+    s"""SELECT l_suppkey AS entity_id, count(*) AS n_items,
+       |  ${sqlSum("l_quantity")} AS total_qty
+       |FROM lineitem GROUP BY l_suppkey ORDER BY entity_id""".stripMargin
+
+  // ── §2.1 Bulk importer: records → cell puts → grouped entity rows
+  // (KijiBulkImporter.produce, KM/bulkimport/KijiBulkImporter.java:163). ───
+  val q05_bulk_import: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey".as("entity_id"))
+      .agg(count(lit(1)).as("n_cells"),
+           countDistinct($"l_linenumber").as("n_qualifiers"),
+           dsum($"l_extendedprice").as("total_price"))
+      .orderBy($"entity_id")
+  }
+  val q05_sql: String =
+    s"""SELECT l_orderkey AS entity_id, count(*) AS n_cells,
+       |  count(DISTINCT l_linenumber) AS n_qualifiers,
+       |  ${sqlSum("l_extendedprice")} AS total_price
+       |FROM lineitem GROUP BY l_orderkey ORDER BY entity_id""".stripMargin
+
+  // ── §2.5 KeyValueStore lookup join: orders → customer → nation, both
+  // dims broadcast (the reference ships stores via DistributedCache;
+  // Spark: broadcast hash join). ───────────────────────────────────────────
+  val q06_kvstore_join: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(s, d).select($"n_nationkey", $"n_name")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"n_name")
+  }
+  val q06_sql: String =
+    s"""SELECT n_name, count(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ── §2.5 get() → null / containsKey semantics: left-anti (keys missing
+  // from the store). ──────────────────────────────────────────────────────
+  val q07_lookup_missing: Q = (s, d) => {
+    import s.implicits._
+    val p = Tables.part(s, d).select($"p_partkey")
+    val li = Tables.lineitem(s, d)
+      .filter($"l_shipdate" < lit("1995-06-01").cast(TimestampType))
+      .select($"l_partkey")
+    p.join(li, $"p_partkey" === $"l_partkey", "left_anti")
+      .orderBy($"p_partkey")
+  }
+  val q07_sql: String =
+    """SELECT p_partkey FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |                        WHERE l_shipdate < TIMESTAMP '1995-06-01')
+      |ORDER BY p_partkey""".stripMargin
+
+  // ── §2.3/§2.7 IdentityReducer + HFile output: total-order sort on the
+  // entity key (TotalOrderPartitioner analog = range partition + sort). ───
+  val q08_total_sort: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_partkey")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  val q08_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ── §2.7 Top-k per group (capability upside: window row_number). ────────
+  val q09_topk: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+  val q09_sql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  // ── §2.8 Window running aggregate (capability upside). ──────────────────
+  val q10_window_running: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        sum($"o_totalprice".cast(DecimalType(30, 2))).over(w)
+          .cast(DoubleType).as("running_spend"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val q10_sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ── §2.8 Set operations (capability upside). ────────────────────────────
+  val q11_setops: Q = (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_custkey")
+    val o = Tables.orders(s, d).select($"o_custkey".as("c_custkey"))
+    val ex = c.except(o).agg(count(lit(1)).as("n")).select(lit("except").as("op"), $"n")
+    val in = c.intersect(o).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), $"n")
+    val un = c.union(o).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), $"n")
+    ex.union(in).union(un).orderBy($"op")
+  }
+  val q11_sql: String =
+    """SELECT 'except' AS op, count(*) AS n FROM
+      |  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'intersect' AS op, count(*) AS n FROM
+      |  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'union' AS op, count(*) AS n FROM
+      |  (SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders)
+      |ORDER BY op""".stripMargin
+
+  // ── §2.6 Rollup aggregation (capability upside; reference has none). ────
+  val q12_rollup: Q = (s, d) => {
+    import s.implicits._
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    su.join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(dsum($"s_acctbal").as("total_bal"), count(lit(1)).as("n_supp"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+  val q12_sql: String =
+    s"""SELECT r_name, n_name, ${sqlSum("s_acctbal")} AS total_bal,
+       |  count(*) AS n_supp
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_gather_agg" -> q01_gather_agg,
+    "q02_gather_distinct" -> q02_gather_distinct,
+    "q03_producer" -> q03_producer,
+    "q04_pivoter" -> q04_pivoter,
+    "q05_bulk_import" -> q05_bulk_import,
+    "q06_kvstore_join" -> q06_kvstore_join,
+    "q07_lookup_missing" -> q07_lookup_missing,
+    "q08_total_sort" -> q08_total_sort,
+    "q09_topk" -> q09_topk,
+    "q10_window_running" -> q10_window_running,
+    "q11_setops" -> q11_setops,
+    "q12_rollup" -> q12_rollup,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_gather_agg" -> q01_sql,
+    "q02_gather_distinct" -> q02_sql,
+    "q03_producer" -> q03_sql,
+    "q04_pivoter" -> q04_sql,
+    "q05_bulk_import" -> q05_sql,
+    "q06_kvstore_join" -> q06_sql,
+    "q07_lookup_missing" -> q07_sql,
+    "q08_total_sort" -> q08_sql,
+    "q09_topk" -> q09_sql,
+    "q10_window_running" -> q10_sql,
+    "q11_setops" -> q11_sql,
+    "q12_rollup" -> q12_sql,
+  )
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import Num._
+
+/** Versioned-cell semantics (SURVEY §1.1, §2.4) exercised on the `events`
+  * table: each (user_id, event_type) is a cell with `ts`-versioned values,
+  * exactly the Kiji (family, qualifier, timestamp) → value model.
+  *
+  * Reference anchors: max_versions retention (layout test.json:24-28),
+  * time-range reads (KM/impl/HFileWriterContext.java:333-339), timestamped
+  * deletes (KM/impl/HFileWriterContext.java:168-405).
+  */
+object VersionedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── most_recent(cell): latest version wins. Implemented as a single
+  // partial-aggregable max(struct(ts, ...)) — no window, no collect_list,
+  // so it scales with map-side combine at 100 TB. ─────────────────────────
+  val q13_most_recent: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", $"event_type")
+      .agg(max(struct($"ts", $"event_id", $"value")).as("m"))
+      .select($"user_id", $"event_type",
+        $"m.event_id".as("latest_event"), $"m.value".as("latest_value"))
+      .orderBy($"user_id", $"event_type")
+  }
+  val q13_sql: String =
+    """SELECT user_id, event_type, event_id AS latest_event,
+      |  value AS latest_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // ── max_versions = 3 retention (locality-group policy): keep the 3
+  // newest versions per cell, aggregate the retained values. ──────────────
+  val q14_max_versions: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_kept"), dsum($"value").as("sum_kept"))
+      .orderBy($"user_id", $"event_type")
+  }
+  val q14_sql: String =
+    s"""SELECT user_id, event_type, count(*) AS n_kept,
+       |  ${sqlSum("value")} AS sum_kept
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       |WHERE rn <= 3 GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
+  // ── TTL retention: cells older than 30 days before the newest write
+  // expire (ttl_seconds in the reference layout). ─────────────────────────
+  val q15_ttl: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val cutoff = ev.agg((max($"ts") - expr("INTERVAL 10 DAYS")).as("cutoff"))
+    ev.join(broadcast(cutoff))
+      .filter($"ts" >= $"cutoff")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_live"))
+      .orderBy($"event_type")
+  }
+  val q15_sql: String =
+    """SELECT event_type, count(*) AS n_live FROM events
+      |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 10 DAY
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ── Timestamped delete (deleteColumn upToTimestamp): tombstone masks
+  // all 'click' cells strictly older than the cutoff; survivors counted. ──
+  val q16_tombstone_delete: Q = (s, d) => {
+    import s.implicits._
+    val cutoff = lit("2024-01-15").cast(TimestampType)
+    Tables.events(s, d)
+      .filter(!($"event_type" === "click" && $"ts" < cutoff))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_cells"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  val q16_sql: String =
+    s"""SELECT event_type, count(*) AS n_cells, ${sqlSum("value")} AS sum_value
+       |FROM events
+       |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-15')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q13_most_recent" -> q13_most_recent,
+    "q14_max_versions" -> q14_max_versions,
+    "q15_ttl" -> q15_ttl,
+    "q16_tombstone_delete" -> q16_tombstone_delete,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_most_recent" -> q13_sql,
+    "q14_max_versions" -> q14_sql,
+    "q15_ttl" -> q15_sql,
+    "q16_tombstone_delete" -> q16_sql,
+  )
+}
