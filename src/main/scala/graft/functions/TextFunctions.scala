@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no Scala UDFs), so whole-stage codegen survives and the operators run at
+  * full scan speed on a 100 TB corpus. Hashes are md5-based so results are
+  * portable across engines (the DuckDB oracle computes the identical value).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word n-gram shingles: array of space-joined n-token windows. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => array_join(slice(toks, i, n), " "))
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpeishPattern))
+
+  /** Stopword list shared with the quality/langid heuristics. */
+  val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def stopwordHits(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  /** Punctuation chars = anything that is not alnum or space. */
+  def punctChars(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+
+  /** Exact mean token length: integer char sum / integer token count. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(transform(toks, t => length(t).cast(LongType)),
+      lit(0L), (acc, x) => acc + x).cast(DoubleType) / size(toks)
+  }
+
+  /** Composite quality score in [0,1]-ish; all terms are exact ratios of
+    * integers so the double result is bit-identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val nToks = size(tokens(text)).cast(DoubleType)
+    val stopRatio = stopwordHits(text).cast(DoubleType) / nToks
+    val punctRatio = punctChars(text).cast(DoubleType) / length(text)
+    lit(0.5) * stopRatio + lit(0.5) * (lit(1.0) - punctRatio)
+  }
+
+  /** Language marker lists for the n-gram/stopword language-ID heuristic
+    * (reference has no langid — this is the training-pipeline extension). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "una", "por", "como"))
+
+  def langHits(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+  }
+
+  /** argmax over lang scores; ties resolve in LangMarkers order (en first),
+    * mirrored exactly by the oracle's CASE chain. */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (l, _) => l -> langHits(text, l) }
+    hits.init.zipWithIndex.foldRight(lit(hits.last._1)) {
+      case (((l, h), i), elseCol) =>
+        val rest = hits.drop(i + 1).map(_._2)
+        when(rest.foldLeft(lit(true))((acc, r) => acc && h >= r), l)
+          .otherwise(elseCol)
+    }
+  }
+
+  /** Whitespace-normalized md5 document fingerprint (exact-dup key). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast(BinaryType))
+
+  /** Portable 28-bit hash of a string: first 7 hex digits of md5. Both Spark
+    * (`conv`) and DuckDB (`('0x'||…)::BIGINT`) produce the identical long,
+    * and 28 bits leaves headroom for exact affine re-hashing in int64. */
+  def hash28(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 7), 16, 10).cast(LongType)
+
+  /** Portable 32-bit hash (for simhash bit sampling). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+}

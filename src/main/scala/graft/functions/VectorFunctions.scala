@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector similarity primitives over `array<float>` embedding columns.
+  *
+  * Exactness design: floats are scaled to int64 by 2^20 (an exact power of
+  * two, so `float → double → ×2^20 → trunc` is bit-deterministic), dot
+  * products and norms are then exact integer sums, and the final cosine is a
+  * single deterministic double expression — identical in Spark and DuckDB
+  * regardless of evaluation order or parallelism. This is what makes a
+  * similarity join oracle-checkable, and it costs nothing at scale: the whole
+  * pipeline stays inside whole-stage codegen.
+  */
+object VectorFunctions {
+  val Scale = 1048576L // 2^20
+
+  /** array<float> → array<long>, exact. */
+  def scaled(v: Column): Column =
+    transform(v, x => (x.cast(DoubleType) * Scale).cast(LongType))
+
+  /** Exact integer dot product of two scaled vectors. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm. */
+  def inorm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic cosine similarity between two scaled vectors. */
+  def cosineScaled(a: Column, b: Column): Column =
+    idot(a, b).cast(DoubleType) /
+      (sqrt(inorm2(a).cast(DoubleType)) * sqrt(inorm2(b).cast(DoubleType)))
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions: the cheap,
+    * deterministic ANN partitioner. At scale this becomes the shuffle key —
+    * vectors co-locate by bucket and a query probes only the buckets within
+    * small Hamming distance of its own. */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { d =>
+      when(element_at(v, d + 1) > 0f, lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SQL fragments for the DuckDB oracle (1-indexed lists). */
+  def sqlScaled(expr: String): String =
+    s"list_transform($expr, x -> CAST(trunc(CAST(x AS DOUBLE) * $Scale.0) AS BIGINT))"
+  def sqlIdot(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+  def sqlInorm2(a: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $a[i]))"
+  def sqlCosine(a: String, b: String, dim: Int): String =
+    s"CAST(${sqlIdot(a, b, dim)} AS DOUBLE) / " +
+      s"(sqrt(CAST(${sqlInorm2(a, dim)} AS DOUBLE)) * sqrt(CAST(${sqlInorm2(b, dim)} AS DOUBLE)))"
+  def sqlSignBucket(v: String, bits: Int): String =
+    (0 until bits).map { d =>
+      s"(CASE WHEN $v[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

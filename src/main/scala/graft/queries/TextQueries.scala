@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (training-pipeline
+  * extensions mandated by BASELINE.json). Each is a pure column pipeline —
+  * scan-speed at 100 TB, no shuffle except the final presentation sort.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── token counting: whitespace + BPE-ish regex ──────────────────────────
+  val q17_token_count: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(tokens($"text")).as("ws_tokens"),
+        bpeishTokenCount($"text").as("bpeish_tokens"))
+      .orderBy($"doc_id")
+  }
+  val q17_sql: String =
+    s"""SELECT doc_id,
+       |  len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
+       |  len(regexp_extract_all(lower(text), '$BpeishPattern')) AS bpeish_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ── quality scoring: stopword / punctuation ratios, mean token length ──
+  val q18_quality: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        stopwordHits($"text").as("stop_hits"),
+        punctChars($"text").as("punct_chars"),
+        meanTokenLen($"text").as("mean_tok_len"),
+        qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+  val q18_sql: String = {
+    val stops = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN ($stops))) AS stop_hits,
+       |  length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS punct_chars,
+       |  CAST(list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+       |      t -> length(t))) AS DOUBLE)
+       |    / len(string_split_regex(lower(text), '\\s+')) AS mean_tok_len,
+       |  0.5 * (CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN ($stops))) AS DOUBLE)
+       |         / len(string_split_regex(lower(text), '\\s+')))
+       |  + 0.5 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |           / length(text)) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ── language ID: marker-token scoring, argmax with fixed tie order ──────
+  val q19_lang_id: Q = (s, d) => {
+    import s.implicits._
+    val hitCols = LangMarkers.map { case (l, _) =>
+      langHits($"text", l).as(s"hits_$l")
+    }
+    Tables.documents(s, d)
+      .select(($"doc_id" +: hitCols :+ langId($"text").as("pred_lang")): _*)
+      .orderBy($"doc_id")
+  }
+  val q19_sql: String = {
+    def hits(l: String): String = {
+      val ms = LangMarkers.toMap.apply(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ($ms)))"
+    }
+    val langs = LangMarkers.map(_._1)
+    val hitSel = langs.map(l => s"  ${hits(l)} AS hits_$l").mkString(",\n")
+    // CASE chain mirrors TextFunctions.langId tie-break order exactly.
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val conds = rest.map(r => s"hits_$l >= hits_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+       |  CASE $caseChain ELSE '${langs.last}' END AS pred_lang
+       |FROM (SELECT doc_id, text,
+       |$hitSel
+       |FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  // ── document fingerprinting: normalized md5 ─────────────────────────────
+  val q20_fingerprint: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+  val q20_sql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q17_token_count" -> q17_token_count,
+    "q18_quality" -> q18_quality,
+    "q19_lang_id" -> q19_lang_id,
+    "q20_fingerprint" -> q20_fingerprint,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q17_token_count" -> q17_sql,
+    "q18_quality" -> q18_sql,
+    "q19_lang_id" -> q19_sql,
+    "q20_fingerprint" -> q20_sql,
+  )
+}
