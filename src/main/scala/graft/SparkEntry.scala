@@ -8,9 +8,11 @@ object SparkEntry {
     RelationalQueries.q06_kvstore_join(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VersionedQueries.queries
+    RelationalQueries.queries ++ VersionedQueries.queries ++
+      TextQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ VersionedQueries.oracleSql
+    RelationalQueries.oracleSql ++ VersionedQueries.oracleSql ++
+      TextQueries.oracleSql
 }

@@ -21,7 +21,7 @@ object TextFunctions {
     val toks = tokens(text)
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => array_join(slice(toks, i, n), " "))
+      i => array_join(slice(toks, i, lit(n)), " "))
   }
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation. */

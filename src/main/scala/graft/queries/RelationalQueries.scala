@@ -148,8 +148,9 @@ object RelationalQueries {
   }
   val q07_sql: String =
     """SELECT p_partkey FROM part
-      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
-      |                        WHERE l_shipdate < TIMESTAMP '1995-06-01')
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_shipdate < TIMESTAMP '1995-06-01'
+      |                    AND l_partkey = p_partkey)
       |ORDER BY p_partkey""".stripMargin
 
   // ── §2.3/§2.7 IdentityReducer + HFile output: total-order sort on the

@@ -59,7 +59,7 @@ object VersionedQueries {
        |WHERE rn <= 3 GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
-  // ── TTL retention: cells older than 30 days before the newest write
+  // ── TTL retention: cells older than 10 days before the newest write
   // expire (ttl_seconds in the reference layout). ─────────────────────────
   val q15_ttl: Q = (s, d) => {
     import s.implicits._
