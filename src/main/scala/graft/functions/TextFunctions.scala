@@ -16,13 +16,26 @@ object TextFunctions {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Word n-gram shingles: array of space-joined n-token windows. */
+  /** Word n-gram shingles: array of space-joined n-token windows.
+    * Guarded so a doc with < n tokens yields an empty array (Spark's
+    * `sequence(1, 0)` would otherwise produce a DESCENDING [1,0] — the
+    * DuckDB mirror `range(1, x)` yields [] for x <= 1). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** Character n-grams of the raw text (near-dup fingerprint alphabet). */
+  def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation. */
   val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"

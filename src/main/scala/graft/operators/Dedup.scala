@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Three families, all expressed as pure DataFrame transforms so they scale
+  * to a 1000-executor cluster with no driver-side state:
+  *
+  *  - '''exact''': hash-groupBy on a normalized fingerprint. One shuffle on
+  *    the fingerprint; partial aggregation makes the common all-unique case
+  *    map-side cheap.
+  *  - '''MinHash + banded LSH''': signature → band buckets → shuffle on the
+  *    bucket key → candidate pairs ONLY within buckets (never all-pairs) →
+  *    exact Jaccard rerank. The bucket join is the standard
+  *    similarity-join shape: cost is sum of squares of bucket sizes, not
+  *    n². Works for any gram alphabet (word shingles, char n-grams).
+  *  - '''SimHash''': 32-bit fingerprint; near-dup pairs via byte-banding
+  *    (4 bands × 8 bits ⇒ guaranteed recall for Hamming distance ≤ 3).
+  *
+  * Every hash is md5-derived (portable: the DuckDB oracle computes the
+  * identical value), every arithmetic step stays in exact int64, so results
+  * are bit-identical across engines and across any degree of parallelism.
+  */
+object Dedup {
+
+  /** MinHash affine re-hash constants h_j(x) = (A_j·x + B_j) mod P over the
+    * 28-bit base hash: products stay < 2^41, exact in int64 in both engines. */
+  val Prime = 2147483647L // 2^31 - 1
+  def hashA(j: Int): Long = 1L + 2L * j
+  def hashB(j: Int): Long = 12345L + 777L * j
+
+  /** Exact dedup: cluster by fingerprint; survivor = min id per cluster.
+    * Output: (fp, survivor_id, cluster_size), one row per cluster. */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("cluster_size"))
+
+  /** One minhash value: min over grams of the j-th affine re-hash. */
+  def minhash(grams: Column, j: Int): Column =
+    array_min(transform(grams,
+      g => (lit(hashA(j)) * hash28(g) + lit(hashB(j))) % Prime))
+
+  /** Banded-LSH near-duplicate pairs over a gram-set column.
+    *
+    * @param gramsDf  (id: long, grams: array<string>) — distinct grams per doc
+    * @param numHashes signature length k (bands * rowsPerBand must == k)
+    * @param bands     number of LSH bands
+    * @param threshold exact-Jaccard cutoff applied to candidate pairs
+    * @return (doc_a, doc_b, jaccard) for candidate pairs with j >= threshold
+    */
+  def minhashLshPairs(gramsDf: DataFrame, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map(j => minhash(col("grams"), j))
+    // Band key = comma-joined minhash values of the band's rows: a portable
+    // string the oracle reproduces exactly (BIGINT || never goes scientific).
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", sigCols.slice(b * rows, (b + 1) * rows): _*).as("bkey"))
+    }
+    val banded = gramsDf
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // Candidate pairs co-located by (band, bkey): this is the ONLY shuffle
+    // wider than the data itself, and it never materializes cross-bucket
+    // pairs. distinct() collapses pairs matching in multiple bands.
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    // Exact rerank: fetch both gram sets, integer intersect/union sizes,
+    // one double division (bit-identical in any engine).
+    val withGrams = cand
+      .join(gramsDf.select(col("id").as("doc_a"), col("grams").as("g_a")), "doc_a")
+      .join(gramsDf.select(col("id").as("doc_b"), col("grams").as("g_b")), "doc_b")
+    withGrams
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType) /
+          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over the token multiset (frequency-weighted: every
+    * occurrence votes ±1 per bit). */
+  def simhash32(text: Column): Column = {
+    val hs = transform(tokens(text), t => hash32(t))
+    (0 until 32).map { j =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-dup pairs by SimHash byte-banding: 4 bands × 8 bits guarantee any
+    * pair within Hamming distance 3 shares ≥ 1 band; candidates are then
+    * reranked by exact Hamming distance (bit_count of xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sim = docs.select(col(idCol).as("id"), simhash32(col(textCol)).as("simhash"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+    }
+    val banded = sim
+      .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ── DuckDB oracle SQL fragments (single source of truth for constants) ──
+
+  /** SQL: portable 28-bit hash of expression `e` (mirror of hash28). */
+  def sqlHash28(e: String): String = s"('0x'||substr(md5($e),1,7))::BIGINT"
+  def sqlHash32(e: String): String = s"('0x'||substr(md5($e),1,8))::BIGINT"
+
+  /** SQL: j-th minhash over a gram-list expression. */
+  def sqlMinhash(grams: String, j: Int): String =
+    s"list_min(list_transform($grams, g -> ((${hashA(j)}*(${sqlHash28("g")}) + ${hashB(j)}) % $Prime)))"
+
+  /** SQL: distinct word n-gram shingles of `lower(text)` (mirror of
+    * TextFunctions.shingles + array_distinct). `range(1, len-n+2)` yields
+    * start positions 1..len-n+1, and is empty whenever len < n — exactly the
+    * Spark side's guard. */
+  def sqlWordShingles(textExpr: String, n: Int): String = {
+    val toks = s"string_split_regex(lower($textExpr), '\\s+')"
+    s"list_distinct(list_transform(range(1, len($toks) - ${n - 2}), " +
+      s"i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))"
+  }
+
+  /** SQL: distinct char n-grams (mirror of TextFunctions.charGrams). */
+  def sqlCharGrams(textExpr: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, length($textExpr) - ${n - 2}), " +
+      s"i -> substr($textExpr, i, $n)))"
+
+  /** SQL: 32-bit simhash (mirror of simhash32). */
+  def sqlSimhash(textExpr: String): String = {
+    val hs = s"list_transform(string_split_regex(lower($textExpr), '\\s+'), t -> ${sqlHash32("t")})"
+    (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.operators.Dedup._
+
+/** Dedup operators as oracle-checked queries over `documents`.
+  *
+  * q21 exact clusters, q22 MinHash-LSH near-dup pairs (word 3-gram
+  * shingles), q23 SimHash near-dup pairs, q24 char-4-gram Jaccard
+  * similarity join (same LSH machinery, different gram alphabet).
+  * Every oracle mirrors the *same algorithm* (including the LSH banding),
+  * so the compared outputs are exact, not statistical.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── q21: exact dedup via normalized-md5 fingerprint clusters ────────────
+  val q21_exact_dedup: Q = (s, d) => {
+    import s.implicits._
+    Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"survivor_id")
+  }
+  val q21_sql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS survivor_id, count(*) AS cluster_size
+      |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin
+
+  // ── q22: MinHash-LSH near-dup pairs over word 3-gram shingles ───────────
+  val MinHashK = 16
+  val MinHashBands = 4
+  val ShingleN = 3
+  val JaccardThreshold = 0.8
+
+  val q22_minhash_dedup: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id".as("id"),
+        array_distinct(shingles($"text", ShingleN)).as("grams"))
+    Dedup.minhashLshPairs(grams, MinHashK, MinHashBands, JaccardThreshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  lazy val q22_sql: String = lshOracleSql(
+    sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)
+
+  // ── q23: SimHash near-dup pairs (byte-banded, exact hamming rerank) ─────
+  val MaxHamming = 2
+
+  val q23_simhash_dedup: Q = (s, d) => {
+    import s.implicits._
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", MaxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  lazy val q23_sql: String = {
+    val sim = sqlSimhash("text")
+    s"""WITH sim AS (SELECT doc_id, $sim AS simhash FROM documents),
+       |banded AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS bkey
+       |  FROM sim, unnest([0,1,2,3]) AS t(band)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ── q24: n-gram Jaccard similarity join (char 4-grams, same LSH) ────────
+  val CharGramN = 4
+  val CharGramThreshold = 0.5
+
+  val q24_ngram_jaccard: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id".as("id"),
+        array_distinct(charGrams($"text", CharGramN)).as("grams"))
+    Dedup.minhashLshPairs(grams, MinHashK, MinHashBands, CharGramThreshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  lazy val q24_sql: String = lshOracleSql(
+    sqlCharGrams("text", CharGramN), MinHashK, MinHashBands, CharGramThreshold)
+
+  /** Shared LSH oracle: same signature/banding/rerank as minhashLshPairs. */
+  private def lshOracleSql(gramsExpr: String, k: Int, bands: Int,
+                           threshold: Double): String = {
+    val rows = k / bands
+    val mh = (0 until k).map(j => s"${sqlMinhash("grams", j)} AS mh$j")
+      .mkString(",\n  ")
+    val bandCases = (0 until bands).map { b =>
+      val key = (b * rows until (b + 1) * rows).map(j => s"mh$j")
+        .mkString("||','||")
+      s"WHEN $b THEN $key"
+    }.mkString(" ")
+    s"""WITH grams AS (
+       |  SELECT doc_id, $gramsExpr AS grams FROM documents
+       |), sig AS (
+       |  SELECT doc_id, grams,
+       |  $mh
+       |  FROM grams
+       |), banded AS (
+       |  SELECT doc_id, band, CASE band $bandCases END AS bkey
+       |  FROM sig, unnest([${(0 until bands).mkString(",")}]) AS t(band)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+       |    len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
+       |FROM cand
+       |JOIN grams ga ON ga.doc_id = doc_a
+       |JOIN grams gb ON gb.doc_id = doc_b
+       |WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+       |    len(list_distinct(list_concat(ga.grams, gb.grams))) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q21_exact_dedup" -> q21_exact_dedup,
+    "q22_minhash_dedup" -> q22_minhash_dedup,
+    "q23_simhash_dedup" -> q23_simhash_dedup,
+    "q24_ngram_jaccard" -> q24_ngram_jaccard,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q21_exact_dedup" -> q21_sql,
+    "q22_minhash_dedup" -> q22_sql,
+    "q23_simhash_dedup" -> q23_sql,
+    "q24_ngram_jaccard" -> q24_sql,
+  )
+}
