@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VersionedQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
+      LifecycleQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VersionedQueries.oracleSql ++
-      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ VectorQueries.oracleSql
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ VectorQueries.oracleSql ++
+      LifecycleQueries.oracleSql
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near dup of 1
+    (4L, "completely different words about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized duplicates cluster; survivor is min id") {
+    val clusters = Dedup.exactClusters(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("survivor_id"), r.getAs[Long]("cluster_size")))
+    assert(clusters.toSet == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("exact dedup: whitespace-normalization collapses spacing variants") {
+    val d = Seq((1L, "a  b\tc"), (2L, " a b c ")).toDF("doc_id", "text")
+    val clusters = Dedup.exactClusters(d, "doc_id", "text").collect()
+    assert(clusters.length == 1 && clusters.head.getAs[Long]("cluster_size") == 2L)
+  }
+
+  test("minhash LSH: identical docs pair at jaccard 1.0; near-dups found") {
+    val grams = docs.select($"doc_id".as("id"),
+      array_distinct(shingles($"text", 3)).as("grams"))
+    val pairs = Dedup.minhashLshPairs(grams, 16, 4, 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((1L, 2L)) == 1.0)
+    assert(asMap.contains((1L, 3L)) && asMap((1L, 3L)) > 0.3 && asMap((1L, 3L)) < 1.0)
+    assert(!asMap.keys.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs excluded") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming")))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((1L, 2L)) == 0)
+    assert(!asMap.keys.exists { case (a, b) => b == 4L })
+  }
+
+  test("shingles guard: docs shorter than n tokens yield no shingles") {
+    val d = Seq((1L, "one two")).toDF("doc_id", "text")
+    val out = d.select(shingles($"text", 3).as("sh")).collect()
+    assert(out.head.getSeq[String](0).isEmpty)
+  }
+
+  test("knnExact: nearest neighbor ordering matches exact cosine") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (3L, Array(0.5f, 0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnExact(emb, "vec_id", "embedding", 1L, 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id")))
+    assert(out.toList == List((0L, 1, 1L), (0L, 2, 3L), (0L, 3, 2L)))
+  }
+
+  test("knnLsh: only same-bucket candidates are scored") {
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f)),    // bucket 11
+      (1L, Array(1.0f, 1.0f)),    // bucket 11
+      (2L, Array(-1.0f, -1.0f))   // bucket 00 — invisible to query 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnLsh(emb, "vec_id", "embedding", 1L, 2, 5)
+      .collect().map(r => r.getAs[Long]("n_id"))
+    assert(out.toList == List(1L))
+  }
+}
