@@ -1,0 +1,63 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** HFile-bulk-load analog: totally ordered, range-partitioned staged write
+  * plus an atomic commit.
+  *
+  * Reference mapping:
+  *  - `TotalOrderPartitioner` with one partition per target region
+  *    (`KM/output/HFileMapReduceJobOutput.java:147-167, 253-278`) →
+  *    `repartitionByRange(n, keyCols)` (Spark samples range boundaries the
+  *    way the reference samples region splits).
+  *  - identity-reduce shuffle sort (`KM/reducer/IdentityReducer.java:54-76`)
+  *    → `sortWithinPartitions` — the shuffle IS the sort.
+  *  - ≤256 MB rolling files that never split a row
+  *    (`KM/output/framework/KijiHFileOutputFormat.java:190-216`) →
+  *    `maxRecordsPerFile` (Spark also never splits a row across files).
+  *  - `HFileLoader.load` atomic hand-off (`KM/HFileLoader.java:73-75`,
+  *    `KM/tools/KijiBulkLoad.java:156-163`) → staged directory + atomic
+  *    rename swap into the final location.
+  *
+  * Idempotence: the staged directory is unique per attempt; the commit is a
+  * single FileSystem.rename (atomic on HDFS and local fs). A re-run after
+  * any failure before commit leaves the destination untouched; a re-run
+  * after commit replaces the table wholesale (same effect as re-bulk-load).
+  */
+object BulkSink {
+
+  def bulkLoad(df: DataFrame, dest: String, numPartitions: Int,
+               keyCols: Seq[String], sortCols: Seq[Column],
+               maxRecordsPerFile: Long = 0L): Unit = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(numPartitions, keyCols.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+    val staging = s"$dest.__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val writer = sorted.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(staging)
+    commit(spark, staging, dest)
+  }
+
+  /** Atomic swap of `staging` into `dest` (+ cleanup of the replaced data).
+    * Mirrors the bulk-load hand-off: writers never touch the live location. */
+  def commit(spark: SparkSession, staging: String, dest: String): Unit = {
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dest + ".__replaced")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(destPath)) {
+      if (!fs.rename(destPath, old))
+        throw new java.io.IOException(s"bulk commit: cannot displace $dest")
+    }
+    if (!fs.rename(new Path(staging), destPath)) {
+      // roll back so the table is never left missing
+      if (fs.exists(old)) fs.rename(old, destPath)
+      throw new java.io.IOException(s"bulk commit: cannot promote $staging")
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+}

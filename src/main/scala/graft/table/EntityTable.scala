@@ -1,0 +1,110 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dml.Dml
+import graft.sinks.BulkSink
+
+/** Family retention policy — the locality-group knobs of the reference
+  * layout (`max_versions`, `ttl_seconds`; `layout/test.json:24-28`). */
+final case class FamilySpec(name: String,
+                            maxVersions: Int = Int.MaxValue,
+                            ttlSeconds: Option[Long] = None)
+
+/** Table layout: name + families. Columns are dynamic within a family
+  * (map-type semantics come free in the long format; group-type families
+  * are a qualifier whitelist the caller can enforce on request). */
+final case class TableLayout(name: String, families: Seq[FamilySpec]) {
+  def family(name: String): FamilySpec =
+    families.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no family '$name' in table ${this.name}"))
+}
+
+/** Column slice of a read — the `KijiDataRequest` analog (columns,
+  * max-versions, time-range; `KM/framework/KijiTableInputFormat.java:87-120`,
+  * `KM/impl/HFileWriterContext.java:333-339` withTimeRange). */
+final case class DataRequest(columns: Seq[(String, String)] = Seq.empty,
+                             maxVersions: Int = 1,
+                             timeRange: Option[(Long, Long)] = None)
+
+/** The entity-centric versioned table (SURVEY §1.1) over Parquet.
+  *
+  * Physical form: long-format cells `(entity_id, family, qualifier, ts,
+  * value)` — the direct analog of the HFileKeyValue stream, and the form
+  * every DML/bulk-load/compaction pass works in. Read paths narrow it:
+  *  - `read(request)`: version arrays per cell, newest-first, after
+  *    column/time/retention pruning — the `KijiRowData` shape.
+  *  - `mostRecent(...)`: the common fast path, a single partial-aggregable
+  *    `max(struct(ts, value))` per cell (no window, map-side combine; the
+  *    plan that survives 100 TB).
+  *
+  * Storage layout at scale: bulk loads range-partition on entity_id, so
+  * files are disjoint entity ranges (region-aligned HFiles) and Parquet
+  * min/max stats prune entity-range scans.
+  */
+final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) {
+
+  def cells: DataFrame = spark.read.parquet(path)
+
+  /** Bulk-load a cell set as the new table contents (HFile + load analog):
+    * range-partitioned on entity, sorted (entity, family, qualifier, ts
+    * desc), staged write, atomic commit. */
+  def bulkLoad(newCells: DataFrame, numPartitions: Int = 32,
+               maxRecordsPerFile: Long = 0L): Unit =
+    BulkSink.bulkLoad(newCells, path, numPartitions,
+      Seq("entity_id"),
+      Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc),
+      maxRecordsPerFile)
+
+  /** Merge a change feed (puts + tombstones) and rewrite the table —
+    * the compaction that makes HBase-style deletes durable. */
+  def applyChanges(changes: DataFrame, numPartitions: Int = 32): Unit =
+    bulkLoad(Dml.applyChanges(cells, changes), numPartitions)
+
+  /** Retention-aware filter: family TTL relative to `asOfMicros`
+    * (deterministic analog of "now"), plus an optional request time range. */
+  private def retained(request: DataRequest, asOfMicros: Long): DataFrame = {
+    val ttlCutoffs = layout.families.map { f =>
+      f.name -> f.ttlSeconds.map(t => asOfMicros - t * 1000000L).getOrElse(Long.MinValue)
+    }
+    val ttlExpr = ttlCutoffs.foldLeft(lit(Long.MinValue)) { case (acc, (fam, cut)) =>
+      when(col("family") === fam, lit(cut)).otherwise(acc)
+    }
+    val base = cells.filter(col("ts") >= ttlExpr)
+    val timeFiltered = request.timeRange match {
+      case Some((lo, hi)) => base.filter(col("ts") >= lo && col("ts") < hi)
+      case None => base
+    }
+    if (request.columns.isEmpty) timeFiltered
+    else {
+      val wanted = request.columns.map { case (f, q) => struct(lit(f), lit(q)) }
+      timeFiltered.filter(struct(col("family"), col("qualifier")).isin(wanted: _*))
+    }
+  }
+
+  /** Versioned read: one row per (entity, family, qualifier) with
+    * `versions = array<struct<ts, value>>` newest-first, truncated to
+    * min(request.maxVersions, family.maxVersions). */
+  def read(request: DataRequest, asOfMicros: Long = Long.MaxValue): DataFrame = {
+    val famMax = layout.families.foldLeft(lit(Int.MaxValue)) { (acc, f) =>
+      when(col("family") === f.name, lit(f.maxVersions)).otherwise(acc)
+    }
+    retained(request, asOfMicros)
+      .groupBy(col("entity_id"), col("family"), col("qualifier"))
+      .agg(reverse(sort_array(collect_list(struct(col("ts"), col("value"))))).as("all_versions"),
+        first(famMax).as("fam_max"))
+      .select(col("entity_id"), col("family"), col("qualifier"),
+        slice(col("all_versions"), lit(1),
+          least(lit(request.maxVersions), col("fam_max"))).as("versions"))
+  }
+
+  /** Most-recent cell value — single hash aggregate, map-side combinable. */
+  def mostRecent(request: DataRequest = DataRequest(),
+                 asOfMicros: Long = Long.MaxValue): DataFrame =
+    retained(request.copy(maxVersions = 1), asOfMicros)
+      .groupBy(col("entity_id"), col("family"), col("qualifier"))
+      .agg(max(struct(col("ts"), col("value"))).as("m"))
+      .select(col("entity_id"), col("family"), col("qualifier"),
+        col("m.ts").as("ts"), col("m.value").as("value"))
+}

@@ -1,0 +1,138 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dml.Dml
+import graft.sinks.BulkSink
+
+class TableDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cells = Seq(
+    // (entity, family, qualifier, ts, value)
+    (1L, "info", "email", 10L, "old@x"),
+    (1L, "info", "email", 20L, "new@x"),
+    (1L, "info", "name", 5L, "Marsellus"),
+    (2L, "info", "email", 15L, "v@x"),
+    (2L, "stats", "zip", 1L, "94110")
+  ).toDF("entity_id", "family", "qualifier", "ts", "value")
+
+  private def changesDF(ch: Seq[Dml.Change[String]]) =
+    ch.toDF("entity_id", "family", "qualifier", "op", "ts", "value")
+
+  private def keys(df: org.apache.spark.sql.DataFrame) =
+    df.select("entity_id", "family", "qualifier", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+  test("put: appends a new cell version") {
+    val out = Dml.applyChanges(cells, changesDF(Seq(
+      Dml.put(1L, "info", "email", 30L, "newest@x"))))
+    assert(keys(out).contains((1L, "info", "email", 30L)))
+    assert(out.count() == 6)
+  }
+
+  test("deleteCell: masks only the exact timestamp") {
+    val out = Dml.applyChanges(cells, changesDF(Seq(
+      Dml.deleteCell(1L, "info", "email", 10L, null.asInstanceOf[String]))))
+    assert(!keys(out).contains((1L, "info", "email", 10L)))
+    assert(keys(out).contains((1L, "info", "email", 20L)))
+  }
+
+  test("deleteColumn upToTs: masks cells with ts <= T, inclusive") {
+    val out = Dml.applyChanges(cells, changesDF(Seq(
+      Dml.deleteColumn(1L, "info", "email", 10L, null.asInstanceOf[String]))))
+    assert(!keys(out).contains((1L, "info", "email", 10L)))
+    assert(keys(out).contains((1L, "info", "email", 20L)))
+    assert(keys(out).contains((1L, "info", "name", 5L))) // other column untouched
+  }
+
+  test("deleteFamily: masks the whole family of that entity only") {
+    val out = Dml.applyChanges(cells, changesDF(Seq(
+      Dml.deleteFamily(1L, "info", Long.MaxValue, null.asInstanceOf[String]))))
+    assert(keys(out) == Set((2L, "info", "email", 15L), (2L, "stats", "zip", 1L)))
+  }
+
+  test("deleteRow: masks every family; other entities untouched") {
+    val out = Dml.applyChanges(cells, changesDF(Seq(
+      Dml.deleteRow(2L, Long.MaxValue, null.asInstanceOf[String]))))
+    assert(keys(out).forall(_._1 == 1L) && out.count() == 3)
+  }
+
+  test("HBase ordering: a tombstone masks a same-batch put with ts <= T") {
+    val out = Dml.applyChanges(cells, changesDF(Seq(
+      Dml.put(1L, "info", "email", 25L, "doomed@x"),
+      Dml.deleteColumn(1L, "info", "email", 25L, null.asInstanceOf[String]))))
+    // puts at 10, 20, 25 all masked (<= 25), nothing else
+    assert(!keys(out).exists(k => k._2 == "info" && k._3 == "email" && k._1 == 1L))
+    assert(keys(out).contains((1L, "info", "name", 5L)))
+  }
+
+  test("bulk sink: staged write + atomic commit, re-load replaces wholesale") {
+    val dest = Paths.get(tmpDir("bulk"), "table").toString
+    BulkSink.bulkLoad(cells, dest, 2, Seq("entity_id"),
+      Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
+    assert(spark.read.parquet(dest).count() == 5)
+    // second load replaces contents; no staging/replaced dirs left behind
+    BulkSink.bulkLoad(cells.limit(2), dest, 2, Seq("entity_id"),
+      Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
+    assert(spark.read.parquet(dest).count() == 2)
+    val parent = Paths.get(dest).getParent
+    val leftovers = Files.list(parent).iterator()
+    var names = List.empty[String]
+    while (leftovers.hasNext) names ::= leftovers.next().getFileName.toString
+    assert(names == List("table"), s"unexpected leftovers: $names")
+  }
+
+  test("bulk sink: rows within files are sorted by the sort key") {
+    val dest = Paths.get(tmpDir("bulksort"), "table").toString
+    BulkSink.bulkLoad(cells, dest, 1, Seq("entity_id"),
+      Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
+    val rows = spark.read.parquet(dest)
+      .select("entity_id", "family", "qualifier", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), -r.getLong(3)))
+    assert(rows.toList == rows.toList.sorted)
+  }
+
+  test("entity table: versioned read honors max_versions and newest-first") {
+    val path = Paths.get(tmpDir("et"), "t").toString
+    val t = new EntityTable(spark, path,
+      TableLayout("t", Seq(FamilySpec("info", maxVersions = 2), FamilySpec("stats"))))
+    t.bulkLoad(cells, numPartitions = 2)
+    val versions = t.read(DataRequest(maxVersions = 99))
+      .filter($"entity_id" === 1L && $"qualifier" === "email")
+      .select(explode($"versions.ts")).as[Long].collect().toList
+    assert(versions == List(20L, 10L)) // newest first, capped at family max 2
+  }
+
+  test("entity table: TTL expires old cells relative to asOf") {
+    val path = Paths.get(tmpDir("ettl"), "t").toString
+    val t = new EntityTable(spark, path,
+      TableLayout("t", Seq(FamilySpec("info", ttlSeconds = Some(1L)), FamilySpec("stats"))))
+    t.bulkLoad(cells, numPartitions = 2)
+    // asOf = 2s (µs): info cells need ts >= 1_000_000; all our ts are tiny -> expired
+    val out = t.mostRecent(asOfMicros = 2000000L)
+    assert(out.filter($"family" === "info").count() == 0)
+    assert(out.filter($"family" === "stats").count() == 1) // no TTL
+  }
+
+  test("entity table: mostRecent picks max ts per cell") {
+    val path = Paths.get(tmpDir("etmr"), "t").toString
+    val t = new EntityTable(spark, path, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    t.bulkLoad(cells, numPartitions = 2)
+    val email = t.mostRecent().filter($"entity_id" === 1L && $"qualifier" === "email")
+      .select("value").as[String].collect().toList
+    assert(email == List("new@x"))
+  }
+
+  test("entity table: applyChanges compacts deletes durably") {
+    val path = Paths.get(tmpDir("etdml"), "t").toString
+    val t = new EntityTable(spark, path, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    t.bulkLoad(cells, numPartitions = 2)
+    t.applyChanges(changesDF(Seq(
+      Dml.deleteRow(1L, Long.MaxValue, null.asInstanceOf[String]))))
+    assert(t.cells.select("entity_id").as[Long].collect().forall(_ == 2L))
+  }
+}
