@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spec parser: dispatches format= and passes options; rejects junk") {
+    val dir = tmpDir("fmtspec")
+    Files.write(Paths.get(dir, "a.csv"),
+      "k,v\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8))
+    val df = Formats.read(spark, s"format=csv file=$dir header=true")
+    assert(df.count() == 2 && df.columns.toSeq == Seq("k", "v"))
+    intercept[IllegalArgumentException](Formats.read(spark, "file=/x"))
+    intercept[IllegalArgumentException](Formats.read(spark, "format=bogus file=/x"))
+    intercept[IllegalArgumentException](Formats.read(spark, "format=csv no-equals"))
+  }
+
+  test("xml: records spanning lines, junk between records, custom tag") {
+    val dir = tmpDir("fmtxml")
+    Files.write(Paths.get(dir, "r.xml"),
+      """<header>ignored</header>
+        |<rec><a>1</a>
+        |<b>two</b></rec>
+        |garbage between records
+        |<rec><a>3</a><b>four</b></rec>
+        |trailing junk""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val recs = Formats.readXml(spark, dir, "rec")
+      .as[String].collect().sorted
+    assert(recs.length == 2)
+    assert(recs(0) == "<rec><a>1</a>\n<b>two</b></rec>")
+    assert(recs(1) == "<rec><a>3</a><b>four</b></rec>")
+  }
+
+  test("whole files: one record per file with full content") {
+    val dir = tmpDir("fmtwhole")
+    Files.write(Paths.get(dir, "f1.txt"), "line1\nline2\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir, "f2.txt"), "only\n".getBytes(StandardCharsets.UTF_8))
+    val out = Formats.readWholeFiles(spark, dir).collect()
+      .map(r => (r.getAs[String]("path").split('/').last,
+        new String(r.getAs[Array[Byte]]("content"), StandardCharsets.UTF_8)))
+      .toMap
+    assert(out("f1.txt") == "line1\nline2\n")
+    assert(out("f2.txt") == "only\n")
+  }
+
+  test("sequence file roundtrip") {
+    val dir = tmpDir("fmtseq") + "/out"
+    Formats.writeSeqFile(Seq(("a", "1"), ("b", "2")).toDF("k", "v"), dir)
+    val back = Formats.readSeqFile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("a", "1"), ("b", "2")))
+  }
+
+  test("avro roundtrip preserves typed values") {
+    val dir = tmpDir("fmtavro") + "/out"
+    Formats.writeAvro(Seq((1L, 2.5, "x"), (2L, -0.125, "y")).toDF("id", "score", "tag"),
+      dir,
+      """{"type":"record","name":"R","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"score","type":"double"},
+        |{"name":"tag","type":"string"}]}""".stripMargin)
+    val back = Formats.readAvro(spark, dir)
+      .selectExpr("CAST(id AS LONG)", "CAST(score AS DOUBLE)", "tag")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(back == Set((1L, 2.5, "x"), (2L, -0.125, "y")))
+  }
+}
