@@ -10,11 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VersionedQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
-      LifecycleQueries.queries ++ TableQueries.queries ++ FormatQueries.queries
+      LifecycleQueries.queries ++ TableQueries.queries ++ FormatQueries.queries ++
+      MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VersionedQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ VectorQueries.oracleSql ++
-      LifecycleQueries.oracleSql ++ TableQueries.oracleSql ++ FormatQueries.oracleSql
+      LifecycleQueries.oracleSql ++ TableQueries.oracleSql ++ FormatQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

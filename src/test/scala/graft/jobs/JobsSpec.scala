@@ -1,0 +1,82 @@
+package graft.jobs
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+import graft.jobs.Jobs._
+import graft.kvstore.{InMemoryMapKeyValueStore, KeyValueStore, UnconfiguredKeyValueStore}
+import graft.operators.Lifecycle._
+
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def users = Seq(
+    ("Marsellus Wallace", 94110), ("Vincent Vega", 94110)
+  ).toDF("name", "zip")
+
+  object CountingGatherer extends Gatherer[Int, String] {
+    override def counterNames: Seq[String] = Seq("rows_processed")
+    def gather(row: Row, emit: (Int, String) => Unit, ctx: OperatorContext): Unit = {
+      ctx.incrementCounter("rows_processed")
+      emit(row.getAs[Int]("zip"), row.getAs[String]("name"))
+    }
+  }
+
+  test("gather job: runs, succeeds, counters populated") {
+    val r = new GatherJobBuilder(CountingGatherer)
+      .withInput(users).withName("zip-gather").run()
+    assert(r.status == "SUCCEEDED")
+    assert(r.counters("rows_processed") == 2L)
+    assert(r.output.get.count() == 2)
+  }
+
+  test("missing input is a build/validation error, not a runtime surprise") {
+    intercept[IllegalStateException] {
+      new GatherJobBuilder(CountingGatherer).run()
+    }
+  }
+
+  test("unbound UnconfiguredKeyValueStore fails validation; binding fixes it") {
+    object NeedsStore extends Gatherer[Int, String] {
+      override def requiredStores: Map[String, KeyValueStore[String, String]] =
+        Map("lookup" -> UnconfiguredKeyValueStore[String, String]())
+      def gather(row: Row, emit: (Int, String) => Unit, ctx: OperatorContext): Unit =
+        emit(row.getAs[Int]("zip"),
+          ctx.getStore("lookup").get(row.getAs[Int]("zip").toString).getOrElse("?"))
+    }
+    intercept[IllegalStateException] {
+      new GatherJobBuilder(NeedsStore).withInput(users).run()
+    }
+    val r = new GatherJobBuilder(NeedsStore).withInput(users)
+      .withStore("lookup", InMemoryMapKeyValueStore(Map("94110" -> "CA")))
+      .run()
+    assert(r.status == "SUCCEEDED")
+    assert(r.output.get.as[(Int, String)].collect().forall(_._2 == "CA"))
+  }
+
+  test("job history: one row per run with status and counters") {
+    val histPath = tmpDir("hist") + "/job_history"
+    val hist = new JobHistory(spark, histPath)
+    new GatherJobBuilder(CountingGatherer)
+      .withInput(users).withName("hist-job").withHistory(hist).run()
+    val rows = hist.table.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("job_name") == "hist-job")
+    assert(r.getAs[String]("job_end_status") == "SUCCEEDED")
+    assert(r.getAs[String]("job_counters") == "rows_processed=2")
+    assert(r.getAs[Long]("job_end_time") >= r.getAs[Long]("job_start_time"))
+  }
+
+  test("produce job: derived column through the facade") {
+    object Upper extends Producer {
+      def outputColumn = "upper_name"
+      def outputType = org.apache.spark.sql.types.StringType
+      def produce(row: Row, ctx: OperatorContext): Option[Any] =
+        Some(row.getAs[String]("name").toUpperCase)
+    }
+    val r = new ProduceJobBuilder(Upper).withInput(users).run()
+    assert(r.output.get.select("upper_name").as[String].collect().toSet ==
+      Set("MARSELLUS WALLACE", "VINCENT VEGA"))
+  }
+}
