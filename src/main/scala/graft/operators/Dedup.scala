@@ -42,12 +42,22 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("cluster_size"))
 
-  /** One minhash value: min over grams of the j-th affine re-hash. */
-  def minhash(grams: Column, j: Int): Column =
-    array_min(transform(grams,
-      g => (lit(hashA(j)) * hash28(g) + lit(hashB(j))) % Prime))
+  /** One minhash value: min over pre-hashed grams of the j-th affine
+    * re-hash — cheap integer ops; the md5 base hash is computed ONCE per
+    * gram (lambda subtrees are excluded from Spark's common-subexpression
+    * elimination, so hashing inside every minhash would cost k× the md5s). */
+  def minhashOfHashes(ghash: Column, j: Int): Column =
+    array_min(transform(ghash,
+      h => (lit(hashA(j)) * h + lit(hashB(j))) % Prime))
 
   /** Banded-LSH near-duplicate pairs over a gram-set column.
+    *
+    * The whole pipeline (signature, banding, exact-Jaccard rerank) runs on
+    * 28-bit md5 gram hashes, computed once per gram: the signature is k
+    * affine re-hashes of the precomputed array, and the rerank intersects
+    * long arrays instead of strings (cheaper, and the oracle mirrors the
+    * identical hashed-gram algorithm, so collisions — ~1e-5 per doc pair at
+    * 150 grams — affect both engines identically).
     *
     * @param gramsDf  (id: long, grams: array<string>) — distinct grams per doc
     * @param numHashes signature length k (bands * rowsPerBand must == k)
@@ -59,14 +69,24 @@ object Dedup {
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigCols = (0 until numHashes).map(j => minhash(col("grams"), j))
+    // Materialized as its own projection; CollapseProject keeps expensive
+    // multiply-referenced expressions un-inlined, so the md5s run once per
+    // scan — and persist() makes it once TOTAL: the plan references this
+    // frame four times (both sides of the band self-join + both rerank
+    // joins), and Spark recomputes unpersisted subtrees per reference.
+    // The hashed form is ~8 bytes/gram: at 100 TB of text this cache is
+    // ~1% of the input and spills to disk if executors can't hold it.
+    val hashedDf = gramsDf.select(col("id"),
+      array_distinct(transform(col("grams"), g => hash28(g))).as("ghash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCols = (0 until numHashes).map(j => minhashOfHashes(col("ghash"), j))
     // Band key = comma-joined minhash values of the band's rows: a portable
     // string the oracle reproduces exactly (BIGINT || never goes scientific).
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", sigCols.slice(b * rows, (b + 1) * rows): _*).as("bkey"))
     }
-    val banded = gramsDf
+    val banded = hashedDf
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     // Candidate pairs co-located by (band, bkey): this is the ONLY shuffle
@@ -78,11 +98,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    // Exact rerank: fetch both gram sets, integer intersect/union sizes,
-    // one double division (bit-identical in any engine).
+    // Exact rerank: fetch both hashed gram sets, integer intersect/union
+    // sizes, one double division (bit-identical in any engine).
     val withGrams = cand
-      .join(gramsDf.select(col("id").as("doc_a"), col("grams").as("g_a")), "doc_a")
-      .join(gramsDf.select(col("id").as("doc_b"), col("grams").as("g_b")), "doc_b")
+      .join(hashedDf.select(col("id").as("doc_a"), col("ghash").as("g_a")), "doc_a")
+      .join(hashedDf.select(col("id").as("doc_b"), col("ghash").as("g_b")), "doc_b")
     withGrams
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType) /
@@ -90,23 +110,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash over the token multiset (frequency-weighted: every
-    * occurrence votes ±1 per bit). */
-  def simhash32(text: Column): Column = {
-    val hs = transform(tokens(text), t => hash32(t))
+  /** 32-bit SimHash from a precomputed token-hash array (frequency-
+    * weighted: every occurrence votes ±1 per bit). Takes the hash column
+    * rather than hashing inline so the md5s run once, not 32× (lambda
+    * subtrees are excluded from common-subexpression elimination). */
+  def simhashOfHashes(hs: Column): Column =
     (0 until 32).map { j =>
       val vote = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** 32-bit SimHash of a text column (convenience; prefer materializing the
+    * token hashes once when computing anything else alongside). */
+  def simhash32(text: Column): Column =
+    simhashOfHashes(transform(tokens(text), t => hash32(t)))
 
   /** Near-dup pairs by SimHash byte-banding: 4 bands × 8 bits guarantee any
     * pair within Hamming distance 3 shares ≥ 1 band; candidates are then
     * reranked by exact Hamming distance (bit_count of xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sim = docs.select(col(idCol).as("id"), simhash32(col(textCol)).as("simhash"))
+    val sim = docs
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => hash32(t)).as("hs"))
+      .select(col("id"), simhashOfHashes(col("hs")).as("simhash"))
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
@@ -131,9 +159,9 @@ object Dedup {
   def sqlHash28(e: String): String = s"('0x'||substr(md5($e),1,7))::BIGINT"
   def sqlHash32(e: String): String = s"('0x'||substr(md5($e),1,8))::BIGINT"
 
-  /** SQL: j-th minhash over a gram-list expression. */
-  def sqlMinhash(grams: String, j: Int): String =
-    s"list_min(list_transform($grams, g -> ((${hashA(j)}*(${sqlHash28("g")}) + ${hashB(j)}) % $Prime)))"
+  /** SQL: j-th minhash over a pre-hashed gram-list expression. */
+  def sqlMinhashOfHashes(ghash: String, j: Int): String =
+    s"list_min(list_transform($ghash, h -> ((${hashA(j)}*h + ${hashB(j)}) % $Prime)))"
 
   /** SQL: distinct word n-gram shingles of `lower(text)` (mirror of
     * TextFunctions.shingles + array_distinct). `range(1, len-n+2)` yields

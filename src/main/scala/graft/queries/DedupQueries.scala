@@ -71,8 +71,12 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  // ── q24: n-gram Jaccard similarity join (char 4-grams, same LSH) ────────
-  val CharGramN = 4
+  // ── q24: n-gram Jaccard similarity join (char 8-grams, same LSH).
+  // Gram length 8 spans word boundaries: on a small-vocabulary corpus,
+  // 4-grams are so common that LSH buckets degenerate (one bucket held 60%
+  // of sf0.1 docs → 5.8M candidate pairs); 8-grams keep cross-doc Jaccard
+  // low (377k pairs, max bucket 315) while near-dup pairs stay ≈ 0.8. ─────
+  val CharGramN = 8
   val CharGramThreshold = 0.5
 
   val q24_ngram_jaccard: Q = (s, d) => {
@@ -86,23 +90,27 @@ object DedupQueries {
   lazy val q24_sql: String = lshOracleSql(
     sqlCharGrams("text", CharGramN), MinHashK, MinHashBands, CharGramThreshold)
 
-  /** Shared LSH oracle: same signature/banding/rerank as minhashLshPairs. */
+  /** Shared LSH oracle: same hashed-gram signature/banding/rerank as
+    * minhashLshPairs (the md5→28-bit gram hashes, the affine minhashes,
+    * the band keys, and the Jaccard over hashed gram sets all mirror the
+    * Spark side exactly). */
   private def lshOracleSql(gramsExpr: String, k: Int, bands: Int,
                            threshold: Double): String = {
     val rows = k / bands
-    val mh = (0 until k).map(j => s"${sqlMinhash("grams", j)} AS mh$j")
+    val mh = (0 until k).map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j")
       .mkString(",\n  ")
     val bandCases = (0 until bands).map { b =>
       val key = (b * rows until (b + 1) * rows).map(j => s"mh$j")
         .mkString("||','||")
       s"WHEN $b THEN $key"
     }.mkString(" ")
-    s"""WITH grams AS (
-       |  SELECT doc_id, $gramsExpr AS grams FROM documents
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_distinct(list_transform($gramsExpr,
+       |    g -> ${sqlHash28("g")})) AS ghash FROM documents
        |), sig AS (
-       |  SELECT doc_id, grams,
+       |  SELECT doc_id, ghash,
        |  $mh
-       |  FROM grams
+       |  FROM hashed
        |), banded AS (
        |  SELECT doc_id, band, CASE band $bandCases END AS bkey
        |  FROM sig, unnest([${(0 until bands).mkString(",")}]) AS t(band)
@@ -112,13 +120,13 @@ object DedupQueries {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b,
-       |  len(list_intersect(ga.grams, gb.grams))::DOUBLE /
-       |    len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
+       |  len(list_intersect(ga.ghash, gb.ghash))::DOUBLE /
+       |    len(list_distinct(list_concat(ga.ghash, gb.ghash))) AS jaccard
        |FROM cand
-       |JOIN grams ga ON ga.doc_id = doc_a
-       |JOIN grams gb ON gb.doc_id = doc_b
-       |WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
-       |    len(list_distinct(list_concat(ga.grams, gb.grams))) >= $threshold
+       |JOIN hashed ga ON ga.doc_id = doc_a
+       |JOIN hashed gb ON gb.doc_id = doc_b
+       |WHERE len(list_intersect(ga.ghash, gb.ghash))::DOUBLE /
+       |    len(list_distinct(list_concat(ga.ghash, gb.ghash))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -35,27 +35,34 @@ object VersionedQueries {
     """SELECT user_id, event_type, event_id AS latest_event,
       |  value AS latest_value
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |        ORDER BY ts DESC, event_id DESC, value DESC) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
   // ── max_versions = 3 retention (locality-group policy): keep the 3
-  // newest versions per cell, aggregate the retained values. ──────────────
+  // newest versions per cell, aggregate the retained values. Single hash
+  // aggregate (collect_list + in-row sort/slice/fold): one shuffle total,
+  // no window sort, partial aggregation map-side — the 100 TB plan. ───────
   val q14_max_versions: Q = (s, d) => {
     import s.implicits._
-    val w = Window.partitionBy($"user_id", $"event_type")
-      .orderBy($"ts".desc, $"event_id".desc)
+    val top3 = slice(reverse(sort_array(
+      collect_list(struct($"ts", $"event_id", $"value")))), 1, 3)
     Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
       .groupBy($"user_id", $"event_type")
-      .agg(count(lit(1)).as("n_kept"), dsum($"value").as("sum_kept"))
+      .agg(top3.as("top"))
+      .select($"user_id", $"event_type",
+        size($"top").cast(LongType).as("n_kept"),
+        // acc must be DECIMAL(38,2): decimal + widens precision, and 38 is
+        // the cap, so (38,2)+(30,2) stays (38,2) and the fold type-checks.
+        aggregate($"top", lit(0).cast(DecimalType(38, 2)),
+          (acc, x) => acc + x.getField("value").cast(DecimalType(30, 2)))
+          .cast(DoubleType).as("sum_kept"))
       .orderBy($"user_id", $"event_type")
   }
   val q14_sql: String =
     s"""SELECT user_id, event_type, count(*) AS n_kept,
        |  ${sqlSum("value")} AS sum_kept
        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       |        ORDER BY ts DESC, event_id DESC, value DESC) AS rn FROM events)
        |WHERE rn <= 3 GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
