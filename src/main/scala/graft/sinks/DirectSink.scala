@@ -1,0 +1,39 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Direct (live) table writes — the analog of
+  * `DirectKijiTableMapReduceJobOutput` / `DirectKijiTableWriterContext`
+  * (`KM/impl/DirectKijiTableWriterContext.java:46-180`: buffered writer,
+  * flush on cleanup).
+  *
+  * Semantics: cell puts are APPENDED to the live table location as new
+  * parquet files; readers see the union, and version resolution (newest ts
+  * wins) happens at read time exactly as HBase resolves overlapping puts.
+  * Deletes are not supported on this path (the reference routes deletes
+  * through the same put buffer; here tombstones require the change-feed
+  * merge — `graft.dml.Dml.applyChanges` — because parquet files are
+  * immutable).
+  *
+  * The reference javadoc discourages this path for large jobs in favor of
+  * HFile bulk loads; the same advice holds here — appended files are
+  * unsorted and unaligned with the table's entity ranges, degrading scan
+  * pruning until the next compaction (`EntityTable.applyChanges` or a
+  * `bulkLoad` rewrite restores range-partitioned order).
+  */
+object DirectSink {
+
+  /** Append cell puts to the live table. Atomic per-job at the file level:
+    * Spark's parquet committer publishes complete files or nothing. */
+  def append(cells: DataFrame, tablePath: String): Unit =
+    cells.write.mode("append").parquet(tablePath)
+
+  /** Compact a direct-written table back to bulk-load order. */
+  def compact(spark: SparkSession, tablePath: String,
+              numPartitions: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.col
+    BulkSink.bulkLoad(spark.read.parquet(tablePath), tablePath, numPartitions,
+      Seq("entity_id"),
+      Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
+  }
+}

@@ -52,6 +52,7 @@ object Formats {
       case "xml" => readXml(spark, file, kv.getOrElse("tag", "row"))
       case "seq" => readSeqFile(spark, file)
       case "avro" => readAvro(spark, file)
+      case "avrokv" => readAvroKV(spark, file)
       case other => throw new IllegalArgumentException(s"unknown format '$other'")
     }
   }
@@ -122,6 +123,15 @@ object Formats {
     spark.createDataFrame(
       fieldsRdd.map(s => Row(s.map(_._2): _*)),
       StructType(names.map(StructField(_, StringType))))
+  }
+
+  /** Avro key/value container files (`KM/input/AvroKeyValueMapReduceJob
+    * Input.java`): generic records with `key`/`value` fields → 2 columns. */
+  def readAvroKV(spark: SparkSession, path: String): DataFrame = {
+    val df = readAvro(spark, path)
+    require(df.columns.contains("key") && df.columns.contains("value"),
+      s"avrokv input at $path must have key/value fields, got ${df.columns.mkString(",")}")
+    df.select(col("key"), col("value"))
   }
 
   // ── sinks ───────────────────────────────────────────────────────────────

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the cell model.
+  *
+  * The reference is batch-only (SURVEY §2.10) — this is capability upside
+  * the Spark-first design gets for free, and the reason the batch operators
+  * are plain DataFrame transforms: the same column logic runs under
+  * `readStream` unchanged.
+  *
+  * Two canonical shapes:
+  *  - windowed event aggregation with a watermark (late data bounded,
+  *    state auto-evicted) — the streaming analog of the gather+reduce job;
+  *  - `mostRecentStream`: per-cell newest-version state via
+  *    `flatMapGroupsWithState` — the streaming materialization of
+  *    `EntityTable.mostRecent`, emitting an update whenever a newer
+  *    version of a cell arrives (out-of-order puts are ignored, exactly
+  *    HBase's newest-ts-wins resolution).
+  */
+object StreamingCells {
+
+  final case class CellPutEvent(entity_id: Long, family: String,
+                                qualifier: String, ts: Timestamp, value: Double)
+  final case class CellLatest(entity_id: Long, family: String,
+                              qualifier: String, ts: Timestamp, value: Double)
+
+  /** Tumbling-window counts/sums per qualifier with a watermark. */
+  def windowedAgg(puts: DataFrame, window: String, watermark: String): DataFrame =
+    puts
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("qualifier"))
+      .agg(count(lit(1)).as("n_puts"), sum(col("value")).as("sum_value"))
+
+  /** Newest-version-wins cell state: emits one update per put that
+    * advances its cell's timestamp; stale (out-of-order) puts emit
+    * nothing. State is one row per live cell. */
+  def mostRecentStream(puts: Dataset[CellPutEvent])(
+      implicit spark: SparkSession): Dataset[CellLatest] = {
+    import spark.implicits._
+    puts
+      .groupByKey(p => (p.entity_id, p.family, p.qualifier))
+      .flatMapGroupsWithState[CellLatest, CellLatest](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((eid, fam, qual), events, state: GroupState[CellLatest]) =>
+          val incoming = events.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val newest = incoming.maxBy(p => (p.ts.getTime, p.value))
+            val current = state.getOption
+            if (current.forall(_.ts.getTime < newest.ts.getTime)) {
+              val latest = CellLatest(eid, fam, qual, newest.ts, newest.value)
+              state.update(latest)
+              Iterator.single(latest)
+            } else Iterator.empty
+          }
+      }
+  }
+}
