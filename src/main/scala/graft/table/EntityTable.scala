@@ -99,6 +99,19 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           least(lit(request.maxVersions), col("fam_max"))).as("versions"))
   }
 
+  /** Map-type family view (SURVEY §1.1): one row per (entity, family) with
+    * `cells: map<qualifier, versions>` — the dynamic-qualifier shape of the
+    * reference's map families (`map_schema`, layout test.json:88-90). The
+    * long format already stores dynamic qualifiers; this is the read-side
+    * pivot. Qualifier filtering on the result is `map_filter` — the analog
+    * of the reference's enumerate-and-delete for map families. */
+  def readWide(request: DataRequest = DataRequest(),
+               asOfMicros: Long = Long.MaxValue): DataFrame =
+    read(request, asOfMicros)
+      .groupBy(col("entity_id"), col("family"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("qualifier"), col("versions"))))).as("cells"))
+
   /** Most-recent cell value — single hash aggregate, map-side combinable. */
   def mostRecent(request: DataRequest = DataRequest(),
                  asOfMicros: Long = Long.MaxValue): DataFrame =

@@ -127,6 +127,19 @@ class TableDmlSpec extends SparkSpec {
     assert(email == List("new@x"))
   }
 
+  test("entity table: map-family wide read pivots dynamic qualifiers") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val path = Paths.get(tmpDir("etwide"), "t").toString
+    val t = new EntityTable(spark, path, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    t.bulkLoad(cells, numPartitions = 2)
+    val wide = t.readWide(DataRequest(maxVersions = 1))
+      .filter($"entity_id" === 1L && $"family" === "info")
+    val m = wide.select(sexpr("map_keys(cells)")).as[Seq[String]].head()
+    assert(m.toSet == Set("email", "name"))
+    val newest = wide.select(sexpr("cells['email'][0].value")).as[String].head()
+    assert(newest == "new@x")
+  }
+
   test("entity table: applyChanges compacts deletes durably") {
     val path = Paths.get(tmpDir("etdml"), "t").toString
     val t = new EntityTable(spark, path, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
