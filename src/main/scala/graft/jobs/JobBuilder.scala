@@ -56,6 +56,11 @@ object Jobs {
     def withStore(name: String, s: KeyValueStore[String, String]): Self = {
       stores += (name -> s); this
     }
+    /** Bind stores from an XML bindings file; later withStore calls
+      * override (the reference's code → XML → builder override chain). */
+    def withStoreBindingsXml(xml: String): Self = {
+      stores = graft.kvstore.XmlStoreBindings.parse(xml) ++ stores; this
+    }
     def withHistory(h: JobHistory): Self = { history = Some(h); this }
 
     /** Stores the operator requires; bindings override defaults. */
@@ -95,6 +100,13 @@ object Jobs {
       err.foreach(e => throw new RuntimeException(s"$jobName failed (job $jobId)", e))
       result
     }
+
+    /** Async submit + join — `KijiMapReduceJob.submit()`'s poll/join
+      * surface (`KM/KijiMapReduceJob.java:88-131`); Spark actions are
+      * synchronous, so the Future is the submission handle. */
+    def submit()(implicit ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global): scala.concurrent.Future[JobResult] =
+      scala.concurrent.Future(run())
   }
 
   /** Store-binding wrapper that does NOT capture the builder (builders hold

@@ -68,6 +68,47 @@ class JobsSpec extends SparkSpec {
     assert(r.getAs[Long]("job_end_time") >= r.getAs[Long]("job_start_time"))
   }
 
+  test("xml store bindings: parse, bind, builder override wins") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val kvFile = Paths.get(tmpDir("xmlkv"), "states.tsv")
+    Files.write(kvFile, "94110\tCA\n".getBytes(StandardCharsets.UTF_8))
+    val xml =
+      s"""<stores>
+         |  <store name="states" class="text">
+         |    <configuration>
+         |      <property><name>path</name><value>$kvFile</value></property>
+         |    </configuration>
+         |  </store>
+         |  <store name="extra" class="empty"/>
+         |</stores>""".stripMargin
+    val bindings = graft.kvstore.XmlStoreBindings.parse(xml)
+    assert(bindings("states").reader().get("94110").contains("CA"))
+    assert(bindings("extra").reader().get("anything").isEmpty)
+    // builder override beats XML binding
+    object G extends Gatherer[Int, String] {
+      override def requiredStores: Map[String, KeyValueStore[String, String]] =
+        Map("states" -> UnconfiguredKeyValueStore[String, String]())
+      def gather(row: Row, emit: (Int, String) => Unit, ctx: OperatorContext): Unit =
+        emit(row.getAs[Int]("zip"),
+          ctx.getStore("states").get(row.getAs[Int]("zip").toString).getOrElse("?"))
+    }
+    val r = new GatherJobBuilder(G).withInput(users)
+      .withStoreBindingsXml(xml)
+      .withStore("states", InMemoryMapKeyValueStore(Map("94110" -> "OVERRIDE")))
+      .run()
+    assert(r.output.get.as[(Int, String)].collect().forall(_._2 == "OVERRIDE"))
+  }
+
+  test("submit(): async handle resolves to the same result") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val f = new GatherJobBuilder(CountingGatherer)
+      .withInput(users).withName("async-job").submit()
+    val r = Await.result(f, 120.seconds)
+    assert(r.status == "SUCCEEDED" && r.counters("rows_processed") == 2L)
+  }
+
   test("produce job: derived column through the facade") {
     object Upper extends Producer {
       def outputColumn = "upper_name"
