@@ -141,6 +141,32 @@ object Jobs {
       Lifecycle.runProducer(inputOrFail, p, counters)
   }
 
+  /** Pivot job: cells for arbitrary entities of a (possibly different)
+    * table (`KM/pivot/KijiPivotJobBuilder.java`). */
+  final class PivotJobBuilder[V](p: Pivoter[V])(
+      implicit enc: Encoder[Lifecycle.CellPut[V]])
+      extends JobBuilder[PivotJobBuilder[V]] {
+    protected def requiredStores = p.requiredStores
+    protected def counterNames = p.counterNames
+    protected def execute(spark: SparkSession, counters: Counters): DataFrame =
+      Lifecycle.runPivoter(inputOrFail, p, counters).toDF()
+  }
+
+  /** Bulk-import job: records → cell puts
+    * (`KM/bulkimport/KijiBulkImportJobBuilder.java`). */
+  final class BulkImportJobBuilder[V](imp: BulkImporter[String, V])(
+      implicit enc: Encoder[Lifecycle.CellPut[V]])
+      extends JobBuilder[BulkImportJobBuilder[V]] {
+    protected def requiredStores = imp.requiredStores
+    protected def counterNames = imp.counterNames
+    protected def execute(spark: SparkSession, counters: Counters): DataFrame = {
+      import spark.implicits._
+      Lifecycle.runBulkImporter(
+        inputOrFail.select(col(inputOrFail.columns.head)).as[String],
+        imp, counters).toDF()
+    }
+  }
+
   /** Bulk-load output step shared by table-writing jobs: range-partitioned
     * sorted staged write + atomic commit (HFile output + HFileLoader). */
   def bulkCommit(df: DataFrame, dest: String, numPartitions: Int = 32): Unit =

@@ -120,4 +120,30 @@ class JobsSpec extends SparkSpec {
     assert(r.output.get.select("upper_name").as[String].collect().toSet ==
       Set("MARSELLUS WALLACE", "VINCENT VEGA"))
   }
+
+  test("pivot job: cells for re-keyed entities through the facade") {
+    object P extends Pivoter[String] {
+      def pivot(row: Row, emit: CellPut[String] => Unit, ctx: OperatorContext): Unit =
+        emit(CellPut(row.getAs[Int]("zip").toLong, "info", "resident", 1L,
+          row.getAs[String]("name")))
+    }
+    val r = new PivotJobBuilder(P).withInput(users).run()
+    val cells = r.output.get.collect()
+    assert(cells.length == 2 && cells.forall(_.getAs[Long]("entity_id") == 94110L))
+  }
+
+  test("bulk-import job: text records to cells through the facade") {
+    object I extends BulkImporter[String, String] {
+      def importRecord(rec: String, emit: CellPut[String] => Unit,
+                       ctx: OperatorContext): Unit = {
+        val i = rec.indexOf(':')
+        if (i > 0) emit(CellPut(rec.take(i).toLong, "info", "name", 0L, rec.drop(i + 1)))
+      }
+    }
+    val lines = Seq("7:Jules", "8:Mia").toDF("value")
+    val r = new BulkImportJobBuilder(I).withInput(lines).run()
+    assert(r.output.get.collect().map(c =>
+      c.getAs[Long]("entity_id") -> c.getAs[String]("value")).toSet ==
+      Set(7L -> "Jules", 8L -> "Mia"))
+  }
 }
