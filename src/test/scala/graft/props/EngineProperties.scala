@@ -1,0 +1,99 @@
+package graft.props
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.dml.Dml
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.queries.Num
+
+/** Property-based checks (scalacheck) for the semantics that must hold on
+  * ANY input, not just the fixtures: DML masking vs a plain-Scala
+  * reference model, LSH guaranteed-recall on exact duplicates, and
+  * order-independence of the decimal-exact aggregation. */
+object EngineProperties extends Properties("graft") {
+
+  // keep the case count modest: every case runs real Spark jobs
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cellGen = for {
+    eid <- Gen.choose(1L, 4L)
+    fam <- Gen.oneOf("info", "stats")
+    qual <- Gen.oneOf("a", "b", "c")
+    ts <- Gen.choose(1L, 50L)
+  } yield (eid, fam, qual, ts, s"v$ts")
+
+  private val deleteGen = for {
+    eid <- Gen.choose(1L, 4L)
+    fam <- Gen.oneOf("info", "stats")
+    qual <- Gen.oneOf("a", "b", "c")
+    upTo <- Gen.choose(1L, 60L)
+    op <- Gen.oneOf("delete_cell", "delete_column", "delete_family", "delete_row")
+  } yield (eid, fam, qual, op, upTo)
+
+  /** Plain-Scala reference model of the HBase tombstone semantics. */
+  private def masked(cell: (Long, String, String, Long, String),
+                     d: (Long, String, String, String, Long)): Boolean = {
+    val (eid, fam, qual, ts, _) = cell
+    val (dEid, dFam, dQual, op, dTs) = d
+    eid == dEid && (op match {
+      case "delete_row" => ts <= dTs
+      case "delete_family" => fam == dFam && ts <= dTs
+      case "delete_column" => fam == dFam && qual == dQual && ts <= dTs
+      case "delete_cell" => fam == dFam && qual == dQual && ts == dTs
+    })
+  }
+
+  property("applyChanges matches the reference tombstone model") =
+    forAll(Gen.listOfN(12, cellGen), Gen.listOfN(3, deleteGen)) { (cells, dels) =>
+      val cellsDf = cells.toDF("entity_id", "family", "qualifier", "ts", "value")
+      val delsDf = dels.map { case (e, f, q, op, t) =>
+        (e, f, q, op, t, null.asInstanceOf[String])
+      }.toDF("entity_id", "family", "qualifier", "op", "ts", "value")
+      val got = Dml.applyChanges(cellsDf, delsDf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getString(4))).toSeq.sorted
+      val want = cells.filterNot(c => dels.exists(d => masked(c, d))).sorted
+      got == want
+    }
+
+  property("exact duplicates are ALWAYS found by minhash LSH (all bands match)") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.take(8))) { words =>
+      val text = (words ++ words ++ words).mkString(" ") // >= 3 tokens
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val grams = docs.select($"doc_id".as("id"),
+        array_distinct(shingles($"text", 3)).as("grams"))
+      val pairs = Dedup.minhashLshPairs(grams, 16, 4, 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      pairs.toList == List((1L, 2L, 1.0))
+    }
+
+  property("dsum is partition-order independent and decimal-exact") =
+    forAll(Gen.listOfN(40, Gen.choose(-99999L, 99999L).map(_ / 100.0))) { xs =>
+      xs.isEmpty || {
+        val expected = xs.map(BigDecimal(_)).sum.toDouble
+        val one = xs.toDF("x").repartition(1).agg(Num.dsum($"x")).head().getDouble(0)
+        val many = xs.toDF("x").repartition(7).agg(Num.dsum($"x")).head().getDouble(0)
+        one == expected && many == expected
+      }
+    }
+
+  property("simhash of identical texts is identical; hamming 0 pair found") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("red", "green", "blue", "cyan"))
+        .map(_.take(6))) { words =>
+      val text = words.mkString(" ")
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      pairs.toList == List((1L, 2L, 0))
+    }
+}
