@@ -72,12 +72,13 @@ object Dedup {
     // Materialized as its own projection; CollapseProject keeps expensive
     // multiply-referenced expressions un-inlined, so the md5s run once per
     // scan — and persist() makes it once TOTAL: the plan references this
-    // frame four times (both sides of the band self-join + both rerank
-    // joins), and Spark recomputes unpersisted subtrees per reference.
-    // The hashed form is ~8 bytes/gram: at 100 TB of text this cache is
-    // ~1% of the input and spills to disk if executors can't hold it.
+    // frame on both sides of the band self-join, and Spark recomputes
+    // unpersisted subtrees per reference. Sorted ascending so the rerank
+    // can use the O(n+m) two-pointer intersect. The hashed form is
+    // ~8 bytes/gram: at 100 TB of text this cache is ~1% of the input and
+    // spills to disk if executors can't hold it.
     val hashedDf = gramsDf.select(col("id"),
-      array_distinct(transform(col("grams"), g => hash28(g))).as("ghash"))
+      array_sort(array_distinct(transform(col("grams"), g => hash28(g)))).as("ghash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCols = (0 until numHashes).map(j => minhashOfHashes(col("ghash"), j))
     // Band key = comma-joined minhash values of the band's rows: a portable
@@ -86,28 +87,33 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", sigCols.slice(b * rows, (b + 1) * rows): _*).as("bkey"))
     }
+    // The band rows CARRY the gram-hash arrays: the per-bucket self-join
+    // shuffles |docs|·bands array rows (megabytes), and the exact-Jaccard
+    // rerank runs inline on the join output — the alternative (distinct
+    // pairs first, then re-join the arrays by id twice) shuffles the
+    // arrays once per CANDIDATE PAIR, which is orders of magnitude more
+    // rows. Filtering on the threshold BEFORE distinct() means the
+    // dedup-across-bands shuffle only sees surviving pairs (jaccard is
+    // deterministic, so filter∘distinct ≡ distinct∘filter).
     val banded = hashedDf
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    // Candidate pairs co-located by (band, bkey): this is the ONLY shuffle
-    // wider than the data itself, and it never materializes cross-bucket
-    // pairs. distinct() collapses pairs matching in multiple bands.
-    val cand = banded.as("a")
+      .select(col("id"), col("ghash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("ghash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // Jaccard via ONE two-pointer merge per pair (the arrays are sorted
+    // distinct): inter / (|a| + |b| - inter). array_intersect/array_union
+    // would each build a per-row hash set — ~30× slower in the rerank loop.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val inter = columnOf(graft.plans.SortedIntersectSize(
+      expressionOf(col("a.ghash")), expressionOf(col("b.ghash"))))
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
-    // Exact rerank: fetch both hashed gram sets, integer intersect/union
-    // sizes, one double division (bit-identical in any engine).
-    val withGrams = cand
-      .join(hashedDf.select(col("id").as("doc_a"), col("ghash").as("g_a")), "doc_a")
-      .join(hashedDf.select(col("id").as("doc_b"), col("ghash").as("g_b")), "doc_b")
-    withGrams
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType) /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        (inter.cast(DoubleType) /
+          (size(col("a.ghash")) + size(col("b.ghash")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .distinct()
   }
 
   /** 32-bit SimHash from a precomputed token-hash array (frequency-

@@ -19,5 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "most_recent takes exactly one argument")
         MostRecent(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sorted_intersect_size takes two arguments")
+        SortedIntersectSize(children.head, children(1))
+      }))
   }
 }
