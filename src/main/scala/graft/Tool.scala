@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Jobs._
+import graft.operators.Lifecycle._
+import graft.sources.Formats
+
+/** CLI entry point — the `kiji <tool>` analog (§3.1 lifecycle:
+  * `KM/tools/KijiGather.java`, `JobTool.java:48-62` flag surface,
+  * `JobInputSpec`/`JobOutputSpec` parsing).
+  *
+  * {{{
+  * runMain graft.Tool gather --gatherer=com.x.MyGatherer \
+  *   --input="format=csv file=/in header=true" \
+  *   --output="format=parquet file=/out" \
+  *   [--kvstores=/bindings.xml] [--name=myjob] [--history=/hist]
+  * }}}
+  *
+  * Operator classes are reflectively instantiated (no-arg constructor),
+  * exactly like the reference's `kiji.gatherer.class` conf key
+  * (`KM/gather/impl/GatherMapper.java:97-128`). Output formats mirror
+  * `JobOutputSpec.java:51-65`: `parquet, text, csv, seq, avro`.
+  */
+object Tool {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    run(spark, args)
+  }
+
+  /** Separated from main for in-process testing. */
+  def run(spark: SparkSession, args: Array[String]): JobResult = {
+    require(args.nonEmpty, usage)
+    val verb = args.head
+    val flags = args.tail.map { a =>
+      require(a.startsWith("--") && a.contains('='), s"bad flag '$a'\n$usage")
+      val i = a.indexOf('=')
+      a.substring(2, i) -> a.substring(i + 1)
+    }.toMap
+    def flag(k: String): String = flags.getOrElse(k,
+      throw new IllegalArgumentException(s"missing --$k\n$usage"))
+
+    def instantiate[T](k: String): T =
+      Class.forName(flag(k)).getDeclaredConstructor().newInstance().asInstanceOf[T]
+
+    // Builder (and its flag validation) comes BEFORE any input IO —
+    // missing configuration is a build-time error, as in the reference.
+    val builder = verb match {
+      case "gather" =>
+        import spark.implicits._
+        new GatherJobBuilder[String, String](instantiate[Gatherer[String, String]]("gatherer"))
+      case "produce" =>
+        new ProduceJobBuilder(instantiate[Producer]("producer"))
+      case "bulk-import" =>
+        import spark.implicits._
+        new BulkImportJobBuilder[String](instantiate[BulkImporter[String, String]]("importer"))
+      case "pivot" =>
+        import spark.implicits._
+        new PivotJobBuilder[String](instantiate[Pivoter[String]]("pivoter"))
+      case other => throw new IllegalArgumentException(s"unknown verb '$other'\n$usage")
+    }
+    val outputSpec = flag("output") // validated before input IO
+    builder.withInput(Formats.read(spark, flag("input")))
+      .withName(flags.getOrElse("name", s"$verb-job"))
+    flags.get("kvstores").foreach(p =>
+      builder.withStoreBindingsXml(java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+    flags.get("history").foreach(p => builder.withHistory(new JobHistory(spark, p)))
+
+    val result = builder.run()
+    result.output.foreach(df => writeOutput(df, outputSpec))
+    result
+  }
+
+  /** JobOutputSpec-style writer dispatch. */
+  def writeOutput(df: DataFrame, spec: String): Unit = {
+    val kv = spec.trim.split("\\s+").map { tok =>
+      val i = tok.indexOf('=')
+      require(i > 0, s"malformed output spec token '$tok'")
+      tok.take(i) -> tok.drop(i + 1)
+    }.toMap
+    val file = kv("file")
+    kv("format") match {
+      case "parquet" => df.write.mode("overwrite").parquet(file)
+      case "text" =>
+        df.select(concat_ws("\t", df.columns.map(col): _*).as("value"))
+          .write.mode("overwrite").text(file)
+      case "csv" => df.write.mode("overwrite").option("header", "true").csv(file)
+      case "seq" =>
+        Formats.writeSeqFile(df.selectExpr("CAST(" + df.columns(0) + " AS STRING)",
+          "CAST(" + df.columns(1) + " AS STRING)"), file)
+      case other => throw new IllegalArgumentException(s"unknown output format '$other'")
+    }
+  }
+
+  private val usage: String =
+    """usage: graft.Tool <gather|produce|bulk-import|pivot>
+      |  --<gatherer|producer|importer|pivoter>=<class>
+      |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
+      |  --output="format=<parquet|text|csv|seq> file=..."
+      |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin
+}
