@@ -53,8 +53,17 @@ object BulkSink {
       if (!fs.rename(destPath, old))
         throw new java.io.IOException(s"bulk commit: cannot displace $dest")
     }
-    if (!fs.rename(new Path(staging), destPath)) {
-      // roll back so the table is never left missing
+    // Promotion may FAIL by returning false or by throwing (fs-dependent,
+    // e.g. FileNotFoundException for a lost staging dir); either way the
+    // displaced table must be restored so the live location never
+    // disappears.
+    val promoted =
+      try fs.rename(new Path(staging), destPath)
+      catch { case e: java.io.IOException =>
+        if (fs.exists(old)) fs.rename(old, destPath)
+        throw e
+      }
+    if (!promoted) {
       if (fs.exists(old)) fs.rename(old, destPath)
       throw new java.io.IOException(s"bulk commit: cannot promote $staging")
     }

@@ -86,6 +86,18 @@ class TableDmlSpec extends SparkSpec {
     assert(names == List("table"), s"unexpected leftovers: $names")
   }
 
+  test("bulk commit: failed promotion rolls the old table back") {
+    val dir = tmpDir("bulkfail")
+    val dest = Paths.get(dir, "table").toString
+    BulkSink.bulkLoad(cells, dest, 1, Seq("entity_id"), Seq(col("entity_id")))
+    // commit from a staging dir that does not exist: promotion fails,
+    // and the pre-existing table must be restored, not left missing
+    intercept[java.io.IOException] {
+      BulkSink.commit(spark, dest + ".__staging_nope", dest)
+    }
+    assert(spark.read.parquet(dest).count() == 5)
+  }
+
   test("bulk sink: rows within files are sorted by the sort key") {
     val dest = Paths.get(tmpDir("bulksort"), "table").toString
     BulkSink.bulkLoad(cells, dest, 1, Seq("entity_id"),
