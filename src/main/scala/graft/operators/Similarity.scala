@@ -42,6 +42,23 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-bucket LSH self-join, so
+    * candidate generation is Σ bucket² (never all-pairs), then the exact
+    * scaled-int cosine threshold. The vector-space analog of the MinHash
+    * text dedup: output (vec_a, vec_b, cos) for same-bucket pairs with
+    * cos >= threshold. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  bits: Int, threshold: Double): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), scaled(col(vecCol)).as("sv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        cosineScaled(col("a.sv"), col("b.sv")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed approximate top-k: only same-bucket candidates scored. */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              maxQueryId: Long, bits: Int, k: Int): DataFrame = {

@@ -65,12 +65,35 @@ object VectorQueries {
        |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
        |WHERE rank <= $LshK ORDER BY q_id, rank""".stripMargin
 
+  // ── q40: embedding-cosine near-dup pairs (bucketed, thresholded) ────────
+  val CosineDupThreshold = 0.4
+
+  val q40_embedding_dedup: Q = (s, d) => {
+    import s.implicits._
+    Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        LshBits, CosineDupThreshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+  lazy val q40_sql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, ${sqlScaled("embedding")} AS v,
+       |    ${sqlSignBucket("embedding", LshBits)} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${sqlCosine("a.v", "b.v", Dim)} AS cos
+       |FROM sv a JOIN sv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${sqlCosine("a.v", "b.v", Dim)} >= $CosineDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
+    "q40_embedding_dedup" -> q40_embedding_dedup,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
     "q26_knn_lsh" -> q26_sql,
+    "q40_embedding_dedup" -> q40_sql,
   )
 }

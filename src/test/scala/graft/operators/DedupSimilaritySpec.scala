@@ -67,6 +67,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toList == List((0L, 1, 1L), (0L, 2, 3L), (0L, 3, 2L)))
   }
 
+  test("cosinePairs: same-bucket pairs above the threshold only") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f)),
+      (1L, Array(0.9f, 0.12f)),   // cos(0,1) ~ 1 -> pair
+      (2L, Array(0.1f, 1.0f)),    // same bucket (both positive), low cos? no: cos ~ 0.2
+      (3L, Array(-1.0f, -0.1f))   // different bucket -> never considered
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 2, 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.toList == List((0L, 1L)))
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11
