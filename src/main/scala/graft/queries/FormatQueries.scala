@@ -17,8 +17,7 @@ import Num._
 object FormatQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmp(tag: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${d.hashCode.toHexString}"
+  private def tmp(tag: String, d: String): String = QueryTmp.dir(tag, d)
 
   // ── q35: CSV source through the format= dispatch ────────────────────────
   val q35_csv_import: Q = (s, d) => {

@@ -103,7 +103,7 @@ object LifecycleQueries {
   }
   val q30_bulkimport_api: Q = (s, d) => {
     import s.implicits._
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_q30_${d.hashCode.toHexString}"
+    val dir = QueryTmp.dir("q30", d)
     Tables.supplier(s, d)
       .select(concat($"s_suppkey".cast(StringType), lit(":"), $"s_name"))
       .write.mode("overwrite").text(dir)

@@ -17,8 +17,7 @@ import Num._
 object TableQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmpTable(tag: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${d.hashCode.toHexString}"
+  private def tmpTable(tag: String, d: String): String = QueryTmp.dir(tag, d)
 
   /** events → long-format cells (user_id, 'ev', event_type, µs, value). */
   private def eventCells(s: SparkSession, d: String): DataFrame =
@@ -106,14 +105,94 @@ object TableQueries {
        |WHERE rn <= 3 GROUP BY user_id, event_type
        |ORDER BY entity_id, qualifier""".stripMargin
 
+  // ── q41: composite entity IDs, HASH_PREFIX encoding — the salted
+  // multi-component row key of the reference layout (test.json:22
+  // hash_prefix MD5). Bulk load range-partitions on the SALTED key, so
+  // monotonically increasing orderkeys spread evenly instead of hammering
+  // one region; components decode back out of the stored key. ────────────
+  val q41_composite_key: Q = (s, d) => {
+    import s.implicits._
+    import graft.table.EntityId
+    val enc = EntityId.HashPrefix(4)
+    val comps = Seq(EntityId.intComp($"l_orderkey"), EntityId.intComp($"l_linenumber"))
+    val cells = Tables.lineitem(s, d).select(
+      EntityId.encode(enc, comps).as("entity_id"),
+      lit("li").as("family"), lit("price").as("qualifier"),
+      unix_micros($"l_shipdate".cast(TimestampType)).as("ts"),
+      $"l_extendedprice".as("value"))
+    val table = new EntityTable(s, tmpTable("q41", d),
+      TableLayout("li_salted", Seq(FamilySpec("li"))))
+    table.bulkLoad(cells, numPartitions = 32)
+    table.cells
+      .select(
+        EntityId.longComponent(enc, $"entity_id", 0).as("o_key"),
+        EntityId.longComponent(enc, $"entity_id", 1).as("line_no"),
+        substring($"entity_id", 1, 4).as("salt"),
+        $"value")
+      .filter($"o_key" >= 1000L && $"o_key" < 3000L)
+      .groupBy($"line_no")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("price_sum"),
+        countDistinct($"salt").as("n_salts"))
+      .orderBy($"line_no")
+  }
+  val q41_sql: String = {
+    import graft.table.EntityId
+    val saltedKey = EntityId.encodeSql(EntityId.HashPrefix(4),
+      Seq(("l_orderkey", true), ("l_linenumber", true)))
+    s"""SELECT l_linenumber AS line_no, count(*) AS n,
+       |  ${sqlSum("l_extendedprice")} AS price_sum,
+       |  count(DISTINCT substr($saltedKey, 1, 4)) AS n_salts
+       |FROM lineitem
+       |WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+       |GROUP BY l_linenumber ORDER BY line_no""".stripMargin
+  }
+
+  // ── q42: FORMATTED composite key + row-key RANGE scan. Zero-padded
+  // integral components make string order == numeric order, so the range
+  // predicate is a plain string comparison on the sorted, range-partitioned
+  // table — it reaches the parquet scan as a pushed filter and prunes
+  // whole files by min/max stats (the region-pruned scan of the
+  // reference's KijiTableInputFormat start/limit row keys). ──────────────
+  val q42_formatted_range: Q = (s, d) => {
+    import s.implicits._
+    import graft.table.EntityId
+    val comps = Seq(EntityId.intComp($"l_orderkey"), EntityId.intComp($"l_linenumber"))
+    val cells = Tables.lineitem(s, d).select(
+      EntityId.encode(EntityId.Formatted, comps).as("entity_id"),
+      lit("li").as("family"), lit("price").as("qualifier"),
+      unix_micros($"l_shipdate".cast(TimestampType)).as("ts"),
+      $"l_extendedprice".as("value"))
+    val table = new EntityTable(s, tmpTable("q42", d),
+      TableLayout("li_formatted", Seq(FamilySpec("li"))))
+    table.bulkLoad(cells, numPartitions = 32)
+    table.cells
+      .filter(EntityId.formattedRange($"entity_id", 5000L, 20000L))
+      .select(
+        EntityId.longComponent(EntityId.Formatted, $"entity_id", 0).as("o_key"),
+        $"value")
+      .groupBy((($"o_key" / 1000L).cast(LongType)).as("okey_kbucket"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("price_sum"))
+      .orderBy($"okey_kbucket")
+  }
+  val q42_sql: String =
+    s"""SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS okey_kbucket,
+       |  count(*) AS n, ${sqlSum("l_extendedprice")} AS price_sum
+       |FROM lineitem
+       |WHERE l_orderkey >= 5000 AND l_orderkey < 20000
+       |GROUP BY 1 ORDER BY okey_kbucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q32_bulk_roundtrip" -> q32_bulk_roundtrip,
     "q33_dml_tombstones" -> q33_dml_tombstones,
     "q34_versioned_read" -> q34_versioned_read,
+    "q41_composite_key" -> q41_composite_key,
+    "q42_formatted_range" -> q42_formatted_range,
   )
   val oracleSql: Map[String, String] = Map(
     "q32_bulk_roundtrip" -> q32_sql,
     "q33_dml_tombstones" -> q33_sql,
     "q34_versioned_read" -> q34_sql,
+    "q41_composite_key" -> q41_sql,
+    "q42_formatted_range" -> q42_sql,
   )
 }

@@ -101,28 +101,92 @@ object Formats {
       StructField("key", StringType), StructField("value", StringType))))
   }
 
-  /** Avro container files via avro-mapred. Fields are surfaced as strings
-    * (callers cast); the container's writer schema is read from the file. */
+  /** Reads the writer schema from an Avro container's file header — a
+    * driver-side metadata read of a few KB, same cost class as a parquet
+    * footer read. Picks the first `.avro` part file under `path`. */
+  def avroWriterSchema(spark: SparkSession, path: String): Schema = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).map(_.getPath)
+        .find(_.getName.endsWith(".avro"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no .avro container files under $path"))
+    val in = fs.open(file)
+    try {
+      val stream = new org.apache.avro.file.DataFileStream(
+        in, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try stream.getSchema finally stream.close()
+    } finally in.close()
+  }
+
+  /** Avro schema → Catalyst type. Supports the container-file subset the
+    * reference's importers use (`KM/input/AvroKeyMapReduceJobInput.java`):
+    * primitives, nullable `[null, T]` unions, arrays, and nested records. */
+  def avroToCatalyst(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING | Schema.Type.ENUM => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.ARRAY => ArrayType(avroToCatalyst(s.getElementType))
+    case Schema.Type.RECORD => StructType(s.getFields.toArray.map {
+      case f: Schema.Field => StructField(f.name, avroToCatalyst(f.schema))
+    })
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.toArray.collect {
+        case b: Schema if b.getType != Schema.Type.NULL => b
+      }
+      require(branches.length == 1,
+        s"only [null, T] unions supported, got $s")
+      avroToCatalyst(branches.head)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported avro type $other")
+  }
+
+  private def avroValue(v: Any, s: Schema): Any = (s.getType, v) match {
+    case (_, null) => null
+    case (Schema.Type.UNION, x) =>
+      val branch = s.getTypes.toArray.collectFirst {
+        case b: Schema if b.getType != Schema.Type.NULL => b
+      }.get
+      avroValue(x, branch)
+    case (Schema.Type.STRING | Schema.Type.ENUM, x) => x.toString
+    case (Schema.Type.BYTES, x: java.nio.ByteBuffer) =>
+      val b = new Array[Byte](x.remaining); x.duplicate.get(b); b
+    case (Schema.Type.FIXED, x: org.apache.avro.generic.GenericFixed) => x.bytes
+    case (Schema.Type.ARRAY, x: java.util.Collection[_]) =>
+      x.toArray.map(avroValue(_, s.getElementType)).toSeq
+    case (Schema.Type.RECORD, x: GenericRecord) =>
+      Row(s.getFields.toArray.map {
+        case f: Schema.Field => avroValue(x.get(f.pos), f.schema)
+      }: _*)
+    case (_, x) => x
+  }
+
+  /** Avro container files via avro-mapred, properly typed: the writer
+    * schema comes from the file header (no data action), fields keep their
+    * declared types instead of being stringified. */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
+    val writerSchema = avroWriterSchema(spark, path)
+    val schemaJson = writerSchema.toString
+    val structType = avroToCatalyst(writerSchema).asInstanceOf[StructType]
     val rdd = spark.sparkContext.newAPIHadoopFile(
       path, classOf[AvroKeyInputFormat[GenericRecord]],
       classOf[AvroKey[GenericRecord]], classOf[NullWritable],
       new Configuration(spark.sparkContext.hadoopConfiguration))
-    // Extract to serializable form inside the reading task: GenericRecord
-    // itself is not serializable across the shuffle.
-    val fieldsRdd = rdd.mapPartitions { it =>
+    // Convert to Row inside the reading task: GenericRecord itself is not
+    // serializable across stage boundaries.
+    val rows = rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
       it.map { case (k, _) =>
-        val r = k.datum()
-        val fields = r.getSchema.getFields
-        val m = new scala.collection.mutable.LinkedHashMap[String, String]
-        fields.forEach(f => m += (f.name -> Option(r.get(f.name)).map(String.valueOf).orNull))
-        m.toSeq
+        avroValue(k.datum(), schema).asInstanceOf[Row]
       }
     }
-    val names = fieldsRdd.take(1).headOption.map(_.map(_._1)).getOrElse(Seq.empty)
-    spark.createDataFrame(
-      fieldsRdd.map(s => Row(s.map(_._2): _*)),
-      StructType(names.map(StructField(_, StringType))))
+    spark.createDataFrame(rows, structType)
   }
 
   /** Avro key/value container files (`KM/input/AvroKeyValueMapReduceJob

@@ -63,9 +63,42 @@ class FormatsSpec extends SparkSpec {
         |{"name":"id","type":"long"},
         |{"name":"score","type":"double"},
         |{"name":"tag","type":"string"}]}""".stripMargin)
-    val back = Formats.readAvro(spark, dir)
-      .selectExpr("CAST(id AS LONG)", "CAST(score AS DOUBLE)", "tag")
+    val df = Formats.readAvro(spark, dir)
+    // The writer schema comes from the container header, so fields surface
+    // with their declared types — no stringly-typed casting required.
+    assert(df.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("id", org.apache.spark.sql.types.LongType),
+      ("score", org.apache.spark.sql.types.DoubleType),
+      ("tag", org.apache.spark.sql.types.StringType)))
+    val back = df
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(back == Set((1L, 2.5, "x"), (2L, -0.125, "y")))
+  }
+
+  test("avro reader: nullable unions and array fields") {
+    val dir = tmpDir("fmtavronull") + "/out"
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.GenericDatumWriter
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"N","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"note","type":["null","string"],"default":null},
+        |{"name":"xs","type":{"type":"array","items":"int"}}]}""".stripMargin)
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    val w = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part.avro"))
+    val r1 = new GenericData.Record(schema)
+    r1.put("id", 1L); r1.put("note", "hi")
+    r1.put("xs", java.util.Arrays.asList(1, 2, 3))
+    val r2 = new GenericData.Record(schema)
+    r2.put("id", 2L); r2.put("note", null)
+    r2.put("xs", java.util.Collections.emptyList[Integer]())
+    w.append(r1); w.append(r2); w.close()
+    val back = Formats.readAvro(spark, dir)
+      .selectExpr("id", "note", "size(xs) AS n")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet
+    assert(back == Set((1L, Some("hi"), 3), (2L, None, 0)))
   }
 }
