@@ -60,10 +60,10 @@ object Tool {
         new ProduceJobBuilder(instantiate[Producer]("producer"))
       case "bulk-import" =>
         import spark.implicits._
-        new BulkImportJobBuilder[String](instantiate[BulkImporter[String, String]]("importer"))
+        new BulkImportJobBuilder[Long, String](instantiate[BulkImporter[String, Long, String]]("importer"))
       case "pivot" =>
         import spark.implicits._
-        new PivotJobBuilder[String](instantiate[Pivoter[String]]("pivoter"))
+        new PivotJobBuilder[Long, String](instantiate[Pivoter[Long, String]]("pivoter"))
       case other => throw new IllegalArgumentException(s"unknown verb '$other'\n$usage")
     }
     val outputSpec = flag("output") // validated before input IO

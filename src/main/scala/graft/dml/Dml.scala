@@ -48,22 +48,26 @@ object Dml {
     val tsMatches: Column =
       when(col("t_op") === "delete_cell", col("ts") === col("t_ts"))
         .otherwise(col("ts") <= col("t_ts"))
-    all.join(broadcast(tombs),
+    // No broadcast hint: tombstone sets are usually dim-sized and AQE
+    // broadcasts them from the observed size; a forced hint would instead
+    // build a billion-row tombstone feed on the driver.
+    all.join(tombs,
       col("entity_id") === col("t_eid") && scopeMatches && tsMatches,
       "left_anti")
   }
 
-  // ── change-record constructors (driver-side sugar) ──────────────────────
-  case class Change[V](entity_id: Long, family: String, qualifier: String,
-                       op: String, ts: Long, value: V)
-  def put[V](eid: Long, fam: String, qual: String, ts: Long, v: V): Change[V] =
+  // ── change-record constructors (driver-side sugar; `K` is the entity-id
+  // type — Long for simple keys, String for composite encoded keys) ───────
+  case class Change[K, V](entity_id: K, family: String, qualifier: String,
+                          op: String, ts: Long, value: V)
+  def put[K, V](eid: K, fam: String, qual: String, ts: Long, v: V): Change[K, V] =
     Change(eid, fam, qual, "put", ts, v)
-  def deleteCell[V](eid: Long, fam: String, qual: String, ts: Long, nullV: V): Change[V] =
+  def deleteCell[K, V](eid: K, fam: String, qual: String, ts: Long, nullV: V): Change[K, V] =
     Change(eid, fam, qual, "delete_cell", ts, nullV)
-  def deleteColumn[V](eid: Long, fam: String, qual: String, upToTs: Long, nullV: V): Change[V] =
+  def deleteColumn[K, V](eid: K, fam: String, qual: String, upToTs: Long, nullV: V): Change[K, V] =
     Change(eid, fam, qual, "delete_column", upToTs, nullV)
-  def deleteFamily[V](eid: Long, fam: String, upToTs: Long, nullV: V): Change[V] =
+  def deleteFamily[K, V](eid: K, fam: String, upToTs: Long, nullV: V): Change[K, V] =
     Change(eid, fam, null, "delete_family", upToTs, nullV)
-  def deleteRow[V](eid: Long, upToTs: Long, nullV: V): Change[V] =
+  def deleteRow[K, V](eid: K, upToTs: Long, nullV: V): Change[K, V] =
     Change(eid, null, null, "delete_row", upToTs, nullV)
 }

@@ -143,9 +143,9 @@ object Jobs {
 
   /** Pivot job: cells for arbitrary entities of a (possibly different)
     * table (`KM/pivot/KijiPivotJobBuilder.java`). */
-  final class PivotJobBuilder[V](p: Pivoter[V])(
-      implicit enc: Encoder[Lifecycle.CellPut[V]])
-      extends JobBuilder[PivotJobBuilder[V]] {
+  final class PivotJobBuilder[K, V](p: Pivoter[K, V])(
+      implicit enc: Encoder[Lifecycle.CellPut[K, V]])
+      extends JobBuilder[PivotJobBuilder[K, V]] {
     protected def requiredStores = p.requiredStores
     protected def counterNames = p.counterNames
     protected def execute(spark: SparkSession, counters: Counters): DataFrame =
@@ -154,9 +154,9 @@ object Jobs {
 
   /** Bulk-import job: records → cell puts
     * (`KM/bulkimport/KijiBulkImportJobBuilder.java`). */
-  final class BulkImportJobBuilder[V](imp: BulkImporter[String, V])(
-      implicit enc: Encoder[Lifecycle.CellPut[V]])
-      extends JobBuilder[BulkImportJobBuilder[V]] {
+  final class BulkImportJobBuilder[K, V](imp: BulkImporter[String, K, V])(
+      implicit enc: Encoder[Lifecycle.CellPut[K, V]])
+      extends JobBuilder[BulkImportJobBuilder[K, V]] {
     protected def requiredStores = imp.requiredStores
     protected def counterNames = imp.counterNames
     protected def execute(spark: SparkSession, counters: Counters): DataFrame = {

@@ -88,15 +88,19 @@ object Lifecycle {
   }
 
   /** A timestamped cell write — the unit of Pivoter/BulkImporter output and
-    * of the DML change feed (`KM/framework/HFileKeyValue.java` Put cells). */
-  final case class CellPut[V](entity_id: Long, family: String,
-                              qualifier: String, ts: Long, value: V)
+    * of the DML change feed (`KM/framework/HFileKeyValue.java` Put cells).
+    * `K` is the entity-id type: Long for simple keys, String for composite
+    * encoded keys (see `graft.table.EntityId.encodeValue` for building
+    * multi-component keys inside an operator, the analog of
+    * `KijiTableContext.getEntityId(components)` `KM/KijiTableContext.java:44`). */
+  final case class CellPut[K, V](entity_id: K, family: String,
+                                 qualifier: String, ts: Long, value: V)
 
   /** Pivoter: scan table A, emit cells keyed by any entity of table B
     * (`KijiPivoter.produce` `KM/pivot/KijiPivoter.java:168`). */
-  trait Pivoter[V] extends Serializable {
+  trait Pivoter[K, V] extends Serializable {
     def setup(ctx: OperatorContext): Unit = {}
-    def pivot(row: Row, emit: CellPut[V] => Unit, ctx: OperatorContext): Unit
+    def pivot(row: Row, emit: CellPut[K, V] => Unit, ctx: OperatorContext): Unit
     def cleanup(ctx: OperatorContext): Unit = {}
     def requiredStores: Map[String, KeyValueStore[String, String]] = Map.empty
     def counterNames: Seq[String] = Seq.empty
@@ -104,24 +108,31 @@ object Lifecycle {
 
   /** Bulk importer: parse one input record into cell puts
     * (`KijiBulkImporter.produce` `KM/bulkimport/KijiBulkImporter.java:163`). */
-  trait BulkImporter[R, V] extends Serializable {
+  trait BulkImporter[R, K, V] extends Serializable {
     def setup(ctx: OperatorContext): Unit = {}
-    def importRecord(rec: R, emit: CellPut[V] => Unit, ctx: OperatorContext): Unit
+    def importRecord(rec: R, emit: CellPut[K, V] => Unit, ctx: OperatorContext): Unit
     def cleanup(ctx: OperatorContext): Unit = {}
     def requiredStores: Map[String, KeyValueStore[String, String]] = Map.empty
     def counterNames: Seq[String] = Seq.empty
   }
 
   /** Wrap an iterator so the operator lifecycle brackets the partition:
-    * setup before the first row, cleanup after the last. */
+    * setup before the first row, cleanup after the last. Cleanup is ALSO
+    * registered as a task-completion listener, because a downstream `limit`
+    * can abandon the iterator without ever driving `hasNext` to false — the
+    * listener fires on task end (success, failure, or early stop) and the
+    * `closed` flag keeps the two paths idempotent. */
   private def bracket[A](setup: () => Unit, it: Iterator[A],
                          cleanup: () => Unit): Iterator[A] = {
     setup()
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; cleanup() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
     new Iterator[A] {
-      private var closed = false
       def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !closed) { closed = true; cleanup() }
+        if (!h) close()
         h
       }
       def next(): A = it.next()
@@ -156,27 +167,27 @@ object Lifecycle {
     })(enc)
   }
 
-  def runPivoter[V](df: DataFrame, p: Pivoter[V], counters: Counters)(
-      implicit enc: Encoder[CellPut[V]]): Dataset[CellPut[V]] = {
+  def runPivoter[K, V](df: DataFrame, p: Pivoter[K, V], counters: Counters)(
+      implicit enc: Encoder[CellPut[K, V]]): Dataset[CellPut[K, V]] = {
     val stores = p.requiredStores
     df.mapPartitions { rows =>
       val ctx = new OperatorContext(stores, counters)
-      val buf = new ArrayBuffer[CellPut[V]]()
-      val emit = (c: CellPut[V]) => { buf += c; () }
+      val buf = new ArrayBuffer[CellPut[K, V]]()
+      val emit = (c: CellPut[K, V]) => { buf += c; () }
       bracket(() => p.setup(ctx),
         rows.flatMap { r => buf.clear(); p.pivot(r, emit, ctx); buf.toList },
         () => p.cleanup(ctx))
     }
   }
 
-  def runBulkImporter[R, V](ds: Dataset[R], imp: BulkImporter[R, V],
-                            counters: Counters)(
-      implicit enc: Encoder[CellPut[V]]): Dataset[CellPut[V]] = {
+  def runBulkImporter[R, K, V](ds: Dataset[R], imp: BulkImporter[R, K, V],
+                               counters: Counters)(
+      implicit enc: Encoder[CellPut[K, V]]): Dataset[CellPut[K, V]] = {
     val stores = imp.requiredStores
     ds.mapPartitions { recs =>
       val ctx = new OperatorContext(stores, counters)
-      val buf = new ArrayBuffer[CellPut[V]]()
-      val emit = (c: CellPut[V]) => { buf += c; () }
+      val buf = new ArrayBuffer[CellPut[K, V]]()
+      val emit = (c: CellPut[K, V]) => { buf += c; () }
       bracket(() => imp.setup(ctx),
         recs.flatMap { r => buf.clear(); imp.importRecord(r, emit, ctx); buf.toList },
         () => imp.cleanup(ctx))

@@ -66,8 +66,8 @@ object LifecycleQueries {
 
   // ── q29: Pivoter API — re-key lineitem cells onto the supplier entity
   // (KijiPivoter.produce emits cells for arbitrary rows). ─────────────────
-  object SupplierPivoter extends Pivoter[Double] {
-    def pivot(row: Row, emit: CellPut[Double] => Unit, ctx: OperatorContext): Unit =
+  object SupplierPivoter extends Pivoter[Long, Double] {
+    def pivot(row: Row, emit: CellPut[Long, Double] => Unit, ctx: OperatorContext): Unit =
       emit(CellPut(
         longAt(row, "l_suppkey"), "li", "qty",
         longAt(row, "l_orderkey") * 10L + longAt(row, "l_linenumber"),
@@ -89,9 +89,9 @@ object LifecycleQueries {
   // ── q30: BulkImporter API over the reference's canonical colon-delimited
   // text records ("rowKey:value", TestBulkImportInput.txt): write the lines
   // distributed, re-import them through the lifecycle parser. ─────────────
-  object ColonImporter extends BulkImporter[String, String] {
+  object ColonImporter extends BulkImporter[String, Long, String] {
     override def counterNames: Seq[String] = Seq("records_imported")
-    def importRecord(rec: String, emit: CellPut[String] => Unit,
+    def importRecord(rec: String, emit: CellPut[Long, String] => Unit,
                      ctx: OperatorContext): Unit = {
       val i = rec.indexOf(':')
       if (i > 0) {

@@ -62,7 +62,7 @@ object TableQueries {
       lit("delete_column").as("op"), lit(cutoffUs).as("ts"),
       lit(null).cast(DoubleType).as("value"))
     val scalarChanges = Seq(
-      Dml.deleteRow[java.lang.Double](7L, Long.MaxValue, null),
+      Dml.deleteRow[Long, java.lang.Double](7L, Long.MaxValue, null),
       Dml.put(3L, "ev", "bonus", 1L, java.lang.Double.valueOf(99.5))
     ).toDF("entity_id", "family", "qualifier", "op", "ts", "value")
       .select($"entity_id", $"family", $"qualifier", $"op", $"ts",

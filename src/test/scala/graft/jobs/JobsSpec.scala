@@ -122,8 +122,8 @@ class JobsSpec extends SparkSpec {
   }
 
   test("pivot job: cells for re-keyed entities through the facade") {
-    object P extends Pivoter[String] {
-      def pivot(row: Row, emit: CellPut[String] => Unit, ctx: OperatorContext): Unit =
+    object P extends Pivoter[Long, String] {
+      def pivot(row: Row, emit: CellPut[Long, String] => Unit, ctx: OperatorContext): Unit =
         emit(CellPut(row.getAs[Int]("zip").toLong, "info", "resident", 1L,
           row.getAs[String]("name")))
     }
@@ -133,8 +133,8 @@ class JobsSpec extends SparkSpec {
   }
 
   test("bulk-import job: text records to cells through the facade") {
-    object I extends BulkImporter[String, String] {
-      def importRecord(rec: String, emit: CellPut[String] => Unit,
+    object I extends BulkImporter[String, Long, String] {
+      def importRecord(rec: String, emit: CellPut[Long, String] => Unit,
                        ctx: OperatorContext): Unit = {
         val i = rec.indexOf(':')
         if (i > 0) emit(CellPut(rec.take(i).toLong, "info", "name", 0L, rec.drop(i + 1)))

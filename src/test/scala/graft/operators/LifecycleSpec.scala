@@ -61,8 +61,8 @@ class LifecycleSpec extends SparkSpec {
   }
 
   test("pivoter: re-keys cells onto a different entity (TestPivoter)") {
-    object ZipPivoter extends Pivoter[String] {
-      def pivot(row: Row, emit: CellPut[String] => Unit, ctx: OperatorContext): Unit =
+    object ZipPivoter extends Pivoter[Long, String] {
+      def pivot(row: Row, emit: CellPut[Long, String] => Unit, ctx: OperatorContext): Unit =
         emit(CellPut(row.getAs[Int]("zip_code").toLong, "primitives", "string",
           1L, row.getAs[String]("entity_id")))
     }
@@ -73,8 +73,8 @@ class LifecycleSpec extends SparkSpec {
   }
 
   test("bulk importer: rowKey:value colon records (TestBulkImporter)") {
-    object Importer extends BulkImporter[String, String] {
-      def importRecord(rec: String, emit: CellPut[String] => Unit,
+    object Importer extends BulkImporter[String, Long, String] {
+      def importRecord(rec: String, emit: CellPut[Long, String] => Unit,
                        ctx: OperatorContext): Unit = {
         val i = rec.indexOf(':')
         if (i > 0) emit(CellPut(rec.take(i).toLong, "info", "name", 0L, rec.drop(i + 1)))

@@ -20,7 +20,7 @@ class TableDmlSpec extends SparkSpec {
     (2L, "stats", "zip", 1L, "94110")
   ).toDF("entity_id", "family", "qualifier", "ts", "value")
 
-  private def changesDF(ch: Seq[Dml.Change[String]]) =
+  private def changesDF(ch: Seq[Dml.Change[Long, String]]) =
     ch.toDF("entity_id", "family", "qualifier", "op", "ts", "value")
 
   private def keys(df: org.apache.spark.sql.DataFrame) =
