@@ -51,4 +51,59 @@ object CellRewriter {
     val rewritten = chain.foldLeft(col(valueCol))((c, r) => r.convert(c))
     cells.withColumn(valueCol, rewritten)
   }
+
+  // ── record-schema evolution ──────────────────────────────────────────────
+
+  /** One generation step of a record migration: cells written under schema
+    * generation `fromVersion` are transformed by `migrate` (typically
+    * `withField`/`dropFields` on the struct) into `toVersion`'s shape —
+    * the add/rename/drop field rules of the reference's Avro rewriter
+    * (`KM/pivot/KijiCellRewriter.java:224-237` rule map, `:250-269`
+    * re-encode under the new writer schema). */
+  final case class RecordRule(fromVersion: Int, toVersion: Int,
+                              migrate: Column => Column)
+
+  /** Chain of rules from `start` to fixpoint; cycles throw (the reference
+    * would loop forever re-encoding). */
+  def resolveRecordChain(start: Int, rules: Seq[RecordRule]): Seq[RecordRule] = {
+    val byFrom = rules.map(r => r.fromVersion -> r).toMap
+    require(byFrom.size == rules.size,
+      "ambiguous record rules: multiple rules share a fromVersion")
+    val chain = Seq.newBuilder[RecordRule]
+    var v = start
+    var seen = Set(v)
+    while (byFrom.contains(v)) {
+      val r = byFrom(v)
+      chain += r
+      v = r.toVersion
+      if (seen.contains(v))
+        throw new IllegalArgumentException(s"record-rewrite rule cycle at v$v")
+      seen += v
+    }
+    chain.result()
+  }
+
+  /** Migrate a multi-generation record column to fixpoint.
+    *
+    * Spark-first shape for "cells written under different writer schemas":
+    * the column's physical type is the SUPERSET struct of all generations
+    * (what parquet schema-merge produces), fields absent in a generation
+    * are null, and `versionCol` tags the writer generation — so the
+    * reference's per-cell writer-schema dispatch (`:250` decode with writer
+    * schema) becomes one flat CASE WHEN on the tag, with each branch the
+    * whole v→fixpoint chain composed at plan-build time on the driver.
+    * Executors run a single codegen'd expression; nothing resolves
+    * per row. Cells whose version has no rule pass through (`:207`). */
+  def rewriteRecords(cells: DataFrame, versionCol: String, valueCol: String,
+                     rules: Seq[RecordRule]): DataFrame = {
+    val startVersions = rules.map(_.fromVersion).distinct.sorted
+    val (newVal, newVer) = startVersions.foldLeft((col(valueCol), col(versionCol))) {
+      case ((valAcc, verAcc), from) =>
+        val chain = resolveRecordChain(from, rules)
+        val migrated = chain.foldLeft(col(valueCol))((c, r) => r.migrate(c))
+        (when(col(versionCol) === from, migrated).otherwise(valAcc),
+         when(col(versionCol) === from, lit(chain.last.toVersion)).otherwise(verAcc))
+    }
+    cells.withColumn(valueCol, newVal).withColumn(versionCol, newVer)
+  }
 }

@@ -34,6 +34,42 @@ class RewriterMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("record rewriter: chained v1→v2→v3 migration converges per generation") {
+    val nullS = lit(null).cast(StringType)
+    val nullL = lit(null).cast(LongType)
+    // superset struct {old_name, name, score}; v1 wrote old_name, v2 renamed
+    // to name, v3 added score = length(name)
+    val cells = Seq((1, "ada"), (2, "grace"), (3, "alan")).toDF("v", "raw")
+      .select($"v",
+        when($"v" === 1, struct($"raw".as("old_name"), nullS.as("name"), nullL.as("score")))
+        .when($"v" === 2, struct(nullS.as("old_name"), $"raw".as("name"), nullL.as("score")))
+        .otherwise(struct(nullS.as("old_name"), $"raw".as("name"),
+          length($"raw").cast(LongType).as("score"))).as("value"))
+    val rules = Seq(
+      CellRewriter.RecordRule(1, 2, c =>
+        c.withField("name", c.getField("old_name")).withField("old_name", nullS)),
+      CellRewriter.RecordRule(2, 3, c =>
+        c.withField("score", length(c.getField("name")).cast(LongType))))
+    val out = CellRewriter.rewriteRecords(cells, "v", "value", rules)
+      .select($"v", $"value.name", $"value.score", $"value.old_name")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.toSet == Set((3, "ada", 3L, null), (3, "grace", 5L, null),
+      (3, "alan", 4L, null)))
+  }
+
+  test("record rewriter: versions without rules pass through; cycles throw") {
+    val cells = Seq((9, "x")).toDF("v", "raw")
+      .select($"v", struct($"raw".as("name")).as("value"))
+    val rules = Seq(CellRewriter.RecordRule(1, 2, identity))
+    val out = CellRewriter.rewriteRecords(cells, "v", "value", rules).collect()
+    assert(out.head.getInt(0) == 9)
+    intercept[IllegalArgumentException] {
+      CellRewriter.resolveRecordChain(1, Seq(
+        CellRewriter.RecordRule(1, 2, identity),
+        CellRewriter.RecordRule(2, 1, identity)))
+    }
+  }
+
   private def media = Seq(
     (1L, "image", "hello world".getBytes("UTF-8"), 640, 480, 0L),
     (2L, "video", "clip-bytes".getBytes("UTF-8"), 1920, 1080, 2500L)
