@@ -31,9 +31,16 @@ object Tables {
     * truncate to microseconds — exactly what DuckDB does when it surfaces the
     * column as TIMESTAMP (µs), so both engines see identical values. The
     * underlying data is µs-precision (trailing 000 ns), so this is lossless.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set on the session
+    * AT CONSTRUCTION (Verify/Bench/Tool/test fixtures all do); there is no
+    * per-read parquet option for it, and mutating session conf at plan-build
+    * time would leak the setting into unrelated reads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true " +
+        "set at session construction")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -30,6 +30,7 @@ object Tool {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     run(spark, args)
@@ -73,9 +74,8 @@ object Tool {
       builder.withStoreBindingsXml(java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
     flags.get("history").foreach(p => builder.withHistory(new JobHistory(spark, p)))
 
-    val result = builder.run()
-    result.output.foreach(df => writeOutput(df, outputSpec))
-    result
+    // The output write IS the single plan execution (no separate count).
+    builder.run(df => writeOutput(df, outputSpec))
   }
 
   /** JobOutputSpec-style writer dispatch. */

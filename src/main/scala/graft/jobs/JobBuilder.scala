@@ -83,8 +83,14 @@ object Jobs {
 
     protected def execute(spark: SparkSession, counters: Counters): DataFrame
 
-    /** Validate, run, record history. */
-    def run(): JobResult = {
+    /** Validate, run, record history. The plan is executed exactly ONCE,
+      * by `sink` — callers that write the output pass the write as the
+      * sink (so a CLI job is one plan execution, not a count + a write);
+      * the no-arg overload forces with a count for callers that only
+      * want the counters/history side effects. */
+    def run(): JobResult = run { df => df.count(); () }
+
+    def run(sink: DataFrame => Unit): JobResult = {
       val df = inputOrFail
       val spark = df.sparkSession
       boundStores // validates bindings eagerly (build-time error behavior)
@@ -92,7 +98,7 @@ object Jobs {
       val jobId = java.util.UUID.randomUUID().toString
       val start = System.currentTimeMillis()
       val (status, out, err) =
-        try { val o = execute(spark, counters); o.count(); ("SUCCEEDED", Some(o), None) }
+        try { val o = execute(spark, counters); sink(o); ("SUCCEEDED", Some(o), None) }
         catch { case scala.util.control.NonFatal(e) => ("FAILED", None, Some(e)) }
       val result = JobResult(jobId, jobName, start, System.currentTimeMillis(),
         status, counterNames.map(n => n -> counters.value(n)).toMap, out)

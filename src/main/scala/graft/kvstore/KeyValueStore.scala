@@ -112,19 +112,73 @@ final case class SeqFileKeyValueStore(path: String)
 }
 
 /** Point lookups against another table — analog of
-  * `KijiTableKeyValueStore.java:54-122`. `load()` materializes the
-  * projection on the driver (only sane for dim-sized tables — the same
-  * constraint the reference's in-task TreeMap has); `asDF` is the scale
-  * path and should be preferred in joins. */
+  * `KijiTableKeyValueStore.java:54-122` (bounded cache `:113`).
+  *
+  * Nothing is materialized at construction. The point-get path
+  * (`reader()`/`load()`) lazily collects the projection on the driver —
+  * guarded by a hard `maxRows` limit so a fact-sized table fails fast
+  * instead of OOMing the driver — and ships it as a torrent
+  * [[org.apache.spark.broadcast.Broadcast]] (fetched once per executor,
+  * not serialized per task closure). The broadcast is forced during
+  * closure serialization (`writeObject`), so a store that is built but
+  * never read costs nothing.
+  *
+  * For lookups dense over a large input, prefer [[lookupJoin]]: a
+  * broadcast-hash join Catalyst can re-plan (e.g. to shuffle-hash under
+  * AQE if the "small" side grew) — the scale path the reference's
+  * per-task HBase gets + LRU cache approximate. */
 final class TableKeyValueStore(@transient df: DataFrame,
-                               keyCol: String, valueCol: String)
+                               keyCol: String, valueCol: String,
+                               maxRows: Int = TableKeyValueStore.DefaultMaxRows)
     extends KeyValueStore[String, String] {
+  import org.apache.spark.broadcast.Broadcast
   @transient private val projected = df.selectExpr(
     s"CAST($keyCol AS STRING) AS key", s"CAST($valueCol AS STRING) AS value")
-  private val loaded: Map[String, String] =
-    projected.collect().map(r => r.getString(0) -> r.getString(1)).toMap
-  def load(): Map[String, String] = loaded
+  private var bc: Broadcast[Map[String, String]] = _
+
+  /** Driver-side guarded collect → broadcast; idempotent. */
+  private def ensureLoaded(): Broadcast[Map[String, String]] = synchronized {
+    if (bc == null) {
+      val rows = projected.limit(maxRows + 1).collect()
+      if (rows.length > maxRows) throw new IllegalStateException(
+        s"TableKeyValueStore over $keyCol/$valueCol exceeds maxRows=$maxRows; " +
+          "point-get loading is for dim-sized tables — use lookupJoin/asDF " +
+          "(broadcast join) instead")
+      bc = projected.sparkSession.sparkContext.broadcast(
+        rows.map(r => r.getString(0) -> r.getString(1)).toMap)
+    }
+    bc
+  }
+
+  def load(): Map[String, String] = ensureLoaded().value
+
+  /** Serialization happens driver-side when a task closure captures the
+    * store — the last moment the DataFrame is still reachable. */
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    ensureLoaded()
+    out.defaultWriteObject()
+  }
+
   def asDF: DataFrame = projected
+
+  /** Left-outer lookup join (the get-or-null semantics of a reader):
+    * `input` rows keep all columns and gain `as` = store value for
+    * `key`, null on a miss. The store side is marked broadcast. */
+  def lookupJoin(input: DataFrame, key: org.apache.spark.sql.Column,
+                 as: String = "value"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val side = broadcast(projected
+      .withColumnRenamed("value", as).withColumnRenamed("key", "__kv_key"))
+    input.join(side, key.cast(org.apache.spark.sql.types.StringType)
+      === col("__kv_key"), "left").drop("__kv_key")
+  }
+}
+
+object TableKeyValueStore {
+  /** Hard cap for driver materialization — dim-table sized. A store a
+    * user actually needs point-gets on (config, small dims) is far under
+    * this; anything over it belongs in a broadcast join. */
+  val DefaultMaxRows: Int = 4 << 20
 }
 
 /** Always-empty store (`EmptyKeyValueStore.java`): every get → None. */

@@ -32,7 +32,8 @@ object FormatQueries {
       .orderBy($"c_mktsegment")
   }
   val q35_sql: String =
-    """SELECT c_mktsegment, count(*) AS n, sum(c_custkey) AS key_sum
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ── q36: XML tag-delimited records (kiji.input.xml.record.tag analog) ──
@@ -106,7 +107,8 @@ object FormatQueries {
       .select(lit(1).as("one"), $"n", $"name_chars", $"price_sum")
   }
   val q38_sql: String =
-    s"""SELECT 1 AS one, count(*) AS n, sum(length(p_name)) AS name_chars,
+    s"""SELECT 1 AS one, count(*) AS n,
+       |  CAST(sum(length(p_name)) AS BIGINT) AS name_chars,
        |  ${sqlSum("p_retailprice")} AS price_sum
        |FROM part""".stripMargin
 

@@ -137,11 +137,15 @@ object LifecycleQueries {
   }
   val q31_kvstore_lookup: Q = (s, d) => {
     import s.implicits._
+    // Scale path: the store is consumed through a broadcast-hash lookup
+    // join (no driver materialization at all); dropping null lookups
+    // mirrors the gatherer's skip-on-miss. The point-get reader path
+    // (SegmentGatherer above) stays covered by KvStoreSpec on a
+    // dim-sized store.
     val store = new TableKeyValueStore(
       Tables.customer(s, d), "c_custkey", "c_mktsegment")
-    val g = new SegmentGatherer(store)
-    runGatherer(Tables.orders(s, d), g, Counters(s, g.counterNames))
-      .toDF("c_mktsegment", "o_totalprice")
+    store.lookupJoin(Tables.orders(s, d), $"o_custkey", as = "c_mktsegment")
+      .filter($"c_mktsegment".isNotNull)
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
       .orderBy($"c_mktsegment")

@@ -161,8 +161,10 @@ object Formats {
     case (Schema.Type.ARRAY, x: java.util.Collection[_]) =>
       x.toArray.map(avroValue(_, s.getElementType)).toSeq
     case (Schema.Type.RECORD, x: GenericRecord) =>
+      // By NAME, not position: part files written by different schema
+      // generations may order fields differently than the reader schema.
       Row(s.getFields.toArray.map {
-        case f: Schema.Field => avroValue(x.get(f.pos), f.schema)
+        case f: Schema.Field => avroValue(x.get(f.name), f.schema)
       }: _*)
     case (_, x) => x
   }
@@ -174,10 +176,15 @@ object Formats {
     val writerSchema = avroWriterSchema(spark, path)
     val schemaJson = writerSchema.toString
     val structType = avroToCatalyst(writerSchema).asInstanceOf[StructType]
+    // Declare the reader schema: every part file (whatever its writer
+    // generation) is then resolved to this one schema by Avro's schema
+    // resolution, instead of each part surfacing its own writer schema.
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, writerSchema)
     val rdd = spark.sparkContext.newAPIHadoopFile(
       path, classOf[AvroKeyInputFormat[GenericRecord]],
       classOf[AvroKey[GenericRecord]], classOf[NullWritable],
-      new Configuration(spark.sparkContext.hadoopConfiguration))
+      job.getConfiguration)
     // Convert to Row inside the reading task: GenericRecord itself is not
     // serializable across stage boundaries.
     val rows = rdd.mapPartitions { it =>

@@ -48,12 +48,16 @@ object StreamingCells {
       .flatMapGroupsWithState[CellLatest, CellLatest](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case ((eid, fam, qual), events, state: GroupState[CellLatest]) =>
+          // Buffering is bounded: one trigger's puts for ONE cell key
+          // (events is per-group per-batch), not the whole stream.
           val incoming = events.toSeq
           if (incoming.isEmpty) Iterator.empty
           else {
             val newest = incoming.maxBy(p => (p.ts.getTime, p.value))
             val current = state.getOption
-            if (current.forall(_.ts.getTime < newest.ts.getTime)) {
+            // `<=`, not `<`: an equal-timestamp put overwrites, matching
+            // HBase's last-write-wins at the same cell version.
+            if (current.forall(_.ts.getTime <= newest.ts.getTime)) {
               val latest = CellLatest(eid, fam, qual, newest.ts, newest.value)
               state.update(latest)
               Iterator.single(latest)

@@ -31,10 +31,13 @@ class StreamingCellsSpec extends SparkSpec {
       // newer put: emits an update
       input.addData(CellPutEvent(1L, "ev", "click", ts(40), 4.0))
       q.processAllAvailable()
+      // equal-timestamp put: overwrites (HBase last-write-wins)
+      input.addData(CellPutEvent(1L, "ev", "click", ts(40), 4.5))
+      q.processAllAvailable()
       val emitted = spark.table("latest_cells")
         .select("ts", "value").collect()
         .map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(1))).toList
-      assert(emitted == List((30L, 3.0), (40L, 4.0)))
+      assert(emitted == List((30L, 3.0), (40L, 4.0), (40L, 4.5)))
     } finally q.stop()
   }
 
