@@ -106,4 +106,10 @@ object TextFunctions {
   /** Portable 32-bit hash (for simhash bit sampling). */
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+
+  /** Portable 60-bit hash (first 15 hex md5 chars): wide enough to feed a
+    * 60-bit simhash while staying exactly representable as signed int64 on
+    * both engines (61+ bits would overflow DuckDB's ::BIGINT parse). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 }

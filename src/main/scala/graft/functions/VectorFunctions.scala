@@ -34,6 +34,17 @@ object VectorFunctions {
     idot(a, b).cast(DoubleType) /
       (sqrt(inorm2(a).cast(DoubleType)) * sqrt(inorm2(b).cast(DoubleType)))
 
+  /** Per-vector norm — materialize this ONCE per vector before a pair
+    * join: recomputing `inorm2` inside the pair expression costs O(dim)
+    * per CANDIDATE PAIR (Σbucket² of them), while a norm column costs
+    * O(dim) per VECTOR and an 8-byte carry through the shuffle. */
+  def vnorm(a: Column): Column = sqrt(inorm2(a).cast(DoubleType))
+
+  /** Cosine from pre-materialized norms: bit-identical to cosineScaled
+    * (same double ops in the same order), minus the per-pair norm work. */
+  def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    idot(a, b).cast(DoubleType) / (na * nb)
+
   /** Sign-bit LSH bucket over the first `bits` dimensions: the cheap,
     * deterministic ANN partitioner. At scale this becomes the shuffle key —
     * vectors co-locate by bucket and a query probes only the buckets within
@@ -57,4 +68,9 @@ object VectorFunctions {
     (0 until bits).map { d =>
       s"(CASE WHEN $v[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  def sqlVnorm(a: String, dim: Int): String =
+    s"sqrt(CAST(${sqlInorm2(a, dim)} AS DOUBLE))"
+  def sqlCosineFromNorms(a: String, b: String, na: String, nb: String,
+                         dim: Int): String =
+    s"CAST(${sqlIdot(a, b, dim)} AS DOUBLE) / ($na * $nb)"
 }

@@ -80,12 +80,21 @@ object Dedup {
     val hashedDf = gramsDf.select(col("id"),
       array_sort(array_distinct(transform(col("grams"), g => hash28(g)))).as("ghash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band-key magnitude: minhashes are < 2^31 (mod P), so after r
+    // polynomial steps the key is < 2^31·31^(r-1) — exact in int64 only
+    // for r ≤ 7 rows per band.
+    require(rows <= 7, s"rows per band must be <= 7 for an exact int64 band key, got $rows")
     val sigCols = (0 until numHashes).map(j => minhashOfHashes(col("ghash"), j))
-    // Band key = comma-joined minhash values of the band's rows: a portable
-    // string the oracle reproduces exactly (BIGINT || never goes scientific).
+    // Band key = base-31 polynomial of the band's minhash rows: an 8-byte
+    // LONG shuffle key instead of a ~40-char string (round 3 used
+    // concat_ws) — smaller exchange, cheaper hash-partitioning, and the
+    // oracle reproduces the identical integer. A polynomial collision
+    // across bands only adds a candidate pair, which the exact-Jaccard
+    // rerank then filters identically in both engines.
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", sigCols.slice(b * rows, (b + 1) * rows): _*).as("bkey"))
+        sigCols.slice(b * rows, (b + 1) * rows)
+          .foldLeft(lit(0L))((acc, c) => acc * 31 + c).as("bkey"))
     }
     // The band rows CARRY the gram-hash arrays: the per-bucket self-join
     // shuffles |docs|·bands array rows (megabytes), and the exact-Jaccard
@@ -116,12 +125,12 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash from a precomputed token-hash array (frequency-
-    * weighted: every occurrence votes ±1 per bit). Takes the hash column
-    * rather than hashing inline so the md5s run once, not 32× (lambda
+  /** SimHash from a precomputed token-hash array (frequency-weighted:
+    * every occurrence votes ±1 per bit). Takes the hash column rather
+    * than hashing inline so the md5s run once, not `bits`× (lambda
     * subtrees are excluded from common-subexpression elimination). */
-  def simhashOfHashes(hs: Column): Column =
-    (0 until 32).map { j =>
+  def simhashOfHashes(hs: Column, bits: Int = 32): Column =
+    (0 until bits).map { j =>
       val vote = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
@@ -132,18 +141,40 @@ object Dedup {
   def simhash32(text: Column): Column =
     simhashOfHashes(transform(tokens(text), t => hash32(t)))
 
-  /** Near-dup pairs by SimHash byte-banding: 4 bands × 8 bits guarantee any
-    * pair within Hamming distance 3 shares ≥ 1 band; candidates are then
-    * reranked by exact Hamming distance (bit_count of xor). */
+  /** Default simhash geometry: 60-bit fingerprints in 5 bands of 12 bits.
+    *
+    * Why not round 3's 32-bit/4×8: each 8-bit band has only 256 buckets,
+    * so at N docs every band bucket holds ~N/256 and candidates grow
+    * ~N²/1024 — quadratic, the scale-killer. 12-bit bands give 4096
+    * buckets per band (candidates ~N²·bands/2^bandBits, 16× fewer), and
+    * the pigeonhole recall guarantee (any pair within Hamming ≤ bands-1
+    * shares a band) widens from 3 to 4 — matching the wider fingerprint,
+    * where the same text edit flips proportionally more bits. Band width
+    * is the Σbucket² knob: more/wider bands = more recall/cost. */
+  val SimhashBits = 60
+  val SimhashBands = 5
+
+  /** Near-dup pairs by SimHash banding: `bands` bands of `bits/bands`
+    * bits guarantee any pair within Hamming distance `bands-1` shares at
+    * least one band; candidates are then reranked by exact Hamming
+    * distance (bit_count of xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, bits: Int = SimhashBits,
+                   bands: Int = SimhashBands): DataFrame = {
+    require(bits % bands == 0 && bits <= 60,
+      s"bits must be a multiple of bands and <= 60, got $bits/$bands")
+    require(maxHamming <= bands - 1,
+      s"recall guarantee needs bands > maxHamming ($bands bands, maxHamming $maxHamming)")
+    val bandBits = bits / bands
+    val tokenHash: Column => Column = if (bits > 32) hash60 else hash32
     val sim = docs
       .select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => hash32(t)).as("hs"))
-      .select(col("id"), simhashOfHashes(col("hs")).as("simhash"))
-    val bandStructs = (0 until 4).map { b =>
+        transform(tokens(col(textCol)), t => tokenHash(t)).as("hs"))
+      .select(col("id"), simhashOfHashes(col("hs"), bits).as("simhash"))
+    val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+        shiftright(col("simhash"), bandBits * b)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
     }
     val banded = sim
       .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
@@ -164,6 +195,7 @@ object Dedup {
   /** SQL: portable 28-bit hash of expression `e` (mirror of hash28). */
   def sqlHash28(e: String): String = s"('0x'||substr(md5($e),1,7))::BIGINT"
   def sqlHash32(e: String): String = s"('0x'||substr(md5($e),1,8))::BIGINT"
+  def sqlHash60(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
 
   /** SQL: j-th minhash over a pre-hashed gram-list expression. */
   def sqlMinhashOfHashes(ghash: String, j: Int): String =
@@ -184,10 +216,11 @@ object Dedup {
     s"list_distinct(list_transform(range(1, length($textExpr) - ${n - 2}), " +
       s"i -> substr($textExpr, i, $n)))"
 
-  /** SQL: 32-bit simhash (mirror of simhash32). */
-  def sqlSimhash(textExpr: String): String = {
-    val hs = s"list_transform(string_split_regex(lower($textExpr), '\\s+'), t -> ${sqlHash32("t")})"
-    (0 until 32).map { j =>
+  /** SQL: simhash over `bits` bits (mirror of simhashOfHashes ∘ tokens). */
+  def sqlSimhash(textExpr: String, bits: Int = 32): String = {
+    val th = if (bits > 32) sqlHash60("t") else sqlHash32("t")
+    val hs = s"list_transform(string_split_regex(lower($textExpr), '\\s+'), t -> $th)"
+    (0 until bits).map { j =>
       s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }

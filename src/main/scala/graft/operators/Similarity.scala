@@ -27,16 +27,46 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Brute-force exact top-k cosine neighbors for queries `idCol < maxQueryId`. */
+  /** Hyperplane count scaled to the corpus.
+    *
+    * Derivation from the target Σ bucket²: with B = 2^bits uniform
+    * buckets over n vectors, the bucketed self-join generates
+    * Σ bucket² ≈ n²/B candidate pairs. Fixing B ≈ n/target keeps bucket
+    * population ≈ `target` and the candidate count ≈ n·target — LINEAR
+    * in the corpus. A constant B (round 3's LshBits=6 ⇒ 64 buckets
+    * forever) makes candidates n²/64: quadratic, the thing that never
+    * finishes at 100 TB. bitsFor returns the smallest b with
+    * n ≤ target·2^b, so 1000× the vectors means 1000× the buckets, not
+    * 1000× the bucket size. Capped at maxBits (a 64-dim embedding gives
+    * at most 64 sign hyperplanes; 16 ⇒ 65k buckets is plenty before
+    * multi-probe recall becomes the binding constraint). */
+  def bitsFor(n: Long, targetBucketRows: Long, maxBits: Int = 16): Int =
+    (1 to maxBits).find(b => n <= (targetBucketRows << b)).getOrElse(maxBits)
+
+  /** DuckDB mirror of [[bitsFor]] as a CASE ladder over a COUNT
+    * expression — pure integer comparisons, so both engines derive the
+    * identical bit count from the identical corpus. */
+  def sqlBitsFor(nExpr: String, targetBucketRows: Long,
+                 maxBits: Int = 16): String =
+    (1 until maxBits).map { b =>
+      s"WHEN $nExpr <= ${targetBucketRows << b} THEN $b"
+    }.mkString("CASE ", " ", s" ELSE $maxBits END")
+
+  /** Brute-force exact top-k cosine neighbors for queries `idCol < maxQueryId`.
+    * Norms are materialized per vector (query and corpus side) so the
+    * per-pair work is just the dot product. */
   def knnExact(emb: DataFrame, idCol: String, vecCol: String,
                maxQueryId: Long, k: Int): DataFrame = {
     val scaledEmb = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"))
+      .withColumn("nn", vnorm(col("nv")))
     val queries = emb.filter(col(idCol) < maxQueryId)
       .select(col(idCol).as("q_id"), scaled(col(vecCol)).as("qv"))
+      .withColumn("qn", vnorm(col("qv")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     scaledEmb.join(broadcast(queries), col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), cosineScaled(col("qv"), col("nv")).as("cos"))
+      .select(col("q_id"), col("n_id"),
+        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
@@ -46,32 +76,54 @@ object Similarity {
     * candidate generation is Σ bucket² (never all-pairs), then the exact
     * scaled-int cosine threshold. The vector-space analog of the MinHash
     * text dedup: output (vec_a, vec_b, cos) for same-bucket pairs with
-    * cos >= threshold. */
+    * cos >= threshold. Pass `bits = bitsFor(corpusCount, target)` so the
+    * bucket alphabet grows with the corpus. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   bits: Int, threshold: Double): DataFrame = {
+    // Persisted: the self-join references this frame on both sides, and
+    // Spark recomputes unpersisted subtrees once per reference.
     val bucketed = emb.select(col(idCol).as("id"), scaled(col(vecCol)).as("sv"),
       signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("nrm", vnorm(col("sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        cosineScaled(col("a.sv"), col("b.sv")).as("cos"))
+        cosineFromNorms(col("a.sv"), col("b.sv"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** LSH-bucketed approximate top-k: only same-bucket candidates scored. */
+  /** LSH-bucketed approximate top-k. `probeHamming = 1` turns on
+    * multi-probe: each query also scores the buckets whose key differs
+    * from its own by one hyperplane sign — the classic recall repair for
+    * growing bucket alphabets (a near neighbor straddling one hyperplane
+    * is found anyway), at probe cost (1 + bits) instead of 2^bits. The
+    * probe keys are exploded query-side so the corpus join stays a plain
+    * equi-join on the bucket key (shuffle/broadcast-hash friendly). */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
-             maxQueryId: Long, bits: Int, k: Int): DataFrame = {
+             maxQueryId: Long, bits: Int, k: Int,
+             probeHamming: Int = 0): DataFrame = {
+    require(probeHamming <= 1, "only Hamming-0/1 probing implemented")
     val bucketed = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"),
       signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("nn", vnorm(col("nv")))
+    val probes =
+      if (probeHamming == 0) array(col("qbucket"))
+      else array(col("qbucket") +:
+        (0 until bits).map(d => col("qbucket").bitwiseXOR(lit(1L << d))): _*)
     val queries = emb.filter(col(idCol) < maxQueryId)
       .select(col(idCol).as("q_id"), scaled(col(vecCol)).as("qv"),
         signBucket(col(vecCol), bits).as("qbucket"))
+      .withColumn("qn", vnorm(col("qv")))
+      .withColumn("probe", explode(probes))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     bucketed.join(broadcast(queries),
-        col("bucket") === col("qbucket") && col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), cosineScaled(col("qv"), col("nv")).as("cos"))
+        col("bucket") === col("probe") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))

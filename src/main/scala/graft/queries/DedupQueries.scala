@@ -47,8 +47,10 @@ object DedupQueries {
   lazy val q22_sql: String = lshOracleSql(
     sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)
 
-  // ── q23: SimHash near-dup pairs (byte-banded, exact hamming rerank) ─────
-  val MaxHamming = 2
+  // ── q23: SimHash near-dup pairs (60-bit, 5×12-bit bands, exact hamming
+  // rerank). MaxHamming 4 ≈ round 3's 2-of-32 scaled to the 60-bit
+  // fingerprint; bands = MaxHamming+1 keeps the pigeonhole guarantee. ─────
+  val MaxHamming = 4
 
   val q23_simhash_dedup: Q = (s, d) => {
     import s.implicits._
@@ -56,11 +58,14 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
   lazy val q23_sql: String = {
-    val sim = sqlSimhash("text")
+    val sim = sqlSimhash("text", Dedup.SimhashBits)
+    val bandBits = Dedup.SimhashBits / Dedup.SimhashBands
+    val bandList = (0 until Dedup.SimhashBands).mkString(",")
     s"""WITH sim AS (SELECT doc_id, $sim AS simhash FROM documents),
        |banded AS (
-       |  SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS bkey
-       |  FROM sim, unnest([0,1,2,3]) AS t(band)
+       |  SELECT doc_id, simhash, band,
+       |    (simhash >> ($bandBits*band)) & ${(1L << bandBits) - 1} AS bkey
+       |  FROM sim, unnest([$bandList]) AS t(band)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -99,9 +104,11 @@ object DedupQueries {
     val rows = k / bands
     val mh = (0 until k).map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j")
       .mkString(",\n  ")
+    // Base-31 polynomial band key — mirrors minhashLshPairs' LONG key
+    // (exact in int64: minhashes < 2^31, rows <= 7).
     val bandCases = (0 until bands).map { b =>
       val key = (b * rows until (b + 1) * rows).map(j => s"mh$j")
-        .mkString("||','||")
+        .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
       s"WHEN $b THEN $key"
     }.mkString(" ")
     s"""WITH hashed AS (

@@ -9,9 +9,16 @@ import graft.operators.Similarity
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * q25: brute-force exact cosine top-k (the correctness baseline).
-  * q26: sign-bit LSH-bucketed approximate top-k (the 100 TB scale path —
-  * the join shuffles on the bucket key, so a query scores only its own
-  * bucket, never the whole corpus).
+  * q26: sign-bit LSH-bucketed approximate top-k with Hamming-1 multi-probe
+  * (the 100 TB scale path — the join shuffles on the bucket key, so a query
+  * scores only its probed buckets, never the whole corpus).
+  * q40: bucketed near-dup pair mining.
+  *
+  * The LSH bucket alphabet is CORPUS-SCALED: both engines derive
+  * `bits = bitsFor(count(*), TargetBucketRows)` from the same table (Spark
+  * via a driver-side count, DuckDB via the mirrored CASE ladder), so
+  * Σ bucket² stays ≈ n·TargetBucketRows — linear — at any scale, and the
+  * outputs still hash-compare exactly.
   */
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -19,9 +26,24 @@ object VectorQueries {
   val Dim = 64
   val K = 5
   val MaxQueryId = 10L
-  val LshBits = 6
   val LshMaxQueryId = 50L
   val LshK = 3
+  /** Target LSH bucket population (the Σbucket² knob — see
+    * [[Similarity.bitsFor]]). */
+  val TargetBucketRows = 32L
+  /** Max usable sign hyperplanes (bucket key must fit the mirror mask). */
+  val MaxBits = 16
+
+  private def corpusBits(s: SparkSession, d: String): Int =
+    Similarity.bitsFor(Tables.embeddings(s, d).count(), TargetBucketRows, MaxBits)
+
+  /** Oracle-side bucket: the full MaxBits sign key masked down to the
+    * corpus-derived bit count — identical to Spark's signBucket(v, bits)
+    * because bit d of the key is exactly hyperplane d's sign. */
+  private def sqlBucket(v: String): String =
+    s"(${sqlSignBucket(v, MaxBits)} & ((1::BIGINT << p.bits) - 1))"
+  private def sqlParams: String =
+    s"params AS (SELECT ${Similarity.sqlBitsFor("count(*)", TargetBucketRows, MaxBits)} AS bits FROM embeddings)"
 
   val q25_knn_brute: Q = (s, d) => {
     import s.implicits._
@@ -31,10 +53,12 @@ object VectorQueries {
   }
   lazy val q25_sql: String =
     s"""WITH sv AS (
-       |  SELECT vec_id, ${sqlScaled("embedding")} AS v FROM embeddings
+       |  SELECT vec_id, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings
        |), scored AS (
        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-       |    ${sqlCosine("q.v", "e.v", Dim)} AS cos
+       |    ${sqlCosineFromNorms("q.v", "e.v", "q.nrm", "e.nrm", Dim)} AS cos
        |  FROM sv q JOIN sv e ON q.vec_id < $MaxQueryId AND e.vec_id <> q.vec_id
        |)
        |SELECT q_id, rank, n_id, cos FROM (
@@ -45,19 +69,21 @@ object VectorQueries {
   val q26_knn_lsh: Q = (s, d) => {
     import s.implicits._
     Similarity.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        LshMaxQueryId, LshBits, LshK)
+        LshMaxQueryId, corpusBits(s, d), LshK, probeHamming = 1)
       .orderBy($"q_id", $"rank")
   }
   lazy val q26_sql: String =
-    s"""WITH sv AS (
+    s"""WITH $sqlParams, sv AS (
        |  SELECT vec_id, ${sqlScaled("embedding")} AS v,
-       |    ${sqlSignBucket("embedding", LshBits)} AS bucket
-       |  FROM embeddings
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm,
+       |    ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings, params p
        |), scored AS (
        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-       |    ${sqlCosine("q.v", "e.v", Dim)} AS cos
+       |    ${sqlCosineFromNorms("q.v", "e.v", "q.nrm", "e.nrm", Dim)} AS cos
        |  FROM sv q JOIN sv e
-       |    ON q.vec_id < $LshMaxQueryId AND e.bucket = q.bucket
+       |    ON q.vec_id < $LshMaxQueryId
+       |   AND bit_count(xor(e.bucket, q.bucket)) <= 1
        |   AND e.vec_id <> q.vec_id
        |)
        |SELECT q_id, rank, n_id, cos FROM (
@@ -71,19 +97,20 @@ object VectorQueries {
   val q40_embedding_dedup: Q = (s, d) => {
     import s.implicits._
     Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        LshBits, CosineDupThreshold)
+        corpusBits(s, d), CosineDupThreshold)
       .orderBy($"vec_a", $"vec_b")
   }
   lazy val q40_sql: String =
-    s"""WITH sv AS (
+    s"""WITH $sqlParams, sv AS (
        |  SELECT vec_id, ${sqlScaled("embedding")} AS v,
-       |    ${sqlSignBucket("embedding", LshBits)} AS bucket
-       |  FROM embeddings
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm,
+       |    ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings, params p
        |)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ${sqlCosine("a.v", "b.v", Dim)} AS cos
+       |  ${sqlCosineFromNorms("a.v", "b.v", "a.nrm", "b.nrm", Dim)} AS cos
        |FROM sv a JOIN sv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE ${sqlCosine("a.v", "b.v", Dim)} >= $CosineDupThreshold
+       |WHERE ${sqlCosineFromNorms("a.v", "b.v", "a.nrm", "b.nrm", Dim)} >= $CosineDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val queries: Map[String, Q] = Map(

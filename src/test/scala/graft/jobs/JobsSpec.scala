@@ -54,6 +54,30 @@ class JobsSpec extends SparkSpec {
     assert(r.output.get.as[(Int, String)].collect().forall(_._2 == "CA"))
   }
 
+  test("facade executes the plan exactly once (write is the only action)") {
+    val out = tmpDir("once") + "/out"
+    val r = new GatherJobBuilder(CountingGatherer)
+      .withInput(users).withName("once-job")
+      .run(df => df.write.mode("overwrite").parquet(out))
+    // rows_processed doubles if the facade forces the plan a second time
+    assert(r.counters("rows_processed") == 2L)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("table KV store: lazy guarded broadcast serves executor-side point gets") {
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0), (99L, 1.0))
+      .toDF("o_custkey", "o_totalprice")
+    val store = new graft.kvstore.TableKeyValueStore(
+      customers, "c_custkey", "c_mktsegment")
+    val g = new graft.queries.LifecycleQueries.SegmentGatherer(store)
+    val rows = graft.operators.Lifecycle
+      .runGatherer(orders, g, Counters(spark, g.counterNames)).collect()
+    assert(rows.toSet ==
+      Set(("BUILDING", 10.0), ("BUILDING", 5.0), ("MACHINERY", 7.0)))
+  }
+
   test("job history: one row per run with status and counters") {
     val histPath = tmpDir("hist") + "/job_history"
     val hist = new JobHistory(spark, histPath)

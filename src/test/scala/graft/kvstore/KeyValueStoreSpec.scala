@@ -86,6 +86,18 @@ class KeyValueStoreSpec extends SparkSpec {
     assert(r.get("3").isEmpty)
   }
 
+  test("table store: over-limit point-get load fails fast; lookupJoin has no cap") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val capped = new TableKeyValueStore(df, "id", "v", maxRows = 10)
+    intercept[IllegalStateException] { capped.reader() }
+    // the broadcast-join scale path is unaffected by the point-get cap
+    val joined = capped.lookupJoin(Seq(5L).toDF("k"), col("k"), as = "v")
+    assert(joined.collect().map(_.getString(1)).toSeq == Seq("v5"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("empty store: always None; unconfigured store: error on use") {
     assert(EmptyKeyValueStore[String, String]().reader().get("x").isEmpty)
     intercept[IllegalStateException] {
