@@ -21,7 +21,7 @@ import graft.sources.Formats
   * Operator classes are reflectively instantiated (no-arg constructor),
   * exactly like the reference's `kiji.gatherer.class` conf key
   * (`KM/gather/impl/GatherMapper.java:97-128`). Output formats mirror
-  * `JobOutputSpec.java:51-65`: `parquet, text, csv, seq, avro`.
+  * `JobOutputSpec.java:51-65`: `parquet, text, csv, seq, avro, map`.
   */
 object Tool {
 
@@ -95,6 +95,14 @@ object Tool {
       case "seq" =>
         Formats.writeSeqFile(df.selectExpr("CAST(" + df.columns(0) + " AS STRING)",
           "CAST(" + df.columns(1) + " AS STRING)"), file)
+      case "avro" =>
+        // Schema from `schema=` (JSON, whitespace-free per spec tokenizing)
+        // or derived from the frame's column types.
+        Formats.writeAvro(df, file,
+          kv.getOrElse("schema", Formats.avroSchemaJson(df)))
+      case "map" =>
+        Formats.writeMapFile(df, file,
+          kv.get("splits").map(_.toInt).getOrElse(1))
       case other => throw new IllegalArgumentException(s"unknown output format '$other'")
     }
   }
@@ -103,6 +111,6 @@ object Tool {
     """usage: graft.Tool <gather|produce|bulk-import|pivot>
       |  --<gatherer|producer|importer|pivoter>=<class>
       |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
-      |  --output="format=<parquet|text|csv|seq> file=..."
+      |  --output="format=<parquet|text|csv|seq|avro|map> file=... [splits=N]"
       |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin
 }

@@ -94,6 +94,17 @@ final case class AvroRecordKeyValueStore(path: String, keyField: String,
   }
 }
 
+/** Avro container of (key, value) records — analog of
+  * `AvroKVRecordKeyValueStore.java:81-130`, which wraps
+  * AvroRecordKeyValueStore with the fixed field name `key` and indexes the
+  * `value` field by it (any additional top-level fields are ignored; it is
+  * an error for the records to lack either field). */
+final case class AvroKVRecordKeyValueStore(path: String)
+    extends KeyValueStore[String, String] {
+  def load(): Map[String, String] =
+    AvroRecordKeyValueStore(path, "key", "value").load()
+}
+
 /** Hadoop SequenceFile of Text key/values — analog of
   * `SeqFileKeyValueStore.java`. */
 final case class SeqFileKeyValueStore(path: String)

@@ -21,7 +21,7 @@ import scala.xml.XML
   * </stores>
   * }}}
   * Classes: `text`, `seq`, `avro` (keys `path`, `keyField`, `valueField`),
-  * `empty`, `unconfigured`.
+  * `avrokv` (fixed key/value fields), `empty`, `unconfigured`.
   */
 object XmlStoreBindings {
 
@@ -40,6 +40,7 @@ object XmlStoreBindings {
         case "seq" => SeqFileKeyValueStore(prop("path"))
         case "avro" =>
           AvroRecordKeyValueStore(prop("path"), prop("keyField"), prop("valueField"))
+        case "avrokv" => AvroKVRecordKeyValueStore(prop("path"))
         case "empty" => EmptyKeyValueStore[String, String]()
         case "unconfigured" => UnconfiguredKeyValueStore[String, String]()
         case other =>

@@ -223,6 +223,57 @@ object Formats {
         classOf[SequenceFileOutputFormat[Text, Text]])
   }
 
+  /** Sorted key/value MapFiles — the `MapFileMapReduceJobOutput.java:51-69`
+    * analog: per-file sorted `data` + `index` pairs supporting binary-search
+    * point gets. Rows are range-partitioned then sorted within partitions,
+    * so file key-ranges are disjoint AND each file is internally sorted —
+    * at scale a reader prunes to one file by range, then seeks by index
+    * (exactly the HFile shape, over Hadoop's stock format). */
+  def writeMapFile(df: DataFrame, path: String, numPartitions: Int = 1): Unit = {
+    val spark = df.sparkSession
+    deleteDir(spark, path)
+    val kv = df.selectExpr(
+      s"CAST(${df.columns(0)} AS STRING) AS k",
+      s"CAST(${df.columns(1)} AS STRING) AS v")
+    val arranged =
+      if (numPartitions == 1) kv.repartition(1).sortWithinPartitions("k")
+      else kv.repartitionByRange(numPartitions, col("k")).sortWithinPartitions("k")
+    arranged.rdd.map(r => (new Text(r.getString(0)), new Text(r.getString(1))))
+      .saveAsNewAPIHadoopFile(path, classOf[Text], classOf[Text],
+        classOf[org.apache.hadoop.mapreduce.lib.output.MapFileOutputFormat])
+  }
+
+  /** Point lookup against a MapFile directory written by [[writeMapFile]]
+    * (the MapFileOutputFormat.getEntry read side). */
+  def mapFileGet(spark: SparkSession, path: String, key: String): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val readers = org.apache.hadoop.mapreduce.lib.output.MapFileOutputFormat
+      .getReaders(new Path(path), conf)
+    try {
+      val v = new Text()
+      val hit = readers.exists(r => r.get(new Text(key), v) != null)
+      if (hit) Some(v.toString) else None
+    } finally readers.foreach(_.close())
+  }
+
+  /** Avro record schema (JSON) derived from a DataFrame's column types —
+    * for sinks where the user supplies no explicit schema (CLI `avro`
+    * output). Non-primitive columns fall back to their string form. */
+  def avroSchemaJson(df: DataFrame, recordName: String = "GraftRecord"): String = {
+    val fields = df.schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType => "\"long\""
+        case IntegerType => "\"int\""
+        case DoubleType => "\"double\""
+        case FloatType => "\"float\""
+        case BooleanType => "\"boolean\""
+        case _ => "\"string\""
+      }
+      s"""{"name":"${f.name}","type":$t}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"$recordName","fields":[$fields]}"""
+  }
+
   /** Rows → Avro container files with the given record schema (JSON).
     * All fields are written from the row's string form, typed per schema
     * (`KM/output/AvroKeyMapReduceJobOutput.java`). */

@@ -54,6 +54,40 @@ class ToolSpec extends SparkSpec {
     assert(lines == List("xyz\t3"))
   }
 
+  test("CLI avro output round-trips through the avro source") {
+    val in = tmpDir("toolin3")
+    Files.write(Paths.get(in, "l.txt"),
+      "alpha\nbeta\n".getBytes(StandardCharsets.UTF_8))
+    val out = tmpDir("toolout3") + "/avro"
+    Tool.run(spark, Array("gather",
+      "--gatherer=graft.LineLengthGatherer",
+      s"--input=format=text file=$in",
+      s"--output=format=avro file=$out"))
+    val back = graft.sources.Formats.read(spark, s"format=avro file=$out")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(back == Set(("alpha", "5"), ("beta", "4")))
+  }
+
+  test("CLI map output writes sorted MapFiles supporting point gets") {
+    val in = tmpDir("toolin4")
+    Files.write(Paths.get(in, "l.txt"),
+      "zulu\nalpha\nmike\n".getBytes(StandardCharsets.UTF_8))
+    val out = tmpDir("toolout4") + "/map"
+    Tool.run(spark, Array("gather",
+      "--gatherer=graft.LineLengthGatherer",
+      s"--input=format=text file=$in",
+      s"--output=format=map file=$out"))
+    // index-backed point get (MapFileOutputFormat.getReaders read side)
+    assert(graft.sources.Formats.mapFileGet(spark, out, "mike").contains("4"))
+    assert(graft.sources.Formats.mapFileGet(spark, out, "nope").isEmpty)
+    // data files are key-sorted (the MapFile contract)
+    val keys = spark.sparkContext
+      .sequenceFile(out + "/*/data",
+        classOf[org.apache.hadoop.io.Text], classOf[org.apache.hadoop.io.Text])
+      .map(_._1.toString).collect().toList
+    assert(keys == keys.sorted)
+  }
+
   test("CLI rejects unknown verbs and missing flags") {
     intercept[IllegalArgumentException](Tool.run(spark, Array("frobnicate")))
     intercept[IllegalArgumentException](Tool.run(spark, Array("gather", "--input=format=text file=/x")))

@@ -63,6 +63,24 @@ class KeyValueStoreSpec extends SparkSpec {
     assert(r.get("k3").isEmpty)
   }
 
+  test("avro KV store: fixed key/value fields; extra fields ignored") {
+    val schema: Schema = SchemaBuilder.record("KV").fields()
+      .requiredString("key").requiredString("value")
+      .requiredInt("ignored").endRecord()
+    val f = new java.io.File(tmpDir("kvavrokv"), "kv.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, f)
+    w.append(new GenericRecordBuilder(schema)
+      .set("key", "a").set("value", "1").set("ignored", 9).build())
+    w.append(new GenericRecordBuilder(schema)
+      .set("key", "b").set("value", "2").set("ignored", 8).build())
+    w.close()
+    val r = AvroKVRecordKeyValueStore(f.toString).reader()
+    assert(r.get("a").contains("1"))
+    assert(r.get("b").contains("2"))
+    assert(r.get("c").isEmpty)
+  }
+
   test("sequence file store") {
     val p = new Path(tmpDir("kvseq"), "kv.seq")
     val wr = SequenceFile.createWriter(new Configuration(),
