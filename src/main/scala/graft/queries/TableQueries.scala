@@ -181,12 +181,50 @@ object TableQueries {
        |WHERE l_orderkey >= 5000 AND l_orderkey < 20000
        |GROUP BY 1 ORDER BY okey_kbucket""".stripMargin
 
+  // ── q44: locality-group-aware bulk output — two families in different
+  // locality groups (different compression codecs), one bulk load writing
+  // one file set per group, read back PER GROUP (partition-pruned scans
+  // that touch only that group's files — `KijiHFileOutputFormat.java:
+  // 122-186`'s per-group HFile dirs). ─────────────────────────────────────
+  val q44_locality_groups: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val hotCells = orders.select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("price").as("qualifier"), lit(0L).as("ts"),
+      $"o_totalprice".as("value"))
+    val coldCells = orders.select(
+      $"o_orderkey".as("entity_id"), lit("meta").as("family"),
+      lit("cust").as("qualifier"), lit(0L).as("ts"),
+      $"o_custkey".cast(DoubleType).as("value"))
+    val layout = TableLayout("orders_lg", Seq(
+      FamilySpec("ord", localityGroup = "hot", compression = "snappy"),
+      FamilySpec("meta", localityGroup = "cold", compression = "gzip")))
+    val table = new EntityTable(s, tmpTable("q44", d), layout)
+    table.bulkLoad(hotCells.unionByName(coldCells), numPartitions = 16)
+    val hot = table.localityGroupCells("hot")
+      .agg(count(lit(1)).as("n_cells"), dsum($"value").as("sum_value"))
+      .select(lit("hot").as("lg"), $"n_cells", $"sum_value")
+    val cold = table.localityGroupCells("cold")
+      .agg(count(lit(1)).as("n_cells"), dsum($"value").as("sum_value"))
+      .select(lit("cold").as("lg"), $"n_cells", $"sum_value")
+    cold.unionByName(hot).orderBy($"lg")
+  }
+  val q44_sql: String =
+    s"""SELECT 'cold' AS lg, count(*) AS n_cells,
+       |  ${sqlSum("o_custkey")} AS sum_value FROM orders
+       |UNION ALL
+       |SELECT 'hot' AS lg, count(*) AS n_cells,
+       |  ${sqlSum("o_totalprice")} AS sum_value FROM orders
+       |ORDER BY lg""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q32_bulk_roundtrip" -> q32_bulk_roundtrip,
     "q33_dml_tombstones" -> q33_dml_tombstones,
     "q34_versioned_read" -> q34_versioned_read,
     "q41_composite_key" -> q41_composite_key,
     "q42_formatted_range" -> q42_formatted_range,
+    "q44_locality_groups" -> q44_locality_groups,
   )
   val oracleSql: Map[String, String] = Map(
     "q32_bulk_roundtrip" -> q32_sql,
@@ -194,5 +232,6 @@ object TableQueries {
     "q34_versioned_read" -> q34_sql,
     "q41_composite_key" -> q41_sql,
     "q42_formatted_range" -> q42_sql,
+    "q44_locality_groups" -> q44_sql,
   )
 }

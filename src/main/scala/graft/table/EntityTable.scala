@@ -6,19 +6,32 @@ import org.apache.spark.sql.functions._
 import graft.dml.Dml
 import graft.sinks.BulkSink
 
-/** Family retention policy — the locality-group knobs of the reference
-  * layout (`max_versions`, `ttl_seconds`; `layout/test.json:24-28`). */
+/** Family retention + storage policy — the locality-group knobs of the
+  * reference layout (`max_versions`, `ttl_seconds`, `in_memory`,
+  * `compression_type`; `layout/test.json:24-28`). In the reference these
+  * live on the locality group and families inherit them; here each family
+  * carries its group's resolved values plus the group name, so the write
+  * path can regroup files per locality group. */
 final case class FamilySpec(name: String,
                             maxVersions: Int = Int.MaxValue,
-                            ttlSeconds: Option[Long] = None)
+                            ttlSeconds: Option[Long] = None,
+                            localityGroup: String = "default",
+                            inMemory: Boolean = false,
+                            compression: String = "snappy")
 
-/** Table layout: name + families. Columns are dynamic within a family
-  * (map-type semantics come free in the long format; group-type families
-  * are a qualifier whitelist the caller can enforce on request). */
-final case class TableLayout(name: String, families: Seq[FamilySpec]) {
+/** Table layout: name + families (+ row-key encoding, `keys_format` in the
+  * layout JSON). Columns are dynamic within a family (map-type semantics
+  * come free in the long format; group-type families are a qualifier
+  * whitelist the caller can enforce on request). */
+final case class TableLayout(name: String, families: Seq[FamilySpec],
+                             keyEncoding: EntityId.Encoding = EntityId.Raw) {
   def family(name: String): FamilySpec =
     families.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no family '$name' in table ${this.name}"))
+
+  /** Families regrouped by locality group (write-path file sets). */
+  def localityGroups: Map[String, Seq[FamilySpec]] =
+    families.groupBy(_.localityGroup)
 }
 
 /** Column slice of a read — the `KijiDataRequest` analog (columns,
@@ -45,17 +58,62 @@ final case class DataRequest(columns: Seq[(String, String)] = Seq.empty,
   */
 final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) {
 
-  def cells: DataFrame = spark.read.parquet(path)
+  /** `lg` is the locality-group partition column of grouped bulk loads —
+    * dropped so readers see the pure cell schema either way. */
+  def cells: DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("lg")) df.drop("lg") else df
+  }
+
+  /** Cells of one locality group: a partition-pruned scan (only that
+    * group's file set is read — the reference's point of splitting HFiles
+    * per locality group, `KijiHFileOutputFormat.java:122-186`). */
+  def localityGroupCells(group: String): DataFrame = {
+    require(layout.localityGroups.contains(group),
+      s"no locality group '$group' in table ${layout.name}")
+    spark.read.parquet(path).filter(col("lg") === group).drop("lg")
+  }
 
   /** Bulk-load a cell set as the new table contents (HFile + load analog):
     * range-partitioned on entity, sorted (entity, family, qualifier, ts
-    * desc), staged write, atomic commit. */
+    * desc), staged write, atomic commit.
+    *
+    * With more than one locality group (or any non-default storage knob)
+    * the staged write produces ONE FILE SET PER LOCALITY GROUP
+    * (`lg=<name>/` subdirectories, each with that group's compression
+    * codec) — the `KijiHFileOutputFormat` behavior of one HFile family
+    * dir per group, so a read of one group's columns touches only that
+    * group's files. The commit is still a single atomic rename of the
+    * whole staged table. */
   def bulkLoad(newCells: DataFrame, numPartitions: Int = 32,
-               maxRecordsPerFile: Long = 0L): Unit =
-    BulkSink.bulkLoad(newCells, path, numPartitions,
-      Seq("entity_id"),
-      Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc),
-      maxRecordsPerFile)
+               maxRecordsPerFile: Long = 0L): Unit = {
+    val groups = layout.localityGroups
+    val grouped = groups.size > 1 ||
+      layout.families.exists(f => f.localityGroup != "default" ||
+        f.compression != "snappy")
+    val sortCols =
+      Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc)
+    if (!grouped)
+      BulkSink.bulkLoad(newCells, path, numPartitions, Seq("entity_id"),
+        sortCols, maxRecordsPerFile)
+    else {
+      val lgFor = layout.families.foldLeft(lit("default")) { (acc, f) =>
+        when(col("family") === f.name, lit(f.localityGroup)).otherwise(acc)
+      }
+      val staging = s"$path.__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tagged = newCells.withColumn("lg", lgFor)
+      groups.foreach { case (g, fams) =>
+        val w = tagged.filter(col("lg") === g).drop("lg")
+          .repartitionByRange(numPartitions, col("entity_id"))
+          .sortWithinPartitions(sortCols: _*)
+          .write.mode("overwrite")
+          .option("compression", fams.head.compression)
+        (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+         else w).parquet(s"$staging/lg=$g")
+      }
+      BulkSink.commit(spark, staging, path)
+    }
+  }
 
   /** Merge a change feed (puts + tombstones) and rewrite the table —
     * the compaction that makes HBase-style deletes durable. */
