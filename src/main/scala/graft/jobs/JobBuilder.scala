@@ -32,17 +32,33 @@ object Jobs {
                              startMs: Long, endMs: Long, status: String,
                              counters: Map[String, Long], output: Option[DataFrame])
 
-  /** Append-only job-history table (FIXTURES.md §7). */
+  /** Append-only job-history tables, mirroring the fields of the
+    * reference's JobHistoryEntry (`job-history.avdl:24-51`: id, name,
+    * start/end, status, full job configuration, extended_info map) and its
+    * per-counter cells (`counters_family`, written one put per counter by
+    * `JobHistoryKijiTable.java:198-283`):
+    *  - `<path>/jobs` — one row per run, with the full job configuration
+    *    and extended-info as map columns (queryable with map_keys /
+    *    element_at instead of string parsing);
+    *  - `<path>/counters` — one row per (job_id, counter_name,
+    *    counter_value): individually queryable counters. */
   final class JobHistory(spark: SparkSession, path: String) {
-    def record(r: JobResult): Unit = {
+    def record(r: JobResult, conf: Map[String, String] = Map.empty,
+               extendedInfo: Map[String, String] = Map.empty): Unit = {
       import spark.implicits._
-      Seq((r.jobId, r.name, r.startMs, r.endMs, r.status,
-        r.counters.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(",")))
+      Seq((r.jobId, r.name, r.startMs, r.endMs, r.status, conf, extendedInfo))
         .toDF("job_id", "job_name", "job_start_time", "job_end_time",
-          "job_end_status", "job_counters")
-        .write.mode("append").parquet(path)
+          "job_end_status", "job_configuration", "extended_info")
+        .write.mode("append").parquet(s"$path/jobs")
+      if (r.counters.nonEmpty)
+        r.counters.toSeq.sortBy(_._1).map { case (n, v) => (r.jobId, n, v) }
+          .toDF("job_id", "counter_name", "counter_value")
+          .write.mode("append").parquet(s"$path/counters")
     }
-    def table: DataFrame = spark.read.parquet(path)
+    def table: DataFrame = spark.read.parquet(s"$path/jobs")
+    def counters: DataFrame = spark.read.parquet(s"$path/counters")
+    def forJob(jobId: String): DataFrame =
+      table.filter(col("job_id") === jobId)
   }
 
   abstract class JobBuilder[Self <: JobBuilder[Self]] { self: Self =>
@@ -102,7 +118,9 @@ object Jobs {
         catch { case scala.util.control.NonFatal(e) => ("FAILED", None, Some(e)) }
       val result = JobResult(jobId, jobName, start, System.currentTimeMillis(),
         status, counterNames.map(n => n -> counters.value(n)).toMap, out)
-      history.foreach(_.record(result))
+      // Full job configuration (the reference stores the Hadoop conf XML;
+      // the Spark analog is the session's SQL conf snapshot).
+      history.foreach(_.record(result, spark.conf.getAll))
       err.foreach(e => throw new RuntimeException(s"$jobName failed (job $jobId)", e))
       result
     }

@@ -35,7 +35,7 @@ class ToolSpec extends SparkSpec {
     val result = spark.read.parquet(out).collect()
       .map(x => (x.getString(0), x.getString(1))).toSet
     assert(result == Set(("alpha", "5"), ("beta", "4")))
-    val h = spark.read.parquet(hist).collect()
+    val h = spark.read.parquet(hist + "/jobs").collect()
     assert(h.length == 1 && h.head.getAs[String]("job_name") == "cli-gather")
   }
 

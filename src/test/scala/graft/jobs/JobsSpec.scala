@@ -78,7 +78,7 @@ class JobsSpec extends SparkSpec {
       Set(("BUILDING", 10.0), ("BUILDING", 5.0), ("MACHINERY", 7.0)))
   }
 
-  test("job history: one row per run with status and counters") {
+  test("job history: run row with full conf map + per-counter queryable rows") {
     val histPath = tmpDir("hist") + "/job_history"
     val hist = new JobHistory(spark, histPath)
     new GatherJobBuilder(CountingGatherer)
@@ -88,8 +88,16 @@ class JobsSpec extends SparkSpec {
     val r = rows.head
     assert(r.getAs[String]("job_name") == "hist-job")
     assert(r.getAs[String]("job_end_status") == "SUCCEEDED")
-    assert(r.getAs[String]("job_counters") == "rows_processed=2")
     assert(r.getAs[Long]("job_end_time") >= r.getAs[Long]("job_start_time"))
+    // full job configuration recorded as a queryable map
+    val conf = r.getAs[Map[String, String]]("job_configuration")
+    assert(conf.get("spark.sql.shuffle.partitions").contains("4"))
+    // one row per counter, joined to the run by job_id
+    val jobId = r.getAs[String]("job_id")
+    val counters = hist.counters.collect()
+      .map(c => (c.getAs[String]("job_id"), c.getAs[String]("counter_name"),
+        c.getAs[Long]("counter_value")))
+    assert(counters.toSeq == Seq((jobId, "rows_processed", 2L)))
   }
 
   test("xml store bindings: parse, bind, builder override wins") {
