@@ -95,6 +95,56 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF-bucketed approximate top-k — the inverted-file ANN scale path:
+    * every vector is assigned to its nearest centroid (the "list"), and a
+    * query scores only the vectors in its `nprobe` nearest lists.
+    *
+    * Centroid choice is DETERMINISTIC — the vectors with id < numCentroids
+    * — so the DuckDB oracle reproduces the identical structure (a k-means
+    * refinement would improve list balance but break exact mirroring; at
+    * 100 TB you'd train centroids once offline and broadcast them, which
+    * is exactly the shape here: the centroid set is broadcast, assignment
+    * is one scan of the corpus, and the probe join shuffles on the
+    * centroid id). Candidates ≈ n·nprobe/numCentroids per query — scale
+    * numCentroids with the corpus (e.g. `1 << bitsFor(n, target)`) to
+    * keep lists constant-sized. */
+  def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
+             maxQueryId: Long, numCentroids: Int, nprobe: Int,
+             k: Int): DataFrame = {
+    val sv = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"))
+      .withColumn("nn", vnorm(col("nv")))
+    val cent = sv.filter(col("n_id") < numCentroids)
+      .select(col("n_id").as("c_id"), col("nv").as("cv"), col("nn").as("cn"))
+    // Assignment: nearest centroid per vector (broadcast of the centroid
+    // set; ties broken by centroid id so both engines agree).
+    val wAssign = Window.partitionBy(col("n_id"))
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    val assigned = sv.join(broadcast(cent))
+      .select(col("n_id"), col("nv"), col("nn"), col("c_id"),
+        cosineFromNorms(col("nv"), col("cv"), col("nn"), col("cn")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+    // Queries probe their nprobe nearest lists.
+    val queries = sv.filter(col("n_id") < maxQueryId)
+      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    val probes = queries.join(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("ccos"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k. `probeHamming = 1` turns on
     * multi-probe: each query also scores the buckets whose key differs
     * from its own by one hyperplane sign — the classic recall repair for

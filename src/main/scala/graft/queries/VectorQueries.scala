@@ -91,6 +91,54 @@ object VectorQueries {
        |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
        |WHERE rank <= $LshK ORDER BY q_id, rank""".stripMargin
 
+  // ── q45: IVF-bucketed ANN — inverted lists around deterministic
+  // centroids; a query scores only its nprobe nearest lists. Candidates
+  // ≈ n·nprobe/numCentroids per query, with numCentroids corpus-scaled
+  // through the same bitsFor ladder the sign-LSH uses. ────────────────────
+  val IvfMaxQueryId = 20L
+  val IvfNprobe = 2
+  val IvfK = 3
+
+  val q45_knn_ivf: Q = (s, d) => {
+    import s.implicits._
+    Similarity.knnIvf(Tables.embeddings(s, d), "vec_id", "embedding",
+        IvfMaxQueryId, 1 << corpusBits(s, d), IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q45_sql: String = {
+    def cos(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, Dim)
+    s"""WITH $sqlParams, sv AS (
+       |  SELECT vec_id, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM sv, params p
+       |  WHERE vec_id < (1::BIGINT << p.bits)
+       |), assigned AS (
+       |  SELECT n_id, nv, nn, c_id FROM (
+       |    SELECT s.vec_id AS n_id, s.v AS nv, s.nrm AS nn, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM sv s CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT q_id, qv, qn, c_id FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM sv q CROSS JOIN cent c WHERE q.vec_id < $IvfMaxQueryId)
+       |  WHERE rn <= $IvfNprobe
+       |), scored AS (
+       |  SELECT p.q_id, a.n_id, ${cos("p.qv", "a.nv", "p.qn", "a.nn")} AS cos
+       |  FROM probes p JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+       |WHERE rank <= $IvfK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ── q40: embedding-cosine near-dup pairs (bucketed, thresholded) ────────
   val CosineDupThreshold = 0.4
 
@@ -117,10 +165,12 @@ object VectorQueries {
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
     "q40_embedding_dedup" -> q40_embedding_dedup,
+    "q45_knn_ivf" -> q45_knn_ivf,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
     "q26_knn_lsh" -> q26_sql,
     "q40_embedding_dedup" -> q40_sql,
+    "q45_knn_ivf" -> q45_sql,
   )
 }

@@ -79,6 +79,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toList == List((0L, 1L)))
   }
 
+  test("knnIvf: probing all lists recovers the exact top-k") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"))).toList
+    val exact = rows(Similarity.knnExact(emb, "vec_id", "embedding", 2L, 3))
+    // nprobe == numCentroids: every list probed, so IVF loses nothing
+    val ivf = rows(Similarity.knnIvf(emb, "vec_id", "embedding", 2L,
+      numCentroids = 2, nprobe = 2, k = 3))
+    assert(ivf == exact)
+    // nprobe = 1: each query sees only its own list — query 0's list
+    // holds just itself (0 candidates), query 1's list holds the rest
+    val narrow = rows(Similarity.knnIvf(emb, "vec_id", "embedding", 2L,
+      numCentroids = 2, nprobe = 1, k = 5))
+    assert(narrow.map(_._1).toSet == Set(1L))
+    assert(narrow.size == 3) // {2,3,4}: list 1 minus query itself
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11
