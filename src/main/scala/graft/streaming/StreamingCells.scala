@@ -29,6 +29,19 @@ object StreamingCells {
   final case class CellLatest(entity_id: Long, family: String,
                               qualifier: String, ts: Timestamp, value: Double)
 
+  /** Streaming exact dedup over a document stream: the batch
+    * fingerprint-cluster dedup (`graft.operators.Dedup.exactClusters`)
+    * re-expressed for `readStream` — duplicates of a fingerprint arriving
+    * within the watermark window are dropped, and the dedup state is
+    * EVICTED once the watermark passes (bounded state; an unbounded
+    * `dropDuplicates` would grow state forever on a 100 TB/day feed). */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Tumbling-window counts/sums per qualifier with a watermark. */
   def windowedAgg(puts: DataFrame, window: String, watermark: String): DataFrame =
     puts

@@ -96,4 +96,15 @@ object EngineProperties extends Properties("graft") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       pairs.toList == List((1L, 2L, 0))
     }
+
+  property("bitsFor keeps bucket population near the target at any corpus size") =
+    forAll(Gen.choose(1L, 1L << 40), Gen.choose(1L, 4096L)) { (n, target) =>
+      val b = graft.operators.Similarity.bitsFor(n, target)
+      val withinCap = b >= 1 && b <= 16
+      // smallest b whose 2^b buckets hold <= target rows each (uniformly),
+      // unless capped at maxBits
+      val tightEnough = b == 16 || n <= (target << b)
+      val minimal = b == 1 || n > (target << (b - 1))
+      withinCap && tightEnough && minimal
+    }
 }

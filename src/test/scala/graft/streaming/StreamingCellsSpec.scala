@@ -41,6 +41,27 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate fingerprints within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingCells.dedupStream(
+        input.toDS().toDF("doc_id", "text", "ts"), "text", "ts", "10 seconds")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox", ts(10)),
+        (2L, "The  quick   BROWN fox", ts(11)), // whitespace/case dup of 1
+        (3L, "something else", ts(12)))
+      q.processAllAvailable()
+      input.addData((4L, "the quick brown fox", ts(13))) // dup, in window
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("windowedAgg: tumbling windows with watermark produce exact counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CellPutEvent]
