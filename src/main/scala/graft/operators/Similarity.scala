@@ -116,14 +116,19 @@ object Similarity {
     val cent = sv.filter(col("n_id") < numCentroids)
       .select(col("n_id").as("c_id"), col("nv").as("cv"), col("nn").as("cn"))
     // Assignment: nearest centroid per vector (broadcast of the centroid
-    // set; ties broken by centroid id so both engines agree).
-    val wAssign = Window.partitionBy(col("n_id"))
-      .orderBy(col("ccos").desc, col("c_id").asc)
+    // set). argmax as a single hash AGGREGATE, not a window: partial
+    // aggregation collapses the numCentroids candidate rows per vector
+    // map-side, so the shuffle carries one row per vector instead of one
+    // per (vector, centroid). max(struct(ccos, -c_id)) picks the highest
+    // cosine, lowest centroid id on ties — the same winner as the
+    // oracle's row_number ORDER BY ccos DESC, c_id ASC.
     val assigned = sv.join(broadcast(cent))
       .select(col("n_id"), col("nv"), col("nn"), col("c_id"),
         cosineFromNorms(col("nv"), col("cv"), col("nn"), col("cn")).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+      .groupBy(col("n_id"))
+      .agg(first(col("nv")).as("nv"), first(col("nn")).as("nn"),
+        max(struct(col("ccos"), (-col("c_id")).as("negc"))).as("m"))
+      .select(col("n_id"), col("nv"), col("nn"), (-col("m.negc")).as("c_id"))
     // Queries probe their nprobe nearest lists.
     val queries = sv.filter(col("n_id") < maxQueryId)
       .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
