@@ -74,6 +74,20 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     spark.read.parquet(path).filter(col("lg") === group).drop("lg")
   }
 
+  /** Honor the layout's `in_memory` locality groups (the HBase in-memory
+    * column-family flag, `test.json:25`): persist those groups' cells in
+    * executor memory and force materialization, so subsequent point reads
+    * hit the cache instead of the scan. Returns the cached frames by
+    * group name; call `.unpersist()` on them to release. */
+  def cacheInMemoryGroups(): Map[String, DataFrame] =
+    layout.localityGroups.collect {
+      case (g, fams) if fams.head.inMemory =>
+        val df = localityGroupCells(g)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        df.count()
+        g -> df
+    }
+
   /** Bulk-load a cell set as the new table contents (HFile + load analog):
     * range-partitioned on entity, sorted (entity, family, qualifier, ts
     * desc), staged write, atomic commit.

@@ -94,5 +94,11 @@ class LayoutJsonSpec extends SparkSpec {
       .filter(col("family") === "info")
       .select(size(col("versions"))).as[Int].collect()
     assert(versions.toList == List(3))
+    // in_memory groups (and only those) get cached on request
+    val cached = table.cacheInMemoryGroups()
+    try {
+      assert(cached.keySet == Set("memory"))
+      assert(cached("memory").storageLevel.useMemory)
+    } finally cached.values.foreach(_.unpersist())
   }
 }
