@@ -86,9 +86,15 @@ class LayoutJsonSpec extends SparkSpec {
     // per-locality-group file sets on disk
     val sub = new java.io.File(path).listFiles().map(_.getName).toSet
     assert(sub.contains("lg=default") && sub.contains("lg=memory"))
-    // group-pruned read sees only its own families
+    // group-pruned read sees only its own families...
     assert(table.localityGroupCells("memory")
       .select("family").as[String].collect().toSet == Set("hot"))
+    // ...and the filter lands as a PARTITION filter (file-set pruning),
+    // not a post-scan row filter
+    val plan = table.localityGroupCells("memory")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("(lg"))
     // max_versions=3 from the layout trims the 4 versions on read
     val versions = table.read(DataRequest(maxVersions = 10))
       .filter(col("family") === "info")
