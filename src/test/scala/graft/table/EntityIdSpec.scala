@@ -24,6 +24,22 @@ class EntityIdSpec extends SparkSpec {
     }
   }
 
+  test("negative integral components are rejected by BOTH encode paths") {
+    // scalar path
+    intercept[IllegalArgumentException] {
+      EntityId.encodeValue(EntityId.Formatted, Seq(-5L, "us"))
+    }
+    // column path (raise_error surfaces at execution)
+    val thrown = intercept[Exception] {
+      Seq((-5L, "us")).toDF("id", "cc")
+        .select(EntityId.encode(EntityId.Formatted,
+          Seq(EntityId.intComp(col("id")), EntityId.strComp(col("cc")))))
+        .collect()
+    }
+    assert(thrown.getMessage.contains("non-negative") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("non-negative")))
+  }
+
   test("components decode back out of FORMATTED and HASH_PREFIX keys") {
     for (enc <- Seq(EntityId.Formatted, EntityId.HashPrefix(6))) {
       val back = df.select(EntityId.encode(enc, comps).as("k"))
