@@ -37,6 +37,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop cached frames a query persisted (LSH signatures): each query
       // must be timed standalone, not against another query's leftovers.
+      graft.operators.OperatorCaches.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       name -> (if (ok) dt else -dt)
     }

@@ -85,7 +85,21 @@ object Tool {
       require(i > 0, s"malformed output spec token '$tok'")
       tok.take(i) -> tok.drop(i + 1)
     }.toMap
-    val file = kv("file")
+    def file = kv.getOrElse("file",
+      throw new IllegalArgumentException(s"output spec missing file=: '$spec'"))
+    def table = kv.getOrElse("table",
+      throw new IllegalArgumentException(s"output spec missing table=: '$spec'"))
+    def splits = kv.get("splits").map(_.toInt)
+    // Table outputs consume the cell shape lifecycle operators emit
+    // (CellPut: the HFileKeyValue analog) — anything else is a job wiring
+    // error, reported up front like the reference's output-spec validation.
+    def cellShaped: DataFrame = {
+      val need = Seq("entity_id", "family", "qualifier", "ts", "value")
+      require(need.forall(df.columns.contains),
+        s"table output needs cell columns ${need.mkString("(", ", ", ")")}, " +
+          s"got ${df.columns.mkString("(", ", ", ")")}")
+      df
+    }
     kv("format") match {
       case "parquet" => df.write.mode("overwrite").parquet(file)
       case "text" =>
@@ -100,9 +114,25 @@ object Tool {
         // or derived from the frame's column types.
         Formats.writeAvro(df, file,
           kv.getOrElse("schema", Formats.avroSchemaJson(df)))
+      case "avrokv" => Formats.writeAvroKV(df, file)
       case "map" =>
-        Formats.writeMapFile(df, file,
-          kv.get("splits").map(_.toInt).getOrElse(1))
+        Formats.writeMapFile(df, file, splits.getOrElse(1))
+      // `format=kiji`: direct live-table writes (DirectKijiTableMapReduce
+      // JobOutput) — appended files, version resolution at read time.
+      case "kiji" =>
+        graft.sinks.DirectSink.append(cellShaped, table)
+      // `format=hfile`: the bulk-load path (HFileMapReduceJobOutput +
+      // HFileLoader) — range-partitioned total-order staged write, atomic
+      // commit. With layout=, locality groups/compression/validation apply.
+      case "hfile" =>
+        kv.get("layout") match {
+          case Some(lj) =>
+            new graft.table.EntityTable(df.sparkSession, table,
+              graft.table.LayoutJson.parseFile(lj))
+              .bulkLoad(cellShaped, splits.getOrElse(32))
+          case None =>
+            graft.jobs.Jobs.bulkCommit(cellShaped, table, splits.getOrElse(32))
+        }
       case other => throw new IllegalArgumentException(s"unknown output format '$other'")
     }
   }
@@ -111,6 +141,9 @@ object Tool {
     """usage: graft.Tool <gather|produce|bulk-import|pivot>
       |  --<gatherer|producer|importer|pivoter>=<class>
       |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
-      |  --output="format=<parquet|text|csv|seq|avro|map> file=... [splits=N]"
+      |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
+      |           [columns=fam:qual,...] [timerange=lo,hi]"
+      |  --output="format=<parquet|text|csv|seq|avro|avrokv|map> file=... [splits=N]"
+      |         | "format=<kiji|hfile> table=<path> [layout=<layout.json>] [splits=N]"
       |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin
 }

@@ -25,6 +25,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release per-query operator caches (LSH signatures etc.) so 45+
+      // sequential queries don't accumulate executor storage in one JVM.
+      graft.operators.OperatorCaches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -56,7 +56,19 @@ object Jobs {
           .write.mode("append").parquet(s"$path/counters")
     }
     def table: DataFrame = spark.read.parquet(s"$path/jobs")
-    def counters: DataFrame = spark.read.parquet(s"$path/counters")
+    /** Empty-history-safe: a history whose jobs all reported zero counters
+      * has no counters parquet — surface an empty typed frame, not a
+      * path-not-found, so joins against it stay valid. */
+    def counters: DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/counters")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(s"$path/counters")
+      else {
+        import spark.implicits._
+        Seq.empty[(String, String, Long)]
+          .toDF("job_id", "counter_name", "counter_value")
+      }
+    }
     def forJob(jobId: String): DataFrame =
       table.filter(col("job_id") === jobId)
   }

@@ -77,9 +77,12 @@ object Dedup {
     // can use the O(n+m) two-pointer intersect. The hashed form is
     // ~8 bytes/gram: at 100 TB of text this cache is ~1% of the input and
     // spills to disk if executors can't hold it.
-    val hashedDf = gramsDf.select(col("id"),
-      array_sort(array_distinct(transform(col("grams"), g => hash28(g)))).as("ghash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Registered for caller-managed release (OperatorCaches.releaseAll
+    // after the consuming action) — the cache must outlive this lazy result.
+    val hashedDf = OperatorCaches.register(
+      gramsDf.select(col("id"),
+        array_sort(array_distinct(transform(col("grams"), g => hash28(g)))).as("ghash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Band-key magnitude: minhashes are < 2^31 (mod P), so after r
     // polynomial steps the key is < 2^31·31^(r-1) — exact in int64 only
     // for r ≤ 7 rows per band.

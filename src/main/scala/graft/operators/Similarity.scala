@@ -81,11 +81,14 @@ object Similarity {
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   bits: Int, threshold: Double): DataFrame = {
     // Persisted: the self-join references this frame on both sides, and
-    // Spark recomputes unpersisted subtrees once per reference.
-    val bucketed = emb.select(col(idCol).as("id"), scaled(col(vecCol)).as("sv"),
-      signBucket(col(vecCol), bits).as("bucket"))
-      .withColumn("nrm", vnorm(col("sv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Spark recomputes unpersisted subtrees once per reference. Registered
+    // for caller-managed release (OperatorCaches.releaseAll after the
+    // consuming action) — the cache must outlive this lazy result.
+    val bucketed = OperatorCaches.register(
+      emb.select(col(idCol).as("id"), scaled(col(vecCol)).as("sv"),
+        signBucket(col(vecCol), bits).as("bucket"))
+        .withColumn("nrm", vnorm(col("sv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -95,53 +98,82 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Collect a (small) centroid frame into a broadcastable
+    * [[graft.plans.IvfCentroids]] set — the "train once offline" step of
+    * IVF, done explicitly so its cost is decoupled from every query that
+    * probes it. Vectors are 2^20-scaled and norms computed with the exact
+    * double ops of `vnorm`, so cosines against the set are bit-identical
+    * to the DataFrame path (and to the DuckDB oracle). Sorted by id: the
+    * kernel's ascending scan makes equal-cosine ties pick the lowest id. */
+  def centroidSet(df: DataFrame, idCol: String, vecCol: String): graft.plans.IvfCentroids = {
+    val rows = df.select(col(idCol).cast(org.apache.spark.sql.types.LongType),
+      scaled(col(vecCol))).collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "empty centroid set")
+    val dim = rows.head.getSeq[Long](1).length
+    val ids = new Array[Long](rows.length)
+    val flat = new Array[Long](rows.length * dim)
+    val norms = new Array[Double](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i).getLong(0)
+      val cv = rows(i).getSeq[Long](1)
+      var s = 0L
+      var j = 0
+      while (j < dim) { val x = cv(j); flat(i * dim + j) = x; s += x * x; j += 1 }
+      norms(i) = math.sqrt(s.toDouble)
+      i += 1
+    }
+    graft.plans.IvfCentroids(ids, flat, norms, dim)
+  }
+
   /** IVF-bucketed approximate top-k — the inverted-file ANN scale path:
     * every vector is assigned to its nearest centroid (the "list"), and a
     * query scores only the vectors in its `nprobe` nearest lists.
     *
     * Centroid choice is DETERMINISTIC — the vectors with id < numCentroids
     * — so the DuckDB oracle reproduces the identical structure (a k-means
-    * refinement would improve list balance but break exact mirroring; at
-    * 100 TB you'd train centroids once offline and broadcast them, which
-    * is exactly the shape here: the centroid set is broadcast, assignment
-    * is one scan of the corpus, and the probe join shuffles on the
-    * centroid id). Candidates ≈ n·nprobe/numCentroids per query — scale
+    * refinement would improve list balance but break exact mirroring).
+    * This overload derives the set, then delegates to [[knnIvfWith]]; at
+    * 100 TB you'd build the set once offline (`centroidSet`) and pass it
+    * to every query. Candidates ≈ n·nprobe/numCentroids per query — scale
     * numCentroids with the corpus (e.g. `1 << bitsFor(n, target)`) to
     * keep lists constant-sized. */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
              maxQueryId: Long, numCentroids: Int, nprobe: Int,
-             k: Int): DataFrame = {
+             k: Int): DataFrame =
+    knnIvfWith(emb, idCol, vecCol,
+      centroidSet(emb.filter(col(idCol) < numCentroids), idCol, vecCol),
+      maxQueryId, nprobe, k)
+
+  /** IVF query against a precomputed centroid set.
+    *
+    * Assignment and probing run as ONE codegen'd kernel call per vector
+    * (`nearest_centroids`, `graft.plans.NearestCentroids`) against the
+    * broadcast set — no (vector × centroid) row explosion, no argmax
+    * shuffle: the old broadcast-join + partial-agg shape materialized
+    * numCentroids rows per vector just to fold them back to one, which at
+    * the 2^16-centroid cap dominated the whole query. The probe join then
+    * shuffles one row per vector on `c_id`, exactly the inverted-list
+    * lookup shape. */
+  def knnIvfWith(emb: DataFrame, idCol: String, vecCol: String,
+                 cents: graft.plans.IvfCentroids, maxQueryId: Long,
+                 nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    def nearest(v: org.apache.spark.sql.Column, nn: org.apache.spark.sql.Column,
+                n: Int): org.apache.spark.sql.Column =
+      columnOf(graft.plans.NearestCentroids(expressionOf(v), expressionOf(nn), cents, n))
     val sv = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"))
       .withColumn("nn", vnorm(col("nv")))
-    val cent = sv.filter(col("n_id") < numCentroids)
-      .select(col("n_id").as("c_id"), col("nv").as("cv"), col("nn").as("cn"))
-    // Assignment: nearest centroid per vector (broadcast of the centroid
-    // set). argmax as a single hash AGGREGATE, not a window: partial
-    // aggregation collapses the numCentroids candidate rows per vector
-    // map-side, so the shuffle carries one row per vector instead of one
-    // per (vector, centroid). max(struct(ccos, -c_id)) picks the highest
-    // cosine, lowest centroid id on ties — the same winner as the
-    // oracle's row_number ORDER BY ccos DESC, c_id ASC.
-    val assigned = sv.join(broadcast(cent))
-      .select(col("n_id"), col("nv"), col("nn"), col("c_id"),
-        cosineFromNorms(col("nv"), col("cv"), col("nn"), col("cn")).as("ccos"))
-      .groupBy(col("n_id"))
-      .agg(first(col("nv")).as("nv"), first(col("nn")).as("nn"),
-        max(struct(col("ccos"), (-col("c_id")).as("negc"))).as("m"))
-      .select(col("n_id"), col("nv"), col("nn"), (-col("m.negc")).as("c_id"))
-    // Queries probe their nprobe nearest lists.
+    val assigned = sv.withColumn("c_id",
+      element_at(nearest(col("nv"), col("nn"), 1), 1))
+    // Queries probe their nprobe nearest lists: explode the kernel's
+    // ordered id array (already (cos DESC, c_id ASC)-ranked).
     val queries = sv.filter(col("n_id") < maxQueryId)
-      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("ccos").desc, col("c_id").asc)
-    val probes = queries.join(broadcast(cent))
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
-        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("ccos"))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id"))
+      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"),
+        explode(nearest(col("nv"), col("nn"), nprobe)).as("c_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
-    assigned.join(broadcast(probes), Seq("c_id"))
+    assigned.join(broadcast(queries), Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))

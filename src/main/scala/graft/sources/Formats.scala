@@ -40,7 +40,7 @@ object Formats {
       require(i > 0, s"malformed spec token '$tok' (expected key=value)")
       tok.take(i) -> tok.drop(i + 1)
     }.toMap
-    val file = kv.getOrElse("file",
+    def file = kv.getOrElse("file",
       throw new IllegalArgumentException(s"spec missing file=: '$spec'"))
     kv.getOrElse("format",
       throw new IllegalArgumentException(s"spec missing format=: '$spec'")) match {
@@ -53,8 +53,41 @@ object Formats {
       case "seq" => readSeqFile(spark, file)
       case "avro" => readAvro(spark, file)
       case "avrokv" => readAvroKV(spark, file)
+      case "kiji" => readKijiTable(spark, kv)
+      case "htable" => throw new UnsupportedOperationException(
+        "format=htable (raw HBase table input, HTableMapReduceJobInput) is " +
+          "out of scope: this engine has no live HBase cluster to scan — " +
+          "use format=kiji over a bulk-loaded table instead")
       case other => throw new IllegalArgumentException(s"unknown format '$other'")
     }
+  }
+
+  /** `format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
+    * [columns=fam:qual,...] [timerange=lo,hi]` — the reference CLI's
+    * primary input shape (`KM/tools/framework/JobInputSpec.java:52-70`,
+    * `KM/tools/KijiGather.java:38-44`: a table scan under a
+    * KijiDataRequest). `maxversions=1` (the default, as in
+    * KijiDataRequest) yields the flat most-recent row shape operators
+    * consume; >1 yields the versions-array shape of `EntityTable.read`. */
+  def readKijiTable(spark: SparkSession, kv: Map[String, String]): DataFrame = {
+    import graft.table.{DataRequest, EntityTable, LayoutJson, TableLayout}
+    val tablePath = kv.getOrElse("table",
+      throw new IllegalArgumentException("format=kiji spec missing table="))
+    val layout = kv.get("layout").map(LayoutJson.parseFile)
+      .getOrElse(TableLayout(new Path(tablePath).getName, Seq.empty))
+    val table = new EntityTable(spark, tablePath, layout)
+    val columns = kv.get("columns").toSeq.flatMap(_.split(",")).map { c =>
+      val i = c.indexOf(':')
+      require(i > 0, s"bad columns= entry '$c' (expected family:qualifier)")
+      (c.take(i), c.drop(i + 1))
+    }
+    val maxVersions = kv.get("maxversions").map(_.toInt).getOrElse(1)
+    val timeRange = kv.get("timerange").map { s =>
+      val Array(lo, hi) = s.split(",", 2)
+      (lo.toLong, hi.toLong)
+    }
+    val req = DataRequest(columns, maxVersions, timeRange)
+    if (maxVersions == 1) table.mostRecent(req) else table.read(req)
   }
 
   def readText(spark: SparkSession, path: String): DataFrame =
@@ -272,6 +305,17 @@ object Formats {
       s"""{"name":"${f.name}","type":$t}"""
     }.mkString(",")
     s"""{"type":"record","name":"$recordName","fields":[$fields]}"""
+  }
+
+  /** First two columns → Avro key/value container records — the write side
+    * of [[readAvroKV]] (`KM/output/AvroKeyValueMapReduceJobOutput.java`:
+    * generic records with `key`/`value` fields, types taken from the
+    * frame's column types). */
+  def writeAvroKV(df: DataFrame, path: String): Unit = {
+    require(df.columns.length >= 2,
+      s"avrokv output needs at least (key, value) columns, got ${df.columns.mkString(",")}")
+    val kvDf = df.select(col(df.columns(0)).as("key"), col(df.columns(1)).as("value"))
+    writeAvro(kvDf, path, avroSchemaJson(kvDf, "KeyValuePair"))
   }
 
   /** Rows → Avro container files with the given record schema (JSON).

@@ -104,18 +104,29 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     val groups = layout.localityGroups
     val grouped = groups.size > 1 ||
       layout.families.exists(f => f.localityGroup != "default" ||
-        f.compression != "snappy")
+        f.compression != "snappy" || f.inMemory)
     val sortCols =
       Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc)
+    // Undeclared families fail the load (the reference's NoSuchColumnException
+    // on puts to unknown families) — without this the grouped path would
+    // silently drop cells whose family maps to no locality-group file set.
+    // Guarding the written `family` column itself keeps it un-prunable and
+    // costs one codegen'd isin per row.
+    val declared = layout.families.map(_.name)
+    val guarded = newCells.withColumn("family",
+      when(col("family").isin(declared: _*), col("family"))
+        .otherwise(raise_error(concat(
+          lit(s"unknown family (not declared in table '${layout.name}'): '"),
+          col("family"), lit("'")))))
     if (!grouped)
-      BulkSink.bulkLoad(newCells, path, numPartitions, Seq("entity_id"),
+      BulkSink.bulkLoad(guarded, path, numPartitions, Seq("entity_id"),
         sortCols, maxRecordsPerFile)
     else {
       val lgFor = layout.families.foldLeft(lit("default")) { (acc, f) =>
         when(col("family") === f.name, lit(f.localityGroup)).otherwise(acc)
       }
       val staging = s"$path.__staging_${java.util.UUID.randomUUID().toString.take(8)}"
-      val tagged = newCells.withColumn("lg", lgFor)
+      val tagged = guarded.withColumn("lg", lgFor)
       groups.foreach { case (g, fams) =>
         val w = tagged.filter(col("lg") === g).drop("lg")
           .repartitionByRange(numPartitions, col("entity_id"))

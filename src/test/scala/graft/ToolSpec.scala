@@ -92,4 +92,86 @@ class ToolSpec extends SparkSpec {
     intercept[IllegalArgumentException](Tool.run(spark, Array("frobnicate")))
     intercept[IllegalArgumentException](Tool.run(spark, Array("gather", "--input=format=text file=/x")))
   }
+
+  private def stageSourceTable(): (String, String) = {
+    import spark.implicits._
+    import graft.table.{EntityTable, LayoutJson}
+    val src = tmpDir("clisrc") + "/table"
+    val layoutPath = tmpDir("clilayout") + "/layout.json"
+    Files.writeString(Paths.get(layoutPath),
+      """{name: "t", locality_groups: [{name: "default",
+        |  compression_type: "SNAPPY", families: [{name: "ev"}]}]}""".stripMargin)
+    val cells = Seq(
+      (1L, "ev", "click", 10L, 1.5), (1L, "ev", "click", 20L, 2.5),
+      (2L, "ev", "view", 5L, 7.0))
+      .toDF("entity_id", "family", "qualifier", "ts", "value")
+    new EntityTable(spark, src, LayoutJson.parseFile(layoutPath))
+      .bulkLoad(cells, numPartitions = 2)
+    (src, layoutPath)
+  }
+
+  test("CLI table IO: kiji input → pivoter → hfile bulk output, end to end") {
+    val (src, layoutPath) = stageSourceTable()
+    val dst = tmpDir("clidst") + "/table"
+    val r = Tool.run(spark, Array("pivot",
+      "--pivoter=graft.queries.CliCellPivoter",
+      s"--input=format=kiji table=$src layout=$layoutPath",
+      s"--output=format=hfile table=$dst splits=2",
+      "--name=cli-table-roundtrip"))
+    assert(r.status == "SUCCEEDED")
+    // The kiji input is a most-recent scan: click keeps ts=20 only.
+    val back = spark.read.parquet(dst).collect().map { x =>
+      (x.getAs[Long]("entity_id"), x.getAs[String]("family"),
+        x.getAs[String]("qualifier"), x.getAs[Long]("ts"),
+        x.getAs[String]("value"))
+    }.toSet
+    assert(back == Set(
+      (1L, "out", "click", 20L, "2.5"),
+      (2L, "out", "view", 5L, "7.0")))
+  }
+
+  test("CLI table IO: kiji direct output appends to the live table") {
+    val (src, layoutPath) = stageSourceTable()
+    val dst = tmpDir("clidirect") + "/table"
+    def runOnce() = Tool.run(spark, Array("pivot",
+      "--pivoter=graft.queries.CliCellPivoter",
+      s"--input=format=kiji table=$src layout=$layoutPath",
+      s"--output=format=kiji table=$dst"))
+    runOnce()
+    assert(spark.read.parquet(dst).count() == 2L)
+    // Direct writes APPEND (live-table semantics); a re-run doubles files,
+    // and read-time version resolution would pick the newest ts.
+    runOnce()
+    assert(spark.read.parquet(dst).count() == 4L)
+  }
+
+  test("CLI table outputs reject non-cell-shaped job output") {
+    val in = tmpDir("toolin5")
+    Files.write(Paths.get(in, "l.txt"), "abc\n".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[RuntimeException](Tool.run(spark, Array("gather",
+      "--gatherer=graft.LineLengthGatherer",
+      s"--input=format=text file=$in",
+      s"--output=format=hfile table=${tmpDir("badout")}/t")))
+    assert(e.getCause.getMessage.contains("cell columns"))
+  }
+
+  test("CLI avrokv output round-trips through the avrokv source") {
+    val in = tmpDir("toolin6")
+    Files.write(Paths.get(in, "l.txt"),
+      "alpha\nbeta\n".getBytes(StandardCharsets.UTF_8))
+    val out = tmpDir("toolout6") + "/avrokv"
+    Tool.run(spark, Array("gather",
+      "--gatherer=graft.LineLengthGatherer",
+      s"--input=format=text file=$in",
+      s"--output=format=avrokv file=$out"))
+    val back = graft.sources.Formats.read(spark, s"format=avrokv file=$out")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(back == Set(("alpha", "5"), ("beta", "4")))
+  }
+
+  test("format=htable input fails with an explicit out-of-scope message") {
+    val e = intercept[UnsupportedOperationException](
+      graft.sources.Formats.read(spark, "format=htable table=whatever"))
+    assert(e.getMessage.contains("out of scope"))
+  }
 }

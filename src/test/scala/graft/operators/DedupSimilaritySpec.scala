@@ -103,6 +103,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(narrow.size == 3) // {2,3,4}: list 1 minus query itself
   }
 
+  test("knnIvfWith: an externally-built centroid set gives identical top-k") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).toList
+    val derived = rows(Similarity.knnIvf(emb, "vec_id", "embedding", 2L,
+      numCentroids = 2, nprobe = 2, k = 3))
+    // The same centroid vectors handed in as a prebuilt (offline) set.
+    val external = Similarity.centroidSet(
+      emb.filter($"vec_id" < 2), "vec_id", "embedding")
+    assert(external.count == 2 && external.dim == 3)
+    val withSet = rows(Similarity.knnIvfWith(emb, "vec_id", "embedding",
+      external, 2L, nprobe = 2, k = 3))
+    assert(withSet == derived)
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11
