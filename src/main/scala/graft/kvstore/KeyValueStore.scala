@@ -1,7 +1,6 @@
 package graft.kvstore
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -66,12 +65,21 @@ final case class InMemoryMapKeyValueStore[K, V](map: Map[K, V])
 /** Delimited text file: first-delimiter split, tab default, whole line with
   * no delimiter → key with empty value — semantics of
   * `TextFileKeyValueStore.java:46-83`. Later lines win on duplicate keys
-  * (reference reads files in order into a map). */
+  * (reference reads files in order into a map).
+  *
+  * Opened through the Hadoop FileSystem API, so the path may be local OR
+  * `hdfs://`/object-store — the reference ships store files to tasks from
+  * HDFS via DistributedCache (`KM/kvstore/lib/FileStoreHelper.java`); the
+  * Spark analog is a driver-side FS read broadcast through the closure. */
 final case class TextFileKeyValueStore(path: String, delimiter: String = "\t")
     extends KeyValueStore[String, String] {
   def load(): Map[String, String] = {
-    val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
-    lines.filter(_.nonEmpty).map { line =>
+    val p = new Path(path)
+    val in = p.getFileSystem(new Configuration()).open(p)
+    val bos = new java.io.ByteArrayOutputStream()
+    org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, true)
+    val content = new String(bos.toByteArray, StandardCharsets.UTF_8)
+    content.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
       val i = line.indexOf(delimiter)
       if (i < 0) (line, "") else (line.substring(0, i), line.substring(i + delimiter.length))
     }.toMap
@@ -80,13 +88,15 @@ final case class TextFileKeyValueStore(path: String, delimiter: String = "\t")
 
 /** Avro container file of records, indexed by a named key field — analog of
   * `AvroRecordKeyValueStore.java:44-83` (whole file into an in-memory map).
-  * Values are the records' `valueField`, read as strings. */
+  * Values are the records' `valueField`, read as strings. Opened through
+  * `FsInput`, so HDFS paths work as they do in the reference. */
 final case class AvroRecordKeyValueStore(path: String, keyField: String,
                                          valueField: String)
     extends KeyValueStore[String, String] {
   def load(): Map[String, String] = {
     val reader = new DataFileReader[GenericRecord](
-      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+      new org.apache.avro.mapred.FsInput(new Path(path), new Configuration()),
+      new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.map { rec =>
       String.valueOf(rec.get(keyField)) -> String.valueOf(rec.get(valueField))
     }.toMap

@@ -112,16 +112,46 @@ object FormatQueries {
        |  ${sqlSum("p_retailprice")} AS price_sum
        |FROM part""".stripMargin
 
+  // ── q47: Avro-valued SequenceFile roundtrip — record values, schemas
+  // embedded in the file metadata, decoded back through the header-sniffed
+  // `format=seq` dispatch (AvroSequenceFileInputFormat analog). ───────────
+  val q47_avroseq_import: Q = (s, d) => {
+    import s.implicits._
+    val dir = tmp("q47", d)
+    Formats.writeAvroSeqFile(
+      Tables.part(s, d)
+        .select($"p_partkey", struct($"p_name", $"p_retailprice").as("v")),
+      dir,
+      "\"long\"",
+      """{"type":"record","name":"PV","fields":[
+        |{"name":"p_name","type":"string"},
+        |{"name":"p_retailprice","type":"double"}]}""".stripMargin)
+    Formats.read(s, s"format=seq file=$dir")
+      .select($"key".as("p_partkey"), $"value.p_name".as("p_name"),
+        $"value.p_retailprice".as("p_retailprice"))
+      .groupBy(($"p_partkey" % 10L).as("key_mod"))
+      .agg(count(lit(1)).as("n"), sum(length($"p_name")).as("name_chars"),
+        dsum($"p_retailprice").as("price_sum"))
+      .orderBy($"key_mod")
+  }
+  val q47_sql: String =
+    s"""SELECT p_partkey % 10 AS key_mod, count(*) AS n,
+       |  CAST(sum(length(p_name)) AS BIGINT) AS name_chars,
+       |  ${sqlSum("p_retailprice")} AS price_sum
+       |FROM part GROUP BY 1 ORDER BY key_mod""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q35_csv_import" -> q35_csv_import,
     "q36_xml_import" -> q36_xml_import,
     "q37_wholefile_import" -> q37_wholefile_import,
     "q38_seq_avro_import" -> q38_seq_avro_import,
+    "q47_avroseq_import" -> q47_avroseq_import,
   )
   val oracleSql: Map[String, String] = Map(
     "q35_csv_import" -> q35_sql,
     "q36_xml_import" -> q36_sql,
     "q37_wholefile_import" -> q37_sql,
     "q38_seq_avro_import" -> q38_sql,
+    "q47_avroseq_import" -> q47_sql,
   )
 }

@@ -218,6 +218,56 @@ object TableQueries {
        |  ${sqlSum("o_totalprice")} AS sum_value FROM orders
        |ORDER BY lg""".stripMargin
 
+  // ── q48: per-column reader-schema override (ColumnReaderSpec analog) —
+  // two writer generations of a stringly-encoded record in two columns,
+  // decoded AT READ TIME into one reader struct by DataRequest.readerSpecs
+  // (the read-time half of schema evolution; q43 is the rewrite-time
+  // half). Exact decimal arithmetic end-to-end so both engines agree. ────
+  val q48_reader_schema: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    val P = DecimalType(18, 2)
+    val T = DecimalType(23, 4) // (18,2) * (4,2) in Spark's multiply rules
+    val orders = Tables.orders(s, d)
+    val price = $"o_totalprice".cast(P)
+    // v1 writers stored just the price; v2 writers "price|tax".
+    val v1Cells = orders.filter($"o_orderkey" % 2 === 0).select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("v1").as("qualifier"), lit(0L).as("ts"),
+      price.cast(StringType).as("value"))
+    val v2Cells = orders.filter($"o_orderkey" % 2 === 1).select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("v2").as("qualifier"), lit(0L).as("ts"),
+      concat(price.cast(StringType), lit("|"),
+        (price * lit("0.08").cast(DecimalType(4, 2))).cast(T)
+          .cast(StringType)).as("value"))
+    val table = new EntityTable(s, tmpTable("q48", d),
+      TableLayout("orders_readerspec", Seq(FamilySpec("ord"))))
+    table.bulkLoad(v1Cells.unionByName(v2Cells), numPartitions = 32)
+    val v1Spec: Column => Column = v => struct(
+      v.cast(P).as("price"), lit(null).cast(T).as("tax"))
+    val v2Spec: Column => Column = v => struct(
+      split(v, "\\|").getItem(0).cast(P).as("price"),
+      split(v, "\\|").getItem(1).cast(T).as("tax"))
+    table.mostRecent(DataRequest(readerSpecs = Map(
+        ("ord", "v1") -> v1Spec, ("ord", "v2") -> v2Spec)))
+      .groupBy($"qualifier")
+      .agg(count(lit(1)).as("n"),
+        sum($"value.price".cast(DecimalType(38, 2))).cast(DoubleType).as("price_sum"),
+        sum($"value.tax".cast(DecimalType(38, 4))).cast(DoubleType).as("tax_sum"))
+      .orderBy($"qualifier")
+  }
+  val q48_sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS qualifier,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+      |    AS DOUBLE) AS price_sum,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+      |    ELSE CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |      * CAST('0.08' AS DECIMAL(4,2)) AS DECIMAL(23,4)) AS DECIMAL(38,4))
+      |    END) AS DOUBLE) AS tax_sum
+      |FROM orders GROUP BY 1 ORDER BY qualifier""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q32_bulk_roundtrip" -> q32_bulk_roundtrip,
     "q33_dml_tombstones" -> q33_dml_tombstones,
@@ -225,6 +275,7 @@ object TableQueries {
     "q41_composite_key" -> q41_composite_key,
     "q42_formatted_range" -> q42_formatted_range,
     "q44_locality_groups" -> q44_locality_groups,
+    "q48_reader_schema" -> q48_reader_schema,
   )
   val oracleSql: Map[String, String] = Map(
     "q32_bulk_roundtrip" -> q32_sql,
@@ -233,5 +284,6 @@ object TableQueries {
     "q41_composite_key" -> q41_sql,
     "q42_formatted_range" -> q42_sql,
     "q44_locality_groups" -> q44_sql,
+    "q48_reader_schema" -> q48_sql,
   )
 }

@@ -125,13 +125,91 @@ object Formats {
       StructType(Seq(StructField("record", StringType))))
   }
 
-  /** SequenceFile of Text key/values → (key, value) strings. */
-  def readSeqFile(spark: SparkSession, path: String): DataFrame = {
-    val rdd = spark.sparkContext
-      .sequenceFile(path, classOf[Text], classOf[Text])
-      .map { case (k, v) => Row(k.toString, v.toString) }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("key", StringType), StructField("value", StringType))))
+  /** Driver-side header sniff of a sequence file (or the first part file
+    * of a directory): declared key class + file metadata. A few-KB read,
+    * same cost class as a parquet footer. */
+  private def seqFileHeader(spark: SparkSession,
+                            path: String): (String, Map[String, String]) = {
+    // Reader.init instantiates key/value deserializers up front, so the
+    // Avro wrapper serialization must be registered even just to read the
+    // header. Copied conf: never mutate the session-wide one.
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    org.apache.avro.hadoop.io.AvroSerialization.addToConfiguration(conf)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).map(_.getPath)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .sortBy(_.getName).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"no sequence part files under $path"))
+    val reader = new org.apache.hadoop.io.SequenceFile.Reader(conf,
+      org.apache.hadoop.io.SequenceFile.Reader.file(file))
+    try {
+      import scala.jdk.CollectionConverters._
+      val meta = reader.getMetadata.getMetadata.asScala
+        .map { case (k, v) => k.toString -> v.toString }.toMap
+      (reader.getKeyClassName, meta)
+    } finally reader.close()
+  }
+
+  /** SequenceFile source with header dispatch: Text/Text pairs surface as
+    * string columns, Avro-valued files (the reference's
+    * `AvroSequenceFileInputFormat` path, `KM/input/SequenceFileMapReduce
+    * JobInput.java:50-64`) are decoded with their embedded schemas, and
+    * any other Writable key class fails loudly instead of yielding
+    * garbage strings. */
+  def readSeqFile(spark: SparkSession, path: String): DataFrame =
+    seqFileHeader(spark, path) match {
+      case (k, _) if k == classOf[Text].getName =>
+        val rdd = spark.sparkContext
+          .sequenceFile(path, classOf[Text], classOf[Text])
+          .map { case (k, v) => Row(k.toString, v.toString) }
+        spark.createDataFrame(rdd, StructType(Seq(
+          StructField("key", StringType), StructField("value", StringType))))
+      case (k, _) if k == classOf[AvroKey[_]].getName =>
+        readAvroSeqFile(spark, path)
+      case (other, _) => throw new IllegalArgumentException(
+        s"sequence file at $path has key class $other — only Text/Text and " +
+          "Avro (AvroKey/AvroValue) sequence files are supported")
+    }
+
+  /** Avro-valued sequence files: key/value schemas come from the file
+    * metadata `AvroSequenceFile` writes (`avro.key.schema` /
+    * `avro.value.schema`), so the read is self-describing — the direct
+    * analog of the reference's `AvroSequenceFileInputFormat` job input. */
+  def readAvroSeqFile(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.avro.hadoop.io.{AvroSequenceFile => ASF}
+    import org.apache.avro.mapred.AvroValue
+    import org.apache.avro.mapreduce.AvroSequenceFileInputFormat
+    val (_, meta) = seqFileHeader(spark, path)
+    def schemaOf(field: Text): String = meta.getOrElse(field.toString,
+      throw new IllegalArgumentException(
+        s"sequence file at $path lacks $field metadata — not written by " +
+          "AvroSequenceFile (use writeAvroSeqFile / the avro CLI formats)"))
+    val keyJson = schemaOf(ASF.METADATA_FIELD_KEY_SCHEMA)
+    val valJson = schemaOf(ASF.METADATA_FIELD_VALUE_SCHEMA)
+    val keySchema = new Schema.Parser().parse(keyJson)
+    val valSchema = new Schema.Parser().parse(valJson)
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, keySchema)
+    AvroJob.setInputValueSchema(job, valSchema)
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[AvroSequenceFileInputFormat[AvroKey[Any], AvroValue[Any]]],
+      classOf[AvroKey[Any]], classOf[AvroValue[Any]], job.getConfiguration)
+    // Row conversion inside the reading task (wrappers are not serializable).
+    val rows = rdd.mapPartitions { it =>
+      val ks = new Schema.Parser().parse(keyJson)
+      val vs = new Schema.Parser().parse(valJson)
+      it.map { case (k, v) =>
+        Row(avroValue(k.datum(), ks), avroValue(v.datum(), vs))
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("key", avroToCatalyst(keySchema)),
+      StructField("value", avroToCatalyst(valSchema)))))
   }
 
   /** Reads the writer schema from an Avro container's file header — a
@@ -254,6 +332,60 @@ object Formats {
     df.rdd.map(r => (new Text(r.getString(0)), new Text(r.getString(1))))
       .saveAsNewAPIHadoopFile(path, classOf[Text], classOf[Text],
         classOf[SequenceFileOutputFormat[Text, Text]])
+  }
+
+  /** Catalyst value → Avro datum per a target schema. Covers the primitive
+    * + nested-record subset [[avroToCatalyst]] reads back. */
+  private def toAvroDatum(v: Any, s: Schema): AnyRef = (s.getType, v) match {
+    case (_, null) => null
+    case (Schema.Type.UNION, x) =>
+      val branch = s.getTypes.toArray.collectFirst {
+        case b: Schema if b.getType != Schema.Type.NULL => b
+      }.get
+      toAvroDatum(x, branch)
+    case (Schema.Type.LONG, x: Number) => java.lang.Long.valueOf(x.longValue)
+    case (Schema.Type.INT, x: Number) => java.lang.Integer.valueOf(x.intValue)
+    case (Schema.Type.DOUBLE, x: Number) => java.lang.Double.valueOf(x.doubleValue)
+    case (Schema.Type.FLOAT, x: Number) => java.lang.Float.valueOf(x.floatValue)
+    case (Schema.Type.BOOLEAN, x: java.lang.Boolean) => x
+    case (Schema.Type.BYTES, x: Array[Byte]) => java.nio.ByteBuffer.wrap(x)
+    case (Schema.Type.ARRAY, x: scala.collection.Seq[_]) =>
+      val out = new java.util.ArrayList[AnyRef](x.length)
+      x.foreach(e => out.add(toAvroDatum(e, s.getElementType)))
+      out
+    case (Schema.Type.RECORD, x: Row) =>
+      val rec = new GenericData.Record(s)
+      s.getFields.forEach { f =>
+        rec.put(f.name, toAvroDatum(x.get(x.fieldIndex(f.name)), f.schema))
+      }
+      rec
+    case (_, x) => String.valueOf(x)
+  }
+
+  /** First two columns → Avro-valued sequence file with the given key and
+    * value schemas (JSON), written through `AvroSequenceFileOutputFormat`
+    * — schemas land in the file metadata, so [[readSeqFile]]'s header
+    * dispatch decodes it back without external configuration. */
+  def writeAvroSeqFile(df: DataFrame, path: String,
+                       keySchemaJson: String, valueSchemaJson: String): Unit = {
+    import org.apache.avro.mapred.AvroValue
+    import org.apache.avro.mapreduce.AvroSequenceFileOutputFormat
+    val spark = df.sparkSession
+    deleteDir(spark, path)
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(keySchemaJson))
+    AvroJob.setOutputValueSchema(job, new Schema.Parser().parse(valueSchemaJson))
+    df.rdd.mapPartitions { it =>
+      val ks = new Schema.Parser().parse(keySchemaJson)
+      val vs = new Schema.Parser().parse(valueSchemaJson)
+      it.map { row =>
+        (new AvroKey[Any](toAvroDatum(row.get(0), ks)),
+          new AvroValue[Any](toAvroDatum(row.get(1), vs)))
+      }
+    }.saveAsNewAPIHadoopFile(path,
+      classOf[AvroKey[Any]], classOf[AvroValue[Any]],
+      classOf[AvroSequenceFileOutputFormat[AvroKey[Any], AvroValue[Any]]],
+      job.getConfiguration)
   }
 
   /** Sorted key/value MapFiles — the `MapFileMapReduceJobOutput.java:51-69`

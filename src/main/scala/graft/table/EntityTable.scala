@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dml.Dml
@@ -17,12 +17,16 @@ final case class FamilySpec(name: String,
                             ttlSeconds: Option[Long] = None,
                             localityGroup: String = "default",
                             inMemory: Boolean = false,
-                            compression: String = "snappy")
+                            compression: String = "snappy",
+                            columns: Option[Seq[String]] = None)
 
 /** Table layout: name + families (+ row-key encoding, `keys_format` in the
-  * layout JSON). Columns are dynamic within a family (map-type semantics
-  * come free in the long format; group-type families are a qualifier
-  * whitelist the caller can enforce on request). */
+  * layout JSON). A family with `columns = Some(...)` is GROUP-type: its
+  * qualifier set is closed and writes to undeclared qualifiers are
+  * rejected, mirroring the reference's single-column put validation
+  * (`KM/produce/impl/InternalProducerContext.java:126-136`). `columns =
+  * None` is MAP-type: dynamic qualifiers, which the long cell format
+  * stores natively. */
 final case class TableLayout(name: String, families: Seq[FamilySpec],
                              keyEncoding: EntityId.Encoding = EntityId.Raw) {
   def family(name: String): FamilySpec =
@@ -36,10 +40,21 @@ final case class TableLayout(name: String, families: Seq[FamilySpec],
 
 /** Column slice of a read — the `KijiDataRequest` analog (columns,
   * max-versions, time-range; `KM/framework/KijiTableInputFormat.java:87-120`,
-  * `KM/impl/HFileWriterContext.java:333-339` withTimeRange). */
+  * `KM/impl/HFileWriterContext.java:333-339` withTimeRange).
+  *
+  * `readerSpecs` is the `ColumnReaderSpec` analog
+  * (`KM/framework/HBaseKijiTableInputFormat.java:225-231`): a per-column
+  * reader-side decode applied to `value` at scan time, so cells written
+  * under older writer generations surface in the requested reader shape
+  * without rewriting the table (the read-time half of schema evolution;
+  * `CellRewriter` is the rewrite-time half). Requesting a reader spec for
+  * a column implicitly requests that column when `columns` is empty; a
+  * spec for a column outside a non-empty `columns` list is an error, as
+  * in the reference (the spec attaches to a requested column). */
 final case class DataRequest(columns: Seq[(String, String)] = Seq.empty,
                              maxVersions: Int = 1,
-                             timeRange: Option[(Long, Long)] = None)
+                             timeRange: Option[(Long, Long)] = None,
+                             readerSpecs: Map[(String, String), Column => Column] = Map.empty)
 
 /** The entity-centric versioned table (SURVEY §1.1) over Parquet.
   *
@@ -113,11 +128,28 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     // Guarding the written `family` column itself keeps it un-prunable and
     // costs one codegen'd isin per row.
     val declared = layout.families.map(_.name)
-    val guarded = newCells.withColumn("family",
+    val famGuarded = newCells.withColumn("family",
       when(col("family").isin(declared: _*), col("family"))
         .otherwise(raise_error(concat(
           lit(s"unknown family (not declared in table '${layout.name}'): '"),
           col("family"), lit("'")))))
+    // Group-type families (closed qualifier sets) reject undeclared
+    // qualifiers — `InternalProducerContext.java:126-136`; map-type
+    // families (columns = None) stay open.
+    val closed = layout.families.filter(_.columns.isDefined)
+    val guarded =
+      if (closed.isEmpty) famGuarded
+      else {
+        val ok = closed.foldLeft(lit(true)) { (acc, f) =>
+          when(col("family") === f.name,
+            col("qualifier").isin(f.columns.get: _*)).otherwise(acc)
+        }
+        famGuarded.withColumn("qualifier",
+          when(ok, col("qualifier")).otherwise(raise_error(concat(
+            lit("qualifier '"), col("qualifier"),
+            lit("' not declared for group-type family '"),
+            col("family"), lit(s"' of table '${layout.name}'")))))
+      }
     if (!grouped)
       BulkSink.bulkLoad(guarded, path, numPartitions, Seq("entity_id"),
         sortCols, maxRecordsPerFile)
@@ -145,6 +177,26 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   def applyChanges(changes: DataFrame, numPartitions: Int = 32): Unit =
     bulkLoad(Dml.applyChanges(cells, changes), numPartitions)
 
+  /** MAJOR compaction: physically drop cells beyond each family's
+    * max_versions and past its TTL (relative to `asOfMicros`), then
+    * rewrite the table in bulk-load order — the HBase major compaction
+    * that turns read-side retention into reclaimed disk. Reads stay
+    * correct either way (retention is also applied at read time); this
+    * reclaims storage and shrinks every later scan.
+    *
+    * Runs as the retention-aware versioned read (one hash aggregate)
+    * exploded back to cells, into the staged atomic bulk-load write —
+    * the source files are only replaced by the final commit rename. */
+  def majorCompact(asOfMicros: Long = Long.MaxValue,
+                   numPartitions: Int = 32): Unit = {
+    val survivors = read(DataRequest(maxVersions = Int.MaxValue), asOfMicros)
+      .select(col("entity_id"), col("family"), col("qualifier"),
+        explode(col("versions")).as("v"))
+      .select(col("entity_id"), col("family"), col("qualifier"),
+        col("v.ts").as("ts"), col("v.value").as("value"))
+    bulkLoad(survivors, numPartitions)
+  }
+
   /** Retention-aware filter: family TTL relative to `asOfMicros`
     * (deterministic analog of "now"), plus an optional request time range. */
   private def retained(request: DataRequest, asOfMicros: Long): DataFrame = {
@@ -159,10 +211,42 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       case Some((lo, hi)) => base.filter(col("ts") >= lo && col("ts") < hi)
       case None => base
     }
-    if (request.columns.isEmpty) timeFiltered
+    val wantedCols =
+      if (request.columns.nonEmpty) request.columns
+      else request.readerSpecs.keys.toSeq.sorted
+    val colFiltered =
+      if (wantedCols.isEmpty) timeFiltered
+      else {
+        val wanted = wantedCols.map { case (f, q) => struct(lit(f), lit(q)) }
+        timeFiltered.filter(struct(col("family"), col("qualifier")).isin(wanted: _*))
+      }
+    applyReaderSpecs(colFiltered, request.readerSpecs, wantedCols)
+  }
+
+  /** Reader-side per-column decode (`ColumnReaderSpec`): one flat CASE on
+    * (family, qualifier), each branch the column's conversion — composed at
+    * plan-build time, codegen'd, zero per-row schema resolution. When the
+    * specs cover every requested column the chain is total; otherwise
+    * unspecified columns keep the raw value (their types must then be
+    * union-compatible with the converted ones — a plan-time error if not,
+    * matching the reference's undecodable-cell failure). */
+  private def applyReaderSpecs(df: DataFrame,
+                               specs: Map[(String, String), Column => Column],
+                               wantedCols: Seq[(String, String)]): DataFrame = {
+    if (specs.isEmpty) df
     else {
-      val wanted = request.columns.map { case (f, q) => struct(lit(f), lit(q)) }
-      timeFiltered.filter(struct(col("family"), col("qualifier")).isin(wanted: _*))
+      val unknown = specs.keySet -- wantedCols.toSet
+      require(unknown.isEmpty,
+        s"reader spec for unrequested column(s): ${unknown.mkString(", ")}")
+      val ordered = specs.toSeq.sortBy(_._1)
+      val chain = ordered.tail.foldLeft(
+        when(col("family") === ordered.head._1._1 &&
+          col("qualifier") === ordered.head._1._2,
+          ordered.head._2(col("value")))) { case (acc, ((f, q), conv)) =>
+        acc.when(col("family") === f && col("qualifier") === q, conv(col("value")))
+      }
+      val total = specs.keySet == wantedCols.toSet
+      df.withColumn("value", if (total) chain else chain.otherwise(col("value")))
     }
   }
 

@@ -53,11 +53,17 @@ object LayoutJson {
         val comp = text(lg, "compression_type").map(compression)
           .getOrElse("snappy")
         Option(lg.get("families")).toSeq.flatMap(_.elements().asScala).map { f =>
+          // A declared `columns` list makes the family GROUP-type (closed
+          // qualifier set, enforced on writes); `map_schema` families and
+          // families with no columns stay MAP-type (open).
+          val cols = Option(f.get("columns"))
+            .map(_.elements().asScala.toSeq.flatMap(c => text(c, "name")))
+            .filter(_.nonEmpty)
           FamilySpec(
             name = text(f, "name").getOrElse(
               throw new IllegalArgumentException("family missing 'name'")),
             maxVersions = maxV, ttlSeconds = ttl, localityGroup = lgName,
-            inMemory = inMem, compression = comp)
+            inMemory = inMem, compression = comp, columns = cols)
         }
       }
     TableLayout(name, families, encoding)

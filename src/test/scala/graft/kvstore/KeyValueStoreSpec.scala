@@ -40,6 +40,26 @@ class KeyValueStoreSpec extends SparkSpec {
     assert(r.get("dup").contains("second"))
   }
 
+  test("text + avro stores open through the Hadoop FileSystem (file:// URI)") {
+    // The reference ships store files from HDFS (FileStoreHelper via
+    // DistributedCache); loads must go through the Hadoop FS API so
+    // hdfs:// paths work — a file:// URI exercises that code path.
+    val f = Paths.get(tmpDir("kvhdfs"), "kv.txt")
+    Files.write(f, java.util.List.of("a\t1", "b\t2"), StandardCharsets.UTF_8)
+    val r = TextFileKeyValueStore(f.toUri.toString).reader()
+    assert(r.get("a").contains("1") && r.get("b").contains("2"))
+
+    val schema: Schema = SchemaBuilder.record("E").fields()
+      .requiredString("key").requiredString("val").endRecord()
+    val af = new java.io.File(tmpDir("kvhdfsavro"), "kv.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, af)
+    w.append(new GenericRecordBuilder(schema).set("key", "k").set("val", "v").build())
+    w.close()
+    val ar = AvroRecordKeyValueStore(af.toURI.toString, "key", "val").reader()
+    assert(ar.get("k").contains("v"))
+  }
+
   test("text file store: custom delimiter") {
     val f = Paths.get(tmpDir("kvtext2"), "kv.csv")
     Files.write(f, java.util.List.of("x,1", "y,2"), StandardCharsets.UTF_8)

@@ -55,6 +55,36 @@ class FormatsSpec extends SparkSpec {
     assert(back == Set(("a", "1"), ("b", "2")))
   }
 
+  test("avro sequence file roundtrip: record values, schemas from metadata") {
+    import org.apache.spark.sql.functions.struct
+    val dir = tmpDir("fmtavroseq") + "/out"
+    val df = Seq((1L, "a", 1.5), (2L, "bb", -2.5)).toDF("k", "s", "p")
+      .select($"k", struct($"s", $"p").as("v"))
+    Formats.writeAvroSeqFile(df, dir, "\"long\"",
+      """{"type":"record","name":"V","fields":[
+        |{"name":"s","type":"string"},
+        |{"name":"p","type":"double"}]}""".stripMargin)
+    // readSeqFile sniffs the header and takes the Avro path on its own.
+    val back = Formats.readSeqFile(spark, dir)
+      .selectExpr("key", "value.s", "value.p")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == Set((1L, "a", 1.5), (2L, "bb", -2.5)))
+  }
+
+  test("seq source: a non-Text non-Avro key class fails loudly") {
+    import org.apache.hadoop.io.{LongWritable, SequenceFile, Text}
+    val dir = tmpDir("fmtseqbad")
+    val p = new org.apache.hadoop.fs.Path(dir, "part-r-00000")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val w = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(p),
+      SequenceFile.Writer.keyClass(classOf[LongWritable]),
+      SequenceFile.Writer.valueClass(classOf[Text]))
+    w.append(new LongWritable(1L), new Text("x")); w.close()
+    val e = intercept[IllegalArgumentException](Formats.readSeqFile(spark, dir))
+    assert(e.getMessage.contains("key class"))
+  }
+
   test("avro roundtrip preserves typed values") {
     val dir = tmpDir("fmtavro") + "/out"
     Formats.writeAvro(Seq((1L, 2.5, "x"), (2L, -0.125, "y")).toDF("id", "score", "tag"),

@@ -68,6 +68,11 @@ class LayoutJsonSpec extends SparkSpec {
     assert(hot.localityGroup == "memory" && hot.inMemory)
     assert(hot.compression == "gzip")
     assert(layout.localityGroups.keySet == Set("default", "memory"))
+    // group-type families carry their closed qualifier set; map-schema and
+    // column-less families stay open
+    assert(info.columns.contains(Seq("first_name")))
+    assert(layout.family("map_family").columns.isEmpty)
+    assert(hot.columns.isEmpty)
   }
 
   test("layout JSON: parsed layout drives a working EntityTable") {

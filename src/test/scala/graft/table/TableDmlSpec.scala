@@ -27,6 +27,72 @@ class TableDmlSpec extends SparkSpec {
     df.select("entity_id", "family", "qualifier", "ts").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
 
+  test("reader specs: per-column decode at read; spec must bind to a requested column") {
+    val dir = tmpDir("readerspec") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("f"))))
+    table.bulkLoad(Seq(
+      (1L, "f", "a", 1L, "10"), (1L, "f", "b", 1L, "xx"), (2L, "f", "a", 2L, "7"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 2)
+    // A spec with no explicit columns implicitly requests its column —
+    // 'b' (undecodable as long) never surfaces.
+    val out = table.mostRecent(DataRequest(readerSpecs = Map(
+      ("f", "a") -> (v => v.cast(org.apache.spark.sql.types.LongType)))))
+    assert(out.schema("value").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.collect().map(r => (r.getAs[Long]("entity_id"), r.getAs[Long]("value")))
+      .toSet == Set((1L, 10L), (2L, 7L)))
+    // A spec outside a non-empty column list is a request error.
+    intercept[IllegalArgumentException] {
+      table.mostRecent(DataRequest(columns = Seq(("f", "b")),
+        readerSpecs = Map(("f", "a") -> (v => v))))
+    }
+  }
+
+  test("group-type family: writes to undeclared qualifiers are rejected; map-type stays open") {
+    val dir = tmpDir("groupfam") + "/t"
+    val layout = TableLayout("t", Seq(
+      FamilySpec("grp", columns = Some(Seq("email", "name"))),
+      FamilySpec("open")))
+    val table = new EntityTable(spark, dir, layout)
+    // Declared qualifiers + any qualifier in the map-type family: fine.
+    table.bulkLoad(Seq(
+      (1L, "grp", "email", 1L, "a@x"), (1L, "grp", "name", 1L, "A"),
+      (1L, "open", "anything_goes", 1L, "v"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    assert(table.cells.count() == 3)
+    // An undeclared qualifier in the closed family fails the load.
+    val e = intercept[Exception] {
+      table.bulkLoad(Seq((2L, "grp", "nickname", 1L, "B"))
+        .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not declared for group-type family")))
+  }
+
+  test("major compaction physically drops beyond max_versions and expired TTL") {
+    val dir = tmpDir("majorcompact") + "/t"
+    val layout = TableLayout("t", Seq(
+      FamilySpec("info", maxVersions = 2),
+      FamilySpec("tmp", ttlSeconds = Some(10L))))
+    val table = new EntityTable(spark, dir, layout)
+    val asOf = 100L * 1000000L // t = 100s in micros; tmp TTL cutoff = 90s
+    table.bulkLoad(Seq(
+      (1L, "info", "email", 1L, "v1"), (1L, "info", "email", 2L, "v2"),
+      (1L, "info", "email", 3L, "v3"), (1L, "info", "email", 4L, "v4"),
+      (2L, "tmp", "x", 80L * 1000000L, "expired"),
+      (2L, "tmp", "x", 95L * 1000000L, "fresh"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 2)
+    assert(table.cells.count() == 6)
+    val before = table.read(DataRequest(maxVersions = 10), asOf).collect().toSet
+    table.majorCompact(asOf)
+    // Physically shrunk: 2 newest info versions + 1 unexpired tmp cell.
+    assert(table.cells.count() == 3)
+    assert(table.cells.select("value").collect().map(_.getString(0)).toSet ==
+      Set("v3", "v4", "fresh"))
+    // Reads are unchanged by compaction.
+    assert(table.read(DataRequest(maxVersions = 10), asOf).collect().toSet == before)
+  }
+
   test("put: appends a new cell version") {
     val out = Dml.applyChanges(cells, changesDF(Seq(
       Dml.put(1L, "info", "email", 30L, "newest@x"))))
