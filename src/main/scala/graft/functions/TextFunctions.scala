@@ -97,19 +97,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast(BinaryType))
 
-  /** Portable 28-bit hash of a string: first 7 hex digits of md5. Both Spark
-    * (`conv`) and DuckDB (`('0x'||…)::BIGINT`) produce the identical long,
-    * and 28 bits leaves headroom for exact affine re-hashing in int64. */
-  def hash28(c: Column): Column =
-    conv(substring(md5(c.cast(BinaryType)), 1, 7), 16, 10).cast(LongType)
+  private def md5Prefix(c: Column, nibbles: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    columnOf(graft.plans.Md5PrefixLong(expressionOf(c), nibbles))
+  }
+
+  /** Portable 28-bit hash of a string: first 7 hex digits of md5, read
+    * straight off the digest bytes (`graft.plans.Md5PrefixLong` — value-
+    * identical to `conv(substring(md5(…), 1, 7), 16, 10)`, property-tested,
+    * minus that chain's per-row hex encode + radix parse). DuckDB computes
+    * the identical long via `('0x'||substr(md5(e),1,7))::BIGINT`; 28 bits
+    * leaves headroom for exact affine re-hashing in int64. */
+  def hash28(c: Column): Column = md5Prefix(c, 7)
 
   /** Portable 32-bit hash (for simhash bit sampling). */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+  def hash32(c: Column): Column = md5Prefix(c, 8)
 
   /** Portable 60-bit hash (first 15 hex md5 chars): wide enough to feed a
     * 60-bit simhash while staying exactly representable as signed int64 on
     * both engines (61+ bits would overflow DuckDB's ::BIGINT parse). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+  def hash60(c: Column): Column = md5Prefix(c, 15)
 }

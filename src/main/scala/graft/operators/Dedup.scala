@@ -29,10 +29,13 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** MinHash affine re-hash constants h_j(x) = (A_j·x + B_j) mod P over the
-    * 28-bit base hash: products stay < 2^41, exact in int64 in both engines. */
-  val Prime = 2147483647L // 2^31 - 1
-  def hashA(j: Int): Long = 1L + 2L * j
-  def hashB(j: Int): Long = 12345L + 777L * j
+    * 28-bit base hash: products stay < 2^41, exact in int64 in both engines.
+    * Single source of truth is the native signature kernel
+    * ([[graft.plans.MinhashSignature]]); these forwards keep the oracle SQL
+    * builders on the identical family. */
+  val Prime: Long = graft.plans.MinhashSignature.Prime
+  def hashA(j: Int): Long = graft.plans.MinhashSignature.hashA(j)
+  def hashB(j: Int): Long = graft.plans.MinhashSignature.hashB(j)
 
   /** Exact dedup: cluster by fingerprint; survivor = min id per cluster.
     * Output: (fp, survivor_id, cluster_size), one row per cluster. */
@@ -77,27 +80,37 @@ object Dedup {
     // can use the O(n+m) two-pointer intersect. The hashed form is
     // ~8 bytes/gram: at 100 TB of text this cache is ~1% of the input and
     // spills to disk if executors can't hold it.
-    // Registered for caller-managed release (OperatorCaches.releaseAll
-    // after the consuming action) — the cache must outlive this lazy result.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    // Gram hashing and the k-minhash signature both run as native one-pass
+    // kernels (graft.plans.Md5ArrayLong / MinhashSignature): the HOF forms
+    // (transform/array_min lambdas) are CodegenFallback — interpreted per
+    // ELEMENT — and walk the gram array once per minhash. Registered for
+    // caller-managed release (OperatorCaches.releaseAll after the
+    // consuming action) — the cache must outlive this lazy result.
     val hashedDf = OperatorCaches.register(
       gramsDf.select(col("id"),
-        array_sort(array_distinct(transform(col("grams"), g => hash28(g)))).as("ghash"))
+        columnOf(graft.plans.Md5ArrayLong(expressionOf(col("grams")),
+          nibbles = 7, distinctSorted = true)).as("ghash"))
+        .withColumn("sig", columnOf(graft.plans.MinhashSignature(
+          expressionOf(col("ghash")), numHashes)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Band-key magnitude: minhashes are < 2^31 (mod P), so after r
     // polynomial steps the key is < 2^31·31^(r-1) — exact in int64 only
     // for r ≤ 7 rows per band.
     require(rows <= 7, s"rows per band must be <= 7 for an exact int64 band key, got $rows")
-    val sigCols = (0 until numHashes).map(j => minhashOfHashes(col("ghash"), j))
     // Band key = base-31 polynomial of the band's minhash rows: an 8-byte
     // LONG shuffle key instead of a ~40-char string (round 3 used
     // concat_ws) — smaller exchange, cheaper hash-partitioning, and the
     // oracle reproduces the identical integer. A polynomial collision
     // across bands only adds a candidate pair, which the exact-Jaccard
-    // rerank then filters identically in both engines.
+    // rerank then filters identically in both engines. An empty gram set
+    // has a null signature (array_min semantics) -> null band keys ->
+    // never joins, in both engines.
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        sigCols.slice(b * rows, (b + 1) * rows)
-          .foldLeft(lit(0L))((acc, c) => acc * 31 + c).as("bkey"))
+        (b * rows until (b + 1) * rows)
+          .foldLeft(lit(0L))((acc, j) => acc * 31 + element_at(col("sig"), j + 1))
+          .as("bkey"))
     }
     // The band rows CARRY the gram-hash arrays: the per-bucket self-join
     // shuffles |docs|·bands array rows (megabytes), and the exact-Jaccard
@@ -139,10 +152,23 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Token-hash array of a text column as one native pass (duplicates
+    * kept: every occurrence votes in the frequency-weighted simhash). */
+  private def tokenHashes(text: Column, nibbles: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    columnOf(graft.plans.Md5ArrayLong(expressionOf(tokens(text)),
+      nibbles, distinctSorted = false))
+  }
+
+  private def simhashNative(hs: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    columnOf(graft.plans.SimhashOfHashes(expressionOf(hs), bits))
+  }
+
   /** 32-bit SimHash of a text column (convenience; prefer materializing the
     * token hashes once when computing anything else alongside). */
   def simhash32(text: Column): Column =
-    simhashOfHashes(transform(tokens(text), t => hash32(t)))
+    simhashNative(tokenHashes(text, nibbles = 8), 32)
 
   /** Default simhash geometry: 60-bit fingerprints in 5 bands of 12 bits.
     *
@@ -169,11 +195,12 @@ object Dedup {
     require(maxHamming <= bands - 1,
       s"recall guarantee needs bands > maxHamming ($bands bands, maxHamming $maxHamming)")
     val bandBits = bits / bands
-    val tokenHash: Column => Column = if (bits > 32) hash60 else hash32
-    val sim = docs
-      .select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => tokenHash(t)).as("hs"))
-      .select(col("id"), simhashOfHashes(col("hs"), bits).as("simhash"))
+    // Native one-pass kernels: hash every token, then fold all `bits` vote
+    // counters in a single walk (the HOF form re-walks the token array
+    // once per bit, interpreted).
+    val sim = docs.select(col(idCol).as("id"),
+      simhashNative(tokenHashes(col(textCol), if (bits > 32) 15 else 8), bits)
+        .as("simhash"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), bandBits * b)

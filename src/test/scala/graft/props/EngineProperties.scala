@@ -97,6 +97,61 @@ object EngineProperties extends Properties("graft") {
       pairs.toList == List((1L, 2L, 0))
     }
 
+  // ── native hash kernels ≡ the composed-functions formulas they replace ──
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("ému", "势", "a b", "", "\t")))
+    .map(_.mkString(" ")).map(_.take(60))
+
+  property("Md5PrefixLong == conv(substring(md5(utf8)))") =
+    forAll(Gen.listOfN(6, textGen), Gen.oneOf(7, 8, 15)) { (ss, nibbles) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      import org.apache.spark.sql.types.{BinaryType, LongType}
+      val df = ss.toDF("s")
+      val legacy = conv(substring(md5($"s".cast(BinaryType)), 1, nibbles), 16, 10)
+        .cast(LongType)
+      val native = columnOf(graft.plans.Md5PrefixLong(expressionOf($"s"), nibbles))
+      df.select(legacy.as("l"), native.as("n"))
+        .collect().forall(r => r.getLong(0) == r.getLong(1))
+    }
+
+  property("Md5ArrayLong(distinctSorted) == array_sort∘array_distinct∘transform(hash)") =
+    forAll(Gen.listOfN(4, Gen.listOf(Gen.oneOf("a", "bb", "ccc", "a", "")))) { lists =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      import org.apache.spark.sql.types.{BinaryType, LongType}
+      val df = lists.map(Tuple1(_)).toDF("grams")
+      val legacy = array_sort(array_distinct(transform($"grams", g =>
+        conv(substring(md5(g.cast(BinaryType)), 1, 7), 16, 10).cast(LongType))))
+      val native = columnOf(graft.plans.Md5ArrayLong(expressionOf($"grams"), 7,
+        distinctSorted = true))
+      df.select(legacy.as("l"), native.as("n"))
+        .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
+  property("MinhashSignature == k-fold array_min(transform(affine)); empty -> null") =
+    forAll(Gen.listOfN(5, Gen.listOf(Gen.choose(0L, (1L << 28) - 1)))) { lists =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      val k = 16
+      val df = lists.map(Tuple1(_)).toDF("ghash")
+      val legacy = array((0 until k).map(j => Dedup.minhashOfHashes($"ghash", j)): _*)
+      val native = columnOf(graft.plans.MinhashSignature(expressionOf($"ghash"), k))
+      df.select($"ghash", legacy.as("l"), native.as("n")).collect().forall { r =>
+        if (r.getSeq[Long](0).isEmpty) r.isNullAt(2) // empty grams -> null sig
+        else r.getSeq[Long](1) == r.getSeq[Long](2)
+      }
+    }
+
+  property("SimhashOfHashes == per-bit aggregate vote fold") =
+    forAll(Gen.listOfN(4, Gen.listOf(Gen.choose(0L, (1L << 60) - 1))),
+        Gen.oneOf(32, 60)) { (lists, bits) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      val df = lists.map(Tuple1(_)).toDF("hs")
+      val legacy = Dedup.simhashOfHashes($"hs", bits)
+      val native = columnOf(graft.plans.SimhashOfHashes(expressionOf($"hs"), bits))
+      df.select(legacy.as("l"), native.as("n"))
+        .collect().forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   property("bitsFor keeps bucket population near the target at any corpus size") =
     forAll(Gen.choose(1L, 1L << 40), Gen.choose(1L, 4096L)) { (n, target) =>
       val b = graft.operators.Similarity.bitsFor(n, target)
