@@ -91,15 +91,17 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
 
   /** Honor the layout's `in_memory` locality groups (the HBase in-memory
     * column-family flag, `test.json:25`): persist those groups' cells in
-    * executor memory and force materialization, so subsequent point reads
-    * hit the cache instead of the scan. Returns the cached frames by
-    * group name; call `.unpersist()` on them to release. */
-  def cacheInMemoryGroups(): Map[String, DataFrame] =
+    * executor memory so subsequent point reads hit the cache instead of
+    * the scan. `eager` (default) forces materialization now; pass false
+    * at scale to let the first consuming action pay for the fill instead
+    * of this call. Returns the cached frames by group name; call
+    * `.unpersist()` on them to release. */
+  def cacheInMemoryGroups(eager: Boolean = true): Map[String, DataFrame] =
     layout.localityGroups.collect {
       case (g, fams) if fams.head.inMemory =>
         val df = localityGroupCells(g)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-        df.count()
+        if (eager) df.count()
         g -> df
     }
 
