@@ -141,6 +141,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Resolve near-duplicate PAIRS into clusters — the survivorship step a
+    * training pipeline runs after pair mining: every document in a
+    * connected component gets the component's minimum doc id as its
+    * cluster id (so `doc_id == cluster_id` marks the survivor and the
+    * rest are the drop set).
+    *
+    * Algorithm: iterative min-label propagation over the pair graph —
+    * each round, every node takes the min of its own and its neighbors'
+    * labels, until a fixpoint. Rounds are bounded by component DIAMETER,
+    * and near-dup components are tiny dense clusters (diameter 2-3), so
+    * 3-4 joins settle it at any corpus size; each round is one
+    * shuffle-join + one partial-aggregable min. (For adversarial
+    * long-chain graphs you'd switch to large-star/small-star rounds —
+    * O(log n) — but dedup graphs are not that.)
+    *
+    * @param pairs (doc_a, doc_b) near-dup pairs, doc_a < doc_b
+    * @return (doc_id, cluster_id) for every doc appearing in some pair
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = OperatorCaches.register(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(lvl))
+    var labels = OperatorCaches.register(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).persist(lvl))
+    var changed = labels.count() > 0
+    while (changed) {
+      val prop = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
+        .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
+      val next = OperatorCaches.register(
+        labels.union(prop).groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .persist(lvl))
+      // Labels only ever decrease; a strict decrease anywhere means another
+      // round. The limit(1) keeps the convergence probe cheap.
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl")).limit(1).count() > 0
+      labels.unpersist(false)
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** SimHash from a precomputed token-hash array (frequency-weighted:
     * every occurrence votes ±1 per bit). Takes the hash column rather
     * than hashing inline so the md5s run once, not `bits`× (lambda

@@ -95,12 +95,45 @@ object DedupQueries {
   lazy val q24_sql: String = lshOracleSql(
     sqlCharGrams("text", CharGramN), MinHashK, MinHashBands, CharGramThreshold)
 
+  // ── q49: near-dup survivorship — q22's pair mining resolved into
+  // connected-component clusters (cluster id = min doc id; doc_id ==
+  // cluster_id marks the survivor). Spark: iterative min-label
+  // propagation; oracle: recursive CTE reachability — both converge to
+  // the identical fixpoint, so the compare is exact. ──────────────────────
+  val q49_dedup_clusters: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id".as("id"),
+        array_distinct(shingles($"text", ShingleN)).as("grams"))
+    val pairs = Dedup.minhashLshPairs(grams, MinHashK, MinHashBands, JaccardThreshold)
+    Dedup.nearDupClusters(pairs.select($"doc_a", $"doc_b"))
+      .orderBy($"doc_id")
+  }
+  lazy val q49_sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+       |)
+       |SELECT id AS doc_id, min(lbl) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Shared LSH oracle: same hashed-gram signature/banding/rerank as
     * minhashLshPairs (the md5→28-bit gram hashes, the affine minhashes,
     * the band keys, and the Jaccard over hashed gram sets all mirror the
     * Spark side exactly). */
   private def lshOracleSql(gramsExpr: String, k: Int, bands: Int,
-                           threshold: Double): String = {
+                           threshold: Double): String =
+    lshPairsSql(gramsExpr, k, bands, threshold) + "\nORDER BY doc_a, doc_b"
+
+  /** The pair-mining body without a final ORDER BY, reusable as a CTE. */
+  private def lshPairsSql(gramsExpr: String, k: Int, bands: Int,
+                          threshold: Double): String = {
     val rows = k / bands
     val mh = (0 until k).map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j")
       .mkString(",\n  ")
@@ -133,8 +166,7 @@ object DedupQueries {
        |JOIN hashed ga ON ga.doc_id = doc_a
        |JOIN hashed gb ON gb.doc_id = doc_b
        |WHERE len(list_intersect(ga.ghash, gb.ghash))::DOUBLE /
-       |    len(list_distinct(list_concat(ga.ghash, gb.ghash))) >= $threshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    len(list_distinct(list_concat(ga.ghash, gb.ghash))) >= $threshold""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -142,11 +174,13 @@ object DedupQueries {
     "q22_minhash_dedup" -> q22_minhash_dedup,
     "q23_simhash_dedup" -> q23_simhash_dedup,
     "q24_ngram_jaccard" -> q24_ngram_jaccard,
+    "q49_dedup_clusters" -> q49_dedup_clusters,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
     "q22_minhash_dedup" -> q22_sql,
     "q23_simhash_dedup" -> q23_sql,
     "q24_ngram_jaccard" -> q24_sql,
+    "q49_dedup_clusters" -> q49_sql,
   )
 }

@@ -54,6 +54,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.head.getSeq[String](0).isEmpty)
   }
 
+  test("nearDupClusters: chained pairs converge to min-id components") {
+    // 1-2-3-4 is a CHAIN (needs multiple propagation rounds), 7-9 is a
+    // separate component, 5 appears in no pair (absent from output).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
   test("knnExact: nearest neighbor ordering matches exact cosine") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
