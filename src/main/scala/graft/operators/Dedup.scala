@@ -127,13 +127,27 @@ object Dedup {
     // Jaccard via ONE two-pointer merge per pair (the arrays are sorted
     // distinct): inter / (|a| + |b| - inter). array_intersect/array_union
     // would each build a per-row hash set — ~30× slower in the rerank loop.
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    // minJaccard arms the merge's early abort: low-overlap candidates stop
+    // as soon as they provably can't pass the threshold (aborted pairs
+    // yield -1 -> negative jaccard -> dropped by the same filter).
     val inter = columnOf(graft.plans.SortedIntersectSize(
-      expressionOf(col("a.ghash")), expressionOf(col("b.ghash"))))
+      expressionOf(col("a.ghash")), expressionOf(col("b.ghash")),
+      if (threshold > 0) Some(threshold) else None))
+    // Size-ratio prefilter inside the JOIN condition: jaccard <= min/max
+    // (inter <= min size, union >= max size), so a pair whose size ratio is
+    // already under the threshold can never pass the rerank — pruned here,
+    // BEFORE the O(n+m) intersect in the projection runs. Exact: IEEE
+    // division is monotone, so double(min/max) >= double(inter/union)
+    // whenever the real ratios are ordered — no boundary pair the oracle
+    // keeps is ever dropped.
+    val sizeRatioOk =
+      least(size(col("a.ghash")), size(col("b.ghash"))).cast(DoubleType) /
+        greatest(size(col("a.ghash")), size(col("b.ghash"))).cast(DoubleType) >=
+        threshold
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && sizeRatioOk)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         (inter.cast(DoubleType) /
           (size(col("a.ghash")) + size(col("b.ghash")) - inter)).as("jaccard"))
@@ -147,33 +161,43 @@ object Dedup {
     * cluster id (so `doc_id == cluster_id` marks the survivor and the
     * rest are the drop set).
     *
-    * Algorithm: iterative min-label propagation over the pair graph —
-    * each round, every node takes the min of its own and its neighbors'
-    * labels, until a fixpoint. Rounds are bounded by component DIAMETER,
-    * and near-dup components are tiny dense clusters (diameter 2-3), so
-    * 3-4 joins settle it at any corpus size; each round is one
-    * shuffle-join + one partial-aggregable min. (For adversarial
-    * long-chain graphs you'd switch to large-star/small-star rounds —
-    * O(log n) — but dedup graphs are not that.)
+    * Algorithm: iterative min-label propagation with POINTER DOUBLING —
+    * each round every node takes the min of its own label, its neighbors'
+    * labels, and its label's label (the path-halving step of classic
+    * pointer-jumping CC). Neighbor-min alone needs O(diameter) rounds,
+    * and near-dup graphs DO contain long chains (each drifted copy pairs
+    * only with its neighbors in the drift sequence); label-doubling cuts
+    * that to O(log diameter) rounds of two shuffle-joins + one
+    * partial-aggregable min each. The fixpoint is unchanged: labels stay
+    * within the component and only ever decrease, so both variants (and
+    * the oracle's recursive closure) converge to min-of-component.
     *
     * @param pairs (doc_a, doc_b) near-dup pairs, doc_a < doc_b
     * @return (doc_id, cluster_id) for every doc appearing in some pair
     */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Both edge directions from ONE pass over the pairs (explode, not a
+    // self-union: a union would reference — and recompute — the unpersisted
+    // pair-mining subtree twice).
     val edges = OperatorCaches.register(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist(lvl))
     var labels = OperatorCaches.register(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")).persist(lvl))
     var changed = labels.count() > 0
     while (changed) {
-      val prop = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
+      val viaEdges = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
+      val viaLabels = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
       val next = OperatorCaches.register(
-        labels.union(prop).groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        labels.union(viaEdges).union(viaLabels)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .persist(lvl))
       // Labels only ever decrease; a strict decrease anywhere means another
       // round. The limit(1) keeps the convergence probe cheap.

@@ -152,6 +152,31 @@ object EngineProperties extends Properties("graft") {
         .collect().forall(r => r.getLong(0) == r.getLong(1))
     }
 
+  property("thresholded sorted_intersect_size drops exactly the sub-threshold pairs") =
+    forAll(Gen.listOfN(8,
+        for {
+          // at least one side non-empty: the pipeline never reranks
+          // empty-vs-empty (empty gram sets get null band keys), and
+          // 0/0 would trip ANSI division
+          a <- Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+          b <- Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+        } yield (a, b)),
+      Gen.oneOf(0.3, 0.5, 0.8, 1.0)) { (pairs, t) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      import org.apache.spark.sql.types.DoubleType
+      val df = pairs.toDF("a", "b")
+      def jac(minJ: Option[Double]) = {
+        val inter = columnOf(graft.plans.SortedIntersectSize(
+          expressionOf($"a"), expressionOf($"b"), minJ))
+        df.select($"a", $"b",
+          (inter.cast(DoubleType) / (size($"a") + size($"b") - inter)).as("j"))
+          .filter($"j" >= t)
+          .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1), r.getDouble(2)))
+          .toSet
+      }
+      jac(None) == jac(Some(t)) // surviving pairs AND their values identical
+    }
+
   property("bitsFor keeps bucket population near the target at any corpus size") =
     forAll(Gen.choose(1L, 1L << 40), Gen.choose(1L, 4096L)) { (n, target) =>
       val b = graft.operators.Similarity.bitsFor(n, target)
