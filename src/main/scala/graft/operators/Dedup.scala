@@ -70,27 +70,37 @@ object Dedup {
     */
   def minhashLshPairs(gramsDf: DataFrame, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    minhashLshPairsHashed(
+      gramsDf.select(col("id"),
+        columnOf(graft.plans.Md5ArrayLong(expressionOf(col("grams")),
+          nibbles = 7, distinctSorted = true)).as("ghash")),
+      numHashes, bands, threshold)
+  }
+
+  /** [[minhashLshPairs]] over PRE-HASHED gram sets `(id, ghash)`: sorted
+    * distinct 28-bit gram hashes, e.g. straight from the fused
+    * `char_gram_hashes` / `word_shingle_hashes` kernels — which never
+    * materialize a gram string at all. */
+  def minhashLshPairsHashed(hashedGrams: DataFrame, numHashes: Int,
+                            bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Materialized as its own projection; CollapseProject keeps expensive
-    // multiply-referenced expressions un-inlined, so the md5s run once per
-    // scan — and persist() makes it once TOTAL: the plan references this
-    // frame on both sides of the band self-join, and Spark recomputes
-    // unpersisted subtrees per reference. Sorted ascending so the rerank
-    // can use the O(n+m) two-pointer intersect. The hashed form is
-    // ~8 bytes/gram: at 100 TB of text this cache is ~1% of the input and
-    // spills to disk if executors can't hold it.
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
-    // Gram hashing and the k-minhash signature both run as native one-pass
-    // kernels (graft.plans.Md5ArrayLong / MinhashSignature): the HOF forms
-    // (transform/array_min lambdas) are CodegenFallback — interpreted per
-    // ELEMENT — and walk the gram array once per minhash. Registered for
+    // Hashes + signature materialized as their own projection and
+    // persist()ed: the plan references this frame on both sides of the
+    // band self-join, and Spark recomputes unpersisted subtrees per
+    // reference. ghash is sorted ascending so the rerank can use the
+    // O(n+m) two-pointer intersect; the hashed form is ~8 bytes/gram — at
+    // 100 TB of text this cache is ~1% of the input and spills to disk if
+    // executors can't hold it. The k-minhash signature runs as a native
+    // one-pass kernel (graft.plans.MinhashSignature): the HOF form
+    // (k × array_min lambdas) is CodegenFallback — interpreted per
+    // ELEMENT — and walks the gram array once per minhash. Registered for
     // caller-managed release (OperatorCaches.releaseAll after the
     // consuming action) — the cache must outlive this lazy result.
     val hashedDf = OperatorCaches.register(
-      gramsDf.select(col("id"),
-        columnOf(graft.plans.Md5ArrayLong(expressionOf(col("grams")),
-          nibbles = 7, distinctSorted = true)).as("ghash"))
+      hashedGrams.select(col("id"), col("ghash"))
         .withColumn("sig", columnOf(graft.plans.MinhashSignature(
           expressionOf(col("ghash")), numHashes)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

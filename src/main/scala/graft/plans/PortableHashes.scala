@@ -50,12 +50,15 @@ object Md5PrefixLong {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** First `nibbles` hex digits of md5 of the string's UTF-8 bytes, as a
-    * long (big-endian nibble order — exactly the hex-prefix parse). */
-  def hash(s: UTF8String, nibbles: Int): Long = {
+  private[plans] def digest(): MessageDigest = {
     val md = digests.get()
     md.reset()
-    val digest = md.digest(s.getBytes)
+    md
+  }
+
+  /** First `nibbles` hex digits of a digest as a long (big-endian nibble
+    * order — exactly the hex-prefix parse). */
+  private[plans] def prefixOf(digest: Array[Byte], nibbles: Int): Long = {
     var v = 0L
     var i = 0
     while (i < nibbles) {
@@ -65,6 +68,10 @@ object Md5PrefixLong {
     }
     v
   }
+
+  /** First `nibbles` hex digits of md5 of the string's UTF-8 bytes. */
+  def hash(s: UTF8String, nibbles: Int): Long =
+    prefixOf(digest().digest(s.getBytes), nibbles)
 }
 
 /** `simhash_of_hashes(hs, bits)`: frequency-weighted SimHash folded from a
@@ -134,6 +141,21 @@ case class Md5ArrayLong(child: Expression, nibbles: Int, distinctSorted: Boolean
 }
 
 object Md5ArrayLong {
+  /** Sort ascending + drop adjacent duplicates, in place. */
+  private[plans] def sortedDistinct(out: Array[Long]): ArrayData = {
+    val n = out.length
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < n) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+
   def hashAll(arr: ArrayData, nibbles: Int, distinctSorted: Boolean): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
@@ -142,19 +164,141 @@ object Md5ArrayLong {
       out(i) = Md5PrefixLong.hash(arr.getUTF8String(i), nibbles)
       i += 1
     }
-    if (!distinctSorted || n == 0)
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    else {
-      java.util.Arrays.sort(out)
-      var w = 1
-      var r = 1
-      while (r < n) {
-        if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
-        r += 1
+    if (distinctSorted) sortedDistinct(out)
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `char_gram_hashes(text, n, nibbles)`: sorted distinct hashes of every
+  * n-CHARACTER window of the text, fused into one pass — equivalent to
+  * `Md5ArrayLong(array_distinct(charGrams(text, n)))` (property-tested)
+  * without materializing a single gram string through the interpreted HOF
+  * machinery. Windows are code-point based, matching `substring`'s SQL
+  * semantics; an all-ASCII fast path hashes byte windows of the UTF-8
+  * buffer directly. Texts shorter than n yield an empty array. */
+case class CharGramHashes(child: Expression, n: Int, nibbles: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram length must be >= 1, got $n")
+  require(nibbles >= 1 && nibbles <= 15,
+    s"nibbles must be 1..15 to stay in signed int64, got $nibbles")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    CharGramHashes.hash(s.asInstanceOf[UTF8String], n, nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.CharGramHashes.hash($s, $n, $nibbles);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_gram_hashes"
+}
+
+object CharGramHashes {
+  def hash(s: UTF8String, n: Int, nibbles: Int): ArrayData = {
+    val numChars = s.numChars()
+    if (numChars < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val count = numChars - n + 1
+    val out = new Array[Long](count)
+    val md = Md5PrefixLong.digest()
+    if (s.numBytes() == numChars) {
+      // all-ASCII: byte windows ARE the grams' UTF-8 bytes
+      val base = s.getBytes
+      var i = 0
+      while (i < count) {
+        md.reset()
+        md.update(base, i, n)
+        out(i) = Md5PrefixLong.prefixOf(md.digest(), nibbles)
+        i += 1
       }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        if (w == n) out else java.util.Arrays.copyOf(out, w))
+    } else {
+      var i = 0
+      while (i < count) {
+        md.reset()
+        out(i) = Md5PrefixLong.prefixOf(
+          md.digest(s.substring(i, i + n).getBytes), nibbles)
+        i += 1
+      }
     }
+    Md5ArrayLong.sortedDistinct(out)
+  }
+}
+
+/** `word_shingle_hashes(text, n, nibbles)`: sorted distinct hashes of the
+  * space-joined n-token windows of `split(lower(text), "\\s+")` — fused
+  * equivalent of `Md5ArrayLong(array_distinct(shingles(text, n)))`
+  * (property-tested), mirroring the composed form's exact tokenization
+  * (UTF8String lowercase, Java regex split with limit -1, including its
+  * leading/trailing empty-token behavior). Fewer than n tokens yields an
+  * empty array. */
+case class WordShingleHashes(child: Expression, n: Int, nibbles: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+  require(nibbles >= 1 && nibbles <= 15,
+    s"nibbles must be 1..15 to stay in signed int64, got $nibbles")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    WordShingleHashes.hash(s.asInstanceOf[UTF8String], n, nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.WordShingleHashes.hash($s, $n, $nibbles);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+object WordShingleHashes {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  def hash(s: UTF8String, n: Int, nibbles: Int): ArrayData = {
+    // Mirror split(lower(text), "\s+"): UTF8String lowercase, Java regex
+    // split with limit -1 (trailing empties kept, as Spark's split does).
+    val toks = Whitespace.split(s.toLowerCase.toString, -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val count = toks.length - n + 1
+    val out = new Array[Long](count)
+    val md = Md5PrefixLong.digest()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      out(i) = Md5PrefixLong.prefixOf(
+        md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        nibbles)
+      i += 1
+    }
+    Md5ArrayLong.sortedDistinct(out)
   }
 }
 

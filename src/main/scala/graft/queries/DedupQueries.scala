@@ -36,12 +36,20 @@ object DedupQueries {
   val ShingleN = 3
   val JaccardThreshold = 0.8
 
+  /** Fused extraction+hashing: text → sorted distinct gram hashes in one
+    * native pass (no gram strings materialized). */
+  private def shingleHashes(s: SparkSession, d: String) = {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    Tables.documents(s, d).select($"doc_id".as("id"),
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf($"text"), ShingleN, 7)).as("ghash"))
+  }
+
   val q22_minhash_dedup: Q = (s, d) => {
     import s.implicits._
-    val grams = Tables.documents(s, d)
-      .select($"doc_id".as("id"),
-        array_distinct(shingles($"text", ShingleN)).as("grams"))
-    Dedup.minhashLshPairs(grams, MinHashK, MinHashBands, JaccardThreshold)
+    Dedup.minhashLshPairsHashed(shingleHashes(s, d),
+        MinHashK, MinHashBands, JaccardThreshold)
       .orderBy($"doc_a", $"doc_b")
   }
   lazy val q22_sql: String = lshOracleSql(
@@ -86,10 +94,11 @@ object DedupQueries {
 
   val q24_ngram_jaccard: Q = (s, d) => {
     import s.implicits._
-    val grams = Tables.documents(s, d)
-      .select($"doc_id".as("id"),
-        array_distinct(charGrams($"text", CharGramN)).as("grams"))
-    Dedup.minhashLshPairs(grams, MinHashK, MinHashBands, CharGramThreshold)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val hashed = Tables.documents(s, d).select($"doc_id".as("id"),
+      columnOf(graft.plans.CharGramHashes(
+        expressionOf($"text"), CharGramN, 7)).as("ghash"))
+    Dedup.minhashLshPairsHashed(hashed, MinHashK, MinHashBands, CharGramThreshold)
       .orderBy($"doc_a", $"doc_b")
   }
   lazy val q24_sql: String = lshOracleSql(
@@ -102,10 +111,8 @@ object DedupQueries {
   // the identical fixpoint, so the compare is exact. ──────────────────────
   val q49_dedup_clusters: Q = (s, d) => {
     import s.implicits._
-    val grams = Tables.documents(s, d)
-      .select($"doc_id".as("id"),
-        array_distinct(shingles($"text", ShingleN)).as("grams"))
-    val pairs = Dedup.minhashLshPairs(grams, MinHashK, MinHashBands, JaccardThreshold)
+    val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
+      MinHashK, MinHashBands, JaccardThreshold)
     Dedup.nearDupClusters(pairs.select($"doc_a", $"doc_b"))
       .orderBy($"doc_id")
   }

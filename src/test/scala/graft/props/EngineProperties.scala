@@ -152,6 +152,28 @@ object EngineProperties extends Properties("graft") {
         .collect().forall(r => r.getLong(0) == r.getLong(1))
     }
 
+  property("CharGramHashes == hash∘distinct∘charGrams (incl. unicode + short texts)") =
+    forAll(Gen.listOfN(5, textGen), Gen.oneOf(2, 4, 8)) { (ss, n) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      val df = ss.toDF("s")
+      val legacy = columnOf(graft.plans.Md5ArrayLong(
+        expressionOf(array_distinct(charGrams($"s", n))), 7, distinctSorted = true))
+      val fused = columnOf(graft.plans.CharGramHashes(expressionOf($"s"), n, 7))
+      df.select(legacy.as("l"), fused.as("f"))
+        .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
+  property("WordShingleHashes == hash∘distinct∘shingles (split/lower semantics)") =
+    forAll(Gen.listOfN(5, textGen), Gen.oneOf(1, 2, 3)) { (ss, n) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      val df = ss.toDF("s")
+      val legacy = columnOf(graft.plans.Md5ArrayLong(
+        expressionOf(array_distinct(shingles($"s", n))), 7, distinctSorted = true))
+      val fused = columnOf(graft.plans.WordShingleHashes(expressionOf($"s"), n, 7))
+      df.select(legacy.as("l"), fused.as("f"))
+        .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
   property("thresholded sorted_intersect_size drops exactly the sub-threshold pairs") =
     forAll(Gen.listOfN(8,
         for {
