@@ -142,7 +142,7 @@ object Tool {
       |  --<gatherer|producer|importer|pivoter>=<class>
       |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
-      |           [columns=fam:qual,...] [timerange=lo,hi]"
+      |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]"
       |  --output="format=<parquet|text|csv|seq|avro|avrokv|map> file=... [splits=N]"
       |         | "format=<kiji|hfile> table=<path> [layout=<layout.json>] [splits=N]"
       |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin

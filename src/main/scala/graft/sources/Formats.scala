@@ -63,12 +63,19 @@ object Formats {
   }
 
   /** `format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
-    * [columns=fam:qual,...] [timerange=lo,hi]` — the reference CLI's
-    * primary input shape (`KM/tools/framework/JobInputSpec.java:52-70`,
+    * [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]`
+    * — the reference CLI's primary input shape
+    * (`KM/tools/framework/JobInputSpec.java:52-70`,
     * `KM/tools/KijiGather.java:38-44`: a table scan under a
-    * KijiDataRequest). `maxversions=1` (the default, as in
-    * KijiDataRequest) yields the flat most-recent row shape operators
-    * consume; >1 yields the versions-array shape of `EntityTable.read`. */
+    * KijiDataRequest with optional start/limit row keys,
+    * `KM/framework/KijiTableInputFormat.java:87-120`). `maxversions=1`
+    * (the default, as in KijiDataRequest) yields the flat most-recent row
+    * shape operators consume; >1 yields the versions-array shape of
+    * `EntityTable.read`. The row-key range is a plain predicate on
+    * `entity_id` (string order == key order for RAW and zero-padded
+    * FORMATTED keys), so it reaches the parquet scan as a pushed filter
+    * and prunes range-partitioned files by min/max stats — the
+    * region-pruned scan of the reference. */
   def readKijiTable(spark: SparkSession, kv: Map[String, String]): DataFrame = {
     import graft.table.{DataRequest, EntityTable, LayoutJson, TableLayout}
     val tablePath = kv.getOrElse("table",
@@ -87,7 +94,11 @@ object Formats {
       (lo.toLong, hi.toLong)
     }
     val req = DataRequest(columns, maxVersions, timeRange)
-    if (maxVersions == 1) table.mostRecent(req) else table.read(req)
+    val scanned = if (maxVersions == 1) table.mostRecent(req) else table.read(req)
+    val ranged = kv.get("startrow")
+      .map(k => scanned.filter(col("entity_id") >= k)).getOrElse(scanned)
+    kv.get("limitrow")
+      .map(k => ranged.filter(col("entity_id") < k)).getOrElse(ranged)
   }
 
   def readText(spark: SparkSession, path: String): DataFrame =

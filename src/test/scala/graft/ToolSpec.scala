@@ -145,6 +145,16 @@ class ToolSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() == 4L)
   }
 
+  test("CLI kiji input honors startrow/limitrow row-key ranges") {
+    val (src, layoutPath) = stageSourceTable() // entities 1 and 2
+    def ids(spec: String) = graft.sources.Formats.read(spark, spec)
+      .select("entity_id").collect().map(_.getLong(0)).toSet
+    assert(ids(s"format=kiji table=$src layout=$layoutPath startrow=2") == Set(2L))
+    assert(ids(s"format=kiji table=$src layout=$layoutPath limitrow=2") == Set(1L))
+    assert(ids(s"format=kiji table=$src layout=$layoutPath startrow=1 limitrow=3") ==
+      Set(1L, 2L))
+  }
+
   test("CLI table outputs reject non-cell-shaped job output") {
     val in = tmpDir("toolin5")
     Files.write(Paths.get(in, "l.txt"), "abc\n".getBytes(StandardCharsets.UTF_8))
