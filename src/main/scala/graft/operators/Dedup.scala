@@ -78,6 +78,37 @@ object Dedup {
       numHashes, bands, threshold)
   }
 
+  /** The per-band (band, bkey) structs for a signature column `sig`.
+    * Band key = base-31 polynomial of the band's minhash rows: an 8-byte
+    * LONG shuffle key; exact in int64 for rows <= 7 (minhashes < 2^31). */
+  private def bandKeyStructs(bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (b * rows until (b + 1) * rows)
+          .foldLeft(lit(0L))((acc, j) => acc * 31 + element_at(col("sig"), j + 1))
+          .as("bkey"))
+    }
+
+  /** Banded minhash signatures `(id, ghash, band, bkey)` of pre-hashed
+    * gram sets — the join-key shape both sides of an LSH match share. Used
+    * standalone for asymmetric joins (e.g. a document STREAM probing a
+    * static corpus: build the corpus side once with this, persist it, and
+    * stream-join on (band, bkey)). */
+  def bandedSignatures(hashedGrams: DataFrame, numHashes: Int,
+                       bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    require(rows <= 7, s"rows per band must be <= 7 for an exact int64 band key, got $rows")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    hashedGrams.select(col("id"), col("ghash"))
+      .withColumn("sig", columnOf(graft.plans.MinhashSignature(
+        expressionOf(col("ghash")), numHashes)))
+      .select(col("id"), col("ghash"),
+        explode(array(bandKeyStructs(bands, rows): _*)).as("bb"))
+      .select(col("id"), col("ghash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
   /** [[minhashLshPairs]] over PRE-HASHED gram sets `(id, ghash)`: sorted
     * distinct 28-bit gram hashes, e.g. straight from the fused
     * `char_gram_hashes` / `word_shingle_hashes` kernels — which never
@@ -106,22 +137,14 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Band-key magnitude: minhashes are < 2^31 (mod P), so after r
     // polynomial steps the key is < 2^31·31^(r-1) — exact in int64 only
-    // for r ≤ 7 rows per band.
+    // for r ≤ 7 rows per band. The LONG band key (instead of round 3's
+    // concat_ws string) means a smaller exchange and cheaper
+    // hash-partitioning; the oracle reproduces the identical integer. A
+    // polynomial collision across bands only adds a candidate pair, which
+    // the exact-Jaccard rerank then filters identically in both engines.
+    // An empty gram set has a null signature (array_min semantics) ->
+    // null band keys -> never joins, in both engines.
     require(rows <= 7, s"rows per band must be <= 7 for an exact int64 band key, got $rows")
-    // Band key = base-31 polynomial of the band's minhash rows: an 8-byte
-    // LONG shuffle key instead of a ~40-char string (round 3 used
-    // concat_ws) — smaller exchange, cheaper hash-partitioning, and the
-    // oracle reproduces the identical integer. A polynomial collision
-    // across bands only adds a candidate pair, which the exact-Jaccard
-    // rerank then filters identically in both engines. An empty gram set
-    // has a null signature (array_min semantics) -> null band keys ->
-    // never joins, in both engines.
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        (b * rows until (b + 1) * rows)
-          .foldLeft(lit(0L))((acc, j) => acc * 31 + element_at(col("sig"), j + 1))
-          .as("bkey"))
-    }
     // The band rows CARRY the gram-hash arrays: the per-bucket self-join
     // shuffles |docs|·bands array rows (megabytes), and the exact-Jaccard
     // rerank runs inline on the join output — the alternative (distinct
@@ -131,7 +154,8 @@ object Dedup {
     // dedup-across-bands shuffle only sees surviving pairs (jaccard is
     // deterministic, so filter∘distinct ≡ distinct∘filter).
     val banded = hashedDf
-      .select(col("id"), col("ghash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("ghash"),
+        explode(array(bandKeyStructs(bands, rows): _*)).as("bb"))
       .select(col("id"), col("ghash"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     // Jaccard via ONE two-pointer merge per pair (the arrays are sorted

@@ -42,6 +42,46 @@ object StreamingCells {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup detection against a static reference corpus — the
+    * online half of the batch MinHash-LSH dedup: each incoming document is
+    * shingle-hashed and banded with the SAME native kernels as the batch
+    * pipeline, joined to the corpus's precomputed banded signatures on the
+    * (band, band-key) pair — a stream-static equi-join, planned per
+    * micro-batch — and candidates rerank by exact Jaccard with the
+    * early-abort merge. Emits (doc id, corpus doc id, jaccard) for matches
+    * at or above the threshold.
+    *
+    * Build `corpusBanded` once offline with
+    * `Dedup.bandedSignatures(hashedGrams, k, bands)` and persist it; at
+    * 100 TB the stream side stays tiny per batch while the static side is
+    * partitioned on the band key. A pair matching in several bands emits
+    * once per matching band — follow with
+    * `dropDuplicatesWithinWatermark` when exactly-once pairs matter
+    * (unbounded `dropDuplicates` would grow state forever).
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    corpusBanded: DataFrame, shingleN: Int, numHashes: Int,
+                    bands: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    import org.apache.spark.sql.types.DoubleType
+    val hashed = docs.select(col(idCol).as("id"),
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf(col(textCol)), shingleN, 7)).as("ghash"))
+    val streamBanded = graft.operators.Dedup
+      .bandedSignatures(hashed, numHashes, bands)
+    val inter = columnOf(graft.plans.SortedIntersectSize(
+      expressionOf(col("s.ghash")), expressionOf(col("c.ghash")),
+      if (threshold > 0) Some(threshold) else None))
+    streamBanded.as("s")
+      .join(corpusBanded.as("c"),
+        col("s.band") === col("c.band") && col("s.bkey") === col("c.bkey") &&
+          col("s.id") =!= col("c.id"))
+      .select(col("s.id").as("doc_id"), col("c.id").as("corpus_doc_id"),
+        (inter.cast(DoubleType) /
+          (size(col("s.ghash")) + size(col("c.ghash")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Tumbling-window counts/sums per qualifier with a watermark. */
   def windowedAgg(puts: DataFrame, window: String, watermark: String): DataFrame =
     puts

@@ -153,6 +153,16 @@ class ToolSpec extends SparkSpec {
     assert(ids(s"format=kiji table=$src layout=$layoutPath limitrow=2") == Set(1L))
     assert(ids(s"format=kiji table=$src layout=$layoutPath startrow=1 limitrow=3") ==
       Set(1L, 2L))
+    // The range predicate must push THROUGH the most-recent aggregate to
+    // the parquet scan (entity_id is a grouping key), where min/max stats
+    // prune range-partitioned files — the region-pruned scan shape.
+    val plan = graft.sources.Formats
+      .read(spark, s"format=kiji table=$src layout=$layoutPath startrow=2")
+      .queryExecution.executedPlan.toString
+    // (PushedFilters prints truncated; the data-filter predicate above the
+    // scan is the stable marker.)
+    assert(plan.matches("(?s).*\\(entity_id#\\d+L? >= 2\\).*FileScan parquet.*"),
+      s"range filter not pushed to scan:\n$plan")
   }
 
   test("CLI table outputs reject non-cell-shaped job output") {

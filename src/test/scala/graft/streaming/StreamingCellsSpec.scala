@@ -62,6 +62,40 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream: incoming docs match the static corpus via banded LSH") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    // Static corpus side: banded signatures built once, as a user would.
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "an entirely different reference document about spark"))
+      .toDF("doc_id", "text")
+    val corpusHashed = corpus.select(col("doc_id").as("id"),
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf(col("text")), 3, 7)).as("ghash"))
+    val corpusBanded = graft.operators.Dedup
+      .bandedSignatures(corpusHashed, 16, 4).cache()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCells.nearDupStream(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        corpusBanded, shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_matches")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 100
+        (2L, "completely unrelated text with no overlap at all"))
+      q.processAllAvailable()
+      val matches = spark.table("neardup_matches")
+        .select("doc_id", "corpus_doc_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // doc 1 matches corpus 100 at jaccard 1.0 (possibly once per band,
+      // hence the toSet); doc 2 matches nothing
+      assert(matches == Set((1L, 100L, 1.0)))
+    } finally { q.stop(); corpusBanded.unpersist() }
+  }
+
   test("windowedAgg: tumbling windows with watermark produce exact counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CellPutEvent]
