@@ -79,7 +79,9 @@ final case class TextFileKeyValueStore(path: String, delimiter: String = "\t")
     val bos = new java.io.ByteArrayOutputStream()
     org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, true)
     val content = new String(bos.toByteArray, StandardCharsets.UTF_8)
-    content.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+    // \r\n / \r / \n all terminate lines (readAllLines semantics — a CRLF
+    // store file must not leak \r into keys or values)
+    content.split("\r\n|\r|\n", -1).iterator.filter(_.nonEmpty).map { line =>
       val i = line.indexOf(delimiter)
       if (i < 0) (line, "") else (line.substring(0, i), line.substring(i + delimiter.length))
     }.toMap

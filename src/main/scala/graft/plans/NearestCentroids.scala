@@ -45,8 +45,12 @@ object IvfCentroids {
       val off = ci * dim
       while (i < dim) { dot += v.getLong(i) * flat(off + i); i += 1 }
       val cos = dot.toDouble / (nn * c.norms(ci))
+      // Double.compare gives the total order of Spark's max(struct)/window
+      // DESC and DuckDB's ORDER BY DESC: NaN sorts as the LARGEST value
+      // (a zero-norm vector or centroid cosines to NaN) — a plain >= would
+      // invert that and diverge from the oracle on degenerate vectors.
       var p = 0
-      while (p < filled && outCos(p) >= cos) p += 1
+      while (p < filled && java.lang.Double.compare(outCos(p), cos) >= 0) p += 1
       if (p < take) {
         var q = math.min(filled, take - 1)
         while (q > p) { outCos(q) = outCos(q - 1); outIds(q) = outIds(q - 1); q -= 1 }

@@ -161,7 +161,11 @@ object Md5ArrayLong {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = Md5PrefixLong.hash(arr.getUTF8String(i), nibbles)
+      val s = arr.getUTF8String(i)
+      if (s == null) throw new IllegalArgumentException(
+        "md5_array_long: null array element — gram arrays must be non-null " +
+          "(filter or coalesce before hashing)")
+      out(i) = Md5PrefixLong.hash(s, nibbles)
       i += 1
     }
     if (distinctSorted) sortedDistinct(out)

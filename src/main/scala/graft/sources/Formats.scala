@@ -90,8 +90,10 @@ object Formats {
     }
     val maxVersions = kv.get("maxversions").map(_.toInt).getOrElse(1)
     val timeRange = kv.get("timerange").map { s =>
-      val Array(lo, hi) = s.split(",", 2)
-      (lo.toLong, hi.toLong)
+      val parts = s.split(",", 2)
+      require(parts.length == 2,
+        s"bad timerange= '$s' (expected lo,hi in micros)")
+      (parts(0).toLong, parts(1).toLong)
     }
     val req = DataRequest(columns, maxVersions, timeRange)
     val scanned = if (maxVersions == 1) table.mostRecent(req) else table.read(req)
@@ -148,13 +150,15 @@ object Formats {
     org.apache.avro.hadoop.io.AvroSerialization.addToConfiguration(conf)
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isFile) p
-      else fs.listStatus(p).map(_.getPath)
-        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        .sortBy(_.getName).headOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"no sequence part files under $path"))
+    // Glob-aware like sc.sequenceFile itself: `path` may be a file, a
+    // directory, or a glob; directories expand one level to part files.
+    val file = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap(st => if (st.isFile) Array(st) else fs.listStatus(st.getPath))
+      .filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.toString).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sequence part files match $path"))
     val reader = new org.apache.hadoop.io.SequenceFile.Reader(conf,
       org.apache.hadoop.io.SequenceFile.Reader.file(file))
     try {
@@ -179,8 +183,8 @@ object Formats {
           .map { case (k, v) => Row(k.toString, v.toString) }
         spark.createDataFrame(rdd, StructType(Seq(
           StructField("key", StringType), StructField("value", StringType))))
-      case (k, _) if k == classOf[AvroKey[_]].getName =>
-        readAvroSeqFile(spark, path)
+      case (k, meta) if k == classOf[AvroKey[_]].getName =>
+        readAvroSeqFile(spark, path, Some(meta)) // reuse the sniffed header
       case (other, _) => throw new IllegalArgumentException(
         s"sequence file at $path has key class $other — only Text/Text and " +
           "Avro (AvroKey/AvroValue) sequence files are supported")
@@ -190,11 +194,12 @@ object Formats {
     * metadata `AvroSequenceFile` writes (`avro.key.schema` /
     * `avro.value.schema`), so the read is self-describing — the direct
     * analog of the reference's `AvroSequenceFileInputFormat` job input. */
-  def readAvroSeqFile(spark: SparkSession, path: String): DataFrame = {
+  def readAvroSeqFile(spark: SparkSession, path: String,
+                      knownMeta: Option[Map[String, String]] = None): DataFrame = {
     import org.apache.avro.hadoop.io.{AvroSequenceFile => ASF}
     import org.apache.avro.mapred.AvroValue
     import org.apache.avro.mapreduce.AvroSequenceFileInputFormat
-    val (_, meta) = seqFileHeader(spark, path)
+    val meta = knownMeta.getOrElse(seqFileHeader(spark, path)._2)
     def schemaOf(field: Text): String = meta.getOrElse(field.toString,
       throw new IllegalArgumentException(
         s"sequence file at $path lacks $field metadata — not written by " +

@@ -128,13 +128,17 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     // on puts to unknown families) — without this the grouped path would
     // silently drop cells whose family maps to no locality-group file set.
     // Guarding the written `family` column itself keeps it un-prunable and
-    // costs one codegen'd isin per row.
+    // costs one codegen'd isin per row. A layout with NO declared families
+    // (e.g. the schemaless default `readKijiTable` builds) is an OPEN
+    // table: every family accepted, nothing to validate against.
     val declared = layout.families.map(_.name)
-    val famGuarded = newCells.withColumn("family",
-      when(col("family").isin(declared: _*), col("family"))
-        .otherwise(raise_error(concat(
-          lit(s"unknown family (not declared in table '${layout.name}'): '"),
-          col("family"), lit("'")))))
+    val famGuarded =
+      if (declared.isEmpty) newCells
+      else newCells.withColumn("family",
+        when(col("family").isin(declared: _*), col("family"))
+          .otherwise(raise_error(concat(
+            lit(s"unknown family (not declared in table '${layout.name}'): '"),
+            col("family"), lit("'")))))
     // Group-type families (closed qualifier sets) reject undeclared
     // qualifiers — `InternalProducerContext.java:126-136`; map-type
     // families (columns = None) stay open.

@@ -53,15 +53,20 @@ object LayoutJson {
         val comp = text(lg, "compression_type").map(compression)
           .getOrElse("snappy")
         Option(lg.get("families")).toSeq.flatMap(_.elements().asScala).map { f =>
+          val famName = text(f, "name").getOrElse(
+            throw new IllegalArgumentException("family missing 'name'"))
           // A declared `columns` list makes the family GROUP-type (closed
           // qualifier set, enforced on writes); `map_schema` families and
-          // families with no columns stay MAP-type (open).
+          // families with no columns stay MAP-type (open). A malformed
+          // column entry is an error — silently dropping it would silently
+          // drop the enforcement the layout author declared.
           val cols = Option(f.get("columns"))
-            .map(_.elements().asScala.toSeq.flatMap(c => text(c, "name")))
+            .map(_.elements().asScala.toSeq.map(c =>
+              text(c, "name").getOrElse(throw new IllegalArgumentException(
+                s"column entry in family '$famName' missing 'name'"))))
             .filter(_.nonEmpty)
           FamilySpec(
-            name = text(f, "name").getOrElse(
-              throw new IllegalArgumentException("family missing 'name'")),
+            name = famName,
             maxVersions = maxV, ttlSeconds = ttl, localityGroup = lgName,
             inMemory = inMem, compression = comp, columns = cols)
         }

@@ -60,6 +60,15 @@ class KeyValueStoreSpec extends SparkSpec {
     assert(ar.get("k").contains("v"))
   }
 
+  test("text file store: CRLF line endings don't leak \\r into keys/values") {
+    val f = Paths.get(tmpDir("kvcrlf"), "kv.txt")
+    Files.write(f, "a\t1\r\nb\t2\r\nnodelim\r\n".getBytes(StandardCharsets.UTF_8))
+    val r = TextFileKeyValueStore(f.toString).reader()
+    assert(r.get("a").contains("1"))
+    assert(r.get("b").contains("2"))
+    assert(r.get("nodelim").contains(""))
+  }
+
   test("text file store: custom delimiter") {
     val f = Paths.get(tmpDir("kvtext2"), "kv.csv")
     Files.write(f, java.util.List.of("x,1", "y,2"), StandardCharsets.UTF_8)

@@ -135,6 +135,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(withSet == derived)
   }
 
+  test("IvfCentroids.topN: NaN cosines sort first (max-struct/ORDER BY DESC order)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // centroid 0 is a zero vector (norm 0 -> cosine NaN); centroid 1 real.
+    val cents = graft.plans.IvfCentroids(
+      ids = Array(0L, 1L),
+      flat = Array(0L, 0L, /* c1 */ 1048576L, 0L),
+      norms = Array(0.0, 1048576.0), dim = 2)
+    val v = new GenericArrayData(Array(1048576L, 0L))
+    val got = graft.plans.IvfCentroids.topN(v, 1048576.0, cents, 2)
+    // NaN (centroid 0) ranks ABOVE the real cosine 1.0 — exactly how
+    // Spark's max(struct)/window DESC and DuckDB's ORDER BY DESC rank NaN.
+    assert((0 until got.numElements()).map(got.getLong).toList == List(0L, 1L))
+    // all-NaN query (zero vector): ties keep the LOWEST centroid id first
+    val zq = new GenericArrayData(Array(0L, 0L))
+    val tied = graft.plans.IvfCentroids.topN(zq, 0.0, cents, 2)
+    assert(tied.getLong(0) == 0L)
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11

@@ -71,6 +71,14 @@ class FormatsSpec extends SparkSpec {
     assert(back == Set((1L, "a", 1.5), (2L, "bb", -2.5)))
   }
 
+  test("seq source: glob paths resolve (sc.sequenceFile parity)") {
+    val dir = tmpDir("fmtseqglob") + "/out"
+    Formats.writeSeqFile(Seq(("a", "1"), ("b", "2")).toDF("k", "v"), dir)
+    val back = Formats.readSeqFile(spark, s"$dir/part-*").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("a", "1"), ("b", "2")))
+  }
+
   test("seq source: a non-Text non-Avro key class fails loudly") {
     import org.apache.hadoop.io.{LongWritable, SequenceFile, Text}
     val dir = tmpDir("fmtseqbad")

@@ -47,6 +47,14 @@ class TableDmlSpec extends SparkSpec {
     }
   }
 
+  test("schemaless layout (no declared families) accepts any family on load") {
+    val dir = tmpDir("openlayout") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("open", Seq.empty))
+    table.bulkLoad(Seq((1L, "whatever", "q", 1L, "v"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    assert(table.cells.count() == 1)
+  }
+
   test("group-type family: writes to undeclared qualifiers are rejected; map-type stays open") {
     val dir = tmpDir("groupfam") + "/t"
     val layout = TableLayout("t", Seq(
