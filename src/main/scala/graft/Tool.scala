@@ -51,6 +51,20 @@ object Tool {
     def instantiate[T](k: String): T =
       Class.forName(flag(k)).getDeclaredConstructor().newInstance().asInstanceOf[T]
 
+    // `bulk-load`: hand previously staged cell files to a table atomically
+    // — the KijiBulkLoad tool (`KM/tools/KijiBulkLoad.java:156-163`,
+    // `KM/HFileLoader.java:73-75`). No operator, no plan: one atomic
+    // commit of the staged directory into the live table location.
+    if (verb == "bulk-load") {
+      val staged = flag("hfiles")
+      val table = flag("table")
+      graft.sinks.BulkSink.commit(spark, staged, table)
+      val now = System.currentTimeMillis()
+      return JobResult(java.util.UUID.randomUUID().toString,
+        flags.getOrElse("name", "bulk-load-job"), now, now,
+        "SUCCEEDED", Map.empty, None)
+    }
+
     // Builder (and its flag validation) comes BEFORE any input IO —
     // missing configuration is a build-time error, as in the reference.
     val builder = verb match {
@@ -140,6 +154,7 @@ object Tool {
   private val usage: String =
     """usage: graft.Tool <gather|produce|bulk-import|pivot>
       |  --<gatherer|producer|importer|pivoter>=<class>
+      |   | graft.Tool bulk-load --hfiles=<staged-dir> --table=<path>
       |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]"

@@ -230,20 +230,19 @@ object TableQueries {
     val T = DecimalType(23, 4) // (18,2) * (4,2) in Spark's multiply rules
     val orders = Tables.orders(s, d)
     val price = $"o_totalprice".cast(P)
-    // v1 writers stored just the price; v2 writers "price|tax".
-    val v1Cells = orders.filter($"o_orderkey" % 2 === 0).select(
+    // v1 writers stored just the price; v2 writers "price|tax" — staged in
+    // ONE pass over orders (a branch per row, not a scan per generation).
+    val isV1 = $"o_orderkey" % 2 === 0
+    val cells = orders.select(
       $"o_orderkey".as("entity_id"), lit("ord").as("family"),
-      lit("v1").as("qualifier"), lit(0L).as("ts"),
-      price.cast(StringType).as("value"))
-    val v2Cells = orders.filter($"o_orderkey" % 2 === 1).select(
-      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
-      lit("v2").as("qualifier"), lit(0L).as("ts"),
-      concat(price.cast(StringType), lit("|"),
-        (price * lit("0.08").cast(DecimalType(4, 2))).cast(T)
-          .cast(StringType)).as("value"))
+      when(isV1, "v1").otherwise("v2").as("qualifier"), lit(0L).as("ts"),
+      when(isV1, price.cast(StringType))
+        .otherwise(concat(price.cast(StringType), lit("|"),
+          (price * lit("0.08").cast(DecimalType(4, 2))).cast(T)
+            .cast(StringType))).as("value"))
     val table = new EntityTable(s, tmpTable("q48", d),
       TableLayout("orders_readerspec", Seq(FamilySpec("ord"))))
-    table.bulkLoad(v1Cells.unionByName(v2Cells), numPartitions = 32)
+    table.bulkLoad(cells, numPartitions = 32)
     val v1Spec: Column => Column = v => struct(
       v.cast(P).as("price"), lit(null).cast(T).as("tax"))
     val v2Spec: Column => Column = v => struct(

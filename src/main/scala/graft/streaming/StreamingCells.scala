@@ -90,6 +90,24 @@ object StreamingCells {
         col("qualifier"))
       .agg(count(lit(1)).as("n_puts"), sum(col("value")).as("sum_value"))
 
+  /** Stream cell puts into a LIVE entity table: each micro-batch appends
+    * through the direct-write path (the streaming face of
+    * `DirectKijiTableWriterContext` — buffered puts flushed per batch).
+    * Readers resolve versions newest-ts-wins at read time exactly as for
+    * batch direct writes; compact with `EntityTable.applyChanges` /
+    * `majorCompact` when the appended file count grows. The checkpoint
+    * gives at-least-once appends (duplicate cell versions collapse under
+    * most-recent reads). */
+  def appendStream(puts: DataFrame, tablePath: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    puts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.DirectSink.append(batch.toDF(), tablePath)
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Newest-version-wins cell state: emits one update per put that
     * advances its cell's timestamp; stale (out-of-order) puts emit
     * nothing. State is one row per live cell. */

@@ -189,6 +189,21 @@ class ToolSpec extends SparkSpec {
     assert(back == Set(("alpha", "5"), ("beta", "4")))
   }
 
+  test("CLI bulk-load verb atomically promotes staged files into a table") {
+    import spark.implicits._
+    val staging = tmpDir("bulkstage") + "/staged"
+    val table = tmpDir("bulktable") + "/t"
+    Seq((1L, "f", "a", 1L, "v"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value")
+      .write.parquet(staging)
+    val r = Tool.run(spark, Array("bulk-load",
+      s"--hfiles=$staging", s"--table=$table"))
+    assert(r.status == "SUCCEEDED")
+    assert(spark.read.parquet(table).count() == 1)
+    // the staged dir was MOVED, not copied (the atomic-rename hand-off)
+    assert(!new java.io.File(staging).exists)
+  }
+
   test("format=htable input fails with an explicit out-of-scope message") {
     val e = intercept[UnsupportedOperationException](
       graft.sources.Formats.read(spark, "format=htable table=whatever"))

@@ -96,6 +96,30 @@ class StreamingCellsSpec extends SparkSpec {
     } finally { q.stop(); corpusBanded.unpersist() }
   }
 
+  test("appendStream: micro-batches land in the live table; reads resolve versions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import graft.table.{DataRequest, EntityTable, FamilySpec, TableLayout}
+    val tableDir = tmpDir("streamtable") + "/t"
+    val ckpt = tmpDir("streamckpt")
+    val input = MemoryStream[CellPutEvent]
+    val puts = input.toDS().toDF().select(
+      col("entity_id"), col("family"), col("qualifier"),
+      unix_micros(col("ts")).as("ts"), col("value"))
+    val q = StreamingCells.appendStream(puts, tableDir, ckpt)
+    try {
+      input.addData(CellPutEvent(1L, "ev", "click", ts(10), 1.0))
+      q.processAllAvailable()
+      input.addData(CellPutEvent(1L, "ev", "click", ts(20), 2.0)) // second batch
+      q.processAllAvailable()
+      val table = new EntityTable(spark, tableDir,
+        TableLayout("t", Seq(FamilySpec("ev"))))
+      assert(table.cells.count() == 2) // both appended versions on disk
+      val latest = table.mostRecent(DataRequest()).collect()
+      assert(latest.length == 1 && latest.head.getAs[Double]("value") == 2.0)
+    } finally q.stop()
+  }
+
   test("windowedAgg: tumbling windows with watermark produce exact counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CellPutEvent]
