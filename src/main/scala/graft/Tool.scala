@@ -21,7 +21,10 @@ import graft.sources.Formats
   * Operator classes are reflectively instantiated (no-arg constructor),
   * exactly like the reference's `kiji.gatherer.class` conf key
   * (`KM/gather/impl/GatherMapper.java:97-128`). Output formats mirror
-  * `JobOutputSpec.java:51-65`: `parquet, text, csv, seq, avro, map`.
+  * `JobOutputSpec.java:51-65`: `parquet, text, csv, seq, avro, avrokv,
+  * map`, plus the table outputs `kiji` (direct live appends) and `hfile`
+  * (atomic bulk load); a standalone `bulk-load` verb promotes staged
+  * files (`KM/tools/KijiBulkLoad.java`).
   */
 object Tool {
 

@@ -17,6 +17,24 @@ class LineLengthGatherer extends Gatherer[String, String] {
   }
 }
 
+/** CLI producer: derives the line's first character. */
+class FirstCharProducer extends Producer {
+  def outputColumn: String = "first_char"
+  def outputType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  def produce(row: Row, ctx: OperatorContext): Option[Any] =
+    Option(row.getAs[String]("value")).filter(_.nonEmpty).map(_.take(1))
+}
+
+/** CLI bulk importer over the reference's colon-delimited records. */
+class ColonCliImporter extends BulkImporter[String, Long, String] {
+  def importRecord(rec: String, emit: CellPut[Long, String] => Unit,
+                   ctx: OperatorContext): Unit = {
+    val i = rec.indexOf(':')
+    if (i > 0) emit(CellPut(rec.take(i).toLong, "info", "name", 0L, rec.drop(i + 1)))
+  }
+}
+
 class ToolSpec extends SparkSpec {
 
   test("CLI verb: gather from text input to parquet output, with history") {
@@ -86,6 +104,36 @@ class ToolSpec extends SparkSpec {
         classOf[org.apache.hadoop.io.Text], classOf[org.apache.hadoop.io.Text])
       .map(_._1.toString).collect().toList
     assert(keys == keys.sorted)
+  }
+
+  test("CLI verb: produce derives a column onto the input rows") {
+    val in = tmpDir("prodin")
+    Files.write(Paths.get(in, "l.txt"),
+      "alpha\nbeta\n".getBytes(StandardCharsets.UTF_8))
+    val out = tmpDir("prodout") + "/result"
+    val r = Tool.run(spark, Array("produce",
+      "--producer=graft.FirstCharProducer",
+      s"--input=format=text file=$in",
+      s"--output=format=parquet file=$out"))
+    assert(r.status == "SUCCEEDED")
+    val back = spark.read.parquet(out).collect()
+      .map(x => (x.getAs[String]("value"), x.getAs[String]("first_char"))).toSet
+    assert(back == Set(("alpha", "a"), ("beta", "b")))
+  }
+
+  test("CLI verb: bulk-import parses records into cell puts; hfile output loads them") {
+    val in = tmpDir("impin")
+    Files.write(Paths.get(in, "recs.txt"),
+      "7:seven\n9:nine\n".getBytes(StandardCharsets.UTF_8))
+    val dst = tmpDir("impout") + "/table"
+    val r = Tool.run(spark, Array("bulk-import",
+      "--importer=graft.ColonCliImporter",
+      s"--input=format=text file=$in",
+      s"--output=format=hfile table=$dst splits=2"))
+    assert(r.status == "SUCCEEDED")
+    val back = spark.read.parquet(dst).collect()
+      .map(x => (x.getAs[Long]("entity_id"), x.getAs[String]("value"))).toSet
+    assert(back == Set((7L, "seven"), (9L, "nine")))
   }
 
   test("CLI rejects unknown verbs and missing flags") {
