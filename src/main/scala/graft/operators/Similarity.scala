@@ -43,6 +43,10 @@ object Similarity {
   def bitsFor(n: Long, targetBucketRows: Long, maxBits: Int = 16): Int =
     (1 to maxBits).find(b => n <= (targetBucketRows << b)).getOrElse(maxBits)
 
+  /** Driver-side cap for [[centroidSet]] materialization (~67 MB at
+    * 64 dims) — comfortably above the 2^16 corpus-scaled centroid cap. */
+  val MaxCentroids: Int = 1 << 17
+
   /** DuckDB mirror of [[bitsFor]] as a CASE ladder over a COUNT
     * expression — pure integer comparisons, so both engines derive the
     * identical bit count from the identical corpus. */
@@ -106,8 +110,16 @@ object Similarity {
     * to the DataFrame path (and to the DuckDB oracle). Sorted by id: the
     * kernel's ascending scan makes equal-cosine ties pick the lowest id. */
   def centroidSet(df: DataFrame, idCol: String, vecCol: String): graft.plans.IvfCentroids = {
+    // Hard cap on the driver-side materialization: 2^17 × 64 dims × 8 B ≈
+    // 67 MB. A "centroid set" bigger than this isn't a centroid set — at
+    // that point the inverted lists need a coarser quantizer, not a
+    // bigger broadcast.
     val rows = df.select(col(idCol).cast(org.apache.spark.sql.types.LongType),
-      scaled(col(vecCol))).collect().sortBy(_.getLong(0))
+        scaled(col(vecCol)))
+      .limit(MaxCentroids + 1).collect().sortBy(_.getLong(0))
+    require(rows.length <= MaxCentroids,
+      s"centroid set exceeds $MaxCentroids rows — IVF centroids are " +
+        "trained/derived sets, not the corpus; reduce numCentroids")
     require(rows.nonEmpty, "empty centroid set")
     val dim = rows.head.getSeq[Long](1).length
     val ids = new Array[Long](rows.length)
