@@ -68,6 +68,30 @@ object Tool {
         "SUCCEEDED", Map.empty, None)
     }
 
+    // `job-history`: inspect recorded runs — the KijiJobHistory tool
+    // (`KM/tools/KijiJobHistory.java`: all runs, or one job's full record
+    // and counters by id).
+    if (verb == "job-history") {
+      val hist = new JobHistory(spark, flag("history"))
+      val shown = flags.get("job-id") match {
+        case Some(id) =>
+          val rows = hist.forJob(id).collect()
+          rows.foreach(println)
+          hist.counters.filter(org.apache.spark.sql.functions.col("job_id") === id)
+            .collect().foreach(println)
+          rows.length
+        case None =>
+          val rows = hist.table
+            .select("job_id", "job_name", "job_start_time", "job_end_time",
+              "job_end_status").collect()
+          rows.foreach(println)
+          rows.length
+      }
+      val now = System.currentTimeMillis()
+      return JobResult(java.util.UUID.randomUUID().toString, "job-history",
+        now, now, "SUCCEEDED", Map("jobs_shown" -> shown.toLong), None)
+    }
+
     // Builder (and its flag validation) comes BEFORE any input IO —
     // missing configuration is a build-time error, as in the reference.
     val builder = verb match {
@@ -158,6 +182,7 @@ object Tool {
     """usage: graft.Tool <gather|produce|bulk-import|pivot>
       |  --<gatherer|producer|importer|pivoter>=<class>
       |   | graft.Tool bulk-load --hfiles=<staged-dir> --table=<path>
+      |   | graft.Tool job-history --history=<dir> [--job-id=<id>]
       |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]"

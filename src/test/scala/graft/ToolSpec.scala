@@ -136,6 +136,25 @@ class ToolSpec extends SparkSpec {
     assert(back == Set((7L, "seven"), (9L, "nine")))
   }
 
+  test("CLI job-history verb lists recorded runs and per-job counters") {
+    val in = tmpDir("histin")
+    Files.write(Paths.get(in, "l.txt"), "abc\n".getBytes(StandardCharsets.UTF_8))
+    val hist = tmpDir("histdir") + "/history"
+    val job = Tool.run(spark, Array("gather",
+      "--gatherer=graft.LineLengthGatherer",
+      s"--input=format=text file=$in",
+      s"--output=format=parquet file=${tmpDir("histout")}/r",
+      s"--history=$hist", "--name=hist-job"))
+    val all = Tool.run(spark, Array("job-history", s"--history=$hist"))
+    assert(all.status == "SUCCEEDED" && all.counters("jobs_shown") == 1L)
+    val one = Tool.run(spark, Array("job-history",
+      s"--history=$hist", s"--job-id=${job.jobId}"))
+    assert(one.counters("jobs_shown") == 1L)
+    val none = Tool.run(spark, Array("job-history",
+      s"--history=$hist", "--job-id=nope"))
+    assert(none.counters("jobs_shown") == 0L)
+  }
+
   test("CLI rejects unknown verbs and missing flags") {
     intercept[IllegalArgumentException](Tool.run(spark, Array("frobnicate")))
     intercept[IllegalArgumentException](Tool.run(spark, Array("gather", "--input=format=text file=/x")))
