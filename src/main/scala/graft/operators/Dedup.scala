@@ -220,24 +220,36 @@ object Dedup {
           struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist(lvl))
-    var labels = OperatorCaches.register(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")).persist(lvl))
+    // Iteration state is localCheckpoint'ed (eager), NOT just persisted:
+    // a persisted frame still carries its full logical lineage, so after
+    // k rounds the analyzer re-plans a plan k unions/joins deep — plan
+    // BUILD time grows without bound even though execution reads cache
+    // (observed as minutes of driver time on a 10-round chain). The
+    // checkpoint truncates lineage each round: constant-size plans,
+    // constant per-round cost.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     var changed = labels.count() > 0
+    var rounds = 0
     while (changed) {
+      rounds += 1
+      // Labels decrease monotonically, so convergence is certain within
+      // the largest component's diameter even without the doubling step;
+      // 64 rounds means something is broken — fail instead of spinning.
+      require(rounds <= 64,
+        "nearDupClusters failed to converge in 64 rounds — " +
+          "this indicates a bug, not a hard graph")
       val viaEdges = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
       val viaLabels = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
         .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
-      val next = OperatorCaches.register(
-        labels.union(viaEdges).union(viaLabels)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .persist(lvl))
+      val next = labels.union(viaEdges).union(viaLabels)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true) // materializes next; lineage cut
       // Labels only ever decrease; a strict decrease anywhere means another
       // round. The limit(1) keeps the convergence probe cheap.
       changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") < col("o.lbl")).limit(1).count() > 0
-      labels.unpersist(false)
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

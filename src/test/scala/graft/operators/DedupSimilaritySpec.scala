@@ -54,6 +54,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.head.getSeq[String](0).isEmpty)
   }
 
+  test("nearDupClusters matches a union-find model on adversarial graphs") {
+    // ONE clustering run over disjoint offset components (each Spark run
+    // is an iterative multi-job loop, so the adversarial shapes share it):
+    // a diameter-9 chain, a star, two merging chains, a cycle + pair, and
+    // a late low-id join.
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 9L).map(i => (i, i + 1)),
+      Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)),
+      Seq((0L, 2L), (2L, 4L), (1L, 3L), (3L, 5L), (4L, 5L)),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)),
+      Seq((10L, 11L), (11L, 12L), (3L, 12L), (0L, 14L)))
+    val edges = cases.zipWithIndex.flatMap { case (es, i) =>
+      es.map { case (a, b) => (a + 100L * i, b + 100L * i) }
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.nearDupClusters(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("nearDupClusters: chained pairs converge to min-id components") {
     // 1-2-3-4 is a CHAIN (needs multiple propagation rounds), 7-9 is a
     // separate component, 5 appears in no pair (absent from output).
