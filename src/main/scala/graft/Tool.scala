@@ -61,11 +61,15 @@ object Tool {
     if (verb == "bulk-load") {
       val staged = flag("hfiles")
       val table = flag("table")
+      val start = System.currentTimeMillis()
       graft.sinks.BulkSink.commit(spark, staged, table)
-      val now = System.currentTimeMillis()
-      return JobResult(java.util.UUID.randomUUID().toString,
-        flags.getOrElse("name", "bulk-load-job"), now, now,
-        "SUCCEEDED", Map.empty, None)
+      val result = JobResult(java.util.UUID.randomUUID().toString,
+        flags.getOrElse("name", "bulk-load-job"), start,
+        System.currentTimeMillis(), "SUCCEEDED", Map.empty, None)
+      // The promotion is a tracked run like any other verb's job.
+      flags.get("history").foreach(p => new JobHistory(spark, p).record(result,
+        Map("hfiles" -> staged, "table" -> table)))
+      return result
     }
 
     // `job-history`: inspect recorded runs — the KijiJobHistory tool

@@ -55,20 +55,32 @@ object Jobs {
           .toDF("job_id", "counter_name", "counter_value")
           .write.mode("append").parquet(s"$path/counters")
     }
-    def table: DataFrame = spark.read.parquet(s"$path/jobs")
-    /** Empty-history-safe: a history whose jobs all reported zero counters
-      * has no counters parquet — surface an empty typed frame, not a
-      * path-not-found, so joins against it stay valid. */
-    def counters: DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/counters")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.parquet(s"$path/counters")
+    private def exists(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    /** Empty-history-safe (both tables): a history directory with no
+      * recorded runs — or whose jobs all reported zero counters — surfaces
+      * empty typed frames, not a path-not-found, so listings and joins
+      * against a fresh history stay valid. */
+    def table: DataFrame =
+      if (exists("jobs")) spark.read.parquet(s"$path/jobs")
+      else {
+        import spark.implicits._
+        Seq.empty[(String, String, Long, Long, String,
+            Map[String, String], Map[String, String])]
+          .toDF("job_id", "job_name", "job_start_time", "job_end_time",
+            "job_end_status", "job_configuration", "extended_info")
+      }
+
+    def counters: DataFrame =
+      if (exists("counters")) spark.read.parquet(s"$path/counters")
       else {
         import spark.implicits._
         Seq.empty[(String, String, Long)]
           .toDF("job_id", "counter_name", "counter_value")
       }
-    }
     def forJob(jobId: String): DataFrame =
       table.filter(col("job_id") === jobId)
   }

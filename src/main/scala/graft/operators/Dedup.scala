@@ -220,15 +220,24 @@ object Dedup {
           struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist(lvl))
-    // Iteration state is localCheckpoint'ed (eager), NOT just persisted:
-    // a persisted frame still carries its full logical lineage, so after
-    // k rounds the analyzer re-plans a plan k unions/joins deep — plan
+    // Iteration state must have its CATALYST lineage truncated each round:
+    // a persisted frame still carries its full logical plan, so after k
+    // rounds the analyzer re-plans a stack k unions/joins deep — plan
     // BUILD time grows without bound even though execution reads cache
-    // (observed as minutes of driver time on a 10-round chain). The
-    // checkpoint truncates lineage each round: constant-size plans,
-    // constant per-round cost.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    // (observed as minutes of driver time on a 10-round chain). Rebasing
+    // the frame on its own persisted row RDD (`createDataFrame(rdd,
+    // schema)`) cuts the plan to a leaf while keeping RDD-level lineage
+    // for executor-loss recovery, and lets each round's storage be
+    // RELEASED deterministically — localCheckpoint would pin one cached
+    // copy per round until driver GC and lose fault tolerance.
+    val session = pairs.sparkSession
+    def truncated(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(lvl)
+      (session.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = truncated(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     var changed = labels.count() > 0
     var rounds = 0
     while (changed) {
@@ -243,15 +252,21 @@ object Dedup {
         .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
       val viaLabels = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
         .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
-      val next = labels.union(viaEdges).union(viaLabels)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true) // materializes next; lineage cut
+      val (next, nextRdd) = truncated(
+        labels.union(viaEdges).union(viaLabels)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       // Labels only ever decrease; a strict decrease anywhere means another
-      // round. The limit(1) keeps the convergence probe cheap.
+      // round. The limit(1) keeps the convergence probe cheap (and
+      // materializes nextRdd, after which the old round's storage is dead).
       changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") < col("o.lbl")).limit(1).count() > 0
+      labelsRdd.unpersist(false)
       labels = next
+      labelsRdd = nextRdd
     }
+    // The final round's RDD backs the returned frame — registered so
+    // Verify/Bench-style callers release it after their consuming action.
+    OperatorCaches.registerRdd(labelsRdd)
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -14,13 +14,22 @@ import org.apache.spark.sql.DataFrame
   */
 object OperatorCaches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val rdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   /** Track a frame the caller should release after its consuming action. */
   def register(df: DataFrame): DataFrame = synchronized { frames += df; df }
 
-  /** Unpersist (non-blocking) every registered frame and forget them. */
+  /** Track an RDD-level persist backing a returned frame (iterative
+    * operators rebase their state on persisted row RDDs — those never
+    * appear in the SQL cache manager). */
+  def registerRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    synchronized { rdds += rdd }
+
+  /** Unpersist (non-blocking) everything registered and forget it. */
   def releaseAll(): Unit = synchronized {
     frames.foreach(_.unpersist(false))
     frames.clear()
+    rdds.foreach(_.unpersist(false))
+    rdds.clear()
   }
 }

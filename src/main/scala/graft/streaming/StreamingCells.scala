@@ -99,7 +99,14 @@ object StreamingCells {
     * gives at-least-once appends (duplicate cell versions collapse under
     * most-recent reads). */
   def appendStream(puts: DataFrame, tablePath: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Same cell-shape gate as every batch table-writing path: a mis-shaped
+    // stream would otherwise append schema-divergent parquet into the live
+    // table and poison every later read.
+    val need = Seq("entity_id", "family", "qualifier", "ts", "value")
+    require(need.forall(puts.columns.contains),
+      s"appendStream needs cell columns ${need.mkString("(", ", ", ")")}, " +
+        s"got ${puts.columns.mkString("(", ", ", ")")}")
     puts.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -107,6 +114,7 @@ object StreamingCells {
       }
       .outputMode(OutputMode.Append())
       .start()
+  }
 
   /** Newest-version-wins cell state: emits one update per put that
     * advances its cell's timestamp; stale (out-of-order) puts emit

@@ -136,6 +136,12 @@ class ToolSpec extends SparkSpec {
     assert(back == Set((7L, "seven"), (9L, "nine")))
   }
 
+  test("CLI job-history verb reports zero runs for an empty/missing history dir") {
+    val r = Tool.run(spark, Array("job-history",
+      s"--history=${tmpDir("histempty")}/nothing-here"))
+    assert(r.status == "SUCCEEDED" && r.counters("jobs_shown") == 0L)
+  }
+
   test("CLI job-history verb lists recorded runs and per-job counters") {
     val in = tmpDir("histin")
     Files.write(Paths.get(in, "l.txt"), "abc\n".getBytes(StandardCharsets.UTF_8))
