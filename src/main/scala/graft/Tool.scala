@@ -72,6 +72,30 @@ object Tool {
       return result
     }
 
+    // `compact`: MAJOR-compact a table — physical retention (max_versions
+    // / TTL) plus folding any pending `_changes` feed into the base files,
+    // the operational task HBase runs as major compaction. `--layout=` is
+    // the retention policy source; omitted = open layout, which compacts
+    // duplicate-version cells but enforces no per-family caps. `--asof=`
+    // pins the TTL "now" (µs) for deterministic runs.
+    if (verb == "compact") {
+      val tablePath = flag("table")
+      val layout = flags.get("layout")
+        .map(graft.table.LayoutJson.parseFile)
+        .getOrElse(graft.table.TableLayout(tablePath, Seq.empty))
+      val asOf = flags.get("asof").map(_.toLong).getOrElse(Long.MaxValue)
+      val splits = flags.get("splits").map(_.toInt).getOrElse(32)
+      val start = System.currentTimeMillis()
+      new graft.table.EntityTable(spark, tablePath, layout)
+        .majorCompact(asOf, splits)
+      val result = JobResult(java.util.UUID.randomUUID().toString,
+        flags.getOrElse("name", "compact-job"), start,
+        System.currentTimeMillis(), "SUCCEEDED", Map.empty, None)
+      flags.get("history").foreach(p => new JobHistory(spark, p).record(result,
+        Map("table" -> tablePath) ++ flags.get("layout").map("layout" -> _)))
+      return result
+    }
+
     // `job-history`: inspect recorded runs — the KijiJobHistory tool
     // (`KM/tools/KijiJobHistory.java`: all runs, or one job's full record
     // and counters by id).
@@ -186,6 +210,8 @@ object Tool {
     """usage: graft.Tool <gather|produce|bulk-import|pivot>
       |  --<gatherer|producer|importer|pivoter>=<class>
       |   | graft.Tool bulk-load --hfiles=<staged-dir> --table=<path>
+      |   | graft.Tool compact --table=<path> [--layout=<layout.json>]
+      |       [--asof=<micros>] [--splits=N]
       |   | graft.Tool job-history --history=<dir> [--job-id=<id>]
       |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]

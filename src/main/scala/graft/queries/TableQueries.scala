@@ -267,6 +267,55 @@ object TableQueries {
       |    END) AS DOUBLE) AS tax_sum
       |FROM orders GROUP BY 1 ORDER BY qualifier""".stripMargin
 
+  // ── q50: INCREMENTAL DML — the merge-on-read change feed. Bulk-load
+  // orders cells once, then append an O(delta) change batch (price-
+  // correction puts + row tombstones) WITHOUT rewriting the table
+  // (`EntityTable.appendChanges` — the append touches no base file; the
+  // no-rewrite invariant itself is asserted in TableDmlSpec), and read
+  // back through the merged view. The tombstones carry upTo ts=0, so they
+  // mask the base cells but NOT the same-batch correction puts at ts=1 —
+  // pure (key, timestamp) resolution, arrival order irrelevant, exactly
+  // the reference's buffered put+delete writer semantics
+  // (`KM/impl/DirectKijiTableWriterContext.java:46-180`). ────────────────
+  val q50_incremental_dml: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val cells = orders.select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("price").as("qualifier"), lit(0L).as("ts"),
+      $"o_totalprice".as("value"))
+    val table = new EntityTable(s, tmpTable("q50", d),
+      TableLayout("orders_mor", Seq(FamilySpec("ord"))))
+    table.bulkLoad(cells, numPartitions = 32)
+    // doubling a double is exact (exponent bump), so both engines see
+    // bit-identical corrected prices — no new rounding surface.
+    val puts = orders.filter($"o_orderkey" % 10 === 3).select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("price").as("qualifier"), lit("put").as("op"), lit(1L).as("ts"),
+      ($"o_totalprice" * 2).as("value"))
+    val tombs = orders.filter($"o_orderkey" % 7 === 0).select(
+      $"o_orderkey".as("entity_id"), lit(null).cast(StringType).as("family"),
+      lit(null).cast(StringType).as("qualifier"),
+      lit("delete_row").as("op"), lit(0L).as("ts"),
+      lit(null).cast(DoubleType).as("value"))
+    table.appendChanges(puts.unionByName(tombs))
+    table.mostRecent()
+      .groupBy(($"entity_id" % 10).as("kbucket"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("price_sum"))
+      .orderBy($"kbucket")
+  }
+  val q50_sql: String =
+    s"""WITH merged AS (
+       |  SELECT o_orderkey AS entity_id,
+       |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS value
+       |  FROM orders
+       |  WHERE o_orderkey % 10 = 3 OR o_orderkey % 7 <> 0
+       |)
+       |SELECT entity_id % 10 AS kbucket, count(*) AS n,
+       |  ${sqlSum("value")} AS price_sum
+       |FROM merged GROUP BY 1 ORDER BY kbucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q32_bulk_roundtrip" -> q32_bulk_roundtrip,
     "q33_dml_tombstones" -> q33_dml_tombstones,
@@ -275,6 +324,7 @@ object TableQueries {
     "q42_formatted_range" -> q42_formatted_range,
     "q44_locality_groups" -> q44_locality_groups,
     "q48_reader_schema" -> q48_reader_schema,
+    "q50_incremental_dml" -> q50_incremental_dml,
   )
   val oracleSql: Map[String, String] = Map(
     "q32_bulk_roundtrip" -> q32_sql,
@@ -284,5 +334,6 @@ object TableQueries {
     "q42_formatted_range" -> q42_sql,
     "q44_locality_groups" -> q44_sql,
     "q48_reader_schema" -> q48_sql,
+    "q50_incremental_dml" -> q50_sql,
   )
 }

@@ -11,9 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet files; readers see the union, and version resolution (newest ts
   * wins) happens at read time exactly as HBase resolves overlapping puts.
   * Deletes are not supported on this path (the reference routes deletes
-  * through the same put buffer; here tombstones require the change-feed
-  * merge — `graft.dml.Dml.applyChanges` — because parquet files are
-  * immutable).
+  * through the same put buffer) because parquet files are immutable —
+  * route mixed put/delete batches through the O(delta) merge-on-read feed
+  * instead (`graft.table.EntityTable.appendChanges`), which accepts both
+  * and masks at read time.
   *
   * The reference javadoc discourages this path for large jobs in favor of
   * HFile bulk loads; the same advice holds here — appended files are

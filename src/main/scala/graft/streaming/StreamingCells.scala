@@ -116,6 +116,30 @@ object StreamingCells {
       .start()
   }
 
+  /** Stream cell puts into a table's MERGE-ON-READ change feed instead of
+    * its base files: each micro-batch becomes an O(batch) `appendChanges`
+    * of op='put' records, so streamed puts and batch DML tombstones
+    * compose under one timestamp-ordered merge — a tombstone with ts >= a
+    * streamed put's ts masks it whether it arrived before or after (HBase
+    * resolves purely by (key, timestamp), not arrival order), and the
+    * table's base file layout stays in pristine range-partitioned bulk
+    * order until `majorCompact` folds the feed in. Prefer this over
+    * `appendStream` when the table also takes deletes. */
+  def appendChangeStream(puts: DataFrame, table: graft.table.EntityTable,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val need = Seq("entity_id", "family", "qualifier", "ts", "value")
+    require(need.forall(puts.columns.contains),
+      s"appendChangeStream needs cell columns ${need.mkString("(", ", ", ")")}, " +
+        s"got ${puts.columns.mkString("(", ", ", ")")}")
+    puts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        table.appendChanges(batch.toDF().withColumn("op", lit("put")))
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Newest-version-wins cell state: emits one update per put that
     * advances its cell's timestamp; stale (out-of-order) puts emit
     * nothing. State is one row per live cell. */

@@ -70,23 +70,78 @@ final case class DataRequest(columns: Seq[(String, String)] = Seq.empty,
   * Storage layout at scale: bulk loads range-partition on entity_id, so
   * files are disjoint entity ranges (region-aligned HFiles) and Parquet
   * min/max stats prune entity-range scans.
+  *
+  * Incremental DML is MERGE-ON-READ: `appendChanges` appends a batch of
+  * puts AND tombstones to a `_changes/` side feed — an O(delta) write, the
+  * analog of the LSM memstore flush that makes the reference's
+  * puts/deletes cheap (`KM/impl/DirectKijiTableWriterContext.java:46-180`
+  * buffers both through one writer). Every read path folds the feed in via
+  * `Dml.applyChanges` (HBase ts<=T tombstone masking), and `majorCompact`
+  * folds it physically — after which the feed is gone. A delete batch thus
+  * never rewrites the table; only compaction does, on the operator's
+  * schedule. The `_changes` name is deliberate: Spark's file listing
+  * skips underscore-prefixed dirs, so base-table scans never see the feed.
   */
 final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) {
 
-  /** `lg` is the locality-group partition column of grouped bulk loads —
-    * dropped so readers see the pure cell schema either way. */
-  def cells: DataFrame = {
+  /** Merge-on-read change feed location (inside the table dir, so the
+    * atomic commit rename of a compaction carries it away with the data
+    * it was folded into). */
+  val changesPath: String = s"$path/_changes"
+
+  private def hadoopFs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Whether a change feed is pending (cheap driver-side listing at
+    * plan-build time). Checks for committed DATA files, not bare dir
+    * existence — a failed append (layout validation raise_error) can
+    * leave an empty `_changes` dir behind, which must read as "no
+    * pending changes". */
+  def hasPendingChanges: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(changesPath)
+    hadoopFs.exists(p) && hadoopFs.listStatus(p).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+  }
+
+  /** The pending change feed (empty-schema error if none — guard with
+    * `hasPendingChanges`). */
+  def pendingChanges: DataFrame = spark.read.parquet(changesPath)
+
+  /** Base cells only — the bulk-loaded / direct-appended files, change
+    * feed NOT folded in. `lg` is the locality-group partition column of
+    * grouped bulk loads — dropped so readers see the pure cell schema
+    * either way. */
+  private def baseCells: DataFrame = {
     val df = spark.read.parquet(path)
     if (df.columns.contains("lg")) df.drop("lg") else df
   }
 
+  /** The live cell set: base files with the pending change feed folded in
+    * (puts unioned, tombstones masked — `Dml.applyChanges`). With no
+    * pending feed this is exactly the base scan, zero overhead. */
+  def cells: DataFrame =
+    if (!hasPendingChanges) baseCells
+    else Dml.applyChanges(baseCells, pendingChanges)
+
   /** Cells of one locality group: a partition-pruned scan (only that
     * group's file set is read — the reference's point of splitting HFiles
-    * per locality group, `KijiHFileOutputFormat.java:122-186`). */
+    * per locality group, `KijiHFileOutputFormat.java:122-186`). A table
+    * written ungrouped (single default group) has no `lg` column — fall
+    * back to filtering by the group's family names. The pending change
+    * feed is folded in restricted to this group's families (row-wide
+    * tombstones, `family` null, apply to every group). */
   def localityGroupCells(group: String): DataFrame = {
     require(layout.localityGroups.contains(group),
       s"no locality group '$group' in table ${layout.name}")
-    spark.read.parquet(path).filter(col("lg") === group).drop("lg")
+    val fams = layout.localityGroups(group).map(_.name)
+    val raw = spark.read.parquet(path)
+    val base =
+      if (raw.columns.contains("lg")) raw.filter(col("lg") === group).drop("lg")
+      else raw.filter(col("family").isin(fams: _*))
+    if (!hasPendingChanges) base
+    else Dml.applyChanges(base, pendingChanges.filter(
+      col("family").isNull || col("family").isin(fams: _*)))
   }
 
   /** Honor the layout's `in_memory` locality groups (the HBase in-memory
@@ -124,38 +179,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
         f.compression != "snappy" || f.inMemory)
     val sortCols =
       Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc)
-    // Undeclared families fail the load (the reference's NoSuchColumnException
-    // on puts to unknown families) — without this the grouped path would
-    // silently drop cells whose family maps to no locality-group file set.
-    // Guarding the written `family` column itself keeps it un-prunable and
-    // costs one codegen'd isin per row. A layout with NO declared families
-    // (e.g. the schemaless default `readKijiTable` builds) is an OPEN
-    // table: every family accepted, nothing to validate against.
-    val declared = layout.families.map(_.name)
-    val famGuarded =
-      if (declared.isEmpty) newCells
-      else newCells.withColumn("family",
-        when(col("family").isin(declared: _*), col("family"))
-          .otherwise(raise_error(concat(
-            lit(s"unknown family (not declared in table '${layout.name}'): '"),
-            col("family"), lit("'")))))
-    // Group-type families (closed qualifier sets) reject undeclared
-    // qualifiers — `InternalProducerContext.java:126-136`; map-type
-    // families (columns = None) stay open.
-    val closed = layout.families.filter(_.columns.isDefined)
-    val guarded =
-      if (closed.isEmpty) famGuarded
-      else {
-        val ok = closed.foldLeft(lit(true)) { (acc, f) =>
-          when(col("family") === f.name,
-            col("qualifier").isin(f.columns.get: _*)).otherwise(acc)
-        }
-        famGuarded.withColumn("qualifier",
-          when(ok, col("qualifier")).otherwise(raise_error(concat(
-            lit("qualifier '"), col("qualifier"),
-            lit("' not declared for group-type family '"),
-            col("family"), lit(s"' of table '${layout.name}'")))))
-      }
+    val guarded = guardLayout(newCells, allowNullScope = false)
     if (!grouped)
       BulkSink.bulkLoad(guarded, path, numPartitions, Seq("entity_id"),
         sortCols, maxRecordsPerFile)
@@ -178,8 +202,82 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     }
   }
 
-  /** Merge a change feed (puts + tombstones) and rewrite the table —
-    * the compaction that makes HBase-style deletes durable. */
+  /** Layout validation on a written cell/change frame. Undeclared families
+    * fail the write (the reference's NoSuchColumnException on puts to
+    * unknown families) — without this the grouped bulk-load path would
+    * silently drop cells whose family maps to no locality-group file set.
+    * Guarding the written `family` column itself keeps it un-prunable and
+    * costs one codegen'd isin per row. A layout with NO declared families
+    * (e.g. the schemaless default `readKijiTable` builds) is an OPEN
+    * table: every family accepted, nothing to validate against.
+    * Group-type families (closed qualifier sets) reject undeclared
+    * qualifiers — `InternalProducerContext.java:126-136`; map-type
+    * families (columns = None) stay open.
+    *
+    * `allowNullScope = true` is the change-feed variant: scope-wide
+    * tombstones legitimately carry null family (delete_row) or null
+    * qualifier (delete_family) — null scope passes, non-null scope is
+    * validated as usual. */
+  private def guardLayout(df: DataFrame, allowNullScope: Boolean): DataFrame = {
+    val declared = layout.families.map(_.name)
+    val famOk =
+      if (allowNullScope) col("family").isNull || col("family").isin(declared: _*)
+      else col("family").isin(declared: _*)
+    val famGuarded =
+      if (declared.isEmpty) df
+      else df.withColumn("family",
+        when(famOk, col("family"))
+          .otherwise(raise_error(concat(
+            lit(s"unknown family (not declared in table '${layout.name}'): '"),
+            col("family"), lit("'")))))
+    val closed = layout.families.filter(_.columns.isDefined)
+    if (closed.isEmpty) famGuarded
+    else {
+      val base = closed.foldLeft(lit(true)) { (acc, f) =>
+        when(col("family") === f.name,
+          col("qualifier").isin(f.columns.get: _*)).otherwise(acc)
+      }
+      val ok = if (allowNullScope) col("qualifier").isNull || base else base
+      famGuarded.withColumn("qualifier",
+        when(ok, col("qualifier")).otherwise(raise_error(concat(
+          lit("qualifier '"), col("qualifier"),
+          lit("' not declared for group-type family '"),
+          col("family"), lit(s"' of table '${layout.name}'")))))
+    }
+  }
+
+  /** Append a change batch (puts AND tombstones) to the merge-on-read
+    * feed — the O(delta) incremental DML write. Readers fold the feed in
+    * at scan time (`cells`); `majorCompact` folds it physically. This is
+    * the scale-safe delete path: a 1000-row tombstone batch costs a
+    * 1000-row parquet append, never a table rewrite.
+    *
+    * Change schema is `Dml.applyChanges`' canonical one: (entity_id,
+    * family, qualifier, op, ts, value); ops outside `Dml.Ops` and
+    * puts/scoped deletes naming undeclared families/qualifiers fail the
+    * append. `numFiles` coalesces the batch (change batches are usually
+    * delta-sized; 0 = keep the incoming partitioning for a genuinely
+    * large feed). Appends are atomic at the file level, so concurrent
+    * readers see complete batches or nothing. */
+  def appendChanges(changes: DataFrame, numFiles: Int = 1): Unit = {
+    val need = Seq("entity_id", "family", "qualifier", "op", "ts", "value")
+    require(need.forall(changes.columns.contains),
+      s"appendChanges needs change columns ${need.mkString("(", ", ", ")")}, " +
+        s"got ${changes.columns.mkString("(", ", ", ")")}")
+    val opGuarded = changes.withColumn("op",
+      when(col("op").isin(Dml.Ops: _*), col("op"))
+        .otherwise(raise_error(concat(lit("unknown change op '"), col("op"),
+          lit(s"' for table '${layout.name}'")))))
+    val guarded = guardLayout(opGuarded, allowNullScope = true)
+      .select(need.map(col): _*)
+    (if (numFiles > 0) guarded.coalesce(numFiles) else guarded)
+      .write.mode("append").parquet(changesPath)
+  }
+
+  /** Merge a change feed (puts + tombstones) and rewrite the table — the
+    * full compaction path (any pending `_changes` feed folds in too, via
+    * `cells`). For an O(delta) write that defers the rewrite, use
+    * `appendChanges`. */
   def applyChanges(changes: DataFrame, numPartitions: Int = 32): Unit =
     bulkLoad(Dml.applyChanges(cells, changes), numPartitions)
 
@@ -189,6 +287,12 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * that turns read-side retention into reclaimed disk. Reads stay
     * correct either way (retention is also applied at read time); this
     * reclaims storage and shrinks every later scan.
+    *
+    * Any pending `_changes` feed folds in physically here (the survivors
+    * read goes through the merged `cells` view) and is then GONE: the
+    * commit rename swaps the whole table dir, feed included — tombstones
+    * become true physical deletes, exactly HBase's
+    * delete-marker-dropped-at-major-compaction behavior.
     *
     * Runs as the retention-aware versioned read (one hash aggregate)
     * exploded back to cells, into the staged atomic bulk-load write —

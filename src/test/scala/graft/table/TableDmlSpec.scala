@@ -101,6 +101,96 @@ class TableDmlSpec extends SparkSpec {
     assert(table.read(DataRequest(maxVersions = 10), asOf).collect().toSet == before)
   }
 
+  test("merge-on-read: appendChanges is O(delta) — no base file rewrite") {
+    val dir = tmpDir("mor") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    def baseFiles: Set[(String, Long)] = {
+      val fs = Files.list(Paths.get(dir)).iterator()
+      var out = Set.empty[(String, Long)]
+      while (fs.hasNext) {
+        val p = fs.next()
+        if (!p.getFileName.toString.startsWith("_"))
+          out += ((p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+      }
+      out
+    }
+    val before = baseFiles
+    table.appendChanges(changesDF(Seq(
+      Dml.put(1L, "info", "email", 30L, "newest@x"),
+      Dml.deleteRow(2L, Long.MaxValue, null.asInstanceOf[String]))))
+    // base files byte-identical; only the _changes feed appeared
+    assert(baseFiles == before)
+    assert(table.hasPendingChanges)
+    // merged view: entity 2 gone, new put visible
+    assert(keys(table.cells) == Set(
+      (1L, "info", "email", 10L), (1L, "info", "email", 20L),
+      (1L, "info", "email", 30L), (1L, "info", "name", 5L)))
+    // a second append accumulates (tombstone masks the earlier feed put too)
+    table.appendChanges(changesDF(Seq(
+      Dml.deleteColumn(1L, "info", "email", 30L, null.asInstanceOf[String]))))
+    assert(keys(table.cells) == Set((1L, "info", "name", 5L)))
+    assert(baseFiles == before)
+  }
+
+  test("merge-on-read: majorCompact folds the feed physically and empties it") {
+    val dir = tmpDir("morcompact") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    table.appendChanges(changesDF(Seq(
+      Dml.put(1L, "info", "email", 30L, "newest@x"),
+      Dml.deleteRow(2L, Long.MaxValue, null.asInstanceOf[String]))))
+    val merged = keys(table.cells)
+    table.majorCompact()
+    assert(!table.hasPendingChanges, "compaction must consume the feed")
+    assert(keys(table.cells) == merged, "compaction must not change the view")
+    // tombstoned rows are physically gone from the base files
+    assert(spark.read.parquet(dir).filter($"entity_id" === 2L).count() == 0)
+  }
+
+  test("merge-on-read: locality-group reads fold the feed; row tombstones hit every group") {
+    val dir = tmpDir("morlg") + "/t"
+    val layout = TableLayout("t", Seq(
+      FamilySpec("info", localityGroup = "hot"),
+      FamilySpec("stats", localityGroup = "cold", compression = "gzip")))
+    val table = new EntityTable(spark, dir, layout)
+    table.bulkLoad(cells, numPartitions = 2)
+    table.appendChanges(changesDF(Seq(
+      Dml.put(2L, "stats", "zip", 9L, "02139"),
+      Dml.deleteRow(1L, Long.MaxValue, null.asInstanceOf[String]))))
+    assert(keys(table.localityGroupCells("hot")) == Set((2L, "info", "email", 15L)))
+    assert(keys(table.localityGroupCells("cold")) ==
+      Set((2L, "stats", "zip", 1L), (2L, "stats", "zip", 9L)))
+  }
+
+  test("merge-on-read: ungrouped table serves locality-group reads by family fallback") {
+    val dir = tmpDir("morungrouped") + "/t"
+    // single default group, default storage: written WITHOUT an lg column
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    assert(keys(table.localityGroupCells("default")) == keys(table.cells))
+  }
+
+  test("appendChanges validates ops and layout (nulls pass for scoped tombstones)") {
+    val dir = tmpDir("morvalidate") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("info"))))
+    table.bulkLoad(cells.filter($"family" === "info"), numPartitions = 1)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val badOp = intercept[Exception] {
+      table.appendChanges(changesDF(Seq(
+        Dml.Change(1L, "info", "email", "upsert", 1L, "x"))))
+    }
+    assert(messages(badOp).exists(_.contains("unknown change op")))
+    val badFam = intercept[Exception] {
+      table.appendChanges(changesDF(Seq(
+        Dml.put(1L, "nope", "email", 1L, "x"))))
+    }
+    assert(messages(badFam).exists(_.contains("unknown family")))
+    // failed appends leave no committed change files behind
+    assert(!table.hasPendingChanges)
+  }
+
   test("put: appends a new cell version") {
     val out = Dml.applyChanges(cells, changesDF(Seq(
       Dml.put(1L, "info", "email", 30L, "newest@x"))))
