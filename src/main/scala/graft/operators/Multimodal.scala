@@ -1,6 +1,10 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -12,14 +16,16 @@ import org.apache.spark.sql.types._
   * `(media_id, kind, bytes: binary, meta: struct<width,height,duration_ms,
   * codec>)`. Decode / feature-extraction runs as a *batched* partition
   * transform: rows are processed in fixed-size batches inside
-  * `mapPartitions` (the JVM analog of `mapInPandas` batch shape — a real
-  * decoder would hand each batch to native code in one call).
+  * `mapPartitions` (the JVM analog of `mapInPandas` batch shape — a
+  * native-codec decoder would hand each batch across JNI in one call).
   *
-  * The actual image/audio decode is STUBBED (no codec libraries in this
-  * environment): `decodeStub` derives deterministic pseudo-features from
-  * the bytes (md5-based) and the metadata. Everything around it — schema,
-  * batching, partitioning, feature output shape — is the real plumbing a
-  * production decoder would drop into.
+  * Two feature paths:
+  *  - `decodeImages` — REAL image decode via `javax.imageio` (JDK-built-in,
+  *    no external codec libs): PNG/JPEG/GIF/BMP payloads are decoded
+  *    pixel-for-pixel into width/height/luminance statistics.
+  *  - `extractFeatures` — codec-independent payload digests (byte length,
+  *    content digest, prefix "thumbnail") for media kinds with no JDK
+  *    decoder (audio/video) or where decode is deferred.
   */
 object Multimodal {
 
@@ -41,11 +47,96 @@ object Multimodal {
     StructField("brightness", LongType), // 28-bit digest of the payload
     StructField("thumb", StringType)))   // first-8-bytes hex "thumbnail"
 
-  /** ======= STUB: replace with a real decoder (libjpeg/ffmpeg/...). =======
-    * Deterministic fake decode: md5-derived 28-bit "brightness", byte
-    * length, metadata-declared pixel count, hex-of-prefix "thumbnail".
-    * Mirrors TextFunctions.hash28 so a SQL oracle can replicate it. */
-  def decodeStub(bytes: Array[Byte], width: Int, height: Int): (Long, String) = {
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),   // from the DECODED raster, not meta
+    StructField("height", IntegerType),
+    StructField("luma_sum", LongType)))  // integer luminance sum over pixels
+
+  // ImageIO's default stream cache spills through temp FILES per decode —
+  // pure-memory streams keep executor-side decode off the local disks.
+  ImageIO.setUseCache(false)
+
+  /** Encode a grayscale PNG from a pixel function (test/data-synthesis
+    * helper; PNG is lossless so `decodeImage` recovers the exact samples).
+    * Runs executor-side — `ImageIO` is headless-safe. */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode (`javax.imageio`): returns (width, height, luma_sum)
+    * from the decoded raster. Luminance is exact integer math so results
+    * are bit-stable across JVMs: single-band images sum the raw samples;
+    * multi-band images sum the Rec.601 integer luma
+    * `(299*R + 587*G + 114*B) / 1000` per pixel. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload (no registered ImageIO reader)")
+    val w = img.getWidth
+    val h = img.getHeight
+    var luma = 0L
+    if (img.getRaster.getNumBands == 1) {
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { luma += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          luma += (299L * r + 587L * g + 114L * b) / 1000L
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, luma)
+  }
+
+  /** Batched REAL image decode over a media frame: one decoded-stats row
+    * per media row, via the same batch-shaped `mapPartitions` as
+    * `extractFeatures`. Width/height come from the decoded raster (NOT the
+    * metadata struct), so a corrupt or mislabeled payload surfaces as a
+    * decode failure / dimension mismatch instead of silently passing
+    * metadata through. */
+  def decodeImages(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.row(decodedSchema)
+    media.select("media_id", "kind", "bytes")
+      .mapPartitions({ rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]]("bytes")
+            val (w, h, luma) = decodeImage(bytes)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+              bytes.length.toLong, w, h, luma)
+          }
+        }
+      })(enc)
+  }
+
+  /** Codec-independent payload digest "features": md5-derived 28-bit
+    * content digest (mirrors TextFunctions.hash28 so a SQL oracle
+    * replicates it), byte length, metadata-declared pixel count,
+    * hex-of-prefix thumbnail. The decode-free path for opaque media. */
+  def digestFeatures(bytes: Array[Byte]): (Long, String) = {
     val md5hex = MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
     val brightness = java.lang.Long.parseLong(md5hex.take(7), 16)
@@ -53,20 +144,20 @@ object Multimodal {
     (brightness, thumb)
   }
 
-  /** Batched feature extraction: the decode runs once per BATCH of rows
+  /** Batched digest-feature extraction: runs once per BATCH of rows
     * (batch shape preserved for a native decoder), output is one feature
-    * row per media row. */
+    * row per media row. For image payloads prefer `decodeImages`. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = Encoders.row(featureSchema)
     media.select("media_id", "kind", "bytes", "meta.width", "meta.height")
       .mapPartitions({ rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // one call per batch — where a real decoder would take the
+          // one call per batch — where a native decoder would take the
           // whole batch across JNI in a single hop
           batch.map { r =>
             val bytes = r.getAs[Array[Byte]]("bytes")
             val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
-            val (brightness, thumb) = decodeStub(bytes, w, h)
+            val (brightness, thumb) = digestFeatures(bytes)
             Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
               bytes.length.toLong, w.toLong * h, brightness, thumb)
           }

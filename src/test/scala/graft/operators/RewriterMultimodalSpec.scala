@@ -92,6 +92,46 @@ class RewriterMultimodalSpec extends SparkSpec {
     assert(f64(1L) == f(1L).getAs[Long]("brightness"))
   }
 
+  test("multimodal: real PNG decode round-trips exact pixels (javax.imageio)") {
+    // local encode/decode: lossless round-trip of a known gradient
+    val bytes = Multimodal.encodePng(5, 3, (x, y) => x * 40 + y * 10)
+    val (w, h, luma) = Multimodal.decodeImage(bytes)
+    assert((w, h) == ((5, 3)))
+    val expected = (for { y <- 0 until 3; x <- 0 until 5 } yield (x * 40 + y * 10) & 0xff).sum
+    assert(luma == expected.toLong)
+    // sample values >= 256 wrap through & 0xff on encode
+    val wrapped = Multimodal.encodePng(2, 1, (x, _) => 300 + x)
+    assert(Multimodal.decodeImage(wrapped)._3 == ((300 & 0xff) + (301 & 0xff)).toLong)
+    // distributed batched decode: width/height come from the decoded
+    // raster, luma matches the formula, batch size is irrelevant
+    val pngMedia = spark.range(0, 20).select($"id".as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val wd = (3 + id % 4).toInt; val ht = (2 + id % 3).toInt
+          val b = Multimodal.encodePng(wd, ht, (x, y) => ((id * 17 + x * 5 + y * 11) % 256).toInt)
+          org.apache.spark.sql.Row(id, "image", b,
+            org.apache.spark.sql.Row(wd, ht, 0L, "png"))
+        }
+      }(org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema))
+    def check(batchSize: Int): Unit = {
+      val rows = Multimodal.decodeImages(pngMedia, batchSize).collect()
+      assert(rows.length == 20)
+      rows.foreach { r =>
+        val id = r.getAs[Long]("media_id")
+        val wd = (3 + id % 4).toInt; val ht = (2 + id % 3).toInt
+        assert(r.getAs[Int]("width") == wd)
+        assert(r.getAs[Int]("height") == ht)
+        val exp = (for { y <- 0 until ht; x <- 0 until wd }
+          yield (id * 17 + x * 5 + y * 11) % 256).sum
+        assert(r.getAs[Long]("luma_sum") == exp)
+        assert(r.getAs[Long]("n_bytes") > 0L)
+      }
+    }
+    check(batchSize = 1); check(batchSize = 64)
+    // a non-image payload fails loudly, not silently
+    intercept[Exception] { Multimodal.decodeImage("not a png".getBytes("UTF-8")) }
+  }
+
   test("multimodal: resize plan caps the max dimension, keeps aspect") {
     val out = Multimodal.planResize(media, 100).collect()
       .map(r => r.getAs[Long]("media_id") ->
