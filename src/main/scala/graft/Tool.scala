@@ -83,6 +83,32 @@ object Tool {
       val layout = flags.get("layout")
         .map(graft.table.LayoutJson.parseFile)
         .getOrElse(graft.table.TableLayout(tablePath, Seq.empty))
+      // A TTL'd layout with the Long.MaxValue default "now" would treat
+      // EVERY cell of those families as expired — a destructive default.
+      // Require the caller to pin the TTL clock explicitly.
+      val ttlFams = layout.families.filter(_.ttlSeconds.isDefined).map(_.name)
+      require(ttlFams.isEmpty || flags.contains("asof"),
+        s"refusing to compact '$tablePath': families " +
+          ttlFams.mkString("(", ", ", ")") + " declare ttl_seconds, and " +
+          "without --asof the TTL cutoff would be evaluated at +infinity, " +
+          "physically and irreversibly deleting every cell of those " +
+          "families. Pass --asof=<micros> (e.g. current wall-clock " +
+          "microseconds) to pin the TTL \"now\".")
+      // A locality-grouped table (lg=<group> file sets) compacted without
+      // its layout would be rewritten through the ungrouped path, silently
+      // losing per-group file splitting and compression. Reads would stay
+      // correct (family-name fallback) but the storage layout degrades.
+      if (flags.get("layout").isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val grouped = fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("lg="))
+        require(!grouped,
+          s"refusing to compact '$tablePath': the table is locality-grouped " +
+            "(lg=* file sets) and no --layout was supplied; compacting " +
+            "without the layout would rewrite it ungrouped, losing " +
+            "per-group file sets and compression. Pass --layout=<layout.json>.")
+      }
       val asOf = flags.get("asof").map(_.toLong).getOrElse(Long.MaxValue)
       val splits = flags.get("splits").map(_.toInt).getOrElse(32)
       val start = System.currentTimeMillis()
@@ -94,6 +120,52 @@ object Tool {
       flags.get("history").foreach(p => new JobHistory(spark, p).record(result,
         Map("table" -> tablePath) ++ flags.get("layout").map("layout" -> _)))
       return result
+    }
+
+    // `describe`: operational table stats — base file set, pending
+    // change-feed occupancy (files + rows awaiting a fold), locality
+    // grouping. The feed numbers are the signal for scheduling
+    // `compact` / `compactFeed` (each append batch is one more file
+    // every merged read re-unions). With `--minor-compact-over=N` the
+    // verb also FOLDS the feed down to one file when it holds more
+    // than N (feed-only rewrite; base untouched).
+    if (verb == "describe") {
+      val tablePath = flag("table")
+      val layout = flags.get("layout")
+        .map(graft.table.LayoutJson.parseFile)
+        .getOrElse(graft.table.TableLayout(tablePath, Seq.empty))
+      val table = new graft.table.EntityTable(spark, tablePath, layout)
+      val p = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.flatMap { s =>
+          val n = s.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+          else if (s.isDirectory) dataFiles(s.getPath)
+          else Seq(s)
+        }
+      val base = dataFiles(p)
+      val groups = if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("lg="))
+        .map(_.getPath.getName.stripPrefix("lg="))
+      val (feedFiles, feedRows) = table.changeFeedStats
+      println(s"table: $tablePath")
+      println(s"base: files=${base.length} bytes=${base.map(_.getLen).sum}")
+      if (groups.nonEmpty) println(s"locality groups: ${groups.sorted.mkString(", ")}")
+      println(s"change feed: files=$feedFiles rows=$feedRows" +
+        (if (feedFiles > 0) " (pending fold: compactFeed or compact)" else ""))
+      val compacted = flags.get("minor-compact-over").map(_.toInt) match {
+        case Some(n) if feedFiles > n => table.compactFeed(n); true
+        case _ => false
+      }
+      val now = System.currentTimeMillis()
+      return JobResult(java.util.UUID.randomUUID().toString,
+        flags.getOrElse("name", "describe"), now, now, "SUCCEEDED",
+        Map("base_files" -> base.length.toLong,
+          "base_bytes" -> base.map(_.getLen).sum,
+          "feed_files" -> feedFiles.toLong, "feed_rows" -> feedRows,
+          "feed_compacted" -> (if (compacted) 1L else 0L)), None)
     }
 
     // `job-history`: inspect recorded runs — the KijiJobHistory tool
@@ -211,7 +283,9 @@ object Tool {
       |  --<gatherer|producer|importer|pivoter>=<class>
       |   | graft.Tool bulk-load --hfiles=<staged-dir> --table=<path>
       |   | graft.Tool compact --table=<path> [--layout=<layout.json>]
-      |       [--asof=<micros>] [--splits=N]
+      |       [--asof=<micros>] [--splits=N]   (--asof REQUIRED with TTL layouts)
+      |   | graft.Tool describe --table=<path> [--layout=<layout.json>]
+      |       [--minor-compact-over=N]
       |   | graft.Tool job-history --history=<dir> [--job-id=<id>]
       |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]

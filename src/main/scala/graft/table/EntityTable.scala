@@ -215,13 +215,18 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * families (columns = None) stay open.
     *
     * `allowNullScope = true` is the change-feed variant: scope-wide
-    * tombstones legitimately carry null family (delete_row) or null
-    * qualifier (delete_family) — null scope passes, non-null scope is
+    * tombstones legitimately carry null family (delete_row only) or null
+    * qualifier (delete_row / delete_family) — the null pass is gated on
+    * the op actually having that scope, so a malformed put (or scoped
+    * delete) with a null family/qualifier fails the append instead of
+    * polluting merged reads with unscoped cells. Non-null scope is
     * validated as usual. */
   private def guardLayout(df: DataFrame, allowNullScope: Boolean): DataFrame = {
     val declared = layout.families.map(_.name)
     val famOk =
-      if (allowNullScope) col("family").isNull || col("family").isin(declared: _*)
+      if (allowNullScope)
+        (col("op") === "delete_row" && col("family").isNull) ||
+          col("family").isin(declared: _*)
       else col("family").isin(declared: _*)
     val famGuarded =
       if (declared.isEmpty) df
@@ -229,7 +234,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
         when(famOk, col("family"))
           .otherwise(raise_error(concat(
             lit(s"unknown family (not declared in table '${layout.name}'): '"),
-            col("family"), lit("'")))))
+            coalesce(col("family"), lit("null")), lit("'")))))
     val closed = layout.families.filter(_.columns.isDefined)
     if (closed.isEmpty) famGuarded
     else {
@@ -237,12 +242,16 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
         when(col("family") === f.name,
           col("qualifier").isin(f.columns.get: _*)).otherwise(acc)
       }
-      val ok = if (allowNullScope) col("qualifier").isNull || base else base
+      val ok =
+        if (allowNullScope)
+          (col("op").isin("delete_row", "delete_family") &&
+            col("qualifier").isNull) || base
+        else base
       famGuarded.withColumn("qualifier",
         when(ok, col("qualifier")).otherwise(raise_error(concat(
-          lit("qualifier '"), col("qualifier"),
+          lit("qualifier '"), coalesce(col("qualifier"), lit("null")),
           lit("' not declared for group-type family '"),
-          col("family"), lit(s"' of table '${layout.name}'")))))
+          coalesce(col("family"), lit("null")), lit(s"' of table '${layout.name}'")))))
     }
   }
 
@@ -257,8 +266,12 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * puts/scoped deletes naming undeclared families/qualifiers fail the
     * append. `numFiles` coalesces the batch (change batches are usually
     * delta-sized; 0 = keep the incoming partitioning for a genuinely
-    * large feed). Appends are atomic at the file level, so concurrent
-    * readers see complete batches or nothing. */
+    * large feed). Batch atomicity holds for the default `numFiles = 1`:
+    * the batch commits as ONE file, so concurrent readers see the whole
+    * batch or nothing. With `numFiles = 0` (multi-file append) a job that
+    * fails mid-append — e.g. a layout-guard raise_error in a later task —
+    * can leave a partially committed batch visible to readers; validate
+    * such batches upstream, or compact promptly after a failure. */
   def appendChanges(changes: DataFrame, numFiles: Int = 1): Unit = {
     val need = Seq("entity_id", "family", "qualifier", "op", "ts", "value")
     require(need.forall(changes.columns.contains),
@@ -272,6 +285,45 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       .select(need.map(col): _*)
     (if (numFiles > 0) guarded.coalesce(numFiles) else guarded)
       .write.mode("append").parquet(changesPath)
+  }
+
+  /** Change-feed occupancy: (data files, rows). Each `appendChanges` batch
+    * leaves its own file(s); every merged read re-lists and re-unions them
+    * all, so a long-lived write pattern should watch this and fold the
+    * feed down (`compactFeed` for a feed-only fold, `majorCompact` for the
+    * full physical fold). Surfaced by the CLI `describe` verb. */
+  def changeFeedStats: (Int, Long) =
+    if (!hasPendingChanges) (0, 0L)
+    else {
+      val files = hadoopFs.listStatus(new org.apache.hadoop.fs.Path(changesPath))
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+      (files, pendingChanges.count())
+    }
+
+  /** MINOR compaction of the change feed: coalesce the N accumulated
+    * append batches into ONE feed file — the memstore-flush/minor-
+    * compaction split of the reference's LSM substrate (minor folds the
+    * small files, major folds into the base). Feed-ONLY rewrite: base
+    * files are untouched, tombstones survive (they still mask base cells
+    * until a `majorCompact`), and the merged `cells` view is unchanged.
+    * `maxFiles` makes the call a no-op threshold trigger: fold only when
+    * the feed exceeds that many files (0 = always fold).
+    *
+    * Not safe concurrently with writers of the same feed: the fold swaps
+    * the feed directory (stage → delete → rename), and an `appendChanges`
+    * racing the swap can lose its batch. Run from the operational
+    * maintenance schedule, like compaction in the reference. */
+  def compactFeed(maxFiles: Int = 0): Unit = {
+    val (files, _) = changeFeedStats
+    if (files <= math.max(maxFiles, 1)) return // 0 or 1 file: nothing to fold
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$path/__changes_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    pendingChanges.coalesce(1).write.parquet(staging.toString)
+    val feed = new org.apache.hadoop.fs.Path(changesPath)
+    hadoopFs.delete(feed, true)
+    require(hadoopFs.rename(staging, feed),
+      s"compactFeed: rename $staging -> $feed failed")
   }
 
   /** Merge a change feed (puts + tombstones) and rewrite the table — the

@@ -277,6 +277,100 @@ class ToolSpec extends SparkSpec {
     assert(!new java.io.File(staging).exists)
   }
 
+  test("CLI compact verb: physical retention via the layout + feed fold-in") {
+    import spark.implicits._
+    import graft.table.{EntityTable, LayoutJson}
+    val table = tmpDir("clicompact") + "/t"
+    val layoutPath = tmpDir("clicompactl") + "/layout.json"
+    Files.writeString(Paths.get(layoutPath),
+      """{name: "t", locality_groups: [{name: "default", max_versions: 1,
+        |  families: [{name: "ev"}]}]}""".stripMargin)
+    val et = new EntityTable(spark, table, LayoutJson.parseFile(layoutPath))
+    et.bulkLoad(Seq(
+      (1L, "ev", "click", 10L, "1.5"), (1L, "ev", "click", 20L, "2.5"),
+      (2L, "ev", "view", 5L, "7.0"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 2)
+    // a pending change feed: the compact must fold it in and consume it
+    et.appendChanges(Seq((1L, "ev", "click", "put", 30L, "3.5"))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value"))
+    assert(et.hasPendingChanges)
+    val r = Tool.run(spark, Array("compact",
+      s"--table=$table", s"--layout=$layoutPath", "--splits=2"))
+    assert(r.status == "SUCCEEDED")
+    // beyond-max_versions cells are PHYSICALLY gone from the base parquet
+    // (click ts=10/20 dropped; the feed's ts=30 is the survivor) and the
+    // _changes feed was consumed by the fold
+    val base = spark.read.parquet(table).collect()
+      .map(x => (x.getAs[Long]("entity_id"), x.getAs[String]("qualifier"),
+        x.getAs[Long]("ts"), x.getAs[String]("value"))).toSet
+    assert(base == Set((1L, "click", 30L, "3.5"), (2L, "view", 5L, "7.0")))
+    assert(!Files.exists(Paths.get(table, "_changes")))
+  }
+
+  test("CLI compact refuses a TTL layout without --asof (destructive default)") {
+    import spark.implicits._
+    import graft.table.{EntityTable, LayoutJson}
+    val table = tmpDir("clittl") + "/t"
+    val layoutPath = tmpDir("clittll") + "/layout.json"
+    Files.writeString(Paths.get(layoutPath),
+      """{name: "t", locality_groups: [{name: "default", ttl_seconds: 10,
+        |  families: [{name: "ev"}]}]}""".stripMargin)
+    val et = new EntityTable(spark, table, LayoutJson.parseFile(layoutPath))
+    et.bulkLoad(Seq((1L, "ev", "click", 95L * 1000000L, "fresh"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    val e = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("compact", s"--table=$table", s"--layout=$layoutPath")))
+    assert(e.getMessage.contains("ttl_seconds") && e.getMessage.contains("--asof"))
+    // nothing was deleted by the refusal
+    assert(spark.read.parquet(table).count() == 1)
+    // with the TTL clock pinned, compaction proceeds and keeps fresh cells
+    val r = Tool.run(spark, Array("compact", s"--table=$table",
+      s"--layout=$layoutPath", s"--asof=${100L * 1000000L}"))
+    assert(r.status == "SUCCEEDED")
+    assert(spark.read.parquet(table).count() == 1)
+  }
+
+  test("CLI compact refuses a locality-grouped table without --layout") {
+    import spark.implicits._
+    import graft.table.{EntityTable, FamilySpec, TableLayout}
+    val table = tmpDir("clilg") + "/t"
+    val layout = TableLayout("t", Seq(
+      FamilySpec("hotf", localityGroup = "hot"),
+      FamilySpec("coldf", localityGroup = "cold", compression = "gzip")))
+    new EntityTable(spark, table, layout).bulkLoad(Seq(
+      (1L, "hotf", "a", 1L, "x"), (1L, "coldf", "b", 1L, "y"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    assert(Files.exists(Paths.get(table, "lg=hot")))
+    val e = intercept[IllegalArgumentException](
+      Tool.run(spark, Array("compact", s"--table=$table")))
+    assert(e.getMessage.contains("locality-grouped"))
+    // grouping intact after the refusal
+    assert(Files.exists(Paths.get(table, "lg=hot")) &&
+      Files.exists(Paths.get(table, "lg=cold")))
+  }
+
+  test("CLI describe reports base/feed stats and minor-compacts over a threshold") {
+    val (src, layoutPath) = stageSourceTable()
+    import graft.table.{EntityTable, LayoutJson}
+    import spark.implicits._
+    val et = new EntityTable(spark, src, LayoutJson.parseFile(layoutPath))
+    // two append batches = two feed files
+    def put(ts: Long) = Seq((1L, "ev", "click", "put", ts, 9.9))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value")
+    et.appendChanges(put(100L)); et.appendChanges(put(200L))
+    val r1 = Tool.run(spark, Array("describe", s"--table=$src", s"--layout=$layoutPath"))
+    assert(r1.counters("feed_files") == 2L && r1.counters("feed_rows") == 2L)
+    assert(r1.counters("base_files") > 0L && r1.counters("feed_compacted") == 0L)
+    // over-threshold: describe folds the feed down to one file
+    val r2 = Tool.run(spark, Array("describe", s"--table=$src",
+      s"--layout=$layoutPath", "--minor-compact-over=1"))
+    assert(r2.counters("feed_compacted") == 1L)
+    val r3 = Tool.run(spark, Array("describe", s"--table=$src", s"--layout=$layoutPath"))
+    assert(r3.counters("feed_files") == 1L && r3.counters("feed_rows") == 2L)
+    // the merged view still sees both streamed puts
+    assert(et.cells.filter($"ts" >= 100L).count() == 2L)
+  }
+
   test("format=htable input fails with an explicit out-of-scope message") {
     val e = intercept[UnsupportedOperationException](
       graft.sources.Formats.read(spark, "format=htable table=whatever"))

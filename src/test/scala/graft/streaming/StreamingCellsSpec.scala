@@ -120,6 +120,50 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendChangeStream: streamed puts land in the feed; a later tombstone masks them") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import graft.table.{EntityTable, FamilySpec, TableLayout}
+    val tableDir = tmpDir("chgstream") + "/t"
+    val ckpt = tmpDir("chgstreamckpt")
+    val table = new EntityTable(spark, tableDir,
+      TableLayout("t", Seq(FamilySpec("ev"))))
+    // a bulk-loaded base the stream must NOT rewrite
+    table.bulkLoad(Seq((9L, "ev", "click", 1L, 0.5))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    val input = MemoryStream[CellPutEvent]
+    val puts = input.toDS().toDF().select(
+      col("entity_id"), col("family"), col("qualifier"),
+      unix_micros(col("ts")).as("ts"), col("value"))
+    val q = StreamingCells.appendChangeStream(puts, table, ckpt)
+    try {
+      input.addData(CellPutEvent(1L, "ev", "click", ts(10), 1.0))
+      q.processAllAvailable()
+      input.addData(CellPutEvent(1L, "ev", "click", ts(20), 2.0)) // 2nd batch
+      q.processAllAvailable()
+      // both micro-batches are in the FEED (merge-on-read), base untouched
+      assert(table.hasPendingChanges && table.changeFeedStats._2 == 2L)
+      assert(spark.read.parquet(tableDir).count() == 1) // base: the bulk row only
+      assert(table.cells.count() == 3)
+      // a batch tombstone with upToTs >= the streamed puts masks them,
+      // regardless of arrival order (pure (key, ts) resolution)
+      table.appendChanges(Seq(
+        (1L, "ev", "click", "delete_column", 20L * 1000000L, null.asInstanceOf[java.lang.Double]))
+        .toDF("entity_id", "family", "qualifier", "op", "ts", "value"))
+      val left = table.cells.select("entity_id").collect().map(_.getLong(0)).toList
+      assert(left == List(9L), s"streamed puts must be masked, saw $left")
+      // ...and a stale tombstone (ts below a streamed put) does NOT mask it:
+      // a put streamed AFTER the tombstone with a HIGHER ts survives
+      input.addData(CellPutEvent(2L, "ev", "view", ts(50), 5.0))
+      q.processAllAvailable()
+      table.appendChanges(Seq(
+        (2L, "ev", "view", "delete_column", 40L * 1000000L, null.asInstanceOf[java.lang.Double]))
+        .toDF("entity_id", "family", "qualifier", "op", "ts", "value"))
+      val ids = table.cells.select("entity_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(9L, 2L), "ts=50s put must survive a ts=40s tombstone")
+    } finally q.stop()
+  }
+
   test("windowedAgg: tumbling windows with watermark produce exact counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CellPutEvent]

@@ -191,6 +191,81 @@ class TableDmlSpec extends SparkSpec {
     assert(!table.hasPendingChanges)
   }
 
+  test("compactFeed: minor compaction folds K feed files into one; base and view unchanged") {
+    val dir = tmpDir("minorfeed") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    def baseFiles: Set[(String, Long)] = {
+      val fs = Files.list(Paths.get(dir)).iterator()
+      var out = Set.empty[(String, Long)]
+      while (fs.hasNext) {
+        val p = fs.next()
+        if (!p.getFileName.toString.startsWith("_"))
+          out += ((p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+      }
+      out
+    }
+    val before = baseFiles
+    // three appends = three accumulated feed files
+    table.appendChanges(changesDF(Seq(Dml.put(1L, "info", "email", 30L, "a@x"))))
+    table.appendChanges(changesDF(Seq(
+      Dml.deleteRow(2L, Long.MaxValue, null.asInstanceOf[String]))))
+    table.appendChanges(changesDF(Seq(Dml.put(1L, "info", "email", 40L, "b@x"))))
+    assert(table.changeFeedStats == ((3, 3L)))
+    val merged = keys(table.cells)
+    // threshold trigger: 3 files is under a maxFiles=5 threshold — no-op
+    table.compactFeed(maxFiles = 5)
+    assert(table.changeFeedStats._1 == 3)
+    // unconditional fold: ONE feed file, same rows, identical merged view,
+    // base files byte-identical (feed-only rewrite)
+    table.compactFeed()
+    assert(table.changeFeedStats == ((1, 3L)))
+    assert(keys(table.cells) == merged)
+    assert(baseFiles == before)
+    // tombstones survive the minor fold (they still mask base cells)
+    assert(!keys(table.cells).exists(_._1 == 2L))
+    // single-file feed: folding again is a no-op
+    table.compactFeed()
+    assert(table.changeFeedStats == ((1, 3L)))
+    // majorCompact still consumes the folded feed
+    table.majorCompact()
+    assert(!table.hasPendingChanges && table.changeFeedStats == ((0, 0L)))
+    assert(keys(table.cells) == merged)
+  }
+
+  test("change-feed null scope is op-gated: malformed null-scope puts/deletes fail") {
+    val dir = tmpDir("morscope") + "/t"
+    val layout = TableLayout("t", Seq(
+      FamilySpec("info", columns = Some(Seq("email", "name"))), FamilySpec("stats")))
+    val table = new EntityTable(spark, dir, layout)
+    table.bulkLoad(cells, numPartitions = 1)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    def fails(ch: Dml.Change[Long, String], msg: String): Unit = {
+      val e = intercept[Exception](table.appendChanges(changesDF(Seq(ch))))
+      assert(messages(e).exists(_.contains(msg)),
+        s"expected '$msg' in: ${messages(e).mkString(" | ")}")
+    }
+    val nul = null.asInstanceOf[String]
+    // null family is ONLY the row-tombstone's scope — a put (or scoped
+    // delete) carrying it is malformed, not row-wide
+    fails(Dml.Change(1L, null, "email", "put", 1L, "x"), "unknown family")
+    fails(Dml.Change(1L, null, "email", "delete_column", 1L, nul), "unknown family")
+    // null qualifier is only delete_row/delete_family scope — a put or
+    // delete_cell/delete_column into a group-type family must name one
+    fails(Dml.Change(1L, "info", null, "put", 1L, "x"),
+      "not declared for group-type family")
+    fails(Dml.Change(1L, "info", null, "delete_cell", 1L, nul),
+      "not declared for group-type family")
+    assert(!table.hasPendingChanges, "failed appends must commit nothing")
+    // the legitimate scope-wide tombstones still pass
+    table.appendChanges(changesDF(Seq(
+      Dml.deleteFamily(1L, "info", Long.MaxValue, nul),
+      Dml.deleteRow(2L, Long.MaxValue, nul))))
+    // entity 1 had only info cells; entity 2 is row-tombstoned: all gone
+    assert(keys(table.cells).isEmpty)
+  }
+
   test("put: appends a new cell version") {
     val out = Dml.applyChanges(cells, changesDF(Seq(
       Dml.put(1L, "info", "email", 30L, "newest@x"))))
