@@ -199,6 +199,40 @@ object EngineProperties extends Properties("graft") {
       jac(None) == jac(Some(t)) // surviving pairs AND their values identical
     }
 
+  property("IVF recall@k is monotone in nprobe and total at nprobe = numCentroids") =
+    forAll(Gen.choose(0L, 1L << 30)) { seed =>
+      // Synthetic clustered corpus: 3 directional clusters, ids assigned
+      // round-robin so the deterministic id<numCentroids centroid choice
+      // lands one centroid per cluster. Components stay >= 20 in magnitude
+      // so no vector is near the origin (cosine well-defined).
+      val rnd = new scala.util.Random(seed)
+      val dim = 4
+      val clusters = 3
+      val n = 24
+      val centers = Array.fill(clusters)(Array.fill(dim)(
+        (rnd.nextInt(81) + 20) * (if (rnd.nextBoolean()) 1 else -1)))
+      val vecs = (0 until n).map { j =>
+        val c = centers(j % clusters)
+        (j.toLong, c.map(x => x + rnd.nextFloat() * 4f - 2f).toSeq)
+      }
+      val df = vecs.toDF("id", "vec")
+      val k = 3
+      val maxQ = 4L
+      def topSet(out: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        out.select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = topSet(graft.operators.Similarity.knnExact(df, "id", "vec", maxQ, k))
+      val recalls = (1 to clusters).map { np =>
+        val approx = topSet(graft.operators.Similarity.knnIvf(
+          df, "id", "vec", maxQ, numCentroids = clusters, nprobe = np, k = k))
+        approx.intersect(exact).size.toDouble / exact.size
+      }
+      // probing more lists only ADDS candidates, and a global-top-k member
+      // in the candidate set always survives the per-query window — so
+      // recall is monotone, and probing every list IS the exact search
+      recalls.sliding(2).forall(w => w.head <= w.last) && recalls.last == 1.0
+    }
+
   property("bitsFor keeps bucket population near the target at any corpus size") =
     forAll(Gen.choose(1L, 1L << 40), Gen.choose(1L, 4096L)) { (n, target) =>
       val b = graft.operators.Similarity.bitsFor(n, target)
