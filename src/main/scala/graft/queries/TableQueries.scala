@@ -316,6 +316,60 @@ object TableQueries {
        |  ${sqlSum("value")} AS price_sum
        |FROM merged GROUP BY 1 ORDER BY kbucket""".stripMargin
 
+  // ── q52: MINOR COMPACTION — the feed-hygiene half of the LSM lifecycle.
+  // Three separate O(delta) append batches (correction puts at ts=1, row
+  // tombstones upTo ts=1, late puts at ts=2) leave three feed files;
+  // `compactFeed()` folds them into ONE file WITHOUT touching the base or
+  // changing the merged view — tombstones survive the fold (they must keep
+  // masking base cells until a major compaction). The read back through
+  // the folded feed is oracle-checked, and the fold itself is observable:
+  // `feed_files` carries the post-fold file count (1) into the hashed
+  // result. The ts=2 late puts prove fold-preserved (key, ts) resolution:
+  // they outlive the upTo=1 tombstones even for row-deleted entities. ─────
+  val q52_minor_compaction: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val cells = orders.select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("price").as("qualifier"), lit(0L).as("ts"),
+      $"o_totalprice".as("value"))
+    val table = new EntityTable(s, tmpTable("q52", d),
+      TableLayout("orders_minor", Seq(FamilySpec("ord"))))
+    table.bulkLoad(cells, numPartitions = 32)
+    // ×2 / ×4 are exponent bumps: exact in double on both engines.
+    def put(filterMod: Long, ts: Long, factor: Int) =
+      orders.filter($"o_orderkey" % 10 === filterMod).select(
+        $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+        lit("price").as("qualifier"), lit("put").as("op"), lit(ts).as("ts"),
+        ($"o_totalprice" * factor).as("value"))
+    table.appendChanges(put(3L, 1L, 2))
+    table.appendChanges(orders.filter($"o_orderkey" % 7 === 0).select(
+      $"o_orderkey".as("entity_id"), lit(null).cast(StringType).as("family"),
+      lit(null).cast(StringType).as("qualifier"),
+      lit("delete_row").as("op"), lit(1L).as("ts"),
+      lit(null).cast(DoubleType).as("value")))
+    table.appendChanges(put(6L, 2L, 4))
+    table.compactFeed()
+    val feedFilesAfter = table.changeFeedStats._1
+    table.mostRecent()
+      .groupBy(($"entity_id" % 10).as("kbucket"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("price_sum"))
+      .withColumn("feed_files", lit(feedFilesAfter))
+      .orderBy($"kbucket")
+  }
+  val q52_sql: String =
+    s"""WITH merged AS (
+       |  SELECT o_orderkey AS entity_id,
+       |    CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice * 4
+       |         WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS value
+       |  FROM orders
+       |  WHERE o_orderkey % 7 <> 0 OR o_orderkey % 10 = 6
+       |)
+       |SELECT entity_id % 10 AS kbucket, count(*) AS n,
+       |  ${sqlSum("value")} AS price_sum, CAST(1 AS INT) AS feed_files
+       |FROM merged GROUP BY 1 ORDER BY kbucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q32_bulk_roundtrip" -> q32_bulk_roundtrip,
     "q33_dml_tombstones" -> q33_dml_tombstones,
@@ -325,6 +379,7 @@ object TableQueries {
     "q44_locality_groups" -> q44_locality_groups,
     "q48_reader_schema" -> q48_reader_schema,
     "q50_incremental_dml" -> q50_incremental_dml,
+    "q52_minor_compaction" -> q52_minor_compaction,
   )
   val oracleSql: Map[String, String] = Map(
     "q32_bulk_roundtrip" -> q32_sql,
@@ -335,5 +390,6 @@ object TableQueries {
     "q44_locality_groups" -> q44_sql,
     "q48_reader_schema" -> q48_sql,
     "q50_incremental_dml" -> q50_sql,
+    "q52_minor_compaction" -> q52_sql,
   )
 }
