@@ -166,14 +166,73 @@ object Multimodal {
   }
 
   /** Metadata-level "resize": plan the target dimensions without touching
-    * payloads (a real resize would rewrite bytes in the same batched
-    * shape). Pure column math — stays in codegen. */
+    * payloads (`resizeImages` is the payload-rewriting counterpart with the
+    * same dimension math). Pure column math — stays in codegen. The
+    * lower bound of 1 keeps extreme aspect ratios from planning a
+    * zero-pixel side. */
   def planResize(media: DataFrame, maxDim: Int): DataFrame = {
     val w = col("meta.width"); val h = col("meta.height")
     val scale = least(lit(1.0),
       lit(maxDim) / greatest(w, h).cast(DoubleType))
-    media.withColumn("resize_w", floor(w * scale).cast(IntegerType))
-      .withColumn("resize_h", floor(h * scale).cast(IntegerType))
+    media.withColumn("resize_w",
+        greatest(lit(1L), floor(w * scale)).cast(IntegerType))
+      .withColumn("resize_h",
+        greatest(lit(1L), floor(h * scale)).cast(IntegerType))
+  }
+
+  /** REAL single-image resize: decode, scale so the longer side is at most
+    * `maxDim` (never upscales — payloads at or under the cap pass through
+    * untouched), re-encode as PNG. Dimension math matches `planResize`
+    * exactly. NEAREST_NEIGHBOUR interpolation: pure pixel selection, no
+    * blended values, so results are bit-stable across JVMs (and a
+    * solid-color image resizes to exactly that color). Band layout is
+    * preserved (grayscale in → grayscale out). */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload (no registered ImageIO reader)")
+    val w = img.getWidth; val h = img.getHeight
+    if (math.max(w, h) <= maxDim) return bytes
+    val scale = maxDim.toDouble / math.max(w, h)
+    val nw = math.max(1, math.floor(w * scale).toInt)
+    val nh = math.max(1, math.floor(h * scale).toInt)
+    val kind = if (img.getRaster.getNumBands == 1) BufferedImage.TYPE_BYTE_GRAY
+               else BufferedImage.TYPE_INT_RGB
+    val out = new BufferedImage(nw, nh, kind)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(img, 0, 0, nw, nh, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched REAL thumbnail generation over a media frame: each row's
+    * payload is decoded, capped to `maxDim` and re-encoded (PNG) inside the
+    * same batch-shaped `mapPartitions` as `decodeImages` — the
+    * payload-rewriting counterpart of `planResize`. Output keeps the media
+    * row identity plus the resized payload and its decoded dimensions. */
+  def resizeImages(media: DataFrame, maxDim: Int, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("bytes", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = Encoders.row(schema)
+    media.select("media_id", "kind", "bytes")
+      .mapPartitions({ rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val resized = resizeImage(r.getAs[Array[Byte]]("bytes"), maxDim)
+            val (w, h, _) = decodeImage(resized)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), resized, w, h)
+          }
+        }
+      })(enc)
   }
 
   /** Frame sampling plan for video-kind media: every `everyMs` in

@@ -132,6 +132,43 @@ class RewriterMultimodalSpec extends SparkSpec {
     intercept[Exception] { Multimodal.decodeImage("not a png".getBytes("UTF-8")) }
   }
 
+  test("multimodal: real image resize caps the long side, preserves content") {
+    // solid-gray 40x20 capped at 10 → 10x5, and NEAREST_NEIGHBOUR keeps
+    // every pixel exactly the source color
+    val bytes = Multimodal.encodePng(40, 20, (_, _) => 77)
+    val resized = Multimodal.resizeImage(bytes, 10)
+    val (w, h, luma) = Multimodal.decodeImage(resized)
+    assert((w, h) == ((10, 5)))
+    assert(luma == 10L * 5 * 77)
+    // at-or-under-cap payloads pass through untouched (no upscale, no
+    // re-encode)
+    assert(Multimodal.resizeImage(bytes, 40) eq bytes)
+    // extreme aspect ratios floor to 1, never 0
+    val tall = Multimodal.encodePng(1, 100, (_, _) => 5)
+    val (tw, th, _) = Multimodal.decodeImage(Multimodal.resizeImage(tall, 10))
+    assert((tw, th) == ((1, 10)))
+    // distributed: resized payload dims agree with planResize's column math
+    val pngMedia = spark.range(0, 12).select($"id".as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val wd = (3 + id % 5).toInt; val ht = (2 + id % 4).toInt
+          val b = Multimodal.encodePng(wd, ht, (x, y) => ((id + x + y) % 256).toInt)
+          org.apache.spark.sql.Row(id, "image", b,
+            org.apache.spark.sql.Row(wd, ht, 0L, "png"))
+        }
+      }(org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema))
+    val planned = Multimodal.planResize(pngMedia, 4)
+      .select($"media_id", $"resize_w", $"resize_h").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("resize_w"), r.getAs[Int]("resize_h")))).toMap
+    Multimodal.resizeImages(pngMedia, 4, batchSize = 5).collect().foreach { r =>
+      val got = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(got == planned(r.getAs[Long]("media_id")),
+        s"media ${r.getAs[Long]("media_id")}: resized $got != planned")
+      assert(math.max(got._1, got._2) <= 4)
+    }
+  }
+
   test("multimodal: resize plan caps the max dimension, keeps aspect") {
     val out = Multimodal.planResize(media, 100).collect()
       .map(r => r.getAs[Long]("media_id") ->
