@@ -371,6 +371,13 @@ class ToolSpec extends SparkSpec {
     assert(et.cells.filter($"ts" >= 100L).count() == 2L)
   }
 
+  test("CLI describe handles a missing table dir without crashing") {
+    val r = Tool.run(spark, Array("describe",
+      s"--table=${tmpDir("descmissing")}/never-created"))
+    assert(r.status == "SUCCEEDED")
+    assert(r.counters("base_files") == 0L && r.counters("feed_files") == 0L)
+  }
+
   test("format=htable input fails with an explicit out-of-scope message") {
     val e = intercept[UnsupportedOperationException](
       graft.sources.Formats.read(spark, "format=htable table=whatever"))
