@@ -5,6 +5,7 @@ import java.awt.image.BufferedImage
 import java.security.MessageDigest
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -23,9 +24,12 @@ import org.apache.spark.sql.types._
   *  - `decodeImages` — REAL image decode via `javax.imageio` (JDK-built-in,
   *    no external codec libs): PNG/JPEG/GIF/BMP payloads are decoded
   *    pixel-for-pixel into width/height/luminance statistics.
+  *  - `decodeAudios` — REAL audio decode via `javax.sound.sampled`
+  *    (JDK-built-in): WAV/PCM payloads parsed into sample-rate/channel/
+  *    frame-count/amplitude statistics.
   *  - `extractFeatures` — codec-independent payload digests (byte length,
   *    content digest, prefix "thumbnail") for media kinds with no JDK
-  *    decoder (audio/video) or where decode is deferred.
+  *    decoder (video) or where decode is deferred.
   */
 object Multimodal {
 
@@ -46,6 +50,16 @@ object Multimodal {
     StructField("n_pixels", LongType),
     StructField("brightness", LongType), // 28-bit digest of the payload
     StructField("thumb", StringType)))   // first-8-bytes hex "thumbnail"
+
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("n_bytes", LongType),
+    StructField("sample_rate", IntegerType), // from the DECODED header
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("amp_sum", LongType),        // integer amplitude sum
+    StructField("duration_ms", LongType)))   // n_frames * 1000 / sample_rate
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -127,6 +141,93 @@ object Multimodal {
             val (w, h, luma) = decodeImage(bytes)
             Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
               bytes.length.toLong, w, h, luma)
+          }
+        }
+      })(enc)
+  }
+
+  /** Encode a mono 8-bit unsigned PCM WAV through the JDK's real RIFF/WAVE
+    * encoder (`javax.sound.sampled.AudioSystem`) — test/data-synthesis
+    * helper; PCM is lossless so `decodeAudio` recovers the exact samples.
+    * Each byte of `samples` is one unsigned 8-bit sample (0..255). */
+  def encodeWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 16-bit signed little-endian PCM WAV encoder (interleave channels in
+    * `samples` yourself; `channels` only sets the header's frame layout). */
+  def encodeWav16(sampleRate: Int, samples: Array[Short], channels: Int = 1): Array[Byte] = {
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(raw), fmt, (samples.length / channels).toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode (`javax.sound.sampled`, JDK-built-in — parses the
+    * RIFF/WAVE header and PCM payload, no external codec libs): returns
+    * (sample_rate, channels, n_frames, amp_sum) from the DECODED stream,
+    * not from caller metadata. `amp_sum` is exact integer math, bit-stable
+    * across JVMs: 8-bit streams sum unsigned samples (0..255); 16-bit
+    * streams sum signed samples, honoring the header's endianness. */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      require(bits == 8 || bits == 16,
+        s"unsupported PCM sample width: $bits bits (8/16 supported)")
+      val data = ais.readAllBytes()
+      val nFrames = data.length.toLong / fmt.getFrameSize
+      var sum = 0L
+      if (bits == 8) {
+        var i = 0
+        while (i < data.length) { sum += data(i) & 0xff; i += 1 }
+      } else {
+        var i = 0
+        while (i + 1 < data.length) {
+          val s =
+            if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+          sum += s
+          i += 2
+        }
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, nFrames, sum)
+    } finally ais.close()
+  }
+
+  /** Batched REAL audio decode over a media frame — the audio counterpart
+    * of `decodeImages`, same batch-shaped `mapPartitions`. Sample rate,
+    * channel count and frame count come from the decoded WAV header (NOT
+    * the metadata struct), so a corrupt payload fails the decode instead of
+    * passing metadata through. */
+  def decodeAudios(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.row(decodedAudioSchema)
+    media.select("media_id", "kind", "bytes")
+      .mapPartitions({ rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]]("bytes")
+            val (rate, chans, frames, ampSum) = decodeAudio(bytes)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+              bytes.length.toLong, rate, chans, frames, ampSum,
+              frames * 1000L / rate)
           }
         }
       })(enc)

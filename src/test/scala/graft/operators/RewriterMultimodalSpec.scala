@@ -177,6 +177,53 @@ class RewriterMultimodalSpec extends SparkSpec {
     assert(out(2L) == ((100, 56)))   // 1920x1080 -> 100x56 (floor)
   }
 
+  test("multimodal: real WAV decode round-trips exact samples (javax.sound)") {
+    // 8-bit unsigned mono: lossless round-trip of a known ramp
+    val samples = Array.tabulate(100)(i => (i * 3 % 256).toByte)
+    val wav = Multimodal.encodeWav(8000, samples)
+    val (rate, chans, frames, sum) = Multimodal.decodeAudio(wav)
+    assert((rate, chans, frames) == ((8000, 1, 100L)))
+    assert(sum == samples.map(_ & 0xff).map(_.toLong).sum)
+    // 16-bit signed (incl. negative samples) honors signedness
+    val s16 = Array[Short](-32768, -1, 0, 1, 32767, 1000)
+    val (r16, c16, f16, sum16) = Multimodal.decodeAudio(Multimodal.encodeWav16(44100, s16))
+    assert((r16, c16, f16) == ((44100, 1, 6L)))
+    assert(sum16 == s16.map(_.toLong).sum)
+    // stereo: frame count is per-frame, amplitude sums all channels
+    val st = Array[Short](10, -10, 20, -20)
+    val (_, cSt, fSt, sumSt) = Multimodal.decodeAudio(Multimodal.encodeWav16(8000, st, channels = 2))
+    assert((cSt, fSt, sumSt) == ((2, 2L, 0L)))
+    // a non-audio payload fails loudly, not silently
+    intercept[Exception] { Multimodal.decodeAudio("not a wav".getBytes("UTF-8")) }
+    // distributed batched decode: header stats come from the DECODED wav,
+    // batch size is irrelevant
+    val wavMedia = spark.range(0, 20).select($"id".as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (10 + id % 5).toInt
+          val b = Multimodal.encodeWav(16000,
+            Array.tabulate(n)(i => ((id * 7 + i * 11) % 256).toByte))
+          org.apache.spark.sql.Row(id, "audio", b,
+            org.apache.spark.sql.Row(0, 0, 0L, "wav"))
+        }
+      }(org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema))
+    def check(batchSize: Int): Unit = {
+      val rows = Multimodal.decodeAudios(wavMedia, batchSize).collect()
+      assert(rows.length == 20)
+      rows.foreach { r =>
+        val id = r.getAs[Long]("media_id")
+        val n = (10 + id % 5).toInt
+        assert(r.getAs[Int]("sample_rate") == 16000)
+        assert(r.getAs[Int]("channels") == 1)
+        assert(r.getAs[Long]("n_frames") == n.toLong)
+        assert(r.getAs[Long]("duration_ms") == n.toLong * 1000 / 16000)
+        val exp = (0 until n).map(i => (id * 7 + i * 11) % 256).sum
+        assert(r.getAs[Long]("amp_sum") == exp)
+      }
+    }
+    check(batchSize = 1); check(batchSize = 64)
+  }
+
   test("multimodal: frame sampling explodes video rows only") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
       .select("media_id", "frame_ms").collect()
