@@ -243,4 +243,31 @@ object EngineProperties extends Properties("graft") {
       val minimal = b == 1 || n > (target << (b - 1))
       withinCap && tightEnough && minimal
     }
+
+  property("WAV 8-bit codec round-trips header + exact amplitude sum") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 255)),
+           Gen.oneOf(8000, 16000, 44100)) { (vals, rate) =>
+      val samples = vals.map(_.toByte).toArray
+      val (r, c, frames, sum) =
+        graft.operators.Multimodal.decodeAudio(
+          graft.operators.Multimodal.encodeWav(rate, samples))
+      r == rate && c == 1 && frames == samples.length.toLong &&
+        sum == vals.map(_.toLong).sum
+    }
+
+  property("WAV 16-bit codec round-trips signed samples at any channel split") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)),
+           Gen.oneOf(1, 2)) { (vals, channels) =>
+      // truncate to a whole number of frames for the chosen channel count
+      val usable = vals.take(vals.length / channels * channels)
+      usable.isEmpty || {
+        val samples = usable.map(_.toShort).toArray
+        val (r, c, frames, sum) =
+          graft.operators.Multimodal.decodeAudio(
+            graft.operators.Multimodal.encodeWav16(8000, samples, channels))
+        r == 8000 && c == channels &&
+          frames == (samples.length / channels).toLong &&
+          sum == usable.map(_.toLong).sum
+      }
+    }
 }
