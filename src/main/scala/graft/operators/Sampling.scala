@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash28
+
+/** Deterministic sampling / dataset-split operators for training pipelines.
+  *
+  * A 100 TB curation run needs splits that are (a) reproducible across
+  * reruns and engines (no RNG state, no partition-order dependence),
+  * (b) stable under corpus growth (a document's split never changes when
+  * other documents are added or removed), and (c) shuffle-free (pure
+  * per-row column math). All three fall out of hashing the row's stable id
+  * with the portable 28-bit md5 prefix (`TextFunctions.hash28`) — the same
+  * hash a SQL oracle replicates exactly, so splits are hash-verifiable.
+  *
+  * Spark's own `df.sample`/`sampleBy` use per-partition RNG streams: fast,
+  * but resampling under ANY repartition and irreproducible across engines —
+  * the wrong tool for dataset curation. (They remain available for
+  * statistical sampling where identity-stability doesn't matter.)
+  *
+  * The reference has no sampling surface (its jobs are full scans); this is
+  * capability upside mandated by the LLM-pipeline charter.
+  */
+object Sampling {
+
+  /** The hash bucket in [0, buckets): `hash28(salt || id) % buckets`.
+    * 28-bit hash over 10k buckets leaves each bucket ~2^14 hash values —
+    * granular to 0.01% split weights. */
+  def hashBucket(id: Column, salt: String, buckets: Int = 10000): Column =
+    pmod(hash28(concat(lit(salt), id.cast("string"))), lit(buckets))
+
+  /** Assign each row a named split, deterministically from its id.
+    *
+    * `weights` are (name, weight) pairs; weights are normalized, then laid
+    * out as contiguous bucket ranges in the GIVEN order — so
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` maps buckets
+    * [0,8000) → train, [8000,9000) → val, [9000,10000) → test. Per-row
+    * column math only: no shuffle, no RNG, stable under corpus growth. */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                salt: String = "split", splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "at least one split required")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    val buckets = 10000
+    val total = weights.map(_._2).sum
+    // cumulative upper bucket bounds; the last is pinned to `buckets` so
+    // rounding never leaves a bucket unassigned
+    val bounds = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * buckets).toInt)
+      .updated(weights.size - 1, buckets)
+    val b = hashBucket(col(idCol), salt, buckets)
+    val expr = weights.map(_._1).zip(bounds).reverse match {
+      case (lastName, _) +: rest =>
+        rest.foldLeft(lit(lastName)) { case (acc, (name, bound)) =>
+          when(b < bound, name).otherwise(acc)
+        }
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Keep a deterministic `fraction` of rows by id hash — the reproducible
+    * counterpart of `df.sample(fraction)`. Subset property holds for free:
+    * sampleByHash(0.1) ⊆ sampleByHash(0.2) at the same salt. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   salt: String = "sample"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction in [0,1]: $fraction")
+    val buckets = 10000
+    df.filter(hashBucket(col(idCol), salt, buckets)
+      < math.round(fraction * buckets).toInt)
+  }
+
+  /** Per-stratum quota: keep the top `k` rows of each stratum by `order`
+    * (descending, ties broken by id for determinism). The curation pattern
+    * "best k docs per language/source": one shuffle on the stratum key,
+    * per-partition window sort — no global sort, no driver materialization. */
+  def stratifiedQuota(df: DataFrame, strataCol: String, orderCol: String,
+                      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Sampling
 
 /** Text-analysis operators over the `documents` table (training-pipeline
   * extensions mandated by BASELINE.json). Each is a pure column pipeline —
@@ -49,11 +50,7 @@ object TextQueries {
        |  CAST(list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
        |      t -> length(t))) AS DOUBLE)
        |    / len(string_split_regex(lower(text), '\\s+')) AS mean_tok_len,
-       |  0.5 * (CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-       |      t -> t IN ($stops))) AS DOUBLE)
-       |         / len(string_split_regex(lower(text), '\\s+')))
-       |  + 0.5 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-       |           / length(text)) AS quality
+       |  $qualitySqlExpr AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -99,16 +96,77 @@ object TextQueries {
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // DuckDB fragment computing the same quality double as
+  // TextFunctions.qualityScore (shared by q18 and q56 — the doubles are
+  // hash-compared, so the arithmetic must be replicated term for term).
+  private def qualitySqlExpr: String = {
+    val stops = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""0.5 * (CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN ($stops))) AS DOUBLE)
+       |         / len(string_split_regex(lower(text), '\\s+')))
+       |  + 0.5 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |           / length(text))""".stripMargin
+  }
+
+  // ── q55: deterministic dataset split. Each document's train/val/test
+  // assignment is pure id-hash math (Sampling.hashSplit): reproducible
+  // across reruns/engines, stable under corpus growth, zero shuffle before
+  // the presentation agg. The oracle replicates the md5 bucket arithmetic,
+  // hash-verifying every row's assignment through the per-split counts. ──
+  val q55_dataset_split: Q = (s, d) => {
+    import s.implicits._
+    Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"split", $"lang")
+  }
+  val q55_sql: String =
+    """SELECT CASE WHEN b < 8000 THEN 'train'
+      |            WHEN b < 9000 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  lang, count(*) AS n
+      |FROM (SELECT lang,
+      |        ('0x'||substr(md5('split' || CAST(doc_id AS VARCHAR)),1,7))::BIGINT
+      |          % 10000 AS b
+      |      FROM documents)
+      |GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
+  // ── q56: stratified quota curation — best 3 documents per language by
+  // quality score (Sampling.stratifiedQuota): one shuffle on the stratum
+  // key, per-stratum window sort, no global sort. ─────────────────────────
+  val q56_stratified_quota: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", qualityScore($"text").as("quality"))
+    Sampling.stratifiedQuota(docs, "lang", "quality", "doc_id", k = 3)
+      .orderBy($"lang", $"quality".desc, $"doc_id")
+  }
+  val q56_sql: String =
+    s"""SELECT doc_id, lang, quality FROM (
+       |  SELECT doc_id, lang, quality,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY quality DESC, doc_id) AS rnk
+       |  FROM (SELECT doc_id, lang, $qualitySqlExpr AS quality
+       |        FROM documents))
+       |WHERE rnk <= 3
+       |ORDER BY lang, quality DESC, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
     "q19_lang_id" -> q19_lang_id,
     "q20_fingerprint" -> q20_fingerprint,
+    "q55_dataset_split" -> q55_dataset_split,
+    "q56_stratified_quota" -> q56_stratified_quota,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
     "q18_quality" -> q18_sql,
     "q19_lang_id" -> q19_sql,
     "q20_fingerprint" -> q20_sql,
+    "q55_dataset_split" -> q55_sql,
+    "q56_stratified_quota" -> q56_sql,
   )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = spark.range(0, n).select($"id")
+
+  test("hashSplit: exhaustive, weight-proportional, repartition-stable") {
+    val n = 20000
+    val out = Sampling.hashSplit(ids(n), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive: every row gets exactly one split
+    assert(counts.values.sum == n.toLong)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // proportional within a loose tolerance (hash is uniform, not exact)
+    assert(math.abs(counts("train") - 16000L) < 800, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 2000L) < 400, s"val=${counts("val")}")
+    // a row's split NEVER depends on partitioning or corpus contents:
+    // the same ids through any repartition get identical assignments
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(ids(n).repartition(7), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // growth-stable: assignments computed over a SUBSET agree row-for-row
+    val sub = Sampling.hashSplit(ids(n / 10), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, s) => assert(a(id) == s) }
+    // un-normalized weights mean the same thing as normalized ones
+    val w2 = Sampling.hashSplit(ids(1000), "id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    w2.foreach { case (id, s) => assert(a(id) == s) }
+  }
+
+  test("hashSplit: weights must be positive and non-empty") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids(1), "id", Seq())
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids(1), "id", Seq("a" -> 1.0, "b" -> 0.0))
+    }
+  }
+
+  test("sampleByHash: deterministic, monotone in fraction, distinct salts differ") {
+    val n = 10000
+    val s10 = Sampling.sampleByHash(ids(n), "id", 0.1).as[Long].collect().toSet
+    val s20 = Sampling.sampleByHash(ids(n), "id", 0.2).as[Long].collect().toSet
+    // subset property: raising the fraction only ADDS rows
+    assert(s10.subsetOf(s20))
+    assert(math.abs(s10.size - 1000) < 300, s"got ${s10.size}")
+    // rerun is identical (no RNG state)
+    assert(Sampling.sampleByHash(ids(n), "id", 0.1).as[Long].collect().toSet == s10)
+    // a different salt draws a different (deterministic) sample
+    val other = Sampling.sampleByHash(ids(n), "id", 0.1, salt = "other")
+      .as[Long].collect().toSet
+    assert(other != s10)
+    // boundary fractions
+    assert(Sampling.sampleByHash(ids(100), "id", 0.0).count() == 0)
+    assert(Sampling.sampleByHash(ids(100), "id", 1.0).count() == 100)
+  }
+
+  test("stratifiedQuota: top-k per stratum, deterministic tie-break") {
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.8), ("en", 3L, 0.8), ("en", 4L, 0.1),
+      ("fr", 5L, 0.5), ("fr", 6L, 0.5),
+      ("de", 7L, 0.3)
+    ).toDF("lang", "doc_id", "quality")
+    val out = Sampling.stratifiedQuota(df, "lang", "quality", "doc_id", k = 2)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // en: 0.9 then the 0.8-tie broken by lower doc_id; fr: both; de: one
+    assert(out == Set(("en", 1L), ("en", 2L), ("fr", 5L), ("fr", 6L), ("de", 7L)))
+    // quota column is internal — never leaks into the output schema
+    assert(!Sampling.stratifiedQuota(df, "lang", "quality", "doc_id", 1)
+      .columns.contains("__rank"))
+  }
+}
