@@ -153,6 +153,26 @@ object TextQueries {
        |WHERE rnk <= 3
        |ORDER BY lang, quality DESC, doc_id""".stripMargin
 
+  // ── q57: document chunking — overlapping 120-char windows stepping by
+  // 100 (Chunking.chunkChars): sequence+explode+substr, all codegen, scan-
+  // shaped fan-out. The oracle rebuilds every (doc, chunk_start, chunk)
+  // triple with an arithmetic range join, hash-verifying window placement
+  // and substring extraction. ─────────────────────────────────────────────
+  val q57_chunking: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Chunking.chunkChars(
+        Tables.documents(s, d).select($"doc_id", $"text"),
+        "text", size = 120, overlap = 20)
+      .select($"doc_id", $"chunk_start", $"chunk")
+      .orderBy($"doc_id", $"chunk_start")
+  }
+  val q57_sql: String =
+    """SELECT doc_id, CAST(s.i AS INT) AS chunk_start,
+      |  substr(text, CAST(s.i AS INT) + 1, 120) AS chunk
+      |FROM documents, range(0, 10000, 100) s(i)
+      |WHERE s.i < length(text)
+      |ORDER BY doc_id, chunk_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -160,6 +180,7 @@ object TextQueries {
     "q20_fingerprint" -> q20_fingerprint,
     "q55_dataset_split" -> q55_dataset_split,
     "q56_stratified_quota" -> q56_stratified_quota,
+    "q57_chunking" -> q57_chunking,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -168,5 +189,6 @@ object TextQueries {
     "q20_fingerprint" -> q20_sql,
     "q55_dataset_split" -> q55_sql,
     "q56_stratified_quota" -> q56_sql,
+    "q57_chunking" -> q57_sql,
   )
 }
