@@ -130,6 +130,47 @@ object DedupQueries {
        |SELECT id AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ── q58: decontamination — near-dup pairs that CROSS a train/test
+  // split. The standard eval-integrity check before training: any test
+  // document with a near-duplicate in train leaks the benchmark. Composes
+  // the q22 LSH pair mining (one pass over the WHOLE corpus — cheaper
+  // than two per-split passes and catches both directions) with the
+  // deterministic hashSplit assignment; both legs are oracle-replicated,
+  // so every reported contamination is hash-verified. ─────────────────────
+  val q58_decontamination: Q = (s, d) => {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
+      MinHashK, MinHashBands, JaccardThreshold)
+    val splits = graft.operators.Sampling.hashSplit(
+      Tables.documents(s, d).select($"doc_id"), "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    pairs
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .filter($"split_a" =!= $"split_b")
+      .select(
+        when($"split_a" === "test", $"doc_a").otherwise($"doc_b").as("test_doc"),
+        when($"split_a" === "test", $"doc_b").otherwise($"doc_a").as("train_doc"),
+        $"jaccard")
+      .orderBy($"test_doc", $"train_doc")
+  }
+  lazy val q58_sql: String =
+    s"""WITH pairs AS (
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)}
+       |), splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x'||substr(md5('split' || CAST(doc_id AS VARCHAR)),1,7))::BIGINT
+       |           % 10000 < 8000 THEN 'train' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT CASE WHEN sa.split = 'test' THEN p.doc_a ELSE p.doc_b END AS test_doc,
+       |  CASE WHEN sa.split = 'test' THEN p.doc_b ELSE p.doc_a END AS train_doc,
+       |  p.jaccard
+       |FROM pairs p
+       |JOIN splits sa ON p.doc_a = sa.doc_id
+       |JOIN splits sb ON p.doc_b = sb.doc_id
+       |WHERE sa.split <> sb.split
+       |ORDER BY test_doc, train_doc""".stripMargin
+
   /** Shared LSH oracle: same hashed-gram signature/banding/rerank as
     * minhashLshPairs (the md5→28-bit gram hashes, the affine minhashes,
     * the band keys, and the Jaccard over hashed gram sets all mirror the
@@ -182,6 +223,7 @@ object DedupQueries {
     "q23_simhash_dedup" -> q23_simhash_dedup,
     "q24_ngram_jaccard" -> q24_ngram_jaccard,
     "q49_dedup_clusters" -> q49_dedup_clusters,
+    "q58_decontamination" -> q58_decontamination,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -189,5 +231,6 @@ object DedupQueries {
     "q23_simhash_dedup" -> q23_sql,
     "q24_ngram_jaccard" -> q24_sql,
     "q49_dedup_clusters" -> q49_sql,
+    "q58_decontamination" -> q58_sql,
   )
 }
