@@ -56,6 +56,27 @@ object Similarity {
       s"WHEN $nExpr <= ${targetBucketRows << b} THEN $b"
     }.mkString("CASE ", " ", s" ELSE $maxBits END")
 
+  /** Group-wise elementwise mean of embedding vectors ("mean pooling"):
+    * one centroid per key — class centroids, doc-level pooling of chunk
+    * embeddings, cluster summaries. Scale shape: `posexplode` fans each
+    * vector into (key, lane) rows, a partial-aggregating shuffle on
+    * (key, lane) sums each lane, and the array is rebuilt per key — so
+    * neither group size nor dimension ever concentrates in one task.
+    * Exact math: lane sums are over 2^20-scaled int64 (order-independent),
+    * the mean is a single double division per lane — oracle-replicable. */
+  def meanPool(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    emb.select(col(keyCol), posexplode(scaled(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col(keyCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          e => e.getField("s").cast(DoubleType) / e.getField("n")).as("centroid"),
+        max(col("n")).as("n")) // every lane carries the group's row count
+  }
+
   /** Brute-force exact top-k cosine neighbors for queries `idCol < maxQueryId`.
     * Norms are materialized per vector (query and corpus side) so the
     * per-pair work is just the dot product. */

@@ -161,16 +161,40 @@ object VectorQueries {
        |WHERE ${sqlCosineFromNorms("a.v", "b.v", "a.nrm", "b.nrm", Dim)} >= $CosineDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ── q59: embedding mean-pooling — per-label class centroids. The
+  // posexplode → (key, lane) partial-agg shape keeps both group size and
+  // dimension distributed; lane sums are exact scaled int64, so the
+  // centroid doubles hash-compare. ─────────────────────────────────────────
+  val q59_embedding_pool: Q = (s, d) => {
+    import s.implicits._
+    Similarity.meanPool(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy($"label")
+  }
+  lazy val q59_sql: String =
+    s"""WITH sv AS (
+       |  SELECT label, ${sqlScaled("embedding")} AS v FROM embeddings
+       |), lanes AS (
+       |  SELECT label, p.pos AS pos,
+       |    CAST(sum(list_extract(v, CAST(p.pos AS INT) + 1)) AS DOUBLE)
+       |      / count(*) AS val,
+       |    count(*) AS n
+       |  FROM sv, range($Dim) p(pos)
+       |  GROUP BY label, p.pos)
+       |SELECT label, list(val ORDER BY pos) AS centroid, max(n) AS n
+       |FROM lanes GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
     "q40_embedding_dedup" -> q40_embedding_dedup,
     "q45_knn_ivf" -> q45_knn_ivf,
+    "q59_embedding_pool" -> q59_embedding_pool,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
     "q26_knn_lsh" -> q26_sql,
     "q40_embedding_dedup" -> q40_sql,
     "q45_knn_ivf" -> q45_sql,
+    "q59_embedding_pool" -> q59_sql,
   )
 }

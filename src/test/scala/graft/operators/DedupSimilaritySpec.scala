@@ -182,6 +182,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tied.getLong(0) == 0L)
   }
 
+  test("meanPool: per-key elementwise mean, lane order preserved") {
+    val emb = Seq(
+      (1, Array(1.0f, 2.0f, 3.0f)),
+      (1, Array(3.0f, 4.0f, 5.0f)),
+      (2, Array(-1.0f, 0.0f, 1.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.meanPool(emb, "label", "embedding").collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getSeq[Double](r.fieldIndex("centroid")).toList, r.getAs[Long]("n")))).toMap
+    val scale = graft.functions.VectorFunctions.Scale.toDouble
+    // exact: (1+3)/2=2, (2+4)/2=3, (3+5)/2=4 in scaled space
+    assert(out(1)._1 == List(2.0 * scale, 3.0 * scale, 4.0 * scale))
+    assert(out(1)._2 == 2L)
+    assert(out(2)._1 == List(-1.0 * scale, 0.0, 1.0 * scale))
+    assert(out(2)._2 == 1L)
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11
