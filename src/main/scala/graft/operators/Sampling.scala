@@ -72,16 +72,31 @@ object Sampling {
 
   /** Per-stratum quota: keep the top `k` rows of each stratum by `order`
     * (descending, ties broken by id for determinism). The curation pattern
-    * "best k docs per language/source": one shuffle on the stratum key,
-    * per-partition window sort — no global sort, no driver materialization. */
+    * "best k docs per language/source".
+    *
+    * Scale shape: a single window partitioned by the stratum key would
+    * funnel EVERY row of a stratum through one task — a skew cliff when one
+    * language holds billions of documents. So the quota runs in two phases:
+    * (1) a pre-window partitioned by (stratum, input partition id) reduces
+    * each stratum to ≤ k rows per input partition with no cross-partition
+    * concentration; (2) the final stratum-keyed window then ranks ≤ k ×
+    * numPartitions survivors per stratum — bounded regardless of stratum
+    * size. Results are identical to the one-window plan: every global
+    * top-k row is by definition inside its own partition's local top-k,
+    * so phase 1 never drops a winner (same argument as combiner
+    * correctness for max). */
   def stratifiedQuota(df: DataFrame, strataCol: String, orderCol: String,
                       idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive: $k")
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col(orderCol).desc, col(idCol).asc)
-    df.withColumn("__rank", row_number().over(w))
+    val ord = Seq(col(orderCol).desc, col(idCol).asc)
+    val local = Window.partitionBy(col(strataCol), col("__salt")).orderBy(ord: _*)
+    val global = Window.partitionBy(col(strataCol)).orderBy(ord: _*)
+    df.withColumn("__salt", spark_partition_id())
+      .withColumn("__rank", row_number().over(local))
       .filter(col("__rank") <= k)
-      .drop("__rank")
+      .withColumn("__rank", row_number().over(global))
+      .filter(col("__rank") <= k)
+      .drop("__salt", "__rank")
   }
 }

@@ -78,8 +78,14 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     // en: 0.9 then the 0.8-tie broken by lower doc_id; fr: both; de: one
     assert(out == Set(("en", 1L), ("en", 2L), ("fr", 5L), ("fr", 6L), ("de", 7L)))
-    // quota column is internal — never leaks into the output schema
-    assert(!Sampling.stratifiedQuota(df, "lang", "quality", "doc_id", 1)
-      .columns.contains("__rank"))
+    // quota columns are internal — never leak into the output schema
+    val cols = Sampling.stratifiedQuota(df, "lang", "quality", "doc_id", 1).columns
+    assert(!cols.contains("__rank") && !cols.contains("__salt"))
+    // the salted two-phase plan returns the same rows at ANY partitioning
+    val spread = Sampling.stratifiedQuota(df.repartition(13), "lang",
+        "quality", "doc_id", k = 2)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(spread == out)
   }
 }
