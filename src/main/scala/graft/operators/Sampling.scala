@@ -70,6 +70,40 @@ object Sampling {
       < math.round(fraction * buckets).toInt)
   }
 
+  /** Rebalance strata by fractional repetition weights — the "data mixing"
+    * step that up/down-weights languages or sources before training.
+    *
+    * A weight w replicates each row of its stratum floor(w) times, plus one
+    * more copy for a deterministic hash-selected (w - floor(w)) fraction of
+    * ids — so expected multiplicity is exactly w, per-row multiplicity is
+    * reproducible (no RNG), and the output carries `copy_idx` (0-based) so
+    * repeated rows stay distinguishable and deterministic downstream.
+    * Weights below 1 subsample (floor 0 + fractional copy); missing strata
+    * default to weight 1. Pure column math: explode over a per-row copy
+    * count — scan-shaped, no shuffle. */
+  def rebalance(df: DataFrame, strataCol: String, idCol: String,
+                weights: Map[String, Double],
+                salt: String = "rebalance"): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 100),
+      s"weights must be in [0, 100]: $weights")
+    val buckets = 10000
+    val whole = weights.foldLeft(lit(1)) { case (acc, (name, w)) =>
+      when(col(strataCol) === name, lit(math.floor(w).toInt)).otherwise(acc)
+    }
+    val fracBound = weights.foldLeft(lit(0)) { case (acc, (name, w)) =>
+      val frac = w - math.floor(w)
+      when(col(strataCol) === name,
+        lit(math.round(frac * buckets).toInt)).otherwise(acc)
+    }
+    val copies = whole +
+      when(hashBucket(col(idCol), salt, buckets) < fracBound, 1).otherwise(0)
+    // copies = 0 must yield an EMPTY array (sequence(0, -1) throws), so the
+    // row drops out of the explode entirely
+    df.withColumn("copy_idx",
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Per-stratum quota: keep the top `k` rows of each stratum by `order`
     * (descending, ties broken by id for determinism). The curation pattern
     * "best k docs per language/source".

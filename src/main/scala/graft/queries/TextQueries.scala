@@ -173,6 +173,35 @@ object TextQueries {
       |WHERE s.i < length(text)
       |ORDER BY doc_id, chunk_start""".stripMargin
 
+  // ── q60: corpus rebalancing — deterministic fractional upsampling per
+  // language (Sampling.rebalance): de ×2.5, fr ×0.5, everything else ×1.
+  // Expected multiplicity is exactly the weight; per-row multiplicity is
+  // reproducible hash math the oracle replicates, so every copy count is
+  // hash-verified through the per-language totals AND the per-row copy
+  // indices (max copy_idx per doc). ────────────────────────────────────────
+  val q60_rebalance: Q = (s, d) => {
+    import s.implicits._
+    Sampling.rebalance(Tables.documents(s, d), "lang", "doc_id",
+        Map("de" -> 2.5, "fr" -> 0.5))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct($"doc_id").as("n_docs"),
+           max($"copy_idx").cast("bigint").as("max_copy"))
+      .orderBy($"lang")
+  }
+  val q60_sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang,
+      |    (CASE lang WHEN 'de' THEN 2 WHEN 'fr' THEN 0 ELSE 1 END)
+      |    + (CASE WHEN ('0x'||substr(md5('rebalance' || CAST(doc_id AS VARCHAR)),1,7))::BIGINT % 10000
+      |            < (CASE lang WHEN 'de' THEN 5000 WHEN 'fr' THEN 5000 ELSE 0 END)
+      |       THEN 1 ELSE 0 END) AS copies
+      |  FROM documents)
+      |SELECT lang, sum(copies) AS n_rows,
+      |  count(DISTINCT CASE WHEN copies > 0 THEN doc_id END) AS n_docs,
+      |  max(copies - 1)::BIGINT AS max_copy
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -181,6 +210,7 @@ object TextQueries {
     "q55_dataset_split" -> q55_dataset_split,
     "q56_stratified_quota" -> q56_stratified_quota,
     "q57_chunking" -> q57_chunking,
+    "q60_rebalance" -> q60_rebalance,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -190,5 +220,6 @@ object TextQueries {
     "q55_dataset_split" -> q55_sql,
     "q56_stratified_quota" -> q56_sql,
     "q57_chunking" -> q57_sql,
+    "q60_rebalance" -> q60_sql,
   )
 }

@@ -67,6 +67,36 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleByHash(ids(100), "id", 1.0).count() == 100)
   }
 
+  test("rebalance: fractional weights give floor/ceil copies, weight-1 passthrough") {
+    val n = 4000
+    val df = spark.range(0, n).select($"id",
+      when($"id" % 4 === 0, "de").when($"id" % 4 === 1, "fr")
+        .otherwise("en").as("lang"))
+    val out = Sampling.rebalance(df, "lang", "id", Map("de" -> 2.5, "fr" -> 0.0))
+    val rows = out.select("id", "lang", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // weight 0 drops the stratum entirely
+    assert(!rows.exists(_._2 == "fr"))
+    // unlisted strata default to weight 1 with copy_idx 0
+    val en = rows.filter(_._2 == "en")
+    assert(en.length == n / 2 && en.forall(_._3 == 0))
+    // weight 2.5: every doc appears 2 or 3 times, ~half get the 3rd copy
+    val deCopies = rows.filter(_._2 == "de").groupBy(_._1).view.mapValues(_.length)
+    assert(deCopies.values.forall(c => c == 2 || c == 3))
+    val thirds = deCopies.values.count(_ == 3)
+    assert(math.abs(thirds - 500) < 150, s"thirds=$thirds")
+    // copy indices are dense 0..copies-1 (deterministic downstream keys)
+    rows.filter(_._2 == "de").groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0 until g.length))
+    }
+    // deterministic across repartitioning
+    val again = Sampling.rebalance(df.repartition(11), "lang", "id",
+      Map("de" -> 2.5, "fr" -> 0.0))
+      .select("id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == rows.map(r => (r._1, r._3)).toSet)
+  }
+
   test("stratifiedQuota: top-k per stratum, deterministic tie-break") {
     val df = Seq(
       ("en", 1L, 0.9), ("en", 2L, 0.8), ("en", 3L, 0.8), ("en", 4L, 0.1),
