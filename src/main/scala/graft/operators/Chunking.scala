@@ -24,6 +24,10 @@ object Chunking {
     require(size > 0, s"chunk size must be positive: $size")
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size): overlap=$overlap size=$size")
+    Seq("chunk_start", "chunk").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column (the chunker's output column)")
+    }
     val step = size - overlap
     val len = length(col(textCol))
     // sequence's upper bound must be >= start for a non-empty array; the

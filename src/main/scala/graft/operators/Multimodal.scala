@@ -183,21 +183,36 @@ object Multimodal {
     * RIFF/WAVE header and PCM payload, no external codec libs): returns
     * (sample_rate, channels, n_frames, amp_sum) from the DECODED stream,
     * not from caller metadata. `amp_sum` is exact integer math, bit-stable
-    * across JVMs: 8-bit streams sum unsigned samples (0..255); 16-bit
-    * streams sum signed samples, honoring the header's endianness. */
+    * across JVMs, honoring the header's sample width, signedness and
+    * endianness. Non-PCM encodings (ULAW/ALAW) and payloads truncated
+    * mid-frame fail loudly instead of producing wrong statistics. */
   def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Long) = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      // Fail loudly on anything that isn't plain PCM: a ULAW/ALAW payload
+      // also reports 8 sample bits, but its bytes are companded codes —
+      // summing them as amplitudes would return silently wrong statistics.
+      require(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED,
+        s"unsupported audio encoding: $enc (PCM_SIGNED/PCM_UNSIGNED supported)")
       val bits = fmt.getSampleSizeInBits
       require(bits == 8 || bits == 16,
         s"unsupported PCM sample width: $bits bits (8/16 supported)")
       val data = ais.readAllBytes()
+      // AudioInputStream only hands back whole frames, so a payload cut
+      // mid-frame shows up as FEWER decoded frames than the header declared
+      // — that's corruption, not a shorter clip
       val nFrames = data.length.toLong / fmt.getFrameSize
+      val declared = ais.getFrameLength
+      require(declared < 0 || nFrames == declared,
+        s"truncated audio payload: decoded $nFrames of $declared declared frames")
       var sum = 0L
       if (bits == 8) {
         var i = 0
-        while (i < data.length) { sum += data(i) & 0xff; i += 1 }
+        if (signed) while (i < data.length) { sum += data(i); i += 1 }
+        else while (i < data.length) { sum += data(i) & 0xff; i += 1 }
       } else {
         var i = 0
         while (i + 1 < data.length) {

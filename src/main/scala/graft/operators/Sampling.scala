@@ -49,6 +49,13 @@ object Sampling {
     val bounds = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
       .map(f => math.round(f * buckets).toInt)
       .updated(weights.size - 1, buckets)
+    // a positive-weight split whose rounded range collapsed to zero buckets
+    // would silently never be assigned — fail instead
+    (0 +: bounds).sliding(2).zip(weights.iterator).foreach {
+      case (Seq(lo, hi), (name, w)) =>
+        require(hi > lo, s"split '$name' (weight $w) rounds to zero of the " +
+          s"$buckets hash buckets; raise its weight above 1/$buckets")
+    }
     val b = hashBucket(col(idCol), salt, buckets)
     val expr = weights.map(_._1).zip(bounds).reverse match {
       case (lastName, _) +: rest =>
@@ -86,6 +93,8 @@ object Sampling {
                 salt: String = "rebalance"): DataFrame = {
     require(weights.values.forall(w => w >= 0 && w <= 100),
       s"weights must be in [0, 100]: $weights")
+    require(!df.columns.contains("copy_idx"),
+      "input already has a copy_idx column (the output's copy counter)")
     val buckets = 10000
     val whole = weights.foldLeft(lit(1)) { case (acc, (name, w)) =>
       when(col(strataCol) === name, lit(math.floor(w).toInt)).otherwise(acc)
@@ -123,6 +132,10 @@ object Sampling {
                       idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive: $k")
+    Seq("__salt", "__rank").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column (reserved for the quota's internals)")
+    }
     val ord = Seq(col(orderCol).desc, col(idCol).asc)
     val local = Window.partitionBy(col(strataCol), col("__salt")).orderBy(ord: _*)
     val global = Window.partitionBy(col(strataCol)).orderBy(ord: _*)

@@ -195,6 +195,40 @@ class RewriterMultimodalSpec extends SparkSpec {
     assert((cSt, fSt, sumSt) == ((2, 2L, 0L)))
     // a non-audio payload fails loudly, not silently
     intercept[Exception] { Multimodal.decodeAudio("not a wav".getBytes("UTF-8")) }
+    // non-PCM encodings fail loudly: ULAW bytes are companded codes, and
+    // summing them as PCM amplitudes would be silently wrong
+    locally {
+      import javax.sound.sampled._
+      val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](40)(7)), pcm, 20L)
+      val ulaw = AudioSystem.getAudioInputStream(ulawFmt, src)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, bos)
+      val e = intercept[IllegalArgumentException] { Multimodal.decodeAudio(bos.toByteArray) }
+      assert(e.getMessage.contains("unsupported audio encoding"))
+    }
+    // a payload truncated mid-frame is corrupt, not a shorter clip
+    locally {
+      val whole = Multimodal.encodeWav16(8000, Array[Short](100, -100, 300))
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.decodeAudio(whole.dropRight(1))
+      }
+      assert(e.getMessage.contains("truncated audio payload"))
+    }
+    // signed 8-bit PCM sums SIGNED samples (not & 0xff). WAV stores 8-bit
+    // unsigned, so exercise the signed branch through AIFF (8-bit signed).
+    locally {
+      import javax.sound.sampled._
+      val fmt8 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 8, 1, 1, 8000f, true)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(Array[Byte](1, -2, 3)), fmt8, 3L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+      val (_, _, f8, s8) = Multimodal.decodeAudio(bos.toByteArray)
+      assert((f8, s8) == ((3L, 2L))) // 1 + (-2) + 3
+    }
     // distributed batched decode: header stats come from the DECODED wav,
     // batch size is irrelevant
     val wavMedia = spark.range(0, 20).select($"id".as("media_id")).as[Long]

@@ -47,6 +47,28 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(ids(1), "id", Seq("a" -> 1.0, "b" -> 0.0))
     }
+    // a positive weight that rounds to ZERO buckets would silently never
+    // be assigned — refuse instead of returning an empty split
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids(1), "id",
+        Seq("train" -> 0.99999, "val" -> 0.000005, "test" -> 0.000005))
+    }
+    assert(e.getMessage.contains("zero of the"))
+  }
+
+  test("reserved output columns are refused, not clobbered") {
+    val df = ids(3).withColumn("copy_idx", lit(9))
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, "copy_idx", "id", Map())
+    }
+    val df2 = ids(3).withColumn("__rank", lit(1)).withColumn("q", lit(0.5))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedQuota(df2, "q", "q", "id", 1)
+    }
+    val df3 = ids(3).withColumn("chunk", lit("x")).withColumn("text", lit("t"))
+    intercept[IllegalArgumentException] {
+      Chunking.chunkChars(df3, "text", 10, 0)
+    }
   }
 
   test("sampleByHash: deterministic, monotone in fraction, distinct salts differ") {
