@@ -117,4 +117,26 @@ object TextFunctions {
     * 60-bit simhash while staying exactly representable as signed int64 on
     * both engines (61+ bits would overflow DuckDB's ::BIGINT parse). */
   def hash60(c: Column): Column = md5Prefix(c, 15)
+
+  // ── PII detection / redaction ─────────────────────────────────────────
+  // Patterns are written in the Java-regex ∩ RE2 dialect intersection so
+  // the DuckDB oracle computes identical matches. All counting/redaction
+  // is codegen'd regexp_count/regexp_replace — scan-speed, no UDFs.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Replace each PII class with a typed placeholder token. Emails first:
+    * an email's domain would otherwise be half-eaten by the IP pattern
+    * when it is dotted-numeric (user@1.2.3.4). */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Temporal
+
+/** Temporal operators over the `events` table: gap sessionization (q61) and
+  * the as-of join (q62). Both are one-shuffle sort-merge plans — see
+  * [[graft.operators.Temporal]] for the scale argument. The DuckDB oracle
+  * mirrors q61 with the identical window algebra and q62 with its native
+  * ASOF LEFT JOIN, so the semantics are checked against an independent
+  * implementation, not a re-derivation.
+  */
+object TemporalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 24h inactivity gap: events are ~2/user/day, so sessions span a few
+    * events — large enough to exercise both the split and the merge side. */
+  private val GapMicros = 86400L * 1000000L
+
+  // ── q61: gap-based sessionization → per-session rollup ──────────────────
+  val q61_sessionize: Q = (s, d) => {
+    import s.implicits._
+    val sess = Temporal.sessionize(
+      Tables.events(s, d), "user_id", "ts", GapMicros, "event_id")
+    sess.groupBy($"user_id", $"session_idx")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        Num.dsum($"value", 6).as("total_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+  val q61_sql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $GapMicros
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_idx
+       |  FROM seq)
+       |SELECT user_id, session_idx,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, ${Num.sqlSum("value", 6)} AS total_value
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ── q62: as-of join — each event sees the user's most recent purchase ──
+  val q62_asof_join: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase").select(
+      $"user_id", $"ts",
+      $"event_id".as("purchase_id"), $"value".as("purchase_value"))
+    val others = ev.filter($"event_type" =!= "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    Temporal.asOfJoin(others, purchases, "user_id", "ts", "ts",
+        Seq("purchase_id", "purchase_value"))
+      .orderBy($"event_id")
+  }
+  val q62_sql: String =
+    """WITH p AS (
+      |  SELECT user_id AS k, ts AS rts,
+      |    event_id AS purchase_id, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type <> 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.k AND c.ts >= p.rts
+      |ORDER BY c.event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q61_sessionize" -> q61_sessionize,
+    "q62_asof_join" -> q62_asof_join,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q61_sessionize" -> q61_sql,
+    "q62_asof_join" -> q62_sql,
+  )
+}

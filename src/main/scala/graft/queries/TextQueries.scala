@@ -202,6 +202,108 @@ object TextQueries {
       |  max(copies - 1)::BIGINT AS max_copy
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ── q63: PII detection + redaction. The synthetic corpus carries no PII,
+  // so both engines first enrich a deterministic doc_id-keyed subset with
+  // emails / IPv4s / phone numbers, then count and redact them — the check
+  // is that two independent regex engines (Java, RE2) agree on every match
+  // boundary. Scan-speed column pipeline, no shuffle, no UDFs. ────────────
+  val q63_pii_redact: Q = (s, d) => {
+    import s.implicits._
+    val id = $"doc_id".cast(StringType)
+    val enriched = Tables.documents(s, d).withColumn("text2", concat(
+      $"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" contact user"), id, lit("@example.org"))).otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" host 10.0."), ($"doc_id" % 256).cast(StringType),
+          lit("."), ($"doc_id" % 100).cast(StringType))).otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" call +1-555-"),
+          lpad(($"doc_id" % 10000).cast(StringType), 4, "0"))).otherwise(lit(""))))
+    enriched.select($"doc_id",
+        emailCount($"text2").as("n_emails"),
+        ipv4Count($"text2").as("n_ips"),
+        phoneCount($"text2").as("n_phones"),
+        md5(redactPii($"text2").cast(BinaryType)).as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+  val q63_sql: String = {
+    val redacted =
+      s"""regexp_replace(regexp_replace(regexp_replace(text2,
+         |    '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$Ipv4Pattern', '<IP>', 'g'),
+         |    '$PhonePattern', '<PHONE>', 'g')""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+       |         || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.'
+       |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |         || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text2, '$EmailPattern')) AS n_emails,
+       |  len(regexp_extract_all(text2, '$Ipv4Pattern')) AS n_ips,
+       |  len(regexp_extract_all(text2, '$PhonePattern')) AS n_phones,
+       |  md5($redacted) AS redacted_fp
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ── q64: Gopher-style repetition filters — duplicate-word fraction, top-
+  // word fraction, duplicate-bigram fraction per document. explode →
+  // two-level groupBy is the honest distributed form (map-side partial agg
+  // keeps the shuffle at distinct-token granularity); fractions are exact
+  // int/int divisions so the doubles are bit-identical across engines. ────
+  val q64_repetition: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val wordAgg = docs.select($"doc_id", explode(tokens($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max($"c").as("top_word_n"))
+    val gramAgg = docs.select($"doc_id", explode(shingles($"text", 2)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    wordAgg.join(gramAgg, "doc_id")
+      .select($"doc_id", $"n_words", $"n_distinct_words", $"top_word_n",
+        (lit(1.0) - $"n_distinct_words".cast(DoubleType) / $"n_words")
+          .as("dup_word_frac"),
+        ($"top_word_n".cast(DoubleType) / $"n_words").as("top_word_frac"),
+        (lit(1.0) - $"n_distinct_bigrams".cast(DoubleType) / $"n_bigrams")
+          .as("dup_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+  val q64_sql: String = {
+    val toks = "string_split_regex(lower(text), '\\s+')"
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest($toks) AS t FROM documents),
+       |wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
+       |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |         count(*) AS n_distinct_words, max(c) AS top_word_n
+       |       FROM wc GROUP BY doc_id),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len($toks)),
+       |    i -> array_to_string(($toks)[i:i+1], ' '))) AS g
+       |  FROM documents),
+       |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+       |ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |         count(*) AS n_distinct_bigrams
+       |       FROM gc GROUP BY doc_id)
+       |SELECT wa.doc_id, n_words, n_distinct_words, top_word_n,
+       |  1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+       |  CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
+       |  1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac
+       |FROM wa JOIN ga ON wa.doc_id = ga.doc_id
+       |ORDER BY wa.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -211,6 +313,8 @@ object TextQueries {
     "q56_stratified_quota" -> q56_stratified_quota,
     "q57_chunking" -> q57_chunking,
     "q60_rebalance" -> q60_rebalance,
+    "q63_pii_redact" -> q63_pii_redact,
+    "q64_repetition" -> q64_repetition,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -221,5 +325,7 @@ object TextQueries {
     "q56_stratified_quota" -> q56_sql,
     "q57_chunking" -> q57_sql,
     "q60_rebalance" -> q60_sql,
+    "q63_pii_redact" -> q63_sql,
+    "q64_repetition" -> q64_sql,
   )
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(micros: Long) = new Timestamp(micros / 1000)
+
+  private def evs(rows: (Long, Long, Long)*) = // (user, microTs, id)
+    rows.toSeq.toDF("user_id", "us", "event_id")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"event_id")
+
+  test("sessionize: gap boundary is exclusive, keys are independent") {
+    val gap = 100L
+    val df = evs(
+      (1L, 0L, 10L), (1L, 100L, 11L),  // diff == gap: SAME session
+      (1L, 201L, 12L),                 // diff  > gap: new session
+      (2L, 1000L, 20L))                // other key starts at 1
+    val out = Temporal.sessionize(df, "user_id", "ts", gap, "event_id")
+      .select($"event_id", $"session_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 20L -> 1L))
+  }
+
+  test("sessionize: equal timestamps are ordered by the tiebreak column") {
+    // two rows at the same instant never split a session between them,
+    // and assignment is identical through any repartition
+    val df = evs((1L, 0L, 2L), (1L, 0L, 1L), (1L, 500L, 3L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Temporal.sessionize(d, "user_id", "ts", 100L, "event_id")
+        .select($"event_id", $"session_idx")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(df)
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    assert(run(df.repartition(5)) == a)
+    // reserved output column is refused, not clobbered
+    intercept[IllegalArgumentException] {
+      Temporal.sessionize(df.withColumn("session_idx", lit(9)),
+        "user_id", "ts", 100L, "event_id")
+    }
+  }
+
+  test("asOfJoin: inclusive most-recent-prior match, left-outer semantics") {
+    val left = evs((1L, 50L, 101L), (1L, 100L, 102L), (1L, 5L, 100L),
+      (2L, 50L, 200L))
+    val right = Seq((1L, 10L, 900L, 1.5), (1L, 100L, 901L, 2.5))
+      .toDF("user_id", "us", "rid", "rval")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"rid", $"rval")
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts", "ts",
+        Seq("rid", "rval"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(out(100L).isEmpty)                  // ts=5: before any right row
+    assert(out(101L).contains((900L, 1.5)))    // ts=50: rid 900 at ts=10
+    assert(out(102L).contains((901L, 2.5)))    // ts=100: INCLUSIVE equal-ts
+    assert(out(200L).isEmpty)                  // key 2 has no right rows
+    // left row count and columns are preserved exactly
+    val cols = Temporal.asOfJoin(left, right, "user_id", "ts", "ts",
+      Seq("rid", "rval"))
+    assert(cols.columns.toSeq ==
+      Seq("user_id", "ts", "event_id", "rid", "rval"))
+    assert(cols.count() == left.count())
+  }
+
+  test("asOfJoin: right ties on (key, ts) resolve deterministically") {
+    val left = evs((1L, 100L, 1L))
+    val right = Seq((1L, 10L, 7L, 0.0), (1L, 10L, 9L, 0.0), (1L, 10L, 8L, 0.0))
+      .toDF("user_id", "us", "rid", "rval")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"rid", $"rval")
+    def run() = Temporal.asOfJoin(left, right.repartition(3), "user_id",
+      "ts", "ts", Seq("rid", "rval")).collect().head.getLong(3)
+    val first = run()
+    assert(first == 9L) // greatest payload struct wins
+    assert((1 to 3).forall(_ => run() == first))
+    // payload names colliding with left columns are refused
+    intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(left, right.withColumnRenamed("rid", "event_id"),
+        "user_id", "ts", "ts", Seq("event_id"))
+    }
+  }
+}
