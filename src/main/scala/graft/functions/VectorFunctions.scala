@@ -54,6 +54,30 @@ object VectorFunctions {
       when(element_at(v, d + 1) > 0f, lit(1L << d)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ── int8 scalar quantization ──────────────────────────────────────────
+  // Codes are trunc(x * 127 / amax) ∈ [-127, 127] over the SCALED integer
+  // lanes, so the only floating-point ops are one multiply and one divide
+  // (IEEE-exact, engine-independent). The reconstruction error
+  // |127·x − q·amax| is pure int64 math — exact, and provably < amax.
+  // At 100 TB this is the embedding-compression pass before ANN indexing:
+  // per-row column work, zero shuffle, 4× smaller vectors downstream.
+
+  /** Max |lane| of a scaled vector (the per-vector quantization range). */
+  def amaxInt(iv: Column): Column =
+    aggregate(transform(iv, x => abs(x)), lit(0L), (acc, x) => greatest(acc, x))
+
+  /** Int8 codes of a scaled vector given its amax (zero vector → zeros). */
+  def int8Codes(iv: Column, amax: Column): Column =
+    when(amax === 0L, transform(iv, _ => lit(0L)))
+      .otherwise(transform(iv,
+        x => (x.cast(DoubleType) * lit(127.0) / amax.cast(DoubleType))
+          .cast(LongType)))
+
+  /** Exact max reconstruction error in 127ths of amax: max |127·x − q·amax|. */
+  def maxQuantErr(iv: Column, codes: Column, amax: Column): Column =
+    aggregate(zip_with(iv, codes, (x, q) => abs(x * 127L - q * amax)),
+      lit(0L), (acc, x) => greatest(acc, x))
+
   /** SQL fragments for the DuckDB oracle (1-indexed lists). */
   def sqlScaled(expr: String): String =
     s"list_transform($expr, x -> CAST(trunc(CAST(x AS DOUBLE) * $Scale.0) AS BIGINT))"

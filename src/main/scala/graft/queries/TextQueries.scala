@@ -304,6 +304,50 @@ object TextQueries {
        |ORDER BY wa.doc_id""".stripMargin
   }
 
+  // ── q65: TF-IDF keyword extraction — top-3 terms per document. The idf
+  // is the RATIONAL variant (N+1)/(df+1) rather than its log: log is
+  // transcendental and its last ULP differs between libm (DuckDB) and the
+  // JVM, which would break hash-exact oracle comparison; the rational form
+  // is one IEEE multiply + divide, bit-identical in both engines. Shape:
+  // explode → (doc, term) tf agg → term df agg → join → per-doc top-k
+  // window. The df side is vocabulary-sized, so AQE broadcasts it when
+  // small and shuffles both sides at corpus scale. ────────────────────────
+  val q65_tfidf: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    tf.join(df, "term")
+      .withColumn("score",
+        $"tf".cast(DoubleType) * lit((n + 1).toDouble) / ($"df" + 1L).cast(DoubleType))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+  val q65_sql: String = {
+    val toks = "string_split_regex(lower(text), '\\s+')"
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents)
+       |  GROUP BY doc_id, t),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) AS score
+       |  FROM tf JOIN df USING (term), n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term ASC) AS rank FROM scored)
+       |SELECT doc_id, rank, term, tf, df, score FROM ranked
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -315,6 +359,7 @@ object TextQueries {
     "q60_rebalance" -> q60_rebalance,
     "q63_pii_redact" -> q63_pii_redact,
     "q64_repetition" -> q64_repetition,
+    "q65_tfidf" -> q65_tfidf,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -327,5 +372,6 @@ object TextQueries {
     "q60_rebalance" -> q60_sql,
     "q63_pii_redact" -> q63_sql,
     "q64_repetition" -> q64_sql,
+    "q65_tfidf" -> q65_sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -183,12 +184,49 @@ object VectorQueries {
        |SELECT label, list(val ORDER BY pos) AS centroid, max(n) AS n
        |FROM lanes GROUP BY label ORDER BY label""".stripMargin
 
+  // ── q66: int8 scalar quantization of the embedding corpus — the
+  // compression pass before ANN indexing. Per-vector column work only
+  // (zero shuffle, full codegen); the oracle recomputes codes and the
+  // EXACT integer reconstruction-error bound in DuckDB. ──────────────────
+  val q66_quantize: Q = (s, d) => {
+    import s.implicits._
+    val sv = Tables.embeddings(s, d)
+      .select($"vec_id", scaled($"embedding").as("iv"))
+      .withColumn("amax", amaxInt($"iv"))
+    sv.withColumn("codes", int8Codes($"iv", $"amax"))
+      .select($"vec_id", $"amax",
+        aggregate($"codes", lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate($"codes", lit(-128L), (a, x) => greatest(a, x)).as("qmax"),
+        maxQuantErr($"iv", $"codes", $"amax").as("maxerr"))
+      .orderBy($"vec_id")
+  }
+  lazy val q66_sql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, ${sqlScaled("embedding")} AS iv FROM embeddings),
+       |am AS (
+       |  SELECT vec_id, iv,
+       |    list_max(list_transform(iv, x -> abs(x))) AS amax FROM sv),
+       |q AS (
+       |  SELECT vec_id, iv, amax,
+       |    CASE WHEN amax = 0 THEN list_transform(iv, x -> 0::BIGINT)
+       |    ELSE list_transform(iv, x ->
+       |      CAST(trunc(CAST(x AS DOUBLE) * 127.0 / CAST(amax AS DOUBLE))
+       |        AS BIGINT)) END AS codes
+       |  FROM am)
+       |SELECT vec_id, amax,
+       |  CAST(list_sum(codes) AS BIGINT) AS qsum,
+       |  list_max(codes) AS qmax,
+       |  CAST(list_max(list_transform(range(1, $Dim + 1),
+       |    i -> abs(iv[i] * 127 - codes[i] * amax))) AS BIGINT) AS maxerr
+       |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
     "q40_embedding_dedup" -> q40_embedding_dedup,
     "q45_knn_ivf" -> q45_knn_ivf,
     "q59_embedding_pool" -> q59_embedding_pool,
+    "q66_quantize" -> q66_quantize,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -196,5 +234,6 @@ object VectorQueries {
     "q40_embedding_dedup" -> q40_sql,
     "q45_knn_ivf" -> q45_sql,
     "q59_embedding_pool" -> q59_sql,
+    "q66_quantize" -> q66_sql,
   )
 }

@@ -270,4 +270,25 @@ object EngineProperties extends Properties("graft") {
           sum == usable.map(_.toLong).sum
       }
     }
+
+  property("int8 quantization: codes bounded, error < amax, zero-safe") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-4.0f, 4.0f)),
+           Gen.oneOf(true, false)) { (lanes, zero) =>
+      import graft.functions.VectorFunctions._
+      val vec = if (zero) lanes.map(_ => 0.0f) else lanes
+      val row = Seq(Tuple1(vec)).toDF("embedding")
+        .select(scaled($"embedding").as("iv"))
+        .withColumn("amax", amaxInt($"iv"))
+        .withColumn("codes", int8Codes($"iv", $"amax"))
+        .select($"amax", $"codes",
+          maxQuantErr($"iv", $"codes", $"amax").as("maxerr"))
+        .collect().head
+      val amax = row.getLong(0)
+      val codes = row.getSeq[Long](1)
+      val maxerr = row.getLong(2)
+      codes.forall(q => q >= -127L && q <= 127L) &&
+        (if (amax == 0) codes.forall(_ == 0L) && maxerr == 0L
+         // trunc error is < 1 code unit, i.e. |127·x − q·amax| < amax
+         else maxerr < amax)
+    }
 }
