@@ -140,6 +140,68 @@ object StreamingCells {
       .start()
   }
 
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionAcc(startMs: Long, endMs: Long, nEvents: Long,
+                              sumValue: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long,
+                              total_value: Double)
+
+  /** Streaming gap-based sessionization — the online face of
+    * [[graft.operators.Temporal.sessionize]] (q61). Sessions accumulate in
+    * per-user state and are emitted CLOSED: when a new event arrives more
+    * than `gapMs` after the open session's end, or when the event-time
+    * watermark passes end + gap (EventTimeTimeout — state is evicted, so a
+    * user who goes quiet costs nothing forever after).
+    *
+    * State is one row per ACTIVE user — bounded by concurrency, not
+    * history. Late events inside the watermark merge into the open session
+    * (extending either edge); an event older than start − gap becomes its
+    * own immediately-emitted session rather than corrupting the open one.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long,
+                       watermark: String)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    require(gapMs > 0, s"session gap must be positive: $gapMs")
+    def close(uid: Long, s: SessionAcc) = SessionOut(uid,
+      new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents, s.sumValue)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, batch, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+                  cur = Some(SessionAcc(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.nEvents + 1, s.sumValue + e.value))
+                case Some(s) if t > s.endMs + gapMs =>
+                  closed ::= close(uid, s)
+                  cur = Some(SessionAcc(t, t, 1L, e.value))
+                case Some(_) => // too old to join: emit standalone
+                  closed ::= SessionOut(uid, e.ts, e.ts, 1L, e.value)
+                case None =>
+                  cur = Some(SessionAcc(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Newest-version-wins cell state: emits one update per put that
     * advances its cell's timestamp; stale (out-of-order) puts emit
     * nothing. State is one row per live cell. */

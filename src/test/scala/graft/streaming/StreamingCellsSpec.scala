@@ -182,4 +182,45 @@ class StreamingCellsSpec extends SparkSpec {
       assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("sessionizeStream: gap splits, late merge, watermark closes sessions") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // 10s gap, zero-lateness watermark so the event-time clock advances
+    // exactly with the data
+    val q = sessionizeStream(input.toDS(), gapMs = 10000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    def emitted() = spark.table("sessions")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getTimestamp(2).getTime / 1000, r.getLong(3), r.getDouble(4)))
+      .toSet
+    try {
+      // session 1 for user 1: events at 10s and 15s (5s apart, same session)
+      input.addData(SessionEvent(1L, ts(10), 1.0), SessionEvent(1L, ts(15), 2.0))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "open session must not emit")
+      // an event 11s later splits: session 1 closes, session 2 opens
+      input.addData(SessionEvent(1L, ts(26), 4.0))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, 10L, 15L, 2L, 3.0)))
+      // second user interleaves without touching user 1's state
+      input.addData(SessionEvent(2L, ts(27), 7.0))
+      q.processAllAvailable()
+      // advance event time far past 26s + gap: user 1's AND user 2's open
+      // sessions time out and close (user 3 carries the watermark forward)
+      input.addData(SessionEvent(3L, ts(100), 0.5))
+      q.processAllAvailable()
+      input.addData(SessionEvent(3L, ts(200), 0.5))
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (1L, 10L, 15L, 2L, 3.0),
+        (1L, 26L, 26L, 1L, 4.0),
+        (2L, 27L, 27L, 1L, 7.0),
+        (3L, 100L, 100L, 1L, 0.5)))
+    } finally q.stop()
+  }
 }
