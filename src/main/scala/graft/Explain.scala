@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the executed physical plan of named queries (all of
+  * them with no args). Usage: `runMain graft.Explain [sfDir] [q...]`.
+  * This is how the partition/shuffle/pushdown audit happens — a query is
+  * not done until its plan is the one you'd ship at 100 TB.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { q =>
+      println(s"\n========== $q ==========")
+      println(SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString.take(4000))
+    }
+    spark.stop()
+  }
+}
