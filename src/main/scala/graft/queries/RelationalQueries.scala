@@ -246,6 +246,41 @@ object RelationalQueries {
        |GROUP BY ROLLUP(r_name, n_name)
        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  // ── q67: exact per-group discrete quantiles (lineitem-free §2.6 depth).
+  // NOT the naive row_number-per-group plan — that hashes a whole group
+  // onto one reducer (a skew cliff when a group is 10 TB). Instead:
+  // pre-aggregate (group, value) counts (map-side combine carries the
+  // weight), then run the cumulative window over DISTINCT values only —
+  // per-group window input is bounded by value cardinality, not row
+  // count. The pick `min(value where cum >= ceil(q*n))` is exactly
+  // DuckDB's quantile_disc, which the oracle computes NATIVELY — an
+  // independent implementation, not a mirrored one. Rank targets use
+  // integer ceil ((q*n + 99) div 100): 0.9*n in doubles is off by 2 ULP
+  // at n=10 and would pick rank 10, not 9. ───────────────────────────────
+  val q67_quantiles: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.documents(s, d)
+      .groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy($"lang").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"lang")
+    vc.withColumn("cum", sum($"c").over(cumW))
+      .withColumn("n", sum($"c").over(totW))
+      .groupBy($"lang")
+      .agg(max($"n").as("n_docs"),
+        min(when($"cum" >= expr("(25*n + 99) div 100"), $"n_chars")).as("p25"),
+        min(when($"cum" >= expr("(50*n + 99) div 100"), $"n_chars")).as("p50"),
+        min(when($"cum" >= expr("(90*n + 99) div 100"), $"n_chars")).as("p90"))
+      .orderBy($"lang")
+  }
+  val q67_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  quantile_disc(n_chars, 0.25) AS p25,
+      |  quantile_disc(n_chars, 0.50) AS p50,
+      |  quantile_disc(n_chars, 0.90) AS p90
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_gather_agg" -> q01_gather_agg,
     "q02_gather_distinct" -> q02_gather_distinct,
@@ -259,6 +294,7 @@ object RelationalQueries {
     "q10_window_running" -> q10_window_running,
     "q11_setops" -> q11_setops,
     "q12_rollup" -> q12_rollup,
+    "q67_quantiles" -> q67_quantiles,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -274,5 +310,6 @@ object RelationalQueries {
     "q10_window_running" -> q10_sql,
     "q11_setops" -> q11_sql,
     "q12_rollup" -> q12_sql,
+    "q67_quantiles" -> q67_sql,
   )
 }
