@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -253,55 +253,71 @@ object TextQueries {
   }
 
   // ── q64: Gopher-style repetition filters — duplicate-word fraction, top-
-  // word fraction, duplicate-bigram fraction per document. explode →
-  // two-level groupBy is the honest distributed form (map-side partial agg
-  // keeps the shuffle at distinct-token granularity); fractions are exact
+  // word fraction, duplicate-bigram fraction per document. ZERO-shuffle
+  // per-document array pipeline: an explode→groupBy formulation would
+  // shuffle every (doc, token) pair — a corpus-sized shuffle at 100 TB —
+  // while array_distinct/array_sort + a run-length fold do the same work
+  // inside the scan. The top-word count is the longest equal-run of the
+  // SORTED token array (sentinel-safe: run starts at 0, so a leading ""
+  // token cannot inherit the seed). The oracle derives the same numbers
+  // independently via unnest + per-term filters. Fractions are exact
   // int/int divisions so the doubles are bit-identical across engines. ────
   val q64_repetition: Q = (s, d) => {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    val wordAgg = docs.select($"doc_id", explode(tokens($"text")).as("t"))
-      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(
-        sum($"c").as("n_words"),
-        count(lit(1)).as("n_distinct_words"),
-        max($"c").as("top_word_n"))
-    val gramAgg = docs.select($"doc_id", explode(shingles($"text", 2)).as("g"))
-      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(
-        sum($"c").as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"))
-    wordAgg.join(gramAgg, "doc_id")
+    def maxRun(arr: Column): Column = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val toks = tokens($"text")
+    val grams = shingles($"text", 2)
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(toks).cast(LongType).as("n_words"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct_words"),
+        maxRun(toks).as("top_word_n"),
+        size(grams).cast(LongType).as("n_bigrams"),
+        size(array_distinct(grams)).cast(LongType).as("n_distinct_bigrams"))
       .select($"doc_id", $"n_words", $"n_distinct_words", $"top_word_n",
+        $"n_bigrams", $"n_distinct_bigrams",
         (lit(1.0) - $"n_distinct_words".cast(DoubleType) / $"n_words")
           .as("dup_word_frac"),
         ($"top_word_n".cast(DoubleType) / $"n_words").as("top_word_frac"),
-        (lit(1.0) - $"n_distinct_bigrams".cast(DoubleType) / $"n_bigrams")
+        when($"n_bigrams" > 0L,
+          lit(1.0) - $"n_distinct_bigrams".cast(DoubleType) / $"n_bigrams")
           .as("dup_bigram_frac"))
       .orderBy($"doc_id")
   }
   val q64_sql: String = {
     val toks = "string_split_regex(lower(text), '\\s+')"
-    s"""WITH w AS (
-       |  SELECT doc_id, unnest($toks) AS t FROM documents),
-       |wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
-       |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-       |         count(*) AS n_distinct_words, max(c) AS top_word_n
-       |       FROM wc GROUP BY doc_id),
-       |g AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len($toks)),
-       |    i -> array_to_string(($toks)[i:i+1], ' '))) AS g
-       |  FROM documents),
-       |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
-       |ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-       |         count(*) AS n_distinct_bigrams
-       |       FROM gc GROUP BY doc_id)
-       |SELECT wa.doc_id, n_words, n_distinct_words, top_word_n,
+    val grams = s"list_transform(range(1, len($toks)), " +
+      s"i -> array_to_string(($toks)[i:i+1], ' '))"
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks, $grams AS grams FROM documents),
+       |a AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_words,
+       |    len(list_distinct(toks)) AS n_distinct_words,
+       |    CAST(list_max(list_transform(list_distinct(toks),
+       |      t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_word_n,
+       |    len(grams) AS n_bigrams,
+       |    len(list_distinct(grams)) AS n_distinct_bigrams
+       |  FROM t)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_distinct_words AS BIGINT) AS n_distinct_words, top_word_n,
+       |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams,
        |  1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
        |  CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
-       |  1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac
-       |FROM wa JOIN ga ON wa.doc_id = ga.doc_id
-       |ORDER BY wa.doc_id""".stripMargin
+       |  CASE WHEN n_bigrams > 0 THEN
+       |    1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+       |  ELSE NULL END AS dup_bigram_frac
+       |FROM a ORDER BY doc_id""".stripMargin
   }
 
   // ── q65: TF-IDF keyword extraction — top-3 terms per document. The idf
@@ -348,6 +364,35 @@ object TextQueries {
        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   }
 
+  // ── q68: token-budget sequence packing — docs → fixed-budget training
+  // shards per source, via Packing.packShards' two-level distributed
+  // prefix sum (bucketSize 64 forces the multi-bucket path even at
+  // sf0.01). The oracle computes the same offsets with a plain global
+  // window cumsum — an independent derivation of every shard boundary. ───
+  val q68_pack_shards: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"source", $"doc_id", size(tokens($"text")).cast(LongType).as("w"))
+    graft.operators.Packing.packShards(docs, "source", "doc_id", "w",
+        budget = 1000L, bucketSize = 64L)
+      .groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("shard_tokens"))
+      .orderBy($"source", $"shard")
+  }
+  val q68_sql: String = {
+    val toks = "len(string_split_regex(lower(text), '\\s+'))"
+    s"""WITH t AS (
+       |  SELECT source, doc_id, $toks AS w FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, w,
+       |    sum(w) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, CAST((cum - w) // 1000 AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS shard_tokens
+       |FROM c GROUP BY source, shard ORDER BY source, shard""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -360,6 +405,7 @@ object TextQueries {
     "q63_pii_redact" -> q63_pii_redact,
     "q64_repetition" -> q64_repetition,
     "q65_tfidf" -> q65_tfidf,
+    "q68_pack_shards" -> q68_pack_shards,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -373,5 +419,6 @@ object TextQueries {
     "q63_pii_redact" -> q63_sql,
     "q64_repetition" -> q64_sql,
     "q65_tfidf" -> q65_sql,
+    "q68_pack_shards" -> q68_sql,
   )
 }
