@@ -9,9 +9,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names =
-      if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val known = SparkEntry.queries.keySet
+    // `Explain q61_sessionize` (no sfDir) must not silently treat the query
+    // name as a data dir and explain everything against a missing path
+    val (sfDir, rest) = args.headOption match {
+      case Some(a) if known.contains(a) => ("/root/testdata/sf0.001", args.toSeq)
+      case Some(a) => (a, args.tail.toSeq)
+      case None => ("/root/testdata/sf0.001", Nil)
+    }
+    val bad = rest.filterNot(known.contains)
+    require(bad.isEmpty,
+      s"unknown queries: ${bad.mkString(", ")}; valid: ${known.toSeq.sorted.mkString(", ")}")
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

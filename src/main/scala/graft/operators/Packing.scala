@@ -36,7 +36,15 @@ object Packing {
       require(!df.columns.contains(c),
         s"input already has a $c column (reserved for the packer)")
     }
-    val bucketed = df.withColumn("__bucket", expr(s"$orderCol div ${bucketSize}L"))
+    // a negative weight would silently break prefix-sum monotonicity and
+    // mis-shard everything after it — fail the job at the row instead
+    // (same distributed raise_error idiom as EntityTable's layout guards)
+    val guarded = df.withColumn(weightCol,
+      when(col(weightCol) >= 0, col(weightCol))
+        .otherwise(raise_error(concat(
+          lit(s"packShards: negative $weightCol: "),
+          col(weightCol).cast("string")))))
+    val bucketed = guarded.withColumn("__bucket", expr(s"$orderCol div ${bucketSize}L"))
     val localW = Window.partitionBy(col(groupCol), col("__bucket"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -53,13 +53,18 @@ object TemporalQueries {
        |FROM sess GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
-  // ── q62: as-of join — each event sees the user's most recent purchase ──
+  // ── q62: as-of join — each event sees the user's most recent purchase.
+  // The right side is deduped to one row per (user, ts) in BOTH engines
+  // first: asOfJoin resolves right ties deterministically (greatest
+  // payload struct) but DuckDB's ASOF JOIN picks an arbitrary tied row,
+  // so tie-free input is the only oracle-comparable contract. ────────────
   val q62_asof_join: Q = (s, d) => {
     import s.implicits._
     val ev = Tables.events(s, d)
-    val purchases = ev.filter($"event_type" === "purchase").select(
-      $"user_id", $"ts",
-      $"event_id".as("purchase_id"), $"value".as("purchase_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("purchase_id"),
+        max_by($"value", $"event_id").as("purchase_value"))
     val others = ev.filter($"event_type" =!= "purchase")
       .select($"event_id", $"user_id", $"ts")
     Temporal.asOfJoin(others, purchases, "user_id", "ts", "ts",
@@ -69,8 +74,9 @@ object TemporalQueries {
   val q62_sql: String =
     """WITH p AS (
       |  SELECT user_id AS k, ts AS rts,
-      |    event_id AS purchase_id, value AS purchase_value
-      |  FROM events WHERE event_type = 'purchase'),
+      |    max(event_id) AS purchase_id,
+      |    arg_max(value, event_id) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
       |c AS (
       |  SELECT event_id, user_id, ts FROM events
       |  WHERE event_type <> 'purchase')

@@ -332,14 +332,18 @@ object TextQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    // N rides along as a 1-row aggregate cross join (broadcast nested
+    // loop) — a driver-side docs.count() would be a second full corpus
+    // scan before the plan even runs
+    val nDf = docs.agg(count(lit(1)).as("n_total"))
     val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
-    tf.join(df, "term")
+    tf.join(df, "term").crossJoin(nDf)
       .withColumn("score",
-        $"tf".cast(DoubleType) * lit((n + 1).toDouble) / ($"df" + 1L).cast(DoubleType))
+        $"tf".cast(DoubleType) * ($"n_total" + 1L).cast(DoubleType) /
+          ($"df" + 1L).cast(DoubleType))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .where($"rank" <= 3)
       .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")

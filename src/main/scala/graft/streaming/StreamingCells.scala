@@ -143,21 +143,27 @@ object StreamingCells {
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionAcc(startMs: Long, endMs: Long, nEvents: Long,
                               sumValue: Double)
+  final case class SessionList(open: List[SessionAcc])
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Long,
                               total_value: Double)
 
   /** Streaming gap-based sessionization — the online face of
-    * [[graft.operators.Temporal.sessionize]] (q61). Sessions accumulate in
-    * per-user state and are emitted CLOSED: when a new event arrives more
-    * than `gapMs` after the open session's end, or when the event-time
-    * watermark passes end + gap (EventTimeTimeout — state is evicted, so a
-    * user who goes quiet costs nothing forever after).
+    * [[graft.operators.Temporal.sessionize]] (q61).
     *
-    * State is one row per ACTIVE user — bounded by concurrency, not
-    * history. Late events inside the watermark merge into the open session
-    * (extending either edge); an event older than start − gap becomes its
-    * own immediately-emitted session rather than corrupting the open one.
+    * A session is emitted ONLY when the event-time watermark passes its
+    * end + gap — never eagerly on a gap-exceeding new event. Eager closing
+    * would diverge from the batch semantics: two open intervals separated
+    * by more than the gap can still be BRIDGED by a late in-watermark
+    * event landing between them, so the state holds a LIST of disjoint
+    * open intervals per user and merges batch events into it (gap-based
+    * interval merge). Expired intervals (end + gap < watermark — no
+    * in-watermark event can touch them, Spark drops later-than-watermark
+    * rows before the state function) are emitted and dropped either on an
+    * EventTimeTimeout or piggybacked on a data batch.
+    *
+    * State is bounded: open intervals per ACTIVE user within the
+    * watermark horizon, evicted the moment they expire.
     */
   def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long,
                        watermark: String)(
@@ -166,39 +172,36 @@ object StreamingCells {
     require(gapMs > 0, s"session gap must be positive: $gapMs")
     def close(uid: Long, s: SessionAcc) = SessionOut(uid,
       new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents, s.sumValue)
+    // merge a point into the gap-separated, start-ordered interval list
+    def merge(open: List[SessionAcc], t: Long, v: Double): List[SessionAcc] = {
+      val (before, rest) = open.span(_.endMs < t - gapMs)
+      val (touching, after) = rest.span(_.startMs <= t + gapMs)
+      val hit = (SessionAcc(t, t, 1L, v) :: touching)
+        .reduce((a, b) => SessionAcc(math.min(a.startMs, b.startMs),
+          math.max(a.endMs, b.endMs), a.nEvents + b.nEvents,
+          a.sumValue + b.sumValue))
+      before ::: hit :: after
+    }
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAcc, SessionOut](
+      .flatMapGroupsWithState[SessionList, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (uid, batch, state: GroupState[SessionAcc]) =>
-          if (state.hasTimedOut) {
-            val s = state.get; state.remove()
-            Iterator.single(close(uid, s))
-          } else {
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
-                  cur = Some(SessionAcc(math.min(s.startMs, t),
-                    math.max(s.endMs, t), s.nEvents + 1, s.sumValue + e.value))
-                case Some(s) if t > s.endMs + gapMs =>
-                  closed ::= close(uid, s)
-                  cur = Some(SessionAcc(t, t, 1L, e.value))
-                case Some(_) => // too old to join: emit standalone
-                  closed ::= SessionOut(uid, e.ts, e.ts, 1L, e.value)
-                case None =>
-                  cur = Some(SessionAcc(t, t, 1L, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.reverseIterator
+        case (uid, batch, state: GroupState[SessionList]) =>
+          val prior = state.getOption.map(_.open).getOrElse(Nil)
+          val open = batch.foldLeft(prior) { (acc, e) =>
+            merge(acc, e.ts.getTime, e.value)
           }
+          val wm = state.getCurrentWatermarkMs()
+          val (expired, live) = open.partition(_.endMs + gapMs < wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionList(live))
+            // a live interval can sit exactly at end+gap == wm; the timeout
+            // API requires a timestamp strictly beyond the watermark
+            state.setTimeoutTimestamp(math.max(live.map(_.endMs).min + gapMs, wm + 1))
+          }
+          expired.sortBy(_.startMs).map(close(uid, _)).iterator
       }
   }
 

@@ -1,15 +1,11 @@
 package graft.operators
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
-
-  private def ts(micros: Long) = new Timestamp(micros / 1000)
 
   private def evs(rows: (Long, Long, Long)*) = // (user, microTs, id)
     rows.toSeq.toDF("user_id", "us", "event_id")

@@ -183,13 +183,12 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionizeStream: gap splits, late merge, watermark closes sessions") {
+  test("sessionizeStream: late merge, cross-batch bridging, watermark closes") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
-    // 10s gap, zero-lateness watermark so the event-time clock advances
-    // exactly with the data
-    val q = sessionizeStream(input.toDS(), gapMs = 10000L, watermark = "0 seconds")
+    // 10s gap, 100s lateness so late events genuinely arrive in-watermark
+    val q = sessionizeStream(input.toDS(), gapMs = 10000L, watermark = "100 seconds")
       .writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append()).start()
     def emitted() = spark.table("sessions")
@@ -199,28 +198,38 @@ class StreamingCellsSpec extends SparkSpec {
         r.getTimestamp(2).getTime / 1000, r.getLong(3), r.getDouble(4)))
       .toSet
     try {
-      // session 1 for user 1: events at 10s and 15s (5s apart, same session)
-      input.addData(SessionEvent(1L, ts(10), 1.0), SessionEvent(1L, ts(15), 2.0))
+      // late events in ONE batch chain backwards: 85←95←100 is one session
+      input.addData(SessionEvent(1L, ts(100), 1.0),
+        SessionEvent(1L, ts(95), 2.0), SessionEvent(1L, ts(85), 0.5))
       q.processAllAvailable()
       assert(emitted().isEmpty, "open session must not emit")
-      // an event 11s later splits: session 1 closes, session 2 opens
-      input.addData(SessionEvent(1L, ts(26), 4.0))
+      // a far-future event opens a SECOND interval; nothing closes yet
+      // (watermark is only 200s after this batch)
+      input.addData(SessionEvent(1L, ts(300), 1.0))
       q.processAllAvailable()
-      assert(emitted() == Set((1L, 10L, 15L, 2L, 3.0)))
-      // second user interleaves without touching user 1's state
-      input.addData(SessionEvent(2L, ts(27), 7.0))
+      // cross-batch bridging: 285 and 295 arrive later but merge into the
+      // (300,300) interval — eager closing would have emitted 285 alone.
+      // Meanwhile the watermark (200s) expires the (85,100) session.
+      input.addData(SessionEvent(1L, ts(285), 1.0), SessionEvent(1L, ts(295), 1.0))
       q.processAllAvailable()
-      // advance event time far past 26s + gap: user 1's AND user 2's open
-      // sessions time out and close (user 3 carries the watermark forward)
-      input.addData(SessionEvent(3L, ts(100), 0.5))
+      assert(emitted() == Set((1L, 85L, 100L, 3L, 3.5)))
+      // other users advance the watermark; each close happens exactly when
+      // the watermark passes that session's end + gap
+      input.addData(SessionEvent(2L, ts(500), 9.0))
       q.processAllAvailable()
-      input.addData(SessionEvent(3L, ts(200), 0.5))
+      input.addData(SessionEvent(2L, ts(600), 1.0)) // wm 400: closes (285,300)
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, ts(700), 1.0)) // wm 500: (500,500) still live
+      q.processAllAvailable()
+      // wm 600 closes (500,500); the follow-up no-data microbatch advances
+      // the watermark to 700 and times out (600,600) too
+      input.addData(SessionEvent(3L, ts(800), 1.0))
       q.processAllAvailable()
       assert(emitted() == Set(
-        (1L, 10L, 15L, 2L, 3.0),
-        (1L, 26L, 26L, 1L, 4.0),
-        (2L, 27L, 27L, 1L, 7.0),
-        (3L, 100L, 100L, 1L, 0.5)))
+        (1L, 85L, 100L, 3L, 3.5),
+        (1L, 285L, 300L, 3L, 3.0),
+        (2L, 500L, 500L, 1L, 9.0),
+        (2L, 600L, 600L, 1L, 1.0)))
     } finally q.stop()
   }
 }
