@@ -62,7 +62,12 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       if (ok) dt else -dt
     }
+    // Dev knob: SPARK_GRAFT_ONLY=q64_repetition,q68_pack_shards times a
+    // subset (absent = the full driver contract).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     val passes = Seq.fill(2)(queries.map { case (name, fn) => timeOne(name, fn) })
     val results = queries.map(_._1).zipWithIndex.map { case (name, i) =>
       val runs = passes.map(_(i))

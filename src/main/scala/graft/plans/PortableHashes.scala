@@ -392,3 +392,70 @@ object SimhashOfHashes {
     sim
   }
 }
+
+/** `token_stats(text)`: all five per-document repetition statistics in ONE
+  * native pass — word count, distinct words, max per-word frequency,
+  * bigram count, distinct bigrams — over the same tokenization as
+  * `split(lower(text), "\s+")` (UTF8String lowercase, Java regex split,
+  * trailing empties kept). Exact string counting (HashMap / HashSet), no
+  * hashing, so the result is collision-free and oracle-identical.
+  *
+  * Replaces an interpreted HOF chain (array_sort + struct-accumulator
+  * fold + two array_distinct walks) that re-evaluated per column and
+  * measured ~2-4x slower at sf0.1; this is the "custom native Expression
+  * beats composed interpreted expressions" tier of the build plan.
+  */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenStats.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_stats expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TokenStats.eval(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.TokenStats.eval($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_stats"
+}
+
+object TokenStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("top_word_n", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false)))
+
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  def eval(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = Whitespace.split(s.toLowerCase.toString, -1)
+    val counts = new java.util.HashMap[String, Long](toks.length * 2)
+    var top = 0L
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val bigrams = new java.util.HashSet[String](toks.length * 2)
+    i = 0
+    while (i + 1 < toks.length) {
+      bigrams.add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      toks.length.toLong, counts.size.toLong, top,
+      math.max(toks.length - 1, 0).toLong, bigrams.size.toLong))
+  }
+}

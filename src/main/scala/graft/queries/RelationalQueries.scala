@@ -281,6 +281,29 @@ object RelationalQueries {
       |  quantile_disc(n_chars, 0.90) AS p90
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ── q69: salted skew join — lineitem × orders through SkewJoin's
+  // manual salting (brief: "salting for skew"). The salted plan is
+  // row-identical to the plain join, so the oracle is the UNSALTED SQL
+  // join: what's verified is that splitting a hot key across `salt`
+  // reducers changes the shuffle topology and nothing else. ──────────────
+  val q69_salted_join: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    graft.operators.SkewJoin
+      .saltedInner(li, o, "l_orderkey", salt = 8, leftSaltSrc = "l_linenumber")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+  val q69_sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |  ${sqlSum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_gather_agg" -> q01_gather_agg,
     "q02_gather_distinct" -> q02_gather_distinct,
@@ -295,6 +318,7 @@ object RelationalQueries {
     "q11_setops" -> q11_setops,
     "q12_rollup" -> q12_rollup,
     "q67_quantiles" -> q67_quantiles,
+    "q69_salted_join" -> q69_salted_join,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -311,5 +335,6 @@ object RelationalQueries {
     "q11_setops" -> q11_sql,
     "q12_rollup" -> q12_sql,
     "q67_quantiles" -> q67_sql,
+    "q69_salted_join" -> q69_sql,
   )
 }

@@ -264,25 +264,21 @@ object TextQueries {
   // int/int divisions so the doubles are bit-identical across engines. ────
   val q64_repetition: Q = (s, d) => {
     import s.implicits._
-    def maxRun(arr: Column): Column = aggregate(
-      array_sort(arr),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val toks = tokens($"text")
-    val grams = shingles($"text", 2)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    // all five counts in ONE native pass (graft.plans.TokenStats): the
+    // interpreted HOF formulation (array_sort + struct fold + two
+    // array_distinct walks) measured 2-4x slower at sf0.1, and an
+    // explode+groupBy formulation would shuffle every (doc, token) pair —
+    // a corpus-sized shuffle at 100 TB
     Tables.documents(s, d)
       .select($"doc_id",
-        size(toks).cast(LongType).as("n_words"),
-        size(array_distinct(toks)).cast(LongType).as("n_distinct_words"),
-        maxRun(toks).as("top_word_n"),
-        size(grams).cast(LongType).as("n_bigrams"),
-        size(array_distinct(grams)).cast(LongType).as("n_distinct_bigrams"))
+        columnOf(graft.plans.TokenStats(expressionOf($"text"))).as("st"))
+      .select($"doc_id",
+        $"st.n_words".as("n_words"),
+        $"st.n_distinct_words".as("n_distinct_words"),
+        $"st.top_word_n".as("top_word_n"),
+        $"st.n_bigrams".as("n_bigrams"),
+        $"st.n_distinct_bigrams".as("n_distinct_bigrams"))
       .select($"doc_id", $"n_words", $"n_distinct_words", $"top_word_n",
         $"n_bigrams", $"n_distinct_bigrams",
         (lit(1.0) - $"n_distinct_words".cast(DoubleType) / $"n_words")

@@ -271,6 +271,23 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("TokenStats == plain-Scala split/count model on arbitrary text") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.oneOf("the", "a", "B", "xy "), Gen.alphaNumStr.map(_.take(4)),
+      Gen.oneOf(" ", "\t", "\n")))) { parts =>
+      val text = parts.mkString("")
+      val toks = text.toLowerCase.split("\\s+", -1).toSeq
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val grams = toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val row = graft.plans.TokenStats.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4)) ==
+        ((toks.size.toLong, counts.size.toLong, counts.values.max,
+          grams.size.toLong, grams.distinct.size.toLong))
+    }
+
   property("int8 quantization: codes bounded, error < amax, zero-safe") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-4.0f, 4.0f)),
            Gen.oneOf(true, false)) { (lanes, zero) =>
