@@ -84,12 +84,42 @@ object TemporalQueries {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.k AND c.ts >= p.rts
       |ORDER BY c.event_id""".stripMargin
 
+  // ── q70: Z-order layout roundtrip — events rewritten Morton-clustered
+  // on (user_id, ts), then a two-dimensional box query over the new
+  // layout. The oracle runs the same box query on the ORIGINAL table, so
+  // what's verified is that the physical rewrite is lossless; the point
+  // of the layout (file-level min/max pruning on BOTH dims) is asserted
+  // in ZOrderSpec. ────────────────────────────────────────────────────────
+  val q70_zorder_scan: Q = (s, d) => {
+    import s.implicits._
+    val tmp = QueryTmp.dir("zorder", d)
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+    graft.sinks.ZOrder.writeZOrdered(ev, tmp, "user_id", "ts_us",
+      bits = 12, numFiles = 16)
+    s.read.parquet(tmp)
+      .filter($"user_id" >= 40 && $"user_id" < 60 &&
+        $"ts" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), Num.dsum($"value", 6).as("sum_value"))
+      .orderBy($"user_id")
+  }
+  val q70_sql: String =
+    s"""SELECT user_id, count(*) AS n, ${Num.sqlSum("value", 6)} AS sum_value
+       |FROM events
+       |WHERE user_id >= 40 AND user_id < 60
+       |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+       |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_sessionize" -> q61_sessionize,
     "q62_asof_join" -> q62_asof_join,
+    "q70_zorder_scan" -> q70_zorder_scan,
   )
   val oracleSql: Map[String, String] = Map(
     "q61_sessionize" -> q61_sql,
     "q62_asof_join" -> q62_sql,
+    "q70_zorder_scan" -> q70_sql,
   )
 }
