@@ -66,6 +66,12 @@ object Bench {
     // subset (absent = the full driver contract).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val bad = names.diff(SparkEntry.queries.keySet)
+      require(bad.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${bad.mkString(", ")} " +
+          "(a typo would otherwise benchmark nothing and print total=0)")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     val passes = Seq.fill(2)(queries.map { case (name, fn) => timeOne(name, fn) })

@@ -36,11 +36,15 @@ object Packing {
       require(!df.columns.contains(c),
         s"input already has a $c column (reserved for the packer)")
     }
-    // a negative weight would silently break prefix-sum monotonicity and
-    // mis-shard everything after it — fail the job at the row instead
-    // (same distributed raise_error idiom as EntityTable's layout guards)
+    // a negative or null weight would silently break prefix-sum
+    // monotonicity and mis-shard everything after it — fail the job at
+    // the row instead (same distributed raise_error idiom as
+    // EntityTable's layout guards). The null arm is separate: concat
+    // with a null value would null the whole error message.
     val guarded = df.withColumn(weightCol,
-      when(col(weightCol) >= 0, col(weightCol))
+      when(col(weightCol).isNull,
+        raise_error(lit(s"packShards: null $weightCol")))
+        .when(col(weightCol) >= 0, col(weightCol))
         .otherwise(raise_error(concat(
           lit(s"packShards: negative $weightCol: "),
           col(weightCol).cast("string")))))

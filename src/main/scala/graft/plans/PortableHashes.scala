@@ -416,11 +416,11 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(s: Any): Any =
-    TokenStats.eval(s.asInstanceOf[UTF8String])
+    TokenStats.stats(s.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.plans.TokenStats.eval($s);")
+      s"${ev.value} = graft.plans.TokenStats.stats($s);")
 
   override protected def withNewChildInternal(newChild: Expression): TokenStats =
     copy(child = newChild)
@@ -438,7 +438,11 @@ object TokenStats {
 
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
-  def eval(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+  /** Named `stats`, not `eval`: the case class inherits Expression.eval,
+    * which makes scalac suppress a same-named static forwarder — codegen
+    * would then emit a call that Janino cannot compile and the whole
+    * stage would silently fall back to interpretation. */
+  def stats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = Whitespace.split(s.toLowerCase.toString, -1)
     val counts = new java.util.HashMap[String, Long](toks.length * 2)
     var top = 0L

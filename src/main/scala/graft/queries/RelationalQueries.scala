@@ -289,11 +289,11 @@ object RelationalQueries {
   val q69_salted_join: Q = (s, d) => {
     import s.implicits._
     val li = Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .select($"l_orderkey", $"l_partkey", $"l_extendedprice")
     val o = Tables.orders(s, d)
       .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
     graft.operators.SkewJoin
-      .saltedInner(li, o, "l_orderkey", salt = 8, leftSaltSrc = "l_linenumber")
+      .saltedInner(li, o, "l_orderkey", salt = 8, leftSaltSrc = "l_partkey")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
       .orderBy($"o_orderpriority")

@@ -253,15 +253,13 @@ object TextQueries {
   }
 
   // ── q64: Gopher-style repetition filters — duplicate-word fraction, top-
-  // word fraction, duplicate-bigram fraction per document. ZERO-shuffle
-  // per-document array pipeline: an explode→groupBy formulation would
-  // shuffle every (doc, token) pair — a corpus-sized shuffle at 100 TB —
-  // while array_distinct/array_sort + a run-length fold do the same work
-  // inside the scan. The top-word count is the longest equal-run of the
-  // SORTED token array (sentinel-safe: run starts at 0, so a leading ""
-  // token cannot inherit the seed). The oracle derives the same numbers
-  // independently via unnest + per-term filters. Fractions are exact
-  // int/int divisions so the doubles are bit-identical across engines. ────
+  // word fraction, duplicate-bigram fraction per document. ZERO-shuffle:
+  // an explode→groupBy formulation would shuffle every (doc, token) pair
+  // — a corpus-sized shuffle at 100 TB — so all five counts come from the
+  // native one-pass graft.plans.TokenStats kernel inside the scan. The
+  // oracle derives the same numbers independently via list functions +
+  // per-term filters. Fractions are exact int/int divisions so the
+  // doubles are bit-identical across engines. ─────────────────────────────
   val q64_repetition: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}

@@ -49,13 +49,17 @@ object ZOrder {
     * filtered on either column. */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
                     bits: Int = 16, numFiles: Int = 0): Unit = {
-    val mm = df.agg(min(col(c1)).as("min1"), max(col(c1)).as("max1"),
-      min(col(c2)).as("min2"), max(col(c2)).as("max2"))
+    Seq("__zkey", "__zmin1", "__zmax1", "__zmin2", "__zmax2").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column (reserved for the z-order writer)")
+    }
+    val mm = df.agg(min(col(c1)).as("__zmin1"), max(col(c1)).as("__zmax1"),
+      min(col(c2)).as("__zmin2"), max(col(c2)).as("__zmax2"))
     val keyed = df.crossJoin(broadcast(mm))
       .withColumn("__zkey", mortonKey(
-        quantize(col(c1), col("min1"), col("max1"), bits),
-        quantize(col(c2), col("min2"), col("max2"), bits), bits))
-      .drop("min1", "max1", "min2", "max2")
+        quantize(col(c1), col("__zmin1"), col("__zmax1"), bits),
+        quantize(col(c2), col("__zmin2"), col("__zmax2"), bits), bits))
+      .drop("__zmin1", "__zmax1", "__zmin2", "__zmax2")
     val parts = if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__zkey"))
                 else keyed.repartitionByRange(col("__zkey"))
     parts.sortWithinPartitions(col("__zkey"))

@@ -189,9 +189,11 @@ object StreamingCells {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, batch, state: GroupState[SessionList]) =>
           val prior = state.getOption.map(_.open).getOrElse(Nil)
-          val open = batch.foldLeft(prior) { (acc, e) =>
-            merge(acc, e.ts.getTime, e.value)
-          }
+          // sort before folding: interval STRUCTURE is order-independent,
+          // but the Double sumValue accumulation is not — shuffle arrival
+          // order would make total_value non-reproducible across reruns
+          val open = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            .foldLeft(prior) { (acc, e) => merge(acc, e.ts.getTime, e.value) }
           val wm = state.getCurrentWatermarkMs()
           val (expired, live) = open.partition(_.endMs + gapMs < wm)
           if (live.isEmpty) state.remove()

@@ -280,7 +280,7 @@ object EngineProperties extends Properties("graft") {
       val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
       val grams = toks.sliding(2).filter(_.size == 2)
         .map(_.mkString(" ")).toSeq
-      val row = graft.plans.TokenStats.eval(
+      val row = graft.plans.TokenStats.stats(
         org.apache.spark.unsafe.types.UTF8String.fromString(text))
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
         row.getLong(4)) ==

@@ -14,8 +14,8 @@ class ZOrderSpec extends SparkSpec {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
       .toDF("a", "b")
       .select(ZOrder.mortonKey($"a", $"b", 4).as("z"))
-    // a bits at even positions, b at odd: (1,0)->1, (0,1)->2, (3,3)->15,
-    // (5,2)->0b011001 = 25... a=101,b=010 -> z = 1·1 + 0·2 + 0·4 + 1·8 + 1·16 + 0·32 = 25? a0=1->1, b0=0, a1=0, b1=1->8, a2=1->16, b2=0 => 25
+    // a bits at even positions 2i, b bits at odd 2i+1: (1,0)->1, (0,1)->2,
+    // (3,3)->15, and (a=101b, b=010b) -> 1·2^0 + 1·2^3 + 1·2^4 = 25
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 15L, 25L))
     val q = Seq(0L, 50L, 100L).toDF("v")
       .select(ZOrder.quantize($"v", lit(0L), lit(100L), 4).as("q"))
