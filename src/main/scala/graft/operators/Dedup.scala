@@ -349,6 +349,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Guaranteed-recall fuzzy self-join on STRING hamming distance: all
+    * pairs of equal-length strings differing in at most `maxHamming`
+    * character positions (record linkage over codes/ids/fingerprints —
+    * an operator Spark has no built-in for).
+    *
+    * Blocking is the pigeonhole split: a string is cut into
+    * `maxHamming + 1` contiguous bands (boundaries depend only on
+    * length), and two strings within the threshold differ in ≤ maxHamming
+    * bands, so they agree EXACTLY on at least one (band index, band
+    * content) key — the equi-join on that key has guaranteed recall, no
+    * all-pairs scan. Candidates then rerank by exact per-char hamming.
+    * Skew warning: a band whose content is near-constant across the
+    * corpus (shared prefixes) degenerates to a quadratic bucket — block
+    * on the VARYING part of structured strings.
+    */
+  def hammingPairs(df: DataFrame, idCol: String, strCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    val bands = maxHamming + 1
+    val banded = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("bkey", expr(
+        s"substring(s, CAST((band * length(s)) DIV $bands AS INT) + 1, " +
+          s"CAST(((band + 1) * length(s)) DIV $bands AS INT) " +
+          s"- CAST((band * length(s)) DIV $bands AS INT))"))
+    val ham = aggregate(
+      zip_with(split(col("sa"), ""), split(col("sb"), ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, v) => acc + v)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          length(col("a.s")) === length(col("b.s")) &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ── DuckDB oracle SQL fragments (single source of truth for constants) ──
 
   /** SQL: portable 28-bit hash of expression `e` (mirror of hash28). */

@@ -217,6 +217,48 @@ object DedupQueries {
        |    len(list_distinct(list_concat(ga.ghash, gb.ghash))) >= $threshold""".stripMargin
   }
 
+  // ── q71: fuzzy string join (record linkage) — all code pairs within
+  // hamming distance 2, via Dedup.hammingPairs' pigeonhole banding
+  // (guaranteed recall, no all-pairs scan). The corpus has no natural
+  // fixed-length near-identical codes, so both engines derive the same
+  // synthetic 32-hex code per document: a shared md5 base (97 groups)
+  // with ONE deterministically mutated character — intra-group pairs sit
+  // at hamming <= 2, cross-group pairs at ~28+. The oracle is DuckDB's
+  // NATIVE hamming() over the naive all-pairs join — an independent
+  // implementation of both the distance and the candidate set. ───────────
+  private val CodeExpr =
+    """concat(
+      |  substring(md5(CAST(doc_id % 97 AS STRING)), 1, CAST(doc_id % 32 AS INT)),
+      |  substr('0123456789abcdef', CAST(doc_id % 16 AS INT) + 1, 1),
+      |  substring(md5(CAST(doc_id % 97 AS STRING)), CAST(doc_id % 32 AS INT) + 2))""".stripMargin
+
+  val q71_fuzzy_join: Q = (s, d) => {
+    import s.implicits._
+    val coded = Tables.documents(s, d)
+      .select($"doc_id", expr(CodeExpr).as("code"))
+    val pairs = Dedup.hammingPairs(coded, "doc_id", "code", maxHamming = 2)
+    val directed = pairs
+      .select($"id_a".as("id"), $"id_b".as("other"), $"hamming")
+      .unionByName(pairs.select($"id_b".as("id"), $"id_a".as("other"), $"hamming"))
+    directed.groupBy($"id")
+      .agg(count(lit(1)).as("n_fuzzy"),
+        min($"other").as("nearest"),
+        min($"hamming").cast(org.apache.spark.sql.types.LongType).as("min_hamming"))
+      .orderBy($"id")
+  }
+  val q71_sql: String = {
+    val code = CodeExpr
+      .replace("AS STRING", "AS VARCHAR")
+      .replace("AS INT", "AS INTEGER")
+    s"""WITH s AS (SELECT doc_id, $code AS code FROM documents)
+       |SELECT a.doc_id AS id, count(*) AS n_fuzzy, min(b.doc_id) AS nearest,
+       |  CAST(min(hamming(a.code, b.code)) AS BIGINT) AS min_hamming
+       |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+       |  AND length(a.code) = length(b.code)
+       |  AND hamming(a.code, b.code) <= 2
+       |GROUP BY a.doc_id ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_exact_dedup" -> q21_exact_dedup,
     "q22_minhash_dedup" -> q22_minhash_dedup,
@@ -224,6 +266,7 @@ object DedupQueries {
     "q24_ngram_jaccard" -> q24_ngram_jaccard,
     "q49_dedup_clusters" -> q49_dedup_clusters,
     "q58_decontamination" -> q58_decontamination,
+    "q71_fuzzy_join" -> q71_fuzzy_join,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -232,5 +275,6 @@ object DedupQueries {
     "q24_ngram_jaccard" -> q24_sql,
     "q49_dedup_clusters" -> q49_sql,
     "q58_decontamination" -> q58_sql,
+    "q71_fuzzy_join" -> q71_sql,
   )
 }

@@ -288,6 +288,22 @@ object EngineProperties extends Properties("graft") {
           grams.size.toLong, grams.distinct.size.toLong))
     }
 
+  property("hammingPairs == brute-force model (guaranteed recall, exact rerank)") =
+    forAll(Gen.listOfN(10,
+      Gen.listOfN(6, Gen.oneOf('a', 'b')).map(_.mkString))) { strs =>
+      val docs = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val got = Dedup.hammingPairs(docs, "id", "s", maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (a, i) <- strs.zipWithIndex; (b, j) <- strs.zipWithIndex
+        if i < j && a.length == b.length
+        h = a.zip(b).count { case (x, y) => x != y }
+        if h <= 2
+      } yield (i.toLong, j.toLong, h)).toSet
+      got == want
+    }
+
   property("int8 quantization: codes bounded, error < amax, zero-safe") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-4.0f, 4.0f)),
            Gen.oneOf(true, false)) { (lanes, zero) =>
