@@ -207,6 +207,32 @@ object StreamingCells {
       }
   }
 
+  /** Stream-stream interval join — the attribution shape: each left event
+    * pairs with the right-stream events for the same key whose timestamp
+    * lies in [left.ts − maxDelay, left.ts] (e.g. click ← impressions in
+    * the preceding 10 s). Watermarks on BOTH sides are what bound the
+    * join state: Spark keeps a right row only until the left watermark
+    * passes its timestamp + maxDelay, then evicts — without the interval
+    * bound a stream-stream join would buffer both streams forever.
+    *
+    * Column names must be disjoint apart from `keyCol` (the caller
+    * renames); the right key column is dropped from the output.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                          leftTsCol: String, rightTsCol: String,
+                          watermark: String, maxDelay: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"non-key columns collide: ${overlap.mkString(", ")} — rename one side")
+    val l = left.withWatermark(leftTsCol, watermark).alias("l")
+    val r = right.withWatermark(rightTsCol, watermark).alias("r")
+    l.join(r, expr(
+        s"l.$keyCol = r.$keyCol AND " +
+          s"r.$rightTsCol >= l.$leftTsCol - INTERVAL $maxDelay AND " +
+          s"r.$rightTsCol <= l.$leftTsCol"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Newest-version-wins cell state: emits one update per put that
     * advances its cell's timestamp; stale (out-of-order) puts emit
     * nothing. State is one row per live cell. */

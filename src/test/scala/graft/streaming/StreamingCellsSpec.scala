@@ -183,6 +183,34 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreams: clicks attribute to impressions within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val q = intervalJoinStreams(
+        clicks.toDS().toDF("user_id", "click_ts", "click_id"),
+        imps.toDS().toDF("user_id", "imp_ts", "imp_id"),
+        "user_id", "click_ts", "imp_ts", "30 seconds", "10 seconds")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((1L, ts(100), "impA"), (1L, ts(95), "impB"),
+        (1L, ts(80), "impOld"), (2L, ts(100), "impC"))
+      q.processAllAvailable()
+      // click at 105: impA (5s before) and impB (10s, inclusive) match;
+      // impOld (25s) is outside the window, impC is another user
+      clicks.addData((1L, ts(105), 9001L))
+      q.processAllAvailable()
+      // right event arriving AFTER the click still attributes (in-watermark)
+      imps.addData((1L, ts(104), "impLate"))
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select("click_id", "imp_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((9001L, "impA"), (9001L, "impB"), (9001L, "impLate")))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: late merge, cross-batch bridging, watermark closes") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
