@@ -259,6 +259,42 @@ object DedupQueries {
        |GROUP BY a.doc_id ORDER BY id""".stripMargin
   }
 
+  // ── q72: the cleaned corpus — what the dedup machinery exists to
+  // produce. Near-dup clusters (q49) resolve to one survivor each
+  // (cluster_id == doc_id); unclustered documents pass through. Output
+  // is the per-language profile of the KEPT corpus, so the compare
+  // hash-verifies every keep/drop decision through counts and sizes. ─────
+  val q72_cleaned_corpus: Q = (s, d) => {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
+      MinHashK, MinHashBands, JaccardThreshold)
+    val clusters = Dedup.nearDupClusters(pairs.select($"doc_a", $"doc_b"))
+    Tables.documents(s, d)
+      .join(clusters, Seq("doc_id"), "left")
+      .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
+      .orderBy($"lang")
+  }
+  lazy val q72_sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+       |), clusters AS (
+       |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT lang, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM documents doc LEFT JOIN clusters c USING (doc_id)
+       |WHERE c.cluster_id IS NULL OR c.cluster_id = doc.doc_id
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q21_exact_dedup" -> q21_exact_dedup,
     "q22_minhash_dedup" -> q22_minhash_dedup,
@@ -267,6 +303,7 @@ object DedupQueries {
     "q49_dedup_clusters" -> q49_dedup_clusters,
     "q58_decontamination" -> q58_decontamination,
     "q71_fuzzy_join" -> q71_fuzzy_join,
+    "q72_cleaned_corpus" -> q72_cleaned_corpus,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -276,5 +313,6 @@ object DedupQueries {
     "q49_dedup_clusters" -> q49_sql,
     "q58_decontamination" -> q58_sql,
     "q71_fuzzy_join" -> q71_sql,
+    "q72_cleaned_corpus" -> q72_sql,
   )
 }
