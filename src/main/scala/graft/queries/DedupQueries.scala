@@ -237,9 +237,12 @@ object DedupQueries {
     val coded = Tables.documents(s, d)
       .select($"doc_id", expr(CodeExpr).as("code"))
     val pairs = Dedup.hammingPairs(coded, "doc_id", "code", maxHamming = 2)
-    val directed = pairs
-      .select($"id_a".as("id"), $"id_b".as("other"), $"hamming")
-      .unionByName(pairs.select($"id_b".as("id"), $"id_a".as("other"), $"hamming"))
+    // both orientations via explode, not union: a union would reference —
+    // and recompute — the unpersisted pair-mining subtree twice
+    val directed = pairs.select(explode(array(
+        struct($"id_a".as("id"), $"id_b".as("other"), $"hamming"),
+        struct($"id_b".as("id"), $"id_a".as("other"), $"hamming"))).as("e"))
+      .select($"e.id".as("id"), $"e.other".as("other"), $"e.hamming".as("hamming"))
     directed.groupBy($"id")
       .agg(count(lit(1)).as("n_fuzzy"),
         min($"other").as("nearest"),
