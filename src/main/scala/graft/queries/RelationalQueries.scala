@@ -304,6 +304,44 @@ object RelationalQueries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ── q73: data profiling (ANALYZE-style column statistics) — count,
+  // nulls, exact NDV, min/max, exact decimal sum per numeric column, in
+  // ONE pass: the columns unpivot into (col, value) rows at the scan
+  // (explode of a 4-struct array — map-side, no join), then a single
+  // grouped aggregate profiles all of them. Per-column full scans (the
+  // naive ANALYZE loop) would read the table N times. ────────────────────
+  val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  val q73_profile: Q = (s, d) => {
+    import s.implicits._
+    val entries = ProfileCols.map { c =>
+      struct(lit(c).as("col"), col(c).cast(DoubleType).as("v"))
+    }
+    Tables.lineitem(s, d)
+      .select(explode(array(entries: _*)).as("e"))
+      .select($"e.col".as("col"), $"e.v".as("v"))
+      .groupBy($"col")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct($"v").as("ndv"),
+        min($"v").as("vmin"), max($"v").as("vmax"),
+        dsum($"v", 6).as("vsum"))
+      .orderBy($"col")
+  }
+  val q73_sql: String = {
+    val legs = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col, CAST($c AS DOUBLE) AS v FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |$legs
+       |)
+       |SELECT col, count(*) AS n,
+       |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  count(DISTINCT v) AS ndv,
+       |  min(v) AS vmin, max(v) AS vmax,
+       |  ${sqlSum("v", 6)} AS vsum
+       |FROM u GROUP BY col ORDER BY col""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_gather_agg" -> q01_gather_agg,
     "q02_gather_distinct" -> q02_gather_distinct,
@@ -319,6 +357,7 @@ object RelationalQueries {
     "q12_rollup" -> q12_rollup,
     "q67_quantiles" -> q67_quantiles,
     "q69_salted_join" -> q69_salted_join,
+    "q73_profile" -> q73_profile,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,5 +375,6 @@ object RelationalQueries {
     "q12_rollup" -> q12_sql,
     "q67_quantiles" -> q67_sql,
     "q69_salted_join" -> q69_sql,
+    "q73_profile" -> q73_sql,
   )
 }
