@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Every native kernel must be reachable from the SQL surface and produce
+  * the value the Scala API produces (the shared test session is built
+  * with GraftExtensions). */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+
+  test("all kernels callable from SQL, value-identical to the Scala API") {
+    val df = Seq("the cat sat on the mat the cat", "a b a b a")
+      .toDF("s")
+    df.createOrReplaceTempView("t")
+
+    val sql = spark.sql(
+      """SELECT
+        |  md5_prefix_long(s, 7) AS h28,
+        |  md5_array_long(array(s, s), 7) AS harr,
+        |  word_shingle_hashes(s, 3, 7) AS sh,
+        |  char_gram_hashes(s, 4, 7) AS cg,
+        |  minhash_signature(word_shingle_hashes(s, 3, 7), 16) AS mh,
+        |  simhash_of_hashes(word_shingle_hashes(s, 1, 8), 32) AS sim,
+        |  sorted_intersect_size(word_shingle_hashes(s, 3, 7),
+        |                        word_shingle_hashes(s, 3, 7)) AS isz,
+        |  token_stats(s).top_word_n AS topn
+        |FROM t""".stripMargin).collect()
+
+    val api = df.select(
+      columnOf(Md5PrefixLong(expressionOf($"s"), 7)).as("h28"),
+      columnOf(WordShingleHashes(expressionOf($"s"), 3, 7)).as("sh"),
+      columnOf(CharGramHashes(expressionOf($"s"), 4, 7)).as("cg"),
+      columnOf(MinhashSignature(
+        expressionOf(columnOf(WordShingleHashes(expressionOf($"s"), 3, 7))), 16)).as("mh"),
+      columnOf(SimhashOfHashes(
+        expressionOf(columnOf(WordShingleHashes(expressionOf($"s"), 1, 8))), 32)).as("sim"),
+      columnOf(TokenStats(expressionOf($"s"))).getField("top_word_n").as("topn"))
+      .collect()
+
+    sql.zip(api).foreach { case (q, a) =>
+      assert(q.getLong(0) == a.getLong(0))                     // h28
+      assert(q.getSeq[Long](1) == Seq(a.getLong(0)))           // harr: dedup of [s,s]
+      assert(q.getSeq[Long](2) == a.getSeq[Long](1))           // sh
+      assert(q.getSeq[Long](3) == a.getSeq[Long](2))           // cg
+      assert(q.getSeq[Long](4) == a.getSeq[Long](3))           // mh
+      assert(q.getLong(5) == a.getLong(4))                     // sim
+      assert(q.getInt(6) == q.getSeq[Long](2).length)          // self-intersect
+      assert(q.getLong(7) == a.getLong(5))                     // topn
+    }
+    // static params must be literals, not columns
+    val e = intercept[Exception] {
+      spark.sql("SELECT md5_prefix_long(s, CAST(length(s) AS INT)) FROM t").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
