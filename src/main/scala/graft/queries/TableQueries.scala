@@ -105,6 +105,43 @@ object TableQueries {
        |WHERE rn <= 3 GROUP BY user_id, event_type
        |ORDER BY entity_id, qualifier""".stripMargin
 
+  // ── q74: map-type family WIDE-ROW view (readWide) — the reference's
+  // KijiRowData map-family access (one row per entity, qualifiers as map
+  // keys). The wide map column itself has no stable cross-engine hash,
+  // so the query flattens it back out (map_keys/explode) and profiles
+  // each entity row: qualifier count, version count across the map, and
+  // the newest value per qualifier — each derived THROUGH the map view,
+  // so the grouping, sort_array ordering and per-qualifier version
+  // retention are all on the verified path. ───────────────────────────────
+  val q74_wide_row: Q = (s, d) => {
+    import s.implicits._
+    val table = new EntityTable(s, tmpTable("q74", d),
+      TableLayout("events_cells", Seq(FamilySpec("ev", maxVersions = 2))))
+    table.bulkLoad(eventCells(s, d), numPartitions = 32)
+    table.readWide(DataRequest(maxVersions = 2))
+      .select($"entity_id", explode($"cells").as(Seq("qualifier", "versions")))
+      .select($"entity_id", $"qualifier",
+        size($"versions").cast(org.apache.spark.sql.types.LongType).as("n_versions"),
+        $"versions"(0)("value").as("newest_value"))
+      .groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_qualifiers"),
+        sum($"n_versions").as("n_cells"),
+        dsum($"newest_value", 6).as("sum_newest"))
+      .orderBy($"entity_id")
+  }
+  val q74_sql: String =
+    s"""WITH kept AS (
+       |  SELECT user_id, event_type, value,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts DESC, value DESC) AS rn
+       |  FROM events)
+       |SELECT user_id AS entity_id,
+       |  count(DISTINCT event_type) AS n_qualifiers,
+       |  count(*) AS n_cells,
+       |  ${Num.sqlSum("CASE WHEN rn = 1 THEN value ELSE 0 END", 6)} AS sum_newest
+       |FROM kept WHERE rn <= 2
+       |GROUP BY user_id ORDER BY entity_id""".stripMargin
+
   // ── q41: composite entity IDs, HASH_PREFIX encoding — the salted
   // multi-component row key of the reference layout (test.json:22
   // hash_prefix MD5). Bulk load range-partitions on the SALTED key, so
@@ -374,6 +411,7 @@ object TableQueries {
     "q32_bulk_roundtrip" -> q32_bulk_roundtrip,
     "q33_dml_tombstones" -> q33_dml_tombstones,
     "q34_versioned_read" -> q34_versioned_read,
+    "q74_wide_row" -> q74_wide_row,
     "q41_composite_key" -> q41_composite_key,
     "q42_formatted_range" -> q42_formatted_range,
     "q44_locality_groups" -> q44_locality_groups,
@@ -385,6 +423,7 @@ object TableQueries {
     "q32_bulk_roundtrip" -> q32_sql,
     "q33_dml_tombstones" -> q33_sql,
     "q34_versioned_read" -> q34_sql,
+    "q74_wide_row" -> q74_sql,
     "q41_composite_key" -> q41_sql,
     "q42_formatted_range" -> q42_sql,
     "q44_locality_groups" -> q44_sql,
