@@ -142,6 +142,33 @@ object TableQueries {
        |FROM kept WHERE rn <= 2
        |GROUP BY user_id ORDER BY entity_id""".stripMargin
 
+  // ── q75: direct (live) table writes — the DirectKijiTableWriterContext
+  // path: three interleaved put batches appended as live parquet files
+  // (readers resolve newest-ts-wins at read time), then a compaction back
+  // to bulk order, then a most-recent read. Exercises the unsorted-append
+  // → compact → range-ordered lifecycle end-to-end on the verified path. ──
+  val q75_direct_write: Q = (s, d) => {
+    import s.implicits._
+    val path = tmpTable("q75", d)
+    val cells = eventCells(s, d)
+    Seq(0, 1, 2).foreach { i =>
+      graft.sinks.DirectSink.append(cells.filter($"entity_id" % 3 === i), path)
+    }
+    graft.sinks.DirectSink.compact(s, path)
+    val table = new EntityTable(s, path,
+      TableLayout("events_cells", Seq(FamilySpec("ev"))))
+    table.mostRecent()
+      .groupBy($"qualifier")
+      .agg(count(lit(1)).as("n_cells"), dsum($"value", 6).as("sum_newest"))
+      .orderBy($"qualifier")
+  }
+  val q75_sql: String =
+    s"""SELECT event_type AS qualifier, count(*) AS n_cells,
+       |  ${Num.sqlSum("value", 6)} AS sum_newest
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |        ORDER BY ts DESC, value DESC) AS rn FROM events)
+       |WHERE rn = 1 GROUP BY event_type ORDER BY qualifier""".stripMargin
+
   // ── q41: composite entity IDs, HASH_PREFIX encoding — the salted
   // multi-component row key of the reference layout (test.json:22
   // hash_prefix MD5). Bulk load range-partitions on the SALTED key, so
@@ -412,6 +439,7 @@ object TableQueries {
     "q33_dml_tombstones" -> q33_dml_tombstones,
     "q34_versioned_read" -> q34_versioned_read,
     "q74_wide_row" -> q74_wide_row,
+    "q75_direct_write" -> q75_direct_write,
     "q41_composite_key" -> q41_composite_key,
     "q42_formatted_range" -> q42_formatted_range,
     "q44_locality_groups" -> q44_locality_groups,
@@ -424,6 +452,7 @@ object TableQueries {
     "q33_dml_tombstones" -> q33_sql,
     "q34_versioned_read" -> q34_sql,
     "q74_wide_row" -> q74_sql,
+    "q75_direct_write" -> q75_sql,
     "q41_composite_key" -> q41_sql,
     "q42_formatted_range" -> q42_sql,
     "q44_locality_groups" -> q44_sql,
