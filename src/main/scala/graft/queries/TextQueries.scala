@@ -391,6 +391,45 @@ object TextQueries {
        |FROM c GROUP BY source, shard ORDER BY source, shard""".stripMargin
   }
 
+  // ── q76: packed-sequence materialization — q68's shard assignment
+  // realized as actual training sequences: the documents of each shard
+  // concatenated in pack order with an <eos> separator. The concat order
+  // is pinned by sort_array over (doc_id, text) structs (collect_list
+  // alone is arrival-ordered, i.e. nondeterministic), and the md5
+  // fingerprint of every shard's full sequence is what the oracle
+  // compares — any document in the wrong shard or position changes it. ────
+  val q76_pack_sequences: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"source", $"doc_id", $"text",
+        size(tokens($"text")).cast(LongType).as("w"))
+    val seq = array_join(
+      transform(sort_array(collect_list(struct($"doc_id", $"text"))),
+        e => e.getField("text")), "<eos>")
+    graft.operators.Packing.packShards(docs, "source", "doc_id", "w",
+        budget = 1000L, bucketSize = 64L)
+      .groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        length(seq).cast(LongType).as("seq_chars"),
+        md5(seq.cast(BinaryType)).as("seq_fp"))
+      .orderBy($"source", $"shard")
+  }
+  val q76_sql: String = {
+    val toks = "len(string_split_regex(lower(text), '\\s+'))"
+    s"""WITH t AS (
+       |  SELECT source, doc_id, text, $toks AS w FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, text, w,
+       |    sum(w) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, CAST((cum - w) // 1000 AS BIGINT) AS shard,
+       |  count(*) AS n_docs,
+       |  length(string_agg(text, '<eos>' ORDER BY doc_id)) AS seq_chars,
+       |  md5(string_agg(text, '<eos>' ORDER BY doc_id)) AS seq_fp
+       |FROM c GROUP BY source, shard ORDER BY source, shard""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -404,6 +443,7 @@ object TextQueries {
     "q64_repetition" -> q64_repetition,
     "q65_tfidf" -> q65_tfidf,
     "q68_pack_shards" -> q68_pack_shards,
+    "q76_pack_sequences" -> q76_pack_sequences,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -418,5 +458,6 @@ object TextQueries {
     "q64_repetition" -> q64_sql,
     "q65_tfidf" -> q65_sql,
     "q68_pack_shards" -> q68_sql,
+    "q76_pack_sequences" -> q76_sql,
   )
 }
