@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 /** Session extensions registering ALL the engine's native expressions, so
   * every kernel is usable from `spark.sql(...)` / `expr(...)` as well as
@@ -27,43 +27,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: $what must be an integer literal, got $other")
   }
 
-  private def register(ext: SparkSessionExtensions, name: String, arity: String)(
+  private def boolLit(e: Expression, fn: String, what: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a boolean literal, got $other")
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String,
+                       className: String, arities: Set[Int], usage: String)(
       build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
       new FunctionIdentifier(name),
-      new ExpressionInfo("graft.plans", name),
+      new ExpressionInfo(className, name),
       (children: Seq[Expression]) => {
-        require(children.length == arity.count(_ == ',') + 1,
-          s"$name takes arguments ($arity)")
+        require(arities.contains(children.length),
+          s"$name takes arguments ($usage), got ${children.length}")
         build(children)
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    register(ext, "most_recent", "versions") { c => MostRecent(c.head) }
-    register(ext, "sorted_intersect_size", "a, b") { c =>
-      SortedIntersectSize(c.head, c(1))
-    }
-    register(ext, "md5_prefix_long", "s, nibbles") { c =>
+    register(ext, "most_recent", classOf[MostRecent].getName,
+        Set(1), "versions") { c => MostRecent(c.head) }
+    register(ext, "sorted_intersect_size", classOf[SortedIntersectSize].getName,
+        Set(2), "a, b") { c => SortedIntersectSize(c.head, c(1)) }
+    register(ext, "md5_prefix_long", classOf[Md5PrefixLong].getName,
+        Set(2), "s, nibbles") { c =>
       Md5PrefixLong(c.head, intLit(c(1), "md5_prefix_long", "nibbles"))
     }
-    register(ext, "md5_array_long", "arr, nibbles") { c =>
+    // 3rd arg mirrors the Scala API's distinctSorted: `false` keeps
+    // duplicate grams (the frequency-weighted simhash path needs every
+    // repeated token to vote); default `true` dedups + sorts.
+    register(ext, "md5_array_long", classOf[Md5ArrayLong].getName,
+        Set(2, 3), "arr, nibbles[, distinct_sorted]") { c =>
       Md5ArrayLong(c.head, intLit(c(1), "md5_array_long", "nibbles"),
-        distinctSorted = true)
+        distinctSorted =
+          c.lengthCompare(3) < 0 ||
+            boolLit(c(2), "md5_array_long", "distinct_sorted"))
     }
-    register(ext, "minhash_signature", "ghash, k") { c =>
+    register(ext, "minhash_signature", classOf[MinhashSignature].getName,
+        Set(2), "ghash, k") { c =>
       MinhashSignature(c.head, intLit(c(1), "minhash_signature", "k"))
     }
-    register(ext, "simhash_of_hashes", "hs, bits") { c =>
+    register(ext, "simhash_of_hashes", classOf[SimhashOfHashes].getName,
+        Set(2), "hs, bits") { c =>
       SimhashOfHashes(c.head, intLit(c(1), "simhash_of_hashes", "bits"))
     }
-    register(ext, "char_gram_hashes", "s, n, nibbles") { c =>
+    register(ext, "char_gram_hashes", classOf[CharGramHashes].getName,
+        Set(3), "s, n, nibbles") { c =>
       CharGramHashes(c.head, intLit(c(1), "char_gram_hashes", "n"),
         intLit(c(2), "char_gram_hashes", "nibbles"))
     }
-    register(ext, "word_shingle_hashes", "s, n, nibbles") { c =>
+    register(ext, "word_shingle_hashes", classOf[WordShingleHashes].getName,
+        Set(3), "s, n, nibbles") { c =>
       WordShingleHashes(c.head, intLit(c(1), "word_shingle_hashes", "n"),
         intLit(c(2), "word_shingle_hashes", "nibbles"))
     }
-    register(ext, "token_stats", "s") { c => TokenStats(c.head) }
+    register(ext, "token_stats", classOf[TokenStats].getName,
+        Set(1), "s") { c => TokenStats(c.head) }
   }
 }

@@ -403,15 +403,20 @@ object TextQueries {
     val docs = Tables.documents(s, d)
       .select($"source", $"doc_id", $"text",
         size(tokens($"text")).cast(LongType).as("w"))
-    val seq = array_join(
-      transform(sort_array(collect_list(struct($"doc_id", $"text"))),
-        e => e.getField("text")), "<eos>")
+    // collect ONCE per group (the aggregation buffer holds the shard's
+    // texts — two aggregate columns over the same expression would hold
+    // and sort two copies), then derive length + fingerprint in a
+    // follow-up projection
     graft.operators.Packing.packShards(docs, "source", "doc_id", "w",
         budget = 1000L, bucketSize = 64L)
       .groupBy($"source", $"shard")
       .agg(count(lit(1)).as("n_docs"),
-        length(seq).cast(LongType).as("seq_chars"),
-        md5(seq.cast(BinaryType)).as("seq_fp"))
+        sort_array(collect_list(struct($"doc_id", $"text"))).as("parts"))
+      .withColumn("seq",
+        array_join(transform($"parts", e => e.getField("text")), "<eos>"))
+      .select($"source", $"shard", $"n_docs",
+        length($"seq").cast(LongType).as("seq_chars"),
+        md5($"seq".cast(BinaryType)).as("seq_fp"))
       .orderBy($"source", $"shard")
   }
   val q76_sql: String = {

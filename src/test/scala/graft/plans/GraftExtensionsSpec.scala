@@ -50,6 +50,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(q.getInt(6) == q.getSeq[Long](2).length)          // self-intersect
       assert(q.getLong(7) == a.getLong(5))                     // topn
     }
+    // md5_array_long's 3rd literal arg switches to duplicates-kept hashing
+    // (the frequency-weighted simhash path) — parity with the Scala API
+    val dup = spark.sql(
+      "SELECT md5_array_long(array(s, s), 7, false) AS h FROM t").collect()
+    val dupApi = df.select(columnOf(Md5ArrayLong(
+        expressionOf(array($"s", $"s")), 7, distinctSorted = false)).as("h"))
+      .collect()
+    dup.zip(dupApi).foreach { case (q, a) =>
+      assert(q.getSeq[Long](0).length == 2 &&
+        q.getSeq[Long](0) == a.getSeq[Long](0))
+    }
     // static params must be literals, not columns
     val e = intercept[Exception] {
       spark.sql("SELECT md5_prefix_long(s, CAST(length(s) AS INT)) FROM t").collect()
