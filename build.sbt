@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print one machine-parsed JSON line; sbt's default logger
+// prefixes forked-process stdout with "[info] ", which breaks the
+// driver's JSON parser. StdoutOutput passes the child's stdout through
+// bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,31 +5,40 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
-compares row count, column names, and values (rows sorted by all columns).
+compares the two the way the DRIVER does: `fetchdf()` into pandas, columns
+sorted by name, rows sorted by all columns, then a pandas value hash.
+
+This intentionally inherits the driver's sharp edges so they fail HERE
+first:
+  * ARRAY/MAP/STRUCT output columns make `sort_values` /
+    `hash_pandas_object` raise ("unhashable type: numpy.ndarray") → the
+    query is reported as an ERROR, exactly like the driver's `err` field.
+  * DuckDB HUGEINT (bare `sum()` over ints) coerces to float64 in pandas
+    and hash-mismatches Spark's int64 even when the integer values agree.
 """
-import sys, os, json, math
+import sys, os, json
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    if v is None:
-        return (0, "")
-    if isinstance(v, float):
-        if math.isnan(v):
-            return (1, "nan")
-        return (1, repr(v))
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return (1, repr(float(v)))
-    except Exception:
-        pass
-    if isinstance(v, (list, tuple)):
-        return (3, tuple(canon(x) for x in v))
-    return (2, str(v))
+def canon_frame(df):
+    """Driver semantics: columns sorted by name, rows sorted by all
+    columns. Raises on unhashable (array-typed) values, like the driver."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def frame_hash(df):
+    if len(df) == 0:
+        return 0
+    # hash_pandas_object is dtype-sensitive: int64 176 != float64 176.0,
+    # matching the driver's behavior on HUGEINT→float64 coercions.
+    return int(pd.util.hash_pandas_object(df, index=False).sum())
 
 
 def main():
@@ -46,42 +55,48 @@ def main():
     results_dirs = sorted(d for d in os.listdir(out_dir)
                           if os.path.isdir(os.path.join(out_dir, d)))
     for name in results_dirs:
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-        ).fetchall()
-        got_cols = [d[0] for d in con.description]
         if name not in oracle:
-            print(f"  ~ {name}: no oracle (rows-only) rows={len(got)}")
+            n_rows = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchone()[0]
+            print(f"  ~ {name}: no oracle (rows-only) rows={n_rows}")
             continue
         try:
-            exp = con.execute(oracle[name]).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            got = canon_frame(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchdf())
+            exp = canon_frame(con.execute(oracle[name]).fetchdf())
+            rows_ok = len(got) == len(exp)
+            schema_ok = list(got.columns) == list(exp.columns)
+            hash_ok = schema_ok and rows_ok and frame_hash(got) == frame_hash(exp)
         except Exception as e:
-            print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            print(f"  ✗ {name}: ERROR: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        # driver sorts columns by name before hashing values
-        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
-        ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
-        ok = True
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"  ✗ {name}: COLUMNS got={sorted(got_cols)} exp={sorted(exp_cols)}")
-            ok = False
-        elif len(got) != len(exp):
-            print(f"  ✗ {name}: ROWS got={len(got)} exp={len(exp)}")
-            ok = False
-        else:
-            g = sorted(tuple(canon(r[i]) for i in gi) for r in got)
-            e = sorted(tuple(canon(r[i]) for i in ei) for r in exp)
-            if g != e:
-                bad = [(a, b) for a, b in zip(g, e) if a != b][:3]
-                print(f"  ✗ {name}: VALUES differ, first diffs: {bad}")
-                ok = False
-        if ok:
+        if rows_ok and schema_ok and hash_ok:
             print(f"  ✓ {name} rows={len(got)}")
             n_pass += 1
         else:
             n_fail += 1
+            if not schema_ok:
+                print(f"  ✗ {name}: COLUMNS got={list(got.columns)} exp={list(exp.columns)}")
+            elif not rows_ok:
+                print(f"  ✗ {name}: ROWS got={len(got)} exp={len(exp)}")
+            else:
+                # surface the first differing cells (incl. dtype) for debugging
+                diffs = []
+                for c in got.columns:
+                    if len(diffs) >= 3:
+                        break
+                    ga, ea = got[c], exp[c]
+                    if ga.dtype != ea.dtype:
+                        diffs.append(f"{c}: dtype {ga.dtype} vs {ea.dtype}")
+                        continue
+                    neq = ga.astype(str) != ea.astype(str)
+                    if neq.any():
+                        i = int(neq.idxmax())
+                        diffs.append(f"{c}[{i}]: {ga[i]!r} vs {ea[i]!r}")
+                print(f"  ✗ {name}: HASH differs ({'; '.join(diffs) or 'values'})")
     missing = [k for k in oracle if k not in results_dirs]
     for k in missing:
         print(f"  ✗ {k}: oracle declared but no result parquet")

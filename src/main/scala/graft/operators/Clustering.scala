@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions.hash28
+import graft.functions.VectorFunctions.scaled
+
+/** Distributed k-means (Lloyd's) over embedding columns — the corpus
+  * topic-clustering step of a training-data pipeline (cluster-balanced
+  * sampling, per-cluster quality cuts, diversity caps).
+  *
+  * Built deterministic end-to-end so two engines agree bit-for-bit:
+  *
+  *  - '''Seeding''': the k vectors with the smallest
+  *    `(hash28(salt || id), id)` — no RNG, stable under corpus growth of
+  *    non-seed rows, reproducible across engines (kmeans++ would need a
+  *    sequential RNG chain; hash seeding is the distributed-friendly
+  *    choice).
+  *  - '''Assignment''': exact integer squared L2 distance over the
+  *    2^20-scaled lanes (`VectorFunctions.scaled`) — order-free int64
+  *    sums, argmin ties broken by smallest cluster index.
+  *  - '''Update''': integer-QUANTIZED centroids — lane value is
+  *    trunc(laneSum / n), so every iteration's centroid state is integer
+  *    and the next assignment stays exact. (Classic float centroids make
+  *    the whole fixpoint order-dependent; quantizing to int64 lanes costs
+  *    < 1 scaled unit = 2^-20 of float precision per lane per iteration.)
+  *
+  * Scale shape (100 TB): each iteration is one zero-shuffle scan
+  * (assignment = k fused codegen'd array folds against k·dim literal
+  * longs) plus one (cluster, lane) partial-aggregated shuffle of
+  * k·dim rows per map task. The driver holds k·dim longs per iteration —
+  * the same capped-driver-state pattern as `Similarity.knnIvf`'s
+  * centroid set. Lane sums stay exact while n·2^20·|x| < 2^63; the
+  * trunc division is exact while |laneSum| < 2^53 (past that, swap the
+  * double division for a decimal one).
+  *
+  * The reference has no clustering surface (its jobs are per-row
+  * gather/produce); this is capability upside mandated by the
+  * LLM-pipeline charter.
+  */
+object Clustering {
+
+  /** Run `iters` full Lloyd rounds (assign → update) and return the final
+    * centroid LANES — one scalar row `(cluster, pos, cval, n)` per
+    * centroid dimension, plus the cluster's population `n` (scalar-only
+    * output: survives pandas/arrow checkers; re-pack with collect_list if
+    * an array form is wanted downstream). Empty clusters drop out (their
+    * rows simply disappear, exactly like the relational formulation). */
+  def kmeansLanes(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, salt: String = "kmeans"): DataFrame = {
+    require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
+    val sv = emb.select(col(idCol).cast(LongType).as("vid"),
+      scaled(col(vecCol)).as("v"))
+    // Deterministic seeds: global top-k by (hash28, id) — a k-row
+    // total-order limit, not a full sort materialization.
+    val seeds = sv
+      .withColumn("hb", hash28(concat(lit(salt), col("vid").cast("string"))))
+      .orderBy(col("hb"), col("vid")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Long](0))
+    var centroids: Seq[(Int, Seq[Long])] =
+      seeds.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    var lanes: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(sv, centroids)
+      lanes = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        // trunc (toward zero) division — keep it exact-int in both engines
+        .select(col("cluster"), col("pos"),
+          (col("s").cast(DoubleType) / col("n")).cast(LongType).as("cval"),
+          col("n"))
+      centroids = lanes.orderBy(col("cluster"), col("pos")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toSeq) }
+    }
+    lanes
+  }
+
+  /** Final-round assignment as rows `(vid, cluster)` — for joining the
+    * clustering back onto the corpus. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, salt: String = "kmeans"): DataFrame = {
+    val lanes = kmeansLanes(emb, idCol, vecCol, k, iters, salt)
+    val centroids = lanes.orderBy(col("cluster"), col("pos")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toSeq) }
+    val sv = emb.select(col(idCol).cast(LongType).as("vid"),
+      scaled(col(vecCol)).as("v"))
+    assignClusters(sv, centroids).select(col("vid"), col("cluster"))
+  }
+
+  /** Nearest centroid per row: k codegen'd integer array folds against
+    * literal centroid lanes; strict-< fold keeps the SMALLEST index on
+    * distance ties. */
+  private def assignClusters(sv: DataFrame,
+                             centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+    require(centroids.nonEmpty, "all clusters became empty")
+    def dist(cv: Seq[Long]): Column =
+      aggregate(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val best = centroids.tail.foldLeft(
+      struct(dist(centroids.head._2).as("d"), lit(centroids.head._1).as("c"))) {
+      case (acc, (ci, cv)) =>
+        val d = dist(cv)
+        when(d < acc.getField("d"), struct(d.as("d"), lit(ci).as("c")))
+          .otherwise(acc)
+    }
+    sv.withColumn("cluster", best.getField("c"))
+  }
+}

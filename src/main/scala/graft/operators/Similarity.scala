@@ -64,6 +64,18 @@ object Similarity {
     * neither group size nor dimension ever concentrates in one task.
     * Exact math: lane sums are over 2^20-scaled int64 (order-independent),
     * the mean is a single double division per lane — oracle-replicable. */
+  /** Scalar-row form of [[meanPool]]: one `(key, pos, val, n)` row per
+    * centroid lane. Keeps both group size and dimension distributed
+    * (posexplode → partial agg on (key, pos)), and emits only scalar
+    * columns so results flow through pandas/arrow checkers untouched. */
+  def meanPoolLanes(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    emb.select(col(keyCol), posexplode(scaled(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg((sum(col("v")).cast(DoubleType) / count(lit(1))).as("val"),
+           count(lit(1)).as("n"))
+  }
+
   def meanPool(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     emb.select(col(keyCol), posexplode(scaled(col(vecCol))).as(Seq("pos", "v")))

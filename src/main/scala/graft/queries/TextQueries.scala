@@ -166,10 +166,15 @@ object TextQueries {
       .select($"doc_id", $"chunk_start", $"chunk")
       .orderBy($"doc_id", $"chunk_start")
   }
+  // chunk-start universe derived from the corpus (scalar range(): the
+  // table function can't take a subquery bound) — no hardcoded length cap
   val q57_sql: String =
-    """SELECT doc_id, CAST(s.i AS INT) AS chunk_start,
+    """WITH starts AS (
+      |  SELECT unnest(range(0,
+      |    (SELECT max(length(text)) + 100 FROM documents), 100)) AS i)
+      |SELECT doc_id, CAST(s.i AS INT) AS chunk_start,
       |  substr(text, CAST(s.i AS INT) + 1, 120) AS chunk
-      |FROM documents, range(0, 10000, 100) s(i)
+      |FROM documents, starts s
       |WHERE s.i < length(text)
       |ORDER BY doc_id, chunk_start""".stripMargin
 
@@ -197,7 +202,7 @@ object TextQueries {
       |            < (CASE lang WHEN 'de' THEN 5000 WHEN 'fr' THEN 5000 ELSE 0 END)
       |       THEN 1 ELSE 0 END) AS copies
       |  FROM documents)
-      |SELECT lang, sum(copies) AS n_rows,
+      |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
       |  count(DISTINCT CASE WHEN copies > 0 THEN doc_id END) AS n_docs,
       |  max(copies - 1)::BIGINT AS max_copy
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin

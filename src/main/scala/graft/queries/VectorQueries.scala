@@ -162,27 +162,26 @@ object VectorQueries {
        |WHERE ${sqlCosineFromNorms("a.v", "b.v", "a.nrm", "b.nrm", Dim)} >= $CosineDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  // ── q59: embedding mean-pooling — per-label class centroids. The
-  // posexplode → (key, lane) partial-agg shape keeps both group size and
-  // dimension distributed; lane sums are exact scaled int64, so the
-  // centroid doubles hash-compare. ─────────────────────────────────────────
+  // ── q59: embedding mean-pooling — per-label class centroids, one
+  // scalar (label, pos, val, n) row per centroid lane. The posexplode →
+  // (key, lane) partial-agg shape keeps both group size and dimension
+  // distributed; lane sums are exact scaled int64, so the centroid
+  // doubles hash-compare. Scalar rows (no array column) so the result
+  // survives pandas-based external checkers. ───────────────────────────────
   val q59_embedding_pool: Q = (s, d) => {
     import s.implicits._
-    Similarity.meanPool(Tables.embeddings(s, d), "label", "embedding")
-      .orderBy($"label")
+    Similarity.meanPoolLanes(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy($"label", $"pos")
   }
   lazy val q59_sql: String =
     s"""WITH sv AS (
-       |  SELECT label, ${sqlScaled("embedding")} AS v FROM embeddings
-       |), lanes AS (
-       |  SELECT label, p.pos AS pos,
-       |    CAST(sum(list_extract(v, CAST(p.pos AS INT) + 1)) AS DOUBLE)
-       |      / count(*) AS val,
-       |    count(*) AS n
-       |  FROM sv, range($Dim) p(pos)
-       |  GROUP BY label, p.pos)
-       |SELECT label, list(val ORDER BY pos) AS centroid, max(n) AS n
-       |FROM lanes GROUP BY label ORDER BY label""".stripMargin
+       |  SELECT label, ${sqlScaled("embedding")} AS v FROM embeddings)
+       |SELECT label, CAST(p.pos AS INT) AS pos,
+       |  CAST(sum(list_extract(v, CAST(p.pos AS INT) + 1)) AS DOUBLE)
+       |    / count(*) AS val,
+       |  count(*) AS n
+       |FROM sv, range($Dim) p(pos)
+       |GROUP BY label, p.pos ORDER BY label, pos""".stripMargin
 
   // ── q66: int8 scalar quantization of the embedding corpus — the
   // compression pass before ANN indexing. Per-vector column work only

@@ -97,16 +97,28 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * existence — a failed append (layout validation raise_error) can
     * leave an empty `_changes` dir behind, which must read as "no
     * pending changes". */
-  def hasPendingChanges: Boolean = {
+  def hasPendingChanges: Boolean = feedDataFiles.nonEmpty
+
+  /** All committed data files of the feed: top-level files (single-file
+    * appends) plus files inside `batch_*` subdirectories (atomic
+    * multi-file appends, committed by one directory rename). */
+  private def feedDataFiles: Seq[org.apache.hadoop.fs.FileStatus] = {
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
     val p = new org.apache.hadoop.fs.Path(changesPath)
-    hadoopFs.exists(p) && hadoopFs.listStatus(p).exists(s =>
-      s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
+    if (!hadoopFs.exists(p)) Seq.empty
+    else hadoopFs.listStatus(p).toSeq.flatMap { s =>
+      if (!visible(s.getPath.getName)) Seq.empty
+      else if (s.isFile) Seq(s)
+      else hadoopFs.listStatus(s.getPath).toSeq
+        .filter(f => f.isFile && visible(f.getPath.getName))
+    }
   }
 
   /** The pending change feed (empty-schema error if none — guard with
-    * `hasPendingChanges`). */
-  def pendingChanges: DataFrame = spark.read.parquet(changesPath)
+    * `hasPendingChanges`). Batch subdirectories (atomic multi-file
+    * appends) are picked up by the recursive lookup. */
+  def pendingChanges: DataFrame = spark.read
+    .option("recursiveFileLookup", "true").parquet(changesPath)
 
   /** Base cells only — the bulk-loaded / direct-appended files, change
     * feed NOT folded in. `lg` is the locality-group partition column of
@@ -266,12 +278,15 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * puts/scoped deletes naming undeclared families/qualifiers fail the
     * append. `numFiles` coalesces the batch (change batches are usually
     * delta-sized; 0 = keep the incoming partitioning for a genuinely
-    * large feed). Batch atomicity holds for the default `numFiles = 1`:
-    * the batch commits as ONE file, so concurrent readers see the whole
-    * batch or nothing. With `numFiles = 0` (multi-file append) a job that
-    * fails mid-append — e.g. a layout-guard raise_error in a later task —
-    * can leave a partially committed batch visible to readers; validate
-    * such batches upstream, or compact promptly after a failure. */
+    * large feed). Batch atomicity holds for BOTH shapes: the default
+    * `numFiles = 1` commits as ONE file; `numFiles = 0` (multi-file)
+    * writes the whole batch to a staging directory outside the feed and
+    * commits it with a SINGLE directory rename into
+    * `_changes/batch_<uuid>/` — a job that fails mid-append (e.g. a
+    * layout-guard raise_error in a later task) leaves only the staging
+    * dir, which is deleted on failure and invisible to readers either
+    * way (underscore prefix), so readers see the whole batch or
+    * nothing. */
   def appendChanges(changes: DataFrame, numFiles: Int = 1): Unit = {
     val need = Seq("entity_id", "family", "qualifier", "op", "ts", "value")
     require(need.forall(changes.columns.contains),
@@ -283,8 +298,26 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           lit(s"' for table '${layout.name}'")))))
     val guarded = guardLayout(opGuarded, allowNullScope = true)
       .select(need.map(col): _*)
-    (if (numFiles > 0) guarded.coalesce(numFiles) else guarded)
-      .write.mode("append").parquet(changesPath)
+    if (numFiles > 0)
+      guarded.coalesce(numFiles).write.mode("append").parquet(changesPath)
+    else {
+      // Multi-file batch: stage outside the feed, commit via one atomic
+      // directory rename. Underscore-prefixed staging dirs are invisible
+      // to every reader (FileIndex hides them), so a mid-write failure
+      // exposes zero rows.
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val staging = new org.apache.hadoop.fs.Path(s"$path/__changes_stage_$id")
+      try guarded.write.parquet(staging.toString)
+      catch { case e: Throwable =>
+        hadoopFs.delete(staging, true)
+        throw e
+      }
+      val feedDir = new org.apache.hadoop.fs.Path(changesPath)
+      if (!hadoopFs.exists(feedDir)) hadoopFs.mkdirs(feedDir)
+      val batch = new org.apache.hadoop.fs.Path(feedDir, s"batch_$id")
+      require(hadoopFs.rename(staging, batch),
+        s"appendChanges: commit rename $staging -> $batch failed")
+    }
   }
 
   /** Change-feed occupancy: (data files, rows). Each `appendChanges` batch
@@ -292,14 +325,10 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * all, so a long-lived write pattern should watch this and fold the
     * feed down (`compactFeed` for a feed-only fold, `majorCompact` for the
     * full physical fold). Surfaced by the CLI `describe` verb. */
-  def changeFeedStats: (Int, Long) =
-    if (!hasPendingChanges) (0, 0L)
-    else {
-      val files = hadoopFs.listStatus(new org.apache.hadoop.fs.Path(changesPath))
-        .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-      (files, pendingChanges.count())
-    }
+  def changeFeedStats: (Int, Long) = {
+    val files = feedDataFiles.length
+    if (files == 0) (0, 0L) else (files, pendingChanges.count())
+  }
 
   /** MINOR compaction of the change feed: coalesce the N accumulated
     * append batches into ONE feed file — the memstore-flush/minor-

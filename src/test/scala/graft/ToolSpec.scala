@@ -357,18 +357,26 @@ class ToolSpec extends SparkSpec {
     // two append batches = two feed files
     def put(ts: Long) = Seq((1L, "ev", "click", "put", ts, 9.9))
       .toDF("entity_id", "family", "qualifier", "op", "ts", "value")
-    et.appendChanges(put(100L)); et.appendChanges(put(200L))
+    et.appendChanges(put(100L)); et.appendChanges(put(200L)); et.appendChanges(put(300L))
+    def mergedView = et.cells
+      .select("entity_id", "family", "qualifier", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val viewBefore = mergedView
     val r1 = Tool.run(spark, Array("describe", s"--table=$src", s"--layout=$layoutPath"))
-    assert(r1.counters("feed_files") == 2L && r1.counters("feed_rows") == 2L)
+    assert(r1.counters("feed_files") == 3L && r1.counters("feed_rows") == 3L)
     assert(r1.counters("base_files") > 0L && r1.counters("feed_compacted") == 0L)
-    // over-threshold: describe folds the feed down to one file
+    // UNDER-threshold: 3 files <= 3 — describe must NOT fold
+    val r0 = Tool.run(spark, Array("describe", s"--table=$src",
+      s"--layout=$layoutPath", "--minor-compact-over=3"))
+    assert(r0.counters("feed_compacted") == 0L && r0.counters("feed_files") == 3L)
+    // over-threshold: describe folds the K append batches down to one file
     val r2 = Tool.run(spark, Array("describe", s"--table=$src",
       s"--layout=$layoutPath", "--minor-compact-over=1"))
     assert(r2.counters("feed_compacted") == 1L)
     val r3 = Tool.run(spark, Array("describe", s"--table=$src", s"--layout=$layoutPath"))
-    assert(r3.counters("feed_files") == 1L && r3.counters("feed_rows") == 2L)
-    // the merged view still sees both streamed puts
-    assert(et.cells.filter($"ts" >= 100L).count() == 2L)
+    assert(r3.counters("feed_files") == 1L && r3.counters("feed_rows") == 3L)
+    // the merged view is IDENTICAL across the fold (all streamed puts visible)
+    assert(mergedView == viewBefore && viewBefore.count(_._4 >= 100L) == 3)
   }
 
   test("CLI describe handles a missing table dir without crashing") {

@@ -67,4 +67,50 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("every registered kernel stays inside whole-stage codegen (no interpreted fallback)") {
+    // Guards the static-forwarder regression class: scalac suppresses the
+    // forwarder for an object method shadowing an inherited case-class
+    // member, doGenCode then emits a call Janino can't compile, and the
+    // stage SILENTLY falls back to interpretation. Two teeth here:
+    // (1) CODEGEN_ONLY + fallback=false makes any Janino compile failure
+    // THROW instead of degrading; (2) the kernel's Project line must be
+    // star-marked (inside a WholeStageCodegen span) in the executed plan.
+    val kernels = Seq(
+      "md5_prefix_long(s, 7)",
+      "md5_array_long(array(s, reverse(s)), 7)",
+      "md5_array_long(array(s, s), 7, false)",
+      "word_shingle_hashes(s, 3, 7)",
+      "char_gram_hashes(s, 4, 7)",
+      "minhash_signature(word_shingle_hashes(s, 3, 7), 16)",
+      "simhash_of_hashes(word_shingle_hashes(s, 1, 8), 32)",
+      "sorted_intersect_size(word_shingle_hashes(s, 3, 7), char_gram_hashes(s, 4, 7))",
+      "token_stats(s).top_word_n",
+      // most_recent over a plain array-of-struct column
+      "most_recent(array(struct(id AS ts, s AS value), struct(id + 5 AS ts, s AS value))).ts")
+    val conf = spark.conf
+    val oldFallback = conf.get("spark.sql.codegen.fallback", "true")
+    val oldFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try kernels.foreach { k =>
+      // spark.range keeps a real physical stage (a local Seq collapses to
+      // LocalTableScan with no codegen span)
+      val df = spark.range(64)
+        .selectExpr("id", "concat('w', cast(id % 7 as string), ' a b a c') AS s")
+        .selectExpr(s"$k AS out")
+      val fnName = k.takeWhile(_ != '(')
+      val plan = df.queryExecution.executedPlan.toString
+      val projLine = plan.linesIterator.find(_.contains(fnName)).get.trim
+      // "*(n)" is the WholeStageCodegen span marker in the simple plan string
+      assert(projLine.startsWith("*("),
+        s"$fnName Project not inside WholeStageCodegen:\n$plan")
+      // collect (not count: pruning would drop the Project and skip the
+      // kernel) forces actual Janino compilation of the span
+      assert(df.collect().length == 64)
+    } finally {
+      conf.set("spark.sql.codegen.fallback", oldFallback)
+      conf.set("spark.sql.codegen.factoryMode", oldFactory)
+    }
+  }
 }

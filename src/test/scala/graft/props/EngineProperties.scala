@@ -304,6 +304,54 @@ object EngineProperties extends Properties("graft") {
       got == want
     }
 
+  /** Driver-side replica of `Sampling.hashBucket` (md5 prefix, 7 hex
+    * nibbles, pmod 10000) — the exact lattice the operator hashes into. */
+  private def bucketOf(salt: String, id: Long, buckets: Int = 10000): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((salt + id.toString).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(7), 16) % buckets).toInt
+  }
+
+  property("rebalance: exact multiplicity over the hash lattice, dense copy_idx, growth-stable") =
+    forAll(Gen.choose(40, 120), Gen.choose(0.0, 3.0), Gen.choose(0.0, 3.0)) {
+      (n, wde, wfr) =>
+        import graft.operators.Sampling
+        val df = spark.range(0, n.toLong).select($"id",
+          when($"id" % 3 === 0, "de").when($"id" % 3 === 1, "fr")
+            .otherwise("en").as("lang"))
+        val w = Map("de" -> wde, "fr" -> wfr) // en defaults to weight 1
+        val got = Sampling.rebalance(df, "lang", "id", w)
+          .select("id", "lang", "copy_idx").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        // exact expected multiplicity per id: floor(w) + [bucket < round(frac·10⁴)]
+        def copiesOf(id: Long, lang: String): Int = {
+          val wt = w.getOrElse(lang, 1.0)
+          val frac = wt - math.floor(wt)
+          math.floor(wt).toInt +
+            (if (bucketOf("rebalance", id) < math.round(frac * 10000).toInt) 1 else 0)
+        }
+        val perId = got.groupBy(r => (r._1, r._2)).view.mapValues(_.length).toMap
+        val exactCount = (0L until n.toLong).forall { id =>
+          val lang = if (id % 3 == 0) "de" else if (id % 3 == 1) "fr" else "en"
+          perId.getOrElse((id, lang), 0) == copiesOf(id, lang)
+        }
+        // copy_idx is dense 0..copies-1 within each replicated id
+        val dense = got.groupBy(_._1).forall { case (_, g) =>
+          g.map(_._3).sorted.toSeq == (0 until g.length)
+        }
+        // subset stability: restricting the corpus never changes a
+        // surviving row's multiplicity (pure per-row hash math)
+        val half = Sampling.rebalance(
+            df.filter($"id" < n / 2), "lang", "id", w)
+          .groupBy("id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val stable = half.forall { case (id, c) =>
+          perId((id, if (id % 3 == 0) "de" else if (id % 3 == 1) "fr" else "en")) == c
+        } && perId.keys.filter(_._1 < n / 2).forall(k => half.contains(k._1))
+        exactCount && dense && stable
+    }
+
   property("int8 quantization: codes bounded, error < amax, zero-safe") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-4.0f, 4.0f)),
            Gen.oneOf(true, false)) { (lanes, zero) =>

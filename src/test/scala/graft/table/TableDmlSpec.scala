@@ -2,6 +2,8 @@ package graft.table
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -131,6 +133,56 @@ class TableDmlSpec extends SparkSpec {
       Dml.deleteColumn(1L, "info", "email", 30L, null.asInstanceOf[String]))))
     assert(keys(table.cells) == Set((1L, "info", "name", 5L)))
     assert(baseFiles == before)
+  }
+
+  test("multi-file append (numFiles=0) commits atomically; mid-append failure leaves zero feed rows") {
+    val dir = tmpDir("morAtomic") + "/t"
+    val layout = TableLayout("t", Seq(
+      FamilySpec("grp", columns = Some(Seq("email"))), FamilySpec("stats")))
+    val table = new EntityTable(spark, dir, layout)
+    table.bulkLoad(Seq((1L, "grp", "email", 10L, "a@x"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    // A 2-partition batch where only the SECOND partition violates the
+    // layout: one task succeeds, one raises — exactly the mid-append
+    // failure mode. Sorting by entity_id before repartitionByRange pins
+    // the bad row to its own partition.
+    val bad = changesDF(Seq(
+      Dml.put(1L, "grp", "email", 20L, "b@x"),
+      Dml.put(9L, "grp", "nickname", 20L, "B")))
+      .repartitionByRange(2, $"entity_id")
+    intercept[Exception](table.appendChanges(bad, numFiles = 0))
+    // the failed batch is fully invisible: no feed, unchanged merged view
+    assert(!table.hasPendingChanges)
+    assert(table.changeFeedStats == ((0, 0L)))
+    assert(keys(table.cells) == Set((1L, "grp", "email", 10L)))
+    // and the staging dir did not survive as a visible artifact
+    val leftovers = Files.list(Paths.get(dir)).iterator()
+    while (leftovers.hasNext) {
+      val n = leftovers.next().getFileName.toString
+      assert(n.startsWith("_") || n.startsWith(".") || n.endsWith(".parquet"),
+        s"unexpected visible artifact after failed append: $n")
+    }
+    // a GOOD multi-file batch commits as one batch_* dir, readable merged
+    val good = changesDF(Seq(
+      Dml.put(1L, "grp", "email", 30L, "c@x"),
+      Dml.put(2L, "stats", "zip", 5L, "94110")))
+      .repartitionByRange(2, $"entity_id")
+    table.appendChanges(good, numFiles = 0)
+    val (files, rows) = table.changeFeedStats
+    assert(files == 2 && rows == 2L, s"feed=($files, $rows)")
+    assert(Files.list(Paths.get(dir, "_changes")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("batch_")))
+    assert(keys(table.cells) == Set(
+      (1L, "grp", "email", 10L), (1L, "grp", "email", 30L),
+      (2L, "stats", "zip", 5L)))
+    // single-file appends still interleave fine with batch dirs
+    table.appendChanges(changesDF(Seq(Dml.put(1L, "grp", "email", 40L, "d@x"))))
+    assert(table.changeFeedStats._2 == 3L)
+    assert(keys(table.cells).contains((1L, "grp", "email", 40L)))
+    // minor compaction folds batch dirs and top-level files alike
+    table.compactFeed()
+    assert(table.changeFeedStats == ((1, 3L)))
+    assert(keys(table.cells).contains((1L, "grp", "email", 40L)))
   }
 
   test("merge-on-read: majorCompact folds the feed physically and empties it") {
