@@ -118,6 +118,38 @@ object TextFunctions {
     * both engines (61+ bits would overflow DuckDB's ::BIGINT parse). */
   def hash60(c: Column): Column = md5Prefix(c, 15)
 
+  // ── hashed-feature linear classifier scoring ──────────────────────────
+  // The model-based filtering step of a curation pipeline (fastText-style
+  // quality classifiers): tokens hash into `buckets` feature slots, the
+  // score is the integer sum of the slots' weights. Weights here are a
+  // deterministic function of the slot index (an affine mix into
+  // [-10, 10]) so both engines derive the "model" without a stored
+  // artifact; a real trained model swaps `slotWeight` for an
+  // element_at(lit(weights), slot) lookup against a broadcast int array —
+  // same plan shape, still zero-shuffle scan-speed column math.
+
+  /** Non-empty whitespace tokens: the feature universe of the scorer. */
+  private def featTokens(text: Column): Column =
+    filter(tokens(text), t => length(t) > 0)
+
+  /** Deterministic per-slot weight in [-10, 10] (slot is nonnegative). */
+  private def slotWeight(slot: Column): Column =
+    (slot * 7919L) % 21L - 10L
+
+  def hashedFeatureCount(text: Column): Column = size(featTokens(text))
+
+  /** Exact int64 linear score: Σ weight(hash28(token) mod buckets) over
+    * non-empty tokens (duplicates kept — term frequency IS the feature
+    * weighting). Fully codegen'd: the per-token hash runs in the fused
+    * `Md5ArrayLong` kernel, the fold is an integer `aggregate`. */
+  def hashedLinearScore(text: Column, buckets: Int = 64): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val hashes = columnOf(graft.plans.Md5ArrayLong(
+      expressionOf(featTokens(text)), nibbles = 7, distinctSorted = false))
+    aggregate(transform(hashes, h => slotWeight(h % buckets.toLong)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   // ── PII detection / redaction ─────────────────────────────────────────
   // Patterns are written in the Java-regex ∩ RE2 dialect intersection so
   // the DuckDB oracle computes identical matches. All counting/redaction

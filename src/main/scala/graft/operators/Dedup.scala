@@ -189,6 +189,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (delta-vs-corpus) near-dup detection — the production
+    * ingestion pattern: a NEW batch is deduped against the already-indexed
+    * corpus before it is admitted, without ever re-mining corpus×corpus
+    * pairs. Both sides arrive pre-hashed `(id, ghash)` (sorted distinct
+    * 28-bit gram hashes, e.g. from the fused `word_shingle_hashes`
+    * kernel); each is banded (`bandedSignatures`) and the equi-join on
+    * `(band, bkey)` produces ONLY delta×corpus candidates — so at 100 TB
+    * the corpus side is a precomputed, bucketed index and the join cost
+    * scales with the delta (corpus bucket occupancy × delta rows), not
+    * with corpus². Same guaranteed-recall banding, size-ratio prefilter,
+    * and early-abort exact-Jaccard rerank as [[minhashLshPairsHashed]].
+    *
+    * @return (new_doc, dup_of, jaccard): delta ids with their matched
+    *         corpus ids at `jaccard >= threshold` — the batch's drop set.
+    */
+  def incrementalLshPairs(delta: DataFrame, corpus: DataFrame,
+                          numHashes: Int, bands: Int,
+                          threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val a = bandedSignatures(delta, numHashes, bands).as("a")
+    val b = bandedSignatures(corpus, numHashes, bands).as("b")
+    val inter = columnOf(graft.plans.SortedIntersectSize(
+      expressionOf(col("a.ghash")), expressionOf(col("b.ghash")),
+      if (threshold > 0) Some(threshold) else None))
+    val sizeRatioOk =
+      least(size(col("a.ghash")), size(col("b.ghash"))).cast(DoubleType) /
+        greatest(size(col("a.ghash")), size(col("b.ghash"))).cast(DoubleType) >=
+        threshold
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          sizeRatioOk)
+      .select(col("a.id").as("new_doc"), col("b.id").as("dup_of"),
+        (inter.cast(DoubleType) /
+          (size(col("a.ghash")) + size(col("b.ghash")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
   /** Resolve near-duplicate PAIRS into clusters — the survivorship step a
     * training pipeline runs after pair mining: every document in a
     * connected component gets the component's minimum doc id as its

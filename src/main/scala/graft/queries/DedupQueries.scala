@@ -217,6 +217,65 @@ object DedupQueries {
        |    len(list_distinct(list_concat(ga.ghash, gb.ghash))) >= $threshold""".stripMargin
   }
 
+  // ── q79: incremental dedup — the production ingestion pattern: a NEW
+  // batch (sources src0/src1 standing in for "this week's crawl") is
+  // probed against the banded-signature index of the existing corpus.
+  // Only delta×corpus band collisions become candidates (corpus×corpus is
+  // never re-mined), so the cost scales with the delta. Same fused gram
+  // hashing, banding, and exact-Jaccard rerank as q22 — the oracle
+  // replays the asymmetric join relationally. ─────────────────────────────
+  val DeltaSources = Seq("src0", "src1")
+
+  val q79_incremental_dedup: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val hashed = Tables.documents(s, d).select($"doc_id".as("id"), $"source",
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf($"text"), ShingleN, 7)).as("ghash"))
+    val isDelta = $"source".isin(DeltaSources: _*)
+    Dedup.incrementalLshPairs(
+        hashed.filter(isDelta).drop("source"),
+        hashed.filter(!isDelta).drop("source"),
+        MinHashK, MinHashBands, JaccardThreshold)
+      .orderBy($"new_doc", $"dup_of")
+  }
+  lazy val q79_sql: String = {
+    val rows = MinHashK / MinHashBands
+    val mh = (0 until MinHashK)
+      .map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j").mkString(",\n  ")
+    val bandCases = (0 until MinHashBands).map { b =>
+      val key = (b * rows until (b + 1) * rows).map(j => s"mh$j")
+        .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
+      s"WHEN $b THEN $key"
+    }.mkString(" ")
+    val deltaList = DeltaSources.map(s => s"'$s'").mkString(", ")
+    val jac = "len(list_intersect(ga.ghash, gb.ghash))::DOUBLE / " +
+      "len(list_distinct(list_concat(ga.ghash, gb.ghash)))"
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source, list_distinct(list_transform(
+       |    ${sqlWordShingles("text", ShingleN)},
+       |    g -> ${sqlHash28("g")})) AS ghash FROM documents
+       |), sig AS (
+       |  SELECT doc_id, source, ghash,
+       |  $mh
+       |  FROM hashed
+       |), banded AS (
+       |  SELECT doc_id, source, band, CASE band $bandCases END AS bkey
+       |  FROM sig, unnest([${(0 until MinHashBands).mkString(",")}]) AS t(band)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_of
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.source IN ($deltaList) AND b.source NOT IN ($deltaList)
+       |)
+       |SELECT new_doc, dup_of, $jac AS jaccard
+       |FROM cand
+       |JOIN hashed ga ON ga.doc_id = new_doc
+       |JOIN hashed gb ON gb.doc_id = dup_of
+       |WHERE $jac >= $JaccardThreshold
+       |ORDER BY new_doc, dup_of""".stripMargin
+  }
+
   // ── q71: fuzzy string join (record linkage) — all code pairs within
   // hamming distance 2, via Dedup.hammingPairs' pigeonhole banding
   // (guaranteed recall, no all-pairs scan). The corpus has no natural
@@ -307,6 +366,7 @@ object DedupQueries {
     "q58_decontamination" -> q58_decontamination,
     "q71_fuzzy_join" -> q71_fuzzy_join,
     "q72_cleaned_corpus" -> q72_cleaned_corpus,
+    "q79_incremental_dedup" -> q79_incremental_dedup,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -317,5 +377,6 @@ object DedupQueries {
     "q58_decontamination" -> q58_sql,
     "q71_fuzzy_join" -> q71_sql,
     "q72_cleaned_corpus" -> q72_sql,
+    "q79_incremental_dedup" -> q79_sql,
   )
 }

@@ -440,6 +440,32 @@ object TextQueries {
        |FROM c GROUP BY source, shard ORDER BY source, shard""".stripMargin
   }
 
+  // ── q78: model-based quality filtering — a hashed-feature linear
+  // classifier (fastText-style) scored at scan speed. Tokens hash into 64
+  // feature slots via the portable 28-bit hash; the integer slot weights
+  // are an affine mix both engines derive identically, so the score — and
+  // therefore the keep/drop verdict — is exact int64 and hash-verifiable.
+  // Zero shuffle: per-row fused hash kernel + integer fold. ───────────────
+  val q78_classifier_score: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        hashedFeatureCount($"text").as("n_feats"),
+        hashedLinearScore($"text").as("score"))
+      .withColumn("keep", $"score" > 0L)
+      .orderBy($"doc_id")
+  }
+  val q78_sql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)"
+    def score(t: String) =
+      s"""CAST(coalesce(list_sum(list_transform($t,
+         |    t -> ((('0x'||substr(md5(t),1,7))::BIGINT % 64) * 7919) % 21 - 10)), 0) AS BIGINT)""".stripMargin
+    s"""SELECT doc_id, len($toks) AS n_feats,
+       |  ${score(toks)} AS score,
+       |  ${score(toks)} > 0 AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -454,6 +480,7 @@ object TextQueries {
     "q65_tfidf" -> q65_tfidf,
     "q68_pack_shards" -> q68_pack_shards,
     "q76_pack_sequences" -> q76_pack_sequences,
+    "q78_classifier_score" -> q78_classifier_score,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -469,5 +496,6 @@ object TextQueries {
     "q65_tfidf" -> q65_sql,
     "q68_pack_shards" -> q68_sql,
     "q76_pack_sequences" -> q76_sql,
+    "q78_classifier_score" -> q78_sql,
   )
 }

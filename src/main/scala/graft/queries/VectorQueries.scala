@@ -219,6 +219,63 @@ object VectorQueries {
        |    i -> abs(iv[i] * 127 - codes[i] * amax))) AS BIGINT) AS maxerr
        |FROM q ORDER BY vec_id""".stripMargin
 
+  // ── q77: distributed k-means — 2 full Lloyd rounds, deterministic hash
+  // seeding, integer-quantized centroid updates (Clustering.kmeansLanes).
+  // Output is the final centroid lanes (cluster, pos, cval, n) — every
+  // value integer-exact, so the oracle replays BOTH iterations
+  // relationally (assignment = argmin over an exact int64 distance join,
+  // update = lane-sum trunc-division) and hash-compares. ─────────────────
+  val KmeansK = 4
+  val KmeansIters = 2
+
+  val q77_kmeans: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Clustering
+      .kmeansLanes(Tables.embeddings(s, d), "vec_id", "embedding",
+        KmeansK, KmeansIters)
+      .orderBy($"cluster", $"pos")
+  }
+  lazy val q77_sql: String = {
+    // one assignment CTE (argmin by exact distance, smallest cluster on
+    // ties) + one quantized-update CTE per iteration, parameterized by the
+    // centroid-lanes CTE feeding it
+    def assignUpdate(i: Int, lanesCte: String): String =
+      s"""d$i AS (
+         |  SELECT s.vid, c.cluster,
+         |    sum((list_extract(s.v, c.pos + 1) - c.cval)
+         |      * (list_extract(s.v, c.pos + 1) - c.cval)) AS dist
+         |  FROM sv s, $lanesCte c GROUP BY s.vid, c.cluster),
+         |a$i AS (
+         |  SELECT vid, cluster FROM (
+         |    SELECT vid, cluster,
+         |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |c$i AS (
+         |  SELECT a.cluster, CAST(p.pos AS INT) AS pos,
+         |    CAST(trunc(CAST(sum(list_extract(s.v, CAST(p.pos AS INT) + 1)) AS DOUBLE)
+         |      / count(*)) AS BIGINT) AS cval,
+         |    count(*) AS n
+         |  FROM sv s JOIN a$i a ON s.vid = a.vid, range($Dim) p(pos)
+         |  GROUP BY a.cluster, p.pos)""".stripMargin
+    s"""WITH sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v
+       |  FROM embeddings),
+       |h AS (
+       |  SELECT vid, v,
+       |    ('0x'||substr(md5('kmeans' || CAST(vid AS VARCHAR)), 1, 7))::BIGINT AS hb
+       |  FROM sv),
+       |seeds AS (
+       |  SELECT v, CAST(row_number() OVER (ORDER BY hb, vid) - 1 AS INT) AS cluster
+       |  FROM h ORDER BY hb, vid LIMIT $KmeansK),
+       |c0 AS (
+       |  SELECT cluster, CAST(p.pos AS INT) AS pos,
+       |    list_extract(v, CAST(p.pos AS INT) + 1) AS cval
+       |  FROM seeds, range($Dim) p(pos)),
+       |${assignUpdate(1, "c0")},
+       |${assignUpdate(2, "c1")}
+       |SELECT cluster, pos, cval, n FROM c2 ORDER BY cluster, pos""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
@@ -226,6 +283,7 @@ object VectorQueries {
     "q45_knn_ivf" -> q45_knn_ivf,
     "q59_embedding_pool" -> q59_embedding_pool,
     "q66_quantize" -> q66_quantize,
+    "q77_kmeans" -> q77_kmeans,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -234,5 +292,6 @@ object VectorQueries {
     "q45_knn_ivf" -> q45_sql,
     "q59_embedding_pool" -> q59_sql,
     "q66_quantize" -> q66_sql,
+    "q77_kmeans" -> q77_sql,
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated blobs on a 4-dim lattice; ids interleave the blobs so
+  // seeding/assignment can't accidentally ride the id order
+  private def blobs = {
+    val rows = for (i <- 0 until 30) yield {
+      val blob = i % 3
+      val base = Array(0f, 0f, 0f, 0f)
+      base(blob) = 10f + (i / 3) * 0.01f // tight per-blob spread
+      (i.toLong, base.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+  }
+
+  test("kmeans recovers separated blobs; populations sum to the corpus") {
+    val lanes = Clustering.kmeansLanes(blobs, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val clusters = lanes.map(_._1).distinct.sorted
+    assert(clusters.length == 3)
+    // every cluster has all 4 lanes, and populations cover all 30 vectors
+    val byCluster = lanes.groupBy(_._1)
+    byCluster.foreach { case (_, g) => assert(g.map(_._2).sorted.toSeq == (0 until 4)) }
+    assert(byCluster.values.map(_.head._4).sum == 30L)
+    // converged on the blobs: each centroid has exactly one dominant lane ≈ 10·2^20
+    val dominantLanes = byCluster.values.map(_.filter(_._3 > (5L << 20)).map(_._2).toSeq).toSeq
+    assert(dominantLanes.forall(_.length == 1))
+    assert(dominantLanes.flatten.sorted == Seq(0, 1, 2) ||
+      dominantLanes.flatten.sorted.size == 3) // three distinct blobs found
+  }
+
+  test("kmeans is deterministic and repartition-stable") {
+    val a = Clustering.kmeansLanes(blobs, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Clustering.kmeansLanes(blobs.repartition(7), "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
+  test("kmeansAssign partitions every vector consistently with the lane populations") {
+    val assign = Clustering.kmeansAssign(blobs, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(assign.length == 30 && assign.map(_._1).distinct.length == 30)
+    val lanePop = Clustering.kmeansLanes(blobs, "vec_id", "embedding", 3, 2)
+      .filter($"pos" === 0).collect()
+      .map(r => (r.getInt(0), r.getLong(3))).toMap
+    // one extra assignment round against the FINAL centroids can migrate a
+    // boundary vector; on separated blobs it must not
+    val assignPop = assign.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(assignPop == lanePop)
+  }
+
+  test("k or iters <= 0 refused; k > corpus degrades to occupied clusters only") {
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansLanes(blobs, "vec_id", "embedding", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansLanes(blobs, "vec_id", "embedding", 3, 0)
+    }
+    val tiny = blobs.limit(2)
+    val lanes = Clustering.kmeansLanes(tiny, "vec_id", "embedding", 5, 1)
+      .select("cluster").distinct().collect().map(_.getInt(0))
+    assert(lanes.nonEmpty && lanes.length <= 2)
+  }
+}

@@ -199,6 +199,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2)._2 == 1L)
   }
 
+  test("incrementalLshPairs: guaranteed recall on exact dups, never corpus×corpus") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    import org.apache.spark.sql.functions.col
+    def hashed(rows: Seq[(Long, String)]) =
+      rows.toDF("id", "text").select(col("id"),
+        columnOf(graft.plans.WordShingleHashes(
+          expressionOf(col("text")), 2, 7)).as("ghash"))
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    val otherText = "one two three four five six seven eight nine ten"
+    val corpus = hashed(Seq(
+      (100L, corpusText), (101L, corpusText), // corpus-internal exact dup pair
+      (102L, otherText)))
+    val delta = hashed(Seq(
+      (1L, corpusText),                        // exact dup of 100 and 101
+      (2L, "totally unrelated words here with zero overlap whatsoever")))
+    val out = Dedup.incrementalLshPairs(delta, corpus, 16, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact duplicates MUST be found (identical signatures collide in
+    // every band — the pigeonhole recall guarantee), at jaccard 1.0
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 100L), (1L, 101L)))
+    assert(out.forall(_._3 == 1.0))
+    // and the corpus-internal pair (100, 101) is never re-mined
+  }
+
+  test("hashedLinearScore: exact fold, frequency-weighted, empty-safe") {
+    import graft.functions.TextFunctions.{hashedLinearScore, hashedFeatureCount}
+    import org.apache.spark.sql.functions.col
+    val df = Seq("word word", "word", "", "   ").toDF("text")
+      .select(hashedFeatureCount(col("text")).as("n"),
+        hashedLinearScore(col("text")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val Seq(twice, once, empty, blank) = df.toSeq
+    assert(once._1 == 1 && twice._1 == 2)
+    assert(twice._2 == 2 * once._2)       // duplicates keep voting (tf weighting)
+    assert(empty == ((0, 0L)) && blank == ((0, 0L)))
+    // single-token score is that token's slot weight: bounded by the mix range
+    assert(once._2 >= -10L && once._2 <= 10L)
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11
