@@ -227,6 +227,123 @@ object Dedup {
       .distinct()
   }
 
+  /** Quality-aware survivorship: resolve each near-dup cluster to the
+    * member with the HIGHEST score (ties → smallest id) — the upgrade over
+    * min-id survivorship ([[nearDupClusters]]'s `doc_id == cluster_id`
+    * convention) that production curation actually wants: keep the best
+    * copy, not the oldest.
+    *
+    * Scale shape: one partial-aggregated `max(struct(score, -id))` per
+    * cluster — an order-free commutative agg with full map-side combine,
+    * no window, no skew cliff even if one cluster holds a million copies.
+    *
+    * @param docs     (idCol, scoreCol, ...) — the scored corpus
+    * @param clusters (doc_id, cluster_id) — [[nearDupClusters]] output
+    * @return one row per cluster: (cluster_id, kept_doc, best_score,
+    *         n_members)
+    */
+  def clusterSurvivors(docs: DataFrame, clusters: DataFrame,
+                       idCol: String, scoreCol: String): DataFrame = {
+    docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__score"))
+      .join(clusters, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("__score").as("s"), (-col("doc_id")).as("ni"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.ni")).as("kept_doc"),
+        col("m.s").as("best_score"), col("n_members"))
+  }
+
+  /** Build a Bloom filter over pre-hashed gram sets — the broadcast-able
+    * decontamination index. Where the exact variant (q58's LSH pair join)
+    * shuffles BOTH corpora, the bloom path reduces the benchmark/test side
+    * to `m` bits once, ships them to every executor, and probes the
+    * training corpus at scan speed with zero joins — the right shape when
+    * the probe side is 100 TB and the protected side is a benchmark suite.
+    *
+    * Positions use Kirsch–Mitzenmacher double hashing from the single
+    * portable 28-bit gram hash: `h1 = h mod m`, `h2 = 2·(h div m) + 1`
+    * (odd, so all k probes are distinct mod the power-of-two m), position
+    * j = `(h1 + j·h2) mod m`. Every step is exact integer math the DuckDB
+    * oracle replays, so even the FALSE POSITIVES are deterministic and
+    * hash-verifiable.
+    *
+    * @param hashed (id, ghash) with ghash = sorted distinct gram hashes
+    * @param m      filter size in bits (power of two, ≤ 2^24: the bit
+    *               array is materialized on the driver and inlined as a
+    *               literal — 2 MB at the cap; a larger filter would move
+    *               to a broadcast variable + custom expression)
+    * @param k      probes per gram
+    */
+  def bloomFilterBits(hashed: DataFrame, m: Int, k: Int): Array[Long] = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    require(m <= (1 << 24), s"m above 2^24 needs a broadcast variable: $m")
+    require(k > 0, s"k must be positive: $k")
+    val positions = hashed
+      .select(explode(col("ghash")).as("h"))
+      .select(explode(bloomPositions(col("h"), m, k)).as("pos"))
+      .distinct()  // ≤ m rows by construction — a bounded driver collect
+      .collect().map(_.getLong(0))
+    val bits = new Array[Long](m / 64 max 1)
+    positions.foreach(p => bits((p / 64).toInt) |= 1L << (p % 64).toInt)
+    bits
+  }
+
+  /** The k probe positions of one 28-bit gram hash (see
+    * [[bloomFilterBits]]); pure column math, identical in the oracle. */
+  private def bloomPositions(h: Column, m: Int, k: Int): Column = {
+    val h1 = pmod(h, lit(m.toLong))
+    val h2 = (h.divide(lit(m.toLong)).cast(LongType) * 2) + 1
+    array((0 until k).map(j => pmod(h1 + lit(j.toLong) * h2, lit(m.toLong))): _*)
+  }
+
+  /** Probe each document's gram hashes against a Bloom filter: appends
+    * `n_hits` (grams with ALL k bits set) and `flagged` (any hit). Pure
+    * scan-speed column math over the inlined bit words — no join, no
+    * shuffle; the 100 TB-side cost of bloom decontamination. */
+  def bloomProbe(corpus: DataFrame, bits: Array[Long], m: Int,
+                 k: Int): DataFrame = {
+    val words = lit(bits)
+    // bit test via shiftright+mask: the shift amount is a COLUMN, so the
+    // SQL-function form (the Scala `shiftright` helper only takes a
+    // literal count); masking bit 0 makes the sign-fill irrelevant
+    val bitSet = (pos: Column) =>
+      call_function("shiftright",
+        element_at(words, floor(pos.divide(lit(64L))).cast(IntegerType) + 1),
+        pmod(pos, lit(64L)).cast(IntegerType))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    val hit = (h: Column) => forall(bloomPositions(h, m, k), bitSet)
+    corpus
+      .withColumn("n_hits",
+        size(filter(col("ghash"), hit)).cast(LongType))
+      .withColumn("flagged", col("n_hits") > 0)
+  }
+
+  /** Inter-document duplicated n-gram coverage — the RefinedWeb/Gopher
+    * "fraction of the document that also appears elsewhere" diagnostic:
+    * for each document, the share of its distinct gram hashes that occur
+    * in at least one OTHER document.
+    *
+    * Scale shape: explode grams once, ONE partial-aggregated count per
+    * gram (doc frequency), one hash join back on the gram key — never a
+    * doc×doc comparison. Gram doc-frequency skew (stopword-y grams) stays
+    * inside the combiner.
+    *
+    * @param hashed (id, ghash) with ghash = sorted distinct gram hashes
+    * @return (id, n_grams, n_shared, coverage) per input document with at
+    *         least one gram
+    */
+  def ngramCoverage(hashed: DataFrame): DataFrame = {
+    val grams = hashed.select(col("id"), explode(col("ghash")).as("h"))
+    val docFreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(docFreq, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("coverage",
+        col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
   /** Resolve near-duplicate PAIRS into clusters — the survivorship step a
     * training pipeline runs after pair mining: every document in a
     * connected component gets the component's minimum doc id as its

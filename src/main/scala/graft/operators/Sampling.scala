@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.TextFunctions.hash28
 
@@ -111,6 +112,97 @@ object Sampling {
     df.withColumn("copy_idx",
       explode(when(copies > 0, sequence(lit(0), copies - 1))
         .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Temperature-weighted mixture weights (α = 1/2): per-stratum sampling
+    * weight ∝ n^α — the standard size-tempered domain mixing of multilingual
+    * / multi-source training runs (upweights small domains, flattens big
+    * ones) at the classic square-root temperature.
+    *
+    * Engine-portable determinism: n^α is irrational, and a naive double
+    * `sum(sqrt(n))` denominator is addition-order-dependent — so sqrt(n)
+    * is quantized to an exact scaled integer `w_scaled =
+    * floor(sqrt(n) · 2^20)` first (IEEE sqrt is correctly rounded, the
+    * 2^20 scale is an exact exponent shift, floor is exact), and the
+    * denominator is an order-free int64 sum. The final `weight` and
+    * `target_n` are then single double ops on identical operands in any
+    * engine. One tiny aggregation (one row per stratum) drives everything:
+    * the scale cost is one partial-agg count shuffle.
+    *
+    * @param budget total row budget to apportion; `target_n` =
+    *        trunc(weight · budget) per stratum (feed to [[rebalance]] as
+    *        target_n / n to materialize the mix).
+    * @return (stratum, n, w_scaled, weight, target_n)
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+                         budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be nonnegative: $budget")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w_scaled",
+        floor(sqrt(col("n").cast(DoubleType)) * (1L << 20)).cast(LongType))
+    // one row per stratum: the denominator join is a broadcast of ONE row
+    val denom = counts.agg(sum(col("w_scaled")).as("__denom"))
+    counts.crossJoin(broadcast(denom))
+      .withColumn("weight",
+        col("w_scaled").cast(DoubleType) / col("__denom").cast(DoubleType))
+      .withColumn("target_n",
+        floor(col("weight") * budget).cast(LongType))
+      .drop("__denom")
+  }
+
+  /** Greedy budget-constrained corpus selection: walk rows in
+    * (`scoreCol` desc, `idCol` asc) order and keep every row while the
+    * running `weightCol` total stays ≤ `budget` — "take the best documents
+    * until the token budget is spent". `scoreCol` must be integral (use a
+    * scaled-integer quality, e.g. floor(quality·2^20), so ordering is
+    * engine-exact); the straddling row is NOT truncated (strict cum ≤
+    * budget keep).
+    *
+    * Scale shape: the running total is NOT one global window (that plan
+    * funnels the whole corpus through a single task). Rows are banded by
+    * coarse score (`bandWidth` score units per band); the cumulative sum
+    * is a bounded window inside each band plus a band-offset prefix sum
+    * over the tiny per-band totals — the same two-level decomposition as
+    * [[Packing.packShards]]. Band occupancy bounds the largest window
+    * task; tune `bandWidth` to the score distribution (a pathological
+    * corpus with ALL rows on one exact score still degrades to one band —
+    * at that point there is no meaningful "best" order to walk anyway).
+    *
+    * @return input rows that fit the budget, plus `cum_<weightCol>` —
+    *         the running total INCLUDING the row itself.
+    */
+  def budgetSelect(df: DataFrame, scoreCol: String, idCol: String,
+                   weightCol: String, budget: Long,
+                   bandWidth: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be nonnegative: $budget")
+    require(bandWidth > 0, s"bandWidth must be positive: $bandWidth")
+    val cumCol = s"cum_$weightCol"
+    Seq("__band", "__lc", "__off", cumCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column (reserved for budgetSelect)")
+    }
+    // ascending band order == descending score order (negated div keeps
+    // band boundaries aligned to score bands; scores may be negative)
+    val banded = df.withColumn("__band",
+      -floor(col(scoreCol).cast(DoubleType) / bandWidth).cast(LongType))
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
+    val localW = Window.partitionBy(col("__band")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = banded.withColumn("__lc", sum(col(weightCol)).over(localW))
+    val offW = Window.orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per band: the offset window is over a tiny frame, and the
+    // join back is broadcast-sized
+    val offsets = banded.groupBy(col("__band"))
+      .agg(sum(col(weightCol)).as("__bt"))
+      .withColumn("__off", sum(col("__bt")).over(offW) - col("__bt"))
+      .drop("__bt")
+    local.join(broadcast(offsets), Seq("__band"))
+      .withColumn(cumCol, col("__off") + col("__lc"))
+      .filter(col(cumCol) <= budget)
+      .drop("__band", "__lc", "__off")
   }
 
   /** Per-stratum quota: keep the top `k` rows of each stratum by `order`

@@ -276,6 +276,131 @@ object DedupQueries {
        |ORDER BY new_doc, dup_of""".stripMargin
   }
 
+  // ── q80: quality-aware survivorship — q49's clusters resolved to the
+  // BEST member (highest quality score, ties → smallest id) instead of
+  // the oldest. One order-free max(struct) agg per cluster (full map-side
+  // combine, no window, no skew cliff); the oracle replays the recursive
+  // clustering plus a windowed argmax over the identical quality double
+  // (the q18 expression, replicated term for term). ──────────────────────
+  val q80_survivorship: Q = (s, d) => {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
+      MinHashK, MinHashBands, JaccardThreshold)
+    val clusters = Dedup.nearDupClusters(pairs.select($"doc_a", $"doc_b"))
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", qualityScore($"text").as("quality"))
+    Dedup.clusterSurvivors(docs, clusters, "doc_id", "quality")
+      .orderBy($"cluster_id")
+  }
+  lazy val q80_sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+       |), clusters AS (
+       |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+       |), scored AS (
+       |  SELECT doc_id, ${TextQueries.qualitySqlExpr} AS quality
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, s.quality,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY s.quality DESC, c.doc_id) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n
+       |  FROM clusters c JOIN scored s USING (doc_id))
+       |SELECT cluster_id, doc_id AS kept_doc, quality AS best_score,
+       |  n AS n_members
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  // ── q83: Bloom-filter decontamination — the broadcast-shaped variant of
+  // q58: the test split's gram hashes fold into a 2^17-bit Bloom filter
+  // ONCE, and the train corpus is probed at scan speed (zero joins on the
+  // 100 TB side). Positions are Kirsch–Mitzenmacher double hashes of the
+  // portable 28-bit gram hash, so the oracle replays the bit arithmetic
+  // exactly — including the deterministic false positives. ───────────────
+  val BloomM = 1 << 17
+  val BloomK = 3
+
+  val q83_bloom_decontam: Q = (s, d) => {
+    import s.implicits._
+    val splits = graft.operators.Sampling.hashSplit(
+      Tables.documents(s, d).select($"doc_id"), "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    val hashed = shingleHashes(s, d)
+      .join(splits.withColumnRenamed("doc_id", "id"), "id")
+    val bits = Dedup.bloomFilterBits(
+      hashed.filter($"split" === "test"), BloomM, BloomK)
+    Dedup.bloomProbe(hashed.filter($"split" === "train"), bits, BloomM, BloomK)
+      .select($"id".as("doc_id"), size($"ghash").cast("long").as("n_grams"),
+        $"n_hits", $"flagged")
+      .orderBy($"doc_id")
+  }
+  lazy val q83_sql: String = {
+    val m = BloomM
+    // position j of hash h: (h1 + j*h2) % m with h1 = h % m,
+    // h2 = 2*(h div m) + 1 — mirrors Dedup.bloomPositions
+    def posOf(h: String, j: String) =
+      s"(($h % $m) + $j * (2 * ($h // $m) + 1)) % $m"
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x'||substr(md5('split' || CAST(doc_id AS VARCHAR)),1,7))::BIGINT
+       |           % 10000 < 8000 THEN 'train' ELSE 'test' END AS split,
+       |    list_distinct(list_transform(${sqlWordShingles("text", ShingleN)},
+       |      g -> ${sqlHash28("g")})) AS ghash
+       |  FROM documents),
+       |bloom AS (
+       |  SELECT DISTINCT ${posOf("t.h", "j.j")} AS pos
+       |  FROM (SELECT unnest(ghash) AS h FROM hashed WHERE split = 'test') t,
+       |       range($BloomK) j(j)),
+       |probe AS (
+       |  SELECT t.doc_id, t.h, j.j, ${posOf("t.h", "j.j")} AS pos
+       |  FROM (SELECT doc_id, unnest(ghash) AS h FROM hashed
+       |        WHERE split = 'train') t,
+       |       range($BloomK) j(j)),
+       |hits AS (
+       |  SELECT doc_id, h FROM probe JOIN bloom USING (pos)
+       |  GROUP BY doc_id, h HAVING count(*) = $BloomK),
+       |hc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hits
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.ghash) AS BIGINT) AS n_grams,
+       |  coalesce(hc.n, 0) AS n_hits, coalesce(hc.n, 0) > 0 AS flagged
+       |FROM hashed d LEFT JOIN hc USING (doc_id)
+       |WHERE d.split = 'train' ORDER BY doc_id""".stripMargin
+  }
+
+  // ── q84: duplicated n-gram coverage — the RefinedWeb/Gopher diagnostic
+  // "how much of each document also appears elsewhere": the share of a
+  // doc's distinct gram hashes occurring in ≥ 2 documents. One partial-
+  // aggregated doc-frequency count per gram + one hash join back — never
+  // doc×doc. ────────────────────────────────────────────────────────────
+  val q84_dup_ngram_coverage: Q = (s, d) => {
+    import s.implicits._
+    Dedup.ngramCoverage(shingleHashes(s, d))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+  lazy val q84_sql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    ${sqlWordShingles("text", ShingleN)},
+       |    g -> ${sqlHash28("g")})) AS ghash FROM documents),
+       |g AS (SELECT doc_id, unnest(ghash) AS h FROM hashed),
+       |f AS (SELECT h, count(*) AS df FROM g GROUP BY h),
+       |agg AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared
+       |  FROM g JOIN f USING (h) GROUP BY g.doc_id)
+       |SELECT doc_id, n_grams, n_shared,
+       |  CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS coverage
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ── q71: fuzzy string join (record linkage) — all code pairs within
   // hamming distance 2, via Dedup.hammingPairs' pigeonhole banding
   // (guaranteed recall, no all-pairs scan). The corpus has no natural
@@ -367,6 +492,9 @@ object DedupQueries {
     "q71_fuzzy_join" -> q71_fuzzy_join,
     "q72_cleaned_corpus" -> q72_cleaned_corpus,
     "q79_incremental_dedup" -> q79_incremental_dedup,
+    "q80_survivorship" -> q80_survivorship,
+    "q83_bloom_decontam" -> q83_bloom_decontam,
+    "q84_dup_ngram_coverage" -> q84_dup_ngram_coverage,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -378,5 +506,8 @@ object DedupQueries {
     "q71_fuzzy_join" -> q71_sql,
     "q72_cleaned_corpus" -> q72_sql,
     "q79_incremental_dedup" -> q79_sql,
+    "q80_survivorship" -> q80_sql,
+    "q83_bloom_decontam" -> q83_sql,
+    "q84_dup_ngram_coverage" -> q84_sql,
   )
 }

@@ -99,7 +99,7 @@ object TextQueries {
   // DuckDB fragment computing the same quality double as
   // TextFunctions.qualityScore (shared by q18 and q56 — the doubles are
   // hash-compared, so the arithmetic must be replicated term for term).
-  private def qualitySqlExpr: String = {
+  private[queries] def qualitySqlExpr: String = {
     val stops = Stopwords.map(w => s"'$w'").mkString(", ")
     s"""0.5 * (CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
        |      t -> t IN ($stops))) AS DOUBLE)
@@ -466,6 +466,69 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ── q81: temperature-weighted domain mixing — per-source sampling
+  // weights ∝ sqrt(n) (α = 1/2), the classic size-tempering of
+  // multi-source training mixes. sqrt(n) is quantized to an exact scaled
+  // int64 BEFORE the denominator sum (Sampling.temperatureWeights), so
+  // the weights and integer targets hash-compare bit-for-bit — no
+  // addition-order dependence. ───────────────────────────────────────────
+  val MixBudget = 1000L
+
+  val q81_temperature_mix: Q = (s, d) => {
+    import s.implicits._
+    Sampling.temperatureWeights(Tables.documents(s, d), "source", MixBudget)
+      .orderBy($"source")
+  }
+  val q81_sql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)
+       |      AS w_scaled
+       |  FROM c),
+       |t AS (
+       |  SELECT source, n, w_scaled,
+       |    CAST(w_scaled AS DOUBLE)
+       |      / CAST((SELECT CAST(sum(w_scaled) AS BIGINT) FROM w) AS DOUBLE)
+       |      AS weight
+       |  FROM w)
+       |SELECT source, n, w_scaled, weight,
+       |  CAST(floor(weight * $MixBudget) AS BIGINT) AS target_n
+       |FROM t ORDER BY source""".stripMargin
+
+  // ── q82: token-budget corpus selection — "take the best documents until
+  // the token budget is spent". Quality is quantized to a scaled int64
+  // sort key (engine-exact ordering); the running token total is the
+  // banded two-level prefix sum of Sampling.budgetSelect, never one
+  // global window. The oracle replays the same walk with a plain window
+  // (oracle scale is small), hash-verifying every keep decision and every
+  // running total. ──────────────────────────────────────────────────────
+  val TokenBudget = 8000L
+
+  val q82_budget_select: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id",
+      floor(qualityScore($"text") * (1L << 20)).cast("long").as("qs"),
+      size(tokens($"text")).cast("long").as("n_toks"))
+    Sampling.budgetSelect(docs, "qs", "doc_id", "n_toks", TokenBudget)
+      .orderBy($"doc_id")
+  }
+  val q82_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(floor(($qualitySqlExpr) * 1048576.0) AS BIGINT) AS qs,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, qs, n_toks,
+       |    CAST(sum(n_toks) OVER (ORDER BY qs DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n_toks
+       |  FROM t)
+       |SELECT doc_id, qs, n_toks, cum_n_toks
+       |FROM c WHERE cum_n_toks <= $TokenBudget ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -481,6 +544,8 @@ object TextQueries {
     "q68_pack_shards" -> q68_pack_shards,
     "q76_pack_sequences" -> q76_pack_sequences,
     "q78_classifier_score" -> q78_classifier_score,
+    "q81_temperature_mix" -> q81_temperature_mix,
+    "q82_budget_select" -> q82_budget_select,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -497,5 +562,7 @@ object TextQueries {
     "q68_pack_shards" -> q68_sql,
     "q76_pack_sequences" -> q76_sql,
     "q78_classifier_score" -> q78_sql,
+    "q81_temperature_mix" -> q81_sql,
+    "q82_budget_select" -> q82_sql,
   )
 }

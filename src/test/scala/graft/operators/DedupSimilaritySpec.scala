@@ -238,6 +238,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(once._2 >= -10L && once._2 <= 10L)
   }
 
+  test("clusterSurvivors: argmax by score, ties to smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (11L, 0.1),
+      (99L, 1.0)) // 99 is unclustered — must not appear
+      .toDF("doc_id", "quality")
+    val out = Dedup.clusterSurvivors(docs, clusters, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    // cluster 1: docs 2 and 3 tie at 0.9 — smallest id (2) wins
+    assert(out.toSeq == Seq((1L, 2L, 0.9, 3L), (10L, 10L, 0.1, 2L)))
+  }
+
+  test("bloom: no false negatives, probe-only scan, exact k-bit semantics") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    import org.apache.spark.sql.functions.col
+    def hashed(rows: Seq[(Long, String)]) =
+      rows.toDF("id", "text").select(col("id"),
+        columnOf(graft.plans.WordShingleHashes(
+          expressionOf(col("text")), 2, 7)).as("ghash"))
+    val test = hashed(Seq((1L, "alpha beta gamma delta")))
+    val m = 1 << 12
+    val bits = Dedup.bloomFilterBits(test, m, 3)
+    // the filter is sparse: 3 grams x 3 probes set at most 9 bits
+    assert(bits.map(java.lang.Long.bitCount).sum <= 9)
+    val probed = Dedup.bloomProbe(hashed(Seq(
+      (1L, "alpha beta gamma delta"),     // identical grams: every one hits
+      (2L, "alpha beta unrelated stuff"), // shares the (alpha,beta) gram
+      (3L, "zz yy xx ww vv uu"))), bits, m, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    assert(probed(0) == ((1L, 3L, true)))  // no false negatives, ever
+    assert(probed(1)._2 >= 1L && probed(1)._3)
+    // doc 3 may only hit through a genuine false positive — at 4096 bits
+    // with <= 9 set, 5 grams x "all 3 probes set" is overwhelmingly empty
+    assert(probed(2)._2 == 0L && !probed(2)._3)
+  }
+
+  test("bloom: size guards") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+      .select($"id", org.apache.spark.sql.functions.array().cast("array<long>").as("ghash"))
+    intercept[IllegalArgumentException] { Dedup.bloomFilterBits(empty, 1000, 3) }
+    intercept[IllegalArgumentException] { Dedup.bloomFilterBits(empty, 1 << 25, 3) }
+    intercept[IllegalArgumentException] { Dedup.bloomFilterBits(empty, 1 << 12, 0) }
+    // empty protected set: nothing flags
+    val bits = Dedup.bloomFilterBits(empty, 1 << 12, 3)
+    assert(bits.forall(_ == 0L))
+  }
+
+  test("ngramCoverage: shared-gram fractions, loner docs at zero") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d"),   // grams (a b),(b c),(c d)
+      (2L, "a b x y"),   // shares (a b) with doc 1
+      (3L, "p q r s"))   // shares nothing
+      .toDF("id", "text").select(col("id"),
+        columnOf(graft.plans.WordShingleHashes(
+          expressionOf(col("text")), 2, 7)).as("ghash"))
+    val out = Dedup.ngramCoverage(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 1.0 / 3), (2L, 3L, 1L, 1.0 / 3), (3L, 3L, 0L, 0.0)))
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11

@@ -140,4 +140,61 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(spread == out)
   }
+
+  test("temperatureWeights: sqrt-proportional, exact scaled math, targets fit budget") {
+    // strata sized 100/400/1600: sqrt ratios 1:2:4
+    val df = spark.range(0, 2100).select($"id",
+      when($"id" < 100, "small").when($"id" < 500, "mid").otherwise("big").as("src"))
+    val out = Sampling.temperatureWeights(df, "src", budget = 700L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    val byName = out.map(t => t._1 -> t).toMap
+    assert(byName("small")._2 == 100L && byName("big")._2 == 1600L)
+    // w_scaled is exactly floor(sqrt(n) * 2^20)
+    out.foreach { case (_, n, ws, _, _) =>
+      assert(ws == math.floor(math.sqrt(n.toDouble) * (1L << 20)).toLong)
+    }
+    // sqrt temper: weights are 1/7, 2/7, 4/7 exactly (sqrt of 100/400/1600
+    // is integral, so no floor slop)
+    assert(byName("small")._4 == byName("small")._3.toDouble / out.map(_._3).sum)
+    assert(math.abs(byName("big")._4 - 4.0 / 7) < 1e-12)
+    // integer targets never over-commit the budget
+    assert(out.map(_._5).sum <= 700L)
+    assert(byName("mid")._5 == 200L) // floor(2/7 * 700)
+  }
+
+  test("budgetSelect: identical to the one-window plan, strict budget keep") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 1000).select($"id",
+      pmod($"id" * 37, lit(500)).as("score"),
+      (pmod($"id" * 13, lit(20)) + 1).as("w"))
+    val budget = 2500L
+    val got = Sampling.budgetSelect(df, "score", "id", "w", budget, bandWidth = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // oracle: plain global running sum in (score desc, id) order
+    val w = Window.orderBy($"score".desc, $"id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("c", sum($"w").over(w)).filter($"c" <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == want && got.nonEmpty)
+    // every kept row's running total is within budget; the next row would overflow
+    assert(got.values.max <= budget)
+    // bandWidth is a performance knob, not a semantics knob
+    val other = Sampling.budgetSelect(df, "score", "id", "w", budget, bandWidth = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(other == want)
+  }
+
+  test("budgetSelect: guards — reserved columns, negative budget") {
+    val df = spark.range(3).select($"id", $"id".as("s"), $"id".as("w"))
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(df, "s", "id", "w", -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(df.withColumn("cum_w", $"id"), "s", "id", "w", 10L)
+    }
+    // zero budget keeps nothing (no row's inclusive cum is <= 0)
+    assert(Sampling.budgetSelect(df.withColumn("w", $"w" + 1), "s", "id", "w", 0L)
+      .count() == 0L)
+  }
 }
