@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.functions.TextFunctions.hash28
+
+/** Mergeable sketches over the portable md5 hash — the 100 TB answers to
+  * "how many distinct?" (HyperLogLog) and "how often?" (Count–Min) when
+  * exact aggregation is too expensive to even shuffle.
+  *
+  * Both sketches are built as ordinary partial-aggregable DataFrame
+  * transforms, so Spark merges them map-side exactly like any other agg:
+  *  - HLL state is `m` registers per group — `groupBy(bucket).max(rho)`
+  *    is commutative, so a 1000-executor scan reduces to m rows per group
+  *    no matter the corpus size.
+  *  - CMS state is a `d × w` counter grid — `groupBy(row, pos).count` is
+  *    a bounded 4096-row table regardless of corpus size; probes join
+  *    against it broadcast.
+  *
+  * Engine portability is the design constraint that usually makes sketches
+  * untestable: register values derive from the md5-based `hash28` and pure
+  * integer/string math (`bin()` string length for the leading-zero rank —
+  * identical in Spark and DuckDB; no transcendental log2), and the
+  * harmonic-mean denominator is summed as exact scaled int64, so an
+  * external oracle reproduces the ENTIRE sketch state and estimate
+  * bit-for-bit — including its approximation error.
+  *
+  * The reference has no sketch surface; this is LLM-pipeline/OLAP upside
+  * (corpus vocabulary estimation, heavy-hitter token monitoring).
+  */
+object Sketches {
+
+  /** HLL bucket count exponent p → m = 2^p registers. The 28-bit hash
+    * spends p bits on the bucket and 16 must remain for the rank, so
+    * p ≤ 12. */
+  val HllRankBits = 16
+
+  /** Per-group HLL registers: (groupCols*, bucket, rho) with
+    * rho = 1 + leading-zeros of the rank field (0 rank → max rho 17).
+    * Occupied buckets only — absent buckets mean rho 0. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 28 - HllRankBits, s"p must be in [4, 12]: $p")
+    val h = hash28(col(valueCol).cast("string"))
+    val rankMod = 1L << HllRankBits
+    val bucket = floor(h.divide(lit(rankMod))).cast(LongType)
+    val r = pmod(h, lit(rankMod))
+    // rank of the 16-bit remainder: 17 - bit_length(r); bin(r) has no
+    // leading zeros in either engine, so its length IS bit_length
+    val rho = when(r === 0L, lit(HllRankBits + 1))
+      .otherwise(lit(HllRankBits + 1) - length(bin(r)))
+      .cast(IntegerType)
+    df.select((groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-group raw HLL cardinality estimate:
+    * (groupCols*, occupied, reg_sum, hll_est) where `reg_sum` is the
+    * harmonic denominator Σ 2^(17−rho) over ALL m registers (empty → 2^17)
+    * as an exact int64 — addition-order-free — and
+    * `hll_est = α_m · m² · 2^17 / reg_sum` (the classic raw estimator; no
+    * small/large-range corrections — they need `ln`, whose last ULP is
+    * engine-specific, and the oracle-checked contract here is exactness
+    * of the SKETCH, not of the correction branches). */
+  def hllEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 12): DataFrame = {
+    val m = 1L << p
+    val scale = 1L << (HllRankBits + 1)
+    val regs = hllRegisters(df, groupCols, valueCol, p)
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("occupied"),
+        sum(call_function("shiftleft", lit(1L),
+          (lit(HllRankBits + 1) - col("rho")).cast(IntegerType))).as("__occ_sum"))
+      .withColumn("reg_sum",
+        col("__occ_sum") + (lit(m) - col("occupied")) * scale)
+      .withColumn("hll_est",
+        lit(hllAlpha(m) * (m * m * scale).toDouble) /
+          col("reg_sum").cast(DoubleType))
+      .drop("__occ_sum")
+  }
+
+  /** α_m for the raw estimator (m ≥ 128 branch of the HLL paper). */
+  def hllAlpha(m: Long): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** Count–Min counter grid over item occurrences: (row, pos, cnt) for
+    * d rows × w counters; row j's position of item x is
+    * `hash28("cms" || j || "|" || x) mod w`. Bounded d·w rows out no
+    * matter the corpus size (full map-side combine). */
+  def cmsCounters(items: DataFrame, itemCol: String, d: Int = 4,
+                  w: Int = 1024): DataFrame = {
+    require(d > 0 && w > 0, s"d and w must be positive: d=$d w=$w")
+    items
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"),
+          cmsPos(col(itemCol), j, w).as("pos"))): _*)).as("c"))
+      .select(col("c.row").as("row"), col("c.pos").as("pos"))
+      .groupBy(col("row"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Row-j counter position of an item — mirrored in the oracle. */
+  def cmsPos(item: Column, j: Int, w: Int): Column =
+    pmod(hash28(concat(lit(s"cms$j|"), item.cast("string"))), lit(w.toLong))
+
+  /** Point-query a probe set against the grid: (item, cms_est) with
+    * `cms_est = min over rows of the item's counter` (0 if any row's
+    * counter is absent). The CMS guarantee — estimate ≥ true count — is
+    * deterministic here and oracle-verified. Probes × counters is a
+    * broadcast join (≤ d·w counter rows). */
+  def cmsQuery(counters: DataFrame, probes: DataFrame,
+               itemCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    val positions = probes
+      .select(col(itemCol), explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"),
+          cmsPos(col(itemCol), j, w).as("pos"))): _*)).as("c"))
+      .select(col(itemCol), col("c.row").as("row"), col("c.pos").as("pos"))
+    positions
+      .join(broadcast(counters), Seq("row", "pos"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.{tokens, Stopwords}
+import graft.operators.Sketches
+
+/** Mergeable-sketch operators as oracle-checked queries.
+  *
+  * Sketches are normally untestable against an external engine (their
+  * state depends on a private hash); these are built on the portable md5
+  * `hash28`, so the DuckDB oracle reproduces the ENTIRE sketch state —
+  * registers, counters, and the estimates INCLUDING their approximation
+  * error — bit-for-bit. The exact value sits beside the estimate in each
+  * output row, so the compare also documents sketch accuracy.
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Non-empty lowercase whitespace tokens — the item universe of both
+    * sketches (mirrors q78's feature tokens). */
+  private def toks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select($"lang",
+      explode(filter(tokens($"text"), t => length(t) > 0)).as("tok"))
+  }
+  private val SqlToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
+
+  // ── q85: HyperLogLog vocabulary estimate per language — registers are
+  // groupBy(bucket).max(rho) (commutative: merges map-side like any agg;
+  // m rows per group no matter the corpus), the harmonic denominator is
+  // an exact scaled-int64 sum (addition-order-free), and the only double
+  // math is one division on identical operands. n_exact rides along so
+  // the compare documents the estimator's error too. ─────────────────────
+  val HllP = 12
+
+  val q85_hll_vocab: Q = (s, d) => {
+    import s.implicits._
+    val t = toks(s, d)
+    val est = Sketches.hllEstimate(t, Seq("lang"), "tok", HllP)
+    val exact = t.groupBy($"lang").agg(countDistinct($"tok").as("n_exact"))
+    exact.join(est, "lang")
+      .select($"lang", $"n_exact", $"occupied", $"reg_sum", $"hll_est")
+      .orderBy($"lang")
+  }
+  lazy val q85_sql: String = {
+    val m = 1L << HllP
+    val rankMod = 1L << Sketches.HllRankBits         // 65536
+    val scale = 1L << (Sketches.HllRankBits + 1)     // 131072
+    val maxRho = Sketches.HllRankBits + 1            // 17
+    // the numerator literal must be the SAME double Spark embeds
+    val numer = Sketches.hllAlpha(m) * (m * m * scale).toDouble
+    s"""WITH t AS (
+       |  SELECT lang, unnest($SqlToks) AS tok FROM documents),
+       |dv AS (SELECT DISTINCT lang, tok FROM t),
+       |h AS (
+       |  SELECT lang, ('0x'||substr(md5(tok),1,7))::BIGINT AS h FROM dv),
+       |r AS (
+       |  SELECT lang, h // $rankMod AS bucket,
+       |    CASE WHEN h % $rankMod = 0 THEN $maxRho
+       |         ELSE $maxRho - length(bin(h % $rankMod)) END AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT lang, bucket, max(rho) AS rho FROM r GROUP BY lang, bucket),
+       |agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS occupied,
+       |    CAST(sum(1::BIGINT << ($maxRho - rho)) AS BIGINT) AS occ_sum
+       |  FROM regs GROUP BY lang),
+       |est AS (
+       |  SELECT lang, occupied,
+       |    occ_sum + ($m - occupied) * $scale AS reg_sum
+       |  FROM agg),
+       |exact AS (
+       |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+       |  FROM t GROUP BY lang)
+       |SELECT e.lang, x.n_exact, e.occupied, e.reg_sum,
+       |  $numer / CAST(e.reg_sum AS DOUBLE) AS hll_est
+       |FROM est e JOIN exact x USING (lang) ORDER BY lang""".stripMargin
+  }
+
+  // ── q86: Count–Min heavy-hitter point queries — the counter grid is a
+  // bounded d×w table (full map-side combine: 4096 rows out of any corpus
+  // size); probes join it BROADCAST. The CMS overestimate guarantee
+  // (cms_est ≥ n_exact) is deterministic here and verified row by row via
+  // `over_by`. ───────────────────────────────────────────────────────────
+  val CmsD = 4
+  val CmsW = 1024
+  /** Probe set: the stopword list, two corpus-frequent content words, and
+    * one never-present word (exact 0 — only collisions can lift it). */
+  val CmsProbes: Seq[String] =
+    (Stopwords ++ Seq("table", "spark", "zz_never_seen")).distinct.sorted
+
+  val q86_cms_heavy: Q = (s, d) => {
+    import s.implicits._
+    val t = toks(s, d).select($"tok")
+    val counters = Sketches.cmsCounters(t, "tok", CmsD, CmsW)
+    val probes = CmsProbes.toDF("word")
+    val est = Sketches.cmsQuery(counters, probes, "word", CmsD, CmsW)
+    val exact = probes.join(
+        t.groupBy($"tok".as("word")).agg(count(lit(1)).as("__n")),
+        Seq("word"), "left")
+      .select($"word", coalesce($"__n", lit(0L)).as("n_exact"))
+    exact.join(est, "word")
+      .select($"word", $"n_exact", $"cms_est",
+        ($"cms_est" - $"n_exact").as("over_by"))
+      .orderBy($"word")
+  }
+  lazy val q86_sql: String = {
+    val probeRows = CmsProbes.map(w => s"('$w')").mkString(", ")
+    def pos(item: String, j: String) =
+      s"('0x'||substr(md5('cms'||$j||'|'||$item),1,7))::BIGINT % $CmsW"
+    s"""WITH t AS (
+       |  SELECT unnest($SqlToks) AS tok FROM documents),
+       |grid AS (
+       |  SELECT j, pos, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT j.j AS j, ${pos("t.tok", "j.j")} AS pos
+       |        FROM t, range($CmsD) j(j))
+       |  GROUP BY j, pos),
+       |probes(word) AS (VALUES $probeRows),
+       |pp AS (
+       |  SELECT word, j.j AS j, ${pos("word", "j.j")} AS pos
+       |  FROM probes, range($CmsD) j(j)),
+       |est AS (
+       |  SELECT word, min(coalesce(g.cnt, 0)) AS cms_est
+       |  FROM pp LEFT JOIN grid g USING (j, pos) GROUP BY word),
+       |exact AS (
+       |  SELECT p.word, CAST(coalesce(c.n, 0) AS BIGINT) AS n_exact
+       |  FROM probes p LEFT JOIN
+       |    (SELECT tok, count(*) AS n FROM t GROUP BY tok) c
+       |    ON c.tok = p.word)
+       |SELECT word, n_exact, cms_est, cms_est - n_exact AS over_by
+       |FROM exact JOIN est USING (word) ORDER BY word""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q85_hll_vocab" -> q85_hll_vocab,
+    "q86_cms_heavy" -> q86_cms_heavy,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q85_hll_vocab" -> q85_sql,
+    "q86_cms_heavy" -> q86_sql,
+  )
+}

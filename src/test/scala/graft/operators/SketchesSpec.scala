@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll: estimate within raw-estimator error on a 10k-distinct stream") {
+    // 10k distinct values, each appearing 3x — duplicates must not move
+    // the registers (HLL is a DISTINCT counter)
+    val vals = spark.range(0, 10000).select(concat(lit("v"), $"id").as("v"))
+    val dup = vals.union(vals).union(vals)
+    val out = Sketches.hllEstimate(dup.withColumn("g", lit("all")),
+      Seq("g"), "v").collect()
+    assert(out.length == 1)
+    val est = out.head.getAs[Double]("hll_est")
+    // raw HLL at m=4096: relative error ~1.04/sqrt(m) = 1.6%; allow 4 sigma
+    assert(math.abs(est - 10000) / 10000 < 0.07, s"est=$est")
+    // duplicates really did nothing: same registers as the distinct stream
+    val once = Sketches.hllEstimate(vals.withColumn("g", lit("all")),
+      Seq("g"), "v").collect().head.getAs[Double]("hll_est")
+    assert(est == once)
+  }
+
+  test("hll: registers merge like any partial agg (union = merged sketch)") {
+    val a = spark.range(0, 3000).select(concat(lit("x"), $"id").as("v"))
+    val b = spark.range(2000, 5000).select(concat(lit("x"), $"id").as("v"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df.withColumn("g", lit("all")), Seq("g"), "v")
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val merged = regs(a.union(b))
+    val byHand = (regs(a).toSeq ++ regs(b).toSeq).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(merged == byHand)
+  }
+
+  test("hll: p out of range refused") {
+    val df = Seq("a").toDF("v")
+    intercept[IllegalArgumentException] { Sketches.hllRegisters(df, Nil, "v", 3) }
+    intercept[IllegalArgumentException] { Sketches.hllRegisters(df, Nil, "v", 13) }
+  }
+
+  test("cms: overestimate guarantee and exactness without collisions") {
+    // zipf-ish: item i appears (200 - i) times
+    val items = (0 until 200).flatMap(i => Seq.fill(200 - i)(s"item$i"))
+      .toDF("item")
+    val counters = Sketches.cmsCounters(items, "item")
+    // grid is bounded: at most d*w cells, counts sum to d*occurrences
+    val grid = counters.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(grid.length <= 4 * 1024)
+    assert(grid.map(_._3).sum == 4L * items.count())
+    val probes = (0 until 200 by 20).map(i => s"item$i").toDF("word")
+    val est = Sketches.cmsQuery(counters, probes, "word")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    (0 until 200 by 20).foreach { i =>
+      val exact = (200 - i).toLong
+      assert(est(s"item$i") >= exact, s"item$i: ${est(s"item$i")} < $exact")
+    }
+    // absent item: only collisions can lift it above zero, never below
+    val absent = Sketches.cmsQuery(counters, Seq("nope").toDF("word"), "word")
+      .collect().head.getLong(1)
+    assert(absent >= 0L)
+  }
+
+  test("cms: d and w must be positive") {
+    val df = Seq("a").toDF("item")
+    intercept[IllegalArgumentException] { Sketches.cmsCounters(df, "item", 0, 8) }
+    intercept[IllegalArgumentException] { Sketches.cmsCounters(df, "item", 2, 0) }
+  }
+}
