@@ -247,6 +247,7 @@ object Tool {
         df.select(concat_ws("\t", df.columns.map(col): _*).as("value"))
           .write.mode("overwrite").text(file)
       case "csv" => df.write.mode("overwrite").option("header", "true").csv(file)
+      case "json" => df.write.mode("overwrite").json(file)
       case "seq" =>
         Formats.writeSeqFile(df.selectExpr("CAST(" + df.columns(0) + " AS STRING)",
           "CAST(" + df.columns(1) + " AS STRING)"), file)
@@ -287,10 +288,10 @@ object Tool {
       |   | graft.Tool describe --table=<path> [--layout=<layout.json>]
       |       [--minor-compact-over=N]
       |   | graft.Tool job-history --history=<dir> [--job-id=<id>]
-      |  --input="format=<text|csv|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
+      |  --input="format=<text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]"
-      |  --output="format=<parquet|text|csv|seq|avro|avrokv|map> file=... [splits=N]"
+      |  --output="format=<parquet|text|csv|json|seq|avro|avrokv|map> file=... [splits=N]"
       |         | "format=<kiji|hfile> table=<path> [layout=<layout.json>] [splits=N]"
       |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin
 }

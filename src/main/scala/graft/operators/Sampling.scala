@@ -137,13 +137,19 @@ object Sampling {
   def temperatureWeights(df: DataFrame, strataCol: String,
                          budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be nonnegative: $budget")
+    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n"))
       .withColumn("w_scaled",
         floor(sqrt(col("n").cast(DoubleType)) * (1L << 20)).cast(LongType))
-    // one row per stratum: the denominator join is a broadcast of ONE row
-    val denom = counts.agg(sum(col("w_scaled")).as("__denom"))
-    counts.crossJoin(broadcast(denom))
+    // the denominator is a single-partition window over the per-stratum
+    // rows (bounded by the stratum count, NOT the corpus) — one corpus
+    // scan total, where a crossJoin(agg) would re-scan the corpus to
+    // produce one number
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("__denom", sum(col("w_scaled")).over(all))
       .withColumn("weight",
         col("w_scaled").cast(DoubleType) / col("__denom").cast(DoubleType))
       .withColumn("target_n",

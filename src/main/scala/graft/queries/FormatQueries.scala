@@ -36,6 +36,33 @@ object FormatQueries {
       |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ── q87: JSON-lines source through the format= dispatch — the
+  // interchange format crawl/curation pipelines emit. The read passes an
+  // EXPLICIT schema (schema= spec key): at 100 TB, Spark's schema
+  // inference is a full extra dataset scan, so the production path must
+  // skip it — and the explicit schema also pins column types against
+  // inference drift (a doc_id that happens to scan as INT on one shard).
+  // Roundtrip: documents → .json() writer → format=json reader → agg. ────
+  val q87_json_import: Q = (s, d) => {
+    import s.implicits._
+    val dir = tmp("q87", d)
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").json(dir)
+    Formats.read(s,
+        s"format=json file=$dir schema=doc_id:BIGINT,lang:STRING,source:STRING,n_chars:BIGINT")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("chars_sum"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"lang")
+  }
+  val q87_sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ── q36: XML tag-delimited records (kiji.input.xml.record.tag analog) ──
   val q36_xml_import: Q = (s, d) => {
     import s.implicits._
@@ -146,6 +173,7 @@ object FormatQueries {
     "q37_wholefile_import" -> q37_wholefile_import,
     "q38_seq_avro_import" -> q38_seq_avro_import,
     "q47_avroseq_import" -> q47_avroseq_import,
+    "q87_json_import" -> q87_json_import,
   )
   val oracleSql: Map[String, String] = Map(
     "q35_csv_import" -> q35_sql,
@@ -153,5 +181,6 @@ object FormatQueries {
     "q37_wholefile_import" -> q37_sql,
     "q38_seq_avro_import" -> q38_sql,
     "q47_avroseq_import" -> q47_sql,
+    "q87_json_import" -> q87_sql,
   )
 }

@@ -48,6 +48,10 @@ object Formats {
       case "csv" => readCsv(spark, file,
         header = kv.getOrElse("header", "true").toBoolean,
         delimiter = kv.getOrElse("delim", ","))
+      // spec tokens are whitespace-split, so the CLI schema form is
+      // compact colon pairs: schema=doc_id:BIGINT,name:STRING
+      case "json" => readJsonLines(spark, file,
+        kv.get("schema").map(_.replace(":", " ")))
       case "small-text-files" => readWholeFiles(spark, file)
       case "xml" => readXml(spark, file, kv.getOrElse("tag", "row"))
       case "seq" => readSeqFile(spark, file)
@@ -109,6 +113,19 @@ object Formats {
   def readCsv(spark: SparkSession, path: String, header: Boolean = true,
               delimiter: String = ","): DataFrame =
     spark.read.option("header", header).option("delimiter", delimiter).csv(path)
+
+  /** JSON-lines records (one JSON object per line — splittable, the
+    * interchange format most crawl/curation pipelines emit). An explicit
+    * DDL schema (`schema=name STRING, n BIGINT`) skips Spark's
+    * whole-dataset inference pre-pass — at 100 TB, inference is a full
+    * extra scan, so production reads should always pass one. Malformed
+    * lines land in `_corrupt_record` (PERMISSIVE) rather than failing
+    * the job. */
+  def readJsonLines(spark: SparkSession, path: String,
+                    ddlSchema: Option[String] = None): DataFrame = {
+    val r = spark.read.option("mode", "PERMISSIVE")
+    ddlSchema.fold(r)(s => r.schema(s)).json(path)
+  }
 
   /** One record per (small) file: (path, length, content-bytes). Hidden
     * files (.crc checksums, _SUCCESS markers) are excluded — binaryFile

@@ -352,6 +352,49 @@ object EngineProperties extends Properties("graft") {
         exactCount && dense && stable
     }
 
+  property("budgetSelect == one-window model at any bandWidth/budget") =
+    forAll(Gen.choose(30, 150), Gen.choose(1L, 3000L), Gen.choose(1L, 64L)) {
+      (n, budget, bandWidth) =>
+        import graft.operators.Sampling
+        val df = spark.range(0, n.toLong).select($"id",
+          pmod($"id" * 101, lit(37)).as("score"),
+          (pmod($"id" * 7, lit(15)) + 1).as("w"))
+        val got = Sampling.budgetSelect(df, "score", "id", "w",
+            budget, bandWidth)
+          .select("id", "cum_w").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        // plain-Scala reference: walk (score desc, id asc), keep while
+        // the inclusive running total stays <= budget
+        val rows = (0L until n.toLong)
+          .map(id => (id, (id * 101) % 37, (id * 7) % 15 + 1))
+          .sortBy { case (id, s, _) => (-s, id) }
+        var cum = 0L
+        val want = scala.collection.mutable.Map[Long, Long]()
+        rows.foreach { case (id, _, w) =>
+          cum += w; if (cum <= budget) want(id) = cum
+        }
+        got == want.toMap
+    }
+
+  property("temperatureWeights: exact sqrt quantization, weights sum to ~1, targets under budget") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 2000)).map(_.take(6)),
+           Gen.choose(0L, 100000L)) { (sizes, budget) =>
+      import graft.operators.Sampling
+      val df = sizes.zipWithIndex.flatMap { case (sz, i) =>
+        Seq.fill(sz)(s"s$i")
+      }.toDF("src")
+      val out = Sampling.temperatureWeights(df, "src", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4)))
+      val denom = out.map(_._3).sum
+      out.forall { case (_, n, ws, wt, tn) =>
+        ws == math.floor(math.sqrt(n.toDouble) * (1L << 20)).toLong &&
+          wt == ws.toDouble / denom &&
+          tn == math.floor(wt * budget).toLong
+      } && out.map(_._5).sum <= budget &&
+        math.abs(out.map(_._4).sum - 1.0) < 1e-9
+    }
+
   property("int8 quantization: codes bounded, error < amax, zero-safe") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-4.0f, 4.0f)),
            Gen.oneOf(true, false)) { (lanes, zero) =>

@@ -139,4 +139,35 @@ class FormatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet
     assert(back == Set((1L, Some("hi"), 3), (2L, None, 0)))
   }
+
+  test("json lines: explicit schema skips inference, malformed lines survive") {
+    val dir = tmpDir("fmtjson")
+    Files.write(Paths.get(dir, "d.jsonl"),
+      """{"doc_id": 1, "lang": "en", "n_chars": 10}
+        |{"doc_id": 2, "lang": "de", "n_chars": 20}
+        |this line is not json
+        |{"doc_id": 3, "lang": "en", "n_chars": 30}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // via the CLI spec (compact colon schema form): types are PINNED, not
+    // inferred — and the schema must include _corrupt_record to observe
+    // the malformed line under PERMISSIVE mode
+    val df = Formats.read(spark,
+      s"format=json file=$dir schema=doc_id:BIGINT,lang:STRING,n_chars:BIGINT,_corrupt_record:STRING")
+    assert(df.schema("doc_id").dataType.typeName == "long")
+    // one materialization of ALL columns (Spark disallows queries that
+    // reference ONLY the corrupt-record column from raw json)
+    val rows = df.collect().map(r =>
+      (Option(r.get(0)).map(_.asInstanceOf[Long]), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+    val good = rows.filter(_._4.isEmpty)
+      .map(r => (r._1.get, r._2.get, r._3.get)).toSet
+    assert(good == Set((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L)))
+    // the malformed line is captured, not dropped and not fatal
+    assert(rows.count(_._4.nonEmpty) == 1)
+    // without a schema the reader still works (inference pre-pass);
+    // the malformed line still yields a (corrupt) row, not a failure
+    val inferred = Formats.readJsonLines(spark, dir)
+    assert(inferred.count() == 4)
+    assert(inferred.columns.contains("doc_id"))
+  }
 }

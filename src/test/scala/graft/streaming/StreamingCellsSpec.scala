@@ -260,4 +260,34 @@ class StreamingCellsSpec extends SparkSpec {
         (2L, 600L, 600L, 1L, 1.0)))
     } finally q.stop()
   }
+
+  test("streaming HLL: registers maintain incrementally; final state = batch sketch") {
+    // hllRegisters is a commutative groupBy/max — legal as a streaming agg
+    // in Update mode: the 100 TB "distinct users so far" dashboard pattern
+    // with bounded state (m registers per group), no distinct-set blowup
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val input = MemoryStream[String]
+    val q = graft.operators.Sketches
+      .hllRegisters(input.toDS().toDF("v").withColumn("g", lit("all")),
+        Seq("g"), "v")
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((0 until 500).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      input.addData((300 until 900).map(i => s"u$i"): _*) // 400 new, 200 repeat
+      q.processAllAvailable()
+      // latest state per bucket (Update mode re-emits changed buckets)
+      val streamed = spark.table("hll_regs")
+        .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val batch = graft.operators.Sketches
+        .hllRegisters((0 until 900).map(i => s"u$i").toDF("v")
+          .withColumn("g", lit("all")), Seq("g"), "v")
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
