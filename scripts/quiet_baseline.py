@@ -1,14 +1,42 @@
 #!/usr/bin/env python3
 """Regenerate graft/QuietBaseline.scala: per-query MIN seconds across every
-BENCH_r*.json (driver runs) plus any local bench JSON lines passed as args."""
+BENCH_r*.json (driver runs) plus any local bench JSON lines passed as args.
+
+Only the "queries" map of a bench line is harvested — the line also carries
+a "load" map keyed by the SAME query names (per-query loadavg), which a
+bare q-name regex would happily mistake for (much smaller) timings."""
 import json, re, glob, sys
 
 best = {}
-def feed(text):
-    for k, v in re.findall(r'\\?"(q\d+[a-z_0-9]*)\\?":(-?[0-9.]+)', text):
+
+def feed_queries(queries):
+    for k, v in queries.items():
         v = float(v)
         if v > 0:
             best[k] = min(best.get(k, 1e9), v)
+
+def feed(text):
+    # harvest every JSON object found in the text, but ONLY its "queries"
+    # field; fall back to a regex scoped to the queries map for truncated /
+    # escaped driver "tail" captures
+    for line in text.splitlines():
+        line = line.strip()
+        start = line.find('{')
+        if start < 0:
+            continue
+        try:
+            obj = json.loads(line[start:])
+            if isinstance(obj, dict) and isinstance(obj.get('queries'), dict):
+                feed_queries(obj['queries'])
+                continue
+        except (json.JSONDecodeError, ValueError):
+            pass
+        m = re.search(r'\\?"queries\\?":\{(.*?)\}', line)
+        if m:
+            for k, v in re.findall(r'\\?"(q\d+[a-z_0-9]*)\\?":(-?[0-9.]+)', m.group(1)):
+                v = float(v)
+                if v > 0:
+                    best[k] = min(best.get(k, 1e9), v)
 
 for f in sorted(glob.glob('/root/repo/BENCH_r*.json')):
     feed(json.load(open(f)).get('tail') or '')

@@ -46,10 +46,12 @@ object Bench {
         .agg(sum(col("l_quantity").cast(DecimalType(30, 2))))
         .write.format("noop").mode("overwrite").save()
     }
-    def loadavg1: Double =
+    def loadavgFields: Array[String] =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .trim.split("\\s+").head.toDouble
-      catch { case _: Throwable => -1.0 }
+        .trim.split("\\s+")
+      catch { case _: Throwable => Array.empty }
+    def loadavg1: Double =
+      loadavgFields.headOption.map(_.toDouble).getOrElse(-1.0)
     // One timed standalone execution: (+ seconds on success, - on failure,
     // 1-min loadavg at measurement time).
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
@@ -115,10 +117,7 @@ object Bench {
     val loads = results.map { case (k, (_, la)) =>
       "\"" + k + "\":" + math.rint(la * 100) / 100 }.mkString("{", ",", "}")
     val total = results.map(_._2._1.abs).sum
-    val loadavg = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .trim.split("\\s+").take(3).mkString(",")
-    } catch { case _: Throwable => "" }
+    val loadavg = loadavgFields.take(3).mkString(",")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"retimed":$retimedJson,"load":$loads,"loadavg":"$loadavg"}""")
     spark.stop()

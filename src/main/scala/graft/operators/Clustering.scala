@@ -49,7 +49,26 @@ object Clustering {
     * an array form is wanted downstream). Empty clusters drop out (their
     * rows simply disappear, exactly like the relational formulation). */
   def kmeansLanes(emb: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int, salt: String = "kmeans"): DataFrame = {
+                  k: Int, iters: Int, salt: String = "kmeans"): DataFrame =
+    lloyd(emb, idCol, vecCol, k, iters, salt)._1
+
+  /** The final iteration's assignment as rows `(vid, cluster)` — for
+    * joining the clustering back onto the corpus. This is EXACTLY the
+    * assignment whose aggregation is [[kmeansLanes]]' output for the same
+    * arguments (not one more round against the final centroids), so
+    * per-cluster assignment counts always equal the lanes' `n`. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, salt: String = "kmeans"): DataFrame =
+    lloyd(emb, idCol, vecCol, k, iters, salt)._2
+      .select(col("vid"), col("cluster"))
+
+  /** `iters` Lloyd rounds; returns (final centroid lanes, the assignment
+    * that produced them). Centroids collapse to k·dim driver-held longs
+    * each round, so both returned frames evaluate against LITERAL
+    * centroids — re-execution is deterministic. */
+  private def lloyd(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int,
+                    salt: String): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
     val sv = emb.select(col(idCol).cast(LongType).as("vid"),
       scaled(col(vecCol)).as("v"))
@@ -62,9 +81,10 @@ object Clustering {
       .map(_.getSeq[Long](0))
     var centroids: Seq[(Int, Seq[Long])] =
       seeds.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    var assigned: DataFrame = null
     var lanes: DataFrame = null
     for (_ <- 1 to iters) {
-      val assigned = assignClusters(sv, centroids)
+      assigned = assignClusters(sv, centroids)
       lanes = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
@@ -78,21 +98,7 @@ object Clustering {
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toSeq) }
     }
-    lanes
-  }
-
-  /** Final-round assignment as rows `(vid, cluster)` — for joining the
-    * clustering back onto the corpus. */
-  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int, salt: String = "kmeans"): DataFrame = {
-    val lanes = kmeansLanes(emb, idCol, vecCol, k, iters, salt)
-    val centroids = lanes.orderBy(col("cluster"), col("pos")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toSeq) }
-    val sv = emb.select(col(idCol).cast(LongType).as("vid"),
-      scaled(col(vecCol)).as("v"))
-    assignClusters(sv, centroids).select(col("vid"), col("cluster"))
+    (lanes, assigned)
   }
 
   /** Nearest centroid per row: k codegen'd integer array folds against

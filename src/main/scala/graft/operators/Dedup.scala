@@ -303,6 +303,13 @@ object Dedup {
     * shuffle; the 100 TB-side cost of bloom decontamination. */
   def bloomProbe(corpus: DataFrame, bits: Array[Long], m: Int,
                  k: Int): DataFrame = {
+    // an m that disagrees with the filter's build-time m would silently
+    // probe wrong positions (false NEGATIVES — breaking the bloom
+    // contract); the word count pins it
+    require(bits.length == (m / 64 max 1),
+      s"bloomProbe: bits has ${bits.length} words but m=$m needs " +
+        s"${m / 64 max 1} — was the filter built with a different m?")
+    require(k > 0, s"k must be positive: $k")
     val words = lit(bits)
     // bit test via shiftright+mask: the shift amount is a COLUMN, so the
     // SQL-function form (the Scala `shiftright` helper only takes a

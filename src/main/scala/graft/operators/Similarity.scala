@@ -56,14 +56,6 @@ object Similarity {
       s"WHEN $nExpr <= ${targetBucketRows << b} THEN $b"
     }.mkString("CASE ", " ", s" ELSE $maxBits END")
 
-  /** Group-wise elementwise mean of embedding vectors ("mean pooling"):
-    * one centroid per key — class centroids, doc-level pooling of chunk
-    * embeddings, cluster summaries. Scale shape: `posexplode` fans each
-    * vector into (key, lane) rows, a partial-aggregating shuffle on
-    * (key, lane) sums each lane, and the array is rebuilt per key — so
-    * neither group size nor dimension ever concentrates in one task.
-    * Exact math: lane sums are over 2^20-scaled int64 (order-independent),
-    * the mean is a single double division per lane — oracle-replicable. */
   /** Scalar-row form of [[meanPool]]: one `(key, pos, val, n)` row per
     * centroid lane. Keeps both group size and dimension distributed
     * (posexplode → partial agg on (key, pos)), and emits only scalar
@@ -76,6 +68,14 @@ object Similarity {
            count(lit(1)).as("n"))
   }
 
+  /** Group-wise elementwise mean of embedding vectors ("mean pooling"):
+    * one centroid per key — class centroids, doc-level pooling of chunk
+    * embeddings, cluster summaries. Scale shape: `posexplode` fans each
+    * vector into (key, lane) rows, a partial-aggregating shuffle on
+    * (key, lane) sums each lane, and the array is rebuilt per key — so
+    * neither group size nor dimension ever concentrates in one task.
+    * Exact math: lane sums are over 2^20-scaled int64 (order-independent),
+    * the mean is a single double division per lane — oracle-replicable. */
   def meanPool(emb: DataFrame, keyCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     emb.select(col(keyCol), posexplode(scaled(col(vecCol))).as(Seq("pos", "v")))

@@ -278,16 +278,18 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * puts/scoped deletes naming undeclared families/qualifiers fail the
     * append. `numFiles` coalesces the batch (change batches are usually
     * delta-sized; 0 = keep the incoming partitioning for a genuinely
-    * large feed). Batch atomicity holds for BOTH shapes: the default
-    * `numFiles = 1` commits as ONE file; `numFiles = 0` (multi-file)
-    * writes the whole batch to a staging directory outside the feed and
-    * commits it with a SINGLE directory rename into
-    * `_changes/batch_<uuid>/` — a job that fails mid-append (e.g. a
-    * layout-guard raise_error in a later task) leaves only the staging
-    * dir, which is deleted on failure and invisible to readers either
-    * way (underscore prefix), so readers see the whole batch or
+    * large feed). Batch atomicity holds for EVERY shape: the default
+    * `numFiles = 1` commits as ONE file (a single task-file rename);
+    * any multi-file shape (`numFiles = 0` keep-partitioning, or an
+    * explicit `numFiles >= 2`) writes the whole batch to a staging
+    * directory outside the feed and commits it with a SINGLE directory
+    * rename into `_changes/batch_<uuid>/` — a job that fails mid-append
+    * (e.g. a layout-guard raise_error in a later task) leaves only the
+    * staging dir, which is deleted on failure and invisible to readers
+    * either way (underscore prefix), so readers see the whole batch or
     * nothing. */
   def appendChanges(changes: DataFrame, numFiles: Int = 1): Unit = {
+    require(numFiles >= 0, s"numFiles must be >= 0: $numFiles")
     val need = Seq("entity_id", "family", "qualifier", "op", "ts", "value")
     require(need.forall(changes.columns.contains),
       s"appendChanges needs change columns ${need.mkString("(", ", ", ")")}, " +
@@ -298,16 +300,20 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           lit(s"' for table '${layout.name}'")))))
     val guarded = guardLayout(opGuarded, allowNullScope = true)
       .select(need.map(col): _*)
-    if (numFiles > 0)
-      guarded.coalesce(numFiles).write.mode("append").parquet(changesPath)
+    if (numFiles == 1)
+      guarded.coalesce(1).write.mode("append").parquet(changesPath)
     else {
-      // Multi-file batch: stage outside the feed, commit via one atomic
-      // directory rename. Underscore-prefixed staging dirs are invisible
-      // to every reader (FileIndex hides them), so a mid-write failure
+      // Multi-file batch (numFiles = 0 keeps partitioning; >= 2 coalesces
+      // to that many files): stage outside the feed, commit via one
+      // atomic directory rename — a plain mode("append") with several
+      // files would expose a partially renamed batch if the job commit
+      // dies midway. Underscore-prefixed staging dirs are invisible to
+      // every reader (FileIndex hides them), so a mid-write failure
       // exposes zero rows.
+      val shaped = if (numFiles > 1) guarded.coalesce(numFiles) else guarded
       val id = java.util.UUID.randomUUID().toString.take(8)
       val staging = new org.apache.hadoop.fs.Path(s"$path/__changes_stage_$id")
-      try guarded.write.parquet(staging.toString)
+      try shaped.write.parquet(staging.toString)
       catch { case e: Throwable =>
         hadoopFs.delete(staging, true)
         throw e

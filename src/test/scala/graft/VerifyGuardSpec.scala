@@ -28,6 +28,9 @@ class VerifyGuardSpec extends SparkSpec {
 
   test("every declared query emits scalar columns only (driver contract)") {
     val sf = "/root/testdata/sf0.001"
+    // the sweep needs the generated fixtures; on a machine without them,
+    // skip (cancel) instead of failing with an opaque missing-path error
+    assume(new java.io.File(sf).isDirectory, s"fixture dir $sf not present")
     val bad = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         Verify.requireScalarSchema(name, fn(spark, sf).schema)

@@ -51,8 +51,9 @@ class ClusteringSpec extends SparkSpec {
     val lanePop = Clustering.kmeansLanes(blobs, "vec_id", "embedding", 3, 2)
       .filter($"pos" === 0).collect()
       .map(r => (r.getInt(0), r.getLong(3))).toMap
-    // one extra assignment round against the FINAL centroids can migrate a
-    // boundary vector; on separated blobs it must not
+    // kmeansAssign returns the assignment whose aggregation IS the final
+    // lanes, so the populations must match exactly — by contract, on any
+    // data, not just separated blobs
     val assignPop = assign.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     assert(assignPop == lanePop)
   }

@@ -36,6 +36,20 @@ class SketchesSpec extends SparkSpec {
     assert(merged == byHand)
   }
 
+  test("hll: smaller p uses exactly p bucket bits (estimate stays sane)") {
+    val vals = spark.range(0, 5000).select(concat(lit("w"), $"id").as("v"))
+    val out = Sketches.hllEstimate(vals.withColumn("g", lit("all")),
+      Seq("g"), "v", p = 8).collect().head
+    val occ = out.getAs[Long]("occupied")
+    val regSum = out.getAs[Long]("reg_sum")
+    val est = out.getAs[Double]("hll_est")
+    // at p=8 there are only 256 registers; a 12-bit bucket would blow past
+    // that and drive reg_sum negative
+    assert(occ <= 256 && regSum > 0)
+    // raw-estimator error at m=256 is ~6.5%; allow a wide envelope
+    assert(math.abs(est - 5000) / 5000 < 0.3, s"est=$est")
+  }
+
   test("hll: p out of range refused") {
     val df = Seq("a").toDF("v")
     intercept[IllegalArgumentException] { Sketches.hllRegisters(df, Nil, "v", 3) }
