@@ -52,15 +52,48 @@ object Clustering {
                   k: Int, iters: Int, salt: String = "kmeans"): DataFrame =
     lloyd(emb, idCol, vecCol, k, iters, salt)._1
 
-  /** The final iteration's assignment as rows `(vid, cluster)` — for
-    * joining the clustering back onto the corpus. This is EXACTLY the
-    * assignment whose aggregation is [[kmeansLanes]]' output for the same
-    * arguments (not one more round against the final centroids), so
-    * per-cluster assignment counts always equal the lanes' `n`. */
+  /** The final iteration's assignment as rows `(vid, cluster, dist)` —
+    * for joining the clustering back onto the corpus (`dist` is the exact
+    * int64 squared L2 to the assigned centroid, in scaled units). This is
+    * EXACTLY the assignment whose aggregation is [[kmeansLanes]]' output
+    * for the same arguments (not one more round against the final
+    * centroids), so per-cluster assignment counts always equal the
+    * lanes' `n`. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, salt: String = "kmeans"): DataFrame =
     lloyd(emb, idCol, vecCol, k, iters, salt)._2
-      .select(col("vid"), col("cluster"))
+      .select(col("vid"), col("cluster"), col("dist"))
+
+  /** Product-quantization codes: split each `dim`-lane vector into `m`
+    * contiguous subvectors, k-means each subspace independently
+    * (deterministic hash seeding per subspace salt), and emit each
+    * vector's per-subspace code + exact reconstruction distance —
+    * `(vid, code0, err0, ..., code{m-1}, err{m-1})`, all scalar columns.
+    *
+    * This is the compression half of PQ-ANN: m codes of log2(k) bits
+    * replace dim floats (the classic 64-dim → m·8-bit regime at k=256);
+    * an ADC search then sums per-subspace lookup distances. Scale shape:
+    * each subspace clustering is the [[kmeansLanes]] plan (zero-shuffle
+    * assignment scans + one (cluster, lane) partial agg per round over
+    * subDim lanes); the m code frames co-partition on vid after the
+    * first join shuffle. Driver state: m·k·subDim longs.
+    *
+    * `err_s` is the assignment's exact int64 squared distance — the
+    * per-subspace quantization error an oracle replays bit-for-bit. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int, k: Int, iters: Int,
+              salt: String = "pq"): DataFrame = {
+    require(m > 0 && dim > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim m=$m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sdf = emb.select(col(idCol),
+        slice(col(vecCol), s * sub + 1, sub).as("__sub"))
+      kmeansAssign(sdf, idCol, "__sub", k, iters, s"$salt$s")
+        .select(col("vid"), col("cluster").as(s"code$s"),
+          col("dist").as(s"err$s"))
+    }.reduce(_.join(_, "vid"))
+  }
 
   /** `iters` Lloyd rounds; returns (final centroid lanes, the assignment
     * that produced them). Centroids collapse to k·dim driver-held longs
@@ -103,7 +136,8 @@ object Clustering {
 
   /** Nearest centroid per row: k codegen'd integer array folds against
     * literal centroid lanes; strict-< fold keeps the SMALLEST index on
-    * distance ties. */
+    * distance ties. Emits `cluster` and the winning exact squared
+    * distance `dist`. */
   private def assignClusters(sv: DataFrame,
                              centroids: Seq[(Int, Seq[Long])]): DataFrame = {
     require(centroids.nonEmpty, "all clusters became empty")
@@ -117,6 +151,9 @@ object Clustering {
         when(d < acc.getField("d"), struct(d.as("d"), lit(ci).as("c")))
           .otherwise(acc)
     }
-    sv.withColumn("cluster", best.getField("c"))
+    sv.withColumn("__best", best)
+      .withColumn("cluster", col("__best.c"))
+      .withColumn("dist", col("__best.d"))
+      .drop("__best")
   }
 }

@@ -235,45 +235,92 @@ object VectorQueries {
         KmeansK, KmeansIters)
       .orderBy($"cluster", $"pos")
   }
-  lazy val q77_sql: String = {
-    // one assignment CTE (argmin by exact distance, smallest cluster on
-    // ties) + one quantized-update CTE per iteration, parameterized by the
-    // centroid-lanes CTE feeding it
+  /** The kmeans CTE chain over the subvector v[start+1 .. start+subDim],
+    * CTE names prefixed with `p` (so several chains — PQ subspaces — can
+    * coexist in one WITH). Expects an outer `sv(vid, v)` CTE; the final
+    * centroid lanes are `${p}c$iters` and the final-round assignment
+    * (vid, cluster, dist — the exact argmin distance) is `${p}a$iters`.
+    * Mirrors Clustering.lloyd: hash-seeded, argmin ties to the smallest
+    * cluster, integer-quantized (trunc) centroid updates. */
+  private def kmeansChainSql(p: String, start: Int, subDim: Int,
+                             k: Int, iters: Int, salt: String): String = {
     def assignUpdate(i: Int, lanesCte: String): String =
-      s"""d$i AS (
+      s"""${p}d$i AS (
          |  SELECT s.vid, c.cluster,
-         |    sum((list_extract(s.v, c.pos + 1) - c.cval)
-         |      * (list_extract(s.v, c.pos + 1) - c.cval)) AS dist
+         |    sum((list_extract(s.v, $start + c.pos + 1) - c.cval)
+         |      * (list_extract(s.v, $start + c.pos + 1) - c.cval)) AS dist
          |  FROM sv s, $lanesCte c GROUP BY s.vid, c.cluster),
-         |a$i AS (
-         |  SELECT vid, cluster FROM (
-         |    SELECT vid, cluster,
+         |${p}a$i AS (
+         |  SELECT vid, cluster, CAST(dist AS BIGINT) AS dist FROM (
+         |    SELECT vid, cluster, dist,
          |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
-         |    FROM d$i) WHERE rn = 1),
-         |c$i AS (
-         |  SELECT a.cluster, CAST(p.pos AS INT) AS pos,
-         |    CAST(trunc(CAST(sum(list_extract(s.v, CAST(p.pos AS INT) + 1)) AS DOUBLE)
+         |    FROM ${p}d$i) WHERE rn = 1),
+         |${p}c$i AS (
+         |  SELECT a.cluster, CAST(pp.pos AS INT) AS pos,
+         |    CAST(trunc(CAST(sum(list_extract(s.v, $start + CAST(pp.pos AS INT) + 1)) AS DOUBLE)
          |      / count(*)) AS BIGINT) AS cval,
          |    count(*) AS n
-         |  FROM sv s JOIN a$i a ON s.vid = a.vid, range($Dim) p(pos)
-         |  GROUP BY a.cluster, p.pos)""".stripMargin
+         |  FROM sv s JOIN ${p}a$i a ON s.vid = a.vid, range($subDim) pp(pos)
+         |  GROUP BY a.cluster, pp.pos)""".stripMargin
+    val chain = (1 to iters)
+      .map(i => assignUpdate(i, s"${p}c${i - 1}")).mkString(",\n")
+    s"""${p}h AS (
+       |  SELECT vid,
+       |    ('0x'||substr(md5('$salt' || CAST(vid AS VARCHAR)), 1, 7))::BIGINT AS hb
+       |  FROM sv),
+       |${p}seeds AS (
+       |  SELECT vid, CAST(row_number() OVER (ORDER BY hb, vid) - 1 AS INT) AS cluster
+       |  FROM ${p}h ORDER BY hb, vid LIMIT $k),
+       |${p}c0 AS (
+       |  SELECT sd.cluster, CAST(pp.pos AS INT) AS pos,
+       |    list_extract(s.v, $start + CAST(pp.pos AS INT) + 1) AS cval
+       |  FROM ${p}seeds sd JOIN sv s ON s.vid = sd.vid, range($subDim) pp(pos)),
+       |$chain""".stripMargin
+  }
+
+  lazy val q77_sql: String =
     s"""WITH sv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v
        |  FROM embeddings),
-       |h AS (
-       |  SELECT vid, v,
-       |    ('0x'||substr(md5('kmeans' || CAST(vid AS VARCHAR)), 1, 7))::BIGINT AS hb
-       |  FROM sv),
-       |seeds AS (
-       |  SELECT v, CAST(row_number() OVER (ORDER BY hb, vid) - 1 AS INT) AS cluster
-       |  FROM h ORDER BY hb, vid LIMIT $KmeansK),
-       |c0 AS (
-       |  SELECT cluster, CAST(p.pos AS INT) AS pos,
-       |    list_extract(v, CAST(p.pos AS INT) + 1) AS cval
-       |  FROM seeds, range($Dim) p(pos)),
-       |${assignUpdate(1, "c0")},
-       |${assignUpdate(2, "c1")}
-       |SELECT cluster, pos, cval, n FROM c2 ORDER BY cluster, pos""".stripMargin
+       |${kmeansChainSql("", 0, Dim, KmeansK, KmeansIters, "kmeans")}
+       |SELECT cluster, pos, cval, n FROM c$KmeansIters ORDER BY cluster, pos""".stripMargin
+
+  // ── q88: product quantization — each 64-dim vector compressed to m=2
+  // per-subspace k-means codes plus the EXACT int64 reconstruction
+  // distance per subspace (Clustering.pqCodes). The oracle replays BOTH
+  // subspace clusterings (same hash seeding, argmin ties, quantized
+  // updates — two parallel kmeans CTE chains over vector slices) and the
+  // assignment distances, so every code and every error is
+  // hash-verified. Completes the ANN set: brute (q25), LSH (q26),
+  // IVF (q45), PQ compression (q88). ─────────────────────────────────────
+  val PqM = 2
+  val PqK = 4
+  val PqIters = 2
+
+  val q88_pq_codes: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Clustering
+      .pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters)
+      .withColumnRenamed("vid", "vec_id")
+      .orderBy($"vec_id")
+  }
+  lazy val q88_sql: String = {
+    val sub = Dim / PqM
+    val chains = (0 until PqM)
+      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK, PqIters, s"pq$s"))
+      .mkString(",\n")
+    val joins = (1 until PqM)
+      .map(s => s"JOIN s${s}a$PqIters j$s USING (vid)").mkString(" ")
+    val cols = (0 until PqM)
+      .map(s => s"${if (s == 0) "j0" else s"j$s"}.cluster AS code$s, " +
+        s"${if (s == 0) "j0" else s"j$s"}.dist AS err$s").mkString(", ")
+    s"""WITH sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v
+       |  FROM embeddings),
+       |$chains
+       |SELECT vid AS vec_id, $cols
+       |FROM s0a$PqIters j0 $joins ORDER BY vec_id""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -284,6 +331,7 @@ object VectorQueries {
     "q59_embedding_pool" -> q59_embedding_pool,
     "q66_quantize" -> q66_quantize,
     "q77_kmeans" -> q77_kmeans,
+    "q88_pq_codes" -> q88_pq_codes,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -293,5 +341,6 @@ object VectorQueries {
     "q59_embedding_pool" -> q59_sql,
     "q66_quantize" -> q66_sql,
     "q77_kmeans" -> q77_sql,
+    "q88_pq_codes" -> q88_sql,
   )
 }

@@ -58,6 +58,28 @@ class ClusteringSpec extends SparkSpec {
     assert(assignPop == lanePop)
   }
 
+  test("pqCodes: per-subspace assignment parity, exact errors, guards") {
+    // 4-dim vectors, m=2 -> two 2-dim subspaces
+    val out = Clustering.pqCodes(blobs, "vec_id", "embedding",
+        dim = 4, m = 2, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    assert(out.length == 30 && out.map(_._1).distinct.length == 30)
+    // codes bounded by k; errors nonnegative
+    assert(out.forall(t => t._2 >= 0 && t._2 < 2 && t._4 >= 0 && t._4 < 2))
+    assert(out.forall(t => t._3 >= 0L && t._5 >= 0L))
+    // subspace 0 codes must equal a standalone kmeans over the slice
+    import org.apache.spark.sql.functions.{col, slice}
+    val sliced = blobs.select(col("vec_id"),
+      slice(col("embedding"), 1, 2).as("sub"))
+    val solo = Clustering.kmeansAssign(sliced, "vec_id", "sub", 2, 2, "pq0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out.map(t => (t._1, t._2, t._3)).toSet == solo)
+    intercept[IllegalArgumentException] {
+      Clustering.pqCodes(blobs, "vec_id", "embedding", 4, 3, 2, 1)
+    }
+  }
+
   test("k or iters <= 0 refused; k > corpus degrades to occupied clusters only") {
     intercept[IllegalArgumentException] {
       Clustering.kmeansLanes(blobs, "vec_id", "embedding", 0, 1)
