@@ -134,6 +134,67 @@ object Clustering {
     (lanes, assigned)
   }
 
+  /** PQ asymmetric-distance (ADC) top-k search: queries (`idCol <
+    * maxQueryId`) rank the WHOLE corpus by the sum of per-subspace
+    * distances to each neighbor's assigned centroid — the lookup-table
+    * search that makes PQ indexes fast.
+    *
+    * Plan shape (the real ADC economics): the per-query DISTANCE TABLES
+    * (m·k entries per query — Σ over subspace lanes of (query − centroid)²)
+    * are a tiny broadcast frame; the corpus side is touched once, as its
+    * long-form codes `(n_id, s, code)` — the compressed index, m small
+    * ints per vector instead of dim floats — joined broadcast against the
+    * tables and partial-agg-summed per (query, neighbor). All integer
+    * math: distances are exact int64 in scaled units, ties → smaller
+    * n_id, so an oracle replays the whole search including its
+    * quantization-induced ranking errors.
+    *
+    * @return (q_id, rank, n_id, adist) — topK per query, self excluded
+    */
+  def pqSearch(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+               m: Int, k: Int, iters: Int, maxQueryId: Long, topK: Int,
+               salt: String = "pq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && dim > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim m=$m")
+    require(topK > 0, s"topK must be positive: $topK")
+    val sub = dim / m
+    val runs = (0 until m).map { s =>
+      val sdf = emb.select(col(idCol),
+        slice(col(vecCol), s * sub + 1, sub).as("__sub"))
+      (s, lloyd(sdf, idCol, "__sub", k, iters, s"$salt$s"))
+    }
+    // corpus index: (n_id, s, code) — m rows per vector
+    val codes = runs.map { case (s, (_, assigned)) =>
+      assigned.select(col("vid").as("n_id"), lit(s).as("s"),
+        col("cluster").as("code"))
+    }.reduce(_.union(_))
+    // codebooks in lane form: (s, code, pos, cval)
+    val lanes = runs.map { case (s, (l, _)) =>
+      l.select(lit(s).as("s"), col("cluster").as("code"), col("pos"),
+        col("cval"))
+    }.reduce(_.union(_))
+    // per-query subspace distance tables: m·k rows per query
+    val qLanes = emb.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).cast(LongType).as("q_id"),
+        posexplode(scaled(col(vecCol))).as(Seq("qpos", "qv")))
+      .withColumn("s", (col("qpos") / sub).cast("int"))
+      .withColumn("pos", col("qpos") % sub)
+    val dtab = qLanes.join(broadcast(lanes), Seq("s", "pos"))
+      .groupBy(col("q_id"), col("s"), col("code"))
+      .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval")))
+        .as("dval"))
+    val scored = codes.join(broadcast(dtab), Seq("s", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dval")).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
+  }
+
   /** Nearest centroid per row: k codegen'd integer array folds against
     * literal centroid lanes; strict-< fold keeps the SMALLEST index on
     * distance ties. Emits `cluster` and the winning exact squared

@@ -323,6 +323,54 @@ object VectorQueries {
        |FROM s0a$PqIters j0 $joins ORDER BY vec_id""".stripMargin
   }
 
+  // ── q89: PQ asymmetric-distance (ADC) search — the lookup half of PQ:
+  // per-query distance tables (m·k integer entries) broadcast against the
+  // corpus's long-form codes; adist = Σ_s table[s][code_s(n)], exact
+  // int64, ties → smaller n_id. The oracle replays both subspace
+  // clusterings AND the table-lookup ranking, so the compare verifies the
+  // quantization-induced ranking itself, not a float approximation. ──────
+  val PqTopK = 3
+
+  val q89_pq_search: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Clustering
+      .pqSearch(Tables.embeddings(s, d), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, MaxQueryId, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q89_sql: String = {
+    val sub = Dim / PqM
+    val chains = (0 until PqM)
+      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK, PqIters, s"pq$s"))
+      .mkString(",\n")
+    val codes = (0 until PqM)
+      .map(s => s"SELECT vid AS n_id, $s AS s, cluster AS code FROM s${s}a$PqIters")
+      .mkString(" UNION ALL ")
+    val lanes = (0 until PqM)
+      .map(s => s"SELECT $s AS s, cluster AS code, pos, cval FROM s${s}c$PqIters")
+      .mkString(" UNION ALL ")
+    val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
+    s"""WITH sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v
+       |  FROM embeddings),
+       |$chains,
+       |codes AS ($codes),
+       |lanes AS ($lanes),
+       |dt AS (
+       |  SELECT q.vid AS q_id, l.s, l.code,
+       |    CAST(sum(($qlane - l.cval) * ($qlane - l.cval)) AS BIGINT) AS dval
+       |  FROM sv q, lanes l WHERE q.vid < $MaxQueryId
+       |  GROUP BY q_id, l.s, l.code),
+       |ad AS (
+       |  SELECT d.q_id, c.n_id, CAST(sum(d.dval) AS BIGINT) AS adist
+       |  FROM codes c JOIN dt d ON d.s = c.s AND d.code = c.code
+       |  WHERE c.n_id <> d.q_id GROUP BY d.q_id, c.n_id)
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, n_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
@@ -332,6 +380,7 @@ object VectorQueries {
     "q66_quantize" -> q66_quantize,
     "q77_kmeans" -> q77_kmeans,
     "q88_pq_codes" -> q88_pq_codes,
+    "q89_pq_search" -> q89_pq_search,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -342,5 +391,6 @@ object VectorQueries {
     "q66_quantize" -> q66_sql,
     "q77_kmeans" -> q77_sql,
     "q88_pq_codes" -> q88_sql,
+    "q89_pq_search" -> q89_sql,
   )
 }

@@ -80,6 +80,23 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("pqSearch: ADC retrieves same-blob neighbors on separated blobs") {
+    val out = Clustering.pqSearch(blobs, "vec_id", "embedding",
+        dim = 4, m = 2, k = 3, iters = 2, maxQueryId = 3L, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // 3 queries x 3 ranks, no self matches, ranks dense 1..3
+    assert(out.length == 9)
+    assert(out.forall(t => t._1 != t._3))
+    assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    // with codebooks recovering the blobs, every top-3 neighbor shares the
+    // query's blob (same id mod 3) and its ADC distance is far below the
+    // cross-blob gap (~2 * (10 * 2^20)^2)
+    out.foreach { case (q, _, n, adist) =>
+      assert(n % 3 == q % 3, s"query $q got cross-blob neighbor $n")
+      assert(adist < (1L << 44), s"query $q adist $adist")
+    }
+  }
+
   test("k or iters <= 0 refused; k > corpus degrades to occupied clusters only") {
     intercept[IllegalArgumentException] {
       Clustering.kmeansLanes(blobs, "vec_id", "embedding", 0, 1)
