@@ -109,6 +109,51 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
+  /** Contrastive triplet mining — (anchor, hard positive, sampled
+    * negative) rows for embedding-model training. The positive is the
+    * anchor's exact top-1 neighbor; the negative is a deterministic
+    * hash-argmin draw over OUT-OF-BUCKET candidates (a different sign-LSH
+    * bucket ⇒ a structurally dissimilar region), so the "random" negative
+    * is reproducible across reruns, engines, and any partitioning — no
+    * RNG state anywhere.
+    *
+    * Scale shape: anchors broadcast against one corpus scan (the knnExact
+    * economics — right when |anchors| is bounded per batch); the negative
+    * draw is the same scan with a per-(anchor, candidate) hash rank.
+    * `margin = cos_pos − cos_neg` rides along as the training-signal
+    * diagnostic, exact because both cosines are the engine-portable
+    * scaled-int dot products.
+    *
+    * @return (q_id, pos_id, cos_pos, neg_id, cos_neg, margin)
+    */
+  def tripletMining(emb: DataFrame, idCol: String, vecCol: String,
+                    maxQueryId: Long, bits: Int,
+                    salt: String = "neg"): DataFrame = {
+    import graft.functions.TextFunctions.hash28
+    val sv = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"),
+        signBucket(col(vecCol), bits).as("nbucket"))
+      .withColumn("nn", vnorm(col("nv")))
+    val anchors = emb.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).as("q_id"), scaled(col(vecCol)).as("qv"),
+        signBucket(col(vecCol), bits).as("qbucket"))
+      .withColumn("qn", vnorm(col("qv")))
+    val pos = knnExact(emb, idCol, vecCol, maxQueryId, 1)
+      .select(col("q_id"), col("n_id").as("pos_id"), col("cos").as("cos_pos"))
+    val negRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("nh").asc, col("n_id").asc)
+    val neg = sv.join(broadcast(anchors), col("nbucket") =!= col("qbucket"))
+      .withColumn("nh", hash28(concat(lit(salt), col("q_id").cast("string"),
+        lit(":"), col("n_id").cast("string"))))
+      .withColumn("rn", row_number().over(negRank))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id").as("neg_id"),
+        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_neg"))
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("pos_id"), col("cos_pos"),
+        col("neg_id"), col("cos_neg"),
+        (col("cos_pos") - col("cos_neg")).as("margin"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH self-join, so
     * candidate generation is Σ bucket² (never all-pairs), then the exact
     * scaled-int cosine threshold. The vector-space analog of the MinHash

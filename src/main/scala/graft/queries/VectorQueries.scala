@@ -371,6 +371,48 @@ object VectorQueries {
        |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ── q90: contrastive triplet mining — anchors (vec_id < 10) paired
+  // with their exact top-1 neighbor (hard positive) and a deterministic
+  // hash-drawn OUT-OF-BUCKET negative (reproducible "random" sampling, no
+  // RNG). The margin diagnostic rides along; everything — including which
+  // negative the hash picks — is oracle-replayed. ────────────────────────
+  val q90_triplets: Q = (s, d) => {
+    import s.implicits._
+    Similarity.tripletMining(Tables.embeddings(s, d), "vec_id", "embedding",
+        MaxQueryId, corpusBits(s, d))
+      .orderBy($"q_id")
+  }
+  lazy val q90_sql: String =
+    s"""WITH $sqlParams, sv AS (
+       |  SELECT vec_id, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm,
+       |    ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings, params p
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    ${sqlCosineFromNorms("q.v", "e.v", "q.nrm", "e.nrm", Dim)} AS cos
+       |  FROM sv q JOIN sv e ON q.vec_id < $MaxQueryId AND e.vec_id <> q.vec_id
+       |), pos AS (
+       |  SELECT q_id, n_id AS pos_id, cos AS cos_pos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+       |  WHERE rank = 1
+       |), negc AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    ${sqlCosineFromNorms("q.v", "e.v", "q.nrm", "e.nrm", Dim)} AS cos,
+       |    ('0x'||substr(md5('neg' || CAST(q.vec_id AS VARCHAR) || ':'
+       |      || CAST(e.vec_id AS VARCHAR)), 1, 7))::BIGINT AS nh
+       |  FROM sv q JOIN sv e
+       |    ON q.vec_id < $MaxQueryId AND e.bucket <> q.bucket
+       |), neg AS (
+       |  SELECT q_id, n_id AS neg_id, cos AS cos_neg FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY nh ASC, n_id ASC) AS rn FROM negc)
+       |  WHERE rn = 1)
+       |SELECT p.q_id, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+       |  p.cos_pos - n.cos_neg AS margin
+       |FROM pos p JOIN neg n USING (q_id) ORDER BY q_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
@@ -381,6 +423,7 @@ object VectorQueries {
     "q77_kmeans" -> q77_kmeans,
     "q88_pq_codes" -> q88_pq_codes,
     "q89_pq_search" -> q89_pq_search,
+    "q90_triplets" -> q90_triplets,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -392,5 +435,6 @@ object VectorQueries {
     "q77_kmeans" -> q77_sql,
     "q88_pq_codes" -> q88_sql,
     "q89_pq_search" -> q89_sql,
+    "q90_triplets" -> q90_sql,
   )
 }

@@ -303,6 +303,34 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, 3L, 1L, 1.0 / 3), (2L, 3L, 1L, 1.0 / 3), (3L, 3L, 0L, 0.0)))
   }
 
+  test("tripletMining: hard positive, out-of-bucket negative, reproducible draw") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.signBucket
+    // bucket bit 0 = sign of dim 1: ids 0-3 positive (bucket 1), 4-7
+    // negative (bucket 0); within a bucket, nearer ids are more similar
+    val emb = (0 until 8).map { i =>
+      val sign = if (i < 4) 1f else -1f
+      (i.toLong, Array(sign * (1f + i * 0.1f), i * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.tripletMining(emb, "vec_id", "embedding",
+        maxQueryId = 2L, bits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    val bucketOf = emb.select(col("vec_id"), signBucket(col("embedding"), 1).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { case (q, pos, cosPos, neg, cosNeg, margin) =>
+      // positive shares the anchor's half-space and beats the negative
+      assert(bucketOf(pos) == bucketOf(q) && bucketOf(neg) != bucketOf(q))
+      assert(cosPos > cosNeg && margin == cosPos - cosNeg)
+    }
+    // the hash draw is partitioning-independent
+    val again = Similarity.tripletMining(emb.repartition(5), "vec_id",
+        "embedding", 2L, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == out.map(t => (t._1, t._4)).toSet)
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11
