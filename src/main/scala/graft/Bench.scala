@@ -51,7 +51,8 @@ object Bench {
         .trim.split("\\s+")
       catch { case _: Throwable => Array.empty }
     def loadavg1: Double =
-      loadavgFields.headOption.map(_.toDouble).getOrElse(-1.0)
+      loadavgFields.headOption
+        .flatMap(f => scala.util.Try(f.toDouble).toOption).getOrElse(-1.0)
     // One timed standalone execution: (+ seconds on success, - on failure,
     // 1-min loadavg at measurement time).
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {

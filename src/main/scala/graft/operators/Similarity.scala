@@ -117,12 +117,20 @@ object Similarity {
     * is reproducible across reruns, engines, and any partitioning — no
     * RNG state anywhere.
     *
-    * Scale shape: anchors broadcast against one corpus scan (the knnExact
-    * economics — right when |anchors| is bounded per batch); the negative
-    * draw is the same scan with a per-(anchor, candidate) hash rank.
+    * Scale shape: ONE persisted corpus projection (scaled lanes + norms +
+    * bucket, computed once) feeds both the positive ranking and the
+    * negative draw against the broadcast anchor set; |anchors| is bounded
+    * per batch, so both are knnExact-economics scans of the cache. The
+    * positive is excluded from the negative draw even when it falls in a
+    * different bucket, so a triplet never degenerates to pos == neg.
     * `margin = cos_pos − cos_neg` rides along as the training-signal
     * diagnostic, exact because both cosines are the engine-portable
     * scaled-int dot products.
+    *
+    * An anchor with NO out-of-bucket candidate (tiny or fully homogeneous
+    * corpus) has no valid negative and is dropped from the output — the
+    * inner-join contract a training-pair generator wants (emitting a
+    * same-bucket "negative" would poison the batch).
     *
     * @return (q_id, pos_id, cos_pos, neg_id, cos_neg, margin)
     */
@@ -130,24 +138,32 @@ object Similarity {
                     maxQueryId: Long, bits: Int,
                     salt: String = "neg"): DataFrame = {
     import graft.functions.TextFunctions.hash28
-    val sv = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"),
-        signBucket(col(vecCol), bits).as("nbucket"))
-      .withColumn("nn", vnorm(col("nv")))
-    val anchors = emb.filter(col(idCol) < maxQueryId)
-      .select(col(idCol).as("q_id"), scaled(col(vecCol)).as("qv"),
-        signBucket(col(vecCol), bits).as("qbucket"))
-      .withColumn("qn", vnorm(col("qv")))
-    val pos = knnExact(emb, idCol, vecCol, maxQueryId, 1)
+    val sv = OperatorCaches.register(
+      emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"),
+          signBucket(col(vecCol), bits).as("nbucket"))
+        .withColumn("nn", vnorm(col("nv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val anchors = sv.filter(col("n_id") < maxQueryId)
+      .select(col("n_id").as("q_id"), col("nv").as("qv"),
+        col("nn").as("qn"), col("nbucket").as("qbucket"))
+    val cands = sv.join(broadcast(anchors), col("n_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")))
+    val posRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val pos = cands.withColumn("rn", row_number().over(posRank))
+      .filter(col("rn") === 1)
       .select(col("q_id"), col("n_id").as("pos_id"), col("cos").as("cos_pos"))
     val negRank = Window.partitionBy(col("q_id"))
       .orderBy(col("nh").asc, col("n_id").asc)
-    val neg = sv.join(broadcast(anchors), col("nbucket") =!= col("qbucket"))
+    val neg = cands.filter(col("nbucket") =!= col("qbucket"))
+      .join(broadcast(pos), "q_id")
+      .filter(col("n_id") =!= col("pos_id"))
       .withColumn("nh", hash28(concat(lit(salt), col("q_id").cast("string"),
         lit(":"), col("n_id").cast("string"))))
       .withColumn("rn", row_number().over(negRank))
       .filter(col("rn") === 1)
-      .select(col("q_id"), col("n_id").as("neg_id"),
-        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_neg"))
+      .select(col("q_id"), col("n_id").as("neg_id"), col("cos").as("cos_neg"))
     pos.join(neg, "q_id")
       .select(col("q_id"), col("pos_id"), col("cos_pos"),
         col("neg_id"), col("cos_neg"),

@@ -45,8 +45,9 @@ object Sketches {
     require(p >= 4 && p <= 28 - HllRankBits, s"p must be in [4, 12]: $p")
     val h = hash28(col(valueCol).cast("string"))
     val rankMod = 1L << HllRankBits
-    // bucket = p of the hash's HIGH bits (mod 2^p keeps exactly p bits for
-    // any p, not just the default 12); rank = the low 16 bits
+    // bucket = the LOW p bits of the hash's 12-bit high field (mod 2^p is
+    // a no-op at the default p = 12); rank = the low 16 bits. The q85
+    // oracle mirrors this exact (div, mod) pair.
     val bucket = pmod(floor(h.divide(lit(rankMod))).cast(LongType), lit(1L << p))
     val r = pmod(h, lit(rankMod))
     // rank of the 16-bit remainder: 17 - bit_length(r); bin(r) has no

@@ -59,7 +59,7 @@ object SketchQueries {
        |h AS (
        |  SELECT lang, ('0x'||substr(md5(tok),1,7))::BIGINT AS h FROM dv),
        |r AS (
-       |  SELECT lang, h // $rankMod AS bucket,
+       |  SELECT lang, (h // $rankMod) % $m AS bucket,
        |    CASE WHEN h % $rankMod = 0 THEN $maxRho
        |         ELSE $maxRho - length(bin(h % $rankMod)) END AS rho
        |  FROM h),

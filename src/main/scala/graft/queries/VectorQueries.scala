@@ -313,8 +313,7 @@ object VectorQueries {
     val joins = (1 until PqM)
       .map(s => s"JOIN s${s}a$PqIters j$s USING (vid)").mkString(" ")
     val cols = (0 until PqM)
-      .map(s => s"${if (s == 0) "j0" else s"j$s"}.cluster AS code$s, " +
-        s"${if (s == 0) "j0" else s"j$s"}.dist AS err$s").mkString(", ")
+      .map(s => s"j$s.cluster AS code$s, j$s.dist AS err$s").mkString(", ")
     s"""WITH sv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v
        |  FROM embeddings),
@@ -404,6 +403,7 @@ object VectorQueries {
        |      || CAST(e.vec_id AS VARCHAR)), 1, 7))::BIGINT AS nh
        |  FROM sv q JOIN sv e
        |    ON q.vec_id < $MaxQueryId AND e.bucket <> q.bucket
+       |  JOIN pos p ON p.q_id = q.vec_id AND e.vec_id <> p.pos_id
        |), neg AS (
        |  SELECT q_id, n_id AS neg_id, cos AS cos_neg FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id

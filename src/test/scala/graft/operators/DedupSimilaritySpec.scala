@@ -331,6 +331,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again == out.map(t => (t._1, t._4)).toSet)
   }
 
+  test("tripletMining: a cross-bucket hard positive is never drawn as the negative") {
+    // anchor 0's nearest neighbor (id 1, cos ~1) sits across the sign
+    // hyperplane — it IS the positive AND an out-of-bucket candidate; the
+    // only other out-of-bucket vector (id 3) must be the negative
+    val emb = Seq(
+      (0L, Array(0.001f, 10f)),   // anchor, bucket 1
+      (1L, Array(-0.001f, 10f)),  // near-identical, bucket 0 -> hard positive
+      (2L, Array(10f, 0.1f)),     // bucket 1, dissimilar
+      (3L, Array(-10f, 0.2f)))    // bucket 0, dissimilar
+      .toDF("vec_id", "embedding")
+    val out = Similarity.tripletMining(emb, "vec_id", "embedding",
+        maxQueryId = 1L, bits = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 3L)))
+  }
+
   test("knnLsh: only same-bucket candidates are scored") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),    // bucket 11
