@@ -89,4 +89,44 @@ object Temporal {
       .select(left.columns.map(c => col(s"__l.$c")) ++
         payloadCols.map(c => col(s"__m.$c")): _*)
   }
+
+  /** Ordered funnel: per user, the earliest stage-1 event, the earliest
+    * stage-2 event STRICTLY AFTER it, and so on — the standard product
+    * funnel (view → click → purchase) with progression enforced by event
+    * time, not mere presence.
+    *
+    * Scale shape: stage i is one filtered partial-agg `min(ts)` per user
+    * joined against stage i−1's (user, ts) frame — every step is a
+    * co-partitioned hash join + agg on the user key (AQE broadcasts the
+    * later, smaller stage frames), never a per-user window over the whole
+    * event stream. `stages.size` is small and static, so the chain is a
+    * fixed pipeline, not an iteration over data.
+    *
+    * @return long-form rows (userCol, stage_idx, stage, stage_ts,
+    *         prev_ts) for every reached stage; `prev_ts` is null at
+    *         stage 0 — the per-stage conversion lag is
+    *         `stage_ts − prev_ts`.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage required")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct: $stages")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("stage_ts"))
+      .select(col(userCol), lit(0).as("stage_idx"),
+        lit(stages.head).as("stage"), col("stage_ts"),
+        lit(null).cast(events.schema(tsCol).dataType).as("prev_ts"))
+    stages.zipWithIndex.tail
+      .scanLeft(first) { case (prev, (stage, i)) =>
+        events.filter(col(typeCol) === stage)
+          .join(prev.select(col(userCol), col("stage_ts").as("__pt")), userCol)
+          .filter(col(tsCol) > col("__pt"))
+          .groupBy(col(userCol))
+          .agg(min(col(tsCol)).as("stage_ts"), min(col("__pt")).as("prev_ts"))
+          .select(col(userCol), lit(i).as("stage_idx"), lit(stage).as("stage"),
+            col("stage_ts"), col("prev_ts"))
+      }
+      .reduce(_.union(_))
+  }
 }

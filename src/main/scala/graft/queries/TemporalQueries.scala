@@ -112,14 +112,57 @@ object TemporalQueries {
        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ── q91: ordered funnel (view → click → purchase) — time-ordered stage
+  // progression (each stage strictly after the user's previous stage),
+  // NOT mere event presence. Temporal.funnel's chain of co-partitioned
+  // min-agg joins; the presentation rolls the reached-stage rows up to
+  // per-stage user counts and the exact total conversion lag in µs. ──────
+  val FunnelStages = Seq("view", "click", "purchase")
+
+  val q91_funnel: Q = (s, d) => {
+    import s.implicits._
+    Temporal.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        FunnelStages)
+      .groupBy($"stage_idx", $"stage")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(unix_micros($"stage_ts") - unix_micros($"prev_ts"),
+          lit(0L))).as("total_lag_us"))
+      .orderBy($"stage_idx")
+  }
+  val q91_sql: String = {
+    val Seq(s0, s1, s2) = FunnelStages
+    s"""WITH f0 AS (
+       |  SELECT user_id, min(ts) AS t FROM events
+       |  WHERE event_type = '$s0' GROUP BY user_id),
+       |f1 AS (
+       |  SELECT e.user_id, min(e.ts) AS t, min(f0.t) AS pt
+       |  FROM events e JOIN f0 ON f0.user_id = e.user_id AND e.ts > f0.t
+       |  WHERE e.event_type = '$s1' GROUP BY e.user_id),
+       |f2 AS (
+       |  SELECT e.user_id, min(e.ts) AS t, min(f1.t) AS pt
+       |  FROM events e JOIN f1 ON f1.user_id = e.user_id AND e.ts > f1.t
+       |  WHERE e.event_type = '$s2' GROUP BY e.user_id)
+       |SELECT 0 AS stage_idx, '$s0' AS stage,
+       |  count(*) AS n_users, 0::BIGINT AS total_lag_us FROM f0
+       |UNION ALL
+       |SELECT 1, '$s1', count(*),
+       |  CAST(sum(epoch_us(t) - epoch_us(pt)) AS BIGINT) FROM f1
+       |UNION ALL
+       |SELECT 2, '$s2', count(*),
+       |  CAST(sum(epoch_us(t) - epoch_us(pt)) AS BIGINT) FROM f2
+       |ORDER BY stage_idx""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_sessionize" -> q61_sessionize,
     "q62_asof_join" -> q62_asof_join,
     "q70_zorder_scan" -> q70_zorder_scan,
+    "q91_funnel" -> q91_funnel,
   )
   val oracleSql: Map[String, String] = Map(
     "q61_sessionize" -> q61_sql,
     "q62_asof_join" -> q62_sql,
     "q70_zorder_scan" -> q70_sql,
+    "q91_funnel" -> q91_sql,
   )
 }

@@ -79,4 +79,40 @@ class TemporalSpec extends SparkSpec {
         "user_id", "ts", "ts", Seq("event_id"))
     }
   }
+
+  test("funnel: time-ordered progression, not event presence") {
+    def fevs(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "us", "event_type")
+        .select($"user_id", timestamp_micros($"us").as("ts"), $"event_type")
+    val events = fevs(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full
+      // user 2's only click PRECEDES the first view: presence of all three
+      // types must NOT count as conversion — stops at view
+      (2L, 5L, "click"), (2L, 10L, "view"), (2L, 20L, "purchase"),
+      (3L, 10L, "view"),                                            // view only
+      (4L, 50L, "purchase"))                                        // no view: unreached
+    val out = Temporal.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getTimestamp(4)).map(_ => r.getTimestamp(4).getTime)))
+    val byStage = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStage(0) == Set(1L, 2L, 3L)) // user 4 never views
+    assert(byStage(1) == Set(1L))         // only user 1 clicks after viewing
+    assert(byStage(2) == Set(1L))
+    // prev_ts: null at stage 0, populated later
+    assert(out.filter(_._2 == 0).forall(_._3.isEmpty))
+    assert(out.filter(_._2 > 0).forall(_._3.nonEmpty))
+    // strict ordering: a click AT the view instant does not advance
+    val tied = Temporal.funnel(
+      fevs((9L, 10L, "view"), (9L, 10L, "click")),
+      "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect().map(_.getInt(1))
+    assert(tied.toSeq == Seq(0))
+    intercept[IllegalArgumentException] {
+      Temporal.funnel(events, "user_id", "ts", "event_type", Seq())
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.funnel(events, "user_id", "ts", "event_type", Seq("a", "a"))
+    }
+  }
 }
