@@ -153,16 +153,53 @@ object TemporalQueries {
        |ORDER BY stage_idx""".stripMargin
   }
 
+  // ── q92: cohort retention — users grouped by first-seen week (the
+  // cohort), counted as retained in each later week they were active.
+  // Weeks are pure integer epoch-µs division (no date-function dialect
+  // risk); the shape is one per-user min-agg + one distinct-activity agg
+  // + a co-partitioned join — the warehouse-standard retention triangle,
+  // never a per-user window. ─────────────────────────────────────────────
+  private val WeekMicros = 7L * 86400L * 1000000L
+
+  val q92_cohort_retention: Q = (s, d) => {
+    import s.implicits._
+    // `div`, not `/`: Column./ is double division, and a ratio the double
+    // rounds UP across an integer boundary would truncate to the wrong
+    // week — integer div matches DuckDB's `//` exactly
+    val ev = Tables.events(s, d)
+      .select($"user_id",
+        expr(s"unix_micros(ts) div ${WeekMicros}L").as("week"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohorts, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+  val q92_sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // $WeekMicros AS week FROM events),
+       |cohorts AS (
+       |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+       |active AS (SELECT DISTINCT user_id, week FROM ev)
+       |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       |  count(DISTINCT a.user_id) AS n_users
+       |FROM active a JOIN cohorts c USING (user_id)
+       |GROUP BY c.cohort_week, week_offset
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_sessionize" -> q61_sessionize,
     "q62_asof_join" -> q62_asof_join,
     "q70_zorder_scan" -> q70_zorder_scan,
     "q91_funnel" -> q91_funnel,
+    "q92_cohort_retention" -> q92_cohort_retention,
   )
   val oracleSql: Map[String, String] = Map(
     "q61_sessionize" -> q61_sql,
     "q62_asof_join" -> q62_sql,
     "q70_zorder_scan" -> q70_sql,
     "q91_funnel" -> q91_sql,
+    "q92_cohort_retention" -> q92_sql,
   )
 }
