@@ -112,6 +112,10 @@ object Temporal {
     require(stages.nonEmpty, "at least one funnel stage required")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct: $stages")
+    Seq("stage_idx", "stage", "stage_ts", "prev_ts", "__pt").foreach { c =>
+      require(!events.columns.contains(c),
+        s"input already has a $c column (reserved for the funnel)")
+    }
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("stage_ts"))
       .select(col(userCol), lit(0).as("stage_idx"),

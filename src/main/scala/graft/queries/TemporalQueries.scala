@@ -129,27 +129,33 @@ object TemporalQueries {
           lit(0L))).as("total_lag_us"))
       .orderBy($"stage_idx")
   }
+  // generated from FunnelStages at ANY length; each branch carries
+  // HAVING count(*) > 0 so a stage nobody reaches emits NO row — matching
+  // the Spark side, whose groupBy simply has no rows for that stage (an
+  // ungrouped UNION branch would otherwise always emit (0, NULL))
   val q91_sql: String = {
-    val Seq(s0, s1, s2) = FunnelStages
-    s"""WITH f0 AS (
-       |  SELECT user_id, min(ts) AS t FROM events
-       |  WHERE event_type = '$s0' GROUP BY user_id),
-       |f1 AS (
-       |  SELECT e.user_id, min(e.ts) AS t, min(f0.t) AS pt
-       |  FROM events e JOIN f0 ON f0.user_id = e.user_id AND e.ts > f0.t
-       |  WHERE e.event_type = '$s1' GROUP BY e.user_id),
-       |f2 AS (
-       |  SELECT e.user_id, min(e.ts) AS t, min(f1.t) AS pt
-       |  FROM events e JOIN f1 ON f1.user_id = e.user_id AND e.ts > f1.t
-       |  WHERE e.event_type = '$s2' GROUP BY e.user_id)
-       |SELECT 0 AS stage_idx, '$s0' AS stage,
-       |  count(*) AS n_users, 0::BIGINT AS total_lag_us FROM f0
-       |UNION ALL
-       |SELECT 1, '$s1', count(*),
-       |  CAST(sum(epoch_us(t) - epoch_us(pt)) AS BIGINT) FROM f1
-       |UNION ALL
-       |SELECT 2, '$s2', count(*),
-       |  CAST(sum(epoch_us(t) - epoch_us(pt)) AS BIGINT) FROM f2
+    val first =
+      s"""f0 AS (
+         |  SELECT user_id, min(ts) AS t FROM events
+         |  WHERE event_type = '${FunnelStages.head}' GROUP BY user_id)""".stripMargin
+    val rest = FunnelStages.zipWithIndex.tail.map { case (st, i) =>
+      s"""f$i AS (
+         |  SELECT e.user_id, min(e.ts) AS t, min(f${i - 1}.t) AS pt
+         |  FROM events e JOIN f${i - 1} ON f${i - 1}.user_id = e.user_id
+         |    AND e.ts > f${i - 1}.t
+         |  WHERE e.event_type = '$st' GROUP BY e.user_id)""".stripMargin
+    }
+    val branches =
+      s"""SELECT 0 AS stage_idx, '${FunnelStages.head}' AS stage,
+         |  count(*) AS n_users, 0::BIGINT AS total_lag_us FROM f0
+         |HAVING count(*) > 0""".stripMargin +:
+        FunnelStages.zipWithIndex.tail.map { case (st, i) =>
+          s"""SELECT $i, '$st', count(*),
+             |  CAST(sum(epoch_us(t) - epoch_us(pt)) AS BIGINT) FROM f$i
+             |HAVING count(*) > 0""".stripMargin
+        }
+    s"""WITH ${(first +: rest).mkString(",\n")}
+       |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY stage_idx""".stripMargin
   }
 
@@ -171,9 +177,13 @@ object TemporalQueries {
         expr(s"unix_micros(ts) div ${WeekMicros}L").as("week"))
     val cohorts = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
     val active = ev.distinct()
+    // count(*), not countDistinct: `active` is already unique on
+    // (user_id, week) and cohort_week is functionally dependent on
+    // user_id, so each user appears once per group — a distinct aggregate
+    // would just add an expand + extra shuffle stage
     active.join(cohorts, "user_id")
       .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
-      .agg(countDistinct($"user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy($"cohort_week", $"week_offset")
   }
   val q92_sql: String =
