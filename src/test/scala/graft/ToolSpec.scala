@@ -86,6 +86,21 @@ class ToolSpec extends SparkSpec {
     assert(back == Set(("alpha", "5"), ("beta", "4")))
   }
 
+  test("CLI json output round-trips through the json source") {
+    val in = tmpDir("toolinJ")
+    Files.write(Paths.get(in, "l.txt"),
+      "alpha\nbeta\n".getBytes(StandardCharsets.UTF_8))
+    val out = tmpDir("tooloutJ") + "/json"
+    Tool.run(spark, Array("gather",
+      "--gatherer=graft.LineLengthGatherer",
+      s"--input=format=text file=$in",
+      s"--output=format=json file=$out"))
+    val back = graft.sources.Formats.read(spark,
+        s"format=json file=$out schema=key:STRING,value:STRING")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(back == Set(("alpha", "5"), ("beta", "4")))
+  }
+
   test("CLI map output writes sorted MapFiles supporting point gets") {
     val in = tmpDir("toolin4")
     Files.write(Paths.get(in, "l.txt"),
