@@ -395,6 +395,40 @@ object EngineProperties extends Properties("graft") {
         math.abs(out.map(_._4).sum - 1.0) < 1e-9
     }
 
+  property("funnel == plain-Scala ordered-progression model on arbitrary streams") =
+    forAll(Gen.listOfN(60, for {
+      user <- Gen.choose(1L, 5L)
+      us <- Gen.choose(0L, 40L)
+      tpe <- Gen.oneOf("view", "click", "purchase", "noise")
+    } yield (user, us, tpe))) { rows =>
+      import graft.operators.Temporal
+      val stages = Seq("view", "click", "purchase")
+      val df = rows.toDF("user_id", "us", "event_type")
+        .select($"user_id", timestamp_micros($"us").as("ts"), $"event_type")
+      // unix_micros, NOT Timestamp.getTime: the generated timestamps are
+      // sub-millisecond apart and getTime floors to millis
+      val got = Temporal.funnel(df, "user_id", "ts", "event_type", stages)
+        .select($"user_id", $"stage_idx", expr("unix_micros(stage_ts)").as("m"))
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      // model: walk each user's events; stage i's time is the min ts of
+      // that type strictly after stage i-1's time
+      val want = rows.groupBy(_._1).flatMap { case (user, evs) =>
+        stages.zipWithIndex.foldLeft(Seq.empty[((Long, Int), Long)]) {
+          case (acc, (st, i)) =>
+            val floor = if (i == 0) Long.MinValue
+              else acc.lastOption.filter(_._1._2 == i - 1).map(_._2)
+                .getOrElse(Long.MaxValue)
+            if (floor == Long.MaxValue) acc
+            else {
+              val ts = evs.filter(e => e._3 == st &&
+                (i == 0 || e._2 > floor)).map(_._2)
+              if (ts.isEmpty) acc else acc :+ (((user, i), ts.min))
+            }
+        }
+      }
+      got == want
+    }
+
   property("int8 quantization: codes bounded, error < amax, zero-safe") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-4.0f, 4.0f)),
            Gen.oneOf(true, false)) { (lanes, zero) =>

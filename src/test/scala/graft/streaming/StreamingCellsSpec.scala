@@ -261,6 +261,34 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: counter grid maintains incrementally; final state = batch grid") {
+    // cmsCounters is a bounded groupBy(row, pos).count — a legal streaming
+    // agg in Update mode with d×w max state: the live heavy-hitter monitor
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, max}
+    val input = MemoryStream[String]
+    val q = graft.operators.Sketches
+      .cmsCounters(input.toDS().toDF("item"), "item", d = 2, w = 64)
+      .writeStream.format("memory").queryName("cms_grid")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((0 until 300).map(i => s"t${i % 30}"): _*)
+      q.processAllAvailable()
+      input.addData((0 until 200).map(i => s"t${i % 20}"): _*)
+      q.processAllAvailable()
+      // latest count per cell (Update mode re-emits a cell on each change)
+      val streamed = spark.table("cms_grid")
+        .groupBy(col("row"), col("pos")).agg(max(col("cnt")).as("cnt"))
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      val batch = graft.operators.Sketches
+        .cmsCounters(((0 until 300).map(i => s"t${i % 30}") ++
+          (0 until 200).map(i => s"t${i % 20}")).toDF("item"), "item", 2, 64)
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming HLL: registers maintain incrementally; final state = batch sketch") {
     // hllRegisters is a commutative groupBy/max — legal as a streaming agg
     // in Update mode: the 100 TB "distinct users so far" dashboard pattern
