@@ -413,6 +413,43 @@ object VectorQueries {
        |  p.cos_pos - n.cos_neg AS margin
        |FROM pos p JOIN neg n USING (q_id) ORDER BY q_id""".stripMargin
 
+  // ── q93: per-lane min-max feature scaling — the preprocessing
+  // normalization pass before clustering/quantization. Lane statistics
+  // are a 64-row aggregate (posexplode → groupBy(pos), partial-agg'd)
+  // broadcast back over the scan; the normalized value is quantized to
+  // [0, 2^20] via integer division, so every output is exact int64 and
+  // the per-vector checksums hash-compare. Constant lanes (hi == lo)
+  // normalize to 0 by convention in both engines. ────────────────────────
+  val q93_feature_scale: Q = (s, d) => {
+    import s.implicits._
+    val sv = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode(scaled($"embedding")).as(Seq("pos", "x")))
+    val stats = sv.groupBy($"pos").agg(min($"x").as("lo"), max($"x").as("hi"))
+    sv.join(broadcast(stats), "pos")
+      .withColumn("nv", when($"hi" === $"lo", lit(0L))
+        .otherwise(expr(s"((x - lo) * ${1L << 20}L) div (hi - lo)")))
+      .groupBy($"vec_id")
+      .agg(sum($"nv").as("nsum"), min($"nv").as("nmin"), max($"nv").as("nmax"))
+      .orderBy($"vec_id")
+  }
+  lazy val q93_sql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, ${sqlScaled("embedding")} AS v FROM embeddings),
+       |lanes AS (
+       |  SELECT vec_id, CAST(p.pos AS INT) AS pos,
+       |    list_extract(v, CAST(p.pos AS INT) + 1) AS x
+       |  FROM sv, range($Dim) p(pos)),
+       |stats AS (
+       |  SELECT pos, min(x) AS lo, max(x) AS hi FROM lanes GROUP BY pos),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN hi = lo THEN 0
+       |         ELSE ((x - lo) * ${1L << 20}) // (hi - lo) END AS nv
+       |  FROM lanes JOIN stats USING (pos))
+       |SELECT vec_id, CAST(sum(nv) AS BIGINT) AS nsum,
+       |  min(nv) AS nmin, max(nv) AS nmax
+       |FROM n GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
@@ -424,6 +461,7 @@ object VectorQueries {
     "q88_pq_codes" -> q88_pq_codes,
     "q89_pq_search" -> q89_pq_search,
     "q90_triplets" -> q90_triplets,
+    "q93_feature_scale" -> q93_feature_scale,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -436,5 +474,6 @@ object VectorQueries {
     "q88_pq_codes" -> q88_sql,
     "q89_pq_search" -> q89_sql,
     "q90_triplets" -> q90_sql,
+    "q93_feature_scale" -> q93_sql,
   )
 }
