@@ -420,6 +420,11 @@ object VectorQueries {
   // [0, 2^20] via integer division, so every output is exact int64 and
   // the per-vector checksums hash-compare. Constant lanes (hi == lo)
   // normalize to 0 by convention in both engines. ────────────────────────
+  /** q93 quantization width (normalized range is [0, NormScale]) — one
+    * constant shared by the Spark expr and the oracle SQL so the two can
+    * never drift. */
+  val NormScale = 1L << 20
+
   val q93_feature_scale: Q = (s, d) => {
     import s.implicits._
     val sv = Tables.embeddings(s, d)
@@ -427,7 +432,7 @@ object VectorQueries {
     val stats = sv.groupBy($"pos").agg(min($"x").as("lo"), max($"x").as("hi"))
     sv.join(broadcast(stats), "pos")
       .withColumn("nv", when($"hi" === $"lo", lit(0L))
-        .otherwise(expr(s"((x - lo) * ${1L << 20}L) div (hi - lo)")))
+        .otherwise(expr(s"((x - lo) * ${NormScale}L) div (hi - lo)")))
       .groupBy($"vec_id")
       .agg(sum($"nv").as("nsum"), min($"nv").as("nmin"), max($"nv").as("nmax"))
       .orderBy($"vec_id")
@@ -444,7 +449,7 @@ object VectorQueries {
        |n AS (
        |  SELECT vec_id,
        |    CASE WHEN hi = lo THEN 0
-       |         ELSE ((x - lo) * ${1L << 20}) // (hi - lo) END AS nv
+       |         ELSE ((x - lo) * $NormScale) // (hi - lo) END AS nv
        |  FROM lanes JOIN stats USING (pos))
        |SELECT vec_id, CAST(sum(nv) AS BIGINT) AS nsum,
        |  min(nv) AS nmin, max(nv) AS nmax
