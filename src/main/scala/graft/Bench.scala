@@ -113,14 +113,31 @@ object Bench {
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // per-query 1-min loadavg at the moment the reported (min) timing was
-    // taken: uniform inflation + high loadavg = box contention, not code
-    val loads = results.map { case (k, (_, la)) =>
-      "\"" + k + "\":" + math.rint(la * 100) / 100 }.mkString("{", ",", "}")
+    // Loadavg is summarized (max + mean over per-query 1-min samples), not
+    // emitted per query: 93 per-query load entries once pushed the timings
+    // map out of the driver's ~2KB tail capture window, so readers saw load
+    // averages where they expected seconds (BENCH_r08). High max/mean here
+    // still signals box contention; per-query samples carried no extra info
+    // (they move on a 1-minute clock, so neighbors are identical anyway).
+    val las = results.map(_._2._2).filter(_ >= 0)
+    val loadMax = if (las.isEmpty) -1.0 else math.rint(las.max * 100) / 100
+    val loadMean =
+      if (las.isEmpty) -1.0 else math.rint(las.sum / las.size * 100) / 100
     val total = results.map(_._2._1.abs).sum
     val loadavg = loadavgFields.take(3).mkString(",")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"retimed":$retimedJson,"load":$loads,"loadavg":"$loadavg"}""")
+    // "queries" is deliberately the LAST field: the driver records only the
+    // final ~2KB of stdout, so the timings map must sit at the end of the
+    // line to survive truncation no matter how many queries exist.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"retimed":$retimedJson,"loadavg":"$loadavg","load_max":$loadMax,"load_mean":$loadMean,"queries":$qs}"""
+    println(line)
+    // Belt-and-braces: the same line as a file artifact, immune to stdout
+    // interleaving/truncation entirely.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
