@@ -34,7 +34,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev knob mirroring Bench's: SPARK_GRAFT_ONLY=q94_ivfpq_search,...
+    // verifies a subset (both the result dumps and the emitted oracle
+    // json, so scripts/check.py sees a consistent pair). The driver never
+    // sets it — the full contract is the default.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val bad = names.diff(SparkEntry.queries.keySet)
+      require(bad.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${bad.mkString(", ")}")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // repartition(1) (not coalesce): single output file for the driver,
       // but upstream stages keep their parallelism — coalesce(1) would
       // collapse the whole query into one task.
@@ -63,6 +75,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

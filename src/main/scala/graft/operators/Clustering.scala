@@ -42,6 +42,24 @@ import graft.functions.VectorFunctions.scaled
   */
 object Clustering {
 
+  /** A fitted k-means run: the final centroid lanes and the assignment
+    * that produced them, from ONE Lloyd execution. Callers needing both
+    * (cluster populations + per-row membership — e.g. joining clusters
+    * back onto the corpus) should fit once and read both fields rather
+    * than calling [[kmeansLanes]] and [[kmeansAssign]] separately, which
+    * would rerun the full iteration (including its per-round driver
+    * collects) twice. */
+  final case class KmeansModel(lanes: DataFrame, assign: DataFrame)
+
+  /** One Lloyd run returning BOTH surfaces — see [[KmeansModel]].
+    * `lanes` rows are `(cluster, pos, cval, n)`; `assign` rows are
+    * `(vid, cluster, dist)` with `dist` the exact int64 squared L2. */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int, salt: String = "kmeans"): KmeansModel = {
+    val (lanes, assigned) = lloyd(emb, idCol, vecCol, k, iters, salt)
+    KmeansModel(lanes, assigned.select(col("vid"), col("cluster"), col("dist")))
+  }
+
   /** Run `iters` full Lloyd rounds (assign → update) and return the final
     * centroid LANES — one scalar row `(cluster, pos, cval, n)` per
     * centroid dimension, plus the cluster's population `n` (scalar-only
@@ -50,7 +68,7 @@ object Clustering {
     * rows simply disappear, exactly like the relational formulation). */
   def kmeansLanes(emb: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int, salt: String = "kmeans"): DataFrame =
-    lloyd(emb, idCol, vecCol, k, iters, salt)._1
+    kmeansFit(emb, idCol, vecCol, k, iters, salt).lanes
 
   /** The final iteration's assignment as rows `(vid, cluster, dist)` —
     * for joining the clustering back onto the corpus (`dist` is the exact
@@ -61,8 +79,7 @@ object Clustering {
     * lanes' `n`. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, salt: String = "kmeans"): DataFrame =
-    lloyd(emb, idCol, vecCol, k, iters, salt)._2
-      .select(col("vid"), col("cluster"), col("dist"))
+    kmeansFit(emb, idCol, vecCol, k, iters, salt).assign
 
   /** Product-quantization codes: split each `dim`-lane vector into `m`
     * contiguous subvectors, k-means each subspace independently
@@ -82,17 +99,60 @@ object Clustering {
     * per-subspace quantization error an oracle replays bit-for-bit. */
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
               m: Int, k: Int, iters: Int,
-              salt: String = "pq"): DataFrame = {
+              salt: String = "pq"): DataFrame =
+    pqModels(emb, idCol, vecCol, dim, m, k, iters, salt).map { case (s, mod) =>
+      mod.assign.select(col("vid"), col("cluster").as(s"code$s"),
+        col("dist").as(s"err$s"))
+    }.reduce(_.join(_, "vid"))
+
+  /** One [[kmeansFit]] per PQ subspace (subvector s spans lanes
+    * [s·dim/m, (s+1)·dim/m)) — the shared training step behind
+    * [[pqCodes]], [[pqSearch]] and [[ivfPqSearch]]. Each subspace is
+    * fitted exactly once per call; both the codebook lanes and the code
+    * assignment come from that single run. */
+  private def pqModels(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, k: Int, iters: Int,
+                       salt: String): Seq[(Int, KmeansModel)] = {
     require(m > 0 && dim > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim m=$m")
     val sub = dim / m
     (0 until m).map { s =>
       val sdf = emb.select(col(idCol),
         slice(col(vecCol), s * sub + 1, sub).as("__sub"))
-      kmeansAssign(sdf, idCol, "__sub", k, iters, s"$salt$s")
-        .select(col("vid"), col("cluster").as(s"code$s"),
-          col("dist").as(s"err$s"))
-    }.reduce(_.join(_, "vid"))
+      (s, kmeansFit(sdf, idCol, "__sub", k, iters, s"$salt$s"))
+    }
+  }
+
+  /** Long-form PQ index `(n_id, s, code)` — m small rows per vector, the
+    * compressed corpus every ADC variant scans instead of raw floats. */
+  private def pqCodesLong(models: Seq[(Int, KmeansModel)]): DataFrame =
+    models.map { case (s, mod) =>
+      mod.assign.select(col("vid").as("n_id"), lit(s).as("s"),
+        col("cluster").as("code"))
+    }.reduce(_.union(_))
+
+  /** Long-form PQ codebooks `(s, code, pos, cval)`. */
+  private def pqLanesLong(models: Seq[(Int, KmeansModel)]): DataFrame =
+    models.map { case (s, mod) =>
+      mod.lanes.select(lit(s).as("s"), col("cluster").as("code"), col("pos"),
+        col("cval"))
+    }.reduce(_.union(_))
+
+  /** Per-query ADC distance tables `(q_id, s, code, dval)` — m·k integer
+    * entries per query (Σ over subspace lanes of (query − centroid)²),
+    * tiny by construction, always broadcast at the probe join. */
+  private def pqDistTables(emb: DataFrame, idCol: String, vecCol: String,
+                           sub: Int, lanes: DataFrame,
+                           maxQueryId: Long): DataFrame = {
+    val qLanes = emb.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).cast(LongType).as("q_id"),
+        posexplode(scaled(col(vecCol))).as(Seq("qpos", "qv")))
+      .withColumn("s", (col("qpos") / sub).cast("int"))
+      .withColumn("pos", col("qpos") % sub)
+    qLanes.join(broadcast(lanes), Seq("s", "pos"))
+      .groupBy(col("q_id"), col("s"), col("code"))
+      .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval")))
+        .as("dval"))
   }
 
   /** `iters` Lloyd rounds; returns (final centroid lanes, the assignment
@@ -155,35 +215,11 @@ object Clustering {
                m: Int, k: Int, iters: Int, maxQueryId: Long, topK: Int,
                salt: String = "pq"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(m > 0 && dim > 0 && dim % m == 0,
-      s"m must divide dim: dim=$dim m=$m")
     require(topK > 0, s"topK must be positive: $topK")
-    val sub = dim / m
-    val runs = (0 until m).map { s =>
-      val sdf = emb.select(col(idCol),
-        slice(col(vecCol), s * sub + 1, sub).as("__sub"))
-      (s, lloyd(sdf, idCol, "__sub", k, iters, s"$salt$s"))
-    }
-    // corpus index: (n_id, s, code) — m rows per vector
-    val codes = runs.map { case (s, (_, assigned)) =>
-      assigned.select(col("vid").as("n_id"), lit(s).as("s"),
-        col("cluster").as("code"))
-    }.reduce(_.union(_))
-    // codebooks in lane form: (s, code, pos, cval)
-    val lanes = runs.map { case (s, (l, _)) =>
-      l.select(lit(s).as("s"), col("cluster").as("code"), col("pos"),
-        col("cval"))
-    }.reduce(_.union(_))
-    // per-query subspace distance tables: m·k rows per query
-    val qLanes = emb.filter(col(idCol) < maxQueryId)
-      .select(col(idCol).cast(LongType).as("q_id"),
-        posexplode(scaled(col(vecCol))).as(Seq("qpos", "qv")))
-      .withColumn("s", (col("qpos") / sub).cast("int"))
-      .withColumn("pos", col("qpos") % sub)
-    val dtab = qLanes.join(broadcast(lanes), Seq("s", "pos"))
-      .groupBy(col("q_id"), col("s"), col("code"))
-      .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval")))
-        .as("dval"))
+    val models = pqModels(emb, idCol, vecCol, dim, m, k, iters, salt)
+    val codes = pqCodesLong(models)
+    val lanes = pqLanesLong(models)
+    val dtab = pqDistTables(emb, idCol, vecCol, dim / m, lanes, maxQueryId)
     val scored = codes.join(broadcast(dtab), Seq("s", "code"))
       .filter(col("n_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("n_id"))
@@ -195,6 +231,85 @@ object Clustering {
       .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
   }
 
+  /** IVF×PQ — the composed sublinear ANN index (the FAISS IVFPQ shape):
+    * a coarse quantizer (deterministic IVF centroids = vectors with
+    * id < numCentroids, cosine-assigned — exactly [[Similarity.knnIvf]]'s
+    * structure) partitions the corpus into inverted lists, PQ compresses
+    * every vector to m codes, and a query ADC-ranks ONLY the codes in its
+    * `nprobe` probed cells — per-query cost ≈ nprobe/numCentroids of the
+    * corpus instead of all of it (the documented exhaustive-scan caveat
+    * of [[pqSearch]], fixed by composition).
+    *
+    * Plan shape at 100 TB: the compressed index `(c_id, n_id, s, code)`
+    * is built with one shuffle (codes co-partitioned on n_id from the PQ
+    * joins, then keyed by cell); probes (queries × nprobe rows) and the
+    * per-query distance tables (queries × m·k rows) are both broadcast;
+    * scoring is a partial-aggregated integer sum per (query, candidate).
+    * Nothing driver-side grows with the corpus — only with k·dim
+    * (centroids) and |queries|·m·k (tables).
+    *
+    * Everything is deterministic int64 math (ties → smaller id at every
+    * ranking step), so an oracle replays the full index: coarse
+    * assignment, probing, codes, and the ADC ranking itself.
+    *
+    * @return (q_id, rank, n_id, adist) — topK per query, self excluded;
+    *         queries whose probed cells hold < topK candidates emit
+    *         fewer rows (the honest IVF recall contract)
+    */
+  def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, k: Int, iters: Int, numCentroids: Int,
+                  nprobe: Int, maxQueryId: Long, topK: Int,
+                  salt: String = "pq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, s"topK must be positive: $topK")
+    val models = pqModels(emb, idCol, vecCol, dim, m, k, iters, salt)
+    val dtab = pqDistTables(emb, idCol, vecCol, dim / m,
+      pqLanesLong(models), maxQueryId)
+    val cand = ivfPqCandidates(emb, idCol, vecCol, numCentroids, nprobe,
+      maxQueryId)
+    // Fetch each candidate's m codes (co-partitioned join on n_id), look
+    // up the broadcast tables, and fold to one integer distance per pair.
+    val scored = cand.join(pqCodesLong(models), Seq("n_id"))
+      .join(broadcast(dtab), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dval")).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
+  }
+
+  /** The IVF candidate set behind [[ivfPqSearch]]: `(q_id, n_id, c_id)` —
+    * each query paired with exactly the corpus vectors in its nprobe
+    * probed cells (self excluded; each pair appears once because a vector
+    * lives in one cell and a query's probe list is distinct). Public so
+    * tests can assert the sublinearity contract: |candidates| ≪
+    * |corpus| × |queries| whenever nprobe ≪ numCentroids. */
+  def ivfPqCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                      numCentroids: Int, nprobe: Int,
+                      maxQueryId: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    import graft.functions.VectorFunctions.vnorm
+    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    val cents = Similarity.centroidSet(
+      emb.filter(col(idCol) < numCentroids), idCol, vecCol)
+    def nearest(v: Column, nn: Column, n: Int): Column =
+      columnOf(graft.plans.NearestCentroids(
+        expressionOf(v), expressionOf(nn), cents, n))
+    val sv = emb.select(col(idCol).cast(LongType).as("n_id"),
+        scaled(col(vecCol)).as("nv"))
+      .withColumn("nn", vnorm(col("nv")))
+    val assigned = sv.select(col("n_id"),
+      element_at(nearest(col("nv"), col("nn"), 1), 1).as("c_id"))
+    val probes = sv.filter(col("n_id") < maxQueryId)
+      .select(col("n_id").as("q_id"),
+        explode(nearest(col("nv"), col("nn"), nprobe)).as("c_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("c_id"))
+  }
+
   /** Nearest centroid per row: k codegen'd integer array folds against
     * literal centroid lanes; strict-< fold keeps the SMALLEST index on
     * distance ties. Emits `cluster` and the winning exact squared
@@ -202,6 +317,14 @@ object Clustering {
   private def assignClusters(sv: DataFrame,
                              centroids: Seq[(Int, Seq[Long])]): DataFrame = {
     require(centroids.nonEmpty, "all clusters became empty")
+    val dim = centroids.head._2.length
+    // Ragged-input guard: zip_with against a shorter/longer vector yields
+    // null lanes, which would silently park the row in cluster 0 instead
+    // of failing. assert_true returns NULL on pass (isNull keeps the
+    // check in the plan as a filter Catalyst cannot prune).
+    val checked = sv.filter(assert_true(size(col("v")) === lit(dim),
+      concat(lit(s"ragged embedding: expected $dim lanes, got "),
+        size(col("v")).cast("string"))).isNull)
     def dist(cv: Seq[Long]): Column =
       aggregate(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
@@ -212,7 +335,7 @@ object Clustering {
         when(d < acc.getField("d"), struct(d.as("d"), lit(ci).as("c")))
           .otherwise(acc)
     }
-    sv.withColumn("__best", best)
+    checked.withColumn("__best", best)
       .withColumn("cluster", col("__best.c"))
       .withColumn("dist", col("__best.d"))
       .drop("__best")

@@ -370,6 +370,78 @@ object VectorQueries {
        |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ── q94: IVF×PQ composed ANN — the sublinear index: q45's coarse
+  // quantizer (corpus-scaled deterministic centroids, cosine cells)
+  // prunes the corpus to each query's nprobe probed cells, and q89's ADC
+  // tables rank ONLY those cells' PQ codes. Per-query scored rows ≈
+  // n·nprobe/numCentroids instead of n — the FAISS IVFPQ shape, fully
+  // integer-deterministic, so the oracle replays coarse assignment,
+  // probing, both subspace clusterings, and the pruned ADC ranking. ──────
+  val q94_ivfpq_search: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Clustering
+      .ivfPqSearch(Tables.embeddings(s, d), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << corpusBits(s, d), IvfNprobe,
+        MaxQueryId, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q94_sql: String = {
+    def cos(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, Dim)
+    val sub = Dim / PqM
+    val chains = (0 until PqM)
+      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK, PqIters, s"pq$s"))
+      .mkString(",\n")
+    val codes = (0 until PqM)
+      .map(s => s"SELECT vid AS n_id, $s AS s, cluster AS code FROM s${s}a$PqIters")
+      .mkString(" UNION ALL ")
+    val lanes = (0 until PqM)
+      .map(s => s"SELECT $s AS s, cluster AS code, pos, cval FROM s${s}c$PqIters")
+      .mkString(" UNION ALL ")
+    val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
+    s"""WITH $sqlParams, sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings),
+       |$chains,
+       |cent AS (
+       |  SELECT vid AS c_id, v AS cv, nrm AS cn FROM sv, params p
+       |  WHERE vid < (1::BIGINT << p.bits)
+       |), assigned AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT s.vid AS n_id, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vid
+       |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM sv s CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vid AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM sv q CROSS JOIN cent c WHERE q.vid < $MaxQueryId)
+       |  WHERE rn <= $IvfNprobe
+       |), cand AS (
+       |  SELECT p.q_id, a.n_id FROM probes p
+       |  JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |), codes AS ($codes),
+       |lanes AS ($lanes),
+       |dt AS (
+       |  SELECT q.vid AS q_id, l.s, l.code,
+       |    CAST(sum(($qlane - l.cval) * ($qlane - l.cval)) AS BIGINT) AS dval
+       |  FROM sv q, lanes l WHERE q.vid < $MaxQueryId
+       |  GROUP BY q_id, l.s, l.code),
+       |ad AS (
+       |  SELECT x.q_id, x.n_id, CAST(sum(d.dval) AS BIGINT) AS adist
+       |  FROM cand x JOIN codes c ON c.n_id = x.n_id
+       |  JOIN dt d ON d.q_id = x.q_id AND d.s = c.s AND d.code = c.code
+       |  GROUP BY x.q_id, x.n_id)
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, n_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ── q90: contrastive triplet mining — anchors (vec_id < 10) paired
   // with their exact top-1 neighbor (hard positive) and a deterministic
   // hash-drawn OUT-OF-BUCKET negative (reproducible "random" sampling, no
@@ -467,6 +539,7 @@ object VectorQueries {
     "q89_pq_search" -> q89_pq_search,
     "q90_triplets" -> q90_triplets,
     "q93_feature_scale" -> q93_feature_scale,
+    "q94_ivfpq_search" -> q94_ivfpq_search,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -480,5 +553,6 @@ object VectorQueries {
     "q89_pq_search" -> q89_sql,
     "q90_triplets" -> q90_sql,
     "q93_feature_scale" -> q93_sql,
+    "q94_ivfpq_search" -> q94_sql,
   )
 }

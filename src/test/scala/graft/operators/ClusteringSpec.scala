@@ -97,6 +97,76 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqCandidates prunes: scored pairs well below corpus x queries") {
+    // 6 centroids (2 per blob), nprobe=1: each query scores only its own
+    // cell — the sublinearity contract the composed index exists for.
+    val cand = Clustering.ivfPqCandidates(blobs, "vec_id", "embedding",
+        numCentroids = 6, nprobe = 1, maxQueryId = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val corpus = 30
+    val queries = 3
+    assert(cand.nonEmpty)
+    assert(cand.length < corpus * queries / 2,
+      s"candidates ${cand.length} not sublinear vs ${corpus * queries}")
+    // each (q, n) at most once (vector lives in ONE cell), never self
+    assert(cand.distinct.length == cand.length)
+    assert(cand.forall(t => t._1 != t._2))
+  }
+
+  test("ivfPqSearch: same-blob retrieval; ADC distances agree with pqSearch") {
+    val ivfpq = Clustering.ivfPqSearch(blobs, "vec_id", "embedding",
+        dim = 4, m = 2, k = 3, iters = 2, numCentroids = 6, nprobe = 1,
+        maxQueryId = 3L, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(ivfpq.nonEmpty)
+    assert(ivfpq.forall(t => t._1 != t._3))
+    // ranks dense from 1 within each query
+    ivfpq.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length))
+    }
+    // cosine cells align with the orthogonal blobs: neighbors share blob
+    ivfpq.foreach { case (q, _, n, _) =>
+      assert(n % 3 == q % 3, s"query $q got cross-blob neighbor $n")
+    }
+    // pruning changes WHICH pairs are scored, never the ADC distance of a
+    // scored pair: every (q, n) the pruned index returns must carry the
+    // exact adist the exhaustive pqSearch computes
+    val exhaustive = Clustering.pqSearch(blobs, "vec_id", "embedding",
+        4, 2, 3, 2, maxQueryId = 3L, topK = 30)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    ivfpq.foreach { case (q, _, n, adist) =>
+      assert(exhaustive.get((q, n)).contains(adist),
+        s"($q,$n) adist $adist != exhaustive ${exhaustive.get((q, n))}")
+    }
+  }
+
+  test("kmeansFit returns both surfaces from one run, matching the split APIs") {
+    val model = Clustering.kmeansFit(blobs, "vec_id", "embedding", 3, 2)
+    val lanes = model.lanes.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val assign = model.assign.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val soloLanes = Clustering.kmeansLanes(blobs, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val soloAssign = Clustering.kmeansAssign(blobs, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(lanes == soloLanes && assign == soloAssign)
+  }
+
+  test("ragged embedding vectors fail loudly instead of defaulting to cluster 0") {
+    val ragged = Seq(
+      (0L, Seq(10f, 0f, 0f, 0f)), (1L, Seq(0f, 10f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 10f)) // 3 lanes in a 4-lane corpus
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val e = intercept[Exception] {
+      Clustering.kmeansAssign(ragged, "vec_id", "embedding", 2, 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("ragged embedding")), e.getMessage)
+  }
+
   test("k or iters <= 0 refused; k > corpus degrades to occupied clusters only") {
     intercept[IllegalArgumentException] {
       Clustering.kmeansLanes(blobs, "vec_id", "embedding", 0, 1)
