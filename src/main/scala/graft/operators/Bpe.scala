@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair-encoding tokenizer: vocabulary induction (the
+  * iterative pair-merge trainer) and corpus encoding, the token-counting
+  * backbone a training-data pipeline needs before budget selection
+  * (q82) and sequence packing (q68/q76) mean anything.
+  *
+  * Trains on DISTINCT WORDS weighted by corpus frequency — the classic
+  * BPE-trainer shape (Sennrich et al. 2016): the token state is bounded
+  * by |vocabulary| × word length, NOT corpus size, so a 100 TB corpus
+  * trains over the same tiny table as a 100 GB one once word counts are
+  * aggregated (one shuffle). Every merge round is:
+  *
+  *  1. adjacent-pair counts: one `lead` window + a partial-aggregated
+  *     groupBy over the token table, freq-weighted (overlapping pairs
+  *     count, as in the reference trainer);
+  *  2. argmax pair, ties → lexicographically smallest (lhs, rhs) — ONE
+  *     collected row per round (bounded driver state, the same pattern
+  *     as [[Clustering]]'s lloyd);
+  *  3. leftmost-nonoverlapping merge application via the run-parity
+  *     rule: among maximal runs of consecutive candidate positions
+  *     (only possible when lhs == rhs), every odd-indexed candidate
+  *     merges — exactly the sequential left-to-right greedy result,
+  *     computed with windows instead of a sequential scan.
+  *
+  * All windows partition by `word` (or (word, grp)) — nothing global,
+  * nothing skewed: the widest partition is the longest word. Everything
+  * is integer/string-deterministic, so a SQL oracle replays induction
+  * and encoding bit-for-bit.
+  *
+  * The reference has no tokenizer (its gatherers count whitespace
+  * tokens; see KM/lib/examples in kiji-mapreduce for the word-count
+  * shape); this is LLM-pipeline capability upside per the charter.
+  */
+object Bpe {
+
+  /** One induced merge: at `step`, (lhs, rhs) → lhs+rhs, with the
+    * freq-weighted adjacent-pair count that won the argmax. */
+  final case class Merge(step: Int, lhs: String, rhs: String, cnt: Long)
+
+  /** Per-occurrence words of a document corpus: lowercased, split on
+    * runs of non-alphanumerics, empties dropped. (doc_id, word) rows —
+    * the corpus side q96-style encodes join back onto. */
+  def docWords(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** Distinct words with corpus frequency — the weighted training set. */
+  def wordFreq(docWords: DataFrame): DataFrame =
+    docWords.groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial token state: every distinct word exploded to single
+    * characters, (word, pos, tok). */
+  def charTokens(wordFreq: DataFrame): DataFrame =
+    wordFreq.select(col("word"),
+      posexplode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("pos", "tok")))
+
+  /** Induce `merges` BPE merges over the weighted word set; returns the
+    * merge list and the final token table `(word, pos, tok)` (the
+    * training corpus's own encoding under the induced vocabulary).
+    * Stops early if the token table runs out of adjacent pairs (every
+    * word collapsed to one token). */
+  def train(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) = {
+    require(merges > 0, s"merges must be positive: $merges")
+    val wWord = Window.partitionBy("word").orderBy("pos")
+    val freqs = wordFreq.select(col("word"), col("freq"))
+    var toks = OperatorCaches.register(charTokens(wordFreq).persist())
+    val induced = scala.collection.mutable.ListBuffer.empty[Merge]
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val withNext = toks.withColumn("ntok", lead(col("tok"), 1).over(wWord))
+      // Equi-join on word — the token table is already hashed on word
+      // from its windows, and AQE broadcasts freqs when it is small;
+      // no hint, so a 10M-word vocabulary doesn't blow the broadcast cap.
+      val top = withNext.filter(col("ntok").isNotNull)
+        .join(freqs, "word")
+        .groupBy(col("tok").as("lhs"), col("ntok").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        induced += Merge(step, l, r, c)
+        // Run-parity merge application (see object doc, rule 3): runs of
+        // consecutive candidates share grp = pos - runningCandCount;
+        // odd row_number within a run merges, its right half drops.
+        val flagged = withNext
+          .withColumn("cand",
+            (col("tok") === lit(l) && col("ntok") === lit(r)).cast("int"))
+          .withColumn("grp", when(col("cand") === 1, col("pos") -
+            sum(col("cand")).over(wWord.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow))))
+        val wGrp = Window.partitionBy("word", "grp").orderBy("pos")
+        val accepted = flagged.withColumn("acc",
+          (col("cand") === 1 && row_number().over(wGrp) % 2 === 1).cast("int"))
+        val next = accepted
+          .withColumn("pacc", lag(col("acc"), 1).over(wWord))
+          .filter(col("pacc").isNull || col("pacc") === 0)
+          .select(col("word"),
+            (row_number().over(wWord) - 1).as("pos"),
+            when(col("acc") === 1, concat(col("tok"), col("ntok")))
+              .otherwise(col("tok")).as("tok"))
+        val p = OperatorCaches.register(next.persist())
+        p.count() // materialize before dropping the previous round
+        toks.unpersist(false)
+        toks = p
+      }
+    }
+    (induced.toList, toks)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Bpe
+
+/** BPE tokenizer queries over the `documents` table.
+  *
+  * q95: vocabulary induction — the merge list after [[BpeMerges]] rounds
+  * of freq-weighted pair-merge training (step, lhs, rhs, cnt).
+  * q96: corpus encoding under that vocabulary — per-document token
+  * statistics (the real token counts budget selection / packing run on).
+  *
+  * The oracle replays the ENTIRE trainer relationally: each round is an
+  * unrolled CTE block (lead-window pair counts → 1-row argmax → run-parity
+  * merge application), mirroring [[Bpe.train]] operation for operation, so
+  * the hash compare verifies induction order, tie-breaks, and the merge
+  * semantics themselves — not just final counts.
+  */
+object BpeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Merge rounds — enough to induce multi-char subwords over the test
+    * vocabulary while keeping the oracle's unrolled chain readable. */
+  val BpeMerges = 6
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  val q95_bpe_vocab: Q = (s, d) => {
+    import s.implicits._
+    val wf = Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text"))
+    val (merges, _) = Bpe.train(wf, BpeMerges)
+    merges.toDF().select($"step", $"lhs", $"rhs", $"cnt").orderBy($"step")
+  }
+
+  val q96_bpe_encode: Q = (s, d) => {
+    import s.implicits._
+    val dw = Bpe.docWords(docs(s, d), "doc_id", "text")
+    val (_, toks) = Bpe.train(Bpe.wordFreq(dw), BpeMerges)
+    val wstats = toks.groupBy("word")
+      .agg(count(lit(1)).as("wt"), max(length($"tok")).as("wm"))
+    dw.join(wstats, "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"wt").as("n_tokens"),
+        max($"wm").as("max_tok_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared corpus/trainer CTE prologue: docwords → weighted distinct
+    * words → char tokens t0, then [[BpeMerges]] unrolled rounds ending in
+    * t{BpeMerges} (final tokens) and m1..m{BpeMerges} (the merges). */
+  private def trainerSql: String = {
+    def round(i: Int): String =
+      s"""w$i AS (
+         |  SELECT word, pos, tok,
+         |    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
+         |  FROM t${i - 1}),
+         |m$i AS (
+         |  SELECT lhs, rhs, cnt FROM (
+         |    SELECT w.tok AS lhs, w.ntok AS rhs,
+         |      CAST(sum(f.freq) AS BIGINT) AS cnt
+         |    FROM w$i w JOIN wf f USING (word) WHERE w.ntok IS NOT NULL
+         |    GROUP BY w.tok, w.ntok)
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |r$i AS (
+         |  SELECT word, pos, tok, ntok, cand,
+         |    CASE WHEN cand = 1 THEN pos - sum(cand)
+         |      OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)
+         |    END AS grp
+         |  FROM (
+         |    SELECT w.word, w.pos, w.tok, w.ntok,
+         |      CASE WHEN w.tok = m.lhs AND w.ntok = m.rhs THEN 1 ELSE 0 END AS cand
+         |    FROM w$i w CROSS JOIN m$i m)),
+         |k$i AS (
+         |  SELECT word, pos, tok, ntok, acc,
+         |    lag(acc) OVER (PARTITION BY word ORDER BY pos) AS pacc
+         |  FROM (
+         |    SELECT word, pos, tok, ntok,
+         |      CASE WHEN cand = 1 AND row_number()
+         |          OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1
+         |        THEN 1 ELSE 0 END AS acc
+         |    FROM r$i)),
+         |t$i AS (
+         |  SELECT word,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN acc = 1 THEN tok || ntok ELSE tok END AS tok
+         |  FROM k$i WHERE pacc IS NULL OR pacc = 0)""".stripMargin
+    s"""docwords AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       |    FROM documents)
+       |  WHERE word <> ''),
+       |wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM docwords GROUP BY word),
+       |t0 AS (
+       |  SELECT word, i - 1 AS pos, substr(word, i, 1) AS tok FROM (
+       |    SELECT word,
+       |      CAST(unnest(generate_series(1, length(word))) AS INT) AS i
+       |    FROM wf)),
+       |${(1 to BpeMerges).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  lazy val q95_sql: String = {
+    val steps = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $trainerSql
+       |SELECT step, lhs, rhs, cnt FROM ($steps) ORDER BY step""".stripMargin
+  }
+
+  lazy val q96_sql: String =
+    s"""WITH $trainerSql,
+       |ws AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wt,
+       |    max(length(tok)) AS wm
+       |  FROM t$BpeMerges GROUP BY word)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(s.wt) AS BIGINT) AS n_tokens, max(s.wm) AS max_tok_len
+       |FROM docwords d JOIN ws s USING (word)
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q95_bpe_vocab" -> q95_bpe_vocab,
+    "q96_bpe_encode" -> q96_bpe_encode,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q95_bpe_vocab" -> q95_sql,
+    "q96_bpe_encode" -> q96_sql,
+  )
+}
