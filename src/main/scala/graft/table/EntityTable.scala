@@ -313,16 +313,21 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       val shaped = if (numFiles > 1) guarded.coalesce(numFiles) else guarded
       val id = java.util.UUID.randomUUID().toString.take(8)
       val staging = new org.apache.hadoop.fs.Path(s"$path/__changes_stage_$id")
-      try shaped.write.parquet(staging.toString)
-      catch { case e: Throwable =>
+      // Cleanup covers the RENAME failing too (e.g. the feed path
+      // occupied by a non-directory): the staging dir must not outlive a
+      // failed commit, whichever step died. After a successful rename the
+      // staging path no longer exists and the delete is a no-op.
+      try {
+        shaped.write.parquet(staging.toString)
+        val feedDir = new org.apache.hadoop.fs.Path(changesPath)
+        if (!hadoopFs.exists(feedDir)) hadoopFs.mkdirs(feedDir)
+        val batch = new org.apache.hadoop.fs.Path(feedDir, s"batch_$id")
+        require(hadoopFs.rename(staging, batch),
+          s"appendChanges: commit rename $staging -> $batch failed")
+      } catch { case e: Throwable =>
         hadoopFs.delete(staging, true)
         throw e
       }
-      val feedDir = new org.apache.hadoop.fs.Path(changesPath)
-      if (!hadoopFs.exists(feedDir)) hadoopFs.mkdirs(feedDir)
-      val batch = new org.apache.hadoop.fs.Path(feedDir, s"batch_$id")
-      require(hadoopFs.rename(staging, batch),
-        s"appendChanges: commit rename $staging -> $batch failed")
     }
   }
 

@@ -185,6 +185,71 @@ class TableDmlSpec extends SparkSpec {
     assert(keys(table.cells).contains((1L, "grp", "email", 40L)))
   }
 
+  test("concurrent multi-file appends: both batches land whole, occupancy = sum") {
+    val dir = tmpDir("morConcurrent") + "/t"
+    val layout = TableLayout("t", Seq(FamilySpec("grp")))
+    val table = new EntityTable(spark, dir, layout)
+    table.bulkLoad(Seq((1L, "grp", "email", 10L, "a@x"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    // Two writers, each committing a 2-file batch via its own staged dir +
+    // rename. Per-batch UUIDs mean neither rename can clobber the other;
+    // the barrier maximizes overlap of the stage-write + rename windows.
+    import java.util.concurrent.CyclicBarrier
+    val barrier = new CyclicBarrier(2)
+    def batchOf(base: Long) = changesDF(Seq(
+      Dml.put(base, "grp", "email", 20L, s"w$base@x"),
+      Dml.put(base + 1, "grp", "email", 20L, s"w${base + 1}@x")))
+      .repartitionByRange(2, $"entity_id")
+    val writers = Seq(100L, 200L).map { base =>
+      val t = new Thread(() => { barrier.await(); table.appendChanges(batchOf(base), numFiles = 0) })
+      t.start(); t
+    }
+    writers.foreach(_.join(120000))
+    assert(writers.forall(!_.isAlive), "a concurrent appender hung")
+    val (files, rows) = table.changeFeedStats
+    assert(files == 4 && rows == 4L, s"feed=($files, $rows)")
+    // both batches fully visible in the merged view
+    assert(keys(table.cells) == Set(
+      (1L, "grp", "email", 10L),
+      (100L, "grp", "email", 20L), (101L, "grp", "email", 20L),
+      (200L, "grp", "email", 20L), (201L, "grp", "email", 20L)))
+    // exactly two committed batch dirs, no stray staging dirs
+    val names = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!names.exists(_.startsWith("__changes_stage_")),
+      s"staging leaked: $names")
+    assert(Files.list(Paths.get(dir, "_changes")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("batch_")) == 2)
+  }
+
+  test("crash injection: failed commit rename leaves zero visible rows, no staging") {
+    val dir = tmpDir("morRenameFail") + "/t"
+    val layout = TableLayout("t", Seq(FamilySpec("grp")))
+    val table = new EntityTable(spark, dir, layout)
+    table.bulkLoad(Seq((1L, "grp", "email", 10L, "a@x"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    // Occupy the feed path with a regular FILE: staging write succeeds,
+    // the commit rename into it cannot — the injected crash point between
+    // a written batch and its rename landing.
+    Files.write(Paths.get(dir, "_changes"), Array[Byte](1))
+    val batch = changesDF(Seq(
+      Dml.put(2L, "grp", "email", 20L, "b@x"),
+      Dml.put(3L, "grp", "email", 20L, "c@x")))
+      .repartitionByRange(2, $"entity_id")
+    intercept[Exception](table.appendChanges(batch, numFiles = 0))
+    // nothing visible: no feed rows, merged view unchanged, staging gone
+    assert(!table.hasPendingChanges)
+    assert(keys(table.cells) == Set((1L, "grp", "email", 10L)))
+    val names = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!names.exists(_.startsWith("__changes_stage_")),
+      s"staging survived the failed rename: $names")
+    // clearing the obstruction restores normal service
+    Files.delete(Paths.get(dir, "_changes"))
+    table.appendChanges(batch, numFiles = 0)
+    assert(table.changeFeedStats == ((2, 2L)))
+  }
+
   test("merge-on-read: majorCompact folds the feed physically and empties it") {
     val dir = tmpDir("morcompact") + "/t"
     val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
