@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Generate a scaled-up synthetic dataset for SCALING-CURVE benchmarks.
+
+Usage: python3 scripts/gen_scale.py <outDir> <factor>
+
+Builds <outDir> with the tables the heavy benchmark queries read, at
+~<factor> x the row counts of /root/testdata/sf0.1 (so factor=5 ~ sf0.5).
+NOT a correctness fixture — the driver's sf dirs stay authoritative for
+the oracle gate; this exists only to measure sec/row slope at two scales
+(BASELINE.md scaling table).
+
+Construction choices, chosen to keep the scaling measurement honest:
+  * lineitem: sf0.1 replicated <factor> times with l_orderkey offsets —
+    bulk-roundtrip queries (q32/q41) group/sort on keys, so replicas with
+    fresh keys scale the work linearly without changing distributions.
+  * documents / embeddings: FRESH hash-generated rows (same vocab, value
+    range, and length distributions as sf0.1). Plain replication would
+    create <factor>-way near-duplicate clusters and quadratically inflate
+    dedup/fuzzy-join pair counts — measuring the distortion, not the
+    engine.
+  * region/nation: copied verbatim (dimension tables; Bench warmup reads
+    nation).
+
+Deterministic: all values derive from DuckDB hash() of row ids.
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+VOCAB = ["join", "hash", "row", "batch", "scan", "customer", "column",
+         "filter", "small", "merge", "slow", "order", "vector", "line",
+         "table", "data", "agg", "value", "key", "stream", "window",
+         "spark", "a", "group", "part", "big", "sort", "query", "fast",
+         "the", "dup"]
+
+
+def main():
+    out, factor = sys.argv[1], int(sys.argv[2])
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in ("region", "nation"):
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+
+    # lineitem: replicate with key offsets
+    maxkey = con.execute(
+        f"SELECT max(l_orderkey) + 1 FROM read_parquet('{SRC}/lineitem.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+        COPY (
+          SELECT l.* REPLACE (l.l_orderkey + c.i * {maxkey} AS l_orderkey)
+          FROM read_parquet('{SRC}/lineitem.parquet') l,
+               range({factor}) c(i)
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+
+    # documents: fresh text sampled from the sf0.1 vocabulary
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+    ndocs = factor * con.execute(
+        f"SELECT count(*) FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+        COPY (
+          WITH d AS (
+            SELECT i AS doc_id,
+              array_to_string(list_transform(range(CAST(8 + hash(i) % 89 AS BIGINT)),
+                j -> ({vocab_sql})[CAST(1 + hash(i * 131 + j) % {len(VOCAB)} AS BIGINT)]),
+                ' ') AS text
+            FROM range({ndocs}) t(i))
+          SELECT doc_id, text,
+            (['en','zh','de','fr','es'])[CAST(1 + hash(doc_id * 7) % 5 AS BIGINT)] AS lang,
+            'src' || CAST(hash(doc_id * 13) % 20 AS VARCHAR) AS source,
+            length(text) AS n_chars
+          FROM d
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+
+    # embeddings: fresh 64-dim vectors, uniform in sf0.1's value range
+    nvec = factor * con.execute(
+        f"SELECT count(*) FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+        COPY (
+          SELECT i AS vec_id,
+            CAST(list_transform(range(64), j ->
+              (CAST(hash(i * 64 + j) % 700000 AS DOUBLE) / 1000000.0) - 0.35)
+              AS FLOAT[]) AS embedding,
+            CAST(hash(i * 17) % 10 AS INT) AS label
+          FROM range({nvec}) t(i)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+
+    for t in ("lineitem", "documents", "embeddings"):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,33 @@ object Dedup {
     * @param threshold exact-Jaccard cutoff applied to candidate pairs
     * @return (doc_a, doc_b, jaccard) for candidate pairs with j >= threshold
     */
+  /** Corpus-scaled MinHash rows-per-band — the Σcandidates knob of banded
+    * LSH, exactly analogous to [[Similarity.bitsFor]] for sign buckets.
+    *
+    * Derivation: a corpus whose BACKGROUND pairwise Jaccard is ~j_bg
+    * (unrelated documents still share common grams) produces band
+    * collisions with probability ≈ bands·j_bg^rows per pair — a CONSTANT,
+    * so candidates grow ~n²·bands·j_bg^rows: quadratic at any fixed rows.
+    * (Measured on the synthetic corpus: j_bg ≈ 0.17, rows=4 →
+    * ~15× cost for 5× documents — the round-9 scaling curve.) Growing
+    * rows with log(n) keeps n²·j_bg^rows ≈ n·target, i.e. candidates
+    * LINEAR: each +1 row divides background collisions by 1/j_bg ≥ 4
+    * (the conservative bound this ladder uses), so rows is the smallest
+    * r in [4, 7] with n ≤ 8·4^r. The floor keeps small-corpus recall
+    * identical to the historical fixed shape (r=4 up to 2048 docs); the
+    * cap is the int64 band-key bound (rows ≤ 7). Past the cap, longer
+    * grams (lower j_bg) are the next knob — rows and gram length trade
+    * against threshold-edge recall on the standard S-curve
+    * 1-(1-j^rows)^bands; exact duplicates (j≈1) are found at ANY rows.
+    */
+  def lshRowsFor(n: Long): Int =
+    (4 to 7).find(r => n <= (8L << (2 * r))).getOrElse(7)
+
+  /** DuckDB mirror of [[lshRowsFor]] over a COUNT expression. */
+  def sqlLshRowsFor(nExpr: String): String =
+    (4 until 7).map(r => s"WHEN $nExpr <= ${8L << (2 * r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 7 END")
+
   def minhashLshPairs(gramsDf: DataFrame, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}

@@ -31,10 +31,21 @@ object DedupQueries {
       |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin
 
   // ── q22: MinHash-LSH near-dup pairs over word 3-gram shingles ───────────
+  /** Signature floor: bands × the minimum rows-per-band (4). The EFFECTIVE
+    * signature length is corpus-scaled — [[lshK]] grows rows to 7 as the
+    * corpus grows (Dedup.lshRowsFor), which keeps background-similarity
+    * band collisions linear in n instead of quadratic. At the sf0.01
+    * correctness corpus the ladder sits at its floor, so small-corpus
+    * outputs are identical to the historical fixed-K shape. */
   val MinHashK = 16
   val MinHashBands = 4
   val ShingleN = 3
   val JaccardThreshold = 0.8
+
+  /** Corpus-scaled signature length (bands × lshRowsFor(n)); the oracle
+    * derives the identical rows count from count(*) via sqlLshRowsFor. */
+  private def lshK(s: SparkSession, d: String): Int =
+    MinHashBands * Dedup.lshRowsFor(Tables.documents(s, d).count())
 
   /** Fused extraction+hashing: text → sorted distinct gram hashes in one
     * native pass (no gram strings materialized). */
@@ -49,11 +60,11 @@ object DedupQueries {
   val q22_minhash_dedup: Q = (s, d) => {
     import s.implicits._
     Dedup.minhashLshPairsHashed(shingleHashes(s, d),
-        MinHashK, MinHashBands, JaccardThreshold)
+        lshK(s, d), MinHashBands, JaccardThreshold)
       .orderBy($"doc_a", $"doc_b")
   }
   lazy val q22_sql: String = lshOracleSql(
-    sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)
+    sqlWordShingles("text", ShingleN), MinHashBands, JaccardThreshold)
 
   // ── q23: SimHash near-dup pairs (60-bit, 5×12-bit bands, exact hamming
   // rerank). MaxHamming 4 ≈ round 3's 2-of-32 scaled to the 60-bit
@@ -98,11 +109,11 @@ object DedupQueries {
     val hashed = Tables.documents(s, d).select($"doc_id".as("id"),
       columnOf(graft.plans.CharGramHashes(
         expressionOf($"text"), CharGramN, 7)).as("ghash"))
-    Dedup.minhashLshPairsHashed(hashed, MinHashK, MinHashBands, CharGramThreshold)
+    Dedup.minhashLshPairsHashed(hashed, lshK(s, d), MinHashBands, CharGramThreshold)
       .orderBy($"doc_a", $"doc_b")
   }
   lazy val q24_sql: String = lshOracleSql(
-    sqlCharGrams("text", CharGramN), MinHashK, MinHashBands, CharGramThreshold)
+    sqlCharGrams("text", CharGramN), MinHashBands, CharGramThreshold)
 
   // ── q49: near-dup survivorship — q22's pair mining resolved into
   // connected-component clusters (cluster id = min doc id; doc_id ==
@@ -112,13 +123,13 @@ object DedupQueries {
   val q49_dedup_clusters: Q = (s, d) => {
     import s.implicits._
     val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
-      MinHashK, MinHashBands, JaccardThreshold)
+      lshK(s, d), MinHashBands, JaccardThreshold)
     Dedup.nearDupClusters(pairs.select($"doc_a", $"doc_b"))
       .orderBy($"doc_id")
   }
   lazy val q49_sql: String =
     s"""WITH RECURSIVE pairs AS (
-       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)}
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashBands, JaccardThreshold)}
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -140,7 +151,7 @@ object DedupQueries {
   val q58_decontamination: Q = (s, d) => {
     import s.implicits._
     val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
-      MinHashK, MinHashBands, JaccardThreshold)
+      lshK(s, d), MinHashBands, JaccardThreshold)
     val splits = graft.operators.Sampling.hashSplit(
       Tables.documents(s, d).select($"doc_id"), "doc_id",
       Seq("train" -> 0.8, "test" -> 0.2))
@@ -156,7 +167,7 @@ object DedupQueries {
   }
   lazy val q58_sql: String =
     s"""WITH pairs AS (
-       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)}
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashBands, JaccardThreshold)}
        |), splits AS (
        |  SELECT doc_id,
        |    CASE WHEN ('0x'||substr(md5('split' || CAST(doc_id AS VARCHAR)),1,7))::BIGINT
@@ -175,24 +186,32 @@ object DedupQueries {
     * minhashLshPairs (the md5→28-bit gram hashes, the affine minhashes,
     * the band keys, and the Jaccard over hashed gram sets all mirror the
     * Spark side exactly). */
-  private def lshOracleSql(gramsExpr: String, k: Int, bands: Int,
+  private def lshOracleSql(gramsExpr: String, bands: Int,
                            threshold: Double): String =
-    lshPairsSql(gramsExpr, k, bands, threshold) + "\nORDER BY doc_a, doc_b"
+    lshPairsSql(gramsExpr, bands, threshold) + "\nORDER BY doc_a, doc_b"
 
   /** The pair-mining body without a final ORDER BY, reusable as a CTE. */
-  private def lshPairsSql(gramsExpr: String, k: Int, bands: Int,
+  private def lshPairsSql(gramsExpr: String, bands: Int,
                           threshold: Double): String = {
-    val rows = k / bands
-    val mh = (0 until k).map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j")
+    // The oracle derives rows-per-band from count(*) exactly like the
+    // Spark side's lshRowsFor ladder; minhashes are an affine family
+    // indexed by j (K-independent), so computing bands×7 of them covers
+    // every reachable rows value, and the band key picks the right slice
+    // via CASE on (band, rows).
+    val kMax = bands * 7
+    val mh = (0 until kMax).map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j")
       .mkString(",\n  ")
     // Base-31 polynomial band key — mirrors minhashLshPairs' LONG key
     // (exact in int64: minhashes < 2^31, rows <= 7).
+    def key(b: Int, r: Int) = (b * r until (b + 1) * r).map(j => s"mh$j")
+      .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
     val bandCases = (0 until bands).map { b =>
-      val key = (b * rows until (b + 1) * rows).map(j => s"mh$j")
-        .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
-      s"WHEN $b THEN $key"
+      val rCases = (4 to 6).map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
+      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, 7)} END)"
     }.mkString(" ")
-    s"""WITH hashed AS (
+    s"""WITH lshp AS (
+       |  SELECT ${Dedup.sqlLshRowsFor("count(*)")} AS r FROM documents
+       |), hashed AS (
        |  SELECT doc_id, list_distinct(list_transform($gramsExpr,
        |    g -> ${sqlHash28("g")})) AS ghash FROM documents
        |), sig AS (
@@ -201,7 +220,7 @@ object DedupQueries {
        |  FROM hashed
        |), banded AS (
        |  SELECT doc_id, band, CASE band $bandCases END AS bkey
-       |  FROM sig, unnest([${(0 until bands).mkString(",")}]) AS t(band)
+       |  FROM sig, lshp p, unnest([${(0 until bands).mkString(",")}]) AS t(band)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
@@ -236,22 +255,26 @@ object DedupQueries {
     Dedup.incrementalLshPairs(
         hashed.filter(isDelta).drop("source"),
         hashed.filter(!isDelta).drop("source"),
-        MinHashK, MinHashBands, JaccardThreshold)
+        lshK(s, d), MinHashBands, JaccardThreshold)
       .orderBy($"new_doc", $"dup_of")
   }
   lazy val q79_sql: String = {
-    val rows = MinHashK / MinHashBands
-    val mh = (0 until MinHashK)
+    // Corpus-scaled rows-per-band, same derivation as lshPairsSql.
+    val kMax = MinHashBands * 7
+    val mh = (0 until kMax)
       .map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j").mkString(",\n  ")
+    def key(b: Int, r: Int) = (b * r until (b + 1) * r).map(j => s"mh$j")
+      .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
     val bandCases = (0 until MinHashBands).map { b =>
-      val key = (b * rows until (b + 1) * rows).map(j => s"mh$j")
-        .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
-      s"WHEN $b THEN $key"
+      val rCases = (4 to 6).map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
+      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, 7)} END)"
     }.mkString(" ")
     val deltaList = DeltaSources.map(s => s"'$s'").mkString(", ")
     val jac = "len(list_intersect(ga.ghash, gb.ghash))::DOUBLE / " +
       "len(list_distinct(list_concat(ga.ghash, gb.ghash)))"
-    s"""WITH hashed AS (
+    s"""WITH lshp AS (
+       |  SELECT ${Dedup.sqlLshRowsFor("count(*)")} AS r FROM documents
+       |), hashed AS (
        |  SELECT doc_id, source, list_distinct(list_transform(
        |    ${sqlWordShingles("text", ShingleN)},
        |    g -> ${sqlHash28("g")})) AS ghash FROM documents
@@ -261,7 +284,7 @@ object DedupQueries {
        |  FROM hashed
        |), banded AS (
        |  SELECT doc_id, source, band, CASE band $bandCases END AS bkey
-       |  FROM sig, unnest([${(0 until MinHashBands).mkString(",")}]) AS t(band)
+       |  FROM sig, lshp p, unnest([${(0 until MinHashBands).mkString(",")}]) AS t(band)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_of
        |  FROM banded a JOIN banded b
@@ -285,7 +308,7 @@ object DedupQueries {
   val q80_survivorship: Q = (s, d) => {
     import s.implicits._
     val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
-      MinHashK, MinHashBands, JaccardThreshold)
+      lshK(s, d), MinHashBands, JaccardThreshold)
     val clusters = Dedup.nearDupClusters(pairs.select($"doc_a", $"doc_b"))
     val docs = Tables.documents(s, d)
       .select($"doc_id", qualityScore($"text").as("quality"))
@@ -294,7 +317,7 @@ object DedupQueries {
   }
   lazy val q80_sql: String =
     s"""WITH RECURSIVE pairs AS (
-       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)}
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashBands, JaccardThreshold)}
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -410,16 +433,29 @@ object DedupQueries {
   // at hamming <= 2, cross-group pairs at ~28+. The oracle is DuckDB's
   // NATIVE hamming() over the naive all-pairs join — an independent
   // implementation of both the distance and the candidate set. ───────────
-  private val CodeExpr =
-    """concat(
-      |  substring(md5(CAST(doc_id % 97 AS STRING)), 1, CAST(doc_id % 32 AS INT)),
-      |  substr('0123456789abcdef', CAST(doc_id % 16 AS INT) + 1, 1),
-      |  substring(md5(CAST(doc_id % 97 AS STRING)), CAST(doc_id % 32 AS INT) + 2))""".stripMargin
+  /** Synthetic code space CARDINALITY scales with the corpus: a fixed
+    * modulus would pin the number of code groups while the corpus grows,
+    * making same-group (true-match) pairs quadratic BY CONSTRUCTION —
+    * round 9's scaling curve measured exactly that (~14× cost at 5×
+    * docs with the old fixed 97). Real record-linkage code populations
+    * grow with the data; modeling that keeps group size ~constant
+    * (≈1000/97 ≈ 10 docs) and true pairs linear. ≤1000 docs keeps the
+    * historical modulus, so the correctness corpus is unchanged. */
+  private def codeGroups(n: Long): Long = 97L * math.max(1L, n / 1000L)
+  private val SqlCodeGroups =
+    "(97 * greatest(1, (SELECT count(*) FROM documents) // 1000))"
+
+  private def codeExpr(groupsExpr: String) =
+    s"""concat(
+       |  substring(md5(CAST(doc_id % $groupsExpr AS STRING)), 1, CAST(doc_id % 32 AS INT)),
+       |  substr('0123456789abcdef', CAST(doc_id % 16 AS INT) + 1, 1),
+       |  substring(md5(CAST(doc_id % $groupsExpr AS STRING)), CAST(doc_id % 32 AS INT) + 2))""".stripMargin
 
   val q71_fuzzy_join: Q = (s, d) => {
     import s.implicits._
-    val coded = Tables.documents(s, d)
-      .select($"doc_id", expr(CodeExpr).as("code"))
+    val docs = Tables.documents(s, d)
+    val coded = docs
+      .select($"doc_id", expr(codeExpr(codeGroups(docs.count()).toString)).as("code"))
     val pairs = Dedup.hammingPairs(coded, "doc_id", "code", maxHamming = 2)
     // both orientations via explode, not union: a union would reference —
     // and recompute — the unpersisted pair-mining subtree twice
@@ -434,7 +470,7 @@ object DedupQueries {
       .orderBy($"id")
   }
   val q71_sql: String = {
-    val code = CodeExpr
+    val code = codeExpr(SqlCodeGroups)
       .replace("AS STRING", "AS VARCHAR")
       .replace("AS INT", "AS INTEGER")
     s"""WITH s AS (SELECT doc_id, $code AS code FROM documents)
@@ -454,7 +490,7 @@ object DedupQueries {
   val q72_cleaned_corpus: Q = (s, d) => {
     import s.implicits._
     val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
-      MinHashK, MinHashBands, JaccardThreshold)
+      lshK(s, d), MinHashBands, JaccardThreshold)
     val clusters = Dedup.nearDupClusters(pairs.select($"doc_a", $"doc_b"))
     Tables.documents(s, d)
       .join(clusters, Seq("doc_id"), "left")
@@ -465,7 +501,7 @@ object DedupQueries {
   }
   lazy val q72_sql: String =
     s"""WITH RECURSIVE pairs AS (
-       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashK, MinHashBands, JaccardThreshold)}
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashBands, JaccardThreshold)}
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
