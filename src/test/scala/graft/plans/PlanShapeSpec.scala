@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+import graft.SparkSpec
+import graft.queries.{DedupQueries, TextQueries, VectorQueries}
+
+/** Plan-REGRESSION guards: freeze the audited physical shapes of the
+  * scale-critical queries so a dropped broadcast() hint, an accidental
+  * cartesian, or a window gone global fails a spec instead of surfacing
+  * as a silent 100× at scale. Assertions run against the pre-AQE
+  * physical plan (`sparkPlan`) — that is where an explicit broadcast
+  * hint shows up deterministically; AQE can only improve on it. */
+class PlanShapeSpec extends SparkSpec {
+
+  /** sf0.001 — plan SHAPE is scale-invariant, so the smallest corpus
+    * builds the identical operator tree fastest. */
+  private val D = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+  private def planString(df: DataFrame): String = planOf(df).toString
+
+  /** Build a plan with automatic broadcasting DISABLED, so a broadcast
+    * join in the result can only come from an explicit broadcast() hint.
+    * At sf0.001 Spark's size estimates would otherwise auto-broadcast
+    * everything and mask a dropped hint — the exact regression these
+    * specs guard (at 100 TB nothing auto-broadcasts). */
+  private def withoutAutoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("q89 ADC search: distance tables stay broadcast — no shuffled join") {
+    val p = withoutAutoBroadcast { planString(VectorQueries.q89_pq_search(spark, D)) }
+    // the codes-side aggregation shuffles (partial agg), but every JOIN
+    // (query lanes x codebooks, codes x distance tables) must be the
+    // broadcast form: a shuffle join here re-exchanges the corpus per
+    // query batch — the regression this spec exists to catch.
+    assert(!p.contains("SortMergeJoin"), s"shuffled join in q89 plan:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"shuffled join in q89 plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q89 plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q89 plan:\n$p")
+  }
+
+  test("q22/q71 pair mining: banded equi-joins, never a cartesian product") {
+    for ((name, df) <- Seq(
+        "q22" -> DedupQueries.q22_minhash_dedup(spark, D),
+        "q71" -> DedupQueries.q71_fuzzy_join(spark, D))) {
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in $name plan:\n$p")
+    }
+  }
+
+  test("q82 budget select: data windows banded; global window only above aggregates") {
+    val plan = planOf(TextQueries.q82_budget_select(spark, D))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"no window in q82 plan:\n$plan")
+    val (global, banded) = windows.partition(_.partitionSpec.isEmpty)
+    // the running-total window over DATA ROWS partitions by __band
+    assert(banded.exists(_.partitionSpec.exists(_.toString.contains("__band"))),
+      s"no __band-partitioned window in q82 plan:\n$plan")
+    // any unpartitioned window must run above an aggregate (the per-band
+    // totals — a bands-sized frame), never directly over corpus rows
+    global.foreach { w =>
+      val overAgg = w.child.collectFirst { case a: BaseAggregateExec => a }
+      assert(overAgg.nonEmpty,
+        s"global window over non-aggregated rows in q82 plan:\n$plan")
+    }
+  }
+
+  test("q94 IVF x PQ: probes and distance tables broadcast; index join co-partitioned") {
+    val p = withoutAutoBroadcast { planString(VectorQueries.q94_ivfpq_search(spark, D)) }
+    assert(!p.contains("CartesianProduct"), s"cartesian in q94 plan:\n$p")
+    // candidates x codes co-partition on n_id (a shuffle join is the
+    // DESIGNED shape there), but probes and distance tables must stay
+    // broadcast — at least two broadcast joins in the plan.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected >=2 broadcast joins in q94 plan:\n$p")
+  }
+}
