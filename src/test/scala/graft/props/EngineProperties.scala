@@ -449,4 +449,50 @@ object EngineProperties extends Properties("graft") {
          // trunc error is < 1 code unit, i.e. |127·x − q·amax| < amax
          else maxerr < amax)
     }
+
+  property("CMS point estimates NEVER undercount (deliberate collisions)") =
+    forAll(Gen.listOfN(60, Gen.choose(0, 30))) { xs =>
+      import graft.operators.Sketches
+      // w=64 on ~30 distinct items forces counter sharing: estimates may
+      // overcount (that is the sketch's one-sided error) but an estimate
+      // below the true count is a broken sketch on ANY input.
+      val items = xs.map(i => s"item$i").toDF("item")
+      val counters = Sketches.cmsCounters(items, "item", d = 4, w = 64)
+      val est = Sketches.cmsQuery(counters, items.distinct(), "item", d = 4, w = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val truth = xs.groupBy(identity).map { case (k, v) => (s"item$k", v.size.toLong) }
+      truth.forall { case (k, n) => est(k) >= n }
+    }
+
+  property("HLL raw estimate within 3 sigma of truth for n >= 2.5m (m=4096)") =
+    forAll(Gen.choose(11000, 30000)) { n =>
+      import graft.operators.Sketches
+      // the raw estimator (no small-range correction) is only claimed
+      // above ~2.5m distinct values; standard error is 1.04/sqrt(m)
+      val df = spark.range(n)
+        .select(concat(lit("v"), col("id")).as("v"), lit(1).as("g"))
+      val est = Sketches.hllEstimate(df, Seq("g"), "v")
+        .collect().head.getAs[Double]("hll_est")
+      math.abs(est - n) / n <= 3 * 1.04 / 64
+    }
+
+  property("pqCodes codes every vector with bounded codes, even when k exceeds the distinct subvectors") =
+    forAll(Gen.choose(1, 5), Gen.choose(2, 8)) { (distinctVals, k) =>
+      import graft.operators.Clustering
+      // subspace values from a tiny alphabet: most of the k clusters
+      // empty out, but every vector must still carry a code in [0, k)
+      // with a nonnegative exact error
+      val rows = (0 until 12).map(i =>
+        (i.toLong, Seq.fill(4)((i % distinctVals).toFloat)))
+      val df = rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      val out = Clustering.pqCodes(df, "vec_id", "embedding",
+        dim = 4, m = 2, k = k, iters = 2).collect()
+      out.length == 12 && out.map(_.getLong(0)).distinct.length == 12 &&
+        out.forall { r =>
+          val (c0, e0, c1, e1) =
+            (r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4))
+          c0 >= 0 && c0 < k && c1 >= 0 && c1 < k && e0 >= 0L && e1 >= 0L
+        }
+    }
 }
