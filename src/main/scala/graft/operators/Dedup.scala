@@ -306,13 +306,20 @@ object Dedup {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
     require(m <= (1 << 24), s"m above 2^24 needs a broadcast variable: $m")
     require(k > 0, s"k must be positive: $k")
-    val positions = hashed
+    // Fold positions into 64-bit WORDS distributed (bit_or partial-aggs
+    // map-side), so the driver collects ≤ m/64 word rows — ~260k rows /
+    // few MB at the 2^24 cap. The earlier per-position distinct collected
+    // up to m Row objects (~16M rows, hundreds of driver MB at the cap):
+    // the documented 2 MB footprint, but only after this fold.
+    val words = hashed
       .select(explode(col("ghash")).as("h"))
       .select(explode(bloomPositions(col("h"), m, k)).as("pos"))
-      .distinct()  // ≤ m rows by construction — a bounded driver collect
-      .collect().map(_.getLong(0))
+      .groupBy((col("pos") / 64).cast(LongType).as("word"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("pos"), lit(64L)).cast(IntegerType))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val bits = new Array[Long](m / 64 max 1)
-    positions.foreach(p => bits((p / 64).toInt) |= 1L << (p % 64).toInt)
+    words.foreach { case (wi, w) => bits(wi.toInt) |= w }
     bits
   }
 

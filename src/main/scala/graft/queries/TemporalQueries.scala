@@ -171,10 +171,18 @@ object TemporalQueries {
     import s.implicits._
     // `div`, not `/`: Column./ is double division, and a ratio the double
     // rounds UP across an integer boundary would truncate to the wrong
-    // week — integer div matches DuckDB's `//` exactly
+    // week — integer div matches DuckDB's `//` exactly FOR NONNEGATIVE
+    // operands. They diverge below zero (div truncates toward zero, //
+    // floors), and a pre-1970 timestamp would also land in the wrong week
+    // bucket — so negative epoch-µs fails loudly here instead of
+    // silently diverging from the oracle (assert_true is NULL on pass;
+    // the isNull filter keeps the guard in the plan).
     val ev = Tables.events(s, d)
-      .select($"user_id",
-        expr(s"unix_micros(ts) div ${WeekMicros}L").as("week"))
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .filter(assert_true($"us" >= 0L,
+        lit("q92 cohort weeks assume nonnegative epoch timestamps " +
+          "(Spark div truncates toward zero; the oracle's // floors)")).isNull)
+      .select($"user_id", expr(s"us div ${WeekMicros}L").as("week"))
     val cohorts = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
     val active = ev.distinct()
     // count(*), not countDistinct: `active` is already unique on

@@ -120,11 +120,20 @@ object Formats {
     * whole-dataset inference pre-pass — at 100 TB, inference is a full
     * extra scan, so production reads should always pass one. Malformed
     * lines land in `_corrupt_record` (PERMISSIVE) rather than failing
-    * the job. */
+    * the job — PERMISSIVE only populates that column when it exists in
+    * the schema, so it is appended to explicit schemas here (otherwise a
+    * malformed line would silently become an all-null row with no way to
+    * tell it from a row of JSON nulls). */
   def readJsonLines(spark: SparkSession, path: String,
                     ddlSchema: Option[String] = None): DataFrame = {
     val r = spark.read.option("mode", "PERMISSIVE")
-    ddlSchema.fold(r)(s => r.schema(s)).json(path)
+    ddlSchema.fold(r) { s =>
+      val st = org.apache.spark.sql.types.StructType.fromDDL(s)
+      val withCorrupt =
+        if (st.fieldNames.contains("_corrupt_record")) st
+        else st.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      r.schema(withCorrupt)
+    }.json(path)
   }
 
   /** One record per (small) file: (path, length, content-bytes). Hidden
