@@ -49,6 +49,34 @@ object BpeQueries {
       .orderBy($"doc_id")
   }
 
+  /** q97: the same per-document token statistics as [[q96_bpe_encode]],
+    * but encoded by the codegen'd [[graft.plans.BpeDocStats]] KERNEL
+    * against the trained merge list — zero joins/shuffles/iterations over
+    * the corpus (train once, then token-count every document in the scan
+    * that reads it). Verified against the IDENTICAL oracle as q96, so the
+    * kernel's sequential greedy merge is proven equivalent to the
+    * trainer's relational run-parity application on every corpus word. */
+  val q97_bpe_kernel_stats: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val (merges, _) =
+      Bpe.train(Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text")),
+        BpeMerges)
+    val lhs = merges.map(_.lhs).toArray
+    val rhs = merges.map(_.rhs).toArray
+    docs(s, d)
+      .select($"doc_id",
+        columnOf(graft.plans.BpeDocStats(expressionOf($"text"), lhs, rhs))
+          .as("st"))
+      .select($"doc_id", element_at($"st", 1).as("n_words"),
+        element_at($"st", 2).as("n_tokens"),
+        element_at($"st", 3).as("max_tok_len"))
+      // q96's join-based shape emits a row only for documents with >= 1
+      // word; mirror that so both share one oracle
+      .filter($"n_words" > 0)
+      .orderBy($"doc_id")
+  }
+
   /** Shared corpus/trainer CTE prologue: docwords → weighted distinct
     * words → char tokens t0, then [[BpeMerges]] unrolled rounds ending in
     * t{BpeMerges} (final tokens) and m1..m{BpeMerges} (the merges). */
@@ -127,9 +155,13 @@ object BpeQueries {
   val queries: Map[String, Q] = Map(
     "q95_bpe_vocab" -> q95_bpe_vocab,
     "q96_bpe_encode" -> q96_bpe_encode,
+    "q97_bpe_kernel_stats" -> q97_bpe_kernel_stats,
   )
   val oracleSql: Map[String, String] = Map(
     "q95_bpe_vocab" -> q95_sql,
     "q96_bpe_encode" -> q96_sql,
+    // the kernel encode shares q96's oracle: same contract, so the hash
+    // compare proves kernel == relational trainer state
+    "q97_bpe_kernel_stats" -> q96_sql,
   )
 }

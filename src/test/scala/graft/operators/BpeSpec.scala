@@ -64,6 +64,34 @@ class BpeSpec extends SparkSpec {
       Set(("a", "a"), ("b", "b")))
   }
 
+  test("encode kernel reproduces the trainer's tokenization exactly") {
+    import graft.plans.BpeDocStats
+    val freqs = wf("low" -> 3L, "lower" -> 2L, "newest" -> 4L, "widest" -> 1L)
+    val (merges, toks) = Bpe.train(freqs, 3)
+    val lhs = merges.map(_.lhs).toArray
+    val rhs = merges.map(_.rhs).toArray
+    val trained = toks.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    trained.foreach { case (w, expect) =>
+      assert(BpeDocStats.encode(w, lhs, rhs).toSeq == expect,
+        s"kernel diverged from trainer on '$w'")
+    }
+    // greedy-run edge: the kernel applies leftmost-nonoverlapping too
+    assert(BpeDocStats.encode("aaaa", Array("a"), Array("a")).toSeq ==
+      Seq("aa", "aa"))
+    assert(BpeDocStats.encode("aaaaa", Array("a"), Array("a")).toSeq ==
+      Seq("aa", "aa", "a"))
+    // end-to-end through the expression (codegen path), incl. word split
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val docs = Seq((1L, "Lower, newest!  LOW low")).toDF("doc_id", "text")
+    val got = docs.select(
+        columnOf(BpeDocStats(expressionOf($"text"), lhs, rhs)).as("st"))
+      .collect().head.getSeq[Long](0)
+    // words: lower, newest, low, low -> tokens 3 + 4 + 2 + 2 = 11, max "st"/"lo"/"we" = 2
+    assert(got == Seq(4L, 11L, 2L), s"got $got")
+  }
+
   test("docWords lowercases, splits on non-alnum runs, drops empties") {
     val docs = Seq((1L, "Hello, WORLD!  42-ok"), (2L, "--")).toDF("doc_id", "text")
     val got = Bpe.docWords(docs, "doc_id", "text")
