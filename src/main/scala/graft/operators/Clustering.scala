@@ -289,23 +289,17 @@ object Clustering {
   def ivfPqCandidates(emb: DataFrame, idCol: String, vecCol: String,
                       numCentroids: Int, nprobe: Int,
                       maxQueryId: Long): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
-    import graft.functions.VectorFunctions.vnorm
-    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    // Cell assignment and probing are Similarity.ivfAssignProbes — the
+    // IDENTICAL structure knnIvf queries (q45), so the two ANN paths can
+    // never drift in tie-breaks or norms; only the rerank differs (exact
+    // cosine there, ADC over PQ codes here).
     val cents = Similarity.centroidSet(
       emb.filter(col(idCol) < numCentroids), idCol, vecCol)
-    def nearest(v: Column, nn: Column, n: Int): Column =
-      columnOf(graft.plans.NearestCentroids(
-        expressionOf(v), expressionOf(nn), cents, n))
-    val sv = emb.select(col(idCol).cast(LongType).as("n_id"),
-        scaled(col(vecCol)).as("nv"))
-      .withColumn("nn", vnorm(col("nv")))
-    val assigned = sv.select(col("n_id"),
-      element_at(nearest(col("nv"), col("nn"), 1), 1).as("c_id"))
-    val probes = sv.filter(col("n_id") < maxQueryId)
-      .select(col("n_id").as("q_id"),
-        explode(nearest(col("nv"), col("nn"), nprobe)).as("c_id"))
-    assigned.join(broadcast(probes), Seq("c_id"))
+    val (assigned, probes) = Similarity.ivfAssignProbes(
+      emb.select(col(idCol).cast(LongType).as("__vid"), col(vecCol)),
+      "__vid", vecCol, cents, maxQueryId, nprobe)
+    assigned.select(col("n_id"), col("c_id"))
+      .join(broadcast(probes.select(col("q_id"), col("c_id"))), Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), col("c_id"))
   }

@@ -264,19 +264,8 @@ object Similarity {
   def knnIvfWith(emb: DataFrame, idCol: String, vecCol: String,
                  cents: graft.plans.IvfCentroids, maxQueryId: Long,
                  nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
-    def nearest(v: org.apache.spark.sql.Column, nn: org.apache.spark.sql.Column,
-                n: Int): org.apache.spark.sql.Column =
-      columnOf(graft.plans.NearestCentroids(expressionOf(v), expressionOf(nn), cents, n))
-    val sv = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"))
-      .withColumn("nn", vnorm(col("nv")))
-    val assigned = sv.withColumn("c_id",
-      element_at(nearest(col("nv"), col("nn"), 1), 1))
-    // Queries probe their nprobe nearest lists: explode the kernel's
-    // ordered id array (already (cos DESC, c_id ASC)-ranked).
-    val queries = sv.filter(col("n_id") < maxQueryId)
-      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"),
-        explode(nearest(col("nv"), col("nn"), nprobe)).as("c_id"))
+    val (assigned, queries) =
+      ivfAssignProbes(emb, idCol, vecCol, cents, maxQueryId, nprobe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     assigned.join(broadcast(queries), Seq("c_id"))
@@ -286,6 +275,32 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
+  /** The shared IVF structure every centroid-probed path builds on:
+    * `assigned` = the corpus with each vector's nearest-centroid cell
+    * `(n_id, nv, nn, c_id)`, and `queries` = the probe rows `(q_id, qv,
+    * qn, c_id)` — one row per (query, probed cell), the kernel's ordered
+    * id array exploded ((cos DESC, c_id ASC)-ranked). Both
+    * [[knnIvfWith]] (exact rerank) and `Clustering.ivfPqSearch` (ADC
+    * rerank over PQ codes) consume exactly this pair, so cell assignment
+    * and probing can never drift between the two ANN paths. */
+  def ivfAssignProbes(emb: DataFrame, idCol: String, vecCol: String,
+                      cents: graft.plans.IvfCentroids, maxQueryId: Long,
+                      nprobe: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    def nearest(v: org.apache.spark.sql.Column, nn: org.apache.spark.sql.Column,
+                n: Int): org.apache.spark.sql.Column =
+      columnOf(graft.plans.NearestCentroids(expressionOf(v), expressionOf(nn), cents, n))
+    val sv = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"))
+      .withColumn("nn", vnorm(col("nv")))
+    val assigned = sv.withColumn("c_id",
+      element_at(nearest(col("nv"), col("nn"), 1), 1))
+    val queries = sv.filter(col("n_id") < maxQueryId)
+      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"),
+        explode(nearest(col("nv"), col("nn"), nprobe)).as("c_id"))
+    (assigned, queries)
   }
 
   /** LSH-bucketed approximate top-k. `probeHamming = 1` turns on

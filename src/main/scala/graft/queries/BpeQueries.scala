@@ -79,20 +79,32 @@ object BpeQueries {
 
   /** Shared corpus/trainer CTE prologue: docwords → weighted distinct
     * words → char tokens t0, then [[BpeMerges]] unrolled rounds ending in
-    * t{BpeMerges} (final tokens) and m1..m{BpeMerges} (the merges). */
+    * t{BpeMerges} (final tokens) and m1..m{BpeMerges} (the merges).
+    *
+    * Exhaustion parity: when a round has NO pairs left (every word a
+    * single token), the engine stops early and keeps the last state —
+    * so each m$i emits a sentinel ('', '') row when its pair table is
+    * empty (a real token is never the empty string, so the sentinel
+    * matches nothing and t$i = t${i-1} verbatim), and q95 filters the
+    * sentinels out to mirror the engine's truncated merge list. */
   private def trainerSql: String = {
     def round(i: Int): String =
       s"""w$i AS (
          |  SELECT word, pos, tok,
          |    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
          |  FROM t${i - 1}),
+         |p$i AS (
+         |  SELECT w.tok AS lhs, w.ntok AS rhs,
+         |    CAST(sum(f.freq) AS BIGINT) AS cnt
+         |  FROM w$i w JOIN wf f USING (word) WHERE w.ntok IS NOT NULL
+         |  GROUP BY w.tok, w.ntok),
          |m$i AS (
          |  SELECT lhs, rhs, cnt FROM (
-         |    SELECT w.tok AS lhs, w.ntok AS rhs,
-         |      CAST(sum(f.freq) AS BIGINT) AS cnt
-         |    FROM w$i w JOIN wf f USING (word) WHERE w.ntok IS NOT NULL
-         |    GROUP BY w.tok, w.ntok)
-         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |    SELECT lhs, rhs, cnt FROM p$i
+         |    ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+         |  UNION ALL
+         |  SELECT '' AS lhs, '' AS rhs, CAST(0 AS BIGINT) AS cnt
+         |  WHERE NOT EXISTS (SELECT 1 FROM p$i)),
          |r$i AS (
          |  SELECT word, pos, tok, ntok, cand,
          |    CASE WHEN cand = 1 THEN pos - sum(cand)
@@ -138,7 +150,8 @@ object BpeQueries {
       .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM m$i")
       .mkString(" UNION ALL ")
     s"""WITH $trainerSql
-       |SELECT step, lhs, rhs, cnt FROM ($steps) ORDER BY step""".stripMargin
+       |SELECT step, lhs, rhs, cnt FROM ($steps)
+       |WHERE lhs <> '' ORDER BY step""".stripMargin
   }
 
   lazy val q96_sql: String =

@@ -31,19 +31,17 @@ object DedupQueries {
       |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin
 
   // ── q22: MinHash-LSH near-dup pairs over word 3-gram shingles ───────────
-  /** Signature floor: bands × the minimum rows-per-band (4). The EFFECTIVE
-    * signature length is corpus-scaled — [[lshK]] grows rows to 7 as the
-    * corpus grows (Dedup.lshRowsFor), which keeps background-similarity
-    * band collisions linear in n instead of quadratic. At the sf0.01
-    * correctness corpus the ladder sits at its floor, so small-corpus
-    * outputs are identical to the historical fixed-K shape. */
-  val MinHashK = 16
   val MinHashBands = 4
   val ShingleN = 3
   val JaccardThreshold = 0.8
 
-  /** Corpus-scaled signature length (bands × lshRowsFor(n)); the oracle
-    * derives the identical rows count from count(*) via sqlLshRowsFor. */
+  /** Corpus-scaled signature length: bands × lshRowsFor(n) — rows per
+    * band grow 4 → 7 with the corpus (Dedup.lshRowsFor), which keeps
+    * background-similarity band collisions linear in n instead of
+    * quadratic. At the sf0.01 correctness corpus the ladder sits at its
+    * floor (rows = 4, K = 16), so small-corpus outputs are identical to
+    * the historical fixed-K shape. The oracle derives the identical rows
+    * count from count(*) via sqlLshRowsFor. */
   private def lshK(s: SparkSession, d: String): Int =
     MinHashBands * Dedup.lshRowsFor(Tables.documents(s, d).count())
 

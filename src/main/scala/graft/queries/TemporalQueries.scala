@@ -177,9 +177,11 @@ object TemporalQueries {
     // bucket — so negative epoch-µs fails loudly here instead of
     // silently diverging from the oracle (assert_true is NULL on pass;
     // the isNull filter keeps the guard in the plan).
+    // NULL ts passes through (both engines flow NULL → NULL week
+    // identically); only the genuinely-diverging negative case fails.
     val ev = Tables.events(s, d)
       .select($"user_id", unix_micros($"ts").as("us"))
-      .filter(assert_true($"us" >= 0L,
+      .filter(assert_true($"us".isNull || $"us" >= 0L,
         lit("q92 cohort weeks assume nonnegative epoch timestamps " +
           "(Spark div truncates toward zero; the oracle's // floors)")).isNull)
       .select($"user_id", expr(s"us div ${WeekMicros}L").as("week"))

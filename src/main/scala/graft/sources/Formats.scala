@@ -118,22 +118,21 @@ object Formats {
     * interchange format most crawl/curation pipelines emit). An explicit
     * DDL schema (`schema=name STRING, n BIGINT`) skips Spark's
     * whole-dataset inference pre-pass — at 100 TB, inference is a full
-    * extra scan, so production reads should always pass one. Malformed
-    * lines land in `_corrupt_record` (PERMISSIVE) rather than failing
-    * the job — PERMISSIVE only populates that column when it exists in
-    * the schema, so it is appended to explicit schemas here (otherwise a
-    * malformed line would silently become an all-null row with no way to
-    * tell it from a row of JSON nulls). */
+    * extra scan, so production reads should always pass one.
+    *
+    * Malformed-line accounting: PERMISSIVE mode never fails the job, but
+    * it only captures the offending line when a `_corrupt_record STRING`
+    * column is PART OF THE DECLARED SCHEMA — with an explicit schema that
+    * omits it, a malformed line silently becomes an all-null row,
+    * indistinguishable from a row of JSON nulls. Callers who need the
+    * accounting declare the column themselves (see FormatsSpec); it is
+    * deliberately NOT auto-appended here, because the reader's output
+    * schema is a contract — CLI jobs pipe it straight into sinks, and a
+    * silently widened schema breaks pinned downstream consumers. */
   def readJsonLines(spark: SparkSession, path: String,
                     ddlSchema: Option[String] = None): DataFrame = {
     val r = spark.read.option("mode", "PERMISSIVE")
-    ddlSchema.fold(r) { s =>
-      val st = org.apache.spark.sql.types.StructType.fromDDL(s)
-      val withCorrupt =
-        if (st.fieldNames.contains("_corrupt_record")) st
-        else st.add("_corrupt_record", org.apache.spark.sql.types.StringType)
-      r.schema(withCorrupt)
-    }.json(path)
+    ddlSchema.fold(r)(s => r.schema(s)).json(path)
   }
 
   /** One record per (small) file: (path, length, content-bytes). Hidden

@@ -164,14 +164,15 @@ class FormatsSpec extends SparkSpec {
     assert(good == Set((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L)))
     // the malformed line is captured, not dropped and not fatal
     assert(rows.count(_._4.nonEmpty) == 1)
-    // an explicit schema WITHOUT _corrupt_record gets the column appended
-    // automatically — a malformed line must be tellable from a row of
-    // JSON nulls, not silently become all-nulls
+    // an explicit schema WITHOUT _corrupt_record keeps the declared
+    // contract exactly (no silent widening — CLI sinks pin this schema);
+    // the malformed line then surfaces as an all-null row, and callers
+    // wanting the accounting declare the column (as above)
     val bare = Formats.readJsonLines(spark, dir,
       Some("doc_id BIGINT, lang STRING, n_chars BIGINT"))
-    assert(bare.columns.contains("_corrupt_record"))
-    assert(bare.collect().count(r =>
-      Option(r.getAs[String]("_corrupt_record")).nonEmpty) == 1)
+    assert(bare.columns.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(bare.collect().count(r => r.isNullAt(0) && r.isNullAt(1) &&
+      r.isNullAt(2)) == 1)
     // without a schema the reader still works (inference pre-pass);
     // the malformed line still yields a (corrupt) row, not a failure
     val inferred = Formats.readJsonLines(spark, dir)
