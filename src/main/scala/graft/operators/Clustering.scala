@@ -280,6 +280,48 @@ object Clustering {
       .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
   }
 
+  /** Two-stage retrieval — the production ANN pattern: the compressed
+    * [[ivfPqSearch]] index produces a cheap `rerankPool`-deep shortlist
+    * per query, and ONLY those pairs are re-scored with the exact cosine
+    * on raw vectors. Per query, the expensive exact math touches
+    * `rerankPool` vectors instead of the corpus; the shortlist join back
+    * to raw vectors is broadcast-sized (queries × rerankPool rows).
+    * Output ranks by exact cosine (ties → smaller n_id), so ADC
+    * quantization error affects RECALL (which pairs made the pool) but
+    * never the final ordering of what it returns.
+    *
+    * @return (q_id, rank, n_id, cos) — topK per query by exact cosine
+    *         over the ADC shortlist
+    */
+  def ivfPqRerank(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, k: Int, iters: Int, numCentroids: Int,
+                  nprobe: Int, maxQueryId: Long, rerankPool: Int,
+                  topK: Int, salt: String = "pq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{cosineFromNorms, vnorm}
+    require(rerankPool >= topK,
+      s"rerankPool ($rerankPool) must be >= topK ($topK)")
+    val shortlist = ivfPqSearch(emb, idCol, vecCol, dim, m, k, iters,
+        numCentroids, nprobe, maxQueryId, rerankPool, salt)
+      .select(col("q_id"), col("n_id"))
+    val sv = emb.select(col(idCol).cast(LongType).as("vid"),
+        scaled(col(vecCol)).as("v"))
+      .withColumn("nrm", vnorm(col("v")))
+    val scored = sv.select(col("vid").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      .join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(sv.filter(col("vid") < maxQueryId)
+        .select(col("vid").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
   /** The IVF candidate set behind [[ivfPqSearch]]: `(q_id, n_id, c_id)` —
     * each query paired with exactly the corpus vectors in its nprobe
     * probed cells (self excluded; each pair appears once because a vector

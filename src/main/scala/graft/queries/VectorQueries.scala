@@ -385,7 +385,19 @@ object VectorQueries {
         MaxQueryId, PqTopK)
       .orderBy($"q_id", $"rank")
   }
-  lazy val q94_sql: String = {
+  lazy val q94_sql: String =
+    s"""WITH ${ivfPqChainSql()}
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, n_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+
+  /** The full IVF×PQ oracle chain through `ad(q_id, n_id, adist)` — the
+    * per-candidate exact ADC distances of the pruned index. Shared by
+    * q94 (rank by adist) and q98 (rerank the adist shortlist by exact
+    * cosine). Expects nothing; defines sv/params/chains/cent/assigned/
+    * probes/cand/codes/lanes/dt/ad. */
+  private def ivfPqChainSql(): String = {
     def cos(a: String, b: String, na: String, nb: String) =
       sqlCosineFromNorms(a, b, na, nb, Dim)
     val sub = Dim / PqM
@@ -399,7 +411,7 @@ object VectorQueries {
       .map(s => s"SELECT $s AS s, cluster AS code, pos, cval FROM s${s}c$PqIters")
       .mkString(" UNION ALL ")
     val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
-    s"""WITH $sqlParams, sv AS (
+    s"""$sqlParams, sv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
        |  FROM embeddings),
@@ -435,12 +447,39 @@ object VectorQueries {
        |  SELECT x.q_id, x.n_id, CAST(sum(d.dval) AS BIGINT) AS adist
        |  FROM cand x JOIN codes c ON c.n_id = x.n_id
        |  JOIN dt d ON d.q_id = x.q_id AND d.s = c.s AND d.code = c.code
-       |  GROUP BY x.q_id, x.n_id)
-       |SELECT q_id, rank, n_id, adist FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY adist, n_id) AS rank FROM ad)
-       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+       |  GROUP BY x.q_id, x.n_id)""".stripMargin
   }
+
+  // ── q98: two-stage retrieval — q94's compressed-index shortlist
+  // (rerankPool deepest ADC candidates) re-scored by EXACT cosine on raw
+  // vectors; final order is exact, the index only decides which pairs
+  // get the exact math. The oracle replays shortlist AND rerank. ─────────
+  val RerankPool = 6
+
+  val q98_ivfpq_rerank: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Clustering
+      .ivfPqRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << corpusBits(s, d), IvfNprobe,
+        MaxQueryId, RerankPool, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q98_sql: String =
+    s"""WITH ${ivfPqChainSql()},
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist, n_id) AS arank FROM ad)
+       |  WHERE arank <= $RerankPool
+       |), rescored AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${sqlCosineFromNorms("q.v", "n.v", "q.nrm", "n.nrm", Dim)} AS cos
+       |  FROM short s JOIN sv q ON q.vid = s.q_id JOIN sv n ON n.vid = s.n_id
+       |)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM rescored)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
 
   // ── q90: contrastive triplet mining — anchors (vec_id < 10) paired
   // with their exact top-1 neighbor (hard positive) and a deterministic
@@ -540,6 +579,7 @@ object VectorQueries {
     "q90_triplets" -> q90_triplets,
     "q93_feature_scale" -> q93_feature_scale,
     "q94_ivfpq_search" -> q94_ivfpq_search,
+    "q98_ivfpq_rerank" -> q98_ivfpq_rerank,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -554,5 +594,6 @@ object VectorQueries {
     "q90_triplets" -> q90_sql,
     "q93_feature_scale" -> q93_sql,
     "q94_ivfpq_search" -> q94_sql,
+    "q98_ivfpq_rerank" -> q98_sql,
   )
 }

@@ -140,6 +140,31 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerank: final order is exact cosine over the ADC shortlist") {
+    val out = Clustering.ivfPqRerank(blobs, "vec_id", "embedding",
+        dim = 4, m = 2, k = 3, iters = 2, numCentroids = 6, nprobe = 1,
+        maxQueryId = 3L, rerankPool = 5, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty && out.forall(t => t._1 != t._3))
+    // ranks dense, cosine non-increasing within each query
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to g.length))
+      assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    // rerank returns a subset of the ADC shortlist pairs
+    val pool = Clustering.ivfPqSearch(blobs, "vec_id", "embedding",
+        4, 2, 3, 2, numCentroids = 6, nprobe = 1, maxQueryId = 3L, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out.forall(t => pool.contains((t._1, t._3))))
+    // same-blob retrieval survives the compose
+    out.foreach { case (q, _, n, _) => assert(n % 3 == q % 3) }
+    intercept[IllegalArgumentException] {
+      Clustering.ivfPqRerank(blobs, "vec_id", "embedding",
+        4, 2, 3, 2, 6, 1, 3L, rerankPool = 2, topK = 3)
+    }
+  }
+
   test("kmeansFit returns both surfaces from one run, matching the split APIs") {
     val model = Clustering.kmeansFit(blobs, "vec_id", "embedding", 3, 2)
     val lanes = model.lanes.collect()
