@@ -62,8 +62,12 @@ object BpeDocStats {
 
   def docStats(text: UTF8String, lhs: Array[String],
                rhs: Array[String]): ArrayData = {
-    val words = WordSplit.split(
-      text.toString.toLowerCase(java.util.Locale.ROOT))
+    // UTF8String.toLowerCase IS Spark's lower() — byte-wise for ASCII,
+    // default-locale slow path otherwise. Calling it (instead of
+    // String.toLowerCase(ROOT)) makes the kernel's word split identical
+    // to the trainer's `lower(text)` on every input and locale, which
+    // q97's shared-oracle proof depends on.
+    val words = WordSplit.split(text.toLowerCase.toString)
     var nWords = 0L
     var nToks = 0L
     var maxLen = 0L
