@@ -62,6 +62,34 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpe kernel token-counts a document stream (pure column expr, no state)") {
+    // The inference-side tokenizer (graft.plans.BpeDocStats) is a plain
+    // codegen'd expression, so it composes with streaming for free —
+    // per-batch token accounting with no state store, the shape a
+    // streaming ingest pipeline uses to meter token budgets on arrival.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val lhs = Array("l", "lo")
+    val rhs = Array("o", "w")
+    val input = MemoryStream[(Long, String)]
+    val stats = input.toDS().toDF("doc_id", "text")
+      .select($"doc_id",
+        columnOf(graft.plans.BpeDocStats(expressionOf($"text"), lhs, rhs)).as("st"))
+      .select($"doc_id",
+        org.apache.spark.sql.functions.element_at($"st", 1).as("n_words"),
+        org.apache.spark.sql.functions.element_at($"st", 2).as("n_tokens"))
+    val q = stats.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "low low"), (2L, "lot"))
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // "low" -> l o w -> lo w -> low = 1 token; "lot" -> lo t = 2 tokens
+      assert(got == Set((1L, 2L, 2L), (2L, 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("nearDupStream: incoming docs match the static corpus via banded LSH") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
