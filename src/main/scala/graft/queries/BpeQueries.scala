@@ -77,6 +77,59 @@ object BpeQueries {
       .orderBy($"doc_id")
   }
 
+  /** q99: sequence packing driven by REAL tokenizer counts — q68's shard
+    * packing re-run with the kernel's BPE token counts as weights instead
+    * of whitespace counts, closing the loop the tokenizer exists for:
+    * budget/packing decisions are exactly as real as their token counts.
+    * Train once (bounded by the vocabulary), weigh every document in the
+    * scan that reads it, pack per source. The oracle derives the same
+    * per-document counts from the trainer chain and replays the
+    * cumulative-sum shard assignment. */
+  val PackBudget = 1000L
+  val PackBucket = 64L
+
+  val q99_bpe_pack_shards: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val (merges, _) =
+      Bpe.train(Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text")),
+        BpeMerges)
+    val lhs = merges.map(_.lhs).toArray
+    val rhs = merges.map(_.rhs).toArray
+    val weighted = docs(s, d)
+      .select($"source", $"doc_id",
+        columnOf(graft.plans.BpeDocStats(expressionOf($"text"), lhs, rhs))
+          .as("st"))
+      .select($"source", $"doc_id", element_at($"st", 1).as("nw"),
+        element_at($"st", 2).as("w"))
+      .filter($"nw" > 0).drop("nw") // mirror the oracle's inner join
+    graft.operators.Packing.packShards(weighted, "source", "doc_id", "w",
+        budget = PackBudget, bucketSize = PackBucket)
+      .groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("shard_tokens"))
+      .orderBy($"source", $"shard")
+  }
+
+  lazy val q99_sql: String =
+    s"""WITH $trainerSql,
+       |ws AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wt
+       |  FROM t$BpeMerges GROUP BY word),
+       |dtok AS (
+       |  SELECT d.doc_id, CAST(sum(s.wt) AS BIGINT) AS w
+       |  FROM docwords d JOIN ws s USING (word) GROUP BY d.doc_id),
+       |t AS (
+       |  SELECT doc.source, doc.doc_id, dt.w
+       |  FROM documents doc JOIN dtok dt ON dt.doc_id = doc.doc_id),
+       |c AS (
+       |  SELECT source, doc_id, w,
+       |    sum(w) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, CAST((cum - w) // $PackBudget AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS shard_tokens
+       |FROM c GROUP BY source, shard ORDER BY source, shard""".stripMargin
+
   /** Shared corpus/trainer CTE prologue: docwords → weighted distinct
     * words → char tokens t0, then [[BpeMerges]] unrolled rounds ending in
     * t{BpeMerges} (final tokens) and m1..m{BpeMerges} (the merges).
@@ -169,6 +222,7 @@ object BpeQueries {
     "q95_bpe_vocab" -> q95_bpe_vocab,
     "q96_bpe_encode" -> q96_bpe_encode,
     "q97_bpe_kernel_stats" -> q97_bpe_kernel_stats,
+    "q99_bpe_pack_shards" -> q99_bpe_pack_shards,
   )
   val oracleSql: Map[String, String] = Map(
     "q95_bpe_vocab" -> q95_sql,
@@ -176,5 +230,6 @@ object BpeQueries {
     // the kernel encode shares q96's oracle: same contract, so the hash
     // compare proves kernel == relational trainer state
     "q97_bpe_kernel_stats" -> q96_sql,
+    "q99_bpe_pack_shards" -> q99_sql,
   )
 }
