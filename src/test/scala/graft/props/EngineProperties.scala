@@ -476,6 +476,27 @@ object EngineProperties extends Properties("graft") {
       math.abs(est - n) / n <= 3 * 1.04 / 64
     }
 
+  property("BPE trainer's run-parity windows == sequential greedy kernel on any corpus") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(6,
+        Gen.oneOf('a', 'b', 'c')).map(_.mkString)).map(_.take(5)),
+        Gen.choose(1, 5)) { (words, merges) =>
+      import graft.operators.Bpe
+      import graft.plans.BpeDocStats
+      // q97's shared-oracle proof rests on this equivalence; the 3-char
+      // alphabet maximizes identical-pair runs (aaa...) where the two
+      // formulations could plausibly diverge
+      val wf = words.distinct.map(w => (w, 1L)).toDF("word", "freq")
+      val (induced, toks) = Bpe.train(wf, merges)
+      val lhs = induced.map(_.lhs).toArray
+      val rhs = induced.map(_.rhs).toArray
+      val trained = toks.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      trained.forall { case (w, expect) =>
+        BpeDocStats.encode(w, lhs, rhs).toSeq == expect
+      }
+    }
+
   property("pqCodes codes every vector with bounded codes, even when k exceeds the distinct subvectors") =
     forAll(Gen.choose(1, 5), Gen.choose(2, 8)) { (distinctVals, k) =>
       import graft.operators.Clustering
