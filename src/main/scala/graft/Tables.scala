@@ -26,23 +26,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as a long (legacy nanosAsLong) and
-    * truncate to microseconds — exactly what DuckDB does when it surfaces the
-    * column as TIMESTAMP (µs), so both engines see identical values. The
-    * underlying data is µs-precision (trailing 000 ns), so this is lossless.
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: Parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only loads as a long, via legacy nanosAsLong) and plain
+    * TIMESTAMP(MICROS). Normalize BOTH to a session-TZ µs timestamp —
+    * exactly what DuckDB surfaces for either physical type, so the two
+    * engines always see identical values. (The nanos data is µs-precision
+    * with trailing 000, so the truncation is lossless.)
     *
-    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set on the session
-    * AT CONSTRUCTION (Verify/Bench/Tool/test fixtures all do); there is no
-    * per-read parquet option for it, and mutating session conf at plan-build
-    * time would leak the setting into unrelated reads.
-    */
+    * For nanos-form data, `spark.sql.legacy.parquet.nanosAsLong=true` must
+    * be set AT SESSION CONSTRUCTION (Verify/Bench/Tool/test fixtures all
+    * do); there is no per-read parquet option for it, and mutating session
+    * conf at plan-build time would leak the setting into unrelated reads.
+    * The µs form needs no conf — dispatch is on the loaded dtype, not on
+    * the conf, so a session without the flag still reads µs-form data.
+    *
+    * The NTZ→TZ cast below is an identity: every entrypoint pins
+    * `spark.sql.session.timeZone=UTC`, and casting re-tags the micros
+    * value without rebasing it there. TZ-typed ts keeps q16-style
+    * comparisons against `lit(...).cast(TimestampType)` well-typed. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true " +
-        "set at session construction")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>           // nanos-as-long generation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType | _: TimestampType =>  // µs generation
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"unexpected events.ts type $other — expected nanos-as-long " +
+            "(with spark.sql.legacy.parquet.nanosAsLong=true) or a " +
+            "timestamp type")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
