@@ -81,6 +81,47 @@ object Clustering {
                    k: Int, iters: Int, salt: String = "kmeans"): DataFrame =
     kmeansFit(emb, idCol, vecCol, k, iters, salt).assign
 
+  /** SemDeDup — semantic near-duplicate pruning via cluster-bounded
+    * pairing (Abbas et al. 2023, arXiv:2303.09540): k-means the corpus
+    * ([[kmeansFit]], one run), then compare pairs ONLY within a cluster
+    * and prune every vector that has a same-cluster neighbor of cosine ≥
+    * `minCosine` with a smaller id (the lowest-id member of each
+    * neighborhood survives — the same deterministic keep-rule as the LSH
+    * dedup family). Returns one row per PRUNED vector:
+    * `(cluster, pruned, keeper, best_cos)` with `keeper` the smallest
+    * matching neighbor id and `best_cos` its strongest similarity.
+    *
+    * This is the k-means complement of `Similarity.cosinePairs`' LSH
+    * buckets: clusters capture "same topic" neighborhoods that sign-bucket
+    * boundaries can split. Pair cost is Σ|cluster|² — bounded by choosing
+    * k ∝ n / targetClusterSize exactly like the paper (which runs k=50k
+    * on 5B embeddings); the join shuffles on the cluster key, never
+    * corpus×corpus. Cosine is the deterministic scaled-int64 form
+    * (`VectorFunctions.cosineFromNorms`), so results are oracle-exact. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, minCosine: Double,
+               salt: String = "semdedup"): DataFrame = {
+    import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
+    val model = kmeansFit(emb, idCol, vecCol, k, iters, salt)
+    val sv = emb.select(col(idCol).cast(LongType).as("vid"),
+        scaled(col(vecCol)).as("v"))
+      .withColumn("nrm", vnorm(col("v")))
+      .join(model.assign.select(col("vid"), col("cluster")), "vid")
+    val x = sv.select(col("cluster"), col("vid").as("a_vid"),
+      col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val y = sv.select(col("cluster"), col("vid").as("b_vid"),
+      col("v").as("b_v"), col("nrm").as("b_nrm"))
+    x.join(y, Seq("cluster"))
+      .filter(col("a_vid") < col("b_vid"))
+      .withColumn("cos", cosineFromNorms(col("a_v"), col("b_v"),
+        col("a_nrm"), col("b_nrm")))
+      .filter(col("cos") >= minCosine)
+      .groupBy(col("cluster"), col("b_vid"))
+      .agg(min(col("a_vid")).as("keeper"), max(col("cos")).as("best_cos"))
+      .select(col("cluster"), col("b_vid").as("pruned"), col("keeper"),
+        col("best_cos"))
+  }
+
   /** Product-quantization codes: split each `dim`-lane vector into `m`
     * contiguous subvectors, k-means each subspace independently
     * (deterministic hash seeding per subspace salt), and emit each

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-statistics lexical scoring over the `documents` table: BM25
+  * retrieval (q100) and add-one-smoothed bigram-LM quality scoring (q103).
+  *
+  * Both operators are the token-stream statistics half of a training-data
+  * pipeline — BM25 is the lexical leg of hybrid (lexical + ANN) retrieval
+  * beside q25/q94, and the bigram LM is the classic cheap "perplexity-ish"
+  * quality filter run before expensive model-based scoring.
+  *
+  * Exactness design (what makes these oracle-checkable):
+  *   - Scores are NEVER summed as doubles. Each per-term / per-bigram
+  *     contribution collapses to an int64 (BM25: one double expression per
+  *     posting, identical operand order in both engines, then `floor ×2^20`
+  *     to int64; LM: pure int64 arithmetic throughout), and only the int64s
+  *     are summed — addition-order-free, so stable from local[32] to a
+  *     1000-executor cluster.
+  *   - Every double literal the SQL oracle sees is interpolated from the
+  *     SAME Scala double the Spark plan embeds (toString round-trips
+  *     exactly), so both engines evaluate bit-identical IEEE chains.
+  *
+  * Reference anchor: the reference has no retrieval/LM surface (it is a
+  * Hadoop job framework, KM/framework/MapReduceJob.java); these are
+  * LLM-pipeline charter upside, like q85-q90.
+  */
+object LexicalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Non-empty lowercase whitespace tokens (mirrors SketchQueries). */
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(tokens(c), t => length(t) > 0)
+  private val SqlToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
+
+  // ── q100: BM25 top-k lexical retrieval ──────────────────────────────────
+  // Query set = the token sets of documents doc_id < BmMaxQueryId (the same
+  // "first rows are the queries" convention as the ANN queries, q25/q89);
+  // corpus = every OTHER document. Score of doc n for query q:
+  //
+  //   Σ_{t ∈ q ∩ n}  idf(t) · tf_sat(t, n)
+  //   idf   = (N - df + 0.5)/(df + 0.5) + 1            (Lucene's ≥1 form —
+  //           rational, no log: libm vs JVM log differ in the last ULP)
+  //   tf_sat = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+  //
+  // Scale shape: the tiny query-term set broadcasts into the posting-list
+  // join on `term` (only matching terms' postings are ever scored — the
+  // inverted-index access path, not a corpus scan); df is vocabulary-sized
+  // (AQE broadcasts it when small, shuffles at corpus scale); corpus stats
+  // (N, Σdl) ride along as a 1-row broadcast cross join; the final top-k
+  // window partitions by q_id — never a global window.
+  val BmK1 = 1.2
+  val BmB = 0.75
+  val BmMaxQueryId = 5L
+  val BmTopK = 5
+  /** Fixed-point scale for the int64 score sum. */
+  val BmScale = 1048576L // 2^20
+  // Pre-computed double constants, interpolated into BOTH engines so the
+  // IEEE chains match bit-for-bit (1.2+1.0 != the parsed literal "2.2"'s
+  // neighbour in general — never re-derive on one side only).
+  private val K1p1 = BmK1 + 1.0
+  private val OneMinusB = 1.0 - BmB
+
+  val q100_bm25: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val terms = docs.select($"doc_id", explode(toks($"text")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("total_len"))
+    val qterms = tf.filter($"doc_id" < BmMaxQueryId)
+      .select($"doc_id".as("q_id"), $"term")
+    // idf and tf_sat written as ONE double chain each, mirrored textually
+    // in the oracle SQL below — same operand order, same literals.
+    val idf = ($"n_docs".cast(DoubleType) - $"df".cast(DoubleType) + 0.5) /
+      ($"df".cast(DoubleType) + 0.5) + 1.0
+    val norm = lit(OneMinusB) +
+      lit(BmB) * ($"dl".cast(DoubleType) /
+        ($"total_len".cast(DoubleType) / $"n_docs".cast(DoubleType)))
+    val sat = $"tf".cast(DoubleType) * K1p1 /
+      ($"tf".cast(DoubleType) + lit(BmK1) * norm)
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"doc_id".asc)
+    broadcast(qterms).join(tf, "term")
+      .filter($"doc_id" =!= $"q_id")
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        floor(idf * sat * lit(BmScale).cast(DoubleType)).cast(LongType))
+      .groupBy($"q_id", $"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where($"rank" <= BmTopK)
+      .select($"q_id", $"rank", $"doc_id", $"n_terms", $"score")
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q100_sql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($SqlToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+       |qterms AS (
+       |  SELECT doc_id AS q_id, term FROM tf WHERE doc_id < $BmMaxQueryId),
+       |contribs AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    CAST(floor(
+       |      ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+       |         / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(t.tf AS DOUBLE) * $K1p1
+       |         / (CAST(t.tf AS DOUBLE) + $BmK1 * ($OneMinusB
+       |            + $BmB * (CAST(l.dl AS DOUBLE)
+       |              / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+       |      * $BmScale.0) AS BIGINT) AS contrib
+       |  FROM qterms q
+       |  JOIN tf t USING (term)
+       |  JOIN df f USING (term)
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE t.doc_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, doc_id, count(*) AS n_terms,
+       |    CAST(sum(contrib) AS BIGINT) AS score
+       |  FROM contribs GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+       |SELECT q_id, rank, doc_id, n_terms, score FROM ranked
+       |WHERE rank <= $BmTopK ORDER BY q_id, rank""".stripMargin
+
+  // ── q103: bigram-LM quality scoring ─────────────────────────────────────
+  // Train add-one-smoothed bigram counts on the WHOLE corpus, then score
+  // every document by its own bigrams' likelihood proxy. The per-bigram
+  // term is pure int64 — (c12+1)·2^20 div (c1+V) — an integer-scaled
+  // conditional probability P(w2|w1) ∈ [0, 2^20]; the per-doc score is the
+  // int64 sum (arithmetic-mean proxy for the geometric-mean likelihood —
+  // monotone in the same direction, and exactly order-free, unlike a sum
+  // of float log-probs). All counts are nonnegative, so Spark's `div`
+  // (trunc) and DuckDB's `//` (floor) agree.
+  //
+  // Scale shape: two corpus-stat aggs (bigram df is bounded by corpus token
+  // count, unigram df by vocabulary) + two hash joins back onto the
+  // exploded bigram stream + a per-doc agg — every stage partial-aggregates
+  // map-side; no windows, no driver state. At 100 TB the c12/c1 tables are
+  // the shuffle cost, exactly an n-gram count job's.
+  val LmScale = 1048576L // 2^20
+
+  val q103_bigram_lm: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val withToks = docs.select($"doc_id", toks($"text").as("t"))
+    val grams = withToks.select($"doc_id",
+        explode(zip_with(
+          slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+          slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+      .withColumn("w1", split($"g", " ", 2).getItem(0))
+    val unigrams = withToks.select($"doc_id", explode($"t").as("w"))
+    val c12 = grams.groupBy($"g").agg(count(lit(1)).as("c12"))
+    val c1 = unigrams.groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vocab = unigrams.agg(countDistinct($"w").as("vocab"))
+    grams.join(c12, "g")
+      .join(c1, $"w1" === $"w")
+      .crossJoin(broadcast(vocab))
+      .withColumn("term",
+        expr(s"(c12 + 1) * $LmScale div (c1 + vocab)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"term").as("ll_proxy"))
+      .withColumn("avg_ll",
+        $"ll_proxy".cast(DoubleType) / $"n_bigrams".cast(DoubleType))
+      .orderBy($"doc_id")
+  }
+  lazy val q103_sql: String =
+    s"""WITH t AS (SELECT doc_id, $SqlToks AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g
+       |  FROM t),
+       |gw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM grams),
+       |unigrams AS (SELECT doc_id, unnest(t) AS w FROM t),
+       |c12 AS (SELECT g, count(*) AS c12 FROM grams GROUP BY g),
+       |c1 AS (SELECT w, count(*) AS c1 FROM unigrams GROUP BY w),
+       |vocab AS (SELECT count(DISTINCT w) AS vocab FROM unigrams),
+       |terms AS (
+       |  SELECT gw.doc_id,
+       |    CAST((c12.c12 + 1) * $LmScale // (c1.c1 + v.vocab) AS BIGINT) AS term
+       |  FROM gw JOIN c12 USING (g) JOIN c1 ON gw.w1 = c1.w
+       |  CROSS JOIN vocab v)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(term) AS BIGINT) AS ll_proxy,
+       |  CAST(CAST(sum(term) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avg_ll
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q100_bm25" -> q100_bm25,
+    "q103_bigram_lm" -> q103_bigram_lm)
+  val oracleSql: Map[String, String] = Map(
+    "q100_bm25" -> q100_sql,
+    "q103_bigram_lm" -> q103_sql)
+}

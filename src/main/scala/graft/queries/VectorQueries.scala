@@ -566,6 +566,41 @@ object VectorQueries {
        |  min(nv) AS nmin, max(nv) AS nmax
        |FROM n GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ── q102: SemDeDup — semantic dedup via cluster-bounded cosine pruning
+  // (Clustering.semDedup): one k-means fit, then near-dup pairs mined ONLY
+  // within a cluster (the k-means complement of q40's LSH buckets — pair
+  // cost Σ|cluster|², tuned by k, never corpus×corpus). The oracle replays
+  // the ENTIRE composition: the same hash-seeded quantized Lloyd chain as
+  // q77 (kmeansChainSql, salt "semdedup"), the assignment join, and every
+  // within-cluster cosine — so the compare verifies cluster membership AND
+  // the prune decisions bit-for-bit. ─────────────────────────────────────
+  val SemK = 4
+  val SemIters = 2
+
+  val q102_semdedup: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Clustering
+      .semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        SemK, SemIters, CosineDupThreshold)
+      .orderBy($"pruned")
+  }
+  lazy val q102_sql: String = {
+    val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
+    s"""WITH sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings),
+       |${kmeansChainSql("sd", 0, Dim, SemK, SemIters, "semdedup")},
+       |j AS (
+       |  SELECT s.vid, s.v, s.nrm, a.cluster
+       |  FROM sv s JOIN sda$SemIters a USING (vid))
+       |SELECT x.cluster, y.vid AS pruned, min(x.vid) AS keeper,
+       |  max($cos) AS best_cos
+       |FROM j x JOIN j y ON x.cluster = y.cluster AND x.vid < y.vid
+       |WHERE $cos >= $CosineDupThreshold
+       |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
@@ -580,6 +615,7 @@ object VectorQueries {
     "q93_feature_scale" -> q93_feature_scale,
     "q94_ivfpq_search" -> q94_ivfpq_search,
     "q98_ivfpq_rerank" -> q98_ivfpq_rerank,
+    "q102_semdedup" -> q102_semdedup,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -595,5 +631,6 @@ object VectorQueries {
     "q93_feature_scale" -> q93_sql,
     "q94_ivfpq_search" -> q94_sql,
     "q98_ivfpq_rerank" -> q98_sql,
+    "q102_semdedup" -> q102_sql,
   )
 }

@@ -100,11 +100,51 @@ object VersionedQueries {
        |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-15')
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ── q101: SCD Type-2 interval view — every versioned cell write becomes
+  // a validity interval [valid_from, valid_to) with the next write of the
+  // SAME cell closing it (lead over the cell's version chain); the newest
+  // version stays open (valid_to NULL, is_current true). This is the
+  // dimensional-modeling surface of the Kiji timestamped-cell model: a
+  // point-in-time join against it answers "what was this cell's value at
+  // time T" relationally, where the reference walks HBase cell versions
+  // imperatively (KM/impl/HFileWriterContext.java:333-339).
+  //
+  // Interval bounds are epoch MICROS as int64 (unix_micros / epoch_us):
+  // Spark surfaces ts at µs and DuckDB at ns, so raw timestamps would
+  // hash-mismatch on dtype; the underlying data is µs-precision, so both
+  // engines see identical integers. Scale shape: ONE window partitioned
+  // by the cell key (user_id, event_type) — co-partitioned with every
+  // other per-cell operator, never a global window.
+  val q101_scd2: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id", $"value")
+    Tables.events(s, d)
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_from_us", unix_micros($"ts"))
+      .withColumn("valid_to_us", unix_micros(lead($"ts", 1).over(w)))
+      .select($"user_id", $"event_type", $"version", $"event_id", $"value",
+        $"valid_from_us", $"valid_to_us",
+        $"valid_to_us".isNull.as("is_current"))
+      .orderBy($"user_id", $"event_type", $"version")
+  }
+  val q101_sql: String =
+    """SELECT user_id, event_type,
+      |  row_number() OVER w AS version, event_id, value,
+      |  epoch_us(ts) AS valid_from_us,
+      |  epoch_us(lead(ts, 1) OVER w) AS valid_to_us,
+      |  lead(ts, 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id, event_type
+      |  ORDER BY ts, event_id, value)
+      |ORDER BY user_id, event_type, version""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q13_most_recent" -> q13_most_recent,
     "q14_max_versions" -> q14_max_versions,
     "q15_ttl" -> q15_ttl,
     "q16_tombstone_delete" -> q16_tombstone_delete,
+    "q101_scd2" -> q101_scd2,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -112,5 +152,6 @@ object VersionedQueries {
     "q14_max_versions" -> q14_sql,
     "q15_ttl" -> q15_sql,
     "q16_tombstone_delete" -> q16_sql,
+    "q101_scd2" -> q101_sql,
   )
 }
