@@ -387,14 +387,20 @@ object Clustering {
       .select(col("q_id"), col("n_id"), col("c_id"))
   }
 
-  /** Nearest centroid per row: k codegen'd integer array folds against
-    * literal centroid lanes; strict-< fold keeps the SMALLEST index on
-    * distance ties. Emits `cluster` and the winning exact squared
-    * distance `dist`. */
+  /** Nearest centroid per row: one codegen'd NearestL2Centroid kernel
+    * call against the driver-built centroid set; strict-< scan keeps the
+    * SMALLEST index on distance ties. Emits `cluster` and the winning
+    * exact squared distance `dist`. */
   private def assignClusters(sv: DataFrame,
                              centroids: Seq[(Int, Seq[Long])]): DataFrame = {
     require(centroids.nonEmpty, "all clusters became empty")
     val dim = centroids.head._2.length
+    // A ragged CORPUS can surface here first: seed vectors of unequal
+    // length produce centroids of unequal length before any row-level
+    // check runs. Same failure class as the per-row guard below.
+    require(centroids.forall(_._2.length == dim),
+      s"ragged embedding: seed centroid lane counts differ " +
+        s"(${centroids.map(_._2.length).distinct.sorted.mkString(", ")})")
     // Ragged-input guard: zip_with against a shorter/longer vector yields
     // null lanes, which would silently park the row in cluster 0 instead
     // of failing. assert_true returns NULL on pass (isNull keeps the
@@ -402,16 +408,22 @@ object Clustering {
     val checked = sv.filter(assert_true(size(col("v")) === lit(dim),
       concat(lit(s"ragged embedding: expected $dim lanes, got "),
         size(col("v")).cast("string"))).isNull)
-    def dist(cv: Seq[Long]): Column =
-      aggregate(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    val best = centroids.tail.foldLeft(
-      struct(dist(centroids.head._2).as("d"), lit(centroids.head._1).as("c"))) {
-      case (acc, (ci, cv)) =>
-        val d = dist(cv)
-        when(d < acc.getField("d"), struct(d.as("d"), lit(ci).as("c")))
-          .otherwise(acc)
-    }
+    // argmin via the codegen'd NearestL2Centroid kernel: one fused
+    // k·dim-primitive-op loop per row against a driver-built flat centroid
+    // array, ties to the smallest cluster id — the same winner as the
+    // oracle's row_number OVER (ORDER BY dist, cluster). The naive
+    // alternatives both fail at corpus-scaled k: a when/otherwise foldLeft
+    // duplicates the accumulator per branch (O(2^k) expression nodes —
+    // analysis alone stalled for minutes at k=16), and least() over k
+    // zip_with/aggregate structs stays linear but interpreted (closure
+    // overhead per lane per centroid dominated the sf0.1 bench at k=256).
+    val sorted = centroids.sortBy(_._1)
+    val cents = graft.plans.L2Centroids(sorted.map(_._1).toArray,
+      sorted.flatMap(_._2).toArray, dim)
+    val best = org.apache.spark.sql.graftbridge.ColumnBridge.columnOf(
+      graft.plans.NearestL2Centroid(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expressionOf(col("v")),
+        cents))
     checked.withColumn("__best", best)
       .withColumn("cluster", col("__best.c"))
       .withColumn("dist", col("__best.d"))

@@ -241,9 +241,14 @@ object VectorQueries {
     * centroid lanes are `${p}c$iters` and the final-round assignment
     * (vid, cluster, dist — the exact argmin distance) is `${p}a$iters`.
     * Mirrors Clustering.lloyd: hash-seeded, argmin ties to the smallest
-    * cluster, integer-quantized (trunc) centroid updates. */
+    * cluster, integer-quantized (trunc) centroid updates.
+    *
+    * `k` is a SQL expression (k appears only in the seed LIMIT, which
+    * DuckDB evaluates as any scalar subquery/expression) — so corpus-
+    * scaled cluster counts replay too (q102 passes a bitsFor-ladder
+    * subquery; the fixed-k callers pass the integer literal). */
   private def kmeansChainSql(p: String, start: Int, subDim: Int,
-                             k: Int, iters: Int, salt: String): String = {
+                             k: String, iters: Int, salt: String): String = {
     def assignUpdate(i: Int, lanesCte: String): String =
       s"""${p}d$i AS (
          |  SELECT s.vid, c.cluster,
@@ -282,7 +287,7 @@ object VectorQueries {
     s"""WITH sv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v
        |  FROM embeddings),
-       |${kmeansChainSql("", 0, Dim, KmeansK, KmeansIters, "kmeans")}
+       |${kmeansChainSql("", 0, Dim, KmeansK.toString, KmeansIters, "kmeans")}
        |SELECT cluster, pos, cval, n FROM c$KmeansIters ORDER BY cluster, pos""".stripMargin
 
   // ── q88: product quantization — each 64-dim vector compressed to m=2
@@ -308,7 +313,7 @@ object VectorQueries {
   lazy val q88_sql: String = {
     val sub = Dim / PqM
     val chains = (0 until PqM)
-      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK, PqIters, s"pq$s"))
+      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK.toString, PqIters, s"pq$s"))
       .mkString(",\n")
     val joins = (1 until PqM)
       .map(s => s"JOIN s${s}a$PqIters j$s USING (vid)").mkString(" ")
@@ -340,7 +345,7 @@ object VectorQueries {
   lazy val q89_sql: String = {
     val sub = Dim / PqM
     val chains = (0 until PqM)
-      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK, PqIters, s"pq$s"))
+      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK.toString, PqIters, s"pq$s"))
       .mkString(",\n")
     val codes = (0 until PqM)
       .map(s => s"SELECT vid AS n_id, $s AS s, cluster AS code FROM s${s}a$PqIters")
@@ -402,7 +407,7 @@ object VectorQueries {
       sqlCosineFromNorms(a, b, na, nb, Dim)
     val sub = Dim / PqM
     val chains = (0 until PqM)
-      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK, PqIters, s"pq$s"))
+      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK.toString, PqIters, s"pq$s"))
       .mkString(",\n")
     val codes = (0 until PqM)
       .map(s => s"SELECT vid AS n_id, $s AS s, cluster AS code FROM s${s}a$PqIters")
@@ -568,29 +573,44 @@ object VectorQueries {
 
   // ── q102: SemDeDup — semantic dedup via cluster-bounded cosine pruning
   // (Clustering.semDedup): one k-means fit, then near-dup pairs mined ONLY
-  // within a cluster (the k-means complement of q40's LSH buckets — pair
-  // cost Σ|cluster|², tuned by k, never corpus×corpus). The oracle replays
-  // the ENTIRE composition: the same hash-seeded quantized Lloyd chain as
-  // q77 (kmeansChainSql, salt "semdedup"), the assignment join, and every
-  // within-cluster cosine — so the compare verifies cluster membership AND
-  // the prune decisions bit-for-bit. ─────────────────────────────────────
-  val SemK = 4
+  // within a cluster (the k-means complement of q40's LSH buckets). The
+  // cluster count is CORPUS-SCALED through the same bitsFor ladder as the
+  // LSH alphabet — k = 2^bitsFor(n, SemTargetClusterRows) — which keeps
+  // the pair cost Σ|cluster|² ≈ n·SemTargetClusterRows LINEAR in corpus
+  // size (a fixed k would make within-cluster pairing quadratic; the
+  // SemDeDup paper's k=50k-on-5B is exactly this scaling). The oracle
+  // replays the ENTIRE composition: the same hash-seeded quantized Lloyd
+  // chain as q77 (kmeansChainSql, salt "semdedup", k as a ladder
+  // subquery in the seed LIMIT), the assignment join, and every
+  // within-cluster cosine — so the compare verifies cluster membership
+  // AND the prune decisions bit-for-bit. ─────────────────────────────────
   val SemIters = 2
+  /** Target cluster population (the Σ|cluster|² knob). */
+  val SemTargetClusterRows = 32L
+  /** Cap: k ≤ 2^10 keeps driver centroid state (k·dim longs) tiny; at
+    * true 100 TB scale raise it toward the paper's k≈n/targetRows. */
+  val SemMaxClusterBits = 10
 
   val q102_semdedup: Q = (s, d) => {
     import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val k = 1 << Similarity.bitsFor(emb.count(), SemTargetClusterRows,
+      SemMaxClusterBits)
     graft.operators.Clustering
-      .semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-        SemK, SemIters, CosineDupThreshold)
+      .semDedup(emb, "vec_id", "embedding", k, SemIters, CosineDupThreshold)
       .orderBy($"pruned")
   }
   lazy val q102_sql: String = {
     val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
-    s"""WITH sv AS (
+    val ladder = Similarity.sqlBitsFor("count(*)", SemTargetClusterRows,
+      SemMaxClusterBits)
+    s"""WITH sdp AS (SELECT $ladder AS bits FROM embeddings),
+       |sv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
        |  FROM embeddings),
-       |${kmeansChainSql("sd", 0, Dim, SemK, SemIters, "semdedup")},
+       |${kmeansChainSql("sd", 0, Dim, "(SELECT 1 << bits FROM sdp)",
+          SemIters, "semdedup")},
        |j AS (
        |  SELECT s.vid, s.v, s.nrm, a.cluster
        |  FROM sv s JOIN sda$SemIters a USING (vid))

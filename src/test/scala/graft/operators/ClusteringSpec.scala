@@ -192,6 +192,34 @@ class ClusteringSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("ragged embedding")), e.getMessage)
   }
 
+  test("semDedup prunes identical vectors to their lowest-id keeper") {
+    // identity groups {0,2,4} and {1,5}; 3 and 6 are NEAR their blob
+    // (cos ≈ 0.98) but below the 0.999 threshold. Identical vectors are
+    // equidistant from every centroid, so they ALWAYS co-cluster — the
+    // expected prune set is invariant to how k-means splits the blobs.
+    val vecs = Seq(
+      (0L, Seq(10f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 1f)),
+      (2L, Seq(10f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, -1f)),
+      (4L, Seq(10f, 1f, 0f, 0f)), (5L, Seq(0f, 0f, 10f, 1f)),
+      (6L, Seq(10f, -1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Clustering
+      .semDedup(vecs, "vec_id", "embedding", k = 2, iters = 2,
+        minCosine = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 5L), out.mkString(", "))
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 1L))
+    assert(out.forall(_._3 == 1.0))
+  }
+
+  test("semDedup with an unreachable threshold prunes nothing") {
+    val out = Clustering.semDedup(blobs, "vec_id", "embedding",
+      k = 3, iters = 2, minCosine = 1.1)
+    assert(out.count() == 0L)
+  }
+
   test("k or iters <= 0 refused; k > corpus degrades to occupied clusters only") {
     intercept[IllegalArgumentException] {
       Clustering.kmeansLanes(blobs, "vec_id", "embedding", 0, 1)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.window.WindowExec
 
 import graft.SparkSpec
-import graft.queries.{DedupQueries, TextQueries, VectorQueries}
+import graft.queries.{DedupQueries, LexicalQueries, TextQueries, VectorQueries}
 
 /** Plan-REGRESSION guards: freeze the audited physical shapes of the
   * scale-critical queries so a dropped broadcast() hint, an accidental
@@ -84,5 +84,26 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast — at least two broadcast joins in the plan.
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"expected >=2 broadcast joins in q94 plan:\n$p")
+  }
+
+  test("q100 BM25: query terms broadcast into the posting join; top-k window per query") {
+    val df = LexicalQueries.q100_bm25(spark, D)
+    val p = withoutAutoBroadcast { planString(df) }
+    assert(!p.contains("CartesianProduct"), s"cartesian in q100 plan:\n$p")
+    // the hinted qterms (and stats) broadcasts must survive: a shuffled
+    // qterms join re-exchanges the full posting list per query batch
+    assert(p.contains("BroadcastHashJoin"),
+      s"no broadcast join in q100 plan:\n$p")
+    // the only window is the per-query top-k — never a global window
+    val windows = planOf(df).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"global window in q100 plan:\n$p")
+  }
+
+  test("q102 SemDeDup: pair mining is a cluster equi-join, never all-pairs") {
+    val p = planString(VectorQueries.q102_semdedup(spark, D))
+    assert(!p.contains("CartesianProduct"), s"cartesian in q102 plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in q102 plan:\n$p")
   }
 }
