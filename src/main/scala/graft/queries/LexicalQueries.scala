@@ -68,7 +68,10 @@ object LexicalQueries {
   private val K1p1 = BmK1 + 1.0
   private val OneMinusB = 1.0 - BmB
 
-  val q100_bm25: Q = (s, d) => {
+  /** The full BM25 ranking pipeline down to per-query ranks (no top-k cut)
+    * — shared by q100 (cut at BmTopK) and q104's fusion leg (cut at
+    * RrfPoolN). Columns: (q_id, rank, doc_id, n_terms, score). */
+  private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val terms = docs.select($"doc_id", explode(toks($"text")).as("term"))
@@ -99,12 +102,19 @@ object LexicalQueries {
       .groupBy($"q_id", $"doc_id")
       .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("score"))
       .withColumn("rank", row_number().over(w).cast(LongType))
+  }
+
+  val q100_bm25: Q = (s, d) => {
+    import s.implicits._
+    bm25Ranked(s, d)
       .where($"rank" <= BmTopK)
       .select($"q_id", $"rank", $"doc_id", $"n_terms", $"score")
       .orderBy($"q_id", $"rank")
   }
-  lazy val q100_sql: String =
-    s"""WITH terms AS (
+  /** The CTE chain mirroring [[bm25Ranked]]; terminal CTE is `ranked`
+    * with (q_id, doc_id, n_terms, score, rank). */
+  private lazy val bm25RankedCtes: String =
+    s"""terms AS (
        |  SELECT doc_id, unnest($SqlToks) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
@@ -134,9 +144,78 @@ object LexicalQueries {
        |  FROM contribs GROUP BY 1, 2),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+       |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)""".stripMargin
+  lazy val q100_sql: String =
+    s"""WITH $bm25RankedCtes
        |SELECT q_id, rank, doc_id, n_terms, score FROM ranked
        |WHERE rank <= $BmTopK ORDER BY q_id, rank""".stripMargin
+
+  // ── q104: hybrid retrieval via reciprocal-rank fusion ───────────────────
+  // The standard lexical+dense combiner: each system contributes
+  // 1/(K + rank) for its shortlist, missing docs contribute 0, fused
+  // ranking = descending sum. Lexical leg = the BM25 ranking above
+  // (top RrfPoolN); dense leg = exact-cosine ANN over the embeddings
+  // table (Similarity.knnExact — swap in the IVF×PQ index at scale, same
+  // (q_id, rank, n_id) shape). Exactness: each reciprocal is one double
+  // division and the fusion is ONE fixed-order addition of two coalesced
+  // terms — textually mirrored in the oracle, so doubles hash-compare.
+  // Scale shape: both legs end top-N per query, so the fusion joins two
+  // (queries × N)-row frames on (q_id, doc_id) — corpus-independent.
+  val RrfK = 60
+  val RrfPoolN = 10
+  val RrfTopK = 5
+
+  val q104_rrf_fusion: Q = (s, d) => {
+    import s.implicits._
+    val lex = bm25Ranked(s, d).where($"rank" <= RrfPoolN)
+      .select($"q_id", $"doc_id", $"rank".as("lex_rank"))
+    val dense = graft.operators.Similarity
+      .knnExact(Tables.embeddings(s, d), "vec_id", "embedding",
+        BmMaxQueryId, RrfPoolN)
+      .select($"q_id", $"n_id".as("doc_id"),
+        $"rank".cast(LongType).as("dense_rank"))
+    val w = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id".asc)
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / ($"lex_rank" + RrfK).cast(DoubleType), lit(0.0)) +
+          coalesce(lit(1.0) / ($"dense_rank" + RrfK).cast(DoubleType), lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where($"rank" <= RrfTopK)
+      .select($"q_id", $"rank", $"doc_id", $"lex_rank", $"dense_rank", $"rrf")
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q104_sql: String = {
+    import graft.functions.VectorFunctions.{sqlScaled, sqlVnorm, sqlCosineFromNorms}
+    val dim = VectorQueries.Dim
+    s"""WITH $bm25RankedCtes,
+       |lex AS (
+       |  SELECT q_id, doc_id, rank AS lex_rank FROM ranked
+       |  WHERE rank <= $RrfPoolN),
+       |sv AS (
+       |  SELECT vec_id, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), dim)} AS nrm
+       |  FROM embeddings),
+       |dscored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+       |    ${sqlCosineFromNorms("q.v", "e.v", "q.nrm", "e.nrm", dim)} AS cos
+       |  FROM sv q JOIN sv e
+       |    ON q.vec_id < $BmMaxQueryId AND e.vec_id <> q.vec_id),
+       |dense AS (
+       |  SELECT q_id, doc_id, dense_rank FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, doc_id ASC) AS dense_rank FROM dscored)
+       |  WHERE dense_rank <= $RrfPoolN),
+       |fused AS (
+       |  SELECT q_id, doc_id, lex_rank, dense_rank,
+       |    COALESCE(1.0 / CAST(lex_rank + $RrfK AS DOUBLE), 0.0)
+       |      + COALESCE(1.0 / CAST(dense_rank + $RrfK AS DOUBLE), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN dense USING (q_id, doc_id)),
+       |frank AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+       |SELECT q_id, rank, doc_id, lex_rank, dense_rank, rrf FROM frank
+       |WHERE rank <= $RrfTopK ORDER BY q_id, rank""".stripMargin
+  }
 
   // ── q103: bigram-LM quality scoring ─────────────────────────────────────
   // Train add-one-smoothed bigram counts on the WHOLE corpus, then score
@@ -204,8 +283,10 @@ object LexicalQueries {
 
   val queries: Map[String, Q] = Map(
     "q100_bm25" -> q100_bm25,
-    "q103_bigram_lm" -> q103_bigram_lm)
+    "q103_bigram_lm" -> q103_bigram_lm,
+    "q104_rrf_fusion" -> q104_rrf_fusion)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
-    "q103_bigram_lm" -> q103_sql)
+    "q103_bigram_lm" -> q103_sql,
+    "q104_rrf_fusion" -> q104_sql)
 }
