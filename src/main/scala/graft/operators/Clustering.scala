@@ -122,6 +122,61 @@ object Clustering {
         col("best_cos"))
   }
 
+  /** Assign rows to an ALREADY-FITTED centroid set (a lanes frame from
+    * [[kmeansFit]]/[[kmeansLanes]]): collect the k·dim lanes driver-side
+    * and run one NearestL2Centroid kernel scan — no iteration, no
+    * shuffle. Returns `(vid, v, cluster, dist)` with `v` the scaled
+    * lanes and `dist` the exact int64 squared L2. This is the "classify
+    * against the trained model" half of incremental pipelines: fit once
+    * on the corpus, assign each incoming delta batch in a single pass. */
+  def assignToLanes(emb: DataFrame, idCol: String, vecCol: String,
+                    lanes: DataFrame): DataFrame = {
+    val cents = lanes.select(col("cluster"), col("pos"), col("cval"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toSeq) }
+    val sv = emb.select(col(idCol).cast(LongType).as("vid"),
+      scaled(col(vecCol)).as("v"))
+    assignClusters(sv, cents)
+  }
+
+  /** Incremental SemDeDup — the ingestion-time variant of [[semDedup]]:
+    * k-means is fitted on the EXISTING corpus only, the delta batch is
+    * assigned to those centroids in one kernel pass
+    * ([[assignToLanes]]), and near-dup pairs are mined ONLY between
+    * delta and corpus rows sharing a cluster — corpus×corpus is never
+    * re-paired (the [[Dedup]] incremental-LSH economics, on embeddings).
+    * Returns one row per pruned DELTA vector:
+    * `(cluster, pruned, keeper, best_cos)`, keeper = the smallest
+    * matching corpus id. */
+  def semDedupDelta(delta: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String,
+                    k: Int, iters: Int, minCosine: Double,
+                    salt: String = "semdedup"): DataFrame = {
+    import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
+    val model = kmeansFit(corpus, idCol, vecCol, k, iters, salt)
+    val corpusSide = corpus
+      .select(col(idCol).cast(LongType).as("vid"),
+        scaled(col(vecCol)).as("v"))
+      .withColumn("nrm", vnorm(col("v")))
+      .join(model.assign.select(col("vid"), col("cluster")), "vid")
+      .select(col("cluster"), col("vid").as("a_vid"),
+        col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val deltaSide = assignToLanes(delta, idCol, vecCol, model.lanes)
+      .withColumn("nrm", vnorm(col("v")))
+      .select(col("cluster"), col("vid").as("b_vid"),
+        col("v").as("b_v"), col("nrm").as("b_nrm"))
+    corpusSide.join(deltaSide, Seq("cluster"))
+      .withColumn("cos", cosineFromNorms(col("a_v"), col("b_v"),
+        col("a_nrm"), col("b_nrm")))
+      .filter(col("cos") >= minCosine)
+      .groupBy(col("cluster"), col("b_vid"))
+      .agg(min(col("a_vid")).as("keeper"), max(col("cos")).as("best_cos"))
+      .select(col("cluster"), col("b_vid").as("pruned"), col("keeper"),
+        col("best_cos"))
+  }
+
   /** Product-quantization codes: split each `dim`-lane vector into `m`
     * contiguous subvectors, k-means each subspace independently
     * (deterministic hash seeding per subspace salt), and emit each

@@ -621,6 +621,69 @@ object VectorQueries {
        |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
   }
 
+  // ── q105: incremental SemDeDup — the ingestion-time composition
+  // (Clustering.semDedupDelta): k-means fitted on the EXISTING corpus
+  // only (labels outside SemDeltaLabels), the delta batch assigned to
+  // those centroids in one kernel pass, and near-dup cosines mined only
+  // between delta and corpus rows sharing a cluster — corpus×corpus is
+  // never re-paired, so recurring ingestion cost scales with the delta
+  // (q79's incremental-LSH economics, on embeddings). The oracle replays
+  // the corpus-only Lloyd chain, the delta argmin against the FINAL
+  // centroid lanes, and every cross-side cosine. ─────────────────────────
+  val SemDeltaLabels = Seq(8, 9)
+
+  val q105_incremental_semdedup: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val isDelta = $"label".isin(SemDeltaLabels: _*)
+    val corpus = emb.filter(!isDelta)
+    val k = 1 << Similarity.bitsFor(corpus.count(), SemTargetClusterRows,
+      SemMaxClusterBits)
+    graft.operators.Clustering
+      .semDedupDelta(emb.filter(isDelta), corpus, "vec_id", "embedding",
+        k, SemIters, CosineDupThreshold, "semdedup-inc")
+      .orderBy($"pruned")
+  }
+  lazy val q105_sql: String = {
+    val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
+    val deltaList = SemDeltaLabels.mkString(", ")
+    val ladder = Similarity.sqlBitsFor("count(*)", SemTargetClusterRows,
+      SemMaxClusterBits)
+    s"""WITH sdp AS (
+       |  SELECT $ladder AS bits FROM embeddings WHERE label NOT IN ($deltaList)),
+       |sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings WHERE label NOT IN ($deltaList)),
+       |${kmeansChainSql("sd", 0, Dim, "(SELECT 1 << bits FROM sdp)",
+          SemIters, "semdedup-inc")},
+       |dsv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings WHERE label IN ($deltaList)),
+       |dd AS (
+       |  SELECT s.vid, c.cluster,
+       |    sum((list_extract(s.v, c.pos + 1) - c.cval)
+       |      * (list_extract(s.v, c.pos + 1) - c.cval)) AS dist
+       |  FROM dsv s, sdc$SemIters c GROUP BY s.vid, c.cluster),
+       |da AS (
+       |  SELECT vid, cluster FROM (
+       |    SELECT vid, cluster,
+       |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+       |    FROM dd) WHERE rn = 1),
+       |cj AS (
+       |  SELECT s.vid, s.v, s.nrm, a.cluster
+       |  FROM sv s JOIN sda$SemIters a USING (vid)),
+       |dj AS (
+       |  SELECT s.vid, s.v, s.nrm, a.cluster
+       |  FROM dsv s JOIN da a USING (vid))
+       |SELECT x.cluster, y.vid AS pruned, min(x.vid) AS keeper,
+       |  max($cos) AS best_cos
+       |FROM cj x JOIN dj y ON x.cluster = y.cluster
+       |WHERE $cos >= $CosineDupThreshold
+       |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
@@ -636,6 +699,7 @@ object VectorQueries {
     "q94_ivfpq_search" -> q94_ivfpq_search,
     "q98_ivfpq_rerank" -> q98_ivfpq_rerank,
     "q102_semdedup" -> q102_semdedup,
+    "q105_incremental_semdedup" -> q105_incremental_semdedup,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -652,5 +716,6 @@ object VectorQueries {
     "q94_ivfpq_search" -> q94_sql,
     "q98_ivfpq_rerank" -> q98_sql,
     "q102_semdedup" -> q102_sql,
+    "q105_incremental_semdedup" -> q105_sql,
   )
 }

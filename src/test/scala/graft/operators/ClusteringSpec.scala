@@ -214,6 +214,24 @@ class ClusteringSpec extends SparkSpec {
     assert(out.forall(_._3 == 1.0))
   }
 
+  test("semDedupDelta prunes only delta rows, against corpus keepers") {
+    def vecs(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // corpus holds its own dup pair (0,2) — a delta run must NOT report it
+    val corpus = vecs(Seq(
+      (0L, Seq(10f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 1f)),
+      (2L, Seq(10f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, -1f))))
+    val delta = vecs(Seq(
+      (10L, Seq(10f, 1f, 0f, 0f)),   // identical to corpus 0 and 2
+      (11L, Seq(0f, 0f, -10f, 5f)))) // similar to nothing
+    val out = Clustering
+      .semDedupDelta(delta, corpus, "vec_id", "embedding",
+        k = 2, iters = 2, minCosine = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((10L, 0L, 1.0)), out.mkString(", "))
+  }
+
   test("semDedup with an unreachable threshold prunes nothing") {
     val out = Clustering.semDedup(blobs, "vec_id", "embedding",
       k = 3, iters = 2, minCosine = 1.1)

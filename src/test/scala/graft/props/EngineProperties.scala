@@ -516,4 +516,33 @@ object EngineProperties extends Properties("graft") {
           c0 >= 0 && c0 < k && c1 >= 0 && c1 < k && e0 >= 0L && e1 >= 0L
         }
     }
+
+  property("NearestL2Centroid kernel == plain-Scala argmin with smallest-id ties") =
+    forAll(
+      Gen.choose(1, 6),                                   // centroid count
+      Gen.choose(1, 5),                                   // dim
+      Gen.choose(1, 3),                                   // value alphabet (forces ties)
+      Gen.choose(0L, 1000L)) { (k, dim, vals, seed) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      def v(i: Long, j: Int): Long =
+        math.floorMod(i * 2654435761L + j * 40503L + seed, vals.toLong)
+      // non-contiguous ids (clusters 0,2,4,... as if odd ones emptied out)
+      val ids = (0 until k).map(_ * 2)
+      val flat = (for (c <- 0 until k; j <- 0 until dim)
+        yield v(c + 100, j)).toArray
+      val cents = graft.plans.L2Centroids(ids.toArray, flat, dim)
+      (0 until 8).forall { r =>
+        val vec = (0 until dim).map(j => v(r, j)).toArray
+        val got = graft.plans.L2Centroids.nearest(
+          new GenericArrayData(vec), cents)
+        val dists = (0 until k).map { c =>
+          (0 until dim).map { j =>
+            val t = vec(j) - flat(c * dim + j); t * t
+          }.sum
+        }
+        val bestD = dists.min
+        val bestC = ids(dists.indexOf(bestD)) // first index = smallest id
+        got.getLong(0) == bestD && got.getInt(1) == bestC
+      }
+    }
 }
