@@ -309,14 +309,51 @@ object Clustering {
     */
   def pqSearch(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                m: Int, k: Int, iters: Int, maxQueryId: Long, topK: Int,
-               salt: String = "pq"): DataFrame = {
+               salt: String = "pq"): DataFrame =
+    pqSearchIndex(pqFit(emb, idCol, vecCol, dim, m, k, iters, salt),
+      emb, idCol, vecCol, dim / m, maxQueryId, topK)
+
+  /** A fitted PQ index in long form — the PERSISTABLE artifact of PQ
+    * training: `codes(n_id, s, code)` is the compressed corpus (m small
+    * ints per vector) and `lanes(s, code, pos, cval)` the codebooks
+    * (m·k·subDim longs). Together they answer ADC searches without the
+    * raw vectors or any retraining. */
+  final case class PqIndex(codes: DataFrame, lanes: DataFrame)
+
+  /** Train a [[PqIndex]] — the expensive half of PQ-ANN, run ONCE per
+    * corpus build (persist with [[savePqIndex]]; every later query batch
+    * is [[pqSearchIndex]] against the loaded artifact — the FAISS
+    * build-once/serve-many economics, on parquet). */
+  def pqFit(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+            m: Int, k: Int, iters: Int, salt: String = "pq"): PqIndex = {
+    val models = pqModels(emb, idCol, vecCol, dim, m, k, iters, salt)
+    PqIndex(pqCodesLong(models), pqLanesLong(models))
+  }
+
+  /** Persist a [[PqIndex]] as two parquet tables. The codes table is the
+    * corpus-sized side (m rows per vector) and keeps its partitioning;
+    * the codebooks are k·m·subDim rows — one file. */
+  def savePqIndex(idx: PqIndex, path: String): Unit = {
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    idx.lanes.coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): PqIndex =
+    PqIndex(spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/lanes"))
+
+  /** ADC search against a fitted/loaded [[PqIndex]] — the cheap,
+    * repeatable half of PQ-ANN (see [[pqSearch]] for the semantics and
+    * plan shape; this is its body, minus the training). */
+  def pqSearchIndex(idx: PqIndex, queries: DataFrame, idCol: String,
+                    vecCol: String, sub: Int, maxQueryId: Long,
+                    topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK > 0, s"topK must be positive: $topK")
-    val models = pqModels(emb, idCol, vecCol, dim, m, k, iters, salt)
-    val codes = pqCodesLong(models)
-    val lanes = pqLanesLong(models)
-    val dtab = pqDistTables(emb, idCol, vecCol, dim / m, lanes, maxQueryId)
-    val scored = codes.join(broadcast(dtab), Seq("s", "code"))
+    val dtab = pqDistTables(queries, idCol, vecCol, sub, idx.lanes,
+      maxQueryId)
+    val scored = idx.codes.join(broadcast(dtab), Seq("s", "code"))
       .filter(col("n_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("dval")).as("adist"))

@@ -684,6 +684,28 @@ object VectorQueries {
        |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
   }
 
+  // ── q106: PQ index persistence — train ONCE (Clustering.pqFit), persist
+  // the compressed index as parquet (codes + codebooks), load it back,
+  // and ADC-search from the LOADED artifact with no raw vectors and no
+  // retraining — the FAISS build-once/serve-many economics on columnar
+  // storage. Parameters match q89 exactly, so the search from the
+  // persisted index must reproduce q89's output bit-for-bit: the oracle
+  // is q89's own SQL, making the save/load roundtrip itself
+  // hash-verified. ───────────────────────────────────────────────────────
+  val q106_pq_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("pqindex", d)
+    val idx = graft.operators.Clustering
+      .pqFit(emb, "vec_id", "embedding", Dim, PqM, PqK, PqIters)
+    graft.operators.Clustering.savePqIndex(idx, path)
+    val loaded = graft.operators.Clustering.loadPqIndex(s, path)
+    graft.operators.Clustering
+      .pqSearchIndex(loaded, emb, "vec_id", "embedding", Dim / PqM,
+        MaxQueryId, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
@@ -700,6 +722,7 @@ object VectorQueries {
     "q98_ivfpq_rerank" -> q98_ivfpq_rerank,
     "q102_semdedup" -> q102_semdedup,
     "q105_incremental_semdedup" -> q105_incremental_semdedup,
+    "q106_pq_index_persist" -> q106_pq_index_persist,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -717,5 +740,6 @@ object VectorQueries {
     "q98_ivfpq_rerank" -> q98_sql,
     "q102_semdedup" -> q102_sql,
     "q105_incremental_semdedup" -> q105_sql,
+    "q106_pq_index_persist" -> q89_sql,
   )
 }

@@ -124,6 +124,45 @@ class StreamingCellsSpec extends SparkSpec {
     } finally { q.stop(); corpusBanded.unpersist() }
   }
 
+  test("streaming SemDeDup: micro-batch deltas prune against the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // Ingestion-time semantic dedup: each arriving micro-batch is a delta
+    // pruned against the fixed corpus (Clustering.semDedupDelta inside
+    // foreachBatch — the streaming face of q105). Identical vectors
+    // always co-cluster, so the expected prune set is deterministic.
+    val corpus = Seq(
+      (0L, Seq(10f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 1f)),
+      (2L, Seq(10f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, -1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        results.synchronized {
+          results ++= graft.operators.Clustering
+            .semDedupDelta(batch, corpus, "vec_id", "embedding",
+              k = 2, iters = 2, minCosine = 0.999)
+            .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        }
+        (): Unit
+      }
+      .start()
+    try {
+      input.addData(
+        (10L, Seq(10f, 1f, 0f, 0f)),   // identical to corpus 0/2 → pruned
+        (11L, Seq(0f, 0f, -10f, 5f)))  // similar to nothing → kept
+      q.processAllAvailable()
+      input.addData((12L, Seq(0f, 0f, 10f, 1f))) // identical to corpus 1
+      q.processAllAvailable()
+      assert(results.toSet == Set((10L, 0L, 1.0), (12L, 1L, 1.0)),
+        results.mkString(", "))
+    } finally q.stop()
+  }
+
   test("appendStream: micro-batches land in the live table; reads resolve versions") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros}
