@@ -281,12 +281,78 @@ object LexicalQueries {
        |    / CAST(count(*) AS DOUBLE) AS avg_ll
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── q107: exact sparse-cosine similarity join ───────────────────────────
+  // All-pairs document similarity over tf vectors, via the inverted index
+  // (Bayardo et al. 2007 economics): pairs form ONLY through shared terms
+  // with df ≤ SparseDfCap — high-df terms (stopwords and boilerplate,
+  // which connect everything to everything) never generate candidates, so
+  // candidate count is Σ_term df² ≤ |vocab|·cap², linear in corpus for a
+  // fixed cap. Distinct from the MinHash family (q22/q24): this is the
+  // EXACT cosine over the capped term space, not an approximation —
+  // integer dot products and norms, one double division per pair.
+  val SparseDfCap = 64L
+  val SparseCosThreshold = 0.6
+
+  val q107_sparse_cosine_join: Q = (s, d) => {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val rare = tf.join(df.filter($"df" <= SparseDfCap), "term")
+    val norms = rare.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
+    val prods = rare.as("a")
+      .join(rare.as("b"),
+        $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        ($"a.tf" * $"b.tf").as("p"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum($"p").as("num"), count(lit(1)).as("n_shared"))
+    prods
+      .join(norms.select($"doc_id".as("doc_a"), $"n2".as("n2a")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"n2".as("n2b")), "doc_b")
+      .withColumn("cos", $"num".cast(DoubleType) /
+        (sqrt($"n2a".cast(DoubleType)) * sqrt($"n2b".cast(DoubleType))))
+      .filter($"cos" >= SparseCosThreshold)
+      .select($"doc_a", $"doc_b", $"n_shared", $"num", $"cos")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  lazy val q107_sql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($SqlToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |rare AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf FROM tf
+       |  JOIN df USING (term) WHERE df.df <= $SparseDfCap),
+       |norms AS (
+       |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+       |  FROM rare GROUP BY 1),
+       |prods AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(sum(a.tf * b.tf) AS BIGINT) AS num, count(*) AS n_shared
+       |  FROM rare a JOIN rare b
+       |    ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared, num,
+       |  CAST(num AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+       |FROM prods
+       |JOIN norms na ON na.doc_id = doc_a
+       |JOIN norms nb ON nb.doc_id = doc_b
+       |WHERE CAST(num AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       |  >= $SparseCosThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_bm25" -> q100_bm25,
     "q103_bigram_lm" -> q103_bigram_lm,
-    "q104_rrf_fusion" -> q104_rrf_fusion)
+    "q104_rrf_fusion" -> q104_rrf_fusion,
+    "q107_sparse_cosine_join" -> q107_sparse_cosine_join)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
-    "q104_rrf_fusion" -> q104_sql)
+    "q104_rrf_fusion" -> q104_sql,
+    "q107_sparse_cosine_join" -> q107_sql)
 }

@@ -51,7 +51,8 @@ class PlanShapeSpec extends SparkSpec {
   test("q22/q71 pair mining: banded equi-joins, never a cartesian product") {
     for ((name, df) <- Seq(
         "q22" -> DedupQueries.q22_minhash_dedup(spark, D),
-        "q71" -> DedupQueries.q71_fuzzy_join(spark, D))) {
+        "q71" -> DedupQueries.q71_fuzzy_join(spark, D),
+        "q107" -> LexicalQueries.q107_sparse_cosine_join(spark, D))) {
       val p = planString(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in $name plan:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
