@@ -103,10 +103,16 @@ object Clustering {
                salt: String = "semdedup"): DataFrame = {
     import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
     val model = kmeansFit(emb, idCol, vecCol, k, iters, salt)
-    val sv = emb.select(col(idCol).cast(LongType).as("vid"),
-        scaled(col(vecCol)).as("v"))
-      .withColumn("nrm", vnorm(col("v")))
-      .join(model.assign.select(col("vid"), col("cluster")), "vid")
+    // Persisted: the x/y self-join references this subtree twice, and an
+    // unpersisted assignment would re-run the scan + kernel argmin per
+    // branch (caller releases via OperatorCaches.releaseAll, the LSH
+    // signature convention).
+    val sv = OperatorCaches.register(
+      emb.select(col(idCol).cast(LongType).as("vid"),
+          scaled(col(vecCol)).as("v"))
+        .withColumn("nrm", vnorm(col("v")))
+        .join(model.assign.select(col("vid"), col("cluster")), "vid")
+        .persist())
     val x = sv.select(col("cluster"), col("vid").as("a_vid"),
       col("v").as("a_v"), col("nrm").as("a_nrm"))
     val y = sv.select(col("cluster"), col("vid").as("b_vid"),
