@@ -97,7 +97,14 @@ object DedupQueries {
   // Gram length 8 spans word boundaries: on a small-vocabulary corpus,
   // 4-grams are so common that LSH buckets degenerate (one bucket held 60%
   // of sf0.1 docs → 5.8M candidate pairs); 8-grams keep cross-doc Jaccard
-  // low (377k pairs, max bucket 315) while near-dup pairs stay ≈ 0.8. ─────
+  // low (377k pairs, max bucket 315) while near-dup pairs stay ≈ 0.8.
+  // Longer grams were MEASURED and rejected: 12-grams cut background
+  // pairwise Jaccard 5× (0.039 → 0.007) yet ran SLOWER at 5× rows
+  // (18.8 s vs 16.5 s, quiet box) — nearly-all-unique 12-grams inflate
+  // each doc's distinct-gram set, and the per-gram minhash hashing that
+  // dominates post-ladder cost grows with exactly that set. The residual
+  // above-5× ratio in BASELINE.md's table is the rows-per-band ladder's
+  // deliberate log(n) signature growth, not quadratic candidates. ─────────
   val CharGramN = 8
   val CharGramThreshold = 0.5
 
