@@ -111,7 +111,10 @@ object Bench {
       name -> retimes.get(name).filter(r => r._1 >= 0 && r._1 < best._1)
         .getOrElse(best)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    // Seconds at 3 decimals: full nanoTime precision is noise beyond ~1ms
+    // and doubles the line length (the driver keeps only the last ~2KB).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // Loadavg is summarized (max + mean over per-query 1-min samples), not
     // emitted per query: 93 per-query load entries once pushed the timings
@@ -126,10 +129,19 @@ object Bench {
     val total = results.map(_._2._1.abs).sum
     val loadavg = loadavgFields.take(3).mkString(",")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // "queries" is deliberately the LAST field: the driver records only the
-    // final ~2KB of stdout, so the timings map must sit at the end of the
-    // line to survive truncation no matter how many queries exist.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"retimed":$retimedJson,"loadavg":"$loadavg","load_max":$loadMax,"load_mean":$loadMean,"queries":$qs}"""
+    // The driver records only the final ~2KB of stdout, and at 107 queries
+    // the full timings map alone is ~3KB — whatever precedes it is lost.
+    // So the LAST fields of the line are a compact self-sufficient summary
+    // (~400 bytes): the total, the ten slowest queries, and a pointer to
+    // bench_out.json which holds the complete line. Any tail window that
+    // catches the end of the line catches total + slowest-10.
+    val slowest = results
+      .filter(_._2._1 > 0)
+      .sortBy { case (_, (t, _)) => -t }
+      .take(10)
+      .map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"retimed":$retimedJson,"loadavg":"$loadavg","load_max":$loadMax,"load_mean":$loadMean,"queries":$qs,"total":${fmt(total)},"slowest":$slowest,"queries_file":"bench_out.json"}"""
     println(line)
     // Belt-and-braces: the same line as a file artifact, immune to stdout
     // interleaving/truncation entirely.
