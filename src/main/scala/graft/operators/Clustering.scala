@@ -371,9 +371,10 @@ object Clustering {
   }
 
   /** IVF×PQ — the composed sublinear ANN index (the FAISS IVFPQ shape):
-    * a coarse quantizer (deterministic IVF centroids = vectors with
-    * id < numCentroids, cosine-assigned — exactly [[Similarity.knnIvf]]'s
-    * structure) partitions the corpus into inverted lists, PQ compresses
+    * a coarse quantizer (k-means-trained centroids from
+    * [[ivfCoarseCentroids]], cosine-assigned — exactly
+    * [[Similarity.knnIvf]]'s structure) partitions the corpus into
+    * inverted lists, PQ compresses
     * every vector to m codes, and a query ADC-ranks ONLY the codes in its
     * `nprobe` probed cells — per-query cost ≈ nprobe/numCentroids of the
     * corpus instead of all of it (the documented exhaustive-scan caveat
@@ -461,6 +462,21 @@ object Clustering {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
+  /** Train the coarse IVF codebook: one deterministic k-means fit
+    * ([[kmeansFit]], hash seeding, salt `Similarity.IvfCoarseSalt`,
+    * `Similarity.IvfCoarseIters` Lloyd rounds) packed into a broadcastable
+    * centroid set. Trained — not fixed-id — so inverted lists stay
+    * balanced on clustered/skewed corpora (max-cell occupancy is pinned
+    * by `IvfBalanceSpec`); deterministic end-to-end, so the oracle replays
+    * the codebook through the same k-means CTE chain as q77. */
+  def ivfCoarseCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int,
+                         iters: Int = Similarity.IvfCoarseIters,
+                         salt: String = Similarity.IvfCoarseSalt)
+      : graft.plans.IvfCentroids =
+    Similarity.centroidSetFromLanes(
+      kmeansFit(emb, idCol, vecCol, k, iters, salt).lanes)
+
   /** The IVF candidate set behind [[ivfPqSearch]]: `(q_id, n_id, c_id)` —
     * each query paired with exactly the corpus vectors in its nprobe
     * probed cells (self excluded; each pair appears once because a vector
@@ -470,12 +486,11 @@ object Clustering {
   def ivfPqCandidates(emb: DataFrame, idCol: String, vecCol: String,
                       numCentroids: Int, nprobe: Int,
                       maxQueryId: Long): DataFrame = {
-    // Cell assignment and probing are Similarity.ivfAssignProbes — the
-    // IDENTICAL structure knnIvf queries (q45), so the two ANN paths can
-    // never drift in tie-breaks or norms; only the rerank differs (exact
-    // cosine there, ADC over PQ codes here).
-    val cents = Similarity.centroidSet(
-      emb.filter(col(idCol) < numCentroids), idCol, vecCol)
+    // Cell assignment and probing are Similarity.ivfAssignProbes against
+    // the SAME trained codebook knnIvf queries (q45) derive, so the two
+    // ANN paths can never drift in tie-breaks or norms; only the rerank
+    // differs (exact cosine there, ADC over PQ codes here).
+    val cents = ivfCoarseCentroids(emb, idCol, vecCol, numCentroids)
     val (assigned, probes) = Similarity.ivfAssignProbes(
       emb.select(col(idCol).cast(LongType).as("__vid"), col(vecCol)),
       "__vid", vecCol, cents, maxQueryId, nprobe)

@@ -232,23 +232,74 @@ object Similarity {
     graft.plans.IvfCentroids(ids, flat, norms, dim)
   }
 
+  /** Lloyd rounds for the coarse IVF codebook (shared by every trained
+    * caller so q45 and the IVF×PQ family can never drift). */
+  val IvfCoarseIters: Int = 2
+  /** Seed salt of the coarse codebook's deterministic k-means. */
+  val IvfCoarseSalt: String = "ivf"
+
+  /** Pack a fitted k-means lanes frame (`(cluster, pos, cval, n)` from
+    * `Clustering.kmeansFit`) into a broadcastable [[graft.plans.IvfCentroids]]
+    * set — centroid id = cluster id (ascending, so cosine ties at probe
+    * time keep the smallest cluster exactly like the oracle's
+    * `ORDER BY cos DESC, c_id ASC`), norms computed with the exact double
+    * ops of `vnorm` over the integer-quantized lanes. Empty clusters have
+    * no lane rows and simply drop out of the set. */
+  def centroidSetFromLanes(lanes: DataFrame): graft.plans.IvfCentroids = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val rows = lanes.select(col("cluster").cast(LongType),
+        col("pos").cast(IntegerType), col("cval").cast(LongType))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    require(rows.nonEmpty, "empty centroid lanes")
+    val byC = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    require(byC.length <= MaxCentroids,
+      s"centroid set exceeds $MaxCentroids clusters")
+    val dim = byC.head._2.length
+    require(byC.forall(_._2.length == dim),
+      s"ragged centroid lanes: cluster lane counts differ " +
+        s"(${byC.map(_._2.length).distinct.sorted.mkString(", ")})")
+    val ids = new Array[Long](byC.length)
+    val flat = new Array[Long](byC.length * dim)
+    val norms = new Array[Double](byC.length)
+    var i = 0
+    byC.foreach { case (c, laneRows) =>
+      ids(i) = c
+      var s = 0L
+      laneRows.sortBy(_._2).zipWithIndex.foreach { case ((_, _, x), j) =>
+        flat(i * dim + j) = x
+        s += x * x
+      }
+      norms(i) = math.sqrt(s.toDouble)
+      i += 1
+    }
+    graft.plans.IvfCentroids(ids, flat, norms, dim)
+  }
+
   /** IVF-bucketed approximate top-k — the inverted-file ANN scale path:
     * every vector is assigned to its nearest centroid (the "list"), and a
     * query scores only the vectors in its `nprobe` nearest lists.
     *
-    * Centroid choice is DETERMINISTIC — the vectors with id < numCentroids
-    * — so the DuckDB oracle reproduces the identical structure (a k-means
-    * refinement would improve list balance but break exact mirroring).
-    * This overload derives the set, then delegates to [[knnIvfWith]]; at
-    * 100 TB you'd build the set once offline (`centroidSet`) and pass it
-    * to every query. Candidates ≈ n·nprobe/numCentroids per query — scale
-    * numCentroids with the corpus (e.g. `1 << bitsFor(n, target)`) to
-    * keep lists constant-sized. */
+    * The coarse codebook is TRAINED — `Clustering.kmeansFit` with the
+    * deterministic hash seeding ([[IvfCoarseSalt]], [[IvfCoarseIters]]
+    * Lloyd rounds), so the DuckDB oracle replays the identical structure
+    * through the same k-means CTE chain as q77. Trained centroids are
+    * what keeps the inverted lists BALANCED on clustered/skewed corpora:
+    * the earlier fixed-id rule (centroids = vectors with
+    * id < numCentroids) degenerates when the low-id vectors are
+    * correlated — one list absorbs the corpus and per-query cost stops
+    * being ≈ n·nprobe/numCentroids (see `IvfBalanceSpec`).
+    *
+    * This overload trains the set, then delegates to [[knnIvfWith]]; at
+    * 100 TB you'd train once offline (`Clustering.ivfCoarseCentroids`)
+    * and pass the set to every query batch. Scale numCentroids with the
+    * corpus (e.g. `1 << bitsFor(n, target)`) to keep lists
+    * constant-sized. */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
              maxQueryId: Long, numCentroids: Int, nprobe: Int,
              k: Int): DataFrame =
     knnIvfWith(emb, idCol, vecCol,
-      centroidSet(emb.filter(col(idCol) < numCentroids), idCol, vecCol),
+      Clustering.ivfCoarseCentroids(emb, idCol, vecCol, numCentroids),
       maxQueryId, nprobe, k)
 
   /** IVF query against a precomputed centroid set.

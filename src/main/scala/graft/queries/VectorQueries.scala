@@ -92,10 +92,13 @@ object VectorQueries {
        |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
        |WHERE rank <= $LshK ORDER BY q_id, rank""".stripMargin
 
-  // ── q45: IVF-bucketed ANN — inverted lists around deterministic
-  // centroids; a query scores only its nprobe nearest lists. Candidates
+  // ── q45: IVF-bucketed ANN — inverted lists around a k-means-TRAINED
+  // coarse codebook (hash-seeded, quantized Lloyd — the q77 chain, salt
+  // "ivf"); a query scores only its nprobe nearest lists. Candidates
   // ≈ n·nprobe/numCentroids per query, with numCentroids corpus-scaled
-  // through the same bitsFor ladder the sign-LSH uses. ────────────────────
+  // through the same bitsFor ladder the sign-LSH uses; training keeps the
+  // lists balanced under skew, and the oracle replays codebook, cell
+  // assignment, probing and rerank bit-for-bit. ──────────────────────────
   val IvfMaxQueryId = 20L
   val IvfNprobe = 2
   val IvfK = 3
@@ -106,29 +109,40 @@ object VectorQueries {
         IvfMaxQueryId, 1 << corpusBits(s, d), IvfNprobe, IvfK)
       .orderBy($"q_id", $"rank")
   }
+  /** The trained coarse codebook as a `cent(c_id, cv, cn)` CTE: the final
+    * k-means lanes re-packed into centroid vectors (`list(... ORDER BY
+    * pos)`), with the exact-int norm `sqrt(Σ cval²)` — the SQL mirror of
+    * `Similarity.centroidSetFromLanes`. Expects the lanes CTE
+    * `${p}c$iters` from [[kmeansChainSql]]. */
+  private def ivfCentSql(lanesCte: String): String =
+    s"""cent AS (
+       |  SELECT cluster AS c_id, list(cval ORDER BY pos) AS cv,
+       |    sqrt(CAST(sum(cval * cval) AS DOUBLE)) AS cn
+       |  FROM $lanesCte GROUP BY cluster)""".stripMargin
+
   lazy val q45_sql: String = {
     def cos(a: String, b: String, na: String, nb: String) =
       sqlCosineFromNorms(a, b, na, nb, Dim)
     s"""WITH $sqlParams, sv AS (
-       |  SELECT vec_id, ${sqlScaled("embedding")} AS v,
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
        |  FROM embeddings
-       |), cent AS (
-       |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM sv, params p
-       |  WHERE vec_id < (1::BIGINT << p.bits)
-       |), assigned AS (
+       |), ${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM params)",
+          Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
+       |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
+       |assigned AS (
        |  SELECT n_id, nv, nn, c_id FROM (
-       |    SELECT s.vec_id AS n_id, s.v AS nv, s.nrm AS nn, c.c_id,
-       |      row_number() OVER (PARTITION BY s.vec_id
+       |    SELECT s.vid AS n_id, s.v AS nv, s.nrm AS nn, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vid
        |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
        |    FROM sv s CROSS JOIN cent c)
        |  WHERE rn = 1
        |), probes AS (
        |  SELECT q_id, qv, qn, c_id FROM (
-       |    SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.c_id,
-       |      row_number() OVER (PARTITION BY q.vec_id
+       |    SELECT q.vid AS q_id, q.v AS qv, q.nrm AS qn, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
        |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
-       |    FROM sv q CROSS JOIN cent c WHERE q.vec_id < $IvfMaxQueryId)
+       |    FROM sv q CROSS JOIN cent c WHERE q.vid < $IvfMaxQueryId)
        |  WHERE rn <= $IvfNprobe
        |), scored AS (
        |  SELECT p.q_id, a.n_id, ${cos("p.qv", "a.nv", "p.qn", "a.nn")} AS cos
@@ -376,7 +390,7 @@ object VectorQueries {
   }
 
   // ── q94: IVF×PQ composed ANN — the sublinear index: q45's coarse
-  // quantizer (corpus-scaled deterministic centroids, cosine cells)
+  // quantizer (corpus-scaled k-means-TRAINED centroids, cosine cells)
   // prunes the corpus to each query's nprobe probed cells, and q89's ADC
   // tables rank ONLY those cells' PQ codes. Per-query scored rows ≈
   // n·nprobe/numCentroids instead of n — the FAISS IVFPQ shape, fully
@@ -421,10 +435,10 @@ object VectorQueries {
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
        |  FROM embeddings),
        |$chains,
-       |cent AS (
-       |  SELECT vid AS c_id, v AS cv, nrm AS cn FROM sv, params p
-       |  WHERE vid < (1::BIGINT << p.bits)
-       |), assigned AS (
+       |${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM params)",
+          Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
+       |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
+       |assigned AS (
        |  SELECT n_id, c_id FROM (
        |    SELECT s.vid AS n_id, c.c_id,
        |      row_number() OVER (PARTITION BY s.vid
