@@ -117,4 +117,96 @@ object Bpe {
     }
     (induced.toList, toks)
   }
+
+  /** Driver-side cap for [[trainLocal]]'s word-set materialization. At 16
+    * chars and a freq per word this is ~50 MB — far above any vocabulary
+    * the per-merge economics favor local training for. */
+  val MaxLocalWords: Int = 1 << 20
+
+  /** Driver-local trainer over the SAME aggregated word-freq table —
+    * bit-identical to [[train]] (property-pinned in BpeSpec /
+    * EngineProperties), minus the per-merge job scheduling.
+    *
+    * Why it exists: [[train]] launches one Spark job per merge round
+    * (pair-count agg + 1-row argmax collect). At the contract's 6 merges
+    * that is fine; at a real 32k-vocab induction it is 32k SEQUENTIAL
+    * jobs whose scheduling latency — not compute — dominates. But after
+    * the one corpus-wide `wordFreq` shuffle the weighted word set is tiny
+    * BY CONSTRUCTION (bounded by |vocabulary| × word length, not corpus
+    * size), so the merge loop belongs on the driver: collect the words
+    * once (capped, like `Similarity.centroidSet`) and iterate in memory —
+    * zero jobs per merge. The distributed path remains for vocabularies
+    * past the cap.
+    *
+    * Same semantics, same outputs: argmax ties → lexicographically
+    * smallest (lhs, rhs); merge application is sequential leftmost-
+    * nonoverlapping greedy (what train's run-parity windows compute);
+    * early exhaustion when no adjacent pairs remain. */
+  def trainLocal(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) = {
+    require(merges > 0, s"merges must be positive: $merges")
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val collected = wordFreq
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .limit(MaxLocalWords + 1).collect()
+    require(collected.length <= MaxLocalWords,
+      s"word set exceeds $MaxLocalWords rows — a vocabulary this large " +
+        "should use the distributed trainer (Bpe.train)")
+    val words = collected.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var toks: Array[Array[String]] =
+      words.map(_._1.map(_.toString).toArray)
+    val induced = scala.collection.mutable.ListBuffer.empty[Merge]
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < toks.length) {
+        val t = toks(wi)
+        val f = words(wi)._2
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (t(i), t(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // total order (cnt DESC, lhs ASC, rhs ASC) — iteration-order-free
+        val ((l, r), c) = counts.minBy { case ((lh, rh), cn) => (-cn, lh, rh) }
+        induced += Merge(step, l, r, c)
+        toks = toks.map { t =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < t.length) {
+            if (i < t.length - 1 && t(i) == l && t(i + 1) == r) {
+              out += l + r
+              i += 2
+            } else {
+              out += t(i)
+              i += 1
+            }
+          }
+          out.toArray
+        }
+      }
+    }
+    val tokRows = for {
+      wi <- words.indices
+      (tk, p) <- toks(wi).zipWithIndex
+    } yield (words(wi)._1, p, tk)
+    (induced.toList, tokRows.toDF("word", "pos", "tok"))
+  }
+
+  /** Route induction by vocabulary size: local merge loop when the
+    * aggregated word set fits the driver cap (one cheap count of an
+    * already-aggregated table), distributed windows past it. Outputs are
+    * identical either way (the trainLocal == train parity property), so
+    * callers — and the SQL oracle — never observe which path ran. */
+  def trainAuto(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) = {
+    val persisted = OperatorCaches.register(wordFreq.persist())
+    if (persisted.count() <= MaxLocalWords) trainLocal(persisted, merges)
+    else train(persisted, merges)
+  }
 }

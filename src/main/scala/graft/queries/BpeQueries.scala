@@ -32,14 +32,14 @@ object BpeQueries {
   val q95_bpe_vocab: Q = (s, d) => {
     import s.implicits._
     val wf = Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text"))
-    val (merges, _) = Bpe.train(wf, BpeMerges)
+    val (merges, _) = Bpe.trainAuto(wf, BpeMerges)
     merges.toDF().select($"step", $"lhs", $"rhs", $"cnt").orderBy($"step")
   }
 
   val q96_bpe_encode: Q = (s, d) => {
     import s.implicits._
     val dw = Bpe.docWords(docs(s, d), "doc_id", "text")
-    val (_, toks) = Bpe.train(Bpe.wordFreq(dw), BpeMerges)
+    val (_, toks) = Bpe.trainAuto(Bpe.wordFreq(dw), BpeMerges)
     val wstats = toks.groupBy("word")
       .agg(count(lit(1)).as("wt"), max(length($"tok")).as("wm"))
     dw.join(wstats, "word")
@@ -60,7 +60,7 @@ object BpeQueries {
     import s.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     val (merges, _) =
-      Bpe.train(Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text")),
+      Bpe.trainAuto(Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text")),
         BpeMerges)
     val lhs = merges.map(_.lhs).toArray
     val rhs = merges.map(_.rhs).toArray
@@ -92,7 +92,7 @@ object BpeQueries {
     import s.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     val (merges, _) =
-      Bpe.train(Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text")),
+      Bpe.trainAuto(Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text")),
         BpeMerges)
     val lhs = merges.map(_.lhs).toArray
     val rhs = merges.map(_.rhs).toArray

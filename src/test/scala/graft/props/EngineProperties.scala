@@ -497,6 +497,25 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("BPE trainLocal == distributed train: merges and token table") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(6,
+        Gen.oneOf('a', 'b', 'c')).map(_.mkString)).map(_.take(5)),
+        Gen.choose(1, 5)) { (words, merges) =>
+      import graft.operators.Bpe
+      // the driver-local merge loop must be indistinguishable from the
+      // windowed distributed trainer — same argmax tie-breaks, same
+      // leftmost-greedy application, same exhaustion — or trainAuto's
+      // routing would silently change query results with corpus size.
+      // Non-uniform freqs exercise the weighted argmax.
+      val wf = words.distinct.map(w => (w, (w.length % 3 + 1).toLong))
+        .toDF("word", "freq")
+      def toksOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val (mDist, tDist) = Bpe.train(wf, merges)
+      val (mLoc, tLoc) = Bpe.trainLocal(wf, merges)
+      mDist == mLoc && toksOf(tDist) == toksOf(tLoc)
+    }
+
   property("pqCodes codes every vector with bounded codes, even when k exceeds the distinct subvectors") =
     forAll(Gen.choose(1, 5), Gen.choose(2, 8)) { (distinctVals, k) =>
       import graft.operators.Clustering
