@@ -345,14 +345,92 @@ object LexicalQueries {
        |  >= $SparseCosThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ── q108: exact FULL-SPACE sparse-cosine join (Bayardo prefix filter) ──
+  // q107's df-cap is exact over a reduced space: terms with df > cap are
+  // deleted from the vectors, so documents similar only through medium-df
+  // terms above the cap are invisible. q108 removes the recall loss with
+  // Bayardo's remaining-mass prefix filter (SparseSimilarity): the cosine
+  // is over EVERY term; only the candidate index is pruned, by an
+  // integer-exact suffix-mass bound that provably cannot drop a
+  // qualifying pair. Acceptance is the int64 comparison
+  // num²·tDen² ≥ tNum²·n2a·n2b — replayed identically by the oracle, so
+  // the hash verifies candidate generation AND the exact-threshold
+  // decisions, not a float approximation of them.
+  val SparseTNum = 6L
+  val SparseTDen = 10L // threshold 6/10 = q107's 0.6, as an exact rational
+  /** Batch bound for the q108 contract query. The synthetic documents
+    * table has a CLOSED 31-word vocabulary (every term df ≥ 25 at
+    * sf0.01), which makes full-space similarity degenerate-DENSE: 58% of
+    * all pairs genuinely exceed 0.6, so the output — not the algorithm —
+    * is quadratic, and no exact join can be subquadratic in its own
+    * result. Real corpora are open-vocabulary (hapax-heavy), where the
+    * prefix index prunes; SparseSimilaritySpec pins that economy. The
+    * contract query therefore scores one bounded batch (the full sf0.01
+    * corpus — the correctness gate loses nothing), the way a production
+    * near-dup pass windows its self-join. */
+  val SparseMaxDocs = 500L
+
+  val q108_sparse_prefix_join: Q = (s, d) => {
+    import s.implicits._
+    val terms = Tables.documents(s, d)
+      .filter($"doc_id" < SparseMaxDocs) // parquet-pruned before the explode
+      .select($"doc_id", explode(toks($"text")).as("term"))
+    graft.operators.SparseSimilarity
+      .cosineJoinExact(terms, SparseTNum, SparseTDen)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  lazy val q108_sql: String = {
+    val tn2 = SparseTNum * SparseTNum
+    val td2 = SparseTDen * SparseTDen
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($SqlToks) AS term FROM documents
+       |  WHERE doc_id < $SparseMaxDocs),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |rk AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |    sum(tf.tf * tf.tf) OVER (PARTITION BY tf.doc_id
+       |      ORDER BY df.df DESC, tf.term ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(tf.tf * tf.tf) OVER (PARTITION BY tf.doc_id) AS n2
+       |  FROM tf JOIN df USING (term)),
+       |idx AS (
+       |  SELECT doc_id, term, tf FROM rk
+       |  WHERE cum * $td2 >= $tn2 * n2),
+       |cand AS (
+       |  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
+       |    greatest(p.doc_id, i.doc_id) AS doc_b
+       |  FROM tf p JOIN idx i ON p.term = i.term AND p.doc_id <> i.doc_id),
+       |norms AS (
+       |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+       |  FROM tf GROUP BY 1),
+       |dots AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS num,
+       |    count(*) AS n_shared
+       |  FROM cand c
+       |  JOIN tf a ON a.doc_id = c.doc_a
+       |  JOIN tf b ON b.doc_id = c.doc_b AND b.term = a.term
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared, num,
+       |  CAST(num AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+       |FROM dots
+       |JOIN norms na ON na.doc_id = doc_a
+       |JOIN norms nb ON nb.doc_id = doc_b
+       |WHERE num * num * $td2 >= $tn2 * na.n2 * nb.n2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_bm25" -> q100_bm25,
     "q103_bigram_lm" -> q103_bigram_lm,
     "q104_rrf_fusion" -> q104_rrf_fusion,
-    "q107_sparse_cosine_join" -> q107_sparse_cosine_join)
+    "q107_sparse_cosine_join" -> q107_sparse_cosine_join,
+    "q108_sparse_prefix_join" -> q108_sparse_prefix_join)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
     "q104_rrf_fusion" -> q104_sql,
-    "q107_sparse_cosine_join" -> q107_sql)
+    "q107_sparse_cosine_join" -> q107_sql,
+    "q108_sparse_prefix_join" -> q108_sql)
 }
