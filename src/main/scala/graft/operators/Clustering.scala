@@ -100,7 +100,8 @@ object Clustering {
     * (`VectorFunctions.cosineFromNorms`), so results are oracle-exact. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, minCosine: Double,
-               salt: String = "semdedup"): DataFrame = {
+               salt: String = "semdedup",
+               clusterCap: Long = DefaultClusterCap): DataFrame = {
     import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
     val model = kmeansFit(emb, idCol, vecCol, k, iters, salt)
     // Persisted: the x/y self-join references this subtree twice, and an
@@ -111,13 +112,13 @@ object Clustering {
       emb.select(col(idCol).cast(LongType).as("vid"),
           scaled(col(vecCol)).as("v"))
         .withColumn("nrm", vnorm(col("v")))
-        .join(model.assign.select(col("vid"), col("cluster")), "vid")
+        .join(subcells(model.assign, clusterCap, salt), "vid")
         .persist())
-    val x = sv.select(col("cluster"), col("vid").as("a_vid"),
+    val x = sv.select(col("cluster"), col("cell"), col("vid").as("a_vid"),
       col("v").as("a_v"), col("nrm").as("a_nrm"))
-    val y = sv.select(col("cluster"), col("vid").as("b_vid"),
+    val y = sv.select(col("cluster"), col("cell"), col("vid").as("b_vid"),
       col("v").as("b_v"), col("nrm").as("b_nrm"))
-    x.join(y, Seq("cluster"))
+    x.join(y, Seq("cluster", "cell"))
       .filter(col("a_vid") < col("b_vid"))
       .withColumn("cos", cosineFromNorms(col("a_v"), col("b_v"),
         col("a_nrm"), col("b_nrm")))
@@ -126,6 +127,32 @@ object Clustering {
       .agg(min(col("a_vid")).as("keeper"), max(col("cos")).as("best_cos"))
       .select(col("cluster"), col("b_vid").as("pruned"), col("keeper"),
         col("best_cos"))
+  }
+
+  /** Default per-cluster pairing width cap — 8× the usual target cluster
+    * population, so the split only ever activates on pathological skew. */
+  val DefaultClusterCap: Long = 256L
+
+  /** The SemDeDup skew guard: Σ|cluster|² ≈ n·target holds in
+    * EXPECTATION, but a degenerate corpus (mass-duplicated embeddings)
+    * collapses into one giant cluster and re-creates the quadratic pair
+    * join inside it. Split every cluster into `ceil(|cluster|/cap)`
+    * deterministic hash subcells and pair ONLY within a (cluster, cell) —
+    * per-cell pair cost is bounded by ~cap² regardless of skew, at the
+    * recall cost of cross-cell pairs inside giant clusters (the same
+    * trade the LSH band split makes, and empty for every cluster under
+    * the cap, where width = 1 and cell = 0). The hash is the portable
+    * md5-prefix (`hash28`), so a SQL oracle replays the split exactly.
+    * Returns `(vid, cluster, cell)`. */
+  def subcells(assign: DataFrame, cap: Long, salt: String): DataFrame = {
+    require(cap > 0, s"clusterCap must be positive: $cap")
+    val sizes = assign.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    assign.select(col("vid"), col("cluster"))
+      .join(sizes, "cluster")
+      .withColumn("cell",
+        hash28(concat(lit(s"$salt-cell"), col("vid").cast("string")))
+          % expr(s"(csize + ${cap - 1}) div $cap"))
+      .select(col("vid"), col("cluster"), col("cell"))
   }
 
   /** Assign rows to an ALREADY-FITTED centroid set (a lanes frame from
@@ -159,21 +186,34 @@ object Clustering {
   def semDedupDelta(delta: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String,
                     k: Int, iters: Int, minCosine: Double,
-                    salt: String = "semdedup"): DataFrame = {
+                    salt: String = "semdedup",
+                    clusterCap: Long = DefaultClusterCap): DataFrame = {
     import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
+    require(clusterCap > 0, s"clusterCap must be positive: $clusterCap")
     val model = kmeansFit(corpus, idCol, vecCol, k, iters, salt)
+    // Subcell widths come from the CORPUS cluster sizes (the pairing
+    // mass); both sides hash vids with the same salt, so a delta row
+    // meets exactly the corpus rows of its own cell — the skew guard of
+    // [[subcells]], across the delta×corpus join.
+    val sizes = model.assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"))
+    def cellOf(vid: org.apache.spark.sql.Column) =
+      hash28(concat(lit(s"$salt-cell"), vid.cast("string")))
+        .%(expr(s"(csize + ${clusterCap - 1}) div $clusterCap"))
     val corpusSide = corpus
       .select(col(idCol).cast(LongType).as("vid"),
         scaled(col(vecCol)).as("v"))
       .withColumn("nrm", vnorm(col("v")))
       .join(model.assign.select(col("vid"), col("cluster")), "vid")
-      .select(col("cluster"), col("vid").as("a_vid"),
-        col("v").as("a_v"), col("nrm").as("a_nrm"))
+      .join(sizes, "cluster")
+      .select(col("cluster"), cellOf(col("vid")).as("cell"),
+        col("vid").as("a_vid"), col("v").as("a_v"), col("nrm").as("a_nrm"))
     val deltaSide = assignToLanes(delta, idCol, vecCol, model.lanes)
       .withColumn("nrm", vnorm(col("v")))
-      .select(col("cluster"), col("vid").as("b_vid"),
-        col("v").as("b_v"), col("nrm").as("b_nrm"))
-    corpusSide.join(deltaSide, Seq("cluster"))
+      .join(sizes, "cluster")
+      .select(col("cluster"), cellOf(col("vid")).as("cell"),
+        col("vid").as("b_vid"), col("v").as("b_v"), col("nrm").as("b_nrm"))
+    corpusSide.join(deltaSide, Seq("cluster", "cell"))
       .withColumn("cos", cosineFromNorms(col("a_v"), col("b_v"),
         col("a_nrm"), col("b_nrm")))
       .filter(col("cos") >= minCosine)

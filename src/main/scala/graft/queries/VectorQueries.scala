@@ -604,6 +604,25 @@ object VectorQueries {
   /** Cap: k ≤ 2^10 keeps driver centroid state (k·dim longs) tiny; at
     * true 100 TB scale raise it toward the paper's k≈n/targetRows. */
   val SemMaxClusterBits = 10
+  /** Per-cluster pairing width cap (the skew guard — see
+    * `Clustering.subcells`): clusters larger than this split into hash
+    * subcells before pairing, so a degenerate corpus cannot re-create the
+    * quadratic within-cluster join. 8× the target population — inactive
+    * on healthy corpora (width 1, cell 0), which is why q102/q105 output
+    * is unchanged at the test SFs while the oracle still replays the
+    * split unconditionally. */
+  val SemClusterCap = 256L
+
+  /** Subcell CTEs mirroring `Clustering.subcells`: sizes of the final
+    * assignment `aCte`, then cell = hash28(salt-cell || vid) % width.
+    * Defines `${p}sz` and `${p}cl(vid, cluster, cell)`. */
+  private def subcellSql(p: String, aCte: String, salt: String): String =
+    s"""${p}sz AS (SELECT cluster, count(*) AS csize FROM $aCte GROUP BY 1),
+       |${p}cl AS (
+       |  SELECT a.vid, a.cluster,
+       |    ('0x'||substr(md5('$salt-cell' || CAST(a.vid AS VARCHAR)), 1, 7))::BIGINT
+       |      % ((z.csize + ${SemClusterCap - 1}) // $SemClusterCap) AS cell
+       |  FROM $aCte a JOIN ${p}sz z USING (cluster))""".stripMargin
 
   val q102_semdedup: Q = (s, d) => {
     import s.implicits._
@@ -611,7 +630,8 @@ object VectorQueries {
     val k = 1 << Similarity.bitsFor(emb.count(), SemTargetClusterRows,
       SemMaxClusterBits)
     graft.operators.Clustering
-      .semDedup(emb, "vec_id", "embedding", k, SemIters, CosineDupThreshold)
+      .semDedup(emb, "vec_id", "embedding", k, SemIters, CosineDupThreshold,
+        clusterCap = SemClusterCap)
       .orderBy($"pruned")
   }
   lazy val q102_sql: String = {
@@ -625,12 +645,14 @@ object VectorQueries {
        |  FROM embeddings),
        |${kmeansChainSql("sd", 0, Dim, "(SELECT 1 << bits FROM sdp)",
           SemIters, "semdedup")},
+       |${subcellSql("sd", s"sda$SemIters", "semdedup")},
        |j AS (
-       |  SELECT s.vid, s.v, s.nrm, a.cluster
-       |  FROM sv s JOIN sda$SemIters a USING (vid))
+       |  SELECT s.vid, s.v, s.nrm, c.cluster, c.cell
+       |  FROM sv s JOIN sdcl c USING (vid))
        |SELECT x.cluster, y.vid AS pruned, min(x.vid) AS keeper,
        |  max($cos) AS best_cos
-       |FROM j x JOIN j y ON x.cluster = y.cluster AND x.vid < y.vid
+       |FROM j x JOIN j y ON x.cluster = y.cluster AND x.cell = y.cell
+       |  AND x.vid < y.vid
        |WHERE $cos >= $CosineDupThreshold
        |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
   }
@@ -655,7 +677,8 @@ object VectorQueries {
       SemMaxClusterBits)
     graft.operators.Clustering
       .semDedupDelta(emb.filter(isDelta), corpus, "vec_id", "embedding",
-        k, SemIters, CosineDupThreshold, "semdedup-inc")
+        k, SemIters, CosineDupThreshold, "semdedup-inc",
+        clusterCap = SemClusterCap)
       .orderBy($"pruned")
   }
   lazy val q105_sql: String = {
@@ -685,15 +708,21 @@ object VectorQueries {
        |    SELECT vid, cluster,
        |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
        |    FROM dd) WHERE rn = 1),
+       |${subcellSql("sd", s"sda$SemIters", "semdedup-inc")},
+       |dcl AS (
+       |  SELECT a.vid, a.cluster,
+       |    ('0x'||substr(md5('semdedup-inc-cell' || CAST(a.vid AS VARCHAR)), 1, 7))::BIGINT
+       |      % ((z.csize + ${SemClusterCap - 1}) // $SemClusterCap) AS cell
+       |  FROM da a JOIN sdsz z USING (cluster)),
        |cj AS (
-       |  SELECT s.vid, s.v, s.nrm, a.cluster
-       |  FROM sv s JOIN sda$SemIters a USING (vid)),
+       |  SELECT s.vid, s.v, s.nrm, c.cluster, c.cell
+       |  FROM sv s JOIN sdcl c USING (vid)),
        |dj AS (
-       |  SELECT s.vid, s.v, s.nrm, a.cluster
-       |  FROM dsv s JOIN da a USING (vid))
+       |  SELECT s.vid, s.v, s.nrm, c.cluster, c.cell
+       |  FROM dsv s JOIN dcl c USING (vid))
        |SELECT x.cluster, y.vid AS pruned, min(x.vid) AS keeper,
        |  max($cos) AS best_cos
-       |FROM cj x JOIN dj y ON x.cluster = y.cluster
+       |FROM cj x JOIN dj y ON x.cluster = y.cluster AND x.cell = y.cell
        |WHERE $cos >= $CosineDupThreshold
        |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
   }

@@ -232,6 +232,40 @@ class ClusteringSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 0L, 1.0)), out.mkString(", "))
   }
 
+  test("semDedup skew guard: a degenerate one-cluster corpus pairs within bounded subcells") {
+    // 300 IDENTICAL vectors — equidistant from every centroid, so k-means
+    // parks all of them in ONE cluster: exactly the pathological corpus
+    // where Sigma |cluster|^2 ~ n*target collapses and the within-cluster
+    // join would be quadratic (44850 pairs). The cap splits the cluster
+    // into hash subcells whose pair cost is ~cap^2 each.
+    val n = 300
+    val cap = 16L
+    val vecs = (0 until n).map(i => (i.toLong, Seq(10f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val assign = Clustering
+      .kmeansFit(vecs, "vec_id", "embedding", k = 4, iters = 2, "semdedup")
+      .assign
+    val cells = Clustering.subcells(assign, cap, "semdedup")
+      .groupBy($"cluster", $"cell").count()
+      .collect().map(r => r.getAs[Long]("count"))
+    // hash-uniform split: every subcell well under 2x the cap, and the
+    // summed pair cost is a small fraction of the unguarded quadratic
+    assert(cells.length > 1, "cap did not split the degenerate cluster")
+    assert(cells.max <= 2 * cap, s"subcell of ${cells.max} rows exceeds 2*cap")
+    val pairCost = cells.map(c => c * (c - 1) / 2).sum
+    val unguarded = n.toLong * (n - 1) / 2
+    assert(pairCost * 10 < unguarded,
+      s"pair cost $pairCost not well below unguarded $unguarded")
+    // and the prune semantics survive the split: identical vectors mean
+    // every non-minimum vid of each subcell is pruned to its cell keeper
+    val pruned = Clustering.semDedup(vecs, "vec_id", "embedding",
+        k = 4, iters = 2, minCosine = 0.999, clusterCap = cap)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(pruned.length == n - cells.length)
+    assert(pruned.forall { case (p, keeper) => keeper < p })
+  }
+
   test("semDedup with an unreachable threshold prunes nothing") {
     val out = Clustering.semDedup(blobs, "vec_id", "embedding",
       k = 3, iters = 2, minCosine = 1.1)
