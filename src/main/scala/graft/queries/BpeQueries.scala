@@ -140,9 +140,14 @@ object BpeQueries {
     * empty (a real token is never the empty string, so the sentinel
     * matches nothing and t$i = t${i-1} verbatim), and q95 filters the
     * sentinels out to mirror the engine's truncated merge list. */
-  private def trainerSql: String = {
+  private def trainerSql: String = trainerSqlFrom("documents")
+
+  /** The trainer chain over an arbitrary docs relation `docsRel(doc_id,
+    * text, ...)` — q109's curation pipeline replays induction over its
+    * decontaminated survivor corpus with the same CTEs. */
+  private[queries] def trainerSqlFrom(docsRel: String): String = {
     def round(i: Int): String =
-      s"""w$i AS (
+      s"""w$i AS MATERIALIZED (
          |  SELECT word, pos, tok,
          |    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
          |  FROM t${i - 1}),
@@ -176,21 +181,21 @@ object BpeQueries {
          |          OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1
          |        THEN 1 ELSE 0 END AS acc
          |    FROM r$i)),
-         |t$i AS (
+         |t$i AS MATERIALIZED (
          |  SELECT word,
          |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
          |    CASE WHEN acc = 1 THEN tok || ntok ELSE tok END AS tok
          |  FROM k$i WHERE pacc IS NULL OR pacc = 0)""".stripMargin
-    s"""docwords AS (
+    s"""docwords AS MATERIALIZED (
        |  SELECT doc_id, word FROM (
        |    SELECT doc_id,
        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
-       |    FROM documents)
+       |    FROM $docsRel)
        |  WHERE word <> ''),
-       |wf AS (
+       |wf AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM docwords GROUP BY word),
-       |t0 AS (
+       |t0 AS MATERIALIZED (
        |  SELECT word, i - 1 AS pos, substr(word, i, 1) AS tok FROM (
        |    SELECT word,
        |      CAST(unnest(generate_series(1, length(word))) AS INT) AS i
