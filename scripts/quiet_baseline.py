@@ -4,18 +4,39 @@ BENCH_r*.json (driver runs) plus any local bench JSON lines passed as args.
 
 Only the "queries" map of a bench line is harvested — the line also carries
 a "load" map keyed by the SAME query names (per-query loadavg), which a
-bare q-name regex would happily mistake for (much smaller) timings."""
+bare q-name regex would happily mistake for (much smaller) timings.
+
+The current QuietBaseline.scala is re-harvested by default, which makes the
+file a min() RATCHET: values can only ever decrease. That is right for
+noise (a quiet value stays the quiet value) but wrong for reimplementation
+— a query that legitimately got slower (or a bogus too-fast entry) would
+be re-timed forever. Escape hatches:
+  --fresh            ignore the existing file entirely (entries then come
+                     only from BENCH_r*.json tails + the files given)
+  --drop=qA,qB,...   flush just those queries' file entries (use after
+                     reimplementing a query; pass a fresh bench line so
+                     the new timing reseeds it)"""
 import json, re, glob, sys
 
 best = {}
+args = sys.argv[1:]
+fresh = '--fresh' in args
+drops = set()
+for a in list(args):
+    if a.startswith('--drop='):
+        drops |= {q.strip() for q in a[len('--drop='):].split(',') if q.strip()}
+args = [a for a in args if a != '--fresh' and not a.startswith('--drop=')]
 
-def feed_queries(queries):
+def feed_queries(queries, dropped=True):
+    # dropped queries are excluded from HISTORICAL sources (driver tails,
+    # the committed file) but not from files passed on the command line —
+    # those are the fresh reseed measurements
     for k, v in queries.items():
         v = float(v)
-        if v > 0:
+        if v > 0 and not (dropped and k in drops):
             best[k] = min(best.get(k, 1e9), v)
 
-def feed(text):
+def feed(text, historical=True):
     # harvest every JSON object found in the text, but ONLY its "queries"
     # field; fall back to a regex scoped to the queries map for truncated /
     # escaped driver "tail" captures
@@ -27,31 +48,32 @@ def feed(text):
         try:
             obj = json.loads(line[start:])
             if isinstance(obj, dict) and isinstance(obj.get('queries'), dict):
-                feed_queries(obj['queries'])
+                feed_queries(obj['queries'], dropped=historical)
                 continue
         except (json.JSONDecodeError, ValueError):
             pass
         m = re.search(r'\\?"queries\\?":\{(.*?)\}', line)
         if m:
-            for k, v in re.findall(r'\\?"(q\d+[a-z_0-9]*)\\?":(-?[0-9.]+)', m.group(1)):
-                v = float(v)
-                if v > 0:
-                    best[k] = min(best.get(k, 1e9), v)
+            found = dict(re.findall(
+                r'\\?"(q\d+[a-z_0-9]*)\\?":(-?[0-9.]+)', m.group(1)))
+            feed_queries(found, dropped=historical)
 
 for f in sorted(glob.glob('/root/repo/BENCH_r*.json')):
     feed(json.load(open(f)).get('tail') or '')
-for f in sys.argv[1:]:
-    feed(open(f).read())
+for f in args:
+    feed(open(f).read(), historical=False)
 
 # The current QuietBaseline.scala is itself a source: many entries exist
 # ONLY there (driver tails truncate; local bench lines are ephemeral).
 # Without this, a bare regenerate silently DROPS every such entry and the
-# re-timing guard stops covering those queries.
-cur = open('/root/repo/src/main/scala/graft/QuietBaseline.scala').read()
-for k, v in re.findall(r'"(q\d+[a-z_0-9]*)" -> ([0-9.]+)', cur):
-    v = float(v)
-    if v > 0:
-        best[k] = min(best.get(k, 1e9), v)
+# re-timing guard stops covering those queries. --fresh / --drop override
+# (see module doc) so a known-stale value can be flushed, not re-min'd.
+if not fresh:
+    cur = open('/root/repo/src/main/scala/graft/QuietBaseline.scala').read()
+    for k, v in re.findall(r'"(q\d+[a-z_0-9]*)" -> ([0-9.]+)', cur):
+        v = float(v)
+        if v > 0 and k not in drops:
+            best[k] = min(best.get(k, 1e9), v)
 
 rows = '\n'.join(f'    "{k}" -> {best[k]:.3f},' for k in sorted(best))
 body = f'''package graft

@@ -51,8 +51,17 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType =>           // nanos-as-long generation
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _: TimestampNTZType | _: TimestampType =>  // µs generation
+      case _: TimestampNTZType => // µs generation, NTZ physical type
+        // the NTZ→TZ cast is an identity ONLY under a UTC session zone —
+        // any other zone silently SHIFTS every instant instead of
+        // re-tagging it; fail loudly like the old nanosAsLong guard did
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: the NTZ->TZ cast is only an " +
+            "identity when spark.sql.session.timeZone=UTC, but the " +
+            s"session zone is ${s.conf.get("spark.sql.session.timeZone")}")
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType =>    // µs generation, already zone-tagged
+        raw
       case other =>
         throw new IllegalStateException(
           s"unexpected events.ts type $other — expected nanos-as-long " +

@@ -231,7 +231,12 @@ object LexicalQueries {
   // count, unigram df by vocabulary) + two hash joins back onto the
   // exploded bigram stream + a per-doc agg — every stage partial-aggregates
   // map-side; no windows, no driver state. At 100 TB the c12/c1 tables are
-  // the shuffle cost, exactly an n-gram count job's.
+  // the shuffle cost, exactly an n-gram count job's. int64 headroom caveat:
+  // the (c12+1)·2^20 term overflows once a single bigram's corpus count
+  // exceeds ~2^43 (≈8.8e12 — reachable for top stopword bigrams at full
+  // 100 TB); past that, divide before scaling (or widen to DECIMAL) —
+  // Spark would wrap silently where DuckDB errors, so the engines diverge
+  // rather than stay oracle-exact.
   val LmScale = 1048576L // 2^20
 
   val q103_bigram_lm: Q = (s, d) => {

@@ -23,6 +23,20 @@ class TablesSpec extends SparkSpec {
     assert(ev.select(unix_micros($"ts")).as[Long].head() == micros)
   }
 
+  test("events.ts GENUINE TIMESTAMP(NANOS) parquet loads via nanosAsLong") {
+    // The synthetic write above pins the BIGINT branch; this one pins the
+    // actual legacy read path: a checked-in parquet whose ts column is
+    // physically annotated Timestamp(NANOS) (written by pyarrow with
+    // coerce_timestamps=None, format 2.6), which Spark surfaces as
+    // LongType only under spark.sql.legacy.parquet.nanosAsLong=true. If a
+    // Spark upgrade changes that reader behavior, this fails first.
+    val dir = new java.io.File(
+      getClass.getResource("/events_nanos/events.parquet").toURI).getParent
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.select(unix_micros($"ts")).as[Long].head() == micros)
+  }
+
   test("events.ts micros-timestamp generation passes through unchanged") {
     val dir = tmpDir("tables_micros")
     Seq((1L, micros, 7L, "click", 1.5, "p"))
