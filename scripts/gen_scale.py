@@ -91,7 +91,24 @@ def main():
           FROM range({nvec}) t(i)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
 
-    for t in ("lineitem", "documents", "embeddings"):
+    # events: replicate with ENTITY offsets — the versioned-cell queries
+    # (q101 SCD2 etc.) window on (user_id, event_type), so offsetting
+    # user_id keeps each cell's version-chain depth at its sf0.1 value
+    # while the number of cells scales: 5x the rows = 5x the entities,
+    # not 5x-deeper windows (which would measure chain growth, not the
+    # engine).
+    maxeid, maxuid = con.execute(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 "
+        f"FROM read_parquet('{SRC}/events.parquet')").fetchone()
+    con.execute(f"""
+        COPY (
+          SELECT e.* REPLACE (e.event_id + c.i * {maxeid} AS event_id,
+                              e.user_id + c.i * {maxuid} AS user_id)
+          FROM read_parquet('{SRC}/events.parquet') e,
+               range({factor}) c(i)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
+
+    for t in ("lineitem", "documents", "embeddings", "events"):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]

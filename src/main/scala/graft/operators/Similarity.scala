@@ -56,6 +56,22 @@ object Similarity {
       s"WHEN $nExpr <= ${targetBucketRows << b} THEN $b"
     }.mkString("CASE ", " ", s" ELSE $maxBits END")
 
+  /** √n-scaled bit count for the IVF coarse codebook: smallest b with
+    * n ≤ 4^b, so 2^b ≈ √n. The LSH ladder's k ∝ n/target is right for
+    * BUCKET population (the self-join is Σ bucket²), but wrong for a
+    * TRAINED codebook: k-means assignment costs n·k per pass, and k ∝ n
+    * makes training quadratic in the corpus. k ≈ √n is the classic IVF
+    * balance — training n·√n, probe cost per query nprobe·√n — the FAISS
+    * sizing rule. Capped at maxBits like [[bitsFor]]. */
+  def quadBitsFor(n: Long, maxBits: Int = 16): Int =
+    (1 to maxBits).find(b => n <= (1L << (2 * b))).getOrElse(maxBits)
+
+  /** DuckDB mirror of [[quadBitsFor]]. */
+  def sqlQuadBitsFor(nExpr: String, maxBits: Int = 16): String =
+    (1 until maxBits).map { b =>
+      s"WHEN $nExpr <= ${1L << (2 * b)} THEN $b"
+    }.mkString("CASE ", " ", s" ELSE $maxBits END")
+
   /** Scalar-row form of [[meanPool]]: one `(key, pos, val, n)` row per
     * centroid lane. Keeps both group size and dimension distributed
     * (posexplode → partial agg on (key, pos)), and emits only scalar

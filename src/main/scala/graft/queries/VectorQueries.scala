@@ -38,6 +38,14 @@ object VectorQueries {
   private def corpusBits(s: SparkSession, d: String): Int =
     Similarity.bitsFor(Tables.embeddings(s, d).count(), TargetBucketRows, MaxBits)
 
+  /** √n-scaled centroid-count bits for the TRAINED IVF codebook (see
+    * `Similarity.quadBitsFor` — k ∝ n would make coarse training
+    * quadratic; k ≈ √n is the classic IVF balance). */
+  private def ivfBits(s: SparkSession, d: String): Int =
+    Similarity.quadBitsFor(Tables.embeddings(s, d).count(), MaxBits)
+  private def sqlIvfParams: String =
+    s"ivfp AS (SELECT ${Similarity.sqlQuadBitsFor("count(*)", MaxBits)} AS bits FROM embeddings)"
+
   /** Oracle-side bucket: the full MaxBits sign key masked down to the
     * corpus-derived bit count — identical to Spark's signBucket(v, bits)
     * because bit d of the key is exactly hyperplane d's sign. */
@@ -95,9 +103,10 @@ object VectorQueries {
   // ── q45: IVF-bucketed ANN — inverted lists around a k-means-TRAINED
   // coarse codebook (hash-seeded, quantized Lloyd — the q77 chain, salt
   // "ivf"); a query scores only its nprobe nearest lists. Candidates
-  // ≈ n·nprobe/numCentroids per query, with numCentroids corpus-scaled
-  // through the same bitsFor ladder the sign-LSH uses; training keeps the
-  // lists balanced under skew, and the oracle replays codebook, cell
+  // ≈ n·nprobe/numCentroids per query, with numCentroids on the √n
+  // ladder (quadBitsFor — k ∝ n would make coarse TRAINING quadratic;
+  // k ≈ √n is the classic IVF balance); training keeps the lists
+  // balanced under skew, and the oracle replays codebook, cell
   // assignment, probing and rerank bit-for-bit. ──────────────────────────
   val IvfMaxQueryId = 20L
   val IvfNprobe = 2
@@ -106,7 +115,7 @@ object VectorQueries {
   val q45_knn_ivf: Q = (s, d) => {
     import s.implicits._
     Similarity.knnIvf(Tables.embeddings(s, d), "vec_id", "embedding",
-        IvfMaxQueryId, 1 << corpusBits(s, d), IvfNprobe, IvfK)
+        IvfMaxQueryId, 1 << ivfBits(s, d), IvfNprobe, IvfK)
       .orderBy($"q_id", $"rank")
   }
   /** The trained coarse codebook as a `cent(c_id, cv, cn)` CTE: the final
@@ -123,11 +132,11 @@ object VectorQueries {
   lazy val q45_sql: String = {
     def cos(a: String, b: String, na: String, nb: String) =
       sqlCosineFromNorms(a, b, na, nb, Dim)
-    s"""WITH $sqlParams, sv AS (
+    s"""WITH $sqlIvfParams, sv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
        |  FROM embeddings
-       |), ${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM params)",
+       |), ${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM ivfp)",
           Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
        |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
        |assigned AS (
@@ -400,7 +409,7 @@ object VectorQueries {
     import s.implicits._
     graft.operators.Clustering
       .ivfPqSearch(Tables.embeddings(s, d), "vec_id", "embedding",
-        Dim, PqM, PqK, PqIters, 1 << corpusBits(s, d), IvfNprobe,
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d), IvfNprobe,
         MaxQueryId, PqTopK)
       .orderBy($"q_id", $"rank")
   }
@@ -430,12 +439,12 @@ object VectorQueries {
       .map(s => s"SELECT $s AS s, cluster AS code, pos, cval FROM s${s}c$PqIters")
       .mkString(" UNION ALL ")
     val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
-    s"""$sqlParams, sv AS (
+    s"""$sqlIvfParams, sv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
        |  FROM embeddings),
        |$chains,
-       |${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM params)",
+       |${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM ivfp)",
           Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
        |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
        |assigned AS (
@@ -479,7 +488,7 @@ object VectorQueries {
     import s.implicits._
     graft.operators.Clustering
       .ivfPqRerank(Tables.embeddings(s, d), "vec_id", "embedding",
-        Dim, PqM, PqK, PqIters, 1 << corpusBits(s, d), IvfNprobe,
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d), IvfNprobe,
         MaxQueryId, RerankPool, PqTopK)
       .orderBy($"q_id", $"rank")
   }
