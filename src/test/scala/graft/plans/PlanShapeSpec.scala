@@ -107,4 +107,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join in q102 plan:\n$p")
   }
+
+  test("q108 prefix-filtered join: every join is an equi-join on term/doc keys") {
+    // the probe (full tf x partial index) and the verification joins must
+    // all be hash equi-joins — a cartesian or nested-loop here is the
+    // all-pairs scan the prefix filter exists to prevent. Windows stay
+    // per-document (the df-order ranking), never global.
+    val df = LexicalQueries.q108_sparse_prefix_join(spark, D)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in q108 plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in q108 plan:\n$p")
+    val windows = planOf(df).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"global window in q108 plan:\n$p")
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("q109 curation pipeline: no cartesian anywhere; selection windows banded") {
+    // five composed stages — the guard is that composition introduced no
+    // all-pairs surface and the budget/packing prefix sums kept their
+    // banded two-level shape (any unpartitioned window sits above an
+    // aggregate, the bands-sized frame).
+    val df = graft.queries.CurationQueries.q109_curation_pipeline(spark, D)
+    val plan = planOf(df)
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in q109 plan:\n$p")
+    val windows = plan.collect { case w: WindowExec => w }
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    global.foreach { w =>
+      val overAgg = w.child.collectFirst { case a: BaseAggregateExec => a }
+      assert(overAgg.nonEmpty,
+        s"global window over non-aggregated rows in q109 plan:\n$p")
+    }
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }
