@@ -258,10 +258,31 @@ object Clustering {
     require(m > 0 && dim > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim m=$m")
     val sub = dim / m
-    (0 until m).map { s =>
+    // The m subspace fits are INDEPENDENT (disjoint lanes, disjoint
+    // salts) but each one is a chain of per-iteration driver barriers
+    // (seeds job, lanes collect); run them concurrently so the barriers
+    // overlap — the scheduler interleaves their jobs across the executor
+    // threads. Results are deterministic regardless of completion order
+    // (each model depends only on its own salt and lanes).
+    concurrently((0 until m).map { s => () =>
       val sdf = emb.select(col(idCol),
         slice(col(vecCol), s * sub + 1, sub).as("__sub"))
       (s, kmeansFit(sdf, idCol, "__sub", k, iters, s"$salt$s"))
+    })
+  }
+
+  /** Run independent driver-side training chains concurrently (each
+    * thunk fires its own Spark jobs; SparkSession is thread-safe) and
+    * return results in INPUT order — determinism is preserved because
+    * each thunk's output depends only on its own inputs. */
+  private[operators] def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
+    if (thunks.lengthCompare(1) <= 0) thunks.map(_())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(thunks.map(t => Future(t()))),
+        Duration.Inf)
     }
   }
 
@@ -442,10 +463,17 @@ object Clustering {
                   salt: String = "pq"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK > 0, s"topK must be positive: $topK")
-    val models = pqModels(emb, idCol, vecCol, dim, m, k, iters, salt)
+    // PQ subspace fits and the coarse-codebook fit are independent
+    // training chains — overlap their driver barriers (see
+    // [[concurrently]]); both are deterministic in isolation.
+    val trained = concurrently[AnyRef](Seq(
+      () => pqModels(emb, idCol, vecCol, dim, m, k, iters, salt),
+      () => ivfCoarseCentroids(emb, idCol, vecCol, numCentroids)))
+    val models = trained(0).asInstanceOf[Seq[(Int, KmeansModel)]]
+    val cents = trained(1).asInstanceOf[graft.plans.IvfCentroids]
     val dtab = pqDistTables(emb, idCol, vecCol, dim / m,
       pqLanesLong(models), maxQueryId)
-    val cand = ivfPqCandidates(emb, idCol, vecCol, numCentroids, nprobe,
+    val cand = ivfPqCandidatesWith(emb, idCol, vecCol, cents, nprobe,
       maxQueryId)
     // Fetch each candidate's m codes (co-partitioned join on n_id), look
     // up the broadcast tables, and fold to one integer distance per pair.
@@ -525,12 +553,21 @@ object Clustering {
     * |corpus| × |queries| whenever nprobe ≪ numCentroids. */
   def ivfPqCandidates(emb: DataFrame, idCol: String, vecCol: String,
                       numCentroids: Int, nprobe: Int,
-                      maxQueryId: Long): DataFrame = {
+                      maxQueryId: Long): DataFrame =
+    ivfPqCandidatesWith(emb, idCol, vecCol,
+      ivfCoarseCentroids(emb, idCol, vecCol, numCentroids), nprobe,
+      maxQueryId)
+
+  /** [[ivfPqCandidates]] against an already-trained codebook (callers
+    * that overlap the coarse fit with other training — ivfPqSearch —
+    * hand it in). */
+  def ivfPqCandidatesWith(emb: DataFrame, idCol: String, vecCol: String,
+                          cents: graft.plans.IvfCentroids, nprobe: Int,
+                          maxQueryId: Long): DataFrame = {
     // Cell assignment and probing are Similarity.ivfAssignProbes against
     // the SAME trained codebook knnIvf queries (q45) derive, so the two
     // ANN paths can never drift in tie-breaks or norms; only the rerank
     // differs (exact cosine there, ADC over PQ codes here).
-    val cents = ivfCoarseCentroids(emb, idCol, vecCol, numCentroids)
     val (assigned, probes) = Similarity.ivfAssignProbes(
       emb.select(col(idCol).cast(LongType).as("__vid"), col(vecCol)),
       "__vid", vecCol, cents, maxQueryId, nprobe)
