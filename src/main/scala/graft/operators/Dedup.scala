@@ -233,10 +233,35 @@ object Dedup {
     */
   def incrementalLshPairs(delta: DataFrame, corpus: DataFrame,
                           numHashes: Int, bands: Int,
-                          threshold: Double): DataFrame = {
+                          threshold: Double): DataFrame =
+    incrementalLshPairsIndexed(delta,
+      bandedSignatures(corpus, numHashes, bands), numHashes, bands,
+      threshold)
+
+  /** Persist a banded-signature index ([[bandedSignatures]] output) as
+    * one parquet table `(id, ghash, band, bkey)` — the build-once half
+    * of build-once/serve-many ingestion dedup (the LSH analog of
+    * `Clustering.savePqIndex`). Partitioning survives as parquet file
+    * layout; the serve-side join re-shuffles on (band, bkey) either way. */
+  def saveLshIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[incrementalLshPairs]] against an already-built (typically LOADED)
+    * corpus-side banded index: the serve path recomputes NO corpus
+    * signatures — each batch pays only its own banding plus the
+    * (band, bkey) equi-join into the index. numHashes/bands must match
+    * the index's build parameters (a mismatch silently empties the join;
+    * the caller owns that contract, exactly like a search index). */
+  def incrementalLshPairsIndexed(delta: DataFrame, corpusIndex: DataFrame,
+                                 numHashes: Int, bands: Int,
+                                 threshold: Double): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     val a = bandedSignatures(delta, numHashes, bands).as("a")
-    val b = bandedSignatures(corpus, numHashes, bands).as("b")
+    val b = corpusIndex.as("b")
     val inter = columnOf(graft.plans.SortedIntersectSize(
       expressionOf(col("a.ghash")), expressionOf(col("b.ghash")),
       if (threshold > 0) Some(threshold) else None))

@@ -304,6 +304,33 @@ object DedupQueries {
        |ORDER BY new_doc, dup_of""".stripMargin
   }
 
+  // ── q110: LSH index persistence — build the corpus's banded-signature
+  // index ONCE (Dedup.bandedSignatures), persist it as parquet, load it
+  // back, and run the incremental batch dedup from the LOADED index with
+  // no corpus signature recomputation — build-once/serve-many ingestion
+  // dedup, the LSH analog of q106's PQ persistence. Parameters match q79
+  // exactly, so the serve path from the persisted index must reproduce
+  // q79's output bit-for-bit: the oracle IS q79's SQL, making the
+  // save/load roundtrip itself hash-verified. ────────────────────────────
+  val q110_lsh_index_persist: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val hashed = Tables.documents(s, d).select($"doc_id".as("id"), $"source",
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf($"text"), ShingleN, 7)).as("ghash"))
+    val isDelta = $"source".isin(DeltaSources: _*)
+    val path = QueryTmp.dir("lshindex", d)
+    Dedup.saveLshIndex(
+      Dedup.bandedSignatures(hashed.filter(!isDelta).drop("source"),
+        lshK(s, d), MinHashBands),
+      path)
+    Dedup.incrementalLshPairsIndexed(
+        hashed.filter(isDelta).drop("source"),
+        Dedup.loadLshIndex(s, path),
+        lshK(s, d), MinHashBands, JaccardThreshold)
+      .orderBy($"new_doc", $"dup_of")
+  }
+
   // ── q80: quality-aware survivorship — q49's clusters resolved to the
   // BEST member (highest quality score, ties → smallest id) instead of
   // the oldest. One order-free max(struct) agg per cluster (full map-side
@@ -533,6 +560,7 @@ object DedupQueries {
     "q71_fuzzy_join" -> q71_fuzzy_join,
     "q72_cleaned_corpus" -> q72_cleaned_corpus,
     "q79_incremental_dedup" -> q79_incremental_dedup,
+    "q110_lsh_index_persist" -> q110_lsh_index_persist,
     "q80_survivorship" -> q80_survivorship,
     "q83_bloom_decontam" -> q83_bloom_decontam,
     "q84_dup_ngram_coverage" -> q84_dup_ngram_coverage,
@@ -547,6 +575,8 @@ object DedupQueries {
     "q71_fuzzy_join" -> q71_sql,
     "q72_cleaned_corpus" -> q72_sql,
     "q79_incremental_dedup" -> q79_sql,
+    // serve-from-persisted-index must reproduce q79 exactly
+    "q110_lsh_index_persist" -> q79_sql,
     "q80_survivorship" -> q80_sql,
     "q83_bloom_decontam" -> q83_sql,
     "q84_dup_ngram_coverage" -> q84_sql,
