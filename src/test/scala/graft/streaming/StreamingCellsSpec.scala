@@ -124,6 +124,44 @@ class StreamingCellsSpec extends SparkSpec {
     } finally { q.stop(); corpusBanded.unpersist() }
   }
 
+  test("nearDupStream serves from a PERSISTED index: save, load, probe") {
+    // the production ingestion shape end-to-end: the corpus's banded
+    // index is built once and saved as parquet (Dedup.saveLshIndex, the
+    // q110 artifact); the stream probes the LOADED index — no corpus
+    // signatures recomputed per batch, and a restart only re-reads
+    // parquet.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "an entirely different reference document about spark"))
+      .toDF("doc_id", "text")
+    val corpusHashed = corpus.select(col("doc_id").as("id"),
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf(col("text")), 3, 7)).as("ghash"))
+    val path = tmpDir("lsh_stream_index")
+    graft.operators.Dedup.saveLshIndex(
+      graft.operators.Dedup.bandedSignatures(corpusHashed, 16, 4), path)
+    val loaded = graft.operators.Dedup.loadLshIndex(spark, path)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCells.nearDupStream(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        loaded, shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_from_index")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely unrelated text with no overlap at all"))
+      q.processAllAvailable()
+      val matches = spark.table("neardup_from_index")
+        .select("doc_id", "corpus_doc_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(matches == Set((1L, 100L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming SemDeDup: micro-batch deltas prune against the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
