@@ -543,7 +543,29 @@ object Clustering {
                          salt: String = Similarity.IvfCoarseSalt)
       : graft.plans.IvfCentroids =
     Similarity.centroidSetFromLanes(
-      kmeansFit(emb, idCol, vecCol, k, iters, salt).lanes)
+      ivfCoarseLanes(emb, idCol, vecCol, k, iters, salt))
+
+  /** The coarse codebook as its LANES frame — the persistable artifact
+    * behind [[ivfCoarseCentroids]] (save with [[saveIvfCodebook]]). */
+  def ivfCoarseLanes(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int,
+                     iters: Int = Similarity.IvfCoarseIters,
+                     salt: String = Similarity.IvfCoarseSalt): DataFrame =
+    kmeansFit(emb, idCol, vecCol, k, iters, salt).lanes
+
+  /** Persist a trained coarse codebook as its integer lanes — k·dim
+    * rows, one file; train once, serve every query batch from the loaded
+    * artifact (the IVF face of `savePqIndex`/`Dedup.saveLshIndex` —
+    * every index tier in the engine is persistable). Lossless: lanes are
+    * pure int64, so the reloaded [[graft.plans.IvfCentroids]] is
+    * bit-identical to the freshly trained one. */
+  def saveIvfCodebook(lanes: DataFrame, path: String): Unit =
+    lanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadIvfCodebook(spark: org.apache.spark.sql.SparkSession,
+                      path: String): graft.plans.IvfCentroids =
+    Similarity.centroidSetFromLanes(spark.read.parquet(path))
 
   /** The IVF candidate set behind [[ivfPqSearch]]: `(q_id, n_id, c_id)` —
     * each query paired with exactly the corpus vectors in its nprobe

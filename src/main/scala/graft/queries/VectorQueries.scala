@@ -758,6 +758,27 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q111: IVF codebook persistence — train the coarse quantizer ONCE,
+  // persist its integer lanes as parquet, load them back, and serve the
+  // q45 search from the LOADED codebook (knnIvfWith) with no retraining —
+  // the IVF face of q106 (PQ) and q110 (LSH): every index tier is a
+  // persistable artifact. Parameters match q45 exactly and the lanes are
+  // pure int64 (lossless roundtrip), so the served search must reproduce
+  // q45 bit-for-bit: the oracle IS q45's SQL. ────────────────────────────
+  val q111_ivf_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfindex", d)
+    graft.operators.Clustering.saveIvfCodebook(
+      graft.operators.Clustering.ivfCoarseLanes(
+        emb, "vec_id", "embedding", 1 << ivfBits(s, d)),
+      path)
+    Similarity.knnIvfWith(emb, "vec_id", "embedding",
+        graft.operators.Clustering.loadIvfCodebook(s, path),
+        IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
@@ -775,6 +796,7 @@ object VectorQueries {
     "q102_semdedup" -> q102_semdedup,
     "q105_incremental_semdedup" -> q105_incremental_semdedup,
     "q106_pq_index_persist" -> q106_pq_index_persist,
+    "q111_ivf_index_persist" -> q111_ivf_index_persist,
   )
   val oracleSql: Map[String, String] = Map(
     "q25_knn_brute" -> q25_sql,
@@ -793,5 +815,7 @@ object VectorQueries {
     "q102_semdedup" -> q102_sql,
     "q105_incremental_semdedup" -> q105_sql,
     "q106_pq_index_persist" -> q89_sql,
+    // serve-from-persisted-codebook must reproduce q45 exactly
+    "q111_ivf_index_persist" -> q45_sql,
   )
 }
