@@ -209,4 +209,27 @@ object Bpe {
     if (persisted.count() <= MaxLocalWords) trainLocal(persisted, merges)
     else train(persisted, merges)
   }
+
+  /** Persist an induced merge list as one parquet file — the tokenizer's
+    * trained artifact (train once on the corpus, tokenize every later
+    * batch from the loaded vocabulary; the BPE face of the engine's
+    * persistable-index convention). Step order IS the merge-application
+    * order, so it rides along and [[loadMerges]] restores it exactly. */
+  def saveMerges(merges: Seq[Merge], spark: org.apache.spark.sql.SparkSession,
+                 path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("step", "lhs", "rhs", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .select(col("step").cast("int"), col("lhs").cast("string"),
+        col("rhs").cast("string"), col("cnt").cast("long"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toSeq
+      .sortBy(_.step)
 }

@@ -223,11 +223,42 @@ object BpeQueries {
        |FROM docwords d JOIN ws s USING (word)
        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
+  // ── q112: BPE vocabulary persistence — induce the merge list once,
+  // persist it as parquet (Bpe.saveMerges), load it back, and token-count
+  // the corpus with the KERNEL driven by the LOADED vocabulary — the
+  // tokenizer's face of the persistable-artifact convention (q106 PQ,
+  // q110 LSH, q111 IVF). Parameters match q97 exactly and the merge list
+  // roundtrips losslessly (strings + ints, step order restored), so the
+  // served encode must reproduce q96/q97's output bit-for-bit: the
+  // oracle IS q96's SQL. ─────────────────────────────────────────────────
+  val q112_bpe_vocab_persist: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val (merges, _) =
+      Bpe.trainAuto(Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text")),
+        BpeMerges)
+    val path = QueryTmp.dir("bpevocab", d)
+    Bpe.saveMerges(merges, s, path)
+    val loaded = Bpe.loadMerges(s, path)
+    val lhs = loaded.map(_.lhs).toArray
+    val rhs = loaded.map(_.rhs).toArray
+    docs(s, d)
+      .select($"doc_id",
+        columnOf(graft.plans.BpeDocStats(expressionOf($"text"), lhs, rhs))
+          .as("st"))
+      .select($"doc_id", element_at($"st", 1).as("n_words"),
+        element_at($"st", 2).as("n_tokens"),
+        element_at($"st", 3).as("max_tok_len"))
+      .filter($"n_words" > 0)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q95_bpe_vocab" -> q95_bpe_vocab,
     "q96_bpe_encode" -> q96_bpe_encode,
     "q97_bpe_kernel_stats" -> q97_bpe_kernel_stats,
     "q99_bpe_pack_shards" -> q99_bpe_pack_shards,
+    "q112_bpe_vocab_persist" -> q112_bpe_vocab_persist,
   )
   val oracleSql: Map[String, String] = Map(
     "q95_bpe_vocab" -> q95_sql,
@@ -236,5 +267,7 @@ object BpeQueries {
     // compare proves kernel == relational trainer state
     "q97_bpe_kernel_stats" -> q96_sql,
     "q99_bpe_pack_shards" -> q99_sql,
+    // serve-from-persisted-vocabulary must reproduce q96/q97 exactly
+    "q112_bpe_vocab_persist" -> q96_sql,
   )
 }
