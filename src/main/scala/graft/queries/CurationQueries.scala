@@ -74,9 +74,12 @@ object CurationQueries {
     // the held-out set; candidates = survivors in the train split
     val splits = Sampling.hashSplit(docs.select($"doc_id"), "doc_id",
       Seq("train" -> 0.8, "test" -> 0.2))
-    val hashed = docs.select($"doc_id",
+    // hashed feeds the bloom build (an action: the bits collect) AND the
+    // candidate probe — persist one copy so the 8-gram kernel scans the
+    // corpus text once, not twice
+    val hashed = OperatorCaches.register(docs.select($"doc_id",
       columnOf(graft.plans.WordShingleHashes(
-        expressionOf($"text"), CurShingleN, 7)).as("ghash"))
+        expressionOf($"text"), CurShingleN, 7)).as("ghash")).persist())
     val bits = Dedup.bloomFilterBits(
       hashed.join(splits.filter($"split" === "test"), "doc_id"),
       DedupQueries.BloomM, DedupQueries.BloomK)
