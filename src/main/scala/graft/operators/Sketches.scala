@@ -125,4 +125,55 @@ object Sketches {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** Fixed-width histogram quantile sketch — the bounded-state answer to
+    * "what's the p99?" that exact quantiles (q67's distinct-value
+    * cumulative walk) can't give when the value universe itself is huge:
+    * state is one count per occupied bucket (`value div width`),
+    * partial-aggregable and mergeable like any groupBy, so a
+    * 1000-executor scan reduces to ≤ range/width rows regardless of
+    * corpus size.
+    *
+    * For each requested quantile qNum/qDen the estimate is the FIRST
+    * bucket whose cumulative count reaches the type-1 rank
+    * `ceil(q·n) = (qNum·n + qDen − 1) div qDen` — the bucket provably
+    * CONTAINS the exact rank-th value, so the deterministic error bound
+    * is the bucket width: `lo ≤ exact quantile ≤ hi` (spec-pinned
+    * against the exact sort). Pure integer math end-to-end (int64
+    * ranks, div bucketing), so an oracle replays estimates AND their
+    * quantization error bit-for-bit. The cumulative window runs over
+    * BUCKET rows (already aggregated, bounded), never corpus rows —
+    * the q82 global-window-above-aggregate shape.
+    *
+    * @param quantiles (qNum, qDen) rationals, e.g. (1,2) (9,10) (99,100)
+    * @return one row per quantile: (q_num, q_den, n, rank, bucket,
+    *         lo, hi) with [lo, hi] the bucket's value interval
+    */
+  def histQuantiles(df: DataFrame, valueCol: String, width: Long,
+                    quantiles: Seq[(Long, Long)]): DataFrame = {
+    require(width > 0, s"bucket width must be positive: $width")
+    require(quantiles.nonEmpty, "at least one quantile required")
+    require(quantiles.forall { case (n, d) => n > 0 && n <= d },
+      s"quantiles must be rationals in (0, 1]: $quantiles")
+    val hist = df
+      .select(expr(s"CAST($valueCol AS BIGINT) div $width").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+    val targets = explode(array(quantiles.map { case (qn, qd) =>
+      struct(lit(qn).as("q_num"), lit(qd).as("q_den"))
+    }: _*)).as("q")
+    cum.select(col("bucket"), col("cum"), col("n"), targets)
+      .select(col("bucket"), col("cum"), col("n"),
+        col("q.q_num").as("q_num"), col("q.q_den").as("q_den"))
+      .withColumn("rank", expr("(q_num * n + q_den - 1) div q_den"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("q_num"), col("q_den"), col("n"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("q_num"), col("q_den"), col("n"), col("rank"),
+        col("bucket"), (col("bucket") * width).as("lo"),
+        (col("bucket") * width + (width - 1)).as("hi"))
+  }
 }

@@ -135,12 +135,58 @@ object SketchQueries {
        |FROM exact JOIN est USING (word) ORDER BY word""".stripMargin
   }
 
+  // ── q113: histogram-quantile sketch — document-length percentiles
+  // (p50/p90/p99 of n_chars) from bounded mergeable state: one count per
+  // width-32 bucket, the truncation/packing sizing statistic a pipeline
+  // wants without shuffling distinct values (q67's exact walk) at corpus
+  // scale. The estimate bucket provably contains the exact type-1
+  // quantile (error ≤ bucket width, spec-pinned); ranks and bucketing
+  // are pure int64, so the oracle replays estimate AND error. ────────────
+  val HistWidth = 32L
+  val HistQuantiles = Seq((1L, 2L), (9L, 10L), (99L, 100L))
+
+  val q113_hist_quantiles: Q = (s, d) => {
+    import s.implicits._
+    Sketches.histQuantiles(Tables.documents(s, d), "n_chars", HistWidth,
+        HistQuantiles)
+      .orderBy($"q_num".cast("double") / $"q_den")
+  }
+  lazy val q113_sql: String = {
+    val targets = HistQuantiles
+      .map { case (n, dn) => s"($n, $dn)" }.mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT CAST(n_chars AS BIGINT) // $HistWidth AS bucket,
+       |    count(*) AS cnt
+       |  FROM documents GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket, cnt,
+       |    sum(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    (SELECT CAST(sum(cnt) AS BIGINT) FROM hist) AS n
+       |  FROM hist),
+       |t(q_num, q_den) AS (VALUES $targets),
+       |hit AS (
+       |  SELECT t.q_num, t.q_den, c.n,
+       |    (t.q_num * c.n + t.q_den - 1) // t.q_den AS rank,
+       |    min(c.bucket) AS bucket
+       |  FROM cum c CROSS JOIN t
+       |  WHERE c.cum >= (t.q_num * c.n + t.q_den - 1) // t.q_den
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den,
+       |  CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+       |  bucket, bucket * $HistWidth AS lo,
+       |  bucket * $HistWidth + ${HistWidth - 1} AS hi
+       |FROM hit ORDER BY CAST(q_num AS DOUBLE) / q_den""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q85_hll_vocab" -> q85_hll_vocab,
     "q86_cms_heavy" -> q86_cms_heavy,
+    "q113_hist_quantiles" -> q113_hist_quantiles,
   )
   val oracleSql: Map[String, String] = Map(
     "q85_hll_vocab" -> q85_sql,
     "q86_cms_heavy" -> q86_sql,
+    "q113_hist_quantiles" -> q113_sql,
   )
 }

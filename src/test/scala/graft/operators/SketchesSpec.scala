@@ -83,4 +83,37 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sketches.cmsCounters(df, "item", 0, 8) }
     intercept[IllegalArgumentException] { Sketches.cmsCounters(df, "item", 2, 0) }
   }
+
+  test("histQuantiles: the estimate bucket CONTAINS the exact type-1 quantile") {
+    // skewed deterministic values: mostly small with a heavy tail, so
+    // p50/p90/p99 land in different buckets
+    val vals = (0 until 1000).map(i => (i.toLong, ((i * i) % 7919).toLong))
+    val df = vals.toDF("id", "v")
+    val width = 50L
+    val qs = Seq((1L, 2L), (9L, 10L), (99L, 100L))
+    val out = Sketches.histQuantiles(df, "v", width, qs)
+      .collect()
+      .map(r => ((r.getAs[Long]("q_num"), r.getAs[Long]("q_den")),
+        (r.getAs[Long]("rank"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))))
+      .toMap
+    val sorted = vals.map(_._2).sorted
+    qs.foreach { case (qn, qd) =>
+      val (rank, lo, hi) = out((qn, qd))
+      assert(rank == (qn * sorted.size + qd - 1) / qd)
+      val exact = sorted((rank - 1).toInt) // type-1: rank-th smallest
+      assert(lo <= exact && exact <= hi,
+        s"q=$qn/$qd exact $exact outside sketch bucket [$lo, $hi]")
+      assert(hi - lo == width - 1)
+    }
+  }
+
+  test("histQuantiles: state is bounded by the value range, not the corpus") {
+    // 100k rows over a 40-bucket range: the mergeable state (the
+    // histogram) must hold <= 40 rows no matter the row count
+    val df = spark.range(100000).selectExpr("id % 2000 AS v")
+    val hist = df.selectExpr("v div 50 AS bucket").groupBy("bucket").count()
+    assert(hist.count() <= 40)
+    val out = Sketches.histQuantiles(df, "v", 50L, Seq((1L, 2L))).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n") == 100000L)
+  }
 }
