@@ -410,6 +410,69 @@ object Dedup {
         col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }
 
+  /** Duplicated-span MASKING — the exact-substring-dedup transform (the
+    * "dedup the passage, keep the document" pass of training-data
+    * curation, after Lee et al. 2021): every token position covered by a
+    * word n-gram that occurs in MORE THAN ONE document is masked out, and
+    * the document is rebuilt from the surviving tokens. Where
+    * [[ngramCoverage]] only DIAGNOSES duplication, this REMOVES it —
+    * boilerplate (headers, licenses, navigation chrome) shared across
+    * documents disappears while unique prose survives.
+    *
+    * Scale shape: one gram-df aggregation (the corpus token stream, full
+    * map-side combine), one hash join back on the gram string, a ≤n×
+    * position explode of duplicated grams only, and a per-document
+    * rebuild whose sort is WITHIN the collected row (array_sort over one
+    * doc's surviving tokens) — never a corpus-wide window; everything
+    * shuffles on doc id or gram, so skew is gram-frequency skew and
+    * stays in the combiner. Never doc×doc.
+    *
+    * @param n span width in tokens: positions i..i+n-1 of each
+    *          duplicated gram starting at i are masked
+    * @return (id, n_tokens, n_covered, n_kept, keep_frac, kept_text) —
+    *         kept_text is the space-joined surviving tokens in original
+    *         order ("" when the whole document is duplicated)
+    */
+  def dupSpanMask(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 2, s"span width must be >= 2: $n")
+    val t = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    // (id, start, g): the gram starting at 1-based token position `start`
+    val grams = t.select(col("id"), explode(
+        when(size(col("t")) >= n,
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => struct(i.cast(LongType).as("start"),
+              array_join(slice(col("t"), i, lit(n)), " ").as("g"))))
+          .otherwise(array().cast(ArrayType(StructType(Seq(
+            StructField("start", LongType), StructField("g", StringType)))))))
+        .as("s"))
+      .select(col("id"), col("s.start").as("start"), col("s.g").as("g"))
+    val docFreq = grams.select(col("id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val covered = grams
+      .join(docFreq.filter(col("df") >= 2).select(col("g")), "g")
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+      .withColumn("cov", lit(true))
+    val positions = t
+      .select(col("id"), posexplode(col("t")).as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + 1L).as("pos"), col("tok"))
+    positions.join(covered, Seq("id", "pos"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("n_covered"),
+        array_join(transform(
+          array_sort(collect_list(when(col("cov").isNull,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("kept_text"))
+      .withColumn("n_kept", col("n_tokens") - col("n_covered"))
+      .withColumn("keep_frac",
+        col("n_kept").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .select(col("id"), col("n_tokens"), col("n_covered"), col("n_kept"),
+        col("keep_frac"), col("kept_text"))
+  }
+
   /** Resolve near-duplicate PAIRS into clusters — the survivorship step a
     * training pipeline runs after pair mining: every document in a
     * connected component gets the component's minimum doc id as its

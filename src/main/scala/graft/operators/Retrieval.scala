@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A built BM25 inverted index as its four relational artifacts — all
+  * integer-typed, so a parquet roundtrip is bit-lossless:
+  *
+  *   - `postings` (term, doc_id, tf): the inverted lists
+  *   - `doclen`   (doc_id, dl): per-document token counts
+  *   - `docfreq`  (term, df): per-term document frequencies
+  *   - `stats`    (n_docs, total_len): 1-row corpus statistics
+  *
+  * The reference has no retrieval surface (it is a Hadoop job framework,
+  * KM/framework/MapReduceJob.java); this is LLM-pipeline charter upside —
+  * the lexical leg of hybrid retrieval beside the ANN index tiers, with
+  * the same build-once/serve-many persistence contract as the LSH
+  * (`Dedup.saveLshIndex`), IVF (`Clustering.saveCoarseCodebook`), PQ
+  * (`Clustering.savePqIndex`) and BPE (`Bpe.saveVocab`) artifacts.
+  */
+final case class Bm25Index(postings: DataFrame, doclen: DataFrame,
+                           docfreq: DataFrame, stats: DataFrame)
+
+/** Lexical retrieval: BM25 index build / persist / serve.
+  *
+  * Scale shape: the build is two token-stream aggregations (tf, dl) plus
+  * two bounded rollups (df is vocabulary-sized, stats is 1 row) — every
+  * stage partial-aggregates map-side, nothing is windowed. The serve path
+  * broadcasts the (tiny) query-term set into the posting-list join on
+  * `term`, so only matching terms' postings are ever scored — the
+  * inverted-index access path, never a corpus scan; the final top-k
+  * window partitions by q_id, never globally.
+  *
+  * Exactness (what makes the serve path oracle-checkable): each posting's
+  * idf·tf_sat contribution is ONE double chain evaluated in a fixed
+  * operand order, floored to int64 at scale 2^20, and only the int64s are
+  * summed — addition-order-free, so stable from local[32] to a
+  * 1000-executor cluster. See `LexicalQueries.q100` for the mirrored SQL.
+  */
+object Retrieval {
+
+  /** Build the four index artifacts from a token stream `(doc_id, term)`
+    * — one row per token OCCURRENCE (duplicates carry tf). */
+  def buildBm25Index(terms: DataFrame): Bm25Index = {
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    Bm25Index(tf, dl, df, stats)
+  }
+
+  /** Persist the index as four parquet tables under `path`. All columns
+    * are int64/string, so save→load reproduces the build exactly. */
+  def saveBm25Index(index: Bm25Index, path: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    index.doclen.write.mode("overwrite").parquet(s"$path/doclen")
+    index.docfreq.write.mode("overwrite").parquet(s"$path/docfreq")
+    index.stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def loadBm25Index(spark: SparkSession, path: String): Bm25Index =
+    Bm25Index(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doclen"),
+      spark.read.parquet(s"$path/docfreq"),
+      spark.read.parquet(s"$path/stats"))
+
+  /** Rank the whole corpus for each query in `queryTerms` (q_id, term) —
+    * one row per DISTINCT query term (tf-in-query is ignored, the
+    * standard bag-of-words query model). Self-retrieval (doc_id == q_id)
+    * is excluded, matching the "first rows are the queries" convention of
+    * the ANN queries.
+    *
+    * @param scale fixed-point scale for the int64 score sum (2^20).
+    * @return (q_id, rank, doc_id, n_terms, score) down to per-query ranks
+    *         (no top-k cut — the caller cuts, so fusion legs can pool
+    *         deeper than a final answer would).
+    */
+  def bm25Ranked(queryTerms: DataFrame, index: Bm25Index,
+                 k1: Double, b: Double, scale: Long): DataFrame = {
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val idf = (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType)
+        + 0.5) / (col("df").cast(DoubleType) + 0.5) + 1.0
+    val norm = lit(oneMinusB) +
+      lit(b) * (col("dl").cast(DoubleType) /
+        (col("total_len").cast(DoubleType) / col("n_docs").cast(DoubleType)))
+    val sat = col("tf").cast(DoubleType) * k1p1 /
+      (col("tf").cast(DoubleType) + lit(k1) * norm)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    broadcast(queryTerms).join(index.postings, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(index.docfreq, "term")
+      .join(index.doclen, "doc_id")
+      .crossJoin(broadcast(index.stats))
+      .withColumn("contrib",
+        floor(idf * sat * lit(scale).cast(DoubleType)).cast(LongType))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+  }
+}

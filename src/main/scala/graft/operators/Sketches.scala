@@ -126,6 +126,81 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Per-group KMV (k-minimum-values / bottom-k) distinct sketch: the k
+    * smallest DISTINCT `hash28` values of the group — (groupCols*, h),
+    * ≤ k rows per group. The sketch HLL can't be: KMV sketches support
+    * set ALGEBRA — the union of two sketches is computable from sketch
+    * elements alone (the k smallest of their concatenation), and element
+    * membership gives an intersection estimate ([[kmvPairOverlap]]) —
+    * the "how much do these two corpora overlap?" question that drives
+    * cross-source dedup budgeting and contamination triage.
+    *
+    * Scale shape: the distinct-(group, h) aggregation is the only
+    * corpus-sized stage (one shuffle, full map-side combine); the
+    * bottom-k cut is a per-group window over the already-distinct values
+    * — the same shuffle-sort class as the q08 total sort, grouped. All
+    * downstream algebra touches k·|groups| rows only.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1 (the estimator uses k-1): $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    df.select((groupCols.map(col) :+
+        hash28(col(valueCol).cast("string")).as("h")): _*)
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Distinct-overlap estimates for every unordered pair of groups in a
+    * [[kmvSketch]] frame `(groupCol, h)`:
+    *
+    *   (g_a, g_b, n_kept, kth_hash, n_common, est_union, est_inter)
+    *
+    * union sketch = the k smallest of sketch(A) ∪ sketch(B);
+    * `est_union` = (k−1)·2^28 / h_k (exact-mode: the union sketch's size
+    * when it holds fewer than k values); `est_inter` = est_union · ρ with
+    * ρ = (elements of the union sketch present in BOTH sketches)/k — the
+    * standard KMV Jaccard-style estimator. Deterministic: both estimates
+    * are single fixed-order double chains over int64 sketch state, so an
+    * external oracle replays them bit-for-bit, approximation error
+    * included.
+    *
+    * Scale shape: pairs × sketches only — every frame after the input is
+    * ≤ k·|groups|² rows; nothing rereads the corpus.
+    */
+  def kmvPairOverlap(sketch: DataFrame, groupCol: String, k: Int,
+                     space: Long = 1L << 28): DataFrame = {
+    val g = sketch.select(col(groupCol).as("g")).distinct()
+    val pairs = g.select(col("g").as("g_a"))
+      .join(g.select(col("g").as("g_b")), col("g_a") < col("g_b"))
+    val legs = pairs.select(col("g_a"), col("g_b"),
+      explode(array(col("g_a"), col("g_b"))).as("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g_a"), col("g_b")).orderBy(col("h"))
+    val unionVals = broadcast(legs)
+      .join(sketch.withColumnRenamed(groupCol, "g"), "g")
+      .groupBy(col("g_a"), col("g_b"), col("h"))
+      .agg(max(col("g") === col("g_a")).as("in_a"),
+        max(col("g") === col("g_b")).as("in_b"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    unionVals.groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("h")).as("kth_hash"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+          .as("n_common"))
+      .withColumn("est_union",
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble * space) /
+            col("kth_hash").cast(DoubleType)))
+      .withColumn("est_inter",
+        col("est_union") *
+          (col("n_common").cast(DoubleType) / lit(k.toDouble)))
+  }
+
   /** Fixed-width histogram quantile sketch — the bounded-state answer to
     * "what's the p99?" that exact quantiles (q67's distinct-value
     * cumulative walk) can't give when the value universe itself is huge:

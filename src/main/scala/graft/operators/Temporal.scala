@@ -46,6 +46,29 @@ object Temporal {
       .drop("__is_new")
   }
 
+  /** First-order transition counts over a partitioned ordered stream —
+    * the Markov-chain statistics of sessionized behavior (what follows
+    * what within a session), the sequence-mining counterpart of q91's
+    * funnel. Each partition's consecutive `stateCol` pairs are counted:
+    * (from_state, to_state, n).
+    *
+    * Scale shape: ONE window (lag 1) co-partitioned on the session keys
+    * — the same shuffle the sessionizer already made, so Catalyst reuses
+    * the partitioning — followed by a bounded aggregation (|states|²
+    * rows out regardless of corpus size, full map-side combine). The
+    * tiebreak order must be total for run-to-run determinism, exactly as
+    * in [[sessionize]].
+    */
+  def transitionCounts(df: DataFrame, partitionCols: Seq[String],
+                       orderCols: Seq[String], stateCol: String): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_state"), col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** As-of join: for every left row, attach `payloadCols` from the single
     * right row with the same `keyCol` and the greatest `rightTsCol` that is
     * <= the left row's `leftTsCol` (inclusive match on equal timestamps,

@@ -456,6 +456,59 @@ object DedupQueries {
        |  CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS coverage
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ── q116: duplicated-span MASKING — exact-substring dedup as a
+  // TRANSFORM (Dedup.dupSpanMask): every token position covered by a
+  // word 8-gram occurring in ≥2 documents is masked and the document is
+  // rebuilt from the survivors — q84 diagnoses duplication, this removes
+  // it (the "dedup the passage, keep the document" pass). The rebuilt
+  // text is compared as md5, so the oracle hash-verifies the actual
+  // reconstruction — token order, spacing, full-mask empties — not just
+  // the counts. Span width 8: wide enough that only genuinely shared
+  // passages (near-dup drift copies, boilerplate) mask, not the closed
+  // vocabulary's background trigram collisions. ──────────────────────────
+  val DupSpanN = 8
+
+  val q116_span_dedup: Q = (s, d) => {
+    import s.implicits._
+    Dedup.dupSpanMask(Tables.documents(s, d), "doc_id", "text", DupSpanN)
+      .select($"id".as("doc_id"), $"n_tokens", $"n_covered", $"n_kept",
+        $"keep_frac", md5($"kept_text".cast("binary")).as("kept_hash"))
+      .orderBy($"doc_id")
+  }
+  lazy val q116_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i AS start,
+       |    array_to_string(t[i:i+${DupSpanN - 1}], ' ') AS g
+       |  FROM t, unnest(range(1, len(t) - ${DupSpanN - 2})) r(i)),
+       |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, p
+       |  FROM grams JOIN df USING (g),
+       |    unnest(range(start, start + $DupSpanN)) r(p)
+       |  WHERE df.df >= 2),
+       |tp AS (
+       |  SELECT doc_id, i AS pos, t[i] AS tok
+       |  FROM t, unnest(range(1, len(t) + 1)) r(i)),
+       |fl AS (
+       |  SELECT tp.doc_id, tp.pos, tp.tok, c.p IS NOT NULL AS covd
+       |  FROM tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.pos),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN covd THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_covered,
+       |    coalesce(string_agg(tok, ' ' ORDER BY pos)
+       |      FILTER (WHERE NOT covd), '') AS kept_text
+       |  FROM fl GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_covered,
+       |  n_tokens - n_covered AS n_kept,
+       |  CAST(n_tokens - n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS keep_frac,
+       |  md5(kept_text) AS kept_hash
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ── q71: fuzzy string join (record linkage) — all code pairs within
   // hamming distance 2, via Dedup.hammingPairs' pigeonhole banding
   // (guaranteed recall, no all-pairs scan). The corpus has no natural
@@ -564,6 +617,7 @@ object DedupQueries {
     "q80_survivorship" -> q80_survivorship,
     "q83_bloom_decontam" -> q83_bloom_decontam,
     "q84_dup_ngram_coverage" -> q84_dup_ngram_coverage,
+    "q116_span_dedup" -> q116_span_dedup,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -580,5 +634,6 @@ object DedupQueries {
     "q80_survivorship" -> q80_sql,
     "q83_bloom_decontam" -> q83_sql,
     "q84_dup_ngram_coverage" -> q84_sql,
+    "q116_span_dedup" -> q116_sql,
   )
 }

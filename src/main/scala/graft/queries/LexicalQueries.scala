@@ -68,40 +68,31 @@ object LexicalQueries {
   private val K1p1 = BmK1 + 1.0
   private val OneMinusB = 1.0 - BmB
 
+  /** The corpus token stream (doc_id, term) — the build input of the
+    * BM25 index. */
+  private def termStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("term"))
+  }
+
+  /** The query-term set under the "first rows are the queries"
+    * convention: each doc_id < BmMaxQueryId queries with its DISTINCT
+    * terms (the index's own postings for those docs). */
+  private def queryTermsOf(idx: graft.operators.Bm25Index): DataFrame =
+    idx.postings.filter(col("doc_id") < BmMaxQueryId)
+      .select(col("doc_id").as("q_id"), col("term"))
+
   /** The full BM25 ranking pipeline down to per-query ranks (no top-k cut)
     * — shared by q100 (cut at BmTopK) and q104's fusion leg (cut at
-    * RrfPoolN). Columns: (q_id, rank, doc_id, n_terms, score). */
+    * RrfPoolN). Columns: (q_id, rank, doc_id, n_terms, score). The idf /
+    * tf_sat double chains live in [[graft.operators.Retrieval.bm25Ranked]]
+    * and are mirrored textually in the oracle SQL below — same operand
+    * order, same literals. */
   private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val terms = docs.select($"doc_id", explode(toks($"text")).as("term"))
-    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum($"dl").as("total_len"))
-    val qterms = tf.filter($"doc_id" < BmMaxQueryId)
-      .select($"doc_id".as("q_id"), $"term")
-    // idf and tf_sat written as ONE double chain each, mirrored textually
-    // in the oracle SQL below — same operand order, same literals.
-    val idf = ($"n_docs".cast(DoubleType) - $"df".cast(DoubleType) + 0.5) /
-      ($"df".cast(DoubleType) + 0.5) + 1.0
-    val norm = lit(OneMinusB) +
-      lit(BmB) * ($"dl".cast(DoubleType) /
-        ($"total_len".cast(DoubleType) / $"n_docs".cast(DoubleType)))
-    val sat = $"tf".cast(DoubleType) * K1p1 /
-      ($"tf".cast(DoubleType) + lit(BmK1) * norm)
-    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"doc_id".asc)
-    broadcast(qterms).join(tf, "term")
-      .filter($"doc_id" =!= $"q_id")
-      .join(df, "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        floor(idf * sat * lit(BmScale).cast(DoubleType)).cast(LongType))
-      .groupBy($"q_id", $"doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("score"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
+    val idx = graft.operators.Retrieval.buildBm25Index(termStream(s, d))
+    graft.operators.Retrieval.bm25Ranked(queryTermsOf(idx), idx,
+      BmK1, BmB, BmScale)
   }
 
   val q100_bm25: Q = (s, d) => {
@@ -149,6 +140,27 @@ object LexicalQueries {
     s"""WITH $bm25RankedCtes
        |SELECT q_id, rank, doc_id, n_terms, score FROM ranked
        |WHERE rank <= $BmTopK ORDER BY q_id, rank""".stripMargin
+
+  // ── q114: BM25 index persistence — build the inverted index ONCE
+  // (Retrieval.buildBm25Index), persist its four artifacts as parquet,
+  // load them back, and serve the q100 query batch from the LOADED index
+  // with no corpus tokenization or aggregation recomputed — build-once/
+  // serve-many lexical retrieval, completing the persistence family
+  // (q106 PQ, q110 LSH, q111 IVF, q112 BPE). Every index column is
+  // int64/string, so the roundtrip is bit-lossless; the oracle IS q100's
+  // SQL, making save/load itself hash-verified. ───────────────────────────
+  val q114_bm25_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val path = QueryTmp.dir("bm25index", d)
+    graft.operators.Retrieval.saveBm25Index(
+      graft.operators.Retrieval.buildBm25Index(termStream(s, d)), path)
+    val idx = graft.operators.Retrieval.loadBm25Index(s, path)
+    graft.operators.Retrieval.bm25Ranked(queryTermsOf(idx), idx,
+        BmK1, BmB, BmScale)
+      .where($"rank" <= BmTopK)
+      .select($"q_id", $"rank", $"doc_id", $"n_terms", $"score")
+      .orderBy($"q_id", $"rank")
+  }
 
   // ── q104: hybrid retrieval via reciprocal-rank fusion ───────────────────
   // The standard lexical+dense combiner: each system contributes
@@ -431,11 +443,13 @@ object LexicalQueries {
     "q103_bigram_lm" -> q103_bigram_lm,
     "q104_rrf_fusion" -> q104_rrf_fusion,
     "q107_sparse_cosine_join" -> q107_sparse_cosine_join,
-    "q108_sparse_prefix_join" -> q108_sparse_prefix_join)
+    "q108_sparse_prefix_join" -> q108_sparse_prefix_join,
+    "q114_bm25_index_persist" -> q114_bm25_index_persist)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
     "q104_rrf_fusion" -> q104_sql,
     "q107_sparse_cosine_join" -> q107_sql,
-    "q108_sparse_prefix_join" -> q108_sql)
+    "q108_sparse_prefix_join" -> q108_sql,
+    "q114_bm25_index_persist" -> q100_sql)
 }

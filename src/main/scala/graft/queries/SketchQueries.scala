@@ -179,14 +179,108 @@ object SketchQueries {
        |FROM hit ORDER BY CAST(q_num AS DOUBLE) / q_den""".stripMargin
   }
 
+  // ── q115: KMV bottom-k overlap sketch — estimated distinct word-trigram
+  // overlap between every language pair. The set-ALGEBRA sketch HLL (q85)
+  // can't be: union sketches compose from sketch elements alone and
+  // membership gives an intersection estimate — the "how much do these
+  // two corpora overlap?" answer that drives cross-source dedup budgeting
+  // without an all-pairs join. n_exact_inter rides along (q85 convention)
+  // so the compare documents the estimator's error too. Scale shape: one
+  // distinct-(lang, h) agg is the only corpus-sized stage; everything
+  // after touches k·|langs| sketch rows. ─────────────────────────────────
+  val KmvK = 128
+  val KmvGramN = 3
+  /** Estimator numerator (k−1)·2^28 — ONE Scala double interpolated into
+    * both engines (q85's `numer` convention). */
+  private val KmvNumer = (KmvK - 1).toDouble * (1L << 28)
+
+  /** Word trigram stream (lang, g) — non-distinct; KMV distincts. */
+  private def kmvGrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select($"lang",
+      explode(graft.functions.TextFunctions.shingles($"text", KmvGramN))
+        .as("g"))
+  }
+
+  val q115_kmv_overlap: Q = (s, d) => {
+    import s.implicits._
+    val grams = kmvGrams(s, d)
+    val sk = Sketches.kmvSketch(grams, Seq("lang"), "g", KmvK)
+    val est = Sketches.kmvPairOverlap(sk, "lang", KmvK)
+    val dv = grams.distinct()
+    val exact = dv.as("a").join(dv.as("b"),
+        $"a.g" === $"b.g" && $"a.lang" < $"b.lang")
+      .groupBy($"a.lang".as("g_a"), $"b.lang".as("g_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    est.join(exact, Seq("g_a", "g_b"), "left")
+      .select($"g_a".as("lang_a"), $"g_b".as("lang_b"), $"n_kept",
+        $"kth_hash", $"n_common",
+        coalesce($"n_exact_inter", lit(0L)).as("n_exact_inter"),
+        $"est_union", $"est_inter")
+      .orderBy($"lang_a", $"lang_b")
+  }
+  lazy val q115_sql: String = {
+    // mirror of TextFunctions.shingles(n=3): windows i..i+2 over the raw
+    // token list (range excludes its end, so len(t)-1 ≡ Spark's guard)
+    val grams = s"""list_transform(range(1, len(t) - ${KmvGramN - 2}),
+       i -> array_to_string(t[i:i+${KmvGramN - 1}], ' '))"""
+    s"""WITH toks AS (
+       |  SELECT lang, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |grams AS (SELECT lang, unnest($grams) AS g FROM toks),
+       |dv AS (
+       |  SELECT DISTINCT lang, ('0x'||substr(md5(g),1,7))::BIGINT AS h
+       |  FROM grams),
+       |sk AS (
+       |  SELECT lang, h FROM (
+       |    SELECT lang, h, row_number() OVER (PARTITION BY lang
+       |      ORDER BY h) AS rk FROM dv)
+       |  WHERE rk <= $KmvK),
+       |langs AS (SELECT DISTINCT lang FROM sk),
+       |pairs AS (
+       |  SELECT a.lang AS g_a, b.lang AS g_b
+       |  FROM langs a JOIN langs b ON a.lang < b.lang),
+       |uv AS (
+       |  SELECT p.g_a, p.g_b, s.h,
+       |    max(s.lang = p.g_a) AS in_a, max(s.lang = p.g_b) AS in_b
+       |  FROM pairs p JOIN sk s ON s.lang = p.g_a OR s.lang = p.g_b
+       |  GROUP BY 1, 2, 3),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY g_a, g_b
+       |      ORDER BY h) AS rk FROM uv)
+       |  WHERE rk <= $KmvK),
+       |agg AS (
+       |  SELECT g_a, g_b, count(*) AS n_kept, max(h) AS kth_hash,
+       |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_common
+       |  FROM kept GROUP BY 1, 2),
+       |gd AS (SELECT DISTINCT lang, g FROM grams),
+       |exact AS (
+       |  SELECT a.lang AS g_a, b.lang AS g_b, count(*) AS n_exact_inter
+       |  FROM gd a JOIN gd b ON a.g = b.g AND a.lang < b.lang
+       |  GROUP BY 1, 2)
+       |SELECT g_a AS lang_a, g_b AS lang_b, n_kept, kth_hash, n_common,
+       |  CAST(coalesce(e.n_exact_inter, 0) AS BIGINT) AS n_exact_inter,
+       |  CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
+       |       ELSE $KmvNumer / CAST(kth_hash AS DOUBLE) END AS est_union,
+       |  (CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
+       |        ELSE $KmvNumer / CAST(kth_hash AS DOUBLE) END)
+       |    * (CAST(n_common AS DOUBLE) / ${KmvK.toDouble}) AS est_inter
+       |FROM agg LEFT JOIN exact e USING (g_a, g_b)
+       |ORDER BY lang_a, lang_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q85_hll_vocab" -> q85_hll_vocab,
     "q86_cms_heavy" -> q86_cms_heavy,
     "q113_hist_quantiles" -> q113_hist_quantiles,
+    "q115_kmv_overlap" -> q115_kmv_overlap,
   )
   val oracleSql: Map[String, String] = Map(
     "q85_hll_vocab" -> q85_sql,
     "q86_cms_heavy" -> q86_sql,
     "q113_hist_quantiles" -> q113_sql,
+    "q115_kmv_overlap" -> q115_sql,
   )
 }

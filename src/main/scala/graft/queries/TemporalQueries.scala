@@ -208,12 +208,69 @@ object TemporalQueries {
        |GROUP BY c.cohort_week, week_offset
        |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ── q117: session transition matrix — first-order Markov statistics of
+  // what-follows-what WITHIN a session (Temporal.transitionCounts over
+  // q61's sessionization): transition counts, per-from totals, and an
+  // int64-scaled conditional probability P(to|from) = n·2^20 div n_from
+  // (pure integer math — trunc and floor agree on nonnegatives, so the
+  // engines stay exact). The sequence-mining counterpart of q91's funnel:
+  // the funnel checks ONE prescribed order, this measures ALL observed
+  // orders. Scale shape: one lag-window co-partitioned on the session
+  // keys (the sessionizer's own shuffle, reused) → a bounded |states|²
+  // aggregation → a broadcast-sized totals join. ─────────────────────────
+  val TransScale = 1048576L // 2^20
+
+  val q117_markov_transitions: Q = (s, d) => {
+    import s.implicits._
+    val sess = Temporal.sessionize(
+      Tables.events(s, d), "user_id", "ts", GapMicros, "event_id")
+    val trans = Temporal.transitionCounts(sess,
+        Seq("user_id", "session_idx"), Seq("ts", "event_id"), "event_type")
+      .withColumnRenamed("from_state", "from_type")
+      .withColumnRenamed("to_state", "to_type")
+    val totals = trans.groupBy($"from_type").agg(sum($"n").as("n_from"))
+    trans.join(broadcast(totals), "from_type")
+      .withColumn("p_scaled", expr(s"n * $TransScale div n_from"))
+      .select($"from_type", $"to_type", $"n", $"n_from", $"p_scaled")
+      .orderBy($"from_type", $"to_type")
+  }
+  val q117_sql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $GapMicros
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_idx
+       |  FROM seq),
+       |tr AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id, session_idx
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM sess),
+       |cnt AS (
+       |  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+       |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+       |  FROM cnt GROUP BY 1)
+       |SELECT from_type, to_type, n, n_from,
+       |  CAST(n * $TransScale // n_from AS BIGINT) AS p_scaled
+       |FROM cnt JOIN tot USING (from_type)
+       |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_sessionize" -> q61_sessionize,
     "q62_asof_join" -> q62_asof_join,
     "q70_zorder_scan" -> q70_zorder_scan,
     "q91_funnel" -> q91_funnel,
     "q92_cohort_retention" -> q92_cohort_retention,
+    "q117_markov_transitions" -> q117_markov_transitions,
   )
   val oracleSql: Map[String, String] = Map(
     "q61_sessionize" -> q61_sql,
@@ -221,5 +278,6 @@ object TemporalQueries {
     "q70_zorder_scan" -> q70_sql,
     "q91_funnel" -> q91_sql,
     "q92_cohort_retention" -> q92_sql,
+    "q117_markov_transitions" -> q117_sql,
   )
 }

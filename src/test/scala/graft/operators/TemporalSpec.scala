@@ -115,4 +115,27 @@ class TemporalSpec extends SparkSpec {
       Temporal.funnel(events, "user_id", "ts", "event_type", Seq("a", "a"))
     }
   }
+
+  test("transitionCounts: consecutive pairs within a partition only") {
+    val df = Seq(
+      // user 1, session 1: a -> b -> a
+      (1L, 1L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 1L, 3L, "a"),
+      // user 1, session 2: b -> b  (no cross-session a->b pair!)
+      (1L, 2L, 4L, "b"), (1L, 2L, 5L, "b"),
+      // user 2, session 1: single event, no transition
+      (2L, 1L, 6L, "c"))
+      .toDF("user_id", "session_idx", "event_id", "state")
+    val out = Temporal.transitionCounts(df,
+        Seq("user_id", "session_idx"), Seq("event_id"), "state")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L))
+  }
+
+  test("transitionCounts: order column decides direction deterministically") {
+    val df = Seq((1L, 10L, "x"), (1L, 5L, "y")).toDF("u", "ord", "state")
+    val out = Temporal.transitionCounts(df, Seq("u"), Seq("ord"), "state")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("y", "x"))) // ord ascending: y (5) precedes x (10)
+  }
 }
