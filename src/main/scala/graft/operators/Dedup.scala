@@ -420,7 +420,7 @@ object Dedup {
     * documents disappears while unique prose survives.
     *
     * Scale shape: one gram-df aggregation (the corpus token stream, full
-    * map-side combine), one hash join back on the gram string, a ≤n×
+    * map-side combine), one hash join back on the 60-bit gram hash, a ≤n×
     * position explode of duplicated grams only, and a per-document
     * rebuild whose sort is WITHIN the collected row (array_sort over one
     * doc's surviving tokens) — never a corpus-wide window; everything
@@ -437,20 +437,25 @@ object Dedup {
                   n: Int): DataFrame = {
     require(n >= 2, s"span width must be >= 2: $n")
     val t = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
-    // (id, start, g): the gram starting at 1-based token position `start`
+    // (id, start, h): the gram starting at 1-based token position `start`,
+    // carried as its portable 60-bit hash — gram STRINGS never leave the
+    // scan stage (the df shuffle and the coverage join move int64s; at
+    // corpus scale the strings would be the dominant shuffle bytes).
+    // 2^60 keeps cross-doc collisions — which would mask a non-duplicated
+    // span — out of reach at any realistic gram population.
     val grams = t.select(col("id"), explode(
         when(size(col("t")) >= n,
           transform(sequence(lit(1), size(col("t")) - (n - 1)),
             i => struct(i.cast(LongType).as("start"),
-              array_join(slice(col("t"), i, lit(n)), " ").as("g"))))
+              hash60(array_join(slice(col("t"), i, lit(n)), " ")).as("h"))))
           .otherwise(array().cast(ArrayType(StructType(Seq(
-            StructField("start", LongType), StructField("g", StringType)))))))
+            StructField("start", LongType), StructField("h", LongType)))))))
         .as("s"))
-      .select(col("id"), col("s.start").as("start"), col("s.g").as("g"))
-    val docFreq = grams.select(col("id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .select(col("id"), col("s.start").as("start"), col("s.h").as("h"))
+    val docFreq = grams.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val covered = grams
-      .join(docFreq.filter(col("df") >= 2).select(col("g")), "g")
+      .join(docFreq.filter(col("df") >= 2).select(col("h")), "h")
       .select(col("id"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
       .distinct()

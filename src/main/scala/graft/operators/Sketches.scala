@@ -137,17 +137,28 @@ object Sketches {
     *
     * Scale shape: the distinct-(group, h) aggregation is the only
     * corpus-sized stage (one shuffle, full map-side combine); the
-    * bottom-k cut is a per-group window over the already-distinct values
-    * — the same shuffle-sort class as the q08 total sort, grouped. All
-    * downstream algebra touches k·|groups| rows only.
+    * bottom-k cut is a per-group row_number window that Spark rewrites to
+    * a PARTIAL WindowGroupLimit — each map task keeps only its own k
+    * smallest before the shuffle, so no executor ever sorts a group's
+    * full distinct set (plan-verified). All downstream algebra touches
+    * k·|groups| rows only.
     */
   def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                k: Int): DataFrame = {
+                k: Int): DataFrame =
+    kmvSketchOfHashes(
+      df.select((groupCols.map(col) :+
+        hash28(col(valueCol).cast("string")).as("h")): _*),
+      groupCols, k)
+
+  /** [[kmvSketch]] over an ALREADY-HASHED stream `(groupCols*, h)` — for
+    * callers that pre-hash once and reuse the hashed frame (values never
+    * shuffle; the distinct and every join run over int64). */
+  def kmvSketchOfHashes(hashed: DataFrame, groupCols: Seq[String],
+                        k: Int): DataFrame = {
     require(k > 1, s"k must be > 1 (the estimator uses k-1): $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
-    df.select((groupCols.map(col) :+
-        hash28(col(valueCol).cast("string")).as("h")): _*)
+    hashed.select((groupCols.map(col) :+ col("h")): _*)
       .distinct()
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
@@ -173,7 +184,13 @@ object Sketches {
     */
   def kmvPairOverlap(sketch: DataFrame, groupCol: String, k: Int,
                      space: Long = 1L << 28): DataFrame = {
-    val g = sketch.select(col(groupCol).as("g")).distinct()
+    // The sketch subtree is referenced three times below (both group-list
+    // legs + the union join); unpersisted, Spark would re-run its window
+    // sort per reference — persist the k·|groups|-row frame instead
+    // (caller releases via OperatorCaches, the LSH-signature pattern).
+    val sk = OperatorCaches.register(
+      sketch.withColumnRenamed(groupCol, "g").persist())
+    val g = sk.select(col("g")).distinct()
     val pairs = g.select(col("g").as("g_a"))
       .join(g.select(col("g").as("g_b")), col("g_a") < col("g_b"))
     val legs = pairs.select(col("g_a"), col("g_b"),
@@ -181,7 +198,7 @@ object Sketches {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g_a"), col("g_b")).orderBy(col("h"))
     val unionVals = broadcast(legs)
-      .join(sketch.withColumnRenamed(groupCol, "g"), "g")
+      .join(sk, "g")
       .groupBy(col("g_a"), col("g_b"), col("h"))
       .agg(max(col("g") === col("g_a")).as("in_a"),
         max(col("g") === col("g_b")).as("in_b"))

@@ -481,12 +481,12 @@ object DedupQueries {
        |  FROM documents),
        |grams AS (
        |  SELECT doc_id, i AS start,
-       |    array_to_string(t[i:i+${DupSpanN - 1}], ' ') AS g
+       |    ${sqlHash60(s"array_to_string(t[i:i+${DupSpanN - 1}], ' ')")} AS h
        |  FROM t, unnest(range(1, len(t) - ${DupSpanN - 2})) r(i)),
-       |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+       |df AS (SELECT h, count(DISTINCT doc_id) AS df FROM grams GROUP BY h),
        |cov AS (
        |  SELECT DISTINCT doc_id, p
-       |  FROM grams JOIN df USING (g),
+       |  FROM grams JOIN df USING (h),
        |    unnest(range(start, start + $DupSpanN)) r(p)
        |  WHERE df.df >= 2),
        |tp AS (

@@ -194,22 +194,35 @@ object SketchQueries {
     * both engines (q85's `numer` convention). */
   private val KmvNumer = (KmvK - 1).toDouble * (1L << 28)
 
-  /** Word trigram stream (lang, g) — non-distinct; KMV distincts. */
-  private def kmvGrams(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc distinct trigram hashes (lang, h) — the fused
+    * WordShingleHashes kernel (one codegen'd pass: tokenize, shingle,
+    * md5-prefix, per-doc distinct) instead of materializing gram STRINGS
+    * through an explode and hashing them separately; property-tested
+    * value-identical to hash28 ∘ shingles. */
+  private def kmvGramHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     Tables.documents(s, d).select($"lang",
-      explode(graft.functions.TextFunctions.shingles($"text", KmvGramN))
-        .as("g"))
+      explode(columnOf(graft.plans.WordShingleHashes(
+        expressionOf($"text"), KmvGramN, 7))).as("h"))
   }
 
   val q115_kmv_overlap: Q = (s, d) => {
     import s.implicits._
-    val grams = kmvGrams(s, d)
-    val sk = Sketches.kmvSketch(grams, Seq("lang"), "g", KmvK)
+    // Hash grams at scan time and distinct the (lang, h) pairs ONCE,
+    // persisted: gram strings never shuffle (int64 only past the scan),
+    // and the sketch AND both sides of the exact-intersection join read
+    // the same frame — unpersisted, each reference would re-run the
+    // tokenize+explode scan. The exact comparison lives in the hash
+    // universe on purpose: KMV estimates DISTINCT-HASH cardinality, so
+    // distinct-hash intersection is the quantity its error should be
+    // judged against.
+    val dv = graft.operators.OperatorCaches.register(
+      kmvGramHashes(s, d).distinct().persist())
+    val sk = Sketches.kmvSketchOfHashes(dv, Seq("lang"), KmvK)
     val est = Sketches.kmvPairOverlap(sk, "lang", KmvK)
-    val dv = grams.distinct()
     val exact = dv.as("a").join(dv.as("b"),
-        $"a.g" === $"b.g" && $"a.lang" < $"b.lang")
+        $"a.h" === $"b.h" && $"a.lang" < $"b.lang")
       .groupBy($"a.lang".as("g_a"), $"b.lang".as("g_b"))
       .agg(count(lit(1)).as("n_exact_inter"))
     est.join(exact, Seq("g_a", "g_b"), "left")
@@ -255,10 +268,9 @@ object SketchQueries {
        |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_common
        |  FROM kept GROUP BY 1, 2),
-       |gd AS (SELECT DISTINCT lang, g FROM grams),
        |exact AS (
        |  SELECT a.lang AS g_a, b.lang AS g_b, count(*) AS n_exact_inter
-       |  FROM gd a JOIN gd b ON a.g = b.g AND a.lang < b.lang
+       |  FROM dv a JOIN dv b ON a.h = b.h AND a.lang < b.lang
        |  GROUP BY 1, 2)
        |SELECT g_a AS lang_a, g_b AS lang_b, n_kept, kth_hash, n_common,
        |  CAST(coalesce(e.n_exact_inter, 0) AS BIGINT) AS n_exact_inter,
