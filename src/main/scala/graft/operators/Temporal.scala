@@ -46,6 +46,57 @@ object Temporal {
       .drop("__is_new")
   }
 
+  /** Sliding-window range aggregation via a BUCKETED equi-join — for every
+    * left row, the count and exact decimal sum of right rows with the same
+    * key whose timestamp falls in `[leftTs − window, leftTs)` (strictly
+    * before the left event). The attribution shape: "purchases in the 7
+    * days before this click".
+    *
+    * A naive `l.ts − W <= r.ts AND r.ts < l.ts` range join explodes to
+    * |L|·|R| candidate pairs per key before filtering. Bucketing by
+    * `floor(ts / window)` instead makes it an EQUI-join Catalyst can hash:
+    * a right row in bucket b can only match left rows in buckets b or b+1,
+    * so the right side replicates exactly 2× and candidates are bounded by
+    * per-key density × 2·window — never the full per-key cross product.
+    * At 100 TB both sides shuffle once on (key, bucket); AQE's skew
+    * handling applies as with any hash join.
+    *
+    * Output: every left row (left-outer: zero matches → 0 / 0.0) plus
+    * `n_in_window` and `win_value` (sum of `valueCol` over matches,
+    * decimal-exact then surfaced as double — addition-order-free, see
+    * `graft.queries.Num`).
+    *
+    * @param leftIdCol unique left row id (re-aggregation key)
+    */
+  def recentWindowAgg(left: DataFrame, right: DataFrame, keyCol: String,
+                      leftIdCol: String, leftTsCol: String,
+                      rightTsCol: String, windowMicros: Long,
+                      valueCol: String, valueScale: Int = 6): DataFrame = {
+    require(windowMicros > 0, s"window must be positive: $windowMicros")
+    val lb = left
+      .withColumn("__lus", unix_micros(col(leftTsCol)))
+      .withColumn("__b", expr(s"__lus div ${windowMicros}L"))
+    val rb = right
+      .withColumn("__rus", unix_micros(col(rightTsCol)))
+      .withColumn("__rb", expr(s"__rus div ${windowMicros}L"))
+      .withColumn("__b", explode(array(col("__rb"), col("__rb") + 1L)))
+    val matches = lb.select(col(leftIdCol).as("__lid"), col(keyCol).as("__k"),
+        col("__lus"), col("__b"))
+      .join(rb.select(col(keyCol).as("__k"), col("__b"), col("__rus"),
+        col(valueCol).as("__v")), Seq("__k", "__b"))
+      .filter(col("__rus") >= col("__lus") - windowMicros &&
+        col("__rus") < col("__lus"))
+      .groupBy(col("__lid"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(30, valueScale)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("__sum"))
+    left.join(matches, left(leftIdCol) === matches("__lid"), "left")
+      .drop("__lid")
+      .withColumn("n_in_window", coalesce(col("__n"), lit(0L)))
+      .withColumn("win_value", coalesce(col("__sum"), lit(0.0)))
+      .drop("__n", "__sum")
+  }
+
   /** First-order transition counts over a partitioned ordered stream —
     * the Markov-chain statistics of sessionized behavior (what follows
     * what within a session), the sequence-mining counterpart of q91's

@@ -264,6 +264,47 @@ object TemporalQueries {
        |FROM cnt JOIN tot USING (from_type)
        |ORDER BY from_type, to_type""".stripMargin
 
+  // ── q118: sliding-window attribution — for every non-purchase event,
+  // the count and exact decimal sum of the user's purchases in the 7 days
+  // strictly before it (Temporal.recentWindowAgg). Where q62's as-of join
+  // attaches the single MOST RECENT prior purchase, this aggregates ALL
+  // purchases in the window — the classic attribution/feature-engineering
+  // range join, executed as a bucketed EQUI-join (right side replicated
+  // exactly 2×, candidates bounded by per-key density × 2·window) instead
+  // of a per-key cross product. The oracle replays the naive correlated
+  // range join — an independent formulation of the same semantics — so
+  // the bucketing rewrite itself is what gets verified. ──────────────────
+  val AttrWindowMicros = 7L * 86400L * 1000000L // 7 days
+
+  val q118_window_attribution: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"value")
+    val others = ev.filter($"event_type" =!= "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    Temporal.recentWindowAgg(others, purchases, "user_id", "event_id",
+        "ts", "pts", AttrWindowMicros, "value", valueScale = 6)
+      .select($"event_id", $"user_id", $"n_in_window", $"win_value")
+      .orderBy($"event_id")
+  }
+  val q118_sql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts AS pts, value FROM events
+       |  WHERE event_type = 'purchase'),
+       |o AS (
+       |  SELECT event_id, user_id, ts FROM events
+       |  WHERE event_type <> 'purchase')
+       |SELECT o.event_id, o.user_id,
+       |  count(p.user_id) AS n_in_window,
+       |  coalesce(CAST(sum(CAST(p.value AS DECIMAL(30,6))) AS DOUBLE), 0.0)
+       |    AS win_value
+       |FROM o LEFT JOIN p ON p.user_id = o.user_id
+       |  AND epoch_us(p.pts) >= epoch_us(o.ts) - $AttrWindowMicros
+       |  AND epoch_us(p.pts) < epoch_us(o.ts)
+       |GROUP BY o.event_id, o.user_id
+       |ORDER BY o.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_sessionize" -> q61_sessionize,
     "q62_asof_join" -> q62_asof_join,
@@ -271,6 +312,7 @@ object TemporalQueries {
     "q91_funnel" -> q91_funnel,
     "q92_cohort_retention" -> q92_cohort_retention,
     "q117_markov_transitions" -> q117_markov_transitions,
+    "q118_window_attribution" -> q118_window_attribution,
   )
   val oracleSql: Map[String, String] = Map(
     "q61_sessionize" -> q61_sql,
@@ -279,5 +321,6 @@ object TemporalQueries {
     "q91_funnel" -> q91_sql,
     "q92_cohort_retention" -> q92_sql,
     "q117_markov_transitions" -> q117_sql,
+    "q118_window_attribution" -> q118_sql,
   )
 }

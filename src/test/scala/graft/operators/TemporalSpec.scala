@@ -132,6 +132,30 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L))
   }
 
+  test("recentWindowAgg: [ts-W, ts) bounds, bucket-edge crossing, zero rows") {
+    val W = 100L
+    val left = Seq(
+      (1L, 7L, 150L),  // bucket 1: matches must reach back into bucket 0
+      (2L, 7L, 300L),
+      (3L, 8L, 150L))  // other key: must see nothing
+      .toDF("id", "k", "us")
+      .select($"id", $"k", timestamp_micros($"us").as("ts"))
+    val right = Seq(
+      (7L, 50L, 1.0),   // = 150-100: INCLUDED for id 1 (inclusive lower)
+      (7L, 60L, 2.0),   // bucket 0, inside id 1's window across the edge
+      (7L, 150L, 4.0),  // = id 1's own ts: EXCLUDED (exclusive upper)
+      (7L, 299L, 8.0))  // inside id 2's window only
+      .toDF("k", "rus", "v")
+      .select($"k", timestamp_micros($"rus").as("rts"), $"v")
+    val out = Temporal.recentWindowAgg(left, right, "k", "id", "ts", "rts",
+        W, "v").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_in_window"), r.getAs[Double]("win_value")))).toMap
+    assert(out(1L) == ((2L, 3.0))) // 1.0 + 2.0; the rts=150 row excluded
+    assert(out(2L) == ((1L, 8.0))) // only rts=299 is in [200, 300)
+    assert(out(3L) == ((0L, 0.0)))
+  }
+
   test("transitionCounts: order column decides direction deterministically") {
     val df = Seq((1L, 10L, "x"), (1L, 5L, "y")).toDF("u", "ord", "state")
     val out = Temporal.transitionCounts(df, Seq("u"), Seq("ord"), "state")

@@ -142,4 +142,47 @@ class PlanShapeSpec extends SparkSpec {
     }
     graft.operators.OperatorCaches.releaseAll()
   }
+
+  test("q115 KMV: bottom-k is a partial WindowGroupLimit; no global window") {
+    val df = graft.queries.SketchQueries.q115_kmv_overlap(spark, D)
+    val plan = planOf(df)
+    val p = plan.toString
+    // the map-side cut: each task keeps its own k smallest BEFORE the
+    // shuffle — without it the per-group window sorts the full distinct
+    // set on one executor
+    assert(p.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit in q115 plan:\n$p")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in q115 plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q115 plan:\n$p")
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("q116 span mask: pure agg/equi-join pipeline — no window, no cartesian") {
+    val p = planString(DedupQueries.q116_span_dedup(spark, D))
+    // the per-doc rebuild sorts WITHIN the collected row (array_sort),
+    // never via a window over corpus rows
+    assert(!p.contains("WindowExec") && !p.contains(" Window "),
+      s"window in q116 plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q116 plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in q116 plan:\n$p")
+  }
+
+  test("q117 transitions: session windows co-partitioned; totals broadcast") {
+    val df = withoutAutoBroadcast {
+      graft.queries.TemporalQueries.q117_markov_transitions(spark, D)
+    }
+    val plan = withoutAutoBroadcast { planOf(df) }
+    val p = plan.toString
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in q117 plan:\n$p")
+    // the per-from totals join the transition counts via the explicit
+    // broadcast() hint (a |states|-sized frame)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q117:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shuffled join in q117 plan:\n$p")
+  }
 }

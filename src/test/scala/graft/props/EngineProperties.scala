@@ -564,4 +564,40 @@ object EngineProperties extends Properties("graft") {
         got.getLong(0) == bestD && got.getInt(1) == bestC
       }
     }
+
+  private val windowEventsGen = for {
+    n <- Gen.choose(1, 12)
+    m <- Gen.choose(0, 12)
+    w <- Gen.choose(3L, 40L)
+    ls <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 120L)
+    } yield (k, t))
+    rs <- Gen.listOfN(m, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 120L)
+      v <- Gen.choose(1, 99)
+    } yield (k, t, v / 10.0))
+  } yield (ls, rs, w)
+
+  property("recentWindowAgg == naive [ts-W, ts) range-join model") =
+    forAll(windowEventsGen) { case (ls, rs, w) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "us")
+        .select($"id", $"k", timestamp_micros($"us").as("ts"))
+      val right = rs.toDF("k", "rus", "v")
+        .select($"k", timestamp_micros($"rus").as("rts"), $"v")
+      val got = graft.operators.Temporal
+        .recentWindowAgg(left, right, "k", "id", "ts", "rts", w, "v")
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_in_window"),
+            r.getAs[Double]("win_value")))).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val inWin = rs.filter { case (rk, rt, _) =>
+          rk == k && rt >= t - w && rt < t }
+        // BigDecimal sum == the operator's decimal(30,6) exact path
+        i.toLong -> ((inWin.size.toLong,
+          inWin.map(e => BigDecimal(e._3).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+      }.toMap
+      got == want
+    }
 }
