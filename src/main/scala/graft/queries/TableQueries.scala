@@ -434,6 +434,52 @@ object TableQueries {
        |  ${sqlSum("value")} AS price_sum, CAST(1 AS INT) AS feed_files
        |FROM merged GROUP BY 1 ORDER BY kbucket""".stripMargin
 
+  // ── q119: snapshot diff — the data-ops scorecard between two corpus
+  // versions (SnapshotDiff.diffSummary): every doc_id classified
+  // added/removed/changed/unchanged by fingerprint across a full-outer
+  // join, rolled up per source. Both engines DERIVE the two snapshots
+  // from the same documents table (old = ids not ≡0 mod 10; new = ids
+  // not ≡0 mod 13, with ids ≡0 mod 7 textually revised), so the whole
+  // classification matrix — including the changed set's fingerprint
+  // inequality — is hash-verified. Scale shape: one full-outer
+  // sort-merge join on the key + a bounded (source × 4)-row agg;
+  // fingerprints are fixed-width, content never shuffles twice. ──────────
+  val q119_snapshot_diff: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.TextFunctions.fingerprint
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", $"source", fingerprint($"text").as("fp"))
+    val newSnap = docs.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id", $"source",
+        fingerprint(concat($"text",
+          when($"doc_id" % 7 === 0, lit(" rev2")).otherwise(lit(""))))
+          .as("fp"))
+    graft.operators.SnapshotDiff
+      .diffSummary(oldSnap, newSnap, "doc_id", "source", "fp")
+      .orderBy($"source", $"status")
+  }
+  val q119_sql: String =
+    """WITH oldd AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |newd AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text ||
+      |      CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END),
+      |      '\s+', ' ', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |j AS (
+      |  SELECT coalesce(o.source, n.source) AS source,
+      |    CASE WHEN o.fp IS NULL THEN 'added'
+      |         WHEN n.fp IS NULL THEN 'removed'
+      |         WHEN o.fp <> n.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+      |SELECT source, status, count(*) AS n
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q32_bulk_roundtrip" -> q32_bulk_roundtrip,
     "q33_dml_tombstones" -> q33_dml_tombstones,
@@ -446,6 +492,7 @@ object TableQueries {
     "q48_reader_schema" -> q48_reader_schema,
     "q50_incremental_dml" -> q50_incremental_dml,
     "q52_minor_compaction" -> q52_minor_compaction,
+    "q119_snapshot_diff" -> q119_snapshot_diff,
   )
   val oracleSql: Map[String, String] = Map(
     "q32_bulk_roundtrip" -> q32_sql,
@@ -459,5 +506,6 @@ object TableQueries {
     "q48_reader_schema" -> q48_sql,
     "q50_incremental_dml" -> q50_sql,
     "q52_minor_compaction" -> q52_sql,
+    "q119_snapshot_diff" -> q119_sql,
   )
 }
