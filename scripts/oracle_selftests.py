@@ -22,35 +22,84 @@ def main():
     out_dir = sys.argv[1]
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
-    need = ["q95_bpe_vocab", "q96_bpe_encode", "q97_bpe_kernel_stats"]
-    missing = [q for q in need if q not in oracle]
-    if missing:
-        print(f"SKIP: dump lacks {missing} (ran Verify with a subset?)")
-        sys.exit(0)
-
     con = duckdb.connect()
-    # 'ab' corpus: round 1 merges (a,b) and every word becomes ONE token,
-    # so rounds 2..N have no pairs -> the sentinel branch must fire.
-    con.execute("""CREATE VIEW documents AS
-        SELECT * FROM (VALUES (0, 'ab ab ab'), (1, 'ab')) t(doc_id, text)""")
-
     fails = 0
 
-    q95 = con.execute(oracle["q95_bpe_vocab"]).fetchall()
-    if q95 != [(1, "a", "b", 4)]:
-        print(f"  x q95 exhaustion: expected [(1,'a','b',4)], got {q95}")
-        fails += 1
-    else:
-        print("  ok q95 emits only the real merge (sentinels filtered)")
+    # Each section runs iff its queries are in the dump, so subset Verify
+    # dumps still exercise whatever they carry.
+    bpe = ["q95_bpe_vocab", "q96_bpe_encode", "q97_bpe_kernel_stats"]
+    if all(q in oracle for q in bpe):
+        # 'ab' corpus: round 1 merges (a,b) and every word becomes ONE
+        # token, so rounds 2..N have no pairs -> the sentinel branch must
+        # fire.
+        con.execute("""CREATE VIEW documents AS
+            SELECT * FROM (VALUES (0, 'ab ab ab'), (1, 'ab')) t(doc_id, text)""")
 
-    expect96 = [(0, 3, 3, 2), (1, 1, 1, 2)]
-    for q in ("q96_bpe_encode", "q97_bpe_kernel_stats"):
-        got = con.execute(oracle[q]).fetchall()
-        if got != expect96:
-            print(f"  x {q} exhaustion: expected {expect96}, got {got}")
+        q95 = con.execute(oracle["q95_bpe_vocab"]).fetchall()
+        if q95 != [(1, "a", "b", 4)]:
+            print(f"  x q95 exhaustion: expected [(1,'a','b',4)], got {q95}")
             fails += 1
         else:
-            print(f"  ok {q} carries the last token state forward")
+            print("  ok q95 emits only the real merge (sentinels filtered)")
+
+        expect96 = [(0, 3, 3, 2), (1, 1, 1, 2)]
+        for q in ("q96_bpe_encode", "q97_bpe_kernel_stats"):
+            got = con.execute(oracle[q]).fetchall()
+            if got != expect96:
+                print(f"  x {q} exhaustion: expected {expect96}, got {got}")
+                fails += 1
+            else:
+                print(f"  ok {q} carries the last token state forward")
+    else:
+        print("  skip BPE sections (subset dump)")
+        con.execute("""CREATE VIEW documents AS
+            SELECT * FROM (VALUES (0, 'ab ab ab'), (1, 'ab')) t(doc_id, text)""")
+
+    # q115 KMV exact mode: every lang has far fewer distinct trigrams than
+    # k=128, so the union sketch is the whole union and the CASE branch
+    # est_union = n_kept must fire (sf0.01's closed-vocab corpus always
+    # has >= k trigrams per lang, so the gate never reaches this branch).
+    if "q115_kmv_overlap" in oracle:
+        con.execute("DROP VIEW documents")
+        con.execute("""CREATE VIEW documents AS SELECT * FROM (VALUES
+            (0, 'a b c d e f', 'en', 'src0', 11),
+            (1, 'a b c x y z', 'de', 'src0', 11))
+            t(doc_id, text, lang, source, n_chars)""")
+        rows = con.execute(oracle["q115_kmv_overlap"]).fetchall()
+        ok = len(rows) == 1
+        if ok:
+            (la, lb, n_kept, kth, n_common, n_exact, est_u, est_i) = rows[0]
+            # 4 trigrams/side, 1 shared -> 7 distinct union hashes
+            ok = (la, lb, n_kept, n_common, n_exact) == ("de", "en", 7, 1, 1) \
+                and est_u == 7.0 and est_i == 7.0 * (1.0 / 128.0)
+        if ok:
+            print("  ok q115 exact-mode branch: est_union == union size")
+        else:
+            print(f"  x q115 exact-mode: got {rows}")
+            fails += 1
+
+    # q116 edge branches: docs shorter than the 8-token span produce NO
+    # grams (empty range -> zero coverage, kept == whole doc), and fully
+    # duplicated docs mask down to kept_text = '' (md5 of empty string).
+    if "q116_span_dedup" in oracle:
+        con.execute("DROP VIEW documents")
+        con.execute("""CREATE VIEW documents AS SELECT * FROM (VALUES
+            (0, 'a b c d e f g h i j'),
+            (1, 'a b c d e f g h i j'),
+            (2, 'x y z'),
+            (3, 'p q r s t u v w aa bb')) t(doc_id, text)""")
+        md5 = lambda s: con.execute("SELECT md5(?)", [s]).fetchone()[0]
+        want = [
+            (0, 10, 10, 0, 0.0, md5("")),
+            (1, 10, 10, 0, 0.0, md5("")),
+            (2, 3, 0, 3, 1.0, md5("x y z")),
+            (3, 10, 0, 10, 1.0, md5("p q r s t u v w aa bb"))]
+        got = con.execute(oracle["q116_span_dedup"]).fetchall()
+        if got == want:
+            print("  ok q116 short-doc + full-mask branches")
+        else:
+            print(f"  x q116 edges: expected {want}, got {got}")
+            fails += 1
 
     print(f"ORACLE SELFTESTS {'FAIL' if fails else 'PASS'}")
     sys.exit(1 if fails else 0)
