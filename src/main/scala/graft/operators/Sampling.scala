@@ -32,6 +32,43 @@ object Sampling {
   def hashBucket(id: Column, salt: String, buckets: Int = 10000): Column =
     pmod(hash28(concat(lit(salt), id.cast("string"))), lit(buckets))
 
+  /** Histogram-quantile stratified sampling — the CCNet-style
+    * head/middle/tail pass: rows are split into `keepPct.size` tiers at
+    * the equi-probability quantiles of an int64 score, and each tier is
+    * hash-sampled at its own rate (e.g. keep 10% of the worst third, 50%
+    * of the middle, all of the best). The quantile cuts come from the
+    * BOUNDED histogram sketch ([[Sketches.histQuantiles]], the q113
+    * machinery) — one count per width-sized bucket regardless of corpus
+    * size — so no corpus-wide sort or global window ever runs; the cut
+    * row broadcasts and membership + sampling are per-row column math.
+    *
+    * Deterministic end-to-end (hash sampling, not RNG) and exactly
+    * replayable by an external engine: tier boundaries are the sketch's
+    * integer bucket bounds, so a row with score equal to a cut lands in
+    * the LOWER tier in both engines.
+    *
+    * @param keepPct per-tier keep percentage, lowest tier first
+    * @return input + `tier` (0 = lowest scores) + `kept`
+    */
+  def histTierSample(df: DataFrame, scoreCol: String, idCol: String,
+                     width: Long, keepPct: Seq[Int],
+                     salt: String = "tier"): DataFrame = {
+    require(keepPct.nonEmpty && keepPct.forall(p => p >= 0 && p <= 100),
+      s"keepPct must be percentages: $keepPct")
+    val n = keepPct.size
+    val cuts = Sketches.histQuantiles(df.select(col(scoreCol)), scoreCol,
+      width, (1L until n.toLong).map(i => (i, n.toLong)))
+    val cutRow = cuts.agg(sort_array(collect_list(col("hi"))).as("__cuts"))
+    val rates = array(keepPct.map(p => lit(p.toLong)): _*)
+    df.crossJoin(broadcast(cutRow))
+      .withColumn("tier",
+        size(filter(col("__cuts"), c => c < col(scoreCol))).cast(LongType))
+      .withColumn("kept",
+        hashBucket(col(idCol), salt, 100) <
+          element_at(rates, (col("tier") + 1).cast("int")))
+      .drop("__cuts")
+  }
+
   /** Assign each row a named split, deterministically from its id.
     *
     * `weights` are (name, weight) pairs; weights are normalized, then laid

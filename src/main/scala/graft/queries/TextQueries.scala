@@ -529,6 +529,80 @@ object TextQueries {
        |SELECT doc_id, qs, n_toks, cum_n_toks
        |FROM c WHERE cum_n_toks <= $TokenBudget ORDER BY doc_id""".stripMargin
 
+  // ── q120: quality-tier sampling — the CCNet-style head/middle/tail
+  // curation pass (Sampling.histTierSample): docs split into thirds at
+  // the histogram-sketch quantiles of the integer-scaled q18 quality
+  // score, then hash-sampled per tier (tail 10%, middle 50%, head 100%).
+  // Where q82's budget select takes best-first until a budget, this KEEPS
+  // corpus diversity by retaining a controlled slice of every quality
+  // band. Scale shape: the cuts come from the bounded histogram sketch
+  // (never a corpus sort or global window); membership + sampling are
+  // per-row column math against one broadcast cut row; the output agg is
+  // bounded by tiers × langs. ────────────────────────────────────────────
+  val TierScale = 1L << 20
+  val TierWidth = 16384L // 64 buckets over the [0, 2^20] score range
+  val TierKeepPct = Seq(10, 50, 100)
+
+  val q120_quality_tier_sample: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    // the regex-heavy quality expression feeds BOTH the histogram-cut
+    // subtree and the per-row tier assignment — persist the scored frame
+    // so the corpus scan computes it once
+    val scored = graft.operators.OperatorCaches.register(
+      Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars",
+        floor(qualityScore($"text") * TierScale).cast(LongType).as("qs"))
+        .persist())
+    Sampling.histTierSample(scored, "qs", "doc_id", TierWidth, TierKeepPct,
+        salt = "qtier")
+      .groupBy($"tier", $"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", $"n_chars").otherwise(0L)).as("kept_chars"))
+      .orderBy($"tier", $"lang")
+  }
+  lazy val q120_sql: String = {
+    val nTiers = TierKeepPct.size
+    val targets = (1 until nTiers).map(i => s"($i, $nTiers)").mkString(", ")
+    val rateCase = TierKeepPct.init.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN $p" }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(floor(($qualitySqlExpr) * $TierScale) AS BIGINT) AS qs
+       |  FROM documents),
+       |hist AS (SELECT qs // $TierWidth AS bucket, count(*) AS cnt
+       |         FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket, cnt,
+       |    sum(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    (SELECT CAST(sum(cnt) AS BIGINT) FROM hist) AS n
+       |  FROM hist),
+       |t(q_num, q_den) AS (VALUES $targets),
+       |hit AS (
+       |  SELECT t.q_num, min(c.bucket) AS bucket
+       |  FROM cum c CROSS JOIN t
+       |  WHERE c.cum >= (t.q_num * c.n + t.q_den - 1) // t.q_den
+       |  GROUP BY t.q_num),
+       |cuts AS (
+       |  SELECT list_sort(list(bucket * $TierWidth + ${TierWidth - 1}))
+       |    AS cs FROM hit),
+       |tiers AS (
+       |  SELECT s.*, len(list_filter(c.cs, x -> x < s.qs)) AS tier,
+       |    ('0x'||substr(md5('qtier' || CAST(s.doc_id AS VARCHAR)),1,7))::BIGINT
+       |      % 100 AS h
+       |  FROM scored s CROSS JOIN cuts c),
+       |flagged AS (
+       |  SELECT tier, lang, n_chars,
+       |    h < CASE tier $rateCase ELSE ${TierKeepPct.last} END AS kept
+       |  FROM tiers)
+       |SELECT CAST(tier AS BIGINT) AS tier, lang, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS kept_chars
+       |FROM flagged GROUP BY 1, 2 ORDER BY tier, lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -546,6 +620,7 @@ object TextQueries {
     "q78_classifier_score" -> q78_classifier_score,
     "q81_temperature_mix" -> q81_temperature_mix,
     "q82_budget_select" -> q82_budget_select,
+    "q120_quality_tier_sample" -> q120_quality_tier_sample,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -564,5 +639,6 @@ object TextQueries {
     "q78_classifier_score" -> q78_sql,
     "q81_temperature_mix" -> q81_sql,
     "q82_budget_select" -> q82_sql,
+    "q120_quality_tier_sample" -> q120_sql,
   )
 }

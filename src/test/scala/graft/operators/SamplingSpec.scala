@@ -197,4 +197,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.budgetSelect(df.withColumn("w", $"w" + 1), "s", "id", "w", 0L)
       .count() == 0L)
   }
+
+  test("histTierSample: tiers at sketch quantiles, per-tier hash rates") {
+    // 300 rows with scores 0..299: width 10 → 30 buckets; tertile cuts
+    // land at buckets 9 and 19 (hi = 99 and 199)
+    val df = spark.range(0, 300).select($"id", $"id".as("score"))
+    val out = Sampling.histTierSample(df, "score", "id", width = 10L,
+      keepPct = Seq(0, 50, 100), salt = "t")
+    val byTier = out.groupBy($"tier")
+      .agg(count(lit(1)).as("n"), min($"score").as("lo"),
+        max($"score").as("hi"),
+        sum(when($"kept", 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // boundaries: score <= 99 tier 0, 100..199 tier 1, >= 200 tier 2
+    assert(byTier(0L)._1 == 100 && byTier(0L)._2 == 0 && byTier(0L)._3 == 99)
+    assert(byTier(1L)._2 == 100 && byTier(1L)._3 == 199)
+    assert(byTier(2L)._2 == 200 && byTier(2L)._3 == 299)
+    // rates: 0% keeps nothing, 100% keeps everything, 50% keeps ~half
+    assert(byTier(0L)._4 == 0)
+    assert(byTier(2L)._4 == 100)
+    assert(byTier(1L)._4 > 20 && byTier(1L)._4 < 80)
+    // determinism: identical on a second run
+    val again = Sampling.histTierSample(df, "score", "id", 10L,
+      Seq(0, 50, 100), "t").collect().map(_.toSeq).toSet
+    assert(again == out.collect().map(_.toSeq).toSet)
+  }
 }

@@ -423,4 +423,53 @@ class StreamingCellsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("BM25 serves streaming query batches from the PERSISTED index") {
+    // the retrieval analog of the persisted-LSH serve test: the inverted
+    // index is built and saved ONCE (the q114 artifact); each arriving
+    // micro-batch of queries is scored against the LOADED postings with
+    // no corpus re-tokenization — and the streamed ranking must equal
+    // the batch path's on the same queries.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (0L, "spark shuffle join broadcast"),
+      (1L, "spark scan filter pushdown"),
+      (2L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val terms = corpus.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("term"))
+    val path = tmpDir("bm25_stream_index")
+    Retrieval.saveBm25Index(Retrieval.buildBm25Index(terms), path)
+    val loaded = Retrieval.loadBm25Index(spark, path)
+    def rank(qterms: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25Ranked(qterms, loaded, 1.2, 0.75, 1L << 20)
+        .select("q_id", "rank", "doc_id", "score")
+    val results = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("q_id", "qtext")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val qterms = batch.select(col("q_id"),
+          explode(split(lower(col("qtext")), "\\s+")).as("term")).distinct()
+        results.synchronized {
+          results ++= rank(qterms).collect().map(_.toSeq)
+        }
+        (): Unit
+      }.start()
+    try {
+      input.addData((100L, "spark join"), (101L, "filter pushdown"))
+      q.processAllAvailable()
+      val batchTerms = Seq((100L, "spark"), (100L, "join"),
+        (101L, "filter"), (101L, "pushdown")).toDF("q_id", "term")
+      val want = rank(batchTerms).collect().map(_.toSeq).toSet
+      assert(results.toSet == want && want.nonEmpty)
+      // ranking sanity: for "spark join", doc 0 (both terms) beats doc 1
+      val r100 = results.filter(_.head == 100L)
+        .map(r => r(2).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+      assert(r100(0L) < r100(1L))
+      assert(!r100.contains(2L))
+    } finally q.stop()
+  }
 }
