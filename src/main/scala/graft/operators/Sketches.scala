@@ -242,30 +242,46 @@ object Sketches {
     *         lo, hi) with [lo, hi] the bucket's value interval
     */
   def histQuantiles(df: DataFrame, valueCol: String, width: Long,
-                    quantiles: Seq[(Long, Long)]): DataFrame = {
+                    quantiles: Seq[(Long, Long)]): DataFrame =
+    histQuantilesBy(df, Nil, valueCol, width, quantiles)
+
+  /** Per-GROUP [[histQuantiles]]: one sketch per `groupCols` combination
+    * in a single pass — "p99 document length PER LANGUAGE" without ever
+    * splitting the corpus into per-group jobs. Same bounded state per
+    * group (≤ range/width bucket rows); the cumulative window partitions
+    * by the group, so it still runs over aggregated bucket rows only, and
+    * per-group totals ride along as a window sum instead of a join.
+    * With `groupCols = Nil` this is exactly the global sketch. */
+  def histQuantilesBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      width: Long, quantiles: Seq[(Long, Long)]): DataFrame = {
     require(width > 0, s"bucket width must be positive: $width")
     require(quantiles.nonEmpty, "at least one quantile required")
     require(quantiles.forall { case (n, d) => n > 0 && n <= d },
       s"quantiles must be rationals in (0, 1]: $quantiles")
+    val g = groupCols.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    val byGroup =
+      if (groupCols.isEmpty) W.partitionBy() else W.partitionBy(g: _*)
     val hist = df
-      .select(expr(s"CAST($valueCol AS BIGINT) div $width").as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+      .select((g :+ expr(s"CAST($valueCol AS BIGINT) div $width").as("bucket")): _*)
+      .groupBy((g :+ col("bucket")): _*).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        byGroup.orderBy(col("bucket")).rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
     val targets = explode(array(quantiles.map { case (qn, qd) =>
       struct(lit(qn).as("q_num"), lit(qd).as("q_den"))
     }: _*)).as("q")
-    cum.select(col("bucket"), col("cum"), col("n"), targets)
-      .select(col("bucket"), col("cum"), col("n"),
-        col("q.q_num").as("q_num"), col("q.q_den").as("q_den"))
+    cum.select((g ++ Seq(col("bucket"), col("cum"), col("n"), targets)): _*)
+      .select((g ++ Seq(col("bucket"), col("cum"), col("n"),
+        col("q.q_num").as("q_num"), col("q.q_den").as("q_den"))): _*)
       .withColumn("rank", expr("(q_num * n + q_den - 1) div q_den"))
       .filter(col("cum") >= col("rank"))
-      .groupBy(col("q_num"), col("q_den"), col("n"), col("rank"))
+      .groupBy((g ++ Seq(col("q_num"), col("q_den"), col("n"),
+        col("rank"))): _*)
       .agg(min(col("bucket")).as("bucket"))
-      .select(col("q_num"), col("q_den"), col("n"), col("rank"),
+      .select((g ++ Seq(col("q_num"), col("q_den"), col("n"), col("rank"),
         col("bucket"), (col("bucket") * width).as("lo"),
-        (col("bucket") * width + (width - 1)).as("hi"))
+        (col("bucket") * width + (width - 1)).as("hi"))): _*)
   }
 }

@@ -283,16 +283,60 @@ object SketchQueries {
        |ORDER BY lang_a, lang_b""".stripMargin
   }
 
+  // ── q121: per-GROUP histogram quantiles — q113's sketch partitioned by
+  // language in ONE pass (Sketches.histQuantilesBy): per-lang p50/p90/p99
+  // of document length without splitting the corpus into per-group jobs.
+  // The cumulative window partitions by lang and still runs over bucket
+  // rows only (bounded per group); per-group totals are a window sum, not
+  // a join. Same pure-int64 rank/bucket math, so the oracle replays every
+  // group's estimate and its quantization error. ─────────────────────────
+  val q121_grouped_quantiles: Q = (s, d) => {
+    import s.implicits._
+    Sketches.histQuantilesBy(Tables.documents(s, d), Seq("lang"), "n_chars",
+        HistWidth, HistQuantiles)
+      .orderBy($"lang", $"q_num".cast("double") / $"q_den")
+  }
+  lazy val q121_sql: String = {
+    val targets = HistQuantiles
+      .map { case (n, dn) => s"($n, $dn)" }.mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT lang, CAST(n_chars AS BIGINT) // $HistWidth AS bucket,
+       |    count(*) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY lang) AS n
+       |  FROM hist),
+       |t(q_num, q_den) AS (VALUES $targets),
+       |hit AS (
+       |  SELECT c.lang, t.q_num, t.q_den, c.n,
+       |    (t.q_num * c.n + t.q_den - 1) // t.q_den AS rank,
+       |    min(c.bucket) AS bucket
+       |  FROM cum c CROSS JOIN t
+       |  WHERE c.cum >= (t.q_num * c.n + t.q_den - 1) // t.q_den
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT lang, CAST(q_num AS BIGINT) AS q_num,
+       |  CAST(q_den AS BIGINT) AS q_den,
+       |  CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+       |  bucket, bucket * $HistWidth AS lo,
+       |  bucket * $HistWidth + ${HistWidth - 1} AS hi
+       |FROM hit ORDER BY lang, CAST(q_num AS DOUBLE) / q_den""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q85_hll_vocab" -> q85_hll_vocab,
     "q86_cms_heavy" -> q86_cms_heavy,
     "q113_hist_quantiles" -> q113_hist_quantiles,
     "q115_kmv_overlap" -> q115_kmv_overlap,
+    "q121_grouped_quantiles" -> q121_grouped_quantiles,
   )
   val oracleSql: Map[String, String] = Map(
     "q85_hll_vocab" -> q85_sql,
     "q86_cms_heavy" -> q86_sql,
     "q113_hist_quantiles" -> q113_sql,
     "q115_kmv_overlap" -> q115_sql,
+    "q121_grouped_quantiles" -> q121_sql,
   )
 }

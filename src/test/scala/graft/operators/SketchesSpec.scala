@@ -116,4 +116,27 @@ class SketchesSpec extends SparkSpec {
     val out = Sketches.histQuantiles(df, "v", 50L, Seq((1L, 2L))).collect()
     assert(out.length == 1 && out.head.getAs[Long]("n") == 100000L)
   }
+
+  test("histQuantilesBy: grouped sketch == per-group solo sketches") {
+    // three groups with very different distributions in ONE frame
+    val df = spark.range(0, 900).selectExpr(
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS g",
+      "CASE WHEN id % 3 = 0 THEN id ELSE id * id % 4001 END AS v")
+    val qs = Seq((1L, 2L), (9L, 10L))
+    val grouped = Sketches.histQuantilesBy(df, Seq("g"), "v", 50L, qs)
+      .collect()
+      .map(r => ((r.getAs[String]("g"), r.getAs[Long]("q_num"))) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("rank"), r.getAs[Long]("lo"),
+          r.getAs[Long]("hi")))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Sketches.histQuantiles(df.filter(s"g = '$g'"), "v", 50L, qs)
+        .collect()
+        .map(r => r.getAs[Long]("q_num") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("rank"), r.getAs[Long]("lo"),
+            r.getAs[Long]("hi")))).toMap
+      qs.foreach { case (qn, _) =>
+        assert(grouped((g, qn)) == solo(qn), s"group $g q=$qn")
+      }
+    }
+  }
 }
