@@ -244,7 +244,7 @@ object Tool {
     kv("format") match {
       case "parquet" => df.write.mode("overwrite").parquet(file)
       case "text" =>
-        df.select(concat_ws("\t", df.columns.map(col): _*).as("value"))
+        df.select(concat_ws("\t", df.columns.toSeq.map(col): _*).as("value"))
           .write.mode("overwrite").text(file)
       case "csv" => df.write.mode("overwrite").option("header", "true").csv(file)
       case "json" => df.write.mode("overwrite").json(file)

@@ -150,7 +150,7 @@ object Temporal {
     val l = left.select(
       col(keyCol).as("__k"), col(leftTsCol).as("__t"), lit(1).as("__side"),
       lit(null).cast(r.schema("__p").dataType).as("__p"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.toSeq.map(col): _*).as("__l"))
     val u = l.unionByName(
       r.withColumn("__l", lit(null).cast(l.schema("__l").dataType)))
     // side=0 sorts before side=1 at equal ts, so a right row AT the left
@@ -160,7 +160,7 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(c => col(s"__l.$c")) ++
+      .select(left.columns.toSeq.map(c => col(s"__l.$c")) ++
         payloadCols.map(c => col(s"__m.$c")): _*)
   }
 

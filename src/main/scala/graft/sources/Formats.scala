@@ -315,7 +315,7 @@ object Formats {
     case (Schema.Type.RECORD, x: GenericRecord) =>
       // By NAME, not position: part files written by different schema
       // generations may order fields differently than the reader schema.
-      Row(s.getFields.toArray.map {
+      Row(s.getFields.toArray.toIndexedSeq.map {
         case f: Schema.Field => avroValue(x.get(f.name), f.schema)
       }: _*)
     case (_, x) => x
