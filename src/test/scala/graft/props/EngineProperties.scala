@@ -565,6 +565,72 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  private val kmvSetsGen = for {
+    nCommon <- Gen.choose(0, 120)
+    nA <- Gen.choose(1, 150)
+    nB <- Gen.choose(1, 150)
+    tag <- Gen.choose(0, 9999)
+  } yield (nCommon, nA, nB, tag)
+
+  property("KMV closure: pair-overlap state == brute bottom-k of the union") =
+    forAll(kmvSetsGen) { case (nCommon, nA, nB, tag) =>
+      val k = 64
+      val a = (0 until nCommon).map(i => s"c$tag-$i") ++
+        (0 until nA).map(i => s"a$tag-$i")
+      val b = (0 until nCommon).map(i => s"c$tag-$i") ++
+        (0 until nB).map(i => s"b$tag-$i")
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+      val sk = graft.operators.Sketches.kmvSketch(df, Seq("g"), "v", k)
+      val row = graft.operators.Sketches.kmvPairOverlap(sk, "g", k)
+        .collect().head
+      def hashesOf(vals: Seq[String]): Set[Long] =
+        vals.distinct.toDF("v").select(hash28(col("v")).as("h"))
+          .collect().map(_.getLong(0)).toSet
+      val ha = hashesOf(a)
+      val hb = hashesOf(b)
+      val bottom = (ha ++ hb).toSeq.sorted.take(k)
+      // the k smallest of sketch(A) ∪ sketch(B) ARE the k smallest of the
+      // union (closure), membership flags are exact, and exact-mode fires
+      // exactly when the union is smaller than k
+      row.getAs[Long]("n_kept") == bottom.size &&
+        row.getAs[Long]("kth_hash") == bottom.last &&
+        row.getAs[Long]("n_common") ==
+          bottom.count(h => ha.contains(h) && hb.contains(h)) &&
+        ((ha ++ hb).size >= k ||
+          row.getAs[Double]("est_union") == bottom.size.toDouble)
+    }
+
+  private val snapshotGen = for {
+    nOld <- Gen.choose(0, 20)
+    nNew <- Gen.choose(0, 20)
+    olds <- Gen.listOfN(nOld, for {
+      kk <- Gen.choose(1L, 15L); fp <- Gen.oneOf("p", "q", "r")
+    } yield (kk, fp))
+    news <- Gen.listOfN(nNew, for {
+      kk <- Gen.choose(1L, 15L); fp <- Gen.oneOf("p", "q", "r")
+    } yield (kk, fp))
+  } yield (olds.distinctBy(_._1), news.distinctBy(_._1))
+
+  property("snapshotDiff == plain-Scala classification model") =
+    forAll(snapshotGen) { case (olds, news) =>
+      val o = olds.map { case (kk, fp) => (kk, "g", fp) }.toDF("k", "src", "fp")
+      val n = news.map { case (kk, fp) => (kk, "g", fp) }.toDF("k", "src", "fp")
+      val got = graft.operators.SnapshotDiff.diff(o, n, "k", "src", "fp")
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("status"))
+        .toMap
+      val om = olds.toMap
+      val nm = news.toMap
+      val want = (om.keySet ++ nm.keySet).map { kk =>
+        kk -> ((om.get(kk), nm.get(kk)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(x), Some(y)) if x != y => "changed"
+          case _ => "unchanged"
+        })
+      }.toMap
+      got == want
+    }
+
   private val windowEventsGen = for {
     n <- Gen.choose(1, 12)
     m <- Gen.choose(0, 12)
