@@ -304,6 +304,99 @@ object DedupQueries {
        |ORDER BY new_doc, dup_of""".stripMargin
   }
 
+  // ── q122: snapshot-diff-driven incremental refresh — the production
+  // "daily crawl" loop as ONE composed plan: classify today's snapshot
+  // against yesterday's (SnapshotDiff.diff, q119's derived snapshots),
+  // then near-dup ONLY the added+changed slice against the UNCHANGED
+  // corpus (Dedup.incrementalLshPairs, q79's machinery) — the stable
+  // corpus is never re-mined against itself, so the recurring cost
+  // scales with the day's churn, not the archive. Composition is the
+  // point: the diff's status column IS the delta predicate, and the
+  // banding runs over the NEW snapshot's text (changed docs are banded
+  // with their revised content). The oracle replays the classification
+  // AND the banding end-to-end. ──────────────────────────────────────────
+  val q122_diff_refresh: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", $"source", fingerprint($"text").as("fp"))
+    val newText = docs.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id", $"source",
+        concat($"text",
+          when($"doc_id" % 7 === 0, lit(" rev2")).otherwise(lit("")))
+          .as("text"))
+    val newSnap = newText.select($"doc_id", $"source",
+      fingerprint($"text").as("fp"))
+    val status = graft.operators.SnapshotDiff
+      .diff(oldSnap, newSnap, "doc_id", "source", "fp")
+      .select($"doc_id".as("id"), $"status")
+    val hashed = newText
+      .select($"doc_id".as("id"),
+        columnOf(graft.plans.WordShingleHashes(
+          expressionOf($"text"), ShingleN, 7)).as("ghash"))
+      .join(status, "id")
+    Dedup.incrementalLshPairs(
+        hashed.filter($"status".isin("added", "changed")).drop("status"),
+        hashed.filter($"status" === "unchanged").drop("status"),
+        lshK(s, d), MinHashBands, JaccardThreshold)
+      .orderBy($"new_doc", $"dup_of")
+  }
+  lazy val q122_sql: String = {
+    val kMax = MinHashBands * 7
+    val mh = (0 until kMax)
+      .map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j").mkString(",\n  ")
+    def key(b: Int, r: Int) = (b * r until (b + 1) * r).map(j => s"mh$j")
+      .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
+    val bandCases = (0 until MinHashBands).map { b =>
+      val rCases = (4 to 6).map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
+      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, 7)} END)"
+    }.mkString(" ")
+    val jac = "len(list_intersect(ga.ghash, gb.ghash))::DOUBLE / " +
+      "len(list_distinct(list_concat(ga.ghash, gb.ghash)))"
+    s"""WITH lshp AS (
+       |  SELECT ${Dedup.sqlLshRowsFor("count(*)")} AS r FROM documents
+       |), newd AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END AS text
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |), oldd AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 <> 0
+       |), st AS (
+       |  SELECT n.doc_id, n.text,
+       |    CASE WHEN o.fp IS NULL THEN 'added'
+       |         WHEN o.fp <>
+       |           md5(trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g')))
+       |           THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM newd n LEFT JOIN oldd o USING (doc_id)
+       |), hashed AS (
+       |  SELECT doc_id, status, list_distinct(list_transform(
+       |    ${sqlWordShingles("text", ShingleN)},
+       |    g -> ${sqlHash28("g")})) AS ghash FROM st
+       |), sig AS (
+       |  SELECT doc_id, status, ghash,
+       |  $mh
+       |  FROM hashed
+       |), banded AS (
+       |  SELECT doc_id, status, band, CASE band $bandCases END AS bkey
+       |  FROM sig, lshp p, unnest([${(0 until MinHashBands).mkString(",")}]) AS t(band)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_of
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.status IN ('added', 'changed') AND b.status = 'unchanged'
+       |)
+       |SELECT new_doc, dup_of, $jac AS jaccard
+       |FROM cand
+       |JOIN hashed ga ON ga.doc_id = new_doc
+       |JOIN hashed gb ON gb.doc_id = dup_of
+       |WHERE $jac >= $JaccardThreshold
+       |ORDER BY new_doc, dup_of""".stripMargin
+  }
+
   // ── q110: LSH index persistence — build the corpus's banded-signature
   // index ONCE (Dedup.bandedSignatures), persist it as parquet, load it
   // back, and run the incremental batch dedup from the LOADED index with
@@ -618,6 +711,7 @@ object DedupQueries {
     "q83_bloom_decontam" -> q83_bloom_decontam,
     "q84_dup_ngram_coverage" -> q84_dup_ngram_coverage,
     "q116_span_dedup" -> q116_span_dedup,
+    "q122_diff_refresh" -> q122_diff_refresh,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -635,5 +729,6 @@ object DedupQueries {
     "q83_bloom_decontam" -> q83_sql,
     "q84_dup_ngram_coverage" -> q84_sql,
     "q116_span_dedup" -> q116_sql,
+    "q122_diff_refresh" -> q122_sql,
   )
 }
