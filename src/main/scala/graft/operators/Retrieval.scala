@@ -54,12 +54,29 @@ object Retrieval {
   }
 
   /** Persist the index as four parquet tables under `path`. All columns
-    * are int64/string, so save→load reproduces the build exactly. */
+    * are int64/string, so save→load reproduces the build exactly.
+    *
+    * Four writes are four ACTIONS: unpersisted, each would re-run the
+    * corpus tokenize+aggregate scan (docfreq/stats re-derive from the
+    * postings/doclen subtrees). Persisting postings+doclen makes the
+    * derived writes cache hits — Spark substitutes a cached frame into
+    * any plan that contains it as a subtree — and the four independent
+    * write jobs overlap through driver-side futures (the scheduler
+    * interleaves their tasks; same pattern as the k-means training
+    * chains). */
   def saveBm25Index(index: Bm25Index, path: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$path/postings")
-    index.doclen.write.mode("overwrite").parquet(s"$path/doclen")
-    index.docfreq.write.mode("overwrite").parquet(s"$path/docfreq")
-    index.stats.write.mode("overwrite").parquet(s"$path/stats")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p = OperatorCaches.register(index.postings.persist())
+    val dl = OperatorCaches.register(index.doclen.persist())
+    val writes = Seq(
+      ("postings", p), ("doclen", dl),
+      ("docfreq", index.docfreq), ("stats", index.stats)
+    ).map { case (name, df) =>
+      Future(df.write.mode("overwrite").parquet(s"$path/$name"))
+    }
+    Await.result(Future.sequence(writes), Duration.Inf)
   }
 
   def loadBm25Index(spark: SparkSession, path: String): Bm25Index =
