@@ -436,22 +436,21 @@ object Dedup {
   def dupSpanMask(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
     require(n >= 2, s"span width must be >= 2: $n")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     val t = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
     // (id, start, h): the gram starting at 1-based token position `start`,
     // carried as its portable 60-bit hash — gram STRINGS never leave the
     // scan stage (the df shuffle and the coverage join move int64s; at
     // corpus scale the strings would be the dominant shuffle bytes).
     // 2^60 keeps cross-doc collisions — which would mask a non-duplicated
-    // span — out of reach at any realistic gram population.
-    val grams = t.select(col("id"), explode(
-        when(size(col("t")) >= n,
-          transform(sequence(lit(1), size(col("t")) - (n - 1)),
-            i => struct(i.cast(LongType).as("start"),
-              hash60(array_join(slice(col("t"), i, lit(n)), " ")).as("h"))))
-          .otherwise(array().cast(ArrayType(StructType(Seq(
-            StructField("start", LongType), StructField("h", LongType)))))))
-        .as("s"))
-      .select(col("id"), col("s.start").as("start"), col("s.h").as("h"))
+    // span — out of reach at any realistic gram population. The hashes
+    // come from the fused positional kernel (WordShingleHashSeq — one
+    // codegen'd tokenize+window+md5 pass; property-pinned identical to
+    // hash60 ∘ array_join ∘ slice over [[tokens]]).
+    val grams = docs.select(col(idCol).as("id"),
+        posexplode(columnOf(graft.plans.WordShingleHashSeq(
+          expressionOf(col(textCol)), n, 15))).as(Seq("pos0", "h")))
+      .select(col("id"), (col("pos0") + 1L).as("start"), col("h"))
     val docFreq = grams.select(col("id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val covered = grams

@@ -276,13 +276,13 @@ case class WordShingleHashes(child: Expression, n: Int, nibbles: Int)
 object WordShingleHashes {
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
-  def hash(s: UTF8String, n: Int, nibbles: Int): ArrayData = {
+  /** Per-POSITION shingle hashes: element i is the hash of the window
+    * starting at token i (0-based), duplicates kept. */
+  def hashSeq(s: UTF8String, n: Int, nibbles: Int): Array[Long] = {
     // Mirror split(lower(text), "\s+"): UTF8String lowercase, Java regex
     // split with limit -1 (trailing empties kept, as Spark's split does).
     val toks = Whitespace.split(s.toLowerCase.toString, -1)
-    if (toks.length < n)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.emptyLongArray)
+    if (toks.length < n) return Array.emptyLongArray
     val count = toks.length - n + 1
     val out = new Array[Long](count)
     val md = Md5PrefixLong.digest()
@@ -302,8 +302,51 @@ object WordShingleHashes {
         nibbles)
       i += 1
     }
-    Md5ArrayLong.sortedDistinct(out)
+    out
   }
+
+  def hash(s: UTF8String, n: Int, nibbles: Int): ArrayData =
+    Md5ArrayLong.sortedDistinct(hashSeq(s, n, nibbles))
+
+  def hashSeqData(s: UTF8String, n: Int, nibbles: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      hashSeq(s, n, nibbles))
+}
+
+/** `word_shingle_hash_seq(text, n, nibbles)`: the POSITIONAL variant of
+  * [[WordShingleHashes]] — element i is the hash of the n-token window
+  * starting at token i, duplicates kept, order = text order. This is the
+  * span-level alphabet: `posexplode` recovers (start, hash) pairs with no
+  * gram strings ever materialized (the composed
+  * `transform(sequence, i -> hash(array_join(slice(...))))` form walks an
+  * interpreted higher-order lambda per window — HOFs sit outside
+  * whole-stage codegen). Property-tested value-identical to the composed
+  * form. */
+case class WordShingleHashSeq(child: Expression, n: Int, nibbles: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+  require(nibbles >= 1 && nibbles <= 15,
+    s"nibbles must be 1..15 to stay in signed int64, got $nibbles")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hash_seq expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    WordShingleHashes.hashSeqData(s.asInstanceOf[UTF8String], n, nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.WordShingleHashes.hashSeqData($s, $n, $nibbles);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashSeq =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingle_hash_seq"
 }
 
 /** `minhash_signature(ghash, k)`: the k affine minhashes

@@ -565,6 +565,26 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("WordShingleHashSeq == positional hash60∘array_join∘slice chain") =
+    forAll(Gen.listOfN(4, Gen.oneOf("a bc", "x  y\tz", "", " lead",
+      "trail ", "one two three four five", "ü Ü ss", "a a a a"))) { texts =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+      val n = 3
+      val kernel = df.select(col("id"),
+          columnOf(graft.plans.WordShingleHashSeq(
+            expressionOf(col("text")), n, 15)).as("hs"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val composed = df.select(col("id"),
+          when(size(tokens(col("text"))) >= n,
+            transform(sequence(lit(1), size(tokens(col("text"))) - (n - 1)),
+              i => hash60(array_join(
+                slice(tokens(col("text")), i, lit(n)), " "))))
+            .otherwise(array().cast("array<bigint>")).as("hs"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      kernel == composed
+    }
+
   private val kmvSetsGen = for {
     nCommon <- Gen.choose(0, 120)
     nA <- Gen.choose(1, 150)
