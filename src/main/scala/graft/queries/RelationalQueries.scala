@@ -342,6 +342,80 @@ object RelationalQueries {
        |FROM u GROUP BY col ORDER BY col""".stripMargin
   }
 
+  // ── q123: Pearson correlation matrix — ANALYZE-style pairwise column
+  // statistics (q73's companion): every unordered pair of the profiled
+  // numeric columns gets n, exact sums, and the correlation, from ONE
+  // pass over the table. All 14 running sums (Σc, Σc², Σc·c' per pair)
+  // are exact decimals (addition-order-free — see Num), so the only
+  // doubles are the final corr chain on identical operands in both
+  // engines. Scale shape: a single full-map-side-combine aggregate with
+  // 1-row state; the 6 output rows unfold from that row — no second
+  // scan, no join, no window. ────────────────────────────────────────────
+  val CorrPairs: Seq[(String, String)] = {
+    val cs = ProfileCols
+    for (i <- cs.indices; j <- i + 1 until cs.size) yield (cs(i), cs(j))
+  }
+
+  val q123_correlations: Q = (s, d) => {
+    import s.implicits._
+    // products: LEFT operand at precision 19 — DuckDB multiplies two
+    // int64-width (≤18) decimals in raw int64 and overflows; 19 forces
+    // its int128 path, and Spark's (19,4)×(18,4) → (38,8) is exact too,
+    // so both engines carry the identical exact value
+    def dec(c: String) = col(c).cast(DecimalType(18, 4))
+    def decW(c: String) = col(c).cast(DecimalType(19, 4))
+    val sums =
+      ProfileCols.map(c => sum(dec(c)).as(s"s_$c")) ++
+      ProfileCols.map(c => sum(decW(c) * dec(c)).as(s"ss_$c")) ++
+      CorrPairs.map { case (a, b) => sum(decW(a) * dec(b)).as(s"sp_${a}_$b") }
+    val allAggs = count(lit(1)).as("n") +: sums
+    val stats = Tables.lineitem(s, d).agg(allAggs.head, allAggs.tail: _*)
+    // corr = (n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx²) · sqrt(n·Σyy − Σy²)),
+    // every operand cast from its exact decimal ONCE, fixed order
+    def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val rows = CorrPairs.map { case (a, b) =>
+      val n = D(col("n"))
+      val corr =
+        (n * D(col(s"sp_${a}_$b")) - D(col(s"s_$a")) * D(col(s"s_$b"))) /
+          (sqrt(n * D(col(s"ss_$a")) - D(col(s"s_$a")) * D(col(s"s_$a"))) *
+            sqrt(n * D(col(s"ss_$b")) - D(col(s"s_$b")) * D(col(s"s_$b"))))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        D(col(s"sp_${a}_$b")).as("sum_xy"), corr.as("corr"))
+    }
+    stats.select(explode(array(rows: _*)).as("r"))
+      .select($"r.col_a", $"r.col_b", $"r.n", $"r.sum_xy", $"r.corr")
+      .orderBy($"col_a", $"col_b")
+  }
+  lazy val q123_sql: String = {
+    def dec(c: String) = s"CAST($c AS DECIMAL(18,4))"
+    val legs = CorrPairs.map { case (a, b) =>
+      val corr =
+        s"""(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+           |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |    / (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+           |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+           |      * sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+           |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))""".stripMargin
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CAST(sp_${a}_$b AS DOUBLE) AS sum_xy,
+         |  $corr AS corr
+         |FROM stats""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    def decW(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    val aggs =
+      (ProfileCols.map(c => s"sum(${dec(c)}) AS s_$c") ++
+        ProfileCols.map(c => s"sum(${decW(c)} * ${dec(c)}) AS ss_$c") ++
+        CorrPairs.map { case (a, b) =>
+          s"sum(${decW(a)} * ${dec(b)}) AS sp_${a}_$b" }).mkString(",\n  ")
+    s"""WITH stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |  $aggs
+       |  FROM lineitem
+       |)
+       |$legs
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_gather_agg" -> q01_gather_agg,
     "q02_gather_distinct" -> q02_gather_distinct,
@@ -358,6 +432,7 @@ object RelationalQueries {
     "q67_quantiles" -> q67_quantiles,
     "q69_salted_join" -> q69_salted_join,
     "q73_profile" -> q73_profile,
+    "q123_correlations" -> q123_correlations,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -376,5 +451,6 @@ object RelationalQueries {
     "q67_quantiles" -> q67_sql,
     "q69_salted_join" -> q69_sql,
     "q73_profile" -> q73_sql,
+    "q123_correlations" -> q123_sql,
   )
 }
