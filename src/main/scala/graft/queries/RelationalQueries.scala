@@ -416,6 +416,82 @@ object RelationalQueries {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  // ── q124: robust outlier detection (median/MAD) — the data-cleaning
+  // filter that survives the outliers it hunts (mean/stddev don't):
+  // per-group median and MAD estimated from the BOUNDED histogram sketch
+  // (Sketches.histQuantilesBy, q121's machinery — deterministic bucket-lo
+  // estimates, error ≤ bucket width), then every row flagged by the
+  // integer rule dev > 3·mad. Two sketch passes + two broadcast joins +
+  // one agg — no corpus sort, no global window, values as exact integer
+  // cents so both engines agree bit-for-bit. ─────────────────────────────
+  val MadWidth = 16384L // cents (~$163 buckets over the price range)
+  val MadK = 3L
+
+  val q124_mad_outliers: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{OperatorCaches, Sketches}
+    // exact integer cents via the decimal route (a double ×100 truncates
+    // wrong: 101211.99*100 = 10121198.999…)
+    val cents = ($"l_extendedprice".cast(DecimalType(18, 2)) * 100)
+      .cast(LongType)
+    // vals feeds the median sketch AND the dev computation; dev feeds the
+    // MAD sketch AND the final flag agg — persist each once
+    val vals = OperatorCaches.register(
+      Tables.lineitem(s, d)
+        .select($"l_returnflag".as("g"), cents.as("x")).persist())
+    val med = Sketches.histQuantilesBy(vals, Seq("g"), "x", MadWidth,
+        Seq((1L, 2L)))
+      .select($"g", $"lo".as("med_lo"))
+    val dev = OperatorCaches.register(
+      vals.join(broadcast(med), "g")
+        .withColumn("dev", abs($"x" - $"med_lo")).persist())
+    val mad = Sketches.histQuantilesBy(dev, Seq("g"), "dev", MadWidth,
+        Seq((1L, 2L)))
+      .select($"g", $"lo".as("mad_lo"))
+    dev.join(broadcast(mad), "g")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        max($"med_lo").as("med_lo"),
+        max($"mad_lo").as("mad_lo"),
+        sum(when($"dev" > lit(MadK) * $"mad_lo", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        $"n_outliers".cast(DoubleType) / $"n".cast(DoubleType))
+      .orderBy($"g")
+  }
+  lazy val q124_sql: String = {
+    def histCut(src: String, vcol: String, out: String) =
+      s"""h_$out AS (
+         |  SELECT g, $vcol // $MadWidth AS bucket, count(*) AS cnt
+         |  FROM $src GROUP BY 1, 2),
+         |c_$out AS (
+         |  SELECT g, bucket,
+         |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER (PARTITION BY g) AS n
+         |  FROM h_$out),
+         |$out AS (
+         |  SELECT g, min(bucket) * $MadWidth AS $out
+         |  FROM c_$out WHERE cum >= (n + 1) // 2 GROUP BY g)""".stripMargin
+    s"""WITH vals AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+       |  FROM lineitem),
+       |${histCut("vals", "x", "med_lo")},
+       |devs AS (
+       |  SELECT v.g, v.x, abs(v.x - m.med_lo) AS dev, m.med_lo
+       |  FROM vals v JOIN med_lo m USING (g)),
+       |${histCut("devs", "dev", "mad_lo")}
+       |SELECT d.g, count(*) AS n,
+       |  max(d.med_lo) AS med_lo, max(a.mad_lo) AS mad_lo,
+       |  CAST(sum(CASE WHEN d.dev > $MadK * a.mad_lo THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers,
+       |  CAST(sum(CASE WHEN d.dev > $MadK * a.mad_lo THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS outlier_frac
+       |FROM devs d JOIN mad_lo a USING (g)
+       |GROUP BY d.g ORDER BY g""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_gather_agg" -> q01_gather_agg,
     "q02_gather_distinct" -> q02_gather_distinct,
@@ -433,6 +509,7 @@ object RelationalQueries {
     "q69_salted_join" -> q69_salted_join,
     "q73_profile" -> q73_profile,
     "q123_correlations" -> q123_correlations,
+    "q124_mad_outliers" -> q124_mad_outliers,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -452,5 +529,6 @@ object RelationalQueries {
     "q69_salted_join" -> q69_sql,
     "q73_profile" -> q73_sql,
     "q123_correlations" -> q123_sql,
+    "q124_mad_outliers" -> q124_sql,
   )
 }
