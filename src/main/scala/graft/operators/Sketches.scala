@@ -165,6 +165,18 @@ object Sketches {
       .drop("__rk")
   }
 
+  /** Merge two KMV sketch frames `(groupCols*, h)`: the k smallest of
+    * their union — KMV's closure property means the merged sketch is
+    * EXACTLY the sketch of the combined underlying data, so sketches
+    * maintain incrementally: `merged = kmvMerge(yesterday, todayBatch)`
+    * with no re-scan of yesterday's corpus. This is the streaming
+    * maintenance step (fold each micro-batch's sketch into persisted
+    * state); spec-pinned equal to the batch-built sketch in
+    * StreamingCellsSpec. */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+               k: Int): DataFrame =
+    kmvSketchOfHashes(a.unionByName(b), groupCols, k)
+
   /** Distinct-overlap estimates for every unordered pair of groups in a
     * [[kmvSketch]] frame `(groupCol, h)`:
     *

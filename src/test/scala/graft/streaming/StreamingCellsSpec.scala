@@ -424,6 +424,45 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV sketch maintains incrementally over micro-batches (kmvMerge)") {
+    // ingestion-time distinct/overlap monitoring: each micro-batch's
+    // sketch folds into the running state via kmvMerge — KMV's closure
+    // property makes the folded state EXACTLY the sketch of all data
+    // seen, with no re-scan of prior batches. Final state must equal the
+    // batch-built sketch over the full stream.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val k = 32
+    var state: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, String)]
+    val q = input.toDS().toDF("g", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        this.synchronized {
+          val bs = Sketches.kmvSketch(batch, Seq("g"), "v", k)
+          state = if (state == null) bs.cache()
+            else Sketches.kmvMerge(state, bs, Seq("g"), k).cache()
+          state.count() // materialize before the old plan is unreachable
+        }
+        (): Unit
+      }.start()
+    try {
+      input.addData((0 until 200).map(i => ("a", s"x$i")): _*)
+      q.processAllAvailable()
+      input.addData((100 until 300).map(i => ("a", s"x$i")) ++
+        (0 until 150).map(i => ("b", s"y$i")): _*)
+      q.processAllAvailable()
+      val streamed = state.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val all = ((0 until 300).map(i => ("a", s"x$i")) ++
+        (0 until 150).map(i => ("b", s"y$i"))).toDF("g", "v")
+      val batchBuilt = Sketches.kmvSketch(all, Seq("g"), "v", k).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batchBuilt && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("BM25 serves streaming query batches from the PERSISTED index") {
     // the retrieval analog of the persisted-LSH serve test: the inverted
     // index is built and saved ONCE (the q114 artifact); each arriving
