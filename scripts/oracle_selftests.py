@@ -70,8 +70,11 @@ def main():
         if ok:
             (la, lb, n_kept, kth, n_common, n_exact, est_u, est_i) = rows[0]
             # 4 trigrams/side, 1 shared -> 7 distinct union hashes
+            # exact mode: est_union is the union size and est_inter
+            # collapses to the EXACT intersection (rho denominator is the
+            # union sketch's size, not k)
             ok = (la, lb, n_kept, n_common, n_exact) == ("de", "en", 7, 1, 1) \
-                and est_u == 7.0 and est_i == 7.0 * (1.0 / 128.0)
+                and est_u == 7.0 and est_i == 1.0
         if ok:
             print("  ok q115 exact-mode branch: est_union == union size")
         else:

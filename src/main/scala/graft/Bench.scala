@@ -113,7 +113,11 @@ object Bench {
     }
     // Seconds at 3 decimals: full nanoTime precision is noise beyond ~1ms
     // and doubles the line length (the driver keeps only the last ~2KB).
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default f-interpolator formats through the JVM
+    // locale, and a comma decimal separator (de_DE etc.) would make the
+    // line invalid JSON and silently corrupt the quiet-baseline harvest.
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // Loadavg is summarized (max + mean over per-query 1-min samples), not

@@ -54,11 +54,17 @@ object Tables {
       case _: TimestampNTZType => // µs generation, NTZ physical type
         // the NTZ→TZ cast is an identity ONLY under a UTC session zone —
         // any other zone silently SHIFTS every instant instead of
-        // re-tagging it; fail loudly like the old nanosAsLong guard did
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+        // re-tagging it; fail loudly like the old nanosAsLong guard did.
+        // Zone EQUIVALENCE, not string equality: "Etc/UTC", "GMT", and
+        // "+00:00" all make the cast an identity too.
+        val zone = s.conf.get("spark.sql.session.timeZone")
+        val isUtc = scala.util.Try(
+          java.time.ZoneId.of(zone).normalized() == java.time.ZoneOffset.UTC
+        ).getOrElse(false)
+        require(isUtc,
           "events.ts is TIMESTAMP_NTZ: the NTZ->TZ cast is only an " +
-            "identity when spark.sql.session.timeZone=UTC, but the " +
-            s"session zone is ${s.conf.get("spark.sql.session.timeZone")}")
+            "identity under a UTC-equivalent session zone, but the " +
+            s"session zone is $zone")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _: TimestampType =>    // µs generation, already zone-tagged
         raw

@@ -153,8 +153,22 @@ object Bpe {
       s"word set exceeds $MaxLocalWords rows — a vocabulary this large " +
         "should use the distributed trainer (Bpe.train)")
     val words = collected.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    var toks: Array[Array[String]] =
-      words.map(_._1.map(_.toString).toArray)
+    // split by CODE POINTS, not UTF-16 chars: the distributed trainer's
+    // charTokens uses Spark substring (code-point semantics), and a raw
+    // char map would shatter supplementary-plane characters into
+    // surrogate halves — diverging pair counts and breaking the
+    // documented train == trainLocal parity
+    def codePointTokens(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val n = Character.charCount(s.codePointAt(i))
+        out += s.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    var toks: Array[Array[String]] = words.map(w => codePointTokens(w._1))
     val induced = scala.collection.mutable.ListBuffer.empty[Merge]
     var exhausted = false
     for (step <- 1 to merges if !exhausted) {

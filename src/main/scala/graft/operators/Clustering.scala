@@ -149,11 +149,19 @@ object Clustering {
     val sizes = assign.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
     assign.select(col("vid"), col("cluster"))
       .join(sizes, "cluster")
-      .withColumn("cell",
-        hash28(concat(lit(s"$salt-cell"), col("vid").cast("string")))
-          % expr(s"(csize + ${cap - 1}) div $cap"))
+      .withColumn("cell", subcellOf(col("vid"), cap, salt))
       .select(col("vid"), col("cluster"), col("cell"))
   }
+
+  /** THE subcell hash/width formula — shared by [[subcells]] and
+    * [[semDedupDelta]] (one definition: a change applied to one caller
+    * but not the other would silently desynchronize the batch and
+    * incremental skew guards and both their SQL mirrors). Requires a
+    * `csize` column (the cluster's pairing-mass row count) in scope. */
+  private def subcellOf(vid: org.apache.spark.sql.Column, cap: Long,
+                        salt: String): org.apache.spark.sql.Column =
+    hash28(concat(lit(s"$salt-cell"), vid.cast("string"))) %
+      expr(s"(csize + ${cap - 1}) div $cap")
 
   /** Assign rows to an ALREADY-FITTED centroid set (a lanes frame from
     * [[kmeansFit]]/[[kmeansLanes]]): collect the k·dim lanes driver-side
@@ -198,8 +206,7 @@ object Clustering {
     val sizes = model.assign.groupBy(col("cluster"))
       .agg(count(lit(1)).as("csize"))
     def cellOf(vid: org.apache.spark.sql.Column) =
-      hash28(concat(lit(s"$salt-cell"), vid.cast("string")))
-        .%(expr(s"(csize + ${clusterCap - 1}) div $clusterCap"))
+      subcellOf(vid, clusterCap, salt)
     val corpusSide = corpus
       .select(col(idCol).cast(LongType).as("vid"),
         scaled(col(vecCol)).as("v"))

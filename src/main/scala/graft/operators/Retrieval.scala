@@ -17,8 +17,8 @@ import org.apache.spark.sql.types._
   * KM/framework/MapReduceJob.java); this is LLM-pipeline charter upside —
   * the lexical leg of hybrid retrieval beside the ANN index tiers, with
   * the same build-once/serve-many persistence contract as the LSH
-  * (`Dedup.saveLshIndex`), IVF (`Clustering.saveCoarseCodebook`), PQ
-  * (`Clustering.savePqIndex`) and BPE (`Bpe.saveVocab`) artifacts.
+  * (`Dedup.saveLshIndex`), IVF (`Clustering.saveIvfCodebook`), PQ
+  * (`Clustering.savePqIndex`) and BPE (`Bpe.saveMerges`) artifacts.
   */
 final case class Bm25Index(postings: DataFrame, doclen: DataFrame,
                            docfreq: DataFrame, stats: DataFrame)
@@ -65,18 +65,15 @@ object Retrieval {
     * interleaves their tasks; same pattern as the k-means training
     * chains). */
   def saveBm25Index(index: Bm25Index, path: String): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val p = OperatorCaches.register(index.postings.persist())
     val dl = OperatorCaches.register(index.doclen.persist())
-    val writes = Seq(
+    Clustering.concurrently(Seq(
       ("postings", p), ("doclen", dl),
       ("docfreq", index.docfreq), ("stats", index.stats)
     ).map { case (name, df) =>
-      Future(df.write.mode("overwrite").parquet(s"$path/$name"))
-    }
-    Await.result(Future.sequence(writes), Duration.Inf)
+      () => df.write.mode("overwrite").parquet(s"$path/$name")
+    })
+    ()
   }
 
   def loadBm25Index(spark: SparkSession, path: String): Bm25Index =

@@ -56,6 +56,12 @@ object Sampling {
     require(keepPct.nonEmpty && keepPct.forall(p => p >= 0 && p <= 100),
       s"keepPct must be percentages: $keepPct")
     val n = keepPct.size
+    // one tier = a flat hash sample: no cuts to sketch (histQuantiles
+    // would reject the empty quantile list), every row lands in tier 0
+    if (n == 1)
+      return df.withColumn("tier", lit(0L))
+        .withColumn("kept",
+          hashBucket(col(idCol), salt, 100) < lit(keepPct.head.toLong))
     val cuts = Sketches.histQuantiles(df.select(col(scoreCol)), scoreCol,
       width, (1L until n.toLong).map(i => (i, n.toLong)))
     val cutRow = cuts.agg(sort_array(collect_list(col("hi"))).as("__cuts"))

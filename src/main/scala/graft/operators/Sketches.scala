@@ -185,8 +185,10 @@ object Sketches {
     * union sketch = the k smallest of sketch(A) ∪ sketch(B);
     * `est_union` = (k−1)·2^28 / h_k (exact-mode: the union sketch's size
     * when it holds fewer than k values); `est_inter` = est_union · ρ with
-    * ρ = (elements of the union sketch present in BOTH sketches)/k — the
-    * standard KMV Jaccard-style estimator. Deterministic: both estimates
+    * ρ = (elements of the union sketch present in BOTH sketches) /
+    * (the union sketch's size: k normally, n_kept in exact mode — where
+    * the estimate collapses to the exact intersection) — the standard
+    * KMV Jaccard-style estimator. Deterministic: both estimates
     * are single fixed-order double chains over int64 sketch state, so an
     * external oracle replays them bit-for-bit, approximation error
     * included.
@@ -226,14 +228,19 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble * space) /
             col("kth_hash").cast(DoubleType)))
       .withColumn("est_inter",
+        // ρ's denominator is the union sketch's SIZE (k normally, n_kept
+        // in exact mode — where n_common IS the exact intersection and
+        // est_union·n_common/n_kept returns exactly it; dividing by k
+        // there would underestimate small groups' overlap by k/n_kept)
         col("est_union") *
-          (col("n_common").cast(DoubleType) / lit(k.toDouble)))
+          (col("n_common").cast(DoubleType) / col("n_kept").cast(DoubleType)))
   }
 
   /** Fixed-width histogram quantile sketch — the bounded-state answer to
     * "what's the p99?" that exact quantiles (q67's distinct-value
     * cumulative walk) can't give when the value universe itself is huge:
-    * state is one count per occupied bucket (`value div width`),
+    * state is one count per occupied bucket (floor `value / width`,
+    * matching DuckDB's `//` for negatives too),
     * partial-aggregable and mergeable like any groupBy, so a
     * 1000-executor scan reduces to ≤ range/width rows regardless of
     * corpus size.
@@ -274,8 +281,17 @@ object Sketches {
     val W = org.apache.spark.sql.expressions.Window
     val byGroup =
       if (groupCols.isEmpty) W.partitionBy() else W.partitionBy(g: _*)
+    // FLOOR division (DuckDB's `//`), not Spark's truncating `div`:
+    // truncation would fold every value in (-width, width) into bucket 0
+    // and break the documented lo <= exact <= hi containment for
+    // negative values — the adjustment subtracts 1 exactly when the
+    // truncated remainder is negative
+    val bucket = expr(
+      s"""CAST($valueCol AS BIGINT) div $width -
+         |(CASE WHEN CAST($valueCol AS BIGINT) % $width < 0
+         |      THEN 1 ELSE 0 END)""".stripMargin)
     val hist = df
-      .select((g :+ expr(s"CAST($valueCol AS BIGINT) div $width").as("bucket")): _*)
+      .select((g :+ bucket.as("bucket")): _*)
       .groupBy((g :+ col("bucket")): _*).agg(count(lit(1)).as("cnt"))
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(

@@ -58,10 +58,10 @@ object CurationQueries {
     * nothing. 8-grams measure verbatim passage reuse instead. */
   val CurShingleN = 8
 
-  private def toks(c: org.apache.spark.sql.Column) =
-    filter(tokens(c), t => length(t) > 0)
-  private val SqlToks =
-    """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
+  // the ONE shared tokenizer (see LexicalQueries.toks): the LM stage
+  // here must stay token-identical to q103's
+  private def toks(c: org.apache.spark.sql.Column) = LexicalQueries.toks(c)
+  private val SqlToks = LexicalQueries.SqlToks
 
   val q109_curation_pipeline: Q = (s, d) => {
     import s.implicits._

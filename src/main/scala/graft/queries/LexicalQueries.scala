@@ -34,10 +34,15 @@ import graft.functions.TextFunctions.tokens
 object LexicalQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Non-empty lowercase whitespace tokens (mirrors SketchQueries). */
-  private def toks(c: org.apache.spark.sql.Column) =
+  /** Non-empty lowercase whitespace tokens — THE shared token universe
+    * of the lexical, sketch, and curation queries (one definition:
+    * q109's LM stage must stay token-identical to q103's, and a tweak
+    * applied to one copy but not the others would silently break that
+    * cross-query parity). */
+  private[queries] def toks(c: org.apache.spark.sql.Column) =
     filter(tokens(c), t => length(t) > 0)
-  private val SqlToks =
+  /** DuckDB mirror of [[toks]] over a column named `text`. */
+  private[queries] val SqlToks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
 
   // ── q100: BM25 top-k lexical retrieval ──────────────────────────────────

@@ -24,10 +24,9 @@ object SketchQueries {
   private def toks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select($"lang",
-      explode(filter(tokens($"text"), t => length(t) > 0)).as("tok"))
+      explode(LexicalQueries.toks($"text")).as("tok"))
   }
-  private val SqlToks =
-    """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
+  private val SqlToks = LexicalQueries.SqlToks
 
   // ── q85: HyperLogLog vocabulary estimate per language — registers are
   // groupBy(bucket).max(rho) (commutative: merges map-side like any agg;
@@ -278,7 +277,8 @@ object SketchQueries {
        |       ELSE $KmvNumer / CAST(kth_hash AS DOUBLE) END AS est_union,
        |  (CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
        |        ELSE $KmvNumer / CAST(kth_hash AS DOUBLE) END)
-       |    * (CAST(n_common AS DOUBLE) / ${KmvK.toDouble}) AS est_inter
+       |    * (CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE))
+       |    AS est_inter
        |FROM agg LEFT JOIN exact e USING (g_a, g_b)
        |ORDER BY lang_a, lang_b""".stripMargin
   }

@@ -69,6 +69,22 @@ class KmvSketchSpec extends SparkSpec {
     assert(row.getAs[Double]("est_inter") == 0.0)
   }
 
+  test("exact mode: est_inter collapses to the exact intersection") {
+    val shared = (0 until 40).map(i => s"both$i")
+    val a = shared ++ (0 until 20).map(i => s"onlya$i")
+    val b = shared ++ (0 until 20).map(i => s"onlyb$i")
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val sk = Sketches.kmvSketch(df, Seq("g"), "v", K)
+    val row = Sketches.kmvPairOverlap(sk, "g", K).collect().head
+    // 80 distinct < k: the union sketch is the whole union, n_common IS
+    // the exact intersection, and est_inter = 80 * 40/80 = 40 exactly
+    // (dividing by k here — the pre-fix behavior — returned 25)
+    assert(row.getAs[Long]("n_kept") == 80)
+    assert(row.getAs[Double]("est_union") == 80.0)
+    assert(row.getAs[Long]("n_common") == 40)
+    assert(row.getAs[Double]("est_inter") == 40.0)
+  }
+
   test("all unordered group pairs appear exactly once") {
     val df = Seq("a", "b", "c").flatMap(g =>
       (0 until 30).map(i => (g, s"$g$i"))).toDF("g", "v")

@@ -223,4 +223,21 @@ class SamplingSpec extends SparkSpec {
       Seq(0, 50, 100), "t").collect().map(_.toSeq).toSet
     assert(again == out.collect().map(_.toSeq).toSet)
   }
+
+  test("histTierSample: one tier degenerates to a flat hash sample") {
+    import spark.implicits._
+    val df = spark.range(0, 200).select($"id", $"id".as("score"))
+    val out = Sampling.histTierSample(df, "score", "id", 10L, Seq(40), "t")
+      .collect()
+    assert(out.forall(_.getAs[Long]("tier") == 0L))
+    val kept = out.count(_.getAs[Boolean]("kept"))
+    assert(kept > 50 && kept < 110, s"kept=$kept") // ~40% of 200
+    // and the same rows a two-equal-tier call with rate 40 would keep
+    val two = Sampling.histTierSample(df, "score", "id", 10L,
+        Seq(40, 40), "t")
+      .collect().filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("id")).toSet
+    assert(out.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("id")).toSet == two)
+  }
 }
