@@ -241,6 +241,100 @@ object DedupQueries {
        |    len(list_distinct(list_concat(ga.ghash, gb.ghash))) >= $threshold""".stripMargin
   }
 
+  // ── q125: source reputation via PageRank over the near-dup link graph —
+  // graph analytics as unrolled relational algebra: sources become nodes,
+  // cross-source near-dup pairs (q22's mining) become weighted symmetric
+  // edges ("these two domains republish each other's content"), and
+  // PrIters damped PageRank rounds run as join+agg chains in pure int64
+  // (pr·w div outw contributions, 85/100 damping — trunc and floor agree
+  // on nonnegatives, so both engines iterate bit-identically). Scale
+  // shape: the pair mining is the linear LSH pass; every graph stage
+  // touches only the EDGE/NODE tables (≤ |sources|² rows, broadcastable)
+  // — corpus size never enters an iteration. ─────────────────────────────
+  val PrScale = 1048576L // 2^20
+  val PrIters = 3
+
+  val q125_source_rank: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source")
+    val pairs = Dedup.minhashLshPairsHashed(shingleHashes(s, d),
+      lshK(s, d), MinHashBands, JaccardThreshold)
+    val e0 = pairs
+      .join(docs.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+    // edges feed outw, the per-iteration joins, AND the final stats —
+    // persist the (tiny) aggregated frame once
+    val edges = graft.operators.OperatorCaches.register(
+      e0.select($"sa".as("src"), $"sb".as("dst"))
+        .unionByName(e0.select($"sb".as("src"), $"sa".as("dst")))
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        .persist())
+    val ew = edges
+      .join(edges.groupBy($"src").agg(sum($"w").as("outw")), "src")
+    val nodes = docs.select($"source").distinct()
+    var pr = nodes.withColumn("pr", lit(PrScale))
+    for (_ <- 1 to PrIters) {
+      val contrib = ew
+        .join(broadcast(pr.select($"source".as("src"), $"pr")), "src")
+        .withColumn("t", expr("pr * w div outw"))
+        .groupBy($"dst".as("source")).agg(sum($"t").as("inflow"))
+      pr = nodes.join(broadcast(contrib), Seq("source"), "left")
+        .select($"source", expr(
+          s"(15 * $PrScale) div 100 + (85 * coalesce(inflow, 0L)) div 100")
+          .as("pr"))
+    }
+    val stats = edges.groupBy($"src".as("source"))
+      .agg(count(lit(1)).as("n_edges"), sum($"w").as("link_w"))
+    pr.join(broadcast(stats), Seq("source"), "left")
+      .select($"source", coalesce($"n_edges", lit(0L)).as("n_edges"),
+        coalesce($"link_w", lit(0L)).as("link_w"), $"pr")
+      .orderBy($"source")
+  }
+  lazy val q125_sql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS source,
+         |    CAST(sum(p.pr * e.w // o.outw) AS BIGINT) AS inflow
+         |  FROM edges e JOIN outw o USING (src)
+         |  JOIN pr${i - 1} p ON p.source = e.src
+         |  GROUP BY 1),
+         |pr$i AS (
+         |  SELECT n.source,
+         |    CAST((15 * $PrScale) // 100
+         |      + (85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i c USING (source))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |${lshPairsSql(sqlWordShingles("text", ShingleN), MinHashBands, JaccardThreshold)}
+       |), e0 AS (
+       |  SELECT da.source AS sa, db.source AS sb
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b
+       |  WHERE da.source <> db.source
+       |), edges AS (
+       |  SELECT src, dst, count(*) AS w
+       |  FROM (SELECT sa AS src, sb AS dst FROM e0
+       |        UNION ALL SELECT sb AS src, sa AS dst FROM e0)
+       |  GROUP BY 1, 2
+       |), outw AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY 1
+       |), nodes AS (SELECT DISTINCT source FROM documents),
+       |pr0 AS (SELECT source, CAST($PrScale AS BIGINT) AS pr FROM nodes),
+       |$iters,
+       |stats AS (
+       |  SELECT src AS source, count(*) AS n_edges,
+       |    CAST(sum(w) AS BIGINT) AS link_w
+       |  FROM edges GROUP BY 1)
+       |SELECT n.source, coalesce(st.n_edges, 0) AS n_edges,
+       |  coalesce(st.link_w, 0) AS link_w, p.pr
+       |FROM nodes n
+       |LEFT JOIN stats st USING (source)
+       |JOIN pr$PrIters p USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   // ── q79: incremental dedup — the production ingestion pattern: a NEW
   // batch (sources src0/src1 standing in for "this week's crawl") is
   // probed against the banded-signature index of the existing corpus.
@@ -712,6 +806,7 @@ object DedupQueries {
     "q84_dup_ngram_coverage" -> q84_dup_ngram_coverage,
     "q116_span_dedup" -> q116_span_dedup,
     "q122_diff_refresh" -> q122_diff_refresh,
+    "q125_source_rank" -> q125_source_rank,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -730,5 +825,6 @@ object DedupQueries {
     "q84_dup_ngram_coverage" -> q84_sql,
     "q116_span_dedup" -> q116_sql,
     "q122_diff_refresh" -> q122_sql,
+    "q125_source_rank" -> q125_sql,
   )
 }
