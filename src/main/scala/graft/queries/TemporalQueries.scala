@@ -305,6 +305,71 @@ object TemporalQueries {
        |GROUP BY o.event_id, o.user_id
        |ORDER BY o.event_id""".stripMargin
 
+  // ── q126: time-series resampling — each user's irregular event stream
+  // regularized onto a daily grid with LAST-OBSERVATION forward-fill
+  // (the feature-engineering "resample('1D').ffill()" pass): one grid
+  // row per user per UTC day of their activity span, carrying the day's
+  // event count (0 on gap days) and the most recent event as of day end
+  // (Temporal.asOfJoin against the tie-free observation set — q62's
+  // machinery on a GENERATED left side). Scale shape: the grid explodes
+  // to users × span-days rows (bounded by activity, not event count);
+  // the fill is the one-shuffle sort-merge as-of pass; the oracle
+  // replays it with DuckDB's native ASOF LEFT JOIN. ──────────────────────
+  val DayMicros = 86400000000L
+
+  val q126_resample_ffill: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val spans = ev.groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("us0"),
+        max(unix_micros($"ts")).as("us1"))
+    val grid = spans.select($"user_id",
+        explode(sequence(expr(s"us0 div ${DayMicros}L"),
+          expr(s"us1 div ${DayMicros}L"))).as("day"))
+      .withColumn("ts", timestamp_micros(($"day" + 1) * DayMicros - 1))
+    val obs = ev.groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("obs_id"),
+        max_by($"value", $"event_id").as("obs_value"))
+    val filled = Temporal.asOfJoin(grid, obs, "user_id", "ts", "ts",
+      Seq("obs_id", "obs_value"))
+    val perDay = ev
+      .select($"user_id",
+        expr(s"unix_micros(ts) div ${DayMicros}L").as("day"))
+      .groupBy($"user_id", $"day").agg(count(lit(1)).as("n_day_events"))
+    filled.join(perDay, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n_day_events", lit(0L)).as("n_day_events"),
+        $"obs_id", $"obs_value")
+      .orderBy($"user_id", $"day")
+  }
+  val q126_sql: String =
+    s"""WITH spans AS (
+       |  SELECT user_id, epoch_us(min(ts)) // $DayMicros AS d0,
+       |    epoch_us(max(ts)) // $DayMicros AS d1
+       |  FROM events GROUP BY 1),
+       |grid AS (
+       |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans),
+       |g2 AS (
+       |  SELECT user_id, day,
+       |    make_timestamp((day + 1) * $DayMicros - 1) AS ts
+       |  FROM grid),
+       |obs AS (
+       |  SELECT user_id AS k, ts AS rts, max(event_id) AS obs_id,
+       |    arg_max(value, event_id) AS obs_value
+       |  FROM events GROUP BY 1, 2),
+       |f AS (
+       |  SELECT g.user_id, g.day, o.obs_id, o.obs_value
+       |  FROM g2 g ASOF LEFT JOIN obs o
+       |    ON g.user_id = o.k AND g.ts >= o.rts),
+       |pd AS (
+       |  SELECT user_id, epoch_us(ts) // $DayMicros AS day,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT f.user_id, f.day, coalesce(pd.n, 0) AS n_day_events,
+       |  f.obs_id, f.obs_value
+       |FROM f LEFT JOIN pd USING (user_id, day)
+       |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q61_sessionize" -> q61_sessionize,
     "q62_asof_join" -> q62_asof_join,
@@ -313,6 +378,7 @@ object TemporalQueries {
     "q92_cohort_retention" -> q92_cohort_retention,
     "q117_markov_transitions" -> q117_markov_transitions,
     "q118_window_attribution" -> q118_window_attribution,
+    "q126_resample_ffill" -> q126_resample_ffill,
   )
   val oracleSql: Map[String, String] = Map(
     "q61_sessionize" -> q61_sql,
@@ -322,5 +388,6 @@ object TemporalQueries {
     "q92_cohort_retention" -> q92_sql,
     "q117_markov_transitions" -> q117_sql,
     "q118_window_attribution" -> q118_sql,
+    "q126_resample_ffill" -> q126_sql,
   )
 }
