@@ -79,13 +79,18 @@ for f in args:
 # The current QuietBaseline.scala is itself a source: many entries exist
 # ONLY there (driver tails truncate; local bench lines are ephemeral).
 # Without this, a bare regenerate silently DROPS every such entry and the
-# re-timing guard stops covering those queries. --fresh / --drop override
-# (see module doc) so a known-stale value can be flushed, not re-min'd.
+# re-timing guard stops covering those queries. PERSISTENT_DROPS entries
+# DO harvest from here — the committed file carries their already-RESEEDED
+# value (excluding them too would delete the entry outright on a bare
+# regen, and "absent here" means "never re-timed"); only the one-shot
+# --drop / --fresh flags flush the committed value, for the reseed run
+# itself.
 if not fresh:
+    cli_drops = drops - PERSISTENT_DROPS
     cur = open('/root/repo/src/main/scala/graft/QuietBaseline.scala').read()
     for k, v in re.findall(r'"(q\d+[a-z_0-9]*)" -> ([0-9.]+)', cur):
         v = float(v)
-        if v > 0 and k not in drops:
+        if v > 0 and k not in cli_drops:
             best[k] = min(best.get(k, 1e9), v)
 
 rows = '\n'.join(f'    "{k}" -> {best[k]:.3f},' for k in sorted(best))

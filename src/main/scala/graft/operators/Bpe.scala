@@ -142,6 +142,23 @@ object Bpe {
     * smallest (lhs, rhs); merge application is sequential leftmost-
     * nonoverlapping greedy (what train's run-parity windows compute);
     * early exhaustion when no adjacent pairs remain. */
+  /** Code-point string ordering == UTF-8 byte ordering — what Spark's
+    * orderBy and DuckDB's string comparison use. Java's natural String
+    * ordering compares UTF-16 units instead, which sorts surrogate pairs
+    * (U+10000+) BEFORE private-use BMP chars (U+E000..U+FFFD). */
+  private val codePointOrdering: Ordering[String] = (a: String, b: String) => {
+    var i = 0
+    var j = 0
+    var res = 0
+    while (res == 0 && i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) res = Integer.compare(ca, cb)
+      else { i += Character.charCount(ca); j += Character.charCount(cb) }
+    }
+    if (res != 0) res else Integer.compare(a.length - i, b.length - j)
+  }
+
   def trainLocal(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) = {
     require(merges > 0, s"merges must be positive: $merges")
     val spark = wordFreq.sparkSession
@@ -187,8 +204,15 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        // total order (cnt DESC, lhs ASC, rhs ASC) — iteration-order-free
-        val ((l, r), c) = counts.minBy { case ((lh, rh), cn) => (-cn, lh, rh) }
+        // total order (cnt DESC, lhs ASC, rhs ASC) — iteration-order-free.
+        // String comparison is by CODE POINT (== UTF-8 byte order, the
+        // ordering Spark's orderBy and the DuckDB oracle use): Java's
+        // default compareTo sorts UTF-16 units, which inverts
+        // supplementary-plane vs private-use characters and would break
+        // the train == trainLocal parity on tied counts.
+        val ((l, r), c) = counts.minBy { case ((lh, rh), cn) =>
+          (-cn, lh, rh)
+        }(Ordering.Tuple3(Ordering.Long, codePointOrdering, codePointOrdering))
         induced += Merge(step, l, r, c)
         toks = toks.map { t =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -317,6 +317,13 @@ object TemporalQueries {
   // replays it with DuckDB's native ASOF LEFT JOIN. ──────────────────────
   val DayMicros = 86400000000L
 
+  /** FLOOR epoch-day of a µs expression (DuckDB's `//` semantics):
+    * Spark's `div` truncates toward zero, which would shift every
+    * pre-1970 timestamp one day late relative to the oracle. */
+  private def floorDay(usExpr: String): String =
+    s"($usExpr div ${DayMicros}L - " +
+      s"(CASE WHEN $usExpr % ${DayMicros}L < 0 THEN 1 ELSE 0 END))"
+
   val q126_resample_ffill: Q = (s, d) => {
     import s.implicits._
     val ev = Tables.events(s, d)
@@ -324,8 +331,8 @@ object TemporalQueries {
       .agg(min(unix_micros($"ts")).as("us0"),
         max(unix_micros($"ts")).as("us1"))
     val grid = spans.select($"user_id",
-        explode(sequence(expr(s"us0 div ${DayMicros}L"),
-          expr(s"us1 div ${DayMicros}L"))).as("day"))
+        explode(sequence(expr(floorDay("us0")),
+          expr(floorDay("us1")))).as("day"))
       .withColumn("ts", timestamp_micros(($"day" + 1) * DayMicros - 1))
     val obs = ev.groupBy($"user_id", $"ts")
       .agg(max($"event_id").as("obs_id"),
@@ -334,7 +341,7 @@ object TemporalQueries {
       Seq("obs_id", "obs_value"))
     val perDay = ev
       .select($"user_id",
-        expr(s"unix_micros(ts) div ${DayMicros}L").as("day"))
+        expr(floorDay("unix_micros(ts)")).as("day"))
       .groupBy($"user_id", $"day").agg(count(lit(1)).as("n_day_events"))
     filled.join(perDay, Seq("user_id", "day"), "left")
       .select($"user_id", $"day",

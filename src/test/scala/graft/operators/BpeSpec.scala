@@ -26,6 +26,26 @@ class BpeSpec extends SparkSpec {
     assert(byWord("widest") == Seq("w", "i", "d", "e", "st"))
   }
 
+  test("trainLocal == train on supplementary-plane tokens and ties") {
+    // Two single-occurrence words engineer a tied pair count where the
+    // candidates' lhs are U+E000 (private-use BMP) vs U+10000
+    // (supplementary, a surrogate pair in UTF-16): Spark/DuckDB compare
+    // strings by code point, Java's default String order by UTF-16 unit
+    // — which INVERTS this exact pair. The two trainers must still pick
+    // the same winner, and the code-point word split must not shatter
+    // the surrogate pair.
+    val e000 = ""
+    val u10000 = new String(Character.toChars(0x10000))
+    val freqs = wf(s"${e000}a" -> 1L, s"${u10000}a" -> 1L)
+    val (dm, dt) = Bpe.train(freqs, 1)
+    val (lm, lt) = Bpe.trainLocal(freqs, 1)
+    assert(lm.map(m => (m.step, m.lhs, m.rhs, m.cnt)) ==
+      dm.map(m => (m.step, m.lhs, m.rhs, m.cnt)))
+    // code-point order: U+E000 < U+10000 wins the tie
+    assert(dm.head.lhs == e000 && dm.head.rhs == "a")
+    assert(lt.collect().map(_.toSeq).toSet == dt.collect().map(_.toSeq).toSet)
+  }
+
   test("run-parity merge equals sequential leftmost-greedy on identical pairs") {
     // aaaa: candidates at 0,1,2; greedy takes 0 and 2 -> [aa, aa].
     // aaaaa: candidates 0..3; greedy takes 0 and 2 -> [aa, aa, a].
