@@ -443,18 +443,87 @@ object LexicalQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ── q127: vocabulary drift between corpus snapshots — the data-ops
+  // distribution monitor beside q119's row diff: token-occurrence
+  // probabilities of the old and new snapshots (q119/q122's derivations)
+  // compared term by term in integer-scaled space, reporting the
+  // DriftTopK most-drifted terms. pa = cnt·2^20 div total is pure int64
+  // (trunc == floor on nonnegatives), absent terms count 0, and the
+  // top-k cut orders by (drift DESC, term ASC) — fully deterministic, so
+  // the oracle replays the entire ranking. Scale shape: two token-count
+  // aggs (full map-side combine) + a vocabulary-sized full-outer join +
+  // a top-k over the VOCAB frame (never corpus rows). ────────────────────
+  val DriftScale = 1048576L // 2^20
+  val DriftTopK = 15
+
+  val q127_vocab_drift: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def counts(snap: DataFrame) = snap
+      .select(explode(toks($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val oldC = counts(docs.filter($"doc_id" % 10 =!= 0))
+    val newC = counts(docs.filter($"doc_id" % 13 =!= 0)
+      .select(concat($"text",
+        when($"doc_id" % 7 === 0, lit(" rev2")).otherwise(lit("")))
+        .as("text")))
+    val totals = oldC.agg(sum($"cnt").as("tot_a"))
+      .crossJoin(newC.agg(sum($"cnt").as("tot_b")))
+    oldC.select($"term", $"cnt".as("cnt_a"))
+      .join(newC.select($"term", $"cnt".as("cnt_b")), Seq("term"),
+        "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pa", expr(s"cnt_a * $DriftScale div tot_a"))
+      .withColumn("pb", expr(s"cnt_b * $DriftScale div tot_b"))
+      .withColumn("drift", abs($"pa" - $"pb"))
+      .orderBy($"drift".desc, $"term".asc)
+      .limit(DriftTopK)
+      .select($"term", $"cnt_a", $"cnt_b", $"pa", $"pb", $"drift")
+      .orderBy($"drift".desc, $"term".asc)
+  }
+  lazy val q127_sql: String =
+    s"""WITH oldd AS (
+       |  SELECT unnest($SqlToks) AS term FROM documents
+       |  WHERE doc_id % 10 <> 0),
+       |newd AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text ||
+       |      CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END), '\\s+'),
+       |    x -> length(x) > 0)) AS term
+       |  FROM documents WHERE doc_id % 13 <> 0),
+       |ca AS (SELECT term, count(*) AS cnt_a FROM oldd GROUP BY 1),
+       |cb AS (SELECT term, count(*) AS cnt_b FROM newd GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(cnt_a) AS BIGINT) FROM ca) AS tot_a,
+       |    (SELECT CAST(sum(cnt_b) AS BIGINT) FROM cb) AS tot_b),
+       |j AS (
+       |  SELECT coalesce(ca.term, cb.term) AS term,
+       |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+       |  FROM ca FULL OUTER JOIN cb USING (term)),
+       |scored AS (
+       |  SELECT term, cnt_a, cnt_b,
+       |    CAST(cnt_a * $DriftScale // tot_a AS BIGINT) AS pa,
+       |    CAST(cnt_b * $DriftScale // tot_b AS BIGINT) AS pb
+       |  FROM j CROSS JOIN tot)
+       |SELECT term, cnt_a, cnt_b, pa, pb, abs(pa - pb) AS drift
+       |FROM scored
+       |ORDER BY drift DESC, term ASC
+       |LIMIT $DriftTopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_bm25" -> q100_bm25,
     "q103_bigram_lm" -> q103_bigram_lm,
     "q104_rrf_fusion" -> q104_rrf_fusion,
     "q107_sparse_cosine_join" -> q107_sparse_cosine_join,
     "q108_sparse_prefix_join" -> q108_sparse_prefix_join,
-    "q114_bm25_index_persist" -> q114_bm25_index_persist)
+    "q114_bm25_index_persist" -> q114_bm25_index_persist,
+    "q127_vocab_drift" -> q127_vocab_drift)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
     "q104_rrf_fusion" -> q104_sql,
     "q107_sparse_cosine_join" -> q107_sql,
     "q108_sparse_prefix_join" -> q108_sql,
-    "q114_bm25_index_persist" -> q100_sql)
+    "q114_bm25_index_persist" -> q100_sql,
+    "q127_vocab_drift" -> q127_sql)
 }
