@@ -603,6 +603,56 @@ object TextQueries {
        |FROM flagged GROUP BY 1, 2 ORDER BY tier, lang""".stripMargin
   }
 
+  // ── q128: per-language percentile normalization — the rank transform
+  // that makes quality thresholds comparable ACROSS languages (a 0.6 in
+  // one language's score distribution is a 0.9 in another's): each doc
+  // gets its within-lang percentile from the bounded histogram, pct =
+  // rows-in-strictly-lower-buckets · 2^20 div n — bucket-resolution
+  // (error ≤ bucket width), pure int64, deterministic. The fine-grained
+  // sibling of q120's three-tier cut. Scale shape: the per-lang cum
+  // windows run over BUCKET rows (bounded); the per-row lookup is a
+  // broadcast join on (lang, bucket); never a corpus-row window or sort
+  // before the presentation ORDER BY. ────────────────────────────────────
+  val q128_quality_percentile: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val W = org.apache.spark.sql.types.LongType
+    val withB = graft.operators.OperatorCaches.register(
+      Tables.documents(s, d).select($"doc_id", $"lang",
+          floor(qualityScore($"text") * TierScale).cast(W).as("qs"))
+        .withColumn("bucket", expr(s"qs div $TierWidth"))
+        .persist())
+    val hist = withB.groupBy($"lang", $"bucket").agg(count(lit(1)).as("cnt"))
+    val cums = hist
+      .withColumn("cum", sum($"cnt").over(Window.partitionBy($"lang")
+        .orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"lang")))
+    withB.join(broadcast(cums.select($"lang", $"bucket",
+        ($"cum" - $"cnt").as("below"), $"n")), Seq("lang", "bucket"))
+      .withColumn("pct", expr(s"below * $TierScale div n"))
+      .select($"doc_id", $"lang", $"qs", $"pct")
+      .orderBy($"doc_id")
+  }
+  lazy val q128_sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(($qualitySqlExpr) * $TierScale) AS BIGINT) AS qs
+       |  FROM documents),
+       |wb AS (
+       |  SELECT doc_id, lang, qs, qs // $TierWidth AS bucket FROM scored),
+       |hist AS (
+       |  SELECT lang, bucket, count(*) AS cnt FROM wb GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT lang, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY lang) AS n
+       |  FROM hist)
+       |SELECT w.doc_id, w.lang, w.qs,
+       |  CAST((c.cum - c.cnt) * $TierScale // c.n AS BIGINT) AS pct
+       |FROM wb w JOIN cums c USING (lang, bucket)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_token_count" -> q17_token_count,
     "q18_quality" -> q18_quality,
@@ -621,6 +671,7 @@ object TextQueries {
     "q81_temperature_mix" -> q81_temperature_mix,
     "q82_budget_select" -> q82_budget_select,
     "q120_quality_tier_sample" -> q120_quality_tier_sample,
+    "q128_quality_percentile" -> q128_quality_percentile,
   )
   val oracleSql: Map[String, String] = Map(
     "q17_token_count" -> q17_sql,
@@ -640,5 +691,6 @@ object TextQueries {
     "q81_temperature_mix" -> q81_sql,
     "q82_budget_select" -> q82_sql,
     "q120_quality_tier_sample" -> q120_sql,
+    "q128_quality_percentile" -> q128_sql,
   )
 }
