@@ -117,6 +117,31 @@ class SketchesSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("n") == 100000L)
   }
 
+  test("histQuantiles: containment holds for NEGATIVE values (floor div)") {
+    // values straddling zero: truncating division would fold (-50, 50)
+    // into one bucket and break lo <= exact <= hi; floor bucketing (the
+    // DuckDB // semantics) must keep the bound on both sides of zero
+    val vals = (-500L to 499L).map(v => (v, v))
+    val df = vals.toDF("id", "v")
+    val width = 32L
+    val qs = Seq((1L, 4L), (1L, 2L), (3L, 4L))
+    val out = Sketches.histQuantiles(df, "v", width, qs)
+      .collect()
+      .map(r => r.getAs[Long]("q_num") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))))
+      .toMap
+    val sorted = vals.map(_._2).sorted
+    qs.foreach { case (qn, qd) =>
+      val (rank, lo, hi) = out(qn)
+      val exact = sorted((rank - 1).toInt)
+      assert(lo <= exact && exact <= hi,
+        s"q=$qn/$qd exact $exact outside [$lo, $hi]")
+      assert(hi - lo == width - 1)
+    }
+    // the p25 estimate is genuinely negative — the branch under test
+    assert(out(1L)._2 < 0)
+  }
+
   test("histQuantilesBy: grouped sketch == per-group solo sketches") {
     // three groups with very different distributions in ONE frame
     val df = spark.range(0, 900).selectExpr(

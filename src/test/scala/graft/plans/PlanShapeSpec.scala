@@ -170,6 +170,22 @@ class PlanShapeSpec extends SparkSpec {
       s"nested-loop join in q116 plan:\n$p")
   }
 
+  test("q124/q126/q128: every window partitioned (sketch buckets / as-of keys)") {
+    for ((name, df) <- Seq(
+        "q124" -> graft.queries.RelationalQueries.q124_mad_outliers(spark, D),
+        "q126" -> graft.queries.TemporalQueries.q126_resample_ffill(spark, D),
+        "q128" -> graft.queries.TextQueries.q128_quality_percentile(spark, D))) {
+      val plan = planOf(df)
+      val p = plan.toString
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"no window in $name plan:\n$p")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned window in $name plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name plan:\n$p")
+      graft.operators.OperatorCaches.releaseAll()
+    }
+  }
+
   test("q117 transitions: session windows co-partitioned; totals broadcast") {
     val df = withoutAutoBroadcast {
       graft.queries.TemporalQueries.q117_markov_transitions(spark, D)
