@@ -34,10 +34,11 @@ PERSISTENT_DROPS = {
     "q45_knn_ivf",  # round 10: fixed-id IVF centroids -> k-means-trained
 }
 
-drops = set(PERSISTENT_DROPS)
+cli_drops = set()
 for a in list(args):
     if a.startswith('--drop='):
-        drops |= {q.strip() for q in a[len('--drop='):].split(',') if q.strip()}
+        cli_drops |= {q.strip() for q in a[len('--drop='):].split(',') if q.strip()}
+drops = cli_drops | PERSISTENT_DROPS
 args = [a for a in args if a != '--fresh' and not a.startswith('--drop=')]
 
 def feed_queries(queries, dropped=True):
@@ -84,9 +85,11 @@ for f in args:
 # value (excluding them too would delete the entry outright on a bare
 # regen, and "absent here" means "never re-timed"); only the one-shot
 # --drop / --fresh flags flush the committed value, for the reseed run
-# itself.
+# itself. The gate below uses the CLI --drop set as given (NOT
+# drops - PERSISTENT_DROPS): an explicit --drop of a persistent-dropped
+# query must still flush its committed value, or re-reseeding it would
+# silently re-min the stale committed entry.
 if not fresh:
-    cli_drops = drops - PERSISTENT_DROPS
     cur = open('/root/repo/src/main/scala/graft/QuietBaseline.scala').read()
     for k, v in re.findall(r'"(q\d+[a-z_0-9]*)" -> ([0-9.]+)', cur):
         v = float(v)

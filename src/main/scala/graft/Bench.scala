@@ -53,6 +53,41 @@ object Bench {
     def loadavg1: Double =
       loadavgFields.headOption
         .flatMap(f => scala.util.Try(f.toDouble).toOption).getOrElse(-1.0)
+    // Pre-run contention gate: loadavg sampled BEFORE any query runs. A
+    // run started on a busy box (load > ~2 with 32 cpus idle-expected)
+    // is FLAGGED in the artifact metadata — round-over-round comparisons
+    // then know to distrust drift in this round's numbers instead of
+    // mistaking host contention for code regressions (r10 saw ~15
+    // unchanged queries drift +30-80% under load_max 6.87).
+    val loadStart = loadavg1
+    // This round's number: one past the newest driver-committed
+    // BENCH_r*.json. Used to stamp the archived per-query map so future
+    // rounds diff against committed history, not the truncated ~2KB tail.
+    val round = {
+      val pat = """BENCH_r(\d+)\.json""".r
+      val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+      files.collect { case pat(n) => n.toInt }.foldLeft(0)(math.max) + 1
+    }
+    // Previous round's full per-query map (bench_out_r<N>.json committed
+    // each round from this same code path): the second re-time reference
+    // beside QuietBaseline — a query >1.5x its previous-round time gets
+    // the end-of-run third pass even when its all-time quiet min is far
+    // lower (catches fresh regressions the 2x-of-min gate would miss).
+    val prevQueries: Map[String, Double] = {
+      val pat = """bench_out_r(\d+)\.json""".r
+      val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+      val prev = files.collect { case f @ pat(n) if n.toInt < round => (n.toInt, f) }
+      prev.sortBy(-_._1).headOption.map { case (_, f) =>
+        val text = try java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+          catch { case _: Throwable => "" }
+        """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map(_.group(1))
+          .map { body =>
+            """"(q\d+[a-z_0-9]*)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+              .map(x => x.group(1) -> x.group(2).toDouble)
+              .filter(_._2 > 0).toMap
+          }.getOrElse(Map.empty[String, Double])
+      }.getOrElse(Map.empty)
+    }
     // One timed standalone execution: (+ seconds on success, - on failure,
     // 1-min loadavg at measurement time).
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
@@ -102,7 +137,8 @@ object Bench {
     // pass-1 value as their own reference and are never re-timed.
     val retimed = firstCut.collect {
       case (name, (t, _)) if t > 0 &&
-          QuietBaseline.secs.get(name).exists(q => t > 2 * q) => name
+          (QuietBaseline.secs.get(name).exists(q => t > 2 * q) ||
+            prevQueries.get(name).exists(p => t > 1.5 * p)) => name
     }
     val retimes = retimed.map { name =>
       name -> timeOne(name, SparkEntry.queries(name))
@@ -145,14 +181,25 @@ object Bench {
       .take(10)
       .map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"retimed":$retimedJson,"loadavg":"$loadavg","load_max":$loadMax,"load_mean":$loadMean,"queries":$qs,"total":${fmt(total)},"slowest":$slowest,"queries_file":"bench_out.json"}"""
+    val loadGate = if (loadStart > 2.0) "contended" else "clean"
+    val archive =
+      if (only.isEmpty) s"bench_out_r$round.json" else "bench_out.json"
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"round":$round,"load_start":${fmt(loadStart)},"load_gate":"$loadGate","retimed":$retimedJson,"loadavg":"$loadavg","load_max":$loadMax,"load_mean":$loadMean,"queries":$qs,"total":${fmt(total)},"slowest":$slowest,"queries_file":"$archive"}"""
     println(line)
-    // Belt-and-braces: the same line as a file artifact, immune to stdout
-    // interleaving/truncation entirely.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    // Belt-and-braces: the same line as file artifacts, immune to stdout
+    // interleaving/truncation entirely. The round-stamped copy is the
+    // committed per-round archive future rounds diff against (and the
+    // prevQueries re-time reference above); bench_out.json stays as the
+    // stable latest-run pointer.
+    // A SPARK_GRAFT_ONLY subset run must not plant a partial map as the
+    // round archive — future rounds would read it as "every other query
+    // vanished". Only full-board runs stamp the archive.
+    for (f <- (Seq("bench_out.json") :+ archive).distinct) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -58,21 +58,22 @@ object Retrieval {
     *
     * Four writes are four ACTIONS: unpersisted, each would re-run the
     * corpus tokenize+aggregate scan (docfreq/stats re-derive from the
-    * postings/doclen subtrees). Persisting postings+doclen makes the
-    * derived writes cache hits — Spark substitutes a cached frame into
-    * any plan that contains it as a subtree — and the four independent
-    * write jobs overlap through driver-side futures (the scheduler
-    * interleaves their tasks; same pattern as the k-means training
-    * chains). */
+    * postings/doclen subtrees). The writes run in two overlapped waves:
+    * first postings+doclen (their write jobs populate the caches as they
+    * run), then docfreq+stats — launched only after the base frames are
+    * fully materialized, so cache substitution is GUARANTEED (launching
+    * all four at once would let the derived jobs plan against a
+    * still-cold cache and re-run the corpus scan). Within each wave the
+    * independent write jobs overlap through driver-side futures (same
+    * pattern as the k-means training chains). */
   def saveBm25Index(index: Bm25Index, path: String): Unit = {
     val p = OperatorCaches.register(index.postings.persist())
     val dl = OperatorCaches.register(index.doclen.persist())
-    Clustering.concurrently(Seq(
-      ("postings", p), ("doclen", dl),
-      ("docfreq", index.docfreq), ("stats", index.stats)
-    ).map { case (name, df) =>
+    def write(name: String, df: DataFrame): () => Unit =
       () => df.write.mode("overwrite").parquet(s"$path/$name")
-    })
+    Clustering.concurrently(Seq(write("postings", p), write("doclen", dl)))
+    Clustering.concurrently(Seq(
+      write("docfreq", index.docfreq), write("stats", index.stats)))
     ()
   }
 
