@@ -282,7 +282,7 @@ object Clustering {
     * thunk fires its own Spark jobs; SparkSession is thread-safe) and
     * return results in INPUT order — determinism is preserved because
     * each thunk's output depends only on its own inputs. */
-  private[operators] def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
+  private[graft] def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
     if (thunks.lengthCompare(1) <= 0) thunks.map(_())
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}

@@ -80,33 +80,30 @@ object CurationQueries {
     val hashed = OperatorCaches.register(docs.select($"doc_id",
       columnOf(graft.plans.WordShingleHashes(
         expressionOf($"text"), CurShingleN, 7)).as("ghash")).persist())
-    val bits = Dedup.bloomFilterBits(
-      hashed.join(splits.filter($"split" === "test"), "doc_id"),
-      DedupQueries.BloomM, DedupQueries.BloomK)
-    val candIds = survivors
+    val candIds = OperatorCaches.register(survivors
       .join(splits.filter($"split" === "train"), "doc_id")
-      .select($"doc_id")
+      .select($"doc_id").persist())
+    // Two independent driver barriers overlap: the bloom-bits collect
+    // (which materializes the 8-gram `hashed` cache) and the exact-dedup
+    // fingerprint aggregation behind candIds — neither reads the other's
+    // output, so their corpus scans share the wall-clock.
+    val bits = graft.operators.Clustering.concurrently(Seq(
+      () => Left(Dedup.bloomFilterBits(
+        hashed.join(splits.filter($"split" === "test"), "doc_id"),
+        DedupQueries.BloomM, DedupQueries.BloomK)),
+      () => Right(candIds.count())
+    )).head.swap.getOrElse(sys.error("bloom bits thunk missing"))
     val keptIds = Dedup.bloomProbe(hashed.join(candIds, "doc_id"), bits,
         DedupQueries.BloomM, DedupQueries.BloomK)
       .filter(!$"flagged")
       .select($"doc_id")
     // kept feeds FOUR consumers (BPE wordFreq, the kernel scan, the LM
-    // grams, the packing source join) — persist one copy
+    // grams, the packing source join) — persist one copy, materialized
+    // once here so both overlapped trainers below read the cache
     val kept = OperatorCaches.register(docs.join(keptIds, "doc_id").persist())
-    // 3. BPE vocabulary induced on the kept corpus; kernel token counts
-    val (merges, _) = Bpe.trainAuto(
-      Bpe.wordFreq(Bpe.docWords(kept, "doc_id", "text")),
-      BpeQueries.BpeMerges)
-    val lhs = merges.map(_.lhs).toArray
-    val rhs = merges.map(_.rhs).toArray
-    val toked = kept
-      .select($"source", $"doc_id",
-        columnOf(graft.plans.BpeDocStats(expressionOf($"text"), lhs, rhs))
-          .as("st"))
-      .select($"source", $"doc_id", element_at($"st", 1).as("nw"),
-        element_at($"st", 2).as("n_toks"))
-      .filter($"nw" > 0).drop("nw")
-    // 4. bigram-LM quality on the kept corpus (q103's int64 proxy)
+    kept.count()
+    // 4. (declared before 3 so its materialization can overlap the BPE
+    // trainer) bigram-LM quality on the kept corpus (q103's int64 proxy)
     val withToks = kept.select($"doc_id", toks($"text").as("t"))
     val grams = withToks.select($"doc_id",
         explode(zip_with(
@@ -118,7 +115,7 @@ object CurationQueries {
     val c12 = grams.groupBy($"g").agg(count(lit(1)).as("c12"))
     val c1 = unigrams.groupBy($"w").agg(count(lit(1)).as("c1"))
     val vocab = unigrams.agg(countDistinct($"w").as("vocab"))
-    val quality = grams.join(c12, "g")
+    val quality = OperatorCaches.register(grams.join(c12, "g")
       .join(c1, $"w1" === $"w")
       .crossJoin(broadcast(vocab))
       .withColumn("term",
@@ -126,6 +123,27 @@ object CurationQueries {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"term").as("ll_proxy"))
       .select($"doc_id", expr("ll_proxy div n_bigrams").as("qs"))
+      .persist())
+    // 3. BPE vocabulary induced on the kept corpus. The trainer's driver
+    // barrier (word-freq collect + local merge induction) and the LM
+    // quality aggregation are independent — both read only the cached
+    // `kept` — so they run concurrently; the statistics stages' combined
+    // wall-clock is max(trainer, LM aggs) instead of their sum.
+    val merges = graft.operators.Clustering.concurrently(Seq(
+      () => Left(Bpe.trainAuto(
+        Bpe.wordFreq(Bpe.docWords(kept, "doc_id", "text")),
+        BpeQueries.BpeMerges)._1),
+      () => Right(quality.count())
+    )).head.swap.getOrElse(sys.error("bpe trainer thunk missing"))
+    val lhs = merges.map(_.lhs).toArray
+    val rhs = merges.map(_.rhs).toArray
+    val toked = kept
+      .select($"source", $"doc_id",
+        columnOf(graft.plans.BpeDocStats(expressionOf($"text"), lhs, rhs))
+          .as("st"))
+      .select($"source", $"doc_id", element_at($"st", 1).as("nw"),
+        element_at($"st", 2).as("n_toks"))
+      .filter($"nw" > 0).drop("nw")
     // 5. budget selection: best-first by (qs DESC, doc_id), BPE weights
     val sel = Sampling.budgetSelect(
       toked.join(quality, "doc_id").select($"doc_id", $"qs", $"n_toks"),

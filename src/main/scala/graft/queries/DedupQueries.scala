@@ -264,26 +264,37 @@ object DedupQueries {
       .join(docs.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
       .filter($"sa" =!= $"sb")
     // edges feed outw, the per-iteration joins, AND the final stats —
-    // persist the (tiny) aggregated frame once
+    // persist the (tiny) aggregated frame once; ew is its weighted-degree
+    // join, reused by all PrIters iterations, so it gets its own cache
     val edges = graft.operators.OperatorCaches.register(
       e0.select($"sa".as("src"), $"sb".as("dst"))
         .unionByName(e0.select($"sb".as("src"), $"sa".as("dst")))
         .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
         .persist())
-    val ew = edges
-      .join(edges.groupBy($"src").agg(sum($"w").as("outw")), "src")
-    val nodes = docs.select($"source").distinct()
-    var pr = nodes.withColumn("pr", lit(PrScale))
+    val ew = graft.operators.OperatorCaches.register(
+      edges.join(edges.groupBy($"src").agg(sum($"w").as("outw")), "src")
+        .persist())
+    // PageRank state collapses to |sources| driver-held longs each round
+    // (the `lloyd` centroid pattern, Clustering.lloyd): every iteration
+    // joins the cached edge frame against a LITERAL pr frame, so
+    // iteration i's plan no longer embeds iterations 1..i-1's lineage —
+    // one shallow collect job per round instead of the ~12-job chain of
+    // re-derived broadcast stages. Driver math is pure int64: `/` on
+    // nonnegative Longs truncates exactly like both engines' `div`/`//`.
+    val sources = docs.select($"source").distinct()
+      .orderBy($"source").as[String].collect().toSeq
+    var prMap: Map[String, Long] = sources.map(_ -> PrScale).toMap
     for (_ <- 1 to PrIters) {
-      val contrib = ew
-        .join(broadcast(pr.select($"source".as("src"), $"pr")), "src")
+      val prDf = prMap.toSeq.toDF("src", "pr")
+      val inflow = ew.join(broadcast(prDf), "src")
         .withColumn("t", expr("pr * w div outw"))
-        .groupBy($"dst".as("source")).agg(sum($"t").as("inflow"))
-      pr = nodes.join(broadcast(contrib), Seq("source"), "left")
-        .select($"source", expr(
-          s"(15 * $PrScale) div 100 + (85 * coalesce(inflow, 0L)) div 100")
-          .as("pr"))
+        .groupBy($"dst").agg(sum($"t").as("inflow"))
+        .as[(String, Long)].collect().toMap
+      prMap = sources.map(src => src ->
+        ((15L * PrScale) / 100L + (85L * inflow.getOrElse(src, 0L)) / 100L))
+        .toMap
     }
+    val pr = sources.map(src => (src, prMap(src))).toDF("source", "pr")
     val stats = edges.groupBy($"src".as("source"))
       .agg(count(lit(1)).as("n_edges"), sum($"w").as("link_w"))
     pr.join(broadcast(stats), Seq("source"), "left")
