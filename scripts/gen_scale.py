@@ -57,6 +57,20 @@ def main():
                range({factor}) c(i)
         ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
 
+    # orders: replicate with key offsets (same rationale as lineitem —
+    # the DML/time-travel queries key on o_orderkey, so fresh keys scale
+    # the merge-on-read work linearly without changing the %-bucket
+    # distributions the change batches select on)
+    omax = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM read_parquet('{SRC}/orders.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+        COPY (
+          SELECT o.* REPLACE (o.o_orderkey + c.i * {omax} AS o_orderkey)
+          FROM read_parquet('{SRC}/orders.parquet') o,
+               range({factor}) c(i)
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+
     # documents: fresh text sampled from the sf0.1 vocabulary
     vocab_sql = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
     ndocs = factor * con.execute(

@@ -434,6 +434,74 @@ object TableQueries {
        |  ${sqlSum("value")} AS price_sum, CAST(1 AS INT) AS feed_files
        |FROM merged GROUP BY 1 ORDER BY kbucket""".stripMargin
 
+  // ── q133: SNAPSHOT-AS-OF READ (time travel) — q52's three-batch DML
+  // history read back at TWO different feed cuts in one result.
+  // `EntityTable.mostRecentAsOf(feedTs)` folds only feed entries with
+  // ts <= feedTs into the base (one pushed-down filter on the delta-sized
+  // feed; base files untouched — cost identical to the live read):
+  //   cut 1: the ts=1 correction puts and the upTo=1 row tombstones are
+  //     visible, the ts=2 late puts are NOT — tombstoned rows are simply
+  //     gone;
+  //   cut 2: the ts=2 puts appear, resurrecting the %10==6 slice of the
+  //     tombstoned rows (late put > upTo mask) — the full live view.
+  // The rollback/debug read the reference's withTimeRange
+  // (KM/impl/HFileWriterContext.java:333-339) hints at but never composes
+  // with DML; the oracle replays both cuts' (key, ts) resolution
+  // relationally. ─────────────────────────────────────────────────────────
+  val q133_read_asof: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val cells = orders.select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("price").as("qualifier"), lit(0L).as("ts"),
+      $"o_totalprice".as("value"))
+    val table = new EntityTable(s, tmpTable("q133", d),
+      TableLayout("orders_asof", Seq(FamilySpec("ord"))))
+    table.bulkLoad(cells, numPartitions = 32)
+    // ×2 / ×4 are exponent bumps: exact in double on both engines.
+    def put(filterMod: Long, ts: Long, factor: Int) =
+      orders.filter($"o_orderkey" % 10 === filterMod).select(
+        $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+        lit("price").as("qualifier"), lit("put").as("op"), lit(ts).as("ts"),
+        ($"o_totalprice" * factor).as("value"))
+    table.appendChanges(put(3L, 1L, 2))
+    table.appendChanges(orders.filter($"o_orderkey" % 7 === 0).select(
+      $"o_orderkey".as("entity_id"), lit(null).cast(StringType).as("family"),
+      lit(null).cast(StringType).as("qualifier"),
+      lit("delete_row").as("op"), lit(1L).as("ts"),
+      lit(null).cast(DoubleType).as("value")))
+    table.appendChanges(put(6L, 2L, 4))
+    def cut(feedTs: Long) = table.mostRecentAsOf(feedTs)
+      .groupBy(($"entity_id" % 10).as("kbucket"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("price_sum"))
+      .withColumn("cut", lit(feedTs))
+    cut(1L).unionByName(cut(2L)).orderBy($"cut", $"kbucket")
+  }
+  val q133_sql: String =
+    s"""WITH m1 AS (
+       |  SELECT o_orderkey AS entity_id,
+       |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS value
+       |  FROM orders WHERE o_orderkey % 7 <> 0
+       |), m2 AS (
+       |  SELECT o_orderkey AS entity_id,
+       |    CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice * 4
+       |         WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS value
+       |  FROM orders
+       |  WHERE o_orderkey % 7 <> 0 OR o_orderkey % 10 = 6
+       |), a1 AS (
+       |  SELECT entity_id % 10 AS kbucket, count(*) AS n,
+       |    ${sqlSum("value")} AS price_sum, CAST(1 AS BIGINT) AS cut
+       |  FROM m1 GROUP BY 1
+       |), a2 AS (
+       |  SELECT entity_id % 10 AS kbucket, count(*) AS n,
+       |    ${sqlSum("value")} AS price_sum, CAST(2 AS BIGINT) AS cut
+       |  FROM m2 GROUP BY 1)
+       |SELECT kbucket, n, price_sum, cut FROM (
+       |  SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+       |ORDER BY cut, kbucket""".stripMargin
+
   // ── q119: snapshot diff — the data-ops scorecard between two corpus
   // versions (SnapshotDiff.diffSummary): every doc_id classified
   // added/removed/changed/unchanged by fingerprint across a full-outer
@@ -492,6 +560,7 @@ object TableQueries {
     "q48_reader_schema" -> q48_reader_schema,
     "q50_incremental_dml" -> q50_incremental_dml,
     "q52_minor_compaction" -> q52_minor_compaction,
+    "q133_read_asof" -> q133_read_asof,
     "q119_snapshot_diff" -> q119_snapshot_diff,
   )
   val oracleSql: Map[String, String] = Map(
@@ -506,6 +575,7 @@ object TableQueries {
     "q48_reader_schema" -> q48_sql,
     "q50_incremental_dml" -> q50_sql,
     "q52_minor_compaction" -> q52_sql,
+    "q133_read_asof" -> q133_sql,
     "q119_snapshot_diff" -> q119_sql,
   )
 }

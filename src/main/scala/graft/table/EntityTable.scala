@@ -136,6 +136,22 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     if (!hasPendingChanges) baseCells
     else Dml.applyChanges(baseCells, pendingChanges)
 
+  /** Snapshot-as-of cell set (time travel): the merged view as it stood
+    * when the change feed was CUT at `feedTs` — only feed entries (puts
+    * AND tombstones) with ts <= feedTs fold into the base; later DML is
+    * invisible. The rollback/debug read the reference's `withTimeRange`
+    * (KM/impl/HFileWriterContext.java:333-339) hints at but never
+    * composes with DML: here the feed already orders changes by their
+    * cell/upTo timestamps, so the cut is one pushed-down filter on the
+    * delta-sized feed — base files are untouched, cost identical to the
+    * live read. `feedTs = Long.MaxValue` IS the live view; the base
+    * itself (pre-DML) is `feedTs` below every feed entry. */
+  def cellsAsOf(feedTs: Long): DataFrame =
+    if (!hasPendingChanges) baseCells
+    else if (feedTs == Long.MaxValue) cells
+    else Dml.applyChanges(baseCells,
+      pendingChanges.filter(col("ts") <= lit(feedTs)))
+
   /** Cells of one locality group: a partition-pruned scan (only that
     * group's file set is read — the reference's point of splitting HFiles
     * per locality group, `KijiHFileOutputFormat.java:122-186`). A table
@@ -400,15 +416,19 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   }
 
   /** Retention-aware filter: family TTL relative to `asOfMicros`
-    * (deterministic analog of "now"), plus an optional request time range. */
-  private def retained(request: DataRequest, asOfMicros: Long): DataFrame = {
+    * (deterministic analog of "now"), plus an optional request time range.
+    * `source` defaults to the live merged view; the as-of reads pass the
+    * feed-cut view instead — every retention/column/reader-spec rule
+    * applies identically to either. */
+  private def retained(request: DataRequest, asOfMicros: Long,
+                       source: DataFrame = null): DataFrame = {
     val ttlCutoffs = layout.families.map { f =>
       f.name -> f.ttlSeconds.map(t => asOfMicros - t * 1000000L).getOrElse(Long.MinValue)
     }
     val ttlExpr = ttlCutoffs.foldLeft(lit(Long.MinValue)) { case (acc, (fam, cut)) =>
       when(col("family") === fam, lit(cut)).otherwise(acc)
     }
-    val base = cells.filter(col("ts") >= ttlExpr)
+    val base = Option(source).getOrElse(cells).filter(col("ts") >= ttlExpr)
     val timeFiltered = request.timeRange match {
       case Some((lo, hi)) => base.filter(col("ts") >= lo && col("ts") < hi)
       case None => base
@@ -454,19 +474,11 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
 
   /** Versioned read: one row per (entity, family, qualifier) with
     * `versions = array<struct<ts, value>>` newest-first, truncated to
-    * min(request.maxVersions, family.maxVersions). */
-  def read(request: DataRequest, asOfMicros: Long = Long.MaxValue): DataFrame = {
-    val famMax = layout.families.foldLeft(lit(Int.MaxValue)) { (acc, f) =>
-      when(col("family") === f.name, lit(f.maxVersions)).otherwise(acc)
-    }
-    retained(request, asOfMicros)
-      .groupBy(col("entity_id"), col("family"), col("qualifier"))
-      .agg(reverse(sort_array(collect_list(struct(col("ts"), col("value"))))).as("all_versions"),
-        first(famMax).as("fam_max"))
-      .select(col("entity_id"), col("family"), col("qualifier"),
-        slice(col("all_versions"), lit(1),
-          least(lit(request.maxVersions), col("fam_max"))).as("versions"))
-  }
+    * min(request.maxVersions, family.maxVersions). The live read IS the
+    * as-of read with the feed uncut ([[cellsAsOf]] short-circuits
+    * `Long.MaxValue` to the plain merged view). */
+  def read(request: DataRequest, asOfMicros: Long = Long.MaxValue): DataFrame =
+    readAsOf(Long.MaxValue, request, asOfMicros)
 
   /** Map-type family view (SURVEY §1.1): one row per (entity, family) with
     * `cells: map<qualifier, versions>` — the dynamic-qualifier shape of the
@@ -484,7 +496,30 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   /** Most-recent cell value — single hash aggregate, map-side combinable. */
   def mostRecent(request: DataRequest = DataRequest(),
                  asOfMicros: Long = Long.MaxValue): DataFrame =
-    retained(request.copy(maxVersions = 1), asOfMicros)
+    mostRecentAsOf(Long.MaxValue, request, asOfMicros)
+
+  /** [[read]] over the [[cellsAsOf]] feed cut — the versioned time-travel
+    * read: version arrays as they stood before any feed entry later than
+    * `feedTs` arrived. Composes with every other read knob (retention,
+    * time range, column pruning, reader specs, asOfMicros TTL clock). */
+  def readAsOf(feedTs: Long, request: DataRequest = DataRequest(),
+               asOfMicros: Long = Long.MaxValue): DataFrame = {
+    val famMax = layout.families.foldLeft(lit(Int.MaxValue)) { (acc, f) =>
+      when(col("family") === f.name, lit(f.maxVersions)).otherwise(acc)
+    }
+    retained(request, asOfMicros, cellsAsOf(feedTs))
+      .groupBy(col("entity_id"), col("family"), col("qualifier"))
+      .agg(reverse(sort_array(collect_list(struct(col("ts"), col("value"))))).as("all_versions"),
+        first(famMax).as("fam_max"))
+      .select(col("entity_id"), col("family"), col("qualifier"),
+        slice(col("all_versions"), lit(1),
+          least(lit(request.maxVersions), col("fam_max"))).as("versions"))
+  }
+
+  /** [[mostRecent]] over the [[cellsAsOf]] feed cut. */
+  def mostRecentAsOf(feedTs: Long, request: DataRequest = DataRequest(),
+                     asOfMicros: Long = Long.MaxValue): DataFrame =
+    retained(request.copy(maxVersions = 1), asOfMicros, cellsAsOf(feedTs))
       .groupBy(col("entity_id"), col("family"), col("qualifier"))
       .agg(max(struct(col("ts"), col("value"))).as("m"))
       .select(col("entity_id"), col("family"), col("qualifier"),

@@ -135,6 +135,42 @@ class TableDmlSpec extends SparkSpec {
     assert(baseFiles == before)
   }
 
+  test("readAsOf: feed cut replays every DML state; MaxValue is the live view") {
+    val dir = tmpDir("asof") + "/t"
+    val table = new EntityTable(spark, dir,
+      TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    // ts=25: correction put; ts=22: row tombstone (masks ts<=22, so the
+    // ts=25 put survives it); ts=30: late put on the tombstoned row
+    table.appendChanges(changesDF(Seq(
+      Dml.put(1L, "info", "email", 25L, "fix@x"))))
+    table.appendChanges(changesDF(Seq(
+      Dml.deleteRow(1L, 22L, null.asInstanceOf[String]))))
+    table.appendChanges(changesDF(Seq(
+      Dml.put(1L, "info", "name", 30L, "Vincent"))))
+    // cut below every feed entry: the pure base
+    assert(keys(table.cellsAsOf(9L)) == keys(
+      spark.createDataFrame(cells.collectAsList(), cells.schema)))
+    // cut at 25: the correction is in, the tombstone (ts 22) also — base
+    // info cells for entity 1 masked, the ts=25 put survives
+    assert(keys(table.cellsAsOf(25L)) == Set(
+      (1L, "info", "email", 25L),
+      (2L, "info", "email", 15L), (2L, "stats", "zip", 1L)))
+    // cut at 30 == live
+    assert(keys(table.cellsAsOf(30L)) == keys(table.cells))
+    assert(keys(table.readAsOf(30L,
+        DataRequest(maxVersions = Int.MaxValue)).select(col("entity_id"),
+        col("family"), col("qualifier"), explode(col("versions")).as("v"))
+      .select(col("entity_id"), col("family"), col("qualifier"),
+        col("v.ts").as("ts"))) == keys(table.cells))
+    // mostRecentAsOf(25): newest surviving version per column at the cut
+    val mr = table.mostRecentAsOf(25L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(4)))
+      .toSet
+    assert(mr == Set((1L, "info", "email", "fix@x"),
+      (2L, "info", "email", "v@x"), (2L, "stats", "zip", "94110")))
+  }
+
   test("multi-file append (numFiles=0) commits atomically; mid-append failure leaves zero feed rows") {
     val dir = tmpDir("morAtomic") + "/t"
     val layout = TableLayout("t", Seq(
