@@ -141,8 +141,15 @@ object Clustering {
     * per-cell pair cost is bounded by ~cap² regardless of skew, at the
     * recall cost of cross-cell pairs inside giant clusters (the same
     * trade the LSH band split makes, and empty for every cluster under
-    * the cap, where width = 1 and cell = 0). The hash is the portable
-    * md5-prefix (`hash28`), so a SQL oracle replays the split exactly.
+    * the cap, where width = 1 and cell = 0). MEASURED recall loss
+    * (ClusteringSpec "measured recall loss"): on the pathological
+    * one-cluster corpus of 100 duplicated pairs with cap=16 (width 13),
+    * capped recall is 0.080 (8/100) vs uncapped 1.0 — matching the
+    * 1/width model exactly; a duplicate pair survives the split only
+    * when both members hash into the same subcell, so recall inside a
+    * GIANT cluster degrades as cap/|cluster| while every under-cap
+    * cluster keeps recall 1.0. The hash is the portable md5-prefix
+    * (`hash28`), so a SQL oracle replays the split exactly.
     * Returns `(vid, cluster, cell)`. */
   def subcells(assign: DataFrame, cap: Long, salt: String): DataFrame = {
     require(cap > 0, s"clusterCap must be positive: $cap")

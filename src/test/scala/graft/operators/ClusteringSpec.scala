@@ -266,6 +266,44 @@ class ClusteringSpec extends SparkSpec {
     assert(pruned.forall { case (p, keeper) => keeper < p })
   }
 
+  test("semDedup skew guard: measured recall loss on a pathological corpus") {
+    // 100 distinct directions, each DUPLICATED once (cos = 1 within a
+    // pair, < threshold across pairs), forced into ONE cluster (k = 1):
+    // the uncapped join finds every pair (recall 1.0, quadratic cost);
+    // the capped join only finds pairs whose two members hash into the
+    // same subcell — expected recall 1/width for width = ceil(n/cap)
+    // subcells, the documented trade (cost bounded by ~cap^2 per cell).
+    // The hash placement is deterministic (md5 of vid + salt), so the
+    // measured recall is a REPRODUCIBLE number, recorded in the
+    // `subcells` scaladoc.
+    val nPairs = 100
+    val cap = 16L
+    val rnd = new scala.util.Random(42)
+    val dirs = Seq.fill(nPairs)(Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val vecs = dirs.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v), (2L * i + 1, v))
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    def prunedSet(c: Long) = Clustering.semDedup(vecs, "vec_id", "embedding",
+        k = 1, iters = 1, minCosine = 0.9999, clusterCap = c)
+      .collect().map(_.getLong(1)).toSet
+    val uncapped = prunedSet(1L << 30) // cap >> n: width 1, no split
+    val capped = prunedSet(cap)
+    graft.operators.OperatorCaches.releaseAll()
+    // uncapped = perfect recall: exactly one pruned vector per pair
+    assert(uncapped.size == nPairs)
+    // capped finds ONLY a subset of the uncapped prunes (never extras)
+    assert(capped.subsetOf(uncapped))
+    val width = (2 * nPairs + cap - 1) / cap // 13 subcells
+    val recall = capped.size.toDouble / uncapped.size
+    // expected recall ~ 1/width (0.077): assert the measured value sits
+    // within a factor of 2 of the model — close to full recall would mean
+    // the guard isn't splitting, near zero would mean it's broken
+    assert(recall >= 0.5 / width && recall <= 2.0 / width,
+      s"measured recall $recall outside [${0.5 / width}, ${2.0 / width}]")
+    info(f"measured recall $recall%.3f (${capped.size}/${uncapped.size}, width $width)")
+  }
+
   test("semDedup with an unreachable threshold prunes nothing") {
     val out = Clustering.semDedup(blobs, "vec_id", "embedding",
       k = 3, iters = 2, minCosine = 1.1)
