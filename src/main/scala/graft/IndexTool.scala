@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm}
+
+/** The build-once/serve-many index tier behind the CLI facade: one
+  * `index-build` / `index-serve` verb pair over every persistable
+  * artifact the engine trains — LSH banded signatures, the IVF coarse
+  * codebook, PQ codes+codebooks, the BPE merge list, the BM25 inverted
+  * index, and the unigram-LM vocabulary. Until round 11 these artifacts
+  * were reachable only from query code (q106/q110/q111/q112/q114/q132);
+  * this makes the persistence contract usable operationally, with the
+  * same input/output spec dispatch as every other verb
+  * (`Formats.read` / `Tool.writeOutput`).
+  *
+  * Contract per type (serve parameters must match build where noted —
+  * the caller owns that, exactly like a search index):
+  *
+  *  - `lsh`: build = shingle-hash docs → banded signatures → parquet.
+  *    serve = a delta batch probed against the LOADED index
+  *    (`incrementalLshPairsIndexed`; num-hashes/bands must match).
+  *  - `ivf`: build = k-means coarse codebook lanes. serve = the IVF
+  *    probe search (`Similarity.knnIvfWith`) for query rows
+  *    id < max-query-id of the input batch.
+  *  - `pq`: build = product-quantizer fit (codes + codebooks). serve =
+  *    ADC top-k (`pqSearchIndex`; dim/m must match).
+  *  - `bpe`: build = merge-list induction. serve = kernel token stats
+  *    per input doc (`BpeDocStats`).
+  *  - `bm25`: build = the four inverted-index artifacts. serve = ranked
+  *    retrieval of the input query docs' terms (`bm25Ranked`).
+  *  - `unigram`: build = hard-EM vocabulary. serve = Viterbi kernel
+  *    stats per input doc (`UnigramDocStats`).
+  *
+  * The reference ships its MapReduce jobs through the same one-CLI
+  * pattern (`KM/tools/KijiGather.java`); an index tier is the analog for
+  * trained artifacts.
+  */
+object IndexTool {
+
+  val Types: Set[String] = Set("lsh", "ivf", "pq", "bpe", "bm25", "unigram")
+
+  private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
+    val id = flags.getOrElse("id-col", "doc_id")
+    val text = flags.getOrElse("text-col", "text")
+    df.select(col(id).cast(LongType).as("doc_id"), col(text).as("text"))
+  }
+
+  private def embOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
+    val id = flags.getOrElse("id-col", "vec_id")
+    val vec = flags.getOrElse("vec-col", "embedding")
+    df.select(col(id).cast(LongType).as("vec_id"), col(vec).as("embedding"))
+  }
+
+  private def shingled(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    docs.select(col("doc_id").as("id"),
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf(col("text")), n, 7)).as("ghash"))
+  }
+
+  /** CLI tokenizer for the bm25 tier: `Bpe.docWords`' split (lowercase,
+    * runs of non-alphanumerics), one row per token occurrence. */
+  private def terms(docs: DataFrame): DataFrame =
+    Bpe.docWords(docs, "doc_id", "text").select(col("doc_id"),
+      col("word").as("term"))
+
+  def build(spark: SparkSession, tpe: String, input: DataFrame,
+            path: String, flags: Map[String, String]): Unit = {
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    tpe match {
+      case "lsh" =>
+        Dedup.saveLshIndex(Dedup.bandedSignatures(
+          shingled(docsOf(input, flags), num("shingle-n", 3)),
+          num("num-hashes", 28), num("bands", 4)), path)
+      case "ivf" =>
+        Clustering.saveIvfCodebook(Clustering.ivfCoarseLanes(
+          embOf(input, flags), "vec_id", "embedding",
+          num("centroids", 64), num("iters", Similarity.IvfCoarseIters)), path)
+      case "pq" =>
+        Clustering.savePqIndex(Clustering.pqFit(embOf(input, flags),
+          "vec_id", "embedding", num("dim", 64), num("m", 8),
+          num("k", 16), num("iters", 2)), path)
+      case "bpe" =>
+        val (merges, _) = Bpe.trainAuto(
+          Bpe.wordFreq(Bpe.docWords(docsOf(input, flags), "doc_id", "text")),
+          num("merges", 6))
+        Bpe.saveMerges(merges, spark, path)
+      case "bm25" =>
+        Retrieval.saveBm25Index(
+          Retrieval.buildBm25Index(terms(docsOf(input, flags))), path)
+      case "unigram" =>
+        UnigramLm.saveVocab(UnigramLm.trainLocal(
+          Bpe.wordFreq(Bpe.docWords(docsOf(input, flags), "doc_id", "text"))),
+          spark, path)
+      case other => throw new IllegalArgumentException(
+        s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
+    }
+  }
+
+  def serve(spark: SparkSession, tpe: String, input: DataFrame,
+            path: String, flags: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    def dbl(k: String, dflt: Double): Double =
+      flags.get(k).map(_.toDouble).getOrElse(dflt)
+    tpe match {
+      case "lsh" =>
+        Dedup.incrementalLshPairsIndexed(
+            shingled(docsOf(input, flags), num("shingle-n", 3)),
+            Dedup.loadLshIndex(spark, path),
+            num("num-hashes", 28), num("bands", 4), dbl("threshold", 0.6))
+          .orderBy(col("new_doc"), col("dup_of"))
+      case "ivf" =>
+        Similarity.knnIvfWith(embOf(input, flags), "vec_id", "embedding",
+            Clustering.loadIvfCodebook(spark, path),
+            num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "pq" =>
+        Clustering.pqSearchIndex(Clustering.loadPqIndex(spark, path),
+            embOf(input, flags), "vec_id", "embedding",
+            num("dim", 64) / num("m", 8), num("max-query-id", 20).toLong,
+            num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "bpe" =>
+        val merges = Bpe.loadMerges(spark, path)
+        val lhs = merges.map(_.lhs).toArray
+        val rhs = merges.map(_.rhs).toArray
+        docsOf(input, flags)
+          .select(col("doc_id"),
+            columnOf(graft.plans.BpeDocStats(expressionOf(col("text")),
+              lhs, rhs)).as("st"))
+          .select(col("doc_id"), element_at(col("st"), 1).as("n_words"),
+            element_at(col("st"), 2).as("n_tokens"),
+            element_at(col("st"), 3).as("max_tok_len"))
+          .orderBy(col("doc_id"))
+      case "bm25" =>
+        val idx = Retrieval.loadBm25Index(spark, path)
+        val queryTerms = terms(docsOf(input, flags)).distinct()
+          .select(col("doc_id").as("q_id"), col("term"))
+        Retrieval.bm25Ranked(queryTerms, idx, dbl("k1", 1.2), dbl("b", 0.75),
+            flags.get("scale").map(_.toLong).getOrElse(1048576L))
+          .where(col("rank") <= num("topk", 5))
+          .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
+            col("score"))
+          .orderBy(col("q_id"), col("rank"))
+      case "unigram" =>
+        val vocab = UnigramLm.loadVocab(spark, path)
+        docsOf(input, flags)
+          .select(col("doc_id"),
+            columnOf(graft.plans.UnigramDocStats(expressionOf(col("text")),
+              vocab.pieceArr, vocab.costArr, vocab.unkCost)).as("st"))
+          .select(col("doc_id"), element_at(col("st"), 1).as("n_words"),
+            element_at(col("st"), 2).as("n_tokens"),
+            element_at(col("st"), 3).as("total_cost"))
+          .orderBy(col("doc_id"))
+      case other => throw new IllegalArgumentException(
+        s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
+    }
+  }
+}

@@ -122,6 +122,28 @@ object Tool {
       return result
     }
 
+    // `index-build` / `index-serve`: the build-once/serve-many index tier
+    // (LSH / IVF / PQ / BPE / BM25 / unigram) through the CLI facade —
+    // see [[IndexTool]] for the per-type contract. Build trains from the
+    // input spec and persists the artifact at --path; serve loads the
+    // artifact and runs the type's query/encode path over the input spec,
+    // writing through the standard output spec dispatch.
+    if (verb == "index-build" || verb == "index-serve") {
+      val tpe = flag("type")
+      val path = flag("path")
+      val input = Formats.read(spark, flag("input"))
+      val start = System.currentTimeMillis()
+      if (verb == "index-build") IndexTool.build(spark, tpe, input, path, flags)
+      else writeOutput(IndexTool.serve(spark, tpe, input, path, flags),
+        flag("output"))
+      val result = JobResult(java.util.UUID.randomUUID().toString,
+        flags.getOrElse("name", s"$verb-$tpe"), start,
+        System.currentTimeMillis(), "SUCCEEDED", Map.empty, None)
+      flags.get("history").foreach(p => new JobHistory(spark, p).record(result,
+        Map("type" -> tpe, "path" -> path)))
+      return result
+    }
+
     // `describe`: operational table stats — base file set, pending
     // change-feed occupancy (files + rows awaiting a fold), locality
     // grouping. The feed numbers are the signal for scheduling
@@ -288,6 +310,11 @@ object Tool {
       |   | graft.Tool describe --table=<path> [--layout=<layout.json>]
       |       [--minor-compact-over=N]
       |   | graft.Tool job-history --history=<dir> [--job-id=<id>]
+      |   | graft.Tool index-build --type=<lsh|ivf|pq|bpe|bm25|unigram>
+      |       --input="format=..." --path=<dir> [type knobs: --shingle-n --num-hashes
+      |       --bands --centroids --iters --dim --m --k --merges --id-col --text-col --vec-col]
+      |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
+      |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
       |  --input="format=<text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]"

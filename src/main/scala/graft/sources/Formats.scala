@@ -44,6 +44,10 @@ object Formats {
       throw new IllegalArgumentException(s"spec missing file=: '$spec'"))
     kv.getOrElse("format",
       throw new IllegalArgumentException(s"spec missing format=: '$spec'")) match {
+      // the engine's native columnar format (beyond the reference's
+      // input list, which predates columnar storage) — the index-tier
+      // verbs read their corpora/batches this way
+      case "parquet" => spark.read.parquet(file)
       case "text" => readText(spark, file)
       case "csv" => readCsv(spark, file,
         header = kv.getOrElse("header", "true").toBoolean,

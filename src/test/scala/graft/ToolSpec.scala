@@ -406,4 +406,106 @@ class ToolSpec extends SparkSpec {
       graft.sources.Formats.read(spark, "format=htable table=whatever"))
     assert(e.getMessage.contains("out of scope"))
   }
+
+  test("CLI index tier: build/serve round-trips one artifact per type") {
+    import spark.implicits._
+    val base = tmpDir("idxtool")
+    // tiny document corpus with an exact near-dup pair (doc 0 == doc 5)
+    val docs = Seq(
+      (0L, "spark join hash table scan"), (1L, "row batch filter merge"),
+      (2L, "slow order vector line"), (3L, "spark join hash data"),
+      (4L, "group part sort query fast"), (5L, "spark join hash table scan"),
+      (6L, "key value stream window"), (7L, "the big small column agg"))
+      .toDF("doc_id", "text")
+    val docsPath = s"$base/docs"
+    docs.write.parquet(docsPath)
+    val docsIn = s"format=parquet file=$docsPath"
+    // embeddings: 8 dims, 12 vectors, vec 1 duplicates vec 11's direction
+    val emb = (0L until 12L).map { i =>
+      (i, (0 until 8).map(j =>
+        if (i == 11L) (if (j == (1 % 8)) 1f else 0.1f)
+        else (if (j == (i % 8).toInt) 1f else 0.1f)))
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val embPath = s"$base/emb"
+    emb.write.parquet(embPath)
+    val embIn = s"format=parquet file=$embPath"
+
+    def serve(tpe: String, path: String, in: String, extra: String*): Seq[Row] = {
+      val out = s"$base/out-$tpe"
+      val r = Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$path", s"--input=$in",
+        s"--output=format=parquet file=$out") ++ extra)
+      assert(r.status == "SUCCEEDED")
+      spark.read.parquet(out).collect().toSeq
+    }
+
+    // lsh: corpus index minus docs 0/5, probed with the doc-0/5 slice
+    val lshPath = s"$base/lsh"
+    assert(Tool.run(spark, Array("index-build", "--type=lsh",
+      s"--path=$lshPath", s"--input=$docsIn", "--shingle-n=2"))
+      .status == "SUCCEEDED")
+    // serving the whole corpus against its own index: the 0<->5 dup pair
+    // must surface in both directions
+    val lshRows = serve("lsh", lshPath, docsIn, "--shingle-n=2",
+      "--threshold=0.9")
+    assert(lshRows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSet.intersect(Set((0L, 5L), (5L, 0L))).size == 2)
+
+    // ivf: codebook + search — every query gets topk ranked neighbors
+    val ivfPath = s"$base/ivf"
+    assert(Tool.run(spark, Array("index-build", "--type=ivf",
+      s"--path=$ivfPath", s"--input=$embIn", "--centroids=4"))
+      .status == "SUCCEEDED")
+    val ivfRows = serve("ivf", ivfPath, embIn, "--max-query-id=3", "--topk=2")
+    assert(ivfRows.nonEmpty &&
+      ivfRows.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L)))
+
+    // pq: codes+codebooks + ADC search
+    val pqPath = s"$base/pq"
+    assert(Tool.run(spark, Array("index-build", "--type=pq",
+      s"--path=$pqPath", s"--input=$embIn", "--dim=8", "--m=2", "--k=4"))
+      .status == "SUCCEEDED")
+    val pqRows = serve("pq", pqPath, embIn, "--dim=8", "--m=2",
+      "--max-query-id=3", "--topk=2")
+    assert(pqRows.nonEmpty &&
+      pqRows.forall(_.getAs[Number](1).longValue <= 2L))
+
+    // bpe: merge list + kernel token stats (identical docs -> identical
+    // stats)
+    val bpePath = s"$base/bpe"
+    assert(Tool.run(spark, Array("index-build", "--type=bpe",
+      s"--path=$bpePath", s"--input=$docsIn", "--merges=4"))
+      .status == "SUCCEEDED")
+    val bpeRows = serve("bpe", bpePath, docsIn)
+    assert(bpeRows.size == 8)
+    val bpeBy = bpeRows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bpeBy(0L) == bpeBy(5L))
+
+    // bm25: four artifacts + ranked retrieval — doc 0's top hit is its
+    // verbatim duplicate 5 (and vice versa)
+    val bmPath = s"$base/bm25"
+    assert(Tool.run(spark, Array("index-build", "--type=bm25",
+      s"--path=$bmPath", s"--input=$docsIn")).status == "SUCCEEDED")
+    val bmRows = serve("bm25", bmPath, docsIn, "--topk=2")
+    val top = bmRows.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top(0L) == 5L && top(5L) == 0L)
+
+    // unigram: vocabulary + Viterbi kernel stats
+    val ugPath = s"$base/unigram"
+    assert(Tool.run(spark, Array("index-build", "--type=unigram",
+      s"--path=$ugPath", s"--input=$docsIn")).status == "SUCCEEDED")
+    val ugRows = serve("unigram", ugPath, docsIn)
+    assert(ugRows.size == 8)
+    val ugBy = ugRows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ugBy(0L) == ugBy(5L))
+
+    // unknown type fails loudly
+    val e = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-build", "--type=nope", s"--path=$base/x",
+        s"--input=$docsIn")))
+    assert(e.getMessage.contains("unknown index type"))
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }
