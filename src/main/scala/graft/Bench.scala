@@ -18,9 +18,28 @@ import org.apache.spark.sql.SparkSession
   * print directly to stderr and are unaffected.
   */
 object Bench {
+  /** The driver-contract corpus. Only full-board runs at THIS sf dir
+    * stamp the round archive — a scaled-corpus run would otherwise
+    * poison the next round's 1.5x regression reference with
+    * wrong-scale timings. */
+  val DefaultSfDir = "/root/testdata/sf0.1"
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Pre-run contention gate: loadavg sampled BEFORE the SparkSession
+    // exists — the session build + 32-way warmup jobs push the 1-min
+    // loadavg by 1-3 on their own, so a post-warmup sample would flag a
+    // CLEAN box as contended (the exact misclassification the gate is
+    // for). A run started on a busy box is FLAGGED in the artifact
+    // metadata so round-over-round comparisons know to distrust this
+    // round's drift (r10 saw ~15 unchanged queries drift +30-80% under
+    // load_max 6.87).
+    val loadStart: Double =
+      (try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").headOption
+      catch { case _: Throwable => None })
+        .flatMap(f => scala.util.Try(f.toDouble).toOption).getOrElse(-1.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,13 +72,6 @@ object Bench {
     def loadavg1: Double =
       loadavgFields.headOption
         .flatMap(f => scala.util.Try(f.toDouble).toOption).getOrElse(-1.0)
-    // Pre-run contention gate: loadavg sampled BEFORE any query runs. A
-    // run started on a busy box (load > ~2 with 32 cpus idle-expected)
-    // is FLAGGED in the artifact metadata — round-over-round comparisons
-    // then know to distrust drift in this round's numbers instead of
-    // mistaking host contention for code regressions (r10 saw ~15
-    // unchanged queries drift +30-80% under load_max 6.87).
-    val loadStart = loadavg1
     // This round's number: one past the newest driver-committed
     // BENCH_r*.json. Used to stamp the archived per-query map so future
     // rounds diff against committed history, not the truncated ~2KB tail.
@@ -182,8 +194,13 @@ object Bench {
       .map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val loadGate = if (loadStart > 2.0) "contended" else "clean"
+    // Round archive only for full-board runs at the contract corpus —
+    // subset runs would plant a partial map, scaled-corpus runs
+    // wrong-scale timings (load_gate rides inside the line, so a
+    // contended archive is at least self-describing).
     val archive =
-      if (only.isEmpty) s"bench_out_r$round.json" else "bench_out.json"
+      if (only.isEmpty && sfDir == DefaultSfDir) s"bench_out_r$round.json"
+      else "bench_out.json"
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"round":$round,"load_start":${fmt(loadStart)},"load_gate":"$loadGate","retimed":$retimedJson,"loadavg":"$loadavg","load_max":$loadMax,"load_mean":$loadMean,"queries":$qs,"total":${fmt(total)},"slowest":$slowest,"queries_file":"$archive"}"""
     println(line)
     // Belt-and-braces: the same line as file artifacts, immune to stdout

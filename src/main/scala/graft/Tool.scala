@@ -315,7 +315,7 @@ object Tool {
       |       --bands --centroids --iters --dim --m --k --merges --id-col --text-col --vec-col]
       |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
-      |  --input="format=<text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
+      |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]"
       |  --output="format=<parquet|text|csv|json|seq|avro|avrokv|map> file=... [splits=N]"

@@ -159,17 +159,25 @@ object Bpe {
     if (res != 0) res else Integer.compare(a.length - i, b.length - j)
   }
 
-  def trainLocal(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) = {
-    require(merges > 0, s"merges must be positive: $merges")
-    val spark = wordFreq.sparkSession
-    import spark.implicits._
+  /** The guarded word-freq collect both local trainers (BPE and
+    * [[UnigramLm.trainLocal]]) share: cap-checked, decoded, sorted by
+    * word — one definition so the cap and the collect contract can
+    * never drift between the tokenizers. */
+  private[operators] def collectWordFreq(wordFreq: DataFrame): Array[(String, Long)] = {
     val collected = wordFreq
       .select(col("word").cast("string"), col("freq").cast("long"))
       .limit(MaxLocalWords + 1).collect()
     require(collected.length <= MaxLocalWords,
       s"word set exceeds $MaxLocalWords rows — a vocabulary this large " +
         "should use the distributed trainer (Bpe.train)")
-    val words = collected.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    collected.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+  }
+
+  def trainLocal(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) = {
+    require(merges > 0, s"merges must be positive: $merges")
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val words = collectWordFreq(wordFreq)
     // split by CODE POINTS, not UTF-16 chars: the distributed trainer's
     // charTokens uses Spark substring (code-point semantics), and a raw
     // char map would shatter supplementary-plane characters into

@@ -109,13 +109,10 @@ object UnigramLm {
     * E-step's raw counts; costs are the M-step surprisals a server
     * segments with. */
   def trainLocal(wordFreq: DataFrame): Vocab = {
-    val collected = wordFreq
-      .select(col("word").cast("string"), col("freq").cast("long"))
-      .limit(Bpe.MaxLocalWords + 1).collect()
-    require(collected.length <= Bpe.MaxLocalWords,
-      s"word set exceeds ${Bpe.MaxLocalWords} rows — aggregate further " +
-        "before unigram training")
-    val words = collected.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val words = Bpe.collectWordFreq(wordFreq)
+    require(words.nonEmpty,
+      "unigram training needs a non-empty corpus: the input produced " +
+        "zero [a-z0-9]+ words (empty texts, or a wrong text column?)")
 
     // seed: every substring up to MaxPieceLen, overlapping starts counted
     val subCnt = scala.collection.mutable.HashMap.empty[String, Long]

@@ -89,15 +89,15 @@ object UnigramDocStats {
       val w = words(wi)
       if (w.nonEmpty) {
         nWords += 1
-        val chose = viterbi(w, vocab, maxPieceLen, unkCost)
-        // fold the backtrack: chose(j) = length of the piece ending at j
+        val (chose, cost) = viterbi(w, vocab, maxPieceLen, unkCost)
+        // the forward pass already holds the word's total cost; the
+        // backtrack only counts pieces (chose(j) = length of the piece
+        // ending at j) — no per-piece lookups in the scan hot path
+        totCost += cost(w.length)
         var j = w.length
         while (j > 0) {
           nToks += 1
-          val from = j - chose(j)
-          val c = vocab.get(w.substring(from, j))
-          totCost += (if (c != null) c.longValue else unkCost)
-          j = from
+          j -= chose(j)
         }
       }
       wi += 1
@@ -117,7 +117,7 @@ object UnigramDocStats {
     * smoothed count-zero surprisal), so segmentation totality never
     * depends on corpus coverage. */
   def viterbi(word: String, vocab: java.util.HashMap[String, java.lang.Long],
-              maxPieceLen: Int, unkCost: Long): Array[Int] = {
+              maxPieceLen: Int, unkCost: Long): (Array[Int], Array[Long]) = {
     val len = word.length
     val cost = new Array[Long](len + 1)
     val np = new Array[Long](len + 1)
@@ -149,14 +149,14 @@ object UnigramDocStats {
       chose(j) = bl
       j += 1
     }
-    chose
+    (chose, cost)
   }
 
   /** The segmentation itself (training E-step side): pieces in word
     * order, derived from the same forward pass as [[docStats]]. */
   def segment(word: String, vocab: java.util.HashMap[String, java.lang.Long],
               maxPieceLen: Int, unkCost: Long): Array[String] = {
-    val chose = viterbi(word, vocab, maxPieceLen, unkCost)
+    val (chose, _) = viterbi(word, vocab, maxPieceLen, unkCost)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var j = word.length
     while (j > 0) {
