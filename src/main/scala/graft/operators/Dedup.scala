@@ -80,20 +80,29 @@ object Dedup {
     * rows with log(n) keeps n²·j_bg^rows ≈ n·target, i.e. candidates
     * LINEAR: each +1 row divides background collisions by 1/j_bg ≥ 4
     * (the conservative bound this ladder uses), so rows is the smallest
-    * r in [4, 7] with n ≤ 8·4^r. The floor keeps small-corpus recall
-    * identical to the historical fixed shape (r=4 up to 2048 docs); the
-    * cap is the int64 band-key bound (rows ≤ 7). Past the cap, longer
-    * grams (lower j_bg) are the next knob — rows and gram length trade
-    * against threshold-edge recall on the standard S-curve
-    * 1-(1-j^rows)^bands; exact duplicates (j≈1) are found at ANY rows.
+    * r in [4, MaxLshRows] with n ≤ 8·4^r. The floor keeps small-corpus
+    * recall identical to the historical fixed shape (r=4 up to 2048
+    * docs); the top is [[MaxLshRows]] (the modular band key removed the
+    * old int64 cap of 7). Past the top, longer grams (lower j_bg) are
+    * the next knob — rows and gram length trade against threshold-edge
+    * recall on the standard S-curve 1-(1-j^rows)^bands; exact
+    * duplicates (j≈1) are found at ANY rows.
     */
+  /** Ladder top. Was 7 (the exact-int64 polynomial band key's limit)
+    * until round 11; the modular band-key fold ([[bandKeyStructs]])
+    * removed that cap, so the ladder now keeps tightening to 12 rows —
+    * corpora past 131072 docs (where 7 rows saturated and candidate mass
+    * went quadratic, measured on the 25×/50× scale corpora) get 8..12
+    * rows and keep candidates/doc bounded. */
+  val MaxLshRows = 12
+
   def lshRowsFor(n: Long): Int =
-    (4 to 7).find(r => n <= (8L << (2 * r))).getOrElse(7)
+    (4 to MaxLshRows).find(r => n <= (8L << (2 * r))).getOrElse(MaxLshRows)
 
   /** DuckDB mirror of [[lshRowsFor]] over a COUNT expression. */
   def sqlLshRowsFor(nExpr: String): String =
-    (4 until 7).map(r => s"WHEN $nExpr <= ${8L << (2 * r)} THEN $r")
-      .mkString("CASE ", " ", " ELSE 7 END")
+    (4 until MaxLshRows).map(r => s"WHEN $nExpr <= ${8L << (2 * r)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE $MaxLshRows END")
 
   def minhashLshPairs(gramsDf: DataFrame, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
@@ -105,14 +114,26 @@ object Dedup {
       numHashes, bands, threshold)
   }
 
+  /** Modulus of the band-key fold: keeps the polynomial inside int64 for
+    * ANY rows-per-band (acc < 2^50 → acc·31 + mh < 2^55 + 2^31, exact in
+    * both engines; DuckDB's `%` on nonnegatives == Spark's pmod). A
+    * modular collision across keys only ADDS a candidate pair, which the
+    * exact-Jaccard rerank filters identically in both engines — the same
+    * argument the cross-band polynomial collisions always relied on. */
+  val BandKeyMod: Long = 1L << 50
+
   /** The per-band (band, bkey) structs for a signature column `sig`.
-    * Band key = base-31 polynomial of the band's minhash rows: an 8-byte
-    * LONG shuffle key; exact in int64 for rows <= 7 (minhashes < 2^31). */
+    * Band key = base-31 polynomial of the band's minhash rows, folded
+    * mod [[BandKeyMod]]: an 8-byte LONG shuffle key for ANY rows per
+    * band (the pre-round-11 unreduced polynomial was exact only to 7
+    * rows, which CAPPED the [[lshRowsFor]] ladder — at 131072+ docs the
+    * saturated ladder made candidate mass quadratic). */
   private def bandKeyStructs(bands: Int, rows: Int): Seq[Column] =
     (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (b * rows until (b + 1) * rows)
-          .foldLeft(lit(0L))((acc, j) => acc * 31 + element_at(col("sig"), j + 1))
+          .foldLeft(lit(0L))((acc, j) =>
+            pmod(acc * 31 + element_at(col("sig"), j + 1), lit(BandKeyMod)))
           .as("bkey"))
     }
 
@@ -125,7 +146,8 @@ object Dedup {
                        bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    require(rows <= 7, s"rows per band must be <= 7 for an exact int64 band key, got $rows")
+    require(rows <= MaxLshRows,
+      s"rows per band above the ladder top $MaxLshRows: $rows")
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     hashedGrams.select(col("id"), col("ghash"))
       .withColumn("sig", columnOf(graft.plans.MinhashSignature(
@@ -162,16 +184,15 @@ object Dedup {
         .withColumn("sig", columnOf(graft.plans.MinhashSignature(
           expressionOf(col("ghash")), numHashes)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // Band-key magnitude: minhashes are < 2^31 (mod P), so after r
-    // polynomial steps the key is < 2^31·31^(r-1) — exact in int64 only
-    // for r ≤ 7 rows per band. The LONG band key (instead of round 3's
-    // concat_ws string) means a smaller exchange and cheaper
-    // hash-partitioning; the oracle reproduces the identical integer. A
-    // polynomial collision across bands only adds a candidate pair, which
-    // the exact-Jaccard rerank then filters identically in both engines.
-    // An empty gram set has a null signature (array_min semantics) ->
-    // null band keys -> never joins, in both engines.
-    require(rows <= 7, s"rows per band must be <= 7 for an exact int64 band key, got $rows")
+    // Band-key magnitude: the mod-2^50 fold (BandKeyMod) keeps the
+    // polynomial in int64 for any ladder rows; the oracle reproduces the
+    // identical integer. A fold collision across keys only adds a
+    // candidate pair, which the exact-Jaccard rerank then filters
+    // identically in both engines. An empty gram set has a null
+    // signature (array_min semantics) -> null band keys -> never joins,
+    // in both engines.
+    require(rows <= MaxLshRows,
+      s"rows per band above the ladder top $MaxLshRows: $rows")
     // The band rows CARRY the gram-hash arrays: the per-bucket self-join
     // shuffles |docs|·bands array rows (megabytes), and the exact-Jaccard
     // rerank runs inline on the join output — the alternative (distinct
@@ -205,9 +226,45 @@ object Dedup {
       least(size(col("a.ghash")), size(col("b.ghash"))).cast(DoubleType) /
         greatest(size(col("a.ghash")), size(col("b.ghash"))).cast(DoubleType) >=
         threshold
-    banded.as("a")
-      .join(banded.as("b"),
+    // Bucket-skew guard: the self-join's cost is Σ|bucket|² and Spark
+    // puts ONE (band, bkey) bucket on ONE task — a single degenerate
+    // bucket (25× scaling run: 5553 short near-identical docs in one
+    // bucket = 15.4M of the corpus's 37.8M candidate pairs) serializes
+    // the whole query behind one straggler (measured 89× at 25× before
+    // this guard). Tile every over-cap bucket into nc = ceil(|bucket|/cap)
+    // deterministic hash cells and join on (band, bkey, ta, tb): side a
+    // keeps its cell as ta and explodes all partner cells tb, side b the
+    // mirror — each (cell_a, cell_b) combination meets in EXACTLY one
+    // tile, so the output pair set is IDENTICAL (no recall trade, unlike
+    // the SemDeDup subcell guard — the oracles never see this) while the
+    // widest task shrinks from |bucket|² to ~cap² pairs. Replication is
+    // nc× per side INSIDE over-cap buckets only; the ubiquitous nc = 1
+    // bucket explodes a 1-element sequence — same single row as before.
+    // The bucket census is one count-window over the band shuffle the
+    // join needs anyway.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    // null band keys (empty gram sets) can never join — drop them BEFORE
+    // the census so a corpus of many empty docs doesn't pool into one
+    // giant null bucket and explode nc copies of dead rows
+    val withCell = banded.filter(col("bkey").isNotNull)
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .withColumn("nc",
+        expr(s"cast((bsz + ${LshBucketCap - 1}) div $LshBucketCap as int)"))
+      .withColumn("cell", (hash28(concat(lit("lshtile"),
+        col("id").cast("string"))) % col("nc")).cast("int"))
+    val aSide = withCell
+      .select(col("id"), col("ghash"), col("band"), col("bkey"),
+        col("cell").as("ta"),
+        explode(sequence(lit(0), col("nc") - 1)).as("tb"))
+    val bSide = withCell
+      .select(col("id"), col("ghash"), col("band"), col("bkey"),
+        explode(sequence(lit(0), col("nc") - 1)).as("ta"),
+        col("cell").as("tb"))
+    aSide.as("a")
+      .join(bSide.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.ta") === col("b.ta") && col("a.tb") === col("b.tb") &&
           col("a.id") < col("b.id") && sizeRatioOk)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         (inter.cast(DoubleType) /
@@ -215,6 +272,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .distinct()
   }
+
+  /** Per-bucket pairing width the tiled LSH self-join targets: the widest
+    * task verifies ~cap² candidate pairs regardless of bucket skew. */
+  val LshBucketCap: Long = 512L
 
   /** Incremental (delta-vs-corpus) near-dup detection — the production
     * ingestion pattern: a NEW batch is deduped against the already-indexed

@@ -36,7 +36,8 @@ object DedupQueries {
   val JaccardThreshold = 0.8
 
   /** Corpus-scaled signature length: bands × lshRowsFor(n) — rows per
-    * band grow 4 → 7 with the corpus (Dedup.lshRowsFor), which keeps
+    * band grow 4 → Dedup.MaxLshRows with the corpus (Dedup.lshRowsFor),
+    * which keeps
     * background-similarity band collisions linear in n instead of
     * quadratic. At the sf0.01 correctness corpus the ladder sits at its
     * floor (rows = 4, K = 16), so small-corpus outputs are identical to
@@ -203,16 +204,18 @@ object DedupQueries {
     // indexed by j (K-independent), so computing bands×7 of them covers
     // every reachable rows value, and the band key picks the right slice
     // via CASE on (band, rows).
-    val kMax = bands * 7
+    val kMax = bands * Dedup.MaxLshRows
     val mh = (0 until kMax).map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j")
       .mkString(",\n  ")
     // Base-31 polynomial band key — mirrors minhashLshPairs' LONG key
     // (exact in int64: minhashes < 2^31, rows <= 7).
     def key(b: Int, r: Int) = (b * r until (b + 1) * r).map(j => s"mh$j")
-      .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
+      .foldLeft("(0::BIGINT)")((acc, m) =>
+        s"(($acc * 31 + $m) % ${Dedup.BandKeyMod})")
     val bandCases = (0 until bands).map { b =>
-      val rCases = (4 to 6).map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
-      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, 7)} END)"
+      val rCases = (4 until Dedup.MaxLshRows)
+        .map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
+      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, Dedup.MaxLshRows)} END)"
     }.mkString(" ")
     s"""WITH lshp AS (
        |  SELECT ${Dedup.sqlLshRowsFor("count(*)")} AS r FROM documents
@@ -370,14 +373,16 @@ object DedupQueries {
   }
   lazy val q79_sql: String = {
     // Corpus-scaled rows-per-band, same derivation as lshPairsSql.
-    val kMax = MinHashBands * 7
+    val kMax = MinHashBands * Dedup.MaxLshRows
     val mh = (0 until kMax)
       .map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j").mkString(",\n  ")
     def key(b: Int, r: Int) = (b * r until (b + 1) * r).map(j => s"mh$j")
-      .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
+      .foldLeft("(0::BIGINT)")((acc, m) =>
+        s"(($acc * 31 + $m) % ${Dedup.BandKeyMod})")
     val bandCases = (0 until MinHashBands).map { b =>
-      val rCases = (4 to 6).map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
-      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, 7)} END)"
+      val rCases = (4 until Dedup.MaxLshRows)
+        .map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
+      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, Dedup.MaxLshRows)} END)"
     }.mkString(" ")
     val deltaList = DeltaSources.map(s => s"'$s'").mkString(", ")
     val jac = "len(list_intersect(ga.ghash, gb.ghash))::DOUBLE / " +
@@ -448,14 +453,16 @@ object DedupQueries {
       .orderBy($"new_doc", $"dup_of")
   }
   lazy val q122_sql: String = {
-    val kMax = MinHashBands * 7
+    val kMax = MinHashBands * Dedup.MaxLshRows
     val mh = (0 until kMax)
       .map(j => s"${sqlMinhashOfHashes("ghash", j)} AS mh$j").mkString(",\n  ")
     def key(b: Int, r: Int) = (b * r until (b + 1) * r).map(j => s"mh$j")
-      .foldLeft("(0::BIGINT)")((acc, m) => s"($acc * 31 + $m)")
+      .foldLeft("(0::BIGINT)")((acc, m) =>
+        s"(($acc * 31 + $m) % ${Dedup.BandKeyMod})")
     val bandCases = (0 until MinHashBands).map { b =>
-      val rCases = (4 to 6).map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
-      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, 7)} END)"
+      val rCases = (4 until Dedup.MaxLshRows)
+        .map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
+      s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, Dedup.MaxLshRows)} END)"
     }.mkString(" ")
     val jac = "len(list_intersect(ga.ghash, gb.ghash))::DOUBLE / " +
       "len(list_distinct(list_concat(ga.ghash, gb.ghash)))"
