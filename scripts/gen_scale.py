@@ -23,6 +23,7 @@ Construction choices, chosen to keep the scaling measurement honest:
 
 Deterministic: all values derive from DuckDB hash() of row ids.
 """
+import math
 import os
 import shutil
 import sys
@@ -71,8 +72,19 @@ def main():
                range({factor}) c(i)
         ) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
 
-    # documents: fresh text sampled from the sf0.1 vocabulary
-    vocab_sql = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+    # documents: fresh text with a HEAPS-LAW vocabulary — real corpora
+    # grow distinct-word counts ~ N^0.5 with corpus size, so the scale
+    # corpus extends the 31 base words with hash-suffixed variants
+    # (|vocab| ~ 31*sqrt(factor)). A fixed 31-word vocab at 25x+ makes
+    # cross-doc gram similarity mass grow QUADRATICALLY by construction
+    # (measured: 37.8M char-8-gram LSH candidates at 25x, all genuinely
+    # 0.3-0.5-similar, output empty) — the q71 fixed-code-space lesson
+    # (round 9) applied to text: scaling measurements must not bake in a
+    # closed-world density no real corpus has.
+    vmult = max(1, round(math.sqrt(factor)))
+    vocab = list(VOCAB) + [
+        f"{w}{k}" for k in range(vmult - 1) for w in VOCAB]
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
     ndocs = factor * con.execute(
         f"SELECT count(*) FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
@@ -81,7 +93,7 @@ def main():
           WITH d AS (
             SELECT i AS doc_id,
               array_to_string(list_transform(range(CAST(8 + hash(i) % 89 AS BIGINT)),
-                j -> ({vocab_sql})[CAST(1 + hash(i * 131 + j) % {len(VOCAB)} AS BIGINT)]),
+                j -> ({vocab_sql})[CAST(1 + hash(i * 131 + j) % {len(vocab)} AS BIGINT)]),
                 ' ') AS text
             FROM range({ndocs}) t(i))
           SELECT doc_id, text,

@@ -103,9 +103,12 @@ object DedupQueries {
   // pairwise Jaccard 5× (0.039 → 0.007) yet ran SLOWER at 5× rows
   // (18.8 s vs 16.5 s, quiet box) — nearly-all-unique 12-grams inflate
   // each doc's distinct-gram set, and the per-gram minhash hashing that
-  // dominates post-ladder cost grows with exactly that set. The residual
-  // above-5× ratio in BASELINE.md's table is the rows-per-band ladder's
-  // deliberate log(n) signature growth, not quadratic candidates. ─────────
+  // dominates post-ladder cost grows with exactly that set. Round-11
+  // scale work (BASELINE.md 25×/50× section): over-cap LSH buckets are
+  // now tiled so no single bucket serializes verification, and the
+  // modular band key lets the rows ladder keep tightening past 7 — at
+  // 50× (250k docs, r=8) this query costs HALF its 25× (r=7 tier top)
+  // time. ────────────────────────────────────────────────────────────────
   val CharGramN = 8
   val CharGramThreshold = 0.5
 
