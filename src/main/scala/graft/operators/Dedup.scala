@@ -240,32 +240,45 @@ object Dedup {
     // widest task shrinks from |bucket|² to ~cap² pairs. Replication is
     // nc× per side INSIDE over-cap buckets only; the ubiquitous nc = 1
     // bucket explodes a 1-element sequence — same single row as before.
-    // The bucket census is one count-window over the band shuffle the
-    // join needs anyway.
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey"))
-    // null band keys (empty gram sets) can never join — drop them BEFORE
-    // the census so a corpus of many empty docs doesn't pool into one
-    // giant null bucket and explode nc copies of dead rows
-    val withCell = banded.filter(col("bkey").isNotNull)
-      .withColumn("bsz", count(lit(1)).over(wBucket))
-      .withColumn("nc",
-        expr(s"cast((bsz + ${LshBucketCap - 1}) div $LshBucketCap as int)"))
-      .withColumn("cell", (hash28(concat(lit("lshtile"),
-        col("id").cast("string"))) % col("nc")).cast("int"))
-    val aSide = withCell
-      .select(col("id"), col("ghash"), col("band"), col("bkey"),
-        col("cell").as("ta"),
-        explode(sequence(lit(0), col("nc") - 1)).as("tb"))
-    val bSide = withCell
-      .select(col("id"), col("ghash"), col("band"), col("bkey"),
-        explode(sequence(lit(0), col("nc") - 1)).as("ta"),
-        col("cell").as("tb"))
-    aSide.as("a")
-      .join(bSide.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.ta") === col("b.ta") && col("a.tb") === col("b.tb") &&
-          col("a.id") < col("b.id") && sizeRatioOk)
+    // The census costs one extra count-window pass over the banded
+    // frame, so it engages WITH THE LADDER: below 6 rows per band the
+    // corpus is ≤ 8192 docs (lshRowsFor), where even a fully degenerate
+    // bucket verifies in seconds and the window would be pure overhead
+    // (measured +0.3–0.8 s per query at sf0.1). Both branches produce
+    // the IDENTICAL pair set.
+    val verified =
+      if (rows < 6) {
+        banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.id") < col("b.id") && sizeRatioOk)
+      } else {
+        val wBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))
+        // null band keys (empty gram sets) can never join — drop them
+        // BEFORE the census so a corpus of many empty docs doesn't pool
+        // into one giant null bucket and explode nc copies of dead rows
+        val withCell = banded.filter(col("bkey").isNotNull)
+          .withColumn("bsz", count(lit(1)).over(wBucket))
+          .withColumn("nc",
+            expr(s"cast((bsz + ${LshBucketCap - 1}) div $LshBucketCap as int)"))
+          .withColumn("cell", (hash28(concat(lit("lshtile"),
+            col("id").cast("string"))) % col("nc")).cast("int"))
+        val aSide = withCell
+          .select(col("id"), col("ghash"), col("band"), col("bkey"),
+            col("cell").as("ta"),
+            explode(sequence(lit(0), col("nc") - 1)).as("tb"))
+        val bSide = withCell
+          .select(col("id"), col("ghash"), col("band"), col("bkey"),
+            explode(sequence(lit(0), col("nc") - 1)).as("ta"),
+            col("cell").as("tb"))
+        aSide.as("a")
+          .join(bSide.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.ta") === col("b.ta") && col("a.tb") === col("b.tb") &&
+              col("a.id") < col("b.id") && sizeRatioOk)
+      }
+    verified
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         (inter.cast(DoubleType) /
           (size(col("a.ghash")) + size(col("b.ghash")) - inter)).as("jaccard"))
