@@ -72,7 +72,7 @@ object IndexTool {
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     tpe match {
       case "lsh" =>
-        Dedup.saveLshIndex(Dedup.bandedSignatures(
+        Dedup.saveLshIndex(Dedup.bandedSignaturesTiled(
           shingled(docsOf(input, flags), num("shingle-n", 3)),
           num("num-hashes", 28), num("bands", 4)), path)
       case "ivf" =>

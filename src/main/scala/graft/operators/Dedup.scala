@@ -309,8 +309,35 @@ object Dedup {
                           numHashes: Int, bands: Int,
                           threshold: Double): DataFrame =
     incrementalLshPairsIndexed(delta,
-      bandedSignatures(corpus, numHashes, bands), numHashes, bands,
+      bandedSignaturesTiled(corpus, numHashes, bands), numHashes, bands,
       threshold)
+
+  /** [[bandedSignatures]] plus the bucket-skew tile columns `(cell, nc)`
+    * — the census is computed ONCE here (build time), so the serve-side
+    * asymmetric join stays delta-scaled: a degenerate corpus bucket
+    * would otherwise put every delta×bucket candidate on one task
+    * (the same straggler the self-join guard removes). Engages with the
+    * ladder like the self-join (rows < 6 ⇒ every row cell 0 of 1 — the
+    * join shape is then byte-identical to the unguarded one). The tile
+    * columns ride through [[saveLshIndex]]/[[loadLshIndex]] as ordinary
+    * parquet columns. */
+  def bandedSignaturesTiled(hashedGrams: DataFrame, numHashes: Int,
+                            bands: Int): DataFrame = {
+    val banded = bandedSignatures(hashedGrams, numHashes, bands)
+    if (numHashes / bands < 6)
+      banded.withColumn("cell", lit(0)).withColumn("nc", lit(1))
+    else {
+      val wBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey"))
+      banded.filter(col("bkey").isNotNull)
+        .withColumn("bsz", count(lit(1)).over(wBucket))
+        .withColumn("nc",
+          expr(s"cast((bsz + ${LshBucketCap - 1}) div $LshBucketCap as int)"))
+        .withColumn("cell", (hash28(concat(lit("lshtile"),
+          col("id").cast("string"))) % col("nc")).cast("int"))
+        .drop("bsz")
+    }
+  }
 
   /** Persist a banded-signature index ([[bandedSignatures]] output) as
     * one parquet table `(id, ghash, band, bkey)` — the build-once half
@@ -334,8 +361,7 @@ object Dedup {
                                  numHashes: Int, bands: Int,
                                  threshold: Double): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
-    val a = bandedSignatures(delta, numHashes, bands).as("a")
-    val b = corpusIndex.as("b")
+    val deltaBanded = bandedSignatures(delta, numHashes, bands)
     val inter = columnOf(graft.plans.SortedIntersectSize(
       expressionOf(col("a.ghash")), expressionOf(col("b.ghash")),
       if (threshold > 0) Some(threshold) else None))
@@ -343,9 +369,30 @@ object Dedup {
       least(size(col("a.ghash")), size(col("b.ghash"))).cast(DoubleType) /
         greatest(size(col("a.ghash")), size(col("b.ghash"))).cast(DoubleType) >=
         threshold
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          sizeRatioOk)
+    // A tiled index ([[bandedSignaturesTiled]] — `cell`/`nc` columns)
+    // spreads a degenerate corpus bucket across its cells: each delta
+    // row learns the bucket's nc from the (band, bkey, nc)-distinct
+    // bucket table (a delta-scaled shuffle join; buckets the corpus
+    // doesn't have produce no candidates, so inner semantics are right),
+    // explodes one probe per cell, and the join adds the cell key. The
+    // candidate SET is identical either way — the tile only splits tasks.
+    val joined =
+      if (corpusIndex.columns.contains("nc")) {
+        val buckets = corpusIndex.select(col("band"), col("bkey"), col("nc"))
+          .distinct()
+        val a = deltaBanded.join(buckets, Seq("band", "bkey"))
+          .select(col("id"), col("ghash"), col("band"), col("bkey"),
+            explode(sequence(lit(0), col("nc") - 1)).as("cell"))
+          .as("a")
+        a.join(corpusIndex.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.cell") === col("b.cell") && sizeRatioOk)
+      } else {
+        deltaBanded.as("a").join(corpusIndex.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            sizeRatioOk)
+      }
+    joined
       .select(col("a.id").as("new_doc"), col("b.id").as("dup_of"),
         (inter.cast(DoubleType) /
           (size(col("a.ghash")) + size(col("b.ghash")) - inter)).as("jaccard"))

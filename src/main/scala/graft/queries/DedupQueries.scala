@@ -529,7 +529,7 @@ object DedupQueries {
     val isDelta = $"source".isin(DeltaSources: _*)
     val path = QueryTmp.dir("lshindex", d)
     Dedup.saveLshIndex(
-      Dedup.bandedSignatures(hashed.filter(!isDelta).drop("source"),
+      Dedup.bandedSignaturesTiled(hashed.filter(!isDelta).drop("source"),
         lshK(s, d), MinHashBands),
       path)
     Dedup.incrementalLshPairsIndexed(
