@@ -252,32 +252,7 @@ object Dedup {
           .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.id") < col("b.id") && sizeRatioOk)
-      } else {
-        val wBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bkey"))
-        // null band keys (empty gram sets) can never join — drop them
-        // BEFORE the census so a corpus of many empty docs doesn't pool
-        // into one giant null bucket and explode nc copies of dead rows
-        val withCell = banded.filter(col("bkey").isNotNull)
-          .withColumn("bsz", count(lit(1)).over(wBucket))
-          .withColumn("nc",
-            expr(s"cast((bsz + ${LshBucketCap - 1}) div $LshBucketCap as int)"))
-          .withColumn("cell", (hash28(concat(lit("lshtile"),
-            col("id").cast("string"))) % col("nc")).cast("int"))
-        val aSide = withCell
-          .select(col("id"), col("ghash"), col("band"), col("bkey"),
-            col("cell").as("ta"),
-            explode(sequence(lit(0), col("nc") - 1)).as("tb"))
-        val bSide = withCell
-          .select(col("id"), col("ghash"), col("band"), col("bkey"),
-            explode(sequence(lit(0), col("nc") - 1)).as("ta"),
-            col("cell").as("tb"))
-        aSide.as("a")
-          .join(bSide.as("b"),
-            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-              col("a.ta") === col("b.ta") && col("a.tb") === col("b.tb") &&
-              col("a.id") < col("b.id") && sizeRatioOk)
-      }
+      } else tiledBucketSelfJoin(banded, LshBucketCap, sizeRatioOk)
     verified
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         (inter.cast(DoubleType) /
@@ -289,6 +264,70 @@ object Dedup {
   /** Per-bucket pairing width the tiled LSH self-join targets: the widest
     * task verifies ~cap² candidate pairs regardless of bucket skew. */
   val LshBucketCap: Long = 512L
+
+  /** Corpus size above which the census+tile bucket-skew guard engages for
+    * the fixed-band self-joins ([[simhashPairs]], [[hammingPairs]]): below
+    * it even a fully degenerate bucket verifies in seconds and the census
+    * window is pure overhead (measured +0.3–0.8 s per query at sf0.1) —
+    * the same economics as the MinHash gate, whose rows >= 6 ladder tier
+    * is reached exactly past 8192 docs ([[lshRowsFor]]). */
+  val TileEngageDocs: Long = 8192L
+
+  /** Census+tile the (band, bkey) buckets of a banded frame: appends
+    * `nc` = ceil(|bucket|/cap) (the bucket's tile count) and `cell` (the
+    * row's deterministic hash cell in [0, nc)). Null band keys are
+    * dropped first — they can never equi-join, and a corpus of many
+    * null-key rows (e.g. empty gram sets) would otherwise pool into one
+    * giant bucket and explode nc copies of dead rows. */
+  private def tileCensus(banded: DataFrame, cap: Long): DataFrame = {
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    banded.filter(col("bkey").isNotNull)
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .withColumn("nc",
+        expr(s"cast((bsz + ${cap - 1}) div $cap as int)"))
+      .withColumn("cell", (hash28(concat(lit("lshtile"),
+        col("id").cast("string"))) % col("nc")).cast("int"))
+      .drop("bsz")
+  }
+
+  /** Bucket-skew-guarded self-join shared by every Σ|bucket|² banded
+    * self-join (MinHash LSH bands, SimHash bands, pigeonhole hamming
+    * blocks): Spark puts ONE (band, bkey) bucket on ONE task, so a single
+    * degenerate bucket serializes the whole query behind one straggler
+    * (q24 measured 89× at 25× before the guard). Every over-cap bucket is
+    * tiled into nc = ceil(|bucket|/cap) deterministic hash cells and the
+    * join key becomes (band, bkey, ta, tb): side a keeps its cell as ta
+    * and explodes all partner cells tb, side b the mirror — each
+    * (cell_a, cell_b) combination meets in EXACTLY one tile, so the
+    * output pair set is IDENTICAL to the plain bucket self-join (no
+    * recall trade; the oracles never see this) while the widest task
+    * shrinks from |bucket|² to ~cap² pairs. Replication is nc× per side
+    * INSIDE over-cap buckets only; the ubiquitous nc = 1 bucket explodes
+    * a 1-element sequence — the same single row as before. The census
+    * frame is persisted (registered with [[OperatorCaches]]): both sides
+    * reference it, and an unpersisted subtree would re-run the census
+    * window scan once per side.
+    *
+    * All payload columns of `banded` ride through; `extra` is an extra
+    * join predicate over the `a`/`b` aliases (e.g. a size-ratio
+    * prefilter), applied inside the join exactly as in the plain shape. */
+  private def tiledBucketSelfJoin(banded: DataFrame, cap: Long,
+                                  extra: Column): DataFrame = {
+    val withCell = OperatorCaches.register(
+      tileCensus(banded, cap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val payload = banded.columns.map(col).toSeq
+    val aSide = withCell.select(payload :+ col("cell").as("ta") :+
+      explode(sequence(lit(0), col("nc") - 1)).as("tb"): _*)
+    val bSide = withCell.select(payload :+
+      explode(sequence(lit(0), col("nc") - 1)).as("ta") :+
+      col("cell").as("tb"): _*)
+    aSide.as("a").join(bSide.as("b"),
+      col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.ta") === col("b.ta") && col("a.tb") === col("b.tb") &&
+        col("a.id") < col("b.id") && extra)
+  }
 
   /** Incremental (delta-vs-corpus) near-dup detection — the production
     * ingestion pattern: a NEW batch is deduped against the already-indexed
@@ -326,17 +365,7 @@ object Dedup {
     val banded = bandedSignatures(hashedGrams, numHashes, bands)
     if (numHashes / bands < 6)
       banded.withColumn("cell", lit(0)).withColumn("nc", lit(1))
-    else {
-      val wBucket = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bkey"))
-      banded.filter(col("bkey").isNotNull)
-        .withColumn("bsz", count(lit(1)).over(wBucket))
-        .withColumn("nc",
-          expr(s"cast((bsz + ${LshBucketCap - 1}) div $LshBucketCap as int)"))
-        .withColumn("cell", (hash28(concat(lit("lshtile"),
-          col("id").cast("string"))) % col("nc")).cast("int"))
-        .drop("bsz")
-    }
+    else tileCensus(banded, LshBucketCap)
   }
 
   /** Persist a banded-signature index ([[bandedSignatures]] output) as
@@ -727,7 +756,8 @@ object Dedup {
     * distance (bit_count of xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, bits: Int = SimhashBits,
-                   bands: Int = SimhashBands): DataFrame = {
+                   bands: Int = SimhashBands, tile: Boolean = false,
+                   tileCap: Long = LshBucketCap): DataFrame = {
     require(bits % bands == 0 && bits <= 60,
       s"bits must be a multiple of bands and <= 60, got $bits/$bands")
     require(maxHamming <= bands - 1,
@@ -748,14 +778,25 @@ object Dedup {
       .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
+    // A near-constant band across the corpus (e.g. a boilerplate-heavy
+    // slice voting the same bits) is the same Σ|bucket|² degenerate-bucket
+    // straggler the MinHash self-join hit at 25× — callers above
+    // [[TileEngageDocs]] docs should pass tile = true to engage the
+    // census+tile guard (identical pair set, bounded widest task).
+    val joined =
+      if (tile) tiledBucketSelfJoin(banded, tileCap, lit(true))
+      else banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+    // hamming is deterministic per pair, so filter∘distinct ≡
+    // distinct∘filter — filtering first keeps the dedup-across-bands
+    // shuffle to surviving pairs only.
+    joined
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Guaranteed-recall fuzzy self-join on STRING hamming distance: all
@@ -774,7 +815,8 @@ object Dedup {
     * on the VARYING part of structured strings.
     */
   def hammingPairs(df: DataFrame, idCol: String, strCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, tile: Boolean = false,
+                   tileCap: Long = LshBucketCap): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
     val bands = maxHamming + 1
     val banded = df.select(col(idCol).as("id"), col(strCol).as("s"))
@@ -787,11 +829,19 @@ object Dedup {
       zip_with(split(col("sa"), ""), split(col("sb"), ""),
         (x, y) => when(x === y, 0).otherwise(1)),
       lit(0), (acc, v) => acc + v)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          length(col("a.s")) === length(col("b.s")) &&
-          col("a.id") < col("b.id"))
+    // The scaladoc's shared-prefix degenerate bucket is exactly the
+    // Σ|bucket|² one-task straggler — callers above [[TileEngageDocs]]
+    // rows should pass tile = true (census+tile guard; identical pair
+    // set, widest task bounded at ~tileCap² candidates).
+    val joined =
+      if (tile) tiledBucketSelfJoin(banded, tileCap,
+        length(col("a.s")) === length(col("b.s")))
+      else banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            length(col("a.s")) === length(col("b.s")) &&
+            col("a.id") < col("b.id"))
+    joined
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.s").as("sa"), col("b.s").as("sb"))
       .distinct()

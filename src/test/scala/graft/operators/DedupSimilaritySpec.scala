@@ -48,6 +48,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!asMap.keys.exists { case (a, b) => b == 4L })
   }
 
+  test("simhashPairs: tiled == untiled pair set on a degenerate-bucket corpus") {
+    // 24 near-identical docs (all band buckets degenerate) + 8 unrelated:
+    // with tileCap = 2 every shared bucket splits into nc >= 2 cells, so
+    // the tiled join exercises real multi-cell tiling — the pair set must
+    // be IDENTICAL (the guard only splits tasks, never candidates).
+    val skewed = ((0 until 24).map(i =>
+        (i.toLong, s"the quick brown fox jumps over the lazy dog number $i")) ++
+      (24 until 32).map(i =>
+        (i.toLong, s"utterly unrelated content ${i * 37} ${i * 101} stands alone")))
+      .toDF("doc_id", "text")
+    def pairSet(tile: Boolean) =
+      Dedup.simhashPairs(skewed, "doc_id", "text", 4, tile = tile, tileCap = 2L)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Int]("hamming"))).toSet
+    val untiled = pairSet(false)
+    assert(untiled.nonEmpty) // the skewed block really produces near-dups
+    assert(pairSet(true) == untiled)
+  }
+
+  test("hammingPairs: tiled == untiled pair set under shared-prefix skew") {
+    // The scaladoc's degenerate case: all codes share long constant
+    // prefixes, so the first bands are corpus-wide buckets. tileCap = 3
+    // forces nc > 1 in those buckets; the reranked pair set must match.
+    val codes = (0 until 30).map { i =>
+      (i.toLong, f"SHAREDPREFIX${i % 5}%d${(i * 7) % 10}%d")
+    }.toDF("doc_id", "code")
+    def pairSet(tile: Boolean) =
+      Dedup.hammingPairs(codes, "doc_id", "code", maxHamming = 2,
+          tile = tile, tileCap = 3L)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Int]("hamming"))).toSet
+    val untiled = pairSet(false)
+    assert(untiled.nonEmpty)
+    assert(pairSet(true) == untiled)
+  }
+
   test("shingles guard: docs shorter than n tokens yield no shingles") {
     val d = Seq((1L, "one two")).toDF("doc_id", "text")
     val out = d.select(shingles($"text", 3).as("sh")).collect()
