@@ -24,6 +24,20 @@ object Bench {
     * wrong-scale timings. */
   val DefaultSfDir = "/root/testdata/sf0.1"
 
+  /** Repo root for round detection, the prev-round re-time reference, and
+    * the archive writes: a run launched from any other directory must not
+    * silently compute round = 1 and write bench_out_r1.json THERE (losing
+    * the 1.5× prev-round gate along the way). Resolved from
+    * SPARK_GRAFT_REPO when set, else the nearest ancestor of the CWD
+    * holding build.sbt, else the CWD itself (the historical behavior). */
+  val RepoRoot: java.io.File =
+    sys.env.get("SPARK_GRAFT_REPO").map(new java.io.File(_))
+      .orElse(Iterator.iterate(
+          new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
+        .takeWhile(_ != null).take(8)
+        .find(d => new java.io.File(d, "build.sbt").exists()))
+      .getOrElse(new java.io.File("."))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -77,7 +91,7 @@ object Bench {
     // rounds diff against committed history, not the truncated ~2KB tail.
     val round = {
       val pat = """BENCH_r(\d+)\.json""".r
-      val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+      val files = Option(RepoRoot.list()).getOrElse(Array.empty)
       files.collect { case pat(n) => n.toInt }.foldLeft(0)(math.max) + 1
     }
     // Previous round's full per-query map (bench_out_r<N>.json committed
@@ -85,12 +99,16 @@ object Bench {
     // beside QuietBaseline — a query >1.5x its previous-round time gets
     // the end-of-run third pass even when its all-time quiet min is far
     // lower (catches fresh regressions the 2x-of-min gate would miss).
-    val prevQueries: Map[String, Double] = {
+    // Scaled-corpus runs skip the gate entirely: the archives hold
+    // default-sf timings, and comparing a 25× run against them would
+    // flag every heavy query for a spurious third pass.
+    val prevQueries: Map[String, Double] = if (sfDir != DefaultSfDir) Map.empty else {
       val pat = """bench_out_r(\d+)\.json""".r
-      val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+      val files = Option(RepoRoot.list()).getOrElse(Array.empty)
       val prev = files.collect { case f @ pat(n) if n.toInt < round => (n.toInt, f) }
       prev.sortBy(-_._1).headOption.map { case (_, f) =>
-        val text = try java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+        val text = try java.nio.file.Files.readString(
+            new java.io.File(RepoRoot, f).toPath)
           catch { case _: Throwable => "" }
         """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map(_.group(1))
           .map { body =>
@@ -213,7 +231,7 @@ object Bench {
     // vanished". Only full-board runs stamp the archive.
     for (f <- (Seq("bench_out.json") :+ archive).distinct) {
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f), line + "\n")
+        new java.io.File(RepoRoot, f).toPath, line + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $f: ${e.getMessage}")
       }

@@ -317,7 +317,8 @@ object Tool {
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
-      |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]"
+      |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]
+      |           [asof=<feedTs>]"
       |  --output="format=<parquet|text|csv|json|seq|avro|avrokv|map> file=... [splits=N]"
       |         | "format=<kiji|hfile> table=<path> [layout=<layout.json>] [splits=N]"
       |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin

@@ -502,6 +502,96 @@ object TableQueries {
        |  SELECT * FROM a1 UNION ALL SELECT * FROM a2)
        |ORDER BY cut, kbucket""".stripMargin
 
+  // ── q134: AS-OF READS ACROSS THE COMPACTION LIFECYCLE — q133's cuts
+  // replayed around both compaction kinds, pinning the history contract:
+  //   phase 1: cut at ts=1 with the raw three-batch feed;
+  //   phase 2: the SAME cut after `compactFeed()` (minor) — the fold
+  //     rewrites feed files, not rows, so the snapshot reproduces
+  //     bit-for-bit (phases 1 and 2 hash identical rows);
+  //   phase 3: cut at ts=2 (== live) after `majorCompact()` — cuts at or
+  //     above the fold's high-water ts still reproduce, because every
+  //     folded entry is <= watermark <= cut;
+  //   refusal: a cut BELOW the watermark (ts=1 again) now throws — the
+  //     fold physically discarded the masked versions and tombstones, so
+  //     that snapshot is unreproducible and the engine REFUSES rather
+  //     than silently serving the post-compaction state (HBase's
+  //     versions-dropped-at-major-compaction, made loud). The caught
+  //     refusal rides into the hashed result as a column.
+  // Each phase is collected eagerly: the compaction that follows it swaps
+  // the very files its lazy plan captured (10-row driver state, bounded).
+  val q134_asof_compaction: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val cells = orders.select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("price").as("qualifier"), lit(0L).as("ts"),
+      $"o_totalprice".as("value"))
+    val table = new EntityTable(s, tmpTable("q134", d),
+      TableLayout("orders_asof_compact", Seq(FamilySpec("ord"))))
+    table.bulkLoad(cells, numPartitions = 32)
+    // ×2 / ×4 are exponent bumps: exact in double on both engines.
+    def put(filterMod: Long, ts: Long, factor: Int) =
+      orders.filter($"o_orderkey" % 10 === filterMod).select(
+        $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+        lit("price").as("qualifier"), lit("put").as("op"), lit(ts).as("ts"),
+        ($"o_totalprice" * factor).as("value"))
+    table.appendChanges(put(3L, 1L, 2))
+    table.appendChanges(orders.filter($"o_orderkey" % 7 === 0).select(
+      $"o_orderkey".as("entity_id"), lit(null).cast(StringType).as("family"),
+      lit(null).cast(StringType).as("qualifier"),
+      lit("delete_row").as("op"), lit(1L).as("ts"),
+      lit(null).cast(DoubleType).as("value")))
+    table.appendChanges(put(6L, 2L, 4))
+    def snap(phase: String, feedTs: Long): DataFrame = {
+      val agg = table.mostRecentAsOf(feedTs)
+        .groupBy(($"entity_id" % 10).as("kbucket"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("price_sum"))
+        .withColumn("phase", lit(phase))
+      s.createDataFrame(agg.collectAsList(), agg.schema)
+    }
+    val preMinor = snap("1_preminor_cut1", 1L)
+    table.compactFeed()
+    val postMinor = snap("2_postminor_cut1", 1L)
+    table.majorCompact()
+    val postMajor = snap("3_postmajor_cut2", 2L)
+    val refused =
+      try { table.mostRecentAsOf(1L); false }
+      catch { case _: IllegalArgumentException => true }
+    preMinor.unionByName(postMinor).unionByName(postMajor)
+      .withColumn("refused_below_watermark", lit(refused))
+      .orderBy($"phase", $"kbucket")
+  }
+  val q134_sql: String =
+    s"""WITH m1 AS (
+       |  SELECT o_orderkey AS entity_id,
+       |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS value
+       |  FROM orders WHERE o_orderkey % 7 <> 0
+       |), m2 AS (
+       |  SELECT o_orderkey AS entity_id,
+       |    CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice * 4
+       |         WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS value
+       |  FROM orders
+       |  WHERE o_orderkey % 7 <> 0 OR o_orderkey % 10 = 6
+       |), a1 AS (
+       |  SELECT entity_id % 10 AS kbucket, count(*) AS n,
+       |    ${sqlSum("value")} AS price_sum, '1_preminor_cut1' AS phase
+       |  FROM m1 GROUP BY 1
+       |), a2 AS (
+       |  SELECT entity_id % 10 AS kbucket, count(*) AS n,
+       |    ${sqlSum("value")} AS price_sum, '2_postminor_cut1' AS phase
+       |  FROM m1 GROUP BY 1
+       |), a3 AS (
+       |  SELECT entity_id % 10 AS kbucket, count(*) AS n,
+       |    ${sqlSum("value")} AS price_sum, '3_postmajor_cut2' AS phase
+       |  FROM m2 GROUP BY 1)
+       |SELECT kbucket, n, price_sum, phase,
+       |  true AS refused_below_watermark
+       |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+       |      UNION ALL SELECT * FROM a3)
+       |ORDER BY phase, kbucket""".stripMargin
+
   // ── q119: snapshot diff — the data-ops scorecard between two corpus
   // versions (SnapshotDiff.diffSummary): every doc_id classified
   // added/removed/changed/unchanged by fingerprint across a full-outer
@@ -561,6 +651,7 @@ object TableQueries {
     "q50_incremental_dml" -> q50_incremental_dml,
     "q52_minor_compaction" -> q52_minor_compaction,
     "q133_read_asof" -> q133_read_asof,
+    "q134_asof_compaction" -> q134_asof_compaction,
     "q119_snapshot_diff" -> q119_snapshot_diff,
   )
   val oracleSql: Map[String, String] = Map(
@@ -576,6 +667,7 @@ object TableQueries {
     "q50_incremental_dml" -> q50_sql,
     "q52_minor_compaction" -> q52_sql,
     "q133_read_asof" -> q133_sql,
+    "q134_asof_compaction" -> q134_sql,
     "q119_snapshot_diff" -> q119_sql,
   )
 }

@@ -71,7 +71,8 @@ object Formats {
   }
 
   /** `format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
-    * [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]`
+    * [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]
+    * [asof=<feedTs>]`
     * — the reference CLI's primary input shape
     * (`KM/tools/framework/JobInputSpec.java:52-70`,
     * `KM/tools/KijiGather.java:38-44`: a table scan under a
@@ -83,7 +84,13 @@ object Formats {
     * `entity_id` (string order == key order for RAW and zero-padded
     * FORMATTED keys), so it reaches the parquet scan as a pushed filter
     * and prunes range-partitioned files by min/max stats — the
-    * region-pruned scan of the reference. */
+    * region-pruned scan of the reference.
+    *
+    * `asof=<feedTs>` is the operational time-travel read
+    * (`EntityTable.readAsOf`): the scan serves the table as it stood when
+    * the change feed was cut at that ts — the rollback/debug read, now
+    * reachable from the CLI like any other scan knob. Cuts below a major
+    * compaction's watermark refuse with guidance (see `cellsAsOf`). */
   def readKijiTable(spark: SparkSession, kv: Map[String, String]): DataFrame = {
     import graft.table.{DataRequest, EntityTable, LayoutJson, TableLayout}
     val tablePath = kv.getOrElse("table",
@@ -104,7 +111,10 @@ object Formats {
       (parts(0).toLong, parts(1).toLong)
     }
     val req = DataRequest(columns, maxVersions, timeRange)
-    val scanned = if (maxVersions == 1) table.mostRecent(req) else table.read(req)
+    val feedTs = kv.get("asof").map(_.toLong).getOrElse(Long.MaxValue)
+    val scanned =
+      if (maxVersions == 1) table.mostRecentAsOf(feedTs, req)
+      else table.readAsOf(feedTs, req)
     val ranged = kv.get("startrow")
       .map(k => scanned.filter(col("entity_id") >= k)).getOrElse(scanned)
     kv.get("limitrow")

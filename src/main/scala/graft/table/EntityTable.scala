@@ -145,12 +145,66 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * cell/upTo timestamps, so the cut is one pushed-down filter on the
     * delta-sized feed — base files are untouched, cost identical to the
     * live read. `feedTs = Long.MaxValue` IS the live view; the base
-    * itself (pre-DML) is `feedTs` below every feed entry. */
-  def cellsAsOf(feedTs: Long): DataFrame =
+    * itself (pre-DML) is `feedTs` below every feed entry.
+    *
+    * The cut is by LOGICAL cell/upTo timestamp, NOT append (arrival)
+    * order: a correction batch appended later but stamped with a smaller
+    * ts appears in "earlier" snapshots. "Snapshot as of t" therefore
+    * means "the view with every change whose cell timestamp is <= t",
+    * which coincides with batch-arrival history exactly when feed ts
+    * values are monotone with append order (the usual event-time
+    * pattern). Callers wanting strict arrival-ordered history should
+    * stamp batches with an arrival-monotone ts.
+    *
+    * Compaction interaction: [[compactFeed]] (minor) rewrites the feed's
+    * FILES but not its rows — every cut is preserved bit-for-bit.
+    * [[majorCompact]] physically folds the feed into the base and
+    * discards the masked versions and tombstones, so cuts strictly below
+    * the fold's high-water ts become unreproducible — those reads REFUSE
+    * (IllegalArgumentException naming [[asOfWatermark]]) instead of
+    * silently returning the post-compaction state; cuts at or above the
+    * watermark still reproduce their snapshot (everything the fold
+    * applied is <= watermark <= feedTs, exactly HBase's
+    * versions-discarded-at-major-compaction semantics). */
+  def cellsAsOf(feedTs: Long): DataFrame = {
+    if (feedTs != Long.MaxValue) {
+      val w = asOfWatermark
+      require(feedTs >= w,
+        s"readAsOf($feedTs): a major compaction physically folded all feed " +
+          s"entries up to ts=$w into the base and discarded the versions and " +
+          "tombstones they masked — snapshots below that watermark are " +
+          "unreproducible (run time-travel reads before majorCompact, or " +
+          "compact on a schedule that outlives the rollback window)")
+    }
     if (!hasPendingChanges) baseCells
     else if (feedTs == Long.MaxValue) cells
     else Dml.applyChanges(baseCells,
       pendingChanges.filter(col("ts") <= lit(feedTs)))
+  }
+
+  /** High-water mark of feed history destroyed by major compactions: the
+    * max feed ts ever physically folded into the base (Long.MinValue when
+    * no fold has happened). As-of reads strictly below it refuse (see
+    * [[cellsAsOf]]). Persisted as `_asof_watermark` inside the table dir
+    * — underscore-prefixed, so scans never see it; monotone across
+    * repeated compactions. */
+  def asOfWatermark: Long = {
+    val p = watermarkPath
+    if (!hadoopFs.exists(p)) Long.MinValue
+    else {
+      val in = hadoopFs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def watermarkPath =
+    new org.apache.hadoop.fs.Path(s"$path/_asof_watermark")
+
+  private def writeWatermark(w: Long): Unit = {
+    val out = hadoopFs.create(watermarkPath, true)
+    try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Cells of one locality group: a partition-pruned scan (only that
     * group's file set is read — the reference's point of splitting HFiles
@@ -407,12 +461,24 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * the source files are only replaced by the final commit rename. */
   def majorCompact(asOfMicros: Long = Long.MaxValue,
                    numPartitions: Int = 32): Unit = {
+    // History-barrier bookkeeping BEFORE the fold: the max feed ts about
+    // to be folded (this fold's high-water mark) and any prior watermark
+    // (the marker file lives inside the table dir, which the bulk-load
+    // commit rename replaces). Monotone max of the two is re-written
+    // after the commit, so cellsAsOf can refuse unreproducible cuts.
+    val folded: Option[Long] =
+      if (!hasPendingChanges) None
+      else Option(pendingChanges.agg(max(col("ts"))).head().get(0))
+        .map(_.asInstanceOf[Long])
+    val prior = asOfWatermark
     val survivors = read(DataRequest(maxVersions = Int.MaxValue), asOfMicros)
       .select(col("entity_id"), col("family"), col("qualifier"),
         explode(col("versions")).as("v"))
       .select(col("entity_id"), col("family"), col("qualifier"),
         col("v.ts").as("ts"), col("v.value").as("value"))
     bulkLoad(survivors, numPartitions)
+    val w = math.max(prior, folded.getOrElse(Long.MinValue))
+    if (w > Long.MinValue) writeWatermark(w)
   }
 
   /** Retention-aware filter: family TTL relative to `asOfMicros`

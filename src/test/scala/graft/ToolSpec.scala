@@ -253,6 +253,34 @@ class ToolSpec extends SparkSpec {
       s"range filter not pushed to scan:\n$plan")
   }
 
+  test("CLI kiji input asof= serves the table at two feed cuts") {
+    import spark.implicits._
+    val (src, layoutPath) = stageSourceTable() // entities 1 and 2
+    // DML history on top of the staged base: a correction put at feed
+    // ts=100, then a row tombstone at ts=200
+    val table = new graft.table.EntityTable(spark, src,
+      graft.table.LayoutJson.parseFile(layoutPath))
+    table.appendChanges(Seq(
+      (1L, "ev", "click", "put", 100L, 9.5))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value"))
+    table.appendChanges(Seq(
+      (2L, null.asInstanceOf[String], null.asInstanceOf[String],
+        "delete_row", 200L, null.asInstanceOf[java.lang.Double]))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value"))
+    def rows(spec: String) = graft.sources.Formats.read(spark, spec)
+      .collect().map(r => (r.getAs[Long]("entity_id"),
+        r.getAs[Long]("ts"), r.getAs[Double]("value"))).toSet
+    // cut below every feed entry: the pure staged base
+    assert(rows(s"format=kiji table=$src layout=$layoutPath asof=50") ==
+      Set((1L, 20L, 2.5), (2L, 5L, 7.0)))
+    // cut at 100: the correction is in, the tombstone is not yet
+    assert(rows(s"format=kiji table=$src layout=$layoutPath asof=100") ==
+      Set((1L, 100L, 9.5), (2L, 5L, 7.0)))
+    // no asof: the live view (tombstone applied)
+    assert(rows(s"format=kiji table=$src layout=$layoutPath") ==
+      Set((1L, 100L, 9.5)))
+  }
+
   test("CLI table outputs reject non-cell-shaped job output") {
     val in = tmpDir("toolin5")
     Files.write(Paths.get(in, "l.txt"), "abc\n".getBytes(StandardCharsets.UTF_8))

@@ -171,6 +171,49 @@ class TableDmlSpec extends SparkSpec {
       (2L, "info", "email", "v@x"), (2L, "stats", "zip", "94110")))
   }
 
+  test("readAsOf × compaction: minor fold preserves every cut; major fold refuses below its watermark") {
+    val dir = tmpDir("asofCompact") + "/t"
+    val table = new EntityTable(spark, dir,
+      TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    table.appendChanges(changesDF(Seq(Dml.put(1L, "info", "email", 25L, "fix@x"))))
+    table.appendChanges(changesDF(Seq(Dml.deleteRow(1L, 22L, null.asInstanceOf[String]))))
+    table.appendChanges(changesDF(Seq(Dml.put(1L, "info", "name", 30L, "Vincent"))))
+    val cut9 = keys(table.cellsAsOf(9L))
+    val cut25 = keys(table.cellsAsOf(25L))
+    // MINOR compaction rewrites the feed's FILES, not its rows: every cut
+    // reproduces bit-for-bit and no history watermark appears
+    table.compactFeed()
+    assert(table.changeFeedStats._1 == 1)
+    assert(keys(table.cellsAsOf(9L)) == cut9)
+    assert(keys(table.cellsAsOf(25L)) == cut25)
+    assert(table.asOfWatermark == Long.MinValue)
+    // MAJOR compaction folds the feed physically: watermark = max folded ts
+    val live = keys(table.cells)
+    table.majorCompact()
+    assert(table.asOfWatermark == 30L)
+    assert(!table.hasPendingChanges)
+    // cuts at/above the watermark still reproduce their snapshot (all
+    // folded entries are <= watermark <= cut, so the fold changed nothing
+    // that cut could see)
+    assert(keys(table.cellsAsOf(30L)) == live)
+    assert(keys(table.cellsAsOf(Long.MaxValue)) == live)
+    // cuts strictly below REFUSE instead of silently returning the folded
+    // state — the masked versions and tombstones are physically gone
+    val e = intercept[IllegalArgumentException] { table.cellsAsOf(25L) }
+    assert(e.getMessage.contains("major compaction"))
+    intercept[IllegalArgumentException] { table.readAsOf(9L) }
+    intercept[IllegalArgumentException] { table.mostRecentAsOf(29L) }
+    // watermark is monotone across repeated folds: a later feed whose max
+    // ts is BELOW the barrier folds fine but cannot lower it
+    table.appendChanges(changesDF(Seq(Dml.put(2L, "info", "email", 27L, "later@x"))))
+    assert(keys(table.cells).contains((2L, "info", "email", 27L)))
+    table.majorCompact()
+    assert(table.asOfWatermark == 30L)
+    intercept[IllegalArgumentException] { table.cellsAsOf(29L) }
+    assert(keys(table.cellsAsOf(30L)).contains((2L, "info", "email", 27L)))
+  }
+
   test("multi-file append (numFiles=0) commits atomically; mid-append failure leaves zero feed rows") {
     val dir = tmpDir("morAtomic") + "/t"
     val layout = TableLayout("t", Seq(
