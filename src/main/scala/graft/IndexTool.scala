@@ -92,9 +92,15 @@ object IndexTool {
         Retrieval.saveBm25Index(
           Retrieval.buildBm25Index(terms(docsOf(input, flags))), path)
       case "unigram" =>
-        UnigramLm.saveVocab(UnigramLm.trainLocal(
-          Bpe.wordFreq(Bpe.docWords(docsOf(input, flags), "doc_id", "text"))),
-          spark, path)
+        // --target-vocab engages the EM+prune size-targeted trainer (the
+        // SentencePiece vocabulary-size knob); absent = the fixed-seed
+        // trainer (historical behavior)
+        val wfd = Bpe.wordFreq(Bpe.docWords(docsOf(input, flags),
+          "doc_id", "text"))
+        val vocab = flags.get("target-vocab")
+          .map(t => UnigramLm.trainLocal(wfd, t.toInt))
+          .getOrElse(UnigramLm.trainLocal(wfd))
+        UnigramLm.saveVocab(vocab, spark, path)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }
@@ -159,5 +165,46 @@ object IndexTool {
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }
+  }
+
+  /** STREAMING serve for the lsh tier (`index-serve ... --stream=true`):
+    * the production ingestion loop as one CLI invocation. The input spec's
+    * parquet directory is read as a file STREAM of document micro-batches;
+    * each batch probes the loaded index through the exact batch serve path
+    * (`StreamingCells.lshServeStream` → `Dedup.incrementalLshPairsIndexed`
+    * — tiled probe, rerank, per-batch distinct) and appends its matches to
+    * the output directory. `Trigger.AvailableNow` drains the current
+    * backlog then stops, so the call is re-runnable as an ingestion cron:
+    * the checkpoint (kept under `_checkpoint` inside the output dir —
+    * underscore-prefixed, invisible to readers) makes each rerun process
+    * only files that arrived since the last drain. */
+  def serveStreamLsh(spark: SparkSession, inputSpec: String, path: String,
+                     outputSpec: String, flags: Map[String, String]): Unit = {
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    def dbl(k: String, dflt: Double): Double =
+      flags.get(k).map(_.toDouble).getOrElse(dflt)
+    def fileOf(spec: String, what: String): String = {
+      val kv = spec.trim.split("\\s+").toSeq
+        .map { t => val i = t.indexOf('='); (t.take(i), t.drop(i + 1)) }.toMap
+      require(kv.get("format").contains("parquet"),
+        s"stream=true supports only format=parquet $what specs, got '$spec'")
+      kv.getOrElse("file",
+        throw new IllegalArgumentException(s"$what spec missing file=: '$spec'"))
+    }
+    val inFile = fileOf(inputSpec, "input")
+    val outFile = fileOf(outputSpec, "output")
+    val schema = spark.read.parquet(inFile).schema
+    val stream = spark.readStream.schema(schema).parquet(inFile)
+    val index = Dedup.loadLshIndex(spark, path)
+    val q = graft.streaming.StreamingCells.lshServeStream(
+        docsOf(stream, flags), "doc_id", "text", index,
+        num("shingle-n", 3), num("num-hashes", 28), num("bands", 4),
+        dbl("threshold", 0.6)) { batchOut =>
+        batchOut.write.mode("append").parquet(outFile): Unit
+      }
+      .option("checkpointLocation", s"$outFile/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }

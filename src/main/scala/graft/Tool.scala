@@ -131,11 +131,20 @@ object Tool {
     if (verb == "index-build" || verb == "index-serve") {
       val tpe = flag("type")
       val path = flag("path")
-      val input = Formats.read(spark, flag("input"))
       val start = System.currentTimeMillis()
-      if (verb == "index-build") IndexTool.build(spark, tpe, input, path, flags)
-      else writeOutput(IndexTool.serve(spark, tpe, input, path, flags),
-        flag("output"))
+      if (verb == "index-build")
+        IndexTool.build(spark, tpe, Formats.read(spark, flag("input")), path,
+          flags)
+      else if (flags.get("stream").contains("true")) {
+        // streaming ingestion drain (lsh only): per-micro-batch probe of
+        // the loaded index, checkpointed, stops when the backlog is empty
+        require(tpe == "lsh",
+          s"--stream=true is supported for --type=lsh only (got '$tpe')")
+        IndexTool.serveStreamLsh(spark, flag("input"), path, flag("output"),
+          flags)
+      } else
+        writeOutput(IndexTool.serve(spark, tpe,
+          Formats.read(spark, flag("input")), path, flags), flag("output"))
       val result = JobResult(java.util.UUID.randomUUID().toString,
         flags.getOrElse("name", s"$verb-$tpe"), start,
         System.currentTimeMillis(), "SUCCEEDED", Map.empty, None)
@@ -312,9 +321,11 @@ object Tool {
       |   | graft.Tool job-history --history=<dir> [--job-id=<id>]
       |   | graft.Tool index-build --type=<lsh|ivf|pq|bpe|bm25|unigram>
       |       --input="format=..." --path=<dir> [type knobs: --shingle-n --num-hashes
-      |       --bands --centroids --iters --dim --m --k --merges --id-col --text-col --vec-col]
+      |       --bands --centroids --iters --dim --m --k --merges --target-vocab
+      |       --id-col --text-col --vec-col]
       |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
+      |       [--stream=true  (lsh: drain the input dir as a checkpointed file stream)]
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]

@@ -149,6 +149,95 @@ object UnigramLm {
     Vocab(pieces, unk)
   }
 
+  /** Wide multi-char seed width for the SIZE-TARGETED trainer
+    * (`trainLocal(wordFreq, targetVocab)`): real SentencePiece seeds
+    * LARGE and PRUNES down to the requested vocabulary, so the seed must
+    * overshoot every reasonable target. */
+  val SeedWideTop = 120
+
+  /** Surprisal cost of segmenting piece `p` WITHOUT `p` itself, under the
+    * current cost table: Viterbi over `p` with maxPieceLen = |p| − 1 (the
+    * only candidate of full length is `p`, so capping the length is
+    * exactly "exclude p"; every single char is always kept, so the DP is
+    * total and never touches unkCost in practice). */
+  private def altSegCost(p: String,
+                         costs: java.util.HashMap[String, java.lang.Long],
+                         unk: Long): Long =
+    graft.plans.UnigramDocStats
+      .viterbi(p, costs, math.min(MaxPieceLen, p.length - 1), unk)._2(p.length)
+
+  /** SIZE-TARGETED induction — the vocabulary size as a user knob, real
+    * SentencePiece's EM+prune loop in the same exact int64 fixed point:
+    * seed WIDE ([[SeedWideTop]] multi-char pieces beside all chars), then
+    * each of the [[EmIters]] rounds runs the hard-EM E/M steps and PRUNES
+    * the kept vocabulary back to `targetVocab` pieces before recosting:
+    *
+    *  - loss(p) = n(p) · (altCost(p) − cost(p)) for each kept multi-char
+    *    piece — the exact integer increase in total corpus surprisal if
+    *    every occurrence of `p` were re-segmented without it (altCost =
+    *    [[altSegCost]], n = the smoothed kept count, cost from the kept
+    *    cost table). Negative loss means dropping `p` IMPROVES the
+    *    corpus cost — those go first.
+    *  - keep the `targetVocab − |chars|` multi-char pieces with the
+    *    LARGEST loss (ties by piece text ASC); every single char is
+    *    retained unconditionally (coverage floor — `targetVocab` below
+    *    |chars| is rejected).
+    *  - recost the pruned vocabulary; the next E-step segments under it.
+    *
+    * Every step is integer-deterministic, so the SQL oracle replays the
+    * seeding, both EM rounds, the per-piece alt-segmentation DP, the loss
+    * ranking, and the final costs bit-for-bit. */
+  def trainLocal(wordFreq: DataFrame, targetVocab: Int): Vocab = {
+    val words = Bpe.collectWordFreq(wordFreq)
+    require(words.nonEmpty,
+      "unigram training needs a non-empty corpus: the input produced " +
+        "zero [a-z0-9]+ words (empty texts, or a wrong text column?)")
+    val subCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(MaxPieceLen, w.length - i))
+      subCnt.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + f))
+    val chars = subCnt.keysIterator.filter(_.length == 1).toSeq.sorted
+    require(targetVocab >= chars.size,
+      s"targetVocab ($targetVocab) is below the single-char coverage " +
+        s"floor (${chars.size}): every character is kept unconditionally")
+    val multiTop = subCnt.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(SeedWideTop)
+    val seed: Seq[(String, Long)] =
+      chars.map(c => c -> subCnt(c)) ++ multiTop
+
+    var (costs, unk) = costsOf(seed)
+    var lastCnt = Map.empty[String, Long]
+    var survivors = Set.empty[String]
+    val keepN = targetVocab - chars.size
+    for (_ <- 1 to EmIters) {
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- words;
+           p <- UnigramDocStats.segment(w, costs, MaxPieceLen, unk))
+        cnt.updateWith(p)(c => Some(c.getOrElse(0L) + f))
+      val kept: Seq[(String, Long)] =
+        chars.map(c => c -> (cnt.getOrElse(c, 0L) + 1L)) ++
+          cnt.iterator.filter(_._1.length > 1).map { case (p, c) => (p, c + 1L) }
+      val (kc, ku) = costsOf(kept)
+      val keep = kept.filter(_._1.length > 1)
+        .map { case (p, n) =>
+          (p, n * (altSegCost(p, kc, ku) - kc.get(p).longValue))
+        }
+        .sortBy { case (p, loss) => (-loss, p) }
+        .take(keepN).map(_._1).toSet
+      val pruned = kept.filter { case (p, _) => p.length == 1 || keep(p) }
+      val (nc, nu) = costsOf(pruned)
+      costs = nc
+      unk = nu
+      lastCnt = cnt.toMap
+      survivors = keep
+    }
+    val pieces = (chars.map(c => c -> lastCnt.getOrElse(c, 0L)) ++
+        lastCnt.iterator.filter { case (p, _) => p.length > 1 && survivors(p) })
+      .map { case (p, c) => Piece(p, c, costs.get(p).longValue) }
+      .sortBy(_.piece)
+    Vocab(pieces, unk)
+  }
+
   /** Persist the trained vocabulary as one parquet file — the unigram
     * face of the persistable-artifact convention ([[Bpe.saveMerges]],
     * LSH/IVF/PQ/BM25). `unk_cost` rides on every row (scalar columns

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, UnigramLm}
+import graft.operators.{Bpe, OperatorCaches, UnigramLm}
 
 /** Unigram-LM tokenizer queries over the `documents` table — the
   * SentencePiece-style counterpart to the BPE family (q95–q99).
@@ -86,6 +86,48 @@ object UnigramQueries {
     kernelStats(s, d, loaded).drop("source").orderBy($"doc_id")
   }
 
+  /** The two q135/q136 vocabulary-size targets. Both sit above the
+    * [a-z0-9] coverage floor (≤ 36 chars on every corpus) and BELOW
+    * |chars| + the round-1 used-piece count at sf0.01 (24 + 26), so the
+    * prune cut genuinely engages at the correctness scale for both
+    * targets — at 100/60 both targets kept every used piece and the two
+    * vocabularies came out identical (measured; the size knob was
+    * vacuous). */
+  val PruneWide = 48
+  val PruneNarrow = 40
+
+  // ── q135/q136: SIZE-TARGETED induction (EM+prune — the vocabulary size
+  // as a user knob, real SentencePiece's core loop). q135 emits both
+  // targets' trained piece tables; q136 serves the corpus under BOTH
+  // pruned vocabularies side by side — the narrow vocabulary must tokenize
+  // strictly differently (more pieces per word), which the per-doc
+  // hash-compare pins. The oracle replays the wide seed, the shared
+  // round-1 E-step, and each target's per-piece alt-segmentation DP, loss
+  // ranking, prune cut, and recost in the identical int64 fixed point. ────
+  val q135_unigram_prune: Q = (s, d) => {
+    import s.implicits._
+    // both trains read the ONE corpus word-freq aggregate from cache
+    val wfD = OperatorCaches.register(wordFreq(s, d).persist())
+    def rows(target: Int) =
+      UnigramLm.trainLocal(wfD, target)
+        .pieces.map(p => (target.toLong, p.piece, p.cnt, p.cost))
+    (rows(PruneWide) ++ rows(PruneNarrow))
+      .toDF("target", "piece", "cnt", "cost")
+      .orderBy($"target", $"piece")
+  }
+
+  val q136_unigram_prune_encode: Q = (s, d) => {
+    import s.implicits._
+    val wfD = OperatorCaches.register(wordFreq(s, d).persist())
+    val wide = UnigramLm.trainLocal(wfD, PruneWide)
+    val narrow = UnigramLm.trainLocal(wfD, PruneNarrow)
+    val a = kernelStats(s, d, wide).select($"doc_id", $"n_words",
+      $"n_tokens".as("tok_wide"), $"total_cost".as("cost_wide"))
+    val b = kernelStats(s, d, narrow).select($"doc_id",
+      $"n_tokens".as("tok_narrow"), $"total_cost".as("cost_narrow"))
+    a.join(b, "doc_id").orderBy($"doc_id")
+  }
+
   // ── oracle SQL generators ───────────────────────────────────────────────
 
   /** 2^125 / 2^63 / 2^62 as decimal literals (DuckDB parses the first
@@ -120,8 +162,10 @@ object UnigramQueries {
 
   /** Costs from a counts relation `rel(piece, n)` (all n >= 1): CTEs for
     * the union-with-total input, the log chain, and `vc{k}(piece, cost)`
-    * with cost = lg(total) − lg(n). */
-  private def costBlock(k: Int, rel: String): String =
+    * with cost = lg(total) − lg(n). Tags are strings so the prune trainer
+    * (q135/q136) can thread per-target chains beside the numeric base
+    * chain without CTE-name collisions. */
+  private def costBlock(k: String, rel: String): String =
     s"""vcin$k AS (
        |  SELECT piece, n FROM $rel
        |  UNION ALL SELECT '', (SELECT CAST(sum(n) AS BIGINT) FROM $rel)),
@@ -145,11 +189,19 @@ object UnigramQueries {
     * the last [[MaxPieceLen]] best states as a rolling tuple; per-step
     * argmin is `least()` over the packed candidate keys from
     * [[MaxPieceLen]] LEFT JOINs against the cost table. Emits `dpf{k}`
-    * and the best table `bt{k}(word, j, cost, np)`. */
-  private def dpForward(k: Int): String = {
+    * and the best table `bt{k}(word, j, cost, np)`.
+    *
+    * SAME-CORPUS ASSUMPTION: unlike the engine kernel, this DP has no
+    * unkCost fallback for single characters absent from the cost table —
+    * such a word would silently drop out of `fin` (and shrink the doc's
+    * n_words through the inner join). That can never happen here because
+    * every query trains and encodes on the SAME corpus, so every char is
+    * seeded; reusing this SQL against a different encode input than the
+    * training input would diverge from the engine silently. */
+  private def dpForward(k: String, costTag: String): String = {
     val joins = (1 to MaxPieceLen).map { l =>
       val guard = if (l == 1) "" else s"d.j >= ${l - 1} AND "
-      s"""    LEFT JOIN vc$k v$l ON ${guard}v$l.piece = substr(d.word, d.j + ${2 - l}, $l)"""
+      s"""    LEFT JOIN vc$costTag v$l ON ${guard}v$l.piece = substr(d.word, d.j + ${2 - l}, $l)"""
     }.mkString("\n")
     val keys = (1 to MaxPieceLen).map { l =>
       s"""        CASE WHEN v$l.piece IS NOT NULL THEN ${packedKey(s"d.c${l - 1} + v$l.cost", s"d.n${l - 1} + 1", l)} END"""
@@ -183,10 +235,10 @@ object UnigramQueries {
     * `vc{k}`), so `least()` follows exactly the path the forward pass
     * chose; emits one piece row per step. Produces `dpb{k}` and the
     * freq-weighted piece counts `cnt{k}(piece, cnt)`. */
-  private def dpBacktrack(k: Int): String = {
+  private def dpBacktrack(k: String, costTag: String): String = {
     val joins = (1 to MaxPieceLen).map { l =>
       s"""    LEFT JOIN bt$k t$l ON t$l.word = b.word AND t$l.j = b.j - $l
-         |    LEFT JOIN vc$k v$l ON v$l.piece = substr(b.word, b.j + ${1 - l}, $l)""".stripMargin
+         |    LEFT JOIN vc$costTag v$l ON v$l.piece = substr(b.word, b.j + ${1 - l}, $l)""".stripMargin
     }.mkString("\n")
     val keys = (1 to MaxPieceLen).map { l =>
       s"""        CASE WHEN v$l.piece IS NOT NULL AND t$l.j IS NOT NULL THEN ${packedKey(s"t$l.cost + v$l.cost", s"t$l.np + 1", l)} END"""
@@ -217,23 +269,16 @@ object UnigramQueries {
 
   /** Post-E-step kept vocabulary with add-one smoothing: every seed char
     * (coverage) + used multi-char pieces. */
-  private def keptBlock(k: Int): String =
+  private def keptBlock(k: String): String =
     s"""vk$k AS MATERIALIZED (
        |  SELECT ch.piece, coalesce(c.cnt, 0) + 1 AS n
        |  FROM chars ch LEFT JOIN cnt$k c USING (piece)
        |  UNION ALL
        |  SELECT piece, cnt + 1 FROM cnt$k WHERE length(piece) > 1)""".stripMargin
 
-  /** The full trainer chain: docwords/wf → substring seed → vc1 → EmIters
-    * × (forward DP + backtrack + kept + costs) → vc{EmIters+1} (serving
-    * costs) and a final forward DP dpf{EmIters+1} / per-word `fin`. */
-  private def trainerSql: String = {
-    val emRounds = (1 to EmIters).map { k =>
-      s"""${dpForward(k)},
-         |${dpBacktrack(k)},
-         |${keptBlock(k)},
-         |${costBlock(k + 1, s"vk$k")}""".stripMargin
-    }.mkString(",\n")
+  /** Corpus word/substring blocks shared by the base trainer and the
+    * size-targeted prune trainer. */
+  private def corpusBlocks: String =
     s"""docwords AS MATERIALIZED (
        |  SELECT doc_id, word FROM (
        |    SELECT doc_id,
@@ -251,21 +296,113 @@ object UnigramQueries {
        |       (SELECT CAST(unnest(generate_series(1, $MaxPieceLen)) AS INT) AS L)
        |  WHERE i + L - 1 <= length(word)
        |  GROUP BY 1),
-       |chars AS (SELECT piece FROM subs WHERE length(piece) = 1),
+       |chars AS (SELECT piece FROM subs WHERE length(piece) = 1)""".stripMargin
+
+  /** The full trainer chain: docwords/wf → substring seed → vc1 → EmIters
+    * × (forward DP + backtrack + kept + costs) → vc{EmIters+1} (serving
+    * costs) and a final forward DP dpf{EmIters+1} / per-word `fin`. */
+  private def trainerSql: String = {
+    val emRounds = (1 to EmIters).map { k =>
+      s"""${dpForward(s"$k", s"$k")},
+         |${dpBacktrack(s"$k", s"$k")},
+         |${keptBlock(s"$k")},
+         |${costBlock(s"${k + 1}", s"vk$k")}""".stripMargin
+    }.mkString(",\n")
+    s"""$corpusBlocks,
        |seedsel AS MATERIALIZED (
        |  SELECT piece, cnt AS n FROM subs WHERE length(piece) = 1
        |  UNION ALL
        |  SELECT piece, cnt FROM (
        |    SELECT piece, cnt FROM subs WHERE length(piece) > 1
        |    ORDER BY cnt DESC, piece LIMIT $SeedTop)),
-       |${costBlock(1, "seedsel")},
+       |${costBlock("1", "seedsel")},
        |$emRounds,
-       |${dpForward(EmIters + 1)},
+       |${dpForward(s"${EmIters + 1}", s"${EmIters + 1}")},
        |fin AS MATERIALIZED (
        |  SELECT word, np, cost FROM bt${EmIters + 1} b
        |  JOIN (SELECT word AS w2, length(word) AS l2 FROM wf) x
        |    ON b.word = x.w2 AND b.j = x.l2)""".stripMargin
   }
+
+  /** Per-piece prune arithmetic under cost table `vc{costTag}` over kept
+    * relation `vk{vkTag}`: the alt-segmentation DP (Viterbi over the
+    * piece's own ≤[[MaxPieceLen]] chars with maxLen = len − 1, i.e. every
+    * path EXCEPT the piece itself — single chars are always kept, so the
+    * DP is total and `least()` skipping NULL multi-piece lookups is
+    * exactly the engine's missing-candidate skip), the integer loss
+    * n·(alt − cost), and the pruned relation `pp{tag}` = all chars + the
+    * `target − |chars|` multi-char pieces of LARGEST loss (ties piece
+    * ASC) — mirroring `UnigramLm.trainLocal(wordFreq, targetVocab)`'s
+    * round prune operation for operation. */
+  private def pruneBlock(tag: String, vkTag: String, costTag: String,
+                         target: Int): String = {
+    def lk(i: Int, l: Int) =
+      s"(SELECT v.cost FROM vc$costTag v WHERE v.piece = substr(a.piece, $i, $l))"
+    s"""alt0$tag AS (
+       |  SELECT k.piece, k.n, v.cost, length(k.piece) AS len
+       |  FROM vk$vkTag k JOIN vc$costTag v USING (piece)
+       |  WHERE length(k.piece) > 1),
+       |alt1$tag AS (SELECT a.*, ${lk(1, 1)} AS a1 FROM alt0$tag a),
+       |alt2$tag AS (SELECT a.*, least(a.a1 + ${lk(2, 1)},
+       |    CASE WHEN a.len > 2 THEN ${lk(1, 2)} END) AS a2 FROM alt1$tag a),
+       |alt3$tag AS (SELECT a.*, CASE WHEN a.len >= 3 THEN least(
+       |    a.a2 + ${lk(3, 1)}, a.a1 + ${lk(2, 2)},
+       |    CASE WHEN a.len >= 4 THEN ${lk(1, 3)} END) END AS a3 FROM alt2$tag a),
+       |alt4$tag AS (SELECT a.*, CASE WHEN a.len = 4 THEN least(
+       |    a.a3 + ${lk(4, 1)}, a.a2 + ${lk(3, 2)}, a.a1 + ${lk(2, 3)}) END AS a4
+       |  FROM alt3$tag a),
+       |loss$tag AS MATERIALIZED (
+       |  SELECT piece, n,
+       |    n * ((CASE len WHEN 2 THEN a2 WHEN 3 THEN a3 ELSE a4 END) - cost) AS loss
+       |  FROM alt4$tag),
+       |pp$tag AS MATERIALIZED (
+       |  SELECT piece, n FROM vk$vkTag WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, n FROM (
+       |    SELECT piece, n, row_number() OVER (ORDER BY loss DESC, piece) AS rn
+       |    FROM loss$tag)
+       |  WHERE rn <= $target - (SELECT count(*) FROM chars))""".stripMargin
+  }
+
+  /** One target's chain after the shared wide seed + round-1 E-step:
+    * prune → recost → round-2 E-step → kept → kept costs → prune →
+    * final costs → final forward DP → per-word `fin{t}`. (Unrolled for
+    * [[EmIters]] = 2, like the engine's loop.) */
+  private def pruneChain(t: String, target: Int): String =
+    s"""${pruneBlock(s"${t}1", "w1", "w2", target)},
+       |${costBlock(s"${t}2", s"pp${t}1")},
+       |${dpForward(s"${t}2", s"${t}2")},
+       |${dpBacktrack(s"${t}2", s"${t}2")},
+       |${keptBlock(s"${t}2")},
+       |${costBlock(s"${t}3", s"vk${t}2")},
+       |${pruneBlock(s"${t}2", s"${t}2", s"${t}3", target)},
+       |${costBlock(s"${t}4", s"pp${t}2")},
+       |${dpForward(s"${t}4", s"${t}4")},
+       |fin$t AS MATERIALIZED (
+       |  SELECT word, np, cost FROM bt${t}4 b
+       |  JOIN (SELECT word AS w2, length(word) AS l2 FROM wf) x
+       |    ON b.word = x.w2 AND b.j = x.l2)""".stripMargin
+
+  /** Size-targeted (EM+prune) trainer chain for both q135/q136 targets:
+    * shared wide seed (all chars + top [[UnigramLm.SeedWideTop]]
+    * multi-char substrings) and shared round-1 E-step/kept/kept-costs
+    * (identical across targets — divergence starts at the first prune),
+    * then one [[pruneChain]] per target. */
+  private def pruneTrainerSql: String =
+    s"""$corpusBlocks,
+       |seedselw AS MATERIALIZED (
+       |  SELECT piece, cnt AS n FROM subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM subs WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT ${UnigramLm.SeedWideTop})),
+       |${costBlock("w1", "seedselw")},
+       |${dpForward("w1", "w1")},
+       |${dpBacktrack("w1", "w1")},
+       |${keptBlock("w1")},
+       |${costBlock("w2", "vkw1")},
+       |${pruneChain("a", PruneWide)},
+       |${pruneChain("b", PruneNarrow)}""".stripMargin
 
   lazy val q129_sql: String =
     s"""WITH RECURSIVE $trainerSql
@@ -302,11 +439,43 @@ object UnigramQueries {
        |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS shard_tokens
        |FROM c GROUP BY source, shard ORDER BY source, shard""".stripMargin
 
+  /** One target's final trained piece table (chars at raw final-E-step
+    * counts + surviving multi-char pieces, costs from the final pruned
+    * recost) — mirror of the engine's Vocab assembly. */
+  private def prunedVocabRows(t: String, target: Int): String =
+    s"""SELECT CAST($target AS BIGINT) AS target, r.piece, r.cnt, v.cost FROM (
+       |  SELECT ch.piece, coalesce(c.cnt, 0) AS cnt
+       |  FROM chars ch LEFT JOIN cnt${t}2 c USING (piece)
+       |  UNION ALL
+       |  SELECT c.piece, c.cnt FROM cnt${t}2 c JOIN pp${t}2 p USING (piece)
+       |  WHERE length(c.piece) > 1) r
+       |JOIN vc${t}4 v USING (piece)""".stripMargin
+
+  lazy val q135_sql: String =
+    s"""WITH RECURSIVE $pruneTrainerSql
+       |SELECT * FROM (
+       |  ${prunedVocabRows("a", PruneWide).replace("\n", "\n  ")}
+       |  UNION ALL
+       |  ${prunedVocabRows("b", PruneNarrow).replace("\n", "\n  ")})
+       |ORDER BY target, piece""".stripMargin
+
+  lazy val q136_sql: String =
+    s"""WITH RECURSIVE $pruneTrainerSql
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(fa.np) AS BIGINT) AS tok_wide,
+       |  CAST(sum(fa.cost) AS BIGINT) AS cost_wide,
+       |  CAST(sum(fb.np) AS BIGINT) AS tok_narrow,
+       |  CAST(sum(fb.cost) AS BIGINT) AS cost_narrow
+       |FROM docwords d JOIN fina fa USING (word) JOIN finb fb USING (word)
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q129_unigram_vocab" -> q129_unigram_vocab,
     "q130_unigram_encode" -> q130_unigram_encode,
     "q131_unigram_pack" -> q131_unigram_pack,
     "q132_unigram_persist" -> q132_unigram_persist,
+    "q135_unigram_prune" -> q135_unigram_prune,
+    "q136_unigram_prune_encode" -> q136_unigram_prune_encode,
   )
   val oracleSql: Map[String, String] = Map(
     "q129_unigram_vocab" -> q129_sql,
@@ -314,5 +483,7 @@ object UnigramQueries {
     "q131_unigram_pack" -> q131_sql,
     // serve-from-persisted-vocabulary must reproduce q130 exactly
     "q132_unigram_persist" -> q130_sql,
+    "q135_unigram_prune" -> q135_sql,
+    "q136_unigram_prune_encode" -> q136_sql,
   )
 }

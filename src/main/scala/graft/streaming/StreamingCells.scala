@@ -82,6 +82,34 @@ object StreamingCells {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Stream-serve a persisted/loaded banded LSH index: the production
+    * ingestion loop — the corpus index is built ONCE
+    * (`Dedup.bandedSignaturesTiled` → `saveLshIndex`), and a stream of
+    * document micro-batches probes it. Each micro-batch runs the EXACT
+    * batch serve path (`Dedup.incrementalLshPairsIndexed`: delta-scaled
+    * tiled probe against degenerate corpus buckets, size-ratio prefilter,
+    * early-abort Jaccard rerank, per-batch distinct), so the union of the
+    * streamed results over any batch split equals one batch run over the
+    * union of the documents — StreamingCellsSpec pins that equality.
+    * `sink` receives each batch's (new_doc, dup_of, jaccard) matches;
+    * start the returned writer (pick trigger/checkpoint at the call
+    * site — `Trigger.AvailableNow` makes one invocation drain the
+    * backlog and stop, the CLI `index-serve stream=true` shape). */
+  def lshServeStream(docs: DataFrame, idCol: String, textCol: String,
+                     corpusIndex: DataFrame, shingleN: Int, numHashes: Int,
+                     bands: Int, threshold: Double)
+                    (sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val hashed = batch.select(col(idCol).as("id"),
+          columnOf(graft.plans.WordShingleHashes(
+            expressionOf(col(textCol)), shingleN, 7)).as("ghash"))
+        sink(graft.operators.Dedup.incrementalLshPairsIndexed(
+          hashed, corpusIndex, numHashes, bands, threshold))
+    }
+  }
+
   /** Tumbling-window counts/sums per qualifier with a watermark. */
   def windowedAgg(puts: DataFrame, window: String, watermark: String): DataFrame =
     puts

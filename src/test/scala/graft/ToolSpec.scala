@@ -529,11 +529,78 @@ class ToolSpec extends SparkSpec {
     val ugBy = ugRows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(ugBy(0L) == ugBy(5L))
 
+    // unigram --target-vocab: the EM+prune size knob caps the persisted
+    // vocabulary exactly (chars + highest-loss pieces), and the capped
+    // artifact still serves
+    val nchars = spark.read.parquet(ugPath)
+      .filter(org.apache.spark.sql.functions.length($"piece") === 1)
+      .count().toInt
+    val ugtPath = s"$base/unigram-t"
+    assert(Tool.run(spark, Array("index-build", "--type=unigram",
+      s"--path=$ugtPath", s"--input=$docsIn",
+      s"--target-vocab=${nchars + 2}")).status == "SUCCEEDED")
+    assert(spark.read.parquet(ugtPath).count() == nchars + 2)
+    val ugtOut = s"$base/out-unigram-t"
+    assert(Tool.run(spark, Array("index-serve", "--type=unigram",
+      s"--path=$ugtPath", s"--input=$docsIn",
+      s"--output=format=parquet file=$ugtOut")).status == "SUCCEEDED")
+    assert(spark.read.parquet(ugtOut).count() == 8)
+
     // unknown type fails loudly
     val e = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-build", "--type=nope", s"--path=$base/x",
         s"--input=$docsIn")))
     assert(e.getMessage.contains("unknown index type"))
     graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("CLI index-serve --stream=true drains the input as micro-batches; rerun is incremental") {
+    import spark.implicits._
+    val base = tmpDir("idxstream")
+    val docs = Seq(
+      (0L, "spark join hash table scan"), (1L, "row batch filter merge"),
+      (2L, "slow order vector line"), (5L, "spark join hash table scan"))
+      .toDF("doc_id", "text")
+    val docsPath = s"$base/docs"
+    docs.write.parquet(docsPath)
+    val lshPath = s"$base/lsh"
+    assert(Tool.run(spark, Array("index-build", "--type=lsh",
+      s"--path=$lshPath", s"--input=format=parquet file=$docsPath",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    val outPath = s"$base/out"
+    def drain(): Unit = assert(Tool.run(spark, Array("index-serve",
+      "--type=lsh", "--stream=true", s"--path=$lshPath",
+      s"--input=format=parquet file=$docsPath",
+      s"--output=format=parquet file=$outPath",
+      "--shingle-n=2", "--threshold=0.9")).status == "SUCCEEDED")
+    drain()
+    // the streamed drain found the 0<->5 dup pair (both directions,
+    // minus self-matches which the probe keeps: ids equal -> jaccard 1
+    // rows for the doc against itself in the corpus index)
+    val got = spark.read.parquet(outPath)
+      .select("new_doc", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 5L)) && got.contains((5L, 0L)))
+    // batch serve over the same input agrees on the pair set
+    val batchOut = s"$base/batch"
+    assert(Tool.run(spark, Array("index-serve", "--type=lsh",
+      s"--path=$lshPath", s"--input=format=parquet file=$docsPath",
+      s"--output=format=parquet file=$batchOut",
+      "--shingle-n=2", "--threshold=0.9")).status == "SUCCEEDED")
+    val batch = spark.read.parquet(batchOut)
+      .select("new_doc", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    // rerun with NO new input files: the checkpoint makes the drain a
+    // no-op — no duplicate output rows appear
+    val before = spark.read.parquet(outPath).count()
+    drain()
+    assert(spark.read.parquet(outPath).count() == before)
+    // non-lsh stream request fails loudly
+    val e = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-serve", "--type=bm25", "--stream=true",
+        s"--path=$lshPath", s"--input=format=parquet file=$docsPath",
+        s"--output=format=parquet file=$base/x")))
+    assert(e.getMessage.contains("--stream=true"))
   }
 }

@@ -139,6 +139,44 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  // ── size-targeted trainer (EM+prune) ────────────────────────────────────
+
+  test("trainLocal(target): prune keeps highest-loss pieces; size == target; floor refused") {
+    val freqs = wf("xy" -> 50L, "zw" -> 5L, "q" -> 1L)
+    // chars {q,w,x,y,z}; the E-step uses exactly the multi pieces "xy"
+    // (count 50) and "zw" (count 5). Removing "xy" re-segments 51
+    // weighted occurrences onto the x/y char path vs 6 for "zw", so the
+    // loss order is xy > zw — target 6 must keep exactly {xy}, 7 both.
+    val one = UnigramLm.trainLocal(freqs, 6)
+    assert(one.pieces.map(_.piece).filter(_.length > 1) == Seq("xy"))
+    assert(one.pieces.size == 6)
+    val two = UnigramLm.trainLocal(freqs, 7)
+    assert(two.pieces.map(_.piece).filter(_.length > 1).toSet == Set("xy", "zw"))
+    assert(two.pieces.size == 7)
+    // below the single-char coverage floor: refused, not silently clamped
+    intercept[IllegalArgumentException] { UnigramLm.trainLocal(freqs, 4) }
+  }
+
+  test("trainLocal(target): tighter targets yield smaller vocabularies and more tokens") {
+    val pairs = Seq("lowest" -> 9L, "lower" -> 7L, "low" -> 5L,
+      "newest" -> 8L, "newer" -> 6L, "new" -> 4L, "widest" -> 3L, "wide" -> 2L)
+    val freqs = wf(pairs: _*)
+    val nchars = pairs.flatMap(_._1.toCharArray.map(_.toString)).distinct.size
+    val wide = UnigramLm.trainLocal(freqs, nchars + 6)
+    val narrow = UnigramLm.trainLocal(freqs, nchars + 2)
+    assert(wide.pieces.size == nchars + 6)
+    assert(narrow.pieces.size == nchars + 2)
+    // serving under the narrower vocabulary can only segment each word
+    // into AT LEAST as many pieces (it lost options, gained none)
+    def toks(v: UnigramLm.Vocab): Long = {
+      val vm = toJava(v.pieces.map(p => p.piece -> p.cost).toMap)
+      pairs.map { case (w, f) =>
+        f * UnigramDocStats.segment(w, vm, UnigramLm.MaxPieceLen, v.unkCost).length
+      }.sum
+    }
+    assert(toks(narrow) > toks(wide))
+  }
+
   test("vocabulary save/load roundtrip serves identically") {
     val freqs = wf("abcab" -> 5L, "cab" -> 2L, "bc" -> 7L)
     val trained = UnigramLm.trainLocal(freqs)

@@ -162,6 +162,54 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshServeStream: streamed micro-batches == one batch serve over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    def hashed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"),
+        columnOf(graft.plans.WordShingleHashes(
+          expressionOf(col("text")), 3, 7)).as("ghash"))
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "an entirely different reference document about spark"),
+      (102L, "pack the shards and ship the manifest tonight"))
+      .toDF("doc_id", "text")
+    // tiled index — the q110/index-build artifact shape
+    val index = graft.operators.Dedup
+      .bandedSignaturesTiled(hashed(corpus), 16, 4).cache()
+    val deltas = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // dup of 100
+      (2L, "completely unrelated text with no overlap at all"),
+      (3L, "pack the shards and ship the manifest tonight"), // dup of 102
+      (4L, "another stray document matching nothing here"))
+      .toDF("doc_id", "text")
+    // batch reference: ONE serve over all four docs
+    val want = graft.operators.Dedup.incrementalLshPairsIndexed(
+        hashed(deltas), index, 16, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.map(p => (p._1, p._2)) == Set((1L, 100L), (3L, 102L)))
+    // streamed: the same four docs in TWO micro-batches through the
+    // foreachBatch serve loop — accumulated matches must be identical
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCells.lshServeStream(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        index, shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8) {
+        batchOut => got ++= batchOut.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }.start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely unrelated text with no overlap at all"))
+      q.processAllAvailable()
+      input.addData((3L, "pack the shards and ship the manifest tonight"),
+        (4L, "another stray document matching nothing here"))
+      q.processAllAvailable()
+      assert(got.toSet == want)
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("streaming SemDeDup: micro-batch deltas prune against the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
