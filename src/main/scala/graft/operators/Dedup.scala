@@ -266,12 +266,23 @@ object Dedup {
   val LshBucketCap: Long = 512L
 
   /** Corpus size above which the census+tile bucket-skew guard engages for
-    * the fixed-band self-joins ([[simhashPairs]], [[hammingPairs]]): below
-    * it even a fully degenerate bucket verifies in seconds and the census
-    * window is pure overhead (measured +0.3–0.8 s per query at sf0.1) —
-    * the same economics as the MinHash gate, whose rows >= 6 ladder tier
-    * is reached exactly past 8192 docs ([[lshRowsFor]]). */
-  val TileEngageDocs: Long = 8192L
+    * the fixed-band self-joins ([[simhashPairs]], [[hammingPairs]]).
+    *
+    * The straggler the guard relieves exists only for SHUFFLE joins —
+    * they cluster by (band, bkey), so one degenerate bucket is one task.
+    * A BROADCAST join has no such problem: its probe side keeps the
+    * input's partitioning, spreading every bucket's pair work across all
+    * tasks for free. These operators' banded rows are NARROW (a code
+    * string / a 60-bit fingerprint — ~50 bytes), so Catalyst broadcasts
+    * one side until roughly 10 MB ≈ 64k docs × bands; engaging tiles
+    * below that point only ADDS census+shuffle overhead to an
+    * already-balanced broadcast plan (measured 2.6× slower at 3k docs,
+    * equal-at-best at 20k). Past it the join shuffles and the guard is
+    * the difference between one task and ~cap²-bounded tasks. (The
+    * MinHash LSH guard engages far earlier — at its ladder's rows >= 6,
+    * 8k docs — because ghash array payloads are KBs per row and leave
+    * broadcast range almost immediately.) */
+  val TileEngageDocs: Long = 65536L
 
   /** Census+tile the (band, bkey) buckets of a banded frame: appends
     * `nc` = ceil(|bucket|/cap) (the bucket's tile count) and `cell` (the
@@ -318,11 +329,31 @@ object Dedup {
       tileCensus(banded, cap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val payload = banded.columns.map(col).toSeq
+    // Both sides are REPARTITIONED by the full (band, bkey, ta, tb) tile
+    // key before the join — the spread across tile cells IS the guard,
+    // and it must hold under EVERY join strategy Catalyst may pick:
+    //  - a shuffle join (big payloads, the LSH ghash case) needs exactly
+    //    this clustering, so EnsureRequirements adds no second exchange;
+    //  - a broadcast join (narrow payloads under the threshold, e.g.
+    //    hamming codes) keeps the PROBE side's incoming partitioning —
+    //    which after the census cache is the window's (band, bkey)
+    //    layout, i.e. a degenerate bucket's every tile back on the ONE
+    //    task the guard exists to relieve (measured 4.7× slower than
+    //    untiled on a 20k-doc shared-prefix corpus before this
+    //    repartition; forcing a merge join instead evicts the join from
+    //    whole-stage codegen and was 6× slower again).
+    // The partition COUNT is pinned explicitly: these sides are bytes-
+    // tiny (the blowup is the join's OUTPUT, which AQE's bytes-based
+    // coalescing cannot see), so an unpinned repartition gets coalesced
+    // to ONE post-shuffle partition and the whole guard runs serial.
+    val nShuffle = banded.sparkSession.sessionState.conf.numShufflePartitions
     val aSide = withCell.select(payload :+ col("cell").as("ta") :+
-      explode(sequence(lit(0), col("nc") - 1)).as("tb"): _*)
+        explode(sequence(lit(0), col("nc") - 1)).as("tb"): _*)
+      .repartition(nShuffle, col("band"), col("bkey"), col("ta"), col("tb"))
     val bSide = withCell.select(payload :+
-      explode(sequence(lit(0), col("nc") - 1)).as("ta") :+
-      col("cell").as("tb"): _*)
+        explode(sequence(lit(0), col("nc") - 1)).as("ta") :+
+        col("cell").as("tb"): _*)
+      .repartition(nShuffle, col("band"), col("bkey"), col("ta"), col("tb"))
     aSide.as("a").join(bSide.as("b"),
       col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.ta") === col("b.ta") && col("a.tb") === col("b.tb") &&
