@@ -114,9 +114,18 @@ object Clustering {
         .withColumn("nrm", vnorm(col("v")))
         .join(subcells(model.assign, clusterCap, salt), "vid")
         .persist())
-    val x = sv.select(col("cluster"), col("cell"), col("vid").as("a_vid"),
+    pruneWithinCells(sv, minCosine)
+  }
+
+  /** The shared pair/prune tail of [[semDedup]] and [[semDedupHier]]:
+    * within-(cluster, cell) cosine pruning over a frame carrying
+    * (vid, v, nrm, cluster, cell). One row per pruned vector. */
+  private def pruneWithinCells(svCells: DataFrame,
+                               minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosineFromNorms
+    val x = svCells.select(col("cluster"), col("cell"), col("vid").as("a_vid"),
       col("v").as("a_v"), col("nrm").as("a_nrm"))
-    val y = sv.select(col("cluster"), col("cell"), col("vid").as("b_vid"),
+    val y = svCells.select(col("cluster"), col("cell"), col("vid").as("b_vid"),
       col("v").as("b_v"), col("nrm").as("b_nrm"))
     x.join(y, Seq("cluster", "cell"))
       .filter(col("a_vid") < col("b_vid"))
@@ -127,6 +136,109 @@ object Clustering {
       .agg(min(col("a_vid")).as("keeper"), max(col("cos")).as("best_cos"))
       .select(col("cluster"), col("b_vid").as("pruned"), col("keeper"),
         col("best_cos"))
+  }
+
+  /** Hierarchical (two-level, IVF-style) SemDeDup — the 100 TB form of
+    * [[semDedup]]. Flat k-means is quadratic at scale NO MATTER how k is
+    * chosen: assignment costs n·k kernel distances with k ∝ n/target,
+    * while capping k instead makes within-cluster pair mass grow n²/k
+    * (both measured on the 25×/50× corpora — BASELINE.md round 12, q102's
+    * 2.43× for 2× data past its k cap). Two levels take the square root
+    * out of whichever term binds:
+    *
+    *  1. COARSE: one Lloyd fit over `coarseK ≈ √(n/target)` cells
+    *     ([[kmeansFit]] — n·coarseK codegen'd kernel distances).
+    *  2. FINE seeds: within each coarse cell, the
+    *     `ceil(cellSize/targetRows)` members with the smallest
+    *     `(hash28(salt-seed || vid), vid)` — deterministic, rank-stable,
+    *     no RNG (the [[lloyd]] seeding rule, per cell).
+    *  3. FINE assignment: each row scores ONLY its own cell's seeds —
+    *     an equi-join on the coarse cell plus a codegen'd pairwise
+    *     [[graft.plans.SqL2Dist]] and a `min(struct(dist, svid))` argmin
+    *     (ties → smaller seed vid). Candidate rows are
+    *     n·(cellSize/target) ≈ n·√(n/target), never n·k. The fine
+    *     cluster id IS the winning seed's vid (seeds are corpus rows, so
+    *     ids are globally unique across cells).
+    *  4. The [[subcells]] skew guard bounds per-neighborhood pair mass
+    *     exactly as in the flat form.
+    *
+    * Degenerate-coarse-cell guard: seeds per cell cap at
+    * `maxFinePerCell`, so a collapsed corpus (all mass in one coarse
+    * cell) costs at most n·maxFinePerCell candidate rows; the resulting
+    * over-target fine neighborhoods are then bounded by the subcell
+    * guard (with its measured 1/width recall trade), not by the join.
+    *
+    * One Lloyd pass fewer of granularity than the flat form (fine
+    * neighborhoods are one assignment round around hash seeds, not
+    * converged centroids) — the SemDeDup trade: neighborhoods need to be
+    * semantically tight, not optimal; recall lives in the cosine rerank.
+    * Deterministic integer arithmetic end to end, so the q137 oracle
+    * replays the coarse chain, the seed ranking, the fine argmin, the
+    * subcell split, and every within-cell cosine bit-for-bit. */
+  def semDedupHier(emb: DataFrame, idCol: String, vecCol: String,
+                   coarseK: Int, targetRows: Long, iters: Int,
+                   minCosine: Double, salt: String = "semdedup-h",
+                   clusterCap: Long = DefaultClusterCap,
+                   maxFinePerCell: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    import graft.functions.VectorFunctions.vnorm
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    require(maxFinePerCell > 0, s"maxFinePerCell must be positive: $maxFinePerCell")
+    val model = kmeansFit(emb, idCol, vecCol, coarseK, iters, salt)
+    // coarse membership + scaled vectors once, persisted: the seed
+    // ranking, the fine-assignment scan, and the final pair join all
+    // read this frame (caller releases via OperatorCaches.releaseAll)
+    val sv = OperatorCaches.register(
+      emb.select(col(idCol).cast(LongType).as("vid"),
+          scaled(col(vecCol)).as("v"))
+        .withColumn("nrm", vnorm(col("v")))
+        .join(model.assign.select(col("vid"), col("cluster").as("ccell")),
+          "vid")
+        .persist())
+    val csize = sv.groupBy(col("ccell")).agg(count(lit(1)).as("csize"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ccell")).orderBy(col("hs"), col("vid"))
+    // Seed vectors ride a DRIVER-BUILT group-partitioned literal rather
+    // than a join: the equi-join formulation shuffles two full vectors
+    // per candidate row — n·√(n/target) rows × ~1 KB, an n^1.5 SHUFFLE
+    // that measured as the residual superlinear term at 50×. Total seeds
+    // ≈ k ≤ [[Similarity.MaxCentroids]] (the flat form's driver-state
+    // economics) while fine-assignment compute stays n·(cellSize/target).
+    val seedRows = sv.join(csize, "ccell")
+      .withColumn("hs",
+        hash28(concat(lit(s"$salt-seed"), col("vid").cast("string"))))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= least(
+        expr(s"cast((csize + ${targetRows - 1}) div $targetRows as int)"),
+        lit(maxFinePerCell)))
+      .select(col("ccell"), col("vid").as("svid"), col("v"))
+      .orderBy(col("ccell"), col("svid"))
+      .collect()
+    require(seedRows.length <= Similarity.MaxCentroids,
+      s"fine seed set ${seedRows.length} above the driver cap " +
+        s"${Similarity.MaxCentroids} — raise targetRows or coarseK")
+    val dim = seedRows.headOption.map(_.getSeq[Long](2).length).getOrElse(1)
+    val perGroup = new Array[Int](coarseK)
+    seedRows.foreach(r => perGroup(r.getInt(0)) += 1)
+    val start = new Array[Int](coarseK + 1)
+    var g = 0
+    while (g < coarseK) { start(g + 1) = start(g) + perGroup(g); g += 1 }
+    val svids = new Array[Long](seedRows.length)
+    val flat = new Array[Long](seedRows.length * dim)
+    seedRows.zipWithIndex.foreach { case (r, i) =>
+      svids(i) = r.getLong(1)
+      val v = r.getSeq[Long](2)
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
+    }
+    val gseeds = graft.plans.GroupedL2Seeds(start, svids, flat, dim)
+    val fine = sv.select(col("vid"),
+      columnOf(graft.plans.GroupedNearestL2(expressionOf(col("v")),
+        expressionOf(col("ccell")), gseeds)).as("cluster"))
+    pruneWithinCells(
+      sv.select(col("vid"), col("v"), col("nrm"))
+        .join(subcells(fine, clusterCap, salt), "vid"),
+      minCosine)
   }
 
   /** Default per-cluster pairing width cap — 8× the usual target cluster

@@ -779,7 +779,84 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q137: HIERARCHICAL SemDeDup (Clustering.semDedupHier) — the 100 TB
+  // form of q102. Flat k-means is quadratic at scale whichever way k is
+  // chosen (assignment n·k with k ∝ n/target; capped k → pair mass n²/k —
+  // q102 measured 2.43× for 2× data at 50×, past its SemMaxClusterBits
+  // cap). Two levels: a coarse Lloyd over ~√(n/target) cells, hash-ranked
+  // fine seeds per cell (one per targetRows members, capped), and a fine
+  // assignment that scores ONLY the row's own cell's seeds through the
+  // codegen'd pairwise sq_l2 kernel — n·√(n/target) candidates, never
+  // n·k. The oracle replays the coarse chain (kmeansChainSql), the seed
+  // ranking, the candidate distances and (dist, svid) argmin, the subcell
+  // split, and every within-cell cosine — bit-for-bit, like q102. ────────
+  val HierMaxCoarseBits = 8
+  val HierMaxFinePerCell = 256
+
+  val q137_semdedup_hier: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val bits = Similarity.bitsFor(emb.count(), SemTargetClusterRows, 20)
+    val coarseK = 1 << math.min(HierMaxCoarseBits, (bits + 1) / 2)
+    graft.operators.Clustering
+      .semDedupHier(emb, "vec_id", "embedding", coarseK,
+        SemTargetClusterRows, SemIters, CosineDupThreshold,
+        clusterCap = SemClusterCap, maxFinePerCell = HierMaxFinePerCell)
+      .orderBy($"pruned")
+  }
+  lazy val q137_sql: String = {
+    val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
+    val ladder = Similarity.sqlBitsFor("count(*)", SemTargetClusterRows, 20)
+    val sq = "(list_extract(sx.v, i + 1) - list_extract(sy.v, i + 1))"
+    s"""WITH shp AS (
+       |  SELECT least($HierMaxCoarseBits, (($ladder) + 1) // 2) AS cbits
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings),
+       |${kmeansChainSql("hc", 0, Dim, "(SELECT 1 << cbits FROM shp)",
+          SemIters, "semdedup-h")},
+       |hcz AS (SELECT cluster AS ccell, count(*) AS csize
+       |        FROM hca$SemIters GROUP BY 1),
+       |hsr AS (
+       |  SELECT a.vid, a.cluster AS ccell,
+       |    ('0x'||substr(md5('semdedup-h-seed' || CAST(a.vid AS VARCHAR)), 1, 7))::BIGINT AS hs
+       |  FROM hca$SemIters a),
+       |hseed AS MATERIALIZED (
+       |  SELECT vid AS svid, ccell FROM (
+       |    SELECT h.vid, h.ccell, z.csize,
+       |      row_number() OVER (PARTITION BY h.ccell ORDER BY h.hs, h.vid) AS rn
+       |    FROM hsr h JOIN hcz z USING (ccell))
+       |  WHERE rn <= least(
+       |    CAST((csize + ${SemTargetClusterRows - 1}) // $SemTargetClusterRows AS INT),
+       |    $HierMaxFinePerCell)),
+       |hcand AS (
+       |  SELECT a.vid, e.svid,
+       |    CAST(list_sum(list_transform(range(0, $Dim), i -> $sq * $sq)) AS BIGINT) AS fdist
+       |  FROM hca$SemIters a
+       |  JOIN hseed e ON e.ccell = a.cluster
+       |  JOIN sv sx ON sx.vid = a.vid
+       |  JOIN sv sy ON sy.vid = e.svid),
+       |hfine AS MATERIALIZED (
+       |  SELECT vid, svid AS cluster FROM (
+       |    SELECT vid, svid,
+       |      row_number() OVER (PARTITION BY vid ORDER BY fdist, svid) AS rn
+       |    FROM hcand) WHERE rn = 1),
+       |${subcellSql("hf", "hfine", "semdedup-h")},
+       |j AS (
+       |  SELECT s.vid, s.v, s.nrm, c.cluster, c.cell
+       |  FROM sv s JOIN hfcl c USING (vid))
+       |SELECT x.cluster, y.vid AS pruned, min(x.vid) AS keeper,
+       |  max($cos) AS best_cos
+       |FROM j x JOIN j y ON x.cluster = y.cluster AND x.cell = y.cell
+       |  AND x.vid < y.vid
+       |WHERE $cos >= $CosineDupThreshold
+       |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_semdedup_hier" -> q137_semdedup_hier,
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
     "q40_embedding_dedup" -> q40_embedding_dedup,
@@ -799,6 +876,7 @@ object VectorQueries {
     "q111_ivf_index_persist" -> q111_ivf_index_persist,
   )
   val oracleSql: Map[String, String] = Map(
+    "q137_semdedup_hier" -> q137_sql,
     "q25_knn_brute" -> q25_sql,
     "q26_knn_lsh" -> q26_sql,
     "q40_embedding_dedup" -> q40_sql,

@@ -214,6 +214,59 @@ class ClusteringSpec extends SparkSpec {
     assert(out.forall(_._3 == 1.0))
   }
 
+  test("semDedupHier: identical vectors prune to lowest-id keepers; degenerate config == all-pairs") {
+    val vecs = Seq(
+      (0L, Seq(10f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 1f)),
+      (2L, Seq(10f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, -1f)),
+      (4L, Seq(10f, 1f, 0f, 0f)), (5L, Seq(0f, 0f, 10f, 1f)),
+      (6L, Seq(10f, -1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // identical vectors score identically against every seed, so they
+    // always land in the same fine neighborhood — the prune set is
+    // invariant to the coarse/fine split, like the flat form
+    val out = Clustering
+      .semDedupHier(vecs, "vec_id", "embedding", coarseK = 2,
+        targetRows = 3, iters = 2, minCosine = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 5L), out.mkString(", "))
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 1L))
+    assert(out.forall(_._3 == 1.0))
+    // degenerate configuration (one coarse cell, one seed covering the
+    // whole corpus): every pair is compared — output == brute-force
+    // cosine dedup, the recall ceiling the hierarchy trades from
+    val brute = Clustering
+      .semDedupHier(vecs, "vec_id", "embedding", coarseK = 1,
+        targetRows = 100, iters = 1, minCosine = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(brute == Set((2L, 0L), (4L, 0L), (5L, 1L)))
+  }
+
+  test("semDedupHier: degenerate coarse cell is bounded by the seed cap + subcell guard") {
+    // 60 copies of ONE direction: a single coarse cell; maxFinePerCell=2
+    // caps the candidate join at n*2 rows, and the over-target fine
+    // neighborhoods split into subcells (cap 8). Every reported pair is
+    // a genuine duplicate and every keeper precedes its pruned id.
+    val vecs = (0L until 60L).map(i => (i, Seq(5f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Clustering
+      .semDedupHier(vecs, "vec_id", "embedding", coarseK = 1,
+        targetRows = 4, iters = 1, minCosine = 0.999,
+        clusterCap = 8L, maxFinePerCell = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // identical vectors: cos = dot / (sqrt(dot)·sqrt(dot)) — exactly 1
+    // only when the double sqrt squares back to dot, so assert the
+    // threshold, not the literal
+    assert(out.forall { case (pruned, keeper, cos) =>
+      keeper < pruned && cos >= 0.999 })
+    // ids are either pruned once or survive — no id pruned twice
+    val pruned = out.map(_._1)
+    assert(pruned.distinct.length == pruned.length)
+  }
+
   test("semDedupDelta prunes only delta rows, against corpus keepers") {
     def vecs(rows: Seq[(Long, Seq[Float])]) =
       rows.toDF("vec_id", "embedding")
