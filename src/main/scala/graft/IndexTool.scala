@@ -184,8 +184,7 @@ object IndexTool {
     def dbl(k: String, dflt: Double): Double =
       flags.get(k).map(_.toDouble).getOrElse(dflt)
     def fileOf(spec: String, what: String): String = {
-      val kv = spec.trim.split("\\s+").toSeq
-        .map { t => val i = t.indexOf('='); (t.take(i), t.drop(i + 1)) }.toMap
+      val kv = graft.sources.Formats.parseSpec(spec)
       require(kv.get("format").contains("parquet"),
         s"stream=true supports only format=parquet $what specs, got '$spec'")
       kv.getOrElse("file",
@@ -196,11 +195,18 @@ object IndexTool {
     val schema = spark.read.parquet(inFile).schema
     val stream = spark.readStream.schema(schema).parquet(inFile)
     val index = Dedup.loadLshIndex(spark, path)
+    // batchId-keyed OVERWRITE partitions make the sink idempotent:
+    // foreachBatch is at-least-once (a crash between the write and the
+    // checkpoint commit replays the batch), so a replayed batch
+    // re-overwrites its own batch=<id> directory instead of appending
+    // duplicate rows. Readers see `batch` as an ordinary partition
+    // column beside (new_doc, dup_of, jaccard).
     val q = graft.streaming.StreamingCells.lshServeStream(
         docsOf(stream, flags), "doc_id", "text", index,
         num("shingle-n", 3), num("num-hashes", 28), num("bands", 4),
-        dbl("threshold", 0.6)) { batchOut =>
-        batchOut.write.mode("append").parquet(outFile): Unit
+        dbl("threshold", 0.6)) { (batchOut, batchId) =>
+        batchOut.write.mode("overwrite")
+          .parquet(s"$outFile/batch=$batchId"): Unit
       }
       .option("checkpointLocation", s"$outFile/_checkpoint")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -57,7 +57,7 @@ object SkewBench {
       val p = df.persist(); p.count(); p
     }
 
-    // ── simhash corpus: 30% single-mutation boilerplate, 70% spread ─────
+    // ── simhash corpus: 30% three-mutation boilerplate, 70% spread ──────
     val tmpl = ("the quick brown fox jumps over the lazy dog while the " +
       "merge job sorts every row batch into the wide table tonight").split(" ")
     val mutated = concat_ws(" ", tmpl.indices.map { j =>

@@ -30,7 +30,8 @@ object BulkSink {
 
   def bulkLoad(df: DataFrame, dest: String, numPartitions: Int,
                keyCols: Seq[String], sortCols: Seq[Column],
-               maxRecordsPerFile: Long = 0L): Unit = {
+               maxRecordsPerFile: Long = 0L,
+               extraFiles: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val sorted = df
       .repartitionByRange(numPartitions, keyCols.map(col): _*)
@@ -39,8 +40,25 @@ object BulkSink {
     val writer = sorted.write.mode("overwrite")
     (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer).parquet(staging)
+    writeExtraFiles(spark, staging, extraFiles)
     commit(spark, staging, dest)
   }
+
+  /** Small metadata files (e.g. the `_asof_watermark` history barrier)
+    * written INTO the staging dir so the commit rename promotes data and
+    * markers in one atomic step — a marker written after the commit
+    * leaves a crash window in which the data is live but the marker is
+    * lost (exactly the silent state the marker exists to prevent). */
+  def writeExtraFiles(spark: SparkSession, staging: String,
+                      extraFiles: Map[String, String]): Unit =
+    if (extraFiles.nonEmpty) {
+      val fs = new Path(staging)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      extraFiles.foreach { case (name, content) =>
+        val out = fs.create(new Path(staging, name), true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+      }
+    }
 
   /** Atomic swap of `staging` into `dest` (+ cleanup of the replaced data).
     * Mirrors the bulk-load hand-off: writers never touch the live location. */

@@ -33,13 +33,20 @@ import org.apache.spark.sql.types._
   */
 object Formats {
 
-  /** `format=... file=... [key=value ...]` spec parser + dispatch. */
-  def read(spark: SparkSession, spec: String): DataFrame = {
-    val kv = spec.trim.split("\\s+").map { tok =>
+  /** THE spec tokenizer (`format=... file=... [key=value ...]`) — shared
+    * by [[read]] and every other consumer of the CLI spec syntax (e.g.
+    * the streaming index-serve path), so malformed tokens fail with one
+    * message and the grammar cannot drift between call sites. */
+  def parseSpec(spec: String): Map[String, String] =
+    spec.trim.split("\\s+").map { tok =>
       val i = tok.indexOf('=')
       require(i > 0, s"malformed spec token '$tok' (expected key=value)")
       tok.take(i) -> tok.drop(i + 1)
     }.toMap
+
+  /** `format=... file=... [key=value ...]` spec parser + dispatch. */
+  def read(spark: SparkSession, spec: String): DataFrame = {
+    val kv = parseSpec(spec)
     def file = kv.getOrElse("file",
       throw new IllegalArgumentException(s"spec missing file=: '$spec'"))
     kv.getOrElse("format",

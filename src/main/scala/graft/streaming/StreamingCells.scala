@@ -91,22 +91,27 @@ object StreamingCells {
     * early-abort Jaccard rerank, per-batch distinct), so the union of the
     * streamed results over any batch split equals one batch run over the
     * union of the documents — StreamingCellsSpec pins that equality.
-    * `sink` receives each batch's (new_doc, dup_of, jaccard) matches;
-    * start the returned writer (pick trigger/checkpoint at the call
-    * site — `Trigger.AvailableNow` makes one invocation drain the
-    * backlog and stop, the CLI `index-serve stream=true` shape). */
+    * `sink` receives each batch's (new_doc, dup_of, jaccard) matches AND
+    * the micro-batch id — an exactly-once sink must key its output on
+    * that id (e.g. an overwrite of a `batch=<id>` partition), because
+    * foreachBatch is AT-LEAST-ONCE: a crash between the sink write and
+    * the checkpoint commit replays the batch on restart, and a blind
+    * append would duplicate its rows. Start the returned writer (pick
+    * trigger/checkpoint at the call site — `Trigger.AvailableNow` makes
+    * one invocation drain the backlog and stop, the CLI
+    * `index-serve stream=true` shape). */
   def lshServeStream(docs: DataFrame, idCol: String, textCol: String,
                      corpusIndex: DataFrame, shingleN: Int, numHashes: Int,
                      bands: Int, threshold: Double)
-                    (sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                    (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     docs.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val hashed = batch.select(col(idCol).as("id"),
           columnOf(graft.plans.WordShingleHashes(
             expressionOf(col(textCol)), shingleN, 7)).as("ghash"))
         sink(graft.operators.Dedup.incrementalLshPairsIndexed(
-          hashed, corpusIndex, numHashes, bands, threshold))
+          hashed, corpusIndex, numHashes, bands, threshold), batchId)
     }
   }
 

@@ -201,11 +201,6 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   private def watermarkPath =
     new org.apache.hadoop.fs.Path(s"$path/_asof_watermark")
 
-  private def writeWatermark(w: Long): Unit = {
-    val out = hadoopFs.create(watermarkPath, true)
-    try out.write(w.toString.getBytes("UTF-8")) finally out.close()
-  }
-
   /** Cells of one locality group: a partition-pruned scan (only that
     * group's file set is read — the reference's point of splitting HFiles
     * per locality group, `KijiHFileOutputFormat.java:122-186`). A table
@@ -253,8 +248,20 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * dir per group, so a read of one group's columns touches only that
     * group's files. The commit is still a single atomic rename of the
     * whole staged table. */
+  /** NOTE: a bulk load REPLACES the table wholesale — prior contents,
+    * any pending change feed, AND the `_asof_watermark` history barrier
+    * all go with the swapped directory. A reloaded table starts a fresh
+    * history: as-of cuts then reflect the new generation only (its base
+    * with no feed), which is the correct t0 snapshot of the reloaded
+    * content — callers wanting the OLD generation's history must read it
+    * before reloading. */
   def bulkLoad(newCells: DataFrame, numPartitions: Int = 32,
-               maxRecordsPerFile: Long = 0L): Unit = {
+               maxRecordsPerFile: Long = 0L): Unit =
+    bulkLoadWith(newCells, numPartitions, maxRecordsPerFile, Map.empty)
+
+  private def bulkLoadWith(newCells: DataFrame, numPartitions: Int,
+                           maxRecordsPerFile: Long,
+                           extraFiles: Map[String, String]): Unit = {
     val groups = layout.localityGroups
     val grouped = groups.size > 1 ||
       layout.families.exists(f => f.localityGroup != "default" ||
@@ -264,7 +271,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     val guarded = guardLayout(newCells, allowNullScope = false)
     if (!grouped)
       BulkSink.bulkLoad(guarded, path, numPartitions, Seq("entity_id"),
-        sortCols, maxRecordsPerFile)
+        sortCols, maxRecordsPerFile, extraFiles)
     else {
       val lgFor = layout.families.foldLeft(lit("default")) { (acc, f) =>
         when(col("family") === f.name, lit(f.localityGroup)).otherwise(acc)
@@ -280,6 +287,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
         (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
          else w).parquet(s"$staging/lg=$g")
       }
+      BulkSink.writeExtraFiles(spark, staging, extraFiles)
       BulkSink.commit(spark, staging, path)
     }
   }
@@ -464,8 +472,10 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     // History-barrier bookkeeping BEFORE the fold: the max feed ts about
     // to be folded (this fold's high-water mark) and any prior watermark
     // (the marker file lives inside the table dir, which the bulk-load
-    // commit rename replaces). Monotone max of the two is re-written
-    // after the commit, so cellsAsOf can refuse unreproducible cuts.
+    // commit rename replaces). The monotone max rides the STAGING dir
+    // through the atomic commit — a marker written after the commit
+    // would leave a crash window in which the fold is live but the
+    // barrier is lost, silently serving below-fold as-of cuts.
     val folded: Option[Long] =
       if (!hasPendingChanges) None
       else Option(pendingChanges.agg(max(col("ts"))).head().get(0))
@@ -476,9 +486,11 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
         explode(col("versions")).as("v"))
       .select(col("entity_id"), col("family"), col("qualifier"),
         col("v.ts").as("ts"), col("v.value").as("value"))
-    bulkLoad(survivors, numPartitions)
     val w = math.max(prior, folded.getOrElse(Long.MinValue))
-    if (w > Long.MinValue) writeWatermark(w)
+    val markers =
+      if (w > Long.MinValue) Map("_asof_watermark" -> w.toString)
+      else Map.empty[String, String]
+    bulkLoadWith(survivors, numPartitions, 0L, markers)
   }
 
   /** Retention-aware filter: family TTL relative to `asOfMicros`

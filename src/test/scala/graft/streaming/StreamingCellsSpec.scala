@@ -196,7 +196,7 @@ class StreamingCellsSpec extends SparkSpec {
     val q = StreamingCells.lshServeStream(
         input.toDS().toDF("doc_id", "text"), "doc_id", "text",
         index, shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8) {
-        batchOut => got ++= batchOut.collect()
+        (batchOut, _) => got ++= batchOut.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       }.start()
     try {
