@@ -565,6 +565,42 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("GroupedL2Seeds.nearest == per-group argmin with smallest-svid ties") =
+    forAll(
+      Gen.choose(1, 5),                                   // groups
+      Gen.choose(1, 4),                                   // max seeds per group
+      Gen.choose(1, 4),                                   // dim
+      Gen.choose(1, 3),                                   // value alphabet (forces ties)
+      Gen.choose(0L, 1000L)) { (ng, maxSeeds, dim, vals, seed) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      def v(i: Long, j: Int): Long =
+        math.floorMod(i * 2654435761L + j * 40503L + seed, vals.toLong)
+      // deterministic per-group seed counts >= 1; svids ascending within
+      // a group (the builder sorts by (ccell, svid))
+      val counts = (0 until ng).map(g => 1 + (math.floorMod(seed + g, maxSeeds.toLong)).toInt)
+      val start = counts.scanLeft(0)(_ + _).toArray
+      val total = start.last
+      val svids = (0 until total).map(i => i.toLong * 3 + 7).toArray
+      val flat = (for (i <- 0 until total; j <- 0 until dim)
+        yield v(i + 500, j)).toArray
+      val gs = graft.plans.GroupedL2Seeds(start, svids, flat, dim)
+      (0 until 8).forall { r =>
+        val vec = (0 until dim).map(j => v(r, j)).toArray
+        (0 until ng).forall { g =>
+          val got = graft.plans.GroupedL2Seeds.nearest(
+            new GenericArrayData(vec), g, gs)
+          val dists = (start(g) until start(g + 1)).map { i =>
+            (0 until dim).map { j =>
+              val t = vec(j) - flat(i * dim + j); t * t
+            }.sum
+          }
+          // first index with the min distance = smallest svid (ascending)
+          val want = svids(start(g) + dists.indexOf(dists.min))
+          got == want
+        }
+      }
+    }
+
   property("WordShingleHashSeq == positional hash60∘array_join∘slice chain") =
     forAll(Gen.listOfN(4, Gen.oneOf("a bc", "x  y\tz", "", " lead",
       "trail ", "one two three four five", "ü Ü ss", "a a a a"))) { texts =>
