@@ -97,12 +97,30 @@ object Clustering {
     * k ∝ n / targetClusterSize exactly like the paper (which runs k=50k
     * on 5B embeddings); the join shuffles on the cluster key, never
     * corpus×corpus. Cosine is the deterministic scaled-int64 form
-    * (`VectorFunctions.cosineFromNorms`), so results are oracle-exact. */
+    * (`VectorFunctions.cosineFromNorms`), so results are oracle-exact.
+    *
+    * '''SCALE GUARD''': the flat form is quadratic at scale NO MATTER how
+    * k is chosen — assignment costs n·k with k ∝ n/target, while capping
+    * k makes within-cluster pair mass grow n²/k (MEASURED: 2.43× runtime
+    * for 2× rows at the 50× bench corpus, BASELINE.md round 12). This is
+    * the paper-faithful reference implementation, gated by `maxRows`
+    * ([[FlatSemDedupMaxRows]]) so a 100 TB caller cannot reach the
+    * quadratic regime by accident; [[semDedupHier]] is the scale-safe
+    * form (1.18× at 50×, same output contract). */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, minCosine: Double,
                salt: String = "semdedup",
-               clusterCap: Long = DefaultClusterCap): DataFrame = {
+               clusterCap: Long = DefaultClusterCap,
+               maxRows: Long = FlatSemDedupMaxRows): DataFrame = {
     import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
+    val n = emb.count()
+    require(n <= maxRows,
+      s"semDedup (flat k-means) is measured-QUADRATIC at scale: past its " +
+        s"cluster-count cap the within-cluster pair mass grows n²/k " +
+        s"(2.43x runtime for 2x rows at the 50x bench corpus — BASELINE.md " +
+        s"round 12). Corpus has $n rows > maxRows=$maxRows: use " +
+        s"semDedupHier (the hierarchical form, 1.18x at 50x) or raise " +
+        s"maxRows deliberately for a one-off")
     val model = kmeansFit(emb, idCol, vecCol, k, iters, salt)
     // Persisted: the x/y self-join references this subtree twice, and an
     // unpersisted assignment would re-run the scan + kernel argmin per
@@ -179,11 +197,51 @@ object Clustering {
                    coarseK: Int, targetRows: Long, iters: Int,
                    minCosine: Double, salt: String = "semdedup-h",
                    clusterCap: Long = DefaultClusterCap,
-                   maxFinePerCell: Int = 256): DataFrame = {
+                   maxFinePerCell: Int = 256): DataFrame =
+    semDedupHierServe(
+      semDedupHierFit(emb, idCol, vecCol, coarseK, targetRows, iters, salt,
+        clusterCap, maxFinePerCell),
+      minCosine)
+
+  /** A fitted hierarchical-SemDeDup index — the PERSISTABLE artifact of
+    * [[semDedupHierFit]] (the sibling of [[PqIndex]] / the LSH and BM25
+    * index tiers: train once, [[saveSemIndex]], serve every later batch
+    * from the loaded parquet with zero retraining):
+    *
+    *  - `lanes(cluster, pos, cval, n)` — the coarse codebook (int64
+    *    lanes, lossless roundtrip; what a DELTA batch coarse-assigns
+    *    against).
+    *  - `seeds(ccell, svid, v)` — the per-coarse-cell fine seeds
+    *    (≤ [[Similarity.MaxCentroids]] rows; rebuilt into the
+    *    task-binary [[graft.plans.GroupedL2Seeds]] literal at serve
+    *    time).
+    *  - `assign(vid, v, nrm, cluster, cell)` — the corpus's fine
+    *    membership WITH its scaled vectors/norms, so a serve needs no
+    *    side lookup of the raw corpus (the LSH-signature economics).
+    *  - `sizes(cluster, csize)` — fine-cluster pairing mass, the subcell
+    *    widths a delta row's skew-guard cell is computed from.
+    *
+    * `coarseK`/`clusterCap`/`salt` ride a 1-row meta table so a loaded
+    * index can never silently desynchronize its hashes from the fit. */
+  final case class SemIndex(lanes: DataFrame, seeds: DataFrame,
+                            assign: DataFrame, sizes: DataFrame,
+                            coarseK: Int, clusterCap: Long, salt: String)
+
+  /** Train the hierarchical-SemDeDup index — the expensive half of
+    * [[semDedupHier]] (coarse Lloyd fit, deterministic per-cell seed
+    * ranking, grouped-kernel fine assignment, subcell skew split), run
+    * ONCE per corpus build. [[semDedupHierServe]] and
+    * [[semDedupDeltaHier]] are the cheap repeatable halves. */
+  def semDedupHierFit(emb: DataFrame, idCol: String, vecCol: String,
+                      coarseK: Int, targetRows: Long, iters: Int,
+                      salt: String = "semdedup-h",
+                      clusterCap: Long = DefaultClusterCap,
+                      maxFinePerCell: Int = 256): SemIndex = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     import graft.functions.VectorFunctions.vnorm
     require(targetRows > 0, s"targetRows must be positive: $targetRows")
     require(maxFinePerCell > 0, s"maxFinePerCell must be positive: $maxFinePerCell")
+    require(clusterCap > 0, s"clusterCap must be positive: $clusterCap")
     val model = kmeansFit(emb, idCol, vecCol, coarseK, iters, salt)
     // coarse membership + scaled vectors once, persisted: the seed
     // ranking, the fine-assignment scan, and the final pair join all
@@ -204,7 +262,7 @@ object Clustering {
     // that measured as the residual superlinear term at 50×. Total seeds
     // ≈ k ≤ [[Similarity.MaxCentroids]] (the flat form's driver-state
     // economics) while fine-assignment compute stays n·(cellSize/target).
-    val seedRows = sv.join(csize, "ccell")
+    val seedFrame = sv.join(csize, "ccell")
       .withColumn("hs",
         hash28(concat(lit(s"$salt-seed"), col("vid").cast("string"))))
       .withColumn("rn", row_number().over(wCell))
@@ -212,11 +270,113 @@ object Clustering {
         expr(s"cast((csize + ${targetRows - 1}) div $targetRows as int)"),
         lit(maxFinePerCell)))
       .select(col("ccell"), col("vid").as("svid"), col("v"))
-      .orderBy(col("ccell"), col("svid"))
-      .collect()
+    // limit BEFORE collect (the flat form's collectCentroids economics):
+    // an over-cap configuration must fail on the require, not OOM the
+    // driver materializing millions of seed rows first.
+    val seedRows = seedFrame.orderBy(col("ccell"), col("svid"))
+      .limit(Similarity.MaxCentroids + 1).collect()
     require(seedRows.length <= Similarity.MaxCentroids,
-      s"fine seed set ${seedRows.length} above the driver cap " +
-        s"${Similarity.MaxCentroids} — raise targetRows or coarseK")
+      s"fine seed set above the driver cap ${Similarity.MaxCentroids} — " +
+        "raise targetRows or coarseK")
+    val gseeds = groupedSeedsOf(seedRows, coarseK)
+    val fine = sv.select(col("vid"),
+      columnOf(graft.plans.GroupedNearestL2(expressionOf(col("v")),
+        expressionOf(col("ccell")), gseeds)).as("cluster"))
+    // Inlined [[subcells]] so the fine-cluster SIZES survive as an index
+    // surface (the delta path's subcell widths) — same rows, same hash.
+    val sizes = fine.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    val cells = fine.join(sizes, "cluster")
+      .withColumn("cell", subcellOf(col("vid"), clusterCap, salt))
+      .select(col("vid"), col("cluster"), col("cell"))
+    val assign = sv.select(col("vid"), col("v"), col("nrm"))
+      .join(cells, "vid")
+    SemIndex(model.lanes, seedFrame, assign, sizes, coarseK, clusterCap, salt)
+  }
+
+  /** Batch serve from a fitted/loaded [[SemIndex]]: the within-cell
+    * cosine prune over the index's own corpus — [[semDedupHier]] minus
+    * the training. `minCosine` is a SERVE knob: one fitted index answers
+    * any threshold. */
+  def semDedupHierServe(idx: SemIndex, minCosine: Double): DataFrame =
+    pruneWithinCells(idx.assign, minCosine)
+
+  /** Incremental hierarchical SemDeDup — the production ingestion loop on
+    * the persisted index (supersedes [[semDedupDelta]]'s flat-centroid
+    * assignment): each delta row coarse-assigns against the index's
+    * lanes (one [[assignToLanes]] kernel pass), fine-assigns against its
+    * own coarse cell's seeds (the grouped kernel, seeds rebuilt from the
+    * index's ≤[[Similarity.MaxCentroids]]-row seed table), lands in the
+    * skew-guard subcell computed from the CORPUS fine-cluster sizes, and
+    * pairs ONLY with the corpus rows of its (cluster, cell) — stored
+    * with their vectors in `idx.assign`, so corpus×corpus is never
+    * re-paired and no raw-corpus lookup is needed. A delta row whose
+    * fine cluster holds no corpus rows has nothing to pair with and
+    * drops out (the honest incremental contract). Returns one row per
+    * pruned DELTA vector: `(cluster, pruned, keeper, best_cos)`. */
+  def semDedupDeltaHier(delta: DataFrame, idCol: String, vecCol: String,
+                        idx: SemIndex, minCosine: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
+    val seedRows = idx.seeds.orderBy(col("ccell"), col("svid"))
+      .limit(Similarity.MaxCentroids + 1).collect()
+    require(seedRows.length <= Similarity.MaxCentroids,
+      s"seed table above the driver cap ${Similarity.MaxCentroids} — " +
+        "not a semDedupHierFit artifact?")
+    val gseeds = groupedSeedsOf(seedRows, idx.coarseK)
+    val deltaFine = assignToLanes(delta, idCol, vecCol, idx.lanes)
+      .select(col("vid"), col("v"), col("cluster").cast("int").as("ccell"))
+      .withColumn("nrm", vnorm(col("v")))
+      .select(col("vid"), col("v"), col("nrm"),
+        columnOf(graft.plans.GroupedNearestL2(expressionOf(col("v")),
+          expressionOf(col("ccell")), gseeds)).as("cluster"))
+    val deltaSide = deltaFine.join(idx.sizes, "cluster")
+      .select(col("cluster"),
+        subcellOf(col("vid"), idx.clusterCap, idx.salt).as("cell"),
+        col("vid").as("b_vid"), col("v").as("b_v"), col("nrm").as("b_nrm"))
+    val corpusSide = idx.assign.select(col("cluster"), col("cell"),
+      col("vid").as("a_vid"), col("v").as("a_v"), col("nrm").as("a_nrm"))
+    corpusSide.join(deltaSide, Seq("cluster", "cell"))
+      .withColumn("cos", cosineFromNorms(col("a_v"), col("b_v"),
+        col("a_nrm"), col("b_nrm")))
+      .filter(col("cos") >= minCosine)
+      .groupBy(col("cluster"), col("b_vid"))
+      .agg(min(col("a_vid")).as("keeper"), max(col("cos")).as("best_cos"))
+      .select(col("cluster"), col("b_vid").as("pruned"), col("keeper"),
+        col("best_cos"))
+  }
+
+  /** Persist a [[SemIndex]] as parquet: the corpus-sized `assign` keeps
+    * its partitioning; codebook, seeds, sizes, and the 1-row meta are
+    * single files. */
+  def saveSemIndex(idx: SemIndex, path: String): Unit = {
+    idx.assign.write.mode("overwrite").parquet(s"$path/assign")
+    idx.lanes.coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
+    idx.seeds.coalesce(1).write.mode("overwrite").parquet(s"$path/seeds")
+    idx.sizes.coalesce(1).write.mode("overwrite").parquet(s"$path/sizes")
+    val spark = idx.lanes.sparkSession
+    import spark.implicits._
+    Seq((idx.coarseK, idx.clusterCap, idx.salt))
+      .toDF("coarse_k", "cluster_cap", "salt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadSemIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): SemIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    SemIndex(spark.read.parquet(s"$path/lanes"),
+      spark.read.parquet(s"$path/seeds"),
+      spark.read.parquet(s"$path/assign"),
+      spark.read.parquet(s"$path/sizes"),
+      meta.getAs[Int]("coarse_k"), meta.getAs[Long]("cluster_cap"),
+      meta.getAs[String]("salt"))
+  }
+
+  /** Rebuild the task-binary grouped seed literal from `(ccell, svid, v)`
+    * rows sorted by (ccell, svid) — shared by the fit (fresh rows) and
+    * the delta serve (rows reloaded from the persisted seed table), so
+    * the two paths can never assign differently. */
+  private def groupedSeedsOf(seedRows: Array[org.apache.spark.sql.Row],
+                             coarseK: Int): graft.plans.GroupedL2Seeds = {
     val dim = seedRows.headOption.map(_.getSeq[Long](2).length).getOrElse(1)
     val perGroup = new Array[Int](coarseK)
     seedRows.foreach(r => perGroup(r.getInt(0)) += 1)
@@ -231,19 +391,20 @@ object Clustering {
       var j = 0
       while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
     }
-    val gseeds = graft.plans.GroupedL2Seeds(start, svids, flat, dim)
-    val fine = sv.select(col("vid"),
-      columnOf(graft.plans.GroupedNearestL2(expressionOf(col("v")),
-        expressionOf(col("ccell")), gseeds)).as("cluster"))
-    pruneWithinCells(
-      sv.select(col("vid"), col("v"), col("nrm"))
-        .join(subcells(fine, clusterCap, salt), "vid"),
-      minCosine)
+    graft.plans.GroupedL2Seeds(start, svids, flat, dim)
   }
 
   /** Default per-cluster pairing width cap — 8× the usual target cluster
     * population, so the split only ever activates on pathological skew. */
   val DefaultClusterCap: Long = 256L
+
+  /** Corpus bound for the FLAT [[semDedup]] form (the measured-quadratic
+    * one — see its scale-guard scaladoc). 2^17 rows sits just above the
+    * 50× bench tier (~100k rows) where the 2.43× superlinearity was
+    * MEASURED — every recorded tier still reproduces, and the very next
+    * scale notch refuses with the pointer to [[semDedupHier]] instead of
+    * silently entering the quadratic regime. */
+  val FlatSemDedupMaxRows: Long = 1L << 17
 
   /** The SemDeDup skew guard: Σ|cluster|² ≈ n·target holds in
     * EXPECTATION, but a degenerate corpus (mass-duplicated embeddings)
@@ -309,7 +470,15 @@ object Clustering {
     * re-paired (the [[Dedup]] incremental-LSH economics, on embeddings).
     * Returns one row per pruned DELTA vector:
     * `(cluster, pruned, keeper, best_cos)`, keeper = the smallest
-    * matching corpus id. */
+    * matching corpus id.
+    *
+    * FLAT-FORM CAVEAT: the per-call fit is [[semDedup]]'s flat k-means,
+    * with the same measured quadratic at scale AND a retrain on every
+    * batch. Production ingestion should fit ONCE with
+    * [[semDedupHierFit]], persist ([[saveSemIndex]]), and serve each
+    * delta with [[semDedupDeltaHier]] against the loaded index — that
+    * path retrains nothing and stays sublinear (q139). This form remains
+    * the paper-faithful flat reference. */
   def semDedupDelta(delta: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String,
                     k: Int, iters: Int, minCosine: Double,

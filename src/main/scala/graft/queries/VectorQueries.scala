@@ -855,8 +855,153 @@ object VectorQueries {
        |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
   }
 
+  // ── q138: hierarchical-SemDeDup index persistence — fit ONCE
+  // (Clustering.semDedupHierFit), persist the four index surfaces + meta
+  // as parquet (saveSemIndex), load them back, and serve the within-cell
+  // prune from the LOADED artifact with no retraining — the SemDeDup face
+  // of q106 (PQ) / q110 (LSH) / q111 (IVF) / q114 (BM25): EVERY trained
+  // index tier persists and serves identically. Parameters match q137
+  // exactly and every surface is integer/exact (lossless roundtrip), so
+  // the served prune must reproduce q137 bit-for-bit: the oracle IS
+  // q137's SQL, making the save/load roundtrip itself hash-verified. ─────
+  val q138_semdedup_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val bits = Similarity.bitsFor(emb.count(), SemTargetClusterRows, 20)
+    val coarseK = 1 << math.min(HierMaxCoarseBits, (bits + 1) / 2)
+    val path = QueryTmp.dir("semindex", d)
+    graft.operators.Clustering.saveSemIndex(
+      graft.operators.Clustering.semDedupHierFit(emb, "vec_id", "embedding",
+        coarseK, SemTargetClusterRows, SemIters,
+        clusterCap = SemClusterCap, maxFinePerCell = HierMaxFinePerCell),
+      path)
+    graft.operators.Clustering
+      .semDedupHierServe(graft.operators.Clustering.loadSemIndex(s, path),
+        CosineDupThreshold)
+      .orderBy($"pruned")
+  }
+
+  // ── q139: incremental SemDeDup on the PERSISTED hierarchical index —
+  // the production ingestion loop (supersedes q105's flat-centroid
+  // economics, which retrain per batch and inherit q102's measured
+  // quadratic): fit the index on the EXISTING corpus only, persist it,
+  // load it, and serve the delta batch against it — each delta row
+  // coarse-assigns to the loaded lanes, fine-assigns to its coarse
+  // cell's loaded seeds, lands in the corpus-width skew subcell, and
+  // pairs only with the corpus rows of its (cluster, cell), whose
+  // vectors ride the index. Recurring cost scales with the DELTA; the
+  // corpus is never re-fitted, never re-paired. The oracle replays the
+  // whole composition: the corpus-only coarse chain, seed ranking,
+  // corpus fine assignment + subcells, the delta coarse argmin against
+  // the final lanes, the delta fine argmin against its cell's seeds,
+  // the corpus-width cell hash, and every cross-side cosine. ────────────
+  val q139_semdedup_hier_delta: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val isDelta = $"label".isin(SemDeltaLabels: _*)
+    val corpus = emb.filter(!isDelta)
+    val bits = Similarity.bitsFor(corpus.count(), SemTargetClusterRows, 20)
+    val coarseK = 1 << math.min(HierMaxCoarseBits, (bits + 1) / 2)
+    val path = QueryTmp.dir("semindexd", d)
+    graft.operators.Clustering.saveSemIndex(
+      graft.operators.Clustering.semDedupHierFit(corpus, "vec_id",
+        "embedding", coarseK, SemTargetClusterRows, SemIters, "semdedup-hd",
+        clusterCap = SemClusterCap, maxFinePerCell = HierMaxFinePerCell),
+      path)
+    graft.operators.Clustering
+      .semDedupDeltaHier(emb.filter(isDelta), "vec_id", "embedding",
+        graft.operators.Clustering.loadSemIndex(s, path), CosineDupThreshold)
+      .orderBy($"pruned")
+  }
+  lazy val q139_sql: String = {
+    val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
+    val deltaList = SemDeltaLabels.mkString(", ")
+    val ladder = Similarity.sqlBitsFor("count(*)", SemTargetClusterRows, 20)
+    val sq = "(list_extract(sx.v, i + 1) - list_extract(sy.v, i + 1))"
+    s"""WITH shp AS (
+       |  SELECT least($HierMaxCoarseBits, (($ladder) + 1) // 2) AS cbits
+       |  FROM embeddings WHERE label NOT IN ($deltaList)),
+       |sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings WHERE label NOT IN ($deltaList)),
+       |${kmeansChainSql("hc", 0, Dim, "(SELECT 1 << cbits FROM shp)",
+          SemIters, "semdedup-hd")},
+       |hcz AS (SELECT cluster AS ccell, count(*) AS csize
+       |        FROM hca$SemIters GROUP BY 1),
+       |hsr AS (
+       |  SELECT a.vid, a.cluster AS ccell,
+       |    ('0x'||substr(md5('semdedup-hd-seed' || CAST(a.vid AS VARCHAR)), 1, 7))::BIGINT AS hs
+       |  FROM hca$SemIters a),
+       |hseed AS MATERIALIZED (
+       |  SELECT vid AS svid, ccell FROM (
+       |    SELECT h.vid, h.ccell, z.csize,
+       |      row_number() OVER (PARTITION BY h.ccell ORDER BY h.hs, h.vid) AS rn
+       |    FROM hsr h JOIN hcz z USING (ccell))
+       |  WHERE rn <= least(
+       |    CAST((csize + ${SemTargetClusterRows - 1}) // $SemTargetClusterRows AS INT),
+       |    $HierMaxFinePerCell)),
+       |hcand AS (
+       |  SELECT a.vid, e.svid,
+       |    CAST(list_sum(list_transform(range(0, $Dim), i -> $sq * $sq)) AS BIGINT) AS fdist
+       |  FROM hca$SemIters a
+       |  JOIN hseed e ON e.ccell = a.cluster
+       |  JOIN sv sx ON sx.vid = a.vid
+       |  JOIN sv sy ON sy.vid = e.svid),
+       |hfine AS MATERIALIZED (
+       |  SELECT vid, svid AS cluster FROM (
+       |    SELECT vid, svid,
+       |      row_number() OVER (PARTITION BY vid ORDER BY fdist, svid) AS rn
+       |    FROM hcand) WHERE rn = 1),
+       |${subcellSql("hf", "hfine", "semdedup-hd")},
+       |dsv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings WHERE label IN ($deltaList)),
+       |dd AS (
+       |  SELECT s.vid, c.cluster,
+       |    sum((list_extract(s.v, c.pos + 1) - c.cval)
+       |      * (list_extract(s.v, c.pos + 1) - c.cval)) AS dist
+       |  FROM dsv s, hcc$SemIters c GROUP BY s.vid, c.cluster),
+       |da AS (
+       |  SELECT vid, cluster AS ccell FROM (
+       |    SELECT vid, cluster,
+       |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+       |    FROM dd) WHERE rn = 1),
+       |dcand AS (
+       |  SELECT d.vid, e.svid,
+       |    CAST(list_sum(list_transform(range(0, $Dim), i -> $sq * $sq)) AS BIGINT) AS fdist
+       |  FROM da d
+       |  JOIN hseed e ON e.ccell = d.ccell
+       |  JOIN dsv sx ON sx.vid = d.vid
+       |  JOIN sv sy ON sy.vid = e.svid),
+       |dfine AS (
+       |  SELECT vid, svid AS cluster FROM (
+       |    SELECT vid, svid,
+       |      row_number() OVER (PARTITION BY vid ORDER BY fdist, svid) AS rn
+       |    FROM dcand) WHERE rn = 1),
+       |dcl AS (
+       |  SELECT a.vid, a.cluster,
+       |    ('0x'||substr(md5('semdedup-hd-cell' || CAST(a.vid AS VARCHAR)), 1, 7))::BIGINT
+       |      % ((z.csize + ${SemClusterCap - 1}) // $SemClusterCap) AS cell
+       |  FROM dfine a JOIN hfsz z USING (cluster)),
+       |cj AS (
+       |  SELECT s.vid, s.v, s.nrm, c.cluster, c.cell
+       |  FROM sv s JOIN hfcl c USING (vid)),
+       |dj AS (
+       |  SELECT s.vid, s.v, s.nrm, c.cluster, c.cell
+       |  FROM dsv s JOIN dcl c USING (vid))
+       |SELECT x.cluster, y.vid AS pruned, min(x.vid) AS keeper,
+       |  max($cos) AS best_cos
+       |FROM cj x JOIN dj y ON x.cluster = y.cluster AND x.cell = y.cell
+       |WHERE $cos >= $CosineDupThreshold
+       |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q137_semdedup_hier" -> q137_semdedup_hier,
+    "q138_semdedup_index_persist" -> q138_semdedup_index_persist,
+    "q139_semdedup_hier_delta" -> q139_semdedup_hier_delta,
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
     "q40_embedding_dedup" -> q40_embedding_dedup,
@@ -877,6 +1022,9 @@ object VectorQueries {
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
+    // serve-from-persisted-index must reproduce q137 exactly
+    "q138_semdedup_index_persist" -> q137_sql,
+    "q139_semdedup_hier_delta" -> q139_sql,
     "q25_knn_brute" -> q25_sql,
     "q26_knn_lsh" -> q26_sql,
     "q40_embedding_dedup" -> q40_sql,

@@ -285,6 +285,57 @@ class ClusteringSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 0L, 1.0)), out.mkString(", "))
   }
 
+  test("semDedup refuses corpora past its flat-quadratic gate, naming semDedupHier") {
+    // the measured-quadratic flat form must not be reachable by accident
+    // at scale: past maxRows the require fires BEFORE any fit work, and
+    // the message points the caller at the hierarchical form
+    val vecs = (0L until 8L).map(i => (i, Seq(10f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Clustering.semDedup(vecs, "vec_id", "embedding", k = 2, iters = 1,
+        minCosine = 0.999, maxRows = 5L)
+    }
+    assert(e.getMessage.contains("semDedupHier"), e.getMessage)
+    assert(e.getMessage.contains("maxRows=5"), e.getMessage)
+    // at or under the gate the same call runs (default gate >> any test corpus)
+    Clustering.semDedup(vecs, "vec_id", "embedding", k = 2, iters = 1,
+      minCosine = 0.999, maxRows = 8L).collect()
+  }
+
+  test("SemIndex roundtrip: served prune == fresh fit; delta serves against the loaded index") {
+    def vecs(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val corpus = vecs(Seq(
+      (0L, Seq(10f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 1f)),
+      (2L, Seq(10f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, -1f)),
+      (4L, Seq(10f, 1f, 0f, 0f)), (5L, Seq(0f, 0f, 10f, 1f))))
+    val fresh = Clustering
+      .semDedupHier(corpus, "vec_id", "embedding", coarseK = 2,
+        targetRows = 3, iters = 2, minCosine = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val path = tmpDir("semindex_roundtrip")
+    Clustering.saveSemIndex(
+      Clustering.semDedupHierFit(corpus, "vec_id", "embedding", coarseK = 2,
+        targetRows = 3, iters = 2), path)
+    val loaded = Clustering.loadSemIndex(spark, path)
+    assert(loaded.coarseK == 2 && loaded.salt == "semdedup-h")
+    // batch serve from parquet reproduces the fresh fit exactly
+    val served = Clustering.semDedupHierServe(loaded, 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(served == fresh, s"served=$served fresh=$fresh")
+    // delta serve: corpus dup pair (0,2,4) must NOT re-report; the delta
+    // twin of the corpus blob prunes against the SMALLEST corpus member
+    val delta = vecs(Seq(
+      (10L, Seq(10f, 1f, 0f, 0f)),   // identical to corpus 0/2/4
+      (11L, Seq(0f, 0f, -10f, 5f)))) // similar to nothing
+    val out = Clustering
+      .semDedupDeltaHier(delta, "vec_id", "embedding", loaded, 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((10L, 0L, 1.0)), out.mkString(", "))
+  }
+
   test("semDedup skew guard: a degenerate one-cluster corpus pairs within bounded subcells") {
     // 300 IDENTICAL vectors — equidistant from every centroid, so k-means
     // parks all of them in ONE cluster: exactly the pathological corpus
