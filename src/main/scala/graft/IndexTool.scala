@@ -33,6 +33,10 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    retrieval of the input query docs' terms (`bm25Ranked`).
   *  - `unigram`: build = hard-EM vocabulary. serve = Viterbi kernel
   *    stats per input doc (`UnigramDocStats`).
+  *  - `semdedup`: build = hierarchical-SemDeDup fit (coarse codebook +
+  *    fine seeds + corpus assignment — `Clustering.semDedupHierFit`).
+  *    serve = the input treated as a DELTA batch pruned against the
+  *    loaded index (`semDedupDeltaHier`; the q139 ingestion loop).
   *
   * The reference ships its MapReduce jobs through the same one-CLI
   * pattern (`KM/tools/KijiGather.java`); an index tier is the analog for
@@ -40,7 +44,8 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   */
 object IndexTool {
 
-  val Types: Set[String] = Set("lsh", "ivf", "pq", "bpe", "bm25", "unigram")
+  val Types: Set[String] =
+    Set("lsh", "ivf", "pq", "bpe", "bm25", "unigram", "semdedup")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -101,6 +106,13 @@ object IndexTool {
           .map(t => UnigramLm.trainLocal(wfd, t.toInt))
           .getOrElse(UnigramLm.trainLocal(wfd))
         UnigramLm.saveVocab(vocab, spark, path)
+      case "semdedup" =>
+        Clustering.saveSemIndex(Clustering.semDedupHierFit(
+          embOf(input, flags), "vec_id", "embedding",
+          num("coarse-k", 16), num("target-rows", 32).toLong,
+          num("iters", 2), flags.getOrElse("salt", "semdedup-h"),
+          num("cluster-cap", 256).toLong,
+          num("max-fine-per-cell", 256)), path)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }
@@ -162,6 +174,11 @@ object IndexTool {
             element_at(col("st"), 2).as("n_tokens"),
             element_at(col("st"), 3).as("total_cost"))
           .orderBy(col("doc_id"))
+      case "semdedup" =>
+        Clustering.semDedupDeltaHier(embOf(input, flags), "vec_id",
+            "embedding", Clustering.loadSemIndex(spark, path),
+            dbl("threshold", 0.999))
+          .orderBy(col("pruned"))
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }
@@ -192,7 +209,17 @@ object IndexTool {
     }
     val inFile = fileOf(inputSpec, "input")
     val outFile = fileOf(outputSpec, "output")
-    val schema = spark.read.parquet(inFile).schema
+    // An input directory with no parquet yet is a NORMAL state for a
+    // re-runnable ingestion cron (nothing arrived since the last drain,
+    // or the producer hasn't started): drain nothing instead of failing
+    // the whole cron run on the schema probe.
+    val schema =
+      try spark.read.parquet(inFile).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[index-serve] no parquet input at $inFile " +
+          s"yet — nothing to drain (${e.getCondition})")
+        return
+      }
     val stream = spark.readStream.schema(schema).parquet(inFile)
     val index = Dedup.loadLshIndex(spark, path)
     // batchId-keyed OVERWRITE partitions make the sink idempotent:

@@ -319,9 +319,10 @@ object Tool {
       |   | graft.Tool describe --table=<path> [--layout=<layout.json>]
       |       [--minor-compact-over=N]
       |   | graft.Tool job-history --history=<dir> [--job-id=<id>]
-      |   | graft.Tool index-build --type=<lsh|ivf|pq|bpe|bm25|unigram>
+      |   | graft.Tool index-build --type=<lsh|ivf|pq|bpe|bm25|unigram|semdedup>
       |       --input="format=..." --path=<dir> [type knobs: --shingle-n --num-hashes
       |       --bands --centroids --iters --dim --m --k --merges --target-vocab
+      |       --coarse-k --target-rows --cluster-cap --max-fine-per-cell --salt
       |       --id-col --text-col --vec-col]
       |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]

@@ -546,6 +546,22 @@ class ToolSpec extends SparkSpec {
       s"--output=format=parquet file=$ugtOut")).status == "SUCCEEDED")
     assert(spark.read.parquet(ugtOut).count() == 8)
 
+    // semdedup: hierarchical index on the corpus slice (vec 11 held
+    // out), then the held-out delta — an exact twin of corpus vec 1 —
+    // prunes against corpus keeper 1 and nothing else
+    val semCorpus = s"$base/semcorpus"
+    emb.filter($"vec_id" < 11).write.parquet(semCorpus)
+    val semDelta = s"$base/semdelta"
+    emb.filter($"vec_id" === 11).write.parquet(semDelta)
+    val semPath = s"$base/semdedup"
+    assert(Tool.run(spark, Array("index-build", "--type=semdedup",
+      s"--path=$semPath", s"--input=format=parquet file=$semCorpus",
+      "--coarse-k=2", "--target-rows=4")).status == "SUCCEEDED")
+    val semRows = serve("semdedup", semPath,
+      s"format=parquet file=$semDelta", "--threshold=0.999")
+    assert(semRows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((11L, 1L)), semRows.mkString(", "))
+
     // unknown type fails loudly
     val e = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-build", "--type=nope", s"--path=$base/x",
@@ -602,5 +618,17 @@ class ToolSpec extends SparkSpec {
         s"--path=$lshPath", s"--input=format=parquet file=$docsPath",
         s"--output=format=parquet file=$base/x")))
     assert(e.getMessage.contains("--stream=true"))
+    // an EMPTY input backlog (dir exists, no parquet yet — the normal
+    // state of a re-runnable ingestion cron between arrivals) drains
+    // cleanly as a no-op instead of failing the schema probe
+    val emptyIn = s"$base/empty-in"
+    new java.io.File(emptyIn).mkdirs()
+    val emptyOut = s"$base/empty-out"
+    assert(Tool.run(spark, Array("index-serve", "--type=lsh",
+      "--stream=true", s"--path=$lshPath",
+      s"--input=format=parquet file=$emptyIn",
+      s"--output=format=parquet file=$emptyOut",
+      "--shingle-n=2", "--threshold=0.9")).status == "SUCCEEDED")
+    assert(!new java.io.File(s"$emptyOut/_checkpoint").exists())
   }
 }
