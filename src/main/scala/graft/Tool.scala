@@ -330,7 +330,7 @@ object Tool {
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]
-      |           [asof=<feedTs>]"
+      |           [asof=<feedTs> | asofordinal=<batchN>]"
       |  --output="format=<parquet|text|csv|json|seq|avro|avrokv|map> file=... [splits=N]"
       |         | "format=<kiji|hfile> table=<path> [layout=<layout.json>] [splits=N]"
       |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin

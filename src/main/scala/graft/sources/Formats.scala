@@ -97,7 +97,13 @@ object Formats {
     * (`EntityTable.readAsOf`): the scan serves the table as it stood when
     * the change feed was cut at that ts — the rollback/debug read, now
     * reachable from the CLI like any other scan knob. Cuts below a major
-    * compaction's watermark refuse with guidance (see `cellsAsOf`). */
+    * compaction's watermark refuse with guidance (see `cellsAsOf`).
+    * NOTE the cut is by LOGICAL cell ts, not append order — a correction
+    * batch stamped with a smaller ts shows up in "earlier" snapshots;
+    * `asofordinal=<batch>` is the strict batch-arrival cut
+    * (`EntityTable.readAsOfOrdinal`: the view after the first N
+    * appendChanges batches, whatever their timestamps). The two axes are
+    * mutually exclusive in one spec. */
   def readKijiTable(spark: SparkSession, kv: Map[String, String]): DataFrame = {
     import graft.table.{DataRequest, EntityTable, LayoutJson, TableLayout}
     val tablePath = kv.getOrElse("table",
@@ -119,9 +125,16 @@ object Formats {
     }
     val req = DataRequest(columns, maxVersions, timeRange)
     val feedTs = kv.get("asof").map(_.toLong).getOrElse(Long.MaxValue)
-    val scanned =
-      if (maxVersions == 1) table.mostRecentAsOf(feedTs, req)
-      else table.readAsOf(feedTs, req)
+    val ordinal = kv.get("asofordinal").map(_.toLong)
+    require(ordinal.isEmpty || !kv.contains("asof"),
+      "asof= (logical-ts cut) and asofordinal= (batch-arrival cut) are " +
+        "different history axes — pass one, not both")
+    val scanned = (ordinal, maxVersions) match {
+      case (Some(o), 1) => table.mostRecentAsOfOrdinal(o, req)
+      case (Some(o), _) => table.readAsOfOrdinal(o, req)
+      case (None, 1) => table.mostRecentAsOf(feedTs, req)
+      case (None, _) => table.readAsOf(feedTs, req)
+    }
     val ranged = kv.get("startrow")
       .map(k => scanned.filter(col("entity_id") >= k)).getOrElse(scanned)
     kv.get("limitrow")

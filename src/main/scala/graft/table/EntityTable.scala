@@ -182,14 +182,61 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       pendingChanges.filter(col("ts") <= lit(feedTs)))
   }
 
+  /** Snapshot-as-of by ARRIVAL ORDER — the strict batch-history cut
+    * [[cellsAsOf]]'s logical-ts cut cannot give when feed timestamps are
+    * non-monotone with append order: fold only the first `ordinal`
+    * [[appendChanges]] batches (each batch is stamped with a monotone
+    * `arrival` ordinal; batch k is visible at cuts >= k). A late-appended
+    * correction stamped with a SMALLER cell ts is invisible below its
+    * batch's ordinal here, while [[cellsAsOf]] would surface it in
+    * "earlier" snapshots — use this axis for "what did the table serve
+    * after batch N", the ts axis for "the event-time view at t".
+    *
+    * `ordinal = Long.MaxValue` is the live view; `0` is the base (no
+    * batches). Minor compaction preserves the stamps; physical folds
+    * ([[majorCompact]], [[applyChanges]]) persist
+    * [[asOfArrivalWatermark]] and cuts strictly below it refuse, exactly
+    * like the ts axis. */
+  def cellsAsOfOrdinal(ordinal: Long): DataFrame = {
+    if (ordinal != Long.MaxValue) {
+      val w = asOfArrivalWatermark
+      require(ordinal >= w,
+        s"readAsOfOrdinal($ordinal): a physical fold (majorCompact or " +
+          s"applyChanges) already folded feed batches up to arrival=$w " +
+          "into the base and discarded the versions and tombstones they " +
+          "masked — batch-history cuts below that watermark are " +
+          "unreproducible")
+    }
+    if (!hasPendingChanges) baseCells
+    else if (ordinal == Long.MaxValue) cells
+    else {
+      val pc = pendingChanges
+      require(pc.columns.contains("arrival"),
+        "this change feed has no arrival stamps (written by a writer " +
+          "other than appendChanges?) — ordinal cuts need the stamped " +
+          "feed; use the logical-ts cut (readAsOf) instead")
+      Dml.applyChanges(baseCells,
+        pc.filter(col("arrival") <= lit(ordinal)))
+    }
+  }
+
   /** High-water mark of feed history destroyed by major compactions: the
     * max feed ts ever physically folded into the base (Long.MinValue when
     * no fold has happened). As-of reads strictly below it refuse (see
     * [[cellsAsOf]]). Persisted as `_asof_watermark` inside the table dir
     * — underscore-prefixed, so scans never see it; monotone across
     * repeated compactions. */
-  def asOfWatermark: Long = {
-    val p = watermarkPath
+  def asOfWatermark: Long = readMarker("_asof_watermark")
+
+  /** High-water mark of feed history destroyed by physical folds, in
+    * ARRIVAL-ORDINAL terms (the [[cellsAsOfOrdinal]] axis): the max
+    * `arrival` stamp ever folded into the base by [[majorCompact]] /
+    * [[applyChanges]]. Ordinal cuts strictly below it refuse, exactly
+    * like [[asOfWatermark]] on the logical-ts axis. */
+  def asOfArrivalWatermark: Long = readMarker("_asof_arrival_watermark")
+
+  private def readMarker(name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
     if (!hadoopFs.exists(p)) Long.MinValue
     else {
       val in = hadoopFs.open(p)
@@ -197,9 +244,6 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       finally in.close()
     }
   }
-
-  private def watermarkPath =
-    new org.apache.hadoop.fs.Path(s"$path/_asof_watermark")
 
   /** Cells of one locality group: a partition-pruned scan (only that
     * group's file set is read — the reference's point of splitting HFiles
@@ -378,8 +422,19 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           lit(s"' for table '${layout.name}'")))))
     val guarded = guardLayout(opGuarded, allowNullScope = true)
       .select(need.map(col): _*)
+    // Arrival-ordinal stamp: one monotone batch number per append — the
+    // strict batch-history axis of [[cellsAsOfOrdinal]] (logical cell ts
+    // can be non-monotone with append order; the stamp cannot). Stamped
+    // only while the feed is consistently stamped (every appendChanges
+    // feed is; a feed created by an external writer stays unstamped so
+    // its files keep ONE schema — ordinal reads then refuse with
+    // guidance).
+    val stamped =
+      if (hasPendingChanges && !pendingChanges.columns.contains("arrival"))
+        guarded
+      else guarded.withColumn("arrival", lit(nextArrival))
     if (numFiles == 1)
-      guarded.coalesce(1).write.mode("append").parquet(changesPath)
+      stamped.coalesce(1).write.mode("append").parquet(changesPath)
     else {
       // Multi-file batch (numFiles = 0 keeps partitioning; >= 2 coalesces
       // to that many files): stage outside the feed, commit via one
@@ -388,7 +443,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       // dies midway. Underscore-prefixed staging dirs are invisible to
       // every reader (FileIndex hides them), so a mid-write failure
       // exposes zero rows.
-      val shaped = if (numFiles > 1) guarded.coalesce(numFiles) else guarded
+      val shaped = if (numFiles > 1) stamped.coalesce(numFiles) else stamped
       val id = java.util.UUID.randomUUID().toString.take(8)
       val staging = new org.apache.hadoop.fs.Path(s"$path/__changes_stage_$id")
       // Cleanup covers the RENAME failing too (e.g. the feed path
@@ -408,6 +463,14 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       }
     }
   }
+
+  /** The next arrival ordinal: 1 + the max stamp in the feed (1 for an
+    * empty feed). Max-based rather than file-count-based so the numbering
+    * survives [[compactFeed]] folding N batch files into one. */
+  private def nextArrival: Long =
+    if (!hasPendingChanges) 1L
+    else Option(pendingChanges.agg(max(col("arrival"))).head().get(0))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
 
   /** Change-feed occupancy: (data files, rows). Each `appendChanges` batch
     * leaves its own file(s); every merged read re-lists and re-unions them
@@ -447,9 +510,34 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   /** Merge a change feed (puts + tombstones) and rewrite the table — the
     * full compaction path (any pending `_changes` feed folds in too, via
     * `cells`). For an O(delta) write that defers the rewrite, use
-    * `appendChanges`. */
-  def applyChanges(changes: DataFrame, numPartitions: Int = 32): Unit =
-    bulkLoad(Dml.applyChanges(cells, changes), numPartitions)
+    * `appendChanges`.
+    *
+    * This is a PHYSICAL FOLD exactly like [[majorCompact]]: the pending
+    * feed, its arrival stamps, and `changes` itself all become base
+    * cells, and whatever their tombstones masked is gone — so the same
+    * history-barrier bookkeeping applies. Both as-of watermarks advance
+    * to the fold's high-water mark (max of the prior watermark, the
+    * folded feed, and the folded `changes` timestamps), and cuts
+    * strictly below refuse instead of silently serving post-fold state. */
+  def applyChanges(changes: DataFrame, numPartitions: Int = 32): Unit = {
+    def maxOf(df: DataFrame, c: String): Long =
+      Option(df.agg(max(col(c))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+    val feedTs =
+      if (!hasPendingChanges) Long.MinValue else maxOf(pendingChanges, "ts")
+    val feedArrival =
+      if (hasPendingChanges && pendingChanges.columns.contains("arrival"))
+        maxOf(pendingChanges, "arrival")
+      else Long.MinValue
+    val w = Seq(asOfWatermark, feedTs, maxOf(changes, "ts")).max
+    val wa = math.max(asOfArrivalWatermark, feedArrival)
+    val markers =
+      (if (w > Long.MinValue) Map("_asof_watermark" -> w.toString)
+       else Map.empty[String, String]) ++
+      (if (wa > Long.MinValue) Map("_asof_arrival_watermark" -> wa.toString)
+       else Map.empty[String, String])
+    bulkLoadWith(Dml.applyChanges(cells, changes), numPartitions, 0L, markers)
+  }
 
   /** MAJOR compaction: physically drop cells beyond each family's
     * max_versions and past its TTL (relative to `asOfMicros`), then
@@ -480,6 +568,11 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       if (!hasPendingChanges) None
       else Option(pendingChanges.agg(max(col("ts"))).head().get(0))
         .map(_.asInstanceOf[Long])
+    val foldedArrival: Long =
+      if (hasPendingChanges && pendingChanges.columns.contains("arrival"))
+        Option(pendingChanges.agg(max(col("arrival"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+      else Long.MinValue
     val prior = asOfWatermark
     val survivors = read(DataRequest(maxVersions = Int.MaxValue), asOfMicros)
       .select(col("entity_id"), col("family"), col("qualifier"),
@@ -487,9 +580,12 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       .select(col("entity_id"), col("family"), col("qualifier"),
         col("v.ts").as("ts"), col("v.value").as("value"))
     val w = math.max(prior, folded.getOrElse(Long.MinValue))
+    val wa = math.max(asOfArrivalWatermark, foldedArrival)
     val markers =
-      if (w > Long.MinValue) Map("_asof_watermark" -> w.toString)
-      else Map.empty[String, String]
+      (if (w > Long.MinValue) Map("_asof_watermark" -> w.toString)
+       else Map.empty[String, String]) ++
+      (if (wa > Long.MinValue) Map("_asof_arrival_watermark" -> wa.toString)
+       else Map.empty[String, String])
     bulkLoadWith(survivors, numPartitions, 0L, markers)
   }
 
@@ -579,13 +675,31 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   /** [[read]] over the [[cellsAsOf]] feed cut — the versioned time-travel
     * read: version arrays as they stood before any feed entry later than
     * `feedTs` arrived. Composes with every other read knob (retention,
-    * time range, column pruning, reader specs, asOfMicros TTL clock). */
+    * time range, column pruning, reader specs, asOfMicros TTL clock).
+    *
+    * The cut is by LOGICAL cell timestamp, not append order (the
+    * [[cellsAsOf]] contract): a correction batch appended later but
+    * stamped with a smaller ts appears in "earlier" snapshots. For a
+    * strict batch-arrival history use [[readAsOfOrdinal]]. */
   def readAsOf(feedTs: Long, request: DataRequest = DataRequest(),
-               asOfMicros: Long = Long.MaxValue): DataFrame = {
+               asOfMicros: Long = Long.MaxValue): DataFrame =
+    versionedOf(cellsAsOf(feedTs), request, asOfMicros)
+
+  /** [[read]] over the [[cellsAsOfOrdinal]] ARRIVAL cut — the strict
+    * batch-history read: the versioned view exactly as it stood after
+    * the first `ordinal` appendChanges batches, regardless of how their
+    * cell timestamps interleave (the knob [[readAsOf]]'s logical-ts cut
+    * cannot give for out-of-order correction batches). */
+  def readAsOfOrdinal(ordinal: Long, request: DataRequest = DataRequest(),
+                      asOfMicros: Long = Long.MaxValue): DataFrame =
+    versionedOf(cellsAsOfOrdinal(ordinal), request, asOfMicros)
+
+  private def versionedOf(source: DataFrame, request: DataRequest,
+                          asOfMicros: Long): DataFrame = {
     val famMax = layout.families.foldLeft(lit(Int.MaxValue)) { (acc, f) =>
       when(col("family") === f.name, lit(f.maxVersions)).otherwise(acc)
     }
-    retained(request, asOfMicros, cellsAsOf(feedTs))
+    retained(request, asOfMicros, source)
       .groupBy(col("entity_id"), col("family"), col("qualifier"))
       .agg(reverse(sort_array(collect_list(struct(col("ts"), col("value"))))).as("all_versions"),
         first(famMax).as("fam_max"))
@@ -594,10 +708,22 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           least(lit(request.maxVersions), col("fam_max"))).as("versions"))
   }
 
-  /** [[mostRecent]] over the [[cellsAsOf]] feed cut. */
+  /** [[mostRecent]] over the [[cellsAsOf]] feed cut. Logical-ts cut
+    * semantics — see [[readAsOf]]; [[mostRecentAsOfOrdinal]] is the
+    * strict batch-arrival face. */
   def mostRecentAsOf(feedTs: Long, request: DataRequest = DataRequest(),
                      asOfMicros: Long = Long.MaxValue): DataFrame =
-    retained(request.copy(maxVersions = 1), asOfMicros, cellsAsOf(feedTs))
+    mostRecentOf(cellsAsOf(feedTs), request, asOfMicros)
+
+  /** [[mostRecent]] over the [[cellsAsOfOrdinal]] ARRIVAL cut. */
+  def mostRecentAsOfOrdinal(ordinal: Long,
+                            request: DataRequest = DataRequest(),
+                            asOfMicros: Long = Long.MaxValue): DataFrame =
+    mostRecentOf(cellsAsOfOrdinal(ordinal), request, asOfMicros)
+
+  private def mostRecentOf(source: DataFrame, request: DataRequest,
+                           asOfMicros: Long): DataFrame =
+    retained(request.copy(maxVersions = 1), asOfMicros, source)
       .groupBy(col("entity_id"), col("family"), col("qualifier"))
       .agg(max(struct(col("ts"), col("value"))).as("m"))
       .select(col("entity_id"), col("family"), col("qualifier"),

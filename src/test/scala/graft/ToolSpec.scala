@@ -279,6 +279,16 @@ class ToolSpec extends SparkSpec {
     // no asof: the live view (tombstone applied)
     assert(rows(s"format=kiji table=$src layout=$layoutPath") ==
       Set((1L, 100L, 9.5)))
+    // asofordinal= is the batch-arrival axis: after batch 1 only the
+    // correction is in (same view as asof=100 here); after batch 2 = live
+    assert(rows(s"format=kiji table=$src layout=$layoutPath asofordinal=1") ==
+      Set((1L, 100L, 9.5), (2L, 5L, 7.0)))
+    assert(rows(s"format=kiji table=$src layout=$layoutPath asofordinal=2") ==
+      Set((1L, 100L, 9.5)))
+    // the two axes are mutually exclusive in one spec
+    val e = intercept[IllegalArgumentException](graft.sources.Formats.read(
+      spark, s"format=kiji table=$src layout=$layoutPath asof=50 asofordinal=1"))
+    assert(e.getMessage.contains("one, not both"))
   }
 
   test("CLI table outputs reject non-cell-shaped job output") {

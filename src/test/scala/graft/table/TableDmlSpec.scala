@@ -214,6 +214,86 @@ class TableDmlSpec extends SparkSpec {
     assert(keys(table.cellsAsOf(30L)).contains((2L, "info", "email", 27L)))
   }
 
+  test("readAsOfOrdinal: strict batch-arrival cuts across an out-of-order correction batch") {
+    val dir = tmpDir("asofOrdinal") + "/t"
+    val table = new EntityTable(spark, dir,
+      TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    // batch 1 carries ts=100; batch 2 is a LATE CORRECTION stamped ts=50
+    // — non-monotone with arrival, exactly the case the logical-ts cut
+    // cannot express as history
+    table.appendChanges(changesDF(Seq(
+      Dml.put(1L, "info", "email", 100L, "first@x"))))
+    table.appendChanges(changesDF(Seq(
+      Dml.put(1L, "info", "email", 50L, "correction@x"))))
+    // ordinal 0 = the base; ordinal 1 = after batch 1 ONLY: the ts=50
+    // correction is invisible even though its ts is below 100
+    assert(keys(table.cellsAsOfOrdinal(0L)) == keys(
+      spark.createDataFrame(cells.collectAsList(), cells.schema)))
+    val after1 = keys(table.cellsAsOfOrdinal(1L))
+    assert(after1.contains((1L, "info", "email", 100L)))
+    assert(!after1.contains((1L, "info", "email", 50L)))
+    // ...while the LOGICAL cut at ts=60 shows the later-arrived
+    // correction and not batch 1 — the two axes genuinely differ
+    val tsCut = keys(table.cellsAsOf(60L))
+    assert(tsCut.contains((1L, "info", "email", 50L)))
+    assert(!tsCut.contains((1L, "info", "email", 100L)))
+    // ordinal 2 == live; MaxValue == live
+    assert(keys(table.cellsAsOfOrdinal(2L)) == keys(table.cells))
+    assert(keys(table.cellsAsOfOrdinal(Long.MaxValue)) == keys(table.cells))
+    // the versioned read face agrees
+    val v1 = table.readAsOfOrdinal(1L, DataRequest(maxVersions = Int.MaxValue))
+      .select(col("entity_id"), col("family"), col("qualifier"),
+        explode(col("versions.ts")).as("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(v1 == after1)
+    // minor compaction folds the feed FILES but keeps the stamps: every
+    // ordinal cut reproduces, and the next append keeps numbering
+    table.compactFeed()
+    assert(keys(table.cellsAsOfOrdinal(1L)) == after1)
+    table.appendChanges(changesDF(Seq(
+      Dml.put(2L, "info", "email", 70L, "third@x"))))
+    assert(keys(table.cellsAsOfOrdinal(2L)) ==
+      keys(table.cells) -- Set((2L, "info", "email", 70L)))
+    // MAJOR compaction folds physically: the arrival watermark appears
+    // and ordinal cuts strictly below refuse
+    table.majorCompact()
+    assert(table.asOfArrivalWatermark == 3L)
+    val e = intercept[IllegalArgumentException] { table.cellsAsOfOrdinal(2L) }
+    assert(e.getMessage.contains("watermark"))
+    assert(keys(table.cellsAsOfOrdinal(3L)) == keys(table.cells))
+  }
+
+  test("applyChanges is a physical fold: both as-of watermarks advance, cuts below refuse") {
+    val dir = tmpDir("applyFold") + "/t"
+    val table = new EntityTable(spark, dir,
+      TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    table.appendChanges(changesDF(Seq(
+      Dml.put(1L, "info", "email", 25L, "fix@x"))))
+    // the fold merges the pending feed (ts<=25, arrival 1) AND the direct
+    // batch (ts 40, tombstone masking ts<=22) into the base
+    table.applyChanges(changesDF(Seq(
+      Dml.put(2L, "info", "email", 40L, "later@x"),
+      Dml.deleteRow(1L, 22L, null.asInstanceOf[String]))))
+    assert(!table.hasPendingChanges)
+    val live = keys(table.cells)
+    assert(live.contains((2L, "info", "email", 40L)))
+    assert(live.contains((1L, "info", "email", 25L)))     // above tombstone
+    assert(!live.contains((1L, "info", "name", 5L)))      // masked, GONE
+    // ts watermark = max folded ts (40); arrival watermark = folded batch
+    assert(table.asOfWatermark == 40L)
+    assert(table.asOfArrivalWatermark == 1L)
+    // the exact silent-history hazard: a cut below the fold must REFUSE,
+    // not serve post-fold state as if it were the ts=30 snapshot
+    val e = intercept[IllegalArgumentException] { table.cellsAsOf(30L) }
+    assert(e.getMessage.contains("major compaction"))
+    intercept[IllegalArgumentException] { table.readAsOfOrdinal(0L) }
+    // at/above the watermark the view serves
+    assert(keys(table.cellsAsOf(40L)) == live)
+    assert(keys(table.cellsAsOfOrdinal(1L)) == live)
+  }
+
   test("multi-file append (numFiles=0) commits atomically; mid-append failure leaves zero feed rows") {
     val dir = tmpDir("morAtomic") + "/t"
     val layout = TableLayout("t", Seq(
