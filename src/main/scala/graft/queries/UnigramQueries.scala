@@ -148,6 +148,46 @@ object UnigramQueries {
       .orderBy($"doc_id")
   }
 
+  // ── q140: CROSS-CORPUS encode — train on the 'q'-free document slice,
+  // serve the WHOLE corpus: every 'q' at encode time is a character the
+  // trainer never saw, so the kernel's unkCost fallback (and the oracle
+  // DP's coalesce-to-unk l=1 candidate — the exact divergence the r12
+  // ADVICE flagged as silent) is ON the hashed path. ~77% of documents
+  // carry a 'q' at the correctness SF, so the fallback fires corpus-wide,
+  // and the hash compare pins its arithmetic (unk = lgTotal of the
+  // serving cost table) bit-for-bit across engines. ──────────────────────
+  val q140_unigram_unk_encode: Q = (s, d) => {
+    import s.implicits._
+    val trainDocs = docs(s, d).filter(!lower($"text").contains("q"))
+    val vocab = UnigramLm.trainLocal(
+      Bpe.wordFreq(Bpe.docWords(trainDocs, "doc_id", "text")))
+    kernelStats(s, d, vocab).drop("source").orderBy($"doc_id")
+  }
+  lazy val q140_sql: String = {
+    val k = EmIters + 1
+    s"""WITH RECURSIVE ${trainerChainSql(
+          " WHERE NOT contains(lower(text), 'q')")},
+       |edocwords AS MATERIALIZED (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       |    FROM documents)
+       |  WHERE word <> ''),
+       |ewf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM edocwords GROUP BY word),
+       |${dpForward(s"$k", s"$k", "ewf")},
+       |fin AS MATERIALIZED (
+       |  SELECT word, np, cost FROM bt$k b
+       |  JOIN (SELECT word AS w2, length(word) AS l2 FROM ewf) x
+       |    ON b.word = x.w2 AND b.j = x.l2)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f.np) AS BIGINT) AS n_tokens,
+       |  CAST(sum(f.cost) AS BIGINT) AS total_cost
+       |FROM edocwords d JOIN fin f USING (word)
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ── oracle SQL generators ───────────────────────────────────────────────
 
   /** 2^125 / 2^63 / 2^62 as decimal literals (DuckDB parses the first
@@ -211,20 +251,29 @@ object UnigramQueries {
     * [[MaxPieceLen]] LEFT JOINs against the cost table. Emits `dpf{k}`
     * and the best table `bt{k}(word, j, cost, np)`.
     *
-    * SAME-CORPUS ASSUMPTION: unlike the engine kernel, this DP has no
-    * unkCost fallback for single characters absent from the cost table —
-    * such a word would silently drop out of `fin` (and shrink the doc's
-    * n_words through the inner join). That can never happen here because
-    * every query trains and encodes on the SAME corpus, so every char is
-    * seeded; reusing this SQL against a different encode input than the
-    * training input would diverge from the engine silently. */
-  private def dpForward(k: String, costTag: String): String = {
+    * The single-char candidate COALESCES to the unknown cost — `lg` of
+    * the cost table's total row (`lgrc{tag}` piece = ''), exactly the
+    * engine kernel's `unkCost` (lgTotal − ilog2fp(1) = lgTotal) — so the
+    * DP is total on ANY encode input, including characters the trainer
+    * never saw (q140 trains and encodes on different corpus slices). On
+    * same-corpus queries the coalesce never fires (every char is seeded)
+    * and the candidates are bit-identical to the guarded form.
+    *
+    * `src` is the word relation the DP runs over — `wf` (the training
+    * corpus) for the trainer's own E-steps, a separate encode-side word
+    * set for cross-corpus serving. */
+  private def dpForward(k: String, costTag: String,
+                        src: String = "wf"): String = {
+    val unk = s"(SELECT lg FROM lgrc$costTag WHERE piece = '')"
     val joins = (1 to MaxPieceLen).map { l =>
       val guard = if (l == 1) "" else s"d.j >= ${l - 1} AND "
       s"""    LEFT JOIN vc$costTag v$l ON ${guard}v$l.piece = substr(d.word, d.j + ${2 - l}, $l)"""
     }.mkString("\n")
     val keys = (1 to MaxPieceLen).map { l =>
-      s"""        CASE WHEN v$l.piece IS NOT NULL THEN ${packedKey(s"d.c${l - 1} + v$l.cost", s"d.n${l - 1} + 1", l)} END"""
+      if (l == 1)
+        s"""        ${packedKey(s"d.c0 + coalesce(v1.cost, $unk)", "d.n0 + 1", 1)}"""
+      else
+        s"""        CASE WHEN v$l.piece IS NOT NULL THEN ${packedKey(s"d.c${l - 1} + v$l.cost", s"d.n${l - 1} + 1", l)} END"""
     }.mkString(",\n")
     val nullCols = (1 until MaxPieceLen)
       .map(i => s"NULL::BIGINT AS c$i, NULL::BIGINT AS n$i").mkString(", ")
@@ -234,7 +283,7 @@ object UnigramQueries {
       .map(i => s"p$i, q$i").mkString(", ")
     s"""dpf$k AS (
        |  SELECT word, 0 AS j, 0::BIGINT AS c0, 0::BIGINT AS n0, $nullCols
-       |  FROM wf
+       |  FROM $src
        |  UNION ALL
        |  SELECT word, j, key >> 24, (key >> 4) & 1048575, $shiftOut
        |  FROM (
@@ -256,12 +305,18 @@ object UnigramQueries {
     * chose; emits one piece row per step. Produces `dpb{k}` and the
     * freq-weighted piece counts `cnt{k}(piece, cnt)`. */
   private def dpBacktrack(k: String, costTag: String): String = {
+    val unk = s"(SELECT lg FROM lgrc$costTag WHERE piece = '')"
     val joins = (1 to MaxPieceLen).map { l =>
       s"""    LEFT JOIN bt$k t$l ON t$l.word = b.word AND t$l.j = b.j - $l
          |    LEFT JOIN vc$costTag v$l ON v$l.piece = substr(b.word, b.j + ${1 - l}, $l)""".stripMargin
     }.mkString("\n")
     val keys = (1 to MaxPieceLen).map { l =>
-      s"""        CASE WHEN v$l.piece IS NOT NULL AND t$l.j IS NOT NULL THEN ${packedKey(s"t$l.cost + v$l.cost", s"t$l.np + 1", l)} END"""
+      // l = 1 coalesces to unkCost exactly like [[dpForward]], so the
+      // re-ranked candidates are the forward pass's candidates verbatim
+      if (l == 1)
+        s"""        CASE WHEN t1.j IS NOT NULL THEN ${packedKey(s"t1.cost + coalesce(v1.cost, $unk)", "t1.np + 1", 1)} END"""
+      else
+        s"""        CASE WHEN v$l.piece IS NOT NULL AND t$l.j IS NOT NULL THEN ${packedKey(s"t$l.cost + v$l.cost", s"t$l.np + 1", l)} END"""
     }.mkString(",\n")
     val subs = (1 to MaxPieceLen)
       .map(l => s"substr(b.word, b.j + ${1 - l}, $l) AS s$l").mkString(", ")
@@ -297,13 +352,15 @@ object UnigramQueries {
        |  SELECT piece, cnt + 1 FROM cnt$k WHERE length(piece) > 1)""".stripMargin
 
   /** Corpus word/substring blocks shared by the base trainer and the
-    * size-targeted prune trainer. */
-  private def corpusBlocks: String =
+    * size-targeted prune trainer. `docFilter` (a `WHERE ...` suffix on
+    * the documents scan) restricts the TRAINING corpus — the q140
+    * cross-corpus split. */
+  private def corpusBlocks(docFilter: String = ""): String =
     s"""docwords AS MATERIALIZED (
        |  SELECT doc_id, word FROM (
        |    SELECT doc_id,
        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
-       |    FROM documents)
+       |    FROM documents$docFilter)
        |  WHERE word <> ''),
        |wf AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -318,17 +375,18 @@ object UnigramQueries {
        |  GROUP BY 1),
        |chars AS (SELECT piece FROM subs WHERE length(piece) = 1)""".stripMargin
 
-  /** The full trainer chain: docwords/wf → substring seed → vc1 → EmIters
-    * × (forward DP + backtrack + kept + costs) → vc{EmIters+1} (serving
-    * costs) and a final forward DP dpf{EmIters+1} / per-word `fin`. */
-  private def trainerSql: String = {
+  /** The trainer chain WITHOUT the final corpus encode: docwords/wf →
+    * substring seed → vc1 → EmIters × (forward DP + backtrack + kept +
+    * costs) → vc{EmIters+1} (the serving cost table). `docFilter`
+    * restricts the training documents (q140). */
+  private def trainerChainSql(docFilter: String = ""): String = {
     val emRounds = (1 to EmIters).map { k =>
       s"""${dpForward(s"$k", s"$k")},
          |${dpBacktrack(s"$k", s"$k")},
          |${keptBlock(s"$k")},
          |${costBlock(s"${k + 1}", s"vk$k")}""".stripMargin
     }.mkString(",\n")
-    s"""$corpusBlocks,
+    s"""${corpusBlocks(docFilter)},
        |seedsel AS MATERIALIZED (
        |  SELECT piece, cnt AS n FROM subs WHERE length(piece) = 1
        |  UNION ALL
@@ -336,13 +394,18 @@ object UnigramQueries {
        |    SELECT piece, cnt FROM subs WHERE length(piece) > 1
        |    ORDER BY cnt DESC, piece LIMIT $SeedTop)),
        |${costBlock("1", "seedsel")},
-       |$emRounds,
+       |$emRounds""".stripMargin
+  }
+
+  /** The full same-corpus trainer: [[trainerChainSql]] plus the final
+    * forward DP over the training words and the per-word `fin`. */
+  private def trainerSql: String =
+    s"""${trainerChainSql()},
        |${dpForward(s"${EmIters + 1}", s"${EmIters + 1}")},
        |fin AS MATERIALIZED (
        |  SELECT word, np, cost FROM bt${EmIters + 1} b
        |  JOIN (SELECT word AS w2, length(word) AS l2 FROM wf) x
        |    ON b.word = x.w2 AND b.j = x.l2)""".stripMargin
-  }
 
   /** Per-piece prune arithmetic under cost table `vc{costTag}` over kept
     * relation `vk{vkTag}`: the alt-segmentation DP (Viterbi over the
@@ -409,7 +472,7 @@ object UnigramQueries {
     * (identical across targets — divergence starts at the first prune),
     * then one [[pruneChain]] per target. */
   private def pruneTrainerSql: String =
-    s"""$corpusBlocks,
+    s"""${corpusBlocks()},
        |seedselw AS MATERIALIZED (
        |  SELECT piece, cnt AS n FROM subs WHERE length(piece) = 1
        |  UNION ALL
@@ -496,6 +559,7 @@ object UnigramQueries {
     "q132_unigram_persist" -> q132_unigram_persist,
     "q135_unigram_prune" -> q135_unigram_prune,
     "q136_unigram_prune_encode" -> q136_unigram_prune_encode,
+    "q140_unigram_unk_encode" -> q140_unigram_unk_encode,
   )
   val oracleSql: Map[String, String] = Map(
     "q129_unigram_vocab" -> q129_sql,
@@ -505,5 +569,6 @@ object UnigramQueries {
     "q132_unigram_persist" -> q130_sql,
     "q135_unigram_prune" -> q135_sql,
     "q136_unigram_prune_encode" -> q136_sql,
+    "q140_unigram_unk_encode" -> q140_sql,
   )
 }

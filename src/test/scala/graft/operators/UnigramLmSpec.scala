@@ -194,4 +194,19 @@ class UnigramLmSpec extends SparkSpec {
       trained.unkCost)
     assert(seg.toSeq == Seq("a", "x", "a"))
   }
+
+  test("cross-corpus encode charges exactly unkCost per unseen char (q140's engine face)") {
+    // train on corpus A ({aa, b}); encode a corpus-B word with the unseen
+    // char 'x' — the total must be the known chars' costs plus ONE
+    // unkCost, the arithmetic q140's oracle coalesce replays in SQL
+    val trained = UnigramLm.trainLocal(wf("aa" -> 2L, "b" -> 1L))
+    val vm = toJava(trained.pieces.map(p => p.piece -> p.cost).toMap)
+    val costOf = trained.pieces.map(p => p.piece -> p.cost).toMap
+    val (_, cost) = UnigramDocStats.viterbi("axb", vm,
+      UnigramLm.MaxPieceLen, trained.unkCost)
+    assert(cost(3) == costOf("a") + trained.unkCost + costOf("b"))
+    // and unkCost is the smoothed count-zero surprisal: lgTotal - lg(1)
+    // = lgTotal, strictly above every trained piece's cost
+    assert(trained.pieces.forall(_.cost < trained.unkCost))
+  }
 }
