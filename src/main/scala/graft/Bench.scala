@@ -34,9 +34,18 @@ object Bench {
     sys.env.get("SPARK_GRAFT_REPO").map(new java.io.File(_))
       .orElse(Iterator.iterate(
           new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
-        .takeWhile(_ != null).take(8)
+        .takeWhile(_ != null) // walk to the filesystem root, no depth cap
         .find(d => new java.io.File(d, "build.sbt").exists()))
-      .getOrElse(new java.io.File("."))
+      .getOrElse {
+        // the CWD fallback reintroduces the wrong-directory round=1 /
+        // misplaced-archive failure mode this constant exists to prevent
+        // — make the misdetection VISIBLE in the run output
+        System.err.println("[bench] WARNING: no build.sbt found on any " +
+          "ancestor of the CWD and SPARK_GRAFT_REPO is unset — round " +
+          "detection and archive writes fall back to the CWD " +
+          s"(${new java.io.File(".").getAbsolutePath})")
+        new java.io.File(".")
+      }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
