@@ -38,6 +38,10 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    serve = the input treated as a DELTA batch pruned against the
   *    loaded index (`semDedupDeltaHier`; the q139 ingestion loop).
   *
+  * The two delta-against-index tiers (`lsh`, `semdedup`) also serve as
+  * a checkpointed file STREAM (`--stream=true` — [[serveStream]]): the
+  * same batch path per micro-batch, re-runnable as an ingestion cron.
+  *
   * The reference ships its MapReduce jobs through the same one-CLI
   * pattern (`KM/tools/KijiGather.java`); an index tier is the analog for
   * trained artifacts.
@@ -184,19 +188,34 @@ object IndexTool {
     }
   }
 
-  /** STREAMING serve for the lsh tier (`index-serve ... --stream=true`):
-    * the production ingestion loop as one CLI invocation. The input spec's
-    * parquet directory is read as a file STREAM of document micro-batches;
-    * each batch probes the loaded index through the exact batch serve path
-    * (`StreamingCells.lshServeStream` → `Dedup.incrementalLshPairsIndexed`
-    * — tiled probe, rerank, per-batch distinct) and appends its matches to
-    * the output directory. `Trigger.AvailableNow` drains the current
-    * backlog then stops, so the call is re-runnable as an ingestion cron:
-    * the checkpoint (kept under `_checkpoint` inside the output dir —
-    * underscore-prefixed, invisible to readers) makes each rerun process
-    * only files that arrived since the last drain. */
-  def serveStreamLsh(spark: SparkSession, inputSpec: String, path: String,
-                     outputSpec: String, flags: Map[String, String]): Unit = {
+  /** The index types with a STREAMING serve path (`index-serve ...
+    * --stream=true`) — the two whose batch serve treats every input row
+    * as an independent DELTA probed/pruned against the loaded index, so
+    * micro-batching composes exactly (per-batch union == one batch
+    * serve; the other tiers' serves are per-doc encodes or top-k ranks
+    * where the batch verb is already incremental by construction). */
+  val StreamTypes: Set[String] = Set("lsh", "semdedup")
+
+  /** STREAMING serve (`index-serve ... --stream=true`): the production
+    * ingestion loop as one CLI invocation. The input spec's parquet
+    * directory is read as a file STREAM of micro-batches; each batch
+    * runs the type's exact batch serve path against the loaded index —
+    * `lsh`: `StreamingCells.lshServeStream` →
+    * `Dedup.incrementalLshPairsIndexed` (tiled probe, rerank, per-batch
+    * distinct); `semdedup`: `StreamingCells.semDedupServeStream` →
+    * `Clustering.semDedupDeltaHier` (coarse lanes, grouped-seed fine
+    * argmin, within-cell cosine vs corpus only) — and appends its
+    * matches to the output directory. `Trigger.AvailableNow` drains the
+    * current backlog then stops, so the call is re-runnable as an
+    * ingestion cron: the checkpoint (kept under `_checkpoint` inside
+    * the output dir — underscore-prefixed, invisible to readers) makes
+    * each rerun process only files that arrived since the last drain. */
+  def serveStream(spark: SparkSession, tpe: String, inputSpec: String,
+                  path: String, outputSpec: String,
+                  flags: Map[String, String]): Unit = {
+    require(StreamTypes(tpe),
+      s"--stream=true is supported for --type=" +
+        s"${StreamTypes.toSeq.sorted.mkString("|")} only (got '$tpe')")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     def dbl(k: String, dflt: Double): Double =
       flags.get(k).map(_.toDouble).getOrElse(dflt)
@@ -221,20 +240,29 @@ object IndexTool {
         return
       }
     val stream = spark.readStream.schema(schema).parquet(inFile)
-    val index = Dedup.loadLshIndex(spark, path)
     // batchId-keyed OVERWRITE partitions make the sink idempotent:
     // foreachBatch is at-least-once (a crash between the write and the
     // checkpoint commit replays the batch), so a replayed batch
     // re-overwrites its own batch=<id> directory instead of appending
     // duplicate rows. Readers see `batch` as an ordinary partition
-    // column beside (new_doc, dup_of, jaccard).
-    val q = graft.streaming.StreamingCells.lshServeStream(
-        docsOf(stream, flags), "doc_id", "text", index,
-        num("shingle-n", 3), num("num-hashes", 28), num("bands", 4),
-        dbl("threshold", 0.6)) { (batchOut, batchId) =>
-        batchOut.write.mode("overwrite")
-          .parquet(s"$outFile/batch=$batchId"): Unit
-      }
+    // column beside the type's match columns.
+    val sink = (batchOut: org.apache.spark.sql.DataFrame, batchId: Long) =>
+      batchOut.write.mode("overwrite")
+        .parquet(s"$outFile/batch=$batchId"): Unit
+    val writer = tpe match {
+      case "lsh" =>
+        graft.streaming.StreamingCells.lshServeStream(
+          docsOf(stream, flags), "doc_id", "text",
+          Dedup.loadLshIndex(spark, path),
+          num("shingle-n", 3), num("num-hashes", 28), num("bands", 4),
+          dbl("threshold", 0.6))(sink)
+      case "semdedup" =>
+        graft.streaming.StreamingCells.semDedupServeStream(
+          embOf(stream, flags), "vec_id", "embedding",
+          Clustering.loadSemIndex(spark, path),
+          dbl("threshold", 0.999))(sink)
+    }
+    val q = writer
       .option("checkpointLocation", s"$outFile/_checkpoint")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

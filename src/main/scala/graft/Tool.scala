@@ -136,12 +136,11 @@ object Tool {
         IndexTool.build(spark, tpe, Formats.read(spark, flag("input")), path,
           flags)
       else if (flags.get("stream").contains("true")) {
-        // streaming ingestion drain (lsh only): per-micro-batch probe of
-        // the loaded index, checkpointed, stops when the backlog is empty
-        require(tpe == "lsh",
-          s"--stream=true is supported for --type=lsh only (got '$tpe')")
-        IndexTool.serveStreamLsh(spark, flag("input"), path, flag("output"),
-          flags)
+        // streaming ingestion drain (lsh|semdedup): per-micro-batch
+        // probe/prune of the loaded index, checkpointed, stops when the
+        // backlog is empty (the type gate lives in IndexTool.serveStream)
+        IndexTool.serveStream(spark, tpe, flag("input"), path,
+          flag("output"), flags)
       } else
         writeOutput(IndexTool.serve(spark, tpe,
           Formats.read(spark, flag("input")), path, flags), flag("output"))
@@ -326,7 +325,7 @@ object Tool {
       |       --id-col --text-col --vec-col]
       |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
-      |       [--stream=true  (lsh: drain the input dir as a checkpointed file stream)]
+      |       [--stream=true  (lsh|semdedup: drain the input dir as a checkpointed file stream)]
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]

@@ -115,6 +115,29 @@ object StreamingCells {
     }
   }
 
+  /** Stream-serve a persisted/loaded hierarchical-SemDeDup index
+    * ([[graft.operators.Clustering.SemIndex]]): the semantic-dedup
+    * ingestion loop — the index is fitted ONCE
+    * (`Clustering.semDedupHierFit` → `saveSemIndex`), and a stream of
+    * embedding micro-batches prunes against it. Each micro-batch runs
+    * the EXACT batch serve path (`Clustering.semDedupDeltaHier`: coarse
+    * lane assignment, grouped-seed fine argmin, corpus-width subcell,
+    * within-cell cosine vs corpus rows only), and because every delta
+    * row pairs ONLY with corpus rows — never with other delta rows —
+    * the union of streamed results over any batch split equals one
+    * batch serve over the union (StreamingCellsSpec pins the equality).
+    * Sink contract is [[lshServeStream]]'s: foreachBatch is
+    * at-least-once, so key the output on the batch id. */
+  def semDedupServeStream(deltas: DataFrame, idCol: String, vecCol: String,
+                          idx: graft.operators.Clustering.SemIndex,
+                          minCosine: Double)
+                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Clustering.semDedupDeltaHier(
+          batch, idCol, vecCol, idx, minCosine), batchId)
+    }
+
   /** Tumbling-window counts/sums per qualifier with a watermark. */
   def windowedAgg(puts: DataFrame, window: String, watermark: String): DataFrame =
     puts

@@ -641,4 +641,53 @@ class ToolSpec extends SparkSpec {
       "--shingle-n=2", "--threshold=0.9")).status == "SUCCEEDED")
     assert(!new java.io.File(s"$emptyOut/_checkpoint").exists())
   }
+
+  test("CLI index-serve --type=semdedup --stream=true: streamed drain == batch serve; rerun is incremental") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("semstream")
+    def mk(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val corpusPath = s"$base/corpus"
+    mk(Seq(
+      (0L, Seq(10f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 1f)),
+      (2L, Seq(-10f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, -1f))))
+      .write.parquet(corpusPath)
+    val semPath = s"$base/idx"
+    assert(Tool.run(spark, Array("index-build", "--type=semdedup",
+      s"--path=$semPath", s"--input=format=parquet file=$corpusPath",
+      "--coarse-k=2", "--target-rows=2")).status == "SUCCEEDED")
+    val deltaPath = s"$base/delta"
+    mk(Seq((100L, Seq(10f, 1f, 0f, 0f)),  // exact twin of corpus 0
+      (101L, Seq(2f, -5f, 3f, 2f)),       // matches nothing
+      (102L, Seq(0f, 0f, 10f, -1f))))     // exact twin of corpus 3
+      .write.parquet(deltaPath)
+    val outPath = s"$base/out"
+    def drain(): Unit = assert(Tool.run(spark, Array("index-serve",
+      "--type=semdedup", "--stream=true", s"--path=$semPath",
+      s"--input=format=parquet file=$deltaPath",
+      s"--output=format=parquet file=$outPath",
+      "--threshold=0.999")).status == "SUCCEEDED")
+    drain()
+    val got = spark.read.parquet(outPath)
+      .select("pruned", "keeper").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 0L), (102L, 3L)), got.mkString(", "))
+    // the non-streamed serve over the same delta agrees row-for-row
+    val batchOut = s"$base/batch"
+    assert(Tool.run(spark, Array("index-serve", "--type=semdedup",
+      s"--path=$semPath", s"--input=format=parquet file=$deltaPath",
+      s"--output=format=parquet file=$batchOut",
+      "--threshold=0.999")).status == "SUCCEEDED")
+    val batch = spark.read.parquet(batchOut)
+      .select("pruned", "keeper").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    // rerun with NO new input files: the checkpoint makes the drain a no-op
+    val before = spark.read.parquet(outPath).count()
+    drain()
+    assert(spark.read.parquet(outPath).count() == before)
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }

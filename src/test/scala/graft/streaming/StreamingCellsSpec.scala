@@ -249,6 +249,62 @@ class StreamingCellsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semDedupServeStream: streamed micro-batches == one batch serve from the loaded index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Clustering
+    // the q138/q139 artifact: fit ONCE, then a stream of delta batches
+    // prunes against it through the exact batch path (semDedupDeltaHier —
+    // delta rows pair only with CORPUS rows, so any batch split composes)
+    val corpus = Seq(
+      (0L, Seq(10f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 1f)),
+      (2L, Seq(-10f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, -1f)),
+      (4L, Seq(7f, -7f, 1f, 0f)), (5L, Seq(1f, 0f, -9f, 3f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val idx = Clustering.semDedupHierFit(corpus, "vec_id", "embedding",
+      coarseK = 2, targetRows = 2L, iters = 2)
+    val deltas = Seq(
+      (100L, Seq(10f, 1f, 0f, 0f)),  // dup of corpus 0
+      (101L, Seq(0f, 0f, 10f, 1f)),  // dup of corpus 1
+      (102L, Seq(2f, -5f, 3f, 2f)),  // matches nothing
+      (103L, Seq(0f, 0f, 10f, -1f))) // dup of corpus 3
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    try {
+      // batch reference: ONE delta serve over all four vectors
+      val want = Clustering
+        .semDedupDeltaHier(deltas, "vec_id", "embedding", idx, 0.999)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(want.map(_._1) == Set(100L, 101L, 103L), want.mkString(", "))
+      // streamed: the same four vectors in TWO micro-batches
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingCells.semDedupServeStream(
+          input.toDS().toDF("vec_id", "embedding")
+            .select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding")),
+          "vec_id", "embedding", idx, 0.999) { (batchOut, _) =>
+          got.synchronized {
+            got ++= batchOut.collect()
+              .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+          }: Unit
+        }.start()
+      try {
+        input.addData((100L, Seq(10f, 1f, 0f, 0f)),
+          (102L, Seq(2f, -5f, 3f, 2f)))
+        q.processAllAvailable()
+        input.addData((101L, Seq(0f, 0f, 10f, 1f)),
+          (103L, Seq(0f, 0f, 10f, -1f)))
+        q.processAllAvailable()
+        assert(got.toSet == want, got.mkString(", "))
+      } finally q.stop()
+    } finally graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("appendStream: micro-batches land in the live table; reads resolve versions") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros}
