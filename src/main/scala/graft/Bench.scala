@@ -174,7 +174,12 @@ object Bench {
     // keeps the min of all three. Quiet values are the round-7/8 local
     // clean-run numbers; queries not listed (new this round) use the
     // pass-1 value as their own reference and are never re-timed.
-    val retimed = firstCut.collect {
+    // Both re-time references (QuietBaseline AND the prev-round archive)
+    // hold DEFAULT-sf timings, so a scaled-corpus run would flag every
+    // heavy query for a spurious third pass — skip the gate entirely off
+    // the contract corpus (min-of-2 still applies; scaled runs quote
+    // their own ratios, not the quiet envelope).
+    val retimed = if (sfDir != DefaultSfDir) Seq.empty[String] else firstCut.collect {
       case (name, (t, _)) if t > 0 &&
           (QuietBaseline.secs.get(name).exists(q => t > 2 * q) ||
             prevQueries.get(name).exists(p => t > 1.5 * p)) => name

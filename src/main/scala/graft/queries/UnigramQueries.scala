@@ -188,6 +188,75 @@ object UnigramQueries {
        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ── q141: CCNet-style perplexity tiers — the standard LM-based
+  // curation cut (CCNet buckets Common Crawl into head/middle/tail by
+  // per-language KenLM perplexity; here the engine's own trained
+  // unigram LM is the scorer). Per doc: fixed-point cost-per-token
+  // `total_cost div n_tokens` from the Viterbi kernel; per LANGUAGE
+  // (CCNet's cut is within-language, q128's rationale): a bounded
+  // histogram of cost-per-token buckets, cumulative counts over BUCKET
+  // rows (never a corpus-row window), tertile cut buckets at ranks
+  // ceil(n/3) / ceil(2n/3), tier = how many cuts the doc's bucket
+  // exceeds (0 = head = lowest perplexity). Integer end to end. Scale
+  // shape: one kernel scan + a bounded-histogram window + a broadcast
+  // cuts join — the q120/q128 economics with the LM as scorer. ───────────
+  val PplBucketWidth = 4096L
+
+  val q141_perplexity_tiers: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = OperatorCaches.register(
+      kernelStats(s, d, UnigramLm.trainLocal(wordFreq(s, d)))
+        .join(docs(s, d).select($"doc_id", $"lang"), "doc_id")
+        .select($"lang", $"doc_id", $"n_tokens", $"total_cost",
+          expr(s"(total_cost div n_tokens) div $PplBucketWidth").as("bucket"))
+        .persist())
+    val hist = scored.groupBy($"lang", $"bucket").agg(count(lit(1)).as("cnt"))
+    val cums = hist
+      .withColumn("cum", sum($"cnt").over(Window.partitionBy($"lang")
+        .orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"lang")))
+    val cuts = cums.groupBy($"lang").agg(
+      min(when($"cum" >= expr("(1 * n + 2) div 3"), $"bucket")).as("cut1"),
+      min(when($"cum" >= expr("(2 * n + 2) div 3"), $"bucket")).as("cut2"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("tier", ($"bucket" > $"cut1").cast("long") +
+        ($"bucket" > $"cut2").cast("long"))
+      .groupBy($"lang", $"tier")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
+        sum($"total_cost").as("sum_cost"))
+      .orderBy($"lang", $"tier")
+  }
+  lazy val q141_sql: String =
+    s"""WITH RECURSIVE $trainerSql,
+       |stats AS MATERIALIZED (
+       |  SELECT d.doc_id, CAST(sum(f.np) AS BIGINT) AS n_tokens,
+       |    CAST(sum(f.cost) AS BIGINT) AS total_cost
+       |  FROM docwords d JOIN fin f USING (word) GROUP BY d.doc_id),
+       |langd AS MATERIALIZED (
+       |  SELECT doc.lang, s.doc_id, s.n_tokens, s.total_cost,
+       |    (s.total_cost // s.n_tokens) // $PplBucketWidth AS bucket
+       |  FROM stats s JOIN documents doc USING (doc_id)),
+       |hist AS (SELECT lang, bucket, count(*) AS cnt FROM langd GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY lang) AS n
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT lang,
+       |    min(CASE WHEN cum >= (1 * n + 2) // 3 THEN bucket END) AS cut1,
+       |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN bucket END) AS cut2
+       |  FROM cum GROUP BY lang)
+       |SELECT l.lang,
+       |  CAST((CASE WHEN l.bucket > c.cut1 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN l.bucket > c.cut2 THEN 1 ELSE 0 END) AS BIGINT) AS tier,
+       |  count(*) AS n_docs, CAST(sum(l.n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(l.total_cost) AS BIGINT) AS sum_cost
+       |FROM langd l JOIN cuts c USING (lang)
+       |GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin
+
   // ── oracle SQL generators ───────────────────────────────────────────────
 
   /** 2^125 / 2^63 / 2^62 as decimal literals (DuckDB parses the first
@@ -560,6 +629,7 @@ object UnigramQueries {
     "q135_unigram_prune" -> q135_unigram_prune,
     "q136_unigram_prune_encode" -> q136_unigram_prune_encode,
     "q140_unigram_unk_encode" -> q140_unigram_unk_encode,
+    "q141_perplexity_tiers" -> q141_perplexity_tiers,
   )
   val oracleSql: Map[String, String] = Map(
     "q129_unigram_vocab" -> q129_sql,
@@ -570,5 +640,6 @@ object UnigramQueries {
     "q135_unigram_prune" -> q135_sql,
     "q136_unigram_prune_encode" -> q136_sql,
     "q140_unigram_unk_encode" -> q140_sql,
+    "q141_perplexity_tiers" -> q141_sql,
   )
 }
