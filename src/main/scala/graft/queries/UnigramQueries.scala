@@ -270,7 +270,7 @@ object UnigramQueries {
     * output bit per squaring step — HUGEINT square, compare against
     * 2^125, truncating renormalize — exactly the engine's integer
     * algorithm. */
-  private def lgChain(tag: String, rel: String): String = {
+  private[queries] def lgChain(tag: String, rel: String): String = {
     val steps = (1 to LogFracBits).map { i =>
       s"""lg$tag$i AS (
          |  SELECT piece, e,

@@ -174,6 +174,42 @@ object EngineProperties extends Properties("graft") {
         .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
     }
 
+  property("HashedNgramBuckets == plain-Scala uni+bigram md5-bucket model") =
+    forAll(Gen.listOfN(5, textGen), Gen.oneOf(64, 4096)) { (ss, buckets) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      def model(s: String): Seq[Long] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h(f: String): Long = {
+          md.reset()
+          val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          for (i <- 0 until 7) {
+            val b = d(i >> 1) & 0xff
+            v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+          }
+          v % buckets
+        }
+        val ws = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        ws.map(h) ++ ws.zip(ws.drop(1)).map { case (a, b) => h(a + " " + b) }
+      }
+      val df = ss.toDF("s")
+      val native = columnOf(graft.plans.HashedNgramBuckets(
+        expressionOf($"s"), buckets))
+      df.select($"s", native.as("n")).collect()
+        .forall(r => r.getSeq[Long](1) == model(r.getString(0)))
+    }
+
+  property("BucketWeightSum == sum over the literal weight table") =
+    forAll(Gen.listOfN(6, Gen.listOf(Gen.choose(0L, 63L)))) { lists =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      val w = Array.tabulate(64)(b => b.toLong * 17L - 100L)
+      val df = lists.map(Tuple1(_)).toDF("bs")
+      val native = columnOf(graft.plans.BucketWeightSum(expressionOf($"bs"), w))
+      df.select($"bs", native.as("n")).collect().forall { r =>
+        r.getLong(1) == r.getSeq[Long](0).map(b => w(b.toInt)).sum
+      }
+    }
+
   property("thresholded sorted_intersect_size drops exactly the sub-threshold pairs") =
     forAll(Gen.listOfN(8,
         for {
