@@ -510,9 +510,90 @@ object LexicalQueries {
        |ORDER BY drift DESC, term ASC
        |LIMIT $DriftTopK""".stripMargin
 
+  // ── q143: Moore-Lewis cross-entropy difference selection ───────────────
+  // The classic LM-contrastive domain filter (Moore & Lewis 2010): score
+  // each document by (likelihood under an IN-DOMAIN bigram LM) −
+  // (likelihood under the GENERAL corpus LM) and keep the top slice —
+  // documents the in-domain model explains much better than the general
+  // model are the domain-relevant ones. In-domain = the TargetLang slice
+  // (q142's target), general = the whole corpus; both models are q103's
+  // add-one-smoothed integer bigram LM, so the per-gram terms stay pure
+  // int64 and the score is addition-order-free.
+  //
+  // Scale shape: ONE gram explode feeds both models — the in-domain
+  // counts are conditional sums inside the same aggregation (no second
+  // corpus pass, no left-join against a separate model table: a gram
+  // unseen in-domain simply has ci12 = 0, which IS the smoothed-model
+  // lookup miss), then the q103 join/agg economics and a TakeOrdered
+  // top-k. Never a corpus sort.
+  val CedTopK = 100
+  val CedTargetLang = "en"
+
+  val q143_cross_entropy_select: Q = (s, d) => {
+    import s.implicits._
+    val inDom = $"lang" === CedTargetLang
+    val withToks = graft.operators.OperatorCaches.register(
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", toks($"text").as("t")).persist())
+    val grams = withToks.select($"doc_id", $"lang",
+        explode(zip_with(
+          slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+          slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+      .withColumn("w1", split($"g", " ", 2).getItem(0))
+    val gramsC = graft.operators.OperatorCaches.register(grams.persist())
+    val unigrams = withToks.select($"lang", explode($"t").as("w"))
+    val c12 = gramsC.groupBy($"g").agg(count(lit(1)).as("ca12"),
+      sum(when(inDom, 1L).otherwise(0L)).as("ci12"))
+    val c1 = unigrams.groupBy($"w").agg(count(lit(1)).as("ca1"),
+      sum(when(inDom, 1L).otherwise(0L)).as("ci1"))
+    val vocab = unigrams.agg(countDistinct($"w").as("va"),
+      countDistinct(when(inDom, $"w")).as("vi"))
+    gramsC.join(c12, "g")
+      .join(c1, $"w1" === $"w")
+      .crossJoin(broadcast(vocab))
+      .withColumn("ti", expr(s"(ci12 + 1) * $LmScale div (ci1 + vi)"))
+      .withColumn("ta", expr(s"(ca12 + 1) * $LmScale div (ca1 + va)"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bigrams"), (sum($"ti") - sum($"ta")).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(CedTopK)
+  }
+  lazy val q143_sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $SqlToks AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g
+       |  FROM t),
+       |gw AS (SELECT doc_id, lang, g, string_split(g, ' ')[1] AS w1 FROM grams),
+       |unigrams AS (SELECT lang, unnest(t) AS w FROM t),
+       |c12 AS (
+       |  SELECT g, count(*) AS ca12,
+       |    sum(CASE WHEN lang = '$CedTargetLang' THEN 1 ELSE 0 END) AS ci12
+       |  FROM grams GROUP BY g),
+       |c1 AS (
+       |  SELECT w, count(*) AS ca1,
+       |    sum(CASE WHEN lang = '$CedTargetLang' THEN 1 ELSE 0 END) AS ci1
+       |  FROM unigrams GROUP BY w),
+       |vocab AS (
+       |  SELECT count(DISTINCT w) AS va,
+       |    count(DISTINCT CASE WHEN lang = '$CedTargetLang' THEN w END) AS vi
+       |  FROM unigrams),
+       |terms AS (
+       |  SELECT gw.doc_id, gw.lang,
+       |    CAST((c12.ci12 + 1) * $LmScale // (c1.ci1 + v.vi) AS BIGINT) AS ti,
+       |    CAST((c12.ca12 + 1) * $LmScale // (c1.ca1 + v.va) AS BIGINT) AS ta
+       |  FROM gw JOIN c12 USING (g) JOIN c1 ON gw.w1 = c1.w
+       |  CROSS JOIN vocab v)
+       |SELECT doc_id, lang, count(*) AS n_bigrams,
+       |  CAST(sum(ti) - sum(ta) AS BIGINT) AS score
+       |FROM terms GROUP BY 1, 2
+       |ORDER BY score DESC, doc_id LIMIT $CedTopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_bm25" -> q100_bm25,
     "q103_bigram_lm" -> q103_bigram_lm,
+    "q143_cross_entropy_select" -> q143_cross_entropy_select,
     "q104_rrf_fusion" -> q104_rrf_fusion,
     "q107_sparse_cosine_join" -> q107_sparse_cosine_join,
     "q108_sparse_prefix_join" -> q108_sparse_prefix_join,
@@ -521,6 +602,7 @@ object LexicalQueries {
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
+    "q143_cross_entropy_select" -> q143_sql,
     "q104_rrf_fusion" -> q104_sql,
     "q107_sparse_cosine_join" -> q107_sql,
     "q108_sparse_prefix_join" -> q108_sql,
