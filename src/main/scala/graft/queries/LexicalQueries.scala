@@ -303,6 +303,98 @@ object LexicalQueries {
        |    / CAST(count(*) AS DOUBLE) AS avg_ll
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── q144: interpolated Kneser-Ney bigram LM ─────────────────────────────
+  // The smoothing CCNet's KenLM scorer actually uses (Kneser & Ney 1995;
+  // Chen & Goodman 1998 interpolated form), upgrading q103's add-one
+  // baseline: the backoff mass of a context is proportional to how many
+  // DISTINCT continuations it has (not its raw count), and the unigram
+  // fallback is the CONTINUATION probability (in how many distinct
+  // contexts does w appear) — the property that makes "Francisco" cheap
+  // after "San" but expensive elsewhere.
+  //
+  //   P(w2|w1) = max(c12 − D, 0)/ctx(w1)
+  //            + D·fwd(w1)/ctx(w1) · cont(w2)/B          with D = 3/4
+  //   ctx(w1)  = Σ_w c12(w1,w)   (bigram tokens left-anchored at w1)
+  //   fwd(w1)  = |{w : c12(w1,w) > 0}|   (distinct continuations)
+  //   cont(w2) = |{w : c12(w,w2) > 0}|   (distinct left contexts)
+  //   B        = |{(w,w') : c12 > 0}|    (distinct bigram types)
+  //
+  // Fixed point: D = 3/4 makes every term exact int64 —
+  //   term = max(4·c12 − 3, 0)·S div (4·ctx1)
+  //        + 3·fwd1·cont2·S div (4·ctx1·B)
+  // (S = LmScale = 2^20; all operands nonnegative, so Spark `div` and
+  // DuckDB `//` agree). int64 headroom: the backoff numerator
+  // 3·fwd·cont·S overflows past ~1.7M distinct continuations per word
+  // and the denominator 4·ctx·B past ctx·B ≈ 2.3e18 — reachable at the
+  // full 100 TB like q103's documented (c12+1)·S term; past that,
+  // divide before scaling (the engines would diverge loudly, not drift).
+  //
+  // Scale shape: identical to q103 — one gram explode, three
+  // vocabulary-bounded stat aggs (per-bigram, per-left-word, per-right-
+  // word; each partial-aggregates map-side), hash joins back onto the
+  // gram stream, a per-doc agg. The stat tables are the SAME size class
+  // as q103's c12/c1 (the fwd/cont distinct counts ride the c12 agg),
+  // so KN costs one extra vocabulary-sized join over add-one — not a
+  // new shuffle class. No windows, no driver state.
+  val q144_kneser_ney: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val withToks = docs.select($"doc_id", toks($"text").as("t"))
+    val grams = withToks.select($"doc_id",
+        explode(zip_with(
+          slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+          slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+      .withColumn("w1", split($"g", " ", 2).getItem(0))
+      .withColumn("w2", split($"g", " ", 2).getItem(1))
+    // one agg over bigram types feeds c12, ctx/fwd (left), cont (right), B
+    val c12 = grams.groupBy($"g").agg(count(lit(1)).as("c12"),
+      first($"w1").as("bw1"), first($"w2").as("bw2"))
+    val left = c12.groupBy($"bw1").agg(sum($"c12").as("ctx1"),
+      count(lit(1)).as("fwd1"))
+    val right = c12.groupBy($"bw2").agg(count(lit(1)).as("cont2"))
+    val types = c12.agg(count(lit(1)).as("btypes"))
+    grams.join(c12.select($"g", $"c12"), "g")
+      .join(left, $"w1" === $"bw1")
+      .join(right, $"w2" === $"bw2")
+      .crossJoin(broadcast(types))
+      .withColumn("term",
+        expr(s"greatest(4 * c12 - 3, 0) * $LmScale div (4 * ctx1)" +
+          s" + 3 * fwd1 * cont2 * $LmScale div (4 * ctx1 * btypes)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"term").as("kn_ll"))
+      .withColumn("avg_kn",
+        $"kn_ll".cast(DoubleType) / $"n_bigrams".cast(DoubleType))
+      .orderBy($"doc_id")
+  }
+  lazy val q144_sql: String =
+    s"""WITH t AS (SELECT doc_id, $SqlToks AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g
+       |  FROM t),
+       |gw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1,
+       |    string_split(g, ' ')[2] AS w2 FROM grams),
+       |c12 AS (SELECT g, count(*) AS c12,
+       |    string_split(g, ' ')[1] AS bw1, string_split(g, ' ')[2] AS bw2
+       |  FROM grams GROUP BY g),
+       |lft AS (SELECT bw1, CAST(sum(c12) AS BIGINT) AS ctx1,
+       |    count(*) AS fwd1 FROM c12 GROUP BY bw1),
+       |rgt AS (SELECT bw2, count(*) AS cont2 FROM c12 GROUP BY bw2),
+       |btypes AS (SELECT count(*) AS btypes FROM c12),
+       |terms AS (
+       |  SELECT gw.doc_id,
+       |    CAST(greatest(4 * c12.c12 - 3, 0) * $LmScale // (4 * l.ctx1)
+       |      + 3 * l.fwd1 * r.cont2 * $LmScale // (4 * l.ctx1 * b.btypes)
+       |      AS BIGINT) AS term
+       |  FROM gw JOIN c12 USING (g) JOIN lft l ON gw.w1 = l.bw1
+       |  JOIN rgt r ON gw.w2 = r.bw2 CROSS JOIN btypes b)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(term) AS BIGINT) AS kn_ll,
+       |  CAST(CAST(sum(term) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avg_kn
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── q107: exact sparse-cosine similarity join ───────────────────────────
   // All-pairs document similarity over tf vectors, via the inverted index
   // (Bayardo et al. 2007 economics): pairs form ONLY through shared terms
@@ -593,6 +685,7 @@ object LexicalQueries {
   val queries: Map[String, Q] = Map(
     "q100_bm25" -> q100_bm25,
     "q103_bigram_lm" -> q103_bigram_lm,
+    "q144_kneser_ney" -> q144_kneser_ney,
     "q143_cross_entropy_select" -> q143_cross_entropy_select,
     "q104_rrf_fusion" -> q104_rrf_fusion,
     "q107_sparse_cosine_join" -> q107_sparse_cosine_join,
@@ -602,6 +695,7 @@ object LexicalQueries {
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
+    "q144_kneser_ney" -> q144_sql,
     "q143_cross_entropy_select" -> q143_sql,
     "q104_rrf_fusion" -> q104_sql,
     "q107_sparse_cosine_join" -> q107_sql,
