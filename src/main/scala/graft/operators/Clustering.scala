@@ -171,12 +171,13 @@ object Clustering {
     *     `(hash28(salt-seed || vid), vid)` — deterministic, rank-stable,
     *     no RNG (the [[lloyd]] seeding rule, per cell).
     *  3. FINE assignment: each row scores ONLY its own cell's seeds —
-    *     an equi-join on the coarse cell plus a codegen'd pairwise
-    *     [[graft.plans.SqL2Dist]] and a `min(struct(dist, svid))` argmin
-    *     (ties → smaller seed vid). Candidate rows are
-    *     n·(cellSize/target) ≈ n·√(n/target), never n·k. The fine
-    *     cluster id IS the winning seed's vid (seeds are corpus rows, so
-    *     ids are globally unique across cells).
+    *     through the task-binary [[graft.plans.GroupedNearestL2]] kernel
+    *     while the seed set fits `seedLiteralCap`, through the
+    *     distributed [[joinedFineAssign]] equi-join + partial-agg argmin
+    *     past it (bit-identical ties: smaller seed vid). Candidate
+    *     distance ops are n·(cellSize/target) ≈ n·√(n/target), never
+    *     n·k. The fine cluster id IS the winning seed's vid (seeds are
+    *     corpus rows, so ids are globally unique across cells).
     *  4. The [[subcells]] skew guard bounds per-neighborhood pair mass
     *     exactly as in the flat form.
     *
@@ -197,10 +198,11 @@ object Clustering {
                    coarseK: Int, targetRows: Long, iters: Int,
                    minCosine: Double, salt: String = "semdedup-h",
                    clusterCap: Long = DefaultClusterCap,
-                   maxFinePerCell: Int = 256): DataFrame =
+                   maxFinePerCell: Int = 256,
+                   seedLiteralCap: Int = Similarity.MaxCentroids): DataFrame =
     semDedupHierServe(
       semDedupHierFit(emb, idCol, vecCol, coarseK, targetRows, iters, salt,
-        clusterCap, maxFinePerCell),
+        clusterCap, maxFinePerCell, seedLiteralCap),
       minCosine)
 
   /** A fitted hierarchical-SemDeDup index — the PERSISTABLE artifact of
@@ -212,9 +214,9 @@ object Clustering {
     *    lanes, lossless roundtrip; what a DELTA batch coarse-assigns
     *    against).
     *  - `seeds(ccell, svid, v)` — the per-coarse-cell fine seeds
-    *    (≤ [[Similarity.MaxCentroids]] rows; rebuilt into the
-    *    task-binary [[graft.plans.GroupedL2Seeds]] literal at serve
-    *    time).
+    *    (rebuilt into the task-binary [[graft.plans.GroupedL2Seeds]]
+    *    literal at serve time while ≤ the literal cap; served through
+    *    the distributed [[joinedFineAssign]] past it).
     *  - `assign(vid, v, nrm, cluster, cell)` — the corpus's fine
     *    membership WITH its scaled vectors/norms, so a serve needs no
     *    side lookup of the raw corpus (the LSH-signature economics).
@@ -236,12 +238,15 @@ object Clustering {
                       coarseK: Int, targetRows: Long, iters: Int,
                       salt: String = "semdedup-h",
                       clusterCap: Long = DefaultClusterCap,
-                      maxFinePerCell: Int = 256): SemIndex = {
+                      maxFinePerCell: Int = 256,
+                      seedLiteralCap: Int = Similarity.MaxCentroids): SemIndex = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     import graft.functions.VectorFunctions.vnorm
     require(targetRows > 0, s"targetRows must be positive: $targetRows")
     require(maxFinePerCell > 0, s"maxFinePerCell must be positive: $maxFinePerCell")
     require(clusterCap > 0, s"clusterCap must be positive: $clusterCap")
+    require(seedLiteralCap >= 0 && seedLiteralCap <= Similarity.MaxCentroids,
+      s"seedLiteralCap $seedLiteralCap outside [0, ${Similarity.MaxCentroids}]")
     val model = kmeansFit(emb, idCol, vecCol, coarseK, iters, salt)
     // coarse membership + scaled vectors once, persisted: the seed
     // ranking, the fine-assignment scan, and the final pair join all
@@ -256,12 +261,15 @@ object Clustering {
     val csize = sv.groupBy(col("ccell")).agg(count(lit(1)).as("csize"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ccell")).orderBy(col("hs"), col("vid"))
-    // Seed vectors ride a DRIVER-BUILT group-partitioned literal rather
-    // than a join: the equi-join formulation shuffles two full vectors
-    // per candidate row — n·√(n/target) rows × ~1 KB, an n^1.5 SHUFFLE
-    // that measured as the residual superlinear term at 50×. Total seeds
-    // ≈ k ≤ [[Similarity.MaxCentroids]] (the flat form's driver-state
-    // economics) while fine-assignment compute stays n·(cellSize/target).
+    // Seed vectors ride a DRIVER-BUILT group-partitioned literal while
+    // they fit in a task binary (fastest constant: zero joins, fused
+    // codegen'd argmin; the naive pair-equi-join that shuffles two full
+    // vectors per candidate row measured n^1.5 SHUFFLE BYTES at 50× and
+    // stays rejected). Past `seedLiteralCap` — seeds ∝ n/targetRows, so
+    // any literal ceiling is a hard CORPUS ceiling at cap·targetRows
+    // rows — the fit falls back to [[joinedFineAssign]], whose shuffle
+    // is linear (vectors cross the wire once; the argmin partial-reduces
+    // candidates in-stage) and whose result is bit-identical.
     val seedFrame = sv.join(csize, "ccell")
       .withColumn("hs",
         hash28(concat(lit(s"$salt-seed"), col("vid").cast("string"))))
@@ -271,17 +279,17 @@ object Clustering {
         lit(maxFinePerCell)))
       .select(col("ccell"), col("vid").as("svid"), col("v"))
     // limit BEFORE collect (the flat form's collectCentroids economics):
-    // an over-cap configuration must fail on the require, not OOM the
-    // driver materializing millions of seed rows first.
+    // past the literal cap the fit must fall back to the joined argmin,
+    // not OOM the driver materializing millions of seed rows first.
     val seedRows = seedFrame.orderBy(col("ccell"), col("svid"))
-      .limit(Similarity.MaxCentroids + 1).collect()
-    require(seedRows.length <= Similarity.MaxCentroids,
-      s"fine seed set above the driver cap ${Similarity.MaxCentroids} — " +
-        "raise targetRows or coarseK")
-    val gseeds = groupedSeedsOf(seedRows, coarseK)
-    val fine = sv.select(col("vid"),
-      columnOf(graft.plans.GroupedNearestL2(expressionOf(col("v")),
-        expressionOf(col("ccell")), gseeds)).as("cluster"))
+      .limit(seedLiteralCap + 1).collect()
+    val fine =
+      if (seedRows.length <= seedLiteralCap) {
+        val gseeds = groupedSeedsOf(seedRows, coarseK)
+        sv.select(col("vid"),
+          columnOf(graft.plans.GroupedNearestL2(expressionOf(col("v")),
+            expressionOf(col("ccell")), gseeds)).as("cluster"))
+      } else joinedFineAssign(sv, seedFrame)
     // Inlined [[subcells]] so the fine-cluster SIZES survive as an index
     // surface (the delta path's subcell widths) — same rows, same hash.
     val sizes = fine.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
@@ -304,8 +312,8 @@ object Clustering {
     * the persisted index (supersedes [[semDedupDelta]]'s flat-centroid
     * assignment): each delta row coarse-assigns against the index's
     * lanes (one [[assignToLanes]] kernel pass), fine-assigns against its
-    * own coarse cell's seeds (the grouped kernel, seeds rebuilt from the
-    * index's ≤[[Similarity.MaxCentroids]]-row seed table), lands in the
+    * own coarse cell's seeds (the grouped literal kernel below the
+    * literal cap, [[joinedFineAssign]] above it), lands in the
     * skew-guard subcell computed from the CORPUS fine-cluster sizes, and
     * pairs ONLY with the corpus rows of its (cluster, cell) — stored
     * with their vectors in `idx.assign`, so corpus×corpus is never
@@ -314,21 +322,30 @@ object Clustering {
     * drops out (the honest incremental contract). Returns one row per
     * pruned DELTA vector: `(cluster, pruned, keeper, best_cos)`. */
   def semDedupDeltaHier(delta: DataFrame, idCol: String, vecCol: String,
-                        idx: SemIndex, minCosine: Double): DataFrame = {
+                        idx: SemIndex, minCosine: Double,
+                        seedLiteralCap: Int = Similarity.MaxCentroids)
+      : DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
+    require(seedLiteralCap >= 0 && seedLiteralCap <= Similarity.MaxCentroids,
+      s"seedLiteralCap $seedLiteralCap outside [0, ${Similarity.MaxCentroids}]")
     val seedRows = idx.seeds.orderBy(col("ccell"), col("svid"))
-      .limit(Similarity.MaxCentroids + 1).collect()
-    require(seedRows.length <= Similarity.MaxCentroids,
-      s"seed table above the driver cap ${Similarity.MaxCentroids} — " +
-        "not a semDedupHierFit artifact?")
-    val gseeds = groupedSeedsOf(seedRows, idx.coarseK)
-    val deltaFine = assignToLanes(delta, idCol, vecCol, idx.lanes)
+      .limit(seedLiteralCap + 1).collect()
+    val deltaCoarse = assignToLanes(delta, idCol, vecCol, idx.lanes)
       .select(col("vid"), col("v"), col("cluster").cast("int").as("ccell"))
       .withColumn("nrm", vnorm(col("v")))
-      .select(col("vid"), col("v"), col("nrm"),
-        columnOf(graft.plans.GroupedNearestL2(expressionOf(col("v")),
-          expressionOf(col("ccell")), gseeds)).as("cluster"))
+    val deltaFine =
+      if (seedRows.length <= seedLiteralCap) {
+        val gseeds = groupedSeedsOf(seedRows, idx.coarseK)
+        deltaCoarse.select(col("vid"), col("v"), col("nrm"),
+          columnOf(graft.plans.GroupedNearestL2(expressionOf(col("v")),
+            expressionOf(col("ccell")), gseeds)).as("cluster"))
+      } else
+        // delta-sized join back onto the argmin result — the seed table
+        // stays distributed (an index fitted past the literal cap is
+        // exactly the case where it cannot be collected)
+        deltaCoarse.join(joinedFineAssign(deltaCoarse, idx.seeds), "vid")
+          .select(col("vid"), col("v"), col("nrm"), col("cluster"))
     val deltaSide = deltaFine.join(idx.sizes, "cluster")
       .select(col("cluster"),
         subcellOf(col("vid"), idx.clusterCap, idx.salt).as("cell"),
@@ -369,6 +386,37 @@ object Clustering {
       spark.read.parquet(s"$path/sizes"),
       meta.getAs[Int]("coarse_k"), meta.getAs[Long]("cluster_cap"),
       meta.getAs[String]("salt"))
+  }
+
+  /** The SCALE-OUT twin of the [[graft.plans.GroupedNearestL2]] literal
+    * kernel: fine assignment as an equi-join on the coarse cell plus a
+    * single-stage partial-aggregated argmin — for seed sets too large to
+    * ship as a task binary (seeds ∝ n/targetRows, so ANY driver-literal
+    * formulation has a hard corpus ceiling at
+    * [[Similarity.MaxCentroids]]·targetRows rows; this path has none).
+    *
+    * Shuffle shape (the reason this is NOT the n^1.5-bytes join the
+    * scaladoc above rejects): `rows` arrives already hash-partitioned by
+    * the equi-join on `ccell` (one linear shuffle of n vectors), the
+    * n·(cellSize/target) candidate rows exist only INSIDE the join
+    * stage, and the `min(struct(fdist, svid))` aggregation partial-
+    * reduces them to one 24-byte row per vid BEFORE its exchange —
+    * every vid's candidates share its ccell partition, so the map-side
+    * combine is total. Candidate VECTORS are never shuffled; the n^1.5
+    * term survives only as distance COMPUTE, exactly like the literal
+    * kernel. Tie semantics are identical: `min` over (dist, svid)
+    * structs picks the smallest distance, then the smallest seed vid. */
+  private def joinedFineAssign(rows: DataFrame, seeds: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.isqL2
+    rows.select(col("vid"), col("v"), col("ccell"))
+      .join(seeds.select(col("ccell"), col("svid"), col("v").as("sv")),
+        "ccell")
+      .select(col("vid"),
+        struct(isqL2(col("v"), col("sv")).as("fdist"),
+          col("svid").as("svid")).as("cand"))
+      .groupBy(col("vid"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vid"), col("best.svid").as("cluster"))
   }
 
   /** Rebuild the task-binary grouped seed literal from `(ccell, svid, v)`

@@ -913,6 +913,30 @@ object VectorQueries {
         graft.operators.Clustering.loadSemIndex(s, path), CosineDupThreshold)
       .orderBy($"pruned")
   }
+  // ── q145: hierarchical SemDeDup through the DISTRIBUTED fine
+  // assignment (Clustering.joinedFineAssign) — the corpus-unbounded path.
+  // The literal GroupedNearestL2 kernel is the fast constant, but its
+  // seed set is n/targetRows rows shipped as a task binary, so it carries
+  // a hard corpus ceiling at MaxCentroids·targetRows (~4.2M embeddings at
+  // the defaults) — at 100 TB the fit would REFUSE. seedLiteralCap=0
+  // forces the fallback that engages past the ceiling: an equi-join on
+  // the coarse cell whose min(struct(fdist, svid)) argmin partial-reduces
+  // candidates in-stage (linear shuffle bytes — vectors cross the wire
+  // once; candidate vectors never shuffle). The oracle IS q137's SQL:
+  // the driver's hash gate proves the two paths assign identically. ─────
+  val q145_semdedup_joinfine: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val bits = Similarity.bitsFor(emb.count(), SemTargetClusterRows, 20)
+    val coarseK = 1 << math.min(HierMaxCoarseBits, (bits + 1) / 2)
+    graft.operators.Clustering
+      .semDedupHier(emb, "vec_id", "embedding", coarseK,
+        SemTargetClusterRows, SemIters, CosineDupThreshold,
+        clusterCap = SemClusterCap, maxFinePerCell = HierMaxFinePerCell,
+        seedLiteralCap = 0)
+      .orderBy($"pruned")
+  }
+
   lazy val q139_sql: String = {
     val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
     val deltaList = SemDeltaLabels.mkString(", ")
@@ -1002,6 +1026,7 @@ object VectorQueries {
     "q137_semdedup_hier" -> q137_semdedup_hier,
     "q138_semdedup_index_persist" -> q138_semdedup_index_persist,
     "q139_semdedup_hier_delta" -> q139_semdedup_hier_delta,
+    "q145_semdedup_joinfine" -> q145_semdedup_joinfine,
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
     "q40_embedding_dedup" -> q40_embedding_dedup,
@@ -1025,6 +1050,8 @@ object VectorQueries {
     // serve-from-persisted-index must reproduce q137 exactly
     "q138_semdedup_index_persist" -> q137_sql,
     "q139_semdedup_hier_delta" -> q139_sql,
+    // the distributed fine assignment must reproduce q137 exactly
+    "q145_semdedup_joinfine" -> q137_sql,
     "q25_knn_brute" -> q25_sql,
     "q26_knn_lsh" -> q26_sql,
     "q40_embedding_dedup" -> q40_sql,

@@ -336,6 +336,45 @@ class ClusteringSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 0L, 1.0)), out.mkString(", "))
   }
 
+  test("joined fine assignment == literal kernel, for fit and delta serve") {
+    // seedLiteralCap=0 forces the distributed equi-join + partial-agg
+    // argmin on every call — the path that engages when the seed set
+    // outgrows the task-binary cap (seeds are n/targetRows rows, so the
+    // literal kernel has a hard corpus ceiling; the join path has none).
+    // Both paths must assign identically, including argmin ties.
+    def vecs(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val corpus = vecs(Seq(
+      (0L, Seq(10f, 1f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 1f)),
+      (2L, Seq(10f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, -1f)),
+      (4L, Seq(10f, 1f, 0f, 0f)), (5L, Seq(0f, 0f, 10f, 1f)),
+      (6L, Seq(10f, -1f, 0f, 0f)), (7L, Seq(-3f, 0f, 2f, 1f))))
+    def prune(cap: Int) = Clustering
+      .semDedupHier(corpus, "vec_id", "embedding", coarseK = 2,
+        targetRows = 2, iters = 2, minCosine = 0.999, seedLiteralCap = cap)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(prune(0) == prune(Similarity.MaxCentroids))
+    // identical assignment implies identical index surfaces
+    val litIdx = Clustering.semDedupHierFit(corpus, "vec_id", "embedding",
+      coarseK = 2, targetRows = 2, iters = 2)
+    val joinIdx = Clustering.semDedupHierFit(corpus, "vec_id", "embedding",
+      coarseK = 2, targetRows = 2, iters = 2, seedLiteralCap = 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vid", "cluster", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(litIdx.assign) == rows(joinIdx.assign))
+    // delta serve through the joined path == through the literal path
+    val delta = vecs(Seq(
+      (10L, Seq(10f, 1f, 0f, 0f)), (11L, Seq(0f, 0f, -10f, 5f))))
+    def serve(cap: Int) = Clustering
+      .semDedupDeltaHier(delta, "vec_id", "embedding", litIdx, 0.999,
+        seedLiteralCap = cap)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(serve(0) == serve(Similarity.MaxCentroids))
+    assert(serve(0) == Set((10L, 0L, 1.0)))
+  }
+
   test("semDedup skew guard: a degenerate one-cluster corpus pairs within bounded subcells") {
     // 300 IDENTICAL vectors — equidistant from every centroid, so k-means
     // parks all of them in ONE cluster: exactly the pathological corpus
