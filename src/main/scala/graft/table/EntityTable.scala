@@ -245,6 +245,13 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     }
   }
 
+  private def writeMarker(name: String, value: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val out = hadoopFs.create(p, true)
+    try out.write(value.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Cells of one locality group: a partition-pruned scan (only that
     * group's file set is read — the reference's point of splitting HFiles
     * per locality group, `KijiHFileOutputFormat.java:122-186`). A table
@@ -429,10 +436,19 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     // feed is; a feed created by an external writer stays unstamped so
     // its files keep ONE schema — ordinal reads then refuse with
     // guidance).
-    val stamped =
+    val stampOrdinal =
       if (hasPendingChanges && !pendingChanges.columns.contains("arrival"))
-        guarded
-      else guarded.withColumn("arrival", lit(nextArrival))
+        Long.MinValue
+      else {
+        // reserve the ordinal BEFORE writing the batch: a crash between
+        // the two leaves a skipped number (harmless), never a duplicate
+        val next = nextArrival
+        writeMarker("_arrival_reserved", next)
+        next
+      }
+    val stamped =
+      if (stampOrdinal == Long.MinValue) guarded
+      else guarded.withColumn("arrival", lit(stampOrdinal))
     if (numFiles == 1)
       stamped.coalesce(1).write.mode("append").parquet(changesPath)
     else {
@@ -464,13 +480,27 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     }
   }
 
-  /** The next arrival ordinal: 1 + the max stamp in the feed (1 for an
-    * empty feed). Max-based rather than file-count-based so the numbering
-    * survives [[compactFeed]] folding N batch files into one. */
-  private def nextArrival: Long =
-    if (!hasPendingChanges) 1L
-    else Option(pendingChanges.agg(max(col("arrival"))).head().get(0))
-      .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
+  /** The next arrival ordinal: 1 + the highest number in use. Reads the
+    * `_arrival_reserved` marker (O(1) — the feed-sized `max(arrival)`
+    * scan on EVERY append was measured as q134's data-proportional
+    * regression at 50×), falling back to the feed agg only for a stamped
+    * feed predating the marker. [[compactFeed]] preserves stamps, so the
+    * marker stays valid across minor folds; a physical fold
+    * ([[majorCompact]]/[[applyChanges]]) replaces the table directory —
+    * marker gone, feed empty — and the arrival WATERMARK becomes the
+    * floor, so post-fold numbering continues strictly ABOVE the refused
+    * range instead of restarting at 1 underneath it (restarted numbers
+    * would be unreachable by any ordinal cut: cuts below the watermark
+    * refuse). */
+  private def nextArrival: Long = {
+    val reserved = readMarker("_arrival_reserved")
+    val inUse =
+      if (reserved != Long.MinValue) reserved
+      else if (!hasPendingChanges) 0L
+      else Option(pendingChanges.agg(max(col("arrival"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    math.max(inUse, math.max(asOfArrivalWatermark, 0L)) + 1L
+  }
 
   /** Change-feed occupancy: (data files, rows). Each `appendChanges` batch
     * leaves its own file(s); every merged read re-lists and re-unions them
@@ -523,12 +553,15 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     def maxOf(df: DataFrame, c: String): Long =
       Option(df.agg(max(col(c))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-    val feedTs =
-      if (!hasPendingChanges) Long.MinValue else maxOf(pendingChanges, "ts")
-    val feedArrival =
-      if (hasPendingChanges && pendingChanges.columns.contains("arrival"))
-        maxOf(pendingChanges, "arrival")
-      else Long.MinValue
+    // one feed scan for both high-water marks (ts + arrival), not two
+    val (feedTs, feedArrival) =
+      if (!hasPendingChanges) (Long.MinValue, Long.MinValue)
+      else if (pendingChanges.columns.contains("arrival")) {
+        val r = pendingChanges
+          .agg(max(col("ts")).as("mt"), max(col("arrival")).as("ma")).head()
+        (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue),
+          Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))
+      } else (maxOf(pendingChanges, "ts"), Long.MinValue)
     val w = Seq(asOfWatermark, feedTs, maxOf(changes, "ts")).max
     val wa = math.max(asOfArrivalWatermark, feedArrival)
     val markers =
@@ -564,15 +597,17 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     // through the atomic commit — a marker written after the commit
     // would leave a crash window in which the fold is live but the
     // barrier is lost, silently serving below-fold as-of cuts.
-    val folded: Option[Long] =
-      if (!hasPendingChanges) None
-      else Option(pendingChanges.agg(max(col("ts"))).head().get(0))
-        .map(_.asInstanceOf[Long])
-    val foldedArrival: Long =
-      if (hasPendingChanges && pendingChanges.columns.contains("arrival"))
-        Option(pendingChanges.agg(max(col("arrival"))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-      else Long.MinValue
+    // one feed scan for both high-water marks (ts + arrival), not two
+    val (folded, foldedArrival) =
+      if (!hasPendingChanges) (None: Option[Long], Long.MinValue)
+      else if (pendingChanges.columns.contains("arrival")) {
+        val r = pendingChanges
+          .agg(max(col("ts")).as("mt"), max(col("arrival")).as("ma")).head()
+        (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))
+      } else
+        (Option(pendingChanges.agg(max(col("ts"))).head().get(0))
+          .map(_.asInstanceOf[Long]), Long.MinValue)
     val prior = asOfWatermark
     val survivors = read(DataRequest(maxVersions = Int.MaxValue), asOfMicros)
       .select(col("entity_id"), col("family"), col("qualifier"),

@@ -112,7 +112,10 @@ class TableDmlSpec extends SparkSpec {
       var out = Set.empty[(String, Long)]
       while (fs.hasNext) {
         val p = fs.next()
-        if (!p.getFileName.toString.startsWith("_"))
+        val n = p.getFileName.toString
+        // the _arrival_reserved ordinal marker (and its local-FS .crc
+        // shadow) is an INTENDED O(1) append artifact, not a base rewrite
+        if (!n.startsWith("_") && !n.contains("_arrival_reserved"))
           out += ((p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
       }
       out
@@ -262,6 +265,17 @@ class TableDmlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { table.cellsAsOfOrdinal(2L) }
     assert(e.getMessage.contains("watermark"))
     assert(keys(table.cellsAsOfOrdinal(3L)) == keys(table.cells))
+    // post-fold appends continue numbering ABOVE the refused range: the
+    // new batch gets ordinal 4 (not a restart at 1 underneath the
+    // watermark, which no cut could ever reach), so ordinal 3 = the
+    // folded base and ordinal 4 = base + the new batch
+    val postFoldBase = keys(table.cells)
+    table.appendChanges(changesDF(Seq(
+      Dml.put(3L, "info", "email", 90L, "fourth@x"))))
+    assert(keys(table.cellsAsOfOrdinal(3L)) == postFoldBase)
+    assert(keys(table.cellsAsOfOrdinal(4L)) == keys(table.cells))
+    assert(keys(table.cellsAsOfOrdinal(4L)).contains(
+      (3L, "info", "email", 90L)))
   }
 
   test("applyChanges is a physical fold: both as-of watermarks advance, cuts below refuse") {
@@ -476,7 +490,10 @@ class TableDmlSpec extends SparkSpec {
       var out = Set.empty[(String, Long)]
       while (fs.hasNext) {
         val p = fs.next()
-        if (!p.getFileName.toString.startsWith("_"))
+        val n = p.getFileName.toString
+        // the _arrival_reserved ordinal marker (and its local-FS .crc
+        // shadow) is an INTENDED O(1) append artifact, not a base rewrite
+        if (!n.startsWith("_") && !n.contains("_arrival_reserved"))
           out += ((p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
       }
       out
