@@ -29,15 +29,6 @@ object VectorFunctions {
   def inorm2(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
 
-  /** Exact integer squared L2 distance between two scaled vectors — the
-    * join-side twin of [[graft.plans.GroupedL2Seeds.nearest]]'s fused
-    * loop (same int64 sum, same truncation-free arithmetic), for plans
-    * whose candidate set arrives through an equi-join instead of a
-    * driver literal. */
-  def isqL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-
   /** Deterministic cosine similarity between two scaled vectors. */
   def cosineScaled(a: Column, b: Column): Column =
     idot(a, b).cast(DoubleType) /

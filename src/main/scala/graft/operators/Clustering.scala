@@ -407,12 +407,13 @@ object Clustering {
     * kernel. Tie semantics are identical: `min` over (dist, svid)
     * structs picks the smallest distance, then the smallest seed vid. */
   private def joinedFineAssign(rows: DataFrame, seeds: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions.isqL2
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     rows.select(col("vid"), col("v"), col("ccell"))
       .join(seeds.select(col("ccell"), col("svid"), col("v").as("sv")),
         "ccell")
       .select(col("vid"),
-        struct(isqL2(col("v"), col("sv")).as("fdist"),
+        struct(columnOf(graft.plans.SqL2Dist(expressionOf(col("v")),
+            expressionOf(col("sv")))).as("fdist"),
           col("svid").as("svid")).as("cand"))
       .groupBy(col("vid"))
       .agg(min(col("cand")).as("best"))
