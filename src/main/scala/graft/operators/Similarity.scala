@@ -403,4 +403,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
+
+  /** EMBEDDING-space benchmark decontamination — the semantic sibling of
+    * the n-gram paths (`Dedup.bloomDecontam` catches verbatim/near-verbatim
+    * leaks; this catches paraphrased ones): flag every corpus vector whose
+    * cosine against ANY benchmark vector reaches `minCosine`, reporting
+    * the best-matching eval item and its similarity. One row per
+    * contaminated corpus id: `(contaminated, eval_match, best_cos)`, ties
+    * on best_cos → the largest eval id (the `max(struct)` order, replayed
+    * by the oracle).
+    *
+    * Scale shape (100 TB): eval suites are FIXED and small (bounded by
+    * the benchmarks you hold out, not the corpus), so the bench side
+    * broadcasts and the whole operator is ONE corpus scan — the
+    * nested-loop's n·|bench| cosines partial-aggregate to ≤1 row per
+    * corpus vector inside the stage, so nothing corpus-sized shuffles;
+    * flagged rows (a tiny fraction by construction) are the only output.
+    * A corpus-sized bench side is the wrong tool — that's the symmetric
+    * dedup problem, `Clustering.semDedupHier`. */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame, idCol: String,
+                       vecCol: String, minCosine: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), scaled(col(vecCol)).as("v"))
+      .withColumn("nrm", vnorm(col("v")))
+    val b = bench.select(col(idCol).as("eval_id"),
+        scaled(col(vecCol)).as("bv"))
+      .withColumn("bnrm", vnorm(col("bv")))
+    c.crossJoin(broadcast(b))
+      .select(col("vid"), col("eval_id"),
+        cosineFromNorms(col("v"), col("bv"), col("nrm"), col("bnrm"))
+          .as("cos"))
+      .filter(col("cos") >= minCosine)
+      .groupBy(col("vid"))
+      .agg(max(struct(col("cos"), col("eval_id"))).as("best"))
+      .select(col("vid").as("contaminated"),
+        col("best.eval_id").as("eval_match"),
+        col("best.cos").as("best_cos"))
+  }
 }

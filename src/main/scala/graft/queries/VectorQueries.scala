@@ -937,6 +937,47 @@ object VectorQueries {
       .orderBy($"pruned")
   }
 
+  // ── q146: SEMANTIC benchmark decontamination
+  // (Similarity.semanticDecontam) — the embedding-space sibling of q58
+  // (n-gram suffix match) and q83 (Bloom n-gram): those catch verbatim
+  // leaks, this flags corpus vectors whose embedding is near ANY held-out
+  // eval vector (labels 8/9 model the eval suite), i.e. paraphrased
+  // contamination. Bench side broadcasts (eval suites are fixed and
+  // small at ANY corpus scale), so the operator is one corpus scan whose
+  // n·|bench| cosines partial-aggregate in-stage — nothing corpus-sized
+  // shuffles. Ties on best_cos keep the largest eval id (max(struct)),
+  // replayed by the oracle's equality join on the per-vid max. ──────────
+  val q146_semantic_decontam: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val isBench = $"label".isin(SemDeltaLabels: _*)
+    graft.operators.Similarity
+      .semanticDecontam(emb.filter(!isBench), emb.filter(isBench),
+        "vec_id", "embedding", CosineDupThreshold)
+      .orderBy($"contaminated")
+  }
+  lazy val q146_sql: String = {
+    val benchList = SemDeltaLabels.mkString(", ")
+    val cos = sqlCosineFromNorms("c.v", "b.bv", "c.nrm", "b.bnrm", Dim)
+    s"""WITH cv AS (
+       |  SELECT vec_id AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings WHERE label NOT IN ($benchList)),
+       |bv AS (
+       |  SELECT vec_id AS eval_id, ${sqlScaled("embedding")} AS bv,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS bnrm
+       |  FROM embeddings WHERE label IN ($benchList)),
+       |hits AS (
+       |  SELECT c.vid, b.eval_id, $cos AS cos
+       |  FROM cv c CROSS JOIN bv b
+       |  WHERE $cos >= $CosineDupThreshold),
+       |best AS (SELECT vid, max(cos) AS best_cos FROM hits GROUP BY vid)
+       |SELECT h.vid AS contaminated, max(h.eval_id) AS eval_match,
+       |  b.best_cos
+       |FROM hits h JOIN best b ON h.vid = b.vid AND h.cos = b.best_cos
+       |GROUP BY h.vid, b.best_cos ORDER BY contaminated""".stripMargin
+  }
+
   lazy val q139_sql: String = {
     val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
     val deltaList = SemDeltaLabels.mkString(", ")
@@ -1027,6 +1068,7 @@ object VectorQueries {
     "q138_semdedup_index_persist" -> q138_semdedup_index_persist,
     "q139_semdedup_hier_delta" -> q139_semdedup_hier_delta,
     "q145_semdedup_joinfine" -> q145_semdedup_joinfine,
+    "q146_semantic_decontam" -> q146_semantic_decontam,
     "q25_knn_brute" -> q25_knn_brute,
     "q26_knn_lsh" -> q26_knn_lsh,
     "q40_embedding_dedup" -> q40_embedding_dedup,
@@ -1052,6 +1094,7 @@ object VectorQueries {
     "q139_semdedup_hier_delta" -> q139_sql,
     // the distributed fine assignment must reproduce q137 exactly
     "q145_semdedup_joinfine" -> q137_sql,
+    "q146_semantic_decontam" -> q146_sql,
     "q25_knn_brute" -> q25_sql,
     "q26_knn_lsh" -> q26_sql,
     "q40_embedding_dedup" -> q40_sql,
