@@ -253,12 +253,67 @@ object BpeQueries {
       .orderBy($"doc_id")
   }
 
+  // ── q147: per-language tokenizer FERTILITY eval — the acceptance
+  // gate a tokenizer ships through (how many subword tokens per word,
+  // how many chars per token, per language tier): train the merge list
+  // once on the whole corpus, token-count every document with the
+  // codegen'd kernel (q97's zero-join economics), aggregate by the
+  // documents table's lang column. Fixed point: ppm ratios are
+  // tokens·2^20 div words — exact int64, engines agree bit-for-bit;
+  // headroom to ~8.8e12 tokens PER LANGUAGE before the 2^63 multiply
+  // overflows (divide before scaling past that, as q103 documents).
+  // Scale shape: one corpus scan + a |languages|-row agg — the stats
+  // partial-aggregate map-side; nothing corpus-sized shuffles. ──────────
+  val q147_tokenizer_fertility: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val (merges, _) =
+      Bpe.trainAuto(Bpe.wordFreq(Bpe.docWords(docs(s, d), "doc_id", "text")),
+        BpeMerges)
+    val lhs = merges.map(_.lhs).toArray
+    val rhs = merges.map(_.rhs).toArray
+    docs(s, d)
+      .select($"lang", $"n_chars",
+        columnOf(graft.plans.BpeDocStats(expressionOf($"text"), lhs, rhs))
+          .as("st"))
+      .select($"lang", $"n_chars", element_at($"st", 1).as("nw"),
+        element_at($"st", 2).as("nt"))
+      .filter($"nw" > 0)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("words"),
+        sum($"nt").as("tokens"), sum($"n_chars").as("chars"))
+      .withColumn("fertility_ppm", expr("tokens * 1048576 div words"))
+      .withColumn("chars_per_tok_ppm", expr("chars * 1048576 div tokens"))
+      .orderBy($"lang")
+  }
+
+  lazy val q147_sql: String =
+    s"""WITH $trainerSql,
+       |ws AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wt
+       |  FROM t$BpeMerges GROUP BY word),
+       |dtok AS (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |    CAST(sum(s.wt) AS BIGINT) AS nt
+       |  FROM docwords d JOIN ws s USING (word) GROUP BY d.doc_id)
+       |SELECT doc.lang, count(*) AS n_docs,
+       |  CAST(sum(dt.nw) AS BIGINT) AS words,
+       |  CAST(sum(dt.nt) AS BIGINT) AS tokens,
+       |  CAST(sum(doc.n_chars) AS BIGINT) AS chars,
+       |  CAST(CAST(sum(dt.nt) AS BIGINT) * 1048576
+       |    // CAST(sum(dt.nw) AS BIGINT) AS BIGINT) AS fertility_ppm,
+       |  CAST(CAST(sum(doc.n_chars) AS BIGINT) * 1048576
+       |    // CAST(sum(dt.nt) AS BIGINT) AS BIGINT) AS chars_per_tok_ppm
+       |FROM documents doc JOIN dtok dt ON dt.doc_id = doc.doc_id
+       |GROUP BY doc.lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q95_bpe_vocab" -> q95_bpe_vocab,
     "q96_bpe_encode" -> q96_bpe_encode,
     "q97_bpe_kernel_stats" -> q97_bpe_kernel_stats,
     "q99_bpe_pack_shards" -> q99_bpe_pack_shards,
     "q112_bpe_vocab_persist" -> q112_bpe_vocab_persist,
+    "q147_tokenizer_fertility" -> q147_tokenizer_fertility,
   )
   val oracleSql: Map[String, String] = Map(
     "q95_bpe_vocab" -> q95_sql,
@@ -269,5 +324,6 @@ object BpeQueries {
     "q99_bpe_pack_shards" -> q99_sql,
     // serve-from-persisted-vocabulary must reproduce q96/q97 exactly
     "q112_bpe_vocab_persist" -> q96_sql,
+    "q147_tokenizer_fertility" -> q147_sql,
   )
 }
