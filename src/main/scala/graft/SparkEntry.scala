@@ -11,12 +11,12 @@ object SparkEntry {
     RelationalQueries.queries ++ VersionedQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
       LifecycleQueries.queries ++ TableQueries.queries ++ FormatQueries.queries ++
-      MultimodalQueries.queries ++ RewriterQueries.queries ++ CliQueries.queries ++ TemporalQueries.queries ++ SketchQueries.queries ++ BpeQueries.queries ++ LexicalQueries.queries ++ CurationQueries.queries ++ UnigramQueries.queries ++ DsirQueries.queries
+      MultimodalQueries.queries ++ RewriterQueries.queries ++ CliQueries.queries ++ TemporalQueries.queries ++ SketchQueries.queries ++ BpeQueries.queries ++ LexicalQueries.queries ++ CurationQueries.queries ++ UnigramQueries.queries ++ DsirQueries.queries ++ WordPieceQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VersionedQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ VectorQueries.oracleSql ++
       LifecycleQueries.oracleSql ++ TableQueries.oracleSql ++ FormatQueries.oracleSql ++
-      MultimodalQueries.oracleSql ++ RewriterQueries.oracleSql ++ CliQueries.oracleSql ++ TemporalQueries.oracleSql ++ SketchQueries.oracleSql ++ BpeQueries.oracleSql ++ LexicalQueries.oracleSql ++ CurationQueries.oracleSql ++ UnigramQueries.oracleSql ++ DsirQueries.oracleSql
+      MultimodalQueries.oracleSql ++ RewriterQueries.oracleSql ++ CliQueries.oracleSql ++ TemporalQueries.oracleSql ++ SketchQueries.oracleSql ++ BpeQueries.oracleSql ++ LexicalQueries.oracleSql ++ CurationQueries.oracleSql ++ UnigramQueries.oracleSql ++ DsirQueries.oracleSql ++ WordPieceQueries.oracleSql
 }

@@ -146,7 +146,7 @@ object Bpe {
     * orderBy and DuckDB's string comparison use. Java's natural String
     * ordering compares UTF-16 units instead, which sorts surrogate pairs
     * (U+10000+) BEFORE private-use BMP chars (U+E000..U+FFFD). */
-  private val codePointOrdering: Ordering[String] = (a: String, b: String) => {
+  private[operators] val codePointOrdering: Ordering[String] = (a: String, b: String) => {
     var i = 0
     var j = 0
     var res = 0
