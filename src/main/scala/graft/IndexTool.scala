@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm}
+import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm, WordPiece}
 
 /** The build-once/serve-many index tier behind the CLI facade: one
   * `index-build` / `index-serve` verb pair over every persistable
@@ -49,7 +49,8 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "pq", "bpe", "bm25", "unigram", "semdedup")
+    Set("lsh", "ivf", "pq", "bpe", "bm25", "unigram", "semdedup",
+      "wordpiece")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -117,6 +118,11 @@ object IndexTool {
           num("iters", 2), flags.getOrElse("salt", "semdedup-h"),
           num("cluster-cap", 256).toLong,
           num("max-fine-per-cell", 256)), path)
+      case "wordpiece" =>
+        val (_, finalToks) = WordPiece.trainAuto(
+          Bpe.wordFreq(Bpe.docWords(docsOf(input, flags), "doc_id", "text")),
+          num("merges", 6))
+        WordPiece.saveVocab(WordPiece.vocabOf(finalToks), spark, path)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }
@@ -183,6 +189,17 @@ object IndexTool {
             "embedding", Clustering.loadSemIndex(spark, path),
             dbl("threshold", 0.999))
           .orderBy(col("pruned"))
+      case "wordpiece" =>
+        val v = WordPiece.loadVocab(spark, path)
+        docsOf(input, flags)
+          .select(col("doc_id"),
+            columnOf(graft.plans.WordPieceStats(expressionOf(col("text")),
+              graft.plans.WpLookup(v.head, v.cont),
+              num("max-chars", 12))).as("st"))
+          .select(col("doc_id"), element_at(col("st"), 1).as("n_words"),
+            element_at(col("st"), 2).as("n_tokens"),
+            element_at(col("st"), 3).as("n_unk"))
+          .orderBy(col("doc_id"))
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }

@@ -176,14 +176,14 @@ object WordPieceQueries {
     * after), a dead end or over-length word collapsing to one [UNK]. */
   lazy val q149_sql: String = {
     def step(i: Int): String =
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT s.word, max(length(v.piece)) AS blen
          |  FROM s${i - 1} s JOIN wpv v
          |    ON v.is_cont = (s.off > 0)
          |   AND substr(s.word, s.off + 1, length(v.piece)) = v.piece
          |  WHERE NOT s.done
          |  GROUP BY s.word),
-         |s$i AS (
+         |s$i AS MATERIALIZED (
          |  SELECT s.word,
          |    CASE WHEN s.done OR c.blen IS NULL THEN s.off
          |      ELSE s.off + c.blen END AS off,
@@ -195,10 +195,10 @@ object WordPieceQueries {
          |      OR s.off + coalesce(c.blen, 0) >= length(s.word)) AS done
          |  FROM s${i - 1} s LEFT JOIN c$i c USING (word))""".stripMargin
     s"""WITH $wpTrainerSql,
-       |wpv AS (
+       |wpv AS MATERIALIZED (
        |  SELECT DISTINCT tok AS piece, (pos > 0) AS is_cont
        |  FROM t$WpMerges),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT word, 0 AS off, CAST(0 AS BIGINT) AS ntok,
        |    (length(word) > $MaxWpChars) AS unk,
        |    (length(word) > $MaxWpChars) AS done

@@ -572,6 +572,19 @@ class ToolSpec extends SparkSpec {
     assert(semRows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
       Seq((11L, 1L)), semRows.mkString(", "))
 
+    // wordpiece: trained (piece, is_cont) vocabulary + greedy-match
+    // kernel stats; identical docs 0/5 encode identically
+    val wpPath = s"$base/wordpiece"
+    assert(Tool.run(spark, Array("index-build", "--type=wordpiece",
+      s"--path=$wpPath", s"--input=$docsIn")).status == "SUCCEEDED")
+    val wpRows = serve("wordpiece", wpPath, docsIn)
+    assert(wpRows.size == 8)
+    val wpBy = wpRows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(wpBy(0L) == wpBy(5L))
+    // every word yields >= 1 token ([UNK] words yield exactly 1)
+    assert(wpRows.forall(r => r.getLong(2) >= r.getLong(1)))
+
     // unknown type fails loudly
     val e = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-build", "--type=nope", s"--path=$base/x",
