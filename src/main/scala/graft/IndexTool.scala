@@ -50,7 +50,7 @@ object IndexTool {
 
   val Types: Set[String] =
     Set("lsh", "ivf", "pq", "bpe", "bm25", "unigram", "semdedup",
-      "wordpiece")
+      "wordpiece", "decontam")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -123,6 +123,10 @@ object IndexTool {
           Bpe.wordFreq(Bpe.docWords(docsOf(input, flags), "doc_id", "text")),
           num("merges", 6))
         WordPiece.saveVocab(WordPiece.vocabOf(finalToks), spark, path)
+      case "decontam" =>
+        // the "index" IS the held-out eval suite: persist its vectors
+        // once, screen every later candidate batch against them
+        embOf(input, flags).coalesce(1).write.mode("overwrite").parquet(path)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }
@@ -189,6 +193,11 @@ object IndexTool {
             "embedding", Clustering.loadSemIndex(spark, path),
             dbl("threshold", 0.999))
           .orderBy(col("pruned"))
+      case "decontam" =>
+        Similarity.semanticDecontam(embOf(input, flags),
+            spark.read.parquet(path), "vec_id", "embedding",
+            dbl("threshold", 0.4))
+          .orderBy(col("contaminated"))
       case "wordpiece" =>
         val v = WordPiece.loadVocab(spark, path)
         docsOf(input, flags)
@@ -206,12 +215,13 @@ object IndexTool {
   }
 
   /** The index types with a STREAMING serve path (`index-serve ...
-    * --stream=true`) — the two whose batch serve treats every input row
-    * as an independent DELTA probed/pruned against the loaded index, so
-    * micro-batching composes exactly (per-batch union == one batch
-    * serve; the other tiers' serves are per-doc encodes or top-k ranks
-    * where the batch verb is already incremental by construction). */
-  val StreamTypes: Set[String] = Set("lsh", "semdedup")
+    * --stream=true`) — those whose batch serve treats every input row
+    * as an independent DELTA probed/pruned/flagged against the loaded
+    * index, so micro-batching composes exactly (per-batch union == one
+    * batch serve; the other tiers' serves are per-doc encodes or top-k
+    * ranks where the batch verb is already incremental by
+    * construction). */
+  val StreamTypes: Set[String] = Set("lsh", "semdedup", "decontam")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -221,8 +231,10 @@ object IndexTool {
     * `Dedup.incrementalLshPairsIndexed` (tiled probe, rerank, per-batch
     * distinct); `semdedup`: `StreamingCells.semDedupServeStream` →
     * `Clustering.semDedupDeltaHier` (coarse lanes, grouped-seed fine
-    * argmin, within-cell cosine vs corpus only) — and appends its
-    * matches to the output directory. `Trigger.AvailableNow` drains the
+    * argmin, within-cell cosine vs corpus only); `decontam`:
+    * `StreamingCells.decontamServeStream` → `Similarity.semanticDecontam`
+    * (the admission screen: per-row flags vs the persisted eval suite) —
+    * and appends its matches to the output directory. `Trigger.AvailableNow` drains the
     * current backlog then stops, so the call is re-runnable as an
     * ingestion cron: the checkpoint (kept under `_checkpoint` inside
     * the output dir — underscore-prefixed, invisible to readers) makes
@@ -278,6 +290,10 @@ object IndexTool {
           embOf(stream, flags), "vec_id", "embedding",
           Clustering.loadSemIndex(spark, path),
           dbl("threshold", 0.999))(sink)
+      case "decontam" =>
+        graft.streaming.StreamingCells.decontamServeStream(
+          embOf(stream, flags), "vec_id", "embedding",
+          spark.read.parquet(path), dbl("threshold", 0.4))(sink)
     }
     val q = writer
       .option("checkpointLocation", s"$outFile/_checkpoint")

@@ -138,6 +138,28 @@ object StreamingCells {
           batch, idCol, vecCol, idx, minCosine), batchId)
     }
 
+  /** Stream-serve semantic benchmark decontamination
+    * ([[graft.operators.Similarity.semanticDecontam]]): the admission
+    * screen of an ingestion pipeline — the held-out eval suite is
+    * persisted ONCE (`index-build --type=decontam`), and a stream of
+    * candidate-embedding micro-batches flags arrivals whose cosine
+    * against ANY eval vector reaches `minCosine`. Each batch runs the
+    * exact batch path, and because every row is flagged independently
+    * (no row-row interaction), the union of streamed results over any
+    * batch split equals one batch serve over the union
+    * (StreamingCellsSpec pins the equality). Sink contract is
+    * [[lshServeStream]]'s: foreachBatch is at-least-once, so key the
+    * output on the batch id. */
+  def decontamServeStream(candidates: DataFrame, idCol: String,
+                          vecCol: String, bench: DataFrame,
+                          minCosine: Double)
+                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    candidates.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Similarity.semanticDecontam(
+          batch, bench, idCol, vecCol, minCosine), batchId)
+    }
+
   /** Tumbling-window counts/sums per qualifier with a watermark. */
   def windowedAgg(puts: DataFrame, window: String, watermark: String): DataFrame =
     puts

@@ -572,6 +572,24 @@ class ToolSpec extends SparkSpec {
     assert(semRows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
       Seq((11L, 1L)), semRows.mkString(", "))
 
+    // decontam: the eval suite persists as the "index"; candidates that
+    // duplicate an eval vector flag with that eval id
+    val benchPath = s"$base/bench"
+    emb.filter($"vec_id" >= 10).write.parquet(benchPath)
+    val candPath = s"$base/cand"
+    emb.filter($"vec_id" < 10).write.parquet(candPath)
+    val dcPath = s"$base/decontam"
+    assert(Tool.run(spark, Array("index-build", "--type=decontam",
+      s"--path=$dcPath", s"--input=format=parquet file=$benchPath"))
+      .status == "SUCCEEDED")
+    val dcRows = serve("decontam", dcPath,
+      s"format=parquet file=$candPath", "--threshold=0.999")
+    // the i % 8 one-hot construction: candidates 1 and 9 share eval 11's
+    // dim-1 direction, candidate 2 shares eval 10's dim-2 (10 % 8);
+    // nothing else reaches the threshold
+    assert(dcRows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 11L), (2L, 10L), (9L, 11L)), dcRows.mkString(", "))
+
     // wordpiece: trained (piece, is_cont) vocabulary + greedy-match
     // kernel stats; identical docs 0/5 encode identically
     val wpPath = s"$base/wordpiece"

@@ -305,6 +305,48 @@ class StreamingCellsSpec extends SparkSpec {
     } finally graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("decontamServeStream: streamed micro-batches == one batch screen vs the eval suite") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    def vecs(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+    // the admission screen: the eval suite is static; candidates stream
+    val bench = vecs(Seq(
+      (900L, Seq(10f, 1f, 0f, 0f)), (901L, Seq(0f, 0f, 10f, 1f))))
+    val candidates = Seq(
+      (1L, Seq(10f, 1f, 0f, 0f)),   // contaminated (matches 900)
+      (2L, Seq(2f, -5f, 3f, 2f)),   // clean
+      (3L, Seq(0f, 0f, 10f, 1f)),   // contaminated (matches 901)
+      (4L, Seq(-7f, 2f, 0f, 1f)))   // clean
+    val want = Similarity
+      .semanticDecontam(vecs(candidates), bench, "vec_id", "embedding", 0.999)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.map(_._1) == Set(1L, 3L), want.mkString(", "))
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingCells.decontamServeStream(
+        input.toDS().toDF("vec_id", "embedding")
+          .select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")),
+        "vec_id", "embedding", bench, 0.999) { (batchOut, _) =>
+        got.synchronized {
+          got ++= batchOut.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }: Unit
+      }.start()
+    try {
+      input.addData(candidates(0), candidates(1))
+      q.processAllAvailable()
+      input.addData(candidates(2), candidates(3))
+      q.processAllAvailable()
+      assert(got.toSet == want, got.mkString(", "))
+    } finally q.stop()
+  }
+
   test("appendStream: micro-batches land in the live table; reads resolve versions") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros}
