@@ -819,6 +819,91 @@ object DedupQueries {
        |WHERE c.cluster_id IS NULL OR c.cluster_id = doc.doc_id
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ── q151: CONTENT-DEFINED chunk dedup (plans/CdcBoundaries) — the
+  // chunk-level dedup that survives INSERTIONS: fixed-width chunking
+  // misaligns every window after an edit, while Rabin-style cut points
+  // (fp of the last 16 chars ≡ 0 mod 32 → expected ~32-char chunks)
+  // re-synchronize as soon as the rolling window clears the edit — so a
+  // doc that copies another with a prepended sentence still shares all
+  // its interior chunks (the rsync/LBFS economics on corpus text).
+  // Output: every chunk content (md5, portable to the oracle) appearing
+  // in >= 2 distinct documents, with its occurrence counts.
+  //
+  // Scale shape: the boundary kernel is a per-row linear scan; the chunk
+  // explode is ~len/32 rows per doc; ONE partial-aggregated groupBy on
+  // the chunk hash (map-side combine collapses within-partition
+  // repeats). Nothing quadratic anywhere — the cross-doc matching IS the
+  // hash agg. The oracle replays fp with a 16-row power-literal join
+  // (Σ c·B^d over the window, exact int64), the cut rule, the
+  // lag-derived chunk spans, and the same md5. ──────────────────────────
+  val CdcMask = 32
+
+  val q151_cdc_chunk_dedup: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val chunks = Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        columnOf(graft.plans.CdcBoundaries(expressionOf($"text"), CdcMask))
+          .as("ends"))
+      .select($"doc_id", $"text", explode(zip_with(
+        concat(array(lit(0)),
+          slice($"ends", lit(1), greatest(size($"ends") - 1, lit(0)))),
+        $"ends", (st, en) => struct(st.as("s"), en.as("e")))).as("se"))
+      .select($"doc_id",
+        md5(expr("substring(text, se.s + 1, se.e - se.s)")).as("h"))
+    chunks.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"), min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"h")
+  }
+  lazy val q151_sql: String = {
+    val powVals = {
+      var p = 1L
+      (0 until graft.plans.CdcBoundaries.W).map { _ =>
+        val cur = p
+        p = (p * graft.plans.CdcBoundaries.B) & (graft.plans.CdcBoundaries.Mod - 1)
+        cur
+      }
+    }
+    val w = graft.plans.CdcBoundaries.W
+    val modv = graft.plans.CdcBoundaries.Mod
+    val pows = powVals.zipWithIndex
+      .map { case (p, d) => s"($d, ${p}::BIGINT)" }.mkString(", ")
+    s"""WITH chars AS (
+       |  SELECT doc_id, CAST(unnest(generate_series(1, length(text))) AS INT) AS i
+       |  FROM documents),
+       |cc AS MATERIALIZED (
+       |  SELECT c.doc_id, c.i, ascii(substr(d.text, c.i, 1)) AS ch
+       |  FROM chars c JOIN documents d USING (doc_id)),
+       |pw(d, p) AS (VALUES $pows),
+       |fp AS (
+       |  SELECT a.doc_id, a.i,
+       |    CAST(sum(b.ch * pw.p) % $modv AS BIGINT) AS fpv
+       |  FROM cc a JOIN cc b ON a.doc_id = b.doc_id
+       |    AND b.i BETWEEN a.i - ${w - 1} AND a.i
+       |  JOIN pw ON pw.d = a.i - b.i
+       |  WHERE a.i >= $w
+       |  GROUP BY a.doc_id, a.i),
+       |ends AS (
+       |  SELECT DISTINCT doc_id, i FROM (
+       |    SELECT doc_id, i FROM fp WHERE fpv % $CdcMask = 0
+       |    UNION ALL
+       |    SELECT doc_id, length(text) AS i FROM documents
+       |    WHERE length(text) > 0)),
+       |spans AS (
+       |  SELECT doc_id, i AS e,
+       |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
+       |  FROM ends),
+       |hashed AS (
+       |  SELECT sp.doc_id, md5(substr(d.text, sp.s + 1, sp.e - sp.s)) AS h
+       |  FROM spans sp JOIN documents d USING (doc_id) WHERE sp.e > sp.s)
+       |SELECT h, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occ, min(doc_id) AS first_doc
+       |FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY h""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_exact_dedup" -> q21_exact_dedup,
     "q22_minhash_dedup" -> q22_minhash_dedup,
@@ -836,6 +921,7 @@ object DedupQueries {
     "q116_span_dedup" -> q116_span_dedup,
     "q122_diff_refresh" -> q122_diff_refresh,
     "q125_source_rank" -> q125_source_rank,
+    "q151_cdc_chunk_dedup" -> q151_cdc_chunk_dedup,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -855,5 +941,6 @@ object DedupQueries {
     "q116_span_dedup" -> q116_sql,
     "q122_diff_refresh" -> q122_sql,
     "q125_source_rank" -> q125_sql,
+    "q151_cdc_chunk_dedup" -> q151_sql,
   )
 }
