@@ -50,7 +50,7 @@ object IndexTool {
 
   val Types: Set[String] =
     Set("lsh", "ivf", "pq", "bpe", "bm25", "unigram", "semdedup",
-      "wordpiece", "decontam")
+      "wordpiece", "decontam", "cdc")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -127,6 +127,9 @@ object IndexTool {
         // the "index" IS the held-out eval suite: persist its vectors
         // once, screen every later candidate batch against them
         embOf(input, flags).coalesce(1).write.mode("overwrite").parquet(path)
+      case "cdc" =>
+        Dedup.saveCdcIndex(Dedup.buildCdcIndex(docsOf(input, flags),
+          "doc_id", "text", num("avg-mask", 32)), path)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }
@@ -198,6 +201,11 @@ object IndexTool {
             spark.read.parquet(path), "vec_id", "embedding",
             dbl("threshold", 0.4))
           .orderBy(col("contaminated"))
+      case "cdc" =>
+        Dedup.incrementalCdcMatches(docsOf(input, flags),
+            Dedup.loadCdcIndex(spark, path), "doc_id", "text",
+            num("avg-mask", 32))
+          .orderBy(col("new_doc"))
       case "wordpiece" =>
         val v = WordPiece.loadVocab(spark, path)
         docsOf(input, flags)
@@ -221,7 +229,7 @@ object IndexTool {
     * batch serve; the other tiers' serves are per-doc encodes or top-k
     * ranks where the batch verb is already incremental by
     * construction). */
-  val StreamTypes: Set[String] = Set("lsh", "semdedup", "decontam")
+  val StreamTypes: Set[String] = Set("lsh", "semdedup", "decontam", "cdc")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -294,6 +302,13 @@ object IndexTool {
         graft.streaming.StreamingCells.decontamServeStream(
           embOf(stream, flags), "vec_id", "embedding",
           spark.read.parquet(path), dbl("threshold", 0.4))(sink)
+      case "cdc" =>
+        val idx = Dedup.loadCdcIndex(spark, path)
+        docsOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Dedup.incrementalCdcMatches(batch, idx, "doc_id", "text",
+              num("avg-mask", 32)), batchId)
+        }
     }
     val q = writer
       .option("checkpointLocation", s"$outFile/_checkpoint")

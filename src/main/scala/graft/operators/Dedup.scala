@@ -906,6 +906,64 @@ object Dedup {
     s"list_distinct(list_transform(range(1, length($textExpr) - ${n - 2}), " +
       s"i -> substr($textExpr, i, $n)))"
 
+  // ── Content-defined chunking (CDC) — the insertion-robust chunk-level
+  // dedup family (see plans/CdcBoundaries for the cut-point spec) ────────
+
+  /** One row per content-defined chunk: `(id, h)` with `h` the md5 of
+    * the chunk substring (portable to the oracle). Boundary kernel is a
+    * per-row linear scan; the explode is ~len/avgChunk rows per doc. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                avgMask: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    docs.select(col(idCol).as("id"), col(textCol).as("cdc_text"),
+        columnOf(graft.plans.CdcBoundaries(expressionOf(col(textCol)),
+          avgMask)).as("ends"))
+      .select(col("id"), col("cdc_text"), explode(zip_with(
+        concat(array(lit(0)),
+          slice(col("ends"), lit(1), greatest(size(col("ends")) - 1, lit(0)))),
+        col("ends"), (s, e) => struct(s.as("s"), e.as("e")))).as("se"))
+      .select(col("id"),
+        md5(expr("substring(cdc_text, se.s + 1, se.e - se.s)")).as("h"))
+  }
+
+  /** Build the corpus chunk index: one row per distinct chunk content,
+    * `(h, first_doc, n_occ)` — the build-once half of chunk-level
+    * ingestion dedup (the CDC analog of [[saveLshIndex]]). Chunk-hash
+    * cardinality is corpus-linear and the groupBy partial-aggregates. */
+  def buildCdcIndex(docs: DataFrame, idCol: String, textCol: String,
+                    avgMask: Int): DataFrame =
+    cdcChunks(docs, idCol, textCol, avgMask)
+      .groupBy(col("h"))
+      .agg(min(col("id")).as("first_doc"), count(lit(1)).as("n_occ"))
+
+  def saveCdcIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def loadCdcIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Chunk-level screen of a DELTA batch against a built/loaded chunk
+    * index: per new document, how many of its chunks already exist in
+    * the corpus, and the earliest corpus doc sharing one — the
+    * ingestion-time "how much of this is copied?" signal that catches
+    * PARTIAL and SHIFTED copies exact-doc dedup misses. One kernel scan
+    * of the delta, one hash equi-join into the index (AQE broadcasts the
+    * delta side when small), one per-doc agg — delta-scaled throughout.
+    * Returns `(new_doc, n_chunks, n_dup_chunks, dup_of)` (`dup_of` null
+    * when nothing matches). */
+  def incrementalCdcMatches(delta: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            avgMask: Int): DataFrame =
+    cdcChunks(delta, idCol, textCol, avgMask)
+      .join(index.select(col("h"), col("first_doc")), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("first_doc")).as("n_dup_chunks"),
+        min(col("first_doc")).as("dup_of"))
+      .select(col("id").as("new_doc"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_of"))
+
   /** SQL: simhash over `bits` bits (mirror of simhashOfHashes ∘ tokens). */
   def sqlSimhash(textExpr: String, bits: Int = 32): String = {
     val th = if (bits > 32) sqlHash60("t") else sqlHash32("t")

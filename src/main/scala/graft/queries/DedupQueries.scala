@@ -840,24 +840,16 @@ object DedupQueries {
 
   val q151_cdc_chunk_dedup: Q = (s, d) => {
     import s.implicits._
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
-    val chunks = Tables.documents(s, d)
-      .select($"doc_id", $"text",
-        columnOf(graft.plans.CdcBoundaries(expressionOf($"text"), CdcMask))
-          .as("ends"))
-      .select($"doc_id", $"text", explode(zip_with(
-        concat(array(lit(0)),
-          slice($"ends", lit(1), greatest(size($"ends") - 1, lit(0)))),
-        $"ends", (st, en) => struct(st.as("s"), en.as("e")))).as("se"))
-      .select($"doc_id",
-        md5(expr("substring(text, se.s + 1, se.e - se.s)")).as("h"))
-    chunks.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("n_docs"),
-        count(lit(1)).as("n_occ"), min($"doc_id").as("first_doc"))
+    Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text", CdcMask)
+      .groupBy($"h")
+      .agg(countDistinct($"id").as("n_docs"),
+        count(lit(1)).as("n_occ"), min($"id").as("first_doc"))
       .filter($"n_docs" >= 2)
       .orderBy($"h")
   }
-  lazy val q151_sql: String = {
+  /** The CDC oracle chain, through `hashed(doc_id, h)` — one row per
+    * chunk of every document, exactly [[Dedup.cdcChunks]]' contract. */
+  private lazy val cdcChainSql: String = {
     val powVals = {
       var p = 1L
       (0 until graft.plans.CdcBoundaries.W).map { _ =>
@@ -870,7 +862,7 @@ object DedupQueries {
     val modv = graft.plans.CdcBoundaries.Mod
     val pows = powVals.zipWithIndex
       .map { case (p, d) => s"($d, ${p}::BIGINT)" }.mkString(", ")
-    s"""WITH chars AS (
+    s"""chars AS (
        |  SELECT doc_id, CAST(unnest(generate_series(1, length(text))) AS INT) AS i
        |  FROM documents),
        |cc AS MATERIALIZED (
@@ -895,14 +887,47 @@ object DedupQueries {
        |  SELECT doc_id, i AS e,
        |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
        |  FROM ends),
-       |hashed AS (
+       |hashed AS MATERIALIZED (
        |  SELECT sp.doc_id, md5(substr(d.text, sp.s + 1, sp.e - sp.s)) AS h
-       |  FROM spans sp JOIN documents d USING (doc_id) WHERE sp.e > sp.s)
+       |  FROM spans sp JOIN documents d USING (doc_id) WHERE sp.e > sp.s)""".stripMargin
+  }
+
+  lazy val q151_sql: String =
+    s"""WITH $cdcChainSql
        |SELECT h, count(DISTINCT doc_id) AS n_docs,
        |  count(*) AS n_occ, min(doc_id) AS first_doc
        |FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY h""".stripMargin
+
+  // ── q152: incremental CDC screen — the ingestion loop of q151: build
+  // the chunk index on the EXISTING corpus (doc_id % 10 <> 0), then
+  // screen the arriving slice (doc_id % 10 = 0) against it: per new doc,
+  // how many of its chunks the corpus already holds and the earliest
+  // corpus doc sharing one. Catches PARTIAL and SHIFTED copies exact-doc
+  // dedup misses, at delta cost: one kernel scan of the delta, one hash
+  // join into the (corpus-linear, unique-h) index, one per-doc agg.
+  // Also CLI/stream-reachable: index-build/index-serve --type=cdc. ───────
+  val q152_cdc_incremental: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val idx = Dedup.buildCdcIndex(docs.filter($"doc_id" % 10 =!= 0),
+      "doc_id", "text", CdcMask)
+    Dedup.incrementalCdcMatches(docs.filter($"doc_id" % 10 === 0), idx,
+        "doc_id", "text", CdcMask)
+      .withColumn("dup_of", coalesce($"dup_of", lit(-1L)))
+      .orderBy($"new_doc")
   }
+  lazy val q152_sql: String =
+    s"""WITH $cdcChainSql,
+       |idx AS (
+       |  SELECT h, min(doc_id) AS first_doc FROM hashed
+       |  WHERE doc_id % 10 <> 0 GROUP BY h)
+       |SELECT dc.doc_id AS new_doc, count(*) AS n_chunks,
+       |  count(ix.first_doc) AS n_dup_chunks,
+       |  coalesce(min(ix.first_doc), -1) AS dup_of
+       |FROM (SELECT doc_id, h FROM hashed WHERE doc_id % 10 = 0) dc
+       |LEFT JOIN idx ix USING (h)
+       |GROUP BY dc.doc_id ORDER BY new_doc""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q21_exact_dedup" -> q21_exact_dedup,
@@ -922,6 +947,7 @@ object DedupQueries {
     "q122_diff_refresh" -> q122_diff_refresh,
     "q125_source_rank" -> q125_source_rank,
     "q151_cdc_chunk_dedup" -> q151_cdc_chunk_dedup,
+    "q152_cdc_incremental" -> q152_cdc_incremental,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -942,5 +968,6 @@ object DedupQueries {
     "q122_diff_refresh" -> q122_sql,
     "q125_source_rank" -> q125_sql,
     "q151_cdc_chunk_dedup" -> q151_sql,
+    "q152_cdc_incremental" -> q152_sql,
   )
 }

@@ -572,6 +572,22 @@ class ToolSpec extends SparkSpec {
     assert(semRows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
       Seq((11L, 1L)), semRows.mkString(", "))
 
+    // cdc: chunk index on docs 1..7; doc 0's exact twin text (doc 5's)
+    // flags every chunk as already-present, pointing at doc 5
+    val cdcCorpus = s"$base/cdccorpus"
+    docs.filter($"doc_id" =!= 0L).write.parquet(cdcCorpus)
+    val cdcNew = s"$base/cdcnew"
+    docs.filter($"doc_id" === 0L).write.parquet(cdcNew)
+    val cdcPath = s"$base/cdc"
+    assert(Tool.run(spark, Array("index-build", "--type=cdc",
+      s"--path=$cdcPath", s"--input=format=parquet file=$cdcCorpus"))
+      .status == "SUCCEEDED")
+    val cdcRows = serve("cdc", cdcPath, s"format=parquet file=$cdcNew")
+    assert(cdcRows.size == 1)
+    val cr = cdcRows.head
+    assert(cr.getLong(0) == 0L && cr.getLong(1) == cr.getLong(2) &&
+      cr.getLong(3) == 5L, cr)
+
     // decontam: the eval suite persists as the "index"; candidates that
     // duplicate an eval vector flag with that eval id
     val benchPath = s"$base/bench"
