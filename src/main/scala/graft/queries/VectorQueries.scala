@@ -947,10 +947,20 @@ object VectorQueries {
   // n·|bench| cosines partial-aggregate in-stage — nothing corpus-sized
   // shuffles. Ties on best_cos keep the largest eval id (max(struct)),
   // replayed by the oracle's equality join on the per-vid max. ──────────
+  /** The eval suite is FIXED-SIZE by id, not a corpus-proportional label
+    * slice: benchmarks don't grow with the training corpus, and a
+    * proportional bench side would make this query's n·|bench| cosines
+    * quadratic at the scale tiers while the operator's real contract
+    * (broadcast a bounded suite) is linear. 2000 covers the whole sf0.01
+    * corpus (so small-SF results are unchanged) and pins |bench| at
+    * every larger tier. */
+  val DecontamBenchMaxId = 2000L
+
   val q146_semantic_decontam: Q = (s, d) => {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val isBench = $"label".isin(SemDeltaLabels: _*)
+    val isBench =
+      $"label".isin(SemDeltaLabels: _*) && $"vec_id" < DecontamBenchMaxId
     graft.operators.Similarity
       .semanticDecontam(emb.filter(!isBench), emb.filter(isBench),
         "vec_id", "embedding", CosineDupThreshold)
@@ -958,15 +968,17 @@ object VectorQueries {
   }
   lazy val q146_sql: String = {
     val benchList = SemDeltaLabels.mkString(", ")
+    val benchPred =
+      s"label IN ($benchList) AND vec_id < $DecontamBenchMaxId"
     val cos = sqlCosineFromNorms("c.v", "b.bv", "c.nrm", "b.bnrm", Dim)
     s"""WITH cv AS (
        |  SELECT vec_id AS vid, ${sqlScaled("embedding")} AS v,
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
-       |  FROM embeddings WHERE label NOT IN ($benchList)),
+       |  FROM embeddings WHERE NOT ($benchPred)),
        |bv AS (
        |  SELECT vec_id AS eval_id, ${sqlScaled("embedding")} AS bv,
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS bnrm
-       |  FROM embeddings WHERE label IN ($benchList)),
+       |  FROM embeddings WHERE $benchPred),
        |hits AS (
        |  SELECT c.vid, b.eval_id, $cos AS cos
        |  FROM cv c CROSS JOIN bv b
