@@ -21,9 +21,16 @@ object VectorFunctions {
   def scaled(v: Column): Column =
     transform(v, x => (x.cast(DoubleType) * Scale).cast(LongType))
 
-  /** Exact integer dot product of two scaled vectors. */
-  def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two scaled vectors — the fused
+    * codegen'd [[graft.plans.IDot]] kernel (one loop, zero allocation;
+    * the HOF form it replaces built an intermediate array per
+    * evaluation, the dominant cost wherever cosines run per CANDIDATE
+    * PAIR — see IDot's scaladoc for the measurement). Same int64 sum,
+    * bit-identical everywhere. */
+  def idot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    columnOf(graft.plans.IDot(expressionOf(a), expressionOf(b)))
+  }
 
   /** Exact integer squared norm. */
   def inorm2(a: Column): Column =
