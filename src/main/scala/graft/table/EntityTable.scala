@@ -81,6 +81,33 @@ final case class DataRequest(columns: Seq[(String, String)] = Seq.empty,
   * never rewrites the table; only compaction does, on the operator's
   * schedule. The `_changes` name is deliberate: Spark's file listing
   * skips underscore-prefixed dirs, so base-table scans never see the feed.
+  *
+  * == Concurrency contract ==
+  *
+  * Which operations may run concurrently on ONE table (readers are
+  * always safe against every committed state — each operation commits
+  * atomically, so a reader sees a batch/fold wholly or not at all):
+  *
+  *  - `appendChanges` ∥ `appendChanges`: SAFE. Each batch commits via
+  *    its own single-file append or staged-dir rename, and arrival
+  *    ordinals are reserved atomically ([[reserveArrival]]: in-process
+  *    per-table lock + create-exclusive `_arrival_claim_<n>` files as
+  *    the cross-process test-and-set) — concurrent appends get DISTINCT
+  *    monotone stamps and neither batch is lost.
+  *  - `appendChanges` ∥ reads (`cells`/`read`/`readAsOf*`): SAFE — a
+  *    read plans against the feed files listed at plan-build time.
+  *  - `compactFeed` ∥ anything that WRITES the feed: UNSAFE. The fold
+  *    swaps the feed directory; a racing append can vanish. Schedule it
+  *    writer-exclusively (it is the maintenance window's job, like the
+  *    reference's compactions) — it also sweeps stale arrival claims
+  *    under that exclusivity.
+  *  - `bulkLoad` / `majorCompact` / `applyChanges` ∥ ANY other writer:
+  *    UNSAFE — these swap the whole table directory (single-operator by
+  *    design); concurrent appends/folds land in the doomed generation.
+  *    Run one at a time, writer-exclusive.
+  *
+  * The CLI `describe` verb prints this contract next to the feed
+  * occupancy it reports.
   */
 final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) {
 
@@ -235,21 +262,59 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * like [[asOfWatermark]] on the logical-ts axis. */
   def asOfArrivalWatermark: Long = readMarker("_asof_arrival_watermark")
 
-  private def readMarker(name: String): Long = {
+  /** Marker read with torn-write tolerance. Marker writes are atomic
+    * (temp + rename, [[writeMarker]]), so a reader sees a complete value
+    * or no file — but a marker written by an OLDER writer generation (or
+    * a filesystem without atomic rename) could still surface
+    * empty/partial content, so an unparseable read retries briefly.
+    * After retries: `lenient = true` treats the marker as absent (the
+    * caller has a ground-truth fallback — [[nextArrival]] re-derives the
+    * reservation floor from the feed's own `arrival` stamps); `lenient =
+    * false` (the as-of watermarks, where "absent" would silently LOWER a
+    * history barrier) fails loudly with the recovery step. */
+  private def readMarker(name: String, lenient: Boolean = false): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$name")
-    if (!hadoopFs.exists(p)) Long.MinValue
-    else {
-      val in = hadoopFs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
+    var attempt = 0
+    while (true) {
+      if (!hadoopFs.exists(p)) return Long.MinValue
+      val parsed =
+        try {
+          val in = hadoopFs.open(p)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+          if (s.isEmpty) None else Some(s.toLong)
+        } catch {
+          case _: java.io.FileNotFoundException => return Long.MinValue
+          case _: NumberFormatException => None
+        }
+      parsed match {
+        case Some(v) => return v
+        case None if attempt < 5 => attempt += 1; Thread.sleep(20L << attempt)
+        case None if lenient => return Long.MinValue
+        case None => throw new IllegalStateException(
+          s"marker $p is unreadable (empty/torn) after retries; " +
+            s"delete it to rebuild from table state, or restore from a backup")
+      }
     }
+    Long.MinValue // unreachable
   }
 
+  /** Atomic marker write: temp file + rename-with-overwrite (one
+    * metadata op on HDFS; `Files.move(REPLACE_EXISTING)` on local FS) —
+    * a reader can never observe a created-but-unwritten marker, and a
+    * crash mid-write leaves only a temp file readers skip. */
   private def writeMarker(name: String, value: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$name")
-    val out = hadoopFs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/_${name.stripPrefix("_")}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = hadoopFs.create(tmp, true)
     try out.write(value.toString.getBytes("UTF-8"))
     finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case e: Throwable => hadoopFs.delete(tmp, false); throw e }
   }
 
   /** Cells of one locality group: a partition-pruned scan (only that
@@ -407,16 +472,16 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * puts/scoped deletes naming undeclared families/qualifiers fail the
     * append. `numFiles` coalesces the batch (change batches are usually
     * delta-sized; 0 = keep the incoming partitioning for a genuinely
-    * large feed). Batch atomicity holds for EVERY shape: the default
-    * `numFiles = 1` commits as ONE file (a single task-file rename);
-    * any multi-file shape (`numFiles = 0` keep-partitioning, or an
-    * explicit `numFiles >= 2`) writes the whole batch to a staging
-    * directory outside the feed and commits it with a SINGLE directory
-    * rename into `_changes/batch_<uuid>/` — a job that fails mid-append
-    * (e.g. a layout-guard raise_error in a later task) leaves only the
-    * staging dir, which is deleted on failure and invisible to readers
-    * either way (underscore prefix), so readers see the whole batch or
-    * nothing. */
+    * large feed). Batch atomicity holds for EVERY shape: the batch is
+    * written to a private staging directory outside the feed and
+    * committed with a SINGLE directory rename into
+    * `_changes/batch_<uuid>/` — a job that fails mid-append (e.g. a
+    * layout-guard raise_error in a later task) leaves only the staging
+    * dir, which is deleted on failure and invisible to readers either
+    * way (underscore prefix), so readers see the whole batch or
+    * nothing. The private staging dir also gives each append its own
+    * Hadoop committer workspace, which is what makes concurrent appends
+    * safe (see the class-level concurrency contract). */
   def appendChanges(changes: DataFrame, numFiles: Int = 1): Unit = {
     require(numFiles >= 0, s"numFiles must be >= 0: $numFiles")
     val need = Seq("entity_id", "family", "qualifier", "op", "ts", "value")
@@ -439,67 +504,121 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     val stampOrdinal =
       if (hasPendingChanges && !pendingChanges.columns.contains("arrival"))
         Long.MinValue
-      else {
+      else
         // reserve the ordinal BEFORE writing the batch: a crash between
         // the two leaves a skipped number (harmless), never a duplicate
-        val next = nextArrival
-        writeMarker("_arrival_reserved", next)
-        next
-      }
+        reserveArrival()
     val stamped =
       if (stampOrdinal == Long.MinValue) guarded
       else guarded.withColumn("arrival", lit(stampOrdinal))
-    if (numFiles == 1)
-      stamped.coalesce(1).write.mode("append").parquet(changesPath)
-    else {
-      // Multi-file batch (numFiles = 0 keeps partitioning; >= 2 coalesces
-      // to that many files): stage outside the feed, commit via one
-      // atomic directory rename — a plain mode("append") with several
-      // files would expose a partially renamed batch if the job commit
-      // dies midway. Underscore-prefixed staging dirs are invisible to
-      // every reader (FileIndex hides them), so a mid-write failure
-      // exposes zero rows.
-      val shaped = if (numFiles > 1) stamped.coalesce(numFiles) else stamped
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      val staging = new org.apache.hadoop.fs.Path(s"$path/__changes_stage_$id")
-      // Cleanup covers the RENAME failing too (e.g. the feed path
-      // occupied by a non-directory): the staging dir must not outlive a
-      // failed commit, whichever step died. After a successful rename the
-      // staging path no longer exists and the delete is a no-op.
-      try {
-        shaped.write.parquet(staging.toString)
-        val feedDir = new org.apache.hadoop.fs.Path(changesPath)
-        if (!hadoopFs.exists(feedDir)) hadoopFs.mkdirs(feedDir)
-        val batch = new org.apache.hadoop.fs.Path(feedDir, s"batch_$id")
-        require(hadoopFs.rename(staging, batch),
-          s"appendChanges: commit rename $staging -> $batch failed")
-      } catch { case e: Throwable =>
-        hadoopFs.delete(staging, true)
-        throw e
-      }
+    // EVERY batch shape (numFiles = 1 single file, 0 keep-partitioning,
+    // >= 2 coalesced) stages outside the feed and commits via one atomic
+    // directory rename into `_changes/batch_<uuid>/`. Two reasons:
+    //  - atomicity: a plain mode("append") with several files would
+    //    expose a partially renamed batch if the job commit dies midway;
+    //  - CONCURRENCY: mode("append") into a shared directory shares the
+    //    Hadoop committer's `_temporary/0` — a concurrent appender's
+    //    job-complete cleanup DELETES the other's in-flight task
+    //    attempts (observed: chmod on a vanished attempt dir). Per-batch
+    //    staging dirs give each append a private committer workspace, so
+    //    concurrent appends cannot interfere (the class contract).
+    // Underscore-prefixed staging dirs are invisible to every reader
+    // (FileIndex hides them), so a mid-write failure exposes zero rows.
+    val shaped = if (numFiles >= 1) stamped.coalesce(numFiles) else stamped
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/__changes_stage_$id")
+    // Cleanup covers the RENAME failing too (e.g. the feed path
+    // occupied by a non-directory): the staging dir must not outlive a
+    // failed commit, whichever step died. After a successful rename the
+    // staging path no longer exists and the delete is a no-op.
+    try {
+      shaped.write.parquet(staging.toString)
+      val feedDir = new org.apache.hadoop.fs.Path(changesPath)
+      if (!hadoopFs.exists(feedDir)) hadoopFs.mkdirs(feedDir)
+      val batch = new org.apache.hadoop.fs.Path(feedDir, s"batch_$id")
+      require(hadoopFs.rename(staging, batch),
+        s"appendChanges: commit rename $staging -> $batch failed")
+    } catch { case e: Throwable =>
+      hadoopFs.delete(staging, true)
+      throw e
     }
   }
 
-  /** The next arrival ordinal: 1 + the highest number in use. Reads the
-    * `_arrival_reserved` marker (O(1) — the feed-sized `max(arrival)`
+  /** The highest arrival ordinal known to be in use (0 when none). Reads
+    * the `_arrival_reserved` marker (O(1) — the feed-sized `max(arrival)`
     * scan on EVERY append was measured as q134's data-proportional
     * regression at 50×), falling back to the feed agg only for a stamped
-    * feed predating the marker. [[compactFeed]] preserves stamps, so the
-    * marker stays valid across minor folds; a physical fold
-    * ([[majorCompact]]/[[applyChanges]]) replaces the table directory —
-    * marker gone, feed empty — and the arrival WATERMARK becomes the
-    * floor, so post-fold numbering continues strictly ABOVE the refused
-    * range instead of restarting at 1 underneath it (restarted numbers
-    * would be unreachable by any ordinal cut: cuts below the watermark
-    * refuse). */
-  private def nextArrival: Long = {
-    val reserved = readMarker("_arrival_reserved")
+    * feed predating the marker (or an unreadable one — the feed's own
+    * stamps are the ground truth the marker merely caches).
+    * [[compactFeed]] preserves stamps, so the marker stays valid across
+    * minor folds; a physical fold ([[majorCompact]]/[[applyChanges]])
+    * replaces the table directory — marker gone, feed empty — and the
+    * arrival WATERMARK becomes the floor, so post-fold numbering
+    * continues strictly ABOVE the refused range instead of restarting at
+    * 1 underneath it (restarted numbers would be unreachable by any
+    * ordinal cut: cuts below the watermark refuse). */
+  private def arrivalFloor: Long = {
+    val reserved = readMarker("_arrival_reserved", lenient = true)
     val inUse =
       if (reserved != Long.MinValue) reserved
       else if (!hasPendingChanges) 0L
       else Option(pendingChanges.agg(max(col("arrival"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-    math.max(inUse, math.max(asOfArrivalWatermark, 0L)) + 1L
+    math.max(inUse, math.max(asOfArrivalWatermark, 0L))
+  }
+
+  /** Atomically reserve the next arrival ordinal — the concurrency-safe
+    * half of [[appendChanges]]' stamping. Two mechanisms compose:
+    *
+    *  1. an in-process per-table lock serializes reservations between
+    *     threads of one JVM (the `local[*]` / one-driver deployment, and
+    *     the only concurrency Spark drivers normally have), and
+    *  2. a create-EXCLUSIVE claim file `_arrival_claim_<n>` is the
+    *     cross-process test-and-set: `O_CREAT|O_EXCL` on a local
+    *     filesystem, a single atomic namenode op on HDFS. A claim that
+    *     already exists means another writer owns that ordinal — probe
+    *     the next one.
+    *
+    * The `_arrival_reserved` marker is then advanced (atomic temp +
+    * rename) as a PERFORMANCE HINT ONLY: the claim files are the
+    * authority, so a marker that lags (or briefly regresses under a
+    * cross-process race — writer A renames its smaller value after
+    * writer B's larger one) costs extra claim probes, never a duplicate
+    * ordinal. Stale claims below the marker are garbage-collected by
+    * [[compactFeed]] (writer-exclusive by contract, so no reservation is
+    * probing while it sweeps). */
+  private def reserveArrival(): Long =
+    EntityTable.tableLock(path).synchronized {
+      hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(path)) // claims live at the table root
+      var candidate = arrivalFloor + 1L
+      var attempts = 0
+      while (!tryClaimArrival(candidate)) {
+        attempts += 1
+        require(attempts < 100000,
+          s"arrival reservation found $attempts consecutive claims from " +
+            s"$path/_arrival_claim_${candidate - attempts} — marker far behind " +
+            s"claims; run compactFeed to sweep, or delete stale _arrival_claim_* files")
+        candidate += 1L
+      }
+      writeMarker("_arrival_reserved", candidate)
+      candidate
+    }
+
+  /** Create-exclusive test-and-set on `_arrival_claim_<n>`: true = this
+    * writer owns ordinal `n`. Local paths go through `Files.createFile`
+    * (atomic `O_EXCL` — Hadoop's RawLocalFileSystem emulates
+    * overwrite=false with a non-atomic exists() check); everything else
+    * through `FileSystem.create(overwrite = false)` (atomic on HDFS). */
+  private def tryClaimArrival(n: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_arrival_claim_$n")
+    if (p.toUri.getScheme == null || p.toUri.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try { hadoopFs.create(p, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
   }
 
   /** Change-feed occupancy: (data files, rows). Each `appendChanges` batch
@@ -521,11 +640,17 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * `maxFiles` makes the call a no-op threshold trigger: fold only when
     * the feed exceeds that many files (0 = always fold).
     *
-    * Not safe concurrently with writers of the same feed: the fold swaps
-    * the feed directory (stage → delete → rename), and an `appendChanges`
-    * racing the swap can lose its batch. Run from the operational
-    * maintenance schedule, like compaction in the reference. */
+    * NOT SAFE concurrently with writers of the same feed (see the
+    * class-level "Concurrency contract"): the fold swaps the feed
+    * directory (stage → delete → rename), and an `appendChanges` racing
+    * the swap can lose its batch. Run from the operational maintenance
+    * schedule, like compaction in the reference. Being writer-exclusive,
+    * this is also where stale `_arrival_claim_*` files (the reservation
+    * protocol's test-and-set markers, [[reserveArrival]]) are swept:
+    * claims at or below the `_arrival_reserved` marker can never be
+    * probed again once no reservation is in flight. */
   def compactFeed(maxFiles: Int = 0): Unit = {
+    sweepArrivalClaims()
     val (files, _) = changeFeedStats
     if (files <= math.max(maxFiles, 1)) return // 0 or 1 file: nothing to fold
     val staging = new org.apache.hadoop.fs.Path(
@@ -535,6 +660,27 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     hadoopFs.delete(feed, true)
     require(hadoopFs.rename(staging, feed),
       s"compactFeed: rename $staging -> $feed failed")
+  }
+
+  /** GC stale arrival-claim files (callable only while writer-exclusive —
+    * [[compactFeed]] calls it under that contract). A claim numbered at
+    * or below the reserved marker is unreachable by any future probe
+    * (probes start at marker+1 and the marker, with no reservation in
+    * flight, is at or above every claimed ordinal), so deleting it can
+    * never let an ordinal be claimed twice. Claims ABOVE the marker —
+    * possible after a cross-process marker regression — are kept. */
+  private def sweepArrivalClaims(): Unit = {
+    val reserved = readMarker("_arrival_reserved", lenient = true)
+    if (reserved == Long.MinValue) return
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!hadoopFs.exists(root)) return
+    hadoopFs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("_arrival_claim_") &&
+          scala.util.Try(n.stripPrefix("_arrival_claim_").toLong)
+            .toOption.exists(_ <= reserved))
+        hadoopFs.delete(s.getPath, false)
+    }
   }
 
   /** Merge a change feed (puts + tombstones) and rewrite the table — the
@@ -763,4 +909,16 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       .agg(max(struct(col("ts"), col("value"))).as("m"))
       .select(col("entity_id"), col("family"), col("qualifier"),
         col("m.ts").as("ts"), col("m.value").as("value"))
+}
+
+object EntityTable {
+  /** Per-table-path monitor for arrival-ordinal reservations: serializes
+    * [[EntityTable.reserveArrival]] between all threads of this JVM
+    * (several `EntityTable` instances may point at one path — the lock
+    * keys on the path, not the instance). Cross-PROCESS exclusion is the
+    * claim files' job; this lock makes the common one-driver deployment
+    * race-free without filesystem round-trip retries. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[table] def tableLock(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
 }

@@ -395,6 +395,115 @@ class TableDmlSpec extends SparkSpec {
       .count(_.getFileName.toString.startsWith("batch_")) == 2)
   }
 
+  test("concurrent appendChanges reserve DISTINCT monotone arrival stamps") {
+    val dir = tmpDir("morDistinctArrival") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("grp"))))
+    table.bulkLoad(Seq((1L, "grp", "email", 10L, "a@x"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    // Four writers race one reservation window. Before the claim-file
+    // protocol, two could read the same reserved marker and stamp the
+    // SAME ordinal — merging their batches under every readAsOfOrdinal
+    // cut. Assert stamps are exactly {1..4}: distinct, gapless, monotone.
+    import java.util.concurrent.CyclicBarrier
+    val barrier = new CyclicBarrier(4)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (1 to 4).map { i =>
+      val t = new Thread(() => {
+        try { barrier.await(); table.appendChanges(changesDF(Seq(
+          Dml.put(100L + i, "grp", "email", 20L, s"w$i@x"))))
+        } catch { case e: Throwable => failures.add(e) }
+      })
+      t.start(); t
+    }
+    writers.foreach(_.join(120000))
+    assert(failures.isEmpty, s"appender threw: ${failures.asScala.toList}")
+    val stamps = table.pendingChanges.select("arrival").collect()
+      .map(_.getLong(0)).toSeq
+    assert(stamps.sorted == Seq(1L, 2L, 3L, 4L), s"stamps=$stamps")
+    // every ordinal cut sees base + exactly k appended rows
+    (0 to 4).foreach { k =>
+      assert(table.cellsAsOfOrdinal(k.toLong).count() == 1L + k,
+        s"ordinal $k row count")
+    }
+  }
+
+  test("arrival reservation stress: 20 racing rounds — no lost batch, no duplicate ordinal") {
+    val dir = tmpDir("morArrivalStress") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("grp"))))
+    table.bulkLoad(Seq((1L, "grp", "email", 10L, "a@x"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    import java.util.concurrent.CyclicBarrier
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 20).foreach { round =>
+      val barrier = new CyclicBarrier(2)
+      val writers = (0 until 2).map { w =>
+        val t = new Thread(() => {
+          try { barrier.await(); table.appendChanges(changesDF(Seq(
+            Dml.put(1000L + round * 2 + w, "grp", "email", 20L, s"r$round-w$w@x"))))
+          } catch { case e: Throwable => failures.add(e) }
+        })
+        t.start(); t
+      }
+      writers.foreach(_.join(120000))
+      // fold partway through: minor compaction must preserve stamps and
+      // the reservation floor (the marker outlives the feed swap)
+      if (round == 9) table.compactFeed()
+    }
+    assert(failures.isEmpty, s"appender threw: ${failures.asScala.toList}")
+    val stamps = table.pendingChanges.select("arrival").collect()
+      .map(_.getLong(0)).toSeq
+    assert(stamps.size == 40, s"lost a batch: ${stamps.size} stamps")
+    assert(stamps.distinct.size == 40, s"duplicate ordinal: ${stamps.sorted}")
+    assert(stamps.min == 1L && stamps.max == 40L, s"non-gapless: ${stamps.sorted}")
+  }
+
+  test("torn arrival marker: empty _arrival_reserved recovers from the feed's own stamps") {
+    val dir = tmpDir("morTornMarker") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("grp"))))
+    table.bulkLoad(Seq((1L, "grp", "email", 10L, "a@x"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    table.appendChanges(changesDF(Seq(Dml.put(2L, "grp", "email", 20L, "b@x"))))
+    table.appendChanges(changesDF(Seq(Dml.put(3L, "grp", "email", 20L, "c@x"))))
+    // simulate the crash-mid-write artifact the old protocol could leave:
+    // a created-but-empty marker (old readMarker: NumberFormatException
+    // on EVERY later append, batch lost; new: lenient fallback to the
+    // feed max(arrival) scan — the stamps ARE the ground truth)
+    Files.write(Paths.get(dir, "_arrival_reserved"), Array.emptyByteArray)
+    table.appendChanges(changesDF(Seq(Dml.put(4L, "grp", "email", 20L, "d@x"))))
+    val stamps = table.pendingChanges.select("arrival").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(stamps == Seq(1L, 2L, 3L), s"stamps=$stamps")
+    // ...and the recovered append rewrote the marker atomically: parseable
+    assert(new String(Files.readAllBytes(
+      Paths.get(dir, "_arrival_reserved")), "UTF-8").trim.toLong == 3L)
+    // a torn WATERMARK, by contrast, must fail loudly (absent would
+    // silently lower a history barrier)
+    Files.write(Paths.get(dir, "_asof_watermark"), Array.emptyByteArray)
+    val e = intercept[IllegalStateException] { table.asOfWatermark }
+    assert(e.getMessage.contains("unreadable"))
+  }
+
+  test("compactFeed sweeps stale arrival claims under its writer-exclusive contract") {
+    val dir = tmpDir("morClaimSweep") + "/t"
+    val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("grp"))))
+    table.bulkLoad(Seq((1L, "grp", "email", 10L, "a@x"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
+    (1 to 3).foreach { i =>
+      table.appendChanges(changesDF(Seq(
+        Dml.put(10L + i, "grp", "email", 20L, s"b$i@x"))))
+    }
+    def claims() = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_arrival_claim_")).toSet
+    assert(claims() == Set("_arrival_claim_1", "_arrival_claim_2", "_arrival_claim_3"))
+    table.compactFeed()
+    assert(claims().isEmpty, s"stale claims survived the sweep: ${claims()}")
+    // sweeping never breaks the floor: the next append continues at 4
+    table.appendChanges(changesDF(Seq(Dml.put(20L, "grp", "email", 20L, "e@x"))))
+    assert(table.pendingChanges.agg(max(col("arrival"))).head().getLong(0) == 4L)
+    // ordinal cuts reproduce across the sweep + fold
+    assert(table.cellsAsOfOrdinal(2L).count() == 3L)
+  }
+
   test("crash injection: failed commit rename leaves zero visible rows, no staging") {
     val dir = tmpDir("morRenameFail") + "/t"
     val layout = TableLayout("t", Seq(FamilySpec("grp")))
