@@ -38,9 +38,11 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    serve = the input treated as a DELTA batch pruned against the
   *    loaded index (`semDedupDeltaHier`; the q139 ingestion loop).
   *
-  * The two delta-against-index tiers (`lsh`, `semdedup`) also serve as
-  * a checkpointed file STREAM (`--stream=true` — [[serveStream]]): the
-  * same batch path per micro-batch, re-runnable as an ingestion cron.
+  * The four delta-against-index screens (`lsh`, `semdedup`, `decontam`,
+  * `cdc`) and the three tokenizer encode tiers (`bpe`, `unigram`,
+  * `wordpiece`) also serve as a checkpointed file STREAM
+  * (`--stream=true` — [[serveStream]]): the same batch path per
+  * micro-batch, re-runnable as an ingestion cron.
   *
   * The reference ships its MapReduce jobs through the same one-CLI
   * pattern (`KM/tools/KijiGather.java`); an index tier is the analog for
@@ -160,16 +162,7 @@ object IndexTool {
             num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
       case "bpe" =>
-        val merges = Bpe.loadMerges(spark, path)
-        val lhs = merges.map(_.lhs).toArray
-        val rhs = merges.map(_.rhs).toArray
-        docsOf(input, flags)
-          .select(col("doc_id"),
-            columnOf(graft.plans.BpeDocStats(expressionOf(col("text")),
-              lhs, rhs)).as("st"))
-          .select(col("doc_id"), element_at(col("st"), 1).as("n_words"),
-            element_at(col("st"), 2).as("n_tokens"),
-            element_at(col("st"), 3).as("max_tok_len"))
+        encodeTransform(spark, "bpe", path, flags)(docsOf(input, flags))
           .orderBy(col("doc_id"))
       case "bm25" =>
         val idx = Retrieval.loadBm25Index(spark, path)
@@ -182,14 +175,7 @@ object IndexTool {
             col("score"))
           .orderBy(col("q_id"), col("rank"))
       case "unigram" =>
-        val vocab = UnigramLm.loadVocab(spark, path)
-        docsOf(input, flags)
-          .select(col("doc_id"),
-            columnOf(graft.plans.UnigramDocStats(expressionOf(col("text")),
-              vocab.pieceArr, vocab.costArr, vocab.unkCost)).as("st"))
-          .select(col("doc_id"), element_at(col("st"), 1).as("n_words"),
-            element_at(col("st"), 2).as("n_tokens"),
-            element_at(col("st"), 3).as("total_cost"))
+        encodeTransform(spark, "unigram", path, flags)(docsOf(input, flags))
           .orderBy(col("doc_id"))
       case "semdedup" =>
         Clustering.semDedupDeltaHier(embOf(input, flags), "vec_id",
@@ -207,8 +193,47 @@ object IndexTool {
             num("avg-mask", 32))
           .orderBy(col("new_doc"))
       case "wordpiece" =>
+        encodeTransform(spark, "wordpiece", path, flags)(docsOf(input, flags))
+          .orderBy(col("doc_id"))
+      case other => throw new IllegalArgumentException(
+        s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
+    }
+  }
+
+  /** Per-row encode projection for the tokenizer tiers, built ONCE from
+    * the loaded artifact and applied per input frame — the batch serve
+    * and every streamed micro-batch share the same transform, so
+    * streamed encodes equal batch encodes by construction (the closure
+    * captures only the vocab arrays; the kernels are stateless per
+    * row). */
+  private def encodeTransform(spark: SparkSession, tpe: String, path: String,
+                              flags: Map[String, String]): DataFrame => DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    tpe match {
+      case "bpe" =>
+        val merges = Bpe.loadMerges(spark, path)
+        val lhs = merges.map(_.lhs).toArray
+        val rhs = merges.map(_.rhs).toArray
+        docs => docs
+          .select(col("doc_id"),
+            columnOf(graft.plans.BpeDocStats(expressionOf(col("text")),
+              lhs, rhs)).as("st"))
+          .select(col("doc_id"), element_at(col("st"), 1).as("n_words"),
+            element_at(col("st"), 2).as("n_tokens"),
+            element_at(col("st"), 3).as("max_tok_len"))
+      case "unigram" =>
+        val vocab = UnigramLm.loadVocab(spark, path)
+        docs => docs
+          .select(col("doc_id"),
+            columnOf(graft.plans.UnigramDocStats(expressionOf(col("text")),
+              vocab.pieceArr, vocab.costArr, vocab.unkCost)).as("st"))
+          .select(col("doc_id"), element_at(col("st"), 1).as("n_words"),
+            element_at(col("st"), 2).as("n_tokens"),
+            element_at(col("st"), 3).as("total_cost"))
+      case "wordpiece" =>
         val v = WordPiece.loadVocab(spark, path)
-        docsOf(input, flags)
+        docs => docs
           .select(col("doc_id"),
             columnOf(graft.plans.WordPieceStats(expressionOf(col("text")),
               graft.plans.WpLookup(v.head, v.cont),
@@ -216,20 +241,23 @@ object IndexTool {
           .select(col("doc_id"), element_at(col("st"), 1).as("n_words"),
             element_at(col("st"), 2).as("n_tokens"),
             element_at(col("st"), 3).as("n_unk"))
-          .orderBy(col("doc_id"))
       case other => throw new IllegalArgumentException(
-        s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
+        s"no encode transform for index type '$other'")
     }
   }
 
   /** The index types with a STREAMING serve path (`index-serve ...
-    * --stream=true`) — those whose batch serve treats every input row
-    * as an independent DELTA probed/pruned/flagged against the loaded
-    * index, so micro-batching composes exactly (per-batch union == one
-    * batch serve; the other tiers' serves are per-doc encodes or top-k
-    * ranks where the batch verb is already incremental by
-    * construction). */
-  val StreamTypes: Set[String] = Set("lsh", "semdedup", "decontam", "cdc")
+    * --stream=true`): the four delta-against-index screens (every input
+    * row probed/pruned/flagged independently against the loaded index,
+    * so micro-batching composes exactly — per-batch union == one batch
+    * serve) PLUS the three tokenizer encode tiers (pure per-row kernels
+    * over a loaded vocabulary — the same ingestion cron that admits
+    * documents through the screens also wants their token counts, shard
+    * packing's input, in the same drain). The remaining tiers (ivf/pq/
+    * bm25 top-k ranks) stay batch-only: a rank is relative to the whole
+    * query batch, so micro-batch boundaries would change results. */
+  val StreamTypes: Set[String] =
+    Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -241,7 +269,10 @@ object IndexTool {
     * `Clustering.semDedupDeltaHier` (coarse lanes, grouped-seed fine
     * argmin, within-cell cosine vs corpus only); `decontam`:
     * `StreamingCells.decontamServeStream` → `Similarity.semanticDecontam`
-    * (the admission screen: per-row flags vs the persisted eval suite) —
+    * (the admission screen: per-row flags vs the persisted eval suite);
+    * `cdc`: `Dedup.incrementalCdcMatches` (chunk screen vs the loaded
+    * chunk index); `bpe`/`unigram`/`wordpiece`: the per-row encode
+    * kernels over the vocab loaded once ([[encodeTransform]]) —
     * and appends its matches to the output directory. `Trigger.AvailableNow` drains the
     * current backlog then stops, so the call is re-runnable as an
     * ingestion cron: the checkpoint (kept under `_checkpoint` inside
@@ -308,6 +339,14 @@ object IndexTool {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(Dedup.incrementalCdcMatches(batch, idx, "doc_id", "text",
               num("avg-mask", 32)), batchId)
+        }
+      case t @ ("bpe" | "unigram" | "wordpiece") =>
+        // vocab loaded ONCE here; each micro-batch applies the same
+        // per-row encode kernel the batch serve uses
+        val enc = encodeTransform(spark, t, path, flags)
+        docsOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(enc(batch), batchId)
         }
     }
     val q = writer

@@ -185,6 +185,15 @@ object Tool {
       if (groups.nonEmpty) println(s"locality groups: ${groups.sorted.mkString(", ")}")
       println(s"change feed: files=$feedFiles rows=$feedRows" +
         (if (feedFiles > 0) " (pending fold: compactFeed or compact)" else ""))
+      // the EntityTable concurrency contract, surfaced operationally
+      // (scheduling the folds this verb recommends is exactly when it
+      // matters): appends may run concurrently (atomic per-batch commit
+      // + atomic arrival-ordinal reservation); every FOLD must be
+      // writer-exclusive.
+      println("concurrent writers: appendChanges||appendChanges SAFE " +
+        "(distinct arrival stamps); compactFeed/compact/bulk-load " +
+        "require writer exclusivity (directory swaps - schedule in a " +
+        "maintenance window)")
       val compacted = flags.get("minor-compact-over").map(_.toInt) match {
         case Some(n) if feedFiles > n => table.compactFeed(n); true
         case _ => false
@@ -309,6 +318,9 @@ object Tool {
     }
   }
 
+  // type lists rendered from IndexTool's own sets, so the help text
+  // cannot drift from the dispatcher (it previously understated the
+  // stream surface after decontam/cdc joined)
   private val usage: String =
     """usage: graft.Tool <gather|produce|bulk-import|pivot>
       |  --<gatherer|producer|importer|pivoter>=<class>
@@ -318,14 +330,15 @@ object Tool {
       |   | graft.Tool describe --table=<path> [--layout=<layout.json>]
       |       [--minor-compact-over=N]
       |   | graft.Tool job-history --history=<dir> [--job-id=<id>]
-      |   | graft.Tool index-build --type=<lsh|ivf|pq|bpe|bm25|unigram|semdedup>
+      |   | graft.Tool index-build --type=<TYPES>
       |       --input="format=..." --path=<dir> [type knobs: --shingle-n --num-hashes
       |       --bands --centroids --iters --dim --m --k --merges --target-vocab
       |       --coarse-k --target-rows --cluster-cap --max-fine-per-cell --salt
-      |       --id-col --text-col --vec-col]
+      |       --avg-mask --max-chars --id-col --text-col --vec-col]
       |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
-      |       [--stream=true  (lsh|semdedup: drain the input dir as a checkpointed file stream)]
+      |       [--stream=true  (STREAMTYPES:
+      |        drain the input dir as a checkpointed file stream)]
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]
@@ -333,4 +346,7 @@ object Tool {
       |  --output="format=<parquet|text|csv|json|seq|avro|avrokv|map> file=... [splits=N]"
       |         | "format=<kiji|hfile> table=<path> [layout=<layout.json>] [splits=N]"
       |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin
+      .replace("<TYPES>", s"<${IndexTool.Types.toSeq.sorted.mkString("|")}>")
+      .replace("STREAMTYPES",
+        IndexTool.StreamTypes.toSeq.sorted.mkString("|"))
 }

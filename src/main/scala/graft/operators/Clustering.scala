@@ -362,14 +362,20 @@ object Clustering {
         col("best_cos"))
   }
 
-  /** Persist a [[SemIndex]] as parquet: the corpus-sized `assign` keeps
-    * its partitioning; codebook, seeds, sizes, and the 1-row meta are
-    * single files. */
+  /** Persist a [[SemIndex]] as parquet. Only the GENUINELY bounded
+    * tables funnel to one file: `lanes` (≤ [[Similarity.MaxCentroids]]
+    * rows by construction) and the 1-row `meta`. The corpus-sized
+    * `assign` keeps its partitioning, and so do `seeds`/`sizes` — both
+    * are ∝ n/targetRows, the exact unbounded quantity whose growth
+    * forces the joinedFineAssign distributed fallback (an index fitted
+    * past `seedLiteralCap` is precisely one whose seeds are too big to
+    * collect), so a `coalesce(1)` there would re-create the single-task
+    * bottleneck the fallback exists to avoid. */
   def saveSemIndex(idx: SemIndex, path: String): Unit = {
     idx.assign.write.mode("overwrite").parquet(s"$path/assign")
     idx.lanes.coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
-    idx.seeds.coalesce(1).write.mode("overwrite").parquet(s"$path/seeds")
-    idx.sizes.coalesce(1).write.mode("overwrite").parquet(s"$path/sizes")
+    idx.seeds.write.mode("overwrite").parquet(s"$path/seeds")
+    idx.sizes.write.mode("overwrite").parquet(s"$path/sizes")
     val spark = idx.lanes.sparkSession
     import spark.implicits._
     Seq((idx.coarseK, idx.clusterCap, idx.salt))

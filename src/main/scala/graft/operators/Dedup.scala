@@ -918,6 +918,11 @@ object Dedup {
     docs.select(col(idCol).as("id"), col(textCol).as("cdc_text"),
         columnOf(graft.plans.CdcBoundaries(expressionOf(col(textCol)),
           avgMask)).as("ends"))
+      // empty text → zero boundaries → zero chunks (the kernel spec).
+      // Without this guard, zip_with pads starts=[0] against ends=[]
+      // with a null end, minting one phantom null-hash chunk per empty
+      // doc — which the oracle (no rows) would refute.
+      .filter(size(col("ends")) > 0)
       .select(col("id"), col("cdc_text"), explode(zip_with(
         concat(array(lit(0)),
           slice(col("ends"), lit(1), greatest(size(col("ends")) - 1, lit(0)))),

@@ -23,10 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   chunk ends = cuts ∪ {len(text)}  (ascending; empty text → none)
   *
   * with B = 31, W = 16, modulus 2^40 (power of two, so the rolling
-  * update is one AND), and M the expected-chunk-length knob. Products
-  * stay ≤ 127·2^40 < 2^47 and window sums < 2^51 — exact in int64 for
-  * BOTH engines (the oracle computes the same window sum with a W-row
-  * power literal join, no rolling state needed).
+  * update is one AND), and M the expected-chunk-length knob. The kernel
+  * is exact for EVERY code point (up to U+10FFFF): intermediates may
+  * exceed 2^63, but Scala long arithmetic wraps mod 2^64 and the final
+  * mask takes the result mod 2^40 — a divisor of 2^64, so the wrap is
+  * harmless. The oracle computes the same window sum with a W-row power
+  * literal join, each ch·B^d term reduced mod 2^40 BEFORE summing
+  * (DuckDB BIGINT overflow is a loud error, and 16 unreduced astral
+  * terms reach ~2^65; reduced terms keep the sum < 2^44).
   *
   * Per-row linear scan, zero state across rows — the usual scan-speed
   * kernel economics (chunk CONTENT hashing happens outside, in plain

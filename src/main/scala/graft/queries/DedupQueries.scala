@@ -870,8 +870,12 @@ object DedupQueries {
        |  FROM chars c JOIN documents d USING (doc_id)),
        |pw(d, p) AS (VALUES $pows),
        |fp AS (
+       |  -- each term reduced mod 2^40 BEFORE the window sum: ascii() can
+       |  -- return astral code points (~2^21), and 16 unreduced
+       |  -- ch·B^d terms would overflow BIGINT (~2^65); reduced terms
+       |  -- keep the sum < 2^44, and Σ(t mod M) mod M = Σt mod M
        |  SELECT a.doc_id, a.i,
-       |    CAST(sum(b.ch * pw.p) % $modv AS BIGINT) AS fpv
+       |    CAST(sum((b.ch * pw.p) % $modv) % $modv AS BIGINT) AS fpv
        |  FROM cc a JOIN cc b ON a.doc_id = b.doc_id
        |    AND b.i BETWEEN a.i - ${w - 1} AND a.i
        |  JOIN pw ON pw.d = a.i - b.i

@@ -439,6 +439,21 @@ class ToolSpec extends SparkSpec {
     assert(r.counters("base_files") == 0L && r.counters("feed_files") == 0L)
   }
 
+  test("CLI describe surfaces the concurrent-writers contract") {
+    // the operational face of EntityTable's concurrency contract: the
+    // verb that recommends scheduling folds also states which writers
+    // may overlap (appends) and which must be exclusive (folds/swaps)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Tool.run(spark, Array("describe",
+        s"--table=${tmpDir("desccontract")}/never-created"))
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("concurrent writers"), printed)
+    assert(printed.contains("appendChanges||appendChanges SAFE"), printed)
+    assert(printed.contains("writer exclusivity"), printed)
+  }
+
   test("format=htable input fails with an explicit out-of-scope message") {
     val e = intercept[UnsupportedOperationException](
       graft.sources.Formats.read(spark, "format=htable table=whatever"))
@@ -736,5 +751,52 @@ class ToolSpec extends SparkSpec {
     drain()
     assert(spark.read.parquet(outPath).count() == before)
     graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("CLI index-serve tokenizer tiers stream: streamed encodes == batch encodes") {
+    import spark.implicits._
+    val base = tmpDir("tokstream")
+    val docs = Seq(
+      (0L, "the lower newest lowest"), (1L, "newer wider low lowest"),
+      (2L, "widest new wide the the"), (3L, "unseen zzqq glyph"))
+      .toDF("doc_id", "text")
+    val docsPath = s"$base/docs"
+    docs.write.parquet(docsPath)
+    // all three subword families: train once, then the streamed drain of
+    // the same docs must produce row-identical encodes to the batch
+    // serve (the vocab is loaded once outside foreachBatch; per-row
+    // kernels make micro-batching compose trivially — the point of
+    // streaming the encode tier alongside the ingestion screens)
+    Seq("bpe", "unigram", "wordpiece").foreach { tpe =>
+      val idxPath = s"$base/$tpe-idx"
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$idxPath", s"--input=format=parquet file=$docsPath",
+        "--merges=4")).status == "SUCCEEDED")
+      val streamOut = s"$base/$tpe-stream"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        "--stream=true", s"--path=$idxPath",
+        s"--input=format=parquet file=$docsPath",
+        s"--output=format=parquet file=$streamOut")).status == "SUCCEEDED")
+      val batchOut = s"$base/$tpe-batch"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$idxPath", s"--input=format=parquet file=$docsPath",
+        s"--output=format=parquet file=$batchOut")).status == "SUCCEEDED")
+      val streamed = spark.read.parquet(streamOut).drop("batch")
+      val batch = spark.read.parquet(batchOut)
+      assert(streamed.columns.sorted.sameElements(batch.columns.sorted),
+        s"$tpe columns: ${streamed.columns.toSeq} vs ${batch.columns.toSeq}")
+      val s = streamed.collect().map(_.toSeq).toSet
+      val b = batch.select(streamed.columns.map(org.apache.spark.sql
+        .functions.col): _*).collect().map(_.toSeq).toSet
+      assert(s == b, s"$tpe streamed != batch")
+    }
+    // the usage text renders the stream-type list from
+    // IndexTool.StreamTypes — it cannot understate the surface again
+    val e = intercept[IllegalArgumentException](
+      Tool.run(spark, Array("no-such-verb", "--x=1")))
+    assert(e.getMessage.contains(
+      IndexTool.StreamTypes.toSeq.sorted.mkString("|")))
+    assert(e.getMessage.contains(
+      IndexTool.Types.toSeq.sorted.mkString("|")))
   }
 }

@@ -49,6 +49,21 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("empty documents produce zero chunks, not a phantom null-hash chunk") {
+    // CdcBoundaries returns [] for empty text; without the size guard,
+    // zip_with pads starts=[0] against ends=[] into one (0, null) span
+    // whose md5 is null — a chunk the oracle (no rows) refutes
+    val docs = Seq((1L, "a corpus document long enough to chunk normally"),
+      (2L, ""), (3L, "")).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text", 32)
+    assert(chunks.filter($"id" =!= 1L).count() == 0)
+    assert(chunks.filter($"h".isNull).count() == 0)
+    // the incremental screen then simply omits empty docs
+    val idx = Dedup.buildCdcIndex(docs, "doc_id", "text", 32)
+    val m = Dedup.incrementalCdcMatches(docs, idx, "doc_id", "text", 32)
+    assert(m.select("new_doc").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("content-defined cuts resynchronize after a prepended edit (the point of CDC)") {
     val body = "the training corpus contains many repeated passages that " +
       "deduplication must find even when documents shift by insertion " +

@@ -103,6 +103,47 @@ object EngineProperties extends Properties("graft") {
     Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("ému", "势", "a b", "", "\t")))
     .map(_.mkString(" ")).map(_.take(60))
 
+  // CDC boundary text gen biases toward the kernel's edge cases: texts
+  // shorter than the W=16 window (no eligible cut — only the final end),
+  // texts of EXACTLY W (first eligible position == last), multi-byte
+  // UTF-8 and ASTRAL code points (code-point counting, not UTF-16
+  // units), and long runs that actually fire content cuts.
+  private val cdcTextGen: Gen[String] = Gen.frequency(
+    3 -> Gen.choose(0, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)),       // < W
+    2 -> Gen.listOfN(16, Gen.alphaNumChar).map(_.mkString),    // == W
+    3 -> Gen.choose(17, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)),       // > W
+    3 -> Gen.choose(4, 60).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      "é", "ü", "势", "界", "😀", "𝄞", "a", "b", " ")).map(_.mkString)))
+
+  property("CdcBoundaries == plain-Scala window-sum model (incl. <W, ==W, astral)") =
+    forAll(Gen.listOfN(6, cdcTextGen), Gen.oneOf(4, 16, 32)) { (ss, mask) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      // the ORACLE's formulation: direct Σ c·B^d window sums with each
+      // term reduced mod 2^40 (never a rolling state), over CODE POINTS
+      def model(s: String): Seq[Int] = {
+        val w = graft.plans.CdcBoundaries.W
+        val m = graft.plans.CdcBoundaries.Mod
+        val pows = Iterator.iterate(1L)(p =>
+          (p * graft.plans.CdcBoundaries.B) & (m - 1)).take(w).toArray
+        val cps = s.codePoints().toArray
+        val cuts = (w to cps.length).filter { i =>
+          val fp = (0 until w).map(d =>
+            (cps(i - 1 - d).toLong * pows(d)) & (m - 1)).sum % m
+          fp % mask == 0
+        }
+        if (cps.isEmpty) Seq.empty
+        else if (cuts.nonEmpty && cuts.last == cps.length) cuts
+        else cuts :+ cps.length
+      }
+      val got = ss.toDF("text")
+        .select(columnOf(graft.plans.CdcBoundaries(
+          expressionOf($"text"), mask)).as("e"))
+        .collect().map(_.getSeq[Int](0).toList)
+      got.zip(ss.map(model)).forall { case (k, b) => k == b.toList }
+    }
+
   property("Md5PrefixLong == conv(substring(md5(utf8)))") =
     forAll(Gen.listOfN(6, textGen), Gen.oneOf(7, 8, 15)) { (ss, nibbles) =>
       import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
