@@ -137,6 +137,48 @@ object IndexTool {
     }
   }
 
+  /** The index types whose persisted artifact can absorb a delta batch
+    * IN PLACE (`index-update`): those whose artifact is a monoid over
+    * disjoint doc sets — LSH signatures (union + census re-derive), the
+    * CDC chunk table (min/sum merge), and the BM25 quadruple (union +
+    * df/stats merges). Each update is EXACT: the updated artifact
+    * equals a fresh build over the union (q153–q155 hash-verify this).
+    * The trained artifacts (ivf/pq/semdedup/tokenizers) are NOT
+    * updatable — their fit is a global optimization where a delta
+    * changes every parameter; re-run `index-build` on the grown corpus
+    * instead (the serve paths remain delta-safe meanwhile). */
+  val UpdateTypes: Set[String] = Set("lsh", "cdc", "bm25")
+
+  /** `index-update`: load the artifact at `path`, fold the delta batch
+    * in, and atomically REPLACE the artifact (staged write + the bulk
+    * commit swap — the artifact directory never half-exists, and a
+    * failed update leaves the old index serving). */
+  def update(spark: SparkSession, tpe: String, input: DataFrame,
+             path: String, flags: Map[String, String]): Unit = {
+    require(UpdateTypes(tpe),
+      s"index-update supports --type=${UpdateTypes.toSeq.sorted.mkString("|")} " +
+        s"only (got '$tpe'); trained artifacts (ivf|pq|semdedup|bpe|unigram|" +
+        s"wordpiece) re-fit globally — run index-build on the grown corpus")
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    val staging = s"$path.__update_${java.util.UUID.randomUUID().toString.take(8)}"
+    tpe match {
+      case "lsh" =>
+        Dedup.saveLshIndex(Dedup.updateLshIndex(
+          Dedup.loadLshIndex(spark, path),
+          shingled(docsOf(input, flags), num("shingle-n", 3)),
+          num("num-hashes", 28), num("bands", 4)), staging)
+      case "cdc" =>
+        Dedup.saveCdcIndex(Dedup.updateCdcIndex(
+          Dedup.loadCdcIndex(spark, path), docsOf(input, flags),
+          "doc_id", "text", num("avg-mask", 32)), staging)
+      case "bm25" =>
+        Retrieval.saveBm25Index(Retrieval.updateBm25Index(
+          Retrieval.loadBm25Index(spark, path),
+          terms(docsOf(input, flags))), staging)
+    }
+    graft.sinks.BulkSink.commit(spark, staging, path)
+  }
+
   def serve(spark: SparkSession, tpe: String, input: DataFrame,
             path: String, flags: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}

@@ -128,12 +128,17 @@ object Tool {
     // input spec and persists the artifact at --path; serve loads the
     // artifact and runs the type's query/encode path over the input spec,
     // writing through the standard output spec dispatch.
-    if (verb == "index-build" || verb == "index-serve") {
+    if (verb == "index-build" || verb == "index-serve" || verb == "index-update") {
       val tpe = flag("type")
       val path = flag("path")
       val start = System.currentTimeMillis()
       if (verb == "index-build")
         IndexTool.build(spark, tpe, Formats.read(spark, flag("input")), path,
+          flags)
+      else if (verb == "index-update")
+        // fold an admitted delta batch into the persisted artifact
+        // (atomic swap; exact == rebuild — see IndexTool.UpdateTypes)
+        IndexTool.update(spark, tpe, Formats.read(spark, flag("input")), path,
           flags)
       else if (flags.get("stream").contains("true")) {
         // streaming ingestion drain (lsh|semdedup): per-micro-batch
@@ -339,6 +344,9 @@ object Tool {
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
       |       [--stream=true  (STREAMTYPES:
       |        drain the input dir as a checkpointed file stream)]
+      |   | graft.Tool index-update --type=<UPDATETYPES> --path=<dir>
+      |       --input="format=..."   (fold an admitted delta into the artifact;
+      |        atomic swap, exact == rebuild on the union)
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]
@@ -349,4 +357,6 @@ object Tool {
       .replace("<TYPES>", s"<${IndexTool.Types.toSeq.sorted.mkString("|")}>")
       .replace("STREAMTYPES",
         IndexTool.StreamTypes.toSeq.sorted.mkString("|"))
+      .replace("<UPDATETYPES>",
+        s"<${IndexTool.UpdateTypes.toSeq.sorted.mkString("|")}>")
 }

@@ -411,6 +411,28 @@ object Dedup {
                    path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Fold a DELTA batch's signatures into an existing banded index —
+    * the update leg of build-once/serve-many ingestion dedup (documents
+    * the screen ADMITS must join the index, or next week's near-copies
+    * of them sail through). The minhash chain — the expensive half —
+    * runs over the delta only; the tile census (bucket sizes → nc/cell)
+    * is then re-derived over the unioned signatures, because admitting
+    * rows into a bucket can push it over [[LshBucketCap]] and a stale
+    * census would re-open the skew cliff the tiles exist to close. The
+    * census is one window count over (band, bkey) — index-linear but
+    * scan-cheap, no signature recompute. Result is EXACTLY
+    * [[bandedSignaturesTiled]] of the full corpus (same signatures,
+    * same census), which is what the q155 oracle verifies. */
+  def updateLshIndex(index: DataFrame, deltaHashed: DataFrame,
+                     numHashes: Int, bands: Int): DataFrame = {
+    val base = index.select(col("id"), col("ghash"), col("band"), col("bkey"))
+    val merged = base.unionByName(
+      bandedSignatures(deltaHashed, numHashes, bands))
+    if (numHashes / bands < 6)
+      merged.withColumn("cell", lit(0)).withColumn("nc", lit(1))
+    else tileCensus(merged, LshBucketCap)
+  }
+
   /** [[incrementalLshPairs]] against an already-built (typically LOADED)
     * corpus-side banded index: the serve path recomputes NO corpus
     * signatures — each batch pays only its own banding plus the
@@ -943,6 +965,24 @@ object Dedup {
 
   def saveCdcIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
+
+  /** Fold a DELTA batch's chunks into an existing chunk index — the
+    * update leg of the CDC screen. The index rows `(h, first_doc,
+    * n_occ)` form a monoid: min-merge first_doc, sum-merge n_occ — so
+    * `update(build(A), B) == build(A ∪ B)` EXACTLY for disjoint doc
+    * sets (the q154 oracle is the full-corpus build). Cost: one delta
+    * boundary-kernel scan + a chunk-hash-keyed merge agg (partial-
+    * aggregated; the corpus text is never re-chunked).
+    *
+    * CONTRACT: delta doc ids must be NEW — re-ingesting an indexed doc
+    * double-counts its chunks (same contract as
+    * [[graft.operators.Retrieval.updateBm25Index]]). */
+  def updateCdcIndex(index: DataFrame, delta: DataFrame, idCol: String,
+                     textCol: String, avgMask: Int): DataFrame =
+    index.unionByName(buildCdcIndex(delta, idCol, textCol, avgMask))
+      .groupBy(col("h"))
+      .agg(min(col("first_doc")).as("first_doc"),
+        sum(col("n_occ")).as("n_occ"))
 
   def loadCdcIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame =

@@ -84,6 +84,34 @@ object Retrieval {
       spark.read.parquet(s"$path/docfreq"),
       spark.read.parquet(s"$path/stats"))
 
+  /** Fold a DELTA batch of admitted documents into an existing index —
+    * the update leg that completes build-once/serve-many into
+    * build/serve/UPDATE (an ingestion cron that admits documents wants
+    * them retrievable without re-tokenizing the archive). Every
+    * artifact is a monoid under disjoint doc sets: postings/doclen
+    * union (per-doc rows), docfreq sum-merges per term, stats adds —
+    * so `update(build(A), terms(B)) == build(terms(A ∪ B))` EXACTLY
+    * (the q153 oracle is the full-corpus build). Cost: O(delta)
+    * tokenize + one term-keyed merge agg over docfreq (vocabulary-
+    * sized, partial-aggregated) — the corpus postings are never
+    * re-scanned.
+    *
+    * CONTRACT: delta doc_ids must be NEW (disjoint from the index's) —
+    * re-ingesting an indexed doc would double-count its postings,
+    * exactly like inserting a row twice. The ingestion screens
+    * (lsh/cdc serve) are the dedup gate that upholds this upstream. */
+  def updateBm25Index(index: Bm25Index, deltaTerms: DataFrame): Bm25Index = {
+    val d = buildBm25Index(deltaTerms)
+    Bm25Index(
+      index.postings.unionByName(d.postings),
+      index.doclen.unionByName(d.doclen),
+      index.docfreq.unionByName(d.docfreq)
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      index.stats.unionByName(d.stats)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_len")).as("total_len")))
+  }
+
   /** Rank the whole corpus for each query in `queryTerms` (q_id, term) —
     * one row per DISTINCT query term (tf-in-query is ignored, the
     * standard bag-of-words query model). Self-retrieval (doc_id == q_id)

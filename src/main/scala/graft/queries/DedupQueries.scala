@@ -378,7 +378,14 @@ object DedupQueries {
         lshK(s, d), MinHashBands, JaccardThreshold)
       .orderBy($"new_doc", $"dup_of")
   }
-  lazy val q79_sql: String = {
+  lazy val q79_sql: String = incrementalLshSql(DeltaSources)
+
+  /** The delta-vs-rest incremental LSH oracle, parametrized by which
+    * `source` values form the PROBE side (the index side is everything
+    * else) — shared by q79/q110 (probe = both delta sources) and q155
+    * (probe = the second delta only: the first has been folded into the
+    * updated index, so it must now be FINDABLE, not probing). */
+  private def incrementalLshSql(probeSources: Seq[String]): String = {
     // Corpus-scaled rows-per-band, same derivation as lshPairsSql.
     val kMax = MinHashBands * Dedup.MaxLshRows
     val mh = (0 until kMax)
@@ -391,7 +398,7 @@ object DedupQueries {
         .map(r => s"WHEN $r THEN ${key(b, r)}").mkString(" ")
       s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, Dedup.MaxLshRows)} END)"
     }.mkString(" ")
-    val deltaList = DeltaSources.map(s => s"'$s'").mkString(", ")
+    val deltaList = probeSources.map(s => s"'$s'").mkString(", ")
     val jac = "len(list_intersect(ga.ghash, gb.ghash))::DOUBLE / " +
       "len(list_distinct(list_concat(ga.ghash, gb.ghash)))"
     s"""WITH lshp AS (
@@ -933,6 +940,67 @@ object DedupQueries {
        |LEFT JOIN idx ix USING (h)
        |GROUP BY dc.doc_id ORDER BY new_doc""".stripMargin
 
+  // ── q154: CDC chunk-index UPDATE — the third leg of the CDC family's
+  // build/serve/update story: build the chunk index on the existing
+  // corpus (doc_id % 10 <> 0), fold the arriving slice in with
+  // Dedup.updateCdcIndex (one delta boundary-kernel scan + a chunk-hash
+  // merge agg — min first_doc, sum n_occ; the archive is never
+  // re-chunked), and emit the WHOLE updated index. The index rows form
+  // a monoid over disjoint doc sets, so the updated artifact equals the
+  // full-corpus build exactly — the oracle is q151's chain aggregated
+  // without the dup filter. CLI: `index-update --type=cdc`. ─────────────
+  val q154_cdc_index_update: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val path = QueryTmp.dir("cdcupdate", d)
+    Dedup.saveCdcIndex(Dedup.buildCdcIndex(docs.filter($"doc_id" % 10 =!= 0),
+      "doc_id", "text", CdcMask), path)
+    Dedup.updateCdcIndex(Dedup.loadCdcIndex(s, path),
+        docs.filter($"doc_id" % 10 === 0), "doc_id", "text", CdcMask)
+      .orderBy($"h")
+  }
+  lazy val q154_sql: String =
+    s"""WITH $cdcChainSql
+       |SELECT h, min(doc_id) AS first_doc, count(*) AS n_occ
+       |FROM hashed GROUP BY h ORDER BY h""".stripMargin
+
+  // ── q155: LSH index UPDATE — admitted documents must JOIN the index,
+  // or next week's near-copies of them sail through the screen. Build
+  // the banded index on the existing corpus, fold the week-1 delta
+  // (source src0) in with Dedup.updateLshIndex (delta-only minhash
+  // chain + a re-derived tile census over the union — bucket growth can
+  // cross LshBucketCap, and a stale census would re-open the skew
+  // cliff), persist the updated artifact, then screen the week-2 delta
+  // (src1) against the RELOADED index. The updated index equals the
+  // full build exactly, so the oracle is the q79 machinery with probe =
+  // src1 only: src0's docs are now on the INDEX side — pairs
+  // (src1 × src0) must appear, which the un-updated index could never
+  // produce. CLI: `index-update --type=lsh`. ────────────────────────────
+  val q155_lsh_index_update: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val hashed = Tables.documents(s, d).select($"doc_id".as("id"), $"source",
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf($"text"), ShingleN, 7)).as("ghash"))
+    val path = QueryTmp.dir("lshupdate", d)
+    Dedup.saveLshIndex(
+      Dedup.bandedSignaturesTiled(
+        hashed.filter(!$"source".isin(DeltaSources: _*)).drop("source"),
+        lshK(s, d), MinHashBands),
+      path)
+    val updated = Dedup.updateLshIndex(Dedup.loadLshIndex(s, path),
+      hashed.filter($"source" === DeltaSources.head).drop("source"),
+      lshK(s, d), MinHashBands)
+    val upPath = QueryTmp.dir("lshupdated", d)
+    Dedup.saveLshIndex(updated, upPath)
+    Dedup.incrementalLshPairsIndexed(
+        hashed.filter($"source" === DeltaSources(1)).drop("source"),
+        Dedup.loadLshIndex(s, upPath),
+        lshK(s, d), MinHashBands, JaccardThreshold)
+      .orderBy($"new_doc", $"dup_of")
+  }
+  lazy val q155_sql: String = incrementalLshSql(Seq(DeltaSources(1)))
+
   val queries: Map[String, Q] = Map(
     "q21_exact_dedup" -> q21_exact_dedup,
     "q22_minhash_dedup" -> q22_minhash_dedup,
@@ -952,6 +1020,8 @@ object DedupQueries {
     "q125_source_rank" -> q125_source_rank,
     "q151_cdc_chunk_dedup" -> q151_cdc_chunk_dedup,
     "q152_cdc_incremental" -> q152_cdc_incremental,
+    "q154_cdc_index_update" -> q154_cdc_index_update,
+    "q155_lsh_index_update" -> q155_lsh_index_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -973,5 +1043,7 @@ object DedupQueries {
     "q125_source_rank" -> q125_sql,
     "q151_cdc_chunk_dedup" -> q151_sql,
     "q152_cdc_incremental" -> q152_sql,
+    "q154_cdc_index_update" -> q154_sql,
+    "q155_lsh_index_update" -> q155_sql,
   )
 }

@@ -167,6 +167,38 @@ object LexicalQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q153: BM25 index UPDATE — the ingestion loop's third leg: build
+  // the inverted index on the EXISTING corpus (doc_id % 7 <> 3), fold
+  // the arriving slice (doc_id % 7 = 3) in with
+  // Retrieval.updateBm25Index (postings/doclen union, docfreq
+  // sum-merge, stats add — O(delta) tokenize, the archive is never
+  // re-scanned), persist the updated artifact, and serve q100's query
+  // batch from the RELOADED updated index. Every artifact is a monoid
+  // over disjoint doc sets, so the updated index equals the full-corpus
+  // build EXACTLY — the oracle IS q100's SQL, making update+swap+serve
+  // hash-verified end to end. CLI: `index-update --type=bm25`. ──────────
+  val q153_bm25_index_update: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def termsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", explode(toks($"text")).as("term"))
+    val path = QueryTmp.dir("bm25update", d)
+    graft.operators.Retrieval.saveBm25Index(
+      graft.operators.Retrieval.buildBm25Index(
+        termsOf(docs.filter($"doc_id" % 7 =!= 3))), path)
+    val updated = graft.operators.Retrieval.updateBm25Index(
+      graft.operators.Retrieval.loadBm25Index(s, path),
+      termsOf(docs.filter($"doc_id" % 7 === 3)))
+    val upPath = QueryTmp.dir("bm25updated", d)
+    graft.operators.Retrieval.saveBm25Index(updated, upPath)
+    val idx = graft.operators.Retrieval.loadBm25Index(s, upPath)
+    graft.operators.Retrieval.bm25Ranked(queryTermsOf(idx), idx,
+        BmK1, BmB, BmScale)
+      .where($"rank" <= BmTopK)
+      .select($"q_id", $"rank", $"doc_id", $"n_terms", $"score")
+      .orderBy($"q_id", $"rank")
+  }
+
   // ── q104: hybrid retrieval via reciprocal-rank fusion ───────────────────
   // The standard lexical+dense combiner: each system contributes
   // 1/(K + rank) for its shortlist, missing docs contribute 0, fused
@@ -691,6 +723,7 @@ object LexicalQueries {
     "q107_sparse_cosine_join" -> q107_sparse_cosine_join,
     "q108_sparse_prefix_join" -> q108_sparse_prefix_join,
     "q114_bm25_index_persist" -> q114_bm25_index_persist,
+    "q153_bm25_index_update" -> q153_bm25_index_update,
     "q127_vocab_drift" -> q127_vocab_drift)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
@@ -701,5 +734,6 @@ object LexicalQueries {
     "q107_sparse_cosine_join" -> q107_sql,
     "q108_sparse_prefix_join" -> q108_sql,
     "q114_bm25_index_persist" -> q100_sql,
+    "q153_bm25_index_update" -> q100_sql,
     "q127_vocab_drift" -> q127_sql)
 }

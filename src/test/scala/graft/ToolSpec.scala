@@ -799,4 +799,65 @@ class ToolSpec extends SparkSpec {
     assert(e.getMessage.contains(
       IndexTool.Types.toSeq.sorted.mkString("|")))
   }
+
+  test("CLI index-update folds a delta into the artifact; updated == full rebuild") {
+    import spark.implicits._
+    val base = tmpDir("idxupdate")
+    val corpus = Seq(
+      (0L, "spark join hash table scan batch"), (1L, "row batch filter merge"),
+      (2L, "slow order vector line agg"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "spark join hash table scan batch"), // near-copy of corpus 0
+      (11L, "completely novel content here"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$base/corpus")
+    delta.write.parquet(s"$base/delta")
+    corpus.unionByName(delta).write.parquet(s"$base/full")
+    // for each updatable type: build on corpus, update with delta, and
+    // compare the artifact's SERVE output against a fresh full build's —
+    // the update must be indistinguishable from rebuilding on the union
+    val probe = Seq((20L, "spark join hash table scan batch"),
+      (21L, "row batch filter merge")).toDF("doc_id", "text")
+    probe.write.parquet(s"$base/probe")
+    IndexTool.UpdateTypes.toSeq.sorted.foreach { tpe =>
+      val upd = s"$base/$tpe-upd"
+      val full = s"$base/$tpe-full"
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$upd", s"--input=format=parquet file=$base/corpus",
+        "--shingle-n=2")).status == "SUCCEEDED")
+      assert(Tool.run(spark, Array("index-update", s"--type=$tpe",
+        s"--path=$upd", s"--input=format=parquet file=$base/delta",
+        "--shingle-n=2")).status == "SUCCEEDED")
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$full", s"--input=format=parquet file=$base/full",
+        "--shingle-n=2")).status == "SUCCEEDED")
+      def served(path: String): Set[Seq[Any]] = {
+        val out = s"$path-serve-out"
+        assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+          s"--path=$path", s"--input=format=parquet file=$base/probe",
+          s"--output=format=parquet file=$out",
+          "--shingle-n=2", "--threshold=0.5")).status == "SUCCEEDED")
+        spark.read.parquet(out).collect().map(_.toSeq).toSet
+      }
+      val u = served(upd)
+      assert(u == served(full), s"$tpe: updated-index serve != full-rebuild serve")
+      // the update is visible: the probe's near-copy of DELTA doc 10
+      // only matches through the folded-in delta (lsh), and the cdc/bm25
+      // serves must reflect delta content in their outputs
+      if (tpe == "lsh")
+        assert(u.exists(r => r.contains(10L)), s"lsh: delta doc invisible: $u")
+      // no leftover staging/displaced dirs from the atomic swap
+      import scala.jdk.CollectionConverters._
+      val names = Files.list(Paths.get(base)).iterator().asScala
+        .map(_.getFileName.toString).toSet
+      assert(!names.exists(n => n.contains("__update_") || n.endsWith(".__replaced")),
+        s"swap litter: $names")
+    }
+    // non-mergeable artifact types refuse with guidance
+    val e = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-update", "--type=ivf", s"--path=$base/x",
+        s"--input=format=parquet file=$base/delta")))
+    assert(e.getMessage.contains("index-build"))
+  }
 }
