@@ -51,7 +51,7 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "pq", "bpe", "bm25", "unigram", "semdedup",
+    Set("lsh", "ivf", "ivfflat", "pq", "bpe", "bm25", "unigram", "semdedup",
       "wordpiece", "decontam", "cdc")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
@@ -89,6 +89,13 @@ object IndexTool {
           num("num-hashes", 28), num("bands", 4)), path)
       case "ivf" =>
         Clustering.saveIvfCodebook(Clustering.ivfCoarseLanes(
+          embOf(input, flags), "vec_id", "embedding",
+          num("centroids", 64), num("iters", Similarity.IvfCoarseIters)), path)
+      case "ivfflat" =>
+        // the FULL inverted-file index: codebook + cell-partitioned
+        // postings — serve reads only the probed cells, and the
+        // artifact is updatable (Faiss train/add split)
+        Clustering.saveIvfFlatIndex(Clustering.buildIvfFlatIndex(
           embOf(input, flags), "vec_id", "embedding",
           num("centroids", 64), num("iters", Similarity.IvfCoarseIters)), path)
       case "pq" =>
@@ -138,16 +145,22 @@ object IndexTool {
   }
 
   /** The index types whose persisted artifact can absorb a delta batch
-    * IN PLACE (`index-update`): those whose artifact is a monoid over
-    * disjoint doc sets — LSH signatures (union + census re-derive), the
-    * CDC chunk table (min/sum merge), and the BM25 quadruple (union +
-    * df/stats merges). Each update is EXACT: the updated artifact
-    * equals a fresh build over the union (q153–q155 hash-verify this).
-    * The trained artifacts (ivf/pq/semdedup/tokenizers) are NOT
-    * updatable — their fit is a global optimization where a delta
-    * changes every parameter; re-run `index-build` on the grown corpus
-    * instead (the serve paths remain delta-safe meanwhile). */
-  val UpdateTypes: Set[String] = Set("lsh", "cdc", "bm25")
+    * IN PLACE (`index-update`): those whose artifact (or its
+    * corpus-sized part) is a monoid over disjoint doc sets — LSH
+    * signatures (union + census re-derive), the CDC chunk table
+    * (min/sum merge), the BM25 quadruple (union + df/stats merges), and
+    * the IVF-flat postings (kernel-assign the delta against the FIXED
+    * trained centroids + append — the Faiss train/add split: adding
+    * never refits). Each update is EXACT: the updated artifact equals a
+    * fresh build over the union — for ivfflat, a fresh ASSIGNMENT of
+    * the union under the same codebook (q153–q155, q157 hash-verify).
+    * The globally-fitted artifacts (ivf codebook itself, pq codebooks,
+    * semdedup lanes/seeds, tokenizer vocabularies) are NOT updatable —
+    * a delta moves every fitted parameter; re-run `index-build` when
+    * the distribution drifts (the serve paths remain delta-safe
+    * meanwhile, and ivfflat keeps ADDING exactly under the old
+    * codebook). */
+  val UpdateTypes: Set[String] = Set("lsh", "cdc", "bm25", "ivfflat")
 
   /** `index-update`: load the artifact at `path`, fold the delta batch
     * in, and atomically REPLACE the artifact (staged write + the bulk
@@ -157,8 +170,9 @@ object IndexTool {
              path: String, flags: Map[String, String]): Unit = {
     require(UpdateTypes(tpe),
       s"index-update supports --type=${UpdateTypes.toSeq.sorted.mkString("|")} " +
-        s"only (got '$tpe'); trained artifacts (ivf|pq|semdedup|bpe|unigram|" +
-        s"wordpiece) re-fit globally — run index-build on the grown corpus")
+        s"only (got '$tpe'); globally-fitted artifacts (ivf|pq|semdedup|bpe|" +
+        s"unigram|wordpiece) re-fit — run index-build on the grown corpus " +
+        s"(for ANN adds, build --type=ivfflat: its postings update exactly)")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     val staging = s"$path.__update_${java.util.UUID.randomUUID().toString.take(8)}"
     tpe match {
@@ -175,6 +189,10 @@ object IndexTool {
         Retrieval.saveBm25Index(Retrieval.updateBm25Index(
           Retrieval.loadBm25Index(spark, path),
           terms(docsOf(input, flags))), staging)
+      case "ivfflat" =>
+        Clustering.saveIvfFlatIndex(Clustering.updateIvfFlatIndex(
+          Clustering.loadIvfFlatIndex(spark, path),
+          embOf(input, flags), "vec_id", "embedding"), staging)
     }
     graft.sinks.BulkSink.commit(spark, staging, path)
   }
@@ -195,6 +213,13 @@ object IndexTool {
       case "ivf" =>
         Similarity.knnIvfWith(embOf(input, flags), "vec_id", "embedding",
             Clustering.loadIvfCodebook(spark, path),
+            num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "ivfflat" =>
+        // input supplies only the QUERY rows; the corpus side comes
+        // from the persisted postings (pruned to the probed cells)
+        Clustering.serveIvfFlat(Clustering.loadIvfFlatIndex(spark, path),
+            embOf(input, flags), "vec_id", "embedding",
             num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
       case "pq" =>

@@ -917,6 +917,119 @@ object Clustering {
                       path: String): graft.plans.IvfCentroids =
     Similarity.centroidSetFromLanes(spark.read.parquet(path))
 
+  /** The FULL inverted-file index — trained coarse codebook (`lanes`)
+    * PLUS the materialized inverted lists (`postings`: one row per
+    * corpus vector, `(n_id, nv, nn, c_id)`). The Faiss IndexIVFFlat
+    * train/add split: centroids are TRAINED once and then stay fixed;
+    * vectors are ADDED by per-row kernel assignment against them.
+    *
+    * Persisting the postings is what makes SERVING O(probed cells)
+    * instead of O(corpus): the codebook-only artifact
+    * ([[saveIvfCodebook]], q111) must re-assign every corpus vector per
+    * query batch — a full-corpus kernel pass that dwarfs the probe join
+    * at scale — while the postings artifact is laid out partitioned BY
+    * CELL (`partitionBy(c_id)`, the on-disk inverted-list layout), so a
+    * query batch's nprobe cells prune the scan to the touched
+    * directories (the probe join broadcasts the query batch, and
+    * dynamic partition pruning restricts the postings scan to the
+    * probed `c_id` partitions — asserted by ClusteringSpec's plan
+    * check).
+    *
+    * Because assignment against fixed centroids has no cross-row state,
+    * postings form a MONOID over disjoint vector sets:
+    * [[updateIvfFlatIndex]] folds a delta in exactly — the updated
+    * index is hash-identical to assigning the union from scratch with
+    * the same codebook (q157 verifies). Centroids themselves are NOT
+    * updated (a delta would move every parameter — re-run the fit when
+    * the vector distribution drifts; Faiss makes the same split). */
+  final case class IvfFlatIndex(lanes: DataFrame, postings: DataFrame)
+
+  /** Train the coarse codebook on `emb` and assign it — build the full
+    * [[IvfFlatIndex]]. The trained lanes are re-materialized as a
+    * literal frame (they are ≤ numCentroids·dim scalar rows and were
+    * collected to build the kernel's centroid set anyway), so saving
+    * them never re-runs the assignment pass behind the lanes plan. */
+  def buildIvfFlatIndex(emb: DataFrame, idCol: String, vecCol: String,
+                        numCentroids: Int,
+                        iters: Int = Similarity.IvfCoarseIters,
+                        salt: String = Similarity.IvfCoarseSalt)
+      : IvfFlatIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val laneRows =
+      ivfCoarseLanes(emb, idCol, vecCol, numCentroids, iters, salt)
+        .select(col("cluster"), col("pos"), col("cval"), col("n")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val lanes = laneRows.toDF("cluster", "pos", "cval", "n")
+    IvfFlatIndex(lanes, Similarity.ivfPostings(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(lanes)))
+  }
+
+  /** Persist: lanes funnel to one file (bounded ≤ MaxCentroids·dim
+    * scalar rows); postings keep their size but are clustered into the
+    * inverted-list layout — `repartition(c_id)` then `partitionBy(c_id)`
+    * writes ONE file per cell directory, and the cell directories are
+    * what serve-time dynamic partition pruning skips. */
+  def saveIvfFlatIndex(idx: IvfFlatIndex, path: String): Unit = {
+    idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
+    idx.postings
+      .select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/postings")
+  }
+
+  def loadIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): IvfFlatIndex = {
+    import org.apache.spark.sql.types.LongType
+    IvfFlatIndex(spark.read.parquet(s"$path/lanes"),
+      spark.read.parquet(s"$path/postings")
+        .select(col("n_id"), col("nv"), col("nn"),
+          col("c_id").cast(LongType).as("c_id")))
+  }
+
+  /** ADD a delta batch: kernel-assign it against the LOADED (fixed)
+    * centroids and append to the postings — compute is O(delta); the
+    * artifact rewrite on save goes through the staged-swap commit like
+    * every index update (atomic replace, a failed update leaves the old
+    * index serving). Exact: equals a fresh assignment of the union with
+    * the same codebook. */
+  def updateIvfFlatIndex(idx: IvfFlatIndex, delta: DataFrame,
+                         idCol: String, vecCol: String): IvfFlatIndex =
+    IvfFlatIndex(idx.lanes,
+      idx.postings.unionByName(Similarity.ivfPostings(delta, idCol, vecCol,
+        Similarity.centroidSetFromLanes(idx.lanes))))
+
+  /** Serve a query batch from the loaded inverted lists: probes come
+    * from the query rows alone (one kernel call each against the loaded
+    * codebook); the corpus side is the persisted postings with a STATIC
+    * partition filter on the probed cells — the query batch is
+    * broadcast-small by contract, so its distinct probe cells (≤
+    * batch·nprobe ids, [[ServeCellFilterCap]]) collect driver-side and
+    * push into the scan as `c_id IN (...)`: partition pruning that
+    * fires at planning time, on every run, with no reliance on the
+    * optimizer's dynamic-pruning heuristics (which skip in-memory query
+    * frames). Serve I/O is O(probed cells), never O(corpus). */
+  def serveIvfFlat(idx: IvfFlatIndex, emb: DataFrame,
+                   idCol: String, vecCol: String, maxQueryId: Long,
+                   nprobe: Int, k: Int): DataFrame = {
+    val queries = Similarity.ivfProbeQueries(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(idx.lanes), maxQueryId, nprobe)
+    val cells = queries.select(col("c_id")).distinct()
+      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+    val postings =
+      if (cells.length <= ServeCellFilterCap)
+        idx.postings.filter(col("c_id").isInCollection(cells))
+      else idx.postings // degenerate huge batch: join filters anyway
+    Similarity.ivfRerank(postings, queries, k)
+  }
+
+  /** Max distinct probed cells pushed as a static partition filter by
+    * [[serveIvfFlat]] — past this the literal stops being worth it (and
+    * the probe join filters regardless; only scan pruning is lost). */
+  val ServeCellFilterCap = 4096
+
   /** The IVF candidate set behind [[ivfPqSearch]]: `(q_id, n_id, c_id)` —
     * each query paired with exactly the corpus vectors in its nprobe
     * probed cells (self excluded; each pair appears once because a vector

@@ -333,9 +333,23 @@ object Similarity {
                  nprobe: Int, k: Int): DataFrame = {
     val (assigned, queries) =
       ivfAssignProbes(emb, idCol, vecCol, cents, maxQueryId, nprobe)
+    ivfRerank(assigned, queries, k)
+  }
+
+  /** The probe join + exact-cosine rerank every IVF serve path ends in:
+    * `postings` is the inverted-list side (freshly assigned in
+    * [[knnIvfWith]], or LOADED from the persisted cell-partitioned
+    * artifact — `Clustering.IvfFlatIndex`) and `queries` the exploded
+    * probe rows from [[ivfProbeQueries]]. Queries BROADCAST (a query
+    * batch is small by contract), so the corpus-sized postings never
+    * shuffle — and when postings come from the `partitionBy(c_id)`
+    * artifact, the broadcast join's dynamic partition pruning restricts
+    * the scan to the probed cells: serve cost is O(cells touched), not
+    * O(corpus). */
+  def ivfRerank(postings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
-    assigned.join(broadcast(queries), Seq("c_id"))
+    postings.join(broadcast(queries), Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
@@ -354,20 +368,48 @@ object Similarity {
     * and probing can never drift between the two ANN paths. */
   def ivfAssignProbes(emb: DataFrame, idCol: String, vecCol: String,
                       cents: graft.plans.IvfCentroids, maxQueryId: Long,
-                      nprobe: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
-    require(nprobe > 0, s"nprobe must be positive: $nprobe")
-    def nearest(v: org.apache.spark.sql.Column, nn: org.apache.spark.sql.Column,
-                n: Int): org.apache.spark.sql.Column =
-      columnOf(graft.plans.NearestCentroids(expressionOf(v), expressionOf(nn), cents, n))
+                      nprobe: Int): (DataFrame, DataFrame) =
+    (ivfPostings(emb, idCol, vecCol, cents),
+      ivfProbeQueries(emb, idCol, vecCol, cents, maxQueryId, nprobe))
+
+  /** The corpus half of [[ivfAssignProbes]] alone — every vector with
+    * its nearest-centroid cell, `(n_id, nv, nn, c_id)`: the INVERTED
+    * LISTS. This is the Faiss `add` step — assignment against FIXED
+    * trained centroids is one codegen'd kernel call per row, no
+    * training-state dependence between rows — which is exactly what
+    * makes the persisted postings table (`Clustering.IvfFlatIndex`) a
+    * monoid over disjoint vector sets: adding a delta batch is
+    * kernel-assign + append, and the result equals assigning the union
+    * from scratch. */
+  def ivfPostings(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: graft.plans.IvfCentroids): DataFrame = {
     val sv = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"))
       .withColumn("nn", vnorm(col("nv")))
-    val assigned = sv.withColumn("c_id",
-      element_at(nearest(col("nv"), col("nn"), 1), 1))
-    val queries = sv.filter(col("n_id") < maxQueryId)
+    sv.withColumn("c_id",
+      element_at(nearestCentroids(cents, col("nv"), col("nn"), 1), 1))
+  }
+
+  /** The query half of [[ivfAssignProbes]] alone — probe rows `(q_id,
+    * qv, qn, c_id)`, one per (query, probed cell): the kernel's ordered
+    * nearest-centroid ids ((cos DESC, c_id ASC)-ranked) exploded to
+    * `nprobe` rows. */
+  def ivfProbeQueries(emb: DataFrame, idCol: String, vecCol: String,
+                      cents: graft.plans.IvfCentroids, maxQueryId: Long,
+                      nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"))
+      .withColumn("nn", vnorm(col("nv")))
+      .filter(col("n_id") < maxQueryId)
       .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"),
-        explode(nearest(col("nv"), col("nn"), nprobe)).as("c_id"))
-    (assigned, queries)
+        explode(nearestCentroids(cents, col("nv"), col("nn"), nprobe)).as("c_id"))
+  }
+
+  private def nearestCentroids(cents: graft.plans.IvfCentroids,
+                               v: org.apache.spark.sql.Column,
+                               nn: org.apache.spark.sql.Column,
+                               n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    columnOf(graft.plans.NearestCentroids(expressionOf(v), expressionOf(nn), cents, n))
   }
 
   /** LSH-bucketed approximate top-k. `probeHamming = 1` turns on

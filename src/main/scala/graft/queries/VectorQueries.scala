@@ -779,6 +779,100 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q156: the FULL inverted-file index (IndexIVFFlat shape) — persist
+  // the inverted LISTS, not just the codebook. q111's artifact still
+  // re-assigns the whole corpus per query batch (a full-corpus kernel
+  // pass); here build once materializes postings partitioned BY CELL
+  // (`partitionBy(c_id)` — the on-disk inverted-list layout), and serve
+  // reads queries only: probes kernel-rank against the loaded codebook,
+  // the broadcast probe join dynamically prunes the postings scan to the
+  // probed cell directories. Same parameters as q45 and the postings are
+  // exact (int64 vectors + IEEE-exact norms roundtrip), so the served
+  // search must reproduce q45 bit-for-bit: the oracle IS q45's SQL. ─────
+  val q156_ivfflat_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfflat", d)
+    graft.operators.Clustering.saveIvfFlatIndex(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        emb, "vec_id", "embedding", 1 << ivfBits(s, d)),
+      path)
+    graft.operators.Clustering.serveIvfFlat(
+        graft.operators.Clustering.loadIvfFlatIndex(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q157: IVF index UPDATE — the Faiss train/add split as an artifact
+  // operation. Train the codebook and postings on the existing corpus
+  // (vec_id % 10 <> 0), ADD the arriving slice with updateIvfFlatIndex
+  // (one delta kernel-assign + append against the FIXED loaded
+  // centroids — never a refit, never a corpus re-assign), persist the
+  // updated artifact through the staged swap, and serve the q45-shaped
+  // query batch from the RELOADED index. Assignment against fixed
+  // centroids has no cross-row state, so the updated postings equal a
+  // fresh assignment of the union: the oracle trains the k-means chain
+  // on the slice (sv) and assigns/probes/scores over ALL vectors (uv).
+  // CLI: `index-update --type=ivfflat`. ─────────────────────────────────
+  val q157_ivfflat_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfflatup0", d)
+    graft.operators.Clustering.saveIvfFlatIndex(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        1 << ivfBits(s, d)),
+      path)
+    val updated = graft.operators.Clustering.updateIvfFlatIndex(
+      graft.operators.Clustering.loadIvfFlatIndex(s, path),
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    val upPath = QueryTmp.dir("ivfflatup1", d)
+    graft.operators.Clustering.saveIvfFlatIndex(updated, upPath)
+    graft.operators.Clustering.serveIvfFlat(
+        graft.operators.Clustering.loadIvfFlatIndex(s, upPath),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+  /** q45's structure with the k-means chain trained on the SLICE (`sv`,
+    * the pre-update corpus) while assignment, probing and scoring run
+    * over ALL vectors (`uv` = slice ∪ delta) — exactly what the updated
+    * postings contain when the add is exact. */
+  lazy val q157_sql: String = {
+    def cos(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, Dim)
+    s"""WITH $sqlIvfParams, uv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings
+       |), sv AS (
+       |  SELECT vid, v, nrm FROM uv WHERE vid % 10 <> 0
+       |), ${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM ivfp)",
+          Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
+       |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
+       |assigned AS (
+       |  SELECT n_id, nv, nn, c_id FROM (
+       |    SELECT s.vid AS n_id, s.v AS nv, s.nrm AS nn, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vid
+       |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv s CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT q_id, qv, qn, c_id FROM (
+       |    SELECT q.vid AS q_id, q.v AS qv, q.nrm AS qn, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv q CROSS JOIN cent c WHERE q.vid < $IvfMaxQueryId)
+       |  WHERE rn <= $IvfNprobe
+       |), scored AS (
+       |  SELECT p.q_id, a.n_id, ${cos("p.qv", "a.nv", "p.qn", "a.nn")} AS cos
+       |  FROM probes p JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+       |WHERE rank <= $IvfK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ── q137: HIERARCHICAL SemDeDup (Clustering.semDedupHier) — the 100 TB
   // form of q102. Flat k-means is quadratic at scale whichever way k is
   // chosen (assignment n·k with k ∝ n/target; capped k → pair mass n²/k —
@@ -1098,6 +1192,8 @@ object VectorQueries {
     "q105_incremental_semdedup" -> q105_incremental_semdedup,
     "q106_pq_index_persist" -> q106_pq_index_persist,
     "q111_ivf_index_persist" -> q111_ivf_index_persist,
+    "q156_ivfflat_persist" -> q156_ivfflat_persist,
+    "q157_ivfflat_update" -> q157_ivfflat_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -1125,5 +1221,8 @@ object VectorQueries {
     "q106_pq_index_persist" -> q89_sql,
     // serve-from-persisted-codebook must reproduce q45 exactly
     "q111_ivf_index_persist" -> q45_sql,
+    // serve-from-persisted-postings must reproduce q45 exactly
+    "q156_ivfflat_persist" -> q45_sql,
+    "q157_ivfflat_update" -> q157_sql,
   )
 }

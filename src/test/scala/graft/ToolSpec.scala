@@ -820,7 +820,7 @@ class ToolSpec extends SparkSpec {
     val probe = Seq((20L, "spark join hash table scan batch"),
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
-    IndexTool.UpdateTypes.toSeq.sorted.foreach { tpe =>
+    (IndexTool.UpdateTypes - "ivfflat").toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
       val full = s"$base/$tpe-full"
       assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
@@ -854,6 +854,47 @@ class ToolSpec extends SparkSpec {
       assert(!names.exists(n => n.contains("__update_") || n.endsWith(".__replaced")),
         s"swap litter: $names")
     }
+    // ivfflat (embedding-typed input): ADD a delta under the fixed
+    // trained codebook — a query sitting on a DELTA vector must
+    // retrieve it, which the un-updated postings cannot produce
+    val dim = 4
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val corpusEmb = emb((0 until 9).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + i * 0.01f
+      ((i + 100).toLong, v.toSeq)
+    })
+    // the delta is a THIRD blob, far from both corpus blobs
+    val deltaEmb = emb(Seq((200L, Seq(0f, 0f, 10f, 0f)),
+      (201L, Seq(0f, 0f, 10.05f, 0f))))
+    // query 0 sits on the delta blob
+    val queryEmb = emb(Seq((0L, Seq(0f, 0f, 10.01f, 0f))))
+    corpusEmb.write.parquet(s"$base/cemb")
+    deltaEmb.write.parquet(s"$base/demb")
+    queryEmb.write.parquet(s"$base/qemb")
+    val ivfp = s"$base/ivfflat-upd"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$ivfp", s"--input=format=parquet file=$base/cemb",
+      "--centroids=3")).status == "SUCCEEDED")
+    def ivfServe(tag: String): Seq[(Long, Long)] = {
+      val out = s"$ivfp-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=ivfflat",
+        s"--path=$ivfp", s"--input=format=parquet file=$base/qemb",
+        s"--output=format=parquet file=$out",
+        "--max-query-id=1", "--nprobe=1", "--topk=2")).status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    }
+    val before = ivfServe("before")
+    assert(Tool.run(spark, Array("index-update", "--type=ivfflat",
+      s"--path=$ivfp", s"--input=format=parquet file=$base/demb"))
+      .status == "SUCCEEDED")
+    val after = ivfServe("after")
+    assert(!before.exists(_._2 >= 200L),
+      s"delta vectors visible before the update: $before")
+    assert(after.map(_._2).toSet == Set(200L, 201L),
+      s"updated index must retrieve the delta blob: $after")
     // non-mergeable artifact types refuse with guidance
     val e = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-update", "--type=ivf", s"--path=$base/x",

@@ -465,4 +465,61 @@ class ClusteringSpec extends SparkSpec {
       .select("cluster").distinct().collect().map(_.getInt(0))
     assert(lanes.nonEmpty && lanes.length <= 2)
   }
+
+  test("IvfFlatIndex roundtrip: served search == fresh knnIvf; update == union build") {
+    val path = tmpDir("ivfflat_rt")
+    val idx = Clustering.buildIvfFlatIndex(blobs, "vec_id", "embedding", 3, 2)
+    Clustering.saveIvfFlatIndex(idx, path)
+    val loaded = Clustering.loadIvfFlatIndex(spark, path)
+    val served = Clustering.serveIvfFlat(loaded, blobs, "vec_id", "embedding",
+      maxQueryId = 6L, nprobe = 1, k = 3)
+    val fresh = graft.operators.Similarity.knnIvf(blobs, "vec_id", "embedding",
+      maxQueryId = 6L, numCentroids = 3, nprobe = 1, k = 3)
+    assert(served.orderBy($"q_id", $"rank").collect().toSeq ==
+      fresh.orderBy($"q_id", $"rank").collect().toSeq)
+
+    // the add path: index the even ids, fold in the odd ids — postings
+    // must equal a fresh assignment of the union with the SAME codebook
+    val corpus = blobs.filter($"vec_id" % 2 === 0)
+    val delta = blobs.filter($"vec_id" % 2 =!= 0)
+    val p2 = tmpDir("ivfflat_up")
+    Clustering.saveIvfFlatIndex(
+      Clustering.buildIvfFlatIndex(corpus, "vec_id", "embedding", 3, 2), p2)
+    val base = Clustering.loadIvfFlatIndex(spark, p2)
+    val updated = Clustering.updateIvfFlatIndex(base, delta, "vec_id", "embedding")
+    val unionAssigned = graft.operators.Similarity.ivfPostings(
+      blobs, "vec_id", "embedding",
+      graft.operators.Similarity.centroidSetFromLanes(base.lanes))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select($"n_id", $"c_id".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyed(updated.postings) == keyed(unionAssigned))
+    assert(keyed(updated.postings).size == 30)
+  }
+
+  test("IvfFlat serve prunes the postings scan to the probed cells") {
+    val path = tmpDir("ivfflat_prune")
+    Clustering.saveIvfFlatIndex(
+      Clustering.buildIvfFlatIndex(blobs, "vec_id", "embedding", 3, 2), path)
+    // the artifact is laid out as one directory per inverted list
+    val cellDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.getName.startsWith("c_id=")).map(_.getName)
+    assert(cellDirs.length >= 2, s"expected cell directories, got ${cellDirs.toSeq}")
+    // one query, nprobe=1 → the static cell filter reaches the scan as a
+    // partition filter: the scan reads ONE cell directory, not the corpus
+    val served = Clustering.serveIvfFlat(
+      Clustering.loadIvfFlatIndex(spark, path), blobs, "vec_id", "embedding",
+      maxQueryId = 1L, nprobe = 1, k = 3)
+    val scans = served.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(scans.nonEmpty, "no postings file scan in the serve plan")
+    assert(scans.head.partitionFilters.map(_.toString).exists(_.contains("c_id")),
+      s"no c_id partition filter: ${scans.head.partitionFilters}")
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected == 1,
+      s"expected 1 selected cell partition of ${cellDirs.length}, got $selected")
+    assert(served.count() > 0)
+  }
 }
