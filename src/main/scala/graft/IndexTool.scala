@@ -24,7 +24,12 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    (`incrementalLshPairsIndexed`; num-hashes/bands must match).
   *  - `ivf`: build = k-means coarse codebook lanes. serve = the IVF
   *    probe search (`Similarity.knnIvfWith`) for query rows
-  *    id < max-query-id of the input batch.
+  *    id < max-query-id of the input batch (the corpus side is the
+  *    input too — the legacy codebook-only form).
+  *  - `ivfflat`: build = codebook + cell-partitioned inverted LISTS
+  *    (`Clustering.buildIvfFlatIndex`). serve = query rows of the input
+  *    against the LOADED postings, scan pruned to the probed cells
+  *    (`serveIvfFlat`); updatable (Faiss train/add).
   *  - `pq`: build = product-quantizer fit (codes + codebooks). serve =
   *    ADC top-k (`pqSearchIndex`; dim/m must match).
   *  - `bpe`: build = merge-list induction. serve = kernel token stats
@@ -38,11 +43,14 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    serve = the input treated as a DELTA batch pruned against the
   *    loaded index (`semDedupDeltaHier`; the q139 ingestion loop).
   *
-  * The four delta-against-index screens (`lsh`, `semdedup`, `decontam`,
-  * `cdc`) and the three tokenizer encode tiers (`bpe`, `unigram`,
-  * `wordpiece`) also serve as a checkpointed file STREAM
-  * (`--stream=true` — [[serveStream]]): the same batch path per
-  * micro-batch, re-runnable as an ingestion cron.
+  * Every serve whose corpus side lives in the artifact — the four
+  * delta-against-index screens (`lsh`, `semdedup`, `decontam`, `cdc`),
+  * the three tokenizer encode tiers (`bpe`, `unigram`, `wordpiece`),
+  * and the three retrieval tiers (`ivfflat`, `pq`, `bm25`) — also
+  * serves as a checkpointed file STREAM (`--stream=true` —
+  * [[serveStream]]): the same batch path per micro-batch, re-runnable
+  * as an ingestion cron. See [[StreamTypes]] for why that line is
+  * exactly the streamable set.
   *
   * The reference ships its MapReduce jobs through the same one-CLI
   * pattern (`KM/tools/KijiGather.java`); an index tier is the analog for
@@ -159,8 +167,15 @@ object IndexTool {
     * a delta moves every fitted parameter; re-run `index-build` when
     * the distribution drifts (the serve paths remain delta-safe
     * meanwhile, and ivfflat keeps ADDING exactly under the old
-    * codebook). */
-  val UpdateTypes: Set[String] = Set("lsh", "cdc", "bm25", "ivfflat")
+    * codebook). `semdedup` sits in between and is updatable the ivfflat
+    * way: its lanes/seeds/sizes are fitted parameters that stay FIXED,
+    * while the corpus-sized assign surface grows by the delta's exact
+    * serve-path assignment (q158) — so later deltas screen against
+    * previously admitted rows too. `pq` likewise: codebooks stay fixed,
+    * a delta is ENCODED against them (per-subspace argmin — Faiss
+    * `add`) and its codes appended (q159). */
+  val UpdateTypes: Set[String] =
+    Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq")
 
   /** `index-update`: load the artifact at `path`, fold the delta batch
     * in, and atomically REPLACE the artifact (staged write + the bulk
@@ -170,7 +185,7 @@ object IndexTool {
              path: String, flags: Map[String, String]): Unit = {
     require(UpdateTypes(tpe),
       s"index-update supports --type=${UpdateTypes.toSeq.sorted.mkString("|")} " +
-        s"only (got '$tpe'); globally-fitted artifacts (ivf|pq|semdedup|bpe|" +
+        s"only (got '$tpe'); globally-fitted artifacts (ivf|bpe|" +
         s"unigram|wordpiece) re-fit — run index-build on the grown corpus " +
         s"(for ANN adds, build --type=ivfflat: its postings update exactly)")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
@@ -193,6 +208,15 @@ object IndexTool {
         Clustering.saveIvfFlatIndex(Clustering.updateIvfFlatIndex(
           Clustering.loadIvfFlatIndex(spark, path),
           embOf(input, flags), "vec_id", "embedding"), staging)
+      case "semdedup" =>
+        Clustering.saveSemIndex(Clustering.updateSemIndex(
+          Clustering.loadSemIndex(spark, path),
+          embOf(input, flags), "vec_id", "embedding"), staging)
+      case "pq" =>
+        Clustering.savePqIndex(Clustering.updatePqIndex(
+          Clustering.loadPqIndex(spark, path),
+          embOf(input, flags), "vec_id", "embedding",
+          num("dim", 64), num("m", 8)), staging)
     }
     graft.sinks.BulkSink.commit(spark, staging, path)
   }
@@ -314,17 +338,22 @@ object IndexTool {
   }
 
   /** The index types with a STREAMING serve path (`index-serve ...
-    * --stream=true`): the four delta-against-index screens (every input
-    * row probed/pruned/flagged independently against the loaded index,
-    * so micro-batching composes exactly — per-batch union == one batch
-    * serve) PLUS the three tokenizer encode tiers (pure per-row kernels
-    * over a loaded vocabulary — the same ingestion cron that admits
-    * documents through the screens also wants their token counts, shard
-    * packing's input, in the same drain). The remaining tiers (ivf/pq/
-    * bm25 top-k ranks) stay batch-only: a rank is relative to the whole
-    * query batch, so micro-batch boundaries would change results. */
+    * --stream=true`). The rule: a serve streams exactly when its CORPUS
+    * side lives in the loaded artifact — then every input row is
+    * probed/pruned/ranked independently against fixed state (top-k
+    * windows partition by q_id), so micro-batching composes exactly:
+    * per-batch union == one batch serve. That covers the four ingestion
+    * screens (lsh/semdedup/decontam/cdc), the three tokenizer encode
+    * tiers (pure per-row kernels over a loaded vocabulary), AND the
+    * retrieval tiers (ivfflat postings, pq codes, bm25 postings — each
+    * query's top-k reads only artifact state). The one batch-only serve
+    * is the legacy codebook-only `ivf`: its corpus side is the INPUT
+    * itself (queries score the other input rows), so micro-batch
+    * boundaries genuinely change results — use `ivfflat`, whose corpus
+    * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
-    Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece")
+    Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
+      "ivfflat", "pq", "bm25")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -414,6 +443,37 @@ object IndexTool {
         docsOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(enc(batch), batchId)
+        }
+      case "ivfflat" =>
+        // inverted lists loaded once; each micro-batch is a query batch
+        // (per-query top-k over artifact postings — batch-independent)
+        val idx = Clustering.loadIvfFlatIndex(spark, path)
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Clustering.serveIvfFlat(idx, batch, "vec_id", "embedding",
+              num("max-query-id", 20).toLong, num("nprobe", 2),
+              num("topk", 3)), batchId)
+        }
+      case "pq" =>
+        val idx = Clustering.loadPqIndex(spark, path)
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Clustering.pqSearchIndex(idx, batch, "vec_id", "embedding",
+              num("dim", 64) / num("m", 8), num("max-query-id", 20).toLong,
+              num("topk", 3)), batchId)
+        }
+      case "bm25" =>
+        val idx = Retrieval.loadBm25Index(spark, path)
+        docsOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val queryTerms = terms(batch).distinct()
+              .select(col("doc_id").as("q_id"), col("term"))
+            sink(Retrieval.bm25Ranked(queryTerms, idx,
+                dbl("k1", 1.2), dbl("b", 0.75),
+                flags.get("scale").map(_.toLong).getOrElse(1048576L))
+              .where(col("rank") <= num("topk", 5))
+              .select(col("q_id"), col("rank"), col("doc_id"),
+                col("n_terms"), col("score")), batchId)
         }
     }
     val q = writer

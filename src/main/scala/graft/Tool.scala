@@ -141,9 +141,10 @@ object Tool {
         IndexTool.update(spark, tpe, Formats.read(spark, flag("input")), path,
           flags)
       else if (flags.get("stream").contains("true")) {
-        // streaming ingestion drain (lsh|semdedup): per-micro-batch
-        // probe/prune of the loaded index, checkpointed, stops when the
-        // backlog is empty (the type gate lives in IndexTool.serveStream)
+        // streaming ingestion drain: per-micro-batch probe/prune/rank
+        // against the loaded index, checkpointed, stops when the backlog
+        // is empty (the type gate lives in IndexTool.serveStream /
+        // IndexTool.StreamTypes)
         IndexTool.serveStream(spark, tpe, flag("input"), path,
           flag("output"), flags)
       } else

@@ -321,12 +321,19 @@ object Clustering {
     * fine cluster holds no corpus rows has nothing to pair with and
     * drops out (the honest incremental contract). Returns one row per
     * pruned DELTA vector: `(cluster, pruned, keeper, best_cos)`. */
-  def semDedupDeltaHier(delta: DataFrame, idCol: String, vecCol: String,
-                        idx: SemIndex, minCosine: Double,
-                        seedLiteralCap: Int = Similarity.MaxCentroids)
-      : DataFrame = {
+  /** The delta-assignment chain shared by [[semDedupDeltaHier]] (serve)
+    * and [[updateSemIndex]] (add): coarse-assign each delta row against
+    * the index's lanes (one [[assignToLanes]] kernel pass), fine-assign
+    * against its own coarse cell's seeds (grouped literal kernel below
+    * the literal cap, [[joinedFineAssign]] above it), and land in the
+    * skew-guard subcell computed from the index's FIXED fine-cluster
+    * sizes. One definition on purpose: serve and add can never assign a
+    * row differently. Returns `(vid, v, nrm, cluster, cell)` — exactly
+    * the `assign` surface's shape. */
+  private def deltaCells(delta: DataFrame, idCol: String, vecCol: String,
+                         idx: SemIndex, seedLiteralCap: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
-    import graft.functions.VectorFunctions.{vnorm, cosineFromNorms}
+    import graft.functions.VectorFunctions.vnorm
     require(seedLiteralCap >= 0 && seedLiteralCap <= Similarity.MaxCentroids,
       s"seedLiteralCap $seedLiteralCap outside [0, ${Similarity.MaxCentroids}]")
     val seedRows = idx.seeds.orderBy(col("ccell"), col("svid"))
@@ -346,9 +353,44 @@ object Clustering {
         // exactly the case where it cannot be collected)
         deltaCoarse.join(joinedFineAssign(deltaCoarse, idx.seeds), "vid")
           .select(col("vid"), col("v"), col("nrm"), col("cluster"))
-    val deltaSide = deltaFine.join(idx.sizes, "cluster")
-      .select(col("cluster"),
-        subcellOf(col("vid"), idx.clusterCap, idx.salt).as("cell"),
+    deltaFine.join(idx.sizes, "cluster")
+      .select(col("vid"), col("v"), col("nrm"), col("cluster"),
+        subcellOf(col("vid"), idx.clusterCap, idx.salt).as("cell"))
+  }
+
+  /** ADD a delta batch to a fitted/loaded [[SemIndex]]: assign it
+    * through [[deltaCells]] (the exact serve-path chain) and append to
+    * the corpus-sized `assign` surface — so the NEXT delta's
+    * [[semDedupDeltaHier]] screen pairs against previously admitted
+    * rows too, not just the original fit corpus (the same
+    * admitted-docs-must-join-the-index economics as the LSH and
+    * IVF-flat updates). The FITTED parameters stay fixed: lanes, seeds,
+    * and `sizes` — sizes double as the subcell WIDTH table, and
+    * widening widths on append would misalign the cells already stamped
+    * on corpus rows (a new row would hash into a cell its old near-dups
+    * are not in: silent recall loss). Assignment against fixed
+    * parameters has no cross-row state, so the updated `assign` is
+    * exactly the fresh assignment of the union (q158's oracle replays
+    * it). Re-run [[semDedupHierFit]] when accumulated deltas overgrow
+    * the fixed cell widths (pair mass per (cluster, cell) rises past
+    * the clusterCap design point) — the Faiss train/add split's refit
+    * trigger. */
+  def updateSemIndex(idx: SemIndex, delta: DataFrame,
+                     idCol: String, vecCol: String,
+                     seedLiteralCap: Int = Similarity.MaxCentroids)
+      : SemIndex =
+    idx.copy(assign =
+      idx.assign.select(col("vid"), col("v"), col("nrm"),
+          col("cluster"), col("cell"))
+        .unionByName(deltaCells(delta, idCol, vecCol, idx, seedLiteralCap)))
+
+  def semDedupDeltaHier(delta: DataFrame, idCol: String, vecCol: String,
+                        idx: SemIndex, minCosine: Double,
+                        seedLiteralCap: Int = Similarity.MaxCentroids)
+      : DataFrame = {
+    import graft.functions.VectorFunctions.cosineFromNorms
+    val deltaSide = deltaCells(delta, idCol, vecCol, idx, seedLiteralCap)
+      .select(col("cluster"), col("cell"),
         col("vid").as("b_vid"), col("v").as("b_v"), col("nrm").as("b_nrm"))
     val corpusSide = idx.assign.select(col("cluster"), col("cell"),
       col("vid").as("a_vid"), col("v").as("a_v"), col("nrm").as("a_nrm"))
@@ -759,6 +801,38 @@ object Clustering {
                   path: String): PqIndex =
     PqIndex(spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/lanes"))
+
+  /** ADD a delta batch to a fitted/loaded [[PqIndex]]: ENCODE each delta
+    * vector against the FIXED trained codebooks (per-subspace argmin to
+    * the final lanes — Faiss's `add` on a trained PQ index) and append
+    * the codes; the codebooks never move. Compute is O(delta·m·k).
+    * Encoding against fixed codebooks has no cross-row state, so the
+    * appended codes are exactly what encoding the delta at build time
+    * under the same codebooks would produce (q159's oracle replays the
+    * slice-trained chains, the last-round slice codes, and the delta's
+    * final-lane argmin). Note the fitted corpus keeps its LAST-ROUND
+    * assignment (the codes the fit produced), while adds encode against
+    * the FINAL lanes — the only codes the persisted artifact has; this
+    * is the same train/add asymmetry Faiss has, and the oracle mirrors
+    * both sides. Re-run [[pqFit]] when the vector distribution drifts
+    * past what the old codebooks quantize well. */
+  def updatePqIndex(idx: PqIndex, delta: DataFrame,
+                    idCol: String, vecCol: String,
+                    dim: Int, m: Int): PqIndex = {
+    require(m > 0 && dim > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim m=$m")
+    val sub = dim / m
+    val deltaCodes = (0 until m).map { s =>
+      val laneS = idx.lanes.filter(col("s") === s)
+        .select(col("code").as("cluster"), col("pos"), col("cval"))
+      assignToLanes(
+        delta.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("__sub")),
+        idCol, "__sub", laneS)
+        .select(col("vid").as("n_id"), lit(s).as("s"), col("cluster").as("code"))
+    }.reduce(_.union(_))
+    PqIndex(idx.codes.select(col("n_id"), col("s"), col("code"))
+      .unionByName(deltaCodes), idx.lanes)
+  }
 
   /** ADC search against a fitted/loaded [[PqIndex]] — the cheap,
     * repeatable half of PQ-ANN (see [[pqSearch]] for the semantics and

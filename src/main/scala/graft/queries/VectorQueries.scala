@@ -398,6 +398,82 @@ object VectorQueries {
        |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ── q159: PQ index UPDATE — Faiss `add` on a trained PQ index: train
+  // the per-subspace codebooks on the existing corpus (vec_id % 10 <> 0),
+  // ENCODE the arriving slice against the FIXED final codebooks
+  // (per-subspace argmin — never a refit) and append its codes, persist
+  // through the staged swap, and ADC-serve the q89-shaped query batch
+  // from the RELOADED artifact. The corpus keeps its fit-time LAST-ROUND
+  // codes; adds encode against the FINAL lanes (the only codes the
+  // persisted artifact has — Faiss's exact train/add asymmetry), and the
+  // oracle mirrors both sides. CLI: `index-update --type=pq`. ───────────
+  val q159_pq_index_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("pqupd0", d)
+    graft.operators.Clustering.savePqIndex(
+      graft.operators.Clustering.pqFit(emb.filter($"vec_id" % 10 =!= 0),
+        "vec_id", "embedding", Dim, PqM, PqK, PqIters),
+      path)
+    val updated = graft.operators.Clustering.updatePqIndex(
+      graft.operators.Clustering.loadPqIndex(s, path),
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding", Dim, PqM)
+    val upPath = QueryTmp.dir("pqupd1", d)
+    graft.operators.Clustering.savePqIndex(updated, upPath)
+    graft.operators.Clustering
+      .pqSearchIndex(graft.operators.Clustering.loadPqIndex(s, upPath),
+        emb, "vec_id", "embedding", Dim / PqM, MaxQueryId, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+  /** q89's structure with the subspace chains trained on the SLICE
+    * (`sv`) and codes = slice's last-round fit codes ∪ the delta's
+    * final-lane argmin encodes — exactly the updated artifact. */
+  lazy val q159_sql: String = {
+    val sub = Dim / PqM
+    val chains = (0 until PqM)
+      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK.toString, PqIters, s"pq$s"))
+      .mkString(",\n")
+    val corpusCodes = (0 until PqM)
+      .map(s => s"SELECT vid AS n_id, $s AS s, cluster AS code FROM s${s}a$PqIters")
+      .mkString(" UNION ALL ")
+    val deltaCodes = (0 until PqM).map { s =>
+      val dlane = s"list_extract(u.v, $s * $sub + c.pos + 1)"
+      s"""SELECT vid AS n_id, $s AS s, cluster AS code FROM (
+         |    SELECT vid, cluster,
+         |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+         |    FROM (
+         |      SELECT u.vid, c.cluster,
+         |        sum(($dlane - c.cval) * ($dlane - c.cval)) AS dist
+         |      FROM dv u, s${s}c$PqIters c GROUP BY u.vid, c.cluster))
+         |  WHERE rn = 1""".stripMargin
+    }.mkString(" UNION ALL ")
+    val lanes = (0 until PqM)
+      .map(s => s"SELECT $s AS s, cluster AS code, pos, cval FROM s${s}c$PqIters")
+      .mkString(" UNION ALL ")
+    val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
+    s"""WITH uv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v
+       |  FROM embeddings),
+       |sv AS (SELECT vid, v FROM uv WHERE vid % 10 <> 0),
+       |dv AS (SELECT vid, v FROM uv WHERE vid % 10 = 0),
+       |$chains,
+       |codes AS ($corpusCodes UNION ALL $deltaCodes),
+       |lanes AS ($lanes),
+       |dt AS (
+       |  SELECT q.vid AS q_id, l.s, l.code,
+       |    CAST(sum(($qlane - l.cval) * ($qlane - l.cval)) AS BIGINT) AS dval
+       |  FROM uv q, lanes l WHERE q.vid < $MaxQueryId
+       |  GROUP BY q_id, l.s, l.code),
+       |ad AS (
+       |  SELECT d.q_id, c.n_id, CAST(sum(d.dval) AS BIGINT) AS adist
+       |  FROM codes c JOIN dt d ON d.s = c.s AND d.code = c.code
+       |  WHERE c.n_id <> d.q_id GROUP BY d.q_id, c.n_id)
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, n_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ── q94: IVF×PQ composed ANN — the sublinear index: q45's coarse
   // quantizer (corpus-scaled k-means-TRAINED centroids, cosine cells)
   // prunes the corpus to each query's nprobe probed cells, and q89's ADC
@@ -1007,6 +1083,133 @@ object VectorQueries {
         graft.operators.Clustering.loadSemIndex(s, path), CosineDupThreshold)
       .orderBy($"pruned")
   }
+  // ── q158: SemDeDup index UPDATE — admitted embeddings must JOIN the
+  // index, or next week's paraphrases of them sail through the screen
+  // (the q155/q157 economics on the semantic tier). Fit the hierarchical
+  // index on the corpus (labels outside SemDeltaLabels), ADD the week-1
+  // delta (label 8) with updateSemIndex — the exact serve-path
+  // assignment chain (coarse kernel vs lanes, fine argmin vs seeds,
+  // subcell from the FIXED corpus sizes) appended to the assign surface;
+  // lanes/seeds/sizes never move — persist the updated artifact, and
+  // screen the week-2 delta (label 9) against the RELOADED index: pairs
+  // (label-9 × label-8) must appear, which the un-updated index could
+  // never produce. The oracle replays q139's corpus machinery plus one
+  // assignment chain per delta week, with the index side cj ∪ week-1. ───
+  val q158_semdedup_index_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(!$"label".isin(SemDeltaLabels: _*))
+    val bits = Similarity.bitsFor(corpus.count(), SemTargetClusterRows, 20)
+    val coarseK = 1 << math.min(HierMaxCoarseBits, (bits + 1) / 2)
+    val path = QueryTmp.dir("semupd0", d)
+    graft.operators.Clustering.saveSemIndex(
+      graft.operators.Clustering.semDedupHierFit(corpus, "vec_id",
+        "embedding", coarseK, SemTargetClusterRows, SemIters, "semdedup-hd",
+        clusterCap = SemClusterCap, maxFinePerCell = HierMaxFinePerCell),
+      path)
+    val updated = graft.operators.Clustering.updateSemIndex(
+      graft.operators.Clustering.loadSemIndex(s, path),
+      emb.filter($"label" === SemDeltaLabels.head), "vec_id", "embedding")
+    val upPath = QueryTmp.dir("semupd1", d)
+    graft.operators.Clustering.saveSemIndex(updated, upPath)
+    graft.operators.Clustering
+      .semDedupDeltaHier(emb.filter($"label" === SemDeltaLabels(1)),
+        "vec_id", "embedding",
+        graft.operators.Clustering.loadSemIndex(s, upPath),
+        CosineDupThreshold)
+      .orderBy($"pruned")
+  }
+  lazy val q158_sql: String = {
+    val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
+    val deltaList = SemDeltaLabels.mkString(", ")
+    val ladder = Similarity.sqlBitsFor("count(*)", SemTargetClusterRows, 20)
+    val sq = "(list_extract(sx.v, i + 1) - list_extract(sy.v, i + 1))"
+    // one assignment chain per delta week — identical machinery, only
+    // the label differs; `${p}j` ends in the assign surface's shape
+    def chain(p: String, label: Int): String =
+      s"""${p}sv AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+         |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+         |  FROM embeddings WHERE label = $label),
+         |${p}dd AS (
+         |  SELECT s.vid, c.cluster,
+         |    sum((list_extract(s.v, c.pos + 1) - c.cval)
+         |      * (list_extract(s.v, c.pos + 1) - c.cval)) AS dist
+         |  FROM ${p}sv s, hcc$SemIters c GROUP BY s.vid, c.cluster),
+         |${p}da AS (
+         |  SELECT vid, cluster AS ccell FROM (
+         |    SELECT vid, cluster,
+         |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+         |    FROM ${p}dd) WHERE rn = 1),
+         |${p}dcand AS (
+         |  SELECT d.vid, e.svid,
+         |    CAST(list_sum(list_transform(range(0, $Dim), i -> $sq * $sq)) AS BIGINT) AS fdist
+         |  FROM ${p}da d
+         |  JOIN hseed e ON e.ccell = d.ccell
+         |  JOIN ${p}sv sx ON sx.vid = d.vid
+         |  JOIN sv sy ON sy.vid = e.svid),
+         |${p}dfine AS (
+         |  SELECT vid, svid AS cluster FROM (
+         |    SELECT vid, svid,
+         |      row_number() OVER (PARTITION BY vid ORDER BY fdist, svid) AS rn
+         |    FROM ${p}dcand) WHERE rn = 1),
+         |${p}dcl AS (
+         |  SELECT a.vid, a.cluster,
+         |    ('0x'||substr(md5('semdedup-hd-cell' || CAST(a.vid AS VARCHAR)), 1, 7))::BIGINT
+         |      % ((z.csize + ${SemClusterCap - 1}) // $SemClusterCap) AS cell
+         |  FROM ${p}dfine a JOIN hfsz z USING (cluster)),
+         |${p}j AS (
+         |  SELECT s.vid, s.v, s.nrm, c.cluster, c.cell
+         |  FROM ${p}sv s JOIN ${p}dcl c USING (vid))""".stripMargin
+    s"""WITH shp AS (
+       |  SELECT least($HierMaxCoarseBits, (($ladder) + 1) // 2) AS cbits
+       |  FROM embeddings WHERE label NOT IN ($deltaList)),
+       |sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings WHERE label NOT IN ($deltaList)),
+       |${kmeansChainSql("hc", 0, Dim, "(SELECT 1 << cbits FROM shp)",
+          SemIters, "semdedup-hd")},
+       |hcz AS (SELECT cluster AS ccell, count(*) AS csize
+       |        FROM hca$SemIters GROUP BY 1),
+       |hsr AS (
+       |  SELECT a.vid, a.cluster AS ccell,
+       |    ('0x'||substr(md5('semdedup-hd-seed' || CAST(a.vid AS VARCHAR)), 1, 7))::BIGINT AS hs
+       |  FROM hca$SemIters a),
+       |hseed AS MATERIALIZED (
+       |  SELECT vid AS svid, ccell FROM (
+       |    SELECT h.vid, h.ccell, z.csize,
+       |      row_number() OVER (PARTITION BY h.ccell ORDER BY h.hs, h.vid) AS rn
+       |    FROM hsr h JOIN hcz z USING (ccell))
+       |  WHERE rn <= least(
+       |    CAST((csize + ${SemTargetClusterRows - 1}) // $SemTargetClusterRows AS INT),
+       |    $HierMaxFinePerCell)),
+       |hcand AS (
+       |  SELECT a.vid, e.svid,
+       |    CAST(list_sum(list_transform(range(0, $Dim), i -> $sq * $sq)) AS BIGINT) AS fdist
+       |  FROM hca$SemIters a
+       |  JOIN hseed e ON e.ccell = a.cluster
+       |  JOIN sv sx ON sx.vid = a.vid
+       |  JOIN sv sy ON sy.vid = e.svid),
+       |hfine AS MATERIALIZED (
+       |  SELECT vid, svid AS cluster FROM (
+       |    SELECT vid, svid,
+       |      row_number() OVER (PARTITION BY vid ORDER BY fdist, svid) AS rn
+       |    FROM hcand) WHERE rn = 1),
+       |${subcellSql("hf", "hfine", "semdedup-hd")},
+       |cj AS (
+       |  SELECT s.vid, s.v, s.nrm, c.cluster, c.cell
+       |  FROM sv s JOIN hfcl c USING (vid)),
+       |${chain("d1", SemDeltaLabels.head)},
+       |${chain("d2", SemDeltaLabels(1))},
+       |ix AS (SELECT * FROM cj UNION ALL SELECT * FROM d1j)
+       |SELECT x.cluster, y.vid AS pruned, min(x.vid) AS keeper,
+       |  max($cos) AS best_cos
+       |FROM ix x JOIN d2j y ON x.cluster = y.cluster AND x.cell = y.cell
+       |WHERE $cos >= $CosineDupThreshold
+       |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
+  }
+
   // ── q145: hierarchical SemDeDup through the DISTRIBUTED fine
   // assignment (Clustering.joinedFineAssign) — the corpus-unbounded path.
   // The literal GroupedNearestL2 kernel is the fast constant, but its
@@ -1194,6 +1397,8 @@ object VectorQueries {
     "q111_ivf_index_persist" -> q111_ivf_index_persist,
     "q156_ivfflat_persist" -> q156_ivfflat_persist,
     "q157_ivfflat_update" -> q157_ivfflat_update,
+    "q158_semdedup_index_update" -> q158_semdedup_index_update,
+    "q159_pq_index_update" -> q159_pq_index_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -1224,5 +1429,7 @@ object VectorQueries {
     // serve-from-persisted-postings must reproduce q45 exactly
     "q156_ivfflat_persist" -> q45_sql,
     "q157_ivfflat_update" -> q157_sql,
+    "q158_semdedup_index_update" -> q158_sql,
+    "q159_pq_index_update" -> q159_sql,
   )
 }

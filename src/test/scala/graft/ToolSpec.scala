@@ -684,9 +684,10 @@ class ToolSpec extends SparkSpec {
     val before = spark.read.parquet(outPath).count()
     drain()
     assert(spark.read.parquet(outPath).count() == before)
-    // non-lsh stream request fails loudly
+    // the one batch-only serve (legacy codebook-only ivf: its corpus
+    // side is the input itself) fails loudly, naming ivfflat's path
     val e = intercept[IllegalArgumentException](Tool.run(spark,
-      Array("index-serve", "--type=bm25", "--stream=true",
+      Array("index-serve", "--type=ivf", "--stream=true",
         s"--path=$lshPath", s"--input=format=parquet file=$docsPath",
         s"--output=format=parquet file=$base/x")))
     assert(e.getMessage.contains("--stream=true"))
@@ -800,6 +801,54 @@ class ToolSpec extends SparkSpec {
       IndexTool.Types.toSeq.sorted.mkString("|")))
   }
 
+  test("CLI index-serve retrieval tiers stream: streamed top-k == batch top-k") {
+    import spark.implicits._
+    val base = tmpDir("retrstream")
+    // the retrieval tiers stream because their corpus side lives in the
+    // artifact (postings/codes) and top-k windows partition by q_id —
+    // so a drained micro-batch must equal the batch serve row-for-row
+    val vecs = (0 until 24).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val vecsPath = s"$base/vecs"
+    vecs.write.parquet(vecsPath)
+    val docs = Seq((0L, "spark join hash"), (1L, "row filter merge"),
+      (2L, "join hash probe"), (3L, "scan filter row"))
+      .toDF("doc_id", "text")
+    val docsPath = s"$base/docs"
+    docs.write.parquet(docsPath)
+    val fixtures = Seq(
+      ("ivfflat", vecsPath, Seq("--centroids=3"), Seq[String]()),
+      ("pq", vecsPath, Seq("--dim=4", "--m=2", "--k=2"),
+        Seq("--dim=4", "--m=2")),
+      ("bm25", docsPath, Seq[String](), Seq[String]()))
+    fixtures.foreach { case (tpe, in, buildFlags, serveFlags) =>
+      val idxPath = s"$base/$tpe-idx"
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$idxPath", s"--input=format=parquet file=$in") ++ buildFlags)
+        .status == "SUCCEEDED", tpe)
+      val streamOut = s"$base/$tpe-stream"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        "--stream=true", s"--path=$idxPath",
+        s"--input=format=parquet file=$in",
+        s"--output=format=parquet file=$streamOut") ++ serveFlags)
+        .status == "SUCCEEDED", tpe)
+      val batchOut = s"$base/$tpe-batch"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$idxPath", s"--input=format=parquet file=$in",
+        s"--output=format=parquet file=$batchOut") ++ serveFlags)
+        .status == "SUCCEEDED", tpe)
+      val streamed = spark.read.parquet(streamOut).drop("batch")
+      val batch = spark.read.parquet(batchOut)
+      val s = streamed.collect().map(_.toSeq).toSet
+      val b = batch.select(streamed.columns.map(org.apache.spark.sql
+        .functions.col): _*).collect().map(_.toSeq).toSet
+      assert(s == b && s.nonEmpty, s"$tpe streamed != batch")
+    }
+  }
+
   test("CLI index-update folds a delta into the artifact; updated == full rebuild") {
     import spark.implicits._
     val base = tmpDir("idxupdate")
@@ -820,7 +869,8 @@ class ToolSpec extends SparkSpec {
     val probe = Seq((20L, "spark join hash table scan batch"),
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
-    (IndexTool.UpdateTypes - "ivfflat").toSeq.sorted.foreach { tpe =>
+    (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq"))
+      .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
       val full = s"$base/$tpe-full"
       assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
@@ -895,6 +945,67 @@ class ToolSpec extends SparkSpec {
       s"delta vectors visible before the update: $before")
     assert(after.map(_._2).toSet == Set(200L, 201L),
       s"updated index must retrieve the delta blob: $after")
+    // semdedup: the week-1 delta joins the assign surface, so a week-2
+    // near-copy of a week-1 row gets pruned with its week-1 keeper —
+    // impossible before the update (the fit corpus has no axis-2 rows)
+    val semp = s"$base/semdedup-upd"
+    emb(Seq((300L, Seq(0f, 0f, 10.3f, 0f)))).write.parquet(s"$base/w1emb")
+    emb(Seq((400L, Seq(0f, 0f, 10.31f, 0f)))).write.parquet(s"$base/w2emb")
+    assert(Tool.run(spark, Array("index-build", "--type=semdedup",
+      s"--path=$semp", s"--input=format=parquet file=$base/cemb",
+      "--coarse-k=2", "--target-rows=4", "--cluster-cap=64"))
+      .status == "SUCCEEDED")
+    def semServe(tag: String): Map[Long, Long] = {
+      val out = s"$semp-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=semdedup",
+        s"--path=$semp", s"--input=format=parquet file=$base/w2emb",
+        s"--output=format=parquet file=$out",
+        "--threshold=0.9")).status == "SUCCEEDED")
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(!semServe("before").contains(400L))
+    assert(Tool.run(spark, Array("index-update", "--type=semdedup",
+      s"--path=$semp", s"--input=format=parquet file=$base/w1emb"))
+      .status == "SUCCEEDED")
+    assert(semServe("after").get(400L).contains(300L))
+    // pq: the delta is ENCODED against the fixed codebooks and its codes
+    // appended. ADC cannot distinguish same-code vectors (ties break to
+    // smaller ids), so the delta must occupy an unoccupied code
+    // COMBINATION: corpus blobs sit on sub0-axis0 and sub1-axis2, the
+    // delta on BOTH axes — codes (high, high) exist per subspace but no
+    // corpus vector combines them, so only the updated artifact can rank
+    // the delta first for a both-axes query
+    val pqCorpus = emb((0 until 8).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(if (i % 2 == 0) 0 else 2) = 10f + i * 0.01f
+      ((i + 100).toLong, v.toSeq)
+    })
+    val pqDelta = emb(Seq((210L, Seq(10f, 0f, 10f, 0f)),
+      (211L, Seq(10.05f, 0f, 10.05f, 0f))))
+    val pqQuery = emb(Seq((0L, Seq(10.01f, 0f, 10.01f, 0f))))
+    pqCorpus.write.parquet(s"$base/pqcemb")
+    pqDelta.write.parquet(s"$base/pqdemb")
+    pqQuery.write.parquet(s"$base/pqqemb")
+    val pqp = s"$base/pq-upd"
+    assert(Tool.run(spark, Array("index-build", "--type=pq",
+      s"--path=$pqp", s"--input=format=parquet file=$base/pqcemb",
+      "--dim=4", "--m=2", "--k=2")).status == "SUCCEEDED")
+    def pqServe(tag: String): Seq[Long] = {
+      val out = s"$pqp-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=pq",
+        s"--path=$pqp", s"--input=format=parquet file=$base/pqqemb",
+        s"--output=format=parquet file=$out",
+        "--dim=4", "--m=2", "--max-query-id=1", "--topk=2"))
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.getLong(2)).toSeq
+    }
+    assert(!pqServe("before").exists(_ >= 210L))
+    assert(Tool.run(spark, Array("index-update", "--type=pq",
+      s"--path=$pqp", s"--input=format=parquet file=$base/pqdemb",
+      "--dim=4", "--m=2")).status == "SUCCEEDED")
+    assert(pqServe("after").toSet == Set(210L, 211L),
+      s"updated pq index must rank the delta blob first: ${pqServe("after")}")
     // non-mergeable artifact types refuse with guidance
     val e = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-update", "--type=ivf", s"--path=$base/x",

@@ -497,6 +497,50 @@ class ClusteringSpec extends SparkSpec {
     assert(keyed(updated.postings).size == 30)
   }
 
+  test("updateSemIndex: week-2 delta prunes against week-1 rows the fit never saw") {
+    // corpus: two blobs on axes 0/1; week-1 delta: a THIRD blob (axis 2);
+    // week-2 delta: near-copies of the week-1 rows — only an UPDATED
+    // index can keep them (the fit corpus has nothing on axis 2)
+    def emb(rows: Seq[(Long, Array[Float])]) = {
+      import org.apache.spark.sql.functions.col
+      rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    }
+    val corpus = emb((0 until 12).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v)
+    })
+    val week1 = emb(Seq((100L, Array(0f, 0f, 10f, 0f)),
+      (101L, Array(0f, 0f, 10.3f, 0f))))
+    val week2 = emb(Seq((200L, Array(0f, 0f, 10.01f, 0f)), // ≈ week-1 100
+      (201L, Array(10.02f, 0f, 0f, 0f)))) // ≈ corpus blob 0
+    val path = tmpDir("semupd")
+    Clustering.saveSemIndex(Clustering.semDedupHierFit(
+      corpus, "vec_id", "embedding", coarseK = 2, targetRows = 4L,
+      iters = 2, salt = "s-upd", clusterCap = 64L, maxFinePerCell = 8), path)
+    val base = Clustering.loadSemIndex(spark, path)
+    // before the update, the week-2 near-copy of week-1 sails through
+    val before = Clustering.semDedupDeltaHier(week2, "vec_id", "embedding",
+      base, 0.9).collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(!before.contains(200L), s"200 pruned without the update: $before")
+    // after: assign surface grew by exactly the week-1 rows, fitted
+    // parameters untouched, and the near-copy is caught with its week-1
+    // keeper while the corpus-near row keeps its corpus keeper
+    val updated = Clustering.updateSemIndex(base, week1, "vec_id", "embedding")
+    val p2 = tmpDir("semupd2")
+    Clustering.saveSemIndex(updated, p2)
+    val reloaded = Clustering.loadSemIndex(spark, p2)
+    assert(reloaded.assign.count() == base.assign.count() + 2)
+    assert(reloaded.sizes.collect().toSeq.toSet ==
+      base.sizes.collect().toSeq.toSet)
+    val after = Clustering.semDedupDeltaHier(week2, "vec_id", "embedding",
+      reloaded, 0.9).collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(after.get(200L).contains(100L),
+      s"week-2 near-copy must be kept by its week-1 twin: $after")
+    assert(after.get(201L).exists(_ < 12L),
+      s"corpus-near row keeps a corpus keeper: $after")
+  }
+
   test("IvfFlat serve prunes the postings scan to the probed cells") {
     val path = tmpDir("ivfflat_prune")
     Clustering.saveIvfFlatIndex(
