@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev microbenchmark for the FIXED-INDEX serve slope of the IVF-flat
+  * tier: the per-round bench queries (q156/q157) time build+save+serve
+  * together, so the corpus-tier ratio is dominated by the n·k coarse
+  * fit — the operational question for an ANN index is different: "the
+  * corpus doubled and was re-indexed; what happened to QUERY cost?"
+  *
+  * Protocol: build + persist the IvfFlatIndex ONCE on the given corpus
+  * (centroid count on the engine's √n ladder), reload it, then time the
+  * same fixed query batch two ways, min-of-2 each:
+  *
+  *  - `serve_pruned`: [[graft.operators.Clustering.serveIvfFlat]] — the
+  *    postings tier: probes kernel-rank the query batch only, the scan
+  *    reads the probed cell partitions. Expected ~flat in corpus size
+  *    (probed cells stay ≈ batch·nprobe, each ≈ targetRows wide).
+  *  - `serve_legacy`: `Similarity.knnIvfWith` against the loaded
+  *    CODEBOOK only (q111's artifact) — re-assigns every corpus vector
+  *    per query batch. Expected ≈ n·k: the cost the postings tier
+  *    removes.
+  *
+  * Run once per corpus tier and compare rows across tiers. Prints one
+  * JSON line; recorded in BASELINE.md.
+  *
+  * Usage:
+  *   SPARK_GRAFT_ANN_CORPUS=/tmp/sfscale2.5 sbt "runMain graft.AnnServeScaleBench"
+  */
+object AnnServeScaleBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_ANN_CORPUS", "/tmp/sfscale2.5")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .appName("graft-ann-serve-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Clustering, Similarity}
+
+    val emb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val k = 1 << Similarity.quadBitsFor(n, 16)
+    val path = s"/tmp/annservescale_idx_${System.nanoTime()}"
+
+    val tBuild = System.nanoTime()
+    Clustering.saveIvfFlatIndex(
+      Clustering.buildIvfFlatIndex(emb, "vec_id", "embedding", k), path)
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+
+    val idx = Clustering.loadIvfFlatIndex(spark, path)
+    val cents = Similarity.centroidSetFromLanes(idx.lanes)
+    val (maxQueryId, nprobe, topK) = (20L, 2, 3)
+
+    def timeMin2(run: () => Unit): Double =
+      Seq.fill(2) {
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val pruned = timeMin2(() =>
+      Clustering.serveIvfFlat(idx, emb, "vec_id", "embedding",
+          maxQueryId, nprobe, topK)
+        .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
+    val legacy = timeMin2(() =>
+      Similarity.knnIvfWith(emb, "vec_id", "embedding", cents,
+          maxQueryId, nprobe, topK)
+        .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
+
+    println(s"""{"metric":"ann_serve_scale","corpus":"$corpusDir",""" +
+      s""""rows":$n,"centroids":$k,"build_sec":${f"$buildSec%.2f"},""" +
+      s""""serve_pruned_sec":${f"$pruned%.2f"},""" +
+      s""""serve_legacy_sec":${f"$legacy%.2f"}}""")
+    spark.stop()
+  }
+}
