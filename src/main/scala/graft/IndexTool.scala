@@ -30,6 +30,10 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    (`Clustering.buildIvfFlatIndex`). serve = query rows of the input
   *    against the LOADED postings, scan pruned to the probed cells
   *    (`serveIvfFlat`); updatable (Faiss train/add).
+  *  - `ivfpq`: build = the composed compressed index — coarse codebook,
+  *    cell-partitioned lists, PQ codes + codebooks, NO raw vectors
+  *    (`Clustering.buildIvfPqIndex`). serve = pruned-cell ADC top-k
+  *    (`serveIvfPq`; dim/m must match); updatable.
   *  - `pq`: build = product-quantizer fit (codes + codebooks). serve =
   *    ADC top-k (`pqSearchIndex`; dim/m must match).
   *  - `bpe`: build = merge-list induction. serve = kernel token stats
@@ -59,8 +63,8 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "ivfflat", "pq", "bpe", "bm25", "unigram", "semdedup",
-      "wordpiece", "decontam", "cdc")
+    Set("lsh", "ivf", "ivfflat", "ivfpq", "pq", "bpe", "bm25", "unigram",
+      "semdedup", "wordpiece", "decontam", "cdc")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -106,6 +110,13 @@ object IndexTool {
         Clustering.saveIvfFlatIndex(Clustering.buildIvfFlatIndex(
           embOf(input, flags), "vec_id", "embedding",
           num("centroids", 64), num("iters", Similarity.IvfCoarseIters)), path)
+      case "ivfpq" =>
+        // the composed compressed index: coarse codebook +
+        // cell-partitioned lists + PQ codes/codebooks, no raw vectors
+        Clustering.saveIvfPqIndex(Clustering.buildIvfPqIndex(
+          embOf(input, flags), "vec_id", "embedding",
+          num("dim", 64), num("m", 8), num("k", 16), num("iters", 2),
+          num("centroids", 64)), path)
       case "pq" =>
         Clustering.savePqIndex(Clustering.pqFit(embOf(input, flags),
           "vec_id", "embedding", num("dim", 64), num("m", 8),
@@ -173,9 +184,10 @@ object IndexTool {
     * serve-path assignment (q158) — so later deltas screen against
     * previously admitted rows too. `pq` likewise: codebooks stay fixed,
     * a delta is ENCODED against them (per-subspace argmin — Faiss
-    * `add`) and its codes appended (q159). */
+    * `add`) and its codes appended (q159). `ivfpq` composes the ivfflat
+    * and pq adds over one delta pass (q161). */
   val UpdateTypes: Set[String] =
-    Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq")
+    Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq")
 
   /** `index-update`: load the artifact at `path`, fold the delta batch
     * in, and atomically REPLACE the artifact (staged write + the bulk
@@ -217,6 +229,11 @@ object IndexTool {
           Clustering.loadPqIndex(spark, path),
           embOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8)), staging)
+      case "ivfpq" =>
+        Clustering.saveIvfPqIndex(Clustering.updateIvfPqIndex(
+          Clustering.loadIvfPqIndex(spark, path),
+          embOf(input, flags), "vec_id", "embedding",
+          num("dim", 64), num("m", 8)), staging)
     }
     graft.sinks.BulkSink.commit(spark, staging, path)
   }
@@ -244,6 +261,12 @@ object IndexTool {
         // from the persisted postings (pruned to the probed cells)
         Clustering.serveIvfFlat(Clustering.loadIvfFlatIndex(spark, path),
             embOf(input, flags), "vec_id", "embedding",
+            num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "ivfpq" =>
+        Clustering.serveIvfPq(Clustering.loadIvfPqIndex(spark, path),
+            embOf(input, flags), "vec_id", "embedding",
+            num("dim", 64), num("m", 8),
             num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
       case "pq" =>
@@ -353,7 +376,7 @@ object IndexTool {
     * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
-      "ivfflat", "pq", "bm25")
+      "ivfflat", "ivfpq", "pq", "bm25")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -461,6 +484,14 @@ object IndexTool {
             sink(Clustering.pqSearchIndex(idx, batch, "vec_id", "embedding",
               num("dim", 64) / num("m", 8), num("max-query-id", 20).toLong,
               num("topk", 3)), batchId)
+        }
+      case "ivfpq" =>
+        val idx = Clustering.loadIvfPqIndex(spark, path)
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Clustering.serveIvfPq(idx, batch, "vec_id", "embedding",
+              num("dim", 64), num("m", 8), num("max-query-id", 20).toLong,
+              num("nprobe", 2), num("topk", 3)), batchId)
         }
       case "bm25" =>
         val idx = Retrieval.loadBm25Index(spark, path)

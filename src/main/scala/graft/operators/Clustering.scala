@@ -818,20 +818,28 @@ object Clustering {
     * past what the old codebooks quantize well. */
   def updatePqIndex(idx: PqIndex, delta: DataFrame,
                     idCol: String, vecCol: String,
-                    dim: Int, m: Int): PqIndex = {
+                    dim: Int, m: Int): PqIndex =
+    PqIndex(idx.codes.select(col("n_id"), col("s"), col("code"))
+      .unionByName(pqEncode(delta, idx.lanes, idCol, vecCol, dim, m)),
+      idx.lanes)
+
+  /** ENCODE a batch against fixed PQ codebooks: per-subspace argmin to
+    * the loaded lanes — one [[assignToLanes]] kernel pass per subspace,
+    * O(rows·m·k). The add half of [[updatePqIndex]]/[[updateIvfPqIndex]]. */
+  private def pqEncode(batch: DataFrame, pqLanes: DataFrame,
+                       idCol: String, vecCol: String,
+                       dim: Int, m: Int): DataFrame = {
     require(m > 0 && dim > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim m=$m")
     val sub = dim / m
-    val deltaCodes = (0 until m).map { s =>
-      val laneS = idx.lanes.filter(col("s") === s)
+    (0 until m).map { s =>
+      val laneS = pqLanes.filter(col("s") === s)
         .select(col("code").as("cluster"), col("pos"), col("cval"))
       assignToLanes(
-        delta.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("__sub")),
+        batch.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("__sub")),
         idCol, "__sub", laneS)
         .select(col("vid").as("n_id"), lit(s).as("s"), col("cluster").as("code"))
     }.reduce(_.union(_))
-    PqIndex(idx.codes.select(col("n_id"), col("s"), col("code"))
-      .unionByName(deltaCodes), idx.lanes)
   }
 
   /** ADC search against a fitted/loaded [[PqIndex]] — the cheap,
@@ -1100,9 +1108,129 @@ object Clustering {
   }
 
   /** Max distinct probed cells pushed as a static partition filter by
-    * [[serveIvfFlat]] — past this the literal stops being worth it (and
-    * the probe join filters regardless; only scan pruning is lost). */
+    * [[serveIvfFlat]]/[[serveIvfPq]] — past this the literal stops being
+    * worth it (and the probe join filters regardless; only scan pruning
+    * is lost). */
   val ServeCellFilterCap = 4096
+
+  /** The composed Faiss-IVFPQ artifact — the production 100 TB ANN
+    * shape: coarse codebook (`coarseLanes`) + cell-partitioned inverted
+    * lists (`cells`: `(n_id, c_id)` only) + the PQ-compressed corpus
+    * (`codes`: m small ints per vector) + the PQ codebooks (`pqLanes`).
+    * NO raw vectors anywhere: serving reads the probed cell partitions
+    * (the [[IvfFlatIndex]] pruning) and ranks by ADC lookup against the
+    * per-query distance tables (the [[PqIndex]] economics) — at 100 TB
+    * the raw-float corpus never leaves cold storage. Both corpus-sized
+    * surfaces (cells, codes) are monoids under the FIXED fitted
+    * parameters, so [[updateIvfPqIndex]] composes the ivfflat add
+    * (kernel cell assignment) with the pq add (per-subspace encode) —
+    * one delta pass, exact. */
+  final case class IvfPqIndex(coarseLanes: DataFrame, cells: DataFrame,
+                              codes: DataFrame, pqLanes: DataFrame)
+
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, k: Int, iters: Int,
+                      numCentroids: Int, salt: String = "pq")
+      : IvfPqIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // the PQ subspace fits and the coarse fit are independent training
+    // chains — overlap their driver barriers (ivfPqSearch's shape)
+    val trained = concurrently[AnyRef](Seq(
+      () => pqModels(emb, idCol, vecCol, dim, m, k, iters, salt),
+      () => ivfCoarseLanes(emb, idCol, vecCol, numCentroids)
+        .select(col("cluster"), col("pos"), col("cval"), col("n")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq))
+    val models = trained(0).asInstanceOf[Seq[(Int, KmeansModel)]]
+    val coarseLanes = trained(1).asInstanceOf[Seq[(Int, Int, Long, Long)]]
+      .toDF("cluster", "pos", "cval", "n")
+    val cells = Similarity.ivfPostings(emb, idCol, vecCol,
+        Similarity.centroidSetFromLanes(coarseLanes))
+      .select(col("n_id"), col("c_id"))
+    IvfPqIndex(coarseLanes, cells, pqCodesLong(models), pqLanesLong(models))
+  }
+
+  /** Persist: both codebooks funnel to one file (bounded); `cells` gets
+    * the inverted-list directory layout (`partitionBy(c_id)`); `codes`
+    * keeps its partitioning (corpus-sized, joined on n_id at serve). */
+  def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
+    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
+    idx.cells.select(col("n_id"), col("c_id")).repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/cells")
+    idx.codes.select(col("n_id"), col("s"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqIndex = {
+    import org.apache.spark.sql.types.LongType
+    IvfPqIndex(spark.read.parquet(s"$path/coarse"),
+      spark.read.parquet(s"$path/cells")
+        .select(col("n_id"), col("c_id").cast(LongType).as("c_id")),
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/pqlanes"))
+  }
+
+  /** ADD a delta: one kernel cell-assignment against the fixed coarse
+    * codebook + one per-subspace encode against the fixed PQ codebooks
+    * — the [[updateIvfFlatIndex]] and [[updatePqIndex]] adds composed
+    * over the shared delta pass. Exact under fixed fitted parameters
+    * (q161's oracle trains on the pre-update slice and assigns/encodes
+    * the union). */
+  def updateIvfPqIndex(idx: IvfPqIndex, delta: DataFrame,
+                       idCol: String, vecCol: String,
+                       dim: Int, m: Int): IvfPqIndex = {
+    val deltaCells = Similarity.ivfPostings(delta, idCol, vecCol,
+        Similarity.centroidSetFromLanes(idx.coarseLanes))
+      .select(col("n_id"), col("c_id"))
+    IvfPqIndex(idx.coarseLanes,
+      idx.cells.select(col("n_id"), col("c_id")).unionByName(deltaCells),
+      idx.codes.select(col("n_id"), col("s"), col("code"))
+        .unionByName(pqEncode(delta, idx.pqLanes, idCol, vecCol, dim, m)),
+      idx.pqLanes)
+  }
+
+  /** Serve a query batch from the loaded compressed index: probes
+    * kernel-rank against the coarse codebook, the cells scan prunes to
+    * the probed partitions (static `c_id IN (...)`, as [[serveIvfFlat]]),
+    * candidates fetch their m codes (co-partitioned n_id join), and the
+    * broadcast per-query ADC tables fold to one integer distance per
+    * pair — raw vectors are never read. Reproduces `ivfPqSearch`
+    * bit-for-bit under the same parameters (q160). */
+  def serveIvfPq(idx: IvfPqIndex, emb: DataFrame, idCol: String,
+                 vecCol: String, dim: Int, m: Int, maxQueryId: Long,
+                 nprobe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, s"topK must be positive: $topK")
+    val cents = Similarity.centroidSetFromLanes(idx.coarseLanes)
+    val probes = Similarity.ivfProbeQueries(emb, idCol, vecCol, cents,
+        maxQueryId, nprobe)
+      .select(col("q_id"), col("c_id"))
+    val probedCells = probes.select(col("c_id")).distinct()
+      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+    val cells =
+      if (probedCells.length <= ServeCellFilterCap)
+        idx.cells.filter(col("c_id").isInCollection(probedCells))
+      else idx.cells
+    val cand = cells.join(broadcast(probes), Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+    val dtab = pqDistTables(emb, idCol, vecCol, dim / m, idx.pqLanes,
+      maxQueryId)
+    val scored = cand.join(idx.codes, Seq("n_id"))
+      .join(broadcast(dtab), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dval")).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
+  }
 
   /** The IVF candidate set behind [[ivfPqSearch]]: `(q_id, n_id, c_id)` —
     * each query paired with exactly the corpus vectors in its nprobe

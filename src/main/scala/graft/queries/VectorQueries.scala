@@ -496,6 +496,130 @@ object VectorQueries {
        |    ORDER BY adist, n_id) AS rank FROM ad)
        |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
 
+  // ── q160: the composed IVFPQ artifact (Clustering.IvfPqIndex) — the
+  // production 100 TB ANN shape persisted as one index: coarse codebook
+  // + cell-partitioned inverted lists (n_id, c_id only) + PQ codes +
+  // PQ codebooks, NO raw vectors anywhere. Serve = probes kernel-ranked
+  // against the loaded coarse codebook, cells scan pruned to the probed
+  // partitions, candidates fetch their m codes, broadcast ADC tables
+  // fold to one integer distance per pair. Parameters match q94 exactly
+  // and every persisted surface is int64-lossless, so the served search
+  // must reproduce q94 bit-for-bit: the oracle IS q94's SQL. ────────────
+  val q160_ivfpq_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqidx", d)
+    graft.operators.Clustering.saveIvfPqIndex(
+      graft.operators.Clustering.buildIvfPqIndex(emb, "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)),
+      path)
+    graft.operators.Clustering.serveIvfPq(
+        graft.operators.Clustering.loadIvfPqIndex(s, path),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q161: IVFPQ index UPDATE — the ivfflat add (kernel cell
+  // assignment, q157) and the pq add (per-subspace encode, q159)
+  // composed over one delta pass: both corpus-sized surfaces are
+  // monoids under the FIXED coarse + PQ codebooks. Build on the
+  // existing corpus (vec_id % 10 <> 0), add the arriving slice, serve
+  // the q94-shaped batch from the RELOADED artifact. The oracle trains
+  // every chain on the slice and assigns/encodes the union — delta
+  // codes argmin against the FINAL subspace lanes (the q159 asymmetry),
+  // delta cells against the final coarse codebook. ──────────────────────
+  val q161_ivfpq_index_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqupd0", d)
+    graft.operators.Clustering.saveIvfPqIndex(
+      graft.operators.Clustering.buildIvfPqIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)),
+      path)
+    val updated = graft.operators.Clustering.updateIvfPqIndex(
+      graft.operators.Clustering.loadIvfPqIndex(s, path),
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding", Dim, PqM)
+    val upPath = QueryTmp.dir("ivfpqupd1", d)
+    graft.operators.Clustering.saveIvfPqIndex(updated, upPath)
+    graft.operators.Clustering.serveIvfPq(
+        graft.operators.Clustering.loadIvfPqIndex(s, upPath),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+  /** q94's structure with every chain trained on the SLICE (`sv`) while
+    * cell assignment, probing, ADC tables and the DELTA's code encodes
+    * run over ALL vectors (`uv`). */
+  lazy val q161_sql: String = {
+    def cos(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, Dim)
+    val sub = Dim / PqM
+    val chains = (0 until PqM)
+      .map(s => kmeansChainSql(s"s$s", s * sub, sub, PqK.toString, PqIters, s"pq$s"))
+      .mkString(",\n")
+    val corpusCodes = (0 until PqM)
+      .map(s => s"SELECT vid AS n_id, $s AS s, cluster AS code FROM s${s}a$PqIters")
+      .mkString(" UNION ALL ")
+    val deltaCodes = (0 until PqM).map { s =>
+      val dlane = s"list_extract(u.v, $s * $sub + c.pos + 1)"
+      s"""SELECT vid AS n_id, $s AS s, cluster AS code FROM (
+         |    SELECT vid, cluster,
+         |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+         |    FROM (
+         |      SELECT u.vid, c.cluster,
+         |        sum(($dlane - c.cval) * ($dlane - c.cval)) AS dist
+         |      FROM dv u, s${s}c$PqIters c GROUP BY u.vid, c.cluster))
+         |  WHERE rn = 1""".stripMargin
+    }.mkString(" UNION ALL ")
+    val lanes = (0 until PqM)
+      .map(s => s"SELECT $s AS s, cluster AS code, pos, cval FROM s${s}c$PqIters")
+      .mkString(" UNION ALL ")
+    val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
+    s"""WITH $sqlIvfParams, uv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings),
+       |sv AS (SELECT vid, v, nrm FROM uv WHERE vid % 10 <> 0),
+       |dv AS (SELECT vid, v FROM uv WHERE vid % 10 = 0),
+       |$chains,
+       |${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM ivfp)",
+          Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
+       |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
+       |assigned AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT s.vid AS n_id, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vid
+       |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv s CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vid AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv q CROSS JOIN cent c WHERE q.vid < $MaxQueryId)
+       |  WHERE rn <= $IvfNprobe
+       |), cand AS (
+       |  SELECT p.q_id, a.n_id FROM probes p
+       |  JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |), codes AS ($corpusCodes UNION ALL $deltaCodes),
+       |lanes AS ($lanes),
+       |dt AS (
+       |  SELECT q.vid AS q_id, l.s, l.code,
+       |    CAST(sum(($qlane - l.cval) * ($qlane - l.cval)) AS BIGINT) AS dval
+       |  FROM uv q, lanes l WHERE q.vid < $MaxQueryId
+       |  GROUP BY q_id, l.s, l.code),
+       |ad AS (
+       |  SELECT x.q_id, x.n_id, CAST(sum(d.dval) AS BIGINT) AS adist
+       |  FROM cand x JOIN codes c ON c.n_id = x.n_id
+       |  JOIN dt d ON d.q_id = x.q_id AND d.s = c.s AND d.code = c.code
+       |  GROUP BY x.q_id, x.n_id)
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, n_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** The full IVF×PQ oracle chain through `ad(q_id, n_id, adist)` — the
     * per-candidate exact ADC distances of the pruned index. Shared by
     * q94 (rank by adist) and q98 (rerank the adist shortlist by exact
@@ -1399,6 +1523,8 @@ object VectorQueries {
     "q157_ivfflat_update" -> q157_ivfflat_update,
     "q158_semdedup_index_update" -> q158_semdedup_index_update,
     "q159_pq_index_update" -> q159_pq_index_update,
+    "q160_ivfpq_index_persist" -> q160_ivfpq_index_persist,
+    "q161_ivfpq_index_update" -> q161_ivfpq_index_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -1431,5 +1557,8 @@ object VectorQueries {
     "q157_ivfflat_update" -> q157_sql,
     "q158_semdedup_index_update" -> q158_sql,
     "q159_pq_index_update" -> q159_sql,
+    // serve-from-the-composed-compressed-artifact must reproduce q94
+    "q160_ivfpq_index_persist" -> q94_sql,
+    "q161_ivfpq_index_update" -> q161_sql,
   )
 }

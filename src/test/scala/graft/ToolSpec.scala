@@ -823,6 +823,8 @@ class ToolSpec extends SparkSpec {
       ("ivfflat", vecsPath, Seq("--centroids=3"), Seq[String]()),
       ("pq", vecsPath, Seq("--dim=4", "--m=2", "--k=2"),
         Seq("--dim=4", "--m=2")),
+      ("ivfpq", vecsPath, Seq("--dim=4", "--m=2", "--k=2", "--centroids=3"),
+        Seq("--dim=4", "--m=2")),
       ("bm25", docsPath, Seq[String](), Seq[String]()))
     fixtures.foreach { case (tpe, in, buildFlags, serveFlags) =>
       val idxPath = s"$base/$tpe-idx"
@@ -869,7 +871,7 @@ class ToolSpec extends SparkSpec {
     val probe = Seq((20L, "spark join hash table scan batch"),
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
-    (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq"))
+    (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq", "ivfpq"))
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
       val full = s"$base/$tpe-full"
@@ -980,9 +982,15 @@ class ToolSpec extends SparkSpec {
       val v = Array(0f, 0f, 0f, 0f); v(if (i % 2 == 0) 0 else 2) = 10f + i * 0.01f
       ((i + 100).toLong, v.toSeq)
     })
-    val pqDelta = emb(Seq((210L, Seq(10f, 0f, 10f, 0f)),
-      (211L, Seq(10.05f, 0f, 10.05f, 0f))))
-    val pqQuery = emb(Seq((0L, Seq(10.01f, 0f, 10.01f, 0f))))
+    // NOT (10,0,10,0): that direction is an EXACT cosine tie between the
+    // two blob centroids, where last-ULP double rounding may assign the
+    // two delta rows to different coarse cells (deterministic and
+    // oracle-exact, but a probing-fixture hazard) — the 10:8 mix makes
+    // the axis-0 cell the clear coarse winner while subspace 1 still
+    // encodes to the high code
+    val pqDelta = emb(Seq((210L, Seq(10f, 0f, 8f, 0f)),
+      (211L, Seq(10.05f, 0f, 8.05f, 0f))))
+    val pqQuery = emb(Seq((0L, Seq(10.01f, 0f, 8.01f, 0f))))
     pqCorpus.write.parquet(s"$base/pqcemb")
     pqDelta.write.parquet(s"$base/pqdemb")
     pqQuery.write.parquet(s"$base/pqqemb")
@@ -1006,6 +1014,29 @@ class ToolSpec extends SparkSpec {
       "--dim=4", "--m=2")).status == "SUCCEEDED")
     assert(pqServe("after").toSet == Set(210L, 211L),
       s"updated pq index must rank the delta blob first: ${pqServe("after")}")
+    // ivfpq: the composed add — same unoccupied-code-combination
+    // fixtures; the query probes the delta's cell and ADC-ranks its
+    // appended codes first
+    val ivfpqp = s"$base/ivfpq-upd"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq",
+      s"--path=$ivfpqp", s"--input=format=parquet file=$base/pqcemb",
+      "--dim=4", "--m=2", "--k=2", "--centroids=3")).status == "SUCCEEDED")
+    def ivfpqServe(tag: String): Seq[Long] = {
+      val out = s"$ivfpqp-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=ivfpq",
+        s"--path=$ivfpqp", s"--input=format=parquet file=$base/pqqemb",
+        s"--output=format=parquet file=$out",
+        "--dim=4", "--m=2", "--max-query-id=1", "--nprobe=1", "--topk=2"))
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.getLong(2)).toSeq
+    }
+    assert(!ivfpqServe("before").exists(_ >= 210L))
+    assert(Tool.run(spark, Array("index-update", "--type=ivfpq",
+      s"--path=$ivfpqp", s"--input=format=parquet file=$base/pqdemb",
+      "--dim=4", "--m=2")).status == "SUCCEEDED")
+    assert(ivfpqServe("after").toSet == Set(210L, 211L),
+      s"updated ivfpq index must rank the delta blob first: ${ivfpqServe("after")}")
     // non-mergeable artifact types refuse with guidance
     val e = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-update", "--type=ivf", s"--path=$base/x",

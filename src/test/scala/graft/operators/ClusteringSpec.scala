@@ -541,6 +541,34 @@ class ClusteringSpec extends SparkSpec {
       s"corpus-near row keeps a corpus keeper: $after")
   }
 
+  test("IvfPqIndex roundtrip: served ADC search == fresh ivfPqSearch; cells scan prunes") {
+    val path = tmpDir("ivfpq_rt")
+    Clustering.saveIvfPqIndex(Clustering.buildIvfPqIndex(
+      blobs, "vec_id", "embedding", dim = 4, m = 2, k = 2, iters = 2,
+      numCentroids = 3), path)
+    val loaded = Clustering.loadIvfPqIndex(spark, path)
+    val served = Clustering.serveIvfPq(loaded, blobs, "vec_id", "embedding",
+      dim = 4, m = 2, maxQueryId = 6L, nprobe = 1, topK = 3)
+    val fresh = Clustering.ivfPqSearch(blobs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2, numCentroids = 3, nprobe = 1,
+      maxQueryId = 6L, topK = 3)
+    assert(served.orderBy($"q_id", $"rank").collect().toSeq ==
+      fresh.orderBy($"q_id", $"rank").collect().toSeq)
+    // the compressed artifact stores NO raw vectors
+    assert(!loaded.cells.columns.contains("nv") &&
+      !loaded.codes.columns.contains("nv"))
+    // and the cells scan carries the static probed-cells partition filter
+    val one = Clustering.serveIvfPq(loaded, blobs, "vec_id", "embedding",
+      dim = 4, m = 2, maxQueryId = 1L, nprobe = 1, topK = 3)
+    val scans = one.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    assert(scans.nonEmpty &&
+      scans.head.partitionFilters.map(_.toString).exists(_.contains("c_id")))
+    assert(scans.head.selectedPartitions.partitionCount == 1)
+  }
+
   test("IvfFlat serve prunes the postings scan to the probed cells") {
     val path = tmpDir("ivfflat_prune")
     Clustering.saveIvfFlatIndex(

@@ -56,9 +56,16 @@ class ZOrderSpec extends SparkSpec {
     }
     val touchX = boxes.count { case (x0, x1, _, _) => x0 < 64 && x1 >= 0 }
     val touchY = boxes.count { case (_, _, y0, y1) => y0 < 64 && y1 >= 0 }
-    assert(touchX <= files.length / 2,
+    // threshold has sampling slack: repartitionByRange draws its range
+    // bounds from a reservoir sample with a per-run seed, so a file
+    // boundary can wobble across the queried box edge (observed 9/16
+    // once in ~40 full-board runs at the exact-half threshold). The
+    // discriminating failure this guards — a single-key sort leaving the
+    // other dim unclustered — touches ALL 16 files, far past the slack.
+    val cap = files.length * 5 / 8
+    assert(touchX <= cap,
       s"x-box touches $touchX of ${files.length} files — x not clustered")
-    assert(touchY <= files.length / 2,
+    assert(touchY <= cap,
       s"y-box touches $touchY of ${files.length} files — y not clustered")
   }
 }
