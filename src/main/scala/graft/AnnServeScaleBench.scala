@@ -74,10 +74,23 @@ object AnnServeScaleBench {
           maxQueryId, nprobe, topK)
         .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
 
+    // the composed compressed artifact: same probe shape, ADC ranking
+    // over the probed cells' codes — no raw vectors read at serve
+    val pqPath = s"/tmp/annservescale_pq_${System.nanoTime()}"
+    Clustering.saveIvfPqIndex(
+      Clustering.buildIvfPqIndex(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2, numCentroids = k), pqPath)
+    val pqIdx = Clustering.loadIvfPqIndex(spark, pqPath)
+    val adc = timeMin2(() =>
+      Clustering.serveIvfPq(pqIdx, emb, "vec_id", "embedding",
+          dim = 64, m = 8, maxQueryId, nprobe, topK)
+        .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
+
     println(s"""{"metric":"ann_serve_scale","corpus":"$corpusDir",""" +
       s""""rows":$n,"centroids":$k,"build_sec":${f"$buildSec%.2f"},""" +
       s""""serve_pruned_sec":${f"$pruned%.2f"},""" +
-      s""""serve_legacy_sec":${f"$legacy%.2f"}}""")
+      s""""serve_legacy_sec":${f"$legacy%.2f"},""" +
+      s""""serve_ivfpq_adc_sec":${f"$adc%.2f"}}""")
     spark.stop()
   }
 }
