@@ -360,6 +360,85 @@ object IndexTool {
     }
   }
 
+  /** `index-describe`: artifact introspection — per-surface row counts
+    * and the fitted shape knobs an operator checks around an
+    * `index-update` (did the delta land? how occupied are the cells?).
+    * Read-only; every number is a bounded agg over the artifact (the
+    * corpus-sized surfaces are counted, never collected). */
+  def describe(spark: SparkSession, tpe: String, path: String)
+      : Map[String, Long] = {
+    require(Types(tpe),
+      s"unknown index type '$tpe' (expected ${Types.toSeq.sorted.mkString("|")})")
+    def rows(p: String): Long = spark.read.parquet(p).count()
+    val counters: Seq[(String, Long)] = tpe match {
+      case "lsh" =>
+        val idx = Dedup.loadLshIndex(spark, path)
+        Seq("signature_rows" -> idx.count(),
+          "docs" -> idx.select(col("id")).distinct().count(),
+          "bands" -> idx.select(col("band")).distinct().count())
+      case "cdc" =>
+        val idx = Dedup.loadCdcIndex(spark, path)
+        val agg = idx.agg(count(lit(1)), sum(col("n_occ"))).head()
+        Seq("unique_chunks" -> agg.getLong(0),
+          "chunk_occurrences" -> agg.getLong(1))
+      case "bm25" =>
+        val idx = Retrieval.loadBm25Index(spark, path)
+        val st = idx.stats.head()
+        Seq("posting_rows" -> idx.postings.count(),
+          "docs" -> idx.doclen.count(),
+          "vocab_terms" -> idx.docfreq.count(),
+          "total_tokens" -> st.getAs[Long]("total_len"))
+      case "ivf" =>
+        val lanes = spark.read.parquet(path)
+        Seq("centroids" -> lanes.select(col("cluster")).distinct().count(),
+          "dim" -> lanes.select(col("pos")).distinct().count())
+      case "ivfflat" =>
+        val idx = Clustering.loadIvfFlatIndex(spark, path)
+        val occ = idx.postings.groupBy(col("c_id")).count()
+        val st = occ.agg(count(lit(1)), max(col("count"))).head()
+        Seq("centroids" ->
+            idx.lanes.select(col("cluster")).distinct().count(),
+          "vectors" -> idx.postings.count(),
+          "occupied_cells" -> st.getLong(0),
+          "largest_cell" -> st.getLong(1))
+      case "ivfpq" =>
+        val idx = Clustering.loadIvfPqIndex(spark, path)
+        val occ = idx.cells.groupBy(col("c_id")).count()
+        val st = occ.agg(count(lit(1)), max(col("count"))).head()
+        Seq("centroids" ->
+            idx.coarseLanes.select(col("cluster")).distinct().count(),
+          "vectors" -> idx.cells.count(),
+          "occupied_cells" -> st.getLong(0),
+          "largest_cell" -> st.getLong(1),
+          "code_rows" -> idx.codes.count(),
+          "subspaces" -> idx.pqLanes.select(col("s")).distinct().count(),
+          "codebook_k" ->
+            idx.pqLanes.select(col("code")).distinct().count())
+      case "pq" =>
+        val idx = Clustering.loadPqIndex(spark, path)
+        Seq("code_rows" -> idx.codes.count(),
+          "vectors" -> idx.codes.select(col("n_id")).distinct().count(),
+          "subspaces" -> idx.lanes.select(col("s")).distinct().count(),
+          "codebook_k" -> idx.lanes.select(col("code")).distinct().count())
+      case "semdedup" =>
+        val idx = Clustering.loadSemIndex(spark, path)
+        Seq("coarse_k" -> idx.coarseK.toLong,
+          "cluster_cap" -> idx.clusterCap,
+          "fine_seeds" -> idx.seeds.count(),
+          "assigned_rows" -> idx.assign.count(),
+          "fine_clusters" -> idx.sizes.count())
+      case "bpe" => Seq("merges" -> rows(path))
+      case "unigram" => Seq("vocab_pieces" -> rows(path))
+      case "wordpiece" =>
+        val v = spark.read.parquet(path)
+        Seq("vocab_pieces" -> v.count(),
+          "continuation_pieces" -> v.filter(col("is_cont")).count())
+      case "decontam" => Seq("eval_vectors" -> rows(path))
+    }
+    counters.foreach { case (name, value) => println(s"$name: $value") }
+    counters.toMap
+  }
+
   /** The index types with a STREAMING serve path (`index-serve ...
     * --stream=true`). The rule: a serve streams exactly when its CORPUS
     * side lives in the loaded artifact — then every input row is

@@ -128,10 +128,20 @@ object Tool {
     // input spec and persists the artifact at --path; serve loads the
     // artifact and runs the type's query/encode path over the input spec,
     // writing through the standard output spec dispatch.
-    if (verb == "index-build" || verb == "index-serve" || verb == "index-update") {
+    if (verb == "index-build" || verb == "index-serve" ||
+        verb == "index-update" || verb == "index-describe") {
       val tpe = flag("type")
       val path = flag("path")
       val start = System.currentTimeMillis()
+      if (verb == "index-describe") {
+        // artifact introspection — the check an operator runs around an
+        // index-update (did the delta land? how big are the surfaces?)
+        val counters = IndexTool.describe(spark, tpe, path)
+        val now = System.currentTimeMillis()
+        return JobResult(java.util.UUID.randomUUID().toString,
+          flags.getOrElse("name", s"index-describe-$tpe"), start, now,
+          "SUCCEEDED", counters, None)
+      }
       if (verb == "index-build")
         IndexTool.build(spark, tpe, Formats.read(spark, flag("input")), path,
           flags)
@@ -348,6 +358,8 @@ object Tool {
       |   | graft.Tool index-update --type=<UPDATETYPES> --path=<dir>
       |       --input="format=..."   (fold an admitted delta into the artifact;
       |        atomic swap, exact == rebuild on the union)
+      |   | graft.Tool index-describe --type=<...> --path=<dir>
+      |       (artifact surfaces + sizes; run around an index-update)
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]

@@ -1037,6 +1037,22 @@ class ToolSpec extends SparkSpec {
       "--dim=4", "--m=2")).status == "SUCCEEDED")
     assert(ivfpqServe("after").toSet == Set(210L, 211L),
       s"updated ivfpq index must rank the delta blob first: ${ivfpqServe("after")}")
+    // index-describe: the operator's check around an update — counters
+    // reflect the artifact AFTER the folds above (corpus + delta)
+    val dIvf = Tool.run(spark, Array("index-describe", "--type=ivfflat",
+      s"--path=$ivfp"))
+    assert(dIvf.status == "SUCCEEDED" && dIvf.counters("vectors") == 11L,
+      s"ivfflat describe: ${dIvf.counters}") // 9 corpus + 2 delta
+    val dPq = Tool.run(spark, Array("index-describe", "--type=ivfpq",
+      s"--path=$ivfpqp"))
+    assert(dPq.counters("vectors") == 10L && // 8 corpus + 2 delta
+      dPq.counters("code_rows") == 20L && dPq.counters("subspaces") == 2L,
+      s"ivfpq describe: ${dPq.counters}")
+    val dSem = Tool.run(spark, Array("index-describe", "--type=semdedup",
+      s"--path=$semp"))
+    assert(dSem.counters("assigned_rows") == 10L && // 9 corpus + 1 delta
+      dSem.counters("coarse_k") == 2L,
+      s"semdedup describe: ${dSem.counters}")
     // non-mergeable artifact types refuse with guidance
     val e = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-update", "--type=ivf", s"--path=$base/x",
