@@ -192,7 +192,12 @@ object IndexTool {
   /** `index-update`: load the artifact at `path`, fold the delta batch
     * in, and atomically REPLACE the artifact (staged write + the bulk
     * commit swap — the artifact directory never half-exists, and a
-    * failed update leaves the old index serving). */
+    * failed update leaves the old index serving). CONCURRENCY: serves
+    * may run alongside an update (they plan against whole versions),
+    * but updates on the same artifact must be writer-exclusive — two
+    * concurrent updates both fold onto the same base and the second
+    * swap silently drops the first delta (last-swap-wins). One
+    * ingestion cron per index; see FIXTURES.md §10. */
   def update(spark: SparkSession, tpe: String, input: DataFrame,
              path: String, flags: Map[String, String]): Unit = {
     require(UpdateTypes(tpe),
