@@ -86,11 +86,42 @@ object AnnServeScaleBench {
           dim = 64, m = 8, maxQueryId, nprobe, topK)
         .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
 
+    // recall@topK vs exact brute force for the same query batch — the
+    // quality side of the speed numbers (nprobe=2 of k cells; ADC adds
+    // quantization error on top of the probe miss rate)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          (q, rs.map(_.getLong(1)).toSet)
+        }
+    val exact = topSets(Similarity.knnExact(emb, "vec_id", "embedding",
+      maxQueryId, topK))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topSets(df)
+      val per = exact.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    // the recall/nprobe curve is the tier's quality knob: more probed
+    // cells → higher recall at proportionally higher (still pruned)
+    // serve cost. The synthetic corpus is hash-uniform — the hardest
+    // case for IVF (no cluster structure for cells to capture), so
+    // these are recall FLOORS; clustered real embeddings sit far above.
+    val curve = Seq(2, 8, 32).map { np =>
+      val rf = recall(Clustering.serveIvfFlat(idx, emb, "vec_id",
+        "embedding", maxQueryId, np, topK))
+      val rp = recall(Clustering.serveIvfPq(pqIdx, emb, "vec_id",
+        "embedding", dim = 64, m = 8, maxQueryId, np, topK))
+      s""""nprobe$np":{"ivfflat":${f"$rf%.3f"},"ivfpq":${f"$rp%.3f"}}"""
+    }.mkString(",")
+
     println(s"""{"metric":"ann_serve_scale","corpus":"$corpusDir",""" +
       s""""rows":$n,"centroids":$k,"build_sec":${f"$buildSec%.2f"},""" +
       s""""serve_pruned_sec":${f"$pruned%.2f"},""" +
       s""""serve_legacy_sec":${f"$legacy%.2f"},""" +
-      s""""serve_ivfpq_adc_sec":${f"$adc%.2f"}}""")
+      s""""serve_ivfpq_adc_sec":${f"$adc%.2f"},""" +
+      s""""recall":{$curve}}""")
     spark.stop()
   }
 }
