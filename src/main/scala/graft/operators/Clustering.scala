@@ -962,6 +962,44 @@ object Clustering {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
+  /** Two-stage retrieval SERVED from artifacts — the production pattern
+    * closed over persisted state: the compressed [[IvfPqIndex]]
+    * produces the rerankPool-deep ADC shortlist, and the raw vectors
+    * for the exact-cosine rerank come from an [[IvfFlatIndex]]'s
+    * POSTINGS (the artifact that stores them); the query batch's own
+    * vectors come from the input. Reproduces [[ivfPqRerank]]
+    * bit-for-bit when both artifacts share the codebook parameters
+    * (q162's oracle is q98's SQL). At 100 TB the rerank fetch touches
+    * queries·rerankPool raw vectors out of the postings — never a
+    * corpus scan — so the exact math stays shortlist-sized while the
+    * corpus itself stays PQ-compressed on the serving tier. */
+  def serveIvfPqRerank(pqIdx: IvfPqIndex, postings: DataFrame,
+                       emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, maxQueryId: Long, nprobe: Int,
+                       rerankPool: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{cosineFromNorms, vnorm}
+    require(rerankPool >= topK,
+      s"rerankPool ($rerankPool) must be >= topK ($topK)")
+    val shortlist = serveIvfPq(pqIdx, emb, idCol, vecCol, dim, m,
+        maxQueryId, nprobe, rerankPool)
+      .select(col("q_id"), col("n_id"))
+    val queries = emb.select(col(idCol).cast(LongType).as("q_id"),
+        scaled(col(vecCol)).as("qv"))
+      .withColumn("qn", vnorm(col("qv")))
+      .filter(col("q_id") < maxQueryId)
+    val scored = postings.select(col("n_id"), col("nv"), col("nn"))
+      .join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
   /** Train the coarse IVF codebook: one deterministic k-means fit
     * ([[kmeansFit]], hash seeding, salt `Similarity.IvfCoarseSalt`,
     * `Similarity.IvfCoarseIters` Lloyd rounds) packed into a broadcastable

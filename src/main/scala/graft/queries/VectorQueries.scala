@@ -474,6 +474,34 @@ object VectorQueries {
        |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ── q162: two-stage retrieval SERVED from artifacts — q98's
+  // production pattern closed over persisted state: the compressed
+  // IVFPQ artifact produces the rerankPool-deep ADC shortlist and the
+  // IVF-flat postings supply the raw vectors for the exact-cosine
+  // rerank (only queries·rerankPool vectors are ever fetched). Both
+  // artifacts train the same coarse codebook (same salt/params), so the
+  // served two-stage search must reproduce q98 bit-for-bit: the oracle
+  // IS q98's SQL. ───────────────────────────────────────────────────────
+  val q162_ivfpq_rerank_serve: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val k = 1 << ivfBits(s, d)
+    val pq = QueryTmp.dir("ivfpqr0", d)
+    graft.operators.Clustering.saveIvfPqIndex(
+      graft.operators.Clustering.buildIvfPqIndex(emb, "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, k), pq)
+    val flat = QueryTmp.dir("ivfpqr1", d)
+    graft.operators.Clustering.saveIvfFlatIndex(
+      graft.operators.Clustering.buildIvfFlatIndex(emb, "vec_id",
+        "embedding", k), flat)
+    graft.operators.Clustering.serveIvfPqRerank(
+        graft.operators.Clustering.loadIvfPqIndex(s, pq),
+        graft.operators.Clustering.loadIvfFlatIndex(s, flat).postings,
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        RerankPool, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
   // ── q94: IVF×PQ composed ANN — the sublinear index: q45's coarse
   // quantizer (corpus-scaled k-means-TRAINED centroids, cosine cells)
   // prunes the corpus to each query's nprobe probed cells, and q89's ADC
@@ -1525,6 +1553,7 @@ object VectorQueries {
     "q159_pq_index_update" -> q159_pq_index_update,
     "q160_ivfpq_index_persist" -> q160_ivfpq_index_persist,
     "q161_ivfpq_index_update" -> q161_ivfpq_index_update,
+    "q162_ivfpq_rerank_serve" -> q162_ivfpq_rerank_serve,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -1560,5 +1589,7 @@ object VectorQueries {
     // serve-from-the-composed-compressed-artifact must reproduce q94
     "q160_ivfpq_index_persist" -> q94_sql,
     "q161_ivfpq_index_update" -> q161_sql,
+    // the artifact-served two-stage search must reproduce q98
+    "q162_ivfpq_rerank_serve" -> q98_sql,
   )
 }
