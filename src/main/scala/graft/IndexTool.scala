@@ -269,11 +269,28 @@ object IndexTool {
             num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
       case "ivfpq" =>
-        Clustering.serveIvfPq(Clustering.loadIvfPqIndex(spark, path),
-            embOf(input, flags), "vec_id", "embedding",
-            num("dim", 64), num("m", 8),
-            num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
-          .orderBy(col("q_id"), col("rank"))
+        // --rerank-from=<ivfflat path> upgrades the ADC top-k to the
+        // two-stage production search: ADC shortlist (--rerank-pool
+        // deep) from THIS artifact, exact-cosine rerank on raw vectors
+        // fetched from the named ivfflat postings (q162's shape)
+        flags.get("rerank-from") match {
+          case Some(flatPath) =>
+            Clustering.serveIvfPqRerank(
+                Clustering.loadIvfPqIndex(spark, path),
+                Clustering.loadIvfFlatIndex(spark, flatPath).postings,
+                embOf(input, flags), "vec_id", "embedding",
+                num("dim", 64), num("m", 8),
+                num("max-query-id", 20).toLong, num("nprobe", 2),
+                num("rerank-pool", 6), num("topk", 3))
+              .orderBy(col("q_id"), col("rank"))
+          case None =>
+            Clustering.serveIvfPq(Clustering.loadIvfPqIndex(spark, path),
+                embOf(input, flags), "vec_id", "embedding",
+                num("dim", 64), num("m", 8),
+                num("max-query-id", 20).toLong, num("nprobe", 2),
+                num("topk", 3))
+              .orderBy(col("q_id"), col("rank"))
+        }
       case "pq" =>
         Clustering.pqSearchIndex(Clustering.loadPqIndex(spark, path),
             embOf(input, flags), "vec_id", "embedding",
@@ -571,11 +588,24 @@ object IndexTool {
         }
       case "ivfpq" =>
         val idx = Clustering.loadIvfPqIndex(spark, path)
+        // --rerank-from works streamed too: per-query two-stage search
+        // over fixed artifact state composes across micro-batches
+        val rerankPostings = flags.get("rerank-from")
+          .map(p => Clustering.loadIvfFlatIndex(spark, p).postings)
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            sink(Clustering.serveIvfPq(idx, batch, "vec_id", "embedding",
-              num("dim", 64), num("m", 8), num("max-query-id", 20).toLong,
-              num("nprobe", 2), num("topk", 3)), batchId)
+            sink(rerankPostings match {
+              case Some(postings) =>
+                Clustering.serveIvfPqRerank(idx, postings, batch,
+                  "vec_id", "embedding", num("dim", 64), num("m", 8),
+                  num("max-query-id", 20).toLong, num("nprobe", 2),
+                  num("rerank-pool", 6), num("topk", 3))
+              case None =>
+                Clustering.serveIvfPq(idx, batch, "vec_id", "embedding",
+                  num("dim", 64), num("m", 8),
+                  num("max-query-id", 20).toLong, num("nprobe", 2),
+                  num("topk", 3))
+            }, batchId)
         }
       case "bm25" =>
         val idx = Retrieval.loadBm25Index(spark, path)

@@ -353,6 +353,9 @@ object Tool {
       |       --avg-mask --max-chars --id-col --text-col --vec-col]
       |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
+      |       [--rerank-from=<ivfflat dir> --rerank-pool=N  (ivfpq only:
+      |        two-stage search — ADC shortlist + exact rerank on the
+      |        named postings' raw vectors)]
       |       [--stream=true  (STREAMTYPES:
       |        drain the input dir as a checkpointed file stream)]
       |   | graft.Tool index-update --type=<UPDATETYPES> --path=<dir>

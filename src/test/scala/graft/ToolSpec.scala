@@ -851,6 +851,48 @@ class ToolSpec extends SparkSpec {
     }
   }
 
+  test("CLI ivfpq --rerank-from: two-stage at full pool == ivfflat exact serve; streams") {
+    import spark.implicits._
+    val base = tmpDir("rerankserve")
+    val vecs = (0 until 24).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val vecsPath = s"$base/vecs"
+    vecs.write.parquet(vecsPath)
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq",
+      s"--path=$base/pq", s"--input=format=parquet file=$vecsPath",
+      "--dim=4", "--m=2", "--k=2", "--centroids=3")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$base/flat", s"--input=format=parquet file=$vecsPath",
+      "--centroids=3")).status == "SUCCEEDED")
+    def serve(extra: String*): Set[(Long, Long, Long)] = {
+      val out = s"$base/out${extra.hashCode}"
+      assert(Tool.run(spark, Array("index-serve",
+        s"--input=format=parquet file=$vecsPath",
+        s"--output=format=parquet file=$out", "--max-query-id=4",
+        "--nprobe=1", "--topk=3") ++ extra).status == "SUCCEEDED")
+      spark.read.parquet(out).drop("batch").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+          r.getLong(2))).toSet
+    }
+    // with the pool covering every probed-cell candidate, the exact
+    // rerank IS ivfflat's exact cosine over the same cells — the two
+    // artifact paths must agree on (q_id, rank, n_id) exactly
+    val twoStage = serve("--type=ivfpq", s"--path=$base/pq",
+      s"--rerank-from=$base/flat", "--rerank-pool=50",
+      "--dim=4", "--m=2")
+    val flat = serve("--type=ivfflat", s"--path=$base/flat")
+    assert(twoStage.nonEmpty && twoStage == flat,
+      s"two-stage != ivfflat: ${twoStage.toSeq.sorted} vs ${flat.toSeq.sorted}")
+    // and the streamed two-stage drain equals the batch two-stage
+    val streamed = serve("--type=ivfpq", s"--path=$base/pq",
+      s"--rerank-from=$base/flat", "--rerank-pool=50",
+      "--dim=4", "--m=2", "--stream=true")
+    assert(streamed == twoStage)
+  }
+
   test("CLI index-update folds a delta into the artifact; updated == full rebuild") {
     import spark.implicits._
     val base = tmpDir("idxupdate")
