@@ -1183,6 +1183,24 @@ object Clustering {
     val models = trained(0).asInstanceOf[Seq[(Int, KmeansModel)]]
     val coarseLanes = trained(1).asInstanceOf[Seq[(Int, Int, Long, Long)]]
       .toDF("cluster", "pos", "cval", "n")
+    buildIvfPqIndexWith(emb, idCol, vecCol, dim, m, k, iters, coarseLanes,
+      salt, models)
+  }
+
+  /** Build the compressed index REUSING an already-trained coarse
+    * codebook — e.g. the colocated [[IvfFlatIndex]]'s lanes: the
+    * production shape trains ONE quantizer and shares it between the
+    * raw-vector tier (rerank source) and the compressed tier (ADC
+    * shortlist source), halving the n·k fit cost and guaranteeing the
+    * two artifacts agree on every cell boundary. */
+  def buildIvfPqIndexWith(emb: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, m: Int, k: Int, iters: Int,
+                          coarseLanes: DataFrame, salt: String = "pq",
+                          preTrained: Seq[(Int, KmeansModel)] = Seq.empty)
+      : IvfPqIndex = {
+    val models =
+      if (preTrained.nonEmpty) preTrained
+      else pqModels(emb, idCol, vecCol, dim, m, k, iters, salt)
     val cells = Similarity.ivfPostings(emb, idCol, vecCol,
         Similarity.centroidSetFromLanes(coarseLanes))
       .select(col("n_id"), col("c_id"))

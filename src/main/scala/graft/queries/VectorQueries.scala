@@ -486,14 +486,17 @@ object VectorQueries {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val k = 1 << ivfBits(s, d)
+    // the production shape: ONE coarse fit shared by both artifacts —
+    // the ivfflat index is built first and the compressed index reuses
+    // its lanes (identical cells by construction, half the n·k fit)
+    val flat = QueryTmp.dir("ivfpqr1", d)
+    val flatIdx = graft.operators.Clustering.buildIvfFlatIndex(emb,
+      "vec_id", "embedding", k)
+    graft.operators.Clustering.saveIvfFlatIndex(flatIdx, flat)
     val pq = QueryTmp.dir("ivfpqr0", d)
     graft.operators.Clustering.saveIvfPqIndex(
-      graft.operators.Clustering.buildIvfPqIndex(emb, "vec_id", "embedding",
-        Dim, PqM, PqK, PqIters, k), pq)
-    val flat = QueryTmp.dir("ivfpqr1", d)
-    graft.operators.Clustering.saveIvfFlatIndex(
-      graft.operators.Clustering.buildIvfFlatIndex(emb, "vec_id",
-        "embedding", k), flat)
+      graft.operators.Clustering.buildIvfPqIndexWith(emb, "vec_id",
+        "embedding", Dim, PqM, PqK, PqIters, flatIdx.lanes), pq)
     graft.operators.Clustering.serveIvfPqRerank(
         graft.operators.Clustering.loadIvfPqIndex(s, pq),
         graft.operators.Clustering.loadIvfFlatIndex(s, flat).postings,
