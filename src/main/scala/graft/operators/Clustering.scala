@@ -970,9 +970,15 @@ object Clustering {
     * vectors come from the input. Reproduces [[ivfPqRerank]]
     * bit-for-bit when both artifacts share the codebook parameters
     * (q162's oracle is q98's SQL). At 100 TB the rerank fetch touches
-    * queries·rerankPool raw vectors out of the postings — never a
-    * corpus scan — so the exact math stays shortlist-sized while the
-    * corpus itself stays PQ-compressed on the serving tier. */
+    * queries·rerankPool raw vectors out of the postings, and the
+    * postings SCAN prunes to the probed cell partitions (every
+    * shortlist vector lives in a probed cell) — never a corpus scan —
+    * so the exact math stays shortlist-sized while the corpus itself
+    * stays PQ-compressed on the serving tier. CONTRACT: the postings
+    * must be cell-partitioned under the SAME coarse codebook as
+    * `pqIdx` (build both tiers from one fit — [[buildIvfPqIndexWith]];
+    * a mismatched codebook would silently drop shortlist vectors whose
+    * cell disagrees). */
   def serveIvfPqRerank(pqIdx: IvfPqIndex, postings: DataFrame,
                        emb: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int, maxQueryId: Long, nprobe: Int,
@@ -984,11 +990,26 @@ object Clustering {
     val shortlist = serveIvfPq(pqIdx, emb, idCol, vecCol, dim, m,
         maxQueryId, nprobe, rerankPool)
       .select(col("q_id"), col("n_id"))
+    // every shortlist vector lives in a PROBED cell (it came through the
+    // cells join), so the raw-vector fetch prunes the postings scan to
+    // the same cell partitions the shortlist stage read — without this
+    // the broadcast join would FILTER to queries·rerankPool rows but
+    // still SCAN the whole corpus-sized postings table
+    val cents = Similarity.centroidSetFromLanes(pqIdx.coarseLanes)
+    val probedCells = Similarity.ivfProbeQueries(emb, idCol, vecCol,
+        cents, maxQueryId, nprobe)
+      .select(col("c_id")).distinct()
+      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+    val fetchable =
+      if (probedCells.length <= ServeCellFilterCap &&
+          postings.columns.contains("c_id"))
+        postings.filter(col("c_id").isInCollection(probedCells))
+      else postings
     val queries = emb.select(col(idCol).cast(LongType).as("q_id"),
         scaled(col(vecCol)).as("qv"))
       .withColumn("qn", vnorm(col("qv")))
       .filter(col("q_id") < maxQueryId)
-    val scored = postings.select(col("n_id"), col("nv"), col("nn"))
+    val scored = fetchable.select(col("n_id"), col("nv"), col("nn"))
       .join(broadcast(shortlist), Seq("n_id"))
       .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("n_id"),

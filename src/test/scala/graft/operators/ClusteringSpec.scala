@@ -567,6 +567,33 @@ class ClusteringSpec extends SparkSpec {
     assert(scans.nonEmpty &&
       scans.head.partitionFilters.map(_.toString).exists(_.contains("c_id")))
     assert(scans.head.selectedPartitions.partitionCount == 1)
+
+    // the two-stage serve: equality with the fresh ivfPqRerank, and the
+    // rerank's raw-vector fetch ALSO prunes to the probed cells
+    val flatPath = tmpDir("ivfpq_rt_flat")
+    Clustering.saveIvfFlatIndex(Clustering.IvfFlatIndex(loaded.coarseLanes,
+      graft.operators.Similarity.ivfPostings(blobs, "vec_id", "embedding",
+        graft.operators.Similarity.centroidSetFromLanes(loaded.coarseLanes))),
+      flatPath)
+    val flatPostings = Clustering.loadIvfFlatIndex(spark, flatPath).postings
+    val twoStage = Clustering.serveIvfPqRerank(loaded, flatPostings, blobs,
+      "vec_id", "embedding", dim = 4, m = 2, maxQueryId = 6L, nprobe = 1,
+      rerankPool = 6, topK = 3)
+    val freshTwo = Clustering.ivfPqRerank(blobs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2, numCentroids = 3, nprobe = 1,
+      maxQueryId = 6L, rerankPool = 6, topK = 3)
+    assert(twoStage.orderBy($"q_id", $"rank").collect().toSeq ==
+      freshTwo.orderBy($"q_id", $"rank").collect().toSeq)
+    val oneTwo = Clustering.serveIvfPqRerank(loaded, flatPostings, blobs,
+      "vec_id", "embedding", dim = 4, m = 2, maxQueryId = 1L, nprobe = 1,
+      rerankPool = 6, topK = 3)
+    val postScans = oneTwo.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postScans.nonEmpty &&
+      postScans.forall(_.selectedPartitions.partitionCount == 1),
+      s"rerank fetch not pruned: ${postScans.map(_.selectedPartitions.partitionCount)}")
   }
 
   test("IvfFlat serve prunes the postings scan to the probed cells") {
