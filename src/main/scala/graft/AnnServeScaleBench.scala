@@ -77,9 +77,11 @@ object AnnServeScaleBench {
     // the composed compressed artifact: same probe shape, ADC ranking
     // over the probed cells' codes — no raw vectors read at serve
     val pqPath = s"/tmp/annservescale_pq_${System.nanoTime()}"
+    // reuse the ivfflat fit (buildIvfPqIndexWith): one coarse quantizer
+    // serves both artifacts, and both recall rows probe IDENTICAL cells
     Clustering.saveIvfPqIndex(
-      Clustering.buildIvfPqIndex(emb, "vec_id", "embedding",
-        dim = 64, m = 8, k = 16, iters = 2, numCentroids = k), pqPath)
+      Clustering.buildIvfPqIndexWith(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2, coarseLanes = idx.lanes), pqPath)
     val pqIdx = Clustering.loadIvfPqIndex(spark, pqPath)
     val adc = timeMin2(() =>
       Clustering.serveIvfPq(pqIdx, emb, "vec_id", "embedding",

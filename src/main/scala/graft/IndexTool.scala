@@ -394,13 +394,18 @@ object IndexTool {
     def rows(p: String): Long = spark.read.parquet(p).count()
     val counters: Seq[(String, Long)] = tpe match {
       case "lsh" =>
-        val idx = Dedup.loadLshIndex(spark, path)
-        Seq("signature_rows" -> idx.count(),
-          "docs" -> idx.select(col("id")).distinct().count(),
-          "bands" -> idx.select(col("band")).distinct().count())
+        // one scan: count + both distincts in a single (expanded) agg
+        val a = Dedup.loadLshIndex(spark, path)
+          .agg(count(lit(1)), countDistinct(col("id")),
+            countDistinct(col("band"))).head()
+        Seq("signature_rows" -> a.getLong(0), "docs" -> a.getLong(1),
+          "bands" -> a.getLong(2))
       case "cdc" =>
-        val idx = Dedup.loadCdcIndex(spark, path)
-        val agg = idx.agg(count(lit(1)), sum(col("n_occ"))).head()
+        // coalesce: sum over an EMPTY artifact is null, and describe is
+        // exactly the verb an operator points at a degenerate index
+        val agg = Dedup.loadCdcIndex(spark, path)
+          .agg(count(lit(1)),
+            coalesce(sum(col("n_occ")), lit(0L)).as("occ")).head()
         Seq("unique_chunks" -> agg.getLong(0),
           "chunk_occurrences" -> agg.getLong(1))
       case "bm25" =>
@@ -416,22 +421,26 @@ object IndexTool {
           "dim" -> lanes.select(col("pos")).distinct().count())
       case "ivfflat" =>
         val idx = Clustering.loadIvfFlatIndex(spark, path)
-        val occ = idx.postings.groupBy(col("c_id")).count()
-        val st = occ.agg(count(lit(1)), max(col("count"))).head()
+        // the occupancy agg's sum IS the vector total — one postings
+        // scan, not two; coalesce covers the empty artifact
+        val st = idx.postings.groupBy(col("c_id")).count()
+          .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L)),
+            coalesce(max(col("count")), lit(0L))).head()
         Seq("centroids" ->
             idx.lanes.select(col("cluster")).distinct().count(),
-          "vectors" -> idx.postings.count(),
+          "vectors" -> st.getLong(1),
           "occupied_cells" -> st.getLong(0),
-          "largest_cell" -> st.getLong(1))
+          "largest_cell" -> st.getLong(2))
       case "ivfpq" =>
         val idx = Clustering.loadIvfPqIndex(spark, path)
-        val occ = idx.cells.groupBy(col("c_id")).count()
-        val st = occ.agg(count(lit(1)), max(col("count"))).head()
+        val st = idx.cells.groupBy(col("c_id")).count()
+          .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L)),
+            coalesce(max(col("count")), lit(0L))).head()
         Seq("centroids" ->
             idx.coarseLanes.select(col("cluster")).distinct().count(),
-          "vectors" -> idx.cells.count(),
+          "vectors" -> st.getLong(1),
           "occupied_cells" -> st.getLong(0),
-          "largest_cell" -> st.getLong(1),
+          "largest_cell" -> st.getLong(2),
           "code_rows" -> idx.codes.count(),
           "subspaces" -> idx.pqLanes.select(col("s")).distinct().count(),
           "codebook_k" ->

@@ -138,9 +138,14 @@ object Tool {
         // index-update (did the delta land? how big are the surfaces?)
         val counters = IndexTool.describe(spark, tpe, path)
         val now = System.currentTimeMillis()
-        return JobResult(java.util.UUID.randomUUID().toString,
+        val result = JobResult(java.util.UUID.randomUUID().toString,
           flags.getOrElse("name", s"index-describe-$tpe"), start, now,
           "SUCCEEDED", counters, None)
+        // --history records like every other index verb: describe's
+        // counters are exactly what the job-history table stores
+        flags.get("history").foreach(p => new JobHistory(spark, p)
+          .record(result, Map("type" -> tpe, "path" -> path)))
+        return result
       }
       if (verb == "index-build")
         IndexTool.build(spark, tpe, Formats.read(spark, flag("input")), path,

@@ -987,19 +987,22 @@ object Clustering {
     import graft.functions.VectorFunctions.{cosineFromNorms, vnorm}
     require(rerankPool >= topK,
       s"rerankPool ($rerankPool) must be >= topK ($topK)")
-    val shortlist = serveIvfPq(pqIdx, emb, idCol, vecCol, dim, m,
-        maxQueryId, nprobe, rerankPool)
+    // probes and their distinct-cells literal are computed ONCE and
+    // shared by both stages (the collect is a blocking driver job — in
+    // the streamed CLI path it would otherwise run twice per micro-batch)
+    val cents = Similarity.centroidSetFromLanes(pqIdx.coarseLanes)
+    val probes = Similarity.ivfProbeQueries(emb, idCol, vecCol, cents,
+        maxQueryId, nprobe)
+      .select(col("q_id"), col("c_id"))
+    val probedCells = collectProbedCells(probes)
+    val shortlist = serveIvfPqWithProbes(pqIdx, emb, idCol, vecCol, dim, m,
+        maxQueryId, probes, probedCells, rerankPool)
       .select(col("q_id"), col("n_id"))
     // every shortlist vector lives in a PROBED cell (it came through the
     // cells join), so the raw-vector fetch prunes the postings scan to
     // the same cell partitions the shortlist stage read — without this
     // the broadcast join would FILTER to queries·rerankPool rows but
     // still SCAN the whole corpus-sized postings table
-    val cents = Similarity.centroidSetFromLanes(pqIdx.coarseLanes)
-    val probedCells = Similarity.ivfProbeQueries(emb, idCol, vecCol,
-        cents, maxQueryId, nprobe)
-      .select(col("c_id")).distinct()
-      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
     val fetchable =
       if (probedCells.length <= ServeCellFilterCap &&
           postings.columns.contains("c_id"))
@@ -1281,14 +1284,30 @@ object Clustering {
   def serveIvfPq(idx: IvfPqIndex, emb: DataFrame, idCol: String,
                  vecCol: String, dim: Int, m: Int, maxQueryId: Long,
                  nprobe: Int, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(topK > 0, s"topK must be positive: $topK")
     val cents = Similarity.centroidSetFromLanes(idx.coarseLanes)
     val probes = Similarity.ivfProbeQueries(emb, idCol, vecCol, cents,
         maxQueryId, nprobe)
       .select(col("q_id"), col("c_id"))
-    val probedCells = probes.select(col("c_id")).distinct()
+    serveIvfPqWithProbes(idx, emb, idCol, vecCol, dim, m, maxQueryId,
+      probes, collectProbedCells(probes), topK)
+  }
+
+  /** One driver-side collect of the probe batch's distinct cells — the
+    * static-prune literal shared by the shortlist and rerank stages
+    * (capped by [[ServeCellFilterCap]]; past the cap the caller falls
+    * back to the unpruned scan). */
+  private def collectProbedCells(probes: DataFrame): Array[Long] =
+    probes.select(col("c_id")).distinct()
       .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+
+  private def serveIvfPqWithProbes(idx: IvfPqIndex, emb: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   dim: Int, m: Int, maxQueryId: Long,
+                                   probes: DataFrame,
+                                   probedCells: Array[Long],
+                                   topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, s"topK must be positive: $topK")
     val cells =
       if (probedCells.length <= ServeCellFilterCap)
         idx.cells.filter(col("c_id").isInCollection(probedCells))

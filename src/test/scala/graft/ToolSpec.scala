@@ -1095,6 +1095,22 @@ class ToolSpec extends SparkSpec {
     assert(dSem.counters("assigned_rows") == 10L && // 9 corpus + 1 delta
       dSem.counters("coarse_k") == 2L,
       s"semdedup describe: ${dSem.counters}")
+    // describe must survive a DEGENERATE (empty) artifact — the state an
+    // operator points it at after a misconfigured ingestion: null-summing
+    // aggs would NPE without the coalesce guards
+    spark.emptyDataFrame.sparkSession.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(s"$base/corpus").schema)
+      .write.parquet(s"$base/emptydocs")
+    assert(Tool.run(spark, Array("index-build", "--type=cdc",
+      s"--path=$base/cdc-empty",
+      s"--input=format=parquet file=$base/emptydocs"))
+      .status == "SUCCEEDED")
+    val dEmpty = Tool.run(spark, Array("index-describe", "--type=cdc",
+      s"--path=$base/cdc-empty"))
+    assert(dEmpty.counters("unique_chunks") == 0L &&
+      dEmpty.counters("chunk_occurrences") == 0L,
+      s"empty-cdc describe: ${dEmpty.counters}")
     // non-mergeable artifact types refuse with guidance
     val e = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-update", "--type=ivf", s"--path=$base/x",
