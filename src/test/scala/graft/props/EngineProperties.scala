@@ -799,4 +799,47 @@ object EngineProperties extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  // small integer grid on purpose: duplicated values and exact cosine
+  // TIES between centroids are common, exercising the tie-break paths
+  // the engineered blob fixtures cannot reach
+  private val ivfCorpusGen = for {
+    n <- Gen.choose(6, 28)
+    vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(0, 3).map(_.toFloat)))
+      .suchThat(_.exists(_.exists(_ != 0f))) // at least one nonzero vector
+    nDelta <- Gen.choose(1, n - 1)
+  } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    .filter(_._2.exists(_ != 0f)), nDelta) // all-zero vectors have no cosine
+
+  property("IvfFlat ADD == union assignment; pruned serve == fresh knnIvfWith, on tie-prone corpora") =
+    forAll(ivfCorpusGen) { case (rows, nDelta) =>
+      import graft.operators.{Clustering, Similarity}
+      val df = rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      val corpus = df.filter($"vec_id" >= nDelta)
+      val delta = df.filter($"vec_id" < nDelta)
+      if (corpus.isEmpty) true
+      else {
+        val idx = Clustering.buildIvfFlatIndex(corpus, "vec_id", "embedding",
+          numCentroids = 3, iters = 2)
+        val cents = Similarity.centroidSetFromLanes(idx.lanes)
+        // the two-pass add must equal the one-pass union assignment
+        val updated = Clustering.updateIvfFlatIndex(idx, delta,
+          "vec_id", "embedding")
+        def cellsOf(p: org.apache.spark.sql.DataFrame) =
+          p.select($"n_id", $"c_id".cast("long")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val addOk = cellsOf(updated.postings) ==
+          cellsOf(Similarity.ivfPostings(df, "vec_id", "embedding", cents))
+        // and the statically-pruned serve never loses a cell: it must
+        // equal the unpruned fresh search against the same codebook
+        val served = Clustering.serveIvfFlat(updated, df, "vec_id",
+          "embedding", maxQueryId = 3L, nprobe = 2, k = 3)
+          .collect().map(_.toSeq).toSet
+        val fresh = Similarity.knnIvfWith(df, "vec_id", "embedding",
+          cents, maxQueryId = 3L, nprobe = 2, k = 3)
+          .collect().map(_.toSeq).toSet
+        addOk && served == fresh
+      }
+    }
 }
