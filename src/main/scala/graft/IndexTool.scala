@@ -189,6 +189,64 @@ object IndexTool {
   val UpdateTypes: Set[String] =
     Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq")
 
+  /** The index types whose persisted artifact can DROP a doc/vector set
+    * (`index-remove` — the right-to-be-forgotten leg: a deleted
+    * document must stop matching future probes, which append-only
+    * updates can never deliver). Per-doc rows in these artifacts are
+    * independent, so an anti-join plus re-derived rollups equals a
+    * fresh build over the remaining corpus (lsh, bm25) or a fresh
+    * assignment/encode of the remaining rows under the fixed fitted
+    * parameters (ivfflat, ivfpq, pq, semdedup). `cdc` is NOT removable:
+    * its index stores only aggregates (min first_doc, total n_occ) —
+    * the min is unrecoverable once its witness is deleted — so CDC
+    * removal is a rebuild on the remaining corpus by contract. */
+  val RemoveTypes: Set[String] =
+    Set("lsh", "bm25", "ivfflat", "ivfpq", "pq", "semdedup")
+
+  /** `index-remove`: load the artifact, drop the ids in the input
+    * batch, atomically replace (same staged swap as `index-update`,
+    * same writer-exclusivity contract — FIXTURES.md §10). The input
+    * spec provides the ids: `doc_id` for doc-typed tiers (lsh/bm25),
+    * `vec_id` for vector tiers. */
+  def remove(spark: SparkSession, tpe: String, input: DataFrame,
+             path: String, flags: Map[String, String]): Unit = {
+    require(RemoveTypes(tpe),
+      s"index-remove supports --type=${RemoveTypes.toSeq.sorted.mkString("|")} " +
+        s"only (got '$tpe'); the cdc index stores only aggregates (min " +
+        s"first_doc is unrecoverable once its witness is deleted) — " +
+        s"rebuild with index-build on the remaining corpus")
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    def docIds: DataFrame = input.select(
+      col(flags.getOrElse("id-col", "doc_id")).cast(LongType).as("doc_id"))
+    def vecIds: DataFrame = input.select(
+      col(flags.getOrElse("id-col", "vec_id")).cast(LongType).as("n_id"))
+    val staging = s"$path.__remove_${java.util.UUID.randomUUID().toString.take(8)}"
+    tpe match {
+      case "lsh" =>
+        Dedup.saveLshIndex(Dedup.removeFromLshIndex(
+          Dedup.loadLshIndex(spark, path),
+          docIds.select(col("doc_id").as("id")),
+          num("num-hashes", 28), num("bands", 4)), staging)
+      case "bm25" =>
+        Retrieval.saveBm25Index(Retrieval.removeFromBm25Index(
+          Retrieval.loadBm25Index(spark, path), docIds), staging)
+      case "ivfflat" =>
+        Clustering.saveIvfFlatIndex(Clustering.removeFromIvfFlatIndex(
+          Clustering.loadIvfFlatIndex(spark, path), vecIds), staging)
+      case "ivfpq" =>
+        Clustering.saveIvfPqIndex(Clustering.removeFromIvfPqIndex(
+          Clustering.loadIvfPqIndex(spark, path), vecIds), staging)
+      case "pq" =>
+        Clustering.savePqIndex(Clustering.removeFromPqIndex(
+          Clustering.loadPqIndex(spark, path), vecIds), staging)
+      case "semdedup" =>
+        Clustering.saveSemIndex(Clustering.removeFromSemIndex(
+          Clustering.loadSemIndex(spark, path),
+          vecIds.select(col("n_id").as("vid"))), staging)
+    }
+    graft.sinks.BulkSink.commit(spark, staging, path)
+  }
+
   /** `index-update`: load the artifact at `path`, fold the delta batch
     * in, and atomically REPLACE the artifact (staged write + the bulk
     * commit swap — the artifact directory never half-exists, and a

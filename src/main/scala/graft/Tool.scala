@@ -129,7 +129,8 @@ object Tool {
     // artifact and runs the type's query/encode path over the input spec,
     // writing through the standard output spec dispatch.
     if (verb == "index-build" || verb == "index-serve" ||
-        verb == "index-update" || verb == "index-describe") {
+        verb == "index-update" || verb == "index-remove" ||
+        verb == "index-describe") {
       val tpe = flag("type")
       val path = flag("path")
       val start = System.currentTimeMillis()
@@ -154,6 +155,11 @@ object Tool {
         // fold an admitted delta batch into the persisted artifact
         // (atomic swap; exact == rebuild — see IndexTool.UpdateTypes)
         IndexTool.update(spark, tpe, Formats.read(spark, flag("input")), path,
+          flags)
+      else if (verb == "index-remove")
+        // drop a doc/vector set from the artifact (right-to-be-forgotten;
+        // atomic swap — see IndexTool.RemoveTypes)
+        IndexTool.remove(spark, tpe, Formats.read(spark, flag("input")), path,
           flags)
       else if (flags.get("stream").contains("true")) {
         // streaming ingestion drain: per-micro-batch probe/prune/rank
@@ -366,6 +372,10 @@ object Tool {
       |   | graft.Tool index-update --type=<UPDATETYPES> --path=<dir>
       |       --input="format=..."   (fold an admitted delta into the artifact;
       |        atomic swap, exact == rebuild on the union)
+      |   | graft.Tool index-remove --type=<REMOVETYPES> --path=<dir>
+      |       --input="format=..."   (drop a doc/vector id set from the
+      |        artifact — right-to-be-forgotten; atomic swap, exact ==
+      |        rebuild/re-assign on the remaining corpus; cdc rebuilds)
       |   | graft.Tool index-describe --type=<...> --path=<dir>
       |       (artifact surfaces + sizes; run around an index-update)
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
@@ -380,4 +390,6 @@ object Tool {
         IndexTool.StreamTypes.toSeq.sorted.mkString("|"))
       .replace("<UPDATETYPES>",
         s"<${IndexTool.UpdateTypes.toSeq.sorted.mkString("|")}>")
+      .replace("<REMOVETYPES>",
+        s"<${IndexTool.RemoveTypes.toSeq.sorted.mkString("|")}>")
 }

@@ -384,6 +384,19 @@ object Clustering {
           col("cluster"), col("cell"))
         .unionByName(deltaCells(delta, idCol, vecCol, idx, seedLiteralCap)))
 
+  /** REMOVE a vector set from a [[SemIndex]]: anti-join the `assign`
+    * surface on `vid` — a removed vector stops appearing in any future
+    * prune (it is no longer a keeper candidate for deltas). The fitted
+    * parameters (lanes, seeds, sizes) stay, exactly like
+    * [[updateSemIndex]]; seed VECTORS referencing removed vids remain
+    * valid fitted parameters (they are coordinates, not corpus
+    * membership — the pair output only ever reads `assign`). */
+  def removeFromSemIndex(idx: SemIndex, removedIds: DataFrame): SemIndex =
+    idx.copy(assign = idx.assign
+      .select(col("vid"), col("v"), col("nrm"), col("cluster"), col("cell"))
+      .join(removedIds.select(col("vid")).distinct(), Seq("vid"),
+        "left_anti"))
+
   def semDedupDeltaHier(delta: DataFrame, idCol: String, vecCol: String,
                         idx: SemIndex, minCosine: Double,
                         seedLiteralCap: Int = Similarity.MaxCentroids)
@@ -962,6 +975,27 @@ object Clustering {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
+  /** REMOVE a vector set from the composed compressed index: anti-join
+    * both corpus-sized surfaces (cells and codes) on `n_id`; both
+    * codebooks stay fixed. Equals building cells+codes from the
+    * remaining vectors under the same fit. */
+  def removeFromIvfPqIndex(idx: IvfPqIndex, removedIds: DataFrame)
+      : IvfPqIndex = {
+    val ids = removedIds.select(col("n_id")).distinct()
+    idx.copy(
+      cells = idx.cells.select(col("n_id"), col("c_id"))
+        .join(ids, Seq("n_id"), "left_anti"),
+      codes = idx.codes.select(col("n_id"), col("s"), col("code"))
+        .join(ids, Seq("n_id"), "left_anti"))
+  }
+
+  /** REMOVE a vector set from a PQ index: anti-join the codes on
+    * `n_id`; the codebooks stay fixed. */
+  def removeFromPqIndex(idx: PqIndex, removedIds: DataFrame): PqIndex =
+    idx.copy(codes = idx.codes.select(col("n_id"), col("s"), col("code"))
+      .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
+        "left_anti"))
+
   /** Two-stage retrieval SERVED from artifacts — the production pattern
     * closed over persisted state: the compressed [[IvfPqIndex]]
     * produces the rerankPool-deep ADC shortlist, and the raw vectors
@@ -1144,6 +1178,18 @@ object Clustering {
     IvfFlatIndex(idx.lanes,
       idx.postings.unionByName(Similarity.ivfPostings(delta, idCol, vecCol,
         Similarity.centroidSetFromLanes(idx.lanes))))
+
+  /** REMOVE a vector set from the inverted lists (right-to-be-forgotten
+    * on the ANN tier): anti-join the postings on `n_id` — fitted
+    * centroids stay, exactly like the add path, so the result equals a
+    * fresh assignment of the remaining vectors under the same codebook.
+    * `removedIds` is one `n_id` column. */
+  def removeFromIvfFlatIndex(idx: IvfFlatIndex, removedIds: DataFrame)
+      : IvfFlatIndex =
+    idx.copy(postings = idx.postings
+      .select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+      .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
+        "left_anti"))
 
   /** Serve a query batch from the loaded inverted lists: probes come
     * from the query rows alone (one kernel call each against the loaded

@@ -433,6 +433,23 @@ object Dedup {
     else tileCensus(merged, LshBucketCap)
   }
 
+  /** REMOVE a doc set from the banded index — the right-to-be-forgotten
+    * leg: a deleted document must stop matching future probes, which an
+    * append-only index can never deliver. Per-doc signature rows are
+    * independent, so an anti-join filter plus the census re-derivation
+    * over the survivors equals a fresh [[bandedSignaturesTiled]] build
+    * over the remaining corpus exactly (q164's oracle replays it: pairs
+    * against removed docs VANISH). `removedIds` is one `id` column. */
+  def removeFromLshIndex(index: DataFrame, removedIds: DataFrame,
+                         numHashes: Int, bands: Int): DataFrame = {
+    val remaining = index
+      .select(col("id"), col("ghash"), col("band"), col("bkey"))
+      .join(removedIds.select(col("id")).distinct(), Seq("id"), "left_anti")
+    if (numHashes / bands < 6)
+      remaining.withColumn("cell", lit(0)).withColumn("nc", lit(1))
+    else tileCensus(remaining, LshBucketCap)
+  }
+
   /** [[incrementalLshPairs]] against an already-built (typically LOADED)
     * corpus-side banded index: the serve path recomputes NO corpus
     * signatures — each batch pays only its own banding plus the

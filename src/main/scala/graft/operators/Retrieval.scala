@@ -100,6 +100,25 @@ object Retrieval {
     * re-ingesting an indexed doc would double-count its postings,
     * exactly like inserting a row twice. The ingestion screens
     * (lsh/cdc serve) are the dedup gate that upholds this upstream. */
+  /** REMOVE a doc set from the inverted index — the
+    * right-to-be-forgotten leg: anti-join the per-doc surfaces
+    * (postings, doclen) and re-derive the rollups (df from the
+    * surviving postings, stats from the surviving doclen). Per-doc rows
+    * are independent, so the result equals a fresh [[buildBm25Index]]
+    * over the remaining corpus exactly (q163's oracle replays it).
+    * `removedIds` is one `doc_id` column; coalesce keeps stats sane if
+    * everything was removed. */
+  def removeFromBm25Index(index: Bm25Index, removedIds: DataFrame)
+      : Bm25Index = {
+    val ids = removedIds.select(col("doc_id")).distinct()
+    val postings = index.postings.join(ids, Seq("doc_id"), "left_anti")
+    val doclen = index.doclen.join(ids, Seq("doc_id"), "left_anti")
+    Bm25Index(postings, doclen,
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      doclen.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_len")))
+  }
+
   def updateBm25Index(index: Bm25Index, deltaTerms: DataFrame): Bm25Index = {
     val d = buildBm25Index(deltaTerms)
     Bm25Index(

@@ -381,11 +381,18 @@ object DedupQueries {
   lazy val q79_sql: String = incrementalLshSql(DeltaSources)
 
   /** The delta-vs-rest incremental LSH oracle, parametrized by which
-    * `source` values form the PROBE side (the index side is everything
-    * else) — shared by q79/q110 (probe = both delta sources) and q155
-    * (probe = the second delta only: the first has been folded into the
-    * updated index, so it must now be FINDABLE, not probing). */
-  private def incrementalLshSql(probeSources: Seq[String]): String = {
+    * `source` values form the PROBE side and which are EXCLUDED from
+    * the index side (default: the probes themselves) — shared by
+    * q79/q110 (probe = both delta sources), q155 (probe = the second
+    * delta only: the first has been folded into the updated index, so
+    * it must now be FINDABLE, not probing), and q164 (probe = the
+    * second delta, excluded = BOTH: the first has been REMOVED from the
+    * index, so its pairs must VANISH). */
+  private def incrementalLshSql(probeSources: Seq[String],
+                                excludedSources: Seq[String] = Seq.empty)
+      : String = {
+    val excluded =
+      if (excludedSources.nonEmpty) excludedSources else probeSources
     // Corpus-scaled rows-per-band, same derivation as lshPairsSql.
     val kMax = MinHashBands * Dedup.MaxLshRows
     val mh = (0 until kMax)
@@ -399,6 +406,7 @@ object DedupQueries {
       s"WHEN $b THEN (CASE p.r $rCases ELSE ${key(b, Dedup.MaxLshRows)} END)"
     }.mkString(" ")
     val deltaList = probeSources.map(s => s"'$s'").mkString(", ")
+    val excludedList = excluded.map(s => s"'$s'").mkString(", ")
     val jac = "len(list_intersect(ga.ghash, gb.ghash))::DOUBLE / " +
       "len(list_distinct(list_concat(ga.ghash, gb.ghash)))"
     s"""WITH lshp AS (
@@ -418,7 +426,7 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_of
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bkey = b.bkey
-       |  WHERE a.source IN ($deltaList) AND b.source NOT IN ($deltaList)
+       |  WHERE a.source IN ($deltaList) AND b.source NOT IN ($excludedList)
        |)
        |SELECT new_doc, dup_of, $jac AS jaccard
        |FROM cand
@@ -1001,6 +1009,46 @@ object DedupQueries {
   }
   lazy val q155_sql: String = incrementalLshSql(Seq(DeltaSources(1)))
 
+  // ── q164: LSH index REMOVE — right-to-be-forgotten on the dedup
+  // screen: a deleted document must stop matching future probes, which
+  // q155's append-only update can never deliver. Build the banded index
+  // on everything except the week-2 delta (so week-1 src0 IS indexed),
+  // DROP src0's doc ids with Dedup.removeFromLshIndex (anti-join + the
+  // census re-derived over the survivors — shrinking a bucket can
+  // REDUCE its tile count, and a stale census would probe dead tiles),
+  // persist the swap, and screen the week-2 delta (src1) against the
+  // RELOADED index: every (src1 × src0) pair the un-removed index would
+  // emit must VANISH. Exact: the removed index equals a fresh build on
+  // the remaining corpus, so the oracle is the incremental chain with
+  // probe = src1 and BOTH delta sources excluded from the index side.
+  // CLI: `index-remove --type=lsh`. ─────────────────────────────────────
+  val q164_lsh_index_remove: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val hashed = Tables.documents(s, d).select($"doc_id".as("id"), $"source",
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf($"text"), ShingleN, 7)).as("ghash"))
+    val path = QueryTmp.dir("lshrm0", d)
+    Dedup.saveLshIndex(
+      Dedup.bandedSignaturesTiled(
+        hashed.filter($"source" =!= DeltaSources(1)).drop("source"),
+        lshK(s, d), MinHashBands),
+      path)
+    val removed = Dedup.removeFromLshIndex(Dedup.loadLshIndex(s, path),
+      Tables.documents(s, d).filter($"source" === DeltaSources.head)
+        .select($"doc_id".as("id")),
+      lshK(s, d), MinHashBands)
+    val upPath = QueryTmp.dir("lshrm1", d)
+    Dedup.saveLshIndex(removed, upPath)
+    Dedup.incrementalLshPairsIndexed(
+        hashed.filter($"source" === DeltaSources(1)).drop("source"),
+        Dedup.loadLshIndex(s, upPath),
+        lshK(s, d), MinHashBands, JaccardThreshold)
+      .orderBy($"new_doc", $"dup_of")
+  }
+  lazy val q164_sql: String =
+    incrementalLshSql(Seq(DeltaSources(1)), DeltaSources)
+
   val queries: Map[String, Q] = Map(
     "q21_exact_dedup" -> q21_exact_dedup,
     "q22_minhash_dedup" -> q22_minhash_dedup,
@@ -1022,6 +1070,7 @@ object DedupQueries {
     "q152_cdc_incremental" -> q152_cdc_incremental,
     "q154_cdc_index_update" -> q154_cdc_index_update,
     "q155_lsh_index_update" -> q155_lsh_index_update,
+    "q164_lsh_index_remove" -> q164_lsh_index_remove,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -1045,5 +1094,6 @@ object DedupQueries {
     "q152_cdc_incremental" -> q152_sql,
     "q154_cdc_index_update" -> q154_sql,
     "q155_lsh_index_update" -> q155_sql,
+    "q164_lsh_index_remove" -> q164_sql,
   )
 }

@@ -109,9 +109,14 @@ object LexicalQueries {
   }
   /** The CTE chain mirroring [[bm25Ranked]]; terminal CTE is `ranked`
     * with (q_id, doc_id, n_terms, score, rank). */
-  private lazy val bm25RankedCtes: String =
+  private lazy val bm25RankedCtes: String = bm25RankedCtesOver("")
+
+  /** Same chain over a FILTERED corpus — q163's removal oracle passes
+    * the remaining-docs predicate; queries draw from the same filtered
+    * tf (a removed doc neither retrieves nor is retrievable). */
+  private def bm25RankedCtesOver(corpusWhere: String): String =
     s"""terms AS (
-       |  SELECT doc_id, unnest($SqlToks) AS term FROM documents),
+       |  SELECT doc_id, unnest($SqlToks) AS term FROM documents $corpusWhere),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -177,6 +182,38 @@ object LexicalQueries {
   // over disjoint doc sets, so the updated index equals the full-corpus
   // build EXACTLY — the oracle IS q100's SQL, making update+swap+serve
   // hash-verified end to end. CLI: `index-update --type=bm25`. ──────────
+  // ── q163: BM25 index REMOVE — right-to-be-forgotten on the lexical
+  // tier: build the index on the FULL corpus, DROP the doc_id % 7 = 3
+  // slice with Retrieval.removeFromBm25Index (anti-join the per-doc
+  // surfaces, re-derive df/stats from the survivors — the archive is
+  // never re-tokenized), persist through the staged swap, and serve
+  // q100's query batch from the RELOADED index. Per-doc rows are
+  // independent, so the removed index equals a fresh build on the
+  // remaining corpus EXACTLY: the oracle is q100's chain over
+  // `documents WHERE doc_id % 7 <> 3` — removed docs neither retrieve
+  // nor are retrievable. CLI: `index-remove --type=bm25`. ───────────────
+  val q163_bm25_index_remove: Q = (s, d) => {
+    import s.implicits._
+    val path = QueryTmp.dir("bm25rm0", d)
+    graft.operators.Retrieval.saveBm25Index(
+      graft.operators.Retrieval.buildBm25Index(termStream(s, d)), path)
+    val removed = graft.operators.Retrieval.removeFromBm25Index(
+      graft.operators.Retrieval.loadBm25Index(s, path),
+      Tables.documents(s, d).filter($"doc_id" % 7 === 3).select($"doc_id"))
+    val upPath = QueryTmp.dir("bm25rm1", d)
+    graft.operators.Retrieval.saveBm25Index(removed, upPath)
+    val idx = graft.operators.Retrieval.loadBm25Index(s, upPath)
+    graft.operators.Retrieval.bm25Ranked(queryTermsOf(idx), idx,
+        BmK1, BmB, BmScale)
+      .where($"rank" <= BmTopK)
+      .select($"q_id", $"rank", $"doc_id", $"n_terms", $"score")
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q163_sql: String =
+    s"""WITH ${bm25RankedCtesOver("WHERE doc_id % 7 <> 3")}
+       |SELECT q_id, rank, doc_id, n_terms, score FROM ranked
+       |WHERE rank <= $BmTopK ORDER BY q_id, rank""".stripMargin
+
   val q153_bm25_index_update: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
@@ -724,6 +761,7 @@ object LexicalQueries {
     "q108_sparse_prefix_join" -> q108_sparse_prefix_join,
     "q114_bm25_index_persist" -> q114_bm25_index_persist,
     "q153_bm25_index_update" -> q153_bm25_index_update,
+    "q163_bm25_index_remove" -> q163_bm25_index_remove,
     "q127_vocab_drift" -> q127_vocab_drift)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
@@ -735,5 +773,6 @@ object LexicalQueries {
     "q108_sparse_prefix_join" -> q108_sql,
     "q114_bm25_index_persist" -> q100_sql,
     "q153_bm25_index_update" -> q100_sql,
+    "q163_bm25_index_remove" -> q163_sql,
     "q127_vocab_drift" -> q127_sql)
 }

@@ -893,6 +893,100 @@ class ToolSpec extends SparkSpec {
     assert(streamed == twoStage)
   }
 
+  test("CLI index-remove: deleted docs stop matching; removed == rebuild on remaining") {
+    import spark.implicits._
+    val base = tmpDir("idxremove")
+    val docs = Seq(
+      (0L, "spark join hash table scan batch"), (1L, "row batch filter merge"),
+      (2L, "slow order vector line agg"),
+      (5L, "spark join hash table scan batch")) // near-copy of doc 0
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$base/docs")
+    Seq(0L).toDF("doc_id").write.parquet(s"$base/removed")
+    val probe = Seq((20L, "spark join hash table scan batch"))
+      .toDF("doc_id", "text")
+    probe.write.parquet(s"$base/probe")
+    // lsh: the probe (a copy of doc 0) matches BOTH 0 and 5 before the
+    // removal, and only 5 after — the deleted doc stops matching, which
+    // an append-only update can never deliver
+    val lshPath = s"$base/lsh"
+    assert(Tool.run(spark, Array("index-build", "--type=lsh",
+      s"--path=$lshPath", s"--input=format=parquet file=$base/docs",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    def lshServe(tag: String): Set[Long] = {
+      val out = s"$lshPath-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=lsh",
+        s"--path=$lshPath", s"--input=format=parquet file=$base/probe",
+        s"--output=format=parquet file=$out",
+        "--shingle-n=2", "--threshold=0.9")).status == "SUCCEEDED")
+      spark.read.parquet(out).select("dup_of").collect()
+        .map(_.getLong(0)).toSet
+    }
+    assert(lshServe("before") == Set(0L, 5L))
+    assert(Tool.run(spark, Array("index-remove", "--type=lsh",
+      s"--path=$lshPath", s"--input=format=parquet file=$base/removed",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    assert(lshServe("after") == Set(5L), s"doc 0 must stop matching")
+    // bm25: the removed doc is no longer retrievable, and the removed
+    // artifact serves identically to a fresh build on the remaining docs
+    val bmPath = s"$base/bm25"
+    assert(Tool.run(spark, Array("index-build", "--type=bm25",
+      s"--path=$bmPath", s"--input=format=parquet file=$base/docs"))
+      .status == "SUCCEEDED")
+    def bmServe(path: String, tag: String): Set[Seq[Any]] = {
+      val out = s"$path-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=bm25",
+        s"--path=$path", s"--input=format=parquet file=$base/probe",
+        s"--output=format=parquet file=$out")).status == "SUCCEEDED")
+      spark.read.parquet(out).collect().map(_.toSeq).toSet
+    }
+    assert(bmServe(bmPath, "before").exists(_.contains(0L)))
+    assert(Tool.run(spark, Array("index-remove", "--type=bm25",
+      s"--path=$bmPath", s"--input=format=parquet file=$base/removed"))
+      .status == "SUCCEEDED")
+    val after = bmServe(bmPath, "after")
+    assert(!after.exists(_.contains(0L)), s"doc 0 still retrievable: $after")
+    docs.filter($"doc_id" =!= 0L).write.parquet(s"$base/remaining")
+    val rebuilt = s"$base/bm25-rebuilt"
+    assert(Tool.run(spark, Array("index-build", "--type=bm25",
+      s"--path=$rebuilt", s"--input=format=parquet file=$base/remaining"))
+      .status == "SUCCEEDED")
+    assert(after == bmServe(rebuilt, "fresh"),
+      "removed-index serve != rebuild-on-remaining serve")
+    // ivfflat: the removed vector drops out of its cell; the next-best
+    // neighbor takes its rank (vector tiers share the anti-join path)
+    val vecs = (0 until 12).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    vecs.write.parquet(s"$base/vecs")
+    Seq(2L).toDF("vec_id").write.parquet(s"$base/removedvec")
+    val ivfPath = s"$base/ivfflat"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$ivfPath", s"--input=format=parquet file=$base/vecs",
+      "--centroids=2")).status == "SUCCEEDED")
+    def ivfServe(tag: String): Seq[Long] = {
+      val out = s"$ivfPath-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=ivfflat",
+        s"--path=$ivfPath", s"--input=format=parquet file=$base/vecs",
+        s"--output=format=parquet file=$out",
+        "--max-query-id=1", "--nprobe=1", "--topk=2")).status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.getLong(2)).toSeq
+    }
+    assert(ivfServe("before").contains(2L)) // 2 is query 0's axis twin
+    assert(Tool.run(spark, Array("index-remove", "--type=ivfflat",
+      s"--path=$ivfPath", s"--input=format=parquet file=$base/removedvec"))
+      .status == "SUCCEEDED")
+    assert(!ivfServe("after").contains(2L), "removed vector still retrieved")
+    // non-removable cdc refuses with rebuild guidance
+    val e = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-remove", "--type=cdc", s"--path=$base/x",
+        s"--input=format=parquet file=$base/removed")))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("CLI index-update folds a delta into the artifact; updated == full rebuild") {
     import spark.implicits._
     val base = tmpDir("idxupdate")
