@@ -91,8 +91,22 @@ object IndexTool {
     Bpe.docWords(docs, "doc_id", "text").select(col("doc_id"),
       col("word").as("term"))
 
+  /** CLI builds write the VERSIONED artifact layout (a fresh generation
+    * directory + atomic pointer CAS — [[graft.sinks.ArtifactStore]]):
+    * readers never observe a half-built or mid-swap artifact, and a
+    * build racing an update on the same path fails loudly instead of
+    * silently clobbering it. */
   def build(spark: SparkSession, tpe: String, input: DataFrame,
             path: String, flags: Map[String, String]): Unit = {
+    import graft.sinks.ArtifactStore
+    val loadedGen = ArtifactStore.currentGen(spark, path)
+    val gen = ArtifactStore.newGenDir(spark, path, loadedGen)
+    buildInto(spark, tpe, input, gen, flags)
+    ArtifactStore.commitGen(spark, path, gen, loadedGen)
+  }
+
+  private def buildInto(spark: SparkSession, tpe: String, input: DataFrame,
+                        path: String, flags: Map[String, String]): Unit = {
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     tpe match {
       case "lsh" =>
@@ -156,7 +170,10 @@ object IndexTool {
         // once, screen every later candidate batch against them
         embOf(input, flags).coalesce(1).write.mode("overwrite").parquet(path)
       case "cdc" =>
-        Dedup.saveCdcIndex(Dedup.buildCdcIndex(docsOf(input, flags),
+        // two-surface artifact: serve reads the rollup; the doc-grain
+        // chunks surface makes the index removable and the re-ingestion
+        // guard exact (Dedup.CdcArtifact)
+        Dedup.saveCdcArtifact(Dedup.buildCdcArtifact(docsOf(input, flags),
           "doc_id", "text", num("avg-mask", 32)), path)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
@@ -196,12 +213,14 @@ object IndexTool {
     * independent, so an anti-join plus re-derived rollups equals a
     * fresh build over the remaining corpus (lsh, bm25) or a fresh
     * assignment/encode of the remaining rows under the fixed fitted
-    * parameters (ivfflat, ivfpq, pq, semdedup). `cdc` is NOT removable:
-    * its index stores only aggregates (min first_doc, total n_occ) —
-    * the min is unrecoverable once its witness is deleted — so CDC
-    * removal is a rebuild on the remaining corpus by contract. */
+    * parameters (ivfflat, ivfpq, pq, semdedup). `cdc` joined the set in
+    * round 15: the persisted artifact now carries the doc-grain chunk
+    * occurrence table beside the rollup ([[graft.operators.CdcArtifact]]),
+    * so removal is the same anti-join + rollup re-derivation as bm25 —
+    * the rollup alone was NOT invertible (its `min first_doc` is
+    * unrecoverable once its witness is deleted). */
   val RemoveTypes: Set[String] =
-    Set("lsh", "bm25", "ivfflat", "ivfpq", "pq", "semdedup")
+    Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup")
 
   /** `index-remove`: load the artifact, drop the ids in the input
     * batch, atomically replace (same staged swap as `index-update`,
@@ -212,50 +231,89 @@ object IndexTool {
              path: String, flags: Map[String, String]): Unit = {
     require(RemoveTypes(tpe),
       s"index-remove supports --type=${RemoveTypes.toSeq.sorted.mkString("|")} " +
-        s"only (got '$tpe'); the cdc index stores only aggregates (min " +
-        s"first_doc is unrecoverable once its witness is deleted) — " +
-        s"rebuild with index-build on the remaining corpus")
+        s"only (got '$tpe')")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     def docIds: DataFrame = input.select(
       col(flags.getOrElse("id-col", "doc_id")).cast(LongType).as("doc_id"))
     def vecIds: DataFrame = input.select(
       col(flags.getOrElse("id-col", "vec_id")).cast(LongType).as("n_id"))
-    val staging = s"$path.__remove_${java.util.UUID.randomUUID().toString.take(8)}"
+    // Pin the generation this remove folds onto: loads plan against
+    // `base`, and the commit CAS refuses if the pointer moved meanwhile
+    // (a racing update/remove) — fail loudly, never drop a deletion.
+    import graft.sinks.ArtifactStore
+    val loadedGen = ArtifactStore.currentGen(spark, path)
+    val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
+    val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
     tpe match {
       case "lsh" =>
         Dedup.saveLshIndex(Dedup.removeFromLshIndex(
-          Dedup.loadLshIndex(spark, path),
+          Dedup.loadLshIndex(spark, base),
           docIds.select(col("doc_id").as("id")),
           num("num-hashes", 28), num("bands", 4)), staging)
       case "bm25" =>
         Retrieval.saveBm25Index(Retrieval.removeFromBm25Index(
-          Retrieval.loadBm25Index(spark, path), docIds), staging)
+          Retrieval.loadBm25Index(spark, base), docIds), staging)
+      case "cdc" =>
+        Dedup.saveCdcArtifact(Dedup.removeFromCdcArtifact(
+          Dedup.loadCdcArtifact(spark, base), docIds), staging)
       case "ivfflat" =>
         Clustering.saveIvfFlatIndex(Clustering.removeFromIvfFlatIndex(
-          Clustering.loadIvfFlatIndex(spark, path), vecIds), staging)
+          Clustering.loadIvfFlatIndex(spark, base), vecIds), staging)
       case "ivfpq" =>
         Clustering.saveIvfPqIndex(Clustering.removeFromIvfPqIndex(
-          Clustering.loadIvfPqIndex(spark, path), vecIds), staging)
+          Clustering.loadIvfPqIndex(spark, base), vecIds), staging)
       case "pq" =>
         Clustering.savePqIndex(Clustering.removeFromPqIndex(
-          Clustering.loadPqIndex(spark, path), vecIds), staging)
+          Clustering.loadPqIndex(spark, base), vecIds), staging)
       case "semdedup" =>
         Clustering.saveSemIndex(Clustering.removeFromSemIndex(
-          Clustering.loadSemIndex(spark, path),
+          Clustering.loadSemIndex(spark, base),
           vecIds.select(col("n_id").as("vid"))), staging)
     }
-    graft.sinks.BulkSink.commit(spark, staging, path)
+    ArtifactStore.commitGen(spark, path, staging, loadedGen)
+  }
+
+  /** The per-tier "ids already in the artifact" surface, for the
+    * re-ingestion guard in [[update]]: one `id` column, drawn from the
+    * artifact's per-doc/per-vector surface (one column scan, never
+    * collected). */
+  private def existingIds(spark: SparkSession, tpe: String, base: String)
+      : DataFrame = tpe match {
+    case "lsh" => Dedup.loadLshIndex(spark, base).select(col("id"))
+    case "cdc" => Dedup.loadCdcArtifact(spark, base).chunks
+      .select(col("doc_id").as("id"))
+    case "bm25" => Retrieval.loadBm25Index(spark, base).doclen
+      .select(col("doc_id").as("id"))
+    case "ivfflat" => Clustering.loadIvfFlatIndex(spark, base).postings
+      .select(col("n_id").as("id"))
+    case "semdedup" => Clustering.loadSemIndex(spark, base).assign
+      .select(col("vid").as("id"))
+    case "pq" => Clustering.loadPqIndex(spark, base).codes
+      .select(col("n_id").as("id"))
+    case "ivfpq" => Clustering.loadIvfPqIndex(spark, base).codes
+      .select(col("n_id").as("id"))
   }
 
   /** `index-update`: load the artifact at `path`, fold the delta batch
-    * in, and atomically REPLACE the artifact (staged write + the bulk
-    * commit swap — the artifact directory never half-exists, and a
-    * failed update leaves the old index serving). CONCURRENCY: serves
-    * may run alongside an update (they plan against whole versions),
-    * but updates on the same artifact must be writer-exclusive — two
-    * concurrent updates both fold onto the same base and the second
-    * swap silently drops the first delta (last-swap-wins). One
-    * ingestion cron per index; see FIXTURES.md §10. */
+    * in, and commit a NEW GENERATION via the pointer compare-and-swap
+    * ([[graft.sinks.ArtifactStore.commitGen]] — the artifact never
+    * half-exists, a failed update leaves the old generation serving,
+    * and the DISPLACED generation is retained for in-flight readers).
+    * CONCURRENCY: serves may run alongside an update; two updates (or
+    * an update ∥ remove) racing on the same artifact SERIALIZE or fail
+    * loudly — the loser's commit detects the moved pointer, deletes its
+    * own generation, and throws with the delta UNAPPLIED (re-run it).
+    * See FIXTURES.md §10.
+    *
+    * GUARD: every updatable tier's fold assumes delta ids are NEW
+    * (disjoint from the artifact's) — re-ingesting an indexed doc
+    * double-counts BM25 postings/df, CDC n_occ, LSH census rows, and
+    * duplicates ANN postings/codes. A replayed delta batch (a cron
+    * crash after commit) would corrupt the artifact SILENTLY, so the
+    * verb checks: delta ids are semi-joined against the artifact's id
+    * surface and any overlap fails loudly before anything is written
+    * (one column-pruned scan; `--skip-disjoint-check=true` waives it
+    * when the scheduler already guarantees disjointness). */
   def update(spark: SparkSession, tpe: String, input: DataFrame,
              path: String, flags: Map[String, String]): Unit = {
     require(UpdateTypes(tpe),
@@ -264,41 +322,62 @@ object IndexTool {
         s"unigram|wordpiece) re-fit — run index-build on the grown corpus " +
         s"(for ANN adds, build --type=ivfflat: its postings update exactly)")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
-    val staging = s"$path.__update_${java.util.UUID.randomUUID().toString.take(8)}"
+    // Pin the generation this update folds onto: loads plan against
+    // `base`; the commit CAS refuses if the pointer moved meanwhile.
+    import graft.sinks.ArtifactStore
+    val loadedGen = ArtifactStore.currentGen(spark, path)
+    val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
+    val docTier = Set("lsh", "cdc", "bm25")(tpe)
+    if (!flags.get("skip-disjoint-check").exists(_.toBoolean)) {
+      val deltaIds = (if (docTier) docsOf(input, flags).select(
+          col("doc_id").as("id"))
+        else embOf(input, flags).select(col("vec_id").as("id"))).distinct()
+      val dupes = deltaIds.join(existingIds(spark, tpe, base), Seq("id"),
+        "left_semi").limit(6).collect().map(_.getLong(0))
+      require(dupes.isEmpty,
+        s"index-update --type=$tpe: delta contains id(s) already in the " +
+          s"artifact at $path (${dupes.take(5).mkString(", ")}" +
+          s"${if (dupes.length > 5) ", …" else ""}) — re-ingesting an " +
+          s"indexed doc double-counts its contribution and corrupts the " +
+          s"index silently (a replayed cron batch?). Remove them first " +
+          s"(index-remove) or pass --skip-disjoint-check=true if the " +
+          s"scheduler guarantees disjoint deltas")
+    }
+    val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
     tpe match {
       case "lsh" =>
         Dedup.saveLshIndex(Dedup.updateLshIndex(
-          Dedup.loadLshIndex(spark, path),
+          Dedup.loadLshIndex(spark, base),
           shingled(docsOf(input, flags), num("shingle-n", 3)),
           num("num-hashes", 28), num("bands", 4)), staging)
       case "cdc" =>
-        Dedup.saveCdcIndex(Dedup.updateCdcIndex(
-          Dedup.loadCdcIndex(spark, path), docsOf(input, flags),
+        Dedup.saveCdcArtifact(Dedup.updateCdcArtifact(
+          Dedup.loadCdcArtifact(spark, base), docsOf(input, flags),
           "doc_id", "text", num("avg-mask", 32)), staging)
       case "bm25" =>
         Retrieval.saveBm25Index(Retrieval.updateBm25Index(
-          Retrieval.loadBm25Index(spark, path),
+          Retrieval.loadBm25Index(spark, base),
           terms(docsOf(input, flags))), staging)
       case "ivfflat" =>
         Clustering.saveIvfFlatIndex(Clustering.updateIvfFlatIndex(
-          Clustering.loadIvfFlatIndex(spark, path),
+          Clustering.loadIvfFlatIndex(spark, base),
           embOf(input, flags), "vec_id", "embedding"), staging)
       case "semdedup" =>
         Clustering.saveSemIndex(Clustering.updateSemIndex(
-          Clustering.loadSemIndex(spark, path),
+          Clustering.loadSemIndex(spark, base),
           embOf(input, flags), "vec_id", "embedding"), staging)
       case "pq" =>
         Clustering.savePqIndex(Clustering.updatePqIndex(
-          Clustering.loadPqIndex(spark, path),
+          Clustering.loadPqIndex(spark, base),
           embOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8)), staging)
       case "ivfpq" =>
         Clustering.saveIvfPqIndex(Clustering.updateIvfPqIndex(
-          Clustering.loadIvfPqIndex(spark, path),
+          Clustering.loadIvfPqIndex(spark, base),
           embOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8)), staging)
     }
-    graft.sinks.BulkSink.commit(spark, staging, path)
+    ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
 
   def serve(spark: SparkSession, tpe: String, input: DataFrame,
@@ -378,12 +457,13 @@ object IndexTool {
           .orderBy(col("pruned"))
       case "decontam" =>
         Similarity.semanticDecontam(embOf(input, flags),
-            spark.read.parquet(path), "vec_id", "embedding",
-            dbl("threshold", 0.4))
+            spark.read.parquet(
+              graft.sinks.ArtifactStore.resolve(spark, path)),
+            "vec_id", "embedding", dbl("threshold", 0.4))
           .orderBy(col("contaminated"))
       case "cdc" =>
         Dedup.incrementalCdcMatches(docsOf(input, flags),
-            Dedup.loadCdcIndex(spark, path), "doc_id", "text",
+            Dedup.loadCdcArtifact(spark, path).rollup, "doc_id", "text",
             num("avg-mask", 32))
           .orderBy(col("new_doc"))
       case "wordpiece" =>
@@ -449,8 +529,33 @@ object IndexTool {
       : Map[String, Long] = {
     require(Types(tpe),
       s"unknown index type '$tpe' (expected ${Types.toSeq.sorted.mkString("|")})")
-    def rows(p: String): Long = spark.read.parquet(p).count()
-    val counters: Seq[(String, Long)] = tpe match {
+    def rows(p: String): Long = spark.read.parquet(
+      graft.sinks.ArtifactStore.resolve(spark, p)).count()
+    // Generation health first (versioned layout only): orphaned
+    // generations are a crashed/raced writer's leftovers (or the one
+    // retained displaced generation) — detected here, swept by the next
+    // successful commit. A lingering commit claim means a writer is
+    // mid-flip or crashed inside the (milliseconds-wide) CAS window.
+    val genCounters: Seq[(String, Long)] =
+      graft.sinks.ArtifactStore.generationReport(spark, path) match {
+        case None => Seq.empty
+        case Some((cur, orphans, claimed)) =>
+          if (orphans.nonEmpty) println(
+            s"WARNING: ${orphans.length} non-live generation(s) under " +
+              s"$path (live: $cur): ${orphans.mkString(", ")} — one " +
+              s"retained displaced generation is normal; more means a " +
+              s"crashed writer (next successful index-update/remove " +
+              s"sweeps them)")
+          if (claimed) println(
+            s"WARNING: commit claim present at $path/" +
+              s"${graft.sinks.ArtifactStore.ClaimFile} — a commit is in " +
+              s"flight, or a writer crashed mid-flip (safe to delete " +
+              s"after confirming no writer is running)")
+          Seq("generations" -> (orphans.length + 1L),
+            "orphan_generations" -> orphans.length.toLong,
+            "commit_claim_present" -> (if (claimed) 1L else 0L))
+      }
+    val counters: Seq[(String, Long)] = genCounters ++ (tpe match {
       case "lsh" =>
         // one scan: count + both distincts in a single (expanded) agg
         val a = Dedup.loadLshIndex(spark, path)
@@ -461,11 +566,13 @@ object IndexTool {
       case "cdc" =>
         // coalesce: sum over an EMPTY artifact is null, and describe is
         // exactly the verb an operator points at a degenerate index
-        val agg = Dedup.loadCdcIndex(spark, path)
+        val art = Dedup.loadCdcArtifact(spark, path)
+        val agg = art.rollup
           .agg(count(lit(1)),
             coalesce(sum(col("n_occ")), lit(0L)).as("occ")).head()
         Seq("unique_chunks" -> agg.getLong(0),
-          "chunk_occurrences" -> agg.getLong(1))
+          "chunk_occurrences" -> agg.getLong(1),
+          "docs" -> art.chunks.select(col("doc_id")).distinct().count())
       case "bm25" =>
         val idx = Retrieval.loadBm25Index(spark, path)
         val st = idx.stats.head()
@@ -474,7 +581,8 @@ object IndexTool {
           "vocab_terms" -> idx.docfreq.count(),
           "total_tokens" -> st.getAs[Long]("total_len"))
       case "ivf" =>
-        val lanes = spark.read.parquet(path)
+        val lanes = spark.read.parquet(
+          graft.sinks.ArtifactStore.resolve(spark, path))
         Seq("centroids" -> lanes.select(col("cluster")).distinct().count(),
           "dim" -> lanes.select(col("pos")).distinct().count())
       case "ivfflat" =>
@@ -519,11 +627,12 @@ object IndexTool {
       case "bpe" => Seq("merges" -> rows(path))
       case "unigram" => Seq("vocab_pieces" -> rows(path))
       case "wordpiece" =>
-        val v = spark.read.parquet(path)
+        val v = spark.read.parquet(
+          graft.sinks.ArtifactStore.resolve(spark, path))
         Seq("vocab_pieces" -> v.count(),
           "continuation_pieces" -> v.filter(col("is_cont")).count())
       case "decontam" => Seq("eval_vectors" -> rows(path))
-    }
+    })
     counters.foreach { case (name, value) => println(s"$name: $value") }
     counters.toMap
   }
@@ -619,9 +728,11 @@ object IndexTool {
       case "decontam" =>
         graft.streaming.StreamingCells.decontamServeStream(
           embOf(stream, flags), "vec_id", "embedding",
-          spark.read.parquet(path), dbl("threshold", 0.4))(sink)
+          spark.read.parquet(
+            graft.sinks.ArtifactStore.resolve(spark, path)),
+          dbl("threshold", 0.4))(sink)
       case "cdc" =>
-        val idx = Dedup.loadCdcIndex(spark, path)
+        val idx = Dedup.loadCdcArtifact(spark, path).rollup
         docsOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(Dedup.incrementalCdcMatches(batch, idx, "doc_id", "text",

@@ -270,7 +270,7 @@ object Bpe {
 
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
                  path: String): Seq[Merge] =
-    spark.read.parquet(path)
+    spark.read.parquet(graft.sinks.ArtifactStore.resolve(spark, path))
       .select(col("step").cast("int"), col("lhs").cast("string"),
         col("rhs").cast("string"), col("cnt").cast("long"))
       .collect()

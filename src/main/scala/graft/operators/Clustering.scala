@@ -374,15 +374,38 @@ object Clustering {
     * it). Re-run [[semDedupHierFit]] when accumulated deltas overgrow
     * the fixed cell widths (pair mass per (cluster, cell) rises past
     * the clusterCap design point) — the Faiss train/add split's refit
-    * trigger. */
+    * trigger.
+    *
+    * LOSS CHECK: the assignment chain can DROP a delta row whose nearest
+    * coarse lane is a seedless fit cell (no fine seeds to argmin
+    * against — the serve path documents the same prune honestly, but on
+    * the ADD path a dropped row would be an "admitted" vector that never
+    * joins the assign surface, so future deltas could never screen
+    * against it: silent recall loss, not honest pruning). The update
+    * therefore counts the assigned rows against the delta and FAILS
+    * loudly on any shortfall — a seedless-cell delta means the fit no
+    * longer covers the data distribution; re-run [[semDedupHierFit]] on
+    * the grown corpus. Costs two delta-sized counts (the assignment is
+    * persisted, so the chain runs once). */
   def updateSemIndex(idx: SemIndex, delta: DataFrame,
                      idCol: String, vecCol: String,
                      seedLiteralCap: Int = Similarity.MaxCentroids)
-      : SemIndex =
+      : SemIndex = {
+    val cells = OperatorCaches.register(
+      deltaCells(delta, idCol, vecCol, idx, seedLiteralCap).persist())
+    val expected = delta.select(col(idCol)).distinct().count()
+    val got = cells.count()
+    require(got == expected,
+      s"updateSemIndex: ${expected - got} of $expected delta row(s) were " +
+        s"dropped by the assignment chain (nearest coarse lane has no " +
+        s"fine seeds — an empty fit cell). Admitting them without " +
+        s"indexing would silently exempt them from every future screen; " +
+        s"re-fit with semDedupHierFit on the grown corpus instead")
     idx.copy(assign =
       idx.assign.select(col("vid"), col("v"), col("nrm"),
           col("cluster"), col("cell"))
-        .unionByName(deltaCells(delta, idCol, vecCol, idx, seedLiteralCap)))
+        .unionByName(cells))
+  }
 
   /** REMOVE a vector set from a [[SemIndex]]: anti-join the `assign`
     * surface on `vid` — a removed vector stops appearing in any future
@@ -439,7 +462,9 @@ object Clustering {
   }
 
   def loadSemIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String): SemIndex = {
+                   p0: String): SemIndex = {
+    // versioned-artifact pointer when present (CLI layout), flat otherwise
+    val path = graft.sinks.ArtifactStore.resolve(spark, p0)
     val meta = spark.read.parquet(s"$path/meta").head()
     SemIndex(spark.read.parquet(s"$path/lanes"),
       spark.read.parquet(s"$path/seeds"),
@@ -811,9 +836,11 @@ object Clustering {
   }
 
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
-                  path: String): PqIndex =
+                  p0: String): PqIndex = {
+    val path = graft.sinks.ArtifactStore.resolve(spark, p0)
     PqIndex(spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/lanes"))
+  }
 
   /** ADD a delta batch to a fitted/loaded [[PqIndex]]: ENCODE each delta
     * vector against the FIXED trained codebooks (per-subspace argmin to
@@ -1093,7 +1120,8 @@ object Clustering {
 
   def loadIvfCodebook(spark: org.apache.spark.sql.SparkSession,
                       path: String): graft.plans.IvfCentroids =
-    Similarity.centroidSetFromLanes(spark.read.parquet(path))
+    Similarity.centroidSetFromLanes(spark.read.parquet(
+      graft.sinks.ArtifactStore.resolve(spark, path)))
 
   /** The FULL inverted-file index — trained coarse codebook (`lanes`)
     * PLUS the materialized inverted lists (`postings`: one row per
@@ -1159,8 +1187,9 @@ object Clustering {
   }
 
   def loadIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String): IvfFlatIndex = {
+                       p0: String): IvfFlatIndex = {
     import org.apache.spark.sql.types.LongType
+    val path = graft.sinks.ArtifactStore.resolve(spark, p0)
     IvfFlatIndex(spark.read.parquet(s"$path/lanes"),
       spark.read.parquet(s"$path/postings")
         .select(col("n_id"), col("nv"), col("nn"),
@@ -1292,8 +1321,9 @@ object Clustering {
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                     path: String): IvfPqIndex = {
+                     p0: String): IvfPqIndex = {
     import org.apache.spark.sql.types.LongType
+    val path = graft.sinks.ArtifactStore.resolve(spark, p0)
     IvfPqIndex(spark.read.parquet(s"$path/coarse"),
       spark.read.parquet(s"$path/cells")
         .select(col("n_id"), col("c_id").cast(LongType).as("c_id")),

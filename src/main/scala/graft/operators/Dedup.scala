@@ -6,6 +6,13 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions._
 
+/** The persisted two-surface CDC chunk index (see
+  * [[Dedup.buildCdcArtifact]]): `chunks` is the doc-grain occurrence
+  * table `(doc_id, h)`, `rollup` the serve-side aggregate
+  * `(h, first_doc, n_occ)` — the [[graft.operators.Bm25Index]] split of
+  * invertible per-doc rows plus derived rollups. */
+final case class CdcArtifact(chunks: DataFrame, rollup: DataFrame)
+
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * Three families, all expressed as pure DataFrame transforms so they scale
@@ -407,9 +414,12 @@ object Dedup {
   def saveLshIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
 
+  /** Loads resolve the versioned-artifact pointer when present
+    * ([[graft.sinks.ArtifactStore.resolve]] — the CLI layout) and fall
+    * back to the flat path (the query fixtures' layout). */
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(graft.sinks.ArtifactStore.resolve(spark, path))
 
   /** Fold a DELTA batch's signatures into an existing banded index —
     * the update leg of build-once/serve-many ingestion dedup (documents
@@ -1003,7 +1013,77 @@ object Dedup {
 
   def loadCdcIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(graft.sinks.ArtifactStore.resolve(spark, path))
+
+  /** Fold a delta into a two-surface [[CdcArtifact]]: chunk occurrences
+    * union (per-doc rows, a monoid over disjoint doc sets) and the
+    * rollup min/sum-merges exactly as [[updateCdcIndex]] — so both
+    * surfaces equal a fresh [[buildCdcArtifact]] of the union. Same
+    * NEW-doc_ids contract as the rollup-only update. */
+  def updateCdcArtifact(idx: CdcArtifact, delta: DataFrame, idCol: String,
+                        textCol: String, avgMask: Int): CdcArtifact = {
+    val deltaChunks = cdcChunks(delta, idCol, textCol, avgMask)
+      .select(col("id").as("doc_id"), col("h"))
+    CdcArtifact(
+      idx.chunks.unionByName(deltaChunks),
+      idx.rollup.unionByName(
+          deltaChunks.groupBy(col("h"))
+            .agg(min(col("doc_id")).as("first_doc"),
+              count(lit(1)).as("n_occ")))
+        .groupBy(col("h"))
+        .agg(min(col("first_doc")).as("first_doc"),
+          sum(col("n_occ")).as("n_occ")))
+  }
+
+  /** REMOVE a doc set from a [[CdcArtifact]] — the right-to-be-forgotten
+    * leg the rollup-only index could not support (its `min first_doc` is
+    * unrecoverable once its witness doc is deleted). With the doc-grain
+    * `chunks` surface persisted, removal is an anti-join plus a rollup
+    * re-derivation, so the result equals a fresh [[buildCdcArtifact]]
+    * over the remaining corpus EXACTLY (q165's oracle replays it) — the
+    * same shape as [[graft.operators.Retrieval.removeFromBm25Index]]. */
+  def removeFromCdcArtifact(idx: CdcArtifact, removedIds: DataFrame)
+      : CdcArtifact = {
+    val ids = removedIds.select(col("doc_id")).distinct()
+    val chunks = idx.chunks.join(ids, Seq("doc_id"), "left_anti")
+    CdcArtifact(chunks,
+      chunks.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_occ")))
+  }
+
+  /** The two-surface persisted CDC artifact (the CLI `--type=cdc`
+    * layout): `rollup` is the serve surface (identical to
+    * [[buildCdcIndex]]'s output — the screen joins only it), `chunks`
+    * is the doc-grain occurrence table `(doc_id, h)` that makes the
+    * artifact REMOVABLE (and the re-ingestion guard exact). Storage
+    * cost: one extra int64+hash row per chunk occurrence — corpus-linear
+    * with the same constant as the text scan that produced it, the price
+    * of invertibility. */
+  def buildCdcArtifact(docs: DataFrame, idCol: String, textCol: String,
+                       avgMask: Int): CdcArtifact = {
+    val chunks = cdcChunks(docs, idCol, textCol, avgMask)
+      .select(col("id").as("doc_id"), col("h"))
+    CdcArtifact(chunks,
+      chunks.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_occ")))
+  }
+
+  /** Persist both surfaces. The rollup derives from the chunks subtree,
+    * so the chunks frame is persisted across the two write actions (the
+    * [[graft.operators.Retrieval.saveBm25Index]] cache-then-derive
+    * pattern, one wave deep). */
+  def saveCdcArtifact(idx: CdcArtifact, path: String): Unit = {
+    val c = OperatorCaches.register(idx.chunks.persist())
+    c.write.mode("overwrite").parquet(s"$path/chunks")
+    idx.rollup.write.mode("overwrite").parquet(s"$path/rollup")
+  }
+
+  def loadCdcArtifact(spark: org.apache.spark.sql.SparkSession,
+                      path: String): CdcArtifact = {
+    val p = graft.sinks.ArtifactStore.resolve(spark, path)
+    CdcArtifact(spark.read.parquet(s"$p/chunks"),
+      spark.read.parquet(s"$p/rollup"))
+  }
 
   /** Chunk-level screen of a DELTA batch against a built/loaded chunk
     * index: per new document, how many of its chunks already exist in

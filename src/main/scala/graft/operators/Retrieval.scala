@@ -77,29 +77,17 @@ object Retrieval {
     ()
   }
 
-  def loadBm25Index(spark: SparkSession, path: String): Bm25Index =
+  def loadBm25Index(spark: SparkSession, path: String): Bm25Index = {
+    // versioned-artifact pointer when present (the CLI layout), flat
+    // path otherwise (the query fixtures' layout)
+    val p = graft.sinks.ArtifactStore.resolve(spark, path)
     Bm25Index(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/doclen"),
-      spark.read.parquet(s"$path/docfreq"),
-      spark.read.parquet(s"$path/stats"))
+      spark.read.parquet(s"$p/postings"),
+      spark.read.parquet(s"$p/doclen"),
+      spark.read.parquet(s"$p/docfreq"),
+      spark.read.parquet(s"$p/stats"))
+  }
 
-  /** Fold a DELTA batch of admitted documents into an existing index —
-    * the update leg that completes build-once/serve-many into
-    * build/serve/UPDATE (an ingestion cron that admits documents wants
-    * them retrievable without re-tokenizing the archive). Every
-    * artifact is a monoid under disjoint doc sets: postings/doclen
-    * union (per-doc rows), docfreq sum-merges per term, stats adds —
-    * so `update(build(A), terms(B)) == build(terms(A ∪ B))` EXACTLY
-    * (the q153 oracle is the full-corpus build). Cost: O(delta)
-    * tokenize + one term-keyed merge agg over docfreq (vocabulary-
-    * sized, partial-aggregated) — the corpus postings are never
-    * re-scanned.
-    *
-    * CONTRACT: delta doc_ids must be NEW (disjoint from the index's) —
-    * re-ingesting an indexed doc would double-count its postings,
-    * exactly like inserting a row twice. The ingestion screens
-    * (lsh/cdc serve) are the dedup gate that upholds this upstream. */
   /** REMOVE a doc set from the inverted index — the
     * right-to-be-forgotten leg: anti-join the per-doc surfaces
     * (postings, doclen) and re-derive the rollups (df from the
@@ -119,6 +107,24 @@ object Retrieval {
         coalesce(sum(col("dl")), lit(0L)).as("total_len")))
   }
 
+  /** Fold a DELTA batch of admitted documents into an existing index —
+    * the update leg that completes build-once/serve-many into
+    * build/serve/UPDATE (an ingestion cron that admits documents wants
+    * them retrievable without re-tokenizing the archive). Every
+    * artifact is a monoid under disjoint doc sets: postings/doclen
+    * union (per-doc rows), docfreq sum-merges per term, stats adds —
+    * so `update(build(A), terms(B)) == build(terms(A ∪ B))` EXACTLY
+    * (the q153 oracle is the full-corpus build). Cost: O(delta)
+    * tokenize + one term-keyed merge agg over docfreq (vocabulary-
+    * sized, partial-aggregated) — the corpus postings are never
+    * re-scanned.
+    *
+    * CONTRACT: delta doc_ids must be NEW (disjoint from the index's) —
+    * re-ingesting an indexed doc would double-count its postings,
+    * exactly like inserting a row twice. The ingestion screens
+    * (lsh/cdc serve) are the dedup gate that upholds this upstream, and
+    * the CLI `index-update` verb enforces it with an id overlap guard
+    * (`IndexTool.update`). */
   def updateBm25Index(index: Bm25Index, deltaTerms: DataFrame): Bm25Index = {
     val d = buildBm25Index(deltaTerms)
     Bm25Index(

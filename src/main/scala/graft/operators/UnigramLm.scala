@@ -250,7 +250,8 @@ object UnigramLm {
   }
 
   def loadVocab(spark: SparkSession, path: String): Vocab = {
-    val rows = spark.read.parquet(path)
+    val rows = spark.read.parquet(
+      graft.sinks.ArtifactStore.resolve(spark, path))
       .select(col("piece").cast("string"), col("cnt").cast("long"),
         col("cost").cast("long"), col("unk_cost").cast("long"))
       .collect()

@@ -228,7 +228,8 @@ object WordPiece {
   }
 
   def loadVocab(spark: SparkSession, path: String): WpVocab = {
-    val rows = spark.read.parquet(path)
+    val rows = spark.read.parquet(
+      graft.sinks.ArtifactStore.resolve(spark, path))
       .select(col("piece").cast("string"), col("is_cont").cast("boolean"))
       .collect()
     val (contRows, headRows) = rows.partition(_.getBoolean(1))

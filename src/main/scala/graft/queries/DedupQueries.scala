@@ -1049,6 +1049,32 @@ object DedupQueries {
   lazy val q164_sql: String =
     incrementalLshSql(Seq(DeltaSources(1)), DeltaSources)
 
+  // ── q165: CDC chunk-index REMOVE — right-to-be-forgotten for the
+  // chunk screen. The rollup alone (h, first_doc, n_occ) is NOT
+  // invertible (min first_doc is unrecoverable once its witness doc is
+  // deleted), so the persisted artifact carries the doc-grain chunk
+  // occurrence table beside it (Dedup.CdcArtifact — the Bm25Index
+  // split): removal is an anti-join on the chunks surface plus a rollup
+  // re-derivation, equal to a fresh build over the remaining corpus
+  // EXACTLY. Build the two-surface artifact on the whole corpus, DROP
+  // the doc_id % 10 == 0 set, emit the re-derived rollup; the oracle
+  // rebuilds it from the remaining docs. CLI: `index-remove
+  // --type=cdc`. ───────────────────────────────────────────────────────
+  val q165_cdc_index_remove: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val path = QueryTmp.dir("cdcremove", d)
+    Dedup.saveCdcArtifact(
+      Dedup.buildCdcArtifact(docs, "doc_id", "text", CdcMask), path)
+    Dedup.removeFromCdcArtifact(Dedup.loadCdcArtifact(s, path),
+        docs.filter($"doc_id" % 10 === 0).select($"doc_id"))
+      .rollup.orderBy($"h")
+  }
+  lazy val q165_sql: String =
+    s"""WITH $cdcChainSql
+       |SELECT h, min(doc_id) AS first_doc, count(*) AS n_occ
+       |FROM hashed WHERE doc_id % 10 <> 0 GROUP BY h ORDER BY h""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q21_exact_dedup" -> q21_exact_dedup,
     "q22_minhash_dedup" -> q22_minhash_dedup,
@@ -1071,6 +1097,7 @@ object DedupQueries {
     "q154_cdc_index_update" -> q154_cdc_index_update,
     "q155_lsh_index_update" -> q155_lsh_index_update,
     "q164_lsh_index_remove" -> q164_lsh_index_remove,
+    "q165_cdc_index_remove" -> q165_cdc_index_remove,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -1095,5 +1122,6 @@ object DedupQueries {
     "q154_cdc_index_update" -> q154_sql,
     "q155_lsh_index_update" -> q155_sql,
     "q164_lsh_index_remove" -> q164_sql,
+    "q165_cdc_index_remove" -> q165_sql,
   )
 }

@@ -1,0 +1,214 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Versioned-generation layout for persisted index artifacts — the
+  * pointer-file commit protocol every table format with concurrent
+  * readers converges on (Iceberg's metadata pointer, Delta's log): an
+  * artifact root holds immutable generation directories
+  * (`gen_<ordinal>_<uuid>/`) plus one atomic pointer file
+  * (`_gen_current`) naming the live generation. This replaces the
+  * rename-swap commit (`BulkSink.commit`) for the index tiers, whose
+  * contract it could not uphold:
+  *
+  *  - **Readers never observe a missing artifact.** The swap's two
+  *    renames (dest → dest.__replaced, staging → dest) left a gap in
+  *    which a concurrent `index-serve` load saw NO directory, and an
+  *    in-flight serve planned against the old files lost them when
+  *    `.__replaced` was deleted. Here the pointer flip is one atomic
+  *    rename, generation files never move, and the DISPLACED generation
+  *    is retained until the commit after next — an in-flight serve keeps
+  *    a complete on-disk generation for a full update cycle. (A serve
+  *    spanning TWO commits of the same artifact can still lose its
+  *    files; retention is one generation deep by design — unbounded
+  *    retention needs a reader-lease protocol this deployment does not
+  *    require.)
+  *  - **Racing writers fail loudly instead of silently dropping a
+  *    delta.** `index-update`/`index-remove` is a read-modify-write of
+  *    the whole artifact; under the rename swap two racing updates both
+  *    folded the same base and the second swap silently dropped the
+  *    first delta (last-swap-wins — FIXTURES.md §10's documented hole,
+  *    the same failure class as the arrival-ordinal race). [[commitGen]]
+  *    is a compare-and-swap: the writer records the generation it loaded
+  *    and the commit refuses if the pointer moved, under a
+  *    create-exclusive `_gen_claim` held only for the pointer flip
+  *    (the `EntityTable.tryClaimArrival` test-and-set pattern —
+  *    `Files.createFile` for true O_EXCL on local FS, where Hadoop's
+  *    overwrite=false emulation is a non-atomic exists() probe).
+  *  - **A crashed writer is harmless and detectable.** A crash before
+  *    [[commitGen]] leaves an orphaned generation directory; the pointer
+  *    still names the old generation, so serves are untouched. Orphans
+  *    are swept by the next successful commit and surfaced by
+  *    `index-describe` ([[generationReport]]).
+  *
+  * Legacy compatibility: an artifact with no pointer file (anything
+  * written by the tier save functions directly — the query fixtures'
+  * layout) resolves to the root path itself, so every load path accepts
+  * both layouts; only the CLI verbs write the versioned layout.
+  */
+object ArtifactStore {
+
+  val PointerFile = "_gen_current"
+  val ClaimFile = "_gen_claim"
+  private val GenPrefix = "gen_"
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Ordinal of a generation directory name (`gen_<n>_<uuid>`). */
+  def ordinalOf(genName: String): Option[Long] =
+    if (!genName.startsWith(GenPrefix)) None
+    else scala.util.Try(
+      genName.stripPrefix(GenPrefix).takeWhile(_ != '_').toLong).toOption
+
+  /** The live generation's directory NAME, if the artifact uses the
+    * versioned layout. Pointer writes are atomic (temp + rename), so a
+    * read sees a complete value or no file; an empty/torn read (possible
+    * only on a filesystem without atomic rename) retries briefly then
+    * fails loudly — treating it as absent would silently serve a stale
+    * legacy root. */
+  def currentGen(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsOf(spark, path)
+    val p = new Path(path, PointerFile)
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
+      val content =
+        try {
+          val in = fs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => return None }
+      content match {
+        case Some(s) if s.nonEmpty => return Some(s)
+        case _ if attempt < 5 => attempt += 1; Thread.sleep(20L << attempt)
+        case _ => throw new IllegalStateException(
+          s"artifact pointer $p is unreadable (empty/torn) after retries; " +
+            s"restore it to name one gen_* directory under $path")
+      }
+    }
+    None // unreachable
+  }
+
+  /** The directory a reader should plan against: the live generation
+    * under a versioned root, or the root itself (legacy flat layout). */
+  def resolve(spark: SparkSession, path: String): String =
+    currentGen(spark, path).map(g => s"$path/$g").getOrElse(path)
+
+  /** A fresh generation directory for a writer to fill — ordinal one
+    * above the generation it loaded (`loaded`), uuid-suffixed so two
+    * racing writers never collide on the directory (the pointer CAS in
+    * [[commitGen]] is what serializes them, not the name). */
+  def newGenDir(spark: SparkSession, path: String,
+                loaded: Option[String]): String = {
+    val next = loaded.flatMap(ordinalOf).getOrElse(0L) + 1L
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    s"$path/$GenPrefix${next}_$uuid"
+  }
+
+  /** Create-exclusive test-and-set on the commit claim (see
+    * `EntityTable.tryClaimArrival` for the local-FS O_EXCL rationale). */
+  private def tryClaim(fs: FileSystem, claim: Path): Boolean =
+    if (claim.toUri.getScheme == null || claim.toUri.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(claim.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false // root not created yet
+      }
+    else
+      try { fs.create(claim, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+
+  /** Atomic pointer write: temp + rename-with-overwrite (the
+    * `EntityTable.writeMarker` idiom). */
+  private def writePointer(spark: SparkSession, path: String,
+                           genName: String): Unit = {
+    val fs = fsOf(spark, path)
+    val p = new Path(path, PointerFile)
+    val tmp = new Path(path,
+      s"$PointerFile.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case e: Throwable => fs.delete(tmp, false); throw e }
+  }
+
+  /** Compare-and-swap commit of a written generation:
+    *
+    *  1. acquire the `_gen_claim` (create-exclusive; brief retry loop so
+    *     two writers committing at the same instant serialize rather
+    *     than one failing on the claim alone);
+    *  2. verify the pointer still names `expected` — the generation this
+    *     writer loaded and folded its delta onto. If it moved, a
+    *     concurrent update won the race: delete OUR generation and fail
+    *     LOUDLY — the delta was not applied and must be re-run against
+    *     the new version. Silent last-swap-wins is exactly the data-loss
+    *     mode this protocol exists to remove;
+    *  3. flip the pointer (atomic rename);
+    *  4. sweep every generation that is neither the new one nor
+    *     `expected` — crashed writers' orphans and generations older
+    *     than the displaced one (retention: exactly one displaced
+    *     generation stays for in-flight readers);
+    *  5. release the claim.
+    *
+    * The claim guards only steps 2–4 (milliseconds), so a stale claim
+    * from a crash in that window is unlikely; if present, the error
+    * names the file and the recovery step. */
+  def commitGen(spark: SparkSession, path: String, genDir: String,
+                expected: Option[String]): Unit = {
+    val fs = fsOf(spark, path)
+    val claim = new Path(path, ClaimFile)
+    var attempts = 0
+    while (!tryClaim(fs, claim)) {
+      attempts += 1
+      if (attempts > 100) throw new IllegalStateException(
+        s"cannot acquire commit claim $claim after ${attempts - 1} retries — " +
+          s"a concurrent commit is in flight, or a crashed writer left the " +
+          s"claim behind (safe to delete after confirming no " +
+          s"index-update/remove/build is running on $path)")
+      Thread.sleep(100L)
+    }
+    try {
+      val cur = currentGen(spark, path)
+      if (cur != expected) {
+        fs.delete(new Path(genDir), true)
+        throw new IllegalStateException(
+          s"concurrent writer detected on artifact $path: generation " +
+            s"advanced from ${expected.getOrElse("<legacy>")} to " +
+            s"${cur.getOrElse("<legacy>")} while this writer folded its " +
+            s"delta. The delta was NOT applied — re-run the " +
+            s"update/remove against the new version (FIXTURES.md §10)")
+      }
+      val genName = new Path(genDir).getName
+      writePointer(spark, path, genName)
+      val keep = Set(Some(genName), expected).flatten
+      fs.listStatus(new Path(path)).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(GenPrefix) && !keep(n)) fs.delete(s.getPath, true)
+      }
+    } finally fs.delete(claim, false)
+  }
+
+  /** Generation-health counters for `index-describe`: total gen_* dirs,
+    * orphans (any generation that is not the live one — a crashed or
+    * raced writer's leftover, or the one retained displaced generation),
+    * and whether a commit claim is present. Purely informational; the
+    * next successful commit sweeps everything but the live and displaced
+    * generations. */
+  def generationReport(spark: SparkSession, path: String)
+      : Option[(String, Seq[String], Boolean)] =
+    currentGen(spark, path).map { cur =>
+      val fs = fsOf(spark, path)
+      val gens = fs.listStatus(new Path(path)).map(_.getPath.getName)
+        .filter(_.startsWith(GenPrefix)).toSeq.sorted
+      (cur, gens.filterNot(_ == cur),
+        fs.exists(new Path(path, ClaimFile)))
+    }
+}

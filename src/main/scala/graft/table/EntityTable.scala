@@ -632,7 +632,8 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   }
 
   /** MINOR compaction of the change feed: coalesce the N accumulated
-    * append batches into ONE feed file — the memstore-flush/minor-
+    * append batches down to ~128 MB-input fold tasks (one file for the
+    * intended delta-sized feed) — the memstore-flush/minor-
     * compaction split of the reference's LSM substrate (minor folds the
     * small files, major folds into the base). Feed-ONLY rewrite: base
     * files are untouched, tombstones survive (they still mask base cells
@@ -655,7 +656,14 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     if (files <= math.max(maxFiles, 1)) return // 0 or 1 file: nothing to fold
     val staging = new org.apache.hadoop.fs.Path(
       s"$path/__changes_compact_${java.util.UUID.randomUUID().toString.take(8)}")
-    pendingChanges.coalesce(1).write.parquet(staging.toString)
+    // Size-based fold width: the intended delta-sized feed folds to one
+    // file, but the feed is UNBOUNDED if folds are deferred (a month of
+    // appends must not funnel through one writer task) — bound each fold
+    // task at ~128 MB of input (the saveSemIndex partition-count fix's
+    // pattern, applied to the fold).
+    val feedBytes = feedDataFiles.map(_.getLen).sum
+    val foldParts = math.max(1L, feedBytes / (128L << 20)).toInt
+    pendingChanges.coalesce(foldParts).write.parquet(staging.toString)
     val feed = new org.apache.hadoop.fs.Path(changesPath)
     hadoopFs.delete(feed, true)
     require(hadoopFs.rename(staging, feed),

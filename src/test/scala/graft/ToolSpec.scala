@@ -557,14 +557,18 @@ class ToolSpec extends SparkSpec {
     // unigram --target-vocab: the EM+prune size knob caps the persisted
     // vocabulary exactly (chars + highest-loss pieces), and the capped
     // artifact still serves
-    val nchars = spark.read.parquet(ugPath)
+    // CLI artifacts use the versioned-generation layout: resolve the
+    // live generation before reading the vocab table directly
+    val nchars = spark.read.parquet(
+        graft.sinks.ArtifactStore.resolve(spark, ugPath))
       .filter(org.apache.spark.sql.functions.length($"piece") === 1)
       .count().toInt
     val ugtPath = s"$base/unigram-t"
     assert(Tool.run(spark, Array("index-build", "--type=unigram",
       s"--path=$ugtPath", s"--input=$docsIn",
       s"--target-vocab=${nchars + 2}")).status == "SUCCEEDED")
-    assert(spark.read.parquet(ugtPath).count() == nchars + 2)
+    assert(spark.read.parquet(
+      graft.sinks.ArtifactStore.resolve(spark, ugtPath)).count() == nchars + 2)
     val ugtOut = s"$base/out-unigram-t"
     assert(Tool.run(spark, Array("index-serve", "--type=unigram",
       s"--path=$ugtPath", s"--input=$docsIn",
@@ -980,11 +984,34 @@ class ToolSpec extends SparkSpec {
       s"--path=$ivfPath", s"--input=format=parquet file=$base/removedvec"))
       .status == "SUCCEEDED")
     assert(!ivfServe("after").contains(2L), "removed vector still retrieved")
-    // non-removable cdc refuses with rebuild guidance
-    val e = intercept[IllegalArgumentException](Tool.run(spark,
-      Array("index-remove", "--type=cdc", s"--path=$base/x",
-        s"--input=format=parquet file=$base/removed")))
-    assert(e.getMessage.contains("rebuild"))
+    // cdc: removable since the artifact grew the doc-grain chunks
+    // surface — the removed doc's chunks stop matching, and the removed
+    // artifact screens identically to a rebuild on the remaining docs
+    val cdcPath = s"$base/cdc"
+    assert(Tool.run(spark, Array("index-build", "--type=cdc",
+      s"--path=$cdcPath", s"--input=format=parquet file=$base/docs",
+      "--avg-mask=3")).status == "SUCCEEDED")
+    def cdcServe(path: String, tag: String): Set[Seq[Any]] = {
+      val out = s"$path-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=cdc",
+        s"--path=$path", s"--input=format=parquet file=$base/probe",
+        s"--output=format=parquet file=$out", "--avg-mask=3"))
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).collect().map(_.toSeq).toSet
+    }
+    assert(cdcServe(cdcPath, "before").exists(_.contains(0L)),
+      "probe (copy of doc 0) must match doc 0 pre-removal")
+    assert(Tool.run(spark, Array("index-remove", "--type=cdc",
+      s"--path=$cdcPath", s"--input=format=parquet file=$base/removed",
+      "--avg-mask=3")).status == "SUCCEEDED")
+    val cdcAfter = cdcServe(cdcPath, "after")
+    assert(!cdcAfter.exists(_.contains(0L)), s"doc 0 still first_doc: $cdcAfter")
+    val cdcRebuilt = s"$base/cdc-rebuilt"
+    assert(Tool.run(spark, Array("index-build", "--type=cdc",
+      s"--path=$cdcRebuilt", s"--input=format=parquet file=$base/remaining",
+      "--avg-mask=3")).status == "SUCCEEDED")
+    assert(cdcAfter == cdcServe(cdcRebuilt, "fresh"),
+      "cdc removed-index serve != rebuild-on-remaining serve")
   }
 
   test("CLI index-update folds a delta into the artifact; updated == full rebuild") {

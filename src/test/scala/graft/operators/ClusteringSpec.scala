@@ -541,6 +541,45 @@ class ClusteringSpec extends SparkSpec {
       s"corpus-near row keeps a corpus keeper: $after")
   }
 
+  test("updateSemIndex fails loudly when a delta row lands in a seedless coarse cell (silent recall loss guard)") {
+    def emb(rows: Seq[(Long, Array[Float])]) = {
+      import org.apache.spark.sql.functions.col
+      rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    }
+    val corpus = emb((0 until 12).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v)
+    })
+    val idx = Clustering.semDedupHierFit(corpus, "vec_id", "embedding",
+      coarseK = 2, targetRows = 4L, iters = 2, salt = "s-seedless",
+      clusterCap = 64L, maxFinePerCell = 8)
+    // find the coarse cell of corpus vector 0 (axis-0 blob) and strip its
+    // fine seeds — the synthetic "empty fit cell" an add-path delta can
+    // hit when the fit no longer covers the data distribution
+    import org.apache.spark.sql.functions.col
+    val blob0Seed = idx.seeds.filter(col("svid") % 2 === 0) // axis-0 ids are even
+      .select(col("ccell").cast("long")).head().getLong(0)
+    val crippled = idx.copy(seeds = idx.seeds
+      .filter(col("ccell").cast("long") =!= blob0Seed))
+    val delta = emb(Seq((300L, Array(10.02f, 0f, 0f, 0f)))) // lands in blob0's cell
+    // seedLiteralCap = 0 forces the DISTRIBUTED joinedFineAssign path —
+    // the one whose inner join silently discards seedless-cell rows (the
+    // literal-kernel path already fails loudly in GroupedNearestL2)
+    val e = intercept[IllegalArgumentException](
+      Clustering.updateSemIndex(crippled, delta, "vec_id", "embedding",
+        seedLiteralCap = 0))
+    assert(e.getMessage.contains("dropped by the assignment chain"),
+      s"wrong failure: ${e.getMessage}")
+    // and the literal path's own guard stays loud too
+    val e2 = intercept[IllegalArgumentException](
+      Clustering.updateSemIndex(crippled, delta, "vec_id", "embedding"))
+    assert(e2.getMessage.contains("no seeds"), s"wrong failure: ${e2.getMessage}")
+    // control: the intact index admits the same delta
+    assert(Clustering.updateSemIndex(idx, delta, "vec_id", "embedding")
+      .assign.count() == idx.assign.count() + 1)
+  }
+
   test("IvfPqIndex roundtrip: served ADC search == fresh ivfPqSearch; cells scan prunes") {
     val path = tmpDir("ivfpq_rt")
     Clustering.saveIvfPqIndex(Clustering.buildIvfPqIndex(

@@ -1,0 +1,160 @@
+package graft.sinks
+
+import graft.{IndexTool, SparkSpec}
+import graft.operators.{Dedup, Retrieval}
+import org.apache.spark.sql.DataFrame
+
+/** The versioned-generation artifact protocol (FIXTURES.md §10):
+  * compare-and-swap commits, loud racing-writer failure, crashed-writer
+  * orphan detection/sweep, and reader continuity across an update. */
+class ArtifactStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpusDocs: DataFrame = Seq(
+    (0L, "spark join hash table scan batch"),
+    (1L, "row batch filter merge plan"),
+    (2L, "slow order vector line agg")).toDF("doc_id", "text")
+
+  test("commitGen: CAS refuses a stale expected generation, deletes the loser, retains exactly one displaced generation") {
+    val path = s"${tmpDir("artcas")}/art"
+    def writeGen(loaded: Option[String]): String = {
+      val g = ArtifactStore.newGenDir(spark, path, loaded)
+      Seq((1L, "x")).toDF("id", "v").write.parquet(g)
+      g
+    }
+    // first commit: legacy-empty root -> gen 1
+    val gA = writeGen(None)
+    ArtifactStore.commitGen(spark, path, gA, None)
+    val aName = new org.apache.hadoop.fs.Path(gA).getName
+    assert(ArtifactStore.currentGen(spark, path).contains(aName))
+    // second commit on top of A: pointer flips, A retained (displaced)
+    val gB = writeGen(Some(aName))
+    ArtifactStore.commitGen(spark, path, gB, Some(aName))
+    val bName = new org.apache.hadoop.fs.Path(gB).getName
+    assert(ArtifactStore.currentGen(spark, path).contains(bName))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gA)),
+      "displaced generation must be retained for in-flight readers")
+    // stale CAS: a writer that loaded A tries to commit after B landed —
+    // must fail LOUDLY, delete its own generation, leave the pointer on B
+    val gC = writeGen(Some(aName))
+    val e = intercept[IllegalStateException](
+      ArtifactStore.commitGen(spark, path, gC, Some(aName)))
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gC)),
+      "loser's generation must be cleaned up")
+    assert(ArtifactStore.currentGen(spark, path).contains(bName))
+    // third VALID commit sweeps the older-than-displaced generation A
+    val gD = writeGen(Some(bName))
+    ArtifactStore.commitGen(spark, path, gD, Some(bName))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gA)),
+      "generations older than the displaced one are swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gB)))
+    // claim is never left behind by a successful or failed commit
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path,
+      ArtifactStore.ClaimFile)))
+  }
+
+  test("racing index-updates on one artifact serialize or fail loudly; no delta is silently dropped (lsh + bm25)") {
+    val base = tmpDir("artrace")
+    val deltas = Seq(
+      Seq((10L, "completely novel content here today")).toDF("doc_id", "text"),
+      Seq((11L, "another unrelated fresh document body")).toDF("doc_id", "text"))
+    for (tpe <- Seq("lsh", "bm25")) {
+      val path = s"$base/$tpe"
+      IndexTool.build(spark, tpe, corpusDocs, path, Map.empty)
+      // two writers, same base generation, different deltas
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, Option[Throwable]]()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val threads = deltas.zipWithIndex.map { case (d, i) =>
+        new Thread(() => {
+          barrier.await()
+          try { IndexTool.update(spark, tpe, d, path, Map.empty); results.put(i, None) }
+          catch { case t: Throwable => results.put(i, Some(t)) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val failures = (0 to 1).flatMap(i => results.get(i).map(i -> _))
+      // every failure is the LOUD kind, naming the conflict
+      failures.foreach { case (_, t) =>
+        assert(t.isInstanceOf[IllegalStateException] &&
+          t.getMessage.contains("concurrent writer"),
+          s"$tpe: racing update failed for the wrong reason: $t")
+      }
+      assert(failures.size <= 1, s"$tpe: at most one racer may lose")
+      // final artifact == fresh build over corpus + the SUCCESSFUL deltas
+      val applied = deltas.zipWithIndex
+        .filter { case (_, i) => results.get(i).isEmpty }.map(_._1)
+      val expectedDocs = applied.foldLeft(corpusDocs)(_ unionByName _)
+      val rebuilt = s"$base/$tpe-rebuilt"
+      IndexTool.build(spark, tpe, expectedDocs, rebuilt, Map.empty)
+      def table(p: String): Set[Seq[Any]] = tpe match {
+        case "lsh" => Dedup.loadLshIndex(spark, p).collect().map(_.toSeq).toSet
+        case _ => Retrieval.loadBm25Index(spark, p).postings
+          .collect().map(_.toSeq).toSet
+      }
+      assert(table(path) == table(rebuilt),
+        s"$tpe: artifact after the race != rebuild over applied deltas " +
+          s"(applied: ${applied.size}/2) — a delta was dropped or duplicated")
+    }
+  }
+
+  test("crashed writer: orphan generation leaves old index serving, is reported by describe, swept by next commit; in-flight reader survives an update") {
+    val base = tmpDir("artcrash")
+    val path = s"$base/lsh"
+    IndexTool.build(spark, "lsh", corpusDocs, path, Map.empty)
+    val probe = Seq((20L, "spark join hash table scan batch"))
+      .toDF("doc_id", "text")
+    def served(): Set[Seq[Any]] =
+      IndexTool.serve(spark, "lsh", probe, path,
+        Map("threshold" -> "0.5")).collect().map(_.toSeq).toSet
+    val before = served()
+    assert(before.nonEmpty)
+    // simulate a writer crashing between its staged generation write and
+    // the pointer flip: a filled generation directory, no commit
+    val cur = ArtifactStore.currentGen(spark, path)
+    val orphan = ArtifactStore.newGenDir(spark, path, cur)
+    Seq((99L, 0L, 0L)).toDF("id", "band", "bkey").write.parquet(orphan)
+    assert(served() == before, "crashed update must leave the old index serving")
+    val counters = IndexTool.describe(spark, "lsh", path)
+    assert(counters("orphan_generations") == 1L,
+      s"describe must surface the orphan: $counters")
+    assert(counters("commit_claim_present") == 0L)
+    // an in-flight reader planned against the live generation BEFORE an
+    // update still reads its files afterwards (displaced-gen retention)
+    val planned = Dedup.loadLshIndex(spark, path)
+    val plannedRows = planned.count()
+    IndexTool.update(spark, "lsh",
+      Seq((10L, "completely novel content here")).toDF("doc_id", "text"),
+      path, Map.empty)
+    assert(planned.count() == plannedRows,
+      "in-flight reader lost its generation after one update")
+    // the successful commit swept the crashed writer's orphan
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(orphan)),
+      "next successful commit must sweep the orphan")
+    // post-update: exactly the displaced generation remains non-live
+    assert(IndexTool.describe(spark, "lsh", path)("orphan_generations") == 1L)
+  }
+
+  test("index-update re-ingestion guard: an overlapping delta id fails loudly (bm25 + cdc); --skip-disjoint-check waives it") {
+    val base = tmpDir("artguard")
+    for (tpe <- Seq("bm25", "cdc")) {
+      val path = s"$base/$tpe"
+      IndexTool.build(spark, tpe, corpusDocs, path, Map.empty)
+      val replay = Seq((1L, "row batch filter merge plan"))
+        .toDF("doc_id", "text") // doc 1 is already indexed
+      val e = intercept[IllegalArgumentException](
+        IndexTool.update(spark, tpe, replay, path, Map.empty))
+      assert(e.getMessage.contains("already in the artifact"),
+        s"$tpe: wrong guard failure: ${e.getMessage}")
+      // the waiver proceeds (the scheduler claims disjointness)
+      IndexTool.update(spark, tpe,
+        Seq((30L, "fresh unseen words entirely")).toDF("doc_id", "text"),
+        path, Map("skip-disjoint-check" -> "true"))
+    }
+  }
+}
