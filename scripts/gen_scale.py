@@ -101,7 +101,16 @@ def main():
             'src' || CAST(hash(doc_id * 13) % 20 AS VARCHAR) AS source,
             length(text) AS n_chars
           FROM d
-        ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+        ) TO '{out}/documents.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
+    # ROW_GROUP_SIZE 4096: Spark can split a parquet FILE only at
+    # row-group boundaries — DuckDB's default (~122k rows/group) packs a
+    # 25x corpus into 2 groups, so per-row kernel scans (tokenizer
+    # encodes) ran on 2 of 32 cores no matter what
+    # spark.sql.files.maxPartitionBytes said (the q130/q149 plateau,
+    # BASELINE.md round 15). 4096-row groups give the scan ~30 splits at
+    # 25x with maxPartitionBytes=512k — the local stand-in for a real
+    # corpus's many files.
 
     # embeddings: fresh 64-dim vectors, uniform in sf0.1's value range
     nvec = factor * con.execute(
@@ -115,7 +124,8 @@ def main():
               AS FLOAT[]) AS embedding,
             CAST(hash(i * 17) % 10 AS INT) AS label
           FROM range({nvec}) t(i)
-        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+        ) TO '{out}/embeddings.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
 
     # events: replicate with ENTITY offsets — the versioned-cell queries
     # (q101 SCD2 etc.) window on (user_id, event_type), so offsetting

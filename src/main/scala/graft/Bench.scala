@@ -63,12 +63,23 @@ object Bench {
         .trim.split("\\s+").headOption
       catch { case _: Throwable => None })
         .flatMap(f => scala.util.Try(f.toDouble).toOption).getOrElse(-1.0)
-    val spark = SparkSession.builder()
+    // Optional scan-split override (SPARK_GRAFT_MAX_PARTITION_BYTES, e.g.
+    // "2m"): the scaled one-file corpora (/tmp/x25 …) compress to well
+    // under the 128 MB default split, so per-row kernel scans (tokenizer
+    // encodes) run in 1-4 tasks and 32 cores idle — the documented
+    // q130/q149 per-task-work plateau. On a real cluster input splits
+    // scale with data; locally this knob is how the operator fills the
+    // cores. Results are unchanged by construction (split count never
+    // affects per-row kernels or aggregates) — BASELINE.md records the
+    // measured effect. Left unset for the driver's committed sf0.1 board.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .fold(builder)(v => builder.config("spark.sql.files.maxPartitionBytes", v))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM (codegen compiler, parquet reader, shuffle paths) so the

@@ -1238,4 +1238,175 @@ class ToolSpec extends SparkSpec {
         s"--input=format=parquet file=$base/delta")))
     assert(e.getMessage.contains("index-build"))
   }
+
+  test("ingestion day: table append → streamed screen → update all seven tiers → serve batch+stream → forget → describe (FIXTURES §9/§10 end-to-end)") {
+    import spark.implicits._
+    import graft.table.{EntityTable, FamilySpec, TableLayout}
+    val base = tmpDir("ingestday")
+
+    // ── day 0: the archive. Docs live in an EntityTable (the §9 surface);
+    // every index tier is built from the table's own cell view.
+    val et = new EntityTable(spark, s"$base/t",
+      TableLayout("docs", Seq(FamilySpec("doc"))))
+    et.bulkLoad(Seq(
+      (0L, "doc", "text", 1000L, "spark join hash table scan batch"),
+      (1L, "doc", "text", 1000L, "row batch filter merge plan"),
+      (2L, "doc", "text", 1000L, "slow order vector line agg"),
+      (3L, "doc", "text", 1000L, "window group sort key stream"))
+      .toDF("entity_id", "family", "qualifier", "ts", "value"),
+      numPartitions = 1)
+    def tableDocs = et.cells.filter($"qualifier" === "text")
+      .select($"entity_id".as("doc_id"), $"value".as("text"))
+    tableDocs.write.parquet(s"$base/day0docs")
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    emb((0 until 9).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v.toSeq)
+    }).write.parquet(s"$base/day0emb")
+    val docTiers = Seq("lsh", "cdc", "bm25")
+    val vecTiers = Seq("ivfflat", "ivfpq", "pq", "semdedup")
+    val tierFlags = Map(
+      "lsh" -> Seq("--shingle-n=2"), "cdc" -> Seq("--avg-mask=3"),
+      "bm25" -> Seq.empty,
+      "ivfflat" -> Seq("--centroids=2"),
+      "ivfpq" -> Seq("--dim=4", "--m=2", "--k=2", "--centroids=2"),
+      "pq" -> Seq("--dim=4", "--m=2", "--k=2"),
+      "semdedup" -> Seq("--coarse-k=2", "--target-rows=4", "--cluster-cap=64"))
+    for (tpe <- docTiers)
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$base/$tpe", s"--input=format=parquet file=$base/day0docs")
+        ++ tierFlags(tpe)).status == "SUCCEEDED")
+    for (tpe <- vecTiers)
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$base/$tpe", s"--input=format=parquet file=$base/day0emb")
+        ++ tierFlags(tpe)).status == "SUCCEEDED")
+
+    // ── day 1: a batch ARRIVES as a table append (§9: atomic batch,
+    // reserved arrival ordinal) — doc 10 is a near-copy of archived doc
+    // 0, doc 11 is novel.
+    et.appendChanges(Seq(
+      (10L, "doc", "text", "put", 2000L, "spark join hash table scan batch"),
+      (11L, "doc", "text", "put", 2000L, "novel fresh unseen content words"))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value"))
+    tableDocs.filter($"doc_id" >= 10L).write.parquet(s"$base/day1docs")
+    emb(Seq((200L, Seq(0f, 0f, 10f, 0f)), (201L, Seq(0f, 0f, 10.05f, 0f))))
+      .write.parquet(s"$base/day1emb")
+
+    // ── screen: the STREAMED lsh ingestion screen drains the day-1 spool
+    // (re-runnable cron; checkpoint inside the output dir)
+    assert(Tool.run(spark, Array("index-serve", "--type=lsh", "--stream=true",
+      s"--path=$base/lsh", s"--input=format=parquet file=$base/day1docs",
+      s"--output=format=parquet file=$base/screen",
+      "--shingle-n=2", "--threshold=0.9")).status == "SUCCEEDED")
+    val flagged = spark.read.parquet(s"$base/screen")
+      .select($"new_doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L), s"screen must flag only the near-copy: $flagged")
+    // admitted = the day-1 docs that passed the screen
+    tableDocs.filter($"doc_id" >= 10L && !$"doc_id".isin(flagged.toSeq: _*))
+      .write.parquet(s"$base/admitted")
+
+    // ── update ALL SEVEN tiers with the admitted delta
+    for (tpe <- docTiers)
+      assert(Tool.run(spark, Array("index-update", s"--type=$tpe",
+        s"--path=$base/$tpe", s"--input=format=parquet file=$base/admitted")
+        ++ tierFlags(tpe).filterNot(_.startsWith("--centroids"))
+          .filterNot(_.startsWith("--k="))).status == "SUCCEEDED")
+    for (tpe <- vecTiers)
+      assert(Tool.run(spark, Array("index-update", s"--type=$tpe",
+        s"--path=$base/$tpe", s"--input=format=parquet file=$base/day1emb")
+        ++ tierFlags(tpe).filterNot(_.startsWith("--centroids"))
+          .filterNot(_.startsWith("--k="))
+          .filterNot(_.startsWith("--coarse"))
+          .filterNot(_.startsWith("--target"))
+          .filterNot(_.startsWith("--cluster"))).status == "SUCCEEDED")
+
+    // ── §10 guard end-to-end: REPLAYING the day-1 fold (crash-after-
+    // commit cron rerun) fails loudly instead of double-counting
+    val replay = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-update", "--type=bm25", s"--path=$base/bm25",
+        s"--input=format=parquet file=$base/admitted")))
+    assert(replay.getMessage.contains("already in the artifact"))
+
+    // ── serve: the admitted doc is retrievable (bm25, batch) and the
+    // STREAMED serve of the same probe equals it; the delta blob is
+    // retrievable from the vector tiers
+    Seq((40L, "novel fresh unseen content words"), (41L, "row batch merge"))
+      .toDF("doc_id", "text").write.parquet(s"$base/probe")
+    def bm25Out(dir: String): Set[Seq[Any]] =
+      spark.read.parquet(dir).drop("batch").collect().map(_.toSeq).toSet
+    assert(Tool.run(spark, Array("index-serve", "--type=bm25",
+      s"--path=$base/bm25", s"--input=format=parquet file=$base/probe",
+      s"--output=format=parquet file=$base/bmbatch")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-serve", "--type=bm25", "--stream=true",
+      s"--path=$base/bm25", s"--input=format=parquet file=$base/probe",
+      s"--output=format=parquet file=$base/bmstream")).status == "SUCCEEDED")
+    val bmBatch = bm25Out(s"$base/bmbatch")
+    assert(bmBatch == bm25Out(s"$base/bmstream"), "streamed serve != batch serve")
+    assert(bmBatch.exists(r => r.contains(40L) && r.contains(11L)),
+      s"admitted doc 11 must be retrievable: $bmBatch")
+    emb(Seq((0L, Seq(0f, 0f, 10.01f, 0f)))).write.parquet(s"$base/qemb")
+    assert(Tool.run(spark, Array("index-serve", "--type=ivfflat",
+      s"--path=$base/ivfflat", s"--input=format=parquet file=$base/qemb",
+      s"--output=format=parquet file=$base/ivfout",
+      "--max-query-id=1", "--nprobe=1", "--topk=2")).status == "SUCCEEDED")
+    assert(spark.read.parquet(s"$base/ivfout").collect()
+      .map(_.getLong(2)).toSet == Set(200L, 201L),
+      "day-1 vectors must be retrievable from the updated postings")
+
+    // ── forget: a right-to-be-forgotten request for archived doc 0 /
+    // vector 2 sweeps every tier; the forgotten doc stops matching
+    Seq((50L, "spark join hash table scan batch")).toDF("doc_id", "text")
+      .write.parquet(s"$base/probe0")
+    def probe0Matches(tag: String): Set[Long] = {
+      assert(Tool.run(spark, Array("index-serve", "--type=lsh",
+        s"--path=$base/lsh", s"--input=format=parquet file=$base/probe0",
+        s"--output=format=parquet file=$base/lsh-$tag",
+        "--shingle-n=2", "--threshold=0.9")).status == "SUCCEEDED")
+      spark.read.parquet(s"$base/lsh-$tag")
+        .select($"dup_of").collect().map(_.getLong(0)).toSet
+    }
+    assert(probe0Matches("preforget") == Set(0L),
+      "archived doc 0 must match its copy before the forget")
+    Seq(0L).toDF("doc_id").write.parquet(s"$base/forgetdoc")
+    Seq(2L).toDF("vec_id").write.parquet(s"$base/forgetvec")
+    for (tpe <- docTiers)
+      assert(Tool.run(spark, Array("index-remove", s"--type=$tpe",
+        s"--path=$base/$tpe", s"--input=format=parquet file=$base/forgetdoc")
+        ++ tierFlags(tpe).filterNot(_.startsWith("--centroids")))
+        .status == "SUCCEEDED")
+    for (tpe <- vecTiers)
+      assert(Tool.run(spark, Array("index-remove", s"--type=$tpe",
+        s"--path=$base/$tpe", s"--input=format=parquet file=$base/forgetvec"))
+        .status == "SUCCEEDED")
+    assert(probe0Matches("postforget").isEmpty,
+      "forgotten doc 0 must stop matching future probes")
+
+    // ── describe: every tier healthy — counters reflect the day
+    // (day0 + admitted − forgotten), no stray generations, no claim left
+    for (tpe <- docTiers ++ vecTiers) {
+      val d = Tool.run(spark, Array("index-describe", s"--type=$tpe",
+        s"--path=$base/$tpe"))
+      assert(d.status == "SUCCEEDED")
+      assert(d.counters("orphan_generations") <= 1L, // the retained displaced gen
+        s"$tpe: ${d.counters}")
+      assert(d.counters("commit_claim_present") == 0L, s"$tpe: ${d.counters}")
+    }
+    assert(Tool.run(spark, Array("index-describe", "--type=bm25",
+      s"--path=$base/bm25")).counters("docs") == 4L) // 4 day0 + 1 admitted - 1 forgotten
+    assert(Tool.run(spark, Array("index-describe", "--type=ivfflat",
+      s"--path=$base/ivfflat")).counters("vectors") == 10L) // 9 + 2 - 1
+
+    // ── maintenance window: a second append gives the feed two batches,
+    // then the writer-exclusive compactFeed (§9) folds them — the merged
+    // view is unchanged and the day-1 cells survive the fold
+    et.appendChanges(Seq(
+      (12L, "doc", "text", "put", 3000L, "late arriving metrics doc"))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value"))
+    val cellsBefore = et.cells.count()
+    et.compactFeed()
+    assert(et.cells.count() == cellsBefore)
+    assert(tableDocs.filter($"doc_id" === 11L).count() == 1L)
+  }
 }
