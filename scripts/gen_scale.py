@@ -144,12 +144,60 @@ def main():
                range({factor}) c(i)
         ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
-    for t in ("lineitem", "documents", "embeddings", "events"):
+    gen_clustered(con, out, nvec)
+
+    for t in ("lineitem", "documents", "embeddings", "events",
+              "embeddings_clustered"):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]
         print(f"{t}: {n} rows")
 
 
+def gen_clustered(con, out, nvec):
+    """embeddings_clustered: a seeded GAUSSIAN-MIXTURE corpus for ANN
+    recall curves. The uniform `embeddings` table is the adversarial
+    FLOOR for IVF (no cluster structure for cells to capture —
+    BASELINE.md's recall table on it cannot inform nprobe defaults for
+    real embeddings); this table is the representative counterpart:
+    K=256 mixture components (matching the engine's sqrt(n) centroid
+    ladder at 25x), component centers uniform in the same value range as
+    the uniform corpus, per-dim noise ~ Gaussian via a 3-uniform
+    CLT sum with sigma = 0.10 (center spread sigma = 0.20, so components
+    overlap at the margins but are well separated in 64-dim). Everything
+    derives from DuckDB hash() — fully deterministic, no RNG state."""
+    K = 256
+    noise_sum = " + ".join(
+        f"(CAST(hash(i * 200003 + j * 31 + {t}) % 1000 AS DOUBLE) / 1000.0)"
+        for t in (1, 2, 3))
+    con.execute(f"""
+        COPY (
+          SELECT i AS vec_id,
+            CAST(list_transform(range(64), j ->
+              ((CAST(hash((hash(i * 31) % {K}) * 97 + j) % 700000 AS DOUBLE)
+                 / 1000000.0) - 0.35)
+              + 0.3 * ((({noise_sum}) / 1.5) - 1.0)
+            ) AS FLOAT[]) AS embedding,
+            CAST(hash(i * 31) % {K} AS INT) AS label
+          FROM range({nvec}) t(i)
+        ) TO '{out}/embeddings_clustered.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
+
+
+def main_clustered_only():
+    """`gen_scale.py <outDir> <factor> clustered`: (re)generate only the
+    clustered-embeddings table into an existing scale dir."""
+    out, factor = sys.argv[1], int(sys.argv[2])
+    con = duckdb.connect()
+    nvec = factor * con.execute(
+        f"SELECT count(*) FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    gen_clustered(con, out, nvec)
+    print(f"embeddings_clustered: {nvec} rows")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 3 and sys.argv[3] == "clustered":
+        main_clustered_only()
+    else:
+        main()

@@ -46,7 +46,14 @@ object AnnServeScaleBench {
     val emb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val n = emb.count()
-    val k = 1 << Similarity.quadBitsFor(n, 16)
+    // SPARK_GRAFT_ANN_MAXBITS (default 16): forcing a LOWER ladder cap
+    // emulates the n > 4^maxBits regime locally (the real 2^16-centroid
+    // cap needs a billion-row corpus) — past the cap k stops doubling,
+    // so the n·k fit term must turn LINEAR in n instead of n^1.5
+    // (BASELINE.md round-15 "fit bend" rows measure exactly this).
+    val maxBits = sys.env.get("SPARK_GRAFT_ANN_MAXBITS")
+      .map(_.toInt).getOrElse(16)
+    val k = 1 << Similarity.quadBitsFor(n, maxBits)
     val path = s"/tmp/annservescale_idx_${System.nanoTime()}"
 
     val tBuild = System.nanoTime()

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev microbenchmark: ANN recall@k vs nprobe for the three artifact
+  * serve paths — ivfflat (exact cosine within probed cells), ivfpq (ADC
+  * over the probed cells' codes), and the two-stage production search
+  * (ADC shortlist → exact rerank) — against brute-force ground truth on
+  * the SAME query batch.
+  *
+  * Run on TWO corpora to bracket reality (`SPARK_GRAFT_ANN_TABLE`):
+  *
+  *  - `embeddings.parquet` — hash-UNIFORM: the adversarial FLOOR for
+  *    IVF (no cluster structure for cells to capture; recall ≈ the probe
+  *    hit rate ≈ nprobe/cells for ivfflat).
+  *  - `embeddings_clustered.parquet` — a seeded 256-component
+  *    Gaussian-mixture (scripts/gen_scale.py `gen_clustered`): the
+  *    representative shape real embedding spaces have, where a query's
+  *    true neighbors share its mixture component and the coarse
+  *    quantizer's cells track the components — recall at small nprobe is
+  *    governed by how often a neighbor's cell is among the query's
+  *    nearest nprobe centroids, not by the uniform floor.
+  *
+  * The two curves, side by side, are what justify a default-nprobe
+  * recommendation (BASELINE.md round-15 table): tuning nprobe on the
+  * uniform floor would demand 32+ probes for recall the clustered
+  * corpus reaches at 1-2.
+  *
+  * Both tiers are built from ONE shared coarse fit
+  * (`buildIvfPqIndexWith` — the q162 production shape), so the flat and
+  * compressed serves agree on every cell boundary and the comparison
+  * isolates QUANTIZATION loss (ADC) and its repair (rerank), not fit
+  * variance.
+  *
+  * Usage:
+  *   SPARK_GRAFT_ANN_CORPUS=/tmp/x25 \
+  *   SPARK_GRAFT_ANN_TABLE=embeddings_clustered.parquet \
+  *   sbt "runMain graft.RecallBench"
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_ANN_CORPUS", "/tmp/x25")
+    val table = sys.env.getOrElse("SPARK_GRAFT_ANN_TABLE",
+      "embeddings_clustered.parquet")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .appName("graft-recall")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Clustering, Similarity}
+
+    val emb = spark.read.parquet(s"$corpusDir/$table")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val kCoarse = 1 << Similarity.quadBitsFor(n, 16)
+    // kPq=16 is the oracle-tractable toy codebook the queries use;
+    // SPARK_GRAFT_ANN_PQK=256 measures the production 8-bit-per-subspace
+    // Faiss shape (quantization error shrinks ~16x per subspace)
+    val kPq = sys.env.get("SPARK_GRAFT_ANN_PQK").map(_.toInt).getOrElse(16)
+    val (dim, m, iters) = (64, 8, 2)
+    val (maxQ, topK) = (50L, 10)
+    val pool = sys.env.get("SPARK_GRAFT_ANN_POOL").map(_.toInt).getOrElse(100)
+
+    // one shared coarse fit for both tiers (the q162 shape)
+    val flat = Clustering.buildIvfFlatIndex(emb, "vec_id", "embedding", kCoarse)
+    val pq = Clustering.buildIvfPqIndexWith(emb, "vec_id", "embedding",
+      dim, m, kPq, iters, flat.lanes)
+
+    // ground truth: exact cosine top-k for the same query batch
+    val truth = Similarity.knnExact(emb, "vec_id", "embedding", maxQ, topK)
+      .select(col("q_id"), col("n_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+      val per = truth.map { case (q, t) =>
+        got.get(q).map(g => (g intersect t).size.toDouble / t.size)
+          .getOrElse(0.0) }
+      per.sum / truth.size
+    }
+
+    val nprobes = Seq(1, 2, 4, 8, 16, 32)
+    val rows = nprobes.map { np =>
+      val rFlat = recallOf(Clustering.serveIvfFlat(flat, emb,
+        "vec_id", "embedding", maxQ, np, topK))
+      val rAdc = recallOf(Clustering.serveIvfPq(pq, emb,
+        "vec_id", "embedding", dim, m, maxQ, np, topK))
+      val rTwo = recallOf(Clustering.serveIvfPqRerank(pq, flat.postings,
+        emb, "vec_id", "embedding", dim, m, maxQ, np, pool, topK))
+      System.err.println(f"nprobe=$np%-3d ivfflat=$rFlat%.3f adc=$rAdc%.3f rerank=$rTwo%.3f")
+      s""""$np":{"ivfflat":$rFlat,"ivfpq_adc":$rAdc,"rerank":$rTwo}"""
+    }
+    println(s"""{"metric":"ann_recall","table":"$table","n":$n,""" +
+      s""""cells":$kCoarse,"queries":$maxQ,"topk":$topK,""" +
+      s""""pq_k":$kPq,"rerank_pool":$pool,"by_nprobe":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
