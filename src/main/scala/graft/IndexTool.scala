@@ -223,10 +223,12 @@ object IndexTool {
     Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup")
 
   /** `index-remove`: load the artifact, drop the ids in the input
-    * batch, atomically replace (same staged swap as `index-update`,
-    * same writer-exclusivity contract — FIXTURES.md §10). The input
-    * spec provides the ids: `doc_id` for doc-typed tiers (lsh/bm25),
-    * `vec_id` for vector tiers. */
+    * batch, and commit a new generation through the same pointer
+    * compare-and-swap as [[update]] — a remove racing an update/remove
+    * fails loudly with the deletion unapplied rather than silently
+    * clobbering it (FIXTURES.md §10). The input spec provides the ids:
+    * `doc_id` for doc-typed tiers (lsh/bm25/cdc), `vec_id` for vector
+    * tiers. */
   def remove(spark: SparkSession, tpe: String, input: DataFrame,
              path: String, flags: Map[String, String]): Unit = {
     require(RemoveTypes(tpe),

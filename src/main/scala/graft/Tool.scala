@@ -370,12 +370,15 @@ object Tool {
       |       [--stream=true  (STREAMTYPES:
       |        drain the input dir as a checkpointed file stream)]
       |   | graft.Tool index-update --type=<UPDATETYPES> --path=<dir>
-      |       --input="format=..."   (fold an admitted delta into the artifact;
-      |        atomic swap, exact == rebuild on the union)
+      |       --input="format=..." [--skip-disjoint-check=true]
+      |       (fold an admitted delta into the artifact; generation
+      |        pointer CAS — racing updates fail loudly, never silently
+      |        drop a delta; exact == rebuild on the union. Delta ids
+      |        must be NEW: overlaps fail unless the check is waived)
       |   | graft.Tool index-remove --type=<REMOVETYPES> --path=<dir>
       |       --input="format=..."   (drop a doc/vector id set from the
-      |        artifact — right-to-be-forgotten; atomic swap, exact ==
-      |        rebuild/re-assign on the remaining corpus; cdc rebuilds)
+      |        artifact — right-to-be-forgotten; same pointer CAS, exact
+      |        == rebuild/re-assign on the remaining corpus)
       |   | graft.Tool index-describe --type=<...> --path=<dir>
       |       (artifact surfaces + sizes; run around an index-update)
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
