@@ -29,7 +29,12 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *  - `ivfflat`: build = codebook + cell-partitioned inverted LISTS
   *    (`Clustering.buildIvfFlatIndex`). serve = query rows of the input
   *    against the LOADED postings, scan pruned to the probed cells
-  *    (`serveIvfFlat`); updatable (Faiss train/add).
+  *    (`serveIvfFlat`); updatable (Faiss train/add). The `--nprobe=2`
+  *    default is MEASURED, not guessed: on a clustered corpus (the
+  *    representative regime) recall@10 is 0.946 at nprobe=1 and 1.000
+  *    at 2 with cells on the √n ladder; only unclustered corpora (the
+  *    adversarial floor) buy recall linearly with probes — BASELINE.md
+  *    round-15 recall tables.
   *  - `ivfpq`: build = the composed compressed index — coarse codebook,
   *    cell-partitioned lists, PQ codes + codebooks, NO raw vectors
   *    (`Clustering.buildIvfPqIndex`). serve = pruned-cell ADC top-k

@@ -140,6 +140,34 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(IndexTool.describe(spark, "lsh", path)("orphan_generations") == 1L)
   }
 
+  test("generation longevity: a long update chain keeps exactly live+displaced on disk and stays fold-exact") {
+    val base = tmpDir("artchain")
+    val path = s"$base/bm25"
+    IndexTool.build(spark, "bm25", corpusDocs, path, Map.empty)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def genCount: Int = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).count(_.startsWith("gen_"))
+    val texts = Seq("alpha beta words", "gamma delta words",
+      "epsilon zeta words", "eta theta words", "iota kappa words",
+      "lambda mu words")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      IndexTool.update(spark, "bm25",
+        Seq((100L + i, t)).toDF("doc_id", "text"), path, Map.empty)
+      assert(genCount <= 2,
+        s"update ${i + 1}: retention must keep at most live+displaced")
+    }
+    // after six folds the artifact equals one fresh build over the union
+    val union = texts.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      .unionByName(corpusDocs)
+    val rebuilt = s"$base/bm25-rebuilt"
+    IndexTool.build(spark, "bm25", union, rebuilt, Map.empty)
+    def postings(p: String) = Retrieval.loadBm25Index(spark, p).postings
+      .collect().map(_.toSeq).toSet
+    assert(postings(path) == postings(rebuilt))
+  }
+
   test("index-update re-ingestion guard: an overlapping delta id fails loudly (bm25 + cdc); --skip-disjoint-check waives it") {
     val base = tmpDir("artguard")
     for (tpe <- Seq("bm25", "cdc")) {
