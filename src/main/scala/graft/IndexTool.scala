@@ -39,6 +39,11 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    cell-partitioned lists, PQ codes + codebooks, NO raw vectors
   *    (`Clustering.buildIvfPqIndex`). serve = pruned-cell ADC top-k
   *    (`serveIvfPq`; dim/m must match); updatable.
+  *  - `imi`: build = the inverted MULTI-index — two half-space
+  *    codebooks whose product is the cell grid, fit cost n·(kA+kB) for
+  *    kA·kB cells (`Clustering.buildImiIndex` — the past-the-ladder-cap
+  *    coarse quantizer). serve = composed-centroid probes + pruned
+  *    exact rerank (`serveImi`); updatable (per-half Faiss train/add).
   *  - `pq`: build = product-quantizer fit (codes + codebooks). serve =
   *    ADC top-k (`pqSearchIndex`; dim/m must match).
   *  - `bpe`: build = merge-list induction. serve = kernel token stats
@@ -69,7 +74,7 @@ object IndexTool {
 
   val Types: Set[String] =
     Set("lsh", "ivf", "ivfflat", "ivfpq", "pq", "bpe", "bm25", "unigram",
-      "semdedup", "wordpiece", "decontam", "cdc")
+      "semdedup", "wordpiece", "decontam", "cdc", "imi")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -136,6 +141,14 @@ object IndexTool {
           embOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8), num("k", 16), num("iters", 2),
           num("centroids", 64)), path)
+      case "imi" =>
+        // inverted MULTI-index: two half-space codebooks whose product
+        // is the cell grid — fit cost n·(kA+kB) for kA·kB cells, the
+        // past-the-ladder-cap coarse quantizer (Babenko & Lempitsky)
+        Clustering.saveImiIndex(Clustering.buildImiIndex(
+          embOf(input, flags), "vec_id", "embedding", num("dim", 64),
+          num("half-centroids-a", 8), num("half-centroids-b", 8),
+          num("iters", Similarity.IvfCoarseIters)), path)
       case "pq" =>
         Clustering.savePqIndex(Clustering.pqFit(embOf(input, flags),
           "vec_id", "embedding", num("dim", 64), num("m", 8),
@@ -209,7 +222,7 @@ object IndexTool {
     * `add`) and its codes appended (q159). `ivfpq` composes the ivfflat
     * and pq adds over one delta pass (q161). */
   val UpdateTypes: Set[String] =
-    Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq")
+    Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq", "imi")
 
   /** The index types whose persisted artifact can DROP a doc/vector set
     * (`index-remove` — the right-to-be-forgotten leg: a deleted
@@ -225,7 +238,7 @@ object IndexTool {
     * the rollup alone was NOT invertible (its `min first_doc` is
     * unrecoverable once its witness is deleted). */
   val RemoveTypes: Set[String] =
-    Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup")
+    Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup", "imi")
 
   /** `index-remove`: load the artifact, drop the ids in the input
     * batch, and commit a new generation through the same pointer
@@ -276,6 +289,9 @@ object IndexTool {
         Clustering.saveSemIndex(Clustering.removeFromSemIndex(
           Clustering.loadSemIndex(spark, base),
           vecIds.select(col("n_id").as("vid"))), staging)
+      case "imi" =>
+        Clustering.saveImiIndex(Clustering.removeFromImiIndex(
+          Clustering.loadImiIndex(spark, base), vecIds), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
@@ -298,6 +314,8 @@ object IndexTool {
     case "pq" => Clustering.loadPqIndex(spark, base).codes
       .select(col("n_id").as("id"))
     case "ivfpq" => Clustering.loadIvfPqIndex(spark, base).codes
+      .select(col("n_id").as("id"))
+    case "imi" => Clustering.loadImiIndex(spark, base).postings
       .select(col("n_id").as("id"))
   }
 
@@ -383,6 +401,10 @@ object IndexTool {
           Clustering.loadIvfPqIndex(spark, base),
           embOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8)), staging)
+      case "imi" =>
+        Clustering.saveImiIndex(Clustering.updateImiIndex(
+          Clustering.loadImiIndex(spark, base),
+          embOf(input, flags), "vec_id", "embedding"), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
@@ -409,6 +431,13 @@ object IndexTool {
         // input supplies only the QUERY rows; the corpus side comes
         // from the persisted postings (pruned to the probed cells)
         Clustering.serveIvfFlat(Clustering.loadIvfFlatIndex(spark, path),
+            embOf(input, flags), "vec_id", "embedding",
+            num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "imi" =>
+        // same serve economics over the two-level codebook's composed
+        // cell grid (probes rank composed centroids, scan prunes)
+        Clustering.serveImi(Clustering.loadImiIndex(spark, path),
             embOf(input, flags), "vec_id", "embedding",
             num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
@@ -604,6 +633,17 @@ object IndexTool {
           "vectors" -> st.getLong(1),
           "occupied_cells" -> st.getLong(0),
           "largest_cell" -> st.getLong(2))
+      case "imi" =>
+        val idx = Clustering.loadImiIndex(spark, path)
+        val st = idx.postings.groupBy(col("c_id")).count()
+          .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L)),
+            coalesce(max(col("count")), lit(0L))).head()
+        Seq("half_centroids_a" -> idx.kA.toLong,
+          "half_centroids_b" -> idx.kB.toLong,
+          "composed_cells" -> (idx.kA.toLong * idx.kB),
+          "vectors" -> st.getLong(1),
+          "occupied_cells" -> st.getLong(0),
+          "largest_cell" -> st.getLong(2))
       case "ivfpq" =>
         val idx = Clustering.loadIvfPqIndex(spark, path)
         val st = idx.cells.groupBy(col("c_id")).count()
@@ -660,7 +700,7 @@ object IndexTool {
     * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
-      "ivfflat", "ivfpq", "pq", "bm25")
+      "ivfflat", "ivfpq", "pq", "bm25", "imi")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -760,6 +800,14 @@ object IndexTool {
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(Clustering.serveIvfFlat(idx, batch, "vec_id", "embedding",
+              num("max-query-id", 20).toLong, num("nprobe", 2),
+              num("topk", 3)), batchId)
+        }
+      case "imi" =>
+        val idx = Clustering.loadImiIndex(spark, path)
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Clustering.serveImi(idx, batch, "vec_id", "embedding",
               num("max-query-id", 20).toLong, num("nprobe", 2),
               num("topk", 3)), batchId)
         }

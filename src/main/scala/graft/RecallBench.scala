@@ -68,9 +68,21 @@ object RecallBench {
     val pool = sys.env.get("SPARK_GRAFT_ANN_POOL").map(_.toInt).getOrElse(100)
 
     // one shared coarse fit for both tiers (the q162 shape)
+    val tFlat = System.nanoTime()
     val flat = Clustering.buildIvfFlatIndex(emb, "vec_id", "embedding", kCoarse)
+    flat.postings.write.format("noop").mode("overwrite").save()
+    val flatBuildSec = (System.nanoTime() - tFlat) / 1e9
     val pq = Clustering.buildIvfPqIndexWith(emb, "vec_id", "embedding",
       dim, m, kPq, iters, flat.lanes)
+    // the two-level coarse quantizer at the SAME composed cell count:
+    // kA·kB == kCoarse, fit+assign cost n·(kA+kB) instead of n·kCoarse
+    val bits = Similarity.quadBitsFor(n, 16)
+    val (kA, kB) = (1 << ((bits + 1) / 2), 1 << (bits / 2))
+    val tImi = System.nanoTime()
+    val imi = Clustering.buildImiIndex(emb, "vec_id", "embedding",
+      dim, kA, kB)
+    imi.postings.write.format("noop").mode("overwrite").save()
+    val imiBuildSec = (System.nanoTime() - tImi) / 1e9
 
     // ground truth: exact cosine top-k for the same query batch
     val truth = Similarity.knnExact(emb, "vec_id", "embedding", maxQ, topK)
@@ -95,12 +107,18 @@ object RecallBench {
         "vec_id", "embedding", dim, m, maxQ, np, topK))
       val rTwo = recallOf(Clustering.serveIvfPqRerank(pq, flat.postings,
         emb, "vec_id", "embedding", dim, m, maxQ, np, pool, topK))
-      System.err.println(f"nprobe=$np%-3d ivfflat=$rFlat%.3f adc=$rAdc%.3f rerank=$rTwo%.3f")
-      s""""$np":{"ivfflat":$rFlat,"ivfpq_adc":$rAdc,"rerank":$rTwo}"""
+      val rImi = recallOf(Clustering.serveImi(imi, emb,
+        "vec_id", "embedding", maxQ, np, topK))
+      System.err.println(f"nprobe=$np%-3d ivfflat=$rFlat%.3f adc=$rAdc%.3f " +
+        f"rerank=$rTwo%.3f imi=$rImi%.3f")
+      s""""$np":{"ivfflat":$rFlat,"ivfpq_adc":$rAdc,"rerank":$rTwo,"imi":$rImi}"""
     }
     println(s"""{"metric":"ann_recall","table":"$table","n":$n,""" +
-      s""""cells":$kCoarse,"queries":$maxQ,"topk":$topK,""" +
-      s""""pq_k":$kPq,"rerank_pool":$pool,"by_nprobe":{${rows.mkString(",")}}}""")
+      s""""cells":$kCoarse,"imi_ka":$kA,"imi_kb":$kB,"queries":$maxQ,""" +
+      s""""topk":$topK,"pq_k":$kPq,"rerank_pool":$pool,""" +
+      s""""flat_build_sec":${f"$flatBuildSec%.2f"},""" +
+      s""""imi_build_sec":${f"$imiBuildSec%.2f"},""" +
+      s""""by_nprobe":{${rows.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -361,7 +361,8 @@ object Tool {
       |       --input="format=..." --path=<dir> [type knobs: --shingle-n --num-hashes
       |       --bands --centroids --iters --dim --m --k --merges --target-vocab
       |       --coarse-k --target-rows --cluster-cap --max-fine-per-cell --salt
-      |       --avg-mask --max-chars --id-col --text-col --vec-col]
+      |       --avg-mask --max-chars --half-centroids-a --half-centroids-b
+      |       --id-col --text-col --vec-col]
       |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
       |       [--rerank-from=<ivfflat dir> --rerank-pool=N  (ivfpq only:

@@ -1220,6 +1220,199 @@ object Clustering {
       .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
         "left_anti"))
 
+  /** The inverted MULTI-index (IMI) — the two-level coarse quantizer
+    * that keeps the cell count on the √n ladder while the FIT cost
+    * stops growing with it: the vector splits into two halves, each
+    * half trains its own small codebook (kA, kB centroids), and a cell
+    * is the PAIR of per-half assignments (`c_id = cA·kB + cB`, giving
+    * kA·kB composed cells from kA+kB trained centroids). Training and
+    * corpus assignment cost n·(kA+kB) kernel distances instead of
+    * n·kA·kB — at the 2^16-cell ladder cap that is 512 vs 65,536 per
+    * row, the named escape hatch for the fit term past the cap
+    * (BASELINE.md round-15 "fit bend"). After Babenko & Lempitsky, "The
+    * Inverted Multi-Index" (CVPR 2012) — the same trick FAISS ships as
+    * `IndexIVFPQ` coarse `MultiIndexQuantizer`.
+    *
+    * Geometry: corpus rows assign PER HALF (cosine argmin within each
+    * half-space — the product structure is what makes adds O(kA+kB));
+    * query PROBES rank the composed centroids (concatenated halves, the
+    * exact full-vector cosine via `dotA+dotB` over the composed norm)
+    * and the final top-k is an EXACT cosine rerank over the probed
+    * cells' raw vectors — identical serve semantics to [[IvfFlatIndex]]
+    * with a composed centroid set, so recall differs from single-level
+    * IVF only where a neighbor's per-half argmin pair disagrees with
+    * the composed-cosine cell ranking (the documented IMI
+    * approximation; measured beside ivfflat in RecallBench).
+    *
+    * Postings are the same `(n_id, nv, nn, c_id)` monoid as the flat
+    * tier: [[updateImiIndex]] adds deltas exactly under the fixed
+    * half-codebooks, [[removeFromImiIndex]] anti-joins. */
+  final case class ImiIndex(lanesA: DataFrame, lanesB: DataFrame,
+                            postings: DataFrame, kA: Int, kB: Int,
+                            dim: Int)
+
+  private def literalLanes(lanes: DataFrame): DataFrame = {
+    val spark = lanes.sparkSession
+    import spark.implicits._
+    lanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.toDF("cluster", "pos", "cval", "n")
+  }
+
+  /** One half of the corpus as `(idCol, hv)` — slice-then-scale equals
+    * scale-then-slice (both elementwise), so the halves share the full
+    * vector's integer lattice. */
+  private def halfOf(emb: DataFrame, idCol: String, vecCol: String,
+                     start: Int, half: Int): DataFrame =
+    emb.select(col(idCol),
+      org.apache.spark.sql.functions.slice(col(vecCol), start + 1, half)
+        .as("hv"))
+
+  def buildImiIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, kA: Int, kB: Int,
+                    iters: Int = Similarity.IvfCoarseIters): ImiIndex = {
+    require(dim % 2 == 0, s"IMI splits the vector in half: dim $dim is odd")
+    require(kA.toLong * kB <= Similarity.MaxCentroids,
+      s"composed cell count $kA*$kB exceeds ${Similarity.MaxCentroids}")
+    val half = dim / 2
+    val embA = halfOf(emb, idCol, vecCol, 0, half)
+    val embB = halfOf(emb, idCol, vecCol, half, half)
+    val lanesA = literalLanes(
+      ivfCoarseLanes(embA, idCol, "hv", kA, iters, "imi-a"))
+    val lanesB = literalLanes(
+      ivfCoarseLanes(embB, idCol, "hv", kB, iters, "imi-b"))
+    ImiIndex(lanesA, lanesB,
+      imiAssign(emb, idCol, vecCol, lanesA, lanesB, kB, dim), kA, kB, dim)
+  }
+
+  /** Per-half kernel assignment composed into the postings rows — the
+    * O(n·(kA+kB)) pass shared by build and add. Two kernel projections
+    * per half (cell id only) joined back onto the full scaled vector. */
+  private def imiAssign(emb: DataFrame, idCol: String, vecCol: String,
+                        lanesA: DataFrame, lanesB: DataFrame, kB: Int,
+                        dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{scaled, vnorm}
+    val half = dim / 2
+    val aA = Similarity.ivfPostings(halfOf(emb, idCol, vecCol, 0, half),
+        idCol, "hv", Similarity.centroidSetFromLanes(lanesA))
+      .select(col("n_id"), col("c_id").as("ca"))
+    val aB = Similarity.ivfPostings(halfOf(emb, idCol, vecCol, half, half),
+        idCol, "hv", Similarity.centroidSetFromLanes(lanesB))
+      .select(col("n_id"), col("c_id").as("cb"))
+    emb.select(col(idCol).cast(org.apache.spark.sql.types.LongType)
+          .as("n_id"),
+        scaled(col(vecCol)).as("nv"))
+      .withColumn("nn", vnorm(col("nv")))
+      .join(aA, "n_id").join(aB, "n_id")
+      .select(col("n_id"), col("nv"), col("nn"),
+        (col("ca") * kB + col("cb")).as("c_id"))
+  }
+
+  /** ADD a delta under the FIXED half-codebooks (Faiss train/add): two
+    * O(delta·kHalf) kernel passes + append. Per-half assignment has no
+    * cross-row state, so the updated postings equal a fresh assignment
+    * of the union (q167's oracle replays exactly that). */
+  def updateImiIndex(idx: ImiIndex, delta: DataFrame,
+                     idCol: String, vecCol: String): ImiIndex =
+    idx.copy(postings = idx.postings.unionByName(
+      imiAssign(delta, idCol, vecCol, idx.lanesA, idx.lanesB, idx.kB,
+        idx.dim)))
+
+  def removeFromImiIndex(idx: ImiIndex, removedIds: DataFrame): ImiIndex =
+    idx.copy(postings = idx.postings
+      .select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+      .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
+        "left_anti"))
+
+  /** The composed centroid set: every (cA, cB) pair present in the two
+    * trained half-codebooks, concatenated into one full-dim centroid
+    * with the exact composed norm √(|cA|² + |cB|²) — the probe-side
+    * geometry ([[serveImi]] ranks these by full-vector cosine through
+    * the same kernel the flat tier uses). Both lane tables are bounded
+    * (kA·half + kB·half scalar rows), so the composition is a
+    * driver-side collect by design. */
+  def imiComposedCentroids(idx: ImiIndex): graft.plans.IvfCentroids = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def laneMap(lanes: DataFrame): Seq[(Long, Array[Long])] =
+      lanes.select(col("cluster").cast(LongType),
+          col("pos").cast(IntegerType), col("cval").cast(LongType))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (c, rows) =>
+          (c, rows.sortBy(_._2).map(_._3)) }
+    val half = idx.dim / 2
+    val la = laneMap(idx.lanesA)
+    val lb = laneMap(idx.lanesB)
+    require(la.forall(_._2.length == half) && lb.forall(_._2.length == half),
+      s"half-codebook lane width != dim/2 ($half)")
+    val n = la.length * lb.length
+    require(n <= Similarity.MaxCentroids,
+      s"composed cell count $n exceeds ${Similarity.MaxCentroids}")
+    val ids = new Array[Long](n)
+    val flat = new Array[Long](n * idx.dim)
+    val norms = new Array[Double](n)
+    var i = 0
+    la.foreach { case (ca, va) =>
+      val na2 = va.map(x => x * x).sum
+      lb.foreach { case (cb, vb) =>
+        ids(i) = ca * idx.kB + cb
+        System.arraycopy(va, 0, flat, i * idx.dim, half)
+        System.arraycopy(vb, 0, flat, i * idx.dim + half, half)
+        norms(i) = math.sqrt((na2 + vb.map(x => x * x).sum).toDouble)
+        i += 1
+      }
+    }
+    graft.plans.IvfCentroids(ids, flat, norms, idx.dim)
+  }
+
+  /** Serve a query batch from the loaded multi-index: probes rank the
+    * composed centroids (exact full-vector cosine), the postings scan
+    * prunes to the probed composed cells, the rerank is exact — the
+    * [[serveIvfFlat]] economics with a two-level codebook. */
+  def serveImi(idx: ImiIndex, emb: DataFrame, idCol: String,
+               vecCol: String, maxQueryId: Long, nprobe: Int,
+               k: Int): DataFrame = {
+    val queries = Similarity.ivfProbeQueries(emb, idCol, vecCol,
+      imiComposedCentroids(idx), maxQueryId, nprobe)
+    val cells = queries.select(col("c_id")).distinct()
+      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+    val postings =
+      if (cells.length <= ServeCellFilterCap)
+        idx.postings.filter(col("c_id").isInCollection(cells))
+      else idx.postings
+    Similarity.ivfRerank(postings, queries, k)
+  }
+
+  /** Persist: both half-codebooks and the 1-row meta funnel to one file
+    * (bounded); postings get the inverted-list directory layout. */
+  def saveImiIndex(idx: ImiIndex, path: String): Unit = {
+    idx.lanesA.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes_a")
+    idx.lanesB.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes_b")
+    val spark = idx.lanesA.sparkSession
+    import spark.implicits._
+    Seq((idx.kA, idx.kB, idx.dim)).toDF("ka", "kb", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    idx.postings.select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/postings")
+  }
+
+  def loadImiIndex(spark: org.apache.spark.sql.SparkSession,
+                   p0: String): ImiIndex = {
+    import org.apache.spark.sql.types.LongType
+    val path = graft.sinks.ArtifactStore.resolve(spark, p0)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    ImiIndex(spark.read.parquet(s"$path/lanes_a"),
+      spark.read.parquet(s"$path/lanes_b"),
+      spark.read.parquet(s"$path/postings")
+        .select(col("n_id"), col("nv"), col("nn"),
+          col("c_id").cast(LongType).as("c_id")),
+      meta.getAs[Int]("ka"), meta.getAs[Int]("kb"), meta.getAs[Int]("dim"))
+  }
+
   /** Serve a query batch from the loaded inverted lists: probes come
     * from the query rows alone (one kernel call each against the loaded
     * codebook); the corpus side is the persisted postings with a STATIC

@@ -1104,6 +1104,144 @@ object VectorQueries {
        |WHERE rank <= $IvfK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ── q166: the inverted MULTI-index (IMI) — the two-level coarse
+  // quantizer that holds the cell count on the √n ladder while the FIT
+  // cost stops tracking it: each vector half trains its own small
+  // codebook (kA = 2^⌈bits/2⌉, kB = 2^⌊bits/2⌋ — kA·kB = 2^bits, the
+  // same composed cell count as q45/q156's flat codebook), corpus rows
+  // assign PER HALF (cosine argmin in each half-space: n·(kA+kB) kernel
+  // distances instead of n·kA·kB — at the 2^16 ladder cap, 512 vs
+  // 65,536 per row), and query probes rank the COMPOSED centroids
+  // (concatenated halves, exact composed norm) before the usual
+  // pruned-cell exact rerank. Babenko & Lempitsky's inverted
+  // multi-index, Spark-first. The oracle replays both half k-means
+  // chains (the q88 subvector machinery), both per-half assignment
+  // argmins, the composed-centroid probe ranking, and the rerank
+  // bit-for-bit. CLI: index-build/serve/update/remove --type=imi. ───────
+  private def imiKs(s: SparkSession, d: String): (Int, Int) = {
+    val bits = ivfBits(s, d)
+    (1 << ((bits + 1) / 2), 1 << (bits / 2))
+  }
+
+  val q166_imi_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val (ka, kb) = imiKs(s, d)
+    val path = QueryTmp.dir("imi", d)
+    graft.operators.Clustering.saveImiIndex(
+      graft.operators.Clustering.buildImiIndex(emb, "vec_id", "embedding",
+        Dim, ka, kb), path)
+    graft.operators.Clustering.serveImi(
+        graft.operators.Clustering.loadImiIndex(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q167: IMI index UPDATE — per-half Faiss train/add: the two
+  // half-codebooks trained on the existing corpus stay FIXED, the
+  // arriving slice is assigned per half (two O(delta·kHalf) kernel
+  // passes) and appended. Per-half assignment has no cross-row state,
+  // so the updated postings equal a fresh assignment of the union — the
+  // oracle trains both chains on the slice and assigns/probes/scores
+  // over ALL vectors. CLI: index-update --type=imi. ─────────────────────
+  val q167_imi_index_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val (ka, kb) = imiKs(s, d)
+    val path = QueryTmp.dir("imiup0", d)
+    graft.operators.Clustering.saveImiIndex(
+      graft.operators.Clustering.buildImiIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        Dim, ka, kb), path)
+    val updated = graft.operators.Clustering.updateImiIndex(
+      graft.operators.Clustering.loadImiIndex(s, path),
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    val upPath = QueryTmp.dir("imiup1", d)
+    graft.operators.Clustering.saveImiIndex(updated, upPath)
+    graft.operators.Clustering.serveImi(
+        graft.operators.Clustering.loadImiIndex(s, upPath),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The IMI oracle chain. `update = true` trains both half-chains on
+    * the `vid % 10 <> 0` slice and assigns/probes over ALL vectors (the
+    * q157 train/add shape); `update = false` trains and assigns on the
+    * whole corpus. `kmeansChainSql` requires the training corpus to be
+    * the CTE named `sv`, so the full set is `uv` and `sv` filters it
+    * (identically when not updating — one WITH shape for both). */
+  private def imiSql(update: Boolean): String = {
+    val h = Dim / 2
+    val iters = Similarity.IvfCoarseIters
+    val kbE = "(SELECT kb FROM imip)"
+    def cosFull(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, Dim)
+    // half-space dot/norm with an index OFFSET into the full scaled
+    // list (the centroid list is half-length; the row vector is full)
+    def halfDot(v: String, cv: String, start: Int) =
+      s"list_sum(list_transform(range(1, ${h + 1}), i -> $v[i + $start] * $cv[i]))"
+    def halfNorm(v: String, start: Int) =
+      s"sqrt(CAST(list_sum(list_transform(range(1, ${h + 1}), " +
+        s"i -> $v[i + $start] * $v[i + $start])) AS DOUBLE))"
+    def halfAssign(name: String, cent: String, outCol: String, start: Int) =
+      s"""$name AS (
+         |  SELECT vid, c_id AS $outCol FROM (
+         |    SELECT s.vid, c.c_id,
+         |      row_number() OVER (PARTITION BY s.vid ORDER BY
+         |        CAST(${halfDot("s.v", "c.cv", start)} AS DOUBLE)
+         |          / (${halfNorm("s.v", start)} * c.cn) DESC,
+         |        c.c_id ASC) AS rn
+         |    FROM uv s CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def centHalf(name: String, lanesCte: String) =
+      s"""$name AS (
+         |  SELECT cluster AS c_id, list(cval ORDER BY pos) AS cv,
+         |    sqrt(CAST(sum(cval * cval) AS DOUBLE)) AS cn,
+         |    CAST(sum(cval * cval) AS BIGINT) AS cn2
+         |  FROM $lanesCte GROUP BY cluster)""".stripMargin
+    val trainFilter = if (update) "WHERE vid % 10 <> 0" else ""
+    s"""WITH $sqlIvfParams,
+       |imip AS (SELECT (1::BIGINT << ((bits + 1) // 2)) AS ka,
+       |  (1::BIGINT << (bits // 2)) AS kb FROM ivfp),
+       |uv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings
+       |), sv AS (
+       |  SELECT vid, v, nrm FROM uv $trainFilter
+       |), ${kmeansChainSql("ia", 0, h, "(SELECT ka FROM imip)", iters, "imi-a")},
+       |${kmeansChainSql("ib", h, h, kbE, iters, "imi-b")},
+       |${centHalf("centa", s"iac$iters")},
+       |${centHalf("centb", s"ibc$iters")},
+       |${halfAssign("assigna", "centa", "ca", 0)},
+       |${halfAssign("assignb", "centb", "cb", h)},
+       |assigned AS (
+       |  SELECT s.vid AS n_id, s.v AS nv, s.nrm AS nn,
+       |    a.ca * $kbE + b.cb AS c_id
+       |  FROM uv s JOIN assigna a ON a.vid = s.vid
+       |    JOIN assignb b ON b.vid = s.vid
+       |), centab AS (
+       |  SELECT a.c_id * $kbE + b.c_id AS c_id, a.cv || b.cv AS cv,
+       |    sqrt(CAST(a.cn2 + b.cn2 AS DOUBLE)) AS cn
+       |  FROM centa a CROSS JOIN centb b
+       |), probes AS (
+       |  SELECT q_id, qv, qn, c_id FROM (
+       |    SELECT q.vid AS q_id, q.v AS qv, q.nrm AS qn, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${cosFull("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv q CROSS JOIN centab c WHERE q.vid < $IvfMaxQueryId)
+       |  WHERE rn <= $IvfNprobe
+       |), scored AS (
+       |  SELECT p.q_id, a.n_id, ${cosFull("p.qv", "a.nv", "p.qn", "a.nn")} AS cos
+       |  FROM probes p JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+       |WHERE rank <= $IvfK ORDER BY q_id, rank""".stripMargin
+  }
+  lazy val q166_sql: String = imiSql(update = false)
+  lazy val q167_sql: String = imiSql(update = true)
+
   // ── q137: HIERARCHICAL SemDeDup (Clustering.semDedupHier) — the 100 TB
   // form of q102. Flat k-means is quadratic at scale whichever way k is
   // chosen (assignment n·k with k ∝ n/target; capped k → pair mass n²/k —
@@ -1557,6 +1695,8 @@ object VectorQueries {
     "q160_ivfpq_index_persist" -> q160_ivfpq_index_persist,
     "q161_ivfpq_index_update" -> q161_ivfpq_index_update,
     "q162_ivfpq_rerank_serve" -> q162_ivfpq_rerank_serve,
+    "q166_imi_index_persist" -> q166_imi_index_persist,
+    "q167_imi_index_update" -> q167_imi_index_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -1594,5 +1734,7 @@ object VectorQueries {
     "q161_ivfpq_index_update" -> q161_sql,
     // the artifact-served two-stage search must reproduce q98
     "q162_ivfpq_rerank_serve" -> q98_sql,
+    "q166_imi_index_persist" -> q166_sql,
+    "q167_imi_index_update" -> q167_sql,
   )
 }

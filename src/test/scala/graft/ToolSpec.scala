@@ -1034,7 +1034,8 @@ class ToolSpec extends SparkSpec {
     val probe = Seq((20L, "spark join hash table scan batch"),
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
-    (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq", "ivfpq"))
+    (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq", "ivfpq",
+        "imi")) // vector-typed tiers have their own fixtures below / in the imi test
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
       val full = s"$base/$tpe-full"
@@ -1237,6 +1238,66 @@ class ToolSpec extends SparkSpec {
       Array("index-update", "--type=ivf", s"--path=$base/x",
         s"--input=format=parquet file=$base/delta")))
     assert(e.getMessage.contains("index-build"))
+  }
+
+  test("CLI imi tier: update visibility, remove, streamed == batch, describe") {
+    import spark.implicits._
+    val base = tmpDir("imitier")
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // both HALVES carry energy in every vector (an all-zero half would
+    // make its half-codebook degenerate): even blob on (axis0 | axis2),
+    // odd blob on (axis1 | axis3)
+    val corpus = emb((0 until 9).map { i =>
+      val v = Array(0f, 0f, 0f, 0f)
+      if (i % 2 == 0) { v(0) = 10f + i * 0.01f; v(2) = 8f }
+      else { v(1) = 10f + i * 0.01f; v(3) = 8f }
+      ((i + 100).toLong, v.toSeq)
+    })
+    // the delta shares the even blob's half-cells but is the exact-cosine
+    // winner for the query point
+    val delta = emb(Seq((200L, Seq(1f, 0f, 10f, 0f)),
+      (201L, Seq(1.02f, 0f, 10.05f, 0f))))
+    val query = emb(Seq((0L, Seq(1.01f, 0f, 10.01f, 0f))))
+    corpus.write.parquet(s"$base/cemb")
+    delta.write.parquet(s"$base/demb")
+    query.write.parquet(s"$base/qemb")
+    val p = s"$base/imi"
+    assert(Tool.run(spark, Array("index-build", "--type=imi",
+      s"--path=$p", s"--input=format=parquet file=$base/cemb",
+      "--dim=4", "--half-centroids-a=2", "--half-centroids-b=2"))
+      .status == "SUCCEEDED")
+    def serve(tag: String, extra: String*): Seq[Long] = {
+      val out = s"$p-serve-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=imi",
+        s"--path=$p", s"--input=format=parquet file=$base/qemb",
+        s"--output=format=parquet file=$out",
+        "--max-query-id=1", "--nprobe=1", "--topk=2") ++ extra)
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).drop("batch").orderBy("q_id", "rank")
+        .collect().map(_.getLong(2)).toSeq
+    }
+    assert(!serve("before").exists(_ >= 200L))
+    assert(Tool.run(spark, Array("index-update", "--type=imi",
+      s"--path=$p", s"--input=format=parquet file=$base/demb"))
+      .status == "SUCCEEDED")
+    assert(serve("after").toSet == Set(200L, 201L),
+      s"updated imi index must retrieve the delta: ${serve("after2")}")
+    // streamed query batch == batch serve (fixed artifact state)
+    assert(serve("stream", "--stream=true").toSet == Set(200L, 201L))
+    // right-to-be-forgotten: 200 drops out, its twin remains
+    Seq(200L).toDF("vec_id").write.parquet(s"$base/rm")
+    assert(Tool.run(spark, Array("index-remove", "--type=imi",
+      s"--path=$p", s"--input=format=parquet file=$base/rm"))
+      .status == "SUCCEEDED")
+    val afterRm = serve("afterrm")
+    assert(afterRm.contains(201L) && !afterRm.contains(200L), s"$afterRm")
+    val dsc = Tool.run(spark, Array("index-describe", "--type=imi",
+      s"--path=$p"))
+    assert(dsc.counters("composed_cells") == 4L &&
+      dsc.counters("vectors") == 10L && // 9 corpus + 2 delta - 1 removed
+      dsc.counters("commit_claim_present") == 0L, s"${dsc.counters}")
   }
 
   test("ingestion day: table append → streamed screen → update all seven tiers → serve batch+stream → forget → describe (FIXTURES §9/§10 end-to-end)") {
