@@ -1246,7 +1246,12 @@ object Clustering {
     *
     * Postings are the same `(n_id, nv, nn, c_id)` monoid as the flat
     * tier: [[updateImiIndex]] adds deltas exactly under the fixed
-    * half-codebooks, [[removeFromImiIndex]] anti-joins. */
+    * half-codebooks, [[removeFromImiIndex]] anti-joins.
+    *
+    * Caveat (the cosine metric's zero-vector caveat, per half-space): a
+    * vector whose HALF is all-zero has no half-cosine — real embedding
+    * spaces never produce one, and the property generator filters them
+    * the way the engine-wide cosine paths filter zero vectors. */
   final case class ImiIndex(lanesA: DataFrame, lanesB: DataFrame,
                             postings: DataFrame, kA: Int, kB: Int,
                             dim: Int)

@@ -660,4 +660,45 @@ class ClusteringSpec extends SparkSpec {
       s"expected 1 selected cell partition of ${cellDirs.length}, got $selected")
     assert(served.count() > 0)
   }
+
+  test("IMI roundtrip: served search survives save/load; scan prunes to probed composed cells") {
+    import spark.implicits._
+    // every HALF carries energy (a zero half has no cosine): even blob
+    // on (axis0 | axis2), odd blob on (axis1 | axis3)
+    val vecs = (0 until 12).map { i =>
+      val v = Array(0f, 0f, 0f, 0f)
+      if (i % 2 == 0) { v(0) = 10f + i * 0.01f; v(2) = 8f }
+      else { v(1) = 10f + i * 0.01f; v(3) = 8f }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val path = tmpDir("imi_rt")
+    val built = Clustering.buildImiIndex(vecs, "vec_id", "embedding",
+      dim = 4, kA = 2, kB = 2, iters = 2)
+    Clustering.saveImiIndex(built, path)
+    val loaded = Clustering.loadImiIndex(spark, path)
+    assert(loaded.kA == 2 && loaded.kB == 2 && loaded.dim == 4)
+    // the reload serves identically to the in-memory build
+    def serveSet(idx: Clustering.ImiIndex) =
+      Clustering.serveImi(idx, vecs, "vec_id", "embedding",
+        maxQueryId = 2L, nprobe = 1, k = 3).collect().map(_.toSeq).toSet
+    assert(serveSet(loaded) == serveSet(built) && serveSet(loaded).nonEmpty)
+    // postings are laid out one directory per COMPOSED cell, and the
+    // static probe filter prunes the scan to the probed cells
+    val cellDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.getName.startsWith("c_id=")).map(_.getName)
+    assert(cellDirs.length >= 2, s"expected cell dirs, got ${cellDirs.toSeq}")
+    val served = Clustering.serveImi(loaded, vecs, "vec_id", "embedding",
+      maxQueryId = 1L, nprobe = 1, k = 3)
+    val scans = served.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(scans.nonEmpty, "no postings file scan in the serve plan")
+    assert(scans.head.partitionFilters.map(_.toString).exists(_.contains("c_id")),
+      s"no c_id partition filter: ${scans.head.partitionFilters}")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected composed cell of ${cellDirs.length}")
+    assert(served.count() > 0)
+  }
 }

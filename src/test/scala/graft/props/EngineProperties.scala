@@ -842,4 +842,56 @@ object EngineProperties extends Properties("graft") {
         addOk && served == fresh
       }
     }
+
+  // IMI needs a nonzero norm in EACH half (the cosine metric's zero-
+  // vector caveat, per half-space) — filter rather than skew the gen
+  private val imiCorpusGen = for {
+    n <- Gen.choose(6, 24)
+    vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(0, 3).map(_.toFloat)))
+      .map(_.filter(v => v.take(2).exists(_ != 0f) && v.drop(2).exists(_ != 0f)))
+      .suchThat(_.size >= 4)
+    nDelta <- Gen.choose(1, 3)
+  } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, nDelta)
+
+  property("IMI ADD == per-half union assignment; pruned serve == unpruned rerank, on tie-prone corpora") =
+    forAll(imiCorpusGen) { case (rows, nDelta) =>
+      import graft.operators.{Clustering, Similarity}
+      val df = rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      val corpus = df.filter($"vec_id" >= nDelta)
+      val delta = df.filter($"vec_id" < nDelta)
+      if (corpus.isEmpty || delta.isEmpty) true
+      else {
+        val (kA, kB) = (2, 2)
+        val idx = Clustering.buildImiIndex(corpus, "vec_id", "embedding",
+          dim = 4, kA, kB, iters = 2)
+        val updated = Clustering.updateImiIndex(idx, delta,
+          "vec_id", "embedding")
+        // reference: per-half kernel assignment of the UNION under the
+        // same fixed half-codebooks, composed cA·kB + cB
+        def halfCells(lanes: org.apache.spark.sql.DataFrame, start: Int) =
+          Similarity.ivfPostings(
+              df.select($"vec_id",
+                expr(s"slice(embedding, ${start + 1}, 2)").as("hv")),
+              "vec_id", "hv", Similarity.centroidSetFromLanes(lanes))
+            .select($"n_id", $"c_id")
+        val want = halfCells(idx.lanesA, 0).withColumnRenamed("c_id", "ca")
+          .join(halfCells(idx.lanesB, 2).withColumnRenamed("c_id", "cb"),
+            "n_id")
+          .select($"n_id", ($"ca" * kB + $"cb").cast("long").as("c_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = updated.postings.select($"n_id", $"c_id".cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // and the statically-pruned serve never loses a probed cell: it
+        // must equal the UNPRUNED rerank over the same probes
+        val served = Clustering.serveImi(updated, df, "vec_id",
+          "embedding", maxQueryId = 3L, nprobe = 2, k = 3)
+          .collect().map(_.toSeq).toSet
+        val unpruned = Similarity.ivfRerank(updated.postings,
+            Similarity.ivfProbeQueries(df, "vec_id", "embedding",
+              Clustering.imiComposedCentroids(updated), 3L, 2), 3)
+          .collect().map(_.toSeq).toSet
+        got == want && served == unpruned
+      }
+    }
 }
