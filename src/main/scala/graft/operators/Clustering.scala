@@ -1281,36 +1281,44 @@ object Clustering {
     require(kA.toLong * kB <= Similarity.MaxCentroids,
       s"composed cell count $kA*$kB exceeds ${Similarity.MaxCentroids}")
     val half = dim / 2
-    val embA = halfOf(emb, idCol, vecCol, 0, half)
-    val embB = halfOf(emb, idCol, vecCol, half, half)
-    val lanesA = literalLanes(
-      ivfCoarseLanes(embA, idCol, "hv", kA, iters, "imi-a"))
-    val lanesB = literalLanes(
-      ivfCoarseLanes(embB, idCol, "hv", kB, iters, "imi-b"))
+    // the two half-space fits are independent Lloyd chains — run their
+    // driver-side barriers concurrently (the saveBm25Index / k-means
+    // training-chain overlap pattern)
+    val Seq(lanesA, lanesB) = concurrently(Seq(
+      () => literalLanes(ivfCoarseLanes(
+        halfOf(emb, idCol, vecCol, 0, half), idCol, "hv", kA, iters,
+        "imi-a")),
+      () => literalLanes(ivfCoarseLanes(
+        halfOf(emb, idCol, vecCol, half, half), idCol, "hv", kB, iters,
+        "imi-b"))))
     ImiIndex(lanesA, lanesB,
       imiAssign(emb, idCol, vecCol, lanesA, lanesB, kB, dim), kA, kB, dim)
   }
 
   /** Per-half kernel assignment composed into the postings rows — the
-    * O(n·(kA+kB)) pass shared by build and add. Two kernel projections
-    * per half (cell id only) joined back onto the full scaled vector. */
+    * O(n·(kA+kB)) pass shared by build and add: ONE corpus scan, both
+    * half argmins as inline kernel columns over the sliced+scaled
+    * halves (slice-then-scale == scale-then-slice, both elementwise) —
+    * zero joins, zero shuffles, fully codegen'd. */
   private def imiAssign(emb: DataFrame, idCol: String, vecCol: String,
                         lanesA: DataFrame, lanesB: DataFrame, kB: Int,
                         dim: Int): DataFrame = {
     import graft.functions.VectorFunctions.{scaled, vnorm}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
     val half = dim / 2
-    val aA = Similarity.ivfPostings(halfOf(emb, idCol, vecCol, 0, half),
-        idCol, "hv", Similarity.centroidSetFromLanes(lanesA))
-      .select(col("n_id"), col("c_id").as("ca"))
-    val aB = Similarity.ivfPostings(halfOf(emb, idCol, vecCol, half, half),
-        idCol, "hv", Similarity.centroidSetFromLanes(lanesB))
-      .select(col("n_id"), col("c_id").as("cb"))
+    val centsA = Similarity.centroidSetFromLanes(lanesA)
+    val centsB = Similarity.centroidSetFromLanes(lanesB)
+    def cellOf(cents: graft.plans.IvfCentroids, start: Int) = {
+      val hv = scaled(org.apache.spark.sql.functions.slice(
+        col(vecCol), start + 1, half))
+      element_at(columnOf(graft.plans.NearestCentroids(
+        expressionOf(hv), expressionOf(vnorm(hv)), cents, 1)), 1)
+    }
     emb.select(col(idCol).cast(org.apache.spark.sql.types.LongType)
           .as("n_id"),
-        scaled(col(vecCol)).as("nv"))
-      .withColumn("nn", vnorm(col("nv")))
-      .join(aA, "n_id").join(aB, "n_id")
-      .select(col("n_id"), col("nv"), col("nn"),
+        scaled(col(vecCol)).as("nv"),
+        cellOf(centsA, 0).as("ca"), cellOf(centsB, half).as("cb"))
+      .select(col("n_id"), col("nv"), vnorm(col("nv")).as("nn"),
         (col("ca") * kB + col("cb")).as("c_id"))
   }
 
