@@ -95,6 +95,21 @@ object AnnServeScaleBench {
           dim = 64, m = 8, maxQueryId, nprobe, topK)
         .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
 
+    // the compressed-FLAT tier: SQ8 has no probe pruning by design, so
+    // its serve is the honest linear-in-n row — the contrast that shows
+    // what the inverted-list tiers buy (and what 1-byte lanes cost vs
+    // the 8-byte scaled floats of a raw flat scan)
+    val sqPath = s"/tmp/annservescale_sq_${System.nanoTime()}"
+    val tSq = System.nanoTime()
+    Clustering.saveSqIndex(
+      Clustering.buildSqIndex(emb, "vec_id", "embedding", dim = 64), sqPath)
+    val sqBuildSec = (System.nanoTime() - tSq) / 1e9
+    val sqIdx = Clustering.loadSqIndex(spark, sqPath)
+    val sqServe = timeMin2(() =>
+      Clustering.serveSq(sqIdx, emb, "vec_id", "embedding", maxQueryId,
+          topK)
+        .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
+
     // recall@topK vs exact brute force for the same query batch — the
     // quality side of the speed numbers (nprobe=2 of k cells; ADC adds
     // quantization error on top of the probe miss rate)
@@ -124,13 +139,19 @@ object AnnServeScaleBench {
         "embedding", dim = 64, m = 8, maxQueryId, np, topK))
       s""""nprobe$np":{"ivfflat":${f"$rf%.3f"},"ivfpq":${f"$rp%.3f"}}"""
     }.mkString(",")
+    // sq scans everything — one recall number, no nprobe axis; its loss
+    // is pure 8-bit quantization error (and L2-vs-cosine metric skew)
+    val sqRecall = recall(Clustering.serveSq(sqIdx, emb, "vec_id",
+      "embedding", maxQueryId, topK))
 
     println(s"""{"metric":"ann_serve_scale","corpus":"$corpusDir",""" +
       s""""rows":$n,"centroids":$k,"build_sec":${f"$buildSec%.2f"},""" +
       s""""serve_pruned_sec":${f"$pruned%.2f"},""" +
       s""""serve_legacy_sec":${f"$legacy%.2f"},""" +
       s""""serve_ivfpq_adc_sec":${f"$adc%.2f"},""" +
-      s""""recall":{$curve}}""")
+      s""""sq_build_sec":${f"$sqBuildSec%.2f"},""" +
+      s""""serve_sq_sec":${f"$sqServe%.2f"},""" +
+      s""""recall":{$curve,"sq":${f"$sqRecall%.3f"}}}""")
     spark.stop()
   }
 }

@@ -73,8 +73,8 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "ivfflat", "ivfpq", "pq", "bpe", "bm25", "unigram",
-      "semdedup", "wordpiece", "decontam", "cdc", "imi")
+    Set("lsh", "ivf", "ivfflat", "ivfpq", "pq", "sq", "bpe", "bm25",
+      "unigram", "semdedup", "wordpiece", "decontam", "cdc", "imi")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -153,6 +153,11 @@ object IndexTool {
         Clustering.savePqIndex(Clustering.pqFit(embOf(input, flags),
           "vec_id", "embedding", num("dim", 64), num("m", 8),
           num("k", 16), num("iters", 2)), path)
+      case "sq" =>
+        // trained 8-bit scalar quantizer: per-dim (lo, hi) bounds +
+        // 1-byte-per-lane codes — the codebook-light compression tier
+        Clustering.saveSqIndex(Clustering.buildSqIndex(embOf(input, flags),
+          "vec_id", "embedding", num("dim", 64)), path)
       case "bpe" =>
         val (merges, _) = Bpe.trainAuto(
           Bpe.wordFreq(Bpe.docWords(docsOf(input, flags), "doc_id", "text")),
@@ -222,7 +227,8 @@ object IndexTool {
     * `add`) and its codes appended (q159). `ivfpq` composes the ivfflat
     * and pq adds over one delta pass (q161). */
   val UpdateTypes: Set[String] =
-    Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq", "imi")
+    Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq", "imi",
+      "sq")
 
   /** The index types whose persisted artifact can DROP a doc/vector set
     * (`index-remove` — the right-to-be-forgotten leg: a deleted
@@ -238,7 +244,8 @@ object IndexTool {
     * the rollup alone was NOT invertible (its `min first_doc` is
     * unrecoverable once its witness is deleted). */
   val RemoveTypes: Set[String] =
-    Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup", "imi")
+    Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup", "imi",
+      "sq")
 
   /** `index-remove`: load the artifact, drop the ids in the input
     * batch, and commit a new generation through the same pointer
@@ -292,6 +299,9 @@ object IndexTool {
       case "imi" =>
         Clustering.saveImiIndex(Clustering.removeFromImiIndex(
           Clustering.loadImiIndex(spark, base), vecIds), staging)
+      case "sq" =>
+        Clustering.saveSqIndex(Clustering.removeFromSqIndex(
+          Clustering.loadSqIndex(spark, base), vecIds), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
@@ -316,6 +326,8 @@ object IndexTool {
     case "ivfpq" => Clustering.loadIvfPqIndex(spark, base).codes
       .select(col("n_id").as("id"))
     case "imi" => Clustering.loadImiIndex(spark, base).postings
+      .select(col("n_id").as("id"))
+    case "sq" => Clustering.loadSqIndex(spark, base).codes
       .select(col("n_id").as("id"))
   }
 
@@ -405,6 +417,10 @@ object IndexTool {
         Clustering.saveImiIndex(Clustering.updateImiIndex(
           Clustering.loadImiIndex(spark, base),
           embOf(input, flags), "vec_id", "embedding"), staging)
+      case "sq" =>
+        Clustering.saveSqIndex(Clustering.updateSqIndex(
+          Clustering.loadSqIndex(spark, base),
+          embOf(input, flags), "vec_id", "embedding"), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
@@ -469,6 +485,13 @@ object IndexTool {
             embOf(input, flags), "vec_id", "embedding",
             num("dim", 64) / num("m", 8), num("max-query-id", 20).toLong,
             num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "sq" =>
+        // queries come from the input, bounds + codes from the
+        // artifact: exact integer L2 in code space over one flat scan
+        Clustering.serveSq(Clustering.loadSqIndex(spark, path),
+            embOf(input, flags), "vec_id", "embedding",
+            num("max-query-id", 20).toLong, num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
       case "bpe" =>
         encodeTransform(spark, "bpe", path, flags)(docsOf(input, flags))
@@ -664,6 +687,16 @@ object IndexTool {
           "vectors" -> idx.codes.select(col("n_id")).distinct().count(),
           "subspaces" -> idx.lanes.select(col("s")).distinct().count(),
           "codebook_k" -> idx.lanes.select(col("code")).distinct().count())
+      case "sq" =>
+        val idx = Clustering.loadSqIndex(spark, path)
+        // degenerate lanes (lo == hi) quantize the whole corpus to one
+        // level on that dimension — the shape check an operator wants
+        val lanes = idx.lanes.agg(count(lit(1)),
+          coalesce(sum(when(col("hi") === col("lo"), 1L).otherwise(0L)),
+            lit(0L))).head()
+        Seq("dims" -> lanes.getLong(0),
+          "degenerate_dims" -> lanes.getLong(1),
+          "vectors" -> idx.codes.count())
       case "semdedup" =>
         val idx = Clustering.loadSemIndex(spark, path)
         Seq("coarse_k" -> idx.coarseK.toLong,
@@ -700,7 +733,7 @@ object IndexTool {
     * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
-      "ivfflat", "ivfpq", "pq", "bm25", "imi")
+      "ivfflat", "ivfpq", "pq", "bm25", "imi", "sq")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -818,6 +851,15 @@ object IndexTool {
             sink(Clustering.pqSearchIndex(idx, batch, "vec_id", "embedding",
               num("dim", 64) / num("m", 8), num("max-query-id", 20).toLong,
               num("topk", 3)), batchId)
+        }
+      case "sq" =>
+        // bounds + codes loaded once; each micro-batch is a query batch
+        // encoded against the fixed lanes and ranked per q_id
+        val idx = Clustering.loadSqIndex(spark, path)
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Clustering.serveSq(idx, batch, "vec_id", "embedding",
+              num("max-query-id", 20).toLong, num("topk", 3)), batchId)
         }
       case "ivfpq" =>
         val idx = Clustering.loadIvfPqIndex(spark, path)

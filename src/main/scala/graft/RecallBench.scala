@@ -99,6 +99,14 @@ object RecallBench {
       per.sum / truth.size
     }
 
+    // the compressed-flat tier: no nprobe axis (sq scans everything),
+    // one number isolating pure 8-bit per-lane quantization loss +
+    // the symmetric-L2-vs-cosine metric skew
+    val rSq = recallOf(Clustering.serveSq(
+      Clustering.buildSqIndex(emb, "vec_id", "embedding", dim),
+      emb, "vec_id", "embedding", maxQ, topK))
+    System.err.println(f"sq(flat)=$rSq%.3f")
+
     val nprobes = Seq(1, 2, 4, 8, 16, 32)
     val rows = nprobes.map { np =>
       val rFlat = recallOf(Clustering.serveIvfFlat(flat, emb,
@@ -118,6 +126,7 @@ object RecallBench {
       s""""topk":$topK,"pq_k":$kPq,"rerank_pool":$pool,""" +
       s""""flat_build_sec":${f"$flatBuildSec%.2f"},""" +
       s""""imi_build_sec":${f"$imiBuildSec%.2f"},""" +
+      s""""sq_flat_recall":${f"$rSq%.3f"},""" +
       s""""by_nprobe":{${rows.mkString(",")}}}""")
     spark.stop()
   }

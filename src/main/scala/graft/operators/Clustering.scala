@@ -1023,6 +1023,150 @@ object Clustering {
       .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
         "left_anti"))
 
+  // ── trained 8-bit scalar quantizer (SQ8) ───────────────────────────────
+
+  /** Trained 8-bit scalar-quantizer index — the Faiss
+    * `ScalarQuantizer(QT_8bit)` shape, the codebook-light compression
+    * tier of the family: TRAINING fits one (lo, hi) bound per DIMENSION
+    * over the corpus (on the 2^20-scaled int64 lattice —
+    * [[graft.functions.VectorFunctions.scaled]]), ENCODING maps each
+    * lane to an 8-bit level `⌊(x−lo)·255/span⌋` clamped to [0, 255]
+    * (span = max(hi−lo, 1)), and SEARCH ranks candidates by the exact
+    * integer L2 distance in CODE space (symmetric SQD: query and corpus
+    * both encoded, so the whole distance is int64 math and the DuckDB
+    * oracle replays fit, encode and ranking bit-for-bit). 4 bytes/lane
+    * raw float → 1 byte/lane served.
+    *
+    * Train/add asymmetry is Faiss's: the bounds NEVER move on add — a
+    * delta lane outside the trained range clamps to the edge level
+    * (q169's oracle replays slice-trained bounds over the union, so the
+    * clamp is oracle-checked, not just documented). Where it sits vs
+    * [[PqIndex]]: PQ compresses harder (m sub-codes) but pays m trained
+    * codebooks and an ADC table per query; SQ8 trains in one aggregate
+    * pass and keeps per-lane resolution — the first compression step
+    * when recall matters more than bytes.
+    *
+    * Scale shape (100 TB): training is ONE map-side-partial aggregate
+    * scan (2·dim min/max aggregates — no explode, no shuffle of vector
+    * rows); encoding is per-row column work against two dim-length
+    * broadcast literals (zero shuffle, codegen'd higher-order
+    * functions); serve broadcasts the ENCODED query batch over one flat
+    * scan of the 1-byte-lane codes — the compressed-flat economics.
+    * Compose with an IVF front end (the [[IvfPqIndex]] pattern) when
+    * the corpus outgrows flat scans.
+    *
+    * Reference analog: none (no ANN surface in kiji-mapreduce); this is
+    * the LLM-pipeline charter's similarity-search upside, completing
+    * the flat / IVF-flat / PQ / IVFPQ / IMI index family. */
+  final case class SqIndex(lanes: DataFrame, codes: DataFrame)
+
+  /** Fit the per-dimension bounds: 2·dim min/max aggregates in ONE scan
+    * over the scaled lattice — never an explode, partial-aggregated
+    * map-side. Lanes are dim-bounded by construction: `(d, lo, hi)`,
+    * one row per dimension. */
+  def sqFitLanes(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0 && dim <= Similarity.MaxCentroids,
+      s"dim $dim outside (0, ${Similarity.MaxCentroids}]")
+    val iv = emb.select(scaled(col(vecCol)).as("__iv"))
+    val aggs = (0 until dim).flatMap { d =>
+      Seq(min(element_at(col("__iv"), d + 1)).as(s"lo$d"),
+        max(element_at(col("__iv"), d + 1)).as(s"hi$d"))
+    }
+    val row = iv.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0), "sqFitLanes: cannot fit bounds on an " +
+      "empty corpus (train on at least one vector)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    (0 until dim).map(d => (d, row.getLong(2 * d), row.getLong(2 * d + 1)))
+      .toDF("d", "lo", "hi")
+  }
+
+  /** ENCODE a batch against FIXED trained lanes: per-row HOF column
+    * work against two dim-length literal arrays (lanes are dim-bounded,
+    * so the collect is capped driver state — the [[literalLanes]]
+    * pattern). Out-of-range lanes CLAMP to the edge level (Faiss's
+    * add-time behavior). Exactness: the level is `⌊(x−lo)·255/span⌋`;
+    * the products are integer-exact in double (< 2^53) and the single
+    * correctly-rounded division's quotient sits ≥ 1/span ≥ 2^-42 from
+    * the next integer while its ulp is ≤ 2^-44 — floor is therefore
+    * engine-independent, and DuckDB replays the identical expression. */
+  def sqEncode(batch: DataFrame, lanes: DataFrame, idCol: String,
+               vecCol: String): DataFrame = {
+    val rows = lanes.select(col("d"), col("lo"), col("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val lo = typedLit(rows.map(_._2).toSeq)
+    val span = typedLit(rows.map(r => math.max(r._3 - r._2, 1L)).toSeq)
+    batch.select(col(idCol).cast(LongType).as("n_id"),
+      transform(scaled(col(vecCol)), (x, i) =>
+        least(lit(255L), greatest(lit(0L),
+          floor(((x - element_at(lo, i + 1)) * lit(255L)).cast(DoubleType) /
+            element_at(span, i + 1).cast(DoubleType))))).as("code"))
+  }
+
+  def buildSqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                   dim: Int): SqIndex = {
+    val lanes = sqFitLanes(emb, vecCol, dim)
+    SqIndex(lanes, sqEncode(emb, lanes, idCol, vecCol))
+  }
+
+  /** ADD under the FIXED bounds (Faiss train/add): encode the delta
+    * against the loaded lanes and append. Encoding is stateless per
+    * row, so the union equals a fresh encode of the union corpus under
+    * the same lanes (q169's oracle replays exactly that). */
+  def updateSqIndex(idx: SqIndex, delta: DataFrame, idCol: String,
+                    vecCol: String): SqIndex =
+    idx.copy(codes = idx.codes.select(col("n_id"), col("code"))
+      .unionByName(sqEncode(delta, idx.lanes, idCol, vecCol)))
+
+  /** REMOVE a vector set: anti-join the codes; the bounds stay fixed —
+    * per-vector code rows are independent, so the result equals a fresh
+    * encode of the survivors under the same lanes. */
+  def removeFromSqIndex(idx: SqIndex, removedIds: DataFrame): SqIndex =
+    idx.copy(codes = idx.codes.select(col("n_id"), col("code"))
+      .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
+        "left_anti"))
+
+  /** Serve top-k from the loaded codes: encode the query batch (rows
+    * from the input, bounds from the artifact), broadcast it over ONE
+    * flat scan of the codes, rank by exact integer code-space L2
+    * (ties → smaller n_id; self excluded). */
+  def serveSq(idx: SqIndex, emb: DataFrame, idCol: String, vecCol: String,
+              maxQueryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    val q = sqEncode(
+        emb.filter(col(idCol).cast(LongType) < maxQueryId), idx.lanes,
+        idCol, vecCol)
+      .select(col("n_id").as("q_id"), col("code").as("qcode"))
+    val scored = idx.codes.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("qcode"), col("code"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("sqdist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sqdist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sqdist"))
+  }
+
+  /** Persist: dim-bounded lanes funnel to one file; the codes keep
+    * their partitioning (the corpus-sized surface). */
+  def saveSqIndex(idx: SqIndex, path: String): Unit = {
+    idx.lanes.select(col("d"), col("lo"), col("hi"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
+    idx.codes.select(col("n_id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def loadSqIndex(spark: org.apache.spark.sql.SparkSession,
+                  p0: String): SqIndex = {
+    val path = graft.sinks.ArtifactStore.resolve(spark, p0)
+    SqIndex(spark.read.parquet(s"$path/lanes"),
+      spark.read.parquet(s"$path/codes"))
+  }
+
   /** Two-stage retrieval SERVED from artifacts — the production pattern
     * closed over persisted state: the compressed [[IvfPqIndex]]
     * produces the rerankPool-deep ADC shortlist, and the raw vectors

@@ -1665,6 +1665,101 @@ object VectorQueries {
        |GROUP BY x.cluster, y.vid ORDER BY pruned""".stripMargin
   }
 
+  // ── q168: trained 8-bit SCALAR quantizer (Faiss ScalarQuantizer
+  // QT_8bit — Clustering.SqIndex), the codebook-light compression tier
+  // completing the flat/ivfflat/pq/ivfpq/imi index family. TRAIN fits
+  // per-dimension (lo, hi) bounds on the scaled-int64 lattice in ONE
+  // aggregate pass; ENCODE maps each lane to ⌊(x−lo)·255/span⌋ clamped
+  // to [0,255]; SERVE ranks by the exact integer L2 in CODE space
+  // (symmetric SQD — query and corpus both encoded), so fit, encode and
+  // ranking replay in DuckDB bit-for-bit. Persist/load through the same
+  // artifact layout as every tier; CLI: index-build/serve/update/
+  // remove/describe --type=sq, batch and streamed. ──────────────────────
+  val SqMaxQueryId = 10L
+  val SqTopK = 5
+
+  val q168_sq_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("sqindex", d)
+    graft.operators.Clustering.saveSqIndex(
+      graft.operators.Clustering.buildSqIndex(emb, "vec_id", "embedding",
+        Dim), path)
+    graft.operators.Clustering.serveSq(
+        graft.operators.Clustering.loadSqIndex(s, path),
+        emb, "vec_id", "embedding", SqMaxQueryId, SqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q169: SQ index UPDATE — Faiss train/add on the scalar quantizer:
+  // the bounds trained on the existing corpus stay FIXED, the arriving
+  // slice is encoded against them (out-of-range lanes CLAMP to the edge
+  // level — the honest add-time behavior, oracle-checked because the
+  // oracle replays slice-trained bounds over the union) and appended.
+  // Encoding is stateless per row, so the updated codes equal a fresh
+  // encode of the union. CLI: index-update --type=sq. ───────────────────
+  val q169_sq_index_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("squp0", d)
+    graft.operators.Clustering.saveSqIndex(
+      graft.operators.Clustering.buildSqIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding", Dim),
+      path)
+    val updated = graft.operators.Clustering.updateSqIndex(
+      graft.operators.Clustering.loadSqIndex(s, path),
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    val upPath = QueryTmp.dir("squp1", d)
+    graft.operators.Clustering.saveSqIndex(updated, upPath)
+    graft.operators.Clustering.serveSq(
+        graft.operators.Clustering.loadSqIndex(s, upPath),
+        emb, "vec_id", "embedding", SqMaxQueryId, SqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The SQ oracle chain: per-dim min/max over the TRAINING slice (`sv`
+    * — the whole corpus, or the `vid % 10 <> 0` slice for the update
+    * shape), the clamped floor-level encode of ALL vectors against
+    * those bounds, and the symmetric integer code-space L2 top-k. Every
+    * step is int64 except the single correctly-rounded double division
+    * inside the floor — identical in both engines (see
+    * [[graft.operators.Clustering.sqEncode]]'s exactness note). */
+  private def sqSql(update: Boolean): String = {
+    val trainFilter = if (update) "WHERE vid % 10 <> 0" else ""
+    s"""WITH uv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v
+       |  FROM embeddings
+       |), sv AS (
+       |  SELECT vid, v FROM uv $trainFilter
+       |), lanes AS (
+       |  SELECT i, min(v[i]) AS lo,
+       |    greatest(max(v[i]) - min(v[i]), 1) AS span
+       |  FROM sv, range(1, ${Dim + 1}) t(i) GROUP BY i
+       |), ll AS (
+       |  SELECT list(lo ORDER BY i) AS lo, list(span ORDER BY i) AS span
+       |  FROM lanes
+       |), codes AS (
+       |  SELECT vid, list_transform(range(1, ${Dim + 1}), i ->
+       |    least(255, greatest(0, CAST(floor(
+       |      CAST((u.v[i] - l.lo[i]) * 255 AS DOUBLE)
+       |        / CAST(l.span[i] AS DOUBLE)) AS BIGINT)))) AS c
+       |  FROM uv u CROSS JOIN ll l
+       |), scored AS (
+       |  SELECT q.vid AS q_id, n.vid AS n_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> (q.c[i] - n.c[i]) * (q.c[i] - n.c[i]))) AS BIGINT)
+       |      AS sqdist
+       |  FROM codes q JOIN codes n
+       |    ON q.vid < $SqMaxQueryId AND n.vid <> q.vid
+       |)
+       |SELECT q_id, rank, n_id, sqdist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sqdist ASC, n_id ASC) AS rank FROM scored)
+       |WHERE rank <= $SqTopK ORDER BY q_id, rank""".stripMargin
+  }
+  lazy val q168_sql: String = sqSql(update = false)
+  lazy val q169_sql: String = sqSql(update = true)
+
   val queries: Map[String, Q] = Map(
     "q137_semdedup_hier" -> q137_semdedup_hier,
     "q138_semdedup_index_persist" -> q138_semdedup_index_persist,
@@ -1697,6 +1792,8 @@ object VectorQueries {
     "q162_ivfpq_rerank_serve" -> q162_ivfpq_rerank_serve,
     "q166_imi_index_persist" -> q166_imi_index_persist,
     "q167_imi_index_update" -> q167_imi_index_update,
+    "q168_sq_index_persist" -> q168_sq_index_persist,
+    "q169_sq_index_update" -> q169_sq_index_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -1736,5 +1833,7 @@ object VectorQueries {
     "q162_ivfpq_rerank_serve" -> q98_sql,
     "q166_imi_index_persist" -> q166_sql,
     "q167_imi_index_update" -> q167_sql,
+    "q168_sq_index_persist" -> q168_sql,
+    "q169_sq_index_update" -> q169_sql,
   )
 }

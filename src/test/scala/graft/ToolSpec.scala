@@ -524,6 +524,42 @@ class ToolSpec extends SparkSpec {
     assert(pqRows.nonEmpty &&
       pqRows.forall(_.getAs[Number](1).longValue <= 2L))
 
+    // sq: trained per-dim bounds + 8-bit codes — the full lifecycle
+    // (build → serve → update → remove → describe) through the CLI
+    val sqPath = s"$base/sq"
+    assert(Tool.run(spark, Array("index-build", "--type=sq",
+      s"--path=$sqPath", s"--input=$embIn", "--dim=8"))
+      .status == "SUCCEEDED")
+    val sqRows = serve("sq", sqPath, embIn, "--max-query-id=3", "--topk=2")
+    assert(sqRows.nonEmpty &&
+      sqRows.forall(_.getAs[Number](1).longValue <= 2L))
+    // vecs 9 and 11 duplicate vec 1's lanes exactly → identical codes →
+    // they are query 1's top-2 at code distance 0 (ties → smaller id)
+    assert(sqRows.filter(_.getLong(0) == 1L).map(_.getLong(2)).toSet ==
+      Set(9L, 11L), sqRows.mkString(", "))
+    // update folds a NEW vector in under the fixed bounds; remove
+    // forgets vec 11 — both through the generation CAS
+    val sqDelta = Seq((20L, (0 until 8).map(j => if (j == 2) 2f else 0.1f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val sqDeltaPath = s"$base/sqdelta"
+    sqDelta.write.parquet(sqDeltaPath)
+    assert(Tool.run(spark, Array("index-update", "--type=sq",
+      s"--path=$sqPath", s"--input=format=parquet file=$sqDeltaPath"))
+      .status == "SUCCEEDED")
+    val sqRmPath = s"$base/sqrm"
+    Seq(11L).toDF("vec_id").write.parquet(sqRmPath)
+    assert(Tool.run(spark, Array("index-remove", "--type=sq",
+      s"--path=$sqPath", s"--input=format=parquet file=$sqRmPath"))
+      .status == "SUCCEEDED")
+    val sqCounters = IndexTool.describe(spark, "sq", sqPath)
+    assert(sqCounters("dims") == 8L, sqCounters)
+    assert(sqCounters("vectors") == 12L, sqCounters) // 12 + 1 - 1
+    // the forgotten vector stops being retrievable
+    val sqRows2 = serve("sq", sqPath, embIn, "--max-query-id=3", "--topk=2")
+    assert(!sqRows2.filter(_.getLong(0) == 1L).map(_.getLong(2))
+      .contains(11L))
+
     // bpe: merge list + kernel token stats (identical docs -> identical
     // stats)
     val bpePath = s"$base/bpe"
@@ -1035,7 +1071,7 @@ class ToolSpec extends SparkSpec {
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
     (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq", "ivfpq",
-        "imi")) // vector-typed tiers have their own fixtures below / in the imi test
+        "imi", "sq")) // vector-typed tiers have their own fixtures below / in the imi and sq tests
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
       val full = s"$base/$tpe-full"

@@ -701,4 +701,66 @@ class ClusteringSpec extends SparkSpec {
       s"expected 1 selected composed cell of ${cellDirs.length}")
     assert(served.count() > 0)
   }
+
+  test("SqIndex roundtrip: codes bounded; top-1 stays in-blob; update == union encode; remove == survivor encode") {
+    val path = tmpDir("sq_rt")
+    Clustering.saveSqIndex(
+      Clustering.buildSqIndex(blobs, "vec_id", "embedding", dim = 4), path)
+    val loaded = Clustering.loadSqIndex(spark, path)
+    // lanes: one (lo ≤ hi) row per dimension
+    val lanes = loaded.lanes.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(lanes.map(_._1).sorted.toSeq == (0 until 4))
+    assert(lanes.forall(l => l._2 <= l._3))
+    // every code lane is an 8-bit level
+    val codes = loaded.codes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(codes.length == 30)
+    assert(codes.forall(_._2.forall(c => c >= 0L && c <= 255L)))
+    // blobs are ~250 levels apart on their dominant lane, in-blob
+    // spread < 1 level: every query's top-1 must be a same-blob row
+    val served = Clustering.serveSq(loaded, blobs, "vec_id", "embedding",
+        maxQueryId = 3L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(served.nonEmpty)
+    served.filter(_._2 == 1).foreach { case (q, _, n) =>
+      assert(n % 3 == q % 3, s"query $q top-1 $n crossed blobs") }
+
+    // the add path: bounds trained on the evens stay FIXED, the odds
+    // are encoded against them — codes must equal a fresh encode of
+    // the union under the same lanes
+    val p2 = tmpDir("sq_up")
+    Clustering.saveSqIndex(Clustering.buildSqIndex(
+      blobs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", 4), p2)
+    val base = Clustering.loadSqIndex(spark, p2)
+    val updated = Clustering.updateSqIndex(base,
+      blobs.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(keyed(updated.codes) ==
+      keyed(Clustering.sqEncode(blobs, base.lanes, "vec_id", "embedding")))
+    assert(keyed(updated.codes).size == 30)
+    // the remove path: anti-join == fresh encode of the survivors
+    val removed = Clustering.removeFromSqIndex(updated,
+      Seq(1L, 2L).toDF("n_id"))
+    assert(keyed(removed.codes) == keyed(Clustering.sqEncode(
+      blobs.filter(!$"vec_id".isin(1L, 2L)), base.lanes,
+      "vec_id", "embedding")))
+  }
+
+  test("sqEncode clamps out-of-range delta lanes to the edge levels") {
+    // Faiss add-time behavior: the trained bounds never move, so a
+    // delta lane past hi pins to level 255 and below lo pins to 0
+    val lanes = Clustering.sqFitLanes(blobs, "embedding", 4)
+    val delta = Seq((100L, Seq(99f, -99f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val code = Clustering.sqEncode(delta, lanes, "vec_id", "embedding")
+      .collect().head.getSeq[Long](1)
+    assert(code(0) == 255L && code(1) == 0L, code.mkString(","))
+    // and an empty training corpus refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Clustering.sqFitLanes(blobs.filter($"vec_id" < 0), "embedding", 4)
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+  }
 }
