@@ -110,6 +110,20 @@ object AnnServeScaleBench {
           topK)
         .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
 
+    // composed IVF×SQ on the shared coarse fit: the serve should stay
+    // flat across a corpus doubling (probed cells only) while the flat
+    // sq row above grows with n — the same contrast ivfflat:legacy has,
+    // one compression tier down
+    val ivfSqPath = s"/tmp/annservescale_ivfsq_${System.nanoTime()}"
+    Clustering.saveIvfSqIndex(
+      Clustering.buildIvfSqIndexWith(emb, "vec_id", "embedding", dim = 64,
+        idx.lanes), ivfSqPath)
+    val ivfSqIdx = Clustering.loadIvfSqIndex(spark, ivfSqPath)
+    val ivfSqServe = timeMin2(() =>
+      Clustering.serveIvfSq(ivfSqIdx, emb, "vec_id", "embedding",
+          maxQueryId, nprobe, topK)
+        .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
+
     // recall@topK vs exact brute force for the same query batch — the
     // quality side of the speed numbers (nprobe=2 of k cells; ADC adds
     // quantization error on top of the probe miss rate)
@@ -151,6 +165,7 @@ object AnnServeScaleBench {
       s""""serve_ivfpq_adc_sec":${f"$adc%.2f"},""" +
       s""""sq_build_sec":${f"$sqBuildSec%.2f"},""" +
       s""""serve_sq_sec":${f"$sqServe%.2f"},""" +
+      s""""serve_ivfsq_sec":${f"$ivfSqServe%.2f"},""" +
       s""""recall":{$curve,"sq":${f"$sqRecall%.3f"}}}""")
     spark.stop()
   }

@@ -46,6 +46,13 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    exact rerank (`serveImi`); updatable (per-half Faiss train/add).
   *  - `pq`: build = product-quantizer fit (codes + codebooks). serve =
   *    ADC top-k (`pqSearchIndex`; dim/m must match).
+  *  - `sq`: build = trained 8-bit scalar quantizer (per-dim bounds +
+  *    1-byte-per-lane codes — `Clustering.buildSqIndex`). serve = exact
+  *    integer code-space L2 top-k over one flat scan (`serveSq`);
+  *    updatable (bounds never move; out-of-range lanes clamp).
+  *  - `ivfsq`: build = inverted lists of SQ codes (one fused
+  *    assign+encode scan — `Clustering.buildIvfSqIndex`). serve =
+  *    pruned-cell code-space L2 top-k (`serveIvfSq`); updatable.
   *  - `bpe`: build = merge-list induction. serve = kernel token stats
   *    per input doc (`BpeDocStats`).
   *  - `bm25`: build = the four inverted-index artifacts. serve = ranked
@@ -60,11 +67,11 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   * Every serve whose corpus side lives in the artifact — the four
   * delta-against-index screens (`lsh`, `semdedup`, `decontam`, `cdc`),
   * the three tokenizer encode tiers (`bpe`, `unigram`, `wordpiece`),
-  * and the three retrieval tiers (`ivfflat`, `pq`, `bm25`) — also
-  * serves as a checkpointed file STREAM (`--stream=true` —
-  * [[serveStream]]): the same batch path per micro-batch, re-runnable
-  * as an ingestion cron. See [[StreamTypes]] for why that line is
-  * exactly the streamable set.
+  * and the retrieval tiers (`ivfflat`, `ivfpq`, `imi`, `pq`, `sq`,
+  * `ivfsq`, `bm25`) — also serves as a checkpointed file STREAM
+  * (`--stream=true` — [[serveStream]]): the same batch path per
+  * micro-batch, re-runnable as an ingestion cron. See [[StreamTypes]]
+  * for why that line is exactly the streamable set.
   *
   * The reference ships its MapReduce jobs through the same one-CLI
   * pattern (`KM/tools/KijiGather.java`); an index tier is the analog for
@@ -73,8 +80,8 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "ivfflat", "ivfpq", "pq", "sq", "bpe", "bm25",
-      "unigram", "semdedup", "wordpiece", "decontam", "cdc", "imi")
+    Set("lsh", "ivf", "ivfflat", "ivfpq", "pq", "sq", "ivfsq", "bpe",
+      "bm25", "unigram", "semdedup", "wordpiece", "decontam", "cdc", "imi")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -158,6 +165,15 @@ object IndexTool {
         // 1-byte-per-lane codes — the codebook-light compression tier
         Clustering.saveSqIndex(Clustering.buildSqIndex(embOf(input, flags),
           "vec_id", "embedding", num("dim", 64)), path)
+      case "ivfsq" =>
+        // composed IVF × SQ8 (IndexIVFScalarQuantizer): inverted lists
+        // of 1-byte-per-lane codes — sublinear serve whose per-lane
+        // ranking survives cluster interiors where m-subspace ADC
+        // saturates
+        Clustering.saveIvfSqIndex(Clustering.buildIvfSqIndex(
+          embOf(input, flags), "vec_id", "embedding", num("dim", 64),
+          num("centroids", 64), num("iters", Similarity.IvfCoarseIters)),
+          path)
       case "bpe" =>
         val (merges, _) = Bpe.trainAuto(
           Bpe.wordFreq(Bpe.docWords(docsOf(input, flags), "doc_id", "text")),
@@ -228,7 +244,7 @@ object IndexTool {
     * and pq adds over one delta pass (q161). */
   val UpdateTypes: Set[String] =
     Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq", "imi",
-      "sq")
+      "sq", "ivfsq")
 
   /** The index types whose persisted artifact can DROP a doc/vector set
     * (`index-remove` — the right-to-be-forgotten leg: a deleted
@@ -245,7 +261,7 @@ object IndexTool {
     * unrecoverable once its witness is deleted). */
   val RemoveTypes: Set[String] =
     Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup", "imi",
-      "sq")
+      "sq", "ivfsq")
 
   /** `index-remove`: load the artifact, drop the ids in the input
     * batch, and commit a new generation through the same pointer
@@ -302,6 +318,9 @@ object IndexTool {
       case "sq" =>
         Clustering.saveSqIndex(Clustering.removeFromSqIndex(
           Clustering.loadSqIndex(spark, base), vecIds), staging)
+      case "ivfsq" =>
+        Clustering.saveIvfSqIndex(Clustering.removeFromIvfSqIndex(
+          Clustering.loadIvfSqIndex(spark, base), vecIds), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
@@ -328,6 +347,8 @@ object IndexTool {
     case "imi" => Clustering.loadImiIndex(spark, base).postings
       .select(col("n_id").as("id"))
     case "sq" => Clustering.loadSqIndex(spark, base).codes
+      .select(col("n_id").as("id"))
+    case "ivfsq" => Clustering.loadIvfSqIndex(spark, base).codes
       .select(col("n_id").as("id"))
   }
 
@@ -421,6 +442,10 @@ object IndexTool {
         Clustering.saveSqIndex(Clustering.updateSqIndex(
           Clustering.loadSqIndex(spark, base),
           embOf(input, flags), "vec_id", "embedding"), staging)
+      case "ivfsq" =>
+        Clustering.saveIvfSqIndex(Clustering.updateIvfSqIndex(
+          Clustering.loadIvfSqIndex(spark, base),
+          embOf(input, flags), "vec_id", "embedding"), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
@@ -492,6 +517,14 @@ object IndexTool {
         Clustering.serveSq(Clustering.loadSqIndex(spark, path),
             embOf(input, flags), "vec_id", "embedding",
             num("max-query-id", 20).toLong, num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "ivfsq" =>
+        // sublinear + compressed: probes prune the codes scan to the
+        // probed cells, ranking is SQ code-space L2 within them
+        Clustering.serveIvfSq(Clustering.loadIvfSqIndex(spark, path),
+            embOf(input, flags), "vec_id", "embedding",
+            num("max-query-id", 20).toLong, num("nprobe", 2),
+            num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
       case "bpe" =>
         encodeTransform(spark, "bpe", path, flags)(docsOf(input, flags))
@@ -697,6 +730,17 @@ object IndexTool {
         Seq("dims" -> lanes.getLong(0),
           "degenerate_dims" -> lanes.getLong(1),
           "vectors" -> idx.codes.count())
+      case "ivfsq" =>
+        val idx = Clustering.loadIvfSqIndex(spark, path)
+        val st = idx.codes.groupBy(col("c_id")).count()
+          .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L)),
+            coalesce(max(col("count")), lit(0L))).head()
+        Seq("centroids" ->
+            idx.coarseLanes.select(col("cluster")).distinct().count(),
+          "dims" -> idx.sqLanes.count(),
+          "vectors" -> st.getLong(1),
+          "occupied_cells" -> st.getLong(0),
+          "largest_cell" -> st.getLong(2))
       case "semdedup" =>
         val idx = Clustering.loadSemIndex(spark, path)
         Seq("coarse_k" -> idx.coarseK.toLong,
@@ -733,7 +777,7 @@ object IndexTool {
     * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
-      "ivfflat", "ivfpq", "pq", "bm25", "imi", "sq")
+      "ivfflat", "ivfpq", "pq", "bm25", "imi", "sq", "ivfsq")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -860,6 +904,14 @@ object IndexTool {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(Clustering.serveSq(idx, batch, "vec_id", "embedding",
               num("max-query-id", 20).toLong, num("topk", 3)), batchId)
+        }
+      case "ivfsq" =>
+        val idx = Clustering.loadIvfSqIndex(spark, path)
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Clustering.serveIvfSq(idx, batch, "vec_id", "embedding",
+              num("max-query-id", 20).toLong, num("nprobe", 2),
+              num("topk", 3)), batchId)
         }
       case "ivfpq" =>
         val idx = Clustering.loadIvfPqIndex(spark, path)

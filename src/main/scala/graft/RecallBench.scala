@@ -106,6 +106,11 @@ object RecallBench {
       Clustering.buildSqIndex(emb, "vec_id", "embedding", dim),
       emb, "vec_id", "embedding", maxQ, topK))
     System.err.println(f"sq(flat)=$rSq%.3f")
+    // composed IVF×SQ on the SAME coarse fit as flat/pq: its by-nprobe
+    // recall should track min(ivfflat probe recall, sq's flat ceiling) —
+    // per-lane codes keep the in-cluster ordering m-subspace ADC loses
+    val ivfsq = Clustering.buildIvfSqIndexWith(emb, "vec_id", "embedding",
+      dim, flat.lanes)
 
     val nprobes = Seq(1, 2, 4, 8, 16, 32)
     val rows = nprobes.map { np =>
@@ -117,9 +122,12 @@ object RecallBench {
         emb, "vec_id", "embedding", dim, m, maxQ, np, pool, topK))
       val rImi = recallOf(Clustering.serveImi(imi, emb,
         "vec_id", "embedding", maxQ, np, topK))
+      val rIvfSq = recallOf(Clustering.serveIvfSq(ivfsq, emb,
+        "vec_id", "embedding", maxQ, np, topK))
       System.err.println(f"nprobe=$np%-3d ivfflat=$rFlat%.3f adc=$rAdc%.3f " +
-        f"rerank=$rTwo%.3f imi=$rImi%.3f")
-      s""""$np":{"ivfflat":$rFlat,"ivfpq_adc":$rAdc,"rerank":$rTwo,"imi":$rImi}"""
+        f"rerank=$rTwo%.3f imi=$rImi%.3f ivfsq=$rIvfSq%.3f")
+      s""""$np":{"ivfflat":$rFlat,"ivfpq_adc":$rAdc,"rerank":$rTwo,""" +
+        s""""imi":$rImi,"ivfsq":$rIvfSq}"""
     }
     println(s"""{"metric":"ann_recall","table":"$table","n":$n,""" +
       s""""cells":$kCoarse,"imi_ka":$kA,"imi_kb":$kB,"queries":$maxQ,""" +

@@ -1092,16 +1092,32 @@ object Clustering {
     * engine-independent, and DuckDB replays the identical expression. */
   def sqEncode(batch: DataFrame, lanes: DataFrame, idCol: String,
                vecCol: String): DataFrame = {
+    val (lo, span) = sqLaneArrays(lanes)
+    batch.select(col(idCol).cast(LongType).as("n_id"),
+      sqCodeCol(lo, span, col(vecCol)).as("code"))
+  }
+
+  /** The trained bounds as driver arrays ordered by dimension — the
+    * dim-bounded collect behind every encode. */
+  private def sqLaneArrays(lanes: DataFrame): (Seq[Long], Seq[Long]) = {
     val rows = lanes.select(col("d"), col("lo"), col("hi"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    val lo = typedLit(rows.map(_._2).toSeq)
-    val span = typedLit(rows.map(r => math.max(r._3 - r._2, 1L)).toSeq)
-    batch.select(col(idCol).cast(LongType).as("n_id"),
-      transform(scaled(col(vecCol)), (x, i) =>
-        least(lit(255L), greatest(lit(0L),
-          floor(((x - element_at(lo, i + 1)) * lit(255L)).cast(DoubleType) /
-            element_at(span, i + 1).cast(DoubleType))))).as("code"))
+    (rows.map(_._2).toSeq,
+      rows.map(r => math.max(r._3 - r._2, 1L)).toSeq)
+  }
+
+  /** The clamped floor-level code array as one HOF column over the raw
+    * vector — shared by [[sqEncode]] and the fused IVF×SQ assignment
+    * scan ([[buildIvfSqIndex]]). */
+  private def sqCodeCol(loArr: Seq[Long], spanArr: Seq[Long],
+                        vec: Column): Column = {
+    val lo = typedLit(loArr)
+    val span = typedLit(spanArr)
+    transform(scaled(vec), (x, i) =>
+      least(lit(255L), greatest(lit(0L),
+        floor(((x - element_at(lo, i + 1)) * lit(255L)).cast(DoubleType) /
+          element_at(span, i + 1).cast(DoubleType)))))
   }
 
   def buildSqIndex(emb: DataFrame, idCol: String, vecCol: String,
@@ -1165,6 +1181,166 @@ object Clustering {
     val path = graft.sinks.ArtifactStore.resolve(spark, p0)
     SqIndex(spark.read.parquet(s"$path/lanes"),
       spark.read.parquet(s"$path/codes"))
+  }
+
+  // ── composed IVF × SQ8 (IndexIVFScalarQuantizer) ───────────────────────
+
+  /** The composed Faiss-`IndexIVFScalarQuantizer` artifact: a trained
+    * coarse codebook partitions the corpus into inverted lists and SQ8
+    * compresses every vector to one byte per lane — a serve reads ONLY
+    * the probed cells' codes and ranks them by the exact integer
+    * code-space L2 ([[SqIndex]]'s symmetric SQD). Why this tier exists
+    * beside [[IvfPqIndex]]: the round-15 clustered-corpus measurement
+    * showed m=8 ADC saturating at 0.19 recall INSIDE tight clusters
+    * (neighbors differ by small noise the subspace codes cannot
+    * resolve) while per-LANE 8-bit resolution preserves the fine
+    * ordering — ivfsq is the compressed sublinear tier whose ranking
+    * survives cluster interiors, at 8 bytes/vector vs ivfpq's m
+    * (RecallBench's `ivfsq` column measures exactly this beside ADC).
+    *
+    * Both corpus-sized surfaces are monoids under the FIXED fitted
+    * parameters (cell assignment and encode are stateless per row), so
+    * add = one fused delta scan + append, exact vs a fresh assignment
+    * of the union; remove = anti-join. Scale shape: the two fits run
+    * concurrently (Lloyd chain ∥ one min/max aggregate pass); build's
+    * corpus pass is ONE scan computing cell + code together (fused
+    * kernel + HOF columns, zero joins); serve I/O is O(probed cells) of
+    * 1-byte-per-lane codes via the same static `c_id IN (...)`
+    * partition filter as [[serveIvfFlat]]. */
+  final case class IvfSqIndex(coarseLanes: DataFrame, sqLanes: DataFrame,
+                              codes: DataFrame)
+
+  def buildIvfSqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, numCentroids: Int,
+                      iters: Int = Similarity.IvfCoarseIters,
+                      salt: String = Similarity.IvfCoarseSalt)
+      : IvfSqIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // independent fits — run their driver-side barriers concurrently
+    // (the IMI half-fit pattern); the coarse lanes funnel to literals
+    // so the assignment scan broadcasts them as kernel state
+    val Seq(coarse, sqLanes) = concurrently(Seq(
+      () => ivfCoarseLanes(emb, idCol, vecCol, numCentroids, iters, salt)
+        .select(col("cluster"), col("pos"), col("cval"), col("n")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.toDF("cluster", "pos", "cval", "n"),
+      () => sqFitLanes(emb, vecCol, dim)))
+    IvfSqIndex(coarse, sqLanes,
+      ivfSqAssign(emb, idCol, vecCol, coarse, sqLanes))
+  }
+
+  /** [[buildIvfSqIndex]] with a PRE-TRAINED coarse codebook — share one
+    * fit across tiers so cell boundaries agree and recall comparisons
+    * isolate the compression, not fit variance (the
+    * [[buildIvfPqIndexWith]] pattern). */
+  def buildIvfSqIndexWith(emb: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, coarseLanes: DataFrame): IvfSqIndex = {
+    val sqLanes = sqFitLanes(emb, vecCol, dim)
+    IvfSqIndex(coarseLanes, sqLanes,
+      ivfSqAssign(emb, idCol, vecCol, coarseLanes, sqLanes))
+  }
+
+  /** The fused corpus pass shared by build and add: nearest-cell kernel
+    * argmin + clamped SQ encode in ONE scan — zero joins, zero
+    * shuffles, fully codegen'd. */
+  private[operators] def ivfSqAssign(emb: DataFrame, idCol: String,
+                                     vecCol: String,
+                                     coarseLanes: DataFrame,
+                                     sqLanes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    import graft.functions.VectorFunctions.vnorm
+    val cents = Similarity.centroidSetFromLanes(coarseLanes)
+    val (lo, span) = sqLaneArrays(sqLanes)
+    val sv = scaled(col(vecCol))
+    emb.select(col(idCol).cast(LongType).as("n_id"),
+      element_at(columnOf(graft.plans.NearestCentroids(
+        expressionOf(sv), expressionOf(vnorm(sv)), cents, 1)), 1)
+        .as("c_id"),
+      sqCodeCol(lo, span, col(vecCol)).as("code"))
+  }
+
+  /** ADD under the FIXED codebook and bounds (Faiss train/add): one
+    * fused delta scan + append — equals a fresh assignment/encode of
+    * the union (q171's oracle replays exactly that). */
+  def updateIvfSqIndex(idx: IvfSqIndex, delta: DataFrame, idCol: String,
+                       vecCol: String): IvfSqIndex =
+    idx.copy(codes = idx.codes.select(col("n_id"), col("c_id"), col("code"))
+      .unionByName(ivfSqAssign(delta, idCol, vecCol, idx.coarseLanes,
+        idx.sqLanes)))
+
+  /** REMOVE a vector set: anti-join the cell-coded rows; the fitted
+    * codebook and bounds stay — equals a fresh assignment/encode of the
+    * survivors. */
+  def removeFromIvfSqIndex(idx: IvfSqIndex, removedIds: DataFrame)
+      : IvfSqIndex =
+    idx.copy(codes = idx.codes.select(col("n_id"), col("c_id"), col("code"))
+      .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
+        "left_anti"))
+
+  /** Serve top-k from the loaded artifact: probes kernel-rank the query
+    * batch against the coarse codebook, the codes scan prunes to the
+    * probed cell partitions (static `c_id IN (...)`), the query batch
+    * is SQ-encoded against the artifact bounds, and candidates rank by
+    * exact integer code-space L2 (ties → smaller n_id; self
+    * excluded). */
+  def serveIvfSq(idx: IvfSqIndex, emb: DataFrame, idCol: String,
+                 vecCol: String, maxQueryId: Long, nprobe: Int,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    val probes = Similarity.ivfProbeQueries(emb, idCol, vecCol,
+        Similarity.centroidSetFromLanes(idx.coarseLanes), maxQueryId,
+        nprobe)
+      .select(col("q_id"), col("c_id"))
+    val cells = probes.select(col("c_id")).distinct()
+      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+    val codes =
+      if (cells.length <= ServeCellFilterCap)
+        idx.codes.filter(col("c_id").isInCollection(cells))
+      else idx.codes // degenerate huge batch: join filters anyway
+    val q = sqEncode(
+        emb.filter(col(idCol).cast(LongType) < maxQueryId), idx.sqLanes,
+        idCol, vecCol)
+      .select(col("n_id").as("q_id"), col("code").as("qcode"))
+    // one row per (query, probed cell) × the query's code array — a
+    // candidate lives in exactly one cell, so each (q, n) pair scores
+    // at most once
+    val scored = codes.join(broadcast(probes.join(q, Seq("q_id"))),
+        Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("qcode"), col("code"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("sqdist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sqdist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sqdist"))
+  }
+
+  /** Persist: both fitted surfaces funnel to one file each (bounded);
+    * codes get the inverted-list directory layout the serve-time
+    * partition filter prunes. */
+  def saveIvfSqIndex(idx: IvfSqIndex, path: String): Unit = {
+    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
+    idx.sqLanes.select(col("d"), col("lo"), col("hi"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sqlanes")
+    idx.codes.select(col("n_id"), col("code"), col("c_id"))
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/codes")
+  }
+
+  def loadIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
+                     p0: String): IvfSqIndex = {
+    val path = graft.sinks.ArtifactStore.resolve(spark, p0)
+    IvfSqIndex(spark.read.parquet(s"$path/lanes"),
+      spark.read.parquet(s"$path/sqlanes"),
+      spark.read.parquet(s"$path/codes")
+        .select(col("n_id"), col("code"),
+          col("c_id").cast(LongType).as("c_id")))
   }
 
   /** Two-stage retrieval SERVED from artifacts — the production pattern

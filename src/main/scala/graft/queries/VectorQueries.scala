@@ -1760,6 +1760,120 @@ object VectorQueries {
   lazy val q168_sql: String = sqSql(update = false)
   lazy val q169_sql: String = sqSql(update = true)
 
+  // ── q170: composed IVF × SQ8 (Faiss IndexIVFScalarQuantizer —
+  // Clustering.IvfSqIndex): the trained coarse codebook partitions the
+  // corpus into inverted lists, SQ8 compresses every vector to one byte
+  // per lane, and a serve reads ONLY the probed cells' codes, ranking by
+  // the exact integer code-space L2. Why it exists beside ivfpq: the
+  // round-15 clustered-corpus recall table shows m=8 ADC saturating at
+  // ~0.19 INSIDE tight clusters while per-lane 8-bit resolution keeps
+  // the fine ordering — ivfsq is the compressed sublinear tier whose
+  // ranking survives cluster interiors. Build is ONE fused corpus scan
+  // (cell kernel argmin + clamped encode together) over two concurrent
+  // fits. The oracle replays coarse chain, assignment, bounds, codes,
+  // probing and ranking bit-for-bit. CLI: --type=ivfsq, full lifecycle,
+  // batch+streamed. ─────────────────────────────────────────────────────
+  val q170_ivfsq_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfsq", d)
+    graft.operators.Clustering.saveIvfSqIndex(
+      graft.operators.Clustering.buildIvfSqIndex(emb, "vec_id",
+        "embedding", Dim, 1 << ivfBits(s, d)), path)
+    graft.operators.Clustering.serveIvfSq(
+        graft.operators.Clustering.loadIvfSqIndex(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q171: IVF×SQ index UPDATE — both fitted surfaces (coarse
+  // codebook, per-dim bounds) trained on the existing corpus stay
+  // FIXED; the arriving slice takes one fused assign+encode scan and
+  // appends. Both halves are stateless per row, so the updated codes
+  // equal a fresh assignment/encode of the union — the oracle trains
+  // coarse chain AND bounds on the slice, then assigns/encodes/probes
+  // over ALL vectors. CLI: index-update --type=ivfsq. ───────────────────
+  val q171_ivfsq_index_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfsqup0", d)
+    graft.operators.Clustering.saveIvfSqIndex(
+      graft.operators.Clustering.buildIvfSqIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding", Dim,
+        1 << ivfBits(s, d)), path)
+    val updated = graft.operators.Clustering.updateIvfSqIndex(
+      graft.operators.Clustering.loadIvfSqIndex(s, path),
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    val upPath = QueryTmp.dir("ivfsqup1", d)
+    graft.operators.Clustering.saveIvfSqIndex(updated, upPath)
+    graft.operators.Clustering.serveIvfSq(
+        graft.operators.Clustering.loadIvfSqIndex(s, upPath),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The IVF×SQ oracle chain: q157's coarse-train/assign/probe shape
+    * (train on `sv`, assign and probe over `uv`) composed with q168's
+    * bounds/encode CTEs (bounds from `sv`, codes over `uv`), scored by
+    * the integer code-space L2 within the probed cells. */
+  private def ivfSqSql(update: Boolean): String = {
+    def cos(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, Dim)
+    val trainFilter = if (update) "WHERE vid % 10 <> 0" else ""
+    s"""WITH $sqlIvfParams, uv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings
+       |), sv AS (
+       |  SELECT vid, v, nrm FROM uv $trainFilter
+       |), ${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM ivfp)",
+          Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
+       |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
+       |sqlanes AS (
+       |  SELECT i, min(v[i]) AS lo,
+       |    greatest(max(v[i]) - min(v[i]), 1) AS span
+       |  FROM sv, range(1, ${Dim + 1}) t(i) GROUP BY i
+       |), ll AS (
+       |  SELECT list(lo ORDER BY i) AS lo, list(span ORDER BY i) AS span
+       |  FROM sqlanes
+       |), codes AS (
+       |  SELECT vid, list_transform(range(1, ${Dim + 1}), i ->
+       |    least(255, greatest(0, CAST(floor(
+       |      CAST((u.v[i] - l.lo[i]) * 255 AS DOUBLE)
+       |        / CAST(l.span[i] AS DOUBLE)) AS BIGINT)))) AS c
+       |  FROM uv u CROSS JOIN ll l
+       |), assigned AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT s.vid AS n_id, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vid
+       |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv s CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vid AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv q CROSS JOIN cent c WHERE q.vid < $IvfMaxQueryId)
+       |  WHERE rn <= $IvfNprobe
+       |), scored AS (
+       |  SELECT p.q_id, a.n_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> (cq.c[i] - cn.c[i]) * (cq.c[i] - cn.c[i]))) AS BIGINT)
+       |      AS sqdist
+       |  FROM probes p
+       |    JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |    JOIN codes cq ON cq.vid = p.q_id
+       |    JOIN codes cn ON cn.vid = a.n_id
+       |)
+       |SELECT q_id, rank, n_id, sqdist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sqdist ASC, n_id ASC) AS rank FROM scored)
+       |WHERE rank <= $IvfK ORDER BY q_id, rank""".stripMargin
+  }
+  lazy val q170_sql: String = ivfSqSql(update = false)
+  lazy val q171_sql: String = ivfSqSql(update = true)
+
   val queries: Map[String, Q] = Map(
     "q137_semdedup_hier" -> q137_semdedup_hier,
     "q138_semdedup_index_persist" -> q138_semdedup_index_persist,
@@ -1794,6 +1908,8 @@ object VectorQueries {
     "q167_imi_index_update" -> q167_imi_index_update,
     "q168_sq_index_persist" -> q168_sq_index_persist,
     "q169_sq_index_update" -> q169_sq_index_update,
+    "q170_ivfsq_index_persist" -> q170_ivfsq_index_persist,
+    "q171_ivfsq_index_update" -> q171_ivfsq_index_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -1835,5 +1951,7 @@ object VectorQueries {
     "q167_imi_index_update" -> q167_sql,
     "q168_sq_index_persist" -> q168_sql,
     "q169_sq_index_update" -> q169_sql,
+    "q170_ivfsq_index_persist" -> q170_sql,
+    "q171_ivfsq_index_update" -> q171_sql,
   )
 }

@@ -560,6 +560,24 @@ class ToolSpec extends SparkSpec {
     assert(!sqRows2.filter(_.getLong(0) == 1L).map(_.getLong(2))
       .contains(11L))
 
+    // ivfsq: composed inverted lists of sq codes — probes prune the
+    // codes scan, ranking is code-space L2 within the probed cells
+    val ivfsqPath = s"$base/ivfsq"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfsq",
+      s"--path=$ivfsqPath", s"--input=$embIn", "--dim=8",
+      "--centroids=4")).status == "SUCCEEDED")
+    val ivfsqRows = serve("ivfsq", ivfsqPath, embIn, "--max-query-id=3",
+      "--nprobe=2", "--topk=2")
+    assert(ivfsqRows.nonEmpty &&
+      ivfsqRows.forall(_.getAs[Number](1).longValue <= 2L))
+    // 9 and 11 share query 1's exact lanes, hence its cell: top-2 at
+    // code distance 0 even through the pruned scan
+    assert(ivfsqRows.filter(_.getLong(0) == 1L).map(_.getLong(2)).toSet ==
+      Set(9L, 11L), ivfsqRows.mkString(", "))
+    val ivfsqCounters = IndexTool.describe(spark, "ivfsq", ivfsqPath)
+    assert(ivfsqCounters("vectors") == 12L, ivfsqCounters)
+    assert(ivfsqCounters("dims") == 8L, ivfsqCounters)
+
     // bpe: merge list + kernel token stats (identical docs -> identical
     // stats)
     val bpePath = s"$base/bpe"
@@ -865,6 +883,8 @@ class ToolSpec extends SparkSpec {
         Seq("--dim=4", "--m=2")),
       ("ivfpq", vecsPath, Seq("--dim=4", "--m=2", "--k=2", "--centroids=3"),
         Seq("--dim=4", "--m=2")),
+      ("sq", vecsPath, Seq("--dim=4"), Seq[String]()),
+      ("ivfsq", vecsPath, Seq("--dim=4", "--centroids=3"), Seq[String]()),
       ("bm25", docsPath, Seq[String](), Seq[String]()))
     fixtures.foreach { case (tpe, in, buildFlags, serveFlags) =>
       val idxPath = s"$base/$tpe-idx"
@@ -1071,7 +1091,7 @@ class ToolSpec extends SparkSpec {
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
     (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq", "ivfpq",
-        "imi", "sq")) // vector-typed tiers have their own fixtures below / in the imi and sq tests
+        "imi", "sq", "ivfsq")) // vector-typed tiers have their own fixtures below / in the imi and sq tests
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
       val full = s"$base/$tpe-full"

@@ -748,6 +748,61 @@ class ClusteringSpec extends SparkSpec {
       "vec_id", "embedding")))
   }
 
+  test("IvfSqIndex roundtrip: serve survives save/load; scan prunes to probed cells; update == union assign+encode") {
+    val path = tmpDir("ivfsq_rt")
+    val built = Clustering.buildIvfSqIndex(blobs, "vec_id", "embedding",
+      dim = 4, numCentroids = 3, iters = 2)
+    Clustering.saveIvfSqIndex(built, path)
+    val loaded = Clustering.loadIvfSqIndex(spark, path)
+    def serveSet(idx: Clustering.IvfSqIndex) =
+      Clustering.serveIvfSq(idx, blobs, "vec_id", "embedding",
+        maxQueryId = 3L, nprobe = 1, k = 3).collect().map(_.toSeq).toSet
+    assert(serveSet(loaded) == serveSet(built) && serveSet(loaded).nonEmpty)
+    // blobs are ~250 levels apart on the dominant lane: in-blob top-1
+    val served = Clustering.serveIvfSq(loaded, blobs, "vec_id",
+        "embedding", 3L, 1, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    served.filter(_._2 == 1).foreach { case (q, _, n) =>
+      assert(n % 3 == q % 3, s"query $q top-1 $n crossed blobs") }
+    // codes are laid out one directory per cell, and the static probe
+    // filter prunes the scan to the probed cells
+    val cellDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("c_id=")).map(_.getName)
+    assert(cellDirs.length >= 2, s"expected cell dirs, got ${cellDirs.toSeq}")
+    val one = Clustering.serveIvfSq(loaded, blobs, "vec_id", "embedding",
+      1L, 1, 3)
+    val scans = one.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("codes")) => s
+    }
+    assert(scans.nonEmpty, "no codes file scan in the serve plan")
+    assert(scans.head.partitionFilters.map(_.toString).exists(_.contains("c_id")),
+      s"no c_id partition filter: ${scans.head.partitionFilters}")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected cell of ${cellDirs.length}")
+    // the add path: both fitted surfaces stay fixed — the updated codes
+    // must equal one fused assign+encode pass over the union
+    val p2 = tmpDir("ivfsq_up")
+    Clustering.saveIvfSqIndex(Clustering.buildIvfSqIndex(
+      blobs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", 4, 3, 2), p2)
+    val base = Clustering.loadIvfSqIndex(spark, p2)
+    val updated = Clustering.updateIvfSqIndex(base,
+      blobs.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select($"n_id", $"c_id".cast("long"), $"code").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+        .toSet
+    assert(keyed(updated.codes) == keyed(Clustering.ivfSqAssign(
+      blobs, "vec_id", "embedding", base.coarseLanes, base.sqLanes)))
+    assert(keyed(updated.codes).size == 30)
+    // remove == survivors under the same fits
+    val removed = Clustering.removeFromIvfSqIndex(updated,
+      Seq(3L, 4L).toDF("n_id"))
+    assert(keyed(removed.codes) == keyed(Clustering.ivfSqAssign(
+      blobs.filter(!$"vec_id".isin(3L, 4L)), "vec_id", "embedding",
+      base.coarseLanes, base.sqLanes)))
+  }
+
   test("sqEncode clamps out-of-range delta lanes to the edge levels") {
     // Faiss add-time behavior: the trained bounds never move, so a
     // delta lane past hi pins to level 255 and below lo pins to 0

@@ -894,4 +894,39 @@ object EngineProperties extends Properties("graft") {
         got == want && served == unpruned
       }
     }
+
+  property("SQ8 encode == plain-Scala clamped floor model; trained-on-self codes span the level range") =
+    forAll(for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n,
+        Gen.listOfN(4, Gen.choose(-1000000, 1000000).map(_ / 997.0f)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }) { rows =>
+      import graft.operators.Clustering
+      val df = rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      val lanes = Clustering.sqFitLanes(df, "embedding", 4)
+      val got = Clustering.sqEncode(df, lanes, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+      // reference model: the exact arithmetic the scaladoc claims —
+      // trunc-scale to int64, per-dim min/max bounds, clamped
+      // floor((x−lo)·255/span) with span = max(hi−lo, 1)
+      val scaled = rows.map { case (id, v) =>
+        (id, v.map(x => (x.toDouble * 1048576L).toLong)) }
+      val lo = (0 until 4).map(d => scaled.map(_._2(d)).min)
+      val hi = (0 until 4).map(d => scaled.map(_._2(d)).max)
+      val span = (0 until 4).map(d => math.max(hi(d) - lo(d), 1L))
+      val model = scaled.map { case (id, v) =>
+        (id, (0 until 4).map(d => math.min(255L, math.max(0L,
+          math.floor(((v(d) - lo(d)) * 255L).toDouble / span(d).toDouble)
+            .toLong))).toList)
+      }.toMap
+      // bounds trained on the corpus itself: every dim's codes reach 0
+      // at its min row and 255 at its max row (0 on a degenerate dim —
+      // hi == lo quantizes the whole corpus to one level)
+      val ends = (0 until 4).forall { d =>
+        val codes = model.values.map(_(d))
+        codes.min == 0L && (codes.max == 255L || hi(d) == lo(d))
+      }
+      got == model && ends
+    }
 }
