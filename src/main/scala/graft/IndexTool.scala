@@ -46,6 +46,10 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   *    exact rerank (`serveImi`); updatable (per-half Faiss train/add).
   *  - `pq`: build = product-quantizer fit (codes + codebooks). serve =
   *    ADC top-k (`pqSearchIndex`; dim/m must match).
+  *  - `ivfpqr`: build = the RESIDUAL-encoded IVFPQ (PQ over
+  *    v − centroid(cell) — `Clustering.buildIvfPqrIndex`, the
+  *    production Faiss IndexIVFPQ). serve = pruned-cell residual ADC
+  *    with per-(query, cell) tables (`serveIvfPqr`); updatable.
   *  - `sq`: build = trained 8-bit scalar quantizer (per-dim bounds +
   *    1-byte-per-lane codes — `Clustering.buildSqIndex`). serve = exact
   *    integer code-space L2 top-k over one flat scan (`serveSq`);
@@ -67,8 +71,8 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
   * Every serve whose corpus side lives in the artifact — the four
   * delta-against-index screens (`lsh`, `semdedup`, `decontam`, `cdc`),
   * the three tokenizer encode tiers (`bpe`, `unigram`, `wordpiece`),
-  * and the retrieval tiers (`ivfflat`, `ivfpq`, `imi`, `pq`, `sq`,
-  * `ivfsq`, `bm25`) — also serves as a checkpointed file STREAM
+  * and the retrieval tiers (`ivfflat`, `ivfpq`, `ivfpqr`, `imi`, `pq`,
+  * `sq`, `ivfsq`, `bm25`) — also serves as a checkpointed file STREAM
   * (`--stream=true` — [[serveStream]]): the same batch path per
   * micro-batch, re-runnable as an ingestion cron. See [[StreamTypes]]
   * for why that line is exactly the streamable set.
@@ -80,8 +84,9 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "ivfflat", "ivfpq", "pq", "sq", "ivfsq", "bpe",
-      "bm25", "unigram", "semdedup", "wordpiece", "decontam", "cdc", "imi")
+    Set("lsh", "ivf", "ivfflat", "ivfpq", "ivfpqr", "pq", "sq", "ivfsq",
+      "bpe", "bm25", "unigram", "semdedup", "wordpiece", "decontam", "cdc",
+      "imi")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -145,6 +150,15 @@ object IndexTool {
         // the composed compressed index: coarse codebook +
         // cell-partitioned lists + PQ codes/codebooks, no raw vectors
         Clustering.saveIvfPqIndex(Clustering.buildIvfPqIndex(
+          embOf(input, flags), "vec_id", "embedding",
+          num("dim", 64), num("m", 8), num("k", 16), num("iters", 2),
+          num("centroids", 64)), path)
+      case "ivfpqr" =>
+        // residual-encoded IVFPQ (the production Faiss IndexIVFPQ): PQ
+        // quantizes v − centroid(cell), so the codebooks spend their
+        // resolution on within-cell geometry — the fix for raw-vector
+        // ADC's measured in-cluster recall collapse
+        Clustering.saveIvfPqrIndex(Clustering.buildIvfPqrIndex(
           embOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8), num("k", 16), num("iters", 2),
           num("centroids", 64)), path)
@@ -244,7 +258,7 @@ object IndexTool {
     * and pq adds over one delta pass (q161). */
   val UpdateTypes: Set[String] =
     Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq", "imi",
-      "sq", "ivfsq")
+      "sq", "ivfsq", "ivfpqr")
 
   /** The index types whose persisted artifact can DROP a doc/vector set
     * (`index-remove` — the right-to-be-forgotten leg: a deleted
@@ -261,7 +275,7 @@ object IndexTool {
     * unrecoverable once its witness is deleted). */
   val RemoveTypes: Set[String] =
     Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup", "imi",
-      "sq", "ivfsq")
+      "sq", "ivfsq", "ivfpqr")
 
   /** `index-remove`: load the artifact, drop the ids in the input
     * batch, and commit a new generation through the same pointer
@@ -321,6 +335,9 @@ object IndexTool {
       case "ivfsq" =>
         Clustering.saveIvfSqIndex(Clustering.removeFromIvfSqIndex(
           Clustering.loadIvfSqIndex(spark, base), vecIds), staging)
+      case "ivfpqr" =>
+        Clustering.saveIvfPqrIndex(Clustering.removeFromIvfPqrIndex(
+          Clustering.loadIvfPqrIndex(spark, base), vecIds), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
@@ -349,6 +366,8 @@ object IndexTool {
     case "sq" => Clustering.loadSqIndex(spark, base).codes
       .select(col("n_id").as("id"))
     case "ivfsq" => Clustering.loadIvfSqIndex(spark, base).codes
+      .select(col("n_id").as("id"))
+    case "ivfpqr" => Clustering.loadIvfPqrIndex(spark, base).cells
       .select(col("n_id").as("id"))
   }
 
@@ -446,6 +465,11 @@ object IndexTool {
         Clustering.saveIvfSqIndex(Clustering.updateIvfSqIndex(
           Clustering.loadIvfSqIndex(spark, base),
           embOf(input, flags), "vec_id", "embedding"), staging)
+      case "ivfpqr" =>
+        Clustering.saveIvfPqrIndex(Clustering.updateIvfPqrIndex(
+          Clustering.loadIvfPqrIndex(spark, base),
+          embOf(input, flags), "vec_id", "embedding",
+          num("dim", 64), num("m", 8)), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
@@ -523,6 +547,14 @@ object IndexTool {
         // probed cells, ranking is SQ code-space L2 within them
         Clustering.serveIvfSq(Clustering.loadIvfSqIndex(spark, path),
             embOf(input, flags), "vec_id", "embedding",
+            num("max-query-id", 20).toLong, num("nprobe", 2),
+            num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "ivfpqr" =>
+        // residual ADC: per-(query, probed cell) distance tables
+        Clustering.serveIvfPqr(Clustering.loadIvfPqrIndex(spark, path),
+            embOf(input, flags), "vec_id", "embedding",
+            num("dim", 64), num("m", 8),
             num("max-query-id", 20).toLong, num("nprobe", 2),
             num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
@@ -741,6 +773,18 @@ object IndexTool {
           "vectors" -> st.getLong(1),
           "occupied_cells" -> st.getLong(0),
           "largest_cell" -> st.getLong(2))
+      case "ivfpqr" =>
+        val idx = Clustering.loadIvfPqrIndex(spark, path)
+        val st = idx.cells.groupBy(col("c_id")).count()
+          .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L)),
+            coalesce(max(col("count")), lit(0L))).head()
+        Seq("centroids" ->
+            idx.coarseLanes.select(col("cluster")).distinct().count(),
+          "subspaces" -> idx.pqLanes.select(col("s")).distinct().count(),
+          "codebook_k" -> idx.pqLanes.select(col("code")).distinct().count(),
+          "vectors" -> st.getLong(1),
+          "occupied_cells" -> st.getLong(0),
+          "largest_cell" -> st.getLong(2))
       case "semdedup" =>
         val idx = Clustering.loadSemIndex(spark, path)
         Seq("coarse_k" -> idx.coarseK.toLong,
@@ -777,7 +821,7 @@ object IndexTool {
     * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
-      "ivfflat", "ivfpq", "pq", "bm25", "imi", "sq", "ivfsq")
+      "ivfflat", "ivfpq", "pq", "bm25", "imi", "sq", "ivfsq", "ivfpqr")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -910,6 +954,15 @@ object IndexTool {
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(Clustering.serveIvfSq(idx, batch, "vec_id", "embedding",
+              num("max-query-id", 20).toLong, num("nprobe", 2),
+              num("topk", 3)), batchId)
+        }
+      case "ivfpqr" =>
+        val idx = Clustering.loadIvfPqrIndex(spark, path)
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Clustering.serveIvfPqr(idx, batch, "vec_id", "embedding",
+              num("dim", 64), num("m", 8),
               num("max-query-id", 20).toLong, num("nprobe", 2),
               num("topk", 3)), batchId)
         }

@@ -111,6 +111,11 @@ object RecallBench {
     // per-lane codes keep the in-cluster ordering m-subspace ADC loses
     val ivfsq = Clustering.buildIvfSqIndexWith(emb, "vec_id", "embedding",
       dim, flat.lanes)
+    // RESIDUAL-encoded IVFPQ on the same fit: same m bytes/vector as
+    // the raw-vector ADC column — the paired comparison that isolates
+    // what residual encoding buys inside tight clusters
+    val pqr = Clustering.buildIvfPqrIndexWith(emb, "vec_id", "embedding",
+      dim, m, kPq, iters, flat.lanes)
 
     val nprobes = Seq(1, 2, 4, 8, 16, 32)
     val rows = nprobes.map { np =>
@@ -124,10 +129,12 @@ object RecallBench {
         "vec_id", "embedding", maxQ, np, topK))
       val rIvfSq = recallOf(Clustering.serveIvfSq(ivfsq, emb,
         "vec_id", "embedding", maxQ, np, topK))
+      val rPqr = recallOf(Clustering.serveIvfPqr(pqr, emb,
+        "vec_id", "embedding", dim, m, maxQ, np, topK))
       System.err.println(f"nprobe=$np%-3d ivfflat=$rFlat%.3f adc=$rAdc%.3f " +
-        f"rerank=$rTwo%.3f imi=$rImi%.3f ivfsq=$rIvfSq%.3f")
+        f"rerank=$rTwo%.3f imi=$rImi%.3f ivfsq=$rIvfSq%.3f pqr=$rPqr%.3f")
       s""""$np":{"ivfflat":$rFlat,"ivfpq_adc":$rAdc,"rerank":$rTwo,""" +
-        s""""imi":$rImi,"ivfsq":$rIvfSq}"""
+        s""""imi":$rImi,"ivfsq":$rIvfSq,"ivfpqr_adc":$rPqr}"""
     }
     println(s"""{"metric":"ann_recall","table":"$table","n":$n,""" +
       s""""cells":$kCoarse,"imi_ka":$kA,"imi_kb":$kB,"queries":$maxQ,""" +

@@ -55,8 +55,10 @@ object Clustering {
     * `lanes` rows are `(cluster, pos, cval, n)`; `assign` rows are
     * `(vid, cluster, dist)` with `dist` the exact int64 squared L2. */
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int, salt: String = "kmeans"): KmeansModel = {
-    val (lanes, assigned) = lloyd(emb, idCol, vecCol, k, iters, salt)
+                k: Int, iters: Int, salt: String = "kmeans",
+                preScaled: Boolean = false): KmeansModel = {
+    val (lanes, assigned) = lloyd(emb, idCol, vecCol, k, iters, salt,
+      preScaled)
     KmeansModel(lanes, assigned.select(col("vid"), col("cluster"), col("dist")))
   }
 
@@ -586,14 +588,15 @@ object Clustering {
     * against the trained model" half of incremental pipelines: fit once
     * on the corpus, assign each incoming delta batch in a single pass. */
   def assignToLanes(emb: DataFrame, idCol: String, vecCol: String,
-                    lanes: DataFrame): DataFrame = {
+                    lanes: DataFrame,
+                    preScaled: Boolean = false): DataFrame = {
     val cents = lanes.select(col("cluster"), col("pos"), col("cval"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toSeq) }
     val sv = emb.select(col(idCol).cast(LongType).as("vid"),
-      scaled(col(vecCol)).as("v"))
+      (if (preScaled) col(vecCol) else scaled(col(vecCol))).as("v"))
     assignClusters(sv, cents)
   }
 
@@ -684,7 +687,8 @@ object Clustering {
     * assignment come from that single run. */
   private def pqModels(emb: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int, k: Int, iters: Int,
-                       salt: String): Seq[(Int, KmeansModel)] = {
+                       salt: String, preScaled: Boolean = false)
+      : Seq[(Int, KmeansModel)] = {
     require(m > 0 && dim > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim m=$m")
     val sub = dim / m
@@ -697,7 +701,7 @@ object Clustering {
     concurrently((0 until m).map { s => () =>
       val sdf = emb.select(col(idCol),
         slice(col(vecCol), s * sub + 1, sub).as("__sub"))
-      (s, kmeansFit(sdf, idCol, "__sub", k, iters, s"$salt$s"))
+      (s, kmeansFit(sdf, idCol, "__sub", k, iters, s"$salt$s", preScaled))
     })
   }
 
@@ -753,11 +757,14 @@ object Clustering {
     * each round, so both returned frames evaluate against LITERAL
     * centroids — re-execution is deterministic. */
   private def lloyd(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int,
-                    salt: String): (DataFrame, DataFrame) = {
+                    k: Int, iters: Int, salt: String,
+                    preScaled: Boolean = false): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
+    // preScaled: the input is already int64 lattice vectors (e.g. the
+    // residual arrays of the ivfpqr tier) — scaling floats twice would
+    // be wrong, and residuals never existed as floats
     val sv = emb.select(col(idCol).cast(LongType).as("vid"),
-      scaled(col(vecCol)).as("v"))
+      (if (preScaled) col(vecCol) else scaled(col(vecCol))).as("v"))
     // Deterministic seeds: global top-k by (hash28, id) — a k-row
     // total-order limit, not a full sort materialization.
     val seeds = sv
@@ -868,7 +875,8 @@ object Clustering {
     * O(rows·m·k). The add half of [[updatePqIndex]]/[[updateIvfPqIndex]]. */
   private def pqEncode(batch: DataFrame, pqLanes: DataFrame,
                        idCol: String, vecCol: String,
-                       dim: Int, m: Int): DataFrame = {
+                       dim: Int, m: Int,
+                       preScaled: Boolean = false): DataFrame = {
     require(m > 0 && dim > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim m=$m")
     val sub = dim / m
@@ -877,7 +885,7 @@ object Clustering {
         .select(col("code").as("cluster"), col("pos"), col("cval"))
       assignToLanes(
         batch.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("__sub")),
-        idCol, "__sub", laneS)
+        idCol, "__sub", laneS, preScaled)
         .select(col("vid").as("n_id"), lit(s).as("s"), col("cluster").as("code"))
     }.reduce(_.union(_))
   }
@@ -1341,6 +1349,191 @@ object Clustering {
       spark.read.parquet(s"$path/codes")
         .select(col("n_id"), col("code"),
           col("c_id").cast(LongType).as("c_id")))
+  }
+
+  // ── residual-encoded IVF × PQ (the production IndexIVFPQ) ─────────────
+
+  /** The residual-encoded composed index — what Faiss `IndexIVFPQ`
+    * actually quantizes, and the canonical fix for the measured
+    * in-cluster ADC saturation: [[IvfPqIndex]] encodes RAW vectors, and
+    * BASELINE.md's round-15 clustered table shows its ADC stuck at
+    * ~0.19 recall inside tight clusters — every member shares the same
+    * gross position, so m subspace codes quantize the part that carries
+    * no neighbor information and collapse on the part that does. Here
+    * PQ quantizes `v − centroid(cell(v))`: the coarse quantizer absorbs
+    * the gross position and the codebooks spend ALL their resolution on
+    * the within-cell geometry (Jégou, Douze & Schmid 2011, §IV.B —
+    * "product quantization of residual vectors").
+    *
+    * Exactness: the coarse centroids are integer-QUANTIZED lanes (the
+    * [[kmeansFit]] invariant), so residuals are exact int64 vectors —
+    * the whole chain (coarse fit, residuals, per-subspace residual
+    * fits, codes, per-(query, cell) distance tables, ADC ranking)
+    * replays in DuckDB bit-for-bit (q172/q173).
+    *
+    * The known serve-time cost of residual encoding: a query's residual
+    * DIFFERS PER PROBED CELL, so distance tables are per (query, cell)
+    * — nprobe·m·k integer entries per query instead of m·k — still
+    * broadcast-tiny (Faiss pays the same via `precompute_table`). Adds
+    * stay exact under the fixed fits: cell assignment, residual and
+    * per-subspace encode are all stateless per row, so an updated
+    * artifact equals a fresh assignment/encode of the union. */
+  final case class IvfPqrIndex(coarseLanes: DataFrame, cells: DataFrame,
+                               codes: DataFrame, pqLanes: DataFrame)
+
+  /** `(c_id, cv)` — each coarse centroid as one integer array row, for
+    * the broadcast residual joins (bounded ≤ MaxCentroids rows). */
+  private def centroidVecFrame(coarseLanes: DataFrame): DataFrame = {
+    val spark = coarseLanes.sparkSession
+    import spark.implicits._
+    coarseLanes
+      .select(col("cluster").cast(LongType), col("pos"), col("cval"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toSeq) }
+      .toDF("c_id", "cv")
+  }
+
+  def buildIvfPqrIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, k: Int, iters: Int,
+                       numCentroids: Int,
+                       salt: String = "pqr"): IvfPqrIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse =
+      ivfCoarseLanes(emb, idCol, vecCol, numCentroids)
+        .select(col("cluster"), col("pos"), col("cval"), col("n")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.toDF("cluster", "pos", "cval", "n")
+    buildIvfPqrIndexWith(emb, idCol, vecCol, dim, m, k, iters, coarse, salt)
+  }
+
+  /** Build against a PRE-TRAINED coarse codebook (the
+    * [[buildIvfPqIndexWith]] pattern — share one fit across tiers so
+    * recall comparisons isolate the encoding). One corpus pass assigns
+    * cells, one broadcast join forms the integer residuals (persisted:
+    * the m subspace fits each iterate over them), then the standard
+    * per-subspace Lloyd chains run on the residual lattice. */
+  def buildIvfPqrIndexWith(emb: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, m: Int, k: Int, iters: Int,
+                           coarseLanes: DataFrame,
+                           salt: String = "pqr"): IvfPqrIndex = {
+    val postings = Similarity.ivfPostings(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(coarseLanes))
+    val resid = OperatorCaches.register(
+      postings.join(broadcast(centroidVecFrame(coarseLanes)), Seq("c_id"))
+        .select(col("n_id"), col("c_id"),
+          zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"))
+        .persist())
+    val models = pqModels(resid, "n_id", "rv", dim, m, k, iters, salt,
+      preScaled = true)
+    IvfPqrIndex(coarseLanes, resid.select(col("n_id"), col("c_id")),
+      pqCodesLong(models), pqLanesLong(models))
+  }
+
+  /** ADD a delta: kernel cell assignment + broadcast residual join +
+    * per-subspace encode against the FIXED residual codebooks — one
+    * delta pass, exact vs a fresh assignment/encode of the union
+    * (q173's oracle replays slice-trained fits over the union). */
+  def updateIvfPqrIndex(idx: IvfPqrIndex, delta: DataFrame, idCol: String,
+                        vecCol: String, dim: Int, m: Int): IvfPqrIndex = {
+    val newPost = Similarity.ivfPostings(delta, idCol, vecCol,
+      Similarity.centroidSetFromLanes(idx.coarseLanes))
+    val resid = newPost
+      .join(broadcast(centroidVecFrame(idx.coarseLanes)), Seq("c_id"))
+      .select(col("n_id"), col("c_id"),
+        zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"))
+    IvfPqrIndex(idx.coarseLanes,
+      idx.cells.select(col("n_id"), col("c_id"))
+        .unionByName(resid.select(col("n_id"), col("c_id"))),
+      idx.codes.select(col("n_id"), col("s"), col("code"))
+        .unionByName(pqEncode(resid, idx.pqLanes, "n_id", "rv", dim, m,
+          preScaled = true)),
+      idx.pqLanes)
+  }
+
+  /** REMOVE a vector set: anti-join both corpus-sized surfaces; the
+    * fitted codebooks stay. */
+  def removeFromIvfPqrIndex(idx: IvfPqrIndex, removedIds: DataFrame)
+      : IvfPqrIndex = {
+    val ids = removedIds.select(col("n_id")).distinct()
+    idx.copy(
+      cells = idx.cells.select(col("n_id"), col("c_id"))
+        .join(ids, Seq("n_id"), "left_anti"),
+      codes = idx.codes.select(col("n_id"), col("s"), col("code"))
+        .join(ids, Seq("n_id"), "left_anti"))
+  }
+
+  /** ADC serve over residual codes: probes kernel-rank against the
+    * coarse codebook; each (query, probed cell) forms its own residual
+    * and distance table (the residual-PQ table shape); the cells scan
+    * prunes to the probed partitions; candidates rank by the exact
+    * integer table-sum (ties → smaller n_id; self excluded). */
+  def serveIvfPqr(idx: IvfPqrIndex, emb: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, m: Int, maxQueryId: Long,
+                  nprobe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, s"topK must be positive: $topK")
+    require(m > 0 && dim > 0 && dim % m == 0,
+      s"m must divide dim: dim=$dim m=$m")
+    val sub = dim / m
+    val probes = Similarity.ivfProbeQueries(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(idx.coarseLanes), maxQueryId, nprobe)
+    val probedCells = collectProbedCells(probes)
+    val cells =
+      if (probedCells.length <= ServeCellFilterCap)
+        idx.cells.filter(col("c_id").isInCollection(probedCells))
+      else idx.cells // degenerate huge batch: join filters anyway
+    // per-(query, probed cell) residual → nprobe·m·k table entries per
+    // query, exploded lane-wise and folded against the codebooks
+    val qres = probes
+      .join(broadcast(centroidVecFrame(idx.coarseLanes)), Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        posexplode(zip_with(col("qv"), col("cv"), (a, b) => a - b))
+          .as(Seq("qpos", "qrv")))
+      .withColumn("s", (col("qpos") / sub).cast("int"))
+      .withColumn("pos", col("qpos") % sub)
+    val dt = qres.join(broadcast(idx.pqLanes), Seq("s", "pos"))
+      .groupBy(col("q_id"), col("c_id"), col("s"), col("code"))
+      .agg(sum((col("qrv") - col("cval")) * (col("qrv") - col("cval")))
+        .as("dval"))
+    val cand = cells
+      .join(broadcast(probes.select(col("q_id"), col("c_id"))), Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("c_id"))
+    val scored = cand.join(idx.codes, Seq("n_id"))
+      .join(broadcast(dt), Seq("q_id", "c_id", "s", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dval")).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
+  }
+
+  /** Persist/load: the [[IvfPqIndex]] layout (bounded codebooks funnel
+    * to one file each; cells get the inverted-list directory layout;
+    * codes stay n_id-keyed). */
+  def saveIvfPqrIndex(idx: IvfPqrIndex, path: String): Unit = {
+    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
+    idx.cells.select(col("n_id"), col("c_id")).repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/cells")
+    idx.codes.select(col("n_id"), col("s"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def loadIvfPqrIndex(spark: org.apache.spark.sql.SparkSession,
+                      p0: String): IvfPqrIndex = {
+    val path = graft.sinks.ArtifactStore.resolve(spark, p0)
+    IvfPqrIndex(spark.read.parquet(s"$path/coarse"),
+      spark.read.parquet(s"$path/cells")
+        .select(col("n_id"), col("c_id").cast(LongType).as("c_id")),
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/pqlanes"))
   }
 
   /** Two-stage retrieval SERVED from artifacts — the production pattern

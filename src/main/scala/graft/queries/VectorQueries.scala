@@ -270,14 +270,19 @@ object VectorQueries {
     * DuckDB evaluates as any scalar subquery/expression) — so corpus-
     * scaled cluster counts replay too (q102 passes a bitsFor-ladder
     * subquery; the fixed-k callers pass the integer literal). */
+  /** The deterministic k-means CTE chain. `src` names the training CTE
+    * (default the historical `sv`): rows `(vid, v)` with `v` ALREADY on
+    * the integer lattice — which is what lets the residual-PQ oracle
+    * (q172/q173) train the same chain on a residual CTE. */
   private def kmeansChainSql(p: String, start: Int, subDim: Int,
-                             k: String, iters: Int, salt: String): String = {
+                             k: String, iters: Int, salt: String,
+                             src: String = "sv"): String = {
     def assignUpdate(i: Int, lanesCte: String): String =
       s"""${p}d$i AS (
          |  SELECT s.vid, c.cluster,
          |    sum((list_extract(s.v, $start + c.pos + 1) - c.cval)
          |      * (list_extract(s.v, $start + c.pos + 1) - c.cval)) AS dist
-         |  FROM sv s, $lanesCte c GROUP BY s.vid, c.cluster),
+         |  FROM $src s, $lanesCte c GROUP BY s.vid, c.cluster),
          |${p}a$i AS (
          |  SELECT vid, cluster, CAST(dist AS BIGINT) AS dist FROM (
          |    SELECT vid, cluster, dist,
@@ -288,21 +293,21 @@ object VectorQueries {
          |    CAST(trunc(CAST(sum(list_extract(s.v, $start + CAST(pp.pos AS INT) + 1)) AS DOUBLE)
          |      / count(*)) AS BIGINT) AS cval,
          |    count(*) AS n
-         |  FROM sv s JOIN ${p}a$i a ON s.vid = a.vid, range($subDim) pp(pos)
+         |  FROM $src s JOIN ${p}a$i a ON s.vid = a.vid, range($subDim) pp(pos)
          |  GROUP BY a.cluster, pp.pos)""".stripMargin
     val chain = (1 to iters)
       .map(i => assignUpdate(i, s"${p}c${i - 1}")).mkString(",\n")
     s"""${p}h AS (
        |  SELECT vid,
        |    ('0x'||substr(md5('$salt' || CAST(vid AS VARCHAR)), 1, 7))::BIGINT AS hb
-       |  FROM sv),
+       |  FROM $src),
        |${p}seeds AS (
        |  SELECT vid, CAST(row_number() OVER (ORDER BY hb, vid) - 1 AS INT) AS cluster
        |  FROM ${p}h ORDER BY hb, vid LIMIT $k),
        |${p}c0 AS (
        |  SELECT sd.cluster, CAST(pp.pos AS INT) AS pos,
        |    list_extract(s.v, $start + CAST(pp.pos AS INT) + 1) AS cval
-       |  FROM ${p}seeds sd JOIN sv s ON s.vid = sd.vid, range($subDim) pp(pos)),
+       |  FROM ${p}seeds sd JOIN $src s ON s.vid = sd.vid, range($subDim) pp(pos)),
        |$chain""".stripMargin
   }
 
@@ -1874,6 +1879,163 @@ object VectorQueries {
   lazy val q170_sql: String = ivfSqSql(update = false)
   lazy val q171_sql: String = ivfSqSql(update = true)
 
+  // ── q172: RESIDUAL-encoded IVFPQ (Clustering.IvfPqrIndex — the
+  // production Faiss IndexIVFPQ): PQ quantizes v − centroid(cell(v))
+  // instead of the raw vector, so the coarse quantizer absorbs the
+  // gross position and the codebooks spend all their resolution on the
+  // within-cell geometry — the canonical fix for the round-15 measured
+  // in-cluster ADC collapse (raw-vector ADC ~0.19 recall inside tight
+  // clusters). Coarse centroids are integer-quantized lanes, so
+  // residuals are exact int64 vectors and the oracle replays coarse
+  // chain, residuals, the per-subspace RESIDUAL k-means chains (the
+  // kmeansChainSql src hook), codes, the per-(query, probed-cell)
+  // distance tables (a query's residual differs per cell — the known
+  // residual-PQ table cost), and the ADC ranking bit-for-bit.
+  // CLI: --type=ivfpqr, full lifecycle, batch+streamed. ─────────────────
+  val q172_ivfpqr_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqr", d)
+    graft.operators.Clustering.saveIvfPqrIndex(
+      graft.operators.Clustering.buildIvfPqrIndex(emb, "vec_id",
+        "embedding", Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)), path)
+    graft.operators.Clustering.serveIvfPqr(
+        graft.operators.Clustering.loadIvfPqrIndex(s, path),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q173: residual-IVFPQ UPDATE — all three fitted surfaces (coarse
+  // codebook, residual PQ codebooks) stay FIXED; the delta takes one
+  // cell-assign pass, one broadcast residual join, and a per-subspace
+  // encode against the FINAL residual lanes (the train/add asymmetry:
+  // the fit corpus keeps its last-round codes — q159's contract, on
+  // residuals). The oracle trains everything on the slice and
+  // assigns/encodes the union. CLI: index-update --type=ivfpqr. ─────────
+  val q173_ivfpqr_index_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqrup0", d)
+    graft.operators.Clustering.saveIvfPqrIndex(
+      graft.operators.Clustering.buildIvfPqrIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)), path)
+    val updated = graft.operators.Clustering.updateIvfPqrIndex(
+      graft.operators.Clustering.loadIvfPqrIndex(s, path),
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding", Dim, PqM)
+    val upPath = QueryTmp.dir("ivfpqrup1", d)
+    graft.operators.Clustering.saveIvfPqrIndex(updated, upPath)
+    graft.operators.Clustering.serveIvfPqr(
+        graft.operators.Clustering.loadIvfPqrIndex(s, upPath),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The residual-IVFPQ oracle chain: coarse train on `sv` + assignment
+    * of `uv` (the q157 shape), residuals of the TRAIN rows feed the
+    * per-subspace k-means chains through `kmeansChainSql(src = "rv")`,
+    * fit rows keep their last-round codes while delta rows (update
+    * shape) argmin against the FINAL residual lanes (q159's asymmetry),
+    * and serving builds one distance table per (query, probed cell)
+    * from that cell's query residual. */
+  private def ivfPqrSql(update: Boolean): String = {
+    def cos(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, Dim)
+    val sub = Dim / PqM
+    val trainFilter = if (update) "WHERE vid % 10 <> 0" else ""
+    val chains = (0 until PqM)
+      .map(s => kmeansChainSql(s"r$s", s * sub, sub, PqK.toString, PqIters,
+        s"pqr$s", src = "rv"))
+      .mkString(",\n")
+    val corpusCodes = (0 until PqM)
+      .map(s => s"SELECT vid AS n_id, $s AS s, cluster AS code FROM r${s}a$PqIters")
+      .mkString(" UNION ALL ")
+    val deltaCodes = (0 until PqM).map { s =>
+      val dlane = s"list_extract(u.v, $s * $sub + c.pos + 1)"
+      s"""SELECT vid AS n_id, $s AS s, cluster AS code FROM (
+         |    SELECT vid, cluster,
+         |      row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+         |    FROM (
+         |      SELECT u.vid, c.cluster,
+         |        sum(($dlane - c.cval) * ($dlane - c.cval)) AS dist
+         |      FROM drv u, r${s}c$PqIters c GROUP BY u.vid, c.cluster))
+         |  WHERE rn = 1""".stripMargin
+    }.mkString(" UNION ALL ")
+    val codesCte =
+      if (update) s"$corpusCodes UNION ALL $deltaCodes" else corpusCodes
+    val deltaResid = if (update)
+      s"""drv AS (
+         |  SELECT s.vid, list_transform(range(1, ${Dim + 1}),
+         |    i -> s.v[i] - c.cv[i]) AS v
+         |  FROM uv s JOIN assigned a ON a.n_id = s.vid
+         |    JOIN cent c ON c.c_id = a.c_id
+         |  WHERE s.vid % 10 = 0),""".stripMargin
+    else ""
+    val lanes = (0 until PqM)
+      .map(s => s"SELECT $s AS s, cluster AS code, pos, cval FROM r${s}c$PqIters")
+      .mkString(" UNION ALL ")
+    val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
+    s"""WITH $sqlIvfParams, uv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |  FROM embeddings
+       |), sv AS (
+       |  SELECT vid, v, nrm FROM uv $trainFilter
+       |), ${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM ivfp)",
+          Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
+       |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
+       |assigned AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT s.vid AS n_id, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vid
+       |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv s CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), rv AS (
+       |  SELECT s.vid, list_transform(range(1, ${Dim + 1}),
+       |    i -> s.v[i] - c.cv[i]) AS v
+       |  FROM sv s JOIN assigned a ON a.n_id = s.vid
+       |    JOIN cent c ON c.c_id = a.c_id
+       |), $chains,
+       |$deltaResid
+       |codes AS ($codesCte),
+       |lanes AS ($lanes),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vid AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM uv q CROSS JOIN cent c WHERE q.vid < $MaxQueryId)
+       |  WHERE rn <= $IvfNprobe
+       |), qrv AS (
+       |  SELECT p.q_id, p.c_id, list_transform(range(1, ${Dim + 1}),
+       |    i -> q.v[i] - c.cv[i]) AS v
+       |  FROM probes p JOIN uv q ON q.vid = p.q_id
+       |    JOIN cent c ON c.c_id = p.c_id
+       |), dt AS (
+       |  SELECT q.q_id, q.c_id, l.s, l.code,
+       |    CAST(sum(($qlane - l.cval) * ($qlane - l.cval)) AS BIGINT) AS dval
+       |  FROM qrv q, lanes l
+       |  GROUP BY q.q_id, q.c_id, l.s, l.code
+       |), cand AS (
+       |  SELECT p.q_id, a.n_id, p.c_id FROM probes p
+       |  JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |), ad AS (
+       |  SELECT x.q_id, x.n_id, CAST(sum(d.dval) AS BIGINT) AS adist
+       |  FROM cand x JOIN codes c ON c.n_id = x.n_id
+       |  JOIN dt d ON d.q_id = x.q_id AND d.c_id = x.c_id
+       |    AND d.s = c.s AND d.code = c.code
+       |  GROUP BY x.q_id, x.n_id)
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, n_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+  }
+  lazy val q172_sql: String = ivfPqrSql(update = false)
+  lazy val q173_sql: String = ivfPqrSql(update = true)
+
   val queries: Map[String, Q] = Map(
     "q137_semdedup_hier" -> q137_semdedup_hier,
     "q138_semdedup_index_persist" -> q138_semdedup_index_persist,
@@ -1910,6 +2072,8 @@ object VectorQueries {
     "q169_sq_index_update" -> q169_sq_index_update,
     "q170_ivfsq_index_persist" -> q170_ivfsq_index_persist,
     "q171_ivfsq_index_update" -> q171_ivfsq_index_update,
+    "q172_ivfpqr_index_persist" -> q172_ivfpqr_index_persist,
+    "q173_ivfpqr_index_update" -> q173_ivfpqr_index_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -1953,5 +2117,7 @@ object VectorQueries {
     "q169_sq_index_update" -> q169_sql,
     "q170_ivfsq_index_persist" -> q170_sql,
     "q171_ivfsq_index_update" -> q171_sql,
+    "q172_ivfpqr_index_persist" -> q172_sql,
+    "q173_ivfpqr_index_update" -> q173_sql,
   )
 }

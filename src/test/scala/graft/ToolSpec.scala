@@ -885,6 +885,8 @@ class ToolSpec extends SparkSpec {
         Seq("--dim=4", "--m=2")),
       ("sq", vecsPath, Seq("--dim=4"), Seq[String]()),
       ("ivfsq", vecsPath, Seq("--dim=4", "--centroids=3"), Seq[String]()),
+      ("ivfpqr", vecsPath, Seq("--dim=4", "--m=2", "--k=2", "--centroids=3"),
+        Seq("--dim=4", "--m=2")),
       ("bm25", docsPath, Seq[String](), Seq[String]()))
     fixtures.foreach { case (tpe, in, buildFlags, serveFlags) =>
       val idxPath = s"$base/$tpe-idx"
@@ -1091,7 +1093,7 @@ class ToolSpec extends SparkSpec {
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
     (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq", "ivfpq",
-        "imi", "sq", "ivfsq")) // vector-typed tiers have their own fixtures below / in the imi and sq tests
+        "imi", "sq", "ivfsq", "ivfpqr")) // vector-typed tiers have their own fixtures below / in the imi and sq tests
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
       val full = s"$base/$tpe-full"
@@ -1356,7 +1358,7 @@ class ToolSpec extends SparkSpec {
       dsc.counters("commit_claim_present") == 0L, s"${dsc.counters}")
   }
 
-  test("ingestion day: table append → streamed screen → update all seven tiers → serve batch+stream → forget → describe (FIXTURES §9/§10 end-to-end)") {
+  test("ingestion day: table append → streamed screen → update ten tiers → serve batch+stream → forget → describe (FIXTURES §9/§10 end-to-end)") {
     import spark.implicits._
     import graft.table.{EntityTable, FamilySpec, TableLayout}
     val base = tmpDir("ingestday")
@@ -1383,13 +1385,20 @@ class ToolSpec extends SparkSpec {
       (i.toLong, v.toSeq)
     }).write.parquet(s"$base/day0emb")
     val docTiers = Seq("lsh", "cdc", "bm25")
-    val vecTiers = Seq("ivfflat", "ivfpq", "pq", "semdedup")
+    // imi is absent by fixture geometry, not capability: these axis
+    // blobs have a zero half-vector (no per-half cosine), and the imi
+    // lifecycle is pinned by its own ToolSpec/ClusteringSpec cases
+    val vecTiers =
+      Seq("ivfflat", "ivfpq", "ivfpqr", "pq", "semdedup", "sq", "ivfsq")
     val tierFlags = Map(
       "lsh" -> Seq("--shingle-n=2"), "cdc" -> Seq("--avg-mask=3"),
       "bm25" -> Seq.empty,
       "ivfflat" -> Seq("--centroids=2"),
       "ivfpq" -> Seq("--dim=4", "--m=2", "--k=2", "--centroids=2"),
+      "ivfpqr" -> Seq("--dim=4", "--m=2", "--k=2", "--centroids=2"),
       "pq" -> Seq("--dim=4", "--m=2", "--k=2"),
+      "sq" -> Seq("--dim=4"),
+      "ivfsq" -> Seq("--dim=4", "--centroids=2"),
       "semdedup" -> Seq("--coarse-k=2", "--target-rows=4", "--cluster-cap=64"))
     for (tpe <- docTiers)
       assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
@@ -1424,7 +1433,7 @@ class ToolSpec extends SparkSpec {
     tableDocs.filter($"doc_id" >= 10L && !$"doc_id".isin(flagged.toSeq: _*))
       .write.parquet(s"$base/admitted")
 
-    // ── update ALL SEVEN tiers with the admitted delta
+    // ── update all TEN tiers with the admitted delta
     for (tpe <- docTiers)
       assert(Tool.run(spark, Array("index-update", s"--type=$tpe",
         s"--path=$base/$tpe", s"--input=format=parquet file=$base/admitted")

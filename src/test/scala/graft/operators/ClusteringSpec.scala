@@ -803,6 +803,48 @@ class ClusteringSpec extends SparkSpec {
       base.coarseLanes, base.sqLanes)))
   }
 
+  test("IvfPqrIndex roundtrip: serve survives save/load; cells scan prunes; update visible; remove forgets") {
+    val path = tmpDir("ivfpqr_rt")
+    val built = Clustering.buildIvfPqrIndex(blobs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2, numCentroids = 3)
+    Clustering.saveIvfPqrIndex(built, path)
+    val loaded = Clustering.loadIvfPqrIndex(spark, path)
+    def serveSet(idx: Clustering.IvfPqrIndex) =
+      Clustering.serveIvfPqr(idx, blobs, "vec_id", "embedding", 4, 2,
+        maxQueryId = 3L, nprobe = 1, topK = 3).collect().map(_.toSeq).toSet
+    assert(serveSet(loaded) == serveSet(built) && serveSet(loaded).nonEmpty)
+    // the cells scan prunes to the probed cell partitions
+    val one = Clustering.serveIvfPqr(loaded, blobs, "vec_id", "embedding",
+      4, 2, 1L, 1, 3)
+    val scans = one.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    assert(scans.nonEmpty, "no cells file scan in the serve plan")
+    assert(scans.head.partitionFilters.map(_.toString).exists(_.contains("c_id")),
+      s"no c_id partition filter: ${scans.head.partitionFilters}")
+    // the add path under all-fixed fits: delta rows join both surfaces
+    // and become retrievable; a removed row stops being retrievable
+    val p2 = tmpDir("ivfpqr_up")
+    Clustering.saveIvfPqrIndex(Clustering.buildIvfPqrIndex(
+      blobs.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      4, 2, 2, 2, 3), p2)
+    val base = Clustering.loadIvfPqrIndex(spark, p2)
+    val updated = Clustering.updateIvfPqrIndex(base,
+      blobs.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding", 4, 2)
+    assert(updated.cells.count() == 30 && updated.codes.count() == 60)
+    def served(idx: Clustering.IvfPqrIndex) =
+      Clustering.serveIvfPqr(idx, blobs, "vec_id", "embedding", 4, 2,
+        maxQueryId = 3L, nprobe = 3, topK = 5)
+        .collect().map(_.getLong(2)).toSet
+    val afterAdd = served(updated)
+    assert(afterAdd.exists(_ % 2 == 1), s"no odd (added) id served: $afterAdd")
+    assert(afterAdd.contains(9L), s"expected 9 in $afterAdd")
+    val removed = Clustering.removeFromIvfPqrIndex(updated,
+      Seq(9L).toDF("n_id"))
+    assert(!served(removed).contains(9L), "removed vector still retrievable")
+  }
+
   test("sqEncode clamps out-of-range delta lanes to the edge levels") {
     // Faiss add-time behavior: the trained bounds never move, so a
     // delta lane past hi pins to level 255 and below lo pins to 0
