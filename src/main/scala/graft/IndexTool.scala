@@ -551,13 +551,28 @@ object IndexTool {
             num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
       case "ivfpqr" =>
-        // residual ADC: per-(query, probed cell) distance tables
-        Clustering.serveIvfPqr(Clustering.loadIvfPqrIndex(spark, path),
-            embOf(input, flags), "vec_id", "embedding",
-            num("dim", 64), num("m", 8),
-            num("max-query-id", 20).toLong, num("nprobe", 2),
-            num("topk", 3))
-          .orderBy(col("q_id"), col("rank"))
+        // residual ADC: per-(query, probed cell) distance tables;
+        // --rerank-from=<ivfflat path> upgrades to the two-stage
+        // search over the residual shortlist (same contract as the
+        // ivfpq verb — one shared coarse fit between the artifacts)
+        flags.get("rerank-from") match {
+          case Some(flatPath) =>
+            Clustering.serveIvfPqrRerank(
+                Clustering.loadIvfPqrIndex(spark, path),
+                Clustering.loadIvfFlatIndex(spark, flatPath).postings,
+                embOf(input, flags), "vec_id", "embedding",
+                num("dim", 64), num("m", 8),
+                num("max-query-id", 20).toLong, num("nprobe", 2),
+                num("rerank-pool", 6), num("topk", 3))
+              .orderBy(col("q_id"), col("rank"))
+          case None =>
+            Clustering.serveIvfPqr(Clustering.loadIvfPqrIndex(spark, path),
+                embOf(input, flags), "vec_id", "embedding",
+                num("dim", 64), num("m", 8),
+                num("max-query-id", 20).toLong, num("nprobe", 2),
+                num("topk", 3))
+              .orderBy(col("q_id"), col("rank"))
+        }
       case "bpe" =>
         encodeTransform(spark, "bpe", path, flags)(docsOf(input, flags))
           .orderBy(col("doc_id"))
@@ -959,12 +974,22 @@ object IndexTool {
         }
       case "ivfpqr" =>
         val idx = Clustering.loadIvfPqrIndex(spark, path)
+        val rerankPostings = flags.get("rerank-from")
+          .map(p => Clustering.loadIvfFlatIndex(spark, p).postings)
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            sink(Clustering.serveIvfPqr(idx, batch, "vec_id", "embedding",
-              num("dim", 64), num("m", 8),
-              num("max-query-id", 20).toLong, num("nprobe", 2),
-              num("topk", 3)), batchId)
+            sink(rerankPostings match {
+              case Some(postings) =>
+                Clustering.serveIvfPqrRerank(idx, postings, batch,
+                  "vec_id", "embedding", num("dim", 64), num("m", 8),
+                  num("max-query-id", 20).toLong, num("nprobe", 2),
+                  num("rerank-pool", 6), num("topk", 3))
+              case None =>
+                Clustering.serveIvfPqr(idx, batch, "vec_id", "embedding",
+                  num("dim", 64), num("m", 8),
+                  num("max-query-id", 20).toLong, num("nprobe", 2),
+                  num("topk", 3))
+            }, batchId)
         }
       case "ivfpq" =>
         val idx = Clustering.loadIvfPqIndex(spark, path)

@@ -131,10 +131,18 @@ object RecallBench {
         "vec_id", "embedding", maxQ, np, topK))
       val rPqr = recallOf(Clustering.serveIvfPqr(pqr, emb,
         "vec_id", "embedding", dim, m, maxQ, np, topK))
+      // rerank over the RESIDUAL shortlist at the same pool: the more
+      // accurate shortlist should need a smaller pool to recover the
+      // flat tier's recall (the q174 claim, measured)
+      val rTwoPqr = recallOf(Clustering.serveIvfPqrRerank(pqr,
+        flat.postings, emb, "vec_id", "embedding", dim, m, maxQ, np,
+        pool, topK))
       System.err.println(f"nprobe=$np%-3d ivfflat=$rFlat%.3f adc=$rAdc%.3f " +
-        f"rerank=$rTwo%.3f imi=$rImi%.3f ivfsq=$rIvfSq%.3f pqr=$rPqr%.3f")
+        f"rerank=$rTwo%.3f imi=$rImi%.3f ivfsq=$rIvfSq%.3f pqr=$rPqr%.3f " +
+        f"rerank_pqr=$rTwoPqr%.3f")
       s""""$np":{"ivfflat":$rFlat,"ivfpq_adc":$rAdc,"rerank":$rTwo,""" +
-        s""""imi":$rImi,"ivfsq":$rIvfSq,"ivfpqr_adc":$rPqr}"""
+        s""""imi":$rImi,"ivfsq":$rIvfSq,"ivfpqr_adc":$rPqr,""" +
+        s""""rerank_pqr":$rTwoPqr}"""
     }
     println(s"""{"metric":"ann_recall","table":"$table","n":$n,""" +
       s""""cells":$kCoarse,"imi_ka":$kA,"imi_kb":$kB,"queries":$maxQ,""" +

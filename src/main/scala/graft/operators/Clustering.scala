@@ -1472,14 +1472,21 @@ object Clustering {
   def serveIvfPqr(idx: IvfPqrIndex, emb: DataFrame, idCol: String,
                   vecCol: String, dim: Int, m: Int, maxQueryId: Long,
                   nprobe: Int, topK: Int): DataFrame = {
+    val probes = Similarity.ivfProbeQueries(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(idx.coarseLanes), maxQueryId, nprobe)
+    serveIvfPqrWithProbes(idx, dim, m, probes, collectProbedCells(probes),
+      topK)
+  }
+
+  private def serveIvfPqrWithProbes(idx: IvfPqrIndex, dim: Int, m: Int,
+                                    probes: DataFrame,
+                                    probedCells: Array[Long],
+                                    topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK > 0, s"topK must be positive: $topK")
     require(m > 0 && dim > 0 && dim % m == 0,
       s"m must divide dim: dim=$dim m=$m")
     val sub = dim / m
-    val probes = Similarity.ivfProbeQueries(emb, idCol, vecCol,
-      Similarity.centroidSetFromLanes(idx.coarseLanes), maxQueryId, nprobe)
-    val probedCells = collectProbedCells(probes)
     val cells =
       if (probedCells.length <= ServeCellFilterCap)
         idx.cells.filter(col("c_id").isInCollection(probedCells))
@@ -1510,6 +1517,52 @@ object Clustering {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
+  }
+
+  /** Two-stage retrieval over the RESIDUAL shortlist — the shape the
+    * round-15 recall ladder recommends: the residual ADC shortlist is
+    * twice as accurate as the raw-vector one at identical bytes, so
+    * the same rerank pool covers more true neighbors (BASELINE.md's
+    * pool-sweep row measures the gap directly). Identical contract to
+    * [[serveIvfPqRerank]]: the raw vectors come from an
+    * [[IvfFlatIndex]]'s postings built from the SAME coarse fit
+    * ([[buildIvfPqrIndexWith]] + `buildIvfFlatIndex`'s lanes), the
+    * fetch prunes to the probed cell partitions, and probes are
+    * computed ONCE for both stages. */
+  def serveIvfPqrRerank(pqrIdx: IvfPqrIndex, postings: DataFrame,
+                        emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, m: Int, maxQueryId: Long, nprobe: Int,
+                        rerankPool: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{cosineFromNorms, vnorm}
+    require(rerankPool >= topK,
+      s"rerankPool ($rerankPool) must be >= topK ($topK)")
+    val probes = Similarity.ivfProbeQueries(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(pqrIdx.coarseLanes), maxQueryId,
+      nprobe)
+    val probedCells = collectProbedCells(probes)
+    val shortlist = serveIvfPqrWithProbes(pqrIdx, dim, m, probes,
+        probedCells, rerankPool)
+      .select(col("q_id"), col("n_id"))
+    val fetchable =
+      if (probedCells.length <= ServeCellFilterCap &&
+          postings.columns.contains("c_id"))
+        postings.filter(col("c_id").isInCollection(probedCells))
+      else postings
+    val queries = emb.select(col(idCol).cast(LongType).as("q_id"),
+        scaled(col(vecCol)).as("qv"))
+      .withColumn("qn", vnorm(col("qv")))
+      .filter(col("q_id") < maxQueryId)
+    val scored = fetchable.select(col("n_id"), col("nv"), col("nn"))
+      .join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
   /** Persist/load: the [[IvfPqIndex]] layout (bounded codebooks funnel

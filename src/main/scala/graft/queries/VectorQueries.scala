@@ -1940,7 +1940,17 @@ object VectorQueries {
     * shape) argmin against the FINAL residual lanes (q159's asymmetry),
     * and serving builds one distance table per (query, probed cell)
     * from that cell's query residual. */
-  private def ivfPqrSql(update: Boolean): String = {
+  private def ivfPqrSql(update: Boolean): String =
+    s"""WITH ${ivfPqrChainSql(update)}
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, n_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+
+  /** The residual-IVFPQ chain through `ad(q_id, n_id, adist)` — shared
+    * by q172/q173 (rank by residual adist) and q174 (rerank the
+    * residual shortlist by exact cosine). */
+  private def ivfPqrChainSql(update: Boolean): String = {
     def cos(a: String, b: String, na: String, nb: String) =
       sqlCosineFromNorms(a, b, na, nb, Dim)
     val sub = Dim / PqM
@@ -1977,7 +1987,7 @@ object VectorQueries {
       .map(s => s"SELECT $s AS s, cluster AS code, pos, cval FROM r${s}c$PqIters")
       .mkString(" UNION ALL ")
     val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
-    s"""WITH $sqlIvfParams, uv AS (
+    s"""$sqlIvfParams, uv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
        |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
        |  FROM embeddings
@@ -2027,14 +2037,54 @@ object VectorQueries {
        |  FROM cand x JOIN codes c ON c.n_id = x.n_id
        |  JOIN dt d ON d.q_id = x.q_id AND d.c_id = x.c_id
        |    AND d.s = c.s AND d.code = c.code
-       |  GROUP BY x.q_id, x.n_id)
-       |SELECT q_id, rank, n_id, adist FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY adist, n_id) AS rank FROM ad)
-       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+       |  GROUP BY x.q_id, x.n_id)""".stripMargin
   }
   lazy val q172_sql: String = ivfPqrSql(update = false)
   lazy val q173_sql: String = ivfPqrSql(update = true)
+
+  // ── q174: two-stage retrieval over the RESIDUAL shortlist — q162's
+  // production pattern with the ivfpqr artifact as the shortlist stage:
+  // the residual ADC shortlist is twice as accurate as the raw-vector
+  // one at identical bytes (the q172 story), so the same rerank pool
+  // covers more true neighbors. ONE coarse fit shared by both
+  // artifacts; raw vectors fetched only for the shortlist, from the
+  // ivfflat postings, pruned to the probed cells.
+  // CLI: index-serve --type=ivfpqr --rerank-from=<ivfflat dir>. ─────────
+  val q174_ivfpqr_rerank_serve: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val k = 1 << ivfBits(s, d)
+    val flat = QueryTmp.dir("pqrflat", d)
+    val flatIdx = graft.operators.Clustering.buildIvfFlatIndex(emb,
+      "vec_id", "embedding", k)
+    graft.operators.Clustering.saveIvfFlatIndex(flatIdx, flat)
+    val pqr = QueryTmp.dir("pqrstage", d)
+    graft.operators.Clustering.saveIvfPqrIndex(
+      graft.operators.Clustering.buildIvfPqrIndexWith(emb, "vec_id",
+        "embedding", Dim, PqM, PqK, PqIters, flatIdx.lanes), pqr)
+    graft.operators.Clustering.serveIvfPqrRerank(
+        graft.operators.Clustering.loadIvfPqrIndex(s, pqr),
+        graft.operators.Clustering.loadIvfFlatIndex(s, flat).postings,
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        RerankPool, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q174_sql: String =
+    s"""WITH ${ivfPqrChainSql(update = false)},
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist, n_id) AS arank FROM ad)
+       |  WHERE arank <= $RerankPool
+       |), rescored AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${sqlCosineFromNorms("q.v", "n.v", "q.nrm", "n.nrm", Dim)} AS cos
+       |  FROM short s JOIN uv q ON q.vid = s.q_id JOIN uv n ON n.vid = s.n_id
+       |)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM rescored)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q137_semdedup_hier" -> q137_semdedup_hier,
@@ -2074,6 +2124,7 @@ object VectorQueries {
     "q171_ivfsq_index_update" -> q171_ivfsq_index_update,
     "q172_ivfpqr_index_persist" -> q172_ivfpqr_index_persist,
     "q173_ivfpqr_index_update" -> q173_ivfpqr_index_update,
+    "q174_ivfpqr_rerank_serve" -> q174_ivfpqr_rerank_serve,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_semdedup_hier" -> q137_sql,
@@ -2119,5 +2170,6 @@ object VectorQueries {
     "q171_ivfsq_index_update" -> q171_sql,
     "q172_ivfpqr_index_persist" -> q172_sql,
     "q173_ivfpqr_index_update" -> q173_sql,
+    "q174_ivfpqr_rerank_serve" -> q174_sql,
   )
 }

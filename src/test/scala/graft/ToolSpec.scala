@@ -953,6 +953,21 @@ class ToolSpec extends SparkSpec {
       s"--rerank-from=$base/flat", "--rerank-pool=50",
       "--dim=4", "--m=2", "--stream=true")
     assert(streamed == twoStage)
+    // the RESIDUAL shortlist obeys the same full-pool identity: with
+    // every probed-cell candidate in the pool, the exact rerank over
+    // the ivfpqr shortlist IS ivfflat's exact serve too
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpqr",
+      s"--path=$base/pqr", s"--input=format=parquet file=$vecsPath",
+      "--dim=4", "--m=2", "--k=2", "--centroids=3")).status == "SUCCEEDED")
+    val twoStagePqr = serve("--type=ivfpqr", s"--path=$base/pqr",
+      s"--rerank-from=$base/flat", "--rerank-pool=50",
+      "--dim=4", "--m=2")
+    assert(twoStagePqr == flat,
+      s"residual two-stage != ivfflat: ${twoStagePqr.toSeq.sorted}")
+    val streamedPqr = serve("--type=ivfpqr", s"--path=$base/pqr",
+      s"--rerank-from=$base/flat", "--rerank-pool=50",
+      "--dim=4", "--m=2", "--stream=true")
+    assert(streamedPqr == twoStagePqr)
   }
 
   test("CLI index-remove: deleted docs stop matching; removed == rebuild on remaining") {
