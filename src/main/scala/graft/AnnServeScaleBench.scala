@@ -124,6 +124,20 @@ object AnnServeScaleBench {
           maxQueryId, nprobe, topK)
         .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
 
+    // residual IVFPQ on the shared fit: the per-(query, cell) tables
+    // cost nprobe× the raw tier's broadcast, but serve I/O is the same
+    // pruned cells — also expected ~flat across the doubling
+    val pqrPath = s"/tmp/annservescale_pqr_${System.nanoTime()}"
+    Clustering.saveIvfPqrIndex(
+      Clustering.buildIvfPqrIndexWith(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2, coarseLanes = idx.lanes),
+      pqrPath)
+    val pqrIdx = Clustering.loadIvfPqrIndex(spark, pqrPath)
+    val pqrServe = timeMin2(() =>
+      Clustering.serveIvfPqr(pqrIdx, emb, "vec_id", "embedding",
+          dim = 64, m = 8, maxQueryId, nprobe, topK)
+        .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
+
     // recall@topK vs exact brute force for the same query batch — the
     // quality side of the speed numbers (nprobe=2 of k cells; ADC adds
     // quantization error on top of the probe miss rate)
@@ -166,6 +180,7 @@ object AnnServeScaleBench {
       s""""sq_build_sec":${f"$sqBuildSec%.2f"},""" +
       s""""serve_sq_sec":${f"$sqServe%.2f"},""" +
       s""""serve_ivfsq_sec":${f"$ivfSqServe%.2f"},""" +
+      s""""serve_ivfpqr_sec":${f"$pqrServe%.2f"},""" +
       s""""recall":{$curve,"sq":${f"$sqRecall%.3f"}}}""")
     spark.stop()
   }

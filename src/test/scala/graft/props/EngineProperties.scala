@@ -895,6 +895,35 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("residual two-stage at FULL pool == ivfflat exact serve on random corpora") =
+    forAll(for {
+      n <- Gen.choose(6, 16)
+      rows <- Gen.listOfN(n,
+        Gen.listOfN(4, Gen.choose(1, 1000).map(_ / 500.0f)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }) { rows =>
+      import graft.operators.Clustering
+      // strictly positive lanes: no zero vectors (cosine undefined), no
+      // reliance on any particular cluster structure — the identity
+      // must hold on ANY corpus because a pool covering every
+      // probed-cell candidate makes the rerank the exact cosine over
+      // exactly ivfflat's candidate set, regardless of how badly the
+      // residual codes rank the shortlist
+      val df = rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      val flat = Clustering.buildIvfFlatIndex(df, "vec_id", "embedding",
+        numCentroids = 3, iters = 2)
+      val pqr = Clustering.buildIvfPqrIndexWith(df, "vec_id", "embedding",
+        dim = 4, m = 2, k = 2, iters = 2, coarseLanes = flat.lanes)
+      def rows3(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val two = rows3(Clustering.serveIvfPqrRerank(pqr, flat.postings, df,
+        "vec_id", "embedding", dim = 4, m = 2, maxQueryId = 3L,
+        nprobe = 2, rerankPool = rows.length, topK = 3))
+      val exact = rows3(Clustering.serveIvfFlat(flat, df, "vec_id",
+        "embedding", maxQueryId = 3L, nprobe = 2, k = 3))
+      two == exact && two.nonEmpty
+    }
+
   property("SQ8 encode == plain-Scala clamped floor model; trained-on-self codes span the level range") =
     forAll(for {
       n <- Gen.choose(1, 12)
