@@ -128,6 +128,26 @@ object Tool {
     // input spec and persists the artifact at --path; serve loads the
     // artifact and runs the type's query/encode path over the input spec,
     // writing through the standard output spec dispatch.
+    // `index-gc`: maintenance sweep of non-live generations (a crashed
+    // writer's leftovers on a read-mostly artifact would otherwise wait
+    // for the next commit). Keeps the retained displaced generation
+    // unless --all=true (maintenance window, no in-flight readers).
+    // Type-agnostic: generations are an ArtifactStore concept.
+    if (verb == "index-gc") {
+      val path = flag("path")
+      val start = System.currentTimeMillis()
+      val swept = graft.sinks.ArtifactStore.sweep(spark, path,
+        keepDisplaced = !flags.get("all").exists(_.toBoolean))
+      swept.foreach(g => println(s"swept: $g"))
+      val now = System.currentTimeMillis()
+      val result = JobResult(java.util.UUID.randomUUID().toString,
+        flags.getOrElse("name", "index-gc"), start, now, "SUCCEEDED",
+        Map("swept_generations" -> swept.length.toLong), None)
+      flags.get("history").foreach(p => new JobHistory(spark, p)
+        .record(result, Map("path" -> path)))
+      return result
+    }
+
     if (verb == "index-build" || verb == "index-serve" ||
         verb == "index-update" || verb == "index-remove" ||
         verb == "index-describe") {
@@ -365,7 +385,7 @@ object Tool {
       |       --id-col --text-col --vec-col]
       |   | graft.Tool index-serve --type=<...> --path=<dir> --input="format=..."
       |       --output="format=..." [--threshold --nprobe --topk --max-query-id --k1 --b]
-      |       [--rerank-from=<ivfflat dir> --rerank-pool=N  (ivfpq only:
+      |       [--rerank-from=<ivfflat dir> --rerank-pool=N  (ivfpq/ivfpqr:
       |        two-stage search — ADC shortlist + exact rerank on the
       |        named postings' raw vectors)]
       |       [--stream=true  (STREAMTYPES:
@@ -382,6 +402,9 @@ object Tool {
       |        == rebuild/re-assign on the remaining corpus)
       |   | graft.Tool index-describe --type=<...> --path=<dir>
       |       (artifact surfaces + sizes; run around an index-update)
+      |   | graft.Tool index-gc --path=<dir> [--all=true]
+      |       (sweep non-live generations left by crashed writers;
+      |        keeps the retained displaced generation unless --all)
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]

@@ -196,6 +196,47 @@ object ArtifactStore {
     } finally fs.delete(claim, false)
   }
 
+  /** Maintenance sweep (`index-gc`): delete non-live generations
+    * WITHOUT committing anything — for read-mostly artifacts whose
+    * crashed-writer leftovers would otherwise linger until the next
+    * successful commit. Runs under the same create-exclusive claim as
+    * [[commitGen]], so it can never race a commit's pointer flip.
+    * `keepDisplaced = true` (the default CLI behavior) retains the
+    * highest-ordinal non-live generation — the in-flight-reader
+    * retention the serve ∥ update contract promises; pass false (CLI
+    * `--all=true`) only inside a maintenance window with no readers.
+    * Returns the deleted generation names. Legacy flat artifacts (no
+    * pointer) have nothing to sweep. */
+  def sweep(spark: SparkSession, path: String,
+            keepDisplaced: Boolean): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val claim = new Path(path, ClaimFile)
+    var attempts = 0
+    while (!tryClaim(fs, claim)) {
+      attempts += 1
+      if (attempts > 100) throw new IllegalStateException(
+        s"cannot acquire commit claim $claim — a commit is in flight, or " +
+          s"a crashed writer left the claim behind (safe to delete after " +
+          s"confirming no index-update/remove/build is running on $path)")
+      Thread.sleep(100L)
+    }
+    try {
+      currentGen(spark, path) match {
+        case None => Seq.empty
+        case Some(cur) =>
+          val orphans: Seq[String] = fs.listStatus(new Path(path))
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith(GenPrefix) && n != cur)
+            .sortBy(n => ordinalOf(n).getOrElse(-1L)).toSeq
+          val victims =
+            if (keepDisplaced && orphans.nonEmpty) orphans.init
+            else orphans
+          victims.foreach(n => fs.delete(new Path(path, n), true))
+          victims
+      }
+    } finally fs.delete(claim, false)
+  }
+
   /** Generation-health counters for `index-describe`: total gen_* dirs,
     * orphans (any generation that is not the live one — a crashed or
     * raced writer's leftover, or the one retained displaced generation),

@@ -185,4 +185,48 @@ class ArtifactStoreSpec extends SparkSpec {
         path, Map("skip-disjoint-check" -> "true"))
     }
   }
+
+  test("index-gc sweeps crashed-writer orphans without a commit; keeps live + displaced unless --all") {
+    val path = s"${tmpDir("artgc")}/art"
+    def writeGen(loaded: Option[String]): String = {
+      val g = ArtifactStore.newGenDir(spark, path, loaded)
+      Seq((1L, "x")).toDF("id", "v").write.parquet(g)
+      g
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gens: Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("gen_")).toSet
+    // live A, displaced is simulated by committing B on top; then two
+    // CRASHED writers leave orphan generations (written, never committed)
+    val gA = writeGen(None)
+    ArtifactStore.commitGen(spark, path, gA, None)
+    val aName = new org.apache.hadoop.fs.Path(gA).getName
+    val gB = writeGen(Some(aName))
+    ArtifactStore.commitGen(spark, path, gB, Some(aName))
+    val bName = new org.apache.hadoop.fs.Path(gB).getName
+    writeGen(Some(bName)); writeGen(Some(bName)) // crashed: no commit
+    assert(gens.size == 4)
+    // default sweep: orphans go, live + highest-ordinal non-live stay
+    val swept = ArtifactStore.sweep(spark, path, keepDisplaced = true)
+    assert(swept.size == 2, s"swept $swept")
+    val kept = gens
+    assert(kept.size == 2 && kept.contains(bName), kept)
+    // --all: only the live generation survives (maintenance window)
+    assert(ArtifactStore.sweep(spark, path, keepDisplaced = false).size == 1)
+    assert(gens == Set(bName))
+    // the CLI verb wires through, claim released (a follow-up works),
+    // and a legacy flat artifact is a no-op
+    writeGen(Some(bName))
+    val r = graft.Tool.run(spark, Array("index-gc", s"--path=$path"))
+    assert(r.status == "SUCCEEDED" &&
+      r.counters("swept_generations") == 0L) // one orphan == displaced slot
+    assert(graft.Tool.run(spark,
+        Array("index-gc", s"--path=$path", "--all=true"))
+      .counters("swept_generations") == 1L)
+    val flat = s"${tmpDir("artgcflat")}/flat"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(flat)
+    assert(graft.Tool.run(spark, Array("index-gc", s"--path=$flat"))
+      .counters("swept_generations") == 0L)
+  }
 }
