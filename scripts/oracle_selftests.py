@@ -104,6 +104,33 @@ def main():
             print(f"  x q116 edges: expected {want}, got {got}")
             fails += 1
 
+    # q169 SQ8 clamp branch: delta lanes OUTSIDE the slice-trained
+    # bounds must pin to the edge levels (255 above hi, 0 below lo).
+    # sf0.01 fires this only incidentally (13 lanes at seed 42), so a
+    # testdata regeneration could silently stop covering it — this
+    # synthetic corpus forces both edges: slice codes are 0/127/255 per
+    # construction, the +99 delta clamps onto the hi row's code exactly
+    # and the -99 delta onto the lo row's, making each delta row some
+    # query's distance-0 rank-1 neighbor.
+    if "q169_sq_index_update" in oracle:
+        con.execute("""CREATE OR REPLACE VIEW embeddings AS
+            SELECT * FROM (VALUES
+              (1, list_transform(range(1, 65), i -> 0.0)),
+              (2, list_transform(range(1, 65), i -> 1.0)),
+              (3, list_transform(range(1, 65), i -> 0.5)),
+              (10, list_transform(range(1, 65), i -> 99.0)),
+              (20, list_transform(range(1, 65), i -> -99.0)))
+            t(vec_id, embedding)""")
+        got = con.execute(oracle["q169_sq_index_update"]).fetchall()
+        rank1 = [r for r in got if r[1] == 1]
+        want1 = [(1, 1, 20, 0), (2, 1, 10, 0), (3, 1, 1, 64 * 127 * 127)]
+        if len(got) == 12 and rank1 == want1:
+            print("  ok q169 clamp branch: out-of-range deltas pin to edge levels")
+        else:
+            print(f"  x q169 clamp: expected rank1 {want1} in 12 rows, "
+                  f"got {rank1} in {len(got)}")
+            fails += 1
+
     print(f"ORACLE SELFTESTS {'FAIL' if fails else 'PASS'}")
     sys.exit(1 if fails else 0)
 
