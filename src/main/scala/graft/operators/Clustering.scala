@@ -395,7 +395,17 @@ object Clustering {
       : SemIndex = {
     val cells = OperatorCaches.register(
       deltaCells(delta, idCol, vecCol, idx, seedLiteralCap).persist())
-    val expected = delta.select(col(idCol)).distinct().count()
+    // distinguish the two loss modes: duplicate delta ids (an upstream
+    // replay — got > expected would otherwise report a NEGATIVE drop
+    // count and blame the fit) vs rows genuinely dropped by a seedless
+    // coarse cell
+    val deltaAgg = delta.agg(count(lit(1)),
+      countDistinct(col(idCol))).head()
+    require(deltaAgg.getLong(0) == deltaAgg.getLong(1),
+      s"updateSemIndex: delta contains ${deltaAgg.getLong(0) - deltaAgg.getLong(1)} " +
+        s"duplicate $idCol value(s) (a replayed spool?) — de-duplicate " +
+        s"the batch before folding it in")
+    val expected = deltaAgg.getLong(1)
     val got = cells.count()
     require(got == expected,
       s"updateSemIndex: ${expected - got} of $expected delta row(s) were " +
@@ -1223,16 +1233,13 @@ object Clustering {
                       iters: Int = Similarity.IvfCoarseIters,
                       salt: String = Similarity.IvfCoarseSalt)
       : IvfSqIndex = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     // independent fits — run their driver-side barriers concurrently
     // (the IMI half-fit pattern); the coarse lanes funnel to literals
-    // so the assignment scan broadcasts them as kernel state
+    // ([[literalLanes]]) so the assignment scan broadcasts them as
+    // kernel state
     val Seq(coarse, sqLanes) = concurrently(Seq(
-      () => ivfCoarseLanes(emb, idCol, vecCol, numCentroids, iters, salt)
-        .select(col("cluster"), col("pos"), col("cval"), col("n")).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .toSeq.toDF("cluster", "pos", "cval", "n"),
+      () => literalLanes(
+        ivfCoarseLanes(emb, idCol, vecCol, numCentroids, iters, salt)),
       () => sqFitLanes(emb, vecCol, dim)))
     IvfSqIndex(coarse, sqLanes,
       ivfSqAssign(emb, idCol, vecCol, coarse, sqLanes))
@@ -1301,8 +1308,7 @@ object Clustering {
         Similarity.centroidSetFromLanes(idx.coarseLanes), maxQueryId,
         nprobe)
       .select(col("q_id"), col("c_id"))
-    val cells = probes.select(col("c_id")).distinct()
-      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+    val cells = collectProbedCells(probes)
     val codes =
       if (cells.length <= ServeCellFilterCap)
         idx.codes.filter(col("c_id").isInCollection(cells))
@@ -1397,16 +1403,9 @@ object Clustering {
   def buildIvfPqrIndex(emb: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int, k: Int, iters: Int,
                        numCentroids: Int,
-                       salt: String = "pqr"): IvfPqrIndex = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val coarse =
-      ivfCoarseLanes(emb, idCol, vecCol, numCentroids)
-        .select(col("cluster"), col("pos"), col("cval"), col("n")).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .toSeq.toDF("cluster", "pos", "cval", "n")
-    buildIvfPqrIndexWith(emb, idCol, vecCol, dim, m, k, iters, coarse, salt)
-  }
+                       salt: String = "pqr"): IvfPqrIndex =
+    buildIvfPqrIndexWith(emb, idCol, vecCol, dim, m, k, iters,
+      literalLanes(ivfCoarseLanes(emb, idCol, vecCol, numCentroids)), salt)
 
   /** Build against a PRE-TRAINED coarse codebook (the
     * [[buildIvfPqIndexWith]] pattern — share one fit across tiers so
@@ -1439,10 +1438,15 @@ object Clustering {
                         vecCol: String, dim: Int, m: Int): IvfPqrIndex = {
     val newPost = Similarity.ivfPostings(delta, idCol, vecCol,
       Similarity.centroidSetFromLanes(idx.coarseLanes))
-    val resid = newPost
+    // persisted for the same reason as the build path: the cells union
+    // reads it once and pqEncode's m subspace branches each read it
+    // again — unpersisted, the delta kernel assignment would run m+1
+    // times per add
+    val resid = OperatorCaches.register(newPost
       .join(broadcast(centroidVecFrame(idx.coarseLanes)), Seq("c_id"))
       .select(col("n_id"), col("c_id"),
         zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"))
+      .persist())
     IvfPqrIndex(idx.coarseLanes,
       idx.cells.select(col("n_id"), col("c_id"))
         .unionByName(resid.select(col("n_id"), col("c_id"))),
@@ -1954,8 +1958,7 @@ object Clustering {
                k: Int): DataFrame = {
     val queries = Similarity.ivfProbeQueries(emb, idCol, vecCol,
       imiComposedCentroids(idx), maxQueryId, nprobe)
-    val cells = queries.select(col("c_id")).distinct()
-      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+    val cells = collectProbedCells(queries)
     val postings =
       if (cells.length <= ServeCellFilterCap)
         idx.postings.filter(col("c_id").isInCollection(cells))
@@ -2007,8 +2010,7 @@ object Clustering {
                    nprobe: Int, k: Int): DataFrame = {
     val queries = Similarity.ivfProbeQueries(emb, idCol, vecCol,
       Similarity.centroidSetFromLanes(idx.lanes), maxQueryId, nprobe)
-    val cells = queries.select(col("c_id")).distinct()
-      .limit(ServeCellFilterCap + 1).collect().map(_.getLong(0))
+    val cells = collectProbedCells(queries)
     val postings =
       if (cells.length <= ServeCellFilterCap)
         idx.postings.filter(col("c_id").isInCollection(cells))

@@ -11,7 +11,8 @@ import graft.functions.TextFunctions._
   * table `(doc_id, h)`, `rollup` the serve-side aggregate
   * `(h, first_doc, n_occ)` — the [[graft.operators.Bm25Index]] split of
   * invertible per-doc rows plus derived rollups. */
-final case class CdcArtifact(chunks: DataFrame, rollup: DataFrame)
+final case class CdcArtifact(chunks: DataFrame, rollup: DataFrame,
+                             legacy: Boolean = false)
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -1022,8 +1023,14 @@ object Dedup {
     * NEW-doc_ids contract as the rollup-only update. */
   def updateCdcArtifact(idx: CdcArtifact, delta: DataFrame, idCol: String,
                         textCol: String, avgMask: Int): CdcArtifact = {
-    val deltaChunks = cdcChunks(delta, idCol, textCol, avgMask)
-      .select(col("id").as("doc_id"), col("h"))
+    require(!idx.legacy, "legacy rollup-only cdc artifact: no doc-grain " +
+      "chunks surface to fold into — rebuild with index-build --type=cdc " +
+      "(the two-surface layout) before updating")
+    // the delta's boundary-kernel chunking feeds BOTH surfaces — persist
+    // it so the save-time rollup write doesn't re-chunk the delta text
+    val deltaChunks = OperatorCaches.register(
+      cdcChunks(delta, idCol, textCol, avgMask)
+        .select(col("id").as("doc_id"), col("h")).persist())
     CdcArtifact(
       idx.chunks.unionByName(deltaChunks),
       idx.rollup.unionByName(
@@ -1044,6 +1051,9 @@ object Dedup {
     * same shape as [[graft.operators.Retrieval.removeFromBm25Index]]. */
   def removeFromCdcArtifact(idx: CdcArtifact, removedIds: DataFrame)
       : CdcArtifact = {
+    require(!idx.legacy, "legacy rollup-only cdc artifact: its min/sum " +
+      "rollup is not invertible without the doc-grain chunks surface — " +
+      "rebuild with index-build --type=cdc on the remaining corpus")
     val ids = removedIds.select(col("doc_id")).distinct()
     val chunks = idx.chunks.join(ids, Seq("doc_id"), "left_anti")
     CdcArtifact(chunks,
@@ -1078,11 +1088,26 @@ object Dedup {
     idx.rollup.write.mode("overwrite").parquet(s"$path/rollup")
   }
 
+  /** Loads the two-surface layout; a LEGACY rollup-only artifact (the
+    * pre-two-surface CLI wrote [[saveCdcIndex]]'s rollup rows at the
+    * root) loads with an empty chunks surface and `legacy = true`, so
+    * read-only serves keep working while the mutating verbs refuse with
+    * rebuild guidance instead of failing on a missing subdirectory (or
+    * worse, silently maintaining a wrong chunks surface). */
   def loadCdcArtifact(spark: org.apache.spark.sql.SparkSession,
                       path: String): CdcArtifact = {
     val p = graft.sinks.ArtifactStore.resolve(spark, path)
-    CdcArtifact(spark.read.parquet(s"$p/chunks"),
-      spark.read.parquet(s"$p/rollup"))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "rollup")))
+      CdcArtifact(spark.read.parquet(s"$p/chunks"),
+        spark.read.parquet(s"$p/rollup"))
+    else {
+      val rollup = spark.read.parquet(p)
+      CdcArtifact(
+        rollup.select(col("first_doc").as("doc_id"), col("h")).limit(0),
+        rollup, legacy = true)
+    }
   }
 
   /** Chunk-level screen of a DELTA batch against a built/loaded chunk

@@ -210,6 +210,8 @@ object ArtifactStore {
   def sweep(spark: SparkSession, path: String,
             keepDisplaced: Boolean): Seq[String] = {
     val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(path))) throw new IllegalArgumentException(
+      s"no artifact at $path — nothing to sweep (check the --path)")
     val claim = new Path(path, ClaimFile)
     var attempts = 0
     while (!tryClaim(fs, claim)) {
@@ -224,13 +226,22 @@ object ArtifactStore {
       currentGen(spark, path) match {
         case None => Seq.empty
         case Some(cur) =>
+          // the DISPLACED generation is the one the pointer moved FROM:
+          // the highest ordinal BELOW the live one. Crashed-writer
+          // orphans sit ABOVE it (they loaded the live generation, so
+          // newGenDir gave them live+1, and they never committed) —
+          // keeping "the newest non-live" would retain the garbage and
+          // delete the generation in-flight readers depend on.
+          val curOrd = ordinalOf(cur).getOrElse(Long.MaxValue)
           val orphans: Seq[String] = fs.listStatus(new Path(path))
             .map(_.getPath.getName)
             .filter(n => n.startsWith(GenPrefix) && n != cur)
             .sortBy(n => ordinalOf(n).getOrElse(-1L)).toSeq
-          val victims =
-            if (keepDisplaced && orphans.nonEmpty) orphans.init
-            else orphans
+          val displaced =
+            if (keepDisplaced)
+              orphans.filter(n => ordinalOf(n).exists(_ < curOrd)).lastOption
+            else None
+          val victims = orphans.filterNot(displaced.contains)
           victims.foreach(n => fs.delete(new Path(path, n), true))
           victims
       }

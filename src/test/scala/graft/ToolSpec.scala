@@ -970,6 +970,38 @@ class ToolSpec extends SparkSpec {
     assert(streamedPqr == twoStagePqr)
   }
 
+  test("legacy rollup-only cdc artifacts still serve; mutating verbs refuse with rebuild guidance") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = tmpDir("cdclegacy")
+    val docs = Seq((0L, "spark join hash table scan batch"),
+      (1L, "row batch filter merge")).toDF("doc_id", "text")
+    // the pre-two-surface CLI layout: rollup rows at the artifact root
+    Dedup.saveCdcIndex(Dedup.buildCdcIndex(docs, "doc_id", "text", 3),
+      s"$base/idx")
+    val probe = Seq((20L, "spark join hash table scan batch"))
+      .toDF("doc_id", "text")
+    probe.write.parquet(s"$base/probe")
+    val out = s"$base/out"
+    assert(Tool.run(spark, Array("index-serve", "--type=cdc",
+      s"--path=$base/idx", s"--input=format=parquet file=$base/probe",
+      s"--output=format=parquet file=$out", "--avg-mask=3"))
+      .status == "SUCCEEDED")
+    assert(spark.read.parquet(out).count() > 0,
+      "legacy artifact must keep serving read-only")
+    // update/remove would silently maintain a WRONG chunks surface —
+    // they refuse loudly and point at a rebuild instead
+    val e = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-update", "--type=cdc", s"--path=$base/idx",
+        s"--input=format=parquet file=$base/probe", "--avg-mask=3")))
+    assert(e.getMessage.contains("legacy rollup-only"), e.getMessage)
+    probe.select($"doc_id").write.parquet(s"$base/rm")
+    val e2 = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-remove", "--type=cdc", s"--path=$base/idx",
+        s"--input=format=parquet file=$base/rm")))
+    assert(e2.getMessage.contains("legacy rollup-only"), e2.getMessage)
+  }
+
   test("CLI index-remove: deleted docs stop matching; removed == rebuild on remaining") {
     import spark.implicits._
     val base = tmpDir("idxremove")

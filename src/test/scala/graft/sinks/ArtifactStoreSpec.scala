@@ -207,26 +207,35 @@ class ArtifactStoreSpec extends SparkSpec {
     val bName = new org.apache.hadoop.fs.Path(gB).getName
     writeGen(Some(bName)); writeGen(Some(bName)) // crashed: no commit
     assert(gens.size == 4)
-    // default sweep: orphans go, live + highest-ordinal non-live stay
+    // default sweep: the CRASHED orphans (ordinal above the live gen)
+    // go; the live generation AND the true displaced one (highest
+    // ordinal BELOW live — what in-flight readers resolved) stay
     val swept = ArtifactStore.sweep(spark, path, keepDisplaced = true)
     assert(swept.size == 2, s"swept $swept")
-    val kept = gens
-    assert(kept.size == 2 && kept.contains(bName), kept)
+    assert(gens == Set(aName, bName), gens)
     // --all: only the live generation survives (maintenance window)
-    assert(ArtifactStore.sweep(spark, path, keepDisplaced = false).size == 1)
+    assert(ArtifactStore.sweep(spark, path, keepDisplaced = false) ==
+      Seq(aName))
     assert(gens == Set(bName))
-    // the CLI verb wires through, claim released (a follow-up works),
-    // and a legacy flat artifact is a no-op
+    // the CLI verb wires through and the claim is released (a follow-up
+    // works); a crashed orphan is swept even by the DEFAULT gc — it is
+    // never mistaken for the displaced generation
     writeGen(Some(bName))
     val r = graft.Tool.run(spark, Array("index-gc", s"--path=$path"))
     assert(r.status == "SUCCEEDED" &&
-      r.counters("swept_generations") == 0L) // one orphan == displaced slot
+      r.counters("swept_generations") == 1L, r.counters)
     assert(graft.Tool.run(spark,
         Array("index-gc", s"--path=$path", "--all=true"))
-      .counters("swept_generations") == 1L)
+      .counters("swept_generations") == 0L)
     val flat = s"${tmpDir("artgcflat")}/flat"
     Seq((1L, "x")).toDF("id", "v").write.parquet(flat)
     assert(graft.Tool.run(spark, Array("index-gc", s"--path=$flat"))
       .counters("swept_generations") == 0L)
+    // a typo'd path fails immediately with guidance, not a 10-second
+    // claim-retry loop blaming a phantom concurrent commit
+    val missing = intercept[IllegalArgumentException](
+      ArtifactStore.sweep(spark, s"${tmpDir("artgcmiss")}/nope",
+        keepDisplaced = true))
+    assert(missing.getMessage.contains("no artifact at"), missing.getMessage)
   }
 }
