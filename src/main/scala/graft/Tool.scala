@@ -136,8 +136,20 @@ object Tool {
     if (verb == "index-gc") {
       val path = flag("path")
       val start = System.currentTimeMillis()
+      // validate the flag value explicitly: String.toBoolean throws a
+      // bare "For input string" for --all=1/--all=yes, which names
+      // neither the flag nor the accepted values
+      val all = flags.get("all").map {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"index-gc: invalid value '$other' for --all — accepted " +
+            s"values are true and false")
+      }.getOrElse(false)
+      val grace = flags.get("grace-ms").map(_.toLong)
+        .getOrElse(graft.sinks.ArtifactStore.StagingGraceMs)
       val swept = graft.sinks.ArtifactStore.sweep(spark, path,
-        keepDisplaced = !flags.get("all").exists(_.toBoolean))
+        keepDisplaced = !all, stagingGraceMs = grace)
       swept.foreach(g => println(s"swept: $g"))
       val now = System.currentTimeMillis()
       val result = JobResult(java.util.UUID.randomUUID().toString,
@@ -402,7 +414,7 @@ object Tool {
       |        == rebuild/re-assign on the remaining corpus)
       |   | graft.Tool index-describe --type=<...> --path=<dir>
       |       (artifact surfaces + sizes; run around an index-update)
-      |   | graft.Tool index-gc --path=<dir> [--all=true]
+      |   | graft.Tool index-gc --path=<dir> [--all=true|false] [--grace-ms=N]
       |       (sweep non-live generations left by crashed writers;
       |        keeps the retained displaced generation unless --all)
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"

@@ -399,8 +399,16 @@ object Clustering {
     // replay — got > expected would otherwise report a NEGATIVE drop
     // count and blame the fit) vs rows genuinely dropped by a seedless
     // coarse cell
-    val deltaAgg = delta.agg(count(lit(1)),
-      countDistinct(col(idCol))).head()
+    // countDistinct ignores NULLs, so null ids would otherwise be
+    // mis-reported as duplicates ("a replayed spool?") — count them
+    // separately and name the actual defect
+    val deltaAgg = delta.agg(count(lit(1)), countDistinct(col(idCol)),
+      count(when(col(idCol).isNull, lit(1)))).head()
+    val nullIds = deltaAgg.getLong(2)
+    require(nullIds == 0L,
+      s"updateSemIndex: delta contains $nullIds null $idCol value(s) — " +
+        s"every delta row needs a non-null id (assign ids upstream " +
+        s"before folding the batch in)")
     require(deltaAgg.getLong(0) == deltaAgg.getLong(1),
       s"updateSemIndex: delta contains ${deltaAgg.getLong(0) - deltaAgg.getLong(1)} " +
         s"duplicate $idCol value(s) (a replayed spool?) — de-duplicate " +

@@ -187,6 +187,21 @@ object ArtifactStore {
             s"update/remove against the new version (FIXTURES.md §10)")
       }
       val genName = new Path(genDir).getName
+      // A staged generation carries NO claim while being filled (only
+      // this commit section does), so an `index-gc` running in the
+      // staging window sees it as indistinguishable from a crashed
+      // writer's orphan and may sweep it. The pointer has not moved, so
+      // the CAS above still passes — without this check the flip would
+      // point `_gen_current` at a deleted (or half-deleted) directory
+      // while both commands report success. Verify the staged directory
+      // survived, INSIDE the claim, so the race degrades to the
+      // protocol's fail-loud mode instead of silent corruption.
+      if (!fs.exists(new Path(genDir)))
+        throw new IllegalStateException(
+          s"staged generation $genDir was swept by a concurrent index-gc " +
+            s"before this commit could claim it — the delta was NOT " +
+            s"applied; re-run the update/build (and run index-gc only in " +
+            s"windows with no in-flight writers, or without --all)")
       writePointer(spark, path, genName)
       val keep = Set(Some(genName), expected).flatten
       fs.listStatus(new Path(path)).foreach { s =>
@@ -206,9 +221,23 @@ object ArtifactStore {
     * retention the serve ∥ update contract promises; pass false (CLI
     * `--all=true`) only inside a maintenance window with no readers.
     * Returns the deleted generation names. Legacy flat artifacts (no
-    * pointer) have nothing to sweep. */
+    * pointer) have nothing to sweep.
+    *
+    * Above-live generations need one more distinction: a crashed
+    * writer's orphan and an IN-FLIGHT writer's still-being-staged
+    * generation look identical (staging holds no claim — only the
+    * commit does). [[commitGen]] fails loudly if its staged directory
+    * vanished, so the race is never silent, but sweeping a live staging
+    * still wastes the writer's work; the default sweep therefore skips
+    * above-live generations modified within [[StagingGraceMs]] (a
+    * writer actively filling a directory keeps its mtime fresh), and
+    * only `--all=true` — the no-writers maintenance window — ignores
+    * the grace period. */
+  val StagingGraceMs: Long = 60L * 60L * 1000L // 1 h
+
   def sweep(spark: SparkSession, path: String,
-            keepDisplaced: Boolean): Seq[String] = {
+            keepDisplaced: Boolean,
+            stagingGraceMs: Long = StagingGraceMs): Seq[String] = {
     val fs = fsOf(spark, path)
     if (!fs.exists(new Path(path))) throw new IllegalArgumentException(
       s"no artifact at $path — nothing to sweep (check the --path)")
@@ -233,15 +262,25 @@ object ArtifactStore {
           // keeping "the newest non-live" would retain the garbage and
           // delete the generation in-flight readers depend on.
           val curOrd = ordinalOf(cur).getOrElse(Long.MaxValue)
-          val orphans: Seq[String] = fs.listStatus(new Path(path))
-            .map(_.getPath.getName)
-            .filter(n => n.startsWith(GenPrefix) && n != cur)
+          val statuses = fs.listStatus(new Path(path))
+            .filter(s => s.getPath.getName.startsWith(GenPrefix) &&
+              s.getPath.getName != cur)
+          val mtimes: Map[String, Long] =
+            statuses.map(s => s.getPath.getName -> s.getModificationTime).toMap
+          val orphans: Seq[String] = statuses.map(_.getPath.getName)
             .sortBy(n => ordinalOf(n).getOrElse(-1L)).toSeq
           val displaced =
             if (keepDisplaced)
               orphans.filter(n => ordinalOf(n).exists(_ < curOrd)).lastOption
             else None
+          // above-live + recently modified = possibly a writer mid-stage
+          // (see StagingGraceMs) — spare it outside --all
+          val now = System.currentTimeMillis()
+          val inGrace: String => Boolean = n =>
+            keepDisplaced && ordinalOf(n).exists(_ > curOrd) &&
+              now - mtimes.getOrElse(n, 0L) < stagingGraceMs
           val victims = orphans.filterNot(displaced.contains)
+            .filterNot(inGrace)
           victims.foreach(n => fs.delete(new Path(path, n), true))
           victims
       }

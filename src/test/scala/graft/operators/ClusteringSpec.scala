@@ -578,6 +578,18 @@ class ClusteringSpec extends SparkSpec {
     // control: the intact index admits the same delta
     assert(Clustering.updateSemIndex(idx, delta, "vec_id", "embedding")
       .assign.count() == idx.assign.count() + 1)
+
+    // a NULL delta id is named as such — countDistinct ignores nulls, so
+    // without the explicit null count this would be mis-diagnosed as
+    // "duplicate id value(s) (a replayed spool?)"
+    import org.apache.spark.sql.functions.lit
+    val nullDelta = emb(Seq((301L, Array(10.03f, 0f, 0f, 0f))))
+      .withColumn("vec_id",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+    val e3 = intercept[IllegalArgumentException](
+      Clustering.updateSemIndex(idx, nullDelta, "vec_id", "embedding"))
+    assert(e3.getMessage.contains("null vec_id") &&
+      !e3.getMessage.contains("replayed spool"), s"wrong failure: ${e3.getMessage}")
   }
 
   test("IvfPqIndex roundtrip: served ADC search == fresh ivfPqSearch; cells scan prunes") {

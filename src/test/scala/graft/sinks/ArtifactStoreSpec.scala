@@ -207,26 +207,41 @@ class ArtifactStoreSpec extends SparkSpec {
     val bName = new org.apache.hadoop.fs.Path(gB).getName
     writeGen(Some(bName)); writeGen(Some(bName)) // crashed: no commit
     assert(gens.size == 4)
-    // default sweep: the CRASHED orphans (ordinal above the live gen)
-    // go; the live generation AND the true displaced one (highest
-    // ordinal BELOW live — what in-flight readers resolved) stay
-    val swept = ArtifactStore.sweep(spark, path, keepDisplaced = true)
+    // default sweep with the default staging grace: the above-live
+    // orphans were JUST written, indistinguishable from a writer still
+    // staging — spared (a sweep of an active staging wastes its work)
+    assert(ArtifactStore.sweep(spark, path, keepDisplaced = true).isEmpty)
+    assert(gens.size == 4)
+    // past the grace window (grace = 0 here): the CRASHED orphans
+    // (ordinal above the live gen) go; the live generation AND the true
+    // displaced one (highest ordinal BELOW live — what in-flight readers
+    // resolved) stay
+    val swept = ArtifactStore.sweep(spark, path, keepDisplaced = true,
+      stagingGraceMs = 0L)
     assert(swept.size == 2, s"swept $swept")
     assert(gens == Set(aName, bName), gens)
-    // --all: only the live generation survives (maintenance window)
+    // --all: only the live generation survives (maintenance window —
+    // grace does not apply: the operator asserts no writers exist)
     assert(ArtifactStore.sweep(spark, path, keepDisplaced = false) ==
       Seq(aName))
     assert(gens == Set(bName))
     // the CLI verb wires through and the claim is released (a follow-up
-    // works); a crashed orphan is swept even by the DEFAULT gc — it is
-    // never mistaken for the displaced generation
+    // works); a crashed orphan IS swept by the default gc once it ages
+    // past the grace (forced here via --grace-ms=0) — it is never
+    // mistaken for the displaced generation
     writeGen(Some(bName))
-    val r = graft.Tool.run(spark, Array("index-gc", s"--path=$path"))
+    val r = graft.Tool.run(spark,
+      Array("index-gc", s"--path=$path", "--grace-ms=0"))
     assert(r.status == "SUCCEEDED" &&
       r.counters("swept_generations") == 1L, r.counters)
     assert(graft.Tool.run(spark,
         Array("index-gc", s"--path=$path", "--all=true"))
       .counters("swept_generations") == 0L)
+    // --all value is validated up front, naming the flag
+    val badAll = intercept[IllegalArgumentException](graft.Tool.run(spark,
+      Array("index-gc", s"--path=$path", "--all=1")))
+    assert(badAll.getMessage.contains("--all") &&
+      badAll.getMessage.contains("true"), badAll.getMessage)
     val flat = s"${tmpDir("artgcflat")}/flat"
     Seq((1L, "x")).toDF("id", "v").write.parquet(flat)
     assert(graft.Tool.run(spark, Array("index-gc", s"--path=$flat"))
@@ -237,5 +252,37 @@ class ArtifactStoreSpec extends SparkSpec {
       ArtifactStore.sweep(spark, s"${tmpDir("artgcmiss")}/nope",
         keepDisplaced = true))
     assert(missing.getMessage.contains("no artifact at"), missing.getMessage)
+  }
+
+  test("commitGen fails loudly (never flips the pointer) when a concurrent index-gc swept its staged generation") {
+    val path = s"${tmpDir("artswept")}/art"
+    def writeGen(loaded: Option[String]): String = {
+      val g = ArtifactStore.newGenDir(spark, path, loaded)
+      Seq((1L, "x")).toDF("id", "v").write.parquet(g)
+      g
+    }
+    val gA = writeGen(None)
+    ArtifactStore.commitGen(spark, path, gA, None)
+    val aName = new org.apache.hadoop.fs.Path(gA).getName
+    // writer stages gen 2 (no claim held while filling it) ...
+    val gB = writeGen(Some(aName))
+    // ... and an aggressive gc (--all, or past-grace default) sweeps it
+    // before the writer commits. The pointer has NOT moved, so the CAS
+    // alone would pass and flip _gen_current to a deleted directory.
+    assert(ArtifactStore.sweep(spark, path, keepDisplaced = false) ==
+      Seq(new org.apache.hadoop.fs.Path(gB).getName))
+    val e = intercept[IllegalStateException](
+      ArtifactStore.commitGen(spark, path, gB, Some(aName)))
+    assert(e.getMessage.contains("swept by a concurrent index-gc"),
+      e.getMessage)
+    // the pointer still names the live, fully-present generation, and
+    // the claim was released (a clean retry succeeds end-to-end)
+    assert(ArtifactStore.currentGen(spark, path).contains(aName))
+    assert(spark.read.parquet(ArtifactStore.resolve(spark, path))
+      .count() == 1L)
+    val gC = writeGen(Some(aName))
+    ArtifactStore.commitGen(spark, path, gC, Some(aName))
+    assert(ArtifactStore.currentGen(spark, path)
+      .contains(new org.apache.hadoop.fs.Path(gC).getName))
   }
 }
