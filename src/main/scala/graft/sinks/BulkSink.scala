@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** HFile-bulk-load analog: totally ordered, range-partitioned staged write
-  * plus an atomic commit.
+  * plus an atomic generational commit.
   *
   * Reference mapping:
   *  - `TotalOrderPartitioner` with one partition per target region
@@ -18,13 +18,39 @@ import org.apache.spark.sql.functions.col
   *    (`KM/output/framework/KijiHFileOutputFormat.java:190-216`) →
   *    `maxRecordsPerFile` (Spark also never splits a row across files).
   *  - `HFileLoader.load` atomic hand-off (`KM/HFileLoader.java:73-75`,
-  *    `KM/tools/KijiBulkLoad.java:156-163`) → staged directory + atomic
-  *    rename swap into the final location.
+  *    `KM/tools/KijiBulkLoad.java:156-163`) → a NEW GENERATION directory
+  *    under the table root plus the [[ArtifactStore]] pointer-CAS commit.
   *
-  * Idempotence: the staged directory is unique per attempt; the commit is a
-  * single FileSystem.rename (atomic on HDFS and local fs). A re-run after
-  * any failure before commit leaves the destination untouched; a re-run
-  * after commit replaces the table wholesale (same effect as re-bulk-load).
+  * == Why generations, not a rename swap ==
+  *
+  * The previous commit here was `dest → dest.__replaced; staging → dest;
+  * delete old` — two renames with a gap in which a concurrent reader
+  * resolved NO directory at all, and an in-flight scan planned against the
+  * old files lost them when `.__replaced` was deleted. The index-artifact
+  * tiers already fixed exactly this with the `gen_<n>_<uuid>/` +
+  * `_gen_current` pointer layout ([[ArtifactStore]]); this routes the
+  * ENTITY TABLE's own bulk/compaction swap through the same protocol:
+  *
+  *  - readers resolve the live generation via the pointer (one atomic
+  *    rename to flip), and the DISPLACED generation is retained for one
+  *    full commit cycle, so an in-flight scan keeps complete on-disk data;
+  *  - two racing folds serialize through the pointer CAS — the loser fails
+  *    LOUDLY instead of silently overwriting the winner's fold
+  *    (last-swap-wins was the old mode);
+  *  - a crashed fold leaves an orphaned generation the next commit sweeps;
+  *    the pointer still names the old generation, so readers never see a
+  *    partial fold.
+  *
+  * Legacy compatibility: a table with no pointer file resolves to its root
+  * (the flat layout every pre-generational fixture uses). The FIRST
+  * generational commit on such a table leaves the legacy root files in
+  * place as the de-facto displaced generation; the SECOND commit sweeps
+  * them ([[sweepLegacyRoot]]) under the same retention-one-deep rule.
+  *
+  * Idempotence: each attempt fills its own uuid-suffixed generation; a
+  * re-run after any failure before the pointer flip leaves the live
+  * generation untouched (the orphan is swept later); a re-run after commit
+  * replaces the table wholesale (same effect as re-bulk-load).
   */
 object BulkSink {
 
@@ -36,17 +62,18 @@ object BulkSink {
     val sorted = df
       .repartitionByRange(numPartitions, keyCols.map(col): _*)
       .sortWithinPartitions(sortCols: _*)
-    val staging = s"$dest.__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val loaded = ArtifactStore.currentGen(spark, dest)
+    val genDir = ArtifactStore.newGenDir(spark, dest, loaded)
     val writer = sorted.write.mode("overwrite")
     (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
-     else writer).parquet(staging)
-    writeExtraFiles(spark, staging, extraFiles)
-    commit(spark, staging, dest)
+     else writer).parquet(genDir)
+    writeExtraFiles(spark, genDir, extraFiles)
+    commitGenAndSweep(spark, dest, genDir, loaded)
   }
 
   /** Small metadata files (e.g. the `_asof_watermark` history barrier)
-    * written INTO the staging dir so the commit rename promotes data and
-    * markers in one atomic step — a marker written after the commit
+    * written INTO the staged generation so the pointer flip promotes data
+    * and markers in one atomic step — a marker written after the commit
     * leaves a crash window in which the data is live but the marker is
     * lost (exactly the silent state the marker exists to prevent). */
   def writeExtraFiles(spark: SparkSession, staging: String,
@@ -60,31 +87,67 @@ object BulkSink {
       }
     }
 
-  /** Atomic swap of `staging` into `dest` (+ cleanup of the replaced data).
-    * Mirrors the bulk-load hand-off: writers never touch the live location. */
+  /** Promote an externally staged directory into `dest` as its new live
+    * generation (the `bulk-load` CLI verb / `HFileLoader.load` hand-off):
+    * one rename moves the staged files under the table root as a
+    * generation directory, then the pointer CAS makes them live. Readers
+    * planned against the previous generation keep their files (retention
+    * one generation deep). */
   def commit(spark: SparkSession, staging: String, dest: String): Unit = {
-    val destPath = new Path(dest)
-    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(dest + ".__replaced")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(destPath)) {
-      if (!fs.rename(destPath, old))
-        throw new java.io.IOException(s"bulk commit: cannot displace $dest")
-    }
-    // Promotion may FAIL by returning false or by throwing (fs-dependent,
-    // e.g. FileNotFoundException for a lost staging dir); either way the
-    // displaced table must be restored so the live location never
-    // disappears.
-    val promoted =
-      try fs.rename(new Path(staging), destPath)
-      catch { case e: java.io.IOException =>
-        if (fs.exists(old)) fs.rename(old, destPath)
-        throw e
-      }
-    if (!promoted) {
-      if (fs.exists(old)) fs.rename(old, destPath)
-      throw new java.io.IOException(s"bulk commit: cannot promote $staging")
-    }
-    if (fs.exists(old)) fs.delete(old, true)
+    val fs = new Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(staging)))
+      throw new java.io.IOException(
+        s"bulk commit: staged directory $staging does not exist")
+    fs.mkdirs(new Path(dest))
+    val loaded = ArtifactStore.currentGen(spark, dest)
+    val genDir = ArtifactStore.newGenDir(spark, dest, loaded)
+    if (!fs.rename(new Path(staging), new Path(genDir)))
+      throw new java.io.IOException(
+        s"bulk commit: cannot stage $staging as generation $genDir")
+    commitGenAndSweep(spark, dest, genDir, loaded)
   }
+
+  /** A generation directory for a caller that stages its own files (the
+    * grouped bulk-load path writes one file set per locality group
+    * directly into it). Commit with [[commitStaged]]. */
+  def newStagingGen(spark: SparkSession, dest: String)
+      : (String, Option[String]) = {
+    val loaded = ArtifactStore.currentGen(spark, dest)
+    (ArtifactStore.newGenDir(spark, dest, loaded), loaded)
+  }
+
+  /** Pointer-CAS commit of a generation obtained from [[newStagingGen]]. */
+  def commitStaged(spark: SparkSession, dest: String, genDir: String,
+                   loaded: Option[String]): Unit =
+    commitGenAndSweep(spark, dest, genDir, loaded)
+
+  private def commitGenAndSweep(spark: SparkSession, dest: String,
+                                genDir: String,
+                                loaded: Option[String]): Unit = {
+    ArtifactStore.commitGen(spark, dest, genDir, loaded)
+    sweepLegacyRoot(spark, dest, loaded)
+  }
+
+  /** Delete pre-generational (flat-layout) root files once they are TWO
+    * commits old. At the first generational commit (`loaded == None`) the
+    * legacy root content is the displaced generation — in-flight readers
+    * may still be scanning it, so it stays. At the next commit (`loaded`
+    * names a generation) the legacy files are older than the displaced
+    * generation and the retention-one-deep rule sweeps them, exactly as
+    * [[ArtifactStore.commitGen]] sweeps `gen_*` directories older than
+    * the displaced one. Everything a generational table writes lives
+    * inside `gen_*` (data, `_changes`, markers, arrival claims), so any
+    * other root entry is legacy residue by construction. */
+  private def sweepLegacyRoot(spark: SparkSession, dest: String,
+                              loaded: Option[String]): Unit =
+    if (loaded.isDefined) {
+      val root = new Path(dest)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).foreach { s =>
+        val n = s.getPath.getName
+        val keep = n.startsWith("gen_") || n.startsWith("_gen_")
+        if (!keep) fs.delete(s.getPath, true)
+      }
+    }
 }

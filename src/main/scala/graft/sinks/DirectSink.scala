@@ -25,15 +25,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DirectSink {
 
   /** Append cell puts to the live table. Atomic per-job at the file level:
-    * Spark's parquet committer publishes complete files or nothing. */
+    * Spark's parquet committer publishes complete files or nothing.
+    * Appends land INSIDE the live generation of a generational table
+    * (resolved per call), or at the root of a legacy/fresh flat table —
+    * either way readers see the union immediately. */
   def append(cells: DataFrame, tablePath: String): Unit =
-    cells.write.mode("append").parquet(tablePath)
+    cells.write.mode("append").parquet(
+      ArtifactStore.resolve(cells.sparkSession, tablePath))
 
-  /** Compact a direct-written table back to bulk-load order. */
+  /** Compact a direct-written table back to bulk-load order (reads the
+    * live generation, commits a new one via the pointer CAS). */
   def compact(spark: SparkSession, tablePath: String,
               numPartitions: Int = 32): Unit = {
     import org.apache.spark.sql.functions.col
-    BulkSink.bulkLoad(spark.read.parquet(tablePath), tablePath, numPartitions,
+    BulkSink.bulkLoad(
+      spark.read.parquet(ArtifactStore.resolve(spark, tablePath)),
+      tablePath, numPartitions,
       Seq("entity_id"),
       Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
   }

@@ -101,20 +101,45 @@ final case class DataRequest(columns: Seq[(String, String)] = Seq.empty,
   *    writer-exclusively (it is the maintenance window's job, like the
   *    reference's compactions) — it also sweeps stale arrival claims
   *    under that exclusivity.
-  *  - `bulkLoad` / `majorCompact` / `applyChanges` ∥ ANY other writer:
-  *    UNSAFE — these swap the whole table directory (single-operator by
-  *    design); concurrent appends/folds land in the doomed generation.
-  *    Run one at a time, writer-exclusive.
+  *  - `bulkLoad` / `majorCompact` / `applyChanges` ∥ READERS: SAFE.
+  *    These commit a NEW GENERATION via the `ArtifactStore` pointer-CAS
+  *    layout (`gen_<n>_<uuid>/` + `_gen_current`, the same protocol the
+  *    index artifacts use): the pointer flip is one atomic rename, and
+  *    the displaced generation is RETAINED for one full commit cycle, so
+  *    a reader that planned against the old generation keeps complete
+  *    on-disk files (a reader spanning TWO folds of one table can still
+  *    lose its files — retention is one generation deep by design).
+  *  - `bulkLoad` / `majorCompact` / `applyChanges` ∥ each other: the
+  *    pointer CAS serializes them — the loser fails LOUDLY (its fold was
+  *    not applied; re-run against the new version) instead of the old
+  *    rename-swap's silent last-swap-wins.
+  *  - `bulkLoad` / `majorCompact` / `applyChanges` ∥ feed WRITERS
+  *    (`appendChanges`): still UNSAFE — an append into the generation a
+  *    fold is displacing is lost with that generation. Run folds
+  *    append-exclusive, like the reference's compactions.
   *
   * The CLI `describe` verb prints this contract next to the feed
   * occupancy it reports.
   */
 final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) {
 
-  /** Merge-on-read change feed location (inside the table dir, so the
-    * atomic commit rename of a compaction carries it away with the data
-    * it was folded into). */
-  val changesPath: String = s"$path/_changes"
+  /** The directory holding the LIVE table content. Generational tables
+    * (anything written by [[bulkLoad]]/[[majorCompact]]/[[applyChanges]]
+    * since the pointer-CAS commit landed) resolve through the
+    * `_gen_current` pointer to `gen_<n>_<uuid>/`; legacy flat tables (and
+    * tables that only ever saw appends) resolve to the root itself.
+    * Resolved PER CALL — a driver-side pointer read, the same cost class
+    * as the feed listing every merged read already does — so each read
+    * path plans against the generation that is live when the plan is
+    * built, and keeps its files for a full commit cycle afterwards
+    * (retention one generation deep, `graft.sinks.ArtifactStore`). */
+  private def dataDir: String =
+    graft.sinks.ArtifactStore.resolve(spark, path)
+
+  /** Merge-on-read change feed location (inside the live generation, so
+    * a physical fold's pointer flip carries the folded feed away with
+    * the data it was folded into). */
+  def changesPath: String = s"$dataDir/_changes"
 
   private def hadoopFs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -152,7 +177,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * grouped bulk loads — dropped so readers see the pure cell schema
     * either way. */
   private def baseCells: DataFrame = {
-    val df = spark.read.parquet(path)
+    val df = spark.read.parquet(dataDir)
     if (df.columns.contains("lg")) df.drop("lg") else df
   }
 
@@ -273,7 +298,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * false` (the as-of watermarks, where "absent" would silently LOWER a
     * history barrier) fails loudly with the recovery step. */
   private def readMarker(name: String, lenient: Boolean = false): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val p = new org.apache.hadoop.fs.Path(s"$dataDir/$name")
     var attempt = 0
     while (true) {
       if (!hadoopFs.exists(p)) return Long.MinValue
@@ -304,9 +329,10 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * a reader can never observe a created-but-unwritten marker, and a
     * crash mid-write leaves only a temp file readers skip. */
   private def writeMarker(name: String, value: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val dir = dataDir
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/_${name.stripPrefix("_")}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"$dir/_${name.stripPrefix("_")}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = hadoopFs.create(tmp, true)
     try out.write(value.toString.getBytes("UTF-8"))
     finally out.close()
@@ -328,7 +354,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     require(layout.localityGroups.contains(group),
       s"no locality group '$group' in table ${layout.name}")
     val fams = layout.localityGroups(group).map(_.name)
-    val raw = spark.read.parquet(path)
+    val raw = spark.read.parquet(dataDir)
     val base =
       if (raw.columns.contains("lg")) raw.filter(col("lg") === group).drop("lg")
       else raw.filter(col("family").isin(fams: _*))
@@ -392,7 +418,9 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       val lgFor = layout.families.foldLeft(lit("default")) { (acc, f) =>
         when(col("family") === f.name, lit(f.localityGroup)).otherwise(acc)
       }
-      val staging = s"$path.__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      // one file set per locality group, staged directly into a fresh
+      // generation directory (invisible until the pointer CAS commit)
+      val (genDir, loadedGen) = BulkSink.newStagingGen(spark, path)
       val tagged = guarded.withColumn("lg", lgFor)
       groups.foreach { case (g, fams) =>
         val w = tagged.filter(col("lg") === g).drop("lg")
@@ -401,10 +429,10 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           .write.mode("overwrite")
           .option("compression", fams.head.compression)
         (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
-         else w).parquet(s"$staging/lg=$g")
+         else w).parquet(s"$genDir/lg=$g")
       }
-      BulkSink.writeExtraFiles(spark, staging, extraFiles)
-      BulkSink.commit(spark, staging, path)
+      BulkSink.writeExtraFiles(spark, genDir, extraFiles)
+      BulkSink.commitStaged(spark, path, genDir, loadedGen)
     }
   }
 
@@ -526,14 +554,18 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     // (FileIndex hides them), so a mid-write failure exposes zero rows.
     val shaped = if (numFiles >= 1) stamped.coalesce(numFiles) else stamped
     val id = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new org.apache.hadoop.fs.Path(s"$path/__changes_stage_$id")
+    // resolve the live generation ONCE for the whole append so staging
+    // and commit target the same directory (a physical fold racing this
+    // append is writer-unsafe by contract either way)
+    val dir = dataDir
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/__changes_stage_$id")
     // Cleanup covers the RENAME failing too (e.g. the feed path
     // occupied by a non-directory): the staging dir must not outlive a
     // failed commit, whichever step died. After a successful rename the
     // staging path no longer exists and the delete is a no-op.
     try {
       shaped.write.parquet(staging.toString)
-      val feedDir = new org.apache.hadoop.fs.Path(changesPath)
+      val feedDir = new org.apache.hadoop.fs.Path(s"$dir/_changes")
       if (!hadoopFs.exists(feedDir)) hadoopFs.mkdirs(feedDir)
       val batch = new org.apache.hadoop.fs.Path(feedDir, s"batch_$id")
       require(hadoopFs.rename(staging, batch),
@@ -589,14 +621,19 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * probing while it sweeps). */
   private def reserveArrival(): Long =
     EntityTable.tableLock(path).synchronized {
-      hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(path)) // claims live at the table root
+      // claims live in the live generation (the table root for a legacy
+      // flat table) — a physical fold flips to a fresh generation with no
+      // claims, and its arrival WATERMARK keeps post-fold numbering
+      // monotone, exactly as the pre-generational dir swap did
+      val dir = dataDir
+      hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(dir))
       var candidate = arrivalFloor + 1L
       var attempts = 0
-      while (!tryClaimArrival(candidate)) {
+      while (!tryClaimArrival(dir, candidate)) {
         attempts += 1
         require(attempts < 100000,
           s"arrival reservation found $attempts consecutive claims from " +
-            s"$path/_arrival_claim_${candidate - attempts} — marker far behind " +
+            s"$dir/_arrival_claim_${candidate - attempts} — marker far behind " +
             s"claims; run compactFeed to sweep, or delete stale _arrival_claim_* files")
         candidate += 1L
       }
@@ -609,8 +646,8 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * (atomic `O_EXCL` — Hadoop's RawLocalFileSystem emulates
     * overwrite=false with a non-atomic exists() check); everything else
     * through `FileSystem.create(overwrite = false)` (atomic on HDFS). */
-  private def tryClaimArrival(n: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_arrival_claim_$n")
+  private def tryClaimArrival(dir: String, n: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_arrival_claim_$n")
     if (p.toUri.getScheme == null || p.toUri.getScheme == "file")
       try {
         java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
@@ -655,7 +692,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     val (files, _) = changeFeedStats
     if (files <= math.max(maxFiles, 1)) return // 0 or 1 file: nothing to fold
     val staging = new org.apache.hadoop.fs.Path(
-      s"$path/__changes_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"$dataDir/__changes_compact_${java.util.UUID.randomUUID().toString.take(8)}")
     // Size-based fold width: the intended delta-sized feed folds to one
     // file, but the feed is UNBOUNDED if folds are deferred (a month of
     // appends must not funnel through one writer task) — bound each fold
@@ -680,7 +717,7 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   private def sweepArrivalClaims(): Unit = {
     val reserved = readMarker("_arrival_reserved", lenient = true)
     if (reserved == Long.MinValue) return
-    val root = new org.apache.hadoop.fs.Path(path)
+    val root = new org.apache.hadoop.fs.Path(dataDir)
     if (!hadoopFs.exists(root)) return
     hadoopFs.listStatus(root).foreach { s =>
       val n = s.getPath.getName

@@ -20,4 +20,11 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** The LIVE generation directory of a generational table/artifact root
+    * (the root itself for a legacy flat layout) — where a bulk-loaded
+    * table's data files, `_changes` feed, and markers physically live
+    * under the pointer-CAS commit. Resolved fresh per call. */
+  def live(dir: String): String =
+    graft.sinks.ArtifactStore.resolve(spark, dir)
 }

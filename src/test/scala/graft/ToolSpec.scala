@@ -146,7 +146,7 @@ class ToolSpec extends SparkSpec {
       s"--input=format=text file=$in",
       s"--output=format=hfile table=$dst splits=2"))
     assert(r.status == "SUCCEEDED")
-    val back = spark.read.parquet(dst).collect()
+    val back = spark.read.parquet(live(dst)).collect()
       .map(x => (x.getAs[Long]("entity_id"), x.getAs[String]("value"))).toSet
     assert(back == Set((7L, "seven"), (9L, "nine")))
   }
@@ -208,7 +208,7 @@ class ToolSpec extends SparkSpec {
       "--name=cli-table-roundtrip"))
     assert(r.status == "SUCCEEDED")
     // The kiji input is a most-recent scan: click keeps ts=20 only.
-    val back = spark.read.parquet(dst).collect().map { x =>
+    val back = spark.read.parquet(live(dst)).collect().map { x =>
       (x.getAs[Long]("entity_id"), x.getAs[String]("family"),
         x.getAs[String]("qualifier"), x.getAs[Long]("ts"),
         x.getAs[String]("value"))
@@ -325,7 +325,7 @@ class ToolSpec extends SparkSpec {
     val r = Tool.run(spark, Array("bulk-load",
       s"--hfiles=$staging", s"--table=$table"))
     assert(r.status == "SUCCEEDED")
-    assert(spark.read.parquet(table).count() == 1)
+    assert(spark.read.parquet(live(table)).count() == 1)
     // the staged dir was MOVED, not copied (the atomic-rename hand-off)
     assert(!new java.io.File(staging).exists)
   }
@@ -353,11 +353,11 @@ class ToolSpec extends SparkSpec {
     // beyond-max_versions cells are PHYSICALLY gone from the base parquet
     // (click ts=10/20 dropped; the feed's ts=30 is the survivor) and the
     // _changes feed was consumed by the fold
-    val base = spark.read.parquet(table).collect()
+    val base = spark.read.parquet(live(table)).collect()
       .map(x => (x.getAs[Long]("entity_id"), x.getAs[String]("qualifier"),
         x.getAs[Long]("ts"), x.getAs[String]("value"))).toSet
     assert(base == Set((1L, "click", 30L, "3.5"), (2L, "view", 5L, "7.0")))
-    assert(!Files.exists(Paths.get(table, "_changes")))
+    assert(!Files.exists(Paths.get(live(table), "_changes")))
   }
 
   test("CLI compact refuses a TTL layout without --asof (destructive default)") {
@@ -375,12 +375,12 @@ class ToolSpec extends SparkSpec {
       Array("compact", s"--table=$table", s"--layout=$layoutPath")))
     assert(e.getMessage.contains("ttl_seconds") && e.getMessage.contains("--asof"))
     // nothing was deleted by the refusal
-    assert(spark.read.parquet(table).count() == 1)
+    assert(spark.read.parquet(live(table)).count() == 1)
     // with the TTL clock pinned, compaction proceeds and keeps fresh cells
     val r = Tool.run(spark, Array("compact", s"--table=$table",
       s"--layout=$layoutPath", s"--asof=${100L * 1000000L}"))
     assert(r.status == "SUCCEEDED")
-    assert(spark.read.parquet(table).count() == 1)
+    assert(spark.read.parquet(live(table)).count() == 1)
   }
 
   test("CLI compact refuses a locality-grouped table without --layout") {
@@ -393,13 +393,13 @@ class ToolSpec extends SparkSpec {
     new EntityTable(spark, table, layout).bulkLoad(Seq(
       (1L, "hotf", "a", 1L, "x"), (1L, "coldf", "b", 1L, "y"))
       .toDF("entity_id", "family", "qualifier", "ts", "value"), numPartitions = 1)
-    assert(Files.exists(Paths.get(table, "lg=hot")))
+    assert(Files.exists(Paths.get(live(table), "lg=hot")))
     val e = intercept[IllegalArgumentException](
       Tool.run(spark, Array("compact", s"--table=$table")))
     assert(e.getMessage.contains("locality-grouped"))
     // grouping intact after the refusal
-    assert(Files.exists(Paths.get(table, "lg=hot")) &&
-      Files.exists(Paths.get(table, "lg=cold")))
+    assert(Files.exists(Paths.get(live(table), "lg=hot")) &&
+      Files.exists(Paths.get(live(table), "lg=cold")))
   }
 
   test("CLI describe reports base/feed stats and minor-compacts over a threshold") {
@@ -1581,5 +1581,149 @@ class ToolSpec extends SparkSpec {
     et.compactFeed()
     assert(et.cells.count() == cellsBefore)
     assert(tableDocs.filter($"doc_id" === 11L).count() == 1L)
+  }
+
+  test("CLI sharded ANN tier: build/serve/update/describe; the update advances only the routed shards' generations") {
+    import spark.implicits._
+    val base = tmpDir("idxsharded")
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val corpus = emb((0 until 12).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + i * 0.01f
+      (i.toLong, v.toSeq)
+    })
+    corpus.write.parquet(s"$base/emb")
+    val flat = s"$base/flat"
+    val sharded = s"$base/sharded"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$flat", s"--input=format=parquet file=$base/emb",
+      "--centroids=2")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/emb",
+      "--centroids=2", "--shards=4")).status == "SUCCEEDED")
+    def serveOf(tpe: String, path: String, tag: String): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$path", s"--input=format=parquet file=$base/emb",
+        s"--output=format=parquet file=$out",
+        "--max-query-id=4", "--nprobe=1", "--topk=3")).status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.toSeq).toSeq
+    }
+    // shard-merged serve == single-artifact serve, through the CLI
+    assert(serveOf("ivfflat-sharded", sharded, "sh") ==
+      serveOf("ivfflat", flat, "flat"))
+    // delta ids 102/106 both route to shard 2 (n_id mod 4)
+    val shardedRoot = graft.sinks.ArtifactStore.resolve(spark, sharded)
+    def genOf(sh: Int) = graft.sinks.ArtifactStore.currentGen(
+      spark, s"$shardedRoot/shards/$sh")
+    val gensBefore = (0 until 4).map(genOf)
+    emb(Seq((102L, Seq(0f, 0f, 0f, 9f)), (106L, Seq(0f, 0f, 0f, 9.1f))))
+      .write.parquet(s"$base/delta")
+    assert(Tool.run(spark, Array("index-update", "--type=ivfflat-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    (0 until 4).foreach { sh =>
+      if (sh == 2) assert(genOf(sh) != gensBefore(sh), "shard 2 must advance")
+      else assert(genOf(sh) == gensBefore(sh), s"shard $sh must be untouched")
+    }
+    // the disjoint-id guard covers the sharded tier too
+    val replay = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-update", "--type=ivfflat-sharded", s"--path=$sharded",
+        s"--input=format=parquet file=$base/delta")))
+    assert(replay.getMessage.contains("already in the artifact"))
+    // describe reports the shard grid + occupancy skew
+    val d = Tool.run(spark, Array("index-describe", "--type=ivfflat-sharded",
+      s"--path=$sharded"))
+    assert(d.counters("shards") == 4L && d.counters("vectors") == 14L,
+      d.counters.toString)
+    assert(d.counters.contains("occupancy_skew_x100"))
+  }
+
+  test("CLI index-rebuild: describe-driven drift repair — refuses below --min-skew, retrains + CAS-swaps above it") {
+    import spark.implicits._
+    val base = tmpDir("idxrebuild")
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // train on blobs 0/1; the DRIFTED delta is a third blob the frozen
+    // codebook has no cell for
+    val trainSlice = emb((0 until 8).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + i * 0.01f
+      (i.toLong, v.toSeq)
+    })
+    trainSlice.write.parquet(s"$base/emb")
+    val path = s"$base/ivfflat"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$path", s"--input=format=parquet file=$base/emb",
+      "--centroids=2")).status == "SUCCEEDED")
+    emb((100 until 112).map(i =>
+      (i.toLong, Seq(0f, 0f, 10f + i * 0.001f, 0f))))
+      .write.parquet(s"$base/delta")
+    assert(Tool.run(spark, Array("index-update", "--type=ivfflat",
+      s"--path=$path", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    // the drifted delta piled into one cell: skew is now well above 1.3,
+    // so a --min-skew=99 rebuild refuses (naming the flag), and the
+    // artifact still serves
+    val refuse = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-rebuild", "--type=ivfflat", s"--path=$path",
+        "--centroids=3", "--min-skew=99")))
+    assert(refuse.getMessage.contains("--min-skew") &&
+      refuse.getMessage.contains("--force"), refuse.getMessage)
+    val genBefore = graft.sinks.ArtifactStore.currentGen(spark, path)
+    val r = Tool.run(spark, Array("index-rebuild", "--type=ivfflat",
+      s"--path=$path", "--centroids=3", "--min-skew=1.3"))
+    assert(r.status == "SUCCEEDED" && r.counters("skew_x100_before") >= 130L,
+      r.counters.toString)
+    assert(graft.sinks.ArtifactStore.currentGen(spark, path) != genBefore,
+      "rebuild must commit a new generation")
+    // rebuilt == fresh build on the union corpus (same centroids/iters):
+    // the retrained codebook separates the third blob into its own cell
+    val d = Tool.run(spark, Array("index-describe", "--type=ivfflat",
+      s"--path=$path"))
+    assert(d.counters("centroids") == 3L && d.counters("vectors") == 20L,
+      d.counters.toString)
+    assert(d.counters("occupancy_skew_x100") < 200L, d.counters.toString)
+    // only ivfflat rebuilds; composed tiers re-fit from the corpus
+    val bad = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-rebuild", "--type=ivfpq", s"--path=$path")))
+    assert(bad.getMessage.contains("index-build"), bad.getMessage)
+  }
+
+  test("CLI flat-tier serve gates: O(corpus) serves refuse past --max-flat-rows, naming the sublinear tier") {
+    import spark.implicits._
+    val base = tmpDir("idxflatgate")
+    val emb = (0L until 10L).map { i =>
+      (i, (0 until 4).map(j => if (j == (i % 4).toInt) 10f else 0.1f))
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    emb.write.parquet(s"$base/emb")
+    val in = s"format=parquet file=$base/emb"
+    // sq (flat 8-bit scan), pq (flat ADC scan), ivf (codebook-only:
+    // re-assigns the input corpus per batch) — each refuses past the
+    // bound and names its sublinear alternative
+    for ((tpe, alt, knobs) <- Seq(
+        ("sq", "ivfsq", Seq("--dim=4")),
+        ("pq", "ivfpq", Seq("--dim=4", "--m=2", "--k=2")),
+        ("ivf", "ivfflat", Seq("--centroids=2")))) {
+      val path = s"$base/$tpe"
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$path", s"--input=$in") ++ knobs).status == "SUCCEEDED")
+      val e = intercept[IllegalArgumentException](Tool.run(spark,
+        Array("index-serve", s"--type=$tpe", s"--path=$path",
+          s"--input=$in", s"--output=format=parquet file=$base/out-$tpe",
+          "--max-flat-rows=3") ++ knobs))
+      assert(e.getMessage.contains("EXHAUSTIVE") &&
+        e.getMessage.contains(alt) &&
+        e.getMessage.contains("--max-flat-rows"), s"$tpe: ${e.getMessage}")
+      // under the bound (default), the serve proceeds — no hash change
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$path", s"--input=$in",
+        s"--output=format=parquet file=$base/ok-$tpe") ++ knobs)
+        .status == "SUCCEEDED")
+      assert(spark.read.parquet(s"$base/ok-$tpe").count() > 0)
+    }
   }
 }

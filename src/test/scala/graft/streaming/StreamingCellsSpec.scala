@@ -394,7 +394,7 @@ class StreamingCellsSpec extends SparkSpec {
       q.processAllAvailable()
       // both micro-batches are in the FEED (merge-on-read), base untouched
       assert(table.hasPendingChanges && table.changeFeedStats._2 == 2L)
-      assert(spark.read.parquet(tableDir).count() == 1) // base: the bulk row only
+      assert(spark.read.parquet(live(tableDir)).count() == 1) // base: the bulk row only
       assert(table.cells.count() == 3)
       // a batch tombstone with upToTs >= the streamed puts masks them,
       // regardless of arrival order (pure (key, ts) resolution)

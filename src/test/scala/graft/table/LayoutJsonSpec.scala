@@ -89,7 +89,7 @@ class LayoutJsonSpec extends SparkSpec {
     ).toDF("entity_id", "family", "qualifier", "ts", "value")
     table.bulkLoad(cells, numPartitions = 2)
     // per-locality-group file sets on disk
-    val sub = new java.io.File(path).listFiles().map(_.getName).toSet
+    val sub = new java.io.File(live(path)).listFiles().map(_.getName).toSet
     assert(sub.contains("lg=default") && sub.contains("lg=memory"))
     // group-pruned read sees only its own families...
     assert(table.localityGroupCells("memory")

@@ -29,6 +29,7 @@ class TableDmlSpec extends SparkSpec {
     df.select("entity_id", "family", "qualifier", "ts").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
 
+
   test("reader specs: per-column decode at read; spec must bind to a requested column") {
     val dir = tmpDir("readerspec") + "/t"
     val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("f"))))
@@ -108,7 +109,7 @@ class TableDmlSpec extends SparkSpec {
     val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
     table.bulkLoad(cells, numPartitions = 2)
     def baseFiles: Set[(String, Long)] = {
-      val fs = Files.list(Paths.get(dir)).iterator()
+      val fs = Files.list(Paths.get(live(dir))).iterator()
       var out = Set.empty[(String, Long)]
       while (fs.hasNext) {
         val p = fs.next()
@@ -329,7 +330,7 @@ class TableDmlSpec extends SparkSpec {
     assert(table.changeFeedStats == ((0, 0L)))
     assert(keys(table.cells) == Set((1L, "grp", "email", 10L)))
     // and the staging dir did not survive as a visible artifact
-    val leftovers = Files.list(Paths.get(dir)).iterator()
+    val leftovers = Files.list(Paths.get(live(dir))).iterator()
     while (leftovers.hasNext) {
       val n = leftovers.next().getFileName.toString
       assert(n.startsWith("_") || n.startsWith(".") || n.endsWith(".parquet"),
@@ -343,7 +344,7 @@ class TableDmlSpec extends SparkSpec {
     table.appendChanges(good, numFiles = 0)
     val (files, rows) = table.changeFeedStats
     assert(files == 2 && rows == 2L, s"feed=($files, $rows)")
-    assert(Files.list(Paths.get(dir, "_changes")).iterator().asScala
+    assert(Files.list(Paths.get(live(dir), "_changes")).iterator().asScala
       .exists(_.getFileName.toString.startsWith("batch_")))
     assert(keys(table.cells) == Set(
       (1L, "grp", "email", 10L), (1L, "grp", "email", 30L),
@@ -387,11 +388,11 @@ class TableDmlSpec extends SparkSpec {
       (100L, "grp", "email", 20L), (101L, "grp", "email", 20L),
       (200L, "grp", "email", 20L), (201L, "grp", "email", 20L)))
     // exactly two committed batch dirs, no stray staging dirs
-    val names = Files.list(Paths.get(dir)).iterator().asScala
+    val names = Files.list(Paths.get(live(dir))).iterator().asScala
       .map(_.getFileName.toString).toSet
     assert(!names.exists(_.startsWith("__changes_stage_")),
       s"staging leaked: $names")
-    assert(Files.list(Paths.get(dir, "_changes")).iterator().asScala
+    assert(Files.list(Paths.get(live(dir), "_changes")).iterator().asScala
       .count(_.getFileName.toString.startsWith("batch_")) == 2)
   }
 
@@ -468,17 +469,17 @@ class TableDmlSpec extends SparkSpec {
     // a created-but-empty marker (old readMarker: NumberFormatException
     // on EVERY later append, batch lost; new: lenient fallback to the
     // feed max(arrival) scan — the stamps ARE the ground truth)
-    Files.write(Paths.get(dir, "_arrival_reserved"), Array.emptyByteArray)
+    Files.write(Paths.get(live(dir), "_arrival_reserved"), Array.emptyByteArray)
     table.appendChanges(changesDF(Seq(Dml.put(4L, "grp", "email", 20L, "d@x"))))
     val stamps = table.pendingChanges.select("arrival").collect()
       .map(_.getLong(0)).toSeq.sorted
     assert(stamps == Seq(1L, 2L, 3L), s"stamps=$stamps")
     // ...and the recovered append rewrote the marker atomically: parseable
     assert(new String(Files.readAllBytes(
-      Paths.get(dir, "_arrival_reserved")), "UTF-8").trim.toLong == 3L)
+      Paths.get(live(dir), "_arrival_reserved")), "UTF-8").trim.toLong == 3L)
     // a torn WATERMARK, by contrast, must fail loudly (absent would
     // silently lower a history barrier)
-    Files.write(Paths.get(dir, "_asof_watermark"), Array.emptyByteArray)
+    Files.write(Paths.get(live(dir), "_asof_watermark"), Array.emptyByteArray)
     val e = intercept[IllegalStateException] { table.asOfWatermark }
     assert(e.getMessage.contains("unreadable"))
   }
@@ -492,7 +493,7 @@ class TableDmlSpec extends SparkSpec {
       table.appendChanges(changesDF(Seq(
         Dml.put(10L + i, "grp", "email", 20L, s"b$i@x"))))
     }
-    def claims() = Files.list(Paths.get(dir)).iterator().asScala
+    def claims() = Files.list(Paths.get(live(dir))).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("_arrival_claim_")).toSet
     assert(claims() == Set("_arrival_claim_1", "_arrival_claim_2", "_arrival_claim_3"))
     table.compactFeed()
@@ -513,7 +514,7 @@ class TableDmlSpec extends SparkSpec {
     // Occupy the feed path with a regular FILE: staging write succeeds,
     // the commit rename into it cannot — the injected crash point between
     // a written batch and its rename landing.
-    Files.write(Paths.get(dir, "_changes"), Array[Byte](1))
+    Files.write(Paths.get(live(dir), "_changes"), Array[Byte](1))
     val batch = changesDF(Seq(
       Dml.put(2L, "grp", "email", 20L, "b@x"),
       Dml.put(3L, "grp", "email", 20L, "c@x")))
@@ -522,12 +523,12 @@ class TableDmlSpec extends SparkSpec {
     // nothing visible: no feed rows, merged view unchanged, staging gone
     assert(!table.hasPendingChanges)
     assert(keys(table.cells) == Set((1L, "grp", "email", 10L)))
-    val names = Files.list(Paths.get(dir)).iterator().asScala
+    val names = Files.list(Paths.get(live(dir))).iterator().asScala
       .map(_.getFileName.toString).toSet
     assert(!names.exists(_.startsWith("__changes_stage_")),
       s"staging survived the failed rename: $names")
     // clearing the obstruction restores normal service
-    Files.delete(Paths.get(dir, "_changes"))
+    Files.delete(Paths.get(live(dir), "_changes"))
     table.appendChanges(batch, numFiles = 0)
     assert(table.changeFeedStats == ((2, 2L)))
   }
@@ -544,7 +545,7 @@ class TableDmlSpec extends SparkSpec {
     assert(!table.hasPendingChanges, "compaction must consume the feed")
     assert(keys(table.cells) == merged, "compaction must not change the view")
     // tombstoned rows are physically gone from the base files
-    assert(spark.read.parquet(dir).filter($"entity_id" === 2L).count() == 0)
+    assert(spark.read.parquet(live(dir)).filter($"entity_id" === 2L).count() == 0)
   }
 
   test("merge-on-read: locality-group reads fold the feed; row tombstones hit every group") {
@@ -595,7 +596,7 @@ class TableDmlSpec extends SparkSpec {
     val table = new EntityTable(spark, dir, TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
     table.bulkLoad(cells, numPartitions = 2)
     def baseFiles: Set[(String, Long)] = {
-      val fs = Files.list(Paths.get(dir)).iterator()
+      val fs = Files.list(Paths.get(live(dir))).iterator()
       var out = Set.empty[(String, Long)]
       while (fs.hasNext) {
         val p = fs.next()
@@ -715,11 +716,19 @@ class TableDmlSpec extends SparkSpec {
     val dest = Paths.get(tmpDir("bulk"), "table").toString
     BulkSink.bulkLoad(cells, dest, 2, Seq("entity_id"),
       Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
-    assert(spark.read.parquet(dest).count() == 5)
-    // second load replaces contents; no staging/replaced dirs left behind
+    assert(spark.read.parquet(live(dest)).count() == 5)
+    // second load replaces contents via the pointer CAS; the displaced
+    // generation is retained ONE cycle for in-flight readers, then a
+    // third load sweeps it — never more than live+displaced on disk
     BulkSink.bulkLoad(cells.limit(2), dest, 2, Seq("entity_id"),
       Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
-    assert(spark.read.parquet(dest).count() == 2)
+    assert(spark.read.parquet(live(dest)).count() == 2)
+    BulkSink.bulkLoad(cells.limit(3), dest, 2, Seq("entity_id"),
+      Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
+    assert(spark.read.parquet(live(dest)).count() == 3)
+    val gens = Files.list(Paths.get(dest)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen_")).toList
+    assert(gens.size == 2, s"expected live+displaced, got: $gens")
     val parent = Paths.get(dest).getParent
     val leftovers = Files.list(parent).iterator()
     var names = List.empty[String]
@@ -736,14 +745,14 @@ class TableDmlSpec extends SparkSpec {
     intercept[java.io.IOException] {
       BulkSink.commit(spark, dest + ".__staging_nope", dest)
     }
-    assert(spark.read.parquet(dest).count() == 5)
+    assert(spark.read.parquet(live(dest)).count() == 5)
   }
 
   test("bulk sink: rows within files are sorted by the sort key") {
     val dest = Paths.get(tmpDir("bulksort"), "table").toString
     BulkSink.bulkLoad(cells, dest, 1, Seq("entity_id"),
       Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
-    val rows = spark.read.parquet(dest)
+    val rows = spark.read.parquet(live(dest))
       .select("entity_id", "family", "qualifier", "ts").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), -r.getLong(3)))
     assert(rows.toList == rows.toList.sorted)
@@ -800,5 +809,42 @@ class TableDmlSpec extends SparkSpec {
     t.applyChanges(changesDF(Seq(
       Dml.deleteRow(1L, Long.MaxValue, null.asInstanceOf[String]))))
     assert(t.cells.select("entity_id").as[Long].collect().forall(_ == 2L))
+  }
+
+  test("generation-CAS commits: a reader planned before a fold survives the swap; racing folds fail loudly, never silently") {
+    val dir = tmpDir("gencas") + "/t"
+    val table = new EntityTable(spark, dir,
+      TableLayout("t", Seq(FamilySpec("info"), FamilySpec("stats"))))
+    table.bulkLoad(cells, numPartitions = 2)
+    // plan a read against the CURRENT generation (plan-build resolves the
+    // pointer and lists files now), but do not execute it yet
+    val inFlight = table.cells.filter($"entity_id" === 1L)
+    // a physical fold swaps generations mid-"scan". Under the old
+    // two-rename swap the source directory vanished (FileNotFound /
+    // missing dir); under the pointer CAS the displaced generation is
+    // retained a full cycle, so the in-flight plan executes cleanly
+    // against complete on-disk files.
+    table.majorCompact()
+    assert(inFlight.count() == 3L,
+      "reader planned before the fold must survive the generation swap")
+    // ...and the new generation serves the same live view
+    assert(keys(table.cells) == keys(cells))
+    // exactly live + displaced generations on disk (retention one deep)
+    table.majorCompact()
+    val gens = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen_")).toList
+    assert(gens.size == 2, s"expected live+displaced, got: $gens")
+
+    // RACING FOLDS: writer A loads the pointer, writer B commits first;
+    // A's commit must fail LOUDLY (the old swap silently last-wrote-wins)
+    val loadedA = graft.sinks.ArtifactStore.currentGen(spark, dir)
+    val genA = graft.sinks.ArtifactStore.newGenDir(spark, dir, loadedA)
+    cells.write.parquet(genA) // A stages its fold
+    table.majorCompact()      // B lands first — pointer moved
+    val e = intercept[IllegalStateException](
+      graft.sinks.ArtifactStore.commitGen(spark, dir, genA, loadedA))
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // B's fold is live and intact
+    assert(keys(table.cells) == keys(cells))
   }
 }
