@@ -84,9 +84,9 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "ivfflat", "ivfpq", "ivfpqr", "pq", "sq", "ivfsq",
-      "bpe", "bm25", "unigram", "semdedup", "wordpiece", "decontam", "cdc",
-      "imi")
+    Set("lsh", "ivf", "ivfflat", "ivfflat-sharded", "ivfpq", "ivfpqr",
+      "pq", "sq", "ivfsq", "bpe", "bm25", "unigram", "semdedup",
+      "wordpiece", "decontam", "cdc", "imi")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -146,6 +146,14 @@ object IndexTool {
         Clustering.saveIvfFlatIndex(Clustering.buildIvfFlatIndex(
           embOf(input, flags), "vec_id", "embedding",
           num("centroids", 64), num("iters", Similarity.IvfCoarseIters)), path)
+      case "ivfflat-sharded" =>
+        // the 100 TB rewrite-unit layout: same index, postings split
+        // into --shards independent generational roots (n_id mod S) —
+        // an update rewrites only the shards its delta routes to
+        Clustering.saveIvfFlatSharded(Clustering.buildIvfFlatIndex(
+          embOf(input, flags), "vec_id", "embedding",
+          num("centroids", 64), num("iters", Similarity.IvfCoarseIters)),
+          path, num("shards", 4))
       case "ivfpq" =>
         // the composed compressed index: coarse codebook +
         // cell-partitioned lists + PQ codes/codebooks, no raw vectors
@@ -257,8 +265,8 @@ object IndexTool {
     * `add`) and its codes appended (q159). `ivfpq` composes the ivfflat
     * and pq adds over one delta pass (q161). */
   val UpdateTypes: Set[String] =
-    Set("lsh", "cdc", "bm25", "ivfflat", "semdedup", "pq", "ivfpq", "imi",
-      "sq", "ivfsq", "ivfpqr")
+    Set("lsh", "cdc", "bm25", "ivfflat", "ivfflat-sharded", "semdedup",
+      "pq", "ivfpq", "imi", "sq", "ivfsq", "ivfpqr")
 
   /** The index types whose persisted artifact can DROP a doc/vector set
     * (`index-remove` — the right-to-be-forgotten leg: a deleted
@@ -342,6 +350,48 @@ object IndexTool {
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
 
+  /** The index types with a RETRAIN-in-place repair (`index-rebuild`).
+    * Codebooks are frozen on add forever (the Faiss train/add
+    * contract), so occupancy skew accumulates under drifted ingestion —
+    * serve cost concentrates in few hot cells and recall decays.
+    * `index-describe` reports `occupancy_skew_x100`; this verb retrains
+    * the coarse codebook FROM THE INDEX'S OWN POSTINGS (exact scaled
+    * vectors — no re-supply of the corpus), re-assigns, and commits via
+    * the root pointer CAS. Rebuild == fresh build over the same vectors
+    * with the same (centroids, iters, salt) — bit-identical (q-verified),
+    * so a drifted index snaps back to the fresh-build contract. */
+  val RebuildTypes: Set[String] = Set("ivfflat")
+
+  def rebuild(spark: SparkSession, tpe: String, path: String,
+              flags: Map[String, String]): Map[String, Long] = {
+    require(RebuildTypes(tpe),
+      s"index-rebuild supports --type=${RebuildTypes.toSeq.sorted.mkString("|")} " +
+        s"only (got '$tpe'); tiers with fitted sub-codebooks (ivfpq|" +
+        s"ivfpqr|ivfsq) re-fit from the raw corpus — run index-build")
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    import graft.sinks.ArtifactStore
+    val loadedGen = ArtifactStore.currentGen(spark, path)
+    val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
+    val idx = Clustering.loadIvfFlatIndex(spark, base)
+    val skew = Clustering.postingsOccupancySkew(idx.postings)
+    // describe-driven trigger: refuse a retrain the occupancy does not
+    // justify (a full k-means over the corpus is the expensive step a
+    // scheduler should not fire by accident) — unless --force=true
+    val minSkew = flags.get("min-skew").map(_.toDouble).getOrElse(0.0)
+    require(skew >= minSkew || flags.get("force").contains("true"),
+      f"index-rebuild --type=$tpe: occupancy skew $skew%.2f is below " +
+        f"--min-skew=$minSkew%.2f — the codebook does not need a retrain " +
+        f"yet (watch index-describe's occupancy_skew_x100), or pass " +
+        f"--force=true to retrain anyway")
+    val rebuilt = Clustering.rebuildIvfFlatIndex(idx,
+      num("centroids", 64), num("iters", Similarity.IvfCoarseIters))
+    val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
+    Clustering.saveIvfFlatIndex(rebuilt, staging)
+    ArtifactStore.commitGen(spark, path, staging, loadedGen)
+    Map("skew_x100_before" -> (skew * 100).toLong,
+      "centroids" -> num("centroids", 64).toLong)
+  }
+
   /** The per-tier "ids already in the artifact" surface, for the
     * re-ingestion guard in [[update]]: one `id` column, drawn from the
     * artifact's per-doc/per-vector surface (one column scan, never
@@ -355,6 +405,8 @@ object IndexTool {
       .select(col("doc_id").as("id"))
     case "ivfflat" => Clustering.loadIvfFlatIndex(spark, base).postings
       .select(col("n_id").as("id"))
+    case "ivfflat-sharded" => Clustering.loadIvfFlatSharded(spark, base)
+      .postings.select(col("n_id").as("id"))
     case "semdedup" => Clustering.loadSemIndex(spark, base).assign
       .select(col("vid").as("id"))
     case "pq" => Clustering.loadPqIndex(spark, base).codes
@@ -420,6 +472,17 @@ object IndexTool {
           s"(index-remove) or pass --skip-disjoint-check=true if the " +
           s"scheduler guarantees disjoint deltas")
     }
+    if (tpe == "ivfflat-sharded") {
+      // sharded adds commit per-SHARD pointer CAS generations: only the
+      // shards the delta's ids route to are read or rewritten, and the
+      // artifact ROOT generation (codebook + shard set) never moves on
+      // an add — the rewrite unit at 100 TB is a shard, never the
+      // whole postings surface.
+      val touched = Clustering.updateIvfFlatSharded(spark, base,
+        embOf(input, flags), "vec_id", "embedding")
+      println(s"updated shards: ${touched.mkString(", ")}")
+      return
+    }
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
     tpe match {
       case "lsh" =>
@@ -474,6 +537,27 @@ object IndexTool {
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
 
+  /** Corpus-size gate on the EXHAUSTIVE serve tiers (flat sq/pq scans,
+    * and the legacy codebook-only ivf whose corpus is the input
+    * itself): their per-batch cost is O(corpus) BY DESIGN — measured
+    * growing with n while every inverted tier stays probe-bound
+    * (BASELINE.md's flat-vs-ivf slope tables). Mirrors the `semDedup`
+    * flat-form gate: past the bound, refuse loudly and name the
+    * sublinear tier; `--max-flat-rows` raises it deliberately for a
+    * one-off. */
+  val FlatServeMaxRows: Long = 1L << 22
+
+  private def gateFlatServe(tpe: String, rows: Long,
+                            flags: Map[String, String], alt: String): Unit = {
+    val maxRows = flags.get("max-flat-rows").map(_.toLong)
+      .getOrElse(FlatServeMaxRows)
+    require(rows <= maxRows,
+      s"index-serve --type=$tpe is an O(corpus) EXHAUSTIVE scan per " +
+        s"query batch: the corpus surface has $rows rows > $maxRows " +
+        s"(--max-flat-rows). At this size use the sublinear tier " +
+        s"($alt), or raise --max-flat-rows deliberately for a one-off")
+  }
+
   def serve(spark: SparkSession, tpe: String, input: DataFrame,
             path: String, flags: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
@@ -488,6 +572,10 @@ object IndexTool {
             num("num-hashes", 28), num("bands", 4), dbl("threshold", 0.6))
           .orderBy(col("new_doc"), col("dup_of"))
       case "ivf" =>
+        // the legacy codebook-only tier re-assigns its corpus (the
+        // INPUT) per batch — gate it like the other flat scans
+        gateFlatServe("ivf", input.count(), flags,
+          "ivfflat: persisted inverted lists, probed-cell serve")
         Similarity.knnIvfWith(embOf(input, flags), "vec_id", "embedding",
             Clustering.loadIvfCodebook(spark, path),
             num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
@@ -496,6 +584,16 @@ object IndexTool {
         // input supplies only the QUERY rows; the corpus side comes
         // from the persisted postings (pruned to the probed cells)
         Clustering.serveIvfFlat(Clustering.loadIvfFlatIndex(spark, path),
+            embOf(input, flags), "vec_id", "embedding",
+            num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
+          .orderBy(col("q_id"), col("rank"))
+      case "ivfflat-sharded" =>
+        // per-shard probe unioned before the shared top-k — reproduces
+        // the single-artifact serve bit-for-bit (equal postings sets,
+        // deterministic rerank); each shard keeps its own
+        // probed-cell partition pruning
+        Clustering.serveIvfFlat(Clustering.loadIvfFlatSharded(spark,
+              graft.sinks.ArtifactStore.resolve(spark, path)),
             embOf(input, flags), "vec_id", "embedding",
             num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
@@ -530,7 +628,10 @@ object IndexTool {
               .orderBy(col("q_id"), col("rank"))
         }
       case "pq" =>
-        Clustering.pqSearchIndex(Clustering.loadPqIndex(spark, path),
+        val pqIdx = Clustering.loadPqIndex(spark, path)
+        gateFlatServe("pq", pqIdx.codes.count(), flags,
+          "ivfpq/ivfpqr: probed-cell ADC")
+        Clustering.pqSearchIndex(pqIdx,
             embOf(input, flags), "vec_id", "embedding",
             num("dim", 64) / num("m", 8), num("max-query-id", 20).toLong,
             num("topk", 3))
@@ -538,7 +639,10 @@ object IndexTool {
       case "sq" =>
         // queries come from the input, bounds + codes from the
         // artifact: exact integer L2 in code space over one flat scan
-        Clustering.serveSq(Clustering.loadSqIndex(spark, path),
+        val sqIdx = Clustering.loadSqIndex(spark, path)
+        gateFlatServe("sq", sqIdx.codes.count(), flags,
+          "ivfsq: probed-cell SQ ranking")
+        Clustering.serveSq(sqIdx,
             embOf(input, flags), "vec_id", "embedding",
             num("max-query-id", 20).toLong, num("topk", 3))
           .orderBy(col("q_id"), col("rank"))
@@ -735,7 +839,27 @@ object IndexTool {
             idx.lanes.select(col("cluster")).distinct().count(),
           "vectors" -> st.getLong(1),
           "occupied_cells" -> st.getLong(0),
-          "largest_cell" -> st.getLong(2))
+          "largest_cell" -> st.getLong(2),
+          // the rebuild trigger: max cell / mean cell (×100 — counters
+          // are integral), derived from the SAME occupancy agg (no
+          // second scan); drifted ingestion under a frozen codebook
+          // drives this up, index-rebuild --type=ivfflat repairs it
+          "occupancy_skew_x100" -> (if (st.getLong(1) == 0L) 0L
+            else st.getLong(2) * st.getLong(0) * 100L / st.getLong(1)))
+      case "ivfflat-sharded" =>
+        val base = graft.sinks.ArtifactStore.resolve(spark, path)
+        val idx = Clustering.loadIvfFlatSharded(spark, base)
+        val st = idx.postings.groupBy(col("c_id")).count()
+          .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L)),
+            coalesce(max(col("count")), lit(0L))).head()
+        Seq("centroids" ->
+            idx.lanes.select(col("cluster")).distinct().count(),
+          "shards" -> Clustering.shardedNumShards(spark, base).toLong,
+          "vectors" -> st.getLong(1),
+          "occupied_cells" -> st.getLong(0),
+          "largest_cell" -> st.getLong(2),
+          "occupancy_skew_x100" -> (if (st.getLong(1) == 0L) 0L
+            else st.getLong(2) * st.getLong(0) * 100L / st.getLong(1)))
       case "imi" =>
         val idx = Clustering.loadImiIndex(spark, path)
         val st = idx.postings.groupBy(col("c_id")).count()

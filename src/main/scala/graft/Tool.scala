@@ -99,7 +99,8 @@ object Tool {
       // losing per-group file splitting and compression. Reads would stay
       // correct (family-name fallback) but the storage layout degrades.
       if (flags.get("layout").isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(tablePath)
+        val p = new org.apache.hadoop.fs.Path(
+          graft.sinks.ArtifactStore.resolve(spark, tablePath))
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val grouped = fs.exists(p) && fs.listStatus(p).exists(s =>
           s.isDirectory && s.getPath.getName.startsWith("lg="))
@@ -162,7 +163,7 @@ object Tool {
 
     if (verb == "index-build" || verb == "index-serve" ||
         verb == "index-update" || verb == "index-remove" ||
-        verb == "index-describe") {
+        verb == "index-describe" || verb == "index-rebuild") {
       val tpe = flag("type")
       val path = flag("path")
       val start = System.currentTimeMillis()
@@ -176,6 +177,17 @@ object Tool {
           "SUCCEEDED", counters, None)
         // --history records like every other index verb: describe's
         // counters are exactly what the job-history table stores
+        flags.get("history").foreach(p => new JobHistory(spark, p)
+          .record(result, Map("type" -> tpe, "path" -> path)))
+        return result
+      }
+      if (verb == "index-rebuild") {
+        // describe-driven drift repair: retrain the coarse codebook
+        // from the index's own postings + CAS swap (IndexTool.rebuild)
+        val counters = IndexTool.rebuild(spark, tpe, path, flags)
+        val result = JobResult(java.util.UUID.randomUUID().toString,
+          flags.getOrElse("name", s"index-rebuild-$tpe"), start,
+          System.currentTimeMillis(), "SUCCEEDED", counters, None)
         flags.get("history").foreach(p => new JobHistory(spark, p)
           .record(result, Map("type" -> tpe, "path" -> path)))
         return result
@@ -224,7 +236,11 @@ object Tool {
         .map(graft.table.LayoutJson.parseFile)
         .getOrElse(graft.table.TableLayout(tablePath, Seq.empty))
       val table = new graft.table.EntityTable(spark, tablePath, layout)
-      val p = new org.apache.hadoop.fs.Path(tablePath)
+      // list the LIVE generation only — walking the root of a
+      // generational table would double-count the retained displaced
+      // generation's files
+      val resolved = graft.sinks.ArtifactStore.resolve(spark, tablePath)
+      val p = new org.apache.hadoop.fs.Path(resolved)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
         if (!fs.exists(dir)) Seq.empty
@@ -240,6 +256,9 @@ object Tool {
         .map(_.getPath.getName.stripPrefix("lg="))
       val (feedFiles, feedRows) = table.changeFeedStats
       println(s"table: $tablePath")
+      graft.sinks.ArtifactStore.currentGen(spark, tablePath).foreach(g =>
+        println(s"live generation: $g (pointer-CAS commits; displaced " +
+          s"generation retained one cycle)"))
       println(s"base: files=${base.length} bytes=${base.map(_.getLen).sum}")
       if (groups.nonEmpty) println(s"locality groups: ${groups.sorted.mkString(", ")}")
       println(s"change feed: files=$feedFiles rows=$feedRows" +
@@ -414,6 +433,8 @@ object Tool {
       |        == rebuild/re-assign on the remaining corpus)
       |   | graft.Tool index-describe --type=<...> --path=<dir>
       |       (artifact surfaces + sizes; run around an index-update)
+      |   | graft.Tool index-rebuild --type=ivfflat --path=<dir>
+      |       [--centroids=N --iters=N --min-skew=R --force=true]
       |   | graft.Tool index-gc --path=<dir> [--all=true|false] [--grace-ms=N]
       |       (sweep non-live generations left by crashed writers;
       |        keeps the retained displaced generation unless --all)

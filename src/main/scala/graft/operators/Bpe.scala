@@ -249,10 +249,16 @@ object Bpe {
     * aggregated word set fits the driver cap (one cheap count of an
     * already-aggregated table), distributed windows past it. Outputs are
     * identical either way (the trainLocal == train parity property), so
-    * callers — and the SQL oracle — never observe which path ran. */
-  def trainAuto(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) = {
+    * callers — and the SQL oracle — never observe which path ran.
+    * `maxLocalWords` parameterizes the cap for callers whose corpus is
+    * known to exceed the driver budget (and for the q179 correctness
+    * query, which pins the DISTRIBUTED trainer against the oracle by
+    * forcing the routing past the local path). */
+  def trainAuto(wordFreq: DataFrame, merges: Int,
+                maxLocalWords: Long = MaxLocalWords.toLong)
+      : (Seq[Merge], DataFrame) = {
     val persisted = OperatorCaches.register(wordFreq.persist())
-    if (persisted.count() <= MaxLocalWords) trainLocal(persisted, merges)
+    if (persisted.count() <= maxLocalWords) trainLocal(persisted, merges)
     else train(persisted, merges)
   }
 

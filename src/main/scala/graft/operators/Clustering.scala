@@ -1736,7 +1736,8 @@ object Clustering {
   def buildIvfFlatIndex(emb: DataFrame, idCol: String, vecCol: String,
                         numCentroids: Int,
                         iters: Int = Similarity.IvfCoarseIters,
-                        salt: String = Similarity.IvfCoarseSalt)
+                        salt: String = Similarity.IvfCoarseSalt,
+                        attrCols: Seq[String] = Nil)
       : IvfFlatIndex = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1746,8 +1747,8 @@ object Clustering {
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
         .toSeq
     val lanes = laneRows.toDF("cluster", "pos", "cval", "n")
-    IvfFlatIndex(lanes, Similarity.ivfPostings(emb, idCol, vecCol,
-      Similarity.centroidSetFromLanes(lanes)))
+    IvfFlatIndex(lanes, Similarity.ivfPostingsAttrs(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(lanes), attrCols))
   }
 
   /** Persist: lanes funnel to one file (bounded ≤ MaxCentroids·dim
@@ -1755,11 +1756,18 @@ object Clustering {
     * inverted-list layout — `repartition(c_id)` then `partitionBy(c_id)`
     * writes ONE file per cell directory, and the cell directories are
     * what serve-time dynamic partition pruning skips. */
+  /** Postings columns beyond the core quadruple are metadata attributes
+    * ([[Similarity.ivfPostingsAttrs]]) — preserved through save/load so
+    * a filtered serve can push its predicate into the pruned scan. */
+  private def postingsAttrCols(postings: DataFrame): Seq[String] =
+    postings.columns.toSeq.filterNot(Set("n_id", "nv", "nn", "c_id"))
+
   def saveIvfFlatIndex(idx: IvfFlatIndex, path: String): Unit = {
     idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
     idx.postings
-      .select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+      .select(Seq(col("n_id"), col("nv"), col("nn")) ++
+        postingsAttrCols(idx.postings).map(col) :+ col("c_id"): _*)
       .repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/postings")
   }
@@ -1768,10 +1776,11 @@ object Clustering {
                        p0: String): IvfFlatIndex = {
     import org.apache.spark.sql.types.LongType
     val path = graft.sinks.ArtifactStore.resolve(spark, p0)
+    val raw = spark.read.parquet(s"$path/postings")
     IvfFlatIndex(spark.read.parquet(s"$path/lanes"),
-      spark.read.parquet(s"$path/postings")
-        .select(col("n_id"), col("nv"), col("nn"),
-          col("c_id").cast(LongType).as("c_id")))
+      raw.select(Seq(col("n_id"), col("nv"), col("nn")) ++
+        postingsAttrCols(raw).map(col) :+
+        col("c_id").cast(LongType).as("c_id"): _*))
   }
 
   /** ADD a delta batch: kernel-assign it against the LOADED (fixed)
@@ -1783,8 +1792,9 @@ object Clustering {
   def updateIvfFlatIndex(idx: IvfFlatIndex, delta: DataFrame,
                          idCol: String, vecCol: String): IvfFlatIndex =
     IvfFlatIndex(idx.lanes,
-      idx.postings.unionByName(Similarity.ivfPostings(delta, idCol, vecCol,
-        Similarity.centroidSetFromLanes(idx.lanes))))
+      idx.postings.unionByName(Similarity.ivfPostingsAttrs(delta, idCol,
+        vecCol, Similarity.centroidSetFromLanes(idx.lanes),
+        postingsAttrCols(idx.postings))))
 
   /** REMOVE a vector set from the inverted lists (right-to-be-forgotten
     * on the ANN tier): anti-join the postings on `n_id` — fitted
@@ -1794,7 +1804,8 @@ object Clustering {
   def removeFromIvfFlatIndex(idx: IvfFlatIndex, removedIds: DataFrame)
       : IvfFlatIndex =
     idx.copy(postings = idx.postings
-      .select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+      .select(Seq(col("n_id"), col("nv"), col("nn")) ++
+        postingsAttrCols(idx.postings).map(col) :+ col("c_id"): _*)
       .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
         "left_anti"))
 
@@ -2031,6 +2042,230 @@ object Clustering {
     * worth it (and the probe join filters regardless; only scan pruning
     * is lost). */
   val ServeCellFilterCap = 4096
+
+  /** FILTERED ANN search — the production predicate+vector query
+    * (`lang = 'en' AND knn(...)`): `pred` is a metadata predicate over
+    * attribute columns materialized in the postings
+    * ([[Similarity.ivfPostingsAttrs]] / `buildIvfFlatIndex(attrCols)`).
+    * The predicate composes INSIDE the probed-cell scan — both the
+    * `c_id IN (...)` partition filter and the attribute filter reach
+    * the parquet reader (PushedFilters; plan-asserted in
+    * ClusteringSpec), so a selective filter shrinks I/O instead of
+    * post-filtering reranked rows. PRE-filtering the candidate pool
+    * also protects recall: filter-then-rank returns k matching rows,
+    * while rank-then-filter (the naive compose) silently returns fewer
+    * than k whenever non-matching neighbors crowd the top-k — on the
+    * matching subset, filtered recall ≥ unfiltered by construction. */
+  def serveIvfFlatFiltered(idx: IvfFlatIndex, emb: DataFrame,
+                           idCol: String, vecCol: String, maxQueryId: Long,
+                           nprobe: Int, k: Int,
+                           pred: org.apache.spark.sql.Column): DataFrame = {
+    val queries = Similarity.ivfProbeQueries(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(idx.lanes), maxQueryId, nprobe)
+    val cells = collectProbedCells(queries)
+    val pruned =
+      if (cells.length <= ServeCellFilterCap)
+        idx.postings.filter(col("c_id").isInCollection(cells))
+      else idx.postings
+    Similarity.ivfRerank(pruned.filter(pred), queries, k)
+  }
+
+  // ─────────────────────── sharded ivfflat artifact ───────────────────────
+
+  /** Shard a persisted [[IvfFlatIndex]] so the REWRITE UNIT is a shard,
+    * not the whole artifact: at 100 TB a single postings surface cannot
+    * be rebuilt or rewritten as a unit — an update that folds one
+    * delta must not rewrite a corpus-sized parquet dataset. Layout:
+    *
+    * {{{
+    * path/lanes/                 # the shared frozen codebook (bounded)
+    * path/meta/                  # num_shards (1 row)
+    * path/shards/<s>/            # one generational root PER SHARD
+    *   _gen_current, gen_<n>_<uuid>/c_id=<cell>/...
+    * }}}
+    *
+    * Shard routing is `n_id mod numShards` — deterministic, so a delta
+    * touches exactly the shards its ids route to, and
+    * [[updateIvfFlatSharded]] commits ONLY those shards' generations
+    * (per-shard pointer CAS; untouched shards keep their generation,
+    * concurrent single-shard updates of DIFFERENT shards cannot race).
+    * Every shard keeps the inverted-list `partitionBy(c_id)` layout, so
+    * the probed-cell pruning applies per shard; the serve is a
+    * per-shard probe UNIONED before the shared top-k rerank, which
+    * reproduces the single-artifact serve bit-for-bit (postings sets
+    * are equal; the rerank is deterministic). */
+  def saveIvfFlatSharded(idx: IvfFlatIndex, path: String,
+                         numShards: Int): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val spark = idx.lanes.sparkSession
+    import spark.implicits._
+    idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
+    Seq(numShards).toDF("num_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // ONE corpus scan writes every shard's inverted-list layout
+    // (partitionBy(shard, c_id)), then each shard=<s> subtree is RENAMED
+    // into that shard's fresh generation — S metadata moves instead of S
+    // corpus scans. (Not S concurrent per-shard jobs: concurrently
+    // executing plans that share this postings plan's expression
+    // instances is unsafe — `scaled` is a higher-order `transform` whose
+    // NamedLambdaVariable carries per-evaluation mutable state, and the
+    // race was OBSERVED cross-wiring (n_id, c_id) pairs in this very
+    // write before the single-scan form replaced it.)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"$path/__shards_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      idx.postings
+        .select(col("n_id"), col("nv"), col("nn"),
+          pmod(col("n_id"), lit(numShards.toLong)).as("shard"), col("c_id"))
+        .repartition(col("shard"), col("c_id"))
+        .write.mode("overwrite").partitionBy("shard", "c_id").parquet(staging)
+      (0 until numShards).foreach { sh =>
+        val src = new org.apache.hadoop.fs.Path(s"$staging/shard=$sh")
+        val shardRoot = s"$path/shards/$sh"
+        import graft.sinks.ArtifactStore
+        val loaded = ArtifactStore.currentGen(spark, shardRoot)
+        val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
+        if (fs.exists(src)) {
+          fs.mkdirs(new org.apache.hadoop.fs.Path(shardRoot))
+          require(fs.rename(src, new org.apache.hadoop.fs.Path(gen)),
+            s"saveIvfFlatSharded: cannot stage $src as generation $gen")
+        } else
+          // an id range can leave a shard EMPTY — persist an empty
+          // postings set (c_id as a DATA column: a zero-row partitioned
+          // write leaves no readable schema behind) so load/serve see a
+          // complete shard grid
+          idx.postings.limit(0)
+            .select(col("n_id"), col("nv"), col("nn"),
+              col("c_id").cast(org.apache.spark.sql.types.LongType)
+                .as("c_id"))
+            .coalesce(1).write.mode("overwrite").parquet(gen)
+        ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** Write one shard's postings as a fresh generation of its OWN
+    * generational root and flip that shard's pointer (CAS) — the
+    * single-shard commit both [[saveIvfFlatSharded]] and
+    * [[updateIvfFlatSharded]] go through. */
+  private def commitShardPostings(spark: org.apache.spark.sql.SparkSession,
+                                  shardRoot: String,
+                                  postings: DataFrame): Unit = {
+    import graft.sinks.ArtifactStore
+    val loaded = ArtifactStore.currentGen(spark, shardRoot)
+    val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
+    postings.select(col("n_id"), col("nv"), col("nn"), col("c_id"))
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(gen)
+    ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
+  }
+
+  def shardedNumShards(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getInt(0)
+
+  /** Load the sharded artifact as a regular [[IvfFlatIndex]]: union of
+    * the per-shard live generations. Each union branch keeps its own
+    * probed-cell partition pruning, so serve cost stays O(probed cells)
+    * per shard. */
+  def loadIvfFlatSharded(spark: org.apache.spark.sql.SparkSession,
+                         path: String): IvfFlatIndex = {
+    import org.apache.spark.sql.types.LongType
+    val postings = (0 until shardedNumShards(spark, path)).map { sh =>
+      spark.read.parquet(
+          graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+        .select(col("n_id"), col("nv"), col("nn"),
+          col("c_id").cast(LongType).as("c_id"))
+    }.reduce(_ unionByName _)
+    IvfFlatIndex(spark.read.parquet(s"$path/lanes"), postings)
+  }
+
+  /** Fold a delta into the sharded artifact, rewriting ONLY the shards
+    * the delta's ids route to — each touched shard commits its own
+    * generation (per-shard CAS), untouched shards are not read or
+    * written. Assignment runs once against the shared frozen codebook
+    * (the Faiss add); the delta is tiny by contract, so its distinct
+    * touched-shard set (≤ numShards values) collects driver-side.
+    * Returns the touched shard ids. */
+  def updateIvfFlatSharded(spark: org.apache.spark.sql.SparkSession,
+                           path: String, delta: DataFrame,
+                           idCol: String, vecCol: String): Seq[Int] = {
+    import org.apache.spark.sql.types.LongType
+    val numShards = shardedNumShards(spark, path)
+    val lanes = spark.read.parquet(s"$path/lanes")
+    val assigned = OperatorCaches.register(
+      Similarity.ivfPostings(delta, idCol, vecCol,
+          Similarity.centroidSetFromLanes(lanes))
+        .withColumn("shard",
+          pmod(col("n_id").cast(LongType), lit(numShards.toLong))
+            .cast("int"))
+        .persist())
+    val touched = assigned.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    touched.foreach { sh =>
+      val shardRoot = s"$path/shards/$sh"
+      val existing = spark.read.parquet(
+          graft.sinks.ArtifactStore.resolve(spark, shardRoot))
+        .select(col("n_id"), col("nv"), col("nn"),
+          col("c_id").cast(LongType).as("c_id"))
+      commitShardPostings(spark, shardRoot,
+        existing.unionByName(assigned.filter(col("shard") === sh)
+          .drop("shard")))
+    }
+    touched
+  }
+
+  // ───────────────────────── ivfflat rebuild ─────────────────────────
+
+  /** Per-cell occupancy skew of an inverted-list surface:
+    * max(cell size) / mean(cell size) over non-empty cells. Codebooks
+    * are frozen on add forever (the Faiss train/add contract), so
+    * drifted ingestion concentrates new vectors in few cells — serve
+    * cost grows toward O(corpus/probed-skewed-cell) and recall decays.
+    * `index-describe` reports this; [[rebuildIvfFlatIndex]] repairs it. */
+  def postingsOccupancySkew(postings: DataFrame): Double = {
+    val r = postings.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double").as("mx"),
+        avg(col("n")).as("mean")).head()
+    if (r.isNullAt(0) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** RETRAIN the coarse codebook from the index's own postings and
+    * re-assign them — the drift repair for a frozen-codebook index.
+    * Postings store the EXACT scaled-int vectors (`nv` =
+    * `scaled(embedding)`), so training from them through the
+    * `preScaled` Lloyd path is bit-identical to a fresh
+    * [[buildIvfFlatIndex]] over the union corpus with the same
+    * (k, iters, salt): rebuild == fresh build, which is exactly what a
+    * drifted index has diverged from. Commit via the artifact root's
+    * pointer CAS (the CLI `index-rebuild` verb). */
+  def rebuildIvfFlatIndex(idx: IvfFlatIndex, numCentroids: Int,
+                          iters: Int = Similarity.IvfCoarseIters,
+                          salt: String = Similarity.IvfCoarseSalt)
+      : IvfFlatIndex = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val vs = OperatorCaches.register(idx.postings
+      .select(Seq(col("n_id"), col("nv"), col("nn")) ++
+        postingsAttrCols(idx.postings).map(col): _*).persist())
+    val laneRows = kmeansFit(vs, "n_id", "nv", numCentroids, iters, salt,
+        preScaled = true).lanes
+      .select(col("cluster"), col("pos"), col("cval"), col("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val lanes = laneRows.toDF("cluster", "pos", "cval", "n")
+    val cents = Similarity.centroidSetFromLanes(lanes)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    // re-assign from the already-scaled vectors (nn is exact and rides
+    // along) — one kernel pass, no join
+    val postings = vs.withColumn("c_id",
+      element_at(columnOf(graft.plans.NearestCentroids(
+        expressionOf(col("nv")), expressionOf(col("nn")), cents, 1)), 1))
+    IvfFlatIndex(lanes, postings)
+  }
 
   /** The composed Faiss-IVFPQ artifact — the production 100 TB ANN
     * shape: coarse codebook (`coarseLanes`) + cell-partitioned inverted

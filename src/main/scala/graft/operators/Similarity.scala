@@ -382,8 +382,22 @@ object Similarity {
     * kernel-assign + append, and the result equals assigning the union
     * from scratch. */
   def ivfPostings(emb: DataFrame, idCol: String, vecCol: String,
-                  cents: graft.plans.IvfCentroids): DataFrame = {
-    val sv = emb.select(col(idCol).as("n_id"), scaled(col(vecCol)).as("nv"))
+                  cents: graft.plans.IvfCentroids): DataFrame =
+    ivfPostingsAttrs(emb, idCol, vecCol, cents, Nil)
+
+  /** [[ivfPostings]] carrying metadata columns (`attrCols`) through onto
+    * the postings rows — the storage side of FILTERED ANN search:
+    * production retrieval is almost always predicate+vector (`lang =
+    * 'en' AND knn(...)`), and a filter column materialized IN the
+    * inverted lists lets the serve path push the predicate into the
+    * probed-cell scan instead of joining a metadata table per query
+    * batch. Attributes ride as plain parquet columns, so min/max stats
+    * prune and the filter lands in the scan's PushedFilters. */
+  def ivfPostingsAttrs(emb: DataFrame, idCol: String, vecCol: String,
+                       cents: graft.plans.IvfCentroids,
+                       attrCols: Seq[String]): DataFrame = {
+    val sv = emb.select(col(idCol).as("n_id") +: scaled(col(vecCol)).as("nv") +:
+        attrCols.map(col): _*)
       .withColumn("nn", vnorm(col("nv")))
     sv.withColumn("c_id",
       element_at(nearestCentroids(cents, col("nv"), col("nn"), 1), 1))

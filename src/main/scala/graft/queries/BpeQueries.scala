@@ -307,6 +307,41 @@ object BpeQueries {
        |FROM documents doc JOIN dtok dt ON dt.doc_id = doc.doc_id
        |GROUP BY doc.lang ORDER BY lang""".stripMargin
 
+  // ── q179: DISTRIBUTED trainer forced past the driver cap — the
+  // local merge loop refuses a word set above `maxLocalWords`
+  // (collectWordFreq's guard), so the 100 TB-shaped corpus here (the
+  // real documents plus a 20k-unique-word synthetic tail, routed with
+  // the cap pinned at 4096) runs `Bpe.train`'s windowed relational
+  // rounds end-to-end. The oracle replays the SAME union corpus through
+  // the same trainer chain, so the distributed path — not just the
+  // local one q95 exercises at this SF — is hash-pinned. ───────────────
+  val DistTrainCap = 4096L
+  val DistTailWords = 20000
+
+  val q179_bpe_distributed_train: Q = (s, d) => {
+    import s.implicits._
+    val tail = s.range(DistTailWords).select(
+      (lit(1000000L) + $"id").as("doc_id"),
+      concat(lit("zq"), $"id".cast("string")).as("text"))
+    val corpus = docs(s, d).select($"doc_id", $"text").unionByName(tail)
+    val wf = Bpe.wordFreq(Bpe.docWords(corpus, "doc_id", "text"))
+    val (merges, _) = Bpe.trainAuto(wf, BpeMerges,
+      maxLocalWords = DistTrainCap)
+    merges.toDF().select($"step", $"lhs", $"rhs", $"cnt").orderBy($"step")
+  }
+  lazy val q179_sql: String = {
+    val union = s"""(SELECT doc_id, text FROM documents
+       |   UNION ALL
+       |   SELECT 1000000 + r AS doc_id, 'zq' || CAST(r AS VARCHAR) AS text
+       |   FROM range($DistTailWords) t(r))""".stripMargin
+    val steps = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${trainerSqlFrom(union)}
+       |SELECT step, lhs, rhs, cnt FROM ($steps)
+       |WHERE lhs <> '' ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q95_bpe_vocab" -> q95_bpe_vocab,
     "q96_bpe_encode" -> q96_bpe_encode,
@@ -314,6 +349,7 @@ object BpeQueries {
     "q99_bpe_pack_shards" -> q99_bpe_pack_shards,
     "q112_bpe_vocab_persist" -> q112_bpe_vocab_persist,
     "q147_tokenizer_fertility" -> q147_tokenizer_fertility,
+    "q179_bpe_distributed_train" -> q179_bpe_distributed_train,
   )
   val oracleSql: Map[String, String] = Map(
     "q95_bpe_vocab" -> q95_sql,
@@ -325,5 +361,6 @@ object BpeQueries {
     // serve-from-persisted-vocabulary must reproduce q96/q97 exactly
     "q112_bpe_vocab_persist" -> q96_sql,
     "q147_tokenizer_fertility" -> q147_sql,
+    "q179_bpe_distributed_train" -> q179_sql,
   )
 }

@@ -1109,6 +1109,139 @@ object VectorQueries {
        |WHERE rank <= $IvfK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ── q175: SHARDED inverted-file artifact — the 100 TB rewrite-unit
+  // layout: the same trained index persisted as one generational root
+  // PER SHARD (n_id mod 4) under a shared frozen codebook, serve =
+  // per-shard probe UNIONED before the shared top-k. Postings sets are
+  // equal and the rerank is deterministic, so the shard-merged serve
+  // must reproduce the single-artifact serve (q156) bit-for-bit: the
+  // oracle IS q45's SQL. ────────────────────────────────────────────────
+  val q175_ivfflat_sharded: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfflatsh", d)
+    graft.operators.Clustering.saveIvfFlatSharded(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        emb, "vec_id", "embedding", 1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.serveIvfFlat(
+        graft.operators.Clustering.loadIvfFlatSharded(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q176: sharded UPDATE — q157's train/add split where the add
+  // rewrites ONLY the shards the delta routes to (per-shard pointer
+  // CAS; untouched shards keep their generation). The postings monoid
+  // is unchanged, so the served search still equals a fresh assignment
+  // of the union under the slice-trained codebook: the oracle IS
+  // q157's SQL. ─────────────────────────────────────────────────────────
+  val q176_ivfflat_shard_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfflatshup", d)
+    graft.operators.Clustering.saveIvfFlatSharded(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.updateIvfFlatSharded(s, path,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    graft.operators.Clustering.serveIvfFlat(
+        graft.operators.Clustering.loadIvfFlatSharded(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q177: FILTERED ANN — the production predicate+vector query
+  // (`label = 3 AND knn(...)`): the label column is materialized IN the
+  // postings at build time, and the serve composes the predicate into
+  // the probed-cell scan (PushedFilters — plan-asserted in
+  // ClusteringSpec) so the candidate pool is PRE-filtered: every query
+  // still gets k matching neighbors (rank-then-filter would silently
+  // return fewer). The oracle replays codebook, assignment, probing and
+  // the label-restricted rerank bit-for-bit. ────────────────────────────
+  val FilterLabel = 3
+
+  val q177_ivfflat_filtered: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfflatfil", d)
+    graft.operators.Clustering.saveIvfFlatIndex(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        emb, "vec_id", "embedding", 1 << ivfBits(s, d),
+        attrCols = Seq("label")),
+      path)
+    graft.operators.Clustering.serveIvfFlatFiltered(
+        graft.operators.Clustering.loadIvfFlatIndex(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK,
+        pred = col("label") === FilterLabel)
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q177_sql: String = {
+    def cos(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, Dim)
+    s"""WITH $sqlIvfParams, sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm,
+       |    CAST(label AS INT) AS label
+       |  FROM embeddings
+       |), ${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM ivfp)",
+          Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
+       |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
+       |assigned AS (
+       |  SELECT n_id, nv, nn, label, c_id FROM (
+       |    SELECT s.vid AS n_id, s.v AS nv, s.nrm AS nn, s.label, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vid
+       |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM sv s CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT q_id, qv, qn, c_id FROM (
+       |    SELECT q.vid AS q_id, q.v AS qv, q.nrm AS qn, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM sv q CROSS JOIN cent c WHERE q.vid < $IvfMaxQueryId)
+       |  WHERE rn <= $IvfNprobe
+       |), scored AS (
+       |  SELECT p.q_id, a.n_id, ${cos("p.qv", "a.nv", "p.qn", "a.nn")} AS cos
+       |  FROM probes p JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |  WHERE a.label = $FilterLabel
+       |)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM scored)
+       |WHERE rank <= $IvfK ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ── q178: index REBUILD — the drift repair for a frozen codebook:
+  // train on the 90% slice, ADD the rest (q157's drifted-ingestion
+  // shape), then `rebuildIvfFlatIndex` retrains the codebook FROM THE
+  // INDEX'S OWN POSTINGS (exact scaled vectors — no corpus re-supply)
+  // and re-assigns. Rebuild == fresh build over the union with the same
+  // (k, iters, salt) bit-for-bit, so the served search equals the
+  // never-drifted q45/q156 search: the oracle IS q45's SQL. CLI:
+  // `index-rebuild --type=ivfflat` (describe-driven via
+  // occupancy_skew_x100). ───────────────────────────────────────────────
+  val q178_ivfflat_rebuild: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val stale = graft.operators.Clustering.updateIvfFlatIndex(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        1 << ivfBits(s, d)),
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    val path = QueryTmp.dir("ivfflatreb", d)
+    graft.operators.Clustering.saveIvfFlatIndex(
+      graft.operators.Clustering.rebuildIvfFlatIndex(
+        stale, 1 << ivfBits(s, d)),
+      path)
+    graft.operators.Clustering.serveIvfFlat(
+        graft.operators.Clustering.loadIvfFlatIndex(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
   // ── q166: the inverted MULTI-index (IMI) — the two-level coarse
   // quantizer that holds the cell count on the √n ladder while the FIT
   // cost stops tracking it: each vector half trains its own small
@@ -2111,6 +2244,10 @@ object VectorQueries {
     "q111_ivf_index_persist" -> q111_ivf_index_persist,
     "q156_ivfflat_persist" -> q156_ivfflat_persist,
     "q157_ivfflat_update" -> q157_ivfflat_update,
+    "q175_ivfflat_sharded" -> q175_ivfflat_sharded,
+    "q176_ivfflat_shard_update" -> q176_ivfflat_shard_update,
+    "q177_ivfflat_filtered" -> q177_ivfflat_filtered,
+    "q178_ivfflat_rebuild" -> q178_ivfflat_rebuild,
     "q158_semdedup_index_update" -> q158_semdedup_index_update,
     "q159_pq_index_update" -> q159_pq_index_update,
     "q160_ivfpq_index_persist" -> q160_ivfpq_index_persist,
@@ -2155,6 +2292,10 @@ object VectorQueries {
     // serve-from-persisted-postings must reproduce q45 exactly
     "q156_ivfflat_persist" -> q45_sql,
     "q157_ivfflat_update" -> q157_sql,
+    "q175_ivfflat_sharded" -> q45_sql,
+    "q176_ivfflat_shard_update" -> q157_sql,
+    "q177_ivfflat_filtered" -> q177_sql,
+    "q178_ivfflat_rebuild" -> q45_sql,
     "q158_semdedup_index_update" -> q158_sql,
     "q159_pq_index_update" -> q159_sql,
     // serve-from-the-composed-compressed-artifact must reproduce q94

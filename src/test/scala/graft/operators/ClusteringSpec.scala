@@ -673,6 +673,120 @@ class ClusteringSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("sharded ivfflat: shard-merged serve == single-artifact serve; an update rewrites ONLY the routed shards") {
+    import graft.sinks.ArtifactStore
+    val idx = Clustering.buildIvfFlatIndex(blobs, "vec_id", "embedding", 3, 2)
+    val single = tmpDir("ivfsh_single")
+    val sharded = tmpDir("ivfsh") + "/art"
+    Clustering.saveIvfFlatIndex(idx, single)
+    Clustering.saveIvfFlatSharded(idx, sharded, numShards = 4)
+    // shard-merged serve reproduces the single-artifact serve bit-for-bit
+    def serveOf(i: Clustering.IvfFlatIndex) =
+      Clustering.serveIvfFlat(i, blobs, "vec_id", "embedding",
+        maxQueryId = 6L, nprobe = 1, k = 3)
+        .orderBy($"q_id", $"rank").collect().toSeq
+    assert(serveOf(Clustering.loadIvfFlatSharded(spark, sharded)) ==
+      serveOf(Clustering.loadIvfFlatIndex(spark, single)))
+    // shard routing is n_id mod numShards — a delta whose ids all route
+    // to shard 2 must advance ONLY shard 2's generation
+    def genOf(sh: Int): Option[String] =
+      ArtifactStore.currentGen(spark, s"$sharded/shards/$sh")
+    val before = (0 until 4).map(genOf)
+    assert(before.forall(_.isDefined))
+    val delta = Seq((102L, Seq(0f, 0f, 0f, 9f)), (106L, Seq(0f, 0f, 0f, 9.1f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val touched = Clustering.updateIvfFlatSharded(spark, sharded, delta,
+      "vec_id", "embedding")
+    assert(touched == Seq(2), s"expected only shard 2 touched: $touched")
+    (0 until 4).foreach { sh =>
+      if (sh == 2) assert(genOf(sh) != before(sh), "shard 2 must advance")
+      else assert(genOf(sh) == before(sh), s"shard $sh must be untouched")
+    }
+    // the updated sharded serve equals a fresh union assignment serve
+    // under the same frozen codebook
+    val unionPostings = graft.operators.Similarity.ivfPostings(
+      blobs.unionByName(delta), "vec_id", "embedding",
+      graft.operators.Similarity.centroidSetFromLanes(idx.lanes))
+    assert(serveOf(Clustering.loadIvfFlatSharded(spark, sharded)) ==
+      serveOf(Clustering.IvfFlatIndex(idx.lanes, unionPostings)))
+  }
+
+  test("filtered ANN serve: predicate composes into the pruned postings scan; filtered top-k == brute-filtered top-k") {
+    // attribute = blob id (the lattice axis): a production `lang = 'en'`
+    // style metadata column materialized in the postings
+    val attributed = blobs.withColumn("label", ($"vec_id" % 3).cast("int"))
+    val path = tmpDir("ivfflat_filt")
+    Clustering.saveIvfFlatIndex(Clustering.buildIvfFlatIndex(
+      attributed, "vec_id", "embedding", 3, 2, attrCols = Seq("label")), path)
+    val loaded = Clustering.loadIvfFlatIndex(spark, path)
+    assert(loaded.postings.columns.contains("label"),
+      "attribute column must survive the save/load roundtrip")
+    val served = Clustering.serveIvfFlatFiltered(loaded, blobs,
+      "vec_id", "embedding", maxQueryId = 3L, nprobe = 3, k = 3,
+      pred = $"label" === 0)
+    // every hit satisfies the predicate, and with nprobe = all cells the
+    // result equals the exact filtered top-k (brute force on label-0 rows)
+    val rows = served.orderBy($"q_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty && rows.forall(_._3 % 3 == 0),
+      s"non-matching neighbor served: $rows")
+    import graft.functions.VectorFunctions.{scaled, vnorm, cosineFromNorms}
+    val sv = blobs.select($"vec_id", scaled($"embedding").as("v"))
+      .withColumn("nrm", vnorm($"v"))
+    val brute = sv.filter($"vec_id" < 3).select($"vec_id".as("q_id"),
+        $"v".as("qv"), $"nrm".as("qn"))
+      .crossJoin(sv.filter($"vec_id" % 3 === 0).select($"vec_id".as("n_id"),
+        $"v".as("nv"), $"nrm".as("nn")))
+      .filter($"n_id" =!= $"q_id")
+      .select($"q_id", $"n_id",
+        cosineFromNorms($"qv", $"nv", $"qn", $"nn").as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"cos".desc, $"n_id".asc)))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSeq
+    assert(rows == brute, s"filtered serve $rows != brute $brute")
+    // the predicate reaches the postings SCAN (PushedFilters), alongside
+    // the probed-cell partition pruning — filter I/O, don't post-filter
+    val plan = Clustering.serveIvfFlatFiltered(loaded, blobs,
+      "vec_id", "embedding", 1L, 1, 3, $"label" === 0)
+    val scans = plan.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(scans.nonEmpty, "no postings scan")
+    assert(scans.head.partitionFilters.map(_.toString).exists(_.contains("c_id")),
+      s"probed-cell pruning lost: ${scans.head.partitionFilters}")
+    assert(scans.head.dataFilters.map(_.toString).exists(_.contains("label")),
+      s"label predicate not pushed to the scan: ${scans.head.dataFilters}")
+  }
+
+  test("rebuildIvfFlatIndex: drift repair == fresh build on the union, bit-for-bit") {
+    // drift: train the codebook on blobs 0/1 only, then ADD blob 2 —
+    // the frozen codebook has no cell for it, so its vectors pile into
+    // the nearest existing cells (occupancy skew grows)
+    val trainSlice = blobs.filter($"vec_id" % 3 =!= 2)
+    val drifted = blobs.filter($"vec_id" % 3 === 2)
+    val idx0 = Clustering.buildIvfFlatIndex(trainSlice, "vec_id", "embedding", 2, 2)
+    val stale = Clustering.updateIvfFlatIndex(idx0, drifted, "vec_id", "embedding")
+    // rebuild from the index's OWN postings (no corpus re-supply)
+    val rebuilt = Clustering.rebuildIvfFlatIndex(stale, numCentroids = 3, iters = 2)
+    val fresh = Clustering.buildIvfFlatIndex(blobs, "vec_id", "embedding", 3, 2)
+    def lanesOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(lanesOf(rebuilt.lanes) == lanesOf(fresh.lanes),
+      "rebuilt codebook must be bit-identical to a fresh fit on the union")
+    def postingsOf(idx: Clustering.IvfFlatIndex) =
+      idx.postings.select($"n_id", $"c_id".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postingsOf(rebuilt) == postingsOf(fresh))
+    // and the rebuild recovered the coverage the stale codebook lost:
+    // the fresh/rebuilt fit separates all 3 blobs
+    assert(rebuilt.lanes.select($"cluster").distinct().count() == 3L)
+  }
+
   test("IMI roundtrip: served search survives save/load; scan prunes to probed composed cells") {
     import spark.implicits._
     // every HALF carries energy (a zero half has no cosine): even blob
