@@ -84,20 +84,83 @@ object RecallBench {
     imi.postings.write.format("noop").mode("overwrite").save()
     val imiBuildSec = (System.nanoTime() - tImi) / 1e9
 
-    // ground truth: exact cosine top-k for the same query batch
-    val truth = Similarity.knnExact(emb, "vec_id", "embedding", maxQ, topK)
-      .select(col("q_id"), col("n_id")).collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) =>
-        q -> rs.map(_.getLong(1)).toSet }
-    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+    // ground truth: exact cosine top-k for the same query batch; the
+    // corpus side is parameterized so the FILTERED-serve row can score
+    // against subset-restricted truth with the same queries
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{scaled, vnorm, cosineFromNorms}
+    def exactTruth(corpus: org.apache.spark.sql.DataFrame)
+        : Map[Long, Set[Long]] = {
+      val sc = corpus.select(col("vec_id").as("n_id"),
+          scaled(col("embedding")).as("nv"))
+        .withColumn("nn", vnorm(col("nv")))
+      val qs = emb.filter(col("vec_id") < maxQ)
+        .select(col("vec_id").as("q_id"), scaled(col("embedding")).as("qv"))
+        .withColumn("qn", vnorm(col("qv")))
+      sc.join(broadcast(qs), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosineFromNorms(col("qv"), col("nv"), col("qn"), col("nn"))
+            .as("cos"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)))
+        .filter(col("rank") <= topK)
+        .select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+    }
+    val truth = exactTruth(emb)
+    def recallAgainst(df: org.apache.spark.sql.DataFrame,
+                      t: Map[Long, Set[Long]]): Double = {
       val got = df.select(col("q_id"), col("n_id")).collect()
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSet }
-      val per = truth.map { case (q, t) =>
-        got.get(q).map(g => (g intersect t).size.toDouble / t.size)
+      val per = t.map { case (q, ts) =>
+        got.get(q).map(g => (g intersect ts).size.toDouble / ts.size)
           .getOrElse(0.0) }
-      per.sum / truth.size
+      per.sum / t.size
     }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      recallAgainst(df, truth)
+
+    // FILTERED serve (predicate+vector): truth restricted to the
+    // matching subset. The claim under measure: pre-filtering INSIDE
+    // the probed scan (serveIvfFlatFiltered) beats the naive
+    // rank-then-filter compose, whose top-k loses every slot a
+    // non-matching neighbor crowded out.
+    val attEmb = emb.withColumn("att", pmod(col("vec_id"), lit(4L)))
+    val flatAtt = Clustering.buildIvfFlatIndex(attEmb, "vec_id",
+      "embedding", kCoarse, attrCols = Seq("att"))
+    val truthF = exactTruth(emb.filter(pmod(col("vec_id"), lit(4L)) === 0))
+    val npF = 4
+    val rFilterPre = recallAgainst(Clustering.serveIvfFlatFiltered(
+      flatAtt, emb, "vec_id", "embedding", maxQ, npF, topK,
+      col("att") === 0), truthF)
+    val rFilterPost = recallAgainst(Clustering.serveIvfFlat(
+      flatAtt, emb, "vec_id", "embedding", maxQ, npF, topK)
+      .filter(pmod(col("n_id"), lit(4L)) === 0), truthF)
+    System.err.println(
+      f"filtered(att=0, nprobe=$npF) pre=$rFilterPre%.3f post=$rFilterPost%.3f")
+
+    // DRIFT + REBUILD: train the codebook on one half-space (first
+    // coordinate < 0), ADD the other half as a drifted delta — no cell
+    // tracks the unseen region, so recall sags; rebuildIvfFlatIndex
+    // (retrain from the index's own postings) must recover it to the
+    // fresh-fit level.
+    val firstCoord = element_at(col("embedding"), 1)
+    val stale = Clustering.updateIvfFlatIndex(
+      Clustering.buildIvfFlatIndex(emb.filter(firstCoord < 0f),
+        "vec_id", "embedding", kCoarse),
+      emb.filter(firstCoord >= 0f), "vec_id", "embedding")
+    val rStale = recallOf(Clustering.serveIvfFlat(stale, emb,
+      "vec_id", "embedding", maxQ, npF, topK))
+    val tReb = System.nanoTime()
+    val rebuilt = Clustering.rebuildIvfFlatIndex(stale, kCoarse)
+    rebuilt.postings.write.format("noop").mode("overwrite").save()
+    val rebuildSec = (System.nanoTime() - tReb) / 1e9
+    val rRebuilt = recallOf(Clustering.serveIvfFlat(rebuilt, emb,
+      "vec_id", "embedding", maxQ, npF, topK))
+    System.err.println(f"drift(nprobe=$npF) stale=$rStale%.3f " +
+      f"rebuilt=$rRebuilt%.3f (rebuild $rebuildSec%.1f s)")
 
     // the compressed-flat tier: no nprobe axis (sq scans everything),
     // one number isolating pure 8-bit per-lane quantization loss +
@@ -150,6 +213,11 @@ object RecallBench {
       s""""flat_build_sec":${f"$flatBuildSec%.2f"},""" +
       s""""imi_build_sec":${f"$imiBuildSec%.2f"},""" +
       s""""sq_flat_recall":${f"$rSq%.3f"},""" +
+      s""""filtered_pre":${f"$rFilterPre%.3f"},""" +
+      s""""filtered_post":${f"$rFilterPost%.3f"},""" +
+      s""""drift_stale":${f"$rStale%.3f"},""" +
+      s""""drift_rebuilt":${f"$rRebuilt%.3f"},""" +
+      s""""rebuild_sec":${f"$rebuildSec%.2f"},""" +
       s""""by_nprobe":{${rows.mkString(",")}}}""")
     spark.stop()
   }

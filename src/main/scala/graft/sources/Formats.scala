@@ -71,8 +71,15 @@ object Formats {
       case "kiji" => readKijiTable(spark, kv)
       case "htable" => throw new UnsupportedOperationException(
         "format=htable (raw HBase table input, HTableMapReduceJobInput) is " +
-          "out of scope: this engine has no live HBase cluster to scan — " +
-          "use format=kiji over a bulk-loaded table instead")
+          "PERMANENTLY out of scope (SURVEY §2.2): this engine has no live " +
+          "HBase cluster to scan, and an HBase connector would be its only " +
+          "consumer. Migration recipe for live HBase data: (1) snapshot-" +
+          "export the table to cell files (HBase's Export / a one-off " +
+          "TableInputFormat dump of (rowkey, family, qualifier, ts, value) " +
+          "rows as parquet); (2) bulk-load them here (graft.Tool bulk-load " +
+          "--hfiles=<export> --table=<path>, or EntityTable.bulkLoad); " +
+          "(3) read with format=kiji table=<path> — every scan feature " +
+          "(column pruning, maxversions, timerange, as-of) applies")
       case other => throw new IllegalArgumentException(s"unknown format '$other'")
     }
   }

@@ -454,10 +454,14 @@ class ToolSpec extends SparkSpec {
     assert(printed.contains("writer exclusivity"), printed)
   }
 
-  test("format=htable input fails with an explicit out-of-scope message") {
+  test("format=htable input fails with an explicit out-of-scope message carrying the migration recipe") {
     val e = intercept[UnsupportedOperationException](
       graft.sources.Formats.read(spark, "format=htable table=whatever"))
     assert(e.getMessage.contains("out of scope"))
+    // permanent exclusion (SURVEY §2.2) with the concrete path off HBase:
+    // export → bulk-load → format=kiji
+    assert(e.getMessage.contains("bulk-load") &&
+      e.getMessage.contains("format=kiji"), e.getMessage)
   }
 
   test("CLI index tier: build/serve round-trips one artifact per type") {
@@ -1581,6 +1585,89 @@ class ToolSpec extends SparkSpec {
     et.compactFeed()
     assert(et.cells.count() == cellsBefore)
     assert(tableDocs.filter($"doc_id" === 11L).count() == 1L)
+  }
+
+  test("ingestion-day crash-retry: a crash between tier updates, then a naive full retry — per-artifact CAS + disjoint guard make the retry exactly-once per tier") {
+    import spark.implicits._
+    // Two parallel universes with IDENTICAL builds and the same delta:
+    // `clean` applies one update pass; `crash` applies the delta to the
+    // first 3 tiers, "crashes", and then a scheduler RETRIES THE WHOLE
+    // BATCH over all 7 tiers. The disjoint-id guard refuses exactly the
+    // already-updated tiers (loudly, nothing written — the generation
+    // pointer proves it), the rest apply — so the retry converges to
+    // the clean run without the scheduler tracking per-tier progress.
+    val base = tmpDir("crashretry")
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    Seq((0L, "spark join hash table scan"), (1L, "row batch filter merge"),
+      (2L, "slow order vector line"), (3L, "window group sort key"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Seq((10L, "novel fresh unseen content"), (11L, "more arriving words here"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docsDelta")
+    emb((0 until 9).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v.toSeq)
+    }).write.parquet(s"$base/emb")
+    emb(Seq((200L, Seq(0f, 0f, 10f, 0f)), (201L, Seq(0f, 0f, 10.05f, 0f))))
+      .write.parquet(s"$base/embDelta")
+    val tiers = Seq(
+      ("lsh", "docs", Seq("--shingle-n=2")),
+      ("cdc", "docs", Seq("--avg-mask=3")),
+      ("bm25", "docs", Seq.empty),
+      ("ivfflat", "emb", Seq("--centroids=2")),
+      ("ivfpq", "emb", Seq("--dim=4", "--m=2", "--k=2", "--centroids=2")),
+      ("pq", "emb", Seq("--dim=4", "--m=2", "--k=2")),
+      ("sq", "emb", Seq("--dim=4")))
+    for (universe <- Seq("clean", "crash"); (tpe, in, knobs) <- tiers)
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$base/$universe/$tpe",
+        s"--input=format=parquet file=$base/$in") ++ knobs)
+        .status == "SUCCEEDED")
+    def updateOf(universe: String, tpe: String, in: String,
+                 knobs: Seq[String]) =
+      Tool.run(spark, Array("index-update", s"--type=$tpe",
+        s"--path=$base/$universe/$tpe",
+        s"--input=format=parquet file=$base/${in}Delta") ++ knobs)
+    // the clean single pass
+    for ((tpe, in, knobs) <- tiers)
+      assert(updateOf("clean", tpe, in, knobs).status == "SUCCEEDED")
+    // the crashing pass: first 3 tiers land, then the day dies
+    for ((tpe, in, knobs) <- tiers.take(3))
+      assert(updateOf("crash", tpe, in, knobs).status == "SUCCEEDED")
+    // naive full retry over ALL tiers: already-updated ones refuse
+    // (replayed-batch guard), pending ones apply
+    var refused = List.empty[String]
+    for ((tpe, in, knobs) <- tiers) {
+      try { updateOf("crash", tpe, in, knobs) }
+      catch { case e: IllegalArgumentException =>
+        assert(e.getMessage.contains("already in the artifact"),
+          s"$tpe: wrong refusal: ${e.getMessage}")
+        refused ::= tpe
+      }
+    }
+    assert(refused.reverse == tiers.take(3).map(_._1).toList,
+      s"exactly the pre-crash tiers must refuse the replay: $refused")
+    // convergence: every tier's artifact state equals the clean run —
+    // same describe counters (docs/vectors/rows and generation health)
+    for ((tpe, _, _) <- tiers) {
+      val clean = IndexTool.describe(spark, tpe, s"$base/clean/$tpe")
+      val crash = IndexTool.describe(spark, tpe, s"$base/crash/$tpe")
+      assert(clean == crash, s"$tpe: clean=$clean crash=$crash")
+    }
+    // and a served search through the retried universe matches clean
+    def serveIvf(universe: String): Seq[Seq[Any]] = {
+      val out = s"$base/serve-$universe"
+      assert(Tool.run(spark, Array("index-serve", "--type=ivfflat",
+        s"--path=$base/$universe/ivfflat",
+        s"--input=format=parquet file=$base/embDelta",
+        s"--output=format=parquet file=$out",
+        "--max-query-id=201", "--nprobe=2", "--topk=3"))
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.toSeq).toSeq
+    }
+    assert(serveIvf("crash") == serveIvf("clean"))
   }
 
   test("CLI sharded ANN tier: build/serve/update/describe; the update advances only the routed shards' generations") {
