@@ -1143,8 +1143,9 @@ class ToolSpec extends SparkSpec {
     val probe = Seq((20L, "spark join hash table scan batch"),
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
-    (IndexTool.UpdateTypes -- Set("ivfflat", "semdedup", "pq", "ivfpq",
-        "imi", "sq", "ivfsq", "ivfpqr")) // vector-typed tiers have their own fixtures below / in the imi and sq tests
+    (IndexTool.UpdateTypes -- Set("ivfflat", "ivfflat-sharded", "semdedup",
+        "pq", "ivfpq",
+        "imi", "sq", "ivfsq", "ivfpqr")) // vector-typed tiers have their own fixtures below / in the imi, sq, and sharded tests
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
       val full = s"$base/$tpe-full"
