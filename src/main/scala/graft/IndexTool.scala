@@ -282,8 +282,8 @@ object IndexTool {
     * the rollup alone was NOT invertible (its `min first_doc` is
     * unrecoverable once its witness is deleted). */
   val RemoveTypes: Set[String] =
-    Set("lsh", "bm25", "cdc", "ivfflat", "ivfpq", "pq", "semdedup", "imi",
-      "sq", "ivfsq", "ivfpqr")
+    Set("lsh", "bm25", "cdc", "ivfflat", "ivfflat-sharded", "ivfpq", "pq",
+      "semdedup", "imi", "sq", "ivfsq", "ivfpqr")
 
   /** `index-remove`: load the artifact, drop the ids in the input
     * batch, and commit a new generation through the same pointer
@@ -308,6 +308,14 @@ object IndexTool {
     import graft.sinks.ArtifactStore
     val loadedGen = ArtifactStore.currentGen(spark, path)
     val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
+    if (tpe == "ivfflat-sharded") {
+      // sharded removals commit per-SHARD generations (only the shards
+      // the removed ids route to are read or rewritten) — the root
+      // generation never moves, mirroring the sharded add
+      val touched = Clustering.removeFromIvfFlatSharded(spark, base, vecIds)
+      println(s"removed from shards: ${touched.mkString(", ")}")
+      return
+    }
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
     tpe match {
       case "lsh" =>
@@ -960,7 +968,8 @@ object IndexTool {
     * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
-      "ivfflat", "ivfpq", "pq", "bm25", "imi", "sq", "ivfsq", "ivfpqr")
+      "ivfflat", "ivfflat-sharded", "ivfpq", "pq", "bm25", "imi", "sq",
+      "ivfsq", "ivfpqr")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -1063,6 +1072,16 @@ object IndexTool {
               num("max-query-id", 20).toLong, num("nprobe", 2),
               num("topk", 3)), batchId)
         }
+      case "ivfflat-sharded" =>
+        // shard union loaded once; per-batch serve == the batch verb
+        val idx = Clustering.loadIvfFlatSharded(spark,
+          graft.sinks.ArtifactStore.resolve(spark, path))
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Clustering.serveIvfFlat(idx, batch, "vec_id", "embedding",
+              num("max-query-id", 20).toLong, num("nprobe", 2),
+              num("topk", 3)), batchId)
+        }
       case "imi" =>
         val idx = Clustering.loadImiIndex(spark, path)
         embOf(stream, flags).writeStream.foreachBatch {
@@ -1073,6 +1092,10 @@ object IndexTool {
         }
       case "pq" =>
         val idx = Clustering.loadPqIndex(spark, path)
+        // the O(corpus)-per-batch gate applies to the STREAMED flat
+        // serves too (each micro-batch pays the full codes scan)
+        gateFlatServe("pq", idx.codes.count(), flags,
+          "ivfpq/ivfpqr: probed-cell ADC")
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(Clustering.pqSearchIndex(idx, batch, "vec_id", "embedding",
@@ -1083,6 +1106,8 @@ object IndexTool {
         // bounds + codes loaded once; each micro-batch is a query batch
         // encoded against the fixed lanes and ranked per q_id
         val idx = Clustering.loadSqIndex(spark, path)
+        gateFlatServe("sq", idx.codes.count(), flags,
+          "ivfsq: probed-cell SQ ranking")
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(Clustering.serveSq(idx, batch, "vec_id", "embedding",

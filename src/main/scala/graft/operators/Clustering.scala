@@ -2204,16 +2204,98 @@ object Clustering {
         .persist())
     val touched = assigned.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    touched.foreach { sh =>
-      val shardRoot = s"$path/shards/$sh"
-      val existing = spark.read.parquet(
-          graft.sinks.ArtifactStore.resolve(spark, shardRoot))
+    if (touched.isEmpty) return touched
+    // ONE staged write covers every touched shard (existing rows of the
+    // touched shards unioned with the delta's, re-laid-out
+    // partitionBy(shard, c_id)), then per-shard renames + pointer CAS —
+    // the save-path economics instead of one read+write job per shard.
+    // Untouched shards are never read or written.
+    val existingTouched = touched.map { sh =>
+      spark.read.parquet(
+          graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
         .select(col("n_id"), col("nv"), col("nn"),
           col("c_id").cast(LongType).as("c_id"))
-      commitShardPostings(spark, shardRoot,
-        existing.unionByName(assigned.filter(col("shard") === sh)
-          .drop("shard")))
-    }
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging =
+      s"$path/__shards_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      existingTouched
+        .unionByName(assigned.select(col("n_id"), col("nv"), col("nn"),
+          col("c_id"), col("shard")))
+        .repartition(col("shard"), col("c_id"))
+        .write.mode("overwrite").partitionBy("shard", "c_id")
+        .parquet(staging)
+      touched.foreach { sh =>
+        val shardRoot = s"$path/shards/$sh"
+        import graft.sinks.ArtifactStore
+        val loaded = ArtifactStore.currentGen(spark, shardRoot)
+        val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
+        val src = new org.apache.hadoop.fs.Path(s"$staging/shard=$sh")
+        require(fs.exists(src), // touched ⇒ at least the delta's rows exist
+          s"updateIvfFlatSharded: staged shard $sh missing at $src")
+        require(fs.rename(src, new org.apache.hadoop.fs.Path(gen)),
+          s"updateIvfFlatSharded: cannot stage $src as generation $gen")
+        ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    touched
+  }
+
+  /** REMOVE a vector set from the sharded artifact (right-to-be-
+    * forgotten): anti-join within the shards the removed ids route to —
+    * the same one-staged-write + per-shard CAS economics as
+    * [[updateIvfFlatSharded]]; untouched shards are never read or
+    * written. A shard emptied by the removal persists as an explicit
+    * empty postings set (the save path's empty-shard form). Returns the
+    * touched shard ids. */
+  def removeFromIvfFlatSharded(spark: org.apache.spark.sql.SparkSession,
+                               path: String, removedIds: DataFrame)
+      : Seq[Int] = {
+    import org.apache.spark.sql.types.LongType
+    val numShards = shardedNumShards(spark, path)
+    val ids = OperatorCaches.register(removedIds
+      .select(col("n_id").cast(LongType).as("n_id")).distinct()
+      .withColumn("shard",
+        pmod(col("n_id"), lit(numShards.toLong)).cast("int"))
+      .persist())
+    val touched = ids.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val existingTouched = touched.map { sh =>
+      spark.read.parquet(
+          graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+        .select(col("n_id"), col("nv"), col("nn"),
+          col("c_id").cast(LongType).as("c_id"))
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging =
+      s"$path/__shards_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      existingTouched
+        .join(ids.select(col("n_id")), Seq("n_id"), "left_anti")
+        .repartition(col("shard"), col("c_id"))
+        .write.mode("overwrite").partitionBy("shard", "c_id")
+        .parquet(staging)
+      touched.foreach { sh =>
+        val shardRoot = s"$path/shards/$sh"
+        import graft.sinks.ArtifactStore
+        val loaded = ArtifactStore.currentGen(spark, shardRoot)
+        val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
+        val src = new org.apache.hadoop.fs.Path(s"$staging/shard=$sh")
+        if (fs.exists(src))
+          require(fs.rename(src, new org.apache.hadoop.fs.Path(gen)),
+            s"removeFromIvfFlatSharded: cannot stage $src as generation $gen")
+        else // the removal emptied the shard — persist an explicit empty set
+          existingTouched.limit(0).drop("shard")
+            .coalesce(1).write.mode("overwrite").parquet(gen)
+        ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     touched
   }
 

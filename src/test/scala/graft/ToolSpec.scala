@@ -1727,6 +1727,31 @@ class ToolSpec extends SparkSpec {
     assert(d.counters("shards") == 4L && d.counters("vectors") == 14L,
       d.counters.toString)
     assert(d.counters.contains("occupancy_skew_x100"))
+    // STREAMED serve == batch serve (the corpus side lives in the shards)
+    val streamOut = s"$base/stream-out"
+    assert(Tool.run(spark, Array("index-serve", "--type=ivfflat-sharded",
+      "--stream=true", s"--path=$sharded",
+      s"--input=format=parquet file=$base/emb",
+      s"--output=format=parquet file=$streamOut",
+      "--max-query-id=4", "--nprobe=1", "--topk=3")).status == "SUCCEEDED")
+    assert(spark.read.parquet(streamOut).drop("batch")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq ==
+      serveOf("ivfflat-sharded", sharded, "sh2"))
+    // REMOVE (right-to-be-forgotten): ids 102/106 route to shard 2 only;
+    // after removal they stop matching and only shard 2's gen advanced
+    val gensBeforeRm = (0 until 4).map(genOf)
+    assert(Tool.run(spark, Array("index-remove", "--type=ivfflat-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    (0 until 4).foreach { sh =>
+      if (sh == 2) assert(genOf(sh) != gensBeforeRm(sh))
+      else assert(genOf(sh) == gensBeforeRm(sh), s"shard $sh must hold")
+    }
+    val served = serveOf("ivfflat-sharded", sharded, "postrm")
+    assert(!served.exists(r => r(2) == 102L || r(2) == 106L),
+      s"removed ids still served: $served")
+    // removed == the pre-update state (add then remove of the same ids)
+    assert(served == serveOf("ivfflat", flat, "flat2"))
   }
 
   test("CLI index-rebuild: describe-driven drift repair — refuses below --min-skew, retrains + CAS-swaps above it") {
