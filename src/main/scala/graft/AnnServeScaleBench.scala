@@ -138,6 +138,19 @@ object AnnServeScaleBench {
           dim = 64, m = 8, maxQueryId, nprobe, topK)
         .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
 
+    // SHARDED layout of the SAME index (8 generational shard roots,
+    // shared codebook): serve is the per-shard probe union — expected
+    // to TRACK serve_pruned across the corpus doubling (equal postings
+    // sets; each shard keeps its own probed-cell pruning, so the only
+    // delta is fixed per-scan listing overhead, not data)
+    val shPath = s"/tmp/annservescale_sh_${System.nanoTime()}"
+    Clustering.saveIvfFlatSharded(idx, shPath, numShards = 8)
+    val shIdx = Clustering.loadIvfFlatSharded(spark, shPath)
+    val sharded = timeMin2(() =>
+      Clustering.serveIvfFlat(shIdx, emb, "vec_id", "embedding",
+          maxQueryId, nprobe, topK)
+        .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
+
     // recall@topK vs exact brute force for the same query batch — the
     // quality side of the speed numbers (nprobe=2 of k cells; ADC adds
     // quantization error on top of the probe miss rate)
@@ -181,6 +194,7 @@ object AnnServeScaleBench {
       s""""serve_sq_sec":${f"$sqServe%.2f"},""" +
       s""""serve_ivfsq_sec":${f"$ivfSqServe%.2f"},""" +
       s""""serve_ivfpqr_sec":${f"$pqrServe%.2f"},""" +
+      s""""serve_sharded_sec":${f"$sharded%.2f"},""" +
       s""""recall":{$curve,"sq":${f"$sqRecall%.3f"}}}""")
     spark.stop()
   }
