@@ -86,7 +86,7 @@ object IndexTool {
   val Types: Set[String] =
     Set("lsh", "ivf", "ivfflat", "ivfflat-sharded", "ivfpq", "ivfpqr",
       "pq", "sq", "ivfsq", "bpe", "bm25", "unigram", "semdedup",
-      "wordpiece", "decontam", "cdc", "imi")
+      "wordpiece", "decontam", "cdc", "imi", "hybrid")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -131,6 +131,11 @@ object IndexTool {
                         path: String, flags: Map[String, String]): Unit = {
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     tpe match {
+      case "hybrid" => throw new IllegalArgumentException(
+        "--type=hybrid is a SERVE-time composite (reciprocal-rank fusion " +
+          "of a bm25 artifact at --path with an ivfflat artifact at " +
+          "--dense-path) — build/update/remove the two artifacts " +
+          "separately with their own types")
       case "lsh" =>
         Dedup.saveLshIndex(Dedup.bandedSignaturesTiled(
           shingled(docsOf(input, flags), num("shingle-n", 3)),
@@ -566,6 +571,48 @@ object IndexTool {
         s"($alt), or raise --max-flat-rows deliberately for a one-off")
   }
 
+  /** Hybrid (lexical + dense) serve — reciprocal-rank fusion of the two
+    * persisted artifacts' shortlists (`Retrieval.rrfFuse`, the q180
+    * shape): the BM25 index at `--path` ranks the input docs' terms,
+    * the ivfflat index at `--dense-path` probes the input embeddings,
+    * and each doc contributes 1/(rrf-k + rank) per shortlist it appears
+    * in. The INPUT IS the query batch: one row per query carrying BOTH
+    * representations (`doc_id`/`--id-col`, `text`/`--text-col`,
+    * `embedding`/`--vec-col`). Both legs cut at `--pool`; the fused
+    * top-`--topk` is returned. */
+  private def hybridServe(spark: SparkSession, path: String,
+                          flags: Map[String, String])
+      (input: DataFrame): DataFrame = {
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    def dbl(k: String, dflt: Double): Double =
+      flags.get(k).map(_.toDouble).getOrElse(dflt)
+    val densePath = flags.getOrElse("dense-path",
+      throw new IllegalArgumentException(
+        "--type=hybrid needs --dense-path=<ivfflat artifact> beside " +
+          "--path=<bm25 artifact>"))
+    val pool = num("pool", 10)
+    val bmIdx = Retrieval.loadBm25Index(spark, path)
+    val lex = Retrieval.bm25Ranked(
+        terms(docsOf(input, flags)).distinct()
+          .select(col("doc_id").as("q_id"), col("term")),
+        bmIdx, dbl("k1", 1.2), dbl("b", 0.75),
+        flags.get("scale").map(_.toLong).getOrElse(1048576L))
+      .where(col("rank") <= pool)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val qemb = input.select(
+      col(flags.getOrElse("id-col", "doc_id")).cast(LongType).as("vec_id"),
+      col(flags.getOrElse("vec-col", "embedding")).as("embedding"))
+    val dense = Clustering.serveIvfFlat(
+        Clustering.loadIvfFlatIndex(spark, densePath),
+        qemb, "vec_id", "embedding",
+        // the input IS the query batch — every row queries by default
+        flags.get("max-query-id").map(_.toLong).getOrElse(Long.MaxValue),
+        num("nprobe", 2), pool)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+        col("rank").cast(LongType).as("dense_rank"))
+    Retrieval.rrfFuse(lex, dense, num("rrf-k", 60), num("topk", 3))
+  }
+
   def serve(spark: SparkSession, tpe: String, input: DataFrame,
             path: String, flags: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
@@ -685,6 +732,9 @@ object IndexTool {
                 num("topk", 3))
               .orderBy(col("q_id"), col("rank"))
         }
+      case "hybrid" =>
+        hybridServe(spark, path, flags)(input)
+          .orderBy(col("q_id"), col("rank"))
       case "bpe" =>
         encodeTransform(spark, "bpe", path, flags)(docsOf(input, flags))
           .orderBy(col("doc_id"))
@@ -947,6 +997,9 @@ object IndexTool {
         Seq("vocab_pieces" -> v.count(),
           "continuation_pieces" -> v.filter(col("is_cont")).count())
       case "decontam" => Seq("eval_vectors" -> rows(path))
+      case "hybrid" => throw new IllegalArgumentException(
+        "--type=hybrid is a serve-time composite with no artifact of its " +
+          "own — describe the bm25 and ivfflat artifacts separately")
     })
     counters.foreach { case (name, value) => println(s"$name: $value") }
     counters.toMap
@@ -969,7 +1022,7 @@ object IndexTool {
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
       "ivfflat", "ivfflat-sharded", "ivfpq", "pq", "bm25", "imi", "sq",
-      "ivfsq", "ivfpqr")
+      "ivfsq", "ivfpqr", "hybrid")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -1081,6 +1134,15 @@ object IndexTool {
             sink(Clustering.serveIvfFlat(idx, batch, "vec_id", "embedding",
               num("max-query-id", 20).toLong, num("nprobe", 2),
               num("topk", 3)), batchId)
+        }
+      case "hybrid" =>
+        // both artifacts' corpora are fixed state; each micro-batch is
+        // an independent query batch (top-k per q_id) — per-batch fuse
+        // == the batch verb on that batch
+        val fuse = hybridServe(spark, path, flags) _
+        stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(fuse(batch), batchId)
         }
       case "imi" =>
         val idx = Clustering.loadImiIndex(spark, path)

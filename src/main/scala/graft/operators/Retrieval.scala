@@ -172,4 +172,34 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score"))
       .withColumn("rank", row_number().over(w).cast(LongType))
   }
+
+  /** Reciprocal-rank fusion — the standard lexical+dense combiner for
+    * hybrid retrieval (Cormack, Clarke & Büttcher, SIGIR 2009): each
+    * system contributes 1/(kRrf + rank) for the docs in its shortlist,
+    * missing docs contribute 0, fused ranking = descending sum (ties →
+    * smaller doc_id). Inputs are the two shortlists as `(q_id, doc_id,
+    * lex_rank)` / `(q_id, doc_id, dense_rank)`.
+    *
+    * Exactness: each reciprocal is one double division and the fusion is
+    * ONE fixed-order addition of two coalesced terms, so an oracle
+    * mirrors it textually and doubles hash-compare (q104/q180).
+    *
+    * Scale shape: both legs arrive top-N per query, so the full-outer
+    * join touches two (queries × N)-row frames on (q_id, doc_id) —
+    * corpus-independent; the final window partitions by q_id. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, kRrf: Int,
+              topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("lex_rank") + kRrf).cast(DoubleType),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (col("dense_rank") + kRrf).cast(DoubleType),
+            lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf"))
+  }
 }

@@ -260,14 +260,7 @@ object LexicalQueries {
         BmMaxQueryId, RrfPoolN)
       .select($"q_id", $"n_id".as("doc_id"),
         $"rank".cast(LongType).as("dense_rank"))
-    val w = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id".asc)
-    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / ($"lex_rank" + RrfK).cast(DoubleType), lit(0.0)) +
-          coalesce(lit(1.0) / ($"dense_rank" + RrfK).cast(DoubleType), lit(0.0)))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .where($"rank" <= RrfTopK)
-      .select($"q_id", $"rank", $"doc_id", $"lex_rank", $"dense_rank", $"rrf")
+    graft.operators.Retrieval.rrfFuse(lex, dense, RrfK, RrfTopK)
       .orderBy($"q_id", $"rank")
   }
   lazy val q104_sql: String = {
@@ -751,6 +744,96 @@ object LexicalQueries {
        |FROM terms GROUP BY 1, 2
        |ORDER BY score DESC, doc_id LIMIT $CedTopK""".stripMargin
 
+  // ── q180: hybrid retrieval SERVED FROM PERSISTED ARTIFACTS — q104's
+  // reciprocal-rank fusion with both legs on their production serving
+  // shapes: the lexical shortlist from the saved/loaded BM25 index
+  // (q114's artifact) and the dense shortlist from the saved/loaded
+  // ivfflat inverted lists (q156's artifact, probed serve — the "swap
+  // in the index at scale" note on q104, now the measured thing). The
+  // fusion operator itself is `Retrieval.rrfFuse` (shared with q104, so
+  // the two cannot drift). The oracle replays the BM25 chain, the
+  // coarse k-means fit, cell assignment, probing, the probed dense
+  // ranking, and the fused reciprocal sum — both legs' arithmetic
+  // bit-for-bit. Scale: each leg is its tier's pruned serve (posting
+  // join / probed cells), and the fusion joins two (queries × pool)
+  // frames — corpus-independent. ────────────────────────────────────────
+  val q180_hybrid_artifact_serve: Q = (s, d) => {
+    import s.implicits._
+    val bmPath = QueryTmp.dir("hybm25", d)
+    graft.operators.Retrieval.saveBm25Index(
+      graft.operators.Retrieval.buildBm25Index(termStream(s, d)), bmPath)
+    val bmIdx = graft.operators.Retrieval.loadBm25Index(s, bmPath)
+    val lex = graft.operators.Retrieval.bm25Ranked(queryTermsOf(bmIdx),
+        bmIdx, BmK1, BmB, BmScale)
+      .where($"rank" <= RrfPoolN)
+      .select($"q_id", $"doc_id", $"rank".as("lex_rank"))
+    val ivPath = QueryTmp.dir("hyivf", d)
+    graft.operators.Clustering.saveIvfFlatIndex(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        1 << VectorQueries.ivfBits(s, d)), ivPath)
+    val dense = graft.operators.Clustering.serveIvfFlat(
+        graft.operators.Clustering.loadIvfFlatIndex(s, ivPath),
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        BmMaxQueryId, VectorQueries.IvfNprobe, RrfPoolN)
+      .select($"q_id", $"n_id".as("doc_id"),
+        $"rank".cast(LongType).as("dense_rank"))
+    graft.operators.Retrieval.rrfFuse(lex, dense, RrfK, RrfTopK)
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q180_sql: String = {
+    import graft.functions.VectorFunctions.{sqlScaled, sqlVnorm, sqlCosineFromNorms}
+    import graft.operators.Similarity
+    val dim = VectorQueries.Dim
+    def cos(a: String, b: String, na: String, nb: String) =
+      sqlCosineFromNorms(a, b, na, nb, dim)
+    s"""WITH ${VectorQueries.sqlIvfParams}, $bm25RankedCtes,
+       |sv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
+       |    ${sqlVnorm(sqlScaled("embedding"), dim)} AS nrm
+       |  FROM embeddings
+       |), ${VectorQueries.kmeansChainSql("iv", 0, dim,
+          "(SELECT 1 << bits FROM ivfp)", Similarity.IvfCoarseIters,
+          Similarity.IvfCoarseSalt)},
+       |${VectorQueries.ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
+       |assigned AS (
+       |  SELECT n_id, nv, nn, c_id FROM (
+       |    SELECT s.vid AS n_id, s.v AS nv, s.nrm AS nn, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vid
+       |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM sv s CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT q_id, qv, qn, c_id FROM (
+       |    SELECT q.vid AS q_id, q.v AS qv, q.nrm AS qn, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${cos("q.v", "c.cv", "q.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
+       |    FROM sv q CROSS JOIN cent c WHERE q.vid < $BmMaxQueryId)
+       |  WHERE rn <= ${VectorQueries.IvfNprobe}
+       |), dscored AS (
+       |  SELECT p.q_id, a.n_id AS doc_id,
+       |    ${cos("p.qv", "a.nv", "p.qn", "a.nn")} AS cos
+       |  FROM probes p JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |), dense AS (
+       |  SELECT q_id, doc_id, dense_rank FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, doc_id ASC) AS dense_rank FROM dscored)
+       |  WHERE dense_rank <= $RrfPoolN),
+       |lex AS (
+       |  SELECT q_id, doc_id, rank AS lex_rank FROM ranked
+       |  WHERE rank <= $RrfPoolN),
+       |fused AS (
+       |  SELECT q_id, doc_id, lex_rank, dense_rank,
+       |    COALESCE(1.0 / CAST(lex_rank + $RrfK AS DOUBLE), 0.0)
+       |      + COALESCE(1.0 / CAST(dense_rank + $RrfK AS DOUBLE), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN dense USING (q_id, doc_id)),
+       |frank AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+       |SELECT q_id, rank, doc_id, lex_rank, dense_rank, rrf FROM frank
+       |WHERE rank <= $RrfTopK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_bm25" -> q100_bm25,
     "q103_bigram_lm" -> q103_bigram_lm,
@@ -762,7 +845,8 @@ object LexicalQueries {
     "q114_bm25_index_persist" -> q114_bm25_index_persist,
     "q153_bm25_index_update" -> q153_bm25_index_update,
     "q163_bm25_index_remove" -> q163_bm25_index_remove,
-    "q127_vocab_drift" -> q127_vocab_drift)
+    "q127_vocab_drift" -> q127_vocab_drift,
+    "q180_hybrid_artifact_serve" -> q180_hybrid_artifact_serve)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
@@ -774,5 +858,6 @@ object LexicalQueries {
     "q114_bm25_index_persist" -> q100_sql,
     "q153_bm25_index_update" -> q100_sql,
     "q163_bm25_index_remove" -> q163_sql,
-    "q127_vocab_drift" -> q127_sql)
+    "q127_vocab_drift" -> q127_sql,
+    "q180_hybrid_artifact_serve" -> q180_sql)
 }

@@ -41,9 +41,9 @@ object VectorQueries {
   /** √n-scaled centroid-count bits for the TRAINED IVF codebook (see
     * `Similarity.quadBitsFor` — k ∝ n would make coarse training
     * quadratic; k ≈ √n is the classic IVF balance). */
-  private def ivfBits(s: SparkSession, d: String): Int =
+  private[queries] def ivfBits(s: SparkSession, d: String): Int =
     Similarity.quadBitsFor(Tables.embeddings(s, d).count(), MaxBits)
-  private def sqlIvfParams: String =
+  private[queries] def sqlIvfParams: String =
     s"ivfp AS (SELECT ${Similarity.sqlQuadBitsFor("count(*)", MaxBits)} AS bits FROM embeddings)"
 
   /** Oracle-side bucket: the full MaxBits sign key masked down to the
@@ -123,7 +123,7 @@ object VectorQueries {
     * pos)`), with the exact-int norm `sqrt(Σ cval²)` — the SQL mirror of
     * `Similarity.centroidSetFromLanes`. Expects the lanes CTE
     * `${p}c$iters` from [[kmeansChainSql]]. */
-  private def ivfCentSql(lanesCte: String): String =
+  private[queries] def ivfCentSql(lanesCte: String): String =
     s"""cent AS (
        |  SELECT cluster AS c_id, list(cval ORDER BY pos) AS cv,
        |    sqrt(CAST(sum(cval * cval) AS DOUBLE)) AS cn
@@ -274,7 +274,7 @@ object VectorQueries {
     * (default the historical `sv`): rows `(vid, v)` with `v` ALREADY on
     * the integer lattice — which is what lets the residual-PQ oracle
     * (q172/q173) train the same chain on a residual CTE. */
-  private def kmeansChainSql(p: String, start: Int, subDim: Int,
+  private[queries] def kmeansChainSql(p: String, start: Int, subDim: Int,
                              k: String, iters: Int, salt: String,
                              src: String = "sv"): String = {
     def assignUpdate(i: Int, lanesCte: String): String =

@@ -1754,6 +1754,92 @@ class ToolSpec extends SparkSpec {
     assert(served == serveOf("ivfflat", flat, "flat2"))
   }
 
+  test("CLI hybrid serve: reciprocal-rank fusion of the persisted bm25 + ivfflat artifacts; streamed == batch; composite refusals") {
+    import spark.implicits._
+    val base = tmpDir("idxhybrid")
+    // one id space, both representations: docs for the lexical leg,
+    // axis-blob embeddings for the dense leg
+    val docs = Seq(
+      (0L, "spark join hash table scan"), (1L, "row batch filter merge"),
+      (2L, "spark join hash data"), (3L, "slow order vector line"),
+      (4L, "group part sort query"), (5L, "spark join hash table scan"),
+      (6L, "key value stream window"), (7L, "row batch filter plan"))
+      .toDF("doc_id", "text")
+    val emb = (0L until 8L).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v((i % 2).toInt) = 10f + i * 0.01f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    docs.write.parquet(s"$base/docs")
+    emb.write.parquet(s"$base/emb")
+    assert(Tool.run(spark, Array("index-build", "--type=bm25",
+      s"--path=$base/bm25", s"--input=format=parquet file=$base/docs"))
+      .status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$base/ivf", s"--input=format=parquet file=$base/emb",
+      "--centroids=2")).status == "SUCCEEDED")
+    // the query batch carries BOTH representations per row
+    docs.filter($"doc_id" < 2).join(
+        emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .write.parquet(s"$base/queries")
+    val out = s"$base/fused"
+    assert(Tool.run(spark, Array("index-serve", "--type=hybrid",
+      s"--path=$base/bm25", s"--dense-path=$base/ivf",
+      s"--input=format=parquet file=$base/queries",
+      s"--output=format=parquet file=$out",
+      "--pool=5", "--topk=3", "--nprobe=2")).status == "SUCCEEDED")
+    val fused = spark.read.parquet(out).orderBy("q_id", "rank").collect()
+      .map(_.toSeq).toSeq
+    assert(fused.nonEmpty &&
+      fused.map(_.head.asInstanceOf[Long]).distinct.sorted == Seq(0L, 1L))
+    // equals the library-side fusion of the two artifact serves
+    val bmIdx = graft.operators.Retrieval.loadBm25Index(spark, s"$base/bm25")
+    val qterms = graft.operators.Bpe.docWords(
+        docs.filter($"doc_id" < 2), "doc_id", "text")
+      .select($"doc_id".as("q_id"), $"word".as("term")).distinct()
+    val lex = graft.operators.Retrieval.bm25Ranked(qterms, bmIdx,
+        1.2, 0.75, 1048576L)
+      .where($"rank" <= 5)
+      .select($"q_id", $"doc_id", $"rank".as("lex_rank"))
+    val dense = graft.operators.Clustering.serveIvfFlat(
+        graft.operators.Clustering.loadIvfFlatIndex(spark, s"$base/ivf"),
+        emb.filter($"vec_id" < 2), "vec_id", "embedding",
+        Long.MaxValue, 2, 5)
+      .select($"q_id", $"n_id".as("doc_id"),
+        $"rank".cast("long").as("dense_rank"))
+    val expected = graft.operators.Retrieval.rrfFuse(lex, dense, 60, 3)
+      .orderBy($"q_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(fused == expected, s"cli=$fused lib=$expected")
+    // fusion beats either leg alone on this fixture's mixed signal: doc 0
+    // and doc 5 tie lexically (identical text), the dense leg breaks the
+    // tie by geometry — the fused top-1 for query 0 is the doc that wins
+    // BOTH legs
+    assert(fused.head(2) == 2L, s"fused head: ${fused.head}")
+    // STREAMED fuse == batch fuse
+    val streamOut = s"$base/fused-stream"
+    assert(Tool.run(spark, Array("index-serve", "--type=hybrid",
+      "--stream=true", s"--path=$base/bm25", s"--dense-path=$base/ivf",
+      s"--input=format=parquet file=$base/queries",
+      s"--output=format=parquet file=$streamOut",
+      "--pool=5", "--topk=3", "--nprobe=2")).status == "SUCCEEDED")
+    assert(spark.read.parquet(streamOut).drop("batch")
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq == fused)
+    // composite refusals: no build/describe surface of its own, and the
+    // serve names the missing --dense-path
+    val b = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-build", "--type=hybrid", s"--path=$base/x",
+        s"--input=format=parquet file=$base/docs")))
+    assert(b.getMessage.contains("SERVE-time composite"), b.getMessage)
+    val d = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-describe", "--type=hybrid", s"--path=$base/bm25")))
+    assert(d.getMessage.contains("separately"), d.getMessage)
+    val m = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-serve", "--type=hybrid", s"--path=$base/bm25",
+        s"--input=format=parquet file=$base/queries",
+        s"--output=format=parquet file=$base/y")))
+    assert(m.getMessage.contains("--dense-path"), m.getMessage)
+  }
+
   test("CLI index-rebuild: describe-driven drift repair — refuses below --min-skew, retrains + CAS-swaps above it") {
     import spark.implicits._
     val base = tmpDir("idxrebuild")
