@@ -147,10 +147,21 @@ object IndexTool {
       case "ivfflat" =>
         // the FULL inverted-file index: codebook + cell-partitioned
         // postings — serve reads only the probed cells, and the
-        // artifact is updatable (Faiss train/add split)
+        // artifact is updatable (Faiss train/add split).
+        // --attr-cols=a,b materializes metadata columns IN the postings
+        // for filtered serves (--filter-col/--filter-val)
+        val attrs = flags.get("attr-cols")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val embIn = input.select(
+          col(flags.getOrElse("id-col", "vec_id")).cast(LongType)
+              .as("vec_id") +:
+            col(flags.getOrElse("vec-col", "embedding")).as("embedding") +:
+            attrs.map(col): _*)
         Clustering.saveIvfFlatIndex(Clustering.buildIvfFlatIndex(
-          embOf(input, flags), "vec_id", "embedding",
-          num("centroids", 64), num("iters", Similarity.IvfCoarseIters)), path)
+          embIn, "vec_id", "embedding",
+          num("centroids", 64), num("iters", Similarity.IvfCoarseIters),
+          attrCols = attrs), path)
       case "ivfflat-sharded" =>
         // the 100 TB rewrite-unit layout: same index, postings split
         // into --shards independent generational roots (n_id mod S) —
@@ -512,9 +523,18 @@ object IndexTool {
           Retrieval.loadBm25Index(spark, base),
           terms(docsOf(input, flags))), staging)
       case "ivfflat" =>
+        // a filtered-capable artifact carries attribute columns — the
+        // delta must supply the same ones (loud select error otherwise)
+        val idx0 = Clustering.loadIvfFlatIndex(spark, base)
+        val attrs = idx0.postings.columns.toSeq
+          .filterNot(Set("n_id", "nv", "nn", "c_id"))
+        val deltaIn = input.select(
+          col(flags.getOrElse("id-col", "vec_id")).cast(LongType)
+              .as("vec_id") +:
+            col(flags.getOrElse("vec-col", "embedding")).as("embedding") +:
+            attrs.map(col): _*)
         Clustering.saveIvfFlatIndex(Clustering.updateIvfFlatIndex(
-          Clustering.loadIvfFlatIndex(spark, base),
-          embOf(input, flags), "vec_id", "embedding"), staging)
+          idx0, deltaIn, "vec_id", "embedding"), staging)
       case "semdedup" =>
         Clustering.saveSemIndex(Clustering.updateSemIndex(
           Clustering.loadSemIndex(spark, base),
@@ -637,11 +657,33 @@ object IndexTool {
           .orderBy(col("q_id"), col("rank"))
       case "ivfflat" =>
         // input supplies only the QUERY rows; the corpus side comes
-        // from the persisted postings (pruned to the probed cells)
-        Clustering.serveIvfFlat(Clustering.loadIvfFlatIndex(spark, path),
-            embOf(input, flags), "vec_id", "embedding",
-            num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
-          .orderBy(col("q_id"), col("rank"))
+        // from the persisted postings (pruned to the probed cells).
+        // --filter-col/--filter-val compose a metadata predicate INTO
+        // the probed scan (the postings must have been built with
+        // that attribute column — buildIvfFlatIndex attrCols): the
+        // production predicate+vector query, pre-filtered so every
+        // query still gets k MATCHING neighbors
+        val idx = Clustering.loadIvfFlatIndex(spark, path)
+        (flags.get("filter-col") match {
+          case Some(c) =>
+            require(idx.postings.columns.contains(c),
+              s"--filter-col=$c: the postings carry no '$c' attribute " +
+                s"column (available: " +
+                s"${idx.postings.columns.mkString(", ")}) — rebuild with " +
+                s"the attribute materialized (buildIvfFlatIndex attrCols)")
+            val v = flags.getOrElse("filter-val",
+              throw new IllegalArgumentException(
+                "--filter-col needs --filter-val=<value>"))
+            Clustering.serveIvfFlatFiltered(idx,
+              embOf(input, flags), "vec_id", "embedding",
+              num("max-query-id", 20).toLong, num("nprobe", 2),
+              num("topk", 3), col(c) === lit(v).cast(idx.postings.schema(c).dataType))
+          case None =>
+            Clustering.serveIvfFlat(idx,
+              embOf(input, flags), "vec_id", "embedding",
+              num("max-query-id", 20).toLong, num("nprobe", 2),
+              num("topk", 3))
+        }).orderBy(col("q_id"), col("rank"))
       case "ivfflat-sharded" =>
         // per-shard probe unioned before the shared top-k — reproduces
         // the single-artifact serve bit-for-bit (equal postings sets,

@@ -1036,7 +1036,9 @@ object Clustering {
       : IvfPqIndex = {
     val ids = removedIds.select(col("n_id")).distinct()
     idx.copy(
-      cells = idx.cells.select(col("n_id"), col("c_id"))
+      cells = idx.cells
+        .select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
+          col("c_id"): _*)
         .join(ids, Seq("n_id"), "left_anti"),
       codes = idx.codes.select(col("n_id"), col("s"), col("code"))
         .join(ids, Seq("n_id"), "left_anti"))
@@ -1470,7 +1472,9 @@ object Clustering {
       : IvfPqrIndex = {
     val ids = removedIds.select(col("n_id")).distinct()
     idx.copy(
-      cells = idx.cells.select(col("n_id"), col("c_id"))
+      cells = idx.cells
+        .select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
+          col("c_id"): _*)
         .join(ids, Seq("n_id"), "left_anti"),
       codes = idx.codes.select(col("n_id"), col("s"), col("code"))
         .join(ids, Seq("n_id"), "left_anti"))
@@ -2366,7 +2370,8 @@ object Clustering {
 
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
                       dim: Int, m: Int, k: Int, iters: Int,
-                      numCentroids: Int, salt: String = "pq")
+                      numCentroids: Int, salt: String = "pq",
+                      attrCols: Seq[String] = Nil)
       : IvfPqIndex = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -2382,7 +2387,7 @@ object Clustering {
     val coarseLanes = trained(1).asInstanceOf[Seq[(Int, Int, Long, Long)]]
       .toDF("cluster", "pos", "cval", "n")
     buildIvfPqIndexWith(emb, idCol, vecCol, dim, m, k, iters, coarseLanes,
-      salt, models)
+      salt, models, attrCols)
   }
 
   /** Build the compressed index REUSING an already-trained coarse
@@ -2394,26 +2399,38 @@ object Clustering {
   def buildIvfPqIndexWith(emb: DataFrame, idCol: String, vecCol: String,
                           dim: Int, m: Int, k: Int, iters: Int,
                           coarseLanes: DataFrame, salt: String = "pq",
-                          preTrained: Seq[(Int, KmeansModel)] = Seq.empty)
+                          preTrained: Seq[(Int, KmeansModel)] = Seq.empty,
+                          attrCols: Seq[String] = Nil)
       : IvfPqIndex = {
     val models =
       if (preTrained.nonEmpty) preTrained
       else pqModels(emb, idCol, vecCol, dim, m, k, iters, salt)
-    val cells = Similarity.ivfPostings(emb, idCol, vecCol,
-        Similarity.centroidSetFromLanes(coarseLanes))
-      .select(col("n_id"), col("c_id"))
+    // metadata attributes ride the CELLS surface (the candidate-list
+    // side every probed serve scans) so a filtered ADC serve pre-filters
+    // candidates inside the pruned scan — [[serveIvfPqFiltered]]
+    val cells = Similarity.ivfPostingsAttrs(emb, idCol, vecCol,
+        Similarity.centroidSetFromLanes(coarseLanes), attrCols)
+      .select(col("n_id") +: attrCols.map(col) :+ col("c_id"): _*)
     IvfPqIndex(coarseLanes, cells, pqCodesLong(models), pqLanesLong(models))
   }
 
   /** Persist: both codebooks funnel to one file (bounded); `cells` gets
     * the inverted-list directory layout (`partitionBy(c_id)`); `codes`
     * keeps its partitioning (corpus-sized, joined on n_id at serve). */
+  /** Cells columns beyond (n_id, c_id) are metadata attributes for the
+    * filtered ADC serve — preserved through save/load/update. */
+  private def cellsAttrCols(cells: DataFrame): Seq[String] =
+    cells.columns.toSeq.filterNot(Set("n_id", "c_id"))
+
   def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
     idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
-    idx.cells.select(col("n_id"), col("c_id")).repartition(col("c_id"))
+    idx.cells
+      .select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
+        col("c_id"): _*)
+      .repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/cells")
     idx.codes.select(col("n_id"), col("s"), col("code"))
       .write.mode("overwrite").parquet(s"$path/codes")
@@ -2423,9 +2440,10 @@ object Clustering {
                      p0: String): IvfPqIndex = {
     import org.apache.spark.sql.types.LongType
     val path = graft.sinks.ArtifactStore.resolve(spark, p0)
+    val rawCells = spark.read.parquet(s"$path/cells")
     IvfPqIndex(spark.read.parquet(s"$path/coarse"),
-      spark.read.parquet(s"$path/cells")
-        .select(col("n_id"), col("c_id").cast(LongType).as("c_id")),
+      rawCells.select(col("n_id") +: cellsAttrCols(rawCells).map(col) :+
+        col("c_id").cast(LongType).as("c_id"): _*),
       spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/pqlanes"))
   }
@@ -2439,11 +2457,13 @@ object Clustering {
   def updateIvfPqIndex(idx: IvfPqIndex, delta: DataFrame,
                        idCol: String, vecCol: String,
                        dim: Int, m: Int): IvfPqIndex = {
-    val deltaCells = Similarity.ivfPostings(delta, idCol, vecCol,
-        Similarity.centroidSetFromLanes(idx.coarseLanes))
-      .select(col("n_id"), col("c_id"))
+    val attrs = cellsAttrCols(idx.cells)
+    val deltaCells = Similarity.ivfPostingsAttrs(delta, idCol, vecCol,
+        Similarity.centroidSetFromLanes(idx.coarseLanes), attrs)
+      .select(col("n_id") +: attrs.map(col) :+ col("c_id"): _*)
     IvfPqIndex(idx.coarseLanes,
-      idx.cells.select(col("n_id"), col("c_id")).unionByName(deltaCells),
+      idx.cells.select(col("n_id") +: attrs.map(col) :+ col("c_id"): _*)
+        .unionByName(deltaCells),
       idx.codes.select(col("n_id"), col("s"), col("code"))
         .unionByName(pqEncode(delta, idx.pqLanes, idCol, vecCol, dim, m)),
       idx.pqLanes)
@@ -2502,6 +2522,20 @@ object Clustering {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
   }
+
+  /** FILTERED ADC serve — the compressed tier's predicate+vector query:
+    * `pred` is a metadata predicate over attribute columns materialized
+    * in the CELLS surface (`buildIvfPqIndex(attrCols)`), composed into
+    * the probed-cell scan BEFORE the candidate join, so every query's
+    * topK are MATCHING codes (rank-then-filter would silently
+    * under-fill — the same contract as [[serveIvfFlatFiltered]], at
+    * m bytes/vector instead of raw vectors). */
+  def serveIvfPqFiltered(idx: IvfPqIndex, emb: DataFrame, idCol: String,
+                         vecCol: String, dim: Int, m: Int,
+                         maxQueryId: Long, nprobe: Int, topK: Int,
+                         pred: org.apache.spark.sql.Column): DataFrame =
+    serveIvfPq(idx.copy(cells = idx.cells.filter(pred)), emb, idCol,
+      vecCol, dim, m, maxQueryId, nprobe, topK)
 
   /** The IVF candidate set behind [[ivfPqSearch]]: `(q_id, n_id, c_id)` —
     * each query paired with exactly the corpus vectors in its nprobe

@@ -555,6 +555,36 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q181: FILTERED compressed-tier ANN — q177's predicate+vector
+  // query on the 100 TB artifact shape: the label attribute is
+  // materialized in the CELLS surface at build (buildIvfPqIndex
+  // attrCols) and the serve composes the predicate into the probed-cell
+  // scan BEFORE the candidate join, so the ADC topK are all MATCHING
+  // codes — no raw vectors read, rank-then-filter's silent under-fill
+  // avoided. Oracle: q94's chain with the label restriction on the
+  // candidate set. ──────────────────────────────────────────────────────
+  val q181_ivfpq_filtered: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqfil", d)
+    graft.operators.Clustering.saveIvfPqIndex(
+      graft.operators.Clustering.buildIvfPqIndex(emb, "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d),
+        attrCols = Seq("label")),
+      path)
+    graft.operators.Clustering.serveIvfPqFiltered(
+        graft.operators.Clustering.loadIvfPqIndex(s, path),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        PqTopK, pred = col("label") === FilterLabel)
+      .orderBy($"q_id", $"rank")
+  }
+  lazy val q181_sql: String =
+    s"""WITH ${ivfPqChainSql(s"AND a.label = $FilterLabel")}
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, n_id) AS rank FROM ad)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+
   // ── q161: IVFPQ index UPDATE — the ivfflat add (kernel cell
   // assignment, q157) and the pq add (per-subspace encode, q159)
   // composed over one delta pass: both corpus-sized surfaces are
@@ -661,7 +691,7 @@ object VectorQueries {
     * q94 (rank by adist) and q98 (rerank the adist shortlist by exact
     * cosine). Expects nothing; defines sv/params/chains/cent/assigned/
     * probes/cand/codes/lanes/dt/ad. */
-  private def ivfPqChainSql(): String = {
+  private def ivfPqChainSql(candWhere: String = ""): String = {
     def cos(a: String, b: String, na: String, nb: String) =
       sqlCosineFromNorms(a, b, na, nb, Dim)
     val sub = Dim / PqM
@@ -677,15 +707,16 @@ object VectorQueries {
     val qlane = s"list_extract(q.v, l.s * $sub + l.pos + 1)"
     s"""$sqlIvfParams, sv AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, ${sqlScaled("embedding")} AS v,
-       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm
+       |    ${sqlVnorm(sqlScaled("embedding"), Dim)} AS nrm,
+       |    CAST(label AS INT) AS label
        |  FROM embeddings),
        |$chains,
        |${kmeansChainSql("iv", 0, Dim, "(SELECT 1 << bits FROM ivfp)",
           Similarity.IvfCoarseIters, Similarity.IvfCoarseSalt)},
        |${ivfCentSql(s"ivc${Similarity.IvfCoarseIters}")},
        |assigned AS (
-       |  SELECT n_id, c_id FROM (
-       |    SELECT s.vid AS n_id, c.c_id,
+       |  SELECT n_id, label, c_id FROM (
+       |    SELECT s.vid AS n_id, s.label, c.c_id,
        |      row_number() OVER (PARTITION BY s.vid
        |        ORDER BY ${cos("s.v", "c.cv", "s.nrm", "c.cn")} DESC, c.c_id ASC) AS rn
        |    FROM sv s CROSS JOIN cent c)
@@ -699,7 +730,7 @@ object VectorQueries {
        |  WHERE rn <= $IvfNprobe
        |), cand AS (
        |  SELECT p.q_id, a.n_id FROM probes p
-       |  JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |  JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id $candWhere
        |), codes AS ($codes),
        |lanes AS ($lanes),
        |dt AS (
@@ -2248,6 +2279,7 @@ object VectorQueries {
     "q176_ivfflat_shard_update" -> q176_ivfflat_shard_update,
     "q177_ivfflat_filtered" -> q177_ivfflat_filtered,
     "q178_ivfflat_rebuild" -> q178_ivfflat_rebuild,
+    "q181_ivfpq_filtered" -> q181_ivfpq_filtered,
     "q158_semdedup_index_update" -> q158_semdedup_index_update,
     "q159_pq_index_update" -> q159_pq_index_update,
     "q160_ivfpq_index_persist" -> q160_ivfpq_index_persist,
@@ -2296,6 +2328,7 @@ object VectorQueries {
     "q176_ivfflat_shard_update" -> q157_sql,
     "q177_ivfflat_filtered" -> q177_sql,
     "q178_ivfflat_rebuild" -> q45_sql,
+    "q181_ivfpq_filtered" -> q181_sql,
     "q158_semdedup_index_update" -> q158_sql,
     "q159_pq_index_update" -> q159_sql,
     // serve-from-the-composed-compressed-artifact must reproduce q94

@@ -1754,6 +1754,62 @@ class ToolSpec extends SparkSpec {
     assert(served == serveOf("ivfflat", flat, "flat2"))
   }
 
+  test("CLI filtered ANN: --attr-cols build materializes metadata in the postings; --filter-col serve pre-filters; update carries attrs") {
+    import spark.implicits._
+    val base = tmpDir("idxfiltered")
+    val emb = (0L until 12L).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v((i % 2).toInt) = 10f + i * 0.01f
+      (i, v.toSeq, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label")
+    emb.write.parquet(s"$base/emb")
+    val path = s"$base/ivf"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$path", s"--input=format=parquet file=$base/emb",
+      "--centroids=2", "--attr-cols=label")).status == "SUCCEEDED")
+    def serveF(extra: String*): Seq[(Long, Long)] = {
+      val out = s"$base/out-${extra.hashCode.abs}"
+      assert(Tool.run(spark, Array("index-serve", "--type=ivfflat",
+        s"--path=$path", s"--input=format=parquet file=$base/emb",
+        s"--output=format=parquet file=$out",
+        "--max-query-id=2", "--nprobe=2", "--topk=4") ++ extra)
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    }
+    // every filtered hit satisfies the predicate; unfiltered does not
+    val filtered = serveF("--filter-col=label", "--filter-val=0")
+    assert(filtered.nonEmpty && filtered.forall(_._2 % 3 == 0), filtered.toString)
+    assert(!serveF().forall(_._2 % 3 == 0))
+    // an update on the attributed artifact carries the attr column, and
+    // the filtered serve sees a matching delta vector
+    emb.limit(0).unionByName(Seq((102L, Seq(10.5f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label")).write.parquet(s"$base/delta")
+    assert(Tool.run(spark, Array("index-update", "--type=ivfflat",
+      s"--path=$path", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    assert(serveF("--filter-col=label", "--filter-val=0", "--topk=12")
+      .exists(_._2 == 102L), "updated matching vector must be servable")
+    // refusals: unknown attr column names the available ones; a filter
+    // against an attr-less artifact points at the rebuild
+    val bad = intercept[IllegalArgumentException](
+      serveF("--filter-col=nope", "--filter-val=0"))
+    assert(bad.getMessage.contains("label"), bad.getMessage)
+    val plain = s"$base/plain"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$plain", s"--input=format=parquet file=$base/emb",
+      "--centroids=2")).status == "SUCCEEDED")
+    val noAttr = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-serve", "--type=ivfflat", s"--path=$plain",
+        s"--input=format=parquet file=$base/emb",
+        s"--output=format=parquet file=$base/z",
+        "--filter-col=label", "--filter-val=0")))
+    assert(noAttr.getMessage.contains("attrCols"), noAttr.getMessage)
+  }
+
   test("CLI hybrid serve: reciprocal-rank fusion of the persisted bm25 + ivfflat artifacts; streamed == batch; composite refusals") {
     import spark.implicits._
     val base = tmpDir("idxhybrid")
