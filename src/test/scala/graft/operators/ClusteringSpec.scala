@@ -763,6 +763,59 @@ class ClusteringSpec extends SparkSpec {
       s"label predicate not pushed to the scan: ${scans.head.dataFilters}")
   }
 
+  test("sharded serve keeps per-shard probed-cell pruning; filtered ADC pushes the predicate into the cells scan") {
+    // sharded: every union branch's postings scan gets the static c_id
+    // partition filter — serve I/O stays O(probed cells) PER SHARD
+    val sharded = tmpDir("ivfsh_prune") + "/art"
+    Clustering.saveIvfFlatSharded(
+      Clustering.buildIvfFlatIndex(blobs, "vec_id", "embedding", 3, 2),
+      sharded, numShards = 4)
+    val served = Clustering.serveIvfFlat(
+      Clustering.loadIvfFlatSharded(spark, sharded), blobs,
+      "vec_id", "embedding", maxQueryId = 1L, nprobe = 1, k = 3)
+    val scans = served.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("shards")) => sc
+    }
+    assert(scans.length == 4, s"expected 4 shard scans, got ${scans.length}")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.map(_.toString).exists(_.contains("c_id")),
+        s"shard scan lost the probed-cell filter: ${sc.partitionFilters}")
+      assert(sc.selectedPartitions.partitionCount <= 1,
+        s"shard scan reads ${sc.selectedPartitions.partitionCount} cells")
+    }
+    assert(served.count() > 0)
+
+    // filtered ADC: the predicate reaches the CELLS scan beside the
+    // probed-cell partition pruning (matching candidates only, before
+    // the codes join)
+    val attributed = blobs.withColumn("label", ($"vec_id" % 3).cast("int"))
+    val pqPath = tmpDir("ivfpq_filt")
+    Clustering.saveIvfPqIndex(Clustering.buildIvfPqIndex(
+      attributed, "vec_id", "embedding", dim = 4, m = 2, k = 2, iters = 2,
+      numCentroids = 3, attrCols = Seq("label")), pqPath)
+    val loaded = Clustering.loadIvfPqIndex(spark, pqPath)
+    assert(loaded.cells.columns.contains("label"))
+    val fserved = Clustering.serveIvfPqFiltered(loaded, blobs,
+      "vec_id", "embedding", dim = 4, m = 2, maxQueryId = 3L, nprobe = 3,
+      topK = 3, pred = $"label" === 0)
+    val rows = fserved.orderBy($"q_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows.nonEmpty && rows.forall(_._2 % 3 == 0),
+      s"non-matching candidate served: $rows")
+    val cellScans = Clustering.serveIvfPqFiltered(loaded, blobs,
+        "vec_id", "embedding", 4, 2, 1L, 1, 3, $"label" === 0)
+      .queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.relation.location.rootPaths.exists(_.toString.contains("cells")) => sc
+      }
+    assert(cellScans.nonEmpty, "no cells scan in the filtered ADC plan")
+    assert(cellScans.head.partitionFilters.map(_.toString).exists(_.contains("c_id")),
+      s"probed-cell pruning lost: ${cellScans.head.partitionFilters}")
+    assert(cellScans.head.dataFilters.map(_.toString).exists(_.contains("label")),
+      s"label predicate not pushed to the cells scan: ${cellScans.head.dataFilters}")
+  }
+
   test("rebuildIvfFlatIndex: drift repair == fresh build on the union, bit-for-bit") {
     // drift: train the codebook on blobs 0/1 only, then ADD blob 2 —
     // the frozen codebook has no cell for it, so its vectors pile into
