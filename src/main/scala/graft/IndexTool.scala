@@ -407,13 +407,20 @@ object IndexTool {
         f"--min-skew=$minSkew%.2f — the codebook does not need a retrain " +
         f"yet (watch index-describe's occupancy_skew_x100), or pass " +
         f"--force=true to retrain anyway")
+    // default --centroids to the INDEX'S OWN codebook size (distinct
+    // trained clusters), not a fixed literal: an omitted flag must not
+    // silently reshape a 1024-cell index to 64 cells. (Empty clusters
+    // drop out of the lanes, so this is the live cell count — pass
+    // --centroids explicitly to grow/shrink the grid deliberately.)
+    val centroids = flags.get("centroids").map(_.toInt).getOrElse(
+      idx.lanes.select(col("cluster")).distinct().count().toInt)
     val rebuilt = Clustering.rebuildIvfFlatIndex(idx,
-      num("centroids", 64), num("iters", Similarity.IvfCoarseIters))
+      centroids, num("iters", Similarity.IvfCoarseIters))
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
     Clustering.saveIvfFlatIndex(rebuilt, staging)
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
     Map("skew_x100_before" -> (skew * 100).toLong,
-      "centroids" -> num("centroids", 64).toLong)
+      "centroids" -> centroids.toLong)
   }
 
   /** The per-tier "ids already in the artifact" surface, for the
@@ -600,9 +607,39 @@ object IndexTool {
     * representations (`doc_id`/`--id-col`, `text`/`--text-col`,
     * `embedding`/`--vec-col`). Both legs cut at `--pool`; the fused
     * top-`--topk` is returned. */
+  /** Parse `--filter-val` into the attribute column's type DRIVER-SIDE,
+    * failing loudly on a value the type cannot hold — `lit(v).cast(dt)`
+    * would yield NULL instead, making every predicate row false and the
+    * serve silently return zero rows (indistinguishable from "no
+    * matching neighbors"). */
+  private def typedFilterVal(colName: String, v: String,
+                             dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case IntegerType => lit(v.trim.toInt)
+      case LongType => lit(v.trim.toLong)
+      case ShortType => lit(v.trim.toShort)
+      case DoubleType => lit(v.trim.toDouble)
+      case FloatType => lit(v.trim.toFloat)
+      case BooleanType => lit(v.trim.toBoolean)
+      case StringType => lit(v)
+      case other => throw new IllegalArgumentException(
+        s"--filter-col=$colName has unsupported attribute type " +
+          s"${other.simpleString} (supported: int/long/short/double/" +
+          s"float/boolean/string)")
+    } catch {
+      case _: NumberFormatException | _: IllegalArgumentException
+          if !dt.isInstanceOf[StringType.type] =>
+        throw new IllegalArgumentException(
+          s"--filter-val='$v' does not parse as the ${dt.simpleString} " +
+            s"type of attribute column '$colName'")
+    }
+  }
+
   private def hybridServe(spark: SparkSession, path: String,
                           flags: Map[String, String])
-      (input: DataFrame): DataFrame = {
+      : DataFrame => DataFrame = {
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     def dbl(k: String, dflt: Double): Double =
       flags.get(k).map(_.toDouble).getOrElse(dflt)
@@ -611,26 +648,31 @@ object IndexTool {
         "--type=hybrid needs --dense-path=<ivfflat artifact> beside " +
           "--path=<bm25 artifact>"))
     val pool = num("pool", 10)
+    // BOTH artifacts load ONCE (pointer resolution + surface reads) —
+    // the returned closure is applied per batch/micro-batch against the
+    // same fixed state, like every other stream tier's hoisted load
     val bmIdx = Retrieval.loadBm25Index(spark, path)
-    val lex = Retrieval.bm25Ranked(
-        terms(docsOf(input, flags)).distinct()
-          .select(col("doc_id").as("q_id"), col("term")),
-        bmIdx, dbl("k1", 1.2), dbl("b", 0.75),
-        flags.get("scale").map(_.toLong).getOrElse(1048576L))
-      .where(col("rank") <= pool)
-      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val qemb = input.select(
-      col(flags.getOrElse("id-col", "doc_id")).cast(LongType).as("vec_id"),
-      col(flags.getOrElse("vec-col", "embedding")).as("embedding"))
-    val dense = Clustering.serveIvfFlat(
-        Clustering.loadIvfFlatIndex(spark, densePath),
-        qemb, "vec_id", "embedding",
-        // the input IS the query batch — every row queries by default
-        flags.get("max-query-id").map(_.toLong).getOrElse(Long.MaxValue),
-        num("nprobe", 2), pool)
-      .select(col("q_id"), col("n_id").as("doc_id"),
-        col("rank").cast(LongType).as("dense_rank"))
-    Retrieval.rrfFuse(lex, dense, num("rrf-k", 60), num("topk", 3))
+    val flatIdx = Clustering.loadIvfFlatIndex(spark, densePath)
+    (input: DataFrame) => {
+      val lex = Retrieval.bm25Ranked(
+          terms(docsOf(input, flags)).distinct()
+            .select(col("doc_id").as("q_id"), col("term")),
+          bmIdx, dbl("k1", 1.2), dbl("b", 0.75),
+          flags.get("scale").map(_.toLong).getOrElse(1048576L))
+        .where(col("rank") <= pool)
+        .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+      val qemb = input.select(
+        col(flags.getOrElse("id-col", "doc_id")).cast(LongType).as("vec_id"),
+        col(flags.getOrElse("vec-col", "embedding")).as("embedding"))
+      val dense = Clustering.serveIvfFlat(flatIdx,
+          qemb, "vec_id", "embedding",
+          // the input IS the query batch — every row queries by default
+          flags.get("max-query-id").map(_.toLong).getOrElse(Long.MaxValue),
+          num("nprobe", 2), pool)
+        .select(col("q_id"), col("n_id").as("doc_id"),
+          col("rank").cast(LongType).as("dense_rank"))
+      Retrieval.rrfFuse(lex, dense, num("rrf-k", 60), num("topk", 3))
+    }
   }
 
   def serve(spark: SparkSession, tpe: String, input: DataFrame,
@@ -677,7 +719,8 @@ object IndexTool {
             Clustering.serveIvfFlatFiltered(idx,
               embOf(input, flags), "vec_id", "embedding",
               num("max-query-id", 20).toLong, num("nprobe", 2),
-              num("topk", 3), col(c) === lit(v).cast(idx.postings.schema(c).dataType))
+              num("topk", 3),
+              col(c) === typedFilterVal(c, v, idx.postings.schema(c).dataType))
           case None =>
             Clustering.serveIvfFlat(idx,
               embOf(input, flags), "vec_id", "embedding",
@@ -1181,7 +1224,7 @@ object IndexTool {
         // both artifacts' corpora are fixed state; each micro-batch is
         // an independent query batch (top-k per q_id) — per-batch fuse
         // == the batch verb on that batch
-        val fuse = hybridServe(spark, path, flags) _
+        val fuse = hybridServe(spark, path, flags)
         stream.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(fuse(batch), batchId)

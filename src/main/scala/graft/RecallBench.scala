@@ -108,7 +108,13 @@ object RecallBench {
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSet }
     }
-    val truth = exactTruth(emb)
+    // unfiltered truth reuses the engine's own exact-knn definition
+    // (scoring/tie-breaks can never drift from what the engine calls
+    // exact); exactTruth exists only for the corpus-RESTRICTED variant
+    val truth = Similarity.knnExact(emb, "vec_id", "embedding", maxQ, topK)
+      .select(col("q_id"), col("n_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
     def recallAgainst(df: org.apache.spark.sql.DataFrame,
                       t: Map[Long, Set[Long]]): Double = {
       val got = df.select(col("q_id"), col("n_id")).collect()

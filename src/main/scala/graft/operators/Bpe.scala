@@ -258,7 +258,11 @@ object Bpe {
                 maxLocalWords: Long = MaxLocalWords.toLong)
       : (Seq[Merge], DataFrame) = {
     val persisted = OperatorCaches.register(wordFreq.persist())
-    if (persisted.count() <= maxLocalWords) trainLocal(persisted, merges)
+    // clamp to the hard collect guard: a caller-raised cap above the
+    // constant would route LOCAL and then throw from collectWordFreq —
+    // the parameterized routing and the driver-budget guard must agree
+    if (persisted.count() <= math.min(maxLocalWords, MaxLocalWords.toLong))
+      trainLocal(persisted, merges)
     else train(persisted, merges)
   }
 

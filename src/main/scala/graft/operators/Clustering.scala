@@ -2119,10 +2119,12 @@ object Clustering {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = s"$path/__shards_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+    val attrs = postingsAttrCols(idx.postings)
     try {
       idx.postings
-        .select(col("n_id"), col("nv"), col("nn"),
-          pmod(col("n_id"), lit(numShards.toLong)).as("shard"), col("c_id"))
+        .select(Seq(col("n_id"), col("nv"), col("nn")) ++ attrs.map(col) ++
+          Seq(pmod(col("n_id"), lit(numShards.toLong)).as("shard"),
+            col("c_id")): _*)
         .repartition(col("shard"), col("c_id"))
         .write.mode("overwrite").partitionBy("shard", "c_id").parquet(staging)
       (0 until numShards).foreach { sh =>
@@ -2141,29 +2143,14 @@ object Clustering {
           // write leaves no readable schema behind) so load/serve see a
           // complete shard grid
           idx.postings.limit(0)
-            .select(col("n_id"), col("nv"), col("nn"),
+            .select(Seq(col("n_id"), col("nv"), col("nn")) ++
+              attrs.map(col) :+
               col("c_id").cast(org.apache.spark.sql.types.LongType)
-                .as("c_id"))
+                .as("c_id"): _*)
             .coalesce(1).write.mode("overwrite").parquet(gen)
         ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
       }
     } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-  }
-
-  /** Write one shard's postings as a fresh generation of its OWN
-    * generational root and flip that shard's pointer (CAS) — the
-    * single-shard commit both [[saveIvfFlatSharded]] and
-    * [[updateIvfFlatSharded]] go through. */
-  private def commitShardPostings(spark: org.apache.spark.sql.SparkSession,
-                                  shardRoot: String,
-                                  postings: DataFrame): Unit = {
-    import graft.sinks.ArtifactStore
-    val loaded = ArtifactStore.currentGen(spark, shardRoot)
-    val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
-    postings.select(col("n_id"), col("nv"), col("nn"), col("c_id"))
-      .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(gen)
-    ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
   }
 
   def shardedNumShards(spark: org.apache.spark.sql.SparkSession,
@@ -2178,10 +2165,11 @@ object Clustering {
                          path: String): IvfFlatIndex = {
     import org.apache.spark.sql.types.LongType
     val postings = (0 until shardedNumShards(spark, path)).map { sh =>
-      spark.read.parquet(
-          graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
-        .select(col("n_id"), col("nv"), col("nn"),
-          col("c_id").cast(LongType).as("c_id"))
+      val raw = spark.read.parquet(
+        graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+      raw.select(Seq(col("n_id"), col("nv"), col("nn")) ++
+        postingsAttrCols(raw).map(col) :+
+        col("c_id").cast(LongType).as("c_id"): _*)
     }.reduce(_ unionByName _)
     IvfFlatIndex(spark.read.parquet(s"$path/lanes"), postings)
   }
@@ -2199,9 +2187,15 @@ object Clustering {
     import org.apache.spark.sql.types.LongType
     val numShards = shardedNumShards(spark, path)
     val lanes = spark.read.parquet(s"$path/lanes")
+    // attribute columns (filtered-serve metadata) ride every shard
+    // surface — discover them from shard 0's live generation and demand
+    // them from the delta (loud select error otherwise)
+    val shard0 = spark.read.parquet(
+      graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/0"))
+    val attrs = postingsAttrCols(shard0)
     val assigned = OperatorCaches.register(
-      Similarity.ivfPostings(delta, idCol, vecCol,
-          Similarity.centroidSetFromLanes(lanes))
+      Similarity.ivfPostingsAttrs(delta, idCol, vecCol,
+          Similarity.centroidSetFromLanes(lanes), attrs)
         .withColumn("shard",
           pmod(col("n_id").cast(LongType), lit(numShards.toLong))
             .cast("int"))
@@ -2214,11 +2208,12 @@ object Clustering {
     // partitionBy(shard, c_id)), then per-shard renames + pointer CAS —
     // the save-path economics instead of one read+write job per shard.
     // Untouched shards are never read or written.
+    val cols = Seq("n_id", "nv", "nn") ++ attrs :+ "c_id"
     val existingTouched = touched.map { sh =>
       spark.read.parquet(
           graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
-        .select(col("n_id"), col("nv"), col("nn"),
-          col("c_id").cast(LongType).as("c_id"))
+        .select(Seq(col("n_id"), col("nv"), col("nn")) ++ attrs.map(col) :+
+          col("c_id").cast(LongType).as("c_id"): _*)
         .withColumn("shard", lit(sh))
     }.reduce(_ unionByName _)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -2227,8 +2222,7 @@ object Clustering {
       s"$path/__shards_stage_${java.util.UUID.randomUUID().toString.take(8)}"
     try {
       existingTouched
-        .unionByName(assigned.select(col("n_id"), col("nv"), col("nn"),
-          col("c_id"), col("shard")))
+        .unionByName(assigned.select(cols.map(col) :+ col("shard"): _*))
         .repartition(col("shard"), col("c_id"))
         .write.mode("overwrite").partitionBy("shard", "c_id")
         .parquet(staging)
@@ -2269,10 +2263,11 @@ object Clustering {
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return touched
     val existingTouched = touched.map { sh =>
-      spark.read.parquet(
-          graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
-        .select(col("n_id"), col("nv"), col("nn"),
-          col("c_id").cast(LongType).as("c_id"))
+      val raw = spark.read.parquet(
+        graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+      raw.select(Seq(col("n_id"), col("nv"), col("nn")) ++
+          postingsAttrCols(raw).map(col) :+
+          col("c_id").cast(LongType).as("c_id"): _*)
         .withColumn("shard", lit(sh))
     }.reduce(_ unionByName _)
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * pointer-file commit protocol every table format with concurrent
   * readers converges on (Iceberg's metadata pointer, Delta's log): an
   * artifact root holds immutable generation directories
-  * (`gen_<ordinal>_<uuid>/`) plus one atomic pointer file
+  * (`_gen_<ordinal>_<uuid>/`, underscore-prefixed — see [[ordinalOf]])
+  * plus one atomic pointer file
   * (`_gen_current`) naming the live generation. This replaces the
   * rename-swap commit (`BulkSink.commit`) for the index tiers, whose
   * contract it could not uphold:
@@ -51,16 +52,42 @@ object ArtifactStore {
 
   val PointerFile = "_gen_current"
   val ClaimFile = "_gen_claim"
-  private val GenPrefix = "gen_"
+  /** Generation directories are UNDERSCORE-prefixed so Spark's file
+    * listing never surfaces them to a reader resolving a LEGACY flat
+    * root: a crash (or the window between a staged generation landing
+    * and the pointer flip) on a pointerless artifact/table would
+    * otherwise expose `gen_*` parquet beside the legacy files —
+    * "conflicting directory structures" or silent double-reads on
+    * every `spark.read.parquet(root)`. Underscore paths are skipped
+    * when LISTED but load fine when NAMED explicitly (the `_changes`
+    * feed precedent), which is exactly how resolved readers open the
+    * live generation. [[ordinalOf]] still accepts the round-16 `gen_`
+    * spelling so artifacts written before the rename keep loading. */
+  private val GenPrefix = "_gen_"
+  private val LegacyGenPrefix = "gen_"
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Ordinal of a generation directory name (`gen_<n>_<uuid>`). */
-  def ordinalOf(genName: String): Option[Long] =
-    if (!genName.startsWith(GenPrefix)) None
-    else scala.util.Try(
-      genName.stripPrefix(GenPrefix).takeWhile(_ != '_').toLong).toOption
+  /** Ordinal of a generation directory name (`_gen_<n>_<uuid>`, or the
+    * pre-rename `gen_<n>_<uuid>`). Returns None for anything else —
+    * including the pointer and claim FILES, which share the `_gen_`
+    * prefix ("current"/"claim" parse as no ordinal), so every listing
+    * filter below keys on `ordinalOf(n).isDefined`, never on the bare
+    * prefix. */
+  def ordinalOf(genName: String): Option[Long] = {
+    val stripped =
+      if (genName.startsWith(GenPrefix)) Some(genName.stripPrefix(GenPrefix))
+      else if (genName.startsWith(LegacyGenPrefix))
+        Some(genName.stripPrefix(LegacyGenPrefix))
+      else None
+    stripped.flatMap(r =>
+      scala.util.Try(r.takeWhile(_ != '_').toLong).toOption)
+  }
+
+  /** Whether a root entry NAME is a generation directory (either
+    * spelling) — the one test every sweep/keep filter uses. */
+  def isGenName(n: String): Boolean = ordinalOf(n).isDefined
 
   /** The live generation's directory NAME, if the artifact uses the
     * versioned layout. Pointer writes are atomic (temp + rename), so a
@@ -85,7 +112,7 @@ object ArtifactStore {
         case _ if attempt < 5 => attempt += 1; Thread.sleep(20L << attempt)
         case _ => throw new IllegalStateException(
           s"artifact pointer $p is unreadable (empty/torn) after retries; " +
-            s"restore it to name one gen_* directory under $path")
+            s"restore it to name one _gen_* directory under $path")
       }
     }
     None // unreachable
@@ -206,7 +233,7 @@ object ArtifactStore {
       val keep = Set(Some(genName), expected).flatten
       fs.listStatus(new Path(path)).foreach { s =>
         val n = s.getPath.getName
-        if (n.startsWith(GenPrefix) && !keep(n)) fs.delete(s.getPath, true)
+        if (isGenName(n) && !keep(n)) fs.delete(s.getPath, true)
       }
     } finally fs.delete(claim, false)
   }
@@ -263,7 +290,7 @@ object ArtifactStore {
           // delete the generation in-flight readers depend on.
           val curOrd = ordinalOf(cur).getOrElse(Long.MaxValue)
           val statuses = fs.listStatus(new Path(path))
-            .filter(s => s.getPath.getName.startsWith(GenPrefix) &&
+            .filter(s => isGenName(s.getPath.getName) &&
               s.getPath.getName != cur)
           val mtimes: Map[String, Long] =
             statuses.map(s => s.getPath.getName -> s.getModificationTime).toMap
@@ -298,7 +325,7 @@ object ArtifactStore {
     currentGen(spark, path).map { cur =>
       val fs = fsOf(spark, path)
       val gens = fs.listStatus(new Path(path)).map(_.getPath.getName)
-        .filter(_.startsWith(GenPrefix)).toSeq.sorted
+        .filter(isGenName).toSeq.sorted
       (cur, gens.filterNot(_ == cur),
         fs.exists(new Path(path, ClaimFile)))
     }

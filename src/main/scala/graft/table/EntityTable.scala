@@ -139,7 +139,9 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   /** Merge-on-read change feed location (inside the live generation, so
     * a physical fold's pointer flip carries the folded feed away with
     * the data it was folded into). */
-  def changesPath: String = s"$dataDir/_changes"
+  def changesPath: String = feedPathIn(dataDir)
+
+  private def feedPathIn(dir: String): String = s"$dir/_changes"
 
   private def hadoopFs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -149,14 +151,21 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * existence — a failed append (layout validation raise_error) can
     * leave an empty `_changes` dir behind, which must read as "no
     * pending changes". */
-  def hasPendingChanges: Boolean = feedDataFiles.nonEmpty
+  def hasPendingChanges: Boolean = hasPendingChangesIn(dataDir)
+
+  private def hasPendingChangesIn(dir: String): Boolean =
+    feedDataFilesIn(dir).nonEmpty
 
   /** All committed data files of the feed: top-level files (single-file
     * appends) plus files inside `batch_*` subdirectories (atomic
     * multi-file appends, committed by one directory rename). */
-  private def feedDataFiles: Seq[org.apache.hadoop.fs.FileStatus] = {
+  private def feedDataFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+    feedDataFilesIn(dataDir)
+
+  private def feedDataFilesIn(dir: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
-    val p = new org.apache.hadoop.fs.Path(changesPath)
+    val p = new org.apache.hadoop.fs.Path(feedPathIn(dir))
     if (!hadoopFs.exists(p)) Seq.empty
     else hadoopFs.listStatus(p).toSeq.flatMap { s =>
       if (!visible(s.getPath.getName)) Seq.empty
@@ -169,24 +178,38 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   /** The pending change feed (empty-schema error if none — guard with
     * `hasPendingChanges`). Batch subdirectories (atomic multi-file
     * appends) are picked up by the recursive lookup. */
-  def pendingChanges: DataFrame = spark.read
-    .option("recursiveFileLookup", "true").parquet(changesPath)
+  def pendingChanges: DataFrame = pendingChangesIn(dataDir)
+
+  private def pendingChangesIn(dir: String): DataFrame = spark.read
+    .option("recursiveFileLookup", "true").parquet(feedPathIn(dir))
 
   /** Base cells only — the bulk-loaded / direct-appended files, change
     * feed NOT folded in. `lg` is the locality-group partition column of
     * grouped bulk loads — dropped so readers see the pure cell schema
     * either way. */
-  private def baseCells: DataFrame = {
-    val df = spark.read.parquet(dataDir)
+  private def baseCells: DataFrame = baseCellsIn(dataDir)
+
+  private def baseCellsIn(dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
     if (df.columns.contains("lg")) df.drop("lg") else df
   }
 
   /** The live cell set: base files with the pending change feed folded in
     * (puts unioned, tombstones masked — `Dml.applyChanges`). With no
-    * pending feed this is exactly the base scan, zero overhead. */
-  def cells: DataFrame =
-    if (!hasPendingChanges) baseCells
-    else Dml.applyChanges(baseCells, pendingChanges)
+    * pending feed this is exactly the base scan, zero overhead.
+    *
+    * TORN-READ GUARD: every multi-surface read resolves the live
+    * generation ONCE and derives base + feed (+ markers, on the as-of
+    * paths) from that one directory — resolving per surface would let a
+    * fold committing mid-plan hand a reader gen_N's base with gen_N+1's
+    * feed (feed entries applied twice, or a path-not-found on the fresh
+    * generation's absent feed). The "folds ∥ readers SAFE" contract in
+    * the class doc depends on this single-resolution discipline. */
+  def cells: DataFrame = cellsIn(dataDir)
+
+  private def cellsIn(dir: String): DataFrame =
+    if (!hasPendingChangesIn(dir)) baseCellsIn(dir)
+    else Dml.applyChanges(baseCellsIn(dir), pendingChangesIn(dir))
 
   /** Snapshot-as-of cell set (time travel): the merged view as it stood
     * when the change feed was CUT at `feedTs` — only feed entries (puts
@@ -219,8 +242,9 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * applied is <= watermark <= feedTs, exactly HBase's
     * versions-discarded-at-major-compaction semantics). */
   def cellsAsOf(feedTs: Long): DataFrame = {
+    val dir = dataDir // one resolution for watermark + base + feed
     if (feedTs != Long.MaxValue) {
-      val w = asOfWatermark
+      val w = readMarkerIn(dir, "_asof_watermark")
       require(feedTs >= w,
         s"readAsOf($feedTs): a major compaction physically folded all feed " +
           s"entries up to ts=$w into the base and discarded the versions and " +
@@ -228,10 +252,10 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           "unreproducible (run time-travel reads before majorCompact, or " +
           "compact on a schedule that outlives the rollback window)")
     }
-    if (!hasPendingChanges) baseCells
-    else if (feedTs == Long.MaxValue) cells
-    else Dml.applyChanges(baseCells,
-      pendingChanges.filter(col("ts") <= lit(feedTs)))
+    if (!hasPendingChangesIn(dir)) baseCellsIn(dir)
+    else if (feedTs == Long.MaxValue) cellsIn(dir)
+    else Dml.applyChanges(baseCellsIn(dir),
+      pendingChangesIn(dir).filter(col("ts") <= lit(feedTs)))
   }
 
   /** Snapshot-as-of by ARRIVAL ORDER — the strict batch-history cut
@@ -250,8 +274,9 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * [[asOfArrivalWatermark]] and cuts strictly below it refuse, exactly
     * like the ts axis. */
   def cellsAsOfOrdinal(ordinal: Long): DataFrame = {
+    val dir = dataDir // one resolution for watermark + base + feed
     if (ordinal != Long.MaxValue) {
-      val w = asOfArrivalWatermark
+      val w = readMarkerIn(dir, "_asof_arrival_watermark")
       require(ordinal >= w,
         s"readAsOfOrdinal($ordinal): a physical fold (majorCompact or " +
           s"applyChanges) already folded feed batches up to arrival=$w " +
@@ -259,15 +284,15 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           "masked — batch-history cuts below that watermark are " +
           "unreproducible")
     }
-    if (!hasPendingChanges) baseCells
-    else if (ordinal == Long.MaxValue) cells
+    if (!hasPendingChangesIn(dir)) baseCellsIn(dir)
+    else if (ordinal == Long.MaxValue) cellsIn(dir)
     else {
-      val pc = pendingChanges
+      val pc = pendingChangesIn(dir)
       require(pc.columns.contains("arrival"),
         "this change feed has no arrival stamps (written by a writer " +
           "other than appendChanges?) — ordinal cuts need the stamped " +
           "feed; use the logical-ts cut (readAsOf) instead")
-      Dml.applyChanges(baseCells,
+      Dml.applyChanges(baseCellsIn(dir),
         pc.filter(col("arrival") <= lit(ordinal)))
     }
   }
@@ -297,8 +322,12 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * reservation floor from the feed's own `arrival` stamps); `lenient =
     * false` (the as-of watermarks, where "absent" would silently LOWER a
     * history barrier) fails loudly with the recovery step. */
-  private def readMarker(name: String, lenient: Boolean = false): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dataDir/$name")
+  private def readMarker(name: String, lenient: Boolean = false): Long =
+    readMarkerIn(dataDir, name, lenient)
+
+  private def readMarkerIn(dir: String, name: String,
+                           lenient: Boolean = false): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
     var attempt = 0
     while (true) {
       if (!hadoopFs.exists(p)) return Long.MinValue
@@ -354,12 +383,13 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     require(layout.localityGroups.contains(group),
       s"no locality group '$group' in table ${layout.name}")
     val fams = layout.localityGroups(group).map(_.name)
-    val raw = spark.read.parquet(dataDir)
+    val dir = dataDir // one resolution for base + feed (torn-read guard)
+    val raw = spark.read.parquet(dir)
     val base =
       if (raw.columns.contains("lg")) raw.filter(col("lg") === group).drop("lg")
       else raw.filter(col("family").isin(fams: _*))
-    if (!hasPendingChanges) base
-    else Dml.applyChanges(base, pendingChanges.filter(
+    if (!hasPendingChangesIn(dir)) base
+    else Dml.applyChanges(base, pendingChangesIn(dir).filter(
       col("family").isNull || col("family").isin(fams: _*)))
   }
 
@@ -664,8 +694,9 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * feed down (`compactFeed` for a feed-only fold, `majorCompact` for the
     * full physical fold). Surfaced by the CLI `describe` verb. */
   def changeFeedStats: (Int, Long) = {
-    val files = feedDataFiles.length
-    if (files == 0) (0, 0L) else (files, pendingChanges.count())
+    val dir = dataDir // one resolution for the listing + the count
+    val files = feedDataFilesIn(dir).length
+    if (files == 0) (0, 0L) else (files, pendingChangesIn(dir).count())
   }
 
   /** MINOR compaction of the change feed: coalesce the N accumulated

@@ -1808,6 +1808,12 @@ class ToolSpec extends SparkSpec {
         s"--output=format=parquet file=$base/z",
         "--filter-col=label", "--filter-val=0")))
     assert(noAttr.getMessage.contains("attrCols"), noAttr.getMessage)
+    // an unparseable value for the attribute's type fails LOUDLY — a
+    // cast would yield NULL and silently serve zero rows
+    val badVal = intercept[IllegalArgumentException](
+      serveF("--filter-col=label", "--filter-val=en"))
+    assert(badVal.getMessage.contains("does not parse") &&
+      badVal.getMessage.contains("label"), badVal.getMessage)
   }
 
   test("CLI hybrid serve: reciprocal-rank fusion of the persisted bm25 + ivfflat artifacts; streamed == batch; composite refusals") {
@@ -1927,6 +1933,11 @@ class ToolSpec extends SparkSpec {
         "--centroids=3", "--min-skew=99")))
     assert(refuse.getMessage.contains("--min-skew") &&
       refuse.getMessage.contains("--force"), refuse.getMessage)
+    // an OMITTED --centroids defaults to the index's own codebook size
+    // (never a fixed literal that silently reshapes the cell grid)
+    val rDefault = Tool.run(spark, Array("index-rebuild", "--type=ivfflat",
+      s"--path=$path", "--force=true"))
+    assert(rDefault.counters("centroids") == 2L, rDefault.counters.toString)
     val genBefore = graft.sinks.ArtifactStore.currentGen(spark, path)
     val r = Tool.run(spark, Array("index-rebuild", "--type=ivfflat",
       s"--path=$path", "--centroids=3", "--min-skew=1.3"))

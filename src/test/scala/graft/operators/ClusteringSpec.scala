@@ -710,6 +710,33 @@ class ClusteringSpec extends SparkSpec {
       graft.operators.Similarity.centroidSetFromLanes(idx.lanes))
     assert(serveOf(Clustering.loadIvfFlatSharded(spark, sharded)) ==
       serveOf(Clustering.IvfFlatIndex(idx.lanes, unionPostings)))
+
+    // ATTRIBUTE columns survive the sharded layout end to end: save,
+    // load, single-shard update — so the filtered serve works on the
+    // one layout the 100 TB path actually uses
+    val attributed = blobs.withColumn("label", ($"vec_id" % 3).cast("int"))
+    val shAttr = tmpDir("ivfsh_attr") + "/art"
+    Clustering.saveIvfFlatSharded(Clustering.buildIvfFlatIndex(
+      attributed, "vec_id", "embedding", 3, 2, attrCols = Seq("label")),
+      shAttr, numShards = 4)
+    val loadedAttr = Clustering.loadIvfFlatSharded(spark, shAttr)
+    assert(loadedAttr.postings.columns.contains("label"),
+      "attr column lost by the sharded save/load roundtrip")
+    val deltaAttr = Seq((102L, Seq(0f, 0f, 0f, 9f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label".cast("int").as("label"))
+    Clustering.updateIvfFlatSharded(spark, shAttr, deltaAttr,
+      "vec_id", "embedding")
+    val filtered = Clustering.serveIvfFlatFiltered(
+        Clustering.loadIvfFlatSharded(spark, shAttr), blobs,
+        "vec_id", "embedding", maxQueryId = 3L, nprobe = 3, k = 12,
+        pred = $"label" === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(filtered.nonEmpty && filtered.forall(_._2 % 3 == 0),
+      s"sharded filtered serve leaked non-matching rows: ${filtered.toSeq}")
+    assert(filtered.exists(_._2 == 102L),
+      "attr-carrying sharded update must make the delta servable filtered")
   }
 
   test("filtered ANN serve: predicate composes into the pruned postings scan; filtered top-k == brute-filtered top-k") {

@@ -147,7 +147,7 @@ class ArtifactStoreSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def genCount: Int = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .map(_.getPath.getName).count(_.startsWith("gen_"))
+      .map(_.getPath.getName).count(ArtifactStore.isGenName)
     val texts = Seq("alpha beta words", "gamma delta words",
       "epsilon zeta words", "eta theta words", "iota kappa words",
       "lambda mu words")
@@ -196,7 +196,7 @@ class ArtifactStoreSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def gens: Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .map(_.getPath.getName).filter(_.startsWith("gen_")).toSet
+      .map(_.getPath.getName).filter(ArtifactStore.isGenName).toSet
     // live A, displaced is simulated by committing B on top; then two
     // CRASHED writers leave orphan generations (written, never committed)
     val gA = writeGen(None)
@@ -252,6 +252,34 @@ class ArtifactStoreSpec extends SparkSpec {
       ArtifactStore.sweep(spark, s"${tmpDir("artgcmiss")}/nope",
         keepDisplaced = true))
     assert(missing.getMessage.contains("no artifact at"), missing.getMessage)
+  }
+
+  test("generation directories are invisible to legacy flat readers: a crashed first commit never corrupts root reads") {
+    import spark.implicits._
+    // a LEGACY flat artifact/table: plain parquet at the root
+    val root = s"${tmpDir("artlegacy")}/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(root)
+    // a writer stages the FIRST generation and crashes before the
+    // pointer flip — the underscore-prefixed gen dir must stay invisible
+    // to every reader still resolving the legacy root (Spark listing
+    // skips underscore paths), instead of surfacing conflicting
+    // directory structures / double reads
+    val gen = ArtifactStore.newGenDir(spark, root, None)
+    assert(new org.apache.hadoop.fs.Path(gen).getName.startsWith("_"),
+      s"generation dirs must be underscore-prefixed: $gen")
+    Seq((9L, "x")).toDF("id", "v").write.parquet(gen)
+    assert(ArtifactStore.currentGen(spark, root).isEmpty)
+    assert(spark.read.parquet(root).count() == 2L,
+      "legacy root read must see ONLY the legacy files")
+    // after the (retried) commit, readers resolve the generation
+    ArtifactStore.commitGen(spark, root, gen, None)
+    assert(spark.read.parquet(ArtifactStore.resolve(spark, root))
+      .count() == 1L)
+    // and the pointer/claim files never parse as generations
+    assert(!ArtifactStore.isGenName(ArtifactStore.PointerFile) &&
+      !ArtifactStore.isGenName(ArtifactStore.ClaimFile))
+    assert(ArtifactStore.isGenName(new org.apache.hadoop.fs.Path(gen).getName))
+    assert(ArtifactStore.isGenName("gen_3_ab12cd34"), "pre-rename spelling must still parse")
   }
 
   test("commitGen fails loudly (never flips the pointer) when a concurrent index-gc swept its staged generation") {

@@ -727,7 +727,7 @@ class TableDmlSpec extends SparkSpec {
       Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc))
     assert(spark.read.parquet(live(dest)).count() == 3)
     val gens = Files.list(Paths.get(dest)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("gen_")).toList
+      .map(_.getFileName.toString).filter(graft.sinks.ArtifactStore.isGenName).toList
     assert(gens.size == 2, s"expected live+displaced, got: $gens")
     val parent = Paths.get(dest).getParent
     val leftovers = Files.list(parent).iterator()
@@ -832,7 +832,7 @@ class TableDmlSpec extends SparkSpec {
     // exactly live + displaced generations on disk (retention one deep)
     table.majorCompact()
     val gens = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("gen_")).toList
+      .map(_.getFileName.toString).filter(graft.sinks.ArtifactStore.isGenName).toList
     assert(gens.size == 2, s"expected live+displaced, got: $gens")
 
     // RACING FOLDS: writer A loads the pointer, writer B commits first;
