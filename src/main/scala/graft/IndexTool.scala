@@ -84,9 +84,10 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "ivfflat", "ivfflat-sharded", "ivfpq", "ivfpqr",
-      "pq", "sq", "ivfsq", "bpe", "bm25", "unigram", "semdedup",
-      "wordpiece", "decontam", "cdc", "imi", "hybrid")
+    Set("lsh", "ivf", "ivfflat", "ivfflat-sharded", "ivfpq",
+      "ivfpq-sharded", "ivfpqr", "pq", "sq", "ivfsq", "bpe", "bm25",
+      "bm25-sharded", "unigram", "semdedup", "wordpiece", "decontam",
+      "cdc", "imi", "hybrid")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -98,6 +99,34 @@ object IndexTool {
     val id = flags.getOrElse("id-col", "vec_id")
     val vec = flags.getOrElse("vec-col", "embedding")
     df.select(col(id).cast(LongType).as("vec_id"), col(vec).as("embedding"))
+  }
+
+  /** `--attr-cols=a,b` — metadata columns to materialize in a vector
+    * index's candidate surface for filtered serves. */
+  private def attrColsOf(flags: Map[String, String]): Seq[String] =
+    flags.get("attr-cols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  /** [[embOf]] plus the `--attr-cols` attribute columns — the
+    * filtered-capable vector-tier input projection. */
+  private def pqEmbOf(df: DataFrame, flags: Map[String, String]): DataFrame =
+    df.select(
+      col(flags.getOrElse("id-col", "vec_id")).cast(LongType)
+          .as("vec_id") +:
+        col(flags.getOrElse("vec-col", "embedding")).as("embedding") +:
+        attrColsOf(flags).map(col): _*)
+
+  /** [[embOf]] keeping every OTHER input column: the sharded update
+    * folds discover the artifact's attribute set themselves and select
+    * those columns from the delta (loud select error if the delta lacks
+    * one), so the CLI must not strip them here. */
+  private def embAllOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
+    val id = flags.getOrElse("id-col", "vec_id")
+    val vec = flags.getOrElse("vec-col", "embedding")
+    df.select(col(id).cast(LongType).as("vec_id") +:
+      col(vec).as("embedding") +:
+      df.columns.toSeq.filterNot(Set(id, vec)).map(col): _*)
   }
 
   private def shingled(docs: DataFrame, n: Int): DataFrame = {
@@ -150,33 +179,41 @@ object IndexTool {
         // artifact is updatable (Faiss train/add split).
         // --attr-cols=a,b materializes metadata columns IN the postings
         // for filtered serves (--filter-col/--filter-val)
-        val attrs = flags.get("attr-cols")
-          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-          .getOrElse(Nil)
-        val embIn = input.select(
-          col(flags.getOrElse("id-col", "vec_id")).cast(LongType)
-              .as("vec_id") +:
-            col(flags.getOrElse("vec-col", "embedding")).as("embedding") +:
-            attrs.map(col): _*)
         Clustering.saveIvfFlatIndex(Clustering.buildIvfFlatIndex(
-          embIn, "vec_id", "embedding",
+          pqEmbOf(input, flags), "vec_id", "embedding",
           num("centroids", 64), num("iters", Similarity.IvfCoarseIters),
-          attrCols = attrs), path)
+          attrCols = attrColsOf(flags)), path)
       case "ivfflat-sharded" =>
         // the 100 TB rewrite-unit layout: same index, postings split
         // into --shards independent generational roots (n_id mod S) —
-        // an update rewrites only the shards its delta routes to
+        // an update rewrites only the shards its delta routes to.
+        // --attr-cols ride every shard surface, so the sharded serve
+        // takes --filter-col/--filter-val exactly like the unsharded one
         Clustering.saveIvfFlatSharded(Clustering.buildIvfFlatIndex(
-          embOf(input, flags), "vec_id", "embedding",
-          num("centroids", 64), num("iters", Similarity.IvfCoarseIters)),
+          pqEmbOf(input, flags), "vec_id", "embedding",
+          num("centroids", 64), num("iters", Similarity.IvfCoarseIters),
+          attrCols = attrColsOf(flags)),
           path, num("shards", 4))
       case "ivfpq" =>
         // the composed compressed index: coarse codebook +
-        // cell-partitioned lists + PQ codes/codebooks, no raw vectors
+        // cell-partitioned lists + PQ codes/codebooks, no raw vectors.
+        // --attr-cols materializes metadata in the CELLS surface for
+        // filtered ADC serves (--filter-col/--filter-val)
         Clustering.saveIvfPqIndex(Clustering.buildIvfPqIndex(
-          embOf(input, flags), "vec_id", "embedding",
+          pqEmbOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8), num("k", 16), num("iters", 2),
-          num("centroids", 64)), path)
+          num("centroids", 64), attrCols = attrColsOf(flags)), path)
+      case "ivfpq-sharded" =>
+        // the 100 TB rewrite-unit layout for the PRODUCTION compressed
+        // tier: cells + codes sharded by n_id mod --shards under the
+        // shared frozen codebooks, one generational root per shard — an
+        // update/remove rewrites only the shards its delta routes to,
+        // with cells and codes swapping together inside one generation
+        Clustering.saveIvfPqSharded(Clustering.buildIvfPqIndex(
+          pqEmbOf(input, flags), "vec_id", "embedding",
+          num("dim", 64), num("m", 8), num("k", 16), num("iters", 2),
+          num("centroids", 64), attrCols = attrColsOf(flags)),
+          path, num("shards", 4))
       case "ivfpqr" =>
         // residual-encoded IVFPQ (the production Faiss IndexIVFPQ): PQ
         // quantizes v − centroid(cell), so the codebooks spend their
@@ -220,6 +257,13 @@ object IndexTool {
       case "bm25" =>
         Retrieval.saveBm25Index(
           Retrieval.buildBm25Index(terms(docsOf(input, flags))), path)
+      case "bm25-sharded" =>
+        // the 100 TB rewrite-unit layout for the lexical tier: postings
+        // + docfreq shard by term hash, doclen by doc id, stats is an
+        // O(1) rollup root — a crawl delta rewrites only touched shards
+        Retrieval.saveBm25Sharded(
+          Retrieval.buildBm25Index(terms(docsOf(input, flags))), path,
+          num("shards", 4))
       case "unigram" =>
         // --target-vocab engages the EM+prune size-targeted trainer (the
         // SentencePiece vocabulary-size knob); absent = the fixed-seed
@@ -281,8 +325,9 @@ object IndexTool {
     * `add`) and its codes appended (q159). `ivfpq` composes the ivfflat
     * and pq adds over one delta pass (q161). */
   val UpdateTypes: Set[String] =
-    Set("lsh", "cdc", "bm25", "ivfflat", "ivfflat-sharded", "semdedup",
-      "pq", "ivfpq", "imi", "sq", "ivfsq", "ivfpqr")
+    Set("lsh", "cdc", "bm25", "bm25-sharded", "ivfflat", "ivfflat-sharded",
+      "semdedup", "pq", "ivfpq", "ivfpq-sharded", "imi", "sq", "ivfsq",
+      "ivfpqr")
 
   /** The index types whose persisted artifact can DROP a doc/vector set
     * (`index-remove` — the right-to-be-forgotten leg: a deleted
@@ -298,8 +343,9 @@ object IndexTool {
     * the rollup alone was NOT invertible (its `min first_doc` is
     * unrecoverable once its witness is deleted). */
   val RemoveTypes: Set[String] =
-    Set("lsh", "bm25", "cdc", "ivfflat", "ivfflat-sharded", "ivfpq", "pq",
-      "semdedup", "imi", "sq", "ivfsq", "ivfpqr")
+    Set("lsh", "bm25", "bm25-sharded", "cdc", "ivfflat", "ivfflat-sharded",
+      "ivfpq", "ivfpq-sharded", "pq", "semdedup", "imi", "sq", "ivfsq",
+      "ivfpqr")
 
   /** `index-remove`: load the artifact, drop the ids in the input
     * batch, and commit a new generation through the same pointer
@@ -330,6 +376,19 @@ object IndexTool {
       // generation never moves, mirroring the sharded add
       val touched = Clustering.removeFromIvfFlatSharded(spark, base, vecIds)
       println(s"removed from shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "ivfpq-sharded") {
+      val touched = Clustering.removeFromIvfPqSharded(spark, base, vecIds)
+      println(s"removed from shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "bm25-sharded") {
+      // removal inherently touches every TERM shard (a doc's terms hash
+      // across the grid) but only the routed DOC shards; all commit in
+      // one atomic pointer transaction
+      val touched = Retrieval.removeFromBm25Sharded(spark, base, docIds)
+      println(s"removed from doc shards: ${touched.mkString(", ")}")
       return
     }
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
@@ -384,19 +443,27 @@ object IndexTool {
     * the root pointer CAS. Rebuild == fresh build over the same vectors
     * with the same (centroids, iters, salt) — bit-identical (q-verified),
     * so a drifted index snaps back to the fresh-build contract. */
-  val RebuildTypes: Set[String] = Set("ivfflat")
+  val RebuildTypes: Set[String] = Set("ivfflat", "ivfflat-sharded")
 
   def rebuild(spark: SparkSession, tpe: String, path: String,
               flags: Map[String, String]): Map[String, Long] = {
     require(RebuildTypes(tpe),
       s"index-rebuild supports --type=${RebuildTypes.toSeq.sorted.mkString("|")} " +
         s"only (got '$tpe'); tiers with fitted sub-codebooks (ivfpq|" +
-        s"ivfpqr|ivfsq) re-fit from the raw corpus — run index-build")
+        s"ivfpq-sharded|ivfpqr|ivfsq|imi) re-fit from the raw corpus — " +
+        s"run index-build")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     import graft.sinks.ArtifactStore
     val loadedGen = ArtifactStore.currentGen(spark, path)
     val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
-    val idx = Clustering.loadIvfFlatIndex(spark, base)
+    // the sharded artifact rebuilds from the UNION of its shards'
+    // postings (exact scaled vectors, same as the unsharded load) and
+    // re-persists as a fresh sharded layout — drift accumulates on
+    // exactly this long-lived artifact, so it must be repairable
+    val idx = tpe match {
+      case "ivfflat" => Clustering.loadIvfFlatIndex(spark, base)
+      case _ => Clustering.loadIvfFlatSharded(spark, base)
+    }
     val skew = Clustering.postingsOccupancySkew(idx.postings)
     // describe-driven trigger: refuse a retrain the occupancy does not
     // justify (a full k-means over the corpus is the expensive step a
@@ -417,7 +484,16 @@ object IndexTool {
     val rebuilt = Clustering.rebuildIvfFlatIndex(idx,
       centroids, num("iters", Similarity.IvfCoarseIters))
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
-    Clustering.saveIvfFlatIndex(rebuilt, staging)
+    tpe match {
+      case "ivfflat" => Clustering.saveIvfFlatIndex(rebuilt, staging)
+      case _ =>
+        // a fresh ROOT generation holding a complete sharded layout
+        // (lanes + meta + per-shard generational roots), committed by
+        // the ONE root pointer flip below — in-flight serves keep the
+        // displaced generation's whole shard tree
+        Clustering.saveIvfFlatSharded(rebuilt, staging,
+          Clustering.shardedNumShards(spark, base))
+    }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
     Map("skew_x100_before" -> (skew * 100).toLong,
       "centroids" -> centroids.toLong)
@@ -434,6 +510,8 @@ object IndexTool {
       .select(col("doc_id").as("id"))
     case "bm25" => Retrieval.loadBm25Index(spark, base).doclen
       .select(col("doc_id").as("id"))
+    case "bm25-sharded" => Retrieval.loadBm25Sharded(spark, base).doclen
+      .select(col("doc_id").as("id"))
     case "ivfflat" => Clustering.loadIvfFlatIndex(spark, base).postings
       .select(col("n_id").as("id"))
     case "ivfflat-sharded" => Clustering.loadIvfFlatSharded(spark, base)
@@ -443,6 +521,8 @@ object IndexTool {
     case "pq" => Clustering.loadPqIndex(spark, base).codes
       .select(col("n_id").as("id"))
     case "ivfpq" => Clustering.loadIvfPqIndex(spark, base).codes
+      .select(col("n_id").as("id"))
+    case "ivfpq-sharded" => Clustering.loadIvfPqSharded(spark, base).cells
       .select(col("n_id").as("id"))
     case "imi" => Clustering.loadImiIndex(spark, base).postings
       .select(col("n_id").as("id"))
@@ -487,7 +567,7 @@ object IndexTool {
     import graft.sinks.ArtifactStore
     val loadedGen = ArtifactStore.currentGen(spark, path)
     val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
-    val docTier = Set("lsh", "cdc", "bm25")(tpe)
+    val docTier = Set("lsh", "cdc", "bm25", "bm25-sharded")(tpe)
     if (!flags.get("skip-disjoint-check").exists(_.toBoolean)) {
       val deltaIds = (if (docTier) docsOf(input, flags).select(
           col("doc_id").as("id"))
@@ -504,14 +584,34 @@ object IndexTool {
           s"scheduler guarantees disjoint deltas")
     }
     if (tpe == "ivfflat-sharded") {
-      // sharded adds commit per-SHARD pointer CAS generations: only the
-      // shards the delta's ids route to are read or rewritten, and the
-      // artifact ROOT generation (codebook + shard set) never moves on
-      // an add — the rewrite unit at 100 TB is a shard, never the
-      // whole postings surface.
+      // sharded adds commit per-SHARD pointer generations (one
+      // all-or-nothing multi-shard flip): only the shards the delta's
+      // ids route to are read or rewritten, and the artifact ROOT
+      // generation (codebook + shard set) never moves on an add — the
+      // rewrite unit at 100 TB is a shard, never the whole postings
+      // surface.
       val touched = Clustering.updateIvfFlatSharded(spark, base,
-        embOf(input, flags), "vec_id", "embedding")
+        embAllOf(input, flags), "vec_id", "embedding")
       println(s"updated shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "ivfpq-sharded") {
+      // same economics on the production compressed tier: cells + codes
+      // of only the touched shards rewrite, swapping together inside
+      // each shard's generation
+      val touched = Clustering.updateIvfPqSharded(spark, base,
+        embAllOf(input, flags), "vec_id", "embedding",
+        num("dim", 64), num("m", 8))
+      println(s"updated shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "bm25-sharded") {
+      // lexical-tier economics: a crawl delta rewrites only the term
+      // shards its vocabulary hashes to, the doc shards its ids route
+      // to, and the 1-row stats rollup
+      val touched = Retrieval.updateBm25Sharded(spark, base,
+        terms(docsOf(input, flags)))
+      println(s"updated term shards: ${touched.mkString(", ")}")
       return
     }
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
@@ -616,6 +716,16 @@ object IndexTool {
                              dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
+    // Resolve the unsupported-type case BEFORE the parse try: it throws
+    // IllegalArgumentException too, and raising it inside would let the
+    // catch re-wrap it as a misleading "--filter-val does not parse"
+    // error for e.g. a timestamp/decimal attribute column.
+    val supported = Set[DataType](IntegerType, LongType, ShortType,
+      DoubleType, FloatType, BooleanType, StringType)
+    if (!supported(dt)) throw new IllegalArgumentException(
+      s"--filter-col=$colName has unsupported attribute type " +
+        s"${dt.simpleString} (supported: int/long/short/double/" +
+        s"float/boolean/string)")
     try dt match {
       case IntegerType => lit(v.trim.toInt)
       case LongType => lit(v.trim.toLong)
@@ -624,17 +734,99 @@ object IndexTool {
       case FloatType => lit(v.trim.toFloat)
       case BooleanType => lit(v.trim.toBoolean)
       case StringType => lit(v)
-      case other => throw new IllegalArgumentException(
-        s"--filter-col=$colName has unsupported attribute type " +
-          s"${other.simpleString} (supported: int/long/short/double/" +
-          s"float/boolean/string)")
     } catch {
-      case _: NumberFormatException | _: IllegalArgumentException
-          if !dt.isInstanceOf[StringType.type] =>
+      case _: NumberFormatException | _: IllegalArgumentException =>
         throw new IllegalArgumentException(
           s"--filter-val='$v' does not parse as the ${dt.simpleString} " +
             s"type of attribute column '$colName'")
     }
+  }
+
+  /** The ivfflat serve dispatch (shared by the unsharded and sharded
+    * verbs — the loaded sharded artifact IS an [[Clustering.IvfFlatIndex]]):
+    * plain probed-cell serve, or the filtered serve when
+    * `--filter-col`/`--filter-val` name an attribute materialized in
+    * the postings (predicate composed INSIDE the pruned scan —
+    * pre-filtered candidates, never rank-then-filter). */
+  private def serveFlatMaybeFiltered(idx: Clustering.IvfFlatIndex,
+                                     emb: DataFrame,
+                                     flags: Map[String, String]): DataFrame = {
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    flags.get("filter-col") match {
+      case Some(c) =>
+        require(idx.postings.columns.contains(c),
+          s"--filter-col=$c: the postings carry no '$c' attribute " +
+            s"column (available: " +
+            s"${idx.postings.columns.mkString(", ")}) — rebuild with " +
+            s"the attribute materialized (buildIvfFlatIndex attrCols)")
+        val v = flags.getOrElse("filter-val",
+          throw new IllegalArgumentException(
+            "--filter-col needs --filter-val=<value>"))
+        Clustering.serveIvfFlatFiltered(idx, emb, "vec_id", "embedding",
+          num("max-query-id", 20).toLong, num("nprobe", 2),
+          num("topk", 3),
+          col(c) === typedFilterVal(c, v, idx.postings.schema(c).dataType))
+      case None =>
+        Clustering.serveIvfFlat(idx, emb, "vec_id", "embedding",
+          num("max-query-id", 20).toLong, num("nprobe", 2),
+          num("topk", 3))
+    }
+  }
+
+  /** The compressed-tier (ADC) serve dispatch shared by the `ivfpq` and
+    * `ivfpq-sharded` verbs: plain pruned-cell ADC, optionally
+    * pre-filtered on a cells-surface attribute
+    * (`--filter-col`/`--filter-val` — the [[Clustering.serveIvfPqFiltered]]
+    * contract: the predicate composes into the probed scan BEFORE the
+    * candidate join), optionally upgraded to the two-stage search
+    * (`--rerank-from=<ivfflat artifact>`: ADC shortlist + exact-cosine
+    * rerank over raw vectors fetched from those postings). */
+  private def servePqMaybeRerank(spark: SparkSession,
+                                 idx0: Clustering.IvfPqIndex,
+                                 emb: DataFrame,
+                                 flags: Map[String, String]): DataFrame = {
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    val idx = flags.get("filter-col") match {
+      case Some(c) =>
+        require(idx0.cells.columns.contains(c),
+          s"--filter-col=$c: the cells surface carries no '$c' attribute " +
+            s"column (available: ${idx0.cells.columns.mkString(", ")}) — " +
+            s"rebuild with the attribute materialized (--attr-cols)")
+        val v = flags.getOrElse("filter-val",
+          throw new IllegalArgumentException(
+            "--filter-col needs --filter-val=<value>"))
+        idx0.copy(cells = idx0.cells.filter(
+          col(c) === typedFilterVal(c, v, idx0.cells.schema(c).dataType)))
+      case None => idx0
+    }
+    flags.get("rerank-from") match {
+      case Some(flatPath) =>
+        Clustering.serveIvfPqRerank(idx,
+          Clustering.loadIvfFlatIndex(spark, flatPath).postings,
+          emb, "vec_id", "embedding", num("dim", 64), num("m", 8),
+          num("max-query-id", 20).toLong, num("nprobe", 2),
+          num("rerank-pool", 6), num("topk", 3))
+      case None =>
+        Clustering.serveIvfPq(idx, emb, "vec_id", "embedding",
+          num("dim", 64), num("m", 8), num("max-query-id", 20).toLong,
+          num("nprobe", 2), num("topk", 3))
+    }
+  }
+
+  /** The BM25 ranked-serve dispatch shared by the unsharded and sharded
+    * verbs (a loaded sharded artifact IS a [[graft.operators.Bm25Index]]). */
+  private def serveBm25(idx: graft.operators.Bm25Index, docs: DataFrame,
+                        flags: Map[String, String]): DataFrame = {
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    def dbl(k: String, dflt: Double): Double =
+      flags.get(k).map(_.toDouble).getOrElse(dflt)
+    val queryTerms = terms(docs).distinct()
+      .select(col("doc_id").as("q_id"), col("term"))
+    Retrieval.bm25Ranked(queryTerms, idx, dbl("k1", 1.2), dbl("b", 0.75),
+        flags.get("scale").map(_.toLong).getOrElse(1048576L))
+      .where(col("rank") <= num("topk", 5))
+      .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
+        col("score"))
   }
 
   private def hybridServe(spark: SparkSession, path: String,
@@ -645,14 +837,73 @@ object IndexTool {
       flags.get(k).map(_.toDouble).getOrElse(dflt)
     val densePath = flags.getOrElse("dense-path",
       throw new IllegalArgumentException(
-        "--type=hybrid needs --dense-path=<ivfflat artifact> beside " +
+        "--type=hybrid needs --dense-path=<ivfflat|ivfpq artifact> beside " +
           "--path=<bm25 artifact>"))
     val pool = num("pool", 10)
+    // the input IS the query batch — every row queries by default
+    val maxQ = flags.get("max-query-id").map(_.toLong).getOrElse(Long.MaxValue)
     // BOTH artifacts load ONCE (pointer resolution + surface reads) —
     // the returned closure is applied per batch/micro-batch against the
     // same fixed state, like every other stream tier's hoisted load
     val bmIdx = Retrieval.loadBm25Index(spark, path)
-    val flatIdx = Clustering.loadIvfFlatIndex(spark, densePath)
+    // The dense leg: raw-vector ivfflat (default), optionally filtered
+    // (--filter-col/--filter-val — the predicate composes into the
+    // probed scan, so the leg's pool is all MATCHING docs), or the
+    // production compressed tier (--dense-type=ivfpq, requiring
+    // --rerank-from=<ivfflat artifact> for the exact rerank of the ADC
+    // shortlist — 8 B/vec shortlist + pool-sized raw fetches instead of
+    // raw vectors for every candidate).
+    val denseLeg: DataFrame => DataFrame =
+      flags.getOrElse("dense-type", "ivfflat") match {
+        case "ivfflat" =>
+          val flatIdx = Clustering.loadIvfFlatIndex(spark, densePath)
+          val pred = flags.get("filter-col").map { c =>
+            require(flatIdx.postings.columns.contains(c),
+              s"--filter-col=$c: the dense postings carry no '$c' " +
+                s"attribute column (available: " +
+                s"${flatIdx.postings.columns.mkString(", ")})")
+            val v = flags.getOrElse("filter-val",
+              throw new IllegalArgumentException(
+                "--filter-col needs --filter-val=<value>"))
+            col(c) === typedFilterVal(c, v,
+              flatIdx.postings.schema(c).dataType)
+          }
+          qemb => pred match {
+            case Some(p) => Clustering.serveIvfFlatFiltered(flatIdx, qemb,
+              "vec_id", "embedding", maxQ, num("nprobe", 2), pool, p)
+            case None => Clustering.serveIvfFlat(flatIdx, qemb,
+              "vec_id", "embedding", maxQ, num("nprobe", 2), pool)
+          }
+        case "ivfpq" =>
+          val pqIdx0 = Clustering.loadIvfPqIndex(spark, densePath)
+          val pqIdx = flags.get("filter-col") match {
+            case Some(c) =>
+              require(pqIdx0.cells.columns.contains(c),
+                s"--filter-col=$c: the dense cells carry no '$c' " +
+                  s"attribute column (available: " +
+                  s"${pqIdx0.cells.columns.mkString(", ")})")
+              val v = flags.getOrElse("filter-val",
+                throw new IllegalArgumentException(
+                  "--filter-col needs --filter-val=<value>"))
+              pqIdx0.copy(cells = pqIdx0.cells.filter(
+                col(c) === typedFilterVal(c, v,
+                  pqIdx0.cells.schema(c).dataType)))
+            case None => pqIdx0
+          }
+          val rerankFrom = flags.getOrElse("rerank-from",
+            throw new IllegalArgumentException(
+              "--dense-type=ivfpq needs --rerank-from=<ivfflat artifact> " +
+                "supplying raw vectors for the exact rerank of the ADC " +
+                "shortlist (build both tiers from one coarse fit)"))
+          val postings = Clustering.loadIvfFlatIndex(spark,
+            rerankFrom).postings
+          qemb => Clustering.serveIvfPqRerank(pqIdx, postings, qemb,
+            "vec_id", "embedding", num("dim", 64), num("m", 8), maxQ,
+            num("nprobe", 2), num("rerank-pool", pool), pool)
+        case other => throw new IllegalArgumentException(
+          s"--dense-type=$other is not a hybrid dense leg (expected " +
+            s"ivfflat|ivfpq)")
+      }
     (input: DataFrame) => {
       val lex = Retrieval.bm25Ranked(
           terms(docsOf(input, flags)).distinct()
@@ -664,11 +915,7 @@ object IndexTool {
       val qemb = input.select(
         col(flags.getOrElse("id-col", "doc_id")).cast(LongType).as("vec_id"),
         col(flags.getOrElse("vec-col", "embedding")).as("embedding"))
-      val dense = Clustering.serveIvfFlat(flatIdx,
-          qemb, "vec_id", "embedding",
-          // the input IS the query batch — every row queries by default
-          flags.get("max-query-id").map(_.toLong).getOrElse(Long.MaxValue),
-          num("nprobe", 2), pool)
+      val dense = denseLeg(qemb)
         .select(col("q_id"), col("n_id").as("doc_id"),
           col("rank").cast(LongType).as("dense_rank"))
       Retrieval.rrfFuse(lex, dense, num("rrf-k", 60), num("topk", 3))
@@ -705,37 +952,19 @@ object IndexTool {
         // that attribute column — buildIvfFlatIndex attrCols): the
         // production predicate+vector query, pre-filtered so every
         // query still gets k MATCHING neighbors
-        val idx = Clustering.loadIvfFlatIndex(spark, path)
-        (flags.get("filter-col") match {
-          case Some(c) =>
-            require(idx.postings.columns.contains(c),
-              s"--filter-col=$c: the postings carry no '$c' attribute " +
-                s"column (available: " +
-                s"${idx.postings.columns.mkString(", ")}) — rebuild with " +
-                s"the attribute materialized (buildIvfFlatIndex attrCols)")
-            val v = flags.getOrElse("filter-val",
-              throw new IllegalArgumentException(
-                "--filter-col needs --filter-val=<value>"))
-            Clustering.serveIvfFlatFiltered(idx,
-              embOf(input, flags), "vec_id", "embedding",
-              num("max-query-id", 20).toLong, num("nprobe", 2),
-              num("topk", 3),
-              col(c) === typedFilterVal(c, v, idx.postings.schema(c).dataType))
-          case None =>
-            Clustering.serveIvfFlat(idx,
-              embOf(input, flags), "vec_id", "embedding",
-              num("max-query-id", 20).toLong, num("nprobe", 2),
-              num("topk", 3))
-        }).orderBy(col("q_id"), col("rank"))
+        serveFlatMaybeFiltered(Clustering.loadIvfFlatIndex(spark, path),
+            embOf(input, flags), flags)
+          .orderBy(col("q_id"), col("rank"))
       case "ivfflat-sharded" =>
         // per-shard probe unioned before the shared top-k — reproduces
         // the single-artifact serve bit-for-bit (equal postings sets,
-        // deterministic rerank); each shard keeps its own
-        // probed-cell partition pruning
-        Clustering.serveIvfFlat(Clustering.loadIvfFlatSharded(spark,
+        // deterministic rerank); each shard keeps its own probed-cell
+        // partition pruning. --filter-col/--filter-val work exactly as
+        // on the unsharded serve: attrs ride every shard surface, and
+        // the predicate composes into each shard's pruned scan
+        serveFlatMaybeFiltered(Clustering.loadIvfFlatSharded(spark,
               graft.sinks.ArtifactStore.resolve(spark, path)),
-            embOf(input, flags), "vec_id", "embedding",
-            num("max-query-id", 20).toLong, num("nprobe", 2), num("topk", 3))
+            embOf(input, flags), flags)
           .orderBy(col("q_id"), col("rank"))
       case "imi" =>
         // same serve economics over the two-level codebook's composed
@@ -748,25 +977,21 @@ object IndexTool {
         // --rerank-from=<ivfflat path> upgrades the ADC top-k to the
         // two-stage production search: ADC shortlist (--rerank-pool
         // deep) from THIS artifact, exact-cosine rerank on raw vectors
-        // fetched from the named ivfflat postings (q162's shape)
-        flags.get("rerank-from") match {
-          case Some(flatPath) =>
-            Clustering.serveIvfPqRerank(
-                Clustering.loadIvfPqIndex(spark, path),
-                Clustering.loadIvfFlatIndex(spark, flatPath).postings,
-                embOf(input, flags), "vec_id", "embedding",
-                num("dim", 64), num("m", 8),
-                num("max-query-id", 20).toLong, num("nprobe", 2),
-                num("rerank-pool", 6), num("topk", 3))
-              .orderBy(col("q_id"), col("rank"))
-          case None =>
-            Clustering.serveIvfPq(Clustering.loadIvfPqIndex(spark, path),
-                embOf(input, flags), "vec_id", "embedding",
-                num("dim", 64), num("m", 8),
-                num("max-query-id", 20).toLong, num("nprobe", 2),
-                num("topk", 3))
-              .orderBy(col("q_id"), col("rank"))
-        }
+        // fetched from the named ivfflat postings (q162's shape).
+        // --filter-col/--filter-val pre-filter the cells surface inside
+        // the probed scan (serveIvfPqFiltered's contract)
+        servePqMaybeRerank(spark, Clustering.loadIvfPqIndex(spark, path),
+            embOf(input, flags), flags)
+          .orderBy(col("q_id"), col("rank"))
+      case "ivfpq-sharded" =>
+        // per-shard cells/codes unioned under the shared codebooks —
+        // reproduces the single-artifact ADC serve bit-for-bit (equal
+        // surface sets, deterministic rank); same --rerank-from /
+        // --filter-col contracts as the unsharded verb
+        servePqMaybeRerank(spark, Clustering.loadIvfPqSharded(spark,
+              graft.sinks.ArtifactStore.resolve(spark, path)),
+            embOf(input, flags), flags)
+          .orderBy(col("q_id"), col("rank"))
       case "pq" =>
         val pqIdx = Clustering.loadPqIndex(spark, path)
         gateFlatServe("pq", pqIdx.codes.count(), flags,
@@ -824,14 +1049,15 @@ object IndexTool {
         encodeTransform(spark, "bpe", path, flags)(docsOf(input, flags))
           .orderBy(col("doc_id"))
       case "bm25" =>
-        val idx = Retrieval.loadBm25Index(spark, path)
-        val queryTerms = terms(docsOf(input, flags)).distinct()
-          .select(col("doc_id").as("q_id"), col("term"))
-        Retrieval.bm25Ranked(queryTerms, idx, dbl("k1", 1.2), dbl("b", 0.75),
-            flags.get("scale").map(_.toLong).getOrElse(1048576L))
-          .where(col("rank") <= num("topk", 5))
-          .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
-            col("score"))
+        serveBm25(Retrieval.loadBm25Index(spark, path),
+            docsOf(input, flags), flags)
+          .orderBy(col("q_id"), col("rank"))
+      case "bm25-sharded" =>
+        // per-shard surfaces unioned — equal posting/df/len/stats sets,
+        // so the ranking reproduces the unsharded serve bit-for-bit
+        serveBm25(Retrieval.loadBm25Sharded(spark,
+              graft.sinks.ArtifactStore.resolve(spark, path)),
+            docsOf(input, flags), flags)
           .orderBy(col("q_id"), col("rank"))
       case "unigram" =>
         encodeTransform(spark, "unigram", path, flags)(docsOf(input, flags))
@@ -966,6 +1192,15 @@ object IndexTool {
           "docs" -> idx.doclen.count(),
           "vocab_terms" -> idx.docfreq.count(),
           "total_tokens" -> st.getAs[Long]("total_len"))
+      case "bm25-sharded" =>
+        val base = graft.sinks.ArtifactStore.resolve(spark, path)
+        val idx = Retrieval.loadBm25Sharded(spark, base)
+        val st = idx.stats.head()
+        Seq("shards" -> Retrieval.shardedNumShards(spark, base).toLong,
+          "posting_rows" -> idx.postings.count(),
+          "docs" -> idx.doclen.count(),
+          "vocab_terms" -> idx.docfreq.count(),
+          "total_tokens" -> st.getAs[Long]("total_len"))
       case "ivf" =>
         val lanes = spark.read.parquet(
           graft.sinks.ArtifactStore.resolve(spark, path))
@@ -1024,6 +1259,24 @@ object IndexTool {
           "vectors" -> st.getLong(1),
           "occupied_cells" -> st.getLong(0),
           "largest_cell" -> st.getLong(2),
+          "code_rows" -> idx.codes.count(),
+          "subspaces" -> idx.pqLanes.select(col("s")).distinct().count(),
+          "codebook_k" ->
+            idx.pqLanes.select(col("code")).distinct().count())
+      case "ivfpq-sharded" =>
+        val base = graft.sinks.ArtifactStore.resolve(spark, path)
+        val idx = Clustering.loadIvfPqSharded(spark, base)
+        val st = idx.cells.groupBy(col("c_id")).count()
+          .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L)),
+            coalesce(max(col("count")), lit(0L))).head()
+        Seq("centroids" ->
+            idx.coarseLanes.select(col("cluster")).distinct().count(),
+          "shards" -> Clustering.shardedNumShards(spark, base).toLong,
+          "vectors" -> st.getLong(1),
+          "occupied_cells" -> st.getLong(0),
+          "largest_cell" -> st.getLong(2),
+          "occupancy_skew_x100" -> (if (st.getLong(1) == 0L) 0L
+            else st.getLong(2) * st.getLong(0) * 100L / st.getLong(1)),
           "code_rows" -> idx.codes.count(),
           "subspaces" -> idx.pqLanes.select(col("s")).distinct().count(),
           "codebook_k" ->
@@ -1106,8 +1359,8 @@ object IndexTool {
     * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
-      "ivfflat", "ivfflat-sharded", "ivfpq", "pq", "bm25", "imi", "sq",
-      "ivfsq", "ivfpqr", "hybrid")
+      "ivfflat", "ivfflat-sharded", "ivfpq", "ivfpq-sharded", "pq", "bm25",
+      "bm25-sharded", "imi", "sq", "ivfsq", "ivfpqr", "hybrid")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -1202,23 +1455,21 @@ object IndexTool {
         }
       case "ivfflat" =>
         // inverted lists loaded once; each micro-batch is a query batch
-        // (per-query top-k over artifact postings — batch-independent)
+        // (per-query top-k over artifact postings — batch-independent).
+        // --filter-col/--filter-val compose exactly as in the batch verb
         val idx = Clustering.loadIvfFlatIndex(spark, path)
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            sink(Clustering.serveIvfFlat(idx, batch, "vec_id", "embedding",
-              num("max-query-id", 20).toLong, num("nprobe", 2),
-              num("topk", 3)), batchId)
+            sink(serveFlatMaybeFiltered(idx, batch, flags), batchId)
         }
       case "ivfflat-sharded" =>
         // shard union loaded once; per-batch serve == the batch verb
+        // (including the filtered form)
         val idx = Clustering.loadIvfFlatSharded(spark,
           graft.sinks.ArtifactStore.resolve(spark, path))
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            sink(Clustering.serveIvfFlat(idx, batch, "vec_id", "embedding",
-              num("max-query-id", 20).toLong, num("nprobe", 2),
-              num("topk", 3)), batchId)
+            sink(serveFlatMaybeFiltered(idx, batch, flags), batchId)
         }
       case "hybrid" =>
         // both artifacts' corpora are fixed state; each micro-batch is
@@ -1288,38 +1539,35 @@ object IndexTool {
             }, batchId)
         }
       case "ivfpq" =>
+        // --rerank-from / --filter-col work streamed too: per-query
+        // two-stage / pre-filtered search over fixed artifact state
+        // composes across micro-batches (the ADC index loads once; the
+        // rerank postings pointer re-resolves per batch — a few-bytes
+        // read)
         val idx = Clustering.loadIvfPqIndex(spark, path)
-        // --rerank-from works streamed too: per-query two-stage search
-        // over fixed artifact state composes across micro-batches
-        val rerankPostings = flags.get("rerank-from")
-          .map(p => Clustering.loadIvfFlatIndex(spark, p).postings)
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            sink(rerankPostings match {
-              case Some(postings) =>
-                Clustering.serveIvfPqRerank(idx, postings, batch,
-                  "vec_id", "embedding", num("dim", 64), num("m", 8),
-                  num("max-query-id", 20).toLong, num("nprobe", 2),
-                  num("rerank-pool", 6), num("topk", 3))
-              case None =>
-                Clustering.serveIvfPq(idx, batch, "vec_id", "embedding",
-                  num("dim", 64), num("m", 8),
-                  num("max-query-id", 20).toLong, num("nprobe", 2),
-                  num("topk", 3))
-            }, batchId)
+            sink(servePqMaybeRerank(spark, idx, batch, flags), batchId)
+        }
+      case "ivfpq-sharded" =>
+        val idx = Clustering.loadIvfPqSharded(spark,
+          graft.sinks.ArtifactStore.resolve(spark, path))
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(servePqMaybeRerank(spark, idx, batch, flags), batchId)
         }
       case "bm25" =>
         val idx = Retrieval.loadBm25Index(spark, path)
         docsOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            val queryTerms = terms(batch).distinct()
-              .select(col("doc_id").as("q_id"), col("term"))
-            sink(Retrieval.bm25Ranked(queryTerms, idx,
-                dbl("k1", 1.2), dbl("b", 0.75),
-                flags.get("scale").map(_.toLong).getOrElse(1048576L))
-              .where(col("rank") <= num("topk", 5))
-              .select(col("q_id"), col("rank"), col("doc_id"),
-                col("n_terms"), col("score")), batchId)
+            sink(serveBm25(idx, batch, flags), batchId)
+        }
+      case "bm25-sharded" =>
+        val idx = Retrieval.loadBm25Sharded(spark,
+          graft.sinks.ArtifactStore.resolve(spark, path))
+        docsOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(serveBm25(idx, batch, flags), batchId)
         }
     }
     val q = writer

@@ -716,18 +716,45 @@ object Clustering {
     // overlap — the scheduler interleaves their jobs across the executor
     // threads. Results are deterministic regardless of completion order
     // (each model depends only on its own salt and lanes).
-    concurrently((0 until m).map { s => () =>
-      val sdf = emb.select(col(idCol),
+    concurrentFrames(Seq.fill(m)(emb)) { (s, e) =>
+      val sdf = e.select(col(idCol),
         slice(col(vecCol), s * sub + 1, sub).as("__sub"))
       (s, kmeansFit(sdf, idCol, "__sub", k, iters, s"$salt$s", preScaled))
+    }
+  }
+
+  /** Run independent driver-side training/IO chains concurrently, one
+    * per input frame, with the plan-sharing hazard removed STRUCTURALLY:
+    * every frame is lambda-isolated
+    * ([[org.apache.spark.sql.graftbridge.PlanBridge.isolateLambdas]])
+    * BEFORE any task starts, so no two concurrently-evaluating plans can
+    * share a `NamedLambdaVariable`'s per-evaluation mutable slot — no
+    * matter how the caller derived the frames (round 16 OBSERVED two
+    * frames derived from one `scaled`-bearing plan cross-wiring
+    * (n_id, c_id) pairs under exactly this concurrency). Isolation
+    * preserves exprIds, so persisted frames still substitute their
+    * cache. Results return in INPUT order. Tasks that need more than
+    * one frame should compose them into one plan first (join/union) or
+    * derive everything inside `act` from the single isolated frame. */
+  private[graft] def concurrentFrames[A](frames: Seq[DataFrame])(
+      act: (Int, DataFrame) => A): Seq[A] = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val iso = frames.map(PlanBridge.isolateLambdas) // driver-side, serial
+    concurrentlyUnchecked(iso.zipWithIndex.map { case (df, i) =>
+      () => act(i, df)
     })
   }
 
-  /** Run independent driver-side training chains concurrently (each
-    * thunk fires its own Spark jobs; SparkSession is thread-safe) and
-    * return results in INPUT order — determinism is preserved because
-    * each thunk's output depends only on its own inputs. */
-  private[graft] def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
+  /** UNSAFE raw form of [[concurrentFrames]] (each thunk fires its own
+    * Spark jobs; SparkSession is thread-safe; results in INPUT order).
+    * The caller must guarantee no two thunks evaluate plans sharing
+    * higher-order-function expression instances (`NamedLambdaVariable`
+    * carries per-evaluation mutable state — shared instances corrupt
+    * rows SILENTLY under concurrency). That property is not checkable
+    * from opaque thunks, hence the name: prefer [[concurrentFrames]],
+    * which isolates at the frame boundary, and reach for this only for
+    * thunks that touch no DataFrames at all (pure driver work). */
+  private[graft] def concurrentlyUnchecked[A](thunks: Seq[() => A]): Seq[A] = {
     if (thunks.lengthCompare(1) <= 0) thunks.map(_())
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -963,10 +990,11 @@ object Clustering {
     require(topK > 0, s"topK must be positive: $topK")
     // PQ subspace fits and the coarse-codebook fit are independent
     // training chains — overlap their driver barriers (see
-    // [[concurrently]]); both are deterministic in isolation.
-    val trained = concurrently[AnyRef](Seq(
-      () => pqModels(emb, idCol, vecCol, dim, m, k, iters, salt),
-      () => ivfCoarseCentroids(emb, idCol, vecCol, numCentroids)))
+    // [[concurrentFrames]]); both are deterministic in isolation.
+    val trained = concurrentFrames(Seq(emb, emb)) { (i, e) =>
+      if (i == 0) pqModels(e, idCol, vecCol, dim, m, k, iters, salt): AnyRef
+      else ivfCoarseCentroids(e, idCol, vecCol, numCentroids): AnyRef
+    }
     val models = trained(0).asInstanceOf[Seq[(Int, KmeansModel)]]
     val cents = trained(1).asInstanceOf[graft.plans.IvfCentroids]
     val dtab = pqDistTables(emb, idCol, vecCol, dim / m,
@@ -1247,10 +1275,11 @@ object Clustering {
     // (the IMI half-fit pattern); the coarse lanes funnel to literals
     // ([[literalLanes]]) so the assignment scan broadcasts them as
     // kernel state
-    val Seq(coarse, sqLanes) = concurrently(Seq(
-      () => literalLanes(
-        ivfCoarseLanes(emb, idCol, vecCol, numCentroids, iters, salt)),
-      () => sqFitLanes(emb, vecCol, dim)))
+    val Seq(coarse, sqLanes) = concurrentFrames(Seq(emb, emb)) { (i, e) =>
+      if (i == 0) literalLanes(
+        ivfCoarseLanes(e, idCol, vecCol, numCentroids, iters, salt))
+      else sqFitLanes(e, vecCol, dim)
+    }
     IvfSqIndex(coarse, sqLanes,
       ivfSqAssign(emb, idCol, vecCol, coarse, sqLanes))
   }
@@ -1877,13 +1906,14 @@ object Clustering {
     // the two half-space fits are independent Lloyd chains — run their
     // driver-side barriers concurrently (the saveBm25Index / k-means
     // training-chain overlap pattern)
-    val Seq(lanesA, lanesB) = concurrently(Seq(
-      () => literalLanes(ivfCoarseLanes(
-        halfOf(emb, idCol, vecCol, 0, half), idCol, "hv", kA, iters,
-        "imi-a")),
-      () => literalLanes(ivfCoarseLanes(
-        halfOf(emb, idCol, vecCol, half, half), idCol, "hv", kB, iters,
-        "imi-b"))))
+    val Seq(lanesA, lanesB) = concurrentFrames(Seq(emb, emb)) { (i, e) =>
+      if (i == 0) literalLanes(ivfCoarseLanes(
+        halfOf(e, idCol, vecCol, 0, half), idCol, "hv", kA, iters,
+        "imi-a"))
+      else literalLanes(ivfCoarseLanes(
+        halfOf(e, idCol, vecCol, half, half), idCol, "hv", kB, iters,
+        "imi-b"))
+    }
     ImiIndex(lanesA, lanesB,
       imiAssign(emb, idCol, vecCol, lanesA, lanesB, kB, dim), kA, kB, dim)
   }
@@ -2127,10 +2157,15 @@ object Clustering {
             col("c_id")): _*)
         .repartition(col("shard"), col("c_id"))
         .write.mode("overwrite").partitionBy("shard", "c_id").parquet(staging)
-      (0 until numShards).foreach { sh =>
+      // stage EVERY shard's generation first (renames + empty-shard
+      // writes — all data movement), then commit all pointers in one
+      // all-or-nothing transaction under the base claim: a crash can
+      // never leave some shards on the new build and others on the old
+      // (ArtifactStore.commitGenAll's contract)
+      import graft.sinks.ArtifactStore
+      val commits = (0 until numShards).map { sh =>
         val src = new org.apache.hadoop.fs.Path(s"$staging/shard=$sh")
         val shardRoot = s"$path/shards/$sh"
-        import graft.sinks.ArtifactStore
         val loaded = ArtifactStore.currentGen(spark, shardRoot)
         val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
         if (fs.exists(src)) {
@@ -2148,10 +2183,22 @@ object Clustering {
               col("c_id").cast(org.apache.spark.sql.types.LongType)
                 .as("c_id"): _*)
             .coalesce(1).write.mode("overwrite").parquet(gen)
-        ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
+        (shardRoot, gen, loaded)
       }
+      ArtifactStore.commitGenAll(spark, path, commits)
     } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
+
+  /** Pin one shard root's live generation: (root, loaded pointer, the
+    * exact directory reads should plan against). Captured BEFORE any
+    * read, and handed to the commit as its CAS expectation — reading
+    * the pointer again at commit time would make the CAS vacuous (it
+    * would "expect" whatever is current, silently folding the delta
+    * onto a base that raced out from under the reads). */
+  private def pinShardGen(spark: org.apache.spark.sql.SparkSession,
+                          path: String, sh: Int)
+      : (String, Option[String], String) =
+    graft.sinks.ArtifactStore.pinGen(spark, s"$path/shards/$sh")
 
   def shardedNumShards(spark: org.apache.spark.sql.SparkSession,
                        path: String): Int =
@@ -2205,13 +2252,16 @@ object Clustering {
     if (touched.isEmpty) return touched
     // ONE staged write covers every touched shard (existing rows of the
     // touched shards unioned with the delta's, re-laid-out
-    // partitionBy(shard, c_id)), then per-shard renames + pointer CAS —
-    // the save-path economics instead of one read+write job per shard.
-    // Untouched shards are never read or written.
+    // partitionBy(shard, c_id)), then per-shard renames and ONE
+    // all-or-nothing pointer commit (ArtifactStore.commitGenAll under
+    // the base claim) — the save-path economics instead of one
+    // read+write job per shard, and no partial-commit window: a crash
+    // or lost CAS can never leave the delta applied to some touched
+    // shards but not others. Untouched shards are never read or written.
     val cols = Seq("n_id", "nv", "nn") ++ attrs :+ "c_id"
+    val pinned = touched.map(sh => sh -> pinShardGen(spark, path, sh)).toMap
     val existingTouched = touched.map { sh =>
-      spark.read.parquet(
-          graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+      spark.read.parquet(pinned(sh)._3)
         .select(Seq(col("n_id"), col("nv"), col("nn")) ++ attrs.map(col) :+
           col("c_id").cast(LongType).as("c_id"): _*)
         .withColumn("shard", lit(sh))
@@ -2226,18 +2276,18 @@ object Clustering {
         .repartition(col("shard"), col("c_id"))
         .write.mode("overwrite").partitionBy("shard", "c_id")
         .parquet(staging)
-      touched.foreach { sh =>
-        val shardRoot = s"$path/shards/$sh"
-        import graft.sinks.ArtifactStore
-        val loaded = ArtifactStore.currentGen(spark, shardRoot)
+      import graft.sinks.ArtifactStore
+      val commits = touched.map { sh =>
+        val (shardRoot, loaded, _) = pinned(sh)
         val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
         val src = new org.apache.hadoop.fs.Path(s"$staging/shard=$sh")
         require(fs.exists(src), // touched ⇒ at least the delta's rows exist
           s"updateIvfFlatSharded: staged shard $sh missing at $src")
         require(fs.rename(src, new org.apache.hadoop.fs.Path(gen)),
           s"updateIvfFlatSharded: cannot stage $src as generation $gen")
-        ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
+        (shardRoot, gen, loaded)
       }
+      ArtifactStore.commitGenAll(spark, path, commits)
     } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     touched
   }
@@ -2262,9 +2312,9 @@ object Clustering {
     val touched = ids.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return touched
+    val pinned = touched.map(sh => sh -> pinShardGen(spark, path, sh)).toMap
     val existingTouched = touched.map { sh =>
-      val raw = spark.read.parquet(
-        graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+      val raw = spark.read.parquet(pinned(sh)._3)
       raw.select(Seq(col("n_id"), col("nv"), col("nn")) ++
           postingsAttrCols(raw).map(col) :+
           col("c_id").cast(LongType).as("c_id"): _*)
@@ -2280,10 +2330,9 @@ object Clustering {
         .repartition(col("shard"), col("c_id"))
         .write.mode("overwrite").partitionBy("shard", "c_id")
         .parquet(staging)
-      touched.foreach { sh =>
-        val shardRoot = s"$path/shards/$sh"
-        import graft.sinks.ArtifactStore
-        val loaded = ArtifactStore.currentGen(spark, shardRoot)
+      import graft.sinks.ArtifactStore
+      val commits = touched.map { sh =>
+        val (shardRoot, loaded, _) = pinned(sh)
         val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
         val src = new org.apache.hadoop.fs.Path(s"$staging/shard=$sh")
         if (fs.exists(src))
@@ -2292,8 +2341,9 @@ object Clustering {
         else // the removal emptied the shard — persist an explicit empty set
           existingTouched.limit(0).drop("shard")
             .coalesce(1).write.mode("overwrite").parquet(gen)
-        ArtifactStore.commitGen(spark, shardRoot, gen, loaded)
+        (shardRoot, gen, loaded)
       }
+      ArtifactStore.commitGenAll(spark, path, commits)
     } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     touched
   }
@@ -2372,12 +2422,13 @@ object Clustering {
     import spark.implicits._
     // the PQ subspace fits and the coarse fit are independent training
     // chains — overlap their driver barriers (ivfPqSearch's shape)
-    val trained = concurrently[AnyRef](Seq(
-      () => pqModels(emb, idCol, vecCol, dim, m, k, iters, salt),
-      () => ivfCoarseLanes(emb, idCol, vecCol, numCentroids)
+    val trained = concurrentFrames(Seq(emb, emb)) { (i, e) =>
+      if (i == 0) pqModels(e, idCol, vecCol, dim, m, k, iters, salt): AnyRef
+      else ivfCoarseLanes(e, idCol, vecCol, numCentroids)
         .select(col("cluster"), col("pos"), col("cval"), col("n")).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .toSeq))
+        .toSeq: AnyRef
+    }
     val models = trained(0).asInstanceOf[Seq[(Int, KmeansModel)]]
     val coarseLanes = trained(1).asInstanceOf[Seq[(Int, Int, Long, Long)]]
       .toDF("cluster", "pos", "cval", "n")
@@ -2531,6 +2582,208 @@ object Clustering {
                          pred: org.apache.spark.sql.Column): DataFrame =
     serveIvfPq(idx.copy(cells = idx.cells.filter(pred)), emb, idCol,
       vecCol, dim, m, maxQueryId, nprobe, topK)
+
+  // ─────────────── sharded compressed (IVFPQ) artifact ────────────────
+  //
+  // The q175/q176 rewrite-unit pattern applied to the tier the engine
+  // actually ships at 100 TB ([[IvfPqIndex]] — "the production 100 TB
+  // ANN shape"): BOTH corpus-sized surfaces (cells, codes) shard by
+  // `n_id mod S` under the shared frozen codebooks, one generational
+  // root per shard, so an update/remove rewrites only the shards its
+  // ids route to instead of the whole artifact. cells and codes ride
+  // the SAME shard and swap inside ONE generation — they must stay
+  // id-consistent (a cells row without its m code rows silently drops
+  // that candidate from every ADC serve; committing the two surfaces
+  // separately would open exactly that window). Reference anchor for
+  // the bounded-rewrite-unit idea: one file set per locality group,
+  // KM/output/framework/KijiHFileOutputFormat.java:122-186.
+
+  /** Persist an [[IvfPqIndex]] sharded:
+    * {{{
+    * path/coarse/ path/pqlanes/     # shared frozen codebooks (bounded)
+    * path/meta/                     # num_shards (1 row)
+    * path/shards/<s>/_gen_<n>_<uuid>/cells/c_id=<cell>/...   # per shard
+    * path/shards/<s>/_gen_<n>_<uuid>/codes/...
+    * }}}
+    * ONE corpus scan stages each surface (partitionBy(shard[, c_id])),
+    * then per-shard renames assemble the generations and ONE
+    * all-or-nothing pointer commit publishes them
+    * ([[graft.sinks.ArtifactStore.commitGenAll]]). */
+  def saveIvfPqSharded(idx: IvfPqIndex, path: String,
+                       numShards: Int): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val spark = idx.coarseLanes.sparkSession
+    import spark.implicits._
+    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
+    Seq(numShards).toDF("num_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val attrs = cellsAttrCols(idx.cells)
+    val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
+    val pinned = (0 until numShards)
+      .map(sh => sh -> pinShardGen(spark, path, sh)).toMap
+    commitPqShards(spark, path, 0 until numShards,
+      idx.cells.select(col("n_id") +: attrs.map(col) :+ col("c_id"): _*)
+        .withColumn("shard", shardOf),
+      idx.codes.select(col("n_id"), col("s"), col("code"))
+        .withColumn("shard", shardOf),
+      pinned)
+  }
+
+  /** Load the sharded compressed artifact as a regular [[IvfPqIndex]]:
+    * per-shard live generations unioned per surface — each cells branch
+    * keeps its own probed-cell partition pruning, so the ADC serve
+    * stays O(probed cells) per shard. */
+  def loadIvfPqSharded(spark: org.apache.spark.sql.SparkSession,
+                       path: String): IvfPqIndex = {
+    import org.apache.spark.sql.types.LongType
+    val bases = (0 until shardedNumShards(spark, path)).map(sh =>
+      graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+    val cells = bases.map { base =>
+      val raw = spark.read.parquet(s"$base/cells")
+      raw.select(col("n_id") +: cellsAttrCols(raw).map(col) :+
+        col("c_id").cast(LongType).as("c_id"): _*)
+    }.reduce(_ unionByName _)
+    val codes = bases.map(base => spark.read.parquet(s"$base/codes")
+      .select(col("n_id"), col("s"), col("code"))).reduce(_ unionByName _)
+    IvfPqIndex(spark.read.parquet(s"$path/coarse"), cells, codes,
+      spark.read.parquet(s"$path/pqlanes"))
+  }
+
+  /** ADD a delta to the sharded compressed artifact: one kernel cell
+    * assignment + one per-subspace encode against the FIXED codebooks
+    * (the [[updateIvfPqIndex]] fold), rewriting ONLY the shards the
+    * delta's ids route to — per-shard generations, one all-or-nothing
+    * pointer commit. Returns the touched shard ids. */
+  def updateIvfPqSharded(spark: org.apache.spark.sql.SparkSession,
+                         path: String, delta: DataFrame,
+                         idCol: String, vecCol: String,
+                         dim: Int, m: Int): Seq[Int] = {
+    import org.apache.spark.sql.types.LongType
+    val numShards = shardedNumShards(spark, path)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val pqLanes = spark.read.parquet(s"$path/pqlanes")
+    // attribute columns ride the cells surface of every shard — discover
+    // them from shard 0 and demand them from the delta
+    val attrs = cellsAttrCols(spark.read.parquet(
+      graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/0") + "/cells"))
+    val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
+    val deltaCells = OperatorCaches.register(
+      Similarity.ivfPostingsAttrs(delta, idCol, vecCol,
+          Similarity.centroidSetFromLanes(coarse), attrs)
+        .select(col("n_id") +: attrs.map(col) :+ col("c_id"): _*)
+        .withColumn("shard", shardOf)
+        .persist())
+    val touched = deltaCells.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val pinned = touched.map(sh => sh -> pinShardGen(spark, path, sh)).toMap
+    val existingCells = touched.map { sh =>
+      val raw = spark.read.parquet(s"${pinned(sh)._3}/cells")
+      raw.select(col("n_id") +: cellsAttrCols(raw).map(col) :+
+          col("c_id").cast(LongType).as("c_id"): _*)
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val existingCodes = touched.map { sh =>
+      spark.read.parquet(s"${pinned(sh)._3}/codes")
+        .select(col("n_id"), col("s"), col("code"))
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val deltaCodes = pqEncode(delta, pqLanes, idCol, vecCol, dim, m)
+      .withColumn("shard", shardOf)
+    commitPqShards(spark, path, touched,
+      existingCells.unionByName(deltaCells),
+      existingCodes.unionByName(deltaCodes), pinned)
+    touched
+  }
+
+  /** REMOVE a vector set from the sharded compressed artifact: anti-join
+    * BOTH surfaces within the shards the ids route to; untouched shards
+    * are never read or written. Returns the touched shard ids. */
+  def removeFromIvfPqSharded(spark: org.apache.spark.sql.SparkSession,
+                             path: String, removedIds: DataFrame)
+      : Seq[Int] = {
+    import org.apache.spark.sql.types.LongType
+    val numShards = shardedNumShards(spark, path)
+    val ids = OperatorCaches.register(removedIds
+      .select(col("n_id").cast(LongType).as("n_id")).distinct()
+      .withColumn("shard",
+        pmod(col("n_id"), lit(numShards.toLong)).cast("int"))
+      .persist())
+    val touched = ids.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val pinned = touched.map(sh => sh -> pinShardGen(spark, path, sh)).toMap
+    val bareIds = ids.select(col("n_id"))
+    val keptCells = touched.map { sh =>
+      val raw = spark.read.parquet(s"${pinned(sh)._3}/cells")
+      raw.select(col("n_id") +: cellsAttrCols(raw).map(col) :+
+          col("c_id").cast(LongType).as("c_id"): _*)
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _).join(bareIds, Seq("n_id"), "left_anti")
+    val keptCodes = touched.map { sh =>
+      spark.read.parquet(s"${pinned(sh)._3}/codes")
+        .select(col("n_id"), col("s"), col("code"))
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _).join(bareIds, Seq("n_id"), "left_anti")
+    commitPqShards(spark, path, touched, keptCells, keptCodes, pinned)
+    touched
+  }
+
+  /** The shared staging/commit tail of the sharded-IVFPQ writers: ONE
+    * partitioned write per surface (never one job per shard), per-shard
+    * renames assembling `gen/cells` + `gen/codes`, explicit empty
+    * surfaces where a shard ends up with no rows (a zero-row partitioned
+    * write leaves no readable schema behind), then the all-or-nothing
+    * multi-root pointer commit under the artifact-base claim. */
+  private def commitPqShards(spark: org.apache.spark.sql.SparkSession,
+                             path: String, shards: Seq[Int],
+                             cells: DataFrame, codes: DataFrame,
+                             pinned: Map[Int, (String, Option[String], String)])
+      : Unit = {
+    import graft.sinks.ArtifactStore
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val stagingC = s"$path/__cells_stage_$tag"
+    val stagingK = s"$path/__codes_stage_$tag"
+    try {
+      cells.repartition(col("shard"), col("c_id"))
+        .write.mode("overwrite").partitionBy("shard", "c_id")
+        .parquet(stagingC)
+      codes.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(stagingK)
+      val commits = shards.map { sh =>
+        val (shardRoot, loaded, _) = pinned(sh)
+        val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(gen))
+        val srcC = new org.apache.hadoop.fs.Path(s"$stagingC/shard=$sh")
+        if (fs.exists(srcC))
+          require(fs.rename(srcC,
+              new org.apache.hadoop.fs.Path(s"$gen/cells")),
+            s"sharded ivfpq: cannot stage $srcC as $gen/cells")
+        else
+          cells.limit(0).drop("shard")
+            .coalesce(1).write.mode("overwrite").parquet(s"$gen/cells")
+        val srcK = new org.apache.hadoop.fs.Path(s"$stagingK/shard=$sh")
+        if (fs.exists(srcK))
+          require(fs.rename(srcK,
+              new org.apache.hadoop.fs.Path(s"$gen/codes")),
+            s"sharded ivfpq: cannot stage $srcK as $gen/codes")
+        else
+          codes.limit(0).drop("shard")
+            .coalesce(1).write.mode("overwrite").parquet(s"$gen/codes")
+        (shardRoot, gen, loaded)
+      }
+      ArtifactStore.commitGenAll(spark, path, commits)
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(stagingC), true)
+      fs.delete(new org.apache.hadoop.fs.Path(stagingK), true)
+      ()
+    }
+  }
 
   /** The IVF candidate set behind [[ivfPqSearch]]: `(q_id, n_id, c_id)` —
     * each query paired with exactly the corpus vectors in its nprobe

@@ -69,12 +69,14 @@ object Retrieval {
   def saveBm25Index(index: Bm25Index, path: String): Unit = {
     val p = OperatorCaches.register(index.postings.persist())
     val dl = OperatorCaches.register(index.doclen.persist())
-    def write(name: String, df: DataFrame): () => Unit =
-      () => df.write.mode("overwrite").parquet(s"$path/$name")
-    Clustering.concurrently(Seq(write("postings", p), write("doclen", dl)))
-    Clustering.concurrently(Seq(
-      write("docfreq", index.docfreq), write("stats", index.stats)))
-    ()
+    def wave(frames: Seq[(String, DataFrame)]): Unit = {
+      Clustering.concurrentFrames(frames.map(_._2)) { (i, df) =>
+        df.write.mode("overwrite").parquet(s"$path/${frames(i)._1}")
+      }
+      ()
+    }
+    wave(Seq("postings" -> p, "doclen" -> dl))
+    wave(Seq("docfreq" -> index.docfreq, "stats" -> index.stats))
   }
 
   def loadBm25Index(spark: SparkSession, path: String): Bm25Index = {
@@ -135,6 +137,242 @@ object Retrieval {
       index.stats.unionByName(d.stats)
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("total_len")).as("total_len")))
+  }
+
+  // ────────────────────── sharded BM25 artifact ──────────────────────
+  //
+  // The rewrite-unit fix for the lexical tier: [[updateBm25Index]] is
+  // exact but re-persists the unioned postings and re-aggregated docfreq
+  // WHOLESALE — at 100 TB a daily crawl would rewrite the entire lexical
+  // index. Here the corpus-sized surfaces shard into independent
+  // generational roots and a delta commits only the shards it routes to:
+  //
+  //   path/meta/                        num_shards (1 row)
+  //   path/shards/<s>/_gen_*/postings/  term-hash shards: postings + the
+  //   path/shards/<s>/_gen_*/docfreq/     vocabulary rollup for ITS terms
+  //   path/docshards/<s>/_gen_*/doclen/ doc-id shards: per-doc lengths
+  //   path/stats/_gen_*/                the 1-row corpus rollup (O(1)
+  //                                       rewrite per update by design)
+  //
+  // postings and docfreq ride the SAME term shard and swap inside one
+  // generation — they must stay term-consistent (a posting whose term
+  // has no df row silently drops from every idf computation). All
+  // touched roots commit in ONE all-or-nothing pointer transaction
+  // (ArtifactStore.commitGenAll under the artifact-base claim).
+
+  private def termShard(s: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("term")), lit(s.toLong)).cast("int")
+  private def docShard(s: Int): org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(s.toLong)).cast("int")
+
+  def shardedNumShards(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getInt(0)
+
+  def saveBm25Sharded(index: Bm25Index, path: String,
+                      numShards: Int): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq(numShards).toDF("num_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    import graft.sinks.ArtifactStore
+    commitBm25Shards(spark, path,
+      (0 until numShards).map(sh =>
+        sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
+      index.postings.select(col("term"), col("doc_id"), col("tf"))
+        .withColumn("shard", termShard(numShards)),
+      index.docfreq.select(col("term"), col("df"))
+        .withColumn("shard", termShard(numShards)),
+      (0 until numShards).map(sh =>
+        sh -> ArtifactStore.pinGen(spark, s"$path/docshards/$sh")),
+      index.doclen.select(col("doc_id"), col("dl"))
+        .withColumn("shard", docShard(numShards)),
+      Some((index.stats.select(col("n_docs"), col("total_len")),
+        ArtifactStore.pinGen(spark, s"$path/stats"))))
+  }
+
+  /** Load the sharded artifact as a regular [[Bm25Index]]: per-shard
+    * live generations unioned per surface. */
+  def loadBm25Sharded(spark: SparkSession, path: String): Bm25Index = {
+    import graft.sinks.ArtifactStore
+    val n = shardedNumShards(spark, path)
+    val tBases = (0 until n).map(sh =>
+      ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+    val dBases = (0 until n).map(sh =>
+      ArtifactStore.resolve(spark, s"$path/docshards/$sh"))
+    Bm25Index(
+      tBases.map(b => spark.read.parquet(s"$b/postings")
+        .select(col("term"), col("doc_id"), col("tf")))
+        .reduce(_ unionByName _),
+      dBases.map(b => spark.read.parquet(s"$b/doclen")
+        .select(col("doc_id"), col("dl"))).reduce(_ unionByName _),
+      tBases.map(b => spark.read.parquet(s"$b/docfreq")
+        .select(col("term"), col("df"))).reduce(_ unionByName _),
+      spark.read.parquet(ArtifactStore.resolve(spark, s"$path/stats")))
+  }
+
+  /** Fold a DELTA batch in, rewriting ONLY the term shards the delta's
+    * terms hash to and the doc shards its ids route to (plus the 1-row
+    * stats rollup). Same exactness as [[updateBm25Index]]: per touched
+    * term shard, postings union + docfreq sum-merge — a term's df rows
+    * live only in its own shard, so the per-shard merge equals the
+    * global one. Returns the touched TERM shard ids. */
+  def updateBm25Sharded(spark: SparkSession, path: String,
+                        deltaTerms: DataFrame): Seq[Int] = {
+    import graft.sinks.ArtifactStore
+    val n = shardedNumShards(spark, path)
+    val d = buildBm25Index(deltaTerms)
+    val dPost = OperatorCaches.register(
+      d.postings.withColumn("shard", termShard(n)).persist())
+    val dLen = OperatorCaches.register(
+      d.doclen.withColumn("shard", docShard(n)).persist())
+    val tTouched = dPost.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val dTouched = dLen.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (tTouched.isEmpty && dTouched.isEmpty) return tTouched
+    val tPinned = tTouched.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")).toMap
+    val dPinned = dTouched.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/docshards/$sh")).toMap
+    val sPin = ArtifactStore.pinGen(spark, s"$path/stats")
+    val existPost = tTouched.map { sh =>
+      spark.read.parquet(s"${tPinned(sh)._3}/postings")
+        .select(col("term"), col("doc_id"), col("tf"))
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val existDf = tTouched.map { sh =>
+      spark.read.parquet(s"${tPinned(sh)._3}/docfreq")
+        .select(col("term"), col("df")).withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val existLen = dTouched.map { sh =>
+      spark.read.parquet(s"${dPinned(sh)._3}/doclen")
+        .select(col("doc_id"), col("dl")).withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val newStats = spark.read.parquet(sPin._3)
+      .select(col("n_docs"), col("total_len")).unionByName(d.stats)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+    commitBm25Shards(spark, path,
+      tTouched.map(sh => sh -> tPinned(sh)),
+      existPost.unionByName(dPost),
+      existDf.unionByName(d.docfreq.withColumn("shard", termShard(n)))
+        .groupBy(col("shard"), col("term")).agg(sum(col("df")).as("df")),
+      dTouched.map(sh => sh -> dPinned(sh)),
+      existLen.unionByName(dLen),
+      Some((newStats, sPin)))
+    tTouched
+  }
+
+  /** REMOVE a doc set. A document's terms hash across the whole term
+    * grid, so removal inherently touches EVERY term shard (the per-doc
+    * surfaces are the doc shards its ids route to) — but each shard
+    * still rewrites independently, bounded, and in the one atomic
+    * pointer transaction. docfreq re-derives per shard from its
+    * surviving postings; stats decrements by the removed docs' doclen
+    * rollup. Returns the touched DOC shard ids. */
+  def removeFromBm25Sharded(spark: SparkSession, path: String,
+                            removedIds: DataFrame): Seq[Int] = {
+    import graft.sinks.ArtifactStore
+    val n = shardedNumShards(spark, path)
+    val ids = OperatorCaches.register(removedIds
+      .select(col("doc_id")).distinct().persist())
+    val dTouched = ids.withColumn("shard", docShard(n))
+      .select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (dTouched.isEmpty) return dTouched
+    val tAll = (0 until n).toSeq
+    val tPinned = tAll.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")).toMap
+    val dPinned = dTouched.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/docshards/$sh")).toMap
+    val sPin = ArtifactStore.pinGen(spark, s"$path/stats")
+    val keptPost = tAll.map { sh =>
+      spark.read.parquet(s"${tPinned(sh)._3}/postings")
+        .select(col("term"), col("doc_id"), col("tf"))
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _).join(ids, Seq("doc_id"), "left_anti")
+    val touchedLen = dTouched.map { sh =>
+      spark.read.parquet(s"${dPinned(sh)._3}/doclen")
+        .select(col("doc_id"), col("dl")).withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val removedAgg = touchedLen.join(ids, Seq("doc_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("rm_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("rm_len"))
+    val newStats = spark.read.parquet(sPin._3)
+      .select(col("n_docs"), col("total_len")).crossJoin(removedAgg)
+      .select((col("n_docs") - col("rm_docs")).as("n_docs"),
+        (col("total_len") - col("rm_len")).as("total_len"))
+    commitBm25Shards(spark, path,
+      tAll.map(sh => sh -> tPinned(sh)),
+      keptPost,
+      keptPost.groupBy(col("shard"), col("term"))
+        .agg(count(lit(1)).as("df")),
+      dTouched.map(sh => sh -> dPinned(sh)),
+      touchedLen.join(ids, Seq("doc_id"), "left_anti"),
+      Some((newStats, sPin)))
+    dTouched
+  }
+
+  /** Shared staging/commit tail of the sharded-BM25 writers: one
+    * partitioned write per surface, per-shard renames assembling each
+    * generation (postings+docfreq together per term shard; doclen per
+    * doc shard; the 1-row stats in its own root), explicit empty
+    * surfaces where a shard ends up with no rows, then the
+    * all-or-nothing multi-root pointer commit. */
+  private def commitBm25Shards(
+      spark: SparkSession, path: String,
+      termShards: Seq[(Int, (String, Option[String], String))],
+      postings: DataFrame, docfreq: DataFrame,
+      docShards: Seq[(Int, (String, Option[String], String))],
+      doclen: DataFrame,
+      stats: Option[(DataFrame, (String, Option[String], String))]): Unit = {
+    import graft.sinks.ArtifactStore
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val stages = Seq(s"$path/__postings_stage_$tag",
+      s"$path/__docfreq_stage_$tag", s"$path/__doclen_stage_$tag")
+    try {
+      postings.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(stages(0))
+      docfreq.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(stages(1))
+      doclen.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(stages(2))
+      def stageInto(gen: String, stage: String, sh: Int, name: String,
+                    empty: => DataFrame): Unit = {
+        val src = new org.apache.hadoop.fs.Path(s"$stage/shard=$sh")
+        if (fs.exists(src))
+          require(fs.rename(src,
+              new org.apache.hadoop.fs.Path(s"$gen/$name")),
+            s"sharded bm25: cannot stage $src as $gen/$name")
+        else
+          empty.coalesce(1).write.mode("overwrite").parquet(s"$gen/$name")
+      }
+      val commits = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[String])]
+      termShards.foreach { case (sh, (root, loaded, _)) =>
+        val gen = ArtifactStore.newGenDir(spark, root, loaded)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(gen))
+        stageInto(gen, stages(0), sh, "postings", postings.limit(0).drop("shard"))
+        stageInto(gen, stages(1), sh, "docfreq", docfreq.limit(0).drop("shard"))
+        commits += ((root, gen, loaded))
+      }
+      docShards.foreach { case (sh, (root, loaded, _)) =>
+        val gen = ArtifactStore.newGenDir(spark, root, loaded)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(gen))
+        stageInto(gen, stages(2), sh, "doclen", doclen.limit(0).drop("shard"))
+        commits += ((root, gen, loaded))
+      }
+      stats.foreach { case (df, (root, loaded, _)) =>
+        val gen = ArtifactStore.newGenDir(spark, root, loaded)
+        df.coalesce(1).write.mode("overwrite").parquet(gen)
+        commits += ((root, gen, loaded))
+      }
+      ArtifactStore.commitGenAll(spark, path, commits.toSeq)
+    } finally stages.foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s), true))
   }
 
   /** Rank the whole corpus for each query in `queryTerms` (q_id, term) —

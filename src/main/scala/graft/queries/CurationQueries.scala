@@ -87,12 +87,13 @@ object CurationQueries {
     // (which materializes the 8-gram `hashed` cache) and the exact-dedup
     // fingerprint aggregation behind candIds — neither reads the other's
     // output, so their corpus scans share the wall-clock.
-    val bits = graft.operators.Clustering.concurrently(Seq(
-      () => Left(Dedup.bloomFilterBits(
-        hashed.join(splits.filter($"split" === "test"), "doc_id"),
-        DedupQueries.BloomM, DedupQueries.BloomK)),
-      () => Right(candIds.count())
-    )).head.swap.getOrElse(sys.error("bloom bits thunk missing"))
+    val bits = graft.operators.Clustering.concurrentFrames(Seq(
+      hashed.join(splits.filter($"split" === "test"), "doc_id"),
+      candIds)) { (i, df) =>
+      if (i == 0) Left(Dedup.bloomFilterBits(df,
+        DedupQueries.BloomM, DedupQueries.BloomK))
+      else Right(df.count())
+    }.head.swap.getOrElse(sys.error("bloom bits task missing"))
     val keptIds = Dedup.bloomProbe(hashed.join(candIds, "doc_id"), bits,
         DedupQueries.BloomM, DedupQueries.BloomK)
       .filter(!$"flagged")
@@ -129,12 +130,13 @@ object CurationQueries {
     // quality aggregation are independent — both read only the cached
     // `kept` — so they run concurrently; the statistics stages' combined
     // wall-clock is max(trainer, LM aggs) instead of their sum.
-    val merges = graft.operators.Clustering.concurrently(Seq(
-      () => Left(Bpe.trainAuto(
-        Bpe.wordFreq(Bpe.docWords(kept, "doc_id", "text")),
-        BpeQueries.BpeMerges)._1),
-      () => Right(quality.count())
-    )).head.swap.getOrElse(sys.error("bpe trainer thunk missing"))
+    val merges = graft.operators.Clustering.concurrentFrames(
+      Seq(kept, quality)) { (i, df) =>
+      if (i == 0) Left(Bpe.trainAuto(
+        Bpe.wordFreq(Bpe.docWords(df, "doc_id", "text")),
+        BpeQueries.BpeMerges)._1)
+      else Right(df.count())
+    }.head.swap.getOrElse(sys.error("bpe trainer task missing"))
     val lhs = merges.map(_.lhs).toArray
     val rhs = merges.map(_.rhs).toArray
     val toked = kept

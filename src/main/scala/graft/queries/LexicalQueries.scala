@@ -236,6 +236,33 @@ object LexicalQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q186: SHARDED BM25 artifact — the rewrite-unit fix for the
+  // lexical tier (the q175/q182 pattern): postings + docfreq shard by
+  // term hash, doclen by doc id, stats is an O(1) rollup root — q153's
+  // build/update/serve where the update rewrites ONLY the shards the
+  // delta routes to (one all-or-nothing multi-root pointer commit).
+  // Surface sets equal the unsharded artifact's, so the served ranking
+  // equals the full-corpus build exactly: the oracle IS q100's SQL.
+  // CLI: index-build/serve/update/remove --type=bm25-sharded. ───────────
+  val q186_bm25_sharded_update: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def termsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", explode(toks($"text")).as("term"))
+    val path = QueryTmp.dir("bm25sharded", d)
+    graft.operators.Retrieval.saveBm25Sharded(
+      graft.operators.Retrieval.buildBm25Index(
+        termsOf(docs.filter($"doc_id" % 7 =!= 3))), path, numShards = 4)
+    graft.operators.Retrieval.updateBm25Sharded(s, path,
+      termsOf(docs.filter($"doc_id" % 7 === 3)))
+    val idx = graft.operators.Retrieval.loadBm25Sharded(s, path)
+    graft.operators.Retrieval.bm25Ranked(queryTermsOf(idx), idx,
+        BmK1, BmB, BmScale)
+      .where($"rank" <= BmTopK)
+      .select($"q_id", $"rank", $"doc_id", $"n_terms", $"score")
+      .orderBy($"q_id", $"rank")
+  }
+
   // ── q104: hybrid retrieval via reciprocal-rank fusion ───────────────────
   // The standard lexical+dense combiner: each system contributes
   // 1/(K + rank) for its shortlist, missing docs contribute 0, fused
@@ -846,7 +873,8 @@ object LexicalQueries {
     "q153_bm25_index_update" -> q153_bm25_index_update,
     "q163_bm25_index_remove" -> q163_bm25_index_remove,
     "q127_vocab_drift" -> q127_vocab_drift,
-    "q180_hybrid_artifact_serve" -> q180_hybrid_artifact_serve)
+    "q180_hybrid_artifact_serve" -> q180_hybrid_artifact_serve,
+    "q186_bm25_sharded_update" -> q186_bm25_sharded_update)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
@@ -859,5 +887,8 @@ object LexicalQueries {
     "q153_bm25_index_update" -> q100_sql,
     "q163_bm25_index_remove" -> q163_sql,
     "q127_vocab_drift" -> q127_sql,
-    "q180_hybrid_artifact_serve" -> q180_sql)
+    "q180_hybrid_artifact_serve" -> q180_sql,
+    // sharded update+serve == the full-corpus build's ranking (q153's
+    // exactness with per-shard rewrite units)
+    "q186_bm25_sharded_update" -> q100_sql)
 }

@@ -585,6 +585,73 @@ object VectorQueries {
        |    ORDER BY adist, n_id) AS rank FROM ad)
        |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
 
+  // ── q182: SHARDED compressed artifact — the q175 rewrite-unit layout
+  // applied to the tier the engine ships at 100 TB (IvfPqIndex): cells
+  // AND codes shard by n_id mod 4, each shard one generational root,
+  // both surfaces swapping inside one generation so they stay
+  // id-consistent. The shard-merged ADC serve must reproduce the
+  // unsharded q160/q94 search bit-for-bit (equal surface sets,
+  // deterministic integer rank): the oracle IS q94's SQL. ──────────────
+  val q182_ivfpq_sharded: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqsh", d)
+    graft.operators.Clustering.saveIvfPqSharded(
+      graft.operators.Clustering.buildIvfPqIndex(emb, "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.serveIvfPq(
+        graft.operators.Clustering.loadIvfPqSharded(s, path),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q183: sharded compressed UPDATE — q161's train/add split where
+  // the add rewrites ONLY the shards the delta routes to (per-shard
+  // cells+codes generations, one all-or-nothing pointer commit). Both
+  // surfaces are monoids under the fixed codebooks, so the served ADC
+  // search still equals a fresh assignment+encode of the union under
+  // the slice-trained fits: the oracle IS q161's SQL. ──────────────────
+  val q183_ivfpq_shard_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqshup", d)
+    graft.operators.Clustering.saveIvfPqSharded(
+      graft.operators.Clustering.buildIvfPqIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.updateIvfPqSharded(s, path,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding", Dim, PqM)
+    graft.operators.Clustering.serveIvfPq(
+        graft.operators.Clustering.loadIvfPqSharded(s, path),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q184: FILTERED serve over the SHARDED raw-vector artifact —
+  // q177's predicate+vector query where the postings live in per-shard
+  // generational roots: attrs ride every shard surface, the predicate
+  // composes into each shard's pruned scan (the serve verb's
+  // --type=ivfflat-sharded --filter-col path). Equal postings sets ⇒
+  // the sharded filtered serve must reproduce q177 bit-for-bit: the
+  // oracle IS q177's SQL. ───────────────────────────────────────────────
+  val q184_ivfflat_sharded_filtered: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfflatshfil", d)
+    graft.operators.Clustering.saveIvfFlatSharded(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        emb, "vec_id", "embedding", 1 << ivfBits(s, d),
+        attrCols = Seq("label")),
+      path, numShards = 4)
+    graft.operators.Clustering.serveIvfFlatFiltered(
+        graft.operators.Clustering.loadIvfFlatSharded(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK,
+        pred = col("label") === FilterLabel)
+      .orderBy($"q_id", $"rank")
+  }
+
   // ── q161: IVFPQ index UPDATE — the ivfflat add (kernel cell
   // assignment, q157) and the pq add (per-subspace encode, q159)
   // composed over one delta pass: both corpus-sized surfaces are
@@ -1269,6 +1336,38 @@ object VectorQueries {
       path)
     graft.operators.Clustering.serveIvfFlat(
         graft.operators.Clustering.loadIvfFlatIndex(s, path),
+        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q185: SHARDED index rebuild — the drift repair on the artifact
+  // drift actually accumulates on (the long-lived sharded layout):
+  // train on the 90% slice, sharded-ADD the rest (q176's drifted
+  // shape), then retrain the codebook from the UNION of the shards'
+  // postings and re-persist the sharded layout. Rebuild == fresh build
+  // over the union with the same (k, iters, salt), and the sharded
+  // serve reproduces the unsharded one, so the served search equals
+  // the never-drifted q45 search: the oracle IS q45's SQL. CLI:
+  // `index-rebuild --type=ivfflat-sharded`. ─────────────────────────────
+  val q185_ivfflat_sharded_rebuild: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfflatshreb", d)
+    graft.operators.Clustering.saveIvfFlatSharded(
+      graft.operators.Clustering.buildIvfFlatIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.updateIvfFlatSharded(s, path,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    val rebuilt = graft.operators.Clustering.rebuildIvfFlatIndex(
+      graft.operators.Clustering.loadIvfFlatSharded(s, path),
+      1 << ivfBits(s, d))
+    val rebPath = QueryTmp.dir("ivfflatshreb2", d)
+    graft.operators.Clustering.saveIvfFlatSharded(rebuilt, rebPath,
+      numShards = 4)
+    graft.operators.Clustering.serveIvfFlat(
+        graft.operators.Clustering.loadIvfFlatSharded(s, rebPath),
         emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
       .orderBy($"q_id", $"rank")
   }
@@ -2280,6 +2379,10 @@ object VectorQueries {
     "q177_ivfflat_filtered" -> q177_ivfflat_filtered,
     "q178_ivfflat_rebuild" -> q178_ivfflat_rebuild,
     "q181_ivfpq_filtered" -> q181_ivfpq_filtered,
+    "q182_ivfpq_sharded" -> q182_ivfpq_sharded,
+    "q183_ivfpq_shard_update" -> q183_ivfpq_shard_update,
+    "q184_ivfflat_sharded_filtered" -> q184_ivfflat_sharded_filtered,
+    "q185_ivfflat_sharded_rebuild" -> q185_ivfflat_sharded_rebuild,
     "q158_semdedup_index_update" -> q158_semdedup_index_update,
     "q159_pq_index_update" -> q159_pq_index_update,
     "q160_ivfpq_index_persist" -> q160_ivfpq_index_persist,
@@ -2329,6 +2432,14 @@ object VectorQueries {
     "q177_ivfflat_filtered" -> q177_sql,
     "q178_ivfflat_rebuild" -> q45_sql,
     "q181_ivfpq_filtered" -> q181_sql,
+    // the shard-merged ADC serve must reproduce q94 exactly
+    "q182_ivfpq_sharded" -> q94_sql,
+    // sharded add == fresh assignment+encode of the union (q161's replay)
+    "q183_ivfpq_shard_update" -> q161_sql,
+    // sharded filtered serve must reproduce the unsharded q177 exactly
+    "q184_ivfflat_sharded_filtered" -> q177_sql,
+    // sharded rebuild == fresh build over the union (the q178 contract)
+    "q185_ivfflat_sharded_rebuild" -> q45_sql,
     "q158_semdedup_index_update" -> q158_sql,
     "q159_pq_index_update" -> q159_sql,
     // serve-from-the-composed-compressed-artifact must reproduce q94

@@ -123,6 +123,18 @@ object ArtifactStore {
   def resolve(spark: SparkSession, path: String): String =
     currentGen(spark, path).map(g => s"$path/$g").getOrElse(path)
 
+  /** Pin a root's live generation BEFORE reading it: (root, the loaded
+    * pointer — the commit's CAS expectation, the exact directory reads
+    * should plan against). Re-reading the pointer at commit time would
+    * make the CAS vacuous: it would "expect" whatever is current then,
+    * silently folding a delta onto a base that raced out from under the
+    * reads. */
+  def pinGen(spark: SparkSession, root: String)
+      : (String, Option[String], String) = {
+    val loaded = currentGen(spark, root)
+    (root, loaded, loaded.map(g => s"$root/$g").getOrElse(root))
+  }
+
   /** A fresh generation directory for a writer to fill — ordinal one
     * above the generation it loaded (`loaded`), uuid-suffixed so two
     * racing writers never collide on the directory (the pointer CAS in
@@ -238,6 +250,85 @@ object ArtifactStore {
     } finally fs.delete(claim, false)
   }
 
+  /** Commit MANY staged generations (one per shard root) as a single
+    * all-or-nothing pointer transaction — the multi-shard commit a
+    * sharded artifact's update/remove needs. A sequential per-shard
+    * [[commitGen]] loop has a partial-failure window: a crash (or one
+    * lost CAS) mid-loop leaves the delta applied to some shards but not
+    * others, and re-running then either trips the disjoint-ids guard or
+    * (with the guard waived) duplicates the already-committed shards'
+    * rows. Here:
+    *
+    *  1. ONE claim is taken at `claimDir` (the artifact base — every
+    *     sharded writer serializes on it, so two multi-shard commits
+    *     can never interleave);
+    *  2. EVERY commit's precondition is verified before ANY pointer
+    *     moves: the shard pointer still names the generation the writer
+    *     folded onto, and the staged directory survived (the index-gc
+    *     staging race, same as [[commitGen]]);
+    *  3. only then do all pointers flip — each flip is one atomic
+    *     rename of a few bytes, so the all-flips window is
+    *     milliseconds of pure metadata (no corpus I/O interleaves);
+    *  4. per-root sweeps run last (non-semantic cleanup).
+    *
+    * If ANY precondition fails, every staged generation is deleted and
+    * the call throws with the delta UNAPPLIED EVERYWHERE — re-run it.
+    * A crash inside the all-flips window itself can still leave a
+    * partial commit (pointer flips cannot be made jointly atomic on a
+    * filesystem), but the window excludes all data writes and renames;
+    * RECOVERY: `index-remove` the delta's ids (remove is idempotent on
+    * ids absent from untouched shards), then re-run the update. */
+  def commitGenAll(spark: SparkSession, claimDir: String,
+                   commits: Seq[(String, String, Option[String])]): Unit = {
+    if (commits.isEmpty) return
+    val fs = fsOf(spark, claimDir)
+    val claim = new Path(claimDir, ClaimFile)
+    var attempts = 0
+    while (!tryClaim(fs, claim)) {
+      attempts += 1
+      if (attempts > 100) throw new IllegalStateException(
+        s"cannot acquire commit claim $claim after ${attempts - 1} retries — " +
+          s"a concurrent sharded commit is in flight, or a crashed writer " +
+          s"left the claim behind (safe to delete after confirming no " +
+          s"index-update/remove/build is running under $claimDir)")
+      Thread.sleep(100L)
+    }
+    try {
+      // Phase 1: verify EVERY precondition before ANY pointer moves.
+      val failures = commits.flatMap { case (root, genDir, expected) =>
+        val cur = currentGen(spark, root)
+        if (cur != expected) Some(
+          s"$root: generation advanced from ${expected.getOrElse("<legacy>")} " +
+            s"to ${cur.getOrElse("<legacy>")}")
+        else if (!fs.exists(new Path(genDir))) Some(
+          s"$root: staged generation $genDir was swept (index-gc racing " +
+            s"the staging window?)")
+        else None
+      }
+      if (failures.nonEmpty) {
+        commits.foreach { case (_, genDir, _) =>
+          fs.delete(new Path(genDir), true)
+        }
+        throw new IllegalStateException(
+          s"sharded commit aborted — the delta was NOT applied to ANY " +
+            s"shard; re-run it against the current version. Failed " +
+            s"preconditions: ${failures.mkString("; ")} (FIXTURES.md §10)")
+      }
+      // Phase 2: all pointers flip (atomic renames, metadata-only).
+      commits.foreach { case (root, genDir, _) =>
+        writePointer(spark, root, new Path(genDir).getName)
+      }
+      // Phase 3: per-root retention sweeps.
+      commits.foreach { case (root, genDir, expected) =>
+        val keep = Set(Some(new Path(genDir).getName), expected).flatten
+        fs.listStatus(new Path(root)).foreach { s =>
+          val n = s.getPath.getName
+          if (isGenName(n) && !keep(n)) fs.delete(s.getPath, true)
+        }
+      }
+    } finally fs.delete(claim, false)
+  }
+
   /** Maintenance sweep (`index-gc`): delete non-live generations
     * WITHOUT committing anything — for read-mostly artifacts whose
     * crashed-writer leftovers would otherwise linger until the next
@@ -261,6 +352,22 @@ object ArtifactStore {
     * only `--all=true` — the no-writers maintenance window — ignores
     * the grace period. */
   val StagingGraceMs: Long = 60L * 60L * 1000L // 1 h
+
+  /** Max modification time across a directory tree (the directory
+    * itself, every file, every subdirectory) — the staging-freshness
+    * signal [[sweep]] uses. A writer actively filling a generation
+    * keeps SOME entry's mtime fresh (task files land continuously) even
+    * where the top-level directory mtime froze at job start. Bounded:
+    * called only for above-live generation candidates, which are rare
+    * (a crashed writer's orphan or one in-flight staging). */
+  private def treeMaxMtime(fs: FileSystem, p: Path): Long = {
+    val self = fs.getFileStatus(p)
+    if (!self.isDirectory) self.getModificationTime
+    else (self.getModificationTime +:
+      fs.listStatus(p).map(s =>
+        if (s.isDirectory) treeMaxMtime(fs, s.getPath)
+        else s.getModificationTime).toSeq).max
+  }
 
   def sweep(spark: SparkSession, path: String,
             keepDisplaced: Boolean,
@@ -292,8 +399,6 @@ object ArtifactStore {
           val statuses = fs.listStatus(new Path(path))
             .filter(s => isGenName(s.getPath.getName) &&
               s.getPath.getName != cur)
-          val mtimes: Map[String, Long] =
-            statuses.map(s => s.getPath.getName -> s.getModificationTime).toMap
           val orphans: Seq[String] = statuses.map(_.getPath.getName)
             .sortBy(n => ordinalOf(n).getOrElse(-1L)).toSeq
           val displaced =
@@ -301,11 +406,17 @@ object ArtifactStore {
               orphans.filter(n => ordinalOf(n).exists(_ < curOrd)).lastOption
             else None
           // above-live + recently modified = possibly a writer mid-stage
-          // (see StagingGraceMs) — spare it outside --all
+          // (see StagingGraceMs) — spare it outside --all. Freshness is
+          // the MAX mtime across the staged TREE, not the generation
+          // directory's own mtime: on HDFS a directory's mtime moves only
+          // when direct children are added/removed, and Spark creates
+          // `_temporary` once at job start — a long-running staged write
+          // would look stale at the top level while its task files are
+          // seconds old. Computed lazily, only for above-live candidates.
           val now = System.currentTimeMillis()
           val inGrace: String => Boolean = n =>
             keepDisplaced && ordinalOf(n).exists(_ > curOrd) &&
-              now - mtimes.getOrElse(n, 0L) < stagingGraceMs
+              now - treeMaxMtime(fs, new Path(path, n)) < stagingGraceMs
           val victims = orphans.filterNot(displaced.contains)
             .filterNot(inGrace)
           victims.foreach(n => fs.delete(new Path(path, n), true))

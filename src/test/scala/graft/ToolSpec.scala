@@ -1144,7 +1144,7 @@ class ToolSpec extends SparkSpec {
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
     (IndexTool.UpdateTypes -- Set("ivfflat", "ivfflat-sharded", "semdedup",
-        "pq", "ivfpq",
+        "pq", "ivfpq", "ivfpq-sharded",
         "imi", "sq", "ivfsq", "ivfpqr")) // vector-typed tiers have their own fixtures below / in the imi, sq, and sharded tests
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
@@ -1754,6 +1754,219 @@ class ToolSpec extends SparkSpec {
     assert(served == serveOf("ivfflat", flat, "flat2"))
   }
 
+  test("CLI sharded compressed tier: ivfpq-sharded build/serve/update/remove/describe; update advances only routed shards; rerank-from works") {
+    import spark.implicits._
+    val base = tmpDir("idxpqsharded")
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val corpus = emb((0 until 12).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + i * 0.01f
+      (i.toLong, v.toSeq)
+    })
+    corpus.write.parquet(s"$base/emb")
+    val single = s"$base/single"
+    val sharded = s"$base/sharded"
+    val knobs = Array("--dim=4", "--m=2", "--k=2", "--centroids=2")
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq",
+      s"--path=$single", s"--input=format=parquet file=$base/emb") ++ knobs)
+      .status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/emb",
+      "--shards=4") ++ knobs).status == "SUCCEEDED")
+    def serveOf(tpe: String, path: String, tag: String,
+                extra: String*): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$path", s"--input=format=parquet file=$base/emb",
+        s"--output=format=parquet file=$out", "--dim=4", "--m=2",
+        "--max-query-id=4", "--nprobe=1", "--topk=3") ++ extra)
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).drop("batch").orderBy("q_id", "rank")
+        .collect().map(_.toSeq).toSeq
+    }
+    // shard-merged ADC serve == single-artifact ADC serve, via the CLI
+    assert(serveOf("ivfpq-sharded", sharded, "sh") ==
+      serveOf("ivfpq", single, "single"))
+    // delta ids 102/106 route to shard 2 — only its generation advances
+    val shardedRoot = graft.sinks.ArtifactStore.resolve(spark, sharded)
+    def genOf(sh: Int) = graft.sinks.ArtifactStore.currentGen(
+      spark, s"$shardedRoot/shards/$sh")
+    val gensBefore = (0 until 4).map(genOf)
+    emb(Seq((102L, Seq(0f, 0f, 0f, 9f)), (106L, Seq(0f, 0f, 0f, 9.1f))))
+      .write.parquet(s"$base/delta")
+    assert(Tool.run(spark, Array("index-update", "--type=ivfpq-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta",
+      "--dim=4", "--m=2")).status == "SUCCEEDED")
+    (0 until 4).foreach { sh =>
+      if (sh == 2) assert(genOf(sh) != gensBefore(sh), "shard 2 must advance")
+      else assert(genOf(sh) == gensBefore(sh), s"shard $sh must be untouched")
+    }
+    // the disjoint-id guard covers the sharded compressed tier too
+    val replay = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-update", "--type=ivfpq-sharded", s"--path=$sharded",
+        s"--input=format=parquet file=$base/delta", "--dim=4", "--m=2")))
+    assert(replay.getMessage.contains("already in the artifact"))
+    // describe: shard grid + both compressed surfaces
+    val d = Tool.run(spark, Array("index-describe", "--type=ivfpq-sharded",
+      s"--path=$sharded"))
+    assert(d.counters("shards") == 4L && d.counters("vectors") == 14L,
+      d.counters.toString)
+    assert(d.counters("code_rows") == 28L && d.counters("subspaces") == 2L,
+      d.counters.toString)
+    // streamed serve == batch serve
+    val streamOut = s"$base/stream-out"
+    assert(Tool.run(spark, Array("index-serve", "--type=ivfpq-sharded",
+      "--stream=true", s"--path=$sharded",
+      s"--input=format=parquet file=$base/emb",
+      s"--output=format=parquet file=$streamOut", "--dim=4", "--m=2",
+      "--max-query-id=4", "--nprobe=1", "--topk=3")).status == "SUCCEEDED")
+    assert(spark.read.parquet(streamOut).drop("batch")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq ==
+      serveOf("ivfpq-sharded", sharded, "sh2"))
+    // --rerank-from over the SHARDED artifact: full pool == exact serve
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$base/flat", s"--input=format=parquet file=$base/emb",
+      "--centroids=2")).status == "SUCCEEDED")
+    // (the flat tier lacks the delta, so compare pre-update state via a
+    // fresh sharded build on the same corpus)
+    val sharded2 = s"$base/sharded2"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq-sharded",
+      s"--path=$sharded2", s"--input=format=parquet file=$base/emb",
+      "--shards=4") ++ knobs).status == "SUCCEEDED")
+    // (rank widths differ across tiers — normalize to Long)
+    val twoStage = serveOf("ivfpq-sharded", sharded2, "rr",
+      s"--rerank-from=$base/flat", "--rerank-pool=50")
+      .map(r => (r(0).toString.toLong, r(1).toString.toLong,
+        r(2).toString.toLong))
+    val exact = serveOf("ivfflat", base + "/flat", "flatx")
+      .map(r => (r(0).toString.toLong, r(1).toString.toLong,
+        r(2).toString.toLong))
+    assert(twoStage.nonEmpty && twoStage == exact,
+      s"sharded two-stage != ivfflat exact: $twoStage vs $exact")
+    // REMOVE: routed shard only; removed ids stop matching
+    val gensBeforeRm = (0 until 4).map(genOf)
+    assert(Tool.run(spark, Array("index-remove", "--type=ivfpq-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    (0 until 4).foreach { sh =>
+      if (sh == 2) assert(genOf(sh) != gensBeforeRm(sh))
+      else assert(genOf(sh) == gensBeforeRm(sh), s"shard $sh must hold")
+    }
+    val served = serveOf("ivfpq-sharded", sharded, "postrm")
+    assert(!served.exists(r => r(2) == 102L || r(2) == 106L),
+      s"removed ids still served: $served")
+    assert(served == serveOf("ivfpq", single, "single2"))
+  }
+
+  test("CLI sharded BM25 tier: build/serve/update/remove/describe; a delta rewrites only its term/doc shards; stats is an O(1) rollup") {
+    import spark.implicits._
+    val base = tmpDir("idxbm25sharded")
+    val corpus = Seq(
+      (0L, "spark join hash table scan"), (1L, "row batch filter merge"),
+      (2L, "spark join hash data"), (3L, "slow order vector line"),
+      (4L, "group part sort query"), (5L, "key value stream window"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$base/corpus")
+    val single = s"$base/single"
+    val sharded = s"$base/sharded"
+    assert(Tool.run(spark, Array("index-build", "--type=bm25",
+      s"--path=$single", s"--input=format=parquet file=$base/corpus"))
+      .status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=bm25-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/corpus",
+      "--shards=4")).status == "SUCCEEDED")
+    val probe = Seq((20L, "spark join hash table scan"),
+      (21L, "row batch filter merge")).toDF("doc_id", "text")
+    probe.write.parquet(s"$base/probe")
+    def serveOf(tpe: String, p: String, tag: String,
+                extra: String*): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$p", s"--input=format=parquet file=$base/probe",
+        s"--output=format=parquet file=$out", "--topk=5") ++ extra)
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).drop("batch").orderBy("q_id", "rank")
+        .collect().map(_.toSeq).toSeq
+    }
+    // shard-merged ranking == single-artifact ranking, via the CLI
+    assert(serveOf("bm25-sharded", sharded, "sh") ==
+      serveOf("bm25", single, "single"))
+    // an update rewrites ONLY the term shards the delta's vocabulary
+    // hashes to and the doc shards its ids route to; the rest hold
+    val delta = Seq((10L, "novel content here")).toDF("doc_id", "text")
+    delta.write.parquet(s"$base/delta")
+    val shardedRoot = graft.sinks.ArtifactStore.resolve(spark, sharded)
+    def genOf(kind: String, sh: Int) = graft.sinks.ArtifactStore
+      .currentGen(spark, s"$shardedRoot/$kind/$sh")
+    val tBefore = (0 until 4).map(genOf("shards", _))
+    val dBefore = (0 until 4).map(genOf("docshards", _))
+    val statsBefore = graft.sinks.ArtifactStore.currentGen(
+      spark, s"$shardedRoot/stats")
+    // expected touched term shards, by the artifact's own routing
+    val expectedT = {
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      graft.operators.Bpe.docWords(delta, "doc_id", "text")
+        .select(pmod(xxhash64($"word"), lit(4L)).cast("int").as("sh"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    }
+    assert(expectedT.nonEmpty && expectedT.size < 4,
+      s"fixture must touch a strict subset of term shards: $expectedT")
+    assert(Tool.run(spark, Array("index-update", "--type=bm25-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    (0 until 4).foreach { sh =>
+      if (expectedT.contains(sh))
+        assert(genOf("shards", sh) != tBefore(sh), s"term shard $sh must advance")
+      else
+        assert(genOf("shards", sh) == tBefore(sh), s"term shard $sh must hold")
+      if (sh == 2) assert(genOf("docshards", sh) != dBefore(sh),
+        "doc shard 2 (10 mod 4) must advance")
+      else assert(genOf("docshards", sh) == dBefore(sh),
+        s"doc shard $sh must hold")
+    }
+    assert(graft.sinks.ArtifactStore.currentGen(spark,
+      s"$shardedRoot/stats") != statsBefore, "stats rollup must advance")
+    // updated == full rebuild on the union (the q153/q186 exactness)
+    corpus.unionByName(delta).write.parquet(s"$base/full")
+    val full = s"$base/full-idx"
+    assert(Tool.run(spark, Array("index-build", "--type=bm25",
+      s"--path=$full", s"--input=format=parquet file=$base/full"))
+      .status == "SUCCEEDED")
+    assert(serveOf("bm25-sharded", sharded, "sh-upd") ==
+      serveOf("bm25", full, "full"))
+    // the disjoint-id guard covers the sharded lexical tier
+    val replay = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-update", "--type=bm25-sharded", s"--path=$sharded",
+        s"--input=format=parquet file=$base/delta")))
+    assert(replay.getMessage.contains("already in the artifact"))
+    // describe
+    val d = Tool.run(spark, Array("index-describe", "--type=bm25-sharded",
+      s"--path=$sharded"))
+    assert(d.counters("shards") == 4L && d.counters("docs") == 7L,
+      d.counters.toString)
+    // streamed serve == batch serve
+    val streamOut = s"$base/stream-out"
+    assert(Tool.run(spark, Array("index-serve", "--type=bm25-sharded",
+      "--stream=true", s"--path=$sharded",
+      s"--input=format=parquet file=$base/probe",
+      s"--output=format=parquet file=$streamOut", "--topk=5"))
+      .status == "SUCCEEDED")
+    assert(spark.read.parquet(streamOut).drop("batch")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq ==
+      serveOf("bm25-sharded", sharded, "sh2"))
+    // REMOVE: deleted doc stops matching; sharded removed == unsharded
+    // single-artifact state (same remaining corpus)
+    assert(Tool.run(spark, Array("index-remove", "--type=bm25-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    assert(serveOf("bm25-sharded", sharded, "postrm") ==
+      serveOf("bm25", single, "single2"))
+    val d2 = Tool.run(spark, Array("index-describe", "--type=bm25-sharded",
+      s"--path=$sharded"))
+    assert(d2.counters("docs") == 6L, d2.counters.toString)
+  }
+
   test("CLI filtered ANN: --attr-cols build materializes metadata in the postings; --filter-col serve pre-filters; update carries attrs") {
     import spark.implicits._
     val base = tmpDir("idxfiltered")
@@ -1814,6 +2027,38 @@ class ToolSpec extends SparkSpec {
       serveF("--filter-col=label", "--filter-val=en"))
     assert(badVal.getMessage.contains("does not parse") &&
       badVal.getMessage.contains("label"), badVal.getMessage)
+    // the SHARDED verbs take the same flags: --attr-cols at build rides
+    // every shard surface, --filter-col at serve composes per shard —
+    // and the sharded filtered serve equals the unsharded one exactly
+    val shPath = s"$base/ivfsh"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat-sharded",
+      s"--path=$shPath", s"--input=format=parquet file=$base/emb",
+      "--centroids=2", "--shards=4", "--attr-cols=label"))
+      .status == "SUCCEEDED")
+    def serveSh(tpe: String, p: String, extra: String*): Seq[(Long, Long)] = {
+      val out = s"$base/out-sh-${(tpe +: extra).hashCode.abs}"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$p", s"--input=format=parquet file=$base/emb",
+        s"--output=format=parquet file=$out", "--dim=4", "--m=2",
+        "--max-query-id=2", "--nprobe=2", "--topk=4") ++ extra)
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    }
+    assert(serveSh("ivfflat-sharded", shPath,
+      "--filter-col=label", "--filter-val=0") == filtered,
+      "sharded filtered serve must equal the unsharded one")
+    // and on the sharded COMPRESSED tier the cells predicate pre-filters
+    val pqShPath = s"$base/pqsh"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq-sharded",
+      s"--path=$pqShPath", s"--input=format=parquet file=$base/emb",
+      "--dim=4", "--m=2", "--k=2", "--centroids=2", "--shards=4",
+      "--attr-cols=label")).status == "SUCCEEDED")
+    val pqFiltered = serveSh("ivfpq-sharded", pqShPath,
+      "--filter-col=label", "--filter-val=0")
+    assert(pqFiltered.nonEmpty && pqFiltered.forall(_._2 % 3 == 0),
+      pqFiltered.toString)
+    assert(!serveSh("ivfpq-sharded", pqShPath).forall(_._2 % 3 == 0))
   }
 
   test("CLI hybrid serve: reciprocal-rank fusion of the persisted bm25 + ivfflat artifacts; streamed == batch; composite refusals") {
@@ -1886,6 +2131,53 @@ class ToolSpec extends SparkSpec {
       "--pool=5", "--topk=3", "--nprobe=2")).status == "SUCCEEDED")
     assert(spark.read.parquet(streamOut).drop("batch")
       .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq == fused)
+    // the PRODUCTION dense leg: --dense-type=ivfpq serves the fusion's
+    // dense shortlist from the compressed artifact (ADC shortlist +
+    // exact rerank from --rerank-from's raw postings). With the rerank
+    // pool covering every probed candidate, the leg IS the exact
+    // ivfflat serve — the fused output must equal the default-leg fuse
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq",
+      s"--path=$base/pq", s"--input=format=parquet file=$base/emb",
+      "--dim=4", "--m=2", "--k=2", "--centroids=2")).status == "SUCCEEDED")
+    val pqOut = s"$base/fused-pq"
+    assert(Tool.run(spark, Array("index-serve", "--type=hybrid",
+      s"--path=$base/bm25", s"--dense-path=$base/pq",
+      "--dense-type=ivfpq", s"--rerank-from=$base/ivf",
+      "--rerank-pool=50", "--dim=4", "--m=2",
+      s"--input=format=parquet file=$base/queries",
+      s"--output=format=parquet file=$pqOut",
+      "--pool=5", "--topk=3", "--nprobe=2")).status == "SUCCEEDED")
+    assert(spark.read.parquet(pqOut).orderBy("q_id", "rank").collect()
+      .map(_.toSeq).toSeq == fused,
+      "full-pool compressed dense leg must reproduce the raw-vector fuse")
+    // --dense-type=ivfpq without the rerank source refuses loudly
+    val noRerank = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-serve", "--type=hybrid", s"--path=$base/bm25",
+        s"--dense-path=$base/pq", "--dense-type=ivfpq",
+        s"--input=format=parquet file=$base/queries",
+        s"--output=format=parquet file=$base/zz")))
+    assert(noRerank.getMessage.contains("--rerank-from"), noRerank.getMessage)
+    // FILTERED dense leg: --filter-col composes into the dense probe
+    // (every dense candidate satisfies the predicate; the lexical leg
+    // is unchanged)
+    val embL = emb.withColumn("label", ($"vec_id" % 2).cast("int"))
+    embL.write.parquet(s"$base/embL")
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$base/ivfL", s"--input=format=parquet file=$base/embL",
+      "--centroids=2", "--attr-cols=label")).status == "SUCCEEDED")
+    val fOut = s"$base/fused-filtered"
+    assert(Tool.run(spark, Array("index-serve", "--type=hybrid",
+      s"--path=$base/bm25", s"--dense-path=$base/ivfL",
+      "--filter-col=label", "--filter-val=0",
+      s"--input=format=parquet file=$base/queries",
+      s"--output=format=parquet file=$fOut",
+      "--pool=5", "--topk=6", "--nprobe=2")).status == "SUCCEEDED")
+    val fusedF = spark.read.parquet(fOut).collect()
+    // rows ranked by the dense leg all satisfy label=0 (even doc ids);
+    // lexical-only rows (dense_rank null) may be anything
+    val denseRanked = fusedF.filter(!_.isNullAt(4)).map(_.getLong(2))
+    assert(denseRanked.nonEmpty && denseRanked.forall(_ % 2 == 0),
+      s"filtered dense leg leaked: ${denseRanked.toSeq}")
     // composite refusals: no build/describe surface of its own, and the
     // serve names the missing --dense-path
     val b = intercept[IllegalArgumentException](Tool.run(spark,
@@ -1952,10 +2244,46 @@ class ToolSpec extends SparkSpec {
     assert(d.counters("centroids") == 3L && d.counters("vectors") == 20L,
       d.counters.toString)
     assert(d.counters("occupancy_skew_x100") < 200L, d.counters.toString)
-    // only ivfflat rebuilds; composed tiers re-fit from the corpus
+    // only the flat tiers rebuild; composed tiers re-fit from the corpus
     val bad = intercept[IllegalArgumentException](Tool.run(spark,
       Array("index-rebuild", "--type=ivfpq", s"--path=$path")))
     assert(bad.getMessage.contains("index-build"), bad.getMessage)
+    // the SHARDED artifact — where drift actually accumulates (it lives
+    // longest) — rebuilds the same way: retrain from the shard union,
+    // re-persist the sharded layout under ONE root generation flip,
+    // served search == the unsharded rebuilt artifact's
+    val shPath = s"$base/sharded"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat-sharded",
+      s"--path=$shPath", s"--input=format=parquet file=$base/emb",
+      "--centroids=2", "--shards=4")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-update", "--type=ivfflat-sharded",
+      s"--path=$shPath", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    val shGenBefore = graft.sinks.ArtifactStore.currentGen(spark, shPath)
+    val rs = Tool.run(spark, Array("index-rebuild",
+      "--type=ivfflat-sharded", s"--path=$shPath", "--centroids=3",
+      "--min-skew=1.3"))
+    assert(rs.status == "SUCCEEDED" && rs.counters("centroids") == 3L,
+      rs.counters.toString)
+    assert(graft.sinks.ArtifactStore.currentGen(spark, shPath) != shGenBefore,
+      "sharded rebuild must commit a new root generation")
+    val ds = Tool.run(spark, Array("index-describe",
+      "--type=ivfflat-sharded", s"--path=$shPath"))
+    assert(ds.counters("centroids") == 3L && ds.counters("vectors") == 20L &&
+      ds.counters("shards") == 4L, ds.counters.toString)
+    // rebuilt sharded serve == rebuilt unsharded serve (same corpus,
+    // same retrain) — the q185 equality through the CLI
+    def serveOut(tpe: String, p: String, tag: String): Seq[Seq[Any]] = {
+      val out = s"$base/rebserve-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$p", s"--input=format=parquet file=$base/emb",
+        s"--output=format=parquet file=$out",
+        "--max-query-id=4", "--nprobe=1", "--topk=3")).status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.toSeq).toSeq
+    }
+    assert(serveOut("ivfflat-sharded", shPath, "sh") ==
+      serveOut("ivfflat", path, "flat"))
   }
 
   test("CLI flat-tier serve gates: O(corpus) serves refuse past --max-flat-rows, naming the sublinear tier") {

@@ -739,6 +739,65 @@ class ClusteringSpec extends SparkSpec {
       "attr-carrying sharded update must make the delta servable filtered")
   }
 
+  test("sharded ivfpq: shard-merged ADC serve == single artifact; an update rewrites ONLY the routed shards' cells+codes together") {
+    import graft.sinks.ArtifactStore
+    val idx = Clustering.buildIvfPqIndex(blobs, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2, numCentroids = 3)
+    val single = tmpDir("ivfpqsh_single")
+    val sharded = tmpDir("ivfpqsh") + "/art"
+    Clustering.saveIvfPqIndex(idx, single)
+    Clustering.saveIvfPqSharded(idx, sharded, numShards = 4)
+    def serveOf(i: Clustering.IvfPqIndex) =
+      Clustering.serveIvfPq(i, blobs, "vec_id", "embedding",
+        dim = 4, m = 2, maxQueryId = 6L, nprobe = 1, topK = 3)
+        .orderBy($"q_id", $"rank").collect().toSeq
+    assert(serveOf(Clustering.loadIvfPqSharded(spark, sharded)) ==
+      serveOf(Clustering.loadIvfPqIndex(spark, single)))
+    // no raw vectors anywhere in the sharded layout either
+    val loaded0 = Clustering.loadIvfPqSharded(spark, sharded)
+    assert(!loaded0.cells.columns.contains("nv") &&
+      !loaded0.codes.columns.contains("nv"))
+    // a delta routing only to shard 2 advances ONLY shard 2's generation
+    def genOf(sh: Int): Option[String] =
+      ArtifactStore.currentGen(spark, s"$sharded/shards/$sh")
+    val before = (0 until 4).map(genOf)
+    assert(before.forall(_.isDefined))
+    val delta = Seq((102L, Seq(0f, 0f, 0f, 9f)), (106L, Seq(0f, 0f, 0f, 9.1f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val touched = Clustering.updateIvfPqSharded(spark, sharded, delta,
+      "vec_id", "embedding", dim = 4, m = 2)
+    assert(touched == Seq(2), s"expected only shard 2 touched: $touched")
+    (0 until 4).foreach { sh =>
+      if (sh == 2) assert(genOf(sh) != before(sh), "shard 2 must advance")
+      else assert(genOf(sh) == before(sh), s"shard $sh must be untouched")
+    }
+    // cells and codes moved TOGETHER: the delta's ids appear in both
+    // surfaces of the reloaded artifact, with m code rows each
+    val loaded = Clustering.loadIvfPqSharded(spark, sharded)
+    assert(loaded.cells.filter($"n_id".isin(102L, 106L)).count() == 2L)
+    assert(loaded.codes.filter($"n_id".isin(102L, 106L)).count() == 4L)
+    // updated sharded serve == the in-memory updateIvfPqIndex fold of
+    // the same delta over the unsharded artifact (the q161 exactness)
+    val foldedServe = serveOf(Clustering.updateIvfPqIndex(
+      Clustering.loadIvfPqIndex(spark, single), delta,
+      "vec_id", "embedding", dim = 4, m = 2))
+    assert(serveOf(loaded) == foldedServe)
+    // remove forgets: only the routed shard rewrites, both surfaces drop
+    val beforeRm = (0 until 4).map(genOf)
+    val rmTouched = Clustering.removeFromIvfPqSharded(spark, sharded,
+      Seq(106L).toDF("n_id"))
+    assert(rmTouched == Seq(2))
+    (0 until 4).foreach { sh =>
+      if (sh == 2) assert(genOf(sh) != beforeRm(sh))
+      else assert(genOf(sh) == beforeRm(sh))
+    }
+    val afterRm = Clustering.loadIvfPqSharded(spark, sharded)
+    assert(afterRm.cells.filter($"n_id" === 106L).count() == 0L)
+    assert(afterRm.codes.filter($"n_id" === 106L).count() == 0L)
+    assert(afterRm.cells.filter($"n_id" === 102L).count() == 1L)
+  }
+
   test("filtered ANN serve: predicate composes into the pruned postings scan; filtered top-k == brute-filtered top-k") {
     // attribute = blob id (the lattice axis): a production `lang = 'en'`
     // style metadata column materialized in the postings

@@ -313,4 +313,92 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.currentGen(spark, path)
       .contains(new org.apache.hadoop.fs.Path(gC).getName))
   }
+
+  test("commitGenAll is all-or-nothing: one failed shard precondition aborts every flip and deletes all staged generations") {
+    val root = s"${tmpDir("artall")}/art"
+    val s0 = s"$root/shards/0"
+    val s1 = s"$root/shards/1"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stage(sr: String, loaded: Option[String], v: Long): String = {
+      val g = ArtifactStore.newGenDir(spark, sr, loaded)
+      Seq((v, "x")).toDF("id", "v").write.parquet(g)
+      g
+    }
+    def cur(sr: String): Option[String] = ArtifactStore.currentGen(spark, sr)
+    // both shards at generation 1
+    val g0 = stage(s0, None, 1L); ArtifactStore.commitGen(spark, s0, g0, None)
+    val g1 = stage(s1, None, 2L); ArtifactStore.commitGen(spark, s1, g1, None)
+    val (n0, n1) = (cur(s0).get, cur(s1).get)
+    // a racing single-shard writer advances shard 1
+    val g1b = stage(s1, Some(n1), 3L)
+    ArtifactStore.commitGen(spark, s1, g1b, Some(n1))
+    val n1b = cur(s1).get
+    // a multi-shard writer staged against the OLD shard-1 generation:
+    // shard 0's precondition holds, shard 1's fails — NOTHING may flip
+    val c0 = stage(s0, Some(n0), 10L)
+    val c1 = stage(s1, Some(n1), 11L)
+    val e = intercept[IllegalStateException](ArtifactStore.commitGenAll(
+      spark, root, Seq((s0, c0, Some(n0)), (s1, c1, Some(n1)))))
+    assert(e.getMessage.contains("NOT applied to ANY"), e.getMessage)
+    assert(cur(s0).contains(n0),
+      "shard 0 must NOT flip even though its own precondition held")
+    assert(cur(s1).contains(n1b))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(c0)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(c1)),
+      "both staged generations must be deleted on abort")
+    // a clean retry against the CURRENT generations flips both pointers
+    val r0 = stage(s0, Some(n0), 20L)
+    val r1 = stage(s1, Some(n1b), 21L)
+    ArtifactStore.commitGenAll(spark, root,
+      Seq((s0, r0, Some(n0)), (s1, r1, Some(n1b))))
+    assert(cur(s0).contains(new org.apache.hadoop.fs.Path(r0).getName))
+    assert(cur(s1).contains(new org.apache.hadoop.fs.Path(r1).getName))
+    assert(spark.read.parquet(ArtifactStore.resolve(spark, s0))
+      .head().getLong(0) == 20L)
+    assert(spark.read.parquet(ArtifactStore.resolve(spark, s1))
+      .head().getLong(0) == 21L)
+    // retention: each shard keeps exactly live + displaced
+    Seq(s0, s1).foreach { sr =>
+      val gens = fs.listStatus(new org.apache.hadoop.fs.Path(sr))
+        .map(_.getPath.getName).filter(ArtifactStore.isGenName)
+      assert(gens.length == 2, s"$sr retains live+displaced: ${gens.toSeq}")
+    }
+  }
+
+  test("sweep staging grace keys on the staged TREE's freshness, not the directory mtime") {
+    val path = s"${tmpDir("artgrace")}/art"
+    def writeGen(loaded: Option[String]): String = {
+      val g = ArtifactStore.newGenDir(spark, path, loaded)
+      Seq((1L, "x")).toDF("id", "v").write.parquet(g)
+      g
+    }
+    val gA = writeGen(None)
+    ArtifactStore.commitGen(spark, path, gA, None)
+    val aName = new org.apache.hadoop.fs.Path(gA).getName
+    // an in-flight writer stages gen 2; age the DIRECTORY mtime past the
+    // grace (the HDFS shape: _temporary created once at job start) while
+    // a task file inside stays fresh
+    val gB = writeGen(Some(aName))
+    val bPath = java.nio.file.Paths.get(new java.net.URI(
+      new org.apache.hadoop.fs.Path(gB).toUri.toString match {
+        case u if u.startsWith("file:") => u
+        case u => s"file:$u"
+      }))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3L * 60 * 60 * 1000)
+    java.nio.file.Files.setLastModifiedTime(bPath, old)
+    // default sweep (grace active) must SPARE the staged generation —
+    // its tree holds fresh task files even though the dir mtime is stale
+    assert(ArtifactStore.sweep(spark, path, keepDisplaced = true).isEmpty,
+      "a staged generation with fresh files inside must survive the sweep")
+    // but once the whole TREE is stale, the default sweep collects it
+    def ageTree(p: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(p).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f, old))
+    }
+    ageTree(bPath)
+    assert(ArtifactStore.sweep(spark, path, keepDisplaced = true) ==
+      Seq(new org.apache.hadoop.fs.Path(gB).getName))
+  }
 }
