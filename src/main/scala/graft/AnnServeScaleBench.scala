@@ -151,6 +151,18 @@ object AnnServeScaleBench {
           maxQueryId, nprobe, topK)
         .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
 
+    // SHARDED layout of the COMPRESSED tier (the production serving
+    // shape): per-shard cells+codes roots, shared codebooks — the ADC
+    // serve is expected to TRACK serve_ivfpq_adc across the doubling
+    // (equal surface sets; per-shard probed-cell pruning holds)
+    val pqShPath = s"/tmp/annservescale_pqsh_${System.nanoTime()}"
+    Clustering.saveIvfPqSharded(pqIdx, pqShPath, numShards = 8)
+    val pqShIdx = Clustering.loadIvfPqSharded(spark, pqShPath)
+    val pqSharded = timeMin2(() =>
+      Clustering.serveIvfPq(pqShIdx, emb, "vec_id", "embedding",
+          dim = 64, m = 8, maxQueryId, nprobe, topK)
+        .agg(count(lit(1)), sum(col("rank"))).head(): Unit)
+
     // recall@topK vs exact brute force for the same query batch — the
     // quality side of the speed numbers (nprobe=2 of k cells; ADC adds
     // quantization error on top of the probe miss rate)
@@ -195,6 +207,7 @@ object AnnServeScaleBench {
       s""""serve_ivfsq_sec":${f"$ivfSqServe%.2f"},""" +
       s""""serve_ivfpqr_sec":${f"$pqrServe%.2f"},""" +
       s""""serve_sharded_sec":${f"$sharded%.2f"},""" +
+      s""""serve_ivfpq_sharded_sec":${f"$pqSharded%.2f"},""" +
       s""""recall":{$curve,"sq":${f"$sqRecall%.3f"}}}""")
     spark.stop()
   }

@@ -443,19 +443,39 @@ object IndexTool {
     * the root pointer CAS. Rebuild == fresh build over the same vectors
     * with the same (centroids, iters, salt) — bit-identical (q-verified),
     * so a drifted index snaps back to the fresh-build contract. */
-  val RebuildTypes: Set[String] = Set("ivfflat", "ivfflat-sharded")
+  val RebuildTypes: Set[String] = Set("ivfflat", "ivfflat-sharded", "imi")
 
   def rebuild(spark: SparkSession, tpe: String, path: String,
               flags: Map[String, String]): Map[String, Long] = {
     require(RebuildTypes(tpe),
       s"index-rebuild supports --type=${RebuildTypes.toSeq.sorted.mkString("|")} " +
-        s"only (got '$tpe'); tiers with fitted sub-codebooks (ivfpq|" +
-        s"ivfpq-sharded|ivfpqr|ivfsq|imi) re-fit from the raw corpus — " +
+        s"only (got '$tpe'); tiers with fitted PQ/SQ sub-codebooks (ivfpq|" +
+        s"ivfpq-sharded|ivfpqr|ivfsq) re-fit from the raw corpus — " +
         s"run index-build")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     import graft.sinks.ArtifactStore
     val loadedGen = ArtifactStore.currentGen(spark, path)
     val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
+    if (tpe == "imi") {
+      // both half-codebooks retrain from the postings' exact scaled
+      // vector halves — the same drift repair, two-level
+      val idx = Clustering.loadImiIndex(spark, base)
+      val skew = Clustering.postingsOccupancySkew(idx.postings)
+      val minSkew = flags.get("min-skew").map(_.toDouble).getOrElse(0.0)
+      require(skew >= minSkew || flags.get("force").contains("true"),
+        f"index-rebuild --type=imi: occupancy skew $skew%.2f is below " +
+          f"--min-skew=$minSkew%.2f — the codebooks do not need a " +
+          f"retrain yet, or pass --force=true")
+      val kA = flags.get("half-centroids-a").map(_.toInt).getOrElse(idx.kA)
+      val kB = flags.get("half-centroids-b").map(_.toInt).getOrElse(idx.kB)
+      val rebuilt = Clustering.rebuildImiIndex(idx, kA, kB,
+        num("iters", Similarity.IvfCoarseIters))
+      val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
+      Clustering.saveImiIndex(rebuilt, staging)
+      ArtifactStore.commitGen(spark, path, staging, loadedGen)
+      return Map("skew_x100_before" -> (skew * 100).toLong,
+        "half_centroids_a" -> kA.toLong, "half_centroids_b" -> kB.toLong)
+    }
     // the sharded artifact rebuilds from the UNION of its shards'
     // postings (exact scaled vectors, same as the unsharded load) and
     // re-persists as a fresh sharded layout — drift accumulates on
@@ -1137,7 +1157,8 @@ object IndexTool {
     * `index-update` (did the delta land? how occupied are the cells?).
     * Read-only; every number is a bounded agg over the artifact (the
     * corpus-sized surfaces are counted, never collected). */
-  def describe(spark: SparkSession, tpe: String, path: String)
+  def describe(spark: SparkSession, tpe: String, path: String,
+               flags: Map[String, String] = Map.empty)
       : Map[String, Long] = {
     require(Types(tpe),
       s"unknown index type '$tpe' (expected ${Types.toSeq.sorted.mkString("|")})")
@@ -1339,8 +1360,46 @@ object IndexTool {
         "--type=hybrid is a serve-time composite with no artifact of its " +
           "own — describe the bm25 and ivfflat artifacts separately")
     })
-    counters.foreach { case (name, value) => println(s"$name: $value") }
-    counters.toMap
+    // PAIRED-ARTIFACT parity (`--pair=<path> --pair-type=<type>`): the
+    // hybrid serve (bm25 + dense) and the two-stage rerank (ivfpq +
+    // ivfflat) read TWO artifacts that update independently — an id
+    // present in one and not the other silently degrades fusion/rerank
+    // (the missing side just contributes nothing for that doc, which is
+    // indistinguishable from a genuine non-match). This check anti-joins
+    // the two per-id surfaces both ways: bounded count aggregates over
+    // column-pruned scans, nothing collected.
+    val pairCounters: Seq[(String, Long)] = flags.get("pair") match {
+      case None => Seq.empty
+      case Some(pairPath) =>
+        val pairTpe = flags.getOrElse("pair-type",
+          throw new IllegalArgumentException(
+            "--pair=<path> needs --pair-type=<type> naming the paired " +
+              "artifact's index type"))
+        def idsOf(t: String, p: String) = {
+          require(UpdateTypes(t) || RemoveTypes(t),
+            s"--pair parity needs an id-surfaced type (got '$t'; " +
+              s"supported: ${(UpdateTypes ++ RemoveTypes).toSeq.sorted
+                .mkString("|")})")
+          existingIds(spark, t,
+            graft.sinks.ArtifactStore.resolve(spark, p)).distinct()
+        }
+        val here = idsOf(tpe, path)
+        val there = idsOf(pairTpe, pairPath)
+        val onlyHere = here.join(there, Seq("id"), "left_anti").count()
+        val onlyThere = there.join(here, Seq("id"), "left_anti").count()
+        if (onlyHere + onlyThere > 0) println(
+          s"WARNING: paired artifacts out of sync — $onlyHere id(s) only " +
+            s"in $path, $onlyThere only in $pairPath. A hybrid/rerank " +
+            s"serve over this pair silently degrades for the one-sided " +
+            s"ids (the missing leg contributes nothing); fold the missing " +
+            s"delta into the lagging artifact (index-update) or remove " +
+            s"the orphaned ids")
+        Seq("pair_only_here" -> onlyHere, "pair_only_there" -> onlyThere,
+          "pair_in_sync" -> (if (onlyHere + onlyThere == 0) 1L else 0L))
+    }
+    val all = counters ++ pairCounters
+    all.foreach { case (name, value) => println(s"$name: $value") }
+    all.toMap
   }
 
   /** The index types with a STREAMING serve path (`index-serve ...

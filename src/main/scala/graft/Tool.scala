@@ -170,7 +170,7 @@ object Tool {
       if (verb == "index-describe") {
         // artifact introspection — the check an operator runs around an
         // index-update (did the delta land? how big are the surfaces?)
-        val counters = IndexTool.describe(spark, tpe, path)
+        val counters = IndexTool.describe(spark, tpe, path, flags)
         val now = System.currentTimeMillis()
         val result = JobResult(java.util.UUID.randomUUID().toString,
           flags.getOrElse("name", s"index-describe-$tpe"), start, now,
@@ -432,8 +432,11 @@ object Tool {
       |        artifact — right-to-be-forgotten; same pointer CAS, exact
       |        == rebuild/re-assign on the remaining corpus)
       |   | graft.Tool index-describe --type=<...> --path=<dir>
-      |       (artifact surfaces + sizes; run around an index-update)
-      |   | graft.Tool index-rebuild --type=ivfflat --path=<dir>
+      |       [--pair=<dir> --pair-type=<...>]
+      |       (artifact surfaces + sizes; run around an index-update.
+      |        --pair checks id-set parity against the second artifact a
+      |        hybrid/rerank serve reads — one-sided ids degrade silently)
+      |   | graft.Tool index-rebuild --type=<ivfflat|ivfflat-sharded> --path=<dir>
       |       [--centroids=N --iters=N --min-skew=R --force=true]
       |   | graft.Tool index-gc --path=<dir> [--all=true|false] [--grace-ms=N]
       |       (sweep non-live generations left by crashed writers;

@@ -1961,6 +1961,49 @@ object Clustering {
       .join(removedIds.select(col("n_id")).distinct(), Seq("n_id"),
         "left_anti"))
 
+  /** RETRAIN both half-codebooks from the index's OWN postings and
+    * re-assign — the IMI drift repair: both halves freeze on add (the
+    * Faiss train/add contract), so drifted ingestion concentrates in
+    * few composed cells exactly like the flat tier. Postings store the
+    * EXACT scaled vectors, and slice-then-scale == scale-then-slice
+    * (both elementwise), so training each half from the sliced `nv`
+    * through the preScaled Lloyd path is bit-identical to a fresh
+    * [[buildImiIndex]] over the same vectors with the same
+    * (kA, kB, iters) — rebuild == fresh build, the [[rebuildIvfFlatIndex]]
+    * contract on the two-level codebook. */
+  def rebuildImiIndex(idx: ImiIndex, kA: Int, kB: Int,
+                      iters: Int = Similarity.IvfCoarseIters): ImiIndex = {
+    import graft.functions.VectorFunctions.vnorm
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    require(idx.dim % 2 == 0, s"IMI dim must be even: ${idx.dim}")
+    require(kA.toLong * kB <= Similarity.MaxCentroids,
+      s"composed cell count $kA*$kB exceeds ${Similarity.MaxCentroids}")
+    val half = idx.dim / 2
+    val vs = OperatorCaches.register(idx.postings
+      .select(col("n_id"), col("nv"), col("nn")).persist())
+    // the two half retrains are independent Lloyd chains — overlap their
+    // driver barriers, each over its own lambda-isolated plan copy
+    val Seq(lanesA, lanesB) = concurrentFrames(Seq(vs, vs)) { (i, v) =>
+      val (start, k, salt) = if (i == 0) (0, kA, "imi-a") else (half, kB, "imi-b")
+      literalLanes(kmeansFit(
+        v.select(col("n_id"),
+          org.apache.spark.sql.functions.slice(col("nv"), start + 1, half)
+            .as("hv")),
+        "n_id", "hv", k, iters, salt, preScaled = true).lanes)
+    }
+    val centsA = Similarity.centroidSetFromLanes(lanesA)
+    val centsB = Similarity.centroidSetFromLanes(lanesB)
+    def cellOf(cents: graft.plans.IvfCentroids, start: Int) = {
+      val hv = org.apache.spark.sql.functions.slice(col("nv"), start + 1, half)
+      element_at(columnOf(graft.plans.NearestCentroids(
+        expressionOf(hv), expressionOf(vnorm(hv)), cents, 1)), 1)
+    }
+    ImiIndex(lanesA, lanesB,
+      vs.select(col("n_id"), col("nv"), col("nn"),
+        (cellOf(centsA, 0) * kB + cellOf(centsB, half)).as("c_id")),
+      kA, kB, idx.dim)
+  }
+
   /** The composed centroid set: every (cA, cB) pair present in the two
     * trained half-codebooks, concatenated into one full-dim centroid
     * with the exact composed norm √(|cA|² + |cB|²) — the probe-side

@@ -592,6 +592,51 @@ object TableQueries {
        |      UNION ALL SELECT * FROM a3)
        |ORDER BY phase, kbucket""".stripMargin
 
+  // ── q187: BUCKETED physical fold — the rewrite-unit fix for the
+  // table fold paths (applyChanges/majorCompact rewrite the whole table
+  // per fold; at 100 TB a fold whose delta touches few key ranges must
+  // not rewrite every range): entities route to xxhash64(entity_id)
+  // mod 16 bucket roots, each its own generational root under the
+  // all-or-nothing multi-root pointer commit; a fold rewrites ONLY the
+  // buckets its feed + changes route to (TableDmlSpec proves untouched
+  // buckets' files byte-identical). The merged read is unchanged, so
+  // the folded bucketed table must serve exactly what the unbucketed
+  // fold serves — the oracle replays the put chain over orders. ─────────
+  val q187_bucketed_table_fold: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val cells = orders.select(
+      $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+      lit("price").as("qualifier"), lit(0L).as("ts"),
+      $"o_totalprice".as("value"))
+    val table = new EntityTable(s, tmpTable("q187", d),
+      TableLayout("orders_bucketed", Seq(FamilySpec("ord"))))
+    table.bulkLoadBucketed(cells, numBuckets = 16, numPartitions = 32)
+    def put(filterMod: Long, ts: Long, factor: Int) =
+      orders.filter($"o_orderkey" % 10 === filterMod).select(
+        $"o_orderkey".as("entity_id"), lit("ord").as("family"),
+        lit("price").as("qualifier"), lit("put").as("op"), lit(ts).as("ts"),
+        ($"o_totalprice" * factor).as("value"))
+    table.appendChanges(put(3L, 1L, 2))
+    // the PHYSICAL fold: feed (mod-10=3 puts) + changes (mod-10=6 puts)
+    // rewrite only their routed buckets
+    table.applyChanges(put(6L, 2L, 4), numPartitions = 32)
+    table.mostRecentAsOf(Long.MaxValue)
+      .groupBy(($"entity_id" % 10).as("kbucket"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("price_sum"))
+      .orderBy($"kbucket")
+  }
+  val q187_sql: String =
+    s"""WITH m AS (
+       |  SELECT o_orderkey AS entity_id,
+       |    CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice * 4
+       |         WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS value
+       |  FROM orders)
+       |SELECT entity_id % 10 AS kbucket, count(*) AS n,
+       |  ${sqlSum("value")} AS price_sum
+       |FROM m GROUP BY 1 ORDER BY kbucket""".stripMargin
+
   // ── q119: snapshot diff — the data-ops scorecard between two corpus
   // versions (SnapshotDiff.diffSummary): every doc_id classified
   // added/removed/changed/unchanged by fingerprint across a full-outer
@@ -653,6 +698,7 @@ object TableQueries {
     "q133_read_asof" -> q133_read_asof,
     "q134_asof_compaction" -> q134_asof_compaction,
     "q119_snapshot_diff" -> q119_snapshot_diff,
+    "q187_bucketed_table_fold" -> q187_bucketed_table_fold,
   )
   val oracleSql: Map[String, String] = Map(
     "q32_bulk_roundtrip" -> q32_sql,
@@ -669,5 +715,7 @@ object TableQueries {
     "q133_read_asof" -> q133_sql,
     "q134_asof_compaction" -> q134_sql,
     "q119_snapshot_diff" -> q119_sql,
+    // the bucketed fold must serve exactly the unbucketed fold's view
+    "q187_bucketed_table_fold" -> q187_sql,
   )
 }

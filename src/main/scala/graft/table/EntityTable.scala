@@ -186,12 +186,192 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   /** Base cells only — the bulk-loaded / direct-appended files, change
     * feed NOT folded in. `lg` is the locality-group partition column of
     * grouped bulk loads — dropped so readers see the pure cell schema
-    * either way. */
+    * either way. A BUCKETED table (written by [[bulkLoadBucketed]] —
+    * the `_numbuckets` marker in the live root generation) holds no
+    * data in the root generation at all: its base is the union of the
+    * per-bucket generations named by the root generation's
+    * `_bucket_gens` manifest. */
   private def baseCells: DataFrame = baseCellsIn(dataDir)
 
-  private def baseCellsIn(dir: String): DataFrame = {
-    val df = spark.read.parquet(dir)
-    if (df.columns.contains("lg")) df.drop("lg") else df
+  private def baseCellsIn(dir: String): DataFrame =
+    numBucketsIn(dir) match {
+      case Some(n) =>
+        bucketBasesIn(dir, n).map(spark.read.parquet(_))
+          .reduce(_ unionByName _)
+      case None =>
+        val df = spark.read.parquet(dir)
+        if (df.columns.contains("lg")) df.drop("lg") else df
+    }
+
+  // ───────────────────── key-bucketed generations ──────────────────────
+  //
+  // The rewrite-unit fix for the PHYSICAL FOLD paths: [[applyChanges]]
+  // and [[majorCompact]] rewrite the whole table per fold — at 100 TB a
+  // fold whose delta touches few key ranges must not rewrite every
+  // range. A bucketed table routes each entity to `xxhash64(entity_id)
+  // mod B` (the HBase salted-region analog) and persists each bucket as
+  // its own generational root under `_buckets/<b>/`; a fold rewrites
+  // ONLY the buckets its feed + changes route to, committing the
+  // touched buckets and a fresh ROOT generation (markers, emptied feed,
+  // bucket manifest) in one all-or-nothing pointer transaction
+  // ([[graft.sinks.ArtifactStore.commitGenAll]]).
+  //
+  // TORN-READ SAFETY: the root generation's `_bucket_gens` manifest
+  // names the exact bucket generation each bucket was at when that root
+  // generation committed — readers plan against the MANIFEST's
+  // directories, never the live bucket pointers, so a fold flipping
+  // pointers mid-plan cannot pair an old root (feed still pending) with
+  // a new bucket (feed already folded): the (root gen → bucket gens)
+  // pairing is consistent by construction, and bucket retention
+  // (live + displaced, one deep) matches root retention exactly.
+  //
+  // Within a bucket, files stay entity-RANGE partitioned and sorted
+  // (the bulk-load order), so parquet min/max pruning still bounds
+  // point reads to one bucket × its range file.
+
+  private def bucketOf(n: Int): Column =
+    pmod(xxhash64(col("entity_id")), lit(n.toLong)).cast("int")
+
+  private def numBucketsIn(dir: String): Option[Int] = {
+    val v = readMarkerIn(dir, "_numbuckets")
+    if (v == Long.MinValue) None else Some(v.toInt)
+  }
+
+  /** The per-bucket data directories a reader of root generation `dir`
+    * should plan against: the manifest's named generations (see the
+    * torn-read note above); pointer-resolution fallback only for a
+    * manifest-less bucket (unreachable for tables written by
+    * [[bulkLoadBucketed]], kept for forward compatibility). */
+  private def bucketBasesIn(dir: String, n: Int): Seq[String] = {
+    val manifest: Map[Int, String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_bucket_gens")
+      if (!hadoopFs.exists(p)) Map.empty
+      else {
+        val in = hadoopFs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+        s.split("\n").filter(_.nonEmpty).map { line =>
+          val Array(b, g) = line.split("\t", 2)
+          b.toInt -> g
+        }.toMap
+      }
+    }
+    (0 until n).map { b =>
+      manifest.get(b).map(g => s"$path/_buckets/$b/$g").getOrElse(
+        graft.sinks.ArtifactStore.resolve(spark, s"$path/_buckets/$b"))
+    }
+  }
+
+  /** Bulk-load into the BUCKETED layout (opt-in; see the design note
+    * above): replaces the table wholesale, every bucket written (empty
+    * buckets persisted explicitly so the grid is complete). Later
+    * [[applyChanges]]/[[majorCompact]] calls detect the layout and
+    * rewrite only the buckets their delta routes to. Composes with the
+    * single default locality group only (group-split file sets inside
+    * bucket roots is a layout product this deployment does not need —
+    * loud refusal). Converting BACK with a plain [[bulkLoad]] replaces
+    * the table wholesale and drops the bucket roots with the legacy
+    * sweep — run that conversion reader-exclusive. */
+  def bulkLoadBucketed(newCells: DataFrame, numBuckets: Int,
+                       numPartitions: Int = 32): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val grouped = layout.localityGroups.size > 1 ||
+      layout.families.exists(f => f.localityGroup != "default" ||
+        f.compression != "snappy" || f.inMemory)
+    require(!grouped,
+      s"bulkLoadBucketed: table '${layout.name}' declares locality " +
+        s"groups / storage knobs — bucket roots and group-split file " +
+        s"sets do not compose; use bulkLoad for grouped layouts")
+    // shrinking the grid would leave stale bucket roots readers never
+    // open but nothing sweeps — refuse rather than leak
+    val bRoot = new org.apache.hadoop.fs.Path(s"$path/_buckets")
+    if (hadoopFs.exists(bRoot)) {
+      val stale = hadoopFs.listStatus(bRoot).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toInt).toOption)
+        .filter(_ >= numBuckets)
+      require(stale.isEmpty,
+        s"bulkLoadBucketed: the table already has bucket roots " +
+          s"${stale.sorted.mkString(", ")} at or above --num-buckets=" +
+          s"$numBuckets — shrinking the grid would orphan them; reload " +
+          s"with the original count or clear the table first")
+    }
+    foldBuckets(guardLayout(newCells, allowNullScope = false),
+      0 until numBuckets, numBuckets, numPartitions, Map.empty)
+  }
+
+  /** The staged write + atomic multi-root commit shared by
+    * [[bulkLoadBucketed]] and the bucketed fold paths: ONE
+    * `partitionBy(bucket)` corpus/delta scan (range-partitioned and
+    * sorted within buckets — the bulk-load order), per-bucket renames
+    * into fresh generations, a fresh ROOT generation carrying the
+    * markers + `_numbuckets` + the `_bucket_gens` manifest (touched
+    * buckets at their NEW generations, untouched at their current
+    * ones), then ONE all-or-nothing pointer commit across the root and
+    * every touched bucket. */
+  private def foldBuckets(newCells: DataFrame, touched: Seq[Int],
+                          numBuckets: Int, numPartitions: Int,
+                          extraFiles: Map[String, String]): Unit = {
+    import graft.sinks.ArtifactStore
+    val rootPin = ArtifactStore.pinGen(spark, path)
+    val pins = touched.map(b =>
+      b -> ArtifactStore.pinGen(spark, s"$path/_buckets/$b")).toMap
+    val staging =
+      s"$path/__buckets_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+    val sortCols = Seq(col("bucket"), col("entity_id"), col("family"),
+      col("qualifier"), col("ts").desc)
+    try {
+      newCells.withColumn("bucket", bucketOf(numBuckets))
+        .repartitionByRange(numPartitions, col("bucket"), col("entity_id"))
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      val commits =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Option[String])]
+      val newGenName = scala.collection.mutable.Map.empty[Int, String]
+      touched.foreach { b =>
+        val (root, loaded, _) = pins(b)
+        val gen = ArtifactStore.newGenDir(spark, root, loaded)
+        val src = new org.apache.hadoop.fs.Path(s"$staging/bucket=$b")
+        if (hadoopFs.exists(src)) {
+          hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(root))
+          require(hadoopFs.rename(src, new org.apache.hadoop.fs.Path(gen)),
+            s"bucketed fold: cannot stage $src as generation $gen")
+        } else // the fold emptied (or never filled) this bucket
+          newCells.limit(0)
+            .coalesce(1).write.mode("overwrite").parquet(gen)
+        newGenName(b) = new org.apache.hadoop.fs.Path(gen).getName
+        commits += ((root, gen, loaded))
+      }
+      // untouched buckets ride the manifest at their CURRENT generations
+      // (stable: folds serialize on the root claim, appends never touch
+      // bucket roots)
+      val manifest = (0 until numBuckets).map { b =>
+        val g = newGenName.getOrElse(b,
+          ArtifactStore.currentGen(spark, s"$path/_buckets/$b").getOrElse(
+            throw new IllegalStateException(
+              s"bucketed fold: bucket $b has no live generation and was " +
+                s"not rewritten — the bucket grid is incomplete " +
+                s"(crashed bulkLoadBucketed?); re-run the full load")))
+        s"$b\t$g"
+      }.mkString("\n")
+      val rootGen = ArtifactStore.newGenDir(spark, path, rootPin._2)
+      hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(rootGen))
+      BulkSink.writeExtraFiles(spark, rootGen, extraFiles ++ Map(
+        "_numbuckets" -> numBuckets.toString, "_bucket_gens" -> manifest))
+      commits += ((path, rootGen, rootPin._2))
+      ArtifactStore.commitGenAll(spark, path, commits.toSeq)
+    } finally {
+      hadoopFs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      ()
+    }
+    // legacy flat-root residue is swept two commits deep, exactly like
+    // BulkSink.sweepLegacyRoot — but keeping the bucket roots
+    if (rootPin._2.isDefined)
+      hadoopFs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { s =>
+        val nm = s.getPath.getName
+        val keep = nm.startsWith("gen_") || nm.startsWith("_gen_") ||
+          nm == "_buckets"
+        if (!keep) hadoopFs.delete(s.getPath, true)
+      }
   }
 
   /** The live cell set: base files with the pending change feed folded in
@@ -384,7 +564,11 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       s"no locality group '$group' in table ${layout.name}")
     val fams = layout.localityGroups(group).map(_.name)
     val dir = dataDir // one resolution for base + feed (torn-read guard)
-    val raw = spark.read.parquet(dir)
+    // bucketed tables are single-group by construction (bulkLoadBucketed
+    // refuses grouped layouts) — their "group" read is the family filter
+    // over the bucket union
+    val raw = if (numBucketsIn(dir).isDefined) baseCellsIn(dir)
+      else spark.read.parquet(dir)
     val base =
       if (raw.columns.contains("lg")) raw.filter(col("lg") === group).drop("lg")
       else raw.filter(col("family").isin(fams: _*))
@@ -791,7 +975,36 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
        else Map.empty[String, String]) ++
       (if (wa > Long.MinValue) Map("_asof_arrival_watermark" -> wa.toString)
        else Map.empty[String, String])
-    bulkLoadWith(Dml.applyChanges(cells, changes), numPartitions, 0L, markers)
+    val dir = dataDir
+    numBucketsIn(dir) match {
+      case Some(n) =>
+        // BUCKETED fold: only the buckets the feed + changes route to
+        // are read or rewritten (every feed/changes row carries an
+        // entity_id, so the touched set is exact); the rest of the
+        // grid's generations provably hold. Touched-bucket count is
+        // bounded by n — a driver collect of at most n ints.
+        val feedIds =
+          if (hasPendingChangesIn(dir))
+            pendingChangesIn(dir).select(col("entity_id"))
+          else changes.limit(0).select(col("entity_id"))
+        val touched = feedIds.unionByName(changes.select(col("entity_id")))
+          .select(bucketOf(n).as("bucket")).distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+        if (touched.isEmpty) return // nothing to fold anywhere
+        val base = bucketBasesIn(dir, n).zipWithIndex
+          .collect { case (p, b) if touched.contains(b) =>
+            spark.read.parquet(p) }
+          .reduce(_ unionByName _)
+        val merged =
+          if (hasPendingChangesIn(dir))
+            Dml.applyChanges(base, pendingChangesIn(dir))
+          else base
+        foldBuckets(guardLayout(Dml.applyChanges(merged, changes),
+          allowNullScope = false), touched, n, numPartitions, markers)
+      case None =>
+        bulkLoadWith(Dml.applyChanges(cells, changes), numPartitions, 0L,
+          markers)
+    }
   }
 
   /** MAJOR compaction: physically drop cells beyond each family's
@@ -843,7 +1056,16 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
        else Map.empty[String, String]) ++
       (if (wa > Long.MinValue) Map("_asof_arrival_watermark" -> wa.toString)
        else Map.empty[String, String])
-    bulkLoadWith(survivors, numPartitions, 0L, markers)
+    numBucketsIn(dataDir) match {
+      case Some(n) =>
+        // retention (TTL/max_versions) touches every key range by
+        // definition, so a bucketed major compaction rewrites the whole
+        // grid — but still as per-bucket generations under one atomic
+        // multi-root commit, preserving the layout for later
+        // touched-only applyChanges folds
+        foldBuckets(survivors, 0 until n, n, numPartitions, markers)
+      case None => bulkLoadWith(survivors, numPartitions, 0L, markers)
+    }
   }
 
   /** Retention-aware filter: family TTL relative to `asOfMicros`

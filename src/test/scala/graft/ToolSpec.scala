@@ -2192,6 +2192,31 @@ class ToolSpec extends SparkSpec {
         s"--input=format=parquet file=$base/queries",
         s"--output=format=parquet file=$base/y")))
     assert(m.getMessage.contains("--dense-path"), m.getMessage)
+    // PAIRED-ARTIFACT parity: the two hybrid legs hold the same id set
+    // now, and describe --pair confirms it; after a ONE-SIDED update
+    // (a doc indexed lexically but never embedded) the parity check
+    // detects the drift a fused serve would otherwise degrade on
+    // silently
+    val inSync = Tool.run(spark, Array("index-describe", "--type=bm25",
+      s"--path=$base/bm25", s"--pair=$base/ivf", "--pair-type=ivfflat"))
+    assert(inSync.counters("pair_in_sync") == 1L &&
+      inSync.counters("pair_only_here") == 0L &&
+      inSync.counters("pair_only_there") == 0L, inSync.counters.toString)
+    Seq((8L, "fresh crawl document text"))
+      .toDF("doc_id", "text").write.parquet(s"$base/lexdelta")
+    assert(Tool.run(spark, Array("index-update", "--type=bm25",
+      s"--path=$base/bm25", s"--input=format=parquet file=$base/lexdelta"))
+      .status == "SUCCEEDED")
+    val drifted = Tool.run(spark, Array("index-describe", "--type=bm25",
+      s"--path=$base/bm25", s"--pair=$base/ivf", "--pair-type=ivfflat"))
+    assert(drifted.counters("pair_in_sync") == 0L &&
+      drifted.counters("pair_only_here") == 1L &&
+      drifted.counters("pair_only_there") == 0L, drifted.counters.toString)
+    // --pair without --pair-type refuses loudly
+    val noPt = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-describe", "--type=bm25", s"--path=$base/bm25",
+        s"--pair=$base/ivf")))
+    assert(noPt.getMessage.contains("--pair-type"), noPt.getMessage)
   }
 
   test("CLI index-rebuild: describe-driven drift repair — refuses below --min-skew, retrains + CAS-swaps above it") {

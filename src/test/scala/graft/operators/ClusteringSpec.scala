@@ -967,6 +967,38 @@ class ClusteringSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("rebuildImiIndex: two-level drift repair == fresh build on the union, bit-for-bit") {
+    // drifted shape: build on a slice, add the rest under the frozen
+    // half-codebooks, then retrain FROM THE POSTINGS — must equal a
+    // fresh build over all vectors with the same (kA, kB, iters)
+    val slice = blobs.filter($"vec_id" % 10 =!= 0)
+    val delta = blobs.filter($"vec_id" % 10 === 0)
+    val stale = Clustering.updateImiIndex(
+      Clustering.buildImiIndex(slice, "vec_id", "embedding", dim = 4,
+        kA = 2, kB = 2),
+      delta, "vec_id", "embedding")
+    val rebuilt = Clustering.rebuildImiIndex(stale, kA = 2, kB = 2)
+    val fresh = Clustering.buildImiIndex(blobs, "vec_id", "embedding",
+      dim = 4, kA = 2, kB = 2)
+    def lanes(df: org.apache.spark.sql.DataFrame) =
+      df.select("cluster", "pos", "cval", "n").collect().map(_.toSeq).toSet
+    assert(lanes(rebuilt.lanesA) == lanes(fresh.lanesA),
+      "retrained half-A codebook != fresh build's")
+    assert(lanes(rebuilt.lanesB) == lanes(fresh.lanesB),
+      "retrained half-B codebook != fresh build's")
+    def posts(i: Clustering.ImiIndex) = i.postings
+      .select("n_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(posts(rebuilt) == posts(fresh),
+      "re-assigned postings != fresh build's")
+    // and the served search over the rebuilt index equals the fresh one
+    def serveOf(i: Clustering.ImiIndex) =
+      Clustering.serveImi(i, blobs, "vec_id", "embedding",
+        maxQueryId = 6L, nprobe = 2, k = 3)
+        .orderBy($"q_id", $"rank").collect().toSeq
+    assert(serveOf(rebuilt) == serveOf(fresh))
+  }
+
   test("SqIndex roundtrip: codes bounded; top-1 stays in-blob; update == union encode; remove == survivor encode") {
     val path = tmpDir("sq_rt")
     Clustering.saveSqIndex(

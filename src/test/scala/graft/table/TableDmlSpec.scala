@@ -847,4 +847,104 @@ class TableDmlSpec extends SparkSpec {
     // B's fold is live and intact
     assert(keys(table.cells) == keys(cells))
   }
+
+  test("bucketed table: a fold rewrites ONLY the routed buckets (untouched files byte-identical); reads == the unbucketed table") {
+    import graft.sinks.ArtifactStore
+    val base = Seq.tabulate(40) { i =>
+      (i.toLong, "f", "v", 0L, s"base$i")
+    }.toDF("entity_id", "family", "qualifier", "ts", "value")
+    val layout = TableLayout("bkt", Seq(FamilySpec("f")))
+    val bDir = tmpDir("bucketed") + "/t"
+    val uDir = tmpDir("unbucketed") + "/t"
+    val bucketed = new EntityTable(spark, bDir, layout)
+    val plain = new EntityTable(spark, uDir, layout)
+    val B = 8
+    bucketed.bulkLoadBucketed(base, numBuckets = B, numPartitions = 4)
+    plain.bulkLoad(base, numPartitions = 4)
+    def rows(t: EntityTable) = t.cells
+      .select("entity_id", "family", "qualifier", "ts", "value").collect()
+      .map(_.toSeq).toSet
+    assert(rows(bucketed) == rows(plain), "bucketed read != plain read")
+    // DML: one put + one row tombstone, both routed to a FEW buckets
+    val changes = Seq(
+      (3L, "f", "v", "put", 5L, "upd3"),
+      (7L, null.asInstanceOf[String], null.asInstanceOf[String],
+        "delete_row", 5L, null.asInstanceOf[String]))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value")
+    bucketed.appendChanges(changes)
+    plain.appendChanges(changes)
+    assert(rows(bucketed) == rows(plain), "merged-feed reads must agree")
+    // record every bucket's generation AND its file listing before the fold
+    def genOf(b: Int) = ArtifactStore.currentGen(spark, s"$bDir/_buckets/$b")
+    def filesOf(b: Int): Set[(String, Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(bDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(
+        ArtifactStore.resolve(spark, s"$bDir/_buckets/$b"))
+      fs.listStatus(dir).map(s => (s.getPath.getName, s.getLen,
+        s.getModificationTime)).toSet
+    }
+    val gensBefore = (0 until B).map(genOf)
+    val filesBefore = (0 until B).map(filesOf)
+    // the physical fold (applyChanges with a second delta batch)
+    val changes2 = Seq((11L, "f", "v", "put", 6L, "upd11"))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value")
+    // touched buckets = routes of feed ids (3, 7) + fold ids (11)
+    val expectTouched = Seq(3L, 7L, 11L).map(i =>
+      Seq((i, "x")).toDF("entity_id", "x")
+        .select(pmod(xxhash64($"entity_id"), lit(B.toLong)).cast("int"))
+        .head().getInt(0)).distinct.sorted
+    assert(expectTouched.size < B, "fixture must leave untouched buckets")
+    bucketed.applyChanges(changes2, numPartitions = 4)
+    plain.applyChanges(changes2, numPartitions = 4)
+    assert(rows(bucketed) == rows(plain), "post-fold reads must agree")
+    assert(!bucketed.hasPendingChanges, "fold must clear the feed")
+    (0 until B).foreach { b =>
+      if (expectTouched.contains(b))
+        assert(genOf(b) != gensBefore(b), s"bucket $b must advance")
+      else {
+        assert(genOf(b) == gensBefore(b), s"bucket $b generation must hold")
+        assert(filesOf(b) == filesBefore(b),
+          s"bucket $b files must be byte-identical (name/len/mtime)")
+      }
+    }
+    // as-of below the fold's watermark refuses, exactly like the
+    // unbucketed fold (the history-barrier markers ride the root gen)
+    val e = intercept[IllegalArgumentException](
+      bucketed.cellsAsOf(1L).collect())
+    assert(e.getMessage.contains("watermark"), e.getMessage)
+    // live as-of == live
+    assert(bucketed.cellsAsOf(Long.MaxValue)
+      .select("entity_id", "family", "qualifier", "ts", "value").collect()
+      .map(_.toSeq).toSet == rows(plain))
+    // a second fold with an empty feed and a delta to ONE entity touches
+    // exactly one bucket
+    val gens2 = (0 until B).map(genOf)
+    val oneTouch = Seq((11L, "f", "v", "put", 7L, "upd11b"))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value")
+    val b11 = Seq((11L, "x")).toDF("entity_id", "x")
+      .select(pmod(xxhash64($"entity_id"), lit(B.toLong)).cast("int"))
+      .head().getInt(0)
+    bucketed.applyChanges(oneTouch, numPartitions = 4)
+    (0 until B).foreach { b =>
+      if (b == b11) assert(genOf(b) != gens2(b))
+      else assert(genOf(b) == gens2(b), s"bucket $b must hold on fold 2")
+    }
+    // majorCompact keeps the bucketed layout and the reads
+    plain.applyChanges(oneTouch, numPartitions = 4)
+    bucketed.majorCompact(numPartitions = 4)
+    assert(rows(bucketed) == rows(plain), "post-majorCompact reads must agree")
+    // bucketed refusals: grouped layouts, and shrinking the grid
+    val groupedLayout = TableLayout("g", Seq(
+      FamilySpec("f", localityGroup = "hot"),
+      FamilySpec("g", localityGroup = "cold", compression = "gzip")))
+    val gTable = new EntityTable(spark, tmpDir("bktg") + "/t", groupedLayout)
+    val ge = intercept[IllegalArgumentException](
+      gTable.bulkLoadBucketed(base, numBuckets = 4))
+    assert(ge.getMessage.contains("locality"), ge.getMessage)
+    val se = intercept[IllegalArgumentException](
+      bucketed.bulkLoadBucketed(base, numBuckets = 2))
+    assert(se.getMessage.contains("shrinking") ||
+      se.getMessage.contains("bucket roots"), se.getMessage)
+  }
 }
