@@ -2684,13 +2684,21 @@ object Clustering {
     import org.apache.spark.sql.types.LongType
     val bases = (0 until shardedNumShards(spark, path)).map(sh =>
       graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+    // cells stay one branch PER SHARD: each keeps its own c_id partition
+    // discovery + probed-cell pruning (multi-root partition discovery
+    // needs a common basePath the per-shard generations don't have).
     val cells = bases.map { base =>
       val raw = spark.read.parquet(s"$base/cells")
       raw.select(col("n_id") +: cellsAttrCols(raw).map(col) :+
         col("c_id").cast(LongType).as("c_id"): _*)
     }.reduce(_ unionByName _)
-    val codes = bases.map(base => spark.read.parquet(s"$base/codes")
-      .select(col("n_id"), col("s"), col("code"))).reduce(_ unionByName _)
+    // codes carry no partition columns — ONE multi-path scan over all
+    // shard directories instead of an S-way union of single scans (the
+    // union's per-branch listing/planning overhead grows with S × the
+    // cell grid and showed up directly in the x50 serve row)
+    val codes = spark.read
+      .parquet(bases.map(b => s"$b/codes"): _*)
+      .select(col("n_id"), col("s"), col("code"))
     IvfPqIndex(spark.read.parquet(s"$path/coarse"), cells, codes,
       spark.read.parquet(s"$path/pqlanes"))
   }

@@ -191,8 +191,11 @@ object Retrieval {
         ArtifactStore.pinGen(spark, s"$path/stats"))))
   }
 
-  /** Load the sharded artifact as a regular [[Bm25Index]]: per-shard
-    * live generations unioned per surface. */
+  /** Load the sharded artifact as a regular [[Bm25Index]]: every
+    * surface is partition-column-free, so each loads as ONE multi-path
+    * scan over its per-shard live generations (never an S-way union of
+    * single scans — the union's per-branch planning overhead is the
+    * cost sharding must not add at serve time). */
   def loadBm25Sharded(spark: SparkSession, path: String): Bm25Index = {
     import graft.sinks.ArtifactStore
     val n = shardedNumShards(spark, path)
@@ -201,13 +204,12 @@ object Retrieval {
     val dBases = (0 until n).map(sh =>
       ArtifactStore.resolve(spark, s"$path/docshards/$sh"))
     Bm25Index(
-      tBases.map(b => spark.read.parquet(s"$b/postings")
-        .select(col("term"), col("doc_id"), col("tf")))
-        .reduce(_ unionByName _),
-      dBases.map(b => spark.read.parquet(s"$b/doclen")
-        .select(col("doc_id"), col("dl"))).reduce(_ unionByName _),
-      tBases.map(b => spark.read.parquet(s"$b/docfreq")
-        .select(col("term"), col("df"))).reduce(_ unionByName _),
+      spark.read.parquet(tBases.map(b => s"$b/postings"): _*)
+        .select(col("term"), col("doc_id"), col("tf")),
+      spark.read.parquet(dBases.map(b => s"$b/doclen"): _*)
+        .select(col("doc_id"), col("dl")),
+      spark.read.parquet(tBases.map(b => s"$b/docfreq"): _*)
+        .select(col("term"), col("df")),
       spark.read.parquet(ArtifactStore.resolve(spark, s"$path/stats")))
   }
 
