@@ -793,6 +793,37 @@ object IndexTool {
     }
   }
 
+  /** Layout-sniffed ivfflat load: a SHARDED root carries `meta` +
+    * `shards/` beside the shared `lanes`; anything else loads flat.
+    * Used wherever a flag names "an ivfflat artifact" without a type
+    * of its own (`--rerank-from`, the hybrid `--dense-path`) so those
+    * composites work against either layout — at 100 TB the raw-vector
+    * rerank source IS the sharded artifact. */
+  private def loadFlatAuto(spark: SparkSession, path: String)
+      : Clustering.IvfFlatIndex = {
+    val base = graft.sinks.ArtifactStore.resolve(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/shards")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$base/meta")))
+      Clustering.loadIvfFlatSharded(spark, base)
+    else Clustering.loadIvfFlatIndex(spark, path)
+  }
+
+  /** [[loadFlatAuto]] for the compressed tier (`--dense-path` with
+    * `--dense-type=ivfpq`): a sharded root carries `meta` + `shards/`
+    * beside the shared `coarse`/`pqlanes`. */
+  private def loadPqAuto(spark: SparkSession, path: String)
+      : Clustering.IvfPqIndex = {
+    val base = graft.sinks.ArtifactStore.resolve(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/shards")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$base/meta")))
+      Clustering.loadIvfPqSharded(spark, base)
+    else Clustering.loadIvfPqIndex(spark, path)
+  }
+
   /** The compressed-tier (ADC) serve dispatch shared by the `ivfpq` and
     * `ivfpq-sharded` verbs: plain pruned-cell ADC, optionally
     * pre-filtered on a cells-surface attribute
@@ -822,7 +853,7 @@ object IndexTool {
     flags.get("rerank-from") match {
       case Some(flatPath) =>
         Clustering.serveIvfPqRerank(idx,
-          Clustering.loadIvfFlatIndex(spark, flatPath).postings,
+          loadFlatAuto(spark, flatPath).postings,
           emb, "vec_id", "embedding", num("dim", 64), num("m", 8),
           num("max-query-id", 20).toLong, num("nprobe", 2),
           num("rerank-pool", 6), num("topk", 3))
@@ -876,7 +907,7 @@ object IndexTool {
     val denseLeg: DataFrame => DataFrame =
       flags.getOrElse("dense-type", "ivfflat") match {
         case "ivfflat" =>
-          val flatIdx = Clustering.loadIvfFlatIndex(spark, densePath)
+          val flatIdx = loadFlatAuto(spark, densePath)
           val pred = flags.get("filter-col").map { c =>
             require(flatIdx.postings.columns.contains(c),
               s"--filter-col=$c: the dense postings carry no '$c' " +
@@ -895,7 +926,7 @@ object IndexTool {
               "vec_id", "embedding", maxQ, num("nprobe", 2), pool)
           }
         case "ivfpq" =>
-          val pqIdx0 = Clustering.loadIvfPqIndex(spark, densePath)
+          val pqIdx0 = loadPqAuto(spark, densePath)
           val pqIdx = flags.get("filter-col") match {
             case Some(c) =>
               require(pqIdx0.cells.columns.contains(c),
@@ -915,8 +946,7 @@ object IndexTool {
               "--dense-type=ivfpq needs --rerank-from=<ivfflat artifact> " +
                 "supplying raw vectors for the exact rerank of the ADC " +
                 "shortlist (build both tiers from one coarse fit)"))
-          val postings = Clustering.loadIvfFlatIndex(spark,
-            rerankFrom).postings
+          val postings = loadFlatAuto(spark, rerankFrom).postings
           qemb => Clustering.serveIvfPqRerank(pqIdx, postings, qemb,
             "vec_id", "embedding", num("dim", 64), num("m", 8), maxQ,
             num("nprobe", 2), num("rerank-pool", pool), pool)
@@ -1048,7 +1078,7 @@ object IndexTool {
           case Some(flatPath) =>
             Clustering.serveIvfPqrRerank(
                 Clustering.loadIvfPqrIndex(spark, path),
-                Clustering.loadIvfFlatIndex(spark, flatPath).postings,
+                loadFlatAuto(spark, flatPath).postings,
                 embOf(input, flags), "vec_id", "embedding",
                 num("dim", 64), num("m", 8),
                 num("max-query-id", 20).toLong, num("nprobe", 2),
@@ -1581,7 +1611,7 @@ object IndexTool {
       case "ivfpqr" =>
         val idx = Clustering.loadIvfPqrIndex(spark, path)
         val rerankPostings = flags.get("rerank-from")
-          .map(p => Clustering.loadIvfFlatIndex(spark, p).postings)
+          .map(p => loadFlatAuto(spark, p).postings)
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(rerankPostings match {

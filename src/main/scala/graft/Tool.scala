@@ -149,13 +149,45 @@ object Tool {
       }.getOrElse(false)
       val grace = flags.get("grace-ms").map(_.toLong)
         .getOrElse(graft.sinks.ArtifactStore.StagingGraceMs)
-      val swept = graft.sinks.ArtifactStore.sweep(spark, path,
+      val sweptRoot = graft.sinks.ArtifactStore.sweep(spark, path,
         keepDisplaced = !all, stagingGraceMs = grace)
+      // multi-root layouts keep ONE generational root per shard/bucket
+      // (sharded index artifacts: shards/ + docshards/ + stats under
+      // the live root generation; bucketed tables: _buckets/ at the
+      // table root) — a crashed sharded update's orphans live THERE,
+      // so the sweep recurses over every child root under the same
+      // policy (each child sweep runs under its own claim)
+      val base = graft.sinks.ArtifactStore.resolve(spark, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def childrenOf(p: String): Seq[String] = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (!fs.exists(hp)) Seq.empty
+        else fs.listStatus(hp).filter(_.isDirectory)
+          .map(_.getPath.toString).toSeq.sorted
+      }
+      val childRoots =
+        Seq(s"$base/shards", s"$base/docshards", s"$path/_buckets")
+          .flatMap(childrenOf) ++
+        (if (fs.exists(new org.apache.hadoop.fs.Path(
+            s"$base/stats/${graft.sinks.ArtifactStore.PointerFile}")))
+          Seq(s"$base/stats") else Seq.empty)
+      val sweptChildren = childRoots.flatMap { r =>
+        // display-relative: "<family>/<child>/<gen>" (listStatus returns
+        // scheme-qualified paths, so a plain prefix strip misses)
+        val hp = new org.apache.hadoop.fs.Path(r)
+        val rel = s"${hp.getParent.getName}/${hp.getName}"
+        graft.sinks.ArtifactStore.sweep(spark, r,
+            keepDisplaced = !all, stagingGraceMs = grace)
+          .map(g => s"$rel/$g")
+      }
+      val swept = sweptRoot ++ sweptChildren
       swept.foreach(g => println(s"swept: $g"))
       val now = System.currentTimeMillis()
       val result = JobResult(java.util.UUID.randomUUID().toString,
         flags.getOrElse("name", "index-gc"), start, now, "SUCCEEDED",
-        Map("swept_generations" -> swept.length.toLong), None)
+        Map("swept_generations" -> swept.length.toLong,
+          "swept_child_roots" -> sweptChildren.length.toLong), None)
       flags.get("history").foreach(p => new JobHistory(spark, p)
         .record(result, Map("path" -> path)))
       return result
@@ -440,7 +472,10 @@ object Tool {
       |       [--centroids=N --iters=N --min-skew=R --force=true]
       |   | graft.Tool index-gc --path=<dir> [--all=true|false] [--grace-ms=N]
       |       (sweep non-live generations left by crashed writers;
-      |        keeps the retained displaced generation unless --all)
+      |        keeps the retained displaced generation unless --all;
+      |        recurses over shard/bucket roots — shards/, docshards/,
+      |        stats, _buckets/ — so a crashed SHARDED update's orphans
+      |        are reachable too)
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]

@@ -1967,6 +1967,111 @@ class ToolSpec extends SparkSpec {
     assert(d2.counters("docs") == 6L, d2.counters.toString)
   }
 
+  test("CLI index-gc recurses over shard/bucket roots: a crashed sharded update's orphan generation is swept") {
+    import spark.implicits._
+    val base = tmpDir("idxgcsharded")
+    val emb = (0 until 12).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + i * 0.01f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    emb.write.parquet(s"$base/emb")
+    val sharded = s"$base/sharded"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/emb",
+      "--centroids=2", "--shards=4")).status == "SUCCEEDED")
+    // simulate a CRASHED sharded update: a staged generation lands in
+    // shard 1's root but no pointer ever flips
+    val shardRoot = s"${graft.sinks.ArtifactStore.resolve(spark, sharded)}/shards/1"
+    val loaded = graft.sinks.ArtifactStore.currentGen(spark, shardRoot)
+    val orphan = graft.sinks.ArtifactStore.newGenDir(spark, shardRoot, loaded)
+    Seq((1L, "x")).toDF("a", "b").write.parquet(orphan)
+    val orphanName = new org.apache.hadoop.fs.Path(orphan).getName
+    // the root itself has nothing to sweep; the recursion reaches the
+    // shard root (grace-ms=0: the orphan is above-live and fresh, which
+    // the default staging grace would deliberately spare)
+    val r = Tool.run(spark, Array("index-gc", s"--path=$sharded",
+      "--grace-ms=0"))
+    assert(r.counters("swept_child_roots") == 1L, r.counters.toString)
+    assert(graft.sinks.ArtifactStore.currentGen(spark, shardRoot) == loaded,
+      "the live shard generation must hold")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(orphan)),
+      s"orphan $orphanName must be swept")
+    // the artifact still serves
+    assert(Tool.run(spark, Array("index-serve", "--type=ivfflat-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/emb",
+      s"--output=format=parquet file=$base/out",
+      "--max-query-id=4", "--nprobe=1", "--topk=3")).status == "SUCCEEDED")
+    assert(spark.read.parquet(s"$base/out").count() > 0)
+  }
+
+  test("CLI composites accept SHARDED artifacts: --rerank-from and the hybrid dense legs layout-sniff the sharded roots") {
+    import spark.implicits._
+    val base = tmpDir("idxshcomposite")
+    val docs = Seq(
+      (0L, "spark join hash table scan"), (1L, "row batch filter merge"),
+      (2L, "spark join hash data"), (3L, "slow order vector line"),
+      (4L, "group part sort query"), (5L, "key value stream window"),
+      (6L, "spark join hash probe"), (7L, "row batch filter plan"))
+      .toDF("doc_id", "text")
+    val emb = (0L until 8L).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v((i % 2).toInt) = 10f + i * 0.01f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    docs.write.parquet(s"$base/docs")
+    emb.write.parquet(s"$base/emb")
+    docs.filter($"doc_id" < 2).join(
+        emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .write.parquet(s"$base/queries")
+    for ((tpe, p, knobs) <- Seq(
+        ("bm25", "bm25", Array.empty[String]),
+        ("ivfflat", "flat", Array("--centroids=2")),
+        ("ivfflat-sharded", "flatsh", Array("--centroids=2", "--shards=4")),
+        ("ivfpq", "pq", Array("--dim=4", "--m=2", "--k=2", "--centroids=2")),
+        ("ivfpq-sharded", "pqsh",
+          Array("--dim=4", "--m=2", "--k=2", "--centroids=2", "--shards=4"))))
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$base/$p",
+        s"--input=format=parquet file=$base/${if (tpe == "bm25") "docs" else "emb"}")
+        ++ knobs).status == "SUCCEEDED", tpe)
+    def serve(tag: String, in: String, extra: String*): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve",
+        s"--input=format=parquet file=$base/$in",
+        s"--output=format=parquet file=$out") ++ extra)
+        .status == "SUCCEEDED", tag)
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.toSeq).toSeq
+    }
+    // --rerank-from pointing at the SHARDED flat artifact == unsharded
+    val rrUnsharded = serve("rr-u", "emb", "--type=ivfpq",
+      s"--path=$base/pq", s"--rerank-from=$base/flat", "--rerank-pool=50",
+      "--dim=4", "--m=2", "--max-query-id=4", "--nprobe=1", "--topk=3")
+    val rrSharded = serve("rr-s", "emb", "--type=ivfpq",
+      s"--path=$base/pq", s"--rerank-from=$base/flatsh", "--rerank-pool=50",
+      "--dim=4", "--m=2", "--max-query-id=4", "--nprobe=1", "--topk=3")
+    assert(rrSharded.nonEmpty && rrSharded == rrUnsharded,
+      "rerank-from must accept the sharded layout with identical results")
+    // hybrid dense legs from the sharded artifacts == the unsharded fuse
+    val fuseFlat = serve("h-flat", "queries", "--type=hybrid",
+      s"--path=$base/bm25", s"--dense-path=$base/flat",
+      "--pool=5", "--topk=3", "--nprobe=2")
+    assert(serve("h-flatsh", "queries", "--type=hybrid",
+      s"--path=$base/bm25", s"--dense-path=$base/flatsh",
+      "--pool=5", "--topk=3", "--nprobe=2")
+      == fuseFlat, "hybrid ivfflat leg must accept the sharded layout")
+    assert(serve("h-pqsh", "queries", "--type=hybrid",
+      s"--path=$base/bm25", s"--dense-path=$base/pqsh",
+      "--dense-type=ivfpq", s"--rerank-from=$base/flatsh",
+      "--rerank-pool=50", "--dim=4", "--m=2", "--pool=5", "--topk=3",
+      "--nprobe=2") == fuseFlat,
+      "hybrid compressed leg must accept BOTH sharded artifacts " +
+        "(full-pool identity == the raw fuse)")
+  }
+
   test("CLI filtered ANN: --attr-cols build materializes metadata in the postings; --filter-col serve pre-filters; update carries attrs") {
     import spark.implicits._
     val base = tmpDir("idxfiltered")

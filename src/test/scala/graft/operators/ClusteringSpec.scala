@@ -757,6 +757,28 @@ class ClusteringSpec extends SparkSpec {
     val loaded0 = Clustering.loadIvfPqSharded(spark, sharded)
     assert(!loaded0.cells.columns.contains("nv") &&
       !loaded0.codes.columns.contains("nv"))
+    // PLAN SHAPE: every per-shard cells branch carries the static
+    // probed-cells partition filter, and the codes surface is ONE
+    // multi-path scan (never an S-way union of single scans — the
+    // per-branch planning overhead sharding must not add)
+    val onePlan = Clustering.serveIvfPq(loaded0, blobs,
+      "vec_id", "embedding", dim = 4, m = 2, maxQueryId = 1L,
+      nprobe = 1, topK = 3).queryExecution.sparkPlan
+    val cellScans = onePlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    assert(cellScans.length == 4, s"one cells branch per shard: ${cellScans.length}")
+    cellScans.foreach(s => assert(
+      s.partitionFilters.map(_.toString).exists(_.contains("c_id")),
+      "each shard's cells scan must carry the probed-cells filter"))
+    val codeScans = onePlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("codes")) => s
+    }
+    assert(codeScans.length == 1 &&
+      codeScans.head.relation.location.rootPaths.length == 4,
+      "codes must load as ONE multi-path scan over all shard dirs")
     // a delta routing only to shard 2 advances ONLY shard 2's generation
     def genOf(sh: Int): Option[String] =
       ArtifactStore.currentGen(spark, s"$sharded/shards/$sh")
