@@ -196,8 +196,12 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   private def baseCellsIn(dir: String): DataFrame =
     numBucketsIn(dir) match {
       case Some(n) =>
-        bucketBasesIn(dir, n).map(spark.read.parquet(_))
-          .reduce(_ unionByName _)
+        // bucket data files carry NO partition columns (bucket was a
+        // staging-side partition dir, consumed by the rename), so the
+        // whole grid loads as ONE multi-path scan — never a B-way union
+        // of single scans, whose per-branch listing/planning overhead
+        // grows with B (the sharded-loader lesson, BASELINE round 17)
+        spark.read.parquet(bucketBasesIn(dir, n): _*)
       case None =>
         val df = spark.read.parquet(dir)
         if (df.columns.contains("lg")) df.drop("lg") else df
