@@ -85,9 +85,9 @@ object IndexTool {
 
   val Types: Set[String] =
     Set("lsh", "ivf", "ivfflat", "ivfflat-sharded", "ivfpq",
-      "ivfpq-sharded", "ivfpqr", "pq", "sq", "ivfsq", "bpe", "bm25",
-      "bm25-sharded", "unigram", "semdedup", "wordpiece", "decontam",
-      "cdc", "imi", "hybrid")
+      "ivfpq-sharded", "ivfpqr", "ivfpqr-sharded", "pq", "sq", "ivfsq",
+      "bpe", "bm25", "bm25-sharded", "unigram", "semdedup", "wordpiece",
+      "decontam", "cdc", "imi", "hybrid")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -218,11 +218,21 @@ object IndexTool {
         // residual-encoded IVFPQ (the production Faiss IndexIVFPQ): PQ
         // quantizes v − centroid(cell), so the codebooks spend their
         // resolution on within-cell geometry — the fix for raw-vector
-        // ADC's measured in-cluster recall collapse
+        // ADC's measured in-cluster recall collapse. --attr-cols ride
+        // the cells surface for the filtered residual-ADC serve
         Clustering.saveIvfPqrIndex(Clustering.buildIvfPqrIndex(
-          embOf(input, flags), "vec_id", "embedding",
+          pqEmbOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8), num("k", 16), num("iters", 2),
-          num("centroids", 64)), path)
+          num("centroids", 64), attrCols = attrColsOf(flags)), path)
+      case "ivfpqr-sharded" =>
+        // the residual tier in the 100 TB rewrite-unit layout — same
+        // per-shard cells+codes generations as ivfpq-sharded under the
+        // shared coarse + residual-PQ codebooks
+        Clustering.saveIvfPqrSharded(Clustering.buildIvfPqrIndex(
+          pqEmbOf(input, flags), "vec_id", "embedding",
+          num("dim", 64), num("m", 8), num("k", 16), num("iters", 2),
+          num("centroids", 64), attrCols = attrColsOf(flags)),
+          path, num("shards", 4))
       case "imi" =>
         // inverted MULTI-index: two half-space codebooks whose product
         // is the cell grid — fit cost n·(kA+kB) for kA·kB cells, the
@@ -327,7 +337,7 @@ object IndexTool {
   val UpdateTypes: Set[String] =
     Set("lsh", "cdc", "bm25", "bm25-sharded", "ivfflat", "ivfflat-sharded",
       "semdedup", "pq", "ivfpq", "ivfpq-sharded", "imi", "sq", "ivfsq",
-      "ivfpqr")
+      "ivfpqr", "ivfpqr-sharded")
 
   /** The index types whose persisted artifact can DROP a doc/vector set
     * (`index-remove` — the right-to-be-forgotten leg: a deleted
@@ -345,7 +355,7 @@ object IndexTool {
   val RemoveTypes: Set[String] =
     Set("lsh", "bm25", "bm25-sharded", "cdc", "ivfflat", "ivfflat-sharded",
       "ivfpq", "ivfpq-sharded", "pq", "semdedup", "imi", "sq", "ivfsq",
-      "ivfpqr")
+      "ivfpqr", "ivfpqr-sharded")
 
   /** `index-remove`: load the artifact, drop the ids in the input
     * batch, and commit a new generation through the same pointer
@@ -380,6 +390,11 @@ object IndexTool {
     }
     if (tpe == "ivfpq-sharded") {
       val touched = Clustering.removeFromIvfPqSharded(spark, base, vecIds)
+      println(s"removed from shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "ivfpqr-sharded") {
+      val touched = Clustering.removeFromIvfPqrSharded(spark, base, vecIds)
       println(s"removed from shards: ${touched.mkString(", ")}")
       return
     }
@@ -450,8 +465,8 @@ object IndexTool {
     require(RebuildTypes(tpe),
       s"index-rebuild supports --type=${RebuildTypes.toSeq.sorted.mkString("|")} " +
         s"only (got '$tpe'); tiers with fitted PQ/SQ sub-codebooks (ivfpq|" +
-        s"ivfpq-sharded|ivfpqr|ivfsq) re-fit from the raw corpus — " +
-        s"run index-build")
+        s"ivfpq-sharded|ivfpqr|ivfpqr-sharded|ivfsq) re-fit from the raw " +
+        s"corpus — run index-build")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     import graft.sinks.ArtifactStore
     val loadedGen = ArtifactStore.currentGen(spark, path)
@@ -544,6 +559,8 @@ object IndexTool {
       .select(col("n_id").as("id"))
     case "ivfpq-sharded" => Clustering.loadIvfPqSharded(spark, base).cells
       .select(col("n_id").as("id"))
+    case "ivfpqr-sharded" => Clustering.loadIvfPqrSharded(spark, base).cells
+      .select(col("n_id").as("id"))
     case "imi" => Clustering.loadImiIndex(spark, base).postings
       .select(col("n_id").as("id"))
     case "sq" => Clustering.loadSqIndex(spark, base).codes
@@ -632,6 +649,13 @@ object IndexTool {
       val touched = Retrieval.updateBm25Sharded(spark, base,
         terms(docsOf(input, flags)))
       println(s"updated term shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "ivfpqr-sharded") {
+      val touched = Clustering.updateIvfPqrSharded(spark, base,
+        embAllOf(input, flags), "vec_id", "embedding",
+        num("dim", 64), num("m", 8))
+      println(s"updated shards: ${touched.mkString(", ")}")
       return
     }
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
@@ -880,6 +904,41 @@ object IndexTool {
         col("score"))
   }
 
+  /** [[servePqMaybeRerank]] for the RESIDUAL tier (`ivfpqr` /
+    * `ivfpqr-sharded`): same filter and two-stage contracts over the
+    * residual-ADC shortlist. */
+  private def servePqrMaybeRerank(spark: SparkSession,
+                                  idx0: Clustering.IvfPqrIndex,
+                                  emb: DataFrame,
+                                  flags: Map[String, String]): DataFrame = {
+    def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
+    val idx = flags.get("filter-col") match {
+      case Some(c) =>
+        require(idx0.cells.columns.contains(c),
+          s"--filter-col=$c: the cells surface carries no '$c' attribute " +
+            s"column (available: ${idx0.cells.columns.mkString(", ")}) — " +
+            s"rebuild with the attribute materialized (--attr-cols)")
+        val v = flags.getOrElse("filter-val",
+          throw new IllegalArgumentException(
+            "--filter-col needs --filter-val=<value>"))
+        idx0.copy(cells = idx0.cells.filter(
+          col(c) === typedFilterVal(c, v, idx0.cells.schema(c).dataType)))
+      case None => idx0
+    }
+    flags.get("rerank-from") match {
+      case Some(flatPath) =>
+        Clustering.serveIvfPqrRerank(idx,
+          loadFlatAuto(spark, flatPath).postings,
+          emb, "vec_id", "embedding", num("dim", 64), num("m", 8),
+          num("max-query-id", 20).toLong, num("nprobe", 2),
+          num("rerank-pool", 6), num("topk", 3))
+      case None =>
+        Clustering.serveIvfPqr(idx, emb, "vec_id", "embedding",
+          num("dim", 64), num("m", 8), num("max-query-id", 20).toLong,
+          num("nprobe", 2), num("topk", 3))
+    }
+  }
+
   private def hybridServe(spark: SparkSession, path: String,
                           flags: Map[String, String])
       : DataFrame => DataFrame = {
@@ -1071,27 +1130,16 @@ object IndexTool {
           .orderBy(col("q_id"), col("rank"))
       case "ivfpqr" =>
         // residual ADC: per-(query, probed cell) distance tables;
-        // --rerank-from=<ivfflat path> upgrades to the two-stage
-        // search over the residual shortlist (same contract as the
-        // ivfpq verb — one shared coarse fit between the artifacts)
-        flags.get("rerank-from") match {
-          case Some(flatPath) =>
-            Clustering.serveIvfPqrRerank(
-                Clustering.loadIvfPqrIndex(spark, path),
-                loadFlatAuto(spark, flatPath).postings,
-                embOf(input, flags), "vec_id", "embedding",
-                num("dim", 64), num("m", 8),
-                num("max-query-id", 20).toLong, num("nprobe", 2),
-                num("rerank-pool", 6), num("topk", 3))
-              .orderBy(col("q_id"), col("rank"))
-          case None =>
-            Clustering.serveIvfPqr(Clustering.loadIvfPqrIndex(spark, path),
-                embOf(input, flags), "vec_id", "embedding",
-                num("dim", 64), num("m", 8),
-                num("max-query-id", 20).toLong, num("nprobe", 2),
-                num("topk", 3))
-              .orderBy(col("q_id"), col("rank"))
-        }
+        // --rerank-from / --filter-col carry the same contracts as the
+        // ivfpq verb (one shared coarse fit between the artifacts)
+        servePqrMaybeRerank(spark, Clustering.loadIvfPqrIndex(spark, path),
+            embOf(input, flags), flags)
+          .orderBy(col("q_id"), col("rank"))
+      case "ivfpqr-sharded" =>
+        servePqrMaybeRerank(spark, Clustering.loadIvfPqrSharded(spark,
+              graft.sinks.ArtifactStore.resolve(spark, path)),
+            embOf(input, flags), flags)
+          .orderBy(col("q_id"), col("rank"))
       case "hybrid" =>
         hybridServe(spark, path, flags)(input)
           .orderBy(col("q_id"), col("rank"))
@@ -1314,7 +1362,7 @@ object IndexTool {
           "subspaces" -> idx.pqLanes.select(col("s")).distinct().count(),
           "codebook_k" ->
             idx.pqLanes.select(col("code")).distinct().count())
-      case "ivfpq-sharded" =>
+      case "ivfpq-sharded" | "ivfpqr-sharded" =>
         val base = graft.sinks.ArtifactStore.resolve(spark, path)
         val idx = Clustering.loadIvfPqSharded(spark, base)
         val st = idx.cells.groupBy(col("c_id")).count()
@@ -1449,7 +1497,8 @@ object IndexTool {
   val StreamTypes: Set[String] =
     Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
       "ivfflat", "ivfflat-sharded", "ivfpq", "ivfpq-sharded", "pq", "bm25",
-      "bm25-sharded", "imi", "sq", "ivfsq", "ivfpqr", "hybrid")
+      "bm25-sharded", "imi", "sq", "ivfsq", "ivfpqr", "ivfpqr-sharded",
+      "hybrid")
 
   /** STREAMING serve (`index-serve ... --stream=true`): the production
     * ingestion loop as one CLI invocation. The input spec's parquet
@@ -1610,22 +1659,16 @@ object IndexTool {
         }
       case "ivfpqr" =>
         val idx = Clustering.loadIvfPqrIndex(spark, path)
-        val rerankPostings = flags.get("rerank-from")
-          .map(p => loadFlatAuto(spark, p).postings)
         embOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            sink(rerankPostings match {
-              case Some(postings) =>
-                Clustering.serveIvfPqrRerank(idx, postings, batch,
-                  "vec_id", "embedding", num("dim", 64), num("m", 8),
-                  num("max-query-id", 20).toLong, num("nprobe", 2),
-                  num("rerank-pool", 6), num("topk", 3))
-              case None =>
-                Clustering.serveIvfPqr(idx, batch, "vec_id", "embedding",
-                  num("dim", 64), num("m", 8),
-                  num("max-query-id", 20).toLong, num("nprobe", 2),
-                  num("topk", 3))
-            }, batchId)
+            sink(servePqrMaybeRerank(spark, idx, batch, flags), batchId)
+        }
+      case "ivfpqr-sharded" =>
+        val idx = Clustering.loadIvfPqrSharded(spark,
+          graft.sinks.ArtifactStore.resolve(spark, path))
+        embOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(servePqrMaybeRerank(spark, idx, batch, flags), batchId)
         }
       case "ivfpq" =>
         // --rerank-from / --filter-col work streamed too: per-query

@@ -1442,30 +1442,36 @@ object Clustering {
   def buildIvfPqrIndex(emb: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int, k: Int, iters: Int,
                        numCentroids: Int,
-                       salt: String = "pqr"): IvfPqrIndex =
+                       salt: String = "pqr",
+                       attrCols: Seq[String] = Nil): IvfPqrIndex =
     buildIvfPqrIndexWith(emb, idCol, vecCol, dim, m, k, iters,
-      literalLanes(ivfCoarseLanes(emb, idCol, vecCol, numCentroids)), salt)
+      literalLanes(ivfCoarseLanes(emb, idCol, vecCol, numCentroids)), salt,
+      attrCols)
 
   /** Build against a PRE-TRAINED coarse codebook (the
     * [[buildIvfPqIndexWith]] pattern — share one fit across tiers so
     * recall comparisons isolate the encoding). One corpus pass assigns
     * cells, one broadcast join forms the integer residuals (persisted:
     * the m subspace fits each iterate over them), then the standard
-    * per-subspace Lloyd chains run on the residual lattice. */
+    * per-subspace Lloyd chains run on the residual lattice. `attrCols`
+    * ride the CELLS surface for the filtered residual-ADC serve
+    * ([[serveIvfPqrFiltered]] — same contract as the raw-PQ tier). */
   def buildIvfPqrIndexWith(emb: DataFrame, idCol: String, vecCol: String,
                            dim: Int, m: Int, k: Int, iters: Int,
                            coarseLanes: DataFrame,
-                           salt: String = "pqr"): IvfPqrIndex = {
-    val postings = Similarity.ivfPostings(emb, idCol, vecCol,
-      Similarity.centroidSetFromLanes(coarseLanes))
+                           salt: String = "pqr",
+                           attrCols: Seq[String] = Nil): IvfPqrIndex = {
+    val postings = Similarity.ivfPostingsAttrs(emb, idCol, vecCol,
+      Similarity.centroidSetFromLanes(coarseLanes), attrCols)
     val resid = OperatorCaches.register(
       postings.join(broadcast(centroidVecFrame(coarseLanes)), Seq("c_id"))
-        .select(col("n_id"), col("c_id"),
-          zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"))
+        .select(col("n_id") +: attrCols.map(col) :+ col("c_id") :+
+          zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"): _*)
         .persist())
     val models = pqModels(resid, "n_id", "rv", dim, m, k, iters, salt,
       preScaled = true)
-    IvfPqrIndex(coarseLanes, resid.select(col("n_id"), col("c_id")),
+    IvfPqrIndex(coarseLanes,
+      resid.select(col("n_id") +: attrCols.map(col) :+ col("c_id"): _*),
       pqCodesLong(models), pqLanesLong(models))
   }
 
@@ -1475,20 +1481,22 @@ object Clustering {
     * (q173's oracle replays slice-trained fits over the union). */
   def updateIvfPqrIndex(idx: IvfPqrIndex, delta: DataFrame, idCol: String,
                         vecCol: String, dim: Int, m: Int): IvfPqrIndex = {
-    val newPost = Similarity.ivfPostings(delta, idCol, vecCol,
-      Similarity.centroidSetFromLanes(idx.coarseLanes))
+    val attrs = cellsAttrCols(idx.cells)
+    val newPost = Similarity.ivfPostingsAttrs(delta, idCol, vecCol,
+      Similarity.centroidSetFromLanes(idx.coarseLanes), attrs)
     // persisted for the same reason as the build path: the cells union
     // reads it once and pqEncode's m subspace branches each read it
     // again — unpersisted, the delta kernel assignment would run m+1
     // times per add
     val resid = OperatorCaches.register(newPost
       .join(broadcast(centroidVecFrame(idx.coarseLanes)), Seq("c_id"))
-      .select(col("n_id"), col("c_id"),
-        zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"))
+      .select(col("n_id") +: attrs.map(col) :+ col("c_id") :+
+        zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"): _*)
       .persist())
     IvfPqrIndex(idx.coarseLanes,
-      idx.cells.select(col("n_id"), col("c_id"))
-        .unionByName(resid.select(col("n_id"), col("c_id"))),
+      idx.cells.select(col("n_id") +: attrs.map(col) :+ col("c_id"): _*)
+        .unionByName(resid.select(
+          col("n_id") +: attrs.map(col) :+ col("c_id"): _*)),
       idx.codes.select(col("n_id"), col("s"), col("code"))
         .unionByName(pqEncode(resid, idx.pqLanes, "n_id", "rv", dim, m,
           preScaled = true)),
@@ -1618,7 +1626,10 @@ object Clustering {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
-    idx.cells.select(col("n_id"), col("c_id")).repartition(col("c_id"))
+    idx.cells
+      .select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
+        col("c_id"): _*)
+      .repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/cells")
     idx.codes.select(col("n_id"), col("s"), col("code"))
       .write.mode("overwrite").parquet(s"$path/codes")
@@ -1627,12 +1638,118 @@ object Clustering {
   def loadIvfPqrIndex(spark: org.apache.spark.sql.SparkSession,
                       p0: String): IvfPqrIndex = {
     val path = graft.sinks.ArtifactStore.resolve(spark, p0)
+    val rawCells = spark.read.parquet(s"$path/cells")
     IvfPqrIndex(spark.read.parquet(s"$path/coarse"),
-      spark.read.parquet(s"$path/cells")
-        .select(col("n_id"), col("c_id").cast(LongType).as("c_id")),
+      rawCells.select(col("n_id") +: cellsAttrCols(rawCells).map(col) :+
+        col("c_id").cast(LongType).as("c_id"): _*),
       spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/pqlanes"))
   }
+
+  /** FILTERED residual-ADC serve — [[serveIvfPqFiltered]]'s contract on
+    * the residual tier: the predicate over cells-surface attributes
+    * composes into the probed scan BEFORE the candidate join, so every
+    * query's topK are MATCHING codes. */
+  def serveIvfPqrFiltered(idx: IvfPqrIndex, emb: DataFrame, idCol: String,
+                          vecCol: String, dim: Int, m: Int,
+                          maxQueryId: Long, nprobe: Int, topK: Int,
+                          pred: org.apache.spark.sql.Column): DataFrame =
+    serveIvfPqr(idx.copy(cells = idx.cells.filter(pred)), emb, idCol,
+      vecCol, dim, m, maxQueryId, nprobe, topK)
+
+  // ─────────────── sharded residual (IVFPQR) artifact ────────────────
+  //
+  // The [[saveIvfPqSharded]] layout and commit protocol applied to the
+  // residual tier — the round-15 recall ladder's recommended production
+  // encoding (same bytes, about twice the shortlist recall inside tight
+  // clusters): cells + codes shard by `n_id mod S` under the shared
+  // frozen coarse + residual-PQ codebooks, swap together inside each
+  // shard's generation, and commit through the same all-or-nothing
+  // multi-root pointer transaction.
+
+  def saveIvfPqrSharded(idx: IvfPqrIndex, path: String,
+                        numShards: Int): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val spark = idx.coarseLanes.sparkSession
+    import spark.implicits._
+    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
+    Seq(numShards).toDF("num_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val attrs = cellsAttrCols(idx.cells)
+    val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
+    val pinned = (0 until numShards)
+      .map(sh => sh -> pinShardGen(spark, path, sh)).toMap
+    commitPqShards(spark, path, 0 until numShards,
+      idx.cells.select(col("n_id") +: attrs.map(col) :+ col("c_id"): _*)
+        .withColumn("shard", shardOf),
+      idx.codes.select(col("n_id"), col("s"), col("code"))
+        .withColumn("shard", shardOf),
+      pinned)
+  }
+
+  def loadIvfPqrSharded(spark: org.apache.spark.sql.SparkSession,
+                        path: String): IvfPqrIndex = {
+    val pq = loadIvfPqSharded(spark, path) // identical surface layout
+    IvfPqrIndex(pq.coarseLanes, pq.cells, pq.codes, pq.pqLanes)
+  }
+
+  /** ADD a delta to the sharded residual artifact: kernel cell
+    * assignment + broadcast residual join + per-subspace residual
+    * encode against the FIXED codebooks (the [[updateIvfPqrIndex]]
+    * fold), rewriting ONLY the routed shards. Returns them. */
+  def updateIvfPqrSharded(spark: org.apache.spark.sql.SparkSession,
+                          path: String, delta: DataFrame,
+                          idCol: String, vecCol: String,
+                          dim: Int, m: Int): Seq[Int] = {
+    import org.apache.spark.sql.types.LongType
+    val numShards = shardedNumShards(spark, path)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val pqLanes = spark.read.parquet(s"$path/pqlanes")
+    val attrs = cellsAttrCols(spark.read.parquet(
+      graft.sinks.ArtifactStore.resolve(spark, s"$path/shards/0") + "/cells"))
+    val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
+    val resid = OperatorCaches.register(
+      Similarity.ivfPostingsAttrs(delta, idCol, vecCol,
+          Similarity.centroidSetFromLanes(coarse), attrs)
+        .join(broadcast(centroidVecFrame(coarse)), Seq("c_id"))
+        .select(col("n_id") +: attrs.map(col) :+ col("c_id") :+
+          zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"): _*)
+        .withColumn("shard", shardOf)
+        .persist())
+    val touched = resid.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val pinned = touched.map(sh => sh -> pinShardGen(spark, path, sh)).toMap
+    val existingCells = touched.map { sh =>
+      val raw = spark.read.parquet(s"${pinned(sh)._3}/cells")
+      raw.select(col("n_id") +: cellsAttrCols(raw).map(col) :+
+          col("c_id").cast(LongType).as("c_id"): _*)
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val existingCodes = touched.map { sh =>
+      spark.read.parquet(s"${pinned(sh)._3}/codes")
+        .select(col("n_id"), col("s"), col("code"))
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val deltaCodes = pqEncode(resid, pqLanes, "n_id", "rv", dim, m,
+        preScaled = true)
+      .withColumn("shard", shardOf)
+    commitPqShards(spark, path, touched,
+      existingCells.unionByName(resid.select(
+        col("n_id") +: attrs.map(col) :+ col("c_id") :+ col("shard"): _*)),
+      existingCodes.unionByName(deltaCodes), pinned)
+    touched
+  }
+
+  /** REMOVE a vector set from the sharded residual artifact — identical
+    * mechanics to [[removeFromIvfPqSharded]] (the surfaces share the
+    * layout). Returns the touched shard ids. */
+  def removeFromIvfPqrSharded(spark: org.apache.spark.sql.SparkSession,
+                              path: String, removedIds: DataFrame)
+      : Seq[Int] = removeFromIvfPqSharded(spark, path, removedIds)
 
   /** Two-stage retrieval SERVED from artifacts — the production pattern
     * closed over persisted state: the compressed [[IvfPqIndex]]

@@ -2155,6 +2155,70 @@ object VectorQueries {
   // distance tables (a query's residual differs per cell — the known
   // residual-PQ table cost), and the ADC ranking bit-for-bit.
   // CLI: --type=ivfpqr, full lifecycle, batch+streamed. ─────────────────
+  // ── q188: SHARDED residual artifact — the q182 rewrite-unit layout
+  // on the tier the recall ladder actually recommends (residual PQ:
+  // same bytes, ~2× shortlist recall inside tight clusters): cells +
+  // codes shard by n_id mod 4 under the shared coarse + residual-PQ
+  // codebooks. Equal surface sets ⇒ the shard-merged residual-ADC
+  // serve reproduces the unsharded q172 search: the oracle IS q172's
+  // SQL. ────────────────────────────────────────────────────────────────
+  val q188_ivfpqr_sharded: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqrsh", d)
+    graft.operators.Clustering.saveIvfPqrSharded(
+      graft.operators.Clustering.buildIvfPqrIndex(emb, "vec_id",
+        "embedding", Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.serveIvfPqr(
+        graft.operators.Clustering.loadIvfPqrSharded(s, path),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q189: sharded residual UPDATE — q173's train/add split where the
+  // add (cell assign + broadcast residual join + per-subspace encode
+  // against the FIXED residual lanes) rewrites only the shards the
+  // delta routes to. Oracle IS q173's SQL. ─────────────────────────────
+  val q189_ivfpqr_shard_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqrshup", d)
+    graft.operators.Clustering.saveIvfPqrSharded(
+      graft.operators.Clustering.buildIvfPqrIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.updateIvfPqrSharded(s, path,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding", Dim, PqM)
+    graft.operators.Clustering.serveIvfPqr(
+        graft.operators.Clustering.loadIvfPqrSharded(s, path),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q190: FILTERED residual-ADC serve — q181's predicate+vector
+  // contract on the residual tier: the label attribute rides the cells
+  // surface and pre-filters candidates inside the probed scan, so the
+  // residual topK are all MATCHING codes. Oracle: q172's chain with the
+  // label restriction on the candidate set. ────────────────────────────
+  val q190_ivfpqr_filtered: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqrfil", d)
+    graft.operators.Clustering.saveIvfPqrIndex(
+      graft.operators.Clustering.buildIvfPqrIndex(emb, "vec_id",
+        "embedding", Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d),
+        attrCols = Seq("label")), path)
+    graft.operators.Clustering.serveIvfPqrFiltered(
+        graft.operators.Clustering.loadIvfPqrIndex(s, path),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        PqTopK, pred = col("label") === FilterLabel)
+      .orderBy($"q_id", $"rank")
+  }
+
   val q172_ivfpqr_index_persist: Q = (s, d) => {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -2203,8 +2267,8 @@ object VectorQueries {
     * shape) argmin against the FINAL residual lanes (q159's asymmetry),
     * and serving builds one distance table per (query, probed cell)
     * from that cell's query residual. */
-  private def ivfPqrSql(update: Boolean): String =
-    s"""WITH ${ivfPqrChainSql(update)}
+  private def ivfPqrSql(update: Boolean, candExtra: String = ""): String =
+    s"""WITH ${ivfPqrChainSql(update, candExtra)}
        |SELECT q_id, rank, n_id, adist FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY adist, n_id) AS rank FROM ad)
@@ -2213,7 +2277,8 @@ object VectorQueries {
   /** The residual-IVFPQ chain through `ad(q_id, n_id, adist)` — shared
     * by q172/q173 (rank by residual adist) and q174 (rerank the
     * residual shortlist by exact cosine). */
-  private def ivfPqrChainSql(update: Boolean): String = {
+  private def ivfPqrChainSql(update: Boolean,
+                             candExtra: String = ""): String = {
     def cos(a: String, b: String, na: String, nb: String) =
       sqlCosineFromNorms(a, b, na, nb, Dim)
     val sub = Dim / PqM
@@ -2295,6 +2360,7 @@ object VectorQueries {
        |), cand AS (
        |  SELECT p.q_id, a.n_id, p.c_id FROM probes p
        |  JOIN assigned a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+       |  $candExtra
        |), ad AS (
        |  SELECT x.q_id, x.n_id, CAST(sum(d.dval) AS BIGINT) AS adist
        |  FROM cand x JOIN codes c ON c.n_id = x.n_id
@@ -2304,6 +2370,12 @@ object VectorQueries {
   }
   lazy val q172_sql: String = ivfPqrSql(update = false)
   lazy val q173_sql: String = ivfPqrSql(update = true)
+  /** q172's chain with the label restriction on the candidate set (the
+    * q190 filtered residual serve). */
+  lazy val q190_sql: String = ivfPqrSql(update = false,
+    candExtra = s"""JOIN (SELECT CAST(vec_id AS BIGINT) AS avid,
+       |    CAST(label AS INT) AS albl FROM embeddings) la
+       |    ON la.avid = a.n_id AND la.albl = $FilterLabel""".stripMargin)
 
   // ── q174: two-stage retrieval over the RESIDUAL shortlist — q162's
   // production pattern with the ivfpqr artifact as the shortlist stage:
@@ -2383,6 +2455,9 @@ object VectorQueries {
     "q183_ivfpq_shard_update" -> q183_ivfpq_shard_update,
     "q184_ivfflat_sharded_filtered" -> q184_ivfflat_sharded_filtered,
     "q185_ivfflat_sharded_rebuild" -> q185_ivfflat_sharded_rebuild,
+    "q188_ivfpqr_sharded" -> q188_ivfpqr_sharded,
+    "q189_ivfpqr_shard_update" -> q189_ivfpqr_shard_update,
+    "q190_ivfpqr_filtered" -> q190_ivfpqr_filtered,
     "q158_semdedup_index_update" -> q158_semdedup_index_update,
     "q159_pq_index_update" -> q159_pq_index_update,
     "q160_ivfpq_index_persist" -> q160_ivfpq_index_persist,
@@ -2440,6 +2515,12 @@ object VectorQueries {
     "q184_ivfflat_sharded_filtered" -> q177_sql,
     // sharded rebuild == fresh build over the union (the q178 contract)
     "q185_ivfflat_sharded_rebuild" -> q45_sql,
+    // shard-merged residual-ADC serve must reproduce q172 exactly
+    "q188_ivfpqr_sharded" -> q172_sql,
+    // sharded residual add == fresh assignment+encode of the union
+    "q189_ivfpqr_shard_update" -> q173_sql,
+    // filtered residual serve: q172's chain, label-restricted candidates
+    "q190_ivfpqr_filtered" -> q190_sql,
     "q158_semdedup_index_update" -> q158_sql,
     "q159_pq_index_update" -> q159_sql,
     // serve-from-the-composed-compressed-artifact must reproduce q94

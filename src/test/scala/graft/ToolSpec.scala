@@ -1144,7 +1144,7 @@ class ToolSpec extends SparkSpec {
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
     (IndexTool.UpdateTypes -- Set("ivfflat", "ivfflat-sharded", "semdedup",
-        "pq", "ivfpq", "ivfpq-sharded",
+        "pq", "ivfpq", "ivfpq-sharded", "ivfpqr-sharded",
         "imi", "sq", "ivfsq", "ivfpqr")) // vector-typed tiers have their own fixtures below / in the imi, sq, and sharded tests
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
