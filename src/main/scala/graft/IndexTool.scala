@@ -696,9 +696,12 @@ object IndexTool {
           embOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8)), staging)
       case "ivfpq" =>
+        // embAllOf: an attr-carrying artifact's fold selects the
+        // artifact's attribute columns FROM the delta — embOf would
+        // strip them and fail the update
         Clustering.saveIvfPqIndex(Clustering.updateIvfPqIndex(
           Clustering.loadIvfPqIndex(spark, base),
-          embOf(input, flags), "vec_id", "embedding",
+          embAllOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8)), staging)
       case "imi" =>
         Clustering.saveImiIndex(Clustering.updateImiIndex(
@@ -715,7 +718,7 @@ object IndexTool {
       case "ivfpqr" =>
         Clustering.saveIvfPqrIndex(Clustering.updateIvfPqrIndex(
           Clustering.loadIvfPqrIndex(spark, base),
-          embOf(input, flags), "vec_id", "embedding",
+          embAllOf(input, flags), "vec_id", "embedding",
           num("dim", 64), num("m", 8)), staging)
     }
     ArtifactStore.commitGen(spark, path, staging, loadedGen)

@@ -2072,6 +2072,69 @@ class ToolSpec extends SparkSpec {
         "(full-pool identity == the raw fuse)")
   }
 
+  test("CLI sharded residual tier: ivfpqr-sharded build/serve/update == unsharded; --filter-col pre-filters the residual cells") {
+    import spark.implicits._
+    val base = tmpDir("idxpqrsharded")
+    val emb = (0L until 12L).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v((i % 2).toInt) = 10f + i * 0.01f
+      (i, v.toSeq, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label")
+    emb.write.parquet(s"$base/emb")
+    val knobs = Array("--dim=4", "--m=2", "--k=2", "--centroids=2",
+      "--attr-cols=label")
+    for ((tpe, p, extra) <- Seq(
+        ("ivfpqr", "single", Array.empty[String]),
+        ("ivfpqr-sharded", "sharded", Array("--shards=4"))))
+      assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
+        s"--path=$base/$p", s"--input=format=parquet file=$base/emb")
+        ++ knobs ++ extra).status == "SUCCEEDED", tpe)
+    def serveOf(tpe: String, p: String, tag: String,
+                extra: String*): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$base/$p", s"--input=format=parquet file=$base/emb",
+        s"--output=format=parquet file=$out", "--dim=4", "--m=2",
+        "--max-query-id=4", "--nprobe=2", "--topk=3") ++ extra)
+        .status == "SUCCEEDED", tag)
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.toSeq).toSeq
+    }
+    // shard-merged residual serve == single artifact, via the CLI
+    assert(serveOf("ivfpqr-sharded", "sharded", "sh") ==
+      serveOf("ivfpqr", "single", "single"))
+    // filtered residual serve pre-filters on BOTH layouts
+    val f1 = serveOf("ivfpqr", "single", "f1",
+      "--filter-col=label", "--filter-val=0")
+    val f2 = serveOf("ivfpqr-sharded", "sharded", "f2",
+      "--filter-col=label", "--filter-val=0")
+    assert(f1.nonEmpty && f1 == f2, s"filtered sharded != unsharded: $f2")
+    assert(f1.forall(r => r(2).asInstanceOf[Long] % 3 == 0),
+      s"filtered residual serve leaked non-matching rows: $f1")
+    // an update routed to shard 2 advances ONLY that shard; serve == the
+    // updated unsharded artifact
+    val shardedRoot = graft.sinks.ArtifactStore.resolve(spark, s"$base/sharded")
+    def genOf(sh: Int) = graft.sinks.ArtifactStore.currentGen(
+      spark, s"$shardedRoot/shards/$sh")
+    val before = (0 until 4).map(genOf)
+    Seq((102L, Seq(0f, 0f, 0f, 9f), 0), (106L, Seq(0f, 0f, 0f, 9.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label".cast("int").as("label"))
+      .write.parquet(s"$base/delta")
+    for ((tpe, p) <- Seq(("ivfpqr", "single"), ("ivfpqr-sharded", "sharded")))
+      assert(Tool.run(spark, Array("index-update", s"--type=$tpe",
+        s"--path=$base/$p", s"--input=format=parquet file=$base/delta",
+        "--dim=4", "--m=2")).status == "SUCCEEDED", tpe)
+    (0 until 4).foreach { sh =>
+      if (sh == 2) assert(genOf(sh) != before(sh), "shard 2 must advance")
+      else assert(genOf(sh) == before(sh), s"shard $sh must be untouched")
+    }
+    assert(serveOf("ivfpqr-sharded", "sharded", "sh-upd") ==
+      serveOf("ivfpqr", "single", "single-upd"))
+  }
+
   test("CLI filtered ANN: --attr-cols build materializes metadata in the postings; --filter-col serve pre-filters; update carries attrs") {
     import spark.implicits._
     val base = tmpDir("idxfiltered")
