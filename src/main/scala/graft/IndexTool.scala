@@ -84,10 +84,11 @@ import graft.operators.{Bpe, Clustering, Dedup, Retrieval, Similarity, UnigramLm
 object IndexTool {
 
   val Types: Set[String] =
-    Set("lsh", "ivf", "ivfflat", "ivfflat-sharded", "ivfpq",
+    Set("lsh", "lsh-sharded", "ivf", "ivfflat", "ivfflat-sharded", "ivfpq",
       "ivfpq-sharded", "ivfpqr", "ivfpqr-sharded", "pq", "sq", "ivfsq",
-      "bpe", "bm25", "bm25-sharded", "unigram", "semdedup", "wordpiece",
-      "decontam", "cdc", "imi", "hybrid")
+      "bpe", "bm25", "bm25-sharded", "unigram", "semdedup",
+      "semdedup-sharded", "wordpiece", "decontam", "cdc", "cdc-sharded",
+      "imi", "hybrid")
 
   private def docsOf(df: DataFrame, flags: Map[String, String]): DataFrame = {
     val id = flags.getOrElse("id-col", "doc_id")
@@ -169,6 +170,14 @@ object IndexTool {
         Dedup.saveLshIndex(Dedup.bandedSignaturesTiled(
           shingled(docsOf(input, flags), num("shingle-n", 3)),
           num("num-hashes", 28), num("bands", 4)), path)
+      case "lsh-sharded" =>
+        // the 100 TB rewrite-unit layout on the near-dup tier: the
+        // signature surface splits by (band, bkey) hash into --shards
+        // independent generational roots — an update rewrites only the
+        // shards its delta's buckets route to (Dedup.updateLshSharded)
+        Dedup.saveLshSharded(Dedup.bandedSignaturesTiled(
+          shingled(docsOf(input, flags), num("shingle-n", 3)),
+          num("num-hashes", 28), num("bands", 4)), path, num("shards", 4))
       case "ivf" =>
         Clustering.saveIvfCodebook(Clustering.ivfCoarseLanes(
           embOf(input, flags), "vec_id", "embedding",
@@ -291,6 +300,16 @@ object IndexTool {
           num("iters", 2), flags.getOrElse("salt", "semdedup-h"),
           num("cluster-cap", 256).toLong,
           num("max-fine-per-cell", 256)), path)
+      case "semdedup-sharded" =>
+        // the corpus-sized assign surface shards by vid mod S; the
+        // bounded fitted parameters (lanes/seeds/sizes) stay at the
+        // root and never move on an add/remove
+        Clustering.saveSemIndexSharded(Clustering.semDedupHierFit(
+          embOf(input, flags), "vec_id", "embedding",
+          num("coarse-k", 16), num("target-rows", 32).toLong,
+          num("iters", 2), flags.getOrElse("salt", "semdedup-h"),
+          num("cluster-cap", 256).toLong,
+          num("max-fine-per-cell", 256)), path, num("shards", 4))
       case "wordpiece" =>
         val (_, finalToks) = WordPiece.trainAuto(
           Bpe.wordFreq(Bpe.docWords(docsOf(input, flags), "doc_id", "text")),
@@ -306,6 +325,11 @@ object IndexTool {
         // guard exact (Dedup.CdcArtifact)
         Dedup.saveCdcArtifact(Dedup.buildCdcArtifact(docsOf(input, flags),
           "doc_id", "text", num("avg-mask", 32)), path)
+      case "cdc-sharded" =>
+        // both surfaces shard by chunk hash and swap together per shard
+        // generation — a crawl delta rewrites only its routed shards
+        Dedup.saveCdcSharded(Dedup.buildCdcArtifact(docsOf(input, flags),
+          "doc_id", "text", num("avg-mask", 32)), path, num("shards", 4))
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected ${Types.toSeq.sorted.mkString("|")})")
     }
@@ -335,8 +359,9 @@ object IndexTool {
     * `add`) and its codes appended (q159). `ivfpq` composes the ivfflat
     * and pq adds over one delta pass (q161). */
   val UpdateTypes: Set[String] =
-    Set("lsh", "cdc", "bm25", "bm25-sharded", "ivfflat", "ivfflat-sharded",
-      "semdedup", "pq", "ivfpq", "ivfpq-sharded", "imi", "sq", "ivfsq",
+    Set("lsh", "lsh-sharded", "cdc", "cdc-sharded", "bm25", "bm25-sharded",
+      "ivfflat", "ivfflat-sharded", "semdedup", "semdedup-sharded", "pq",
+      "ivfpq", "ivfpq-sharded", "imi", "sq", "ivfsq",
       "ivfpqr", "ivfpqr-sharded")
 
   /** The index types whose persisted artifact can DROP a doc/vector set
@@ -353,8 +378,9 @@ object IndexTool {
     * the rollup alone was NOT invertible (its `min first_doc` is
     * unrecoverable once its witness is deleted). */
   val RemoveTypes: Set[String] =
-    Set("lsh", "bm25", "bm25-sharded", "cdc", "ivfflat", "ivfflat-sharded",
-      "ivfpq", "ivfpq-sharded", "pq", "semdedup", "imi", "sq", "ivfsq",
+    Set("lsh", "lsh-sharded", "bm25", "bm25-sharded", "cdc", "cdc-sharded",
+      "ivfflat", "ivfflat-sharded", "ivfpq", "ivfpq-sharded", "pq",
+      "semdedup", "semdedup-sharded", "imi", "sq", "ivfsq",
       "ivfpqr", "ivfpqr-sharded")
 
   /** `index-remove`: load the artifact, drop the ids in the input
@@ -404,6 +430,27 @@ object IndexTool {
       // one atomic pointer transaction
       val touched = Retrieval.removeFromBm25Sharded(spark, base, docIds)
       println(s"removed from doc shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "lsh-sharded") {
+      // a doc's signature rows hash across the whole bucket grid —
+      // every shard rewrites (bounded, one atomic transaction)
+      val touched = Dedup.removeFromLshSharded(spark, base,
+        docIds.select(col("doc_id").as("id")),
+        num("num-hashes", 28), num("bands", 4))
+      println(s"removed from shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "cdc-sharded") {
+      val touched = Dedup.removeFromCdcSharded(spark, base, docIds)
+      println(s"removed from shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "semdedup-sharded") {
+      // vid IS the shard key: only the removed ids' own shards rewrite
+      val touched = Clustering.removeFromSemIndexSharded(spark, base,
+        vecIds.select(col("n_id").as("vid")))
+      println(s"removed from shards: ${touched.mkString(", ")}")
       return
     }
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
@@ -541,7 +588,11 @@ object IndexTool {
   private def existingIds(spark: SparkSession, tpe: String, base: String)
       : DataFrame = tpe match {
     case "lsh" => Dedup.loadLshIndex(spark, base).select(col("id"))
+    case "lsh-sharded" => Dedup.loadLshSharded(spark, base)
+      .select(col("id"))
     case "cdc" => Dedup.loadCdcArtifact(spark, base).chunks
+      .select(col("doc_id").as("id"))
+    case "cdc-sharded" => Dedup.loadCdcSharded(spark, base).chunks
       .select(col("doc_id").as("id"))
     case "bm25" => Retrieval.loadBm25Index(spark, base).doclen
       .select(col("doc_id").as("id"))
@@ -553,6 +604,8 @@ object IndexTool {
       .postings.select(col("n_id").as("id"))
     case "semdedup" => Clustering.loadSemIndex(spark, base).assign
       .select(col("vid").as("id"))
+    case "semdedup-sharded" => Clustering.loadSemIndexSharded(spark, base)
+      .assign.select(col("vid").as("id"))
     case "pq" => Clustering.loadPqIndex(spark, base).codes
       .select(col("n_id").as("id"))
     case "ivfpq" => Clustering.loadIvfPqIndex(spark, base).codes
@@ -604,7 +657,9 @@ object IndexTool {
     import graft.sinks.ArtifactStore
     val loadedGen = ArtifactStore.currentGen(spark, path)
     val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
-    val docTier = Set("lsh", "cdc", "bm25", "bm25-sharded")(tpe)
+    val docTier =
+      Set("lsh", "lsh-sharded", "cdc", "cdc-sharded", "bm25",
+        "bm25-sharded")(tpe)
     if (!flags.get("skip-disjoint-check").exists(_.toBoolean)) {
       val deltaIds = (if (docTier) docsOf(input, flags).select(
           col("doc_id").as("id"))
@@ -649,6 +704,31 @@ object IndexTool {
       val touched = Retrieval.updateBm25Sharded(spark, base,
         terms(docsOf(input, flags)))
       println(s"updated term shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "lsh-sharded") {
+      // near-dup-tier economics: only the shards the delta's
+      // (band, bkey) buckets hash to are read, re-censused, rewritten
+      val touched = Dedup.updateLshSharded(spark, base,
+        shingled(docsOf(input, flags), num("shingle-n", 3)),
+        num("num-hashes", 28), num("bands", 4))
+      println(s"updated shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "cdc-sharded") {
+      // chunk-tier economics: occurrences + rollup of only the routed
+      // chunk-hash shards rewrite, co-swapping per shard generation
+      val touched = Dedup.updateCdcSharded(spark, base,
+        docsOf(input, flags), "doc_id", "text", num("avg-mask", 32))
+      println(s"updated shards: ${touched.mkString(", ")}")
+      return
+    }
+    if (tpe == "semdedup-sharded") {
+      // semantic-tier economics: the delta's vids route to their own
+      // assign shards; lanes/seeds/sizes (the fitted params) never move
+      val touched = Clustering.updateSemIndexSharded(spark, base,
+        embOf(input, flags), "vec_id", "embedding")
+      println(s"updated shards: ${touched.mkString(", ")}")
       return
     }
     if (tpe == "ivfpqr-sharded") {
@@ -1047,6 +1127,16 @@ object IndexTool {
             Dedup.loadLshIndex(spark, path),
             num("num-hashes", 28), num("bands", 4), dbl("threshold", 0.6))
           .orderBy(col("new_doc"), col("dup_of"))
+      case "lsh-sharded" =>
+        // per-shard signature rows unioned in one multi-path scan —
+        // equal row set, so the probe reproduces the unsharded serve
+        // bit-for-bit
+        Dedup.incrementalLshPairsIndexed(
+            shingled(docsOf(input, flags), num("shingle-n", 3)),
+            Dedup.loadLshSharded(spark,
+              graft.sinks.ArtifactStore.resolve(spark, path)),
+            num("num-hashes", 28), num("bands", 4), dbl("threshold", 0.6))
+          .orderBy(col("new_doc"), col("dup_of"))
       case "ivf" =>
         // the legacy codebook-only tier re-assigns its corpus (the
         // INPUT) per batch — gate it like the other flat scans
@@ -1168,6 +1258,12 @@ object IndexTool {
             "embedding", Clustering.loadSemIndex(spark, path),
             dbl("threshold", 0.999))
           .orderBy(col("pruned"))
+      case "semdedup-sharded" =>
+        Clustering.semDedupDeltaHier(embOf(input, flags), "vec_id",
+            "embedding", Clustering.loadSemIndexSharded(spark,
+              graft.sinks.ArtifactStore.resolve(spark, path)),
+            dbl("threshold", 0.999))
+          .orderBy(col("pruned"))
       case "decontam" =>
         Similarity.semanticDecontam(embOf(input, flags),
             spark.read.parquet(
@@ -1178,6 +1274,12 @@ object IndexTool {
         Dedup.incrementalCdcMatches(docsOf(input, flags),
             Dedup.loadCdcArtifact(spark, path).rollup, "doc_id", "text",
             num("avg-mask", 32))
+          .orderBy(col("new_doc"))
+      case "cdc-sharded" =>
+        Dedup.incrementalCdcMatches(docsOf(input, flags),
+            Dedup.loadCdcSharded(spark,
+              graft.sinks.ArtifactStore.resolve(spark, path)).rollup,
+            "doc_id", "text", num("avg-mask", 32))
           .orderBy(col("new_doc"))
       case "wordpiece" =>
         encodeTransform(spark, "wordpiece", path, flags)(docsOf(input, flags))
@@ -1277,6 +1379,15 @@ object IndexTool {
             countDistinct(col("band"))).head()
         Seq("signature_rows" -> a.getLong(0), "docs" -> a.getLong(1),
           "bands" -> a.getLong(2))
+      case "lsh-sharded" =>
+        val base = graft.sinks.ArtifactStore.resolve(spark, path)
+        val a = Dedup.loadLshSharded(spark, base)
+          .agg(count(lit(1)), countDistinct(col("id")),
+            countDistinct(col("band"))).head()
+        Seq("shards" ->
+            graft.sinks.ShardedCommit.numShards(spark, base).toLong,
+          "signature_rows" -> a.getLong(0), "docs" -> a.getLong(1),
+          "bands" -> a.getLong(2))
       case "cdc" =>
         // coalesce: sum over an EMPTY artifact is null, and describe is
         // exactly the verb an operator points at a degenerate index
@@ -1285,6 +1396,17 @@ object IndexTool {
           .agg(count(lit(1)),
             coalesce(sum(col("n_occ")), lit(0L)).as("occ")).head()
         Seq("unique_chunks" -> agg.getLong(0),
+          "chunk_occurrences" -> agg.getLong(1),
+          "docs" -> art.chunks.select(col("doc_id")).distinct().count())
+      case "cdc-sharded" =>
+        val base = graft.sinks.ArtifactStore.resolve(spark, path)
+        val art = Dedup.loadCdcSharded(spark, base)
+        val agg = art.rollup
+          .agg(count(lit(1)),
+            coalesce(sum(col("n_occ")), lit(0L)).as("occ")).head()
+        Seq("shards" ->
+            graft.sinks.ShardedCommit.numShards(spark, base).toLong,
+          "unique_chunks" -> agg.getLong(0),
           "chunk_occurrences" -> agg.getLong(1),
           "docs" -> art.chunks.select(col("doc_id")).distinct().count())
       case "bm25" =>
@@ -1429,6 +1551,16 @@ object IndexTool {
           "fine_seeds" -> idx.seeds.count(),
           "assigned_rows" -> idx.assign.count(),
           "fine_clusters" -> idx.sizes.count())
+      case "semdedup-sharded" =>
+        val base = graft.sinks.ArtifactStore.resolve(spark, path)
+        val idx = Clustering.loadSemIndexSharded(spark, base)
+        Seq("shards" ->
+            graft.sinks.ShardedCommit.numShards(spark, base).toLong,
+          "coarse_k" -> idx.coarseK.toLong,
+          "cluster_cap" -> idx.clusterCap,
+          "fine_seeds" -> idx.seeds.count(),
+          "assigned_rows" -> idx.assign.count(),
+          "fine_clusters" -> idx.sizes.count())
       case "bpe" => Seq("merges" -> rows(path))
       case "unigram" => Seq("vocab_pieces" -> rows(path))
       case "wordpiece" =>
@@ -1498,7 +1630,8 @@ object IndexTool {
     * boundaries genuinely change results — use `ivfflat`, whose corpus
     * is the persisted inverted lists. */
   val StreamTypes: Set[String] =
-    Set("lsh", "semdedup", "decontam", "cdc", "bpe", "unigram", "wordpiece",
+    Set("lsh", "lsh-sharded", "semdedup", "semdedup-sharded", "decontam",
+      "cdc", "cdc-sharded", "bpe", "unigram", "wordpiece",
       "ivfflat", "ivfflat-sharded", "ivfpq", "ivfpq-sharded", "pq", "bm25",
       "bm25-sharded", "imi", "sq", "ivfsq", "ivfpqr", "ivfpqr-sharded",
       "hybrid")
@@ -1568,10 +1701,25 @@ object IndexTool {
           Dedup.loadLshIndex(spark, path),
           num("shingle-n", 3), num("num-hashes", 28), num("bands", 4),
           dbl("threshold", 0.6))(sink)
+      case "lsh-sharded" =>
+        // shard union loaded once (one multi-path scan); per-batch
+        // serve == the batch verb
+        graft.streaming.StreamingCells.lshServeStream(
+          docsOf(stream, flags), "doc_id", "text",
+          Dedup.loadLshSharded(spark,
+            graft.sinks.ArtifactStore.resolve(spark, path)),
+          num("shingle-n", 3), num("num-hashes", 28), num("bands", 4),
+          dbl("threshold", 0.6))(sink)
       case "semdedup" =>
         graft.streaming.StreamingCells.semDedupServeStream(
           embOf(stream, flags), "vec_id", "embedding",
           Clustering.loadSemIndex(spark, path),
+          dbl("threshold", 0.999))(sink)
+      case "semdedup-sharded" =>
+        graft.streaming.StreamingCells.semDedupServeStream(
+          embOf(stream, flags), "vec_id", "embedding",
+          Clustering.loadSemIndexSharded(spark,
+            graft.sinks.ArtifactStore.resolve(spark, path)),
           dbl("threshold", 0.999))(sink)
       case "decontam" =>
         graft.streaming.StreamingCells.decontamServeStream(
@@ -1581,6 +1729,14 @@ object IndexTool {
           dbl("threshold", 0.4))(sink)
       case "cdc" =>
         val idx = Dedup.loadCdcArtifact(spark, path).rollup
+        docsOf(stream, flags).writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            sink(Dedup.incrementalCdcMatches(batch, idx, "doc_id", "text",
+              num("avg-mask", 32)), batchId)
+        }
+      case "cdc-sharded" =>
+        val idx = Dedup.loadCdcSharded(spark,
+          graft.sinks.ArtifactStore.resolve(spark, path)).rollup
         docsOf(stream, flags).writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             sink(Dedup.incrementalCdcMatches(batch, idx, "doc_id", "text",

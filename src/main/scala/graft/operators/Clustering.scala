@@ -392,7 +392,20 @@ object Clustering {
   def updateSemIndex(idx: SemIndex, delta: DataFrame,
                      idCol: String, vecCol: String,
                      seedLiteralCap: Int = Similarity.MaxCentroids)
-      : SemIndex = {
+      : SemIndex =
+    idx.copy(assign =
+      idx.assign.select(col("vid"), col("v"), col("nrm"),
+          col("cluster"), col("cell"))
+        .unionByName(
+          checkedDeltaCells(idx, delta, idCol, vecCol, seedLiteralCap)))
+
+  /** [[deltaCells]] plus the add-path loss checks (see
+    * [[updateSemIndex]]'s scaladoc) — shared by the unsharded and
+    * sharded adds so a dropped or replayed delta row fails identically
+    * loudly on both layouts. Returns the persisted assignment rows. */
+  private def checkedDeltaCells(idx: SemIndex, delta: DataFrame,
+                                idCol: String, vecCol: String,
+                                seedLiteralCap: Int): DataFrame = {
     val cells = OperatorCaches.register(
       deltaCells(delta, idCol, vecCol, idx, seedLiteralCap).persist())
     // distinguish the two loss modes: duplicate delta ids (an upstream
@@ -421,10 +434,7 @@ object Clustering {
         s"fine seeds — an empty fit cell). Admitting them without " +
         s"indexing would silently exempt them from every future screen; " +
         s"re-fit with semDedupHierFit on the grown corpus instead")
-    idx.copy(assign =
-      idx.assign.select(col("vid"), col("v"), col("nrm"),
-          col("cluster"), col("cell"))
-        .unionByName(cells))
+    cells
   }
 
   /** REMOVE a vector set from a [[SemIndex]]: anti-join the `assign`
@@ -492,6 +502,125 @@ object Clustering {
       spark.read.parquet(s"$path/sizes"),
       meta.getAs[Int]("coarse_k"), meta.getAs[Long]("cluster_cap"),
       meta.getAs[String]("salt"))
+  }
+
+  // ──────────────────── sharded SemDeDup artifact ────────────────────
+  //
+  // The rewrite-unit fix for the semantic tier: [[updateSemIndex]] is
+  // exact but [[saveSemIndex]] re-persists the corpus-sized `assign`
+  // surface WHOLESALE per delta. Here `assign` shards by `vid mod S`
+  // into independent generational roots; the BOUNDED fitted parameters
+  // (lanes ≤ MaxCentroids, seeds/sizes ∝ n/targetRows, 1-row meta) stay
+  // at the root and never move on an add/remove — exactly the Faiss
+  // train/add split made physical:
+  //
+  //   path/meta/                      (num_shards, coarse_k, cluster_cap, salt)
+  //   path/lanes/ seeds/ sizes/       the fitted parameters (build-time)
+  //   path/shards/<s>/_gen_*/assign/  (vid, v, nrm, cluster, cell), vid mod S == s
+  //
+  // An add rewrites only the shards its vids route to; a REMOVE routes
+  // the same way (vid is the shard key — unlike the doc-tier grids,
+  // removal here touches only the removed ids' own shards). The shard
+  // id derives from vid, so readers load assign as ONE multi-path scan.
+
+  private def vidShard(s: Int): org.apache.spark.sql.Column =
+    pmod(col("vid"), lit(s.toLong)).cast("int")
+
+  private def assignCols(df: DataFrame): DataFrame =
+    df.select(col("vid"), col("v"), col("nrm"), col("cluster"), col("cell"))
+
+  def saveSemIndexSharded(idx: SemIndex, path: String,
+                          numShards: Int): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val spark = idx.lanes.sparkSession
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    idx.lanes.coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
+    idx.seeds.write.mode("overwrite").parquet(s"$path/seeds")
+    idx.sizes.write.mode("overwrite").parquet(s"$path/sizes")
+    import spark.implicits._
+    Seq((numShards, idx.coarseK, idx.clusterCap, idx.salt))
+      .toDF("num_shards", "coarse_k", "cluster_cap", "salt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val assign = assignCols(idx.assign).withColumn("shard", vidShard(numShards))
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(
+      (0 until numShards).map(sh =>
+        sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
+      Seq(ShardedCommit.Surface("assign", assign,
+        () => assign.limit(0).drop("shard"))))))
+  }
+
+  /** Load as a regular [[SemIndex]] — fitted parameters from the root,
+    * `assign` as ONE multi-path scan over the live shard generations —
+    * so every serve path ([[semDedupHierServe]], [[semDedupDeltaHier]])
+    * is shared with the unsharded artifact. */
+  def loadSemIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                          path: String): SemIndex = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    SemIndex(spark.read.parquet(s"$path/lanes"),
+      spark.read.parquet(s"$path/seeds"),
+      spark.read.parquet((0 until n).map(sh =>
+        s"${ArtifactStore.resolve(spark, s"$path/shards/$sh")}/assign"): _*),
+      spark.read.parquet(s"$path/sizes"),
+      meta.getAs[Int]("coarse_k"), meta.getAs[Long]("cluster_cap"),
+      meta.getAs[String]("salt"))
+  }
+
+  /** ADD a delta batch, rewriting ONLY the shards its vids route to.
+    * The assignment chain, the fixed-parameters contract, and the
+    * loss checks are [[updateSemIndex]]'s exactly ([[checkedDeltaCells]]
+    * is shared); only the persistence unit changes. Returns the touched
+    * shard ids. */
+  def updateSemIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                            path: String, delta: DataFrame,
+                            idCol: String, vecCol: String,
+                            seedLiteralCap: Int = Similarity.MaxCentroids)
+      : Seq[Int] = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val idx = loadSemIndexSharded(spark, path)
+    val cells = checkedDeltaCells(idx, delta, idCol, vecCol, seedLiteralCap)
+    val touched = cells.select(vidShard(n).as("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val pinned = touched.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val merged = spark.read.parquet(
+        pinned.map { case (_, (_, _, gen)) => s"$gen/assign" }: _*)
+      .select(col("vid"), col("v"), col("nrm"), col("cluster"), col("cell"))
+      .unionByName(assignCols(cells))
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
+      Seq(ShardedCommit.Surface("assign",
+        merged.withColumn("shard", vidShard(n)),
+        () => merged.limit(0))))))
+    touched
+  }
+
+  /** REMOVE a vector set — vid IS the shard key, so only the removed
+    * ids' own shards are read or rewritten (bounded ≤ min(|ids|, S)
+    * roots; the doc-tier grids can't route removals this tightly). */
+  def removeFromSemIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                                path: String, removedIds: DataFrame)
+      : Seq[Int] = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val ids = OperatorCaches.register(
+      removedIds.select(col("vid")).distinct().persist())
+    val touched = ids.select(vidShard(n).as("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val pinned = touched.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val kept = spark.read.parquet(
+        pinned.map { case (_, (_, _, gen)) => s"$gen/assign" }: _*)
+      .select(col("vid"), col("v"), col("nrm"), col("cluster"), col("cell"))
+      .join(ids, Seq("vid"), "left_anti")
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
+      Seq(ShardedCommit.Surface("assign",
+        kept.withColumn("shard", vidShard(n)),
+        () => kept.limit(0))))))
+    touched
   }
 
   /** The SCALE-OUT twin of the [[graft.plans.GroupedNearestL2]] literal

@@ -461,6 +461,130 @@ object Dedup {
     else tileCensus(remaining, LshBucketCap)
   }
 
+  // ─────────────────────── sharded LSH artifact ───────────────────────
+  //
+  // The rewrite-unit fix for the near-dup tier: [[updateLshIndex]] is
+  // exact but re-persists the unioned signature rows WHOLESALE — at
+  // 100 TB a daily crawl would rewrite the entire banded index. Here
+  // the signature surface shards by BUCKET-KEY hash into independent
+  // generational roots (the [[graft.operators.Retrieval.saveBm25Sharded]]
+  // pattern on the lexical tier):
+  //
+  //   path/meta/                      num_shards (1 row)
+  //   path/shards/<s>/_gen_*/sig/     (id, ghash, band, bkey, cell, nc)
+  //                                   rows with hash(band,bkey) mod S == s
+  //
+  // The shard key is (band, bkey) — the tile census (bucket size → nc,
+  // cell) is per-(band, bkey) state, so a bucket NEVER straddles shards
+  // and the per-shard census re-derivation equals the global one
+  // restricted to those buckets. A delta batch rewrites only the shards
+  // its buckets hash to; all touched roots flip in one all-or-nothing
+  // pointer transaction. The shard id is DERIVABLE from (band, bkey),
+  // so readers load all live shard generations as ONE multi-path scan
+  // and updates recompute routing instead of threading a shard column
+  // through unions.
+
+  private def lshShard(s: Int): Column =
+    pmod(xxhash64(col("band"), col("bkey")), lit(s.toLong)).cast("int")
+
+  private def lshSigCols(df: DataFrame): DataFrame =
+    df.select(col("id"), col("ghash"), col("band"), col("bkey"),
+      col("cell"), col("nc"))
+
+  /** Persist a TILED banded index ([[bandedSignaturesTiled]] /
+    * [[updateLshIndex]] output — the `cell`/`nc` columns are required:
+    * the sharded layout exists for corpora big enough to need the skew
+    * tiles) into the sharded layout, every shard written (empty shards
+    * persisted explicitly so the grid is complete). */
+  def saveLshSharded(index: DataFrame, path: String, numShards: Int): Unit = {
+    val spark = index.sparkSession
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    ShardedCommit.writeMeta(spark, path, numShards)
+    val sig = lshSigCols(index).withColumn("shard", lshShard(numShards))
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(
+      (0 until numShards).map(sh =>
+        sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
+      Seq(ShardedCommit.Surface("sig", sig,
+        () => sig.limit(0).drop("shard"))))))
+  }
+
+  /** Load the sharded banded index: ONE multi-path scan over the live
+    * per-shard generations (the union-of-single-scans planning overhead
+    * is the cost sharding must not add — BASELINE round 17). Output is
+    * exactly [[loadLshIndex]]'s shape, so every serve path is shared. */
+  def loadLshSharded(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    spark.read.parquet((0 until n).map(sh =>
+        s"${ArtifactStore.resolve(spark, s"$path/shards/$sh")}/sig"): _*)
+  }
+
+  /** Fold a DELTA batch's signatures in, rewriting ONLY the shards the
+    * delta's (band, bkey) buckets hash to. Same exactness as
+    * [[updateLshIndex]]: the census re-derives over each touched
+    * shard's unioned rows — admitting rows can push a bucket over
+    * [[LshBucketCap]], and buckets are shard-local, so the per-shard
+    * census equals the global one. Returns the touched shard ids. */
+  def updateLshSharded(spark: org.apache.spark.sql.SparkSession,
+                       path: String, deltaHashed: DataFrame,
+                       numHashes: Int, bands: Int): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val deltaBanded = OperatorCaches.register(
+      bandedSignatures(deltaHashed, numHashes, bands)
+        .withColumn("shard", lshShard(n)).persist())
+    val touched = deltaBanded.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val pinned = touched.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val existing = spark.read.parquet(
+      pinned.map { case (_, (_, _, gen)) => s"$gen/sig" }: _*)
+    val merged = existing
+      .select(col("id"), col("ghash"), col("band"), col("bkey"))
+      .unionByName(deltaBanded
+        .select(col("id"), col("ghash"), col("band"), col("bkey")))
+    val retiled =
+      if (numHashes / bands < 6)
+        merged.withColumn("cell", lit(0)).withColumn("nc", lit(1))
+      else tileCensus(merged, LshBucketCap)
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
+      Seq(ShardedCommit.Surface("sig",
+        lshSigCols(retiled).withColumn("shard", lshShard(n)),
+        () => lshSigCols(retiled).limit(0))))))
+    touched
+  }
+
+  /** REMOVE a doc set. A document's signature rows hash across the
+    * whole bucket grid (one bucket per band, bkey varying), so removal
+    * inherently touches EVERY shard — but each rewrites independently,
+    * bounded, in the one atomic pointer transaction (the
+    * [[graft.operators.Retrieval.removeFromBm25Sharded]] term-grid
+    * economics). Census re-derives per shard over the survivors. */
+  def removeFromLshSharded(spark: org.apache.spark.sql.SparkSession,
+                           path: String, removedIds: DataFrame,
+                           numHashes: Int, bands: Int): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val all = (0 until n).toSeq
+    val pinned = all.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val remaining = spark.read.parquet(
+        pinned.map { case (_, (_, _, gen)) => s"$gen/sig" }: _*)
+      .select(col("id"), col("ghash"), col("band"), col("bkey"))
+      .join(removedIds.select(col("id")).distinct(), Seq("id"), "left_anti")
+    val retiled =
+      if (numHashes / bands < 6)
+        remaining.withColumn("cell", lit(0)).withColumn("nc", lit(1))
+      else tileCensus(remaining, LshBucketCap)
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
+      Seq(ShardedCommit.Surface("sig",
+        lshSigCols(retiled).withColumn("shard", lshShard(n)),
+        () => lshSigCols(retiled).limit(0))))))
+    all
+  }
+
   /** [[incrementalLshPairs]] against an already-built (typically LOADED)
     * corpus-side banded index: the serve path recomputes NO corpus
     * signatures — each batch pays only its own banding plus the
@@ -1108,6 +1232,132 @@ object Dedup {
         rollup.select(col("first_doc").as("doc_id"), col("h")).limit(0),
         rollup, legacy = true)
     }
+  }
+
+  // ─────────────────────── sharded CDC artifact ───────────────────────
+  //
+  // Same rewrite-unit economics as the sharded LSH/BM25 layouts, on the
+  // chunk tier: both surfaces shard by CHUNK HASH into independent
+  // generational roots —
+  //
+  //   path/meta/                        num_shards (1 row)
+  //   path/shards/<s>/_gen_*/chunks/    (doc_id, h) occurrence rows
+  //   path/shards/<s>/_gen_*/rollup/    (h, first_doc, n_occ)
+  //
+  // chunks and rollup ride the SAME h-shard and swap together inside
+  // one generation (the cells+codes co-swap lesson: a chunk occurrence
+  // whose rollup row is in another generation would silently desync the
+  // serve join from the removal surface). `h` determines the shard, so
+  // per-shard rollup merges equal the global groupBy-h merge, and
+  // readers load each surface as ONE multi-path scan.
+
+  private def cdcShard(s: Int): Column =
+    pmod(xxhash64(col("h")), lit(s.toLong)).cast("int")
+
+  def saveCdcSharded(idx: CdcArtifact, path: String, numShards: Int): Unit = {
+    require(!idx.legacy, "legacy rollup-only cdc artifact: rebuild with " +
+      "index-build --type=cdc-sharded before sharding")
+    val spark = idx.rollup.sparkSession
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    ShardedCommit.writeMeta(spark, path, numShards)
+    val chunks = idx.chunks.select(col("doc_id"), col("h"))
+      .withColumn("shard", cdcShard(numShards))
+    val rollup = idx.rollup.select(col("h"), col("first_doc"), col("n_occ"))
+      .withColumn("shard", cdcShard(numShards))
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(
+      (0 until numShards).map(sh =>
+        sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
+      Seq(ShardedCommit.Surface("chunks", chunks,
+          () => chunks.limit(0).drop("shard")),
+        ShardedCommit.Surface("rollup", rollup,
+          () => rollup.limit(0).drop("shard"))))))
+  }
+
+  /** Load as a regular [[CdcArtifact]] — one multi-path scan per
+    * surface, so every serve/screen path is shared with the unsharded
+    * artifact. */
+  def loadCdcSharded(spark: org.apache.spark.sql.SparkSession,
+                     path: String): CdcArtifact = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val bases = (0 until n).map(sh =>
+      ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+    CdcArtifact(
+      spark.read.parquet(bases.map(b => s"$b/chunks"): _*)
+        .select(col("doc_id"), col("h")),
+      spark.read.parquet(bases.map(b => s"$b/rollup"): _*)
+        .select(col("h"), col("first_doc"), col("n_occ")))
+  }
+
+  /** Fold a DELTA batch's chunks in, rewriting ONLY the shards the
+    * delta's chunk hashes route to. Exactness as [[updateCdcArtifact]]:
+    * occurrence union + min/sum rollup merge — a chunk hash's rollup
+    * rows live only in its own shard, so the per-shard merge equals the
+    * global one. Same NEW-doc_ids contract. Returns touched shards. */
+  def updateCdcSharded(spark: org.apache.spark.sql.SparkSession,
+                       path: String, delta: DataFrame, idCol: String,
+                       textCol: String, avgMask: Int): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val deltaChunks = OperatorCaches.register(
+      cdcChunks(delta, idCol, textCol, avgMask)
+        .select(col("id").as("doc_id"), col("h"))
+        .withColumn("shard", cdcShard(n)).persist())
+    val touched = deltaChunks.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val pinned = touched.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val existChunks = spark.read.parquet(
+        pinned.map { case (_, (_, _, gen)) => s"$gen/chunks" }: _*)
+      .select(col("doc_id"), col("h"))
+    val existRollup = spark.read.parquet(
+        pinned.map { case (_, (_, _, gen)) => s"$gen/rollup" }: _*)
+      .select(col("h"), col("first_doc"), col("n_occ"))
+    val newChunks = existChunks
+      .unionByName(deltaChunks.select(col("doc_id"), col("h")))
+    val newRollup = existRollup.unionByName(
+        deltaChunks.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("first_doc"),
+            count(lit(1)).as("n_occ")))
+      .groupBy(col("h"))
+      .agg(min(col("first_doc")).as("first_doc"),
+        sum(col("n_occ")).as("n_occ"))
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
+      Seq(ShardedCommit.Surface("chunks",
+          newChunks.withColumn("shard", cdcShard(n)),
+          () => newChunks.limit(0)),
+        ShardedCommit.Surface("rollup",
+          newRollup.withColumn("shard", cdcShard(n)),
+          () => newRollup.limit(0))))))
+    touched
+  }
+
+  /** REMOVE a doc set. A document's chunks hash across the whole shard
+    * grid, so removal touches every shard (the sharded-LSH/BM25 remove
+    * economics); each shard's rollup re-derives from its surviving
+    * occurrences, all flipping in one pointer transaction. */
+  def removeFromCdcSharded(spark: org.apache.spark.sql.SparkSession,
+                           path: String, removedIds: DataFrame): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val all = (0 until n).toSeq
+    val pinned = all.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val kept = spark.read.parquet(
+        pinned.map { case (_, (_, _, gen)) => s"$gen/chunks" }: _*)
+      .select(col("doc_id"), col("h"))
+      .join(removedIds.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_anti")
+    val rollup = kept.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_occ"))
+    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
+      Seq(ShardedCommit.Surface("chunks",
+          kept.withColumn("shard", cdcShard(n)), () => kept.limit(0)),
+        ShardedCommit.Surface("rollup",
+          rollup.withColumn("shard", cdcShard(n)),
+          () => rollup.limit(0))))))
+    all
   }
 
   /** Chunk-level screen of a DELTA batch against a built/loaded chunk

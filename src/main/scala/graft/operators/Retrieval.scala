@@ -166,15 +166,13 @@ object Retrieval {
     pmod(col("doc_id"), lit(s.toLong)).cast("int")
 
   def shardedNumShards(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getInt(0)
+    graft.sinks.ShardedCommit.numShards(spark, path)
 
   def saveBm25Sharded(index: Bm25Index, path: String,
                       numShards: Int): Unit = {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = index.postings.sparkSession
-    import spark.implicits._
-    Seq(numShards).toDF("num_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sinks.ShardedCommit.writeMeta(spark, path, numShards)
     import graft.sinks.ArtifactStore
     commitBm25Shards(spark, path,
       (0 until numShards).map(sh =>
@@ -316,12 +314,11 @@ object Retrieval {
     dTouched
   }
 
-  /** Shared staging/commit tail of the sharded-BM25 writers: one
-    * partitioned write per surface, per-shard renames assembling each
-    * generation (postings+docfreq together per term shard; doclen per
-    * doc shard; the 1-row stats in its own root), explicit empty
-    * surfaces where a shard ends up with no rows, then the
-    * all-or-nothing multi-root pointer commit. */
+  /** Shared staging/commit tail of the sharded-BM25 writers — the
+    * [[graft.sinks.ShardedCommit]] choreography (extracted there when
+    * the LSH/CDC/SemDeDup tiers adopted the layout): postings+docfreq
+    * swap together per term shard, doclen per doc shard, the 1-row
+    * stats as a singleton root, one all-or-nothing pointer commit. */
   private def commitBm25Shards(
       spark: SparkSession, path: String,
       termShards: Seq[(Int, (String, Option[String], String))],
@@ -329,52 +326,15 @@ object Retrieval {
       docShards: Seq[(Int, (String, Option[String], String))],
       doclen: DataFrame,
       stats: Option[(DataFrame, (String, Option[String], String))]): Unit = {
-    import graft.sinks.ArtifactStore
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val stages = Seq(s"$path/__postings_stage_$tag",
-      s"$path/__docfreq_stage_$tag", s"$path/__doclen_stage_$tag")
-    try {
-      postings.repartition(col("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(stages(0))
-      docfreq.repartition(col("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(stages(1))
-      doclen.repartition(col("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(stages(2))
-      def stageInto(gen: String, stage: String, sh: Int, name: String,
-                    empty: => DataFrame): Unit = {
-        val src = new org.apache.hadoop.fs.Path(s"$stage/shard=$sh")
-        if (fs.exists(src))
-          require(fs.rename(src,
-              new org.apache.hadoop.fs.Path(s"$gen/$name")),
-            s"sharded bm25: cannot stage $src as $gen/$name")
-        else
-          empty.coalesce(1).write.mode("overwrite").parquet(s"$gen/$name")
-      }
-      val commits = scala.collection.mutable.ArrayBuffer
-        .empty[(String, String, Option[String])]
-      termShards.foreach { case (sh, (root, loaded, _)) =>
-        val gen = ArtifactStore.newGenDir(spark, root, loaded)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(gen))
-        stageInto(gen, stages(0), sh, "postings", postings.limit(0).drop("shard"))
-        stageInto(gen, stages(1), sh, "docfreq", docfreq.limit(0).drop("shard"))
-        commits += ((root, gen, loaded))
-      }
-      docShards.foreach { case (sh, (root, loaded, _)) =>
-        val gen = ArtifactStore.newGenDir(spark, root, loaded)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(gen))
-        stageInto(gen, stages(2), sh, "doclen", doclen.limit(0).drop("shard"))
-        commits += ((root, gen, loaded))
-      }
-      stats.foreach { case (df, (root, loaded, _)) =>
-        val gen = ArtifactStore.newGenDir(spark, root, loaded)
-        df.coalesce(1).write.mode("overwrite").parquet(gen)
-        commits += ((root, gen, loaded))
-      }
-      ArtifactStore.commitGenAll(spark, path, commits.toSeq)
-    } finally stages.foreach(s =>
-      fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    import graft.sinks.ShardedCommit.{Family, Surface}
+    graft.sinks.ShardedCommit.commit(spark, path,
+      Seq(
+        Family(termShards, Seq(
+          Surface("postings", postings, () => postings.limit(0).drop("shard")),
+          Surface("docfreq", docfreq, () => docfreq.limit(0).drop("shard")))),
+        Family(docShards, Seq(
+          Surface("doclen", doclen, () => doclen.limit(0).drop("shard"))))),
+      stats.toSeq)
   }
 
   /** Rank the whole corpus for each query in `queryTerms` (q_id, term) —

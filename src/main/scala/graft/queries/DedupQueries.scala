@@ -1009,6 +1009,61 @@ object DedupQueries {
   }
   lazy val q155_sql: String = incrementalLshSql(Seq(DeltaSources(1)))
 
+  // ── q191: SHARDED LSH artifact — the rewrite-unit fix for the
+  // near-dup tier (the q186 bm25-sharded pattern): the banded-signature
+  // surface splits by (band, bkey) hash into independent generational
+  // roots, so the week-1 fold rewrites ONLY the shards its buckets
+  // route to (one all-or-nothing multi-root pointer commit;
+  // Dedup.updateLshSharded) instead of re-persisting the whole index —
+  // q155's lifecycle on the sharded layout. Signature row set equals
+  // the unsharded artifact's, so the week-2 screen reproduces q155
+  // exactly: the oracle IS q155's SQL. CLI:
+  // index-build/serve/update/remove --type=lsh-sharded. ─────────────────
+  val q191_lsh_sharded_update: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val hashed = Tables.documents(s, d).select($"doc_id".as("id"), $"source",
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf($"text"), ShingleN, 7)).as("ghash"))
+    val path = QueryTmp.dir("lshsharded", d)
+    Dedup.saveLshSharded(
+      Dedup.bandedSignaturesTiled(
+        hashed.filter(!$"source".isin(DeltaSources: _*)).drop("source"),
+        lshK(s, d), MinHashBands),
+      path, numShards = 4)
+    Dedup.updateLshSharded(s, path,
+      hashed.filter($"source" === DeltaSources.head).drop("source"),
+      lshK(s, d), MinHashBands)
+    Dedup.incrementalLshPairsIndexed(
+        hashed.filter($"source" === DeltaSources(1)).drop("source"),
+        Dedup.loadLshSharded(s, path),
+        lshK(s, d), MinHashBands, JaccardThreshold)
+      .orderBy($"new_doc", $"dup_of")
+  }
+
+  // ── q192: SHARDED CDC artifact — the same rewrite-unit economics on
+  // the chunk tier: occurrences + rollup shard by CHUNK HASH and
+  // co-swap per shard generation, the arriving slice's fold rewriting
+  // only its routed shards (Dedup.updateCdcSharded) — q154's lifecycle
+  // on the sharded layout. Per-shard min/sum rollup merges equal the
+  // global one (h determines the shard), so the updated rollup equals
+  // the full-corpus build exactly: the oracle IS q154's SQL. CLI:
+  // index-build/serve/update/remove --type=cdc-sharded. ─────────────────
+  val q192_cdc_sharded_update: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val path = QueryTmp.dir("cdcsharded", d)
+    Dedup.saveCdcSharded(
+      Dedup.buildCdcArtifact(docs.filter($"doc_id" % 10 =!= 0),
+        "doc_id", "text", CdcMask),
+      path, numShards = 4)
+    Dedup.updateCdcSharded(s, path, docs.filter($"doc_id" % 10 === 0),
+      "doc_id", "text", CdcMask)
+    Dedup.loadCdcSharded(s, path).rollup
+      .select($"h", $"first_doc", $"n_occ")
+      .orderBy($"h")
+  }
+
   // ── q164: LSH index REMOVE — right-to-be-forgotten on the dedup
   // screen: a deleted document must stop matching future probes, which
   // q155's append-only update can never deliver. Build the banded index
@@ -1098,6 +1153,8 @@ object DedupQueries {
     "q155_lsh_index_update" -> q155_lsh_index_update,
     "q164_lsh_index_remove" -> q164_lsh_index_remove,
     "q165_cdc_index_remove" -> q165_cdc_index_remove,
+    "q191_lsh_sharded_update" -> q191_lsh_sharded_update,
+    "q192_cdc_sharded_update" -> q192_cdc_sharded_update,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -1123,5 +1180,8 @@ object DedupQueries {
     "q155_lsh_index_update" -> q155_sql,
     "q164_lsh_index_remove" -> q164_sql,
     "q165_cdc_index_remove" -> q165_sql,
+    // sharded-layout lifecycles must hash-reproduce the unsharded ones
+    "q191_lsh_sharded_update" -> q155_sql,
+    "q192_cdc_sharded_update" -> q154_sql,
   )
 }

@@ -1680,6 +1680,39 @@ object VectorQueries {
         CosineDupThreshold)
       .orderBy($"pruned")
   }
+
+  // ── q193: SHARDED SemDeDup artifact — the rewrite-unit fix for the
+  // semantic tier (the q186/q191/q192 pattern): the corpus-sized assign
+  // surface shards by `vid mod S` into independent generational roots
+  // while the BOUNDED fitted parameters (lanes/seeds/sizes) stay at the
+  // root, so the week-1 fold rewrites ONLY the assign shards its vids
+  // route to (Clustering.updateSemIndexSharded — lanes/seeds/sizes
+  // never move, the Faiss train/add split made physical) — q158's
+  // lifecycle on the sharded layout. Assign row set equals the
+  // unsharded artifact's, so the week-2 screen reproduces q158 exactly:
+  // the oracle IS q158's SQL. CLI: index-build/serve/update/remove
+  // --type=semdedup-sharded. ────────────────────────────────────────────
+  val q193_semdedup_sharded_update: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(!$"label".isin(SemDeltaLabels: _*))
+    val bits = Similarity.bitsFor(corpus.count(), SemTargetClusterRows, 20)
+    val coarseK = 1 << math.min(HierMaxCoarseBits, (bits + 1) / 2)
+    val path = QueryTmp.dir("semsharded", d)
+    graft.operators.Clustering.saveSemIndexSharded(
+      graft.operators.Clustering.semDedupHierFit(corpus, "vec_id",
+        "embedding", coarseK, SemTargetClusterRows, SemIters, "semdedup-hd",
+        clusterCap = SemClusterCap, maxFinePerCell = HierMaxFinePerCell),
+      path, numShards = 4)
+    graft.operators.Clustering.updateSemIndexSharded(s, path,
+      emb.filter($"label" === SemDeltaLabels.head), "vec_id", "embedding")
+    graft.operators.Clustering
+      .semDedupDeltaHier(emb.filter($"label" === SemDeltaLabels(1)),
+        "vec_id", "embedding",
+        graft.operators.Clustering.loadSemIndexSharded(s, path),
+        CosineDupThreshold)
+      .orderBy($"pruned")
+  }
   lazy val q158_sql: String = {
     val cos = sqlCosineFromNorms("x.v", "y.v", "x.nrm", "y.nrm", Dim)
     val deltaList = SemDeltaLabels.mkString(", ")
@@ -2459,6 +2492,7 @@ object VectorQueries {
     "q189_ivfpqr_shard_update" -> q189_ivfpqr_shard_update,
     "q190_ivfpqr_filtered" -> q190_ivfpqr_filtered,
     "q158_semdedup_index_update" -> q158_semdedup_index_update,
+    "q193_semdedup_sharded_update" -> q193_semdedup_sharded_update,
     "q159_pq_index_update" -> q159_pq_index_update,
     "q160_ivfpq_index_persist" -> q160_ivfpq_index_persist,
     "q161_ivfpq_index_update" -> q161_ivfpq_index_update,
@@ -2522,6 +2556,8 @@ object VectorQueries {
     // filtered residual serve: q172's chain, label-restricted candidates
     "q190_ivfpqr_filtered" -> q190_sql,
     "q158_semdedup_index_update" -> q158_sql,
+    // sharded-layout lifecycle must hash-reproduce the unsharded one
+    "q193_semdedup_sharded_update" -> q158_sql,
     "q159_pq_index_update" -> q159_sql,
     // serve-from-the-composed-compressed-artifact must reproduce q94
     "q160_ivfpq_index_persist" -> q94_sql,

@@ -1,0 +1,121 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The shared staging/commit machinery of every SHARDED artifact — the
+  * 100 TB rewrite-unit layout (reference anchor: one file set per
+  * locality group, `KM/output/framework/KijiHFileOutputFormat.java:122-186`,
+  * generalized to per-shard generational roots): a corpus-sized surface
+  * splits into S independent roots `path/<family>/<s>/_gen_*`, a delta
+  * rewrites only the shards it routes to, and ALL touched roots flip in
+  * one all-or-nothing pointer transaction ([[ArtifactStore.commitGenAll]]
+  * under the artifact-base claim).
+  *
+  * First extracted from the BM25 tier (`Retrieval.commitBm25Shards`,
+  * round 17) when the doc-tier dedup artifacts (LSH banded index, CDC
+  * chunk index, SemDeDup assign surface) adopted the same layout — the
+  * commit choreography is identical across tiers and MUST stay so (the
+  * staging-grace, empty-surface, and co-swap contracts are easy to get
+  * subtly wrong three times):
+  *
+  *  1. every surface stages as ONE `partitionBy("shard")` job (never a
+  *     write per shard — S jobs of planning overhead for one job's I/O);
+  *  2. each shard's staged partition directories RENAME into that
+  *     shard's fresh generation — surfaces sharing a family swap
+  *     TOGETHER inside one generation (the cells+codes lesson: a row in
+  *     one surface whose sibling rows are in another generation is a
+  *     silent-drop hazard);
+  *  3. a shard with no staged rows gets an EXPLICIT schema-bearing
+  *     empty surface, so later readers/updates never hit a missing
+  *     directory (and schema discovery survives a rowless shard);
+  *  4. [[ArtifactStore.commitGenAll]] verifies every CAS precondition
+  *     before ANY pointer flips — a lost race aborts with the delta
+  *     unapplied EVERYWHERE.
+  */
+object ShardedCommit {
+
+  /** [[ArtifactStore.pinGen]]'s result: (root, loaded pointer — the CAS
+    * expectation, resolved directory reads planned against). */
+  type Pin = (String, Option[String], String)
+
+  /** One shard-keyed surface: `df` must carry an int `shard` column
+    * routing each row; `empty` supplies the schema-bearing zero-row
+    * frame written where a shard has no staged rows. */
+  final case class Surface(name: String, df: DataFrame,
+                           empty: () => DataFrame)
+
+  /** A family of shard roots swapping the same surfaces together:
+    * every `(shardId, pin)` gets one fresh generation holding one
+    * directory per surface. */
+  final case class Family(shards: Seq[(Int, Pin)], surfaces: Seq[Surface])
+
+  /** The 1-row shard-grid descriptor every sharded artifact writes at
+    * `path/meta` (grid size is a build-time constant: routing hashes
+    * mod it, so it can never change without a rebuild). */
+  def writeMeta(spark: SparkSession, path: String, numShards: Int): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    import spark.implicits._
+    Seq(numShards).toDF("num_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def numShards(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta")
+      .select(org.apache.spark.sql.functions.col("num_shards"))
+      .head().getInt(0)
+
+  /** Stage every family's surfaces, assemble per-shard generations, and
+    * flip all pointers in one transaction. `singletons` are bounded
+    * rollup roots (e.g. BM25's 1-row stats) committing in the same
+    * transaction as single-file generations. */
+  def commit(spark: SparkSession, path: String,
+             families: Seq[Family],
+             singletons: Seq[(DataFrame, Pin)] = Nil): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staged: Seq[(Family, Seq[(Surface, String)])] =
+      families.zipWithIndex.map { case (fam, fi) =>
+        fam -> fam.surfaces.zipWithIndex.map { case (surf, si) =>
+          surf -> s"$path/__stage_${tag}_${fi}_${si}_${surf.name}"
+        }
+      }
+    try {
+      staged.foreach { case (_, surfs) =>
+        surfs.foreach { case (surf, stage) =>
+          surf.df.repartition(org.apache.spark.sql.functions.col("shard"))
+            .write.mode("overwrite").partitionBy("shard").parquet(stage)
+        }
+      }
+      val commits = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[String])]
+      staged.foreach { case (fam, surfs) =>
+        fam.shards.foreach { case (sh, (root, loaded, _)) =>
+          val gen = ArtifactStore.newGenDir(spark, root, loaded)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(gen))
+          surfs.foreach { case (surf, stage) =>
+            val src = new org.apache.hadoop.fs.Path(s"$stage/shard=$sh")
+            if (fs.exists(src))
+              require(fs.rename(src,
+                  new org.apache.hadoop.fs.Path(s"$gen/${surf.name}")),
+                s"sharded commit: cannot stage $src as $gen/${surf.name}")
+            else
+              surf.empty().coalesce(1).write.mode("overwrite")
+                .parquet(s"$gen/${surf.name}")
+          }
+          commits += ((root, gen, loaded))
+        }
+      }
+      singletons.foreach { case (df, (root, loaded, _)) =>
+        val gen = ArtifactStore.newGenDir(spark, root, loaded)
+        df.coalesce(1).write.mode("overwrite").parquet(gen)
+        commits += ((root, gen, loaded))
+      }
+      ArtifactStore.commitGenAll(spark, path, commits.toSeq)
+    } finally staged.foreach { case (_, surfs) =>
+      surfs.foreach { case (_, stage) =>
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      }
+    }
+  }
+}

@@ -1144,7 +1144,7 @@ class ToolSpec extends SparkSpec {
       (21L, "row batch filter merge")).toDF("doc_id", "text")
     probe.write.parquet(s"$base/probe")
     (IndexTool.UpdateTypes -- Set("ivfflat", "ivfflat-sharded", "semdedup",
-        "pq", "ivfpq", "ivfpq-sharded", "ivfpqr-sharded",
+        "semdedup-sharded", "pq", "ivfpq", "ivfpq-sharded", "ivfpqr-sharded",
         "imi", "sq", "ivfsq", "ivfpqr")) // vector-typed tiers have their own fixtures below / in the imi, sq, and sharded tests
       .toSeq.sorted.foreach { tpe =>
       val upd = s"$base/$tpe-upd"
@@ -2512,5 +2512,250 @@ class ToolSpec extends SparkSpec {
         .status == "SUCCEEDED")
       assert(spark.read.parquet(s"$base/ok-$tpe").count() > 0)
     }
+  }
+
+  test("CLI sharded LSH tier: build/serve/update/remove/describe; a delta rewrites only its bucket shards") {
+    import spark.implicits._
+    val base = tmpDir("idxlshsharded")
+    val corpus = Seq(
+      (0L, "spark join hash table scan batch"),
+      (1L, "row batch filter merge stage"),
+      (2L, "slow order vector line agg"),
+      (3L, "group part sort query plan"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$base/corpus")
+    val single = s"$base/single"
+    val sharded = s"$base/sharded"
+    assert(Tool.run(spark, Array("index-build", "--type=lsh",
+      s"--path=$single", s"--input=format=parquet file=$base/corpus",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=lsh-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/corpus",
+      "--shingle-n=2", "--shards=8")).status == "SUCCEEDED")
+    val probe = Seq((20L, "spark join hash table scan batch"),
+      (21L, "completely novel content here today")).toDF("doc_id", "text")
+    probe.write.parquet(s"$base/probe")
+    def serveOf(tpe: String, p: String, tag: String): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$p", s"--input=format=parquet file=$base/probe",
+        s"--output=format=parquet file=$out", "--shingle-n=2",
+        "--threshold=0.5")).status == "SUCCEEDED")
+      spark.read.parquet(out).drop("batch").orderBy("new_doc", "dup_of")
+        .collect().map(_.toSeq).toSeq
+    }
+    // shard-unioned signature set == single-artifact set, via the CLI
+    val singleServe = serveOf("lsh", single, "single")
+    assert(singleServe.nonEmpty)
+    assert(serveOf("lsh-sharded", sharded, "sh") == singleServe)
+    // an update rewrites ONLY the shards the delta's (band, bkey)
+    // buckets hash to; the rest hold their generations
+    val delta = Seq((10L, "completely novel content here today"))
+      .toDF("doc_id", "text")
+    delta.write.parquet(s"$base/delta")
+    val shardedRoot = graft.sinks.ArtifactStore.resolve(spark, sharded)
+    def genOf(sh: Int) = graft.sinks.ArtifactStore.currentGen(
+      spark, s"$shardedRoot/shards/$sh")
+    val before = (0 until 8).map(genOf)
+    // expected touched shards, by the artifact's own routing
+    val expected = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      graft.operators.Dedup.bandedSignatures(
+          delta.select($"doc_id".as("id"),
+            columnOf(graft.plans.WordShingleHashes(
+              expressionOf($"text"), 2, 7)).as("ghash")), 28, 4)
+        .select(pmod(xxhash64($"band", $"bkey"), lit(8L)).cast("int").as("sh"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    }
+    assert(expected.nonEmpty && expected.size < 8,
+      s"fixture must touch a strict subset of shards: $expected")
+    assert(Tool.run(spark, Array("index-update", "--type=lsh-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    (0 until 8).foreach { sh =>
+      if (expected.contains(sh))
+        assert(genOf(sh) != before(sh), s"shard $sh must advance")
+      else assert(genOf(sh) == before(sh), s"shard $sh must hold")
+    }
+    // updated == full rebuild on the union; the probe's near-copy of
+    // delta doc 10 only matches through the folded-in delta
+    corpus.unionByName(delta).write.parquet(s"$base/full")
+    val full = s"$base/full-idx"
+    assert(Tool.run(spark, Array("index-build", "--type=lsh",
+      s"--path=$full", s"--input=format=parquet file=$base/full",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    val upd = serveOf("lsh-sharded", sharded, "sh-upd")
+    assert(upd == serveOf("lsh", full, "full"))
+    assert(upd.exists(_.contains(10L)), s"delta doc invisible: $upd")
+    val d = Tool.run(spark, Array("index-describe", "--type=lsh-sharded",
+      s"--path=$sharded"))
+    assert(d.counters("shards") == 8L && d.counters("docs") == 5L,
+      d.counters.toString)
+    // streamed serve == batch serve
+    val streamOut = s"$base/stream-out"
+    assert(Tool.run(spark, Array("index-serve", "--type=lsh-sharded",
+      "--stream=true", s"--path=$sharded",
+      s"--input=format=parquet file=$base/probe",
+      s"--output=format=parquet file=$streamOut", "--shingle-n=2",
+      "--threshold=0.5")).status == "SUCCEEDED")
+    assert(spark.read.parquet(streamOut).drop("batch")
+        .orderBy("new_doc", "dup_of").collect().map(_.toSeq).toSeq ==
+      serveOf("lsh-sharded", sharded, "sh2"))
+    // REMOVE: the deleted doc stops matching — back to the pre-update
+    // serve exactly (remove == rebuild on the remaining corpus)
+    assert(Tool.run(spark, Array("index-remove", "--type=lsh-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    assert(serveOf("lsh-sharded", sharded, "postrm") == singleServe)
+  }
+
+  test("CLI sharded CDC tier: build/serve/update/remove/describe; a delta rewrites only its chunk-hash shards") {
+    import spark.implicits._
+    val base = tmpDir("idxcdcsharded")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "pack my box with five dozen liquor jugs for the long trip"),
+      (2L, "how vexingly quick daft zebras jump over fences at night"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$base/corpus")
+    val single = s"$base/single"
+    val sharded = s"$base/sharded"
+    assert(Tool.run(spark, Array("index-build", "--type=cdc",
+      s"--path=$single", s"--input=format=parquet file=$base/corpus",
+      "--avg-mask=8")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=cdc-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/corpus",
+      "--avg-mask=8", "--shards=8")).status == "SUCCEEDED")
+    val probe = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    probe.write.parquet(s"$base/probe")
+    def serveOf(tpe: String, p: String, tag: String): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$p", s"--input=format=parquet file=$base/probe",
+        s"--output=format=parquet file=$out", "--avg-mask=8"))
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).drop("batch").orderBy("new_doc")
+        .collect().map(_.toSeq).toSeq
+    }
+    val singleServe = serveOf("cdc", single, "single")
+    assert(singleServe.nonEmpty)
+    assert(serveOf("cdc-sharded", sharded, "sh") == singleServe)
+    // a SHORT delta doc (under the rolling window: one chunk) routes to
+    // exactly one chunk-hash shard; the other seven hold
+    val delta = Seq((10L, "zzz qqq")).toDF("doc_id", "text")
+    delta.write.parquet(s"$base/delta")
+    val shardedRoot = graft.sinks.ArtifactStore.resolve(spark, sharded)
+    def genOf(sh: Int) = graft.sinks.ArtifactStore.currentGen(
+      spark, s"$shardedRoot/shards/$sh")
+    val before = (0 until 8).map(genOf)
+    val expected = {
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      graft.operators.Dedup.cdcChunks(delta, "doc_id", "text", 8)
+        .select(pmod(xxhash64($"h"), lit(8L)).cast("int").as("sh"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    }
+    assert(expected.size == 1, s"one-chunk fixture: $expected")
+    assert(Tool.run(spark, Array("index-update", "--type=cdc-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta",
+      "--avg-mask=8")).status == "SUCCEEDED")
+    (0 until 8).foreach { sh =>
+      if (expected.contains(sh))
+        assert(genOf(sh) != before(sh), s"shard $sh must advance")
+      else assert(genOf(sh) == before(sh), s"shard $sh must hold")
+    }
+    // updated == full rebuild on the union
+    corpus.unionByName(delta).write.parquet(s"$base/full")
+    val full = s"$base/full-idx"
+    assert(Tool.run(spark, Array("index-build", "--type=cdc",
+      s"--path=$full", s"--input=format=parquet file=$base/full",
+      "--avg-mask=8")).status == "SUCCEEDED")
+    assert(serveOf("cdc-sharded", sharded, "sh-upd") ==
+      serveOf("cdc", full, "full"))
+    val d = Tool.run(spark, Array("index-describe", "--type=cdc-sharded",
+      s"--path=$sharded"))
+    assert(d.counters("shards") == 8L && d.counters("docs") == 4L,
+      d.counters.toString)
+    // REMOVE: back to the pre-update serve exactly
+    assert(Tool.run(spark, Array("index-remove", "--type=cdc-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/delta"))
+      .status == "SUCCEEDED")
+    assert(serveOf("cdc-sharded", sharded, "postrm") == singleServe)
+    val d2 = Tool.run(spark, Array("index-describe", "--type=cdc-sharded",
+      s"--path=$sharded"))
+    assert(d2.counters("docs") == 3L, d2.counters.toString)
+  }
+
+  test("CLI sharded SemDeDup tier: build/serve/update/remove; adds and removes rewrite only their vid shards") {
+    import spark.implicits._
+    val base = tmpDir("idxsemsharded")
+    def emb(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // axes 0 and 1 only — axis 2 stays free for the week-1/2 deltas, so
+    // the week-2 copy can ONLY prune against the folded week-1 row
+    val corpus = emb((0 until 12).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + i * 0.01f
+      (i.toLong, v.toSeq)
+    })
+    corpus.write.parquet(s"$base/cemb")
+    val single = s"$base/single"
+    val sharded = s"$base/sharded"
+    val buildFlags = Seq("--coarse-k=2", "--target-rows=4", "--cluster-cap=64")
+    assert(Tool.run(spark, Array("index-build", "--type=semdedup",
+      s"--path=$single", s"--input=format=parquet file=$base/cemb")
+      ++ buildFlags).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=semdedup-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/cemb",
+      "--shards=4") ++ buildFlags).status == "SUCCEEDED")
+    // week-1 delta vec 300 (axis 2), week-2 probe 400 = its near-copy
+    emb(Seq((300L, Seq(0f, 0f, 10.3f, 0f)))).write.parquet(s"$base/w1emb")
+    emb(Seq((400L, Seq(0f, 0f, 10.31f, 0f)))).write.parquet(s"$base/w2emb")
+    def serveOf(tpe: String, p: String, tag: String): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$p", s"--input=format=parquet file=$base/w2emb",
+        s"--output=format=parquet file=$out", "--threshold=0.9"))
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).drop("batch").orderBy("pruned")
+        .collect().map(_.toSeq).toSeq
+    }
+    // serve parity before any update (the delta screen over the same fit
+    // corpus; seeds/lanes are deterministic, so outputs match exactly)
+    assert(serveOf("semdedup-sharded", sharded, "sh") ==
+      serveOf("semdedup", single, "single"))
+    val shardedRoot = graft.sinks.ArtifactStore.resolve(spark, sharded)
+    def genOf(sh: Int) = graft.sinks.ArtifactStore.currentGen(
+      spark, s"$shardedRoot/shards/$sh")
+    val before = (0 until 4).map(genOf)
+    // vid 300 mod 4 == 0: only assign shard 0 rewrites on the add
+    assert(Tool.run(spark, Array("index-update", "--type=semdedup-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/w1emb"))
+      .status == "SUCCEEDED")
+    (0 until 4).foreach { sh =>
+      if (sh == 0) assert(genOf(sh) != before(sh), "shard 0 must advance")
+      else assert(genOf(sh) == before(sh), s"shard $sh must hold")
+    }
+    // the week-2 near-copy now prunes against its week-1 keeper
+    val after = serveOf("semdedup-sharded", sharded, "sh-upd")
+    assert(after.exists(r => r(1) == 400L && r(2) == 300L),
+      s"week-2 copy must prune against the folded week-1 row: $after")
+    // REMOVE routes by vid too: only shard 0 rewrites, and the pair
+    // disappears (right-to-be-forgotten on the semantic tier)
+    val beforeRm = (0 until 4).map(genOf)
+    assert(Tool.run(spark, Array("index-remove", "--type=semdedup-sharded",
+      s"--path=$sharded", s"--input=format=parquet file=$base/w1emb"))
+      .status == "SUCCEEDED")
+    (0 until 4).foreach { sh =>
+      if (sh == 0) assert(genOf(sh) != beforeRm(sh), "shard 0 must advance")
+      else assert(genOf(sh) == beforeRm(sh), s"shard $sh must hold")
+    }
+    assert(!serveOf("semdedup-sharded", sharded, "postrm")
+      .exists(_.contains(400L)))
+    val d = Tool.run(spark, Array("index-describe",
+      "--type=semdedup-sharded", s"--path=$sharded"))
+    assert(d.counters("shards") == 4L && d.counters("assigned_rows") == 12L,
+      d.counters.toString)
   }
 }
