@@ -505,19 +505,92 @@ object IndexTool {
     * the root pointer CAS. Rebuild == fresh build over the same vectors
     * with the same (centroids, iters, salt) — bit-identical (q-verified),
     * so a drifted index snaps back to the fresh-build contract. */
-  val RebuildTypes: Set[String] = Set("ivfflat", "ivfflat-sharded", "imi")
+  val RebuildTypes: Set[String] =
+    Set("ivfflat", "ivfflat-sharded", "imi", "ivfpq-sharded",
+      "ivfpqr-sharded")
 
   def rebuild(spark: SparkSession, tpe: String, path: String,
-              flags: Map[String, String]): Map[String, Long] = {
+              flags: Map[String, String],
+              input: Option[DataFrame] = None): Map[String, Long] = {
     require(RebuildTypes(tpe),
       s"index-rebuild supports --type=${RebuildTypes.toSeq.sorted.mkString("|")} " +
-        s"only (got '$tpe'); tiers with fitted PQ/SQ sub-codebooks (ivfpq|" +
-        s"ivfpq-sharded|ivfpqr|ivfpqr-sharded|ivfsq) re-fit from the raw " +
-        s"corpus — run index-build")
+        s"only (got '$tpe'); the remaining compressed tiers (ivfpq|ivfpqr|" +
+        s"sq|ivfsq|pq) have no sharded generation history to preserve — " +
+        s"run index-build on the corpus")
     def num(k: String, dflt: Int): Int = flags.get(k).map(_.toInt).getOrElse(dflt)
     import graft.sinks.ArtifactStore
     val loadedGen = ArtifactStore.currentGen(spark, path)
     val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
+    if (tpe == "ivfpq-sharded" || tpe == "ivfpqr-sharded") {
+      // The long-lived PRODUCTION compressed artifacts: drift accumulates
+      // on exactly these, and pointing the operator at index-build would
+      // discard the generation history and the shard grid. PQ/SQ
+      // sub-codebooks quantize RAW vectors, which the codes surface
+      // cannot reproduce — so unlike the ivfflat/imi rebuilds (which
+      // retrain from their own exact postings), this one re-supplies the
+      // corpus via --input, re-fits coarse + PQ, and re-persists a
+      // complete sharded layout into the SAME root under one root CAS
+      // (grid preserved, displaced generation retained for readers).
+      val corpus = input.getOrElse(throw new IllegalArgumentException(
+        s"index-rebuild --type=$tpe needs --input=<corpus spec>: the PQ " +
+          s"sub-codebooks quantize raw vectors, which the compressed " +
+          s"codes cannot reproduce — re-supply the corpus the artifact " +
+          s"indexes (the ivfflat/imi rebuilds retrain from their own " +
+          s"exact postings and take no --input)"))
+      val (cells, coarseLanes) =
+        if (tpe == "ivfpq-sharded") {
+          val idx = Clustering.loadIvfPqSharded(spark, base)
+          (idx.cells, idx.coarseLanes)
+        } else {
+          val idx = Clustering.loadIvfPqrSharded(spark, base)
+          (idx.cells, idx.coarseLanes)
+        }
+      val skew = Clustering.postingsOccupancySkew(cells)
+      val minSkew = flags.get("min-skew").map(_.toDouble).getOrElse(0.0)
+      require(skew >= minSkew || flags.get("force").contains("true"),
+        f"index-rebuild --type=$tpe: occupancy skew $skew%.2f is below " +
+          f"--min-skew=$minSkew%.2f — the codebooks do not need a " +
+          f"retrain yet (watch index-describe's occupancy_skew_x100), " +
+          f"or pass --force=true")
+      // GUARD: a stale corpus would silently DROP every indexed vector
+      // it lacks (the rebuild replaces the surfaces wholesale) — refuse
+      // when the artifact holds ids the supplied corpus does not. Extra
+      // corpus ids are fine: rebuilding onto a grown corpus is the
+      // grow-the-index path. One column-pruned anti-join, never
+      // collected past the 6-row message sample.
+      if (!flags.get("skip-corpus-check").exists(_.toBoolean)) {
+        val missing = existingIds(spark, tpe, base).distinct()
+          .join(embOf(corpus, flags).select(col("vec_id").as("id"))
+            .distinct(), Seq("id"), "left_anti")
+          .limit(6).collect().map(_.getLong(0))
+        require(missing.isEmpty,
+          s"index-rebuild --type=$tpe: the artifact holds vector id(s) " +
+            s"the supplied --input corpus lacks " +
+            s"(${missing.take(5).mkString(", ")}" +
+            s"${if (missing.length > 5) ", …" else ""}) — rebuilding " +
+            s"would silently drop them (a stale corpus snapshot?). " +
+            s"Supply the full corpus, index-remove the ids first, or " +
+            s"pass --skip-corpus-check=true")
+      }
+      // defaults from the LIVE artifact, so an omitted flag can never
+      // silently reshape the index: grid size from the shard meta,
+      // centroid count from the trained coarse codebook, attribute
+      // columns from the cells surface
+      val defaults = Map(
+        "shards" -> Clustering.shardedNumShards(spark, base).toString,
+        "centroids" -> coarseLanes.select(col("cluster")).distinct()
+          .count().toString,
+        "attr-cols" -> cells.columns.toSeq
+          .filterNot(Set("n_id", "c_id")).mkString(","))
+        .filter { case (_, v) => v.nonEmpty }
+      val effective = defaults ++ flags
+      val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
+      buildInto(spark, tpe, corpus, staging, effective)
+      ArtifactStore.commitGen(spark, path, staging, loadedGen)
+      return Map("skew_x100_before" -> (skew * 100).toLong,
+        "centroids" -> effective("centroids").toLong,
+        "shards" -> effective("shards").toLong)
+    }
     if (tpe == "imi") {
       // both half-codebooks retrain from the postings' exact scaled
       // vector halves — the same drift repair, two-level
@@ -931,6 +1004,46 @@ object IndexTool {
     else Clustering.loadIvfPqIndex(spark, path)
   }
 
+  /** Opt-out id-parity precheck for the COMPOSITE serves (`--rerank-from`
+    * two-stage search, `--type=hybrid` fusion): they read two
+    * independently updated artifacts, and a one-sided update degrades
+    * SILENTLY — the missing leg contributes nothing for the orphaned
+    * ids. `index-describe --pair` detects this, but only when an
+    * operator runs it; the composite serves therefore precheck at
+    * artifact-load time (once per invocation, never per batch). Cost:
+    * two column-pruned id scans + two anti-join counts. `--parity=warn`
+    * (default) names the drift and serves anyway — a serve racing an
+    * in-flight two-artifact update is LEGITIMATELY one-sided for the
+    * update's commit window, and refusing would turn the documented
+    * serve∥update concurrency into spurious failures; `--parity=refuse`
+    * escalates to a hard error (scheduled pipelines that must not emit
+    * degraded rankings); `--parity=skip` avoids the scans. */
+  private def parityPrecheck(flags: Map[String, String], what: String,
+                             hereName: String, here: DataFrame,
+                             thereName: String, there: DataFrame): Unit =
+    flags.getOrElse("parity", "warn") match {
+      case "skip" => ()
+      case mode @ ("warn" | "refuse") =>
+        val h = here.distinct()
+        val t = there.distinct()
+        val onlyHere = h.join(t, Seq("id"), "left_anti").count()
+        val onlyThere = t.join(h, Seq("id"), "left_anti").count()
+        if (onlyHere + onlyThere > 0) {
+          val msg = s"$what reads two independently updated artifacts " +
+            s"that are OUT OF SYNC: $onlyHere id(s) only in $hereName, " +
+            s"$onlyThere only in $thereName — one-sided ids degrade " +
+            s"silently (the missing leg contributes nothing). Fold the " +
+            s"missing delta into the lagging artifact (index-update) or " +
+            s"index-remove the orphans (index-describe --pair lists " +
+            s"counts); --parity=skip serves without the check, " +
+            s"--parity=refuse makes this a hard error"
+          if (mode == "refuse") throw new IllegalStateException(msg)
+          else println(s"WARNING: $msg")
+        }
+      case other => throw new IllegalArgumentException(
+        s"--parity=$other: expected warn|refuse|skip")
+    }
+
   /** The compressed-tier (ADC) serve dispatch shared by the `ivfpq` and
     * `ivfpq-sharded` verbs: plain pruned-cell ADC, optionally
     * pre-filtered on a cells-surface attribute
@@ -959,8 +1072,15 @@ object IndexTool {
     }
     flags.get("rerank-from") match {
       case Some(flatPath) =>
-        Clustering.serveIvfPqRerank(idx,
-          loadFlatAuto(spark, flatPath).postings,
+        val postings = loadFlatAuto(spark, flatPath).postings
+        // parity on the UNFILTERED id sets: a --filter-col restriction
+        // is per-serve intent, not artifact drift
+        parityPrecheck(flags, "the two-stage rerank serve",
+          "the ADC artifact (--path)",
+          idx0.cells.select(col("n_id").as("id")),
+          s"the raw-vector artifact (--rerank-from=$flatPath)",
+          postings.select(col("n_id").as("id")))
+        Clustering.serveIvfPqRerank(idx, postings,
           emb, "vec_id", "embedding", num("dim", 64), num("m", 8),
           num("max-query-id", 20).toLong, num("nprobe", 2),
           num("rerank-pool", 6), num("topk", 3))
@@ -1010,8 +1130,13 @@ object IndexTool {
     }
     flags.get("rerank-from") match {
       case Some(flatPath) =>
-        Clustering.serveIvfPqrRerank(idx,
-          loadFlatAuto(spark, flatPath).postings,
+        val postings = loadFlatAuto(spark, flatPath).postings
+        parityPrecheck(flags, "the two-stage residual rerank serve",
+          "the residual-ADC artifact (--path)",
+          idx0.cells.select(col("n_id").as("id")),
+          s"the raw-vector artifact (--rerank-from=$flatPath)",
+          postings.select(col("n_id").as("id")))
+        Clustering.serveIvfPqrRerank(idx, postings,
           emb, "vec_id", "embedding", num("dim", 64), num("m", 8),
           num("max-query-id", 20).toLong, num("nprobe", 2),
           num("rerank-pool", 6), num("topk", 3))
@@ -1050,6 +1175,11 @@ object IndexTool {
       flags.getOrElse("dense-type", "ivfflat") match {
         case "ivfflat" =>
           val flatIdx = loadFlatAuto(spark, densePath)
+          parityPrecheck(flags, "the hybrid serve",
+            "the bm25 artifact (--path)",
+            bmIdx.doclen.select(col("doc_id").as("id")),
+            s"the dense artifact (--dense-path=$densePath)",
+            flatIdx.postings.select(col("n_id").as("id")))
           val pred = flags.get("filter-col").map { c =>
             require(flatIdx.postings.columns.contains(c),
               s"--filter-col=$c: the dense postings carry no '$c' " +
@@ -1089,6 +1219,16 @@ object IndexTool {
                 "supplying raw vectors for the exact rerank of the ADC " +
                 "shortlist (build both tiers from one coarse fit)"))
           val postings = loadFlatAuto(spark, rerankFrom).postings
+          parityPrecheck(flags, "the hybrid serve",
+            "the bm25 artifact (--path)",
+            bmIdx.doclen.select(col("doc_id").as("id")),
+            s"the dense artifact (--dense-path=$densePath)",
+            pqIdx0.cells.select(col("n_id").as("id")))
+          parityPrecheck(flags, "the hybrid serve's dense leg",
+            s"the ADC artifact (--dense-path=$densePath)",
+            pqIdx0.cells.select(col("n_id").as("id")),
+            s"the raw-vector artifact (--rerank-from=$rerankFrom)",
+            postings.select(col("n_id").as("id")))
           qemb => Clustering.serveIvfPqRerank(pqIdx, postings, qemb,
             "vec_id", "embedding", num("dim", 64), num("m", 8), maxQ,
             num("nprobe", 2), num("rerank-pool", pool), pool)

@@ -102,8 +102,15 @@ object Tool {
         val p = new org.apache.hadoop.fs.Path(
           graft.sinks.ArtifactStore.resolve(spark, tablePath))
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val grouped = fs.exists(p) && fs.listStatus(p).exists(s =>
-          s.isDirectory && s.getPath.getName.startsWith("lg="))
+        def hasLgDirs(dir: org.apache.hadoop.fs.Path) =
+          fs.exists(dir) && fs.listStatus(dir).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("lg="))
+        // a BUCKETED grouped table keeps its lg=* file sets INSIDE the
+        // bucket generations (uniform across buckets — bucket 0's live
+        // generation is a complete witness)
+        val grouped = hasLgDirs(p) || hasLgDirs(
+          new org.apache.hadoop.fs.Path(graft.sinks.ArtifactStore.resolve(
+            spark, s"$tablePath/_buckets/0")))
         require(!grouped,
           s"refusing to compact '$tablePath': the table is locality-grouped " +
             "(lg=* file sets) and no --layout was supplied; compacting " +
@@ -215,8 +222,11 @@ object Tool {
       }
       if (verb == "index-rebuild") {
         // describe-driven drift repair: retrain the coarse codebook
-        // from the index's own postings + CAS swap (IndexTool.rebuild)
-        val counters = IndexTool.rebuild(spark, tpe, path, flags)
+        // from the index's own postings + CAS swap (IndexTool.rebuild).
+        // The compressed sharded tiers re-fit from a re-supplied corpus
+        // (--input) — their codes cannot reproduce the raw vectors.
+        val counters = IndexTool.rebuild(spark, tpe, path, flags,
+          flags.get("input").map(i => Formats.read(spark, i)))
         val result = JobResult(java.util.UUID.randomUUID().toString,
           flags.getOrElse("name", s"index-rebuild-$tpe"), start,
           System.currentTimeMillis(), "SUCCEEDED", counters, None)
@@ -415,14 +425,26 @@ object Tool {
       // `format=hfile`: the bulk-load path (HFileMapReduceJobOutput +
       // HFileLoader) — range-partitioned total-order staged write, atomic
       // commit. With layout=, locality groups/compression/validation apply.
+      // With buckets=B, the table loads into the KEY-BUCKETED layout
+      // (EntityTable.bulkLoadBucketed — xxhash64(entity_id) mod B roots):
+      // later folds (appendChanges → compact) rewrite only the buckets
+      // their delta routes to, the 100 TB table rewrite-unit fix, now
+      // reachable without writing Scala.
       case "hfile" =>
-        kv.get("layout") match {
-          case Some(lj) =>
+        val layout = kv.get("layout").map(graft.table.LayoutJson.parseFile)
+        kv.get("buckets").map(_.toInt) match {
+          case Some(b) =>
             new graft.table.EntityTable(df.sparkSession, table,
-              graft.table.LayoutJson.parseFile(lj))
-              .bulkLoad(cellShaped, splits.getOrElse(32))
-          case None =>
-            graft.jobs.Jobs.bulkCommit(cellShaped, table, splits.getOrElse(32))
+              layout.getOrElse(graft.table.TableLayout(table, Seq.empty)))
+              .bulkLoadBucketed(cellShaped, b, splits.getOrElse(32))
+          case None => layout match {
+            case Some(l) =>
+              new graft.table.EntityTable(df.sparkSession, table, l)
+                .bulkLoad(cellShaped, splits.getOrElse(32))
+            case None =>
+              graft.jobs.Jobs.bulkCommit(cellShaped, table,
+                splits.getOrElse(32))
+          }
         }
       case other => throw new IllegalArgumentException(s"unknown output format '$other'")
     }
@@ -468,8 +490,12 @@ object Tool {
       |       (artifact surfaces + sizes; run around an index-update.
       |        --pair checks id-set parity against the second artifact a
       |        hybrid/rerank serve reads — one-sided ids degrade silently)
-      |   | graft.Tool index-rebuild --type=<ivfflat|ivfflat-sharded> --path=<dir>
+      |   | graft.Tool index-rebuild --type=<REBUILDTYPES> --path=<dir>
       |       [--centroids=N --iters=N --min-skew=R --force=true]
+      |       [--input="format=..."  (ivfpq-sharded|ivfpqr-sharded: corpus
+      |        re-supply — coarse + PQ re-fit in the SAME root/shard grid
+      |        under one root CAS; --skip-corpus-check=true waives the
+      |        stale-corpus id guard)]
       |   | graft.Tool index-gc --path=<dir> [--all=true|false] [--grace-ms=N]
       |       (sweep non-live generations left by crashed writers;
       |        keeps the retained displaced generation unless --all;
@@ -481,7 +507,9 @@ object Tool {
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]
       |           [asof=<feedTs> | asofordinal=<batchN>]"
       |  --output="format=<parquet|text|csv|json|seq|avro|avrokv|map> file=... [splits=N]"
-      |         | "format=<kiji|hfile> table=<path> [layout=<layout.json>] [splits=N]"
+      |         | "format=<kiji|hfile> table=<path> [layout=<layout.json>] [splits=N]
+      |            [buckets=B  (hfile: load the KEY-BUCKETED layout — later
+      |             compact folds rewrite only the buckets a delta routes to)]"
       |  [--kvstores=<bindings.xml>] [--name=<job>] [--history=<dir>]""".stripMargin
       .replace("<TYPES>", s"<${IndexTool.Types.toSeq.sorted.mkString("|")}>")
       .replace("STREAMTYPES",
@@ -490,4 +518,6 @@ object Tool {
         s"<${IndexTool.UpdateTypes.toSeq.sorted.mkString("|")}>")
       .replace("<REMOVETYPES>",
         s"<${IndexTool.RemoveTypes.toSeq.sorted.mkString("|")}>")
+      .replace("<REBUILDTYPES>",
+        s"<${IndexTool.RebuildTypes.toSeq.sorted.mkString("|")}>")
 }

@@ -1372,6 +1372,70 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q194: COMPRESSED-tier rebuild — the drift repair for the
+  // long-lived production artifact (q185's story on ivfpq-sharded):
+  // build the sharded compressed index on a slice, drift it with an
+  // update (codebooks frozen on a shrunken fit), then REBUILD from the
+  // re-supplied full corpus through the CLI verb's path
+  // (IndexTool.rebuild --input): coarse + PQ re-fit, a complete sharded
+  // layout re-persisted into the SAME root under one root CAS — grid
+  // and generation history preserved, which index-build to a fresh
+  // path would discard. Rebuild == fresh full-corpus sharded build
+  // bit-for-bit, and q182 pins THAT against q94: the oracle IS q94's
+  // SQL. CLI: index-rebuild --type=ivfpq-sharded --input=... ───────────
+  val q194_ivfpq_sharded_rebuild: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqshreb", d)
+    graft.operators.Clustering.saveIvfPqSharded(
+      graft.operators.Clustering.buildIvfPqIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.updateIvfPqSharded(s, path,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding", Dim, PqM)
+    graft.IndexTool.rebuild(s, "ivfpq-sharded", path,
+      Map("dim" -> Dim.toString, "m" -> PqM.toString, "k" -> PqK.toString,
+        "iters" -> PqIters.toString,
+        "centroids" -> (1 << ivfBits(s, d)).toString, "force" -> "true"),
+      Some(emb))
+    graft.operators.Clustering.serveIvfPq(
+        graft.operators.Clustering.loadIvfPqSharded(s,
+          graft.sinks.ArtifactStore.resolve(s, path)),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe, PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ── q195: the same rebuild on the RESIDUAL tier (ivfpqr-sharded) —
+  // residual codebooks quantize v − centroid(cell), so a drifted coarse
+  // fit degrades them TWICE (wrong cells and wrong residual geometry);
+  // the corpus re-supply re-fits both. Rebuild == fresh full-corpus
+  // sharded residual build, and q188 pins that against q172: the
+  // oracle IS q172's SQL. ──────────────────────────────────────────────
+  val q195_ivfpqr_sharded_rebuild: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val path = QueryTmp.dir("ivfpqrshreb", d)
+    graft.operators.Clustering.saveIvfPqrSharded(
+      graft.operators.Clustering.buildIvfPqrIndex(
+        emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        Dim, PqM, PqK, PqIters, 1 << ivfBits(s, d)),
+      path, numShards = 4)
+    graft.operators.Clustering.updateIvfPqrSharded(s, path,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding", Dim, PqM)
+    graft.IndexTool.rebuild(s, "ivfpqr-sharded", path,
+      Map("dim" -> Dim.toString, "m" -> PqM.toString, "k" -> PqK.toString,
+        "iters" -> PqIters.toString,
+        "centroids" -> (1 << ivfBits(s, d)).toString, "force" -> "true"),
+      Some(emb))
+    graft.operators.Clustering.serveIvfPqr(
+        graft.operators.Clustering.loadIvfPqrSharded(s,
+          graft.sinks.ArtifactStore.resolve(s, path)),
+        emb, "vec_id", "embedding", Dim, PqM, MaxQueryId, IvfNprobe,
+        PqTopK)
+      .orderBy($"q_id", $"rank")
+  }
+
   // ── q166: the inverted MULTI-index (IMI) — the two-level coarse
   // quantizer that holds the cell count on the √n ladder while the FIT
   // cost stops tracking it: each vector half trains its own small
@@ -2488,6 +2552,8 @@ object VectorQueries {
     "q183_ivfpq_shard_update" -> q183_ivfpq_shard_update,
     "q184_ivfflat_sharded_filtered" -> q184_ivfflat_sharded_filtered,
     "q185_ivfflat_sharded_rebuild" -> q185_ivfflat_sharded_rebuild,
+    "q194_ivfpq_sharded_rebuild" -> q194_ivfpq_sharded_rebuild,
+    "q195_ivfpqr_sharded_rebuild" -> q195_ivfpqr_sharded_rebuild,
     "q188_ivfpqr_sharded" -> q188_ivfpqr_sharded,
     "q189_ivfpqr_shard_update" -> q189_ivfpqr_shard_update,
     "q190_ivfpqr_filtered" -> q190_ivfpqr_filtered,
@@ -2549,6 +2615,9 @@ object VectorQueries {
     "q184_ivfflat_sharded_filtered" -> q177_sql,
     // sharded rebuild == fresh build over the union (the q178 contract)
     "q185_ivfflat_sharded_rebuild" -> q45_sql,
+    // rebuild == fresh full-corpus sharded build, which q182/q188 pin
+    "q194_ivfpq_sharded_rebuild" -> q94_sql,
+    "q195_ivfpqr_sharded_rebuild" -> q172_sql,
     // shard-merged residual-ADC serve must reproduce q172 exactly
     "q188_ivfpqr_sharded" -> q172_sql,
     // sharded residual add == fresh assignment+encode of the union

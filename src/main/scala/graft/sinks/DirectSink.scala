@@ -28,10 +28,29 @@ object DirectSink {
     * Spark's parquet committer publishes complete files or nothing.
     * Appends land INSIDE the live generation of a generational table
     * (resolved per call), or at the root of a legacy/fresh flat table —
-    * either way readers see the union immediately. */
-  def append(cells: DataFrame, tablePath: String): Unit =
-    cells.write.mode("append").parquet(
-      ArtifactStore.resolve(cells.sparkSession, tablePath))
+    * either way readers see the union immediately.
+    *
+    * A BUCKETED table ([[graft.table.EntityTable.bulkLoadBucketed]] —
+    * `_numbuckets` marker in the live root generation) holds NO data in
+    * the root generation: a file appended there would be INVISIBLE to
+    * the bucket-manifest read, silently dropping the puts. Those appends
+    * route through the merge-on-read change feed instead — read-identical
+    * (newest ts wins at read time, exactly like the direct union), and
+    * the next fold rewrites only the buckets the puts route to. */
+  def append(cells: DataFrame, tablePath: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = cells.sparkSession
+    val resolved = ArtifactStore.resolve(spark, tablePath)
+    val marker = new org.apache.hadoop.fs.Path(resolved, "_numbuckets")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      new graft.table.EntityTable(spark, tablePath,
+        graft.table.TableLayout(tablePath, Seq.empty))
+        .appendChanges(cells.select(col("entity_id"), col("family"),
+          col("qualifier"), lit("put").as("op"), col("ts"), col("value")))
+    else
+      cells.write.mode("append").parquet(resolved)
+  }
 
   /** Compact a direct-written table back to bulk-load order (reads the
     * live generation, commits a new one via the pointer CAS). */

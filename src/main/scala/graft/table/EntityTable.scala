@@ -200,8 +200,23 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
         // staging-side partition dir, consumed by the rename), so the
         // whole grid loads as ONE multi-path scan — never a B-way union
         // of single scans, whose per-branch listing/planning overhead
-        // grows with B (the sharded-loader lesson, BASELINE round 17)
-        spark.read.parquet(bucketBasesIn(dir, n): _*)
+        // grows with B (the sharded-loader lesson, BASELINE round 17).
+        // A GROUPED bucketed table's bases hold lg=<group> file sets;
+        // the scan is handed the LEAF directories (B×G paths, one
+        // bounded listStatus per bucket) — cross-root partition
+        // inference over lg dirs would otherwise fail with a
+        // conflicting-directory-structures error, and the lg column is
+        // layout metadata readers never see anyway
+        val leaves = bucketBasesIn(dir, n).flatMap { b =>
+          val p = new org.apache.hadoop.fs.Path(b)
+          val lgs =
+            if (!hadoopFs.exists(p)) Seq.empty
+            else hadoopFs.listStatus(p).toSeq.filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("lg=")).map(_.getPath.toString)
+          if (lgs.isEmpty) Seq(b) else lgs
+        }
+        val df = spark.read.parquet(leaves: _*)
+        if (df.columns.contains("lg")) df.drop("lg") else df
       case None =>
         val df = spark.read.parquet(dir)
         if (df.columns.contains("lg")) df.drop("lg") else df
@@ -279,13 +294,6 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
   def bulkLoadBucketed(newCells: DataFrame, numBuckets: Int,
                        numPartitions: Int = 32): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
-    val grouped = layout.localityGroups.size > 1 ||
-      layout.families.exists(f => f.localityGroup != "default" ||
-        f.compression != "snappy" || f.inMemory)
-    require(!grouped,
-      s"bulkLoadBucketed: table '${layout.name}' declares locality " +
-        s"groups / storage knobs — bucket roots and group-split file " +
-        s"sets do not compose; use bulkLoad for grouped layouts")
     // shrinking the grid would leave stale bucket roots readers never
     // open but nothing sweeps — refuse rather than leak
     val bRoot = new org.apache.hadoop.fs.Path(s"$path/_buckets")
@@ -311,7 +319,17 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * markers + `_numbuckets` + the `_bucket_gens` manifest (touched
     * buckets at their NEW generations, untouched at their current
     * ones), then ONE all-or-nothing pointer commit across the root and
-    * every touched bucket. */
+    * every touched bucket.
+    *
+    * LOCALITY GROUPS compose: a grouped layout stages one
+    * `partitionBy(bucket)` write PER GROUP (the per-group compression
+    * codec is a write-level option, so groups cannot share a job —
+    * same economics as the flat grouped [[bulkLoad]]), and each bucket
+    * generation holds one `lg=<group>` file set per group — the
+    * reference's per-locality-group file sets composed with the
+    * per-region split, as HFiles do. Readers union the bucket bases
+    * and drop the discovered `lg` partition column; every fold keeps
+    * rewriting only touched buckets, now G write jobs instead of one. */
   private def foldBuckets(newCells: DataFrame, touched: Seq[Int],
                           numBuckets: Int, numPartitions: Int,
                           extraFiles: Map[String, String]): Unit = {
@@ -323,25 +341,67 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       s"$path/__buckets_stage_${java.util.UUID.randomUUID().toString.take(8)}"
     val sortCols = Seq(col("bucket"), col("entity_id"), col("family"),
       col("qualifier"), col("ts").desc)
+    val groups = layout.localityGroups
+    val grouped = groups.size > 1 ||
+      layout.families.exists(f => f.localityGroup != "default" ||
+        f.compression != "snappy" || f.inMemory)
     try {
-      newCells.withColumn("bucket", bucketOf(numBuckets))
-        .repartitionByRange(numPartitions, col("bucket"), col("entity_id"))
-        .sortWithinPartitions(sortCols: _*)
-        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      if (!grouped)
+        newCells.withColumn("bucket", bucketOf(numBuckets))
+          .repartitionByRange(numPartitions, col("bucket"), col("entity_id"))
+          .sortWithinPartitions(sortCols: _*)
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$staging/flat")
+      else {
+        val lgFor = layout.families.foldLeft(lit("default")) { (acc, f) =>
+          when(col("family") === f.name, lit(f.localityGroup)).otherwise(acc)
+        }
+        val tagged = newCells.withColumn("lg", lgFor)
+          .withColumn("bucket", bucketOf(numBuckets))
+        groups.foreach { case (g, fams) =>
+          tagged.filter(col("lg") === g).drop("lg")
+            .repartitionByRange(numPartitions, col("bucket"),
+              col("entity_id"))
+            .sortWithinPartitions(sortCols: _*)
+            .write.mode("overwrite")
+            .option("compression", fams.head.compression)
+            .partitionBy("bucket").parquet(s"$staging/g_$g")
+        }
+      }
       val commits =
         scala.collection.mutable.ArrayBuffer.empty[(String, String, Option[String])]
       val newGenName = scala.collection.mutable.Map.empty[Int, String]
       touched.foreach { b =>
         val (root, loaded, _) = pins(b)
         val gen = ArtifactStore.newGenDir(spark, root, loaded)
-        val src = new org.apache.hadoop.fs.Path(s"$staging/bucket=$b")
-        if (hadoopFs.exists(src)) {
-          hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(root))
-          require(hadoopFs.rename(src, new org.apache.hadoop.fs.Path(gen)),
-            s"bucketed fold: cannot stage $src as generation $gen")
-        } else // the fold emptied (or never filled) this bucket
-          newCells.limit(0)
-            .coalesce(1).write.mode("overwrite").parquet(gen)
+        if (!grouped) {
+          val src = new org.apache.hadoop.fs.Path(s"$staging/flat/bucket=$b")
+          if (hadoopFs.exists(src)) {
+            hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(root))
+            require(hadoopFs.rename(src, new org.apache.hadoop.fs.Path(gen)),
+              s"bucketed fold: cannot stage $src as generation $gen")
+          } else // the fold emptied (or never filled) this bucket
+            newCells.limit(0)
+              .coalesce(1).write.mode("overwrite").parquet(gen)
+        } else {
+          // every group's slice of this bucket rides the SAME bucket
+          // generation (co-swap); a bucket with no rows in any group
+          // still writes one empty group file set, so the multi-path
+          // reader's partition discovery stays uniform across bases
+          hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(gen))
+          var wrote = false
+          groups.foreach { case (g, _) =>
+            val src = new org.apache.hadoop.fs.Path(s"$staging/g_$g/bucket=$b")
+            if (hadoopFs.exists(src)) {
+              require(hadoopFs.rename(src,
+                  new org.apache.hadoop.fs.Path(s"$gen/lg=$g")),
+                s"bucketed fold: cannot stage $src as $gen/lg=$g")
+              wrote = true
+            }
+          }
+          if (!wrote)
+            newCells.limit(0).coalesce(1).write.mode("overwrite")
+              .parquet(s"$gen/lg=${groups.head._1}")
+        }
         newGenName(b) = new org.apache.hadoop.fs.Path(gen).getName
         commits += ((root, gen, loaded))
       }
@@ -997,7 +1057,8 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
         if (touched.isEmpty) return // nothing to fold anywhere
         val base = bucketBasesIn(dir, n).zipWithIndex
           .collect { case (p, b) if touched.contains(b) =>
-            spark.read.parquet(p) }
+            val df = spark.read.parquet(p)
+            if (df.columns.contains("lg")) df.drop("lg") else df }
           .reduce(_ unionByName _)
         val merged =
           if (hasPendingChangesIn(dir))

@@ -2758,4 +2758,208 @@ class ToolSpec extends SparkSpec {
     assert(d.counters("shards") == 4L && d.counters("assigned_rows") == 12L,
       d.counters.toString)
   }
+
+  test("CLI bucketed table lifecycle: hfile buckets= loads the bucketed layout; format=kiji routes through the feed; compact folds it") {
+    import spark.implicits._
+    val base = tmpDir("clibucketed")
+    val layoutJson =
+      """{"name": "bkt_src", "keys_format": {"encoding": "RAW"},
+        | "locality_groups": [{"name": "default",
+        |   "compression_type": "SNAPPY", "families": [{"name": "f"}]}]}"""
+        .stripMargin
+    val layoutFile = s"$base/layout.json"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(layoutFile), layoutJson)
+    import org.apache.spark.sql.functions.lit
+    def stage(dir: String, rows: Seq[(Long, Double)], ts: Long): Unit =
+      new graft.table.EntityTable(spark, dir,
+        graft.table.LayoutJson.parse(layoutJson)).bulkLoad(
+        rows.toDF("entity_id", "value").select($"entity_id",
+          lit("f").as("family"), lit("v").as("qualifier"),
+          lit(ts).as("ts"), $"value"), numPartitions = 4)
+    val src = s"$base/src"
+    val deltaSrc = s"$base/delta"
+    val dst = s"$base/dst"
+    stage(src, (0 until 20).map(i => (i.toLong, i * 1.0)), 0L)
+    stage(deltaSrc, Seq((3L, 300.0), (7L, 700.0)), 1L)
+    // CLI bucketed bulk-load through a pivot job's hfile output
+    assert(Tool.run(spark, Array("pivot",
+      "--pivoter=graft.queries.CliCellPivoter",
+      s"--input=format=kiji table=$src layout=$layoutFile",
+      s"--output=format=hfile table=$dst splits=4 buckets=4"))
+      .status == "SUCCEEDED")
+    val table = new graft.table.EntityTable(spark, dst,
+      graft.table.TableLayout(dst, Seq.empty))
+    def vals: Map[Long, Double] = graft.sources.Formats
+      .read(spark, s"format=kiji table=$dst")
+      .select($"entity_id", $"value".cast("double")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals(3L) == 3.0 && vals.size == 20)
+    // format=kiji on the BUCKETED table routes through the change feed
+    // (a root-generation file would be invisible to the manifest read)
+    assert(Tool.run(spark, Array("pivot",
+      "--pivoter=graft.queries.CliCellPivoter",
+      s"--input=format=kiji table=$deltaSrc layout=$layoutFile",
+      s"--output=format=kiji table=$dst")).status == "SUCCEEDED")
+    assert(table.hasPendingChanges,
+      "bucketed direct write must land in the merge-on-read feed")
+    assert(vals(3L) == 300.0 && vals(7L) == 700.0 && vals.size == 20,
+      s"feed-routed puts invisible: $vals")
+    // compact folds the feed into the routed bucket generations
+    assert(Tool.run(spark, Array("compact", s"--table=$dst",
+      "--splits=4")).status == "SUCCEEDED")
+    assert(!table.hasPendingChanges, "compact must clear the feed")
+    assert(vals(3L) == 300.0 && vals(7L) == 700.0 && vals.size == 20)
+    // the bucketed layout survives the fold
+    val resolved = graft.sinks.ArtifactStore.resolve(spark, dst)
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(resolved, "_numbuckets")),
+      "compact must keep the bucketed layout")
+  }
+
+  test("CLI index-rebuild on the compressed sharded tiers: corpus re-supply re-fits in place; guards refuse a missing or stale corpus") {
+    import spark.implicits._
+    val base = tmpDir("idxpqrebuild")
+    def emb(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val all = emb((0 until 24).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v.toSeq)
+    })
+    val slice = all.filter($"vec_id" % 10 =!= 0)
+    val delta = all.filter($"vec_id" % 10 === 0)
+    all.write.parquet(s"$base/all")
+    slice.write.parquet(s"$base/slice")
+    delta.write.parquet(s"$base/delta")
+    val buildFlags = Seq("--dim=4", "--m=2", "--k=2", "--centroids=3",
+      "--shards=4")
+    val drifted = s"$base/drifted"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq-sharded",
+      s"--path=$drifted", s"--input=format=parquet file=$base/slice")
+      ++ buildFlags).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-update", "--type=ivfpq-sharded",
+      s"--path=$drifted", s"--input=format=parquet file=$base/delta",
+      "--dim=4", "--m=2")).status == "SUCCEEDED")
+    val fresh = s"$base/fresh"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq-sharded",
+      s"--path=$fresh", s"--input=format=parquet file=$base/all")
+      ++ buildFlags).status == "SUCCEEDED")
+    def serveOf(p: String, tag: String): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", "--type=ivfpq-sharded",
+        s"--path=$p", s"--input=format=parquet file=$base/all",
+        s"--output=format=parquet file=$out", "--dim=4", "--m=2",
+        "--max-query-id=4", "--nprobe=1", "--topk=3"))
+        .status == "SUCCEEDED")
+      spark.read.parquet(out).orderBy("q_id", "rank").collect()
+        .map(_.toSeq).toSeq
+    }
+    // no --input → loud refusal naming the corpus-re-supply contract
+    val noInput = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-rebuild", "--type=ivfpq-sharded", s"--path=$drifted",
+        "--force=true", "--dim=4", "--m=2", "--k=2")))
+    assert(noInput.getMessage.contains("--input"), noInput.getMessage)
+    // a STALE corpus (missing indexed ids) → loud refusal
+    val stale = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-rebuild", "--type=ivfpq-sharded", s"--path=$drifted",
+        s"--input=format=parquet file=$base/slice", "--force=true",
+        "--dim=4", "--m=2", "--k=2")))
+    assert(stale.getMessage.contains("lacks"), stale.getMessage)
+    // the real rebuild: re-fit from the full corpus, committed in place
+    val r = Tool.run(spark, Array("index-rebuild", "--type=ivfpq-sharded",
+      s"--path=$drifted", s"--input=format=parquet file=$base/all",
+      "--force=true", "--dim=4", "--m=2", "--k=2", "--centroids=3"))
+    assert(r.status == "SUCCEEDED")
+    assert(r.counters("shards") == 4L, r.counters.toString)
+    // rebuild == fresh full-corpus sharded build, served identically
+    val rebuilt = serveOf(drifted, "rebuilt")
+    assert(rebuilt.nonEmpty && rebuilt == serveOf(fresh, "fresh"))
+    // the shard grid survived in the new generation
+    val resolved = graft.sinks.ArtifactStore.resolve(spark, drifted)
+    assert(graft.operators.Clustering.shardedNumShards(spark, resolved) == 4)
+  }
+
+  test("CLI sharded compressed update survives a rowless shard 0: attrs discovered from the explicit empty surface") {
+    import spark.implicits._
+    val base = tmpDir("idxemptyshard0")
+    // ids 0,4,8,... route to shard 0 (vec_id mod 4); lang attr rides cells
+    def emb(rows: Seq[(Long, Seq[Float], String)]) =
+      rows.toDF("vec_id", "embedding", "lang")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+          $"lang")
+    val corpus = emb((0 until 16).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v.toSeq, if (i % 2 == 0) "en" else "fr")
+    })
+    corpus.write.parquet(s"$base/corpus")
+    corpus.filter($"vec_id" % 4 === 0).write.parquet(s"$base/shard0ids")
+    emb(Seq((101L, Seq(0f, 10.2f, 0f, 0f), "fr")))
+      .write.parquet(s"$base/delta")
+    val idx = s"$base/idx"
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq-sharded",
+      s"--path=$idx", s"--input=format=parquet file=$base/corpus",
+      "--dim=4", "--m=2", "--k=2", "--centroids=3", "--shards=4",
+      "--attr-cols=lang")).status == "SUCCEEDED")
+    // empty shard 0 (every vec_id ≡ 0 mod 4 removed)
+    assert(Tool.run(spark, Array("index-remove", "--type=ivfpq-sharded",
+      s"--path=$idx", s"--input=format=parquet file=$base/shard0ids"))
+      .status == "SUCCEEDED")
+    // the update discovers the attr set from shard 0's cells surface —
+    // which is now an explicit schema-bearing EMPTY surface
+    assert(Tool.run(spark, Array("index-update", "--type=ivfpq-sharded",
+      s"--path=$idx", s"--input=format=parquet file=$base/delta",
+      "--dim=4", "--m=2")).status == "SUCCEEDED")
+    // the attr survived the rowless-shard discovery: a filtered serve
+    // still works and can retrieve the delta
+    val out = s"$base/out"
+    assert(Tool.run(spark, Array("index-serve", "--type=ivfpq-sharded",
+      s"--path=$idx", s"--input=format=parquet file=$base/delta",
+      s"--output=format=parquet file=$out", "--dim=4", "--m=2",
+      "--max-query-id=200", "--nprobe=3", "--topk=8",
+      "--filter-col=lang", "--filter-val=fr")).status == "SUCCEEDED")
+    assert(spark.read.parquet(out).count() > 0)
+  }
+
+  test("composite serves precheck pair parity: a one-sided update warns by default and refuses with --parity=refuse") {
+    import spark.implicits._
+    val base = tmpDir("idxparity")
+    def emb(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val vecs = emb((0 until 24).map { i =>
+      val v = Array(0f, 0f, 0f, 0f); v(i % 2) = 10f + (i / 2) * 0.01f
+      (i.toLong, v.toSeq)
+    })
+    vecs.write.parquet(s"$base/vecs")
+    emb(Seq((100L, Seq(0f, 0f, 10f, 0f)))).write.parquet(s"$base/delta")
+    assert(Tool.run(spark, Array("index-build", "--type=ivfpq",
+      s"--path=$base/pq", s"--input=format=parquet file=$base/vecs",
+      "--dim=4", "--m=2", "--k=2", "--centroids=3")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=ivfflat",
+      s"--path=$base/flat", s"--input=format=parquet file=$base/vecs",
+      "--centroids=3")).status == "SUCCEEDED")
+    def serve(extra: String*): graft.jobs.Jobs.JobResult =
+      Tool.run(spark, Array("index-serve", "--type=ivfpq",
+        s"--path=$base/pq", s"--rerank-from=$base/flat",
+        s"--input=format=parquet file=$base/vecs",
+        s"--output=format=parquet file=$base/out-${extra.hashCode}",
+        "--dim=4", "--m=2", "--max-query-id=4", "--nprobe=1",
+        "--rerank-pool=50", "--topk=3") ++ extra)
+    // in-sync pair: the precheck passes silently in every mode
+    assert(serve().status == "SUCCEEDED")
+    assert(serve("--parity=refuse").status == "SUCCEEDED")
+    // ONE-SIDED update: the delta lands only in the ADC artifact
+    assert(Tool.run(spark, Array("index-update", "--type=ivfpq",
+      s"--path=$base/pq", s"--input=format=parquet file=$base/delta",
+      "--dim=4", "--m=2")).status == "SUCCEEDED")
+    // default (warn): serves, naming the drift on stdout
+    assert(serve().status == "SUCCEEDED")
+    // refuse: hard error naming both artifacts and the recovery
+    val e = intercept[IllegalStateException](serve("--parity=refuse"))
+    assert(e.getMessage.contains("OUT OF SYNC") &&
+      e.getMessage.contains("index-update"), e.getMessage)
+    // skip: no check, serves
+    assert(serve("--parity=skip").status == "SUCCEEDED")
+  }
 }

@@ -934,17 +934,70 @@ class TableDmlSpec extends SparkSpec {
     plain.applyChanges(oneTouch, numPartitions = 4)
     bucketed.majorCompact(numPartitions = 4)
     assert(rows(bucketed) == rows(plain), "post-majorCompact reads must agree")
-    // bucketed refusals: grouped layouts, and shrinking the grid
-    val groupedLayout = TableLayout("g", Seq(
-      FamilySpec("f", localityGroup = "hot"),
-      FamilySpec("g", localityGroup = "cold", compression = "gzip")))
-    val gTable = new EntityTable(spark, tmpDir("bktg") + "/t", groupedLayout)
-    val ge = intercept[IllegalArgumentException](
-      gTable.bulkLoadBucketed(base, numBuckets = 4))
-    assert(ge.getMessage.contains("locality"), ge.getMessage)
+    // grid-shrink refusal
     val se = intercept[IllegalArgumentException](
       bucketed.bulkLoadBucketed(base, numBuckets = 2))
     assert(se.getMessage.contains("shrinking") ||
       se.getMessage.contains("bucket roots"), se.getMessage)
+  }
+
+  test("bucketed × locality groups compose: lg file sets inside bucket generations; reads == flat grouped; folds rewrite only routed buckets") {
+    import graft.sinks.ArtifactStore
+    val groupedLayout = TableLayout("g", Seq(
+      FamilySpec("f", localityGroup = "hot"),
+      FamilySpec("g", localityGroup = "cold", compression = "gzip")))
+    val gBase = (Seq.tabulate(40) { i =>
+      (i.toLong, "f", "v", 0L, s"hot$i")
+    } ++ Seq.tabulate(10) { i =>
+      ((i * 4).toLong, "g", "w", 0L, s"cold$i")
+    }).toDF("entity_id", "family", "qualifier", "ts", "value")
+    val gbDir = tmpDir("bktg") + "/t"
+    val gfDir = tmpDir("bktgf") + "/t"
+    val gTable = new EntityTable(spark, gbDir, groupedLayout)
+    val gFlat = new EntityTable(spark, gfDir, groupedLayout)
+    val B = 4
+    gTable.bulkLoadBucketed(gBase, numBuckets = B, numPartitions = 4)
+    gFlat.bulkLoad(gBase, numPartitions = 4)
+    def rows(t: EntityTable) = t.cells
+      .select("entity_id", "family", "qualifier", "ts", "value").collect()
+      .map(_.toSeq).toSet
+    assert(rows(gTable) == rows(gFlat),
+      "grouped bucketed read != grouped flat read")
+    // per-group lg=* file sets live INSIDE each bucket generation (the
+    // reference's per-locality-group file sets composed with the
+    // per-region split)
+    val fs = new org.apache.hadoop.fs.Path(gbDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until B).foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(
+        ArtifactStore.resolve(spark, s"$gbDir/_buckets/$b"))
+      val lgs = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("lg=")).toSet
+      assert(lgs.contains("lg=hot"),
+        s"bucket $b holds no hot file set: $lgs")
+    }
+    // a grouped fold still rewrites ONLY the routed buckets
+    def genOf(b: Int) =
+      ArtifactStore.currentGen(spark, s"$gbDir/_buckets/$b")
+    val before = (0 until B).map(genOf)
+    val gPut = Seq((3L, "g", "w", "put", 9L, "coldupd"))
+      .toDF("entity_id", "family", "qualifier", "op", "ts", "value")
+    val b3 = Seq((3L, "x")).toDF("entity_id", "x")
+      .select(pmod(xxhash64($"entity_id"), lit(B.toLong)).cast("int"))
+      .head().getInt(0)
+    gTable.applyChanges(gPut, numPartitions = 4)
+    gFlat.applyChanges(gPut, numPartitions = 4)
+    assert(rows(gTable) == rows(gFlat), "post-fold grouped reads must agree")
+    (0 until B).foreach { b =>
+      if (b == b3) assert(genOf(b) != before(b), s"bucket $b must advance")
+      else assert(genOf(b) == before(b), s"bucket $b must hold")
+    }
+    // majorCompact keeps both the bucket grid and the group file sets
+    gTable.majorCompact(numPartitions = 4)
+    assert(rows(gTable) == rows(gFlat), "post-compact grouped reads must agree")
+    val lgs0 = fs.listStatus(new org.apache.hadoop.fs.Path(
+        ArtifactStore.resolve(spark, s"$gbDir/_buckets/0")))
+      .map(_.getPath.getName).filter(_.startsWith("lg=")).toSet
+    assert(lgs0.nonEmpty, "majorCompact dropped the group file sets")
   }
 }
