@@ -364,6 +364,21 @@ object IndexTool {
       "ivfpq", "ivfpq-sharded", "imi", "sq", "ivfsq",
       "ivfpqr", "ivfpqr-sharded")
 
+  /** Unsharded tier → its sharded twin (the per-shard rewrite-unit
+    * layout). Drives the whole-surface rewrite gate in [[update]] and
+    * the refusal text that names the migration. */
+  val ShardedTwin: Map[String, String] = Map(
+    "lsh" -> "lsh-sharded", "cdc" -> "cdc-sharded",
+    "bm25" -> "bm25-sharded", "semdedup" -> "semdedup-sharded",
+    "ivfflat" -> "ivfflat-sharded", "ivfpq" -> "ivfpq-sharded",
+    "ivfpqr" -> "ivfpqr-sharded")
+
+  /** Default ceiling for [[ShardedTwin]]-gated whole-surface update
+    * rewrites — aligned with [[FlatServeMaxRows]]: past ~4M id rows,
+    * a per-delta whole-surface rewrite is an operational bug, not a
+    * choice. */
+  val RewriteGateRows: Long = 1L << 22
+
   /** The index types whose persisted artifact can DROP a doc/vector set
     * (`index-remove` — the right-to-be-forgotten leg: a deleted
     * document must stop matching future probes, which append-only
@@ -811,6 +826,27 @@ object IndexTool {
       println(s"updated shards: ${touched.mkString(", ")}")
       return
     }
+    // Whole-surface rewrite gate: every UNSHARDED fold below re-persists
+    // the entire corpus-sized surface per delta — exact, but the
+    // scale-killer class the sharded layouts eliminate (at 100 TB a
+    // daily crawl would rewrite the whole index). Past the bound,
+    // refuse loudly naming the sharded plan instead of letting a cron
+    // trip into a whole-corpus rewrite unknowingly — the --max-flat-rows
+    // serve-gate economics on the write path. The measure is the id
+    // surface (one column-pruned scan, a corpus-proportional proxy for
+    // the rewrite volume).
+    ShardedTwin.get(tpe).foreach { twin =>
+      val bound = flags.get("max-rewrite-rows").map(_.toLong)
+        .getOrElse(RewriteGateRows)
+      val rows = existingIds(spark, tpe, base).count()
+      require(rows <= bound,
+        s"index-update --type=$tpe: the artifact holds $rows id rows and " +
+          s"this tier's update RE-PERSISTS THE WHOLE SURFACE per delta — " +
+          s"above the $bound-row gate that is a corpus-sized rewrite for " +
+          s"every crawl batch. Rebuild as --type=$twin (same serves, " +
+          s"per-shard rewrite units) or raise --max-rewrite-rows=N " +
+          s"deliberately for a one-off")
+    }
     val staging = ArtifactStore.newGenDir(spark, path, loadedGen)
     tpe match {
       case "lsh" =>
@@ -990,6 +1026,20 @@ object IndexTool {
     else Clustering.loadIvfFlatIndex(spark, path)
   }
 
+  /** [[loadFlatAuto]] for the LEXICAL tier (the hybrid `--path` leg):
+    * a sharded bm25 root carries `meta` + `shards/` where the unsharded
+    * layout has `postings/` at the root. */
+  private def loadBm25Auto(spark: SparkSession, path: String)
+      : graft.operators.Bm25Index = {
+    val base = graft.sinks.ArtifactStore.resolve(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/shards")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$base/meta")))
+      Retrieval.loadBm25Sharded(spark, base)
+    else Retrieval.loadBm25Index(spark, path)
+  }
+
   /** [[loadFlatAuto]] for the compressed tier (`--dense-path` with
     * `--dense-type=ivfpq`): a sharded root carries `meta` + `shards/`
     * beside the shared `coarse`/`pqlanes`. */
@@ -1162,8 +1212,10 @@ object IndexTool {
     val maxQ = flags.get("max-query-id").map(_.toLong).getOrElse(Long.MaxValue)
     // BOTH artifacts load ONCE (pointer resolution + surface reads) —
     // the returned closure is applied per batch/micro-batch against the
-    // same fixed state, like every other stream tier's hoisted load
-    val bmIdx = Retrieval.loadBm25Index(spark, path)
+    // same fixed state, like every other stream tier's hoisted load.
+    // The lexical leg layout-sniffs a bm25-sharded root, exactly like
+    // the dense legs sniff theirs
+    val bmIdx = loadBm25Auto(spark, path)
     // The dense leg: raw-vector ivfflat (default), optionally filtered
     // (--filter-col/--filter-val — the predicate composes into the
     // probed scan, so the leg's pool is all MATCHING docs), or the

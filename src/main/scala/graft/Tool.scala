@@ -477,6 +477,9 @@ object Tool {
       |        drain the input dir as a checkpointed file stream)]
       |   | graft.Tool index-update --type=<UPDATETYPES> --path=<dir>
       |       --input="format=..." [--skip-disjoint-check=true]
+      |       [--max-rewrite-rows=N  (unsharded tiers with a sharded twin
+      |        refuse whole-surface rewrites past the gate — rebuild as
+      |        the *-sharded type, or raise the bound for a one-off)]
       |       (fold an admitted delta into the artifact; generation
       |        pointer CAS — racing updates fail loudly, never silently
       |        drop a delta; exact == rebuild on the union. Delta ids

@@ -2028,6 +2028,7 @@ class ToolSpec extends SparkSpec {
       .write.parquet(s"$base/queries")
     for ((tpe, p, knobs) <- Seq(
         ("bm25", "bm25", Array.empty[String]),
+        ("bm25-sharded", "bm25sh", Array("--shards=4")),
         ("ivfflat", "flat", Array("--centroids=2")),
         ("ivfflat-sharded", "flatsh", Array("--centroids=2", "--shards=4")),
         ("ivfpq", "pq", Array("--dim=4", "--m=2", "--k=2", "--centroids=2")),
@@ -2035,7 +2036,7 @@ class ToolSpec extends SparkSpec {
           Array("--dim=4", "--m=2", "--k=2", "--centroids=2", "--shards=4"))))
       assert(Tool.run(spark, Array("index-build", s"--type=$tpe",
         s"--path=$base/$p",
-        s"--input=format=parquet file=$base/${if (tpe == "bm25") "docs" else "emb"}")
+        s"--input=format=parquet file=$base/${if (tpe.startsWith("bm25")) "docs" else "emb"}")
         ++ knobs).status == "SUCCEEDED", tpe)
     def serve(tag: String, in: String, extra: String*): Seq[Seq[Any]] = {
       val out = s"$base/out-$tag"
@@ -2070,6 +2071,11 @@ class ToolSpec extends SparkSpec {
       "--nprobe=2") == fuseFlat,
       "hybrid compressed leg must accept BOTH sharded artifacts " +
         "(full-pool identity == the raw fuse)")
+    // ...and the LEXICAL leg sniffs a bm25-sharded root too
+    assert(serve("h-bmsh", "queries", "--type=hybrid",
+      s"--path=$base/bm25sh", s"--dense-path=$base/flat",
+      "--pool=5", "--topk=3", "--nprobe=2")
+      == fuseFlat, "hybrid lexical leg must accept the sharded layout")
   }
 
   test("CLI sharded residual tier: ivfpqr-sharded build/serve/update == unsharded; --filter-col pre-filters the residual cells") {
@@ -2961,5 +2967,36 @@ class ToolSpec extends SparkSpec {
       e.getMessage.contains("index-update"), e.getMessage)
     // skip: no check, serves
     assert(serve("--parity=skip").status == "SUCCEEDED")
+  }
+
+  test("unsharded updates gate whole-surface rewrites: past --max-rewrite-rows the refusal names the sharded twin") {
+    import spark.implicits._
+    val base = tmpDir("idxrewritegate")
+    Seq((0L, "spark join hash"), (1L, "row filter merge"))
+      .toDF("doc_id", "text").write.parquet(s"$base/corpus")
+    Seq((10L, "novel content here")).toDF("doc_id", "text")
+      .write.parquet(s"$base/delta")
+    val idx = s"$base/lsh"
+    assert(Tool.run(spark, Array("index-build", "--type=lsh",
+      s"--path=$idx", s"--input=format=parquet file=$base/corpus",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    // under the default gate: the fold proceeds
+    assert(Tool.run(spark, Array("index-update", "--type=lsh",
+      s"--path=$idx", s"--input=format=parquet file=$base/delta",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    // a bound below the artifact size: loud refusal naming lsh-sharded
+    Seq((11L, "more novel content")).toDF("doc_id", "text")
+      .write.parquet(s"$base/delta2")
+    val e = intercept[IllegalArgumentException](Tool.run(spark,
+      Array("index-update", "--type=lsh", s"--path=$idx",
+        s"--input=format=parquet file=$base/delta2", "--shingle-n=2",
+        "--max-rewrite-rows=1")))
+    assert(e.getMessage.contains("lsh-sharded") &&
+      e.getMessage.contains("WHOLE SURFACE"), e.getMessage)
+    // raising the bound deliberately lets the one-off through
+    assert(Tool.run(spark, Array("index-update", "--type=lsh",
+      s"--path=$idx", s"--input=format=parquet file=$base/delta2",
+      "--shingle-n=2", "--max-rewrite-rows=100000"))
+      .status == "SUCCEEDED")
   }
 }
