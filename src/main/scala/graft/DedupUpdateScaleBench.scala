@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   *
   *  - `*_unsharded`: load → union/merge fold → re-save the WHOLE
   *    artifact (exactly the unsharded `index-update` verb's work);
-  *  - `*_sharded`:   the routed-shards-only update
-  *    ([[graft.operators.Dedup.updateLshSharded]] /
-  *    [[graft.operators.Dedup.updateCdcSharded]], S = 8).
+  *  - `*_sharded`:   the merge-mode routed-shards update (whole-shard
+  *    rewrites — measured SLOWER than unsharded at x25, because a
+  *    200-doc delta's hashes spray across all 8 shards);
+  *  - `*_append`:    the segmented append-mode update (one delta-sized
+  *    segment per routed shard — the O(delta) write volume the
+  *    round-18 SegmentStore layout exists for).
   *
   * Run once per corpus tier (x25/x50 — `scripts/gen_scale.py`) and
-  * compare rows across tiers: the unsharded column should track corpus
-  * size, the sharded column the touched fraction. Prints one JSON
+  * compare rows across tiers: the unsharded and merge columns track
+  * corpus size, the append column should stay ~flat. Prints one JSON
   * line; recorded in BASELINE.md.
   *
   * Usage:
@@ -48,11 +51,17 @@ object DedupUpdateScaleBench {
       .select(col("doc_id"), col("text"))
     val n = docs.count()
     val (numHashes, bands, avgMask, numShards) = (28, 4, 32, 8)
-    // fixed-size delta with fresh ids — the daily-crawl shape
+    // fixed-size deltas with fresh ids — the daily-crawl shape (two
+    // disjoint batches: one folded in merge mode, one appended, so the
+    // modes time against the same artifact at the same corpus size)
     val delta = docs.orderBy(col("doc_id")).limit(200)
       .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .cache()
     delta.count()
+    val delta2 = docs.orderBy(col("doc_id")).limit(200)
+      .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+      .cache()
+    delta2.count()
     def shingles(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id").as("id"),
         columnOf(graft.plans.WordShingleHashes(
@@ -78,7 +87,10 @@ object DedupUpdateScaleBench {
     var lshTouched = 0
     val lshSharded = timed(() =>
       lshTouched = Dedup.updateLshSharded(spark, lshSh, shingles(delta),
-        numHashes, bands).size)
+        numHashes, bands, append = false).size)
+    val lshAppend = timed(() =>
+      Dedup.updateLshSharded(spark, lshSh, shingles(delta2),
+        numHashes, bands, append = true))
 
     // ── CDC tier ──
     val cdcFlat = s"/tmp/updscale_cdcflat_$tag"
@@ -93,10 +105,13 @@ object DedupUpdateScaleBench {
     var cdcTouched = 0
     val cdcSharded = timed(() =>
       cdcTouched = Dedup.updateCdcSharded(spark, cdcSh, delta, "doc_id",
-        "text", avgMask).size)
+        "text", avgMask, append = false).size)
+    val cdcAppend = timed(() =>
+      Dedup.updateCdcSharded(spark, cdcSh, delta2, "doc_id", "text",
+        avgMask, append = true))
 
     graft.operators.OperatorCaches.releaseAll()
-    println(f"""{"metric":"dedup_update_scale","corpus":"$corpusDir","rows":$n,"delta_rows":200,"shards":$numShards,"lsh_unsharded_sec":$lshUnsharded%.2f,"lsh_sharded_sec":$lshSharded%.2f,"lsh_touched":$lshTouched,"cdc_unsharded_sec":$cdcUnsharded%.2f,"cdc_sharded_sec":$cdcSharded%.2f,"cdc_touched":$cdcTouched}""")
+    println(f"""{"metric":"dedup_update_scale","corpus":"$corpusDir","rows":$n,"delta_rows":200,"shards":$numShards,"lsh_unsharded_sec":$lshUnsharded%.2f,"lsh_sharded_sec":$lshSharded%.2f,"lsh_append_sec":$lshAppend%.2f,"lsh_touched":$lshTouched,"cdc_unsharded_sec":$cdcUnsharded%.2f,"cdc_sharded_sec":$cdcSharded%.2f,"cdc_append_sec":$cdcAppend%.2f,"cdc_touched":$cdcTouched}""")
     spark.stop()
   }
 }

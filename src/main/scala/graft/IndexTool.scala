@@ -510,6 +510,49 @@ object IndexTool {
     ArtifactStore.commitGen(spark, path, staging, loadedGen)
   }
 
+  /** The SEGMENTED tiers `index-compact` folds back to one segment per
+    * shard root — the read-amplification reset after a run of
+    * append-mode `index-update`s (each append adds one delta-sized
+    * segment; reads stay one multi-path scan but the path list and the
+    * partial-merge work grow until a compaction). Serves before and
+    * after are hash-identical — compaction is purely physical. */
+  val CompactTypes: Set[String] =
+    Set("bm25-sharded", "lsh-sharded", "cdc-sharded", "semdedup-sharded")
+
+  def compact(spark: SparkSession, tpe: String, path: String,
+              flags: Map[String, String]): Map[String, Long] = {
+    require(CompactTypes(tpe),
+      s"index-compact supports --type=${CompactTypes.toSeq.sorted.mkString("|")} " +
+        s"only (got '$tpe'); the vector sharded tiers rewrite whole " +
+        s"shards on update, so they never accumulate segments")
+    import graft.sinks.{ArtifactStore, SegmentStore}
+    val loadedGen = ArtifactStore.currentGen(spark, path)
+    val base = loadedGen.map(g => s"$path/$g").getOrElse(path)
+    val roots = segmentedRootsOf(spark, tpe, base)
+    val before = SegmentStore.liveSegmentCount(spark, roots)
+    tpe match {
+      case "bm25-sharded" => Retrieval.compactBm25Sharded(spark, base)
+      case "lsh-sharded" => Dedup.compactLshSharded(spark, base)
+      case "cdc-sharded" => Dedup.compactCdcSharded(spark, base)
+      case "semdedup-sharded" =>
+        Clustering.compactSemIndexSharded(spark, base)
+    }
+    val after = SegmentStore.liveSegmentCount(spark, roots)
+    println(s"compacted: $before -> $after live segments")
+    Map("segments_before" -> before, "segments_after" -> after)
+  }
+
+  /** Every per-shard generational root of a SEGMENTED artifact (the
+    * dirs whose manifests name live `_seg_*` data). */
+  private[graft] def segmentedRootsOf(spark: SparkSession, tpe: String,
+                                      base: String): Seq[String] = {
+    val n = graft.sinks.ShardedCommit.numShards(spark, base)
+    val t = (0 until n).map(sh => s"$base/shards/$sh")
+    if (tpe == "bm25-sharded")
+      t ++ (0 until n).map(sh => s"$base/docshards/$sh")
+    else t
+  }
+
   /** The index types with a RETRAIN-in-place repair (`index-rebuild`).
     * Codebooks are frozen on add forever (the Faiss train/add
     * contract), so occupancy skew accumulates under drifted ingestion —
@@ -785,37 +828,53 @@ object IndexTool {
       println(s"updated shards: ${touched.mkString(", ")}")
       return
     }
+    // --mode for the segmented doc/lexical tiers: `append` (default —
+    // each touched shard gains one delta-sized immutable segment; the
+    // O(delta) write the 100 TB cadence needs) or `merge` (whole-shard
+    // rewrite — the compacting write, also what legacy roots fall back
+    // to automatically). Vector-tier sharded updates ignore it (their
+    // deltas route by id, not by sprayed content hashes).
+    val appendMode = flags.getOrElse("mode", "append") match {
+      case "append" => true
+      case "merge" => false
+      case other => throw new IllegalArgumentException(
+        s"--mode=$other: expected append|merge")
+    }
     if (tpe == "bm25-sharded") {
-      // lexical-tier economics: a crawl delta rewrites only the term
-      // shards its vocabulary hashes to, the doc shards its ids route
-      // to, and the 1-row stats rollup
+      // lexical-tier economics: a crawl delta appends one delta-sized
+      // segment per routed term/doc shard (postings + df partials the
+      // serve sum-merges) and rewrites the 1-row stats rollup
       val touched = Retrieval.updateBm25Sharded(spark, base,
-        terms(docsOf(input, flags)))
+        terms(docsOf(input, flags)), appendMode)
       println(s"updated term shards: ${touched.mkString(", ")}")
       return
     }
     if (tpe == "lsh-sharded") {
-      // near-dup-tier economics: only the shards the delta's
-      // (band, bkey) buckets hash to are read, re-censused, rewritten
+      // near-dup-tier economics: the delta's (band, bkey) buckets are
+      // re-censused into one shadow-bucket segment per routed shard
+      // (masks supersede the buckets' earlier censuses at read)
       val touched = Dedup.updateLshSharded(spark, base,
         shingled(docsOf(input, flags), num("shingle-n", 3)),
-        num("num-hashes", 28), num("bands", 4))
+        num("num-hashes", 28), num("bands", 4), appendMode)
       println(s"updated shards: ${touched.mkString(", ")}")
       return
     }
     if (tpe == "cdc-sharded") {
-      // chunk-tier economics: occurrences + rollup of only the routed
-      // chunk-hash shards rewrite, co-swapping per shard generation
+      // chunk-tier economics: occurrence + rollup-partial segments
+      // append to the routed chunk-hash shards, co-swapping per shard
       val touched = Dedup.updateCdcSharded(spark, base,
-        docsOf(input, flags), "doc_id", "text", num("avg-mask", 32))
+        docsOf(input, flags), "doc_id", "text", num("avg-mask", 32),
+        appendMode)
       println(s"updated shards: ${touched.mkString(", ")}")
       return
     }
     if (tpe == "semdedup-sharded") {
       // semantic-tier economics: the delta's vids route to their own
-      // assign shards; lanes/seeds/sizes (the fitted params) never move
+      // assign shards (plain row-append segments — no rollup);
+      // lanes/seeds/sizes (the fitted params) never move
       val touched = Clustering.updateSemIndexSharded(spark, base,
-        embOf(input, flags), "vec_id", "embedding")
+        embOf(input, flags), "vec_id", "embedding",
+        append = appendMode)
       println(s"updated shards: ${touched.mkString(", ")}")
       return
     }
@@ -1579,7 +1638,9 @@ object IndexTool {
         Seq("shards" ->
             graft.sinks.ShardedCommit.numShards(spark, base).toLong,
           "signature_rows" -> a.getLong(0), "docs" -> a.getLong(1),
-          "bands" -> a.getLong(2))
+          "bands" -> a.getLong(2),
+          "live_segments" -> graft.sinks.SegmentStore.liveSegmentCount(
+            spark, segmentedRootsOf(spark, tpe, base)))
       case "cdc" =>
         // coalesce: sum over an EMPTY artifact is null, and describe is
         // exactly the verb an operator points at a degenerate index
@@ -1600,7 +1661,9 @@ object IndexTool {
             graft.sinks.ShardedCommit.numShards(spark, base).toLong,
           "unique_chunks" -> agg.getLong(0),
           "chunk_occurrences" -> agg.getLong(1),
-          "docs" -> art.chunks.select(col("doc_id")).distinct().count())
+          "docs" -> art.chunks.select(col("doc_id")).distinct().count(),
+          "live_segments" -> graft.sinks.SegmentStore.liveSegmentCount(
+            spark, segmentedRootsOf(spark, tpe, base)))
       case "bm25" =>
         val idx = Retrieval.loadBm25Index(spark, path)
         val st = idx.stats.head()
@@ -1616,7 +1679,9 @@ object IndexTool {
           "posting_rows" -> idx.postings.count(),
           "docs" -> idx.doclen.count(),
           "vocab_terms" -> idx.docfreq.count(),
-          "total_tokens" -> st.getAs[Long]("total_len"))
+          "total_tokens" -> st.getAs[Long]("total_len"),
+          "live_segments" -> graft.sinks.SegmentStore.liveSegmentCount(
+            spark, segmentedRootsOf(spark, tpe, base)))
       case "ivf" =>
         val lanes = spark.read.parquet(
           graft.sinks.ArtifactStore.resolve(spark, path))
@@ -1752,7 +1817,9 @@ object IndexTool {
           "cluster_cap" -> idx.clusterCap,
           "fine_seeds" -> idx.seeds.count(),
           "assigned_rows" -> idx.assign.count(),
-          "fine_clusters" -> idx.sizes.count())
+          "fine_clusters" -> idx.sizes.count(),
+          "live_segments" -> graft.sinks.SegmentStore.liveSegmentCount(
+            spark, segmentedRootsOf(spark, tpe, base)))
       case "bpe" => Seq("merges" -> rows(path))
       case "unigram" => Seq("vocab_pieces" -> rows(path))
       case "wordpiece" =>

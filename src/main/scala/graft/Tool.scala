@@ -188,13 +188,25 @@ object Tool {
             keepDisplaced = !all, stagingGraceMs = grace)
           .map(g => s"$rel/$g")
       }
-      val swept = sweptRoot ++ sweptChildren
+      // segmented roots also accumulate crashed writers' UNREFERENCED
+      // `_seg_*` data dirs (a successful commit sweeps its own root's
+      // orphans; a crash before the pointer flip leaves them) — same
+      // grace policy: --all (no-writers window) ignores it
+      val sweptSegments = childRoots.flatMap { r =>
+        val hp = new org.apache.hadoop.fs.Path(r)
+        val rel = s"${hp.getParent.getName}/${hp.getName}"
+        graft.sinks.SegmentStore.sweepOrphans(spark, r,
+            graceMs = if (all) 0L else grace)
+          .map(s => s"$rel/$s")
+      }
+      val swept = sweptRoot ++ sweptChildren ++ sweptSegments
       swept.foreach(g => println(s"swept: $g"))
       val now = System.currentTimeMillis()
       val result = JobResult(java.util.UUID.randomUUID().toString,
         flags.getOrElse("name", "index-gc"), start, now, "SUCCEEDED",
-        Map("swept_generations" -> swept.length.toLong,
-          "swept_child_roots" -> sweptChildren.length.toLong), None)
+        Map("swept_generations" -> (sweptRoot ++ sweptChildren).length.toLong,
+          "swept_child_roots" -> sweptChildren.length.toLong,
+          "swept_segments" -> sweptSegments.length.toLong), None)
       flags.get("history").foreach(p => new JobHistory(spark, p)
         .record(result, Map("path" -> path)))
       return result
@@ -202,10 +214,22 @@ object Tool {
 
     if (verb == "index-build" || verb == "index-serve" ||
         verb == "index-update" || verb == "index-remove" ||
-        verb == "index-describe" || verb == "index-rebuild") {
+        verb == "index-describe" || verb == "index-rebuild" ||
+        verb == "index-compact") {
       val tpe = flag("type")
       val path = flag("path")
       val start = System.currentTimeMillis()
+      if (verb == "index-compact") {
+        // fold a segmented tier's append-mode segments back to one per
+        // shard (purely physical — serves hash-identical before/after)
+        val counters = IndexTool.compact(spark, tpe, path, flags)
+        val result = JobResult(java.util.UUID.randomUUID().toString,
+          flags.getOrElse("name", s"index-compact-$tpe"), start,
+          System.currentTimeMillis(), "SUCCEEDED", counters, None)
+        flags.get("history").foreach(p => new JobHistory(spark, p)
+          .record(result, Map("type" -> tpe, "path" -> path)))
+        return result
+      }
       if (verb == "index-describe") {
         // artifact introspection — the check an operator runs around an
         // index-update (did the delta land? how big are the surfaces?)
@@ -480,6 +504,11 @@ object Tool {
       |       [--max-rewrite-rows=N  (unsharded tiers with a sharded twin
       |        refuse whole-surface rewrites past the gate — rebuild as
       |        the *-sharded type, or raise the bound for a one-off)]
+      |       [--mode=append|merge  (segmented sharded doc/lexical tiers,
+      |        COMPACTTYPES: append — the default — writes one delta-sized
+      |        immutable segment per routed shard, O(delta) regardless of
+      |        how many shards the delta's hashes spray across; merge is
+      |        the whole-shard compacting rewrite)]
       |       (fold an admitted delta into the artifact; generation
       |        pointer CAS — racing updates fail loudly, never silently
       |        drop a delta; exact == rebuild on the union. Delta ids
@@ -499,12 +528,16 @@ object Tool {
       |        re-supply — coarse + PQ re-fit in the SAME root/shard grid
       |        under one root CAS; --skip-corpus-check=true waives the
       |        stale-corpus id guard)]
+      |   | graft.Tool index-compact --type=<COMPACTTYPES> --path=<dir>
+      |       (fold a segmented tier's append-mode segments back to ONE
+      |        per shard root — the read-amplification reset; serves are
+      |        hash-identical before and after)
       |   | graft.Tool index-gc --path=<dir> [--all=true|false] [--grace-ms=N]
       |       (sweep non-live generations left by crashed writers;
       |        keeps the retained displaced generation unless --all;
       |        recurses over shard/bucket roots — shards/, docshards/,
       |        stats, _buckets/ — so a crashed SHARDED update's orphans
-      |        are reachable too)
+      |        AND unreferenced _seg_* data dirs are reachable too)
       |  --input="format=<parquet|text|csv|json|xml|seq|avro|avrokv|small-text-files> file=... [k=v ...]"
       |        | "format=kiji table=<path> [layout=<layout.json>] [maxversions=N]
       |           [columns=fam:qual,...] [timerange=lo,hi] [startrow=K] [limitrow=K]

@@ -542,11 +542,12 @@ object Clustering {
       .toDF("num_shards", "coarse_k", "cluster_cap", "salt")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val assign = assignCols(idx.assign).withColumn("shard", vidShard(numShards))
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(
+    ShardedCommit.commitSegmented(spark, path, Seq(ShardedCommit.SegFamily(
       (0 until numShards).map(sh =>
         sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
       Seq(ShardedCommit.Surface("assign", assign,
-        () => assign.limit(0).drop("shard"))))))
+        () => assign.limit(0).drop("shard"))),
+      ShardedCommit.SegReplace)))
   }
 
   /** Load as a regular [[SemIndex]] — fitted parameters from the root,
@@ -560,24 +561,32 @@ object Clustering {
     val meta = spark.read.parquet(s"$path/meta").head()
     SemIndex(spark.read.parquet(s"$path/lanes"),
       spark.read.parquet(s"$path/seeds"),
-      spark.read.parquet((0 until n).map(sh =>
-        s"${ArtifactStore.resolve(spark, s"$path/shards/$sh")}/assign"): _*),
+      spark.read.parquet((0 until n).flatMap { sh =>
+        val root = s"$path/shards/$sh"
+        graft.sinks.SegmentStore.surfacePathsAt(spark, root,
+          ArtifactStore.resolve(spark, root), "assign") }: _*),
       spark.read.parquet(s"$path/sizes"),
       meta.getAs[Int]("coarse_k"), meta.getAs[Long]("cluster_cap"),
       meta.getAs[String]("salt"))
   }
 
-  /** ADD a delta batch, rewriting ONLY the shards its vids route to.
-    * The assignment chain, the fixed-parameters contract, and the
-    * loss checks are [[updateSemIndex]]'s exactly ([[checkedDeltaCells]]
-    * is shared); only the persistence unit changes. Returns the touched
-    * shard ids. */
+  /** ADD a delta batch. Default (`append = true`): each touched shard
+    * gains one DELTA-SIZED `assign` segment — vids are NEW by the
+    * disjoint contract and assign rows are per-vid (no rollup), so a
+    * plain row append IS the exact merge and the write volume is
+    * O(delta). `append = false` is the round-17 whole-shard merge —
+    * now the compacting write, and the automatic fallback on legacy
+    * (unsegmented) roots. The assignment chain, the fixed-parameters
+    * contract, and the loss checks are [[updateSemIndex]]'s exactly
+    * ([[checkedDeltaCells]] is shared); only the persistence unit
+    * changes. Returns the touched shard ids. */
   def updateSemIndexSharded(spark: org.apache.spark.sql.SparkSession,
                             path: String, delta: DataFrame,
                             idCol: String, vecCol: String,
-                            seedLiteralCap: Int = Similarity.MaxCentroids)
+                            seedLiteralCap: Int = Similarity.MaxCentroids,
+                            append: Boolean = true)
       : Seq[Int] = {
-    import graft.sinks.{ArtifactStore, ShardedCommit}
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = ShardedCommit.numShards(spark, path)
     val idx = loadSemIndexSharded(spark, path)
     val cells = checkedDeltaCells(idx, delta, idCol, vecCol, seedLiteralCap)
@@ -586,24 +595,62 @@ object Clustering {
     if (touched.isEmpty) return touched
     val pinned = touched.map(sh =>
       sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
-    val merged = spark.read.parquet(
-        pinned.map { case (_, (_, _, gen)) => s"$gen/assign" }: _*)
-      .select(col("vid"), col("v"), col("nrm"), col("cluster"), col("cell"))
-      .unionByName(assignCols(cells))
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
-      Seq(ShardedCommit.Surface("assign",
-        merged.withColumn("shard", vidShard(n)),
-        () => merged.limit(0))))))
+    val anyLegacy = pinned.exists { case (_, (_, _, gen)) =>
+      SegmentStore.readManifest(spark, gen).isEmpty }
+    val (rows, mode) =
+      if (append && !anyLegacy)
+        (assignCols(cells), ShardedCommit.SegAppend)
+      else {
+        val merged = spark.read.parquet(
+            pinned.flatMap { case (sh, (_, _, gen)) =>
+              SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh",
+                gen, "assign") }: _*)
+          .select(col("vid"), col("v"), col("nrm"), col("cluster"),
+            col("cell"))
+          .unionByName(assignCols(cells))
+        (merged, ShardedCommit.SegReplace)
+      }
+    ShardedCommit.commitSegmented(spark, path,
+      Seq(ShardedCommit.SegFamily(pinned,
+        Seq(ShardedCommit.Surface("assign",
+          rows.withColumn("shard", vidShard(n)),
+          () => rows.limit(0))),
+        mode)))
     touched
+  }
+
+  /** Fold every shard's segment list back to ONE segment — the
+    * read-amplification reset after append-mode adds (assign rows
+    * re-persist as-is; there is no rollup to merge). */
+  def compactSemIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val all = (0 until n).toSeq
+    val pinned = all.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val rows = spark.read.parquet(
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "assign") }: _*)
+      .select(col("vid"), col("v"), col("nrm"), col("cluster"), col("cell"))
+    ShardedCommit.commitSegmented(spark, path,
+      Seq(ShardedCommit.SegFamily(pinned,
+        Seq(ShardedCommit.Surface("assign",
+          rows.withColumn("shard", vidShard(n)),
+          () => rows.limit(0))),
+        ShardedCommit.SegReplace)))
+    all
   }
 
   /** REMOVE a vector set — vid IS the shard key, so only the removed
     * ids' own shards are read or rewritten (bounded ≤ min(|ids|, S)
-    * roots; the doc-tier grids can't route removals this tightly). */
+    * roots; the doc-tier grids can't route removals this tightly). A
+    * SEGMENT-COMPACTING write for the touched shards. */
   def removeFromSemIndexSharded(spark: org.apache.spark.sql.SparkSession,
                                 path: String, removedIds: DataFrame)
       : Seq[Int] = {
-    import graft.sinks.{ArtifactStore, ShardedCommit}
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = ShardedCommit.numShards(spark, path)
     val ids = OperatorCaches.register(
       removedIds.select(col("vid")).distinct().persist())
@@ -613,13 +660,17 @@ object Clustering {
     val pinned = touched.map(sh =>
       sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
     val kept = spark.read.parquet(
-        pinned.map { case (_, (_, _, gen)) => s"$gen/assign" }: _*)
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "assign") }: _*)
       .select(col("vid"), col("v"), col("nrm"), col("cluster"), col("cell"))
       .join(ids, Seq("vid"), "left_anti")
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
-      Seq(ShardedCommit.Surface("assign",
-        kept.withColumn("shard", vidShard(n)),
-        () => kept.limit(0))))))
+    ShardedCommit.commitSegmented(spark, path,
+      Seq(ShardedCommit.SegFamily(pinned,
+        Seq(ShardedCommit.Surface("assign",
+          kept.withColumn("shard", vidShard(n)),
+          () => kept.limit(0))),
+        ShardedCommit.SegReplace)))
     touched
   }
 

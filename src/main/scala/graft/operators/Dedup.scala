@@ -491,6 +491,27 @@ object Dedup {
     df.select(col("id"), col("ghash"), col("band"), col("bkey"),
       col("cell"), col("nc"))
 
+  /** The census problem an LSH segment must solve that the other
+    * segmented tiers don't have: `cell`/`nc` are PER-BUCKET derived
+    * state — admitting delta rows re-tiles their buckets, so a naive
+    * row append would leave two inconsistent censuses of one bucket in
+    * the index. Append-mode segments are therefore SHADOW-BUCKET
+    * segments: a delta's segment stores the RE-CENSUSED union of every
+    * touched bucket (base rows of those buckets + delta rows — write
+    * volume delta × bucket occupancy, bounded by [[LshBucketCap]]
+    * tiles, never the corpus) plus a `mask` surface naming the touched
+    * (band, bkey) keys. Every sig row carries `seg_ord`, a per-root
+    * monotone write ordinal; a row is live iff NO later mask names its
+    * bucket, so the load is one multi-path scan plus one broadcast
+    * anti-join against the (delta-scaled) mask set — and after
+    * `index-compact` the masks vanish and the plan collapses back to
+    * the plain scan. Correctness rides on buckets never straddling
+    * shards: a bucket's rows and every mask that could name it live in
+    * one root, whose write ordinals are strictly monotone. */
+  private def lshSegCols(df: DataFrame, ord: Long): DataFrame =
+    df.select(col("id"), col("ghash"), col("band"), col("bkey"),
+      col("cell"), col("nc"), lit(ord).as("seg_ord"))
+
   /** Persist a TILED banded index ([[bandedSignaturesTiled]] /
     * [[updateLshIndex]] output — the `cell`/`nc` columns are required:
     * the sharded layout exists for corpora big enough to need the skew
@@ -500,36 +521,69 @@ object Dedup {
     val spark = index.sparkSession
     import graft.sinks.{ArtifactStore, ShardedCommit}
     ShardedCommit.writeMeta(spark, path, numShards)
-    val sig = lshSigCols(index).withColumn("shard", lshShard(numShards))
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(
+    commitLshShards(spark, path,
       (0 until numShards).map(sh =>
         sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
-      Seq(ShardedCommit.Surface("sig", sig,
-        () => sig.limit(0).drop("shard"))))))
+      lshSegCols(index, 0L), emptyLshMask(spark, index),
+      ShardedCommit.SegReplace, numShards)
   }
 
-  /** Load the sharded banded index: ONE multi-path scan over the live
-    * per-shard generations (the union-of-single-scans planning overhead
-    * is the cost sharding must not add — BASELINE round 17). Output is
-    * exactly [[loadLshIndex]]'s shape, so every serve path is shared. */
+  private def emptyLshMask(spark: org.apache.spark.sql.SparkSession,
+                           like: DataFrame): DataFrame =
+    like.select(col("band"), col("bkey"), lit(0L).as("mord")).limit(0)
+
+  /** Load the sharded banded index: ONE multi-path scan over every
+    * live segment (the union-of-single-scans planning overhead is the
+    * cost sharding must not add — BASELINE round 17), plus — only
+    * while append-mode segments are live — one broadcast anti-join
+    * dropping each bucket's superseded census (see [[lshSegCols]]).
+    * Output is exactly [[loadLshIndex]]'s shape, so every serve path
+    * is shared. */
   def loadLshSharded(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {
-    import graft.sinks.{ArtifactStore, ShardedCommit}
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = ShardedCommit.numShards(spark, path)
-    spark.read.parquet((0 until n).map(sh =>
-        s"${ArtifactStore.resolve(spark, s"$path/shards/$sh")}/sig"): _*)
+    val resolved = (0 until n).map { sh =>
+      val root = s"$path/shards/$sh"
+      (root, ArtifactStore.resolve(spark, root))
+    }
+    val sigPaths = resolved.map { case (root, gen) =>
+      SegmentStore.surfacePathsAt(spark, root, gen, "sig") }
+    val legacy = resolved.exists { case (_, gen) =>
+      SegmentStore.readManifest(spark, gen).isEmpty }
+    if (legacy)
+      return spark.read.parquet(sigPaths.flatten: _*)
+    val sig = spark.read.parquet(sigPaths.flatten: _*)
+    if (sigPaths.forall(_.size <= 1)) sig.drop("seg_ord")
+    else {
+      val masks = spark.read.parquet(resolved.flatMap { case (root, gen) =>
+        SegmentStore.surfacePathsAt(spark, root, gen, "mask") }: _*)
+      sig.join(broadcast(masks),
+          sig("band") === masks("band") && sig("bkey") === masks("bkey") &&
+            masks("mord") > sig("seg_ord"), "left_anti")
+        .drop("seg_ord")
+    }
   }
 
-  /** Fold a DELTA batch's signatures in, rewriting ONLY the shards the
-    * delta's (band, bkey) buckets hash to. Same exactness as
-    * [[updateLshIndex]]: the census re-derives over each touched
-    * shard's unioned rows — admitting rows can push a bucket over
-    * [[LshBucketCap]], and buckets are shard-local, so the per-shard
-    * census equals the global one. Returns the touched shard ids. */
+  /** Fold a DELTA batch's signatures in. Default (`append = true`):
+    * one SHADOW-BUCKET segment per touched shard — the re-censused
+    * touched buckets plus their mask rows ([[lshSegCols]]) — so the
+    * write volume is O(delta × bucket occupancy) even though bucket
+    * keys spray across the whole grid (the x25 measurement: the
+    * merge-mode sharded update touched 8/8 shards, re-persisted every
+    * surface, and ran SLOWER than the unsharded merge). `append =
+    * false` is the round-17 whole-shard merge — now the compacting
+    * write, and the automatic fallback while any root still has the
+    * legacy layout (the fallback then rewrites ALL shards once, so the
+    * root migrates in one step and never serves mixed schemas). Same
+    * exactness either way: the census is per-(band, bkey) state, so
+    * re-tiling exactly the touched buckets equals the global re-census
+    * ([[updateLshIndex]]'s semantics). Returns the touched shard ids. */
   def updateLshSharded(spark: org.apache.spark.sql.SparkSession,
                        path: String, deltaHashed: DataFrame,
-                       numHashes: Int, bands: Int): Seq[Int] = {
-    import graft.sinks.{ArtifactStore, ShardedCommit}
+                       numHashes: Int, bands: Int,
+                       append: Boolean = true): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = ShardedCommit.numShards(spark, path)
     val deltaBanded = OperatorCaches.register(
       bandedSignatures(deltaHashed, numHashes, bands)
@@ -537,10 +591,73 @@ object Dedup {
     val touched = deltaBanded.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return touched
-    val pinned = touched.map(sh =>
+    val anyLegacy = (0 until n).exists { sh =>
+      SegmentStore.readManifest(spark, ArtifactStore.resolve(spark,
+        s"$path/shards/$sh")).isEmpty }
+    if (append && !anyLegacy) {
+      val pinned = touched.map(sh =>
+        sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+      // per-ROOT write ordinal: ordinals only ever compare within one
+      // root (buckets never straddle shards), and the commit mints the
+      // segment dir name from the same listing, so row ordinal == dir
+      // ordinal and both are strictly monotone per root
+      val ordOf: Map[Int, Long] = pinned.map { case (sh, _) =>
+        sh -> (1L + maxLiveSegOrd(spark, s"$path/shards/$sh")) }.toMap
+      val ordCol = element_at(typedLit(ordOf), col("shard"))
+      // live rows of the delta's buckets, from the touched shards only
+      val buckets = deltaBanded.select(col("band"), col("bkey")).distinct()
+      val sig = spark.read.parquet(
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "sig") }: _*)
+      val masks = spark.read.parquet(
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "mask") }: _*)
+      val live = sig.join(broadcast(masks),
+          sig("band") === masks("band") && sig("bkey") === masks("bkey") &&
+            masks("mord") > sig("seg_ord"), "left_anti")
+      val bucketRows = live
+        .join(broadcast(buckets), Seq("band", "bkey"), "left_semi")
+        .select(col("id"), col("ghash"), col("band"), col("bkey"))
+      val merged = bucketRows.unionByName(deltaBanded
+        .select(col("id"), col("ghash"), col("band"), col("bkey")))
+      val retiled =
+        if (numHashes / bands < 6)
+          merged.withColumn("cell", lit(0)).withColumn("nc", lit(1))
+        else tileCensus(merged, LshBucketCap)
+      commitLshShardsPresharded(spark, path, pinned,
+        lshSigCols(retiled).withColumn("shard", lshShard(n))
+          .withColumn("seg_ord", ordCol),
+        buckets.withColumn("shard", lshShard(n))
+          .withColumn("mord", ordCol),
+        ShardedCommit.SegAppend)
+      return touched
+    }
+    // merge path: whole-shard rewrite (the compacting write). On a
+    // legacy root the rewrite covers ALL shards so the migration to
+    // the segmented schema is atomic and complete. Reads go through
+    // the MASKED live view — raw segments still hold superseded bucket
+    // censuses that must not resurface in the merge.
+    val shards = if (anyLegacy) (0 until n).toSeq else touched
+    val pinned = shards.map(sh =>
       sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
-    val existing = spark.read.parquet(
-      pinned.map { case (_, (_, _, gen)) => s"$gen/sig" }: _*)
+    val sigRaw = spark.read.parquet(
+      pinned.flatMap { case (sh, (_, _, gen)) =>
+        SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+          "sig") }: _*)
+    val existing =
+      if (anyLegacy) sigRaw
+      else {
+        val masks = spark.read.parquet(
+          pinned.flatMap { case (sh, (_, _, gen)) =>
+            SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+              "mask") }: _*)
+        sigRaw.join(broadcast(masks),
+          sigRaw("band") === masks("band") &&
+            sigRaw("bkey") === masks("bkey") &&
+            masks("mord") > sigRaw("seg_ord"), "left_anti")
+      }
     val merged = existing
       .select(col("id"), col("ghash"), col("band"), col("bkey"))
       .unionByName(deltaBanded
@@ -549,11 +666,41 @@ object Dedup {
       if (numHashes / bands < 6)
         merged.withColumn("cell", lit(0)).withColumn("nc", lit(1))
       else tileCensus(merged, LshBucketCap)
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
-      Seq(ShardedCommit.Surface("sig",
-        lshSigCols(retiled).withColumn("shard", lshShard(n)),
-        () => lshSigCols(retiled).limit(0))))))
+    commitLshShards(spark, path, pinned, lshSegCols(retiled, 0L),
+      emptyLshMask(spark, retiled), ShardedCommit.SegReplace, n)
     touched
+  }
+
+  /** Highest row-level `seg_ord` a root's next shadow segment must
+    * exceed — tracked as the max ordinal across its PRESENT `_seg_*`
+    * dir names (strictly monotone per commit, cheap driver listing);
+    * row ordinals are always assigned at or below the dir ordinal the
+    * commit mints, so dir-max + 1 is strictly above every live row. */
+  private def maxLiveSegOrd(spark: org.apache.spark.sql.SparkSession,
+                            root: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val r = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(r)) 0L
+    else fs.listStatus(r).iterator
+      .flatMap(s => graft.sinks.SegmentStore.segOrdinal(s.getPath.getName))
+      .foldLeft(0L)(_ max _)
+  }
+
+  /** Fold every shard's segment list back to ONE segment — the
+    * read-amplification reset after append-mode updates: the masked
+    * live view re-persists wholesale, masks vanish. */
+  def compactLshSharded(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val all = (0 until n).toSeq
+    val live = loadLshSharded(spark, path)
+    val pinned = all.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    commitLshShards(spark, path, pinned, lshSegCols(live, 0L),
+      emptyLshMask(spark, live), ShardedCommit.SegReplace, n)
+    all
   }
 
   /** REMOVE a doc set. A document's signature rows hash across the
@@ -561,28 +708,51 @@ object Dedup {
     * inherently touches EVERY shard — but each rewrites independently,
     * bounded, in the one atomic pointer transaction (the
     * [[graft.operators.Retrieval.removeFromBm25Sharded]] term-grid
-    * economics). Census re-derives per shard over the survivors. */
+    * economics). Census re-derives per shard over the survivors; a
+    * SEGMENT-COMPACTING write. */
   def removeFromLshSharded(spark: org.apache.spark.sql.SparkSession,
                            path: String, removedIds: DataFrame,
                            numHashes: Int, bands: Int): Seq[Int] = {
     import graft.sinks.{ArtifactStore, ShardedCommit}
     val n = ShardedCommit.numShards(spark, path)
     val all = (0 until n).toSeq
+    val live = loadLshSharded(spark, path)
     val pinned = all.map(sh =>
       sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
-    val remaining = spark.read.parquet(
-        pinned.map { case (_, (_, _, gen)) => s"$gen/sig" }: _*)
+    val remaining = live
       .select(col("id"), col("ghash"), col("band"), col("bkey"))
       .join(removedIds.select(col("id")).distinct(), Seq("id"), "left_anti")
     val retiled =
       if (numHashes / bands < 6)
         remaining.withColumn("cell", lit(0)).withColumn("nc", lit(1))
       else tileCensus(remaining, LshBucketCap)
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
-      Seq(ShardedCommit.Surface("sig",
-        lshSigCols(retiled).withColumn("shard", lshShard(n)),
-        () => lshSigCols(retiled).limit(0))))))
+    commitLshShards(spark, path, pinned, lshSegCols(retiled, 0L),
+      emptyLshMask(spark, retiled), ShardedCommit.SegReplace, n)
     all
+  }
+
+  /** Shared commit tail of the sharded-LSH writers: sig+mask co-swap
+    * per shard through [[graft.sinks.ShardedCommit.commitSegmented]]. */
+  private def commitLshShards(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      pinned: Seq[(Int, (String, Option[String], String))],
+      sig: DataFrame, mask: DataFrame,
+      mode: graft.sinks.ShardedCommit.SegMode, numShards: Int): Unit =
+    commitLshShardsPresharded(spark, path, pinned,
+      sig.withColumn("shard", lshShard(numShards)),
+      mask.withColumn("shard", lshShard(numShards)), mode)
+
+  private def commitLshShardsPresharded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      pinned: Seq[(Int, (String, Option[String], String))],
+      sig: DataFrame, mask: DataFrame,
+      mode: graft.sinks.ShardedCommit.SegMode): Unit = {
+    import graft.sinks.ShardedCommit.{SegFamily, Surface}
+    graft.sinks.ShardedCommit.commitSegmented(spark, path,
+      Seq(SegFamily(pinned, Seq(
+        Surface("sig", sig, () => sig.limit(0).drop("shard")),
+        Surface("mask", mask, () => mask.limit(0).drop("shard"))),
+        mode)))
   }
 
   /** [[incrementalLshPairs]] against an already-built (typically LOADED)
@@ -1264,40 +1434,58 @@ object Dedup {
       .withColumn("shard", cdcShard(numShards))
     val rollup = idx.rollup.select(col("h"), col("first_doc"), col("n_occ"))
       .withColumn("shard", cdcShard(numShards))
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(
+    commitCdcShards(spark, path,
       (0 until numShards).map(sh =>
         sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
-      Seq(ShardedCommit.Surface("chunks", chunks,
-          () => chunks.limit(0).drop("shard")),
-        ShardedCommit.Surface("rollup", rollup,
-          () => rollup.limit(0).drop("shard"))))))
+      chunks, rollup, ShardedCommit.SegReplace)
   }
 
   /** Load as a regular [[CdcArtifact]] — one multi-path scan per
-    * surface, so every serve/screen path is shared with the unsharded
-    * artifact. */
+    * surface over every live SEGMENT, so every serve/screen path is
+    * shared with the unsharded artifact. Rollup segments written by
+    * append-mode updates are PARTIALS (per-delta min/count); when any
+    * shard holds more than one segment the load min/sum-merges per
+    * chunk hash — after `index-compact` the plan collapses back to the
+    * plain scan. */
   def loadCdcSharded(spark: org.apache.spark.sql.SparkSession,
                      path: String): CdcArtifact = {
-    import graft.sinks.{ArtifactStore, ShardedCommit}
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = ShardedCommit.numShards(spark, path)
-    val bases = (0 until n).map(sh =>
-      ArtifactStore.resolve(spark, s"$path/shards/$sh"))
+    val resolved = (0 until n).map { sh =>
+      val root = s"$path/shards/$sh"
+      (root, ArtifactStore.resolve(spark, root))
+    }
+    val rollPaths = resolved.map { case (root, gen) =>
+      SegmentStore.surfacePathsAt(spark, root, gen, "rollup") }
+    val rollRaw = spark.read.parquet(rollPaths.flatten: _*)
+      .select(col("h"), col("first_doc"), col("n_occ"))
     CdcArtifact(
-      spark.read.parquet(bases.map(b => s"$b/chunks"): _*)
+      spark.read.parquet(resolved.flatMap { case (root, gen) =>
+        SegmentStore.surfacePathsAt(spark, root, gen, "chunks") }: _*)
         .select(col("doc_id"), col("h")),
-      spark.read.parquet(bases.map(b => s"$b/rollup"): _*)
-        .select(col("h"), col("first_doc"), col("n_occ")))
+      if (rollPaths.forall(_.size <= 1)) rollRaw
+      else rollRaw.groupBy(col("h"))
+        .agg(min(col("first_doc")).as("first_doc"),
+          sum(col("n_occ")).as("n_occ")))
   }
 
-  /** Fold a DELTA batch's chunks in, rewriting ONLY the shards the
-    * delta's chunk hashes route to. Exactness as [[updateCdcArtifact]]:
-    * occurrence union + min/sum rollup merge — a chunk hash's rollup
-    * rows live only in its own shard, so the per-shard merge equals the
-    * global one. Same NEW-doc_ids contract. Returns touched shards. */
+  /** Fold a DELTA batch's chunks in. Default (`append = true`): each
+    * touched shard gains one DELTA-SIZED segment — occurrence rows
+    * as-is, rollup as per-delta partials the load min/sum-merges — so
+    * the write volume is O(delta) even though chunk hashes spray
+    * across the whole grid (the x25 measurement: the merge-mode
+    * sharded update touched 8/8 shards and re-persisted every one).
+    * `append = false` is the round-17 merge — now also the compacting
+    * write, and the automatic fallback on legacy (unsegmented) roots.
+    * Exactness as [[updateCdcArtifact]] either way: a chunk hash's
+    * rollup rows live only in its own shard, so per-shard merges and
+    * the serve-time partial-merge both equal the global groupBy. Same
+    * NEW-doc_ids contract. Returns touched shards. */
   def updateCdcSharded(spark: org.apache.spark.sql.SparkSession,
                        path: String, delta: DataFrame, idCol: String,
-                       textCol: String, avgMask: Int): Seq[Int] = {
-    import graft.sinks.{ArtifactStore, ShardedCommit}
+                       textCol: String, avgMask: Int,
+                       append: Boolean = true): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = ShardedCommit.numShards(spark, path)
     val deltaChunks = OperatorCaches.register(
       cdcChunks(delta, idCol, textCol, avgMask)
@@ -1308,56 +1496,111 @@ object Dedup {
     if (touched.isEmpty) return touched
     val pinned = touched.map(sh =>
       sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val deltaRollup = deltaChunks.groupBy(col("shard"), col("h"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_occ"))
+    val anyLegacy = pinned.exists { case (_, (_, _, gen)) =>
+      SegmentStore.readManifest(spark, gen).isEmpty }
+    if (append && !anyLegacy) {
+      commitCdcShards(spark, path, pinned, deltaChunks,
+        deltaRollup, ShardedCommit.SegAppend)
+      return touched
+    }
     val existChunks = spark.read.parquet(
-        pinned.map { case (_, (_, _, gen)) => s"$gen/chunks" }: _*)
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "chunks") }: _*)
       .select(col("doc_id"), col("h"))
     val existRollup = spark.read.parquet(
-        pinned.map { case (_, (_, _, gen)) => s"$gen/rollup" }: _*)
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "rollup") }: _*)
       .select(col("h"), col("first_doc"), col("n_occ"))
     val newChunks = existChunks
       .unionByName(deltaChunks.select(col("doc_id"), col("h")))
-    val newRollup = existRollup.unionByName(
-        deltaChunks.groupBy(col("h"))
-          .agg(min(col("doc_id")).as("first_doc"),
-            count(lit(1)).as("n_occ")))
+    val newRollup = existRollup
+      .unionByName(deltaRollup.drop("shard"))
       .groupBy(col("h"))
       .agg(min(col("first_doc")).as("first_doc"),
         sum(col("n_occ")).as("n_occ"))
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
-      Seq(ShardedCommit.Surface("chunks",
-          newChunks.withColumn("shard", cdcShard(n)),
-          () => newChunks.limit(0)),
-        ShardedCommit.Surface("rollup",
-          newRollup.withColumn("shard", cdcShard(n)),
-          () => newRollup.limit(0))))))
+    commitCdcShards(spark, path, pinned,
+      newChunks.withColumn("shard", cdcShard(n)),
+      newRollup.withColumn("shard", cdcShard(n)),
+      ShardedCommit.SegReplace)
     touched
+  }
+
+  /** Fold every shard's segment list back to ONE segment — the
+    * read-amplification reset after append-mode updates (occurrences
+    * re-persist as-is, rollup min/sum-merges its partials). */
+  def compactCdcSharded(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
+    val n = ShardedCommit.numShards(spark, path)
+    val all = (0 until n).toSeq
+    val pinned = all.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
+    val chunks = spark.read.parquet(
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "chunks") }: _*)
+      .select(col("doc_id"), col("h"))
+    val rollup = spark.read.parquet(
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "rollup") }: _*)
+      .select(col("h"), col("first_doc"), col("n_occ"))
+      .groupBy(col("h"))
+      .agg(min(col("first_doc")).as("first_doc"),
+        sum(col("n_occ")).as("n_occ"))
+    commitCdcShards(spark, path, pinned,
+      chunks.withColumn("shard", cdcShard(n)),
+      rollup.withColumn("shard", cdcShard(n)),
+      ShardedCommit.SegReplace)
+    all
   }
 
   /** REMOVE a doc set. A document's chunks hash across the whole shard
     * grid, so removal touches every shard (the sharded-LSH/BM25 remove
     * economics); each shard's rollup re-derives from its surviving
-    * occurrences, all flipping in one pointer transaction. */
+    * occurrences, all flipping in one pointer transaction — a
+    * SEGMENT-COMPACTING write. */
   def removeFromCdcSharded(spark: org.apache.spark.sql.SparkSession,
                            path: String, removedIds: DataFrame): Seq[Int] = {
-    import graft.sinks.{ArtifactStore, ShardedCommit}
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = ShardedCommit.numShards(spark, path)
     val all = (0 until n).toSeq
     val pinned = all.map(sh =>
       sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh"))
     val kept = spark.read.parquet(
-        pinned.map { case (_, (_, _, gen)) => s"$gen/chunks" }: _*)
+        pinned.flatMap { case (sh, (_, _, gen)) =>
+          SegmentStore.surfacePathsAt(spark, s"$path/shards/$sh", gen,
+            "chunks") }: _*)
       .select(col("doc_id"), col("h"))
       .join(removedIds.select(col("doc_id")).distinct(), Seq("doc_id"),
         "left_anti")
     val rollup = kept.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_occ"))
-    ShardedCommit.commit(spark, path, Seq(ShardedCommit.Family(pinned,
-      Seq(ShardedCommit.Surface("chunks",
-          kept.withColumn("shard", cdcShard(n)), () => kept.limit(0)),
-        ShardedCommit.Surface("rollup",
-          rollup.withColumn("shard", cdcShard(n)),
-          () => rollup.limit(0))))))
+    commitCdcShards(spark, path, pinned,
+      kept.withColumn("shard", cdcShard(n)),
+      rollup.withColumn("shard", cdcShard(n)),
+      ShardedCommit.SegReplace)
     all
+  }
+
+  /** Shared commit tail of the sharded-CDC writers: chunks+rollup
+    * co-swap per shard ([[graft.sinks.ShardedCommit.commitSegmented]] —
+    * full writes as `SegReplace`, delta appends as `SegAppend`). */
+  private def commitCdcShards(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      pinned: Seq[(Int, (String, Option[String], String))],
+      chunks: DataFrame, rollup: DataFrame,
+      mode: graft.sinks.ShardedCommit.SegMode): Unit = {
+    import graft.sinks.ShardedCommit.{SegFamily, Surface}
+    graft.sinks.ShardedCommit.commitSegmented(spark, path,
+      Seq(SegFamily(pinned, Seq(
+        Surface("chunks", chunks, () => chunks.limit(0).drop("shard")),
+        Surface("rollup", rollup, () => rollup.limit(0).drop("shard"))),
+        mode)))
   }
 
   /** Chunk-level screen of a DELTA batch against a built/loaded chunk

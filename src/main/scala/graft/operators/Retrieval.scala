@@ -173,7 +173,7 @@ object Retrieval {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = index.postings.sparkSession
     graft.sinks.ShardedCommit.writeMeta(spark, path, numShards)
-    import graft.sinks.ArtifactStore
+    import graft.sinks.{ArtifactStore, ShardedCommit}
     commitBm25Shards(spark, path,
       (0 until numShards).map(sh =>
         sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
@@ -186,40 +186,66 @@ object Retrieval {
       index.doclen.select(col("doc_id"), col("dl"))
         .withColumn("shard", docShard(numShards)),
       Some((index.stats.select(col("n_docs"), col("total_len")),
-        ArtifactStore.pinGen(spark, s"$path/stats"))))
+        ArtifactStore.pinGen(spark, s"$path/stats"))),
+      ShardedCommit.SegReplace)
   }
 
   /** Load the sharded artifact as a regular [[Bm25Index]]: every
     * surface is partition-column-free, so each loads as ONE multi-path
-    * scan over its per-shard live generations (never an S-way union of
+    * scan over its per-shard live SEGMENTS (never an S-way union of
     * single scans — the union's per-branch planning overhead is the
-    * cost sharding must not add at serve time). */
+    * cost sharding must not add at serve time; the path list just
+    * grows with append-mode segments until `index-compact`). docfreq
+    * segments written by append-mode updates are PARTIAL df counts;
+    * when any shard holds more than one segment the load sum-merges
+    * them per term — after compaction the plan collapses back to the
+    * plain scan. */
   def loadBm25Sharded(spark: SparkSession, path: String): Bm25Index = {
-    import graft.sinks.ArtifactStore
+    import graft.sinks.{ArtifactStore, SegmentStore}
     val n = shardedNumShards(spark, path)
-    val tBases = (0 until n).map(sh =>
-      ArtifactStore.resolve(spark, s"$path/shards/$sh"))
-    val dBases = (0 until n).map(sh =>
-      ArtifactStore.resolve(spark, s"$path/docshards/$sh"))
+    val tPaths = (0 until n).map { sh =>
+      val root = s"$path/shards/$sh"
+      (root, ArtifactStore.resolve(spark, root))
+    }
+    val dPaths = (0 until n).map { sh =>
+      val root = s"$path/docshards/$sh"
+      (root, ArtifactStore.resolve(spark, root))
+    }
+    val dfPaths = tPaths.map { case (root, gen) =>
+      SegmentStore.surfacePathsAt(spark, root, gen, "docfreq") }
+    val dfRaw = spark.read.parquet(dfPaths.flatten: _*)
+      .select(col("term"), col("df"))
     Bm25Index(
-      spark.read.parquet(tBases.map(b => s"$b/postings"): _*)
+      spark.read.parquet(tPaths.flatMap { case (root, gen) =>
+        SegmentStore.surfacePathsAt(spark, root, gen, "postings") }: _*)
         .select(col("term"), col("doc_id"), col("tf")),
-      spark.read.parquet(dBases.map(b => s"$b/doclen"): _*)
+      spark.read.parquet(dPaths.flatMap { case (root, gen) =>
+        SegmentStore.surfacePathsAt(spark, root, gen, "doclen") }: _*)
         .select(col("doc_id"), col("dl")),
-      spark.read.parquet(tBases.map(b => s"$b/docfreq"): _*)
-        .select(col("term"), col("df")),
+      if (dfPaths.forall(_.size <= 1)) dfRaw
+      else dfRaw.groupBy(col("term")).agg(sum(col("df")).as("df")),
       spark.read.parquet(ArtifactStore.resolve(spark, s"$path/stats")))
   }
 
-  /** Fold a DELTA batch in, rewriting ONLY the term shards the delta's
-    * terms hash to and the doc shards its ids route to (plus the 1-row
-    * stats rollup). Same exactness as [[updateBm25Index]]: per touched
-    * term shard, postings union + docfreq sum-merge — a term's df rows
-    * live only in its own shard, so the per-shard merge equals the
-    * global one. Returns the touched TERM shard ids. */
+  /** Fold a DELTA batch in. Default (`append = true`, the 100 TB
+    * posture): each touched shard gains one DELTA-SIZED segment —
+    * postings/doclen rows as-is, docfreq as PARTIAL per-term counts the
+    * load sum-merges — so the write volume is O(delta) even though a
+    * crawl batch's term hashes spray across the whole grid (the x25
+    * measurement that motivated segments: the merge-mode sharded
+    * update re-persisted every touched shard's surface and ran SLOWER
+    * than unsharded). `append = false` is the round-17 merge: per
+    * touched shard, postings union + docfreq sum-merge, re-persisted
+    * wholesale — now also the SEGMENT-COMPACTING write, and the
+    * automatic fallback when a touched root still has the legacy
+    * (unsegmented) layout. Same exactness either way: a term's df rows
+    * live only in its own shard, so per-shard merges equal the global
+    * one and the serve-time sum over partials equals the merged count.
+    * Returns the touched TERM shard ids. */
   def updateBm25Sharded(spark: SparkSession, path: String,
-                        deltaTerms: DataFrame): Seq[Int] = {
-    import graft.sinks.ArtifactStore
+                        deltaTerms: DataFrame,
+                        append: Boolean = true): Seq[Int] = {
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = shardedNumShards(spark, path)
     val d = buildBm25Index(deltaTerms)
     val dPost = OperatorCaches.register(
@@ -236,23 +262,39 @@ object Retrieval {
     val dPinned = dTouched.map(sh =>
       sh -> ArtifactStore.pinGen(spark, s"$path/docshards/$sh")).toMap
     val sPin = ArtifactStore.pinGen(spark, s"$path/stats")
-    val existPost = tTouched.map { sh =>
-      spark.read.parquet(s"${tPinned(sh)._3}/postings")
-        .select(col("term"), col("doc_id"), col("tf"))
-        .withColumn("shard", lit(sh))
-    }.reduce(_ unionByName _)
-    val existDf = tTouched.map { sh =>
-      spark.read.parquet(s"${tPinned(sh)._3}/docfreq")
-        .select(col("term"), col("df")).withColumn("shard", lit(sh))
-    }.reduce(_ unionByName _)
-    val existLen = dTouched.map { sh =>
-      spark.read.parquet(s"${dPinned(sh)._3}/doclen")
-        .select(col("doc_id"), col("dl")).withColumn("shard", lit(sh))
-    }.reduce(_ unionByName _)
     val newStats = spark.read.parquet(sPin._3)
       .select(col("n_docs"), col("total_len")).unionByName(d.stats)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
+    val anyLegacy =
+      tTouched.exists(sh => SegmentStore
+        .readManifest(spark, tPinned(sh)._3).isEmpty) ||
+      dTouched.exists(sh => SegmentStore
+        .readManifest(spark, dPinned(sh)._3).isEmpty)
+    if (append && !anyLegacy) {
+      commitBm25Shards(spark, path,
+        tTouched.map(sh => sh -> tPinned(sh)),
+        dPost, d.docfreq.withColumn("shard", termShard(n)),
+        dTouched.map(sh => sh -> dPinned(sh)), dLen,
+        Some((newStats, sPin)), ShardedCommit.SegAppend)
+      return tTouched
+    }
+    val existPost = tTouched.map { sh =>
+      spark.read.parquet(SegmentStore.surfacePathsAt(spark,
+          s"$path/shards/$sh", tPinned(sh)._3, "postings"): _*)
+        .select(col("term"), col("doc_id"), col("tf"))
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val existDf = tTouched.map { sh =>
+      spark.read.parquet(SegmentStore.surfacePathsAt(spark,
+          s"$path/shards/$sh", tPinned(sh)._3, "docfreq"): _*)
+        .select(col("term"), col("df")).withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val existLen = dTouched.map { sh =>
+      spark.read.parquet(SegmentStore.surfacePathsAt(spark,
+          s"$path/docshards/$sh", dPinned(sh)._3, "doclen"): _*)
+        .select(col("doc_id"), col("dl")).withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
     commitBm25Shards(spark, path,
       tTouched.map(sh => sh -> tPinned(sh)),
       existPost.unionByName(dPost),
@@ -260,8 +302,47 @@ object Retrieval {
         .groupBy(col("shard"), col("term")).agg(sum(col("df")).as("df")),
       dTouched.map(sh => sh -> dPinned(sh)),
       existLen.unionByName(dLen),
-      Some((newStats, sPin)))
+      Some((newStats, sPin)),
+      ShardedCommit.SegReplace)
     tTouched
+  }
+
+  /** Fold every shard's segment list back to ONE segment per root —
+    * the read-amplification reset after a run of append-mode updates
+    * (postings/doclen re-persist as-is, docfreq sum-merges its
+    * partials; results are hash-identical by the same argument as the
+    * merge update). Returns (termShards, docShards) compacted. */
+  def compactBm25Sharded(spark: SparkSession, path: String)
+      : (Seq[Int], Seq[Int]) = {
+    import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
+    val n = shardedNumShards(spark, path)
+    val all = (0 until n).toSeq
+    val tPinned = all.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")).toMap
+    val dPinned = all.map(sh =>
+      sh -> ArtifactStore.pinGen(spark, s"$path/docshards/$sh")).toMap
+    val post = all.map { sh =>
+      spark.read.parquet(SegmentStore.surfacePathsAt(spark,
+          s"$path/shards/$sh", tPinned(sh)._3, "postings"): _*)
+        .select(col("term"), col("doc_id"), col("tf"))
+        .withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    val df = all.map { sh =>
+      spark.read.parquet(SegmentStore.surfacePathsAt(spark,
+          s"$path/shards/$sh", tPinned(sh)._3, "docfreq"): _*)
+        .select(col("term"), col("df")).withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+      .groupBy(col("shard"), col("term")).agg(sum(col("df")).as("df"))
+    val len = all.map { sh =>
+      spark.read.parquet(SegmentStore.surfacePathsAt(spark,
+          s"$path/docshards/$sh", dPinned(sh)._3, "doclen"): _*)
+        .select(col("doc_id"), col("dl")).withColumn("shard", lit(sh))
+    }.reduce(_ unionByName _)
+    commitBm25Shards(spark, path,
+      all.map(sh => sh -> tPinned(sh)), post, df,
+      all.map(sh => sh -> dPinned(sh)), len,
+      None, ShardedCommit.SegReplace)
+    (all, all)
   }
 
   /** REMOVE a doc set. A document's terms hash across the whole term
@@ -288,12 +369,14 @@ object Retrieval {
       sh -> ArtifactStore.pinGen(spark, s"$path/docshards/$sh")).toMap
     val sPin = ArtifactStore.pinGen(spark, s"$path/stats")
     val keptPost = tAll.map { sh =>
-      spark.read.parquet(s"${tPinned(sh)._3}/postings")
+      spark.read.parquet(graft.sinks.SegmentStore.surfacePathsAt(spark,
+          s"$path/shards/$sh", tPinned(sh)._3, "postings"): _*)
         .select(col("term"), col("doc_id"), col("tf"))
         .withColumn("shard", lit(sh))
     }.reduce(_ unionByName _).join(ids, Seq("doc_id"), "left_anti")
     val touchedLen = dTouched.map { sh =>
-      spark.read.parquet(s"${dPinned(sh)._3}/doclen")
+      spark.read.parquet(graft.sinks.SegmentStore.surfacePathsAt(spark,
+          s"$path/docshards/$sh", dPinned(sh)._3, "doclen"): _*)
         .select(col("doc_id"), col("dl")).withColumn("shard", lit(sh))
     }.reduce(_ unionByName _)
     val removedAgg = touchedLen.join(ids, Seq("doc_id"), "left_semi")
@@ -310,7 +393,8 @@ object Retrieval {
         .agg(count(lit(1)).as("df")),
       dTouched.map(sh => sh -> dPinned(sh)),
       touchedLen.join(ids, Seq("doc_id"), "left_anti"),
-      Some((newStats, sPin)))
+      Some((newStats, sPin)),
+      graft.sinks.ShardedCommit.SegReplace)
     dTouched
   }
 
@@ -318,22 +402,28 @@ object Retrieval {
     * [[graft.sinks.ShardedCommit]] choreography (extracted there when
     * the LSH/CDC/SemDeDup tiers adopted the layout): postings+docfreq
     * swap together per term shard, doclen per doc shard, the 1-row
-    * stats as a singleton root, one all-or-nothing pointer commit. */
+    * stats as a singleton root, one all-or-nothing pointer commit.
+    * Full writes (build/remove/compact, `SegReplace`) and delta writes
+    * (append-mode update, `SegAppend`) both land as immutable segments
+    * through [[graft.sinks.ShardedCommit.commitSegmented]]. */
   private def commitBm25Shards(
       spark: SparkSession, path: String,
       termShards: Seq[(Int, (String, Option[String], String))],
       postings: DataFrame, docfreq: DataFrame,
       docShards: Seq[(Int, (String, Option[String], String))],
       doclen: DataFrame,
-      stats: Option[(DataFrame, (String, Option[String], String))]): Unit = {
-    import graft.sinks.ShardedCommit.{Family, Surface}
-    graft.sinks.ShardedCommit.commit(spark, path,
+      stats: Option[(DataFrame, (String, Option[String], String))],
+      mode: graft.sinks.ShardedCommit.SegMode): Unit = {
+    import graft.sinks.ShardedCommit.{SegFamily, Surface}
+    graft.sinks.ShardedCommit.commitSegmented(spark, path,
       Seq(
-        Family(termShards, Seq(
+        SegFamily(termShards, Seq(
           Surface("postings", postings, () => postings.limit(0).drop("shard")),
-          Surface("docfreq", docfreq, () => docfreq.limit(0).drop("shard")))),
-        Family(docShards, Seq(
-          Surface("doclen", doclen, () => doclen.limit(0).drop("shard"))))),
+          Surface("docfreq", docfreq, () => docfreq.limit(0).drop("shard"))),
+          mode),
+        SegFamily(docShards, Seq(
+          Surface("doclen", doclen, () => doclen.limit(0).drop("shard"))),
+          mode)),
       stats.toSeq)
   }
 

@@ -1041,6 +1041,43 @@ object DedupQueries {
       .orderBy($"new_doc", $"dup_of")
   }
 
+  // ── q198: SEGMENTED LSH lifecycle — the write-VOLUME fix on top of
+  // q191's rewrite-unit fix. A delta's (band, bkey) keys spray across
+  // the whole shard grid, so q191's merge-update still re-persisted
+  // every touched shard's signature surface (measured SLOWER than the
+  // unsharded merge at x25). Append-mode updates land one SHADOW-BUCKET
+  // segment per routed shard: the re-censused union of exactly the
+  // touched buckets plus a mask naming them — every row carries a
+  // per-root write ordinal, a row is live iff no later mask names its
+  // bucket, so the load is one multi-path scan + one broadcast
+  // anti-join against the delta-scaled masks. compactLshSharded then
+  // folds the masked live view back to one segment per root. The
+  // week-2 screen after BOTH steps reproduces q155 exactly: the oracle
+  // IS q155's SQL. CLI: index-update --mode=append + index-compact
+  // --type=lsh-sharded. ─────────────────────────────────────────────────
+  val q198_lsh_segmented_compact: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{columnOf, expressionOf}
+    val hashed = Tables.documents(s, d).select($"doc_id".as("id"), $"source",
+      columnOf(graft.plans.WordShingleHashes(
+        expressionOf($"text"), ShingleN, 7)).as("ghash"))
+    val path = QueryTmp.dir("lshseg", d)
+    Dedup.saveLshSharded(
+      Dedup.bandedSignaturesTiled(
+        hashed.filter(!$"source".isin(DeltaSources: _*)).drop("source"),
+        lshK(s, d), MinHashBands),
+      path, numShards = 4)
+    Dedup.updateLshSharded(s, path,
+      hashed.filter($"source" === DeltaSources.head).drop("source"),
+      lshK(s, d), MinHashBands, append = true)
+    Dedup.compactLshSharded(s, path)
+    Dedup.incrementalLshPairsIndexed(
+        hashed.filter($"source" === DeltaSources(1)).drop("source"),
+        Dedup.loadLshSharded(s, path),
+        lshK(s, d), MinHashBands, JaccardThreshold)
+      .orderBy($"new_doc", $"dup_of")
+  }
+
   // ── q192: SHARDED CDC artifact — the same rewrite-unit economics on
   // the chunk tier: occurrences + rollup shard by CHUNK HASH and
   // co-swap per shard generation, the arriving slice's fold rewriting
@@ -1155,6 +1192,7 @@ object DedupQueries {
     "q165_cdc_index_remove" -> q165_cdc_index_remove,
     "q191_lsh_sharded_update" -> q191_lsh_sharded_update,
     "q192_cdc_sharded_update" -> q192_cdc_sharded_update,
+    "q198_lsh_segmented_compact" -> q198_lsh_segmented_compact,
   )
   val oracleSql: Map[String, String] = Map(
     "q21_exact_dedup" -> q21_sql,
@@ -1183,5 +1221,7 @@ object DedupQueries {
     // sharded-layout lifecycles must hash-reproduce the unsharded ones
     "q191_lsh_sharded_update" -> q155_sql,
     "q192_cdc_sharded_update" -> q154_sql,
+    // segmented append + compact must reproduce the same screen
+    "q198_lsh_segmented_compact" -> q155_sql,
   )
 }

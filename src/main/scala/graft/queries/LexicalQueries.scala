@@ -263,6 +263,41 @@ object LexicalQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ── q197: SEGMENTED BM25 lifecycle — the write-VOLUME fix on top of
+  // q186's rewrite-unit fix. A crawl delta's term hashes spray across
+  // the whole shard grid, so q186's merge-update still re-persisted
+  // every touched shard's surface (measured SLOWER than the unsharded
+  // merge at x25); append-mode updates instead land one DELTA-SIZED
+  // immutable segment per routed shard — postings/doclen rows as-is,
+  // docfreq as per-delta PARTIALS the load sum-merges — O(delta) write
+  // volume. Two appends with overlapping vocabulary force the partial
+  // merge, then Retrieval.compactBm25Sharded folds each root back to
+  // one segment (purely physical). The served ranking equals the
+  // full-corpus build after BOTH steps: the oracle IS q100's SQL.
+  // CLI: index-update --mode=append + index-compact --type=bm25-sharded.
+  val q197_bm25_segmented_compact: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def termsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", explode(toks($"text")).as("term"))
+    val path = QueryTmp.dir("bm25seg", d)
+    graft.operators.Retrieval.saveBm25Sharded(
+      graft.operators.Retrieval.buildBm25Index(
+        termsOf(docs.filter($"doc_id" % 7 =!= 3 && $"doc_id" % 7 =!= 5))),
+      path, numShards = 4)
+    graft.operators.Retrieval.updateBm25Sharded(s, path,
+      termsOf(docs.filter($"doc_id" % 7 === 3)), append = true)
+    graft.operators.Retrieval.updateBm25Sharded(s, path,
+      termsOf(docs.filter($"doc_id" % 7 === 5)), append = true)
+    graft.operators.Retrieval.compactBm25Sharded(s, path)
+    val idx = graft.operators.Retrieval.loadBm25Sharded(s, path)
+    graft.operators.Retrieval.bm25Ranked(queryTermsOf(idx), idx,
+        BmK1, BmB, BmScale)
+      .where($"rank" <= BmTopK)
+      .select($"q_id", $"rank", $"doc_id", $"n_terms", $"score")
+      .orderBy($"q_id", $"rank")
+  }
+
   // ── q104: hybrid retrieval via reciprocal-rank fusion ───────────────────
   // The standard lexical+dense combiner: each system contributes
   // 1/(K + rank) for its shortlist, missing docs contribute 0, fused
@@ -874,7 +909,8 @@ object LexicalQueries {
     "q163_bm25_index_remove" -> q163_bm25_index_remove,
     "q127_vocab_drift" -> q127_vocab_drift,
     "q180_hybrid_artifact_serve" -> q180_hybrid_artifact_serve,
-    "q186_bm25_sharded_update" -> q186_bm25_sharded_update)
+    "q186_bm25_sharded_update" -> q186_bm25_sharded_update,
+    "q197_bm25_segmented_compact" -> q197_bm25_segmented_compact)
   val oracleSql: Map[String, String] = Map(
     "q100_bm25" -> q100_sql,
     "q103_bigram_lm" -> q103_sql,
@@ -890,5 +926,6 @@ object LexicalQueries {
     "q180_hybrid_artifact_serve" -> q180_sql,
     // sharded update+serve == the full-corpus build's ranking (q153's
     // exactness with per-shard rewrite units)
-    "q186_bm25_sharded_update" -> q100_sql)
+    "q186_bm25_sharded_update" -> q100_sql,
+    "q197_bm25_segmented_compact" -> q100_sql)
 }

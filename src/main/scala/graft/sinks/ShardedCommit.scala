@@ -64,6 +64,22 @@ object ShardedCommit {
       .select(org.apache.spark.sql.functions.col("num_shards"))
       .head().getInt(0)
 
+  /** How a [[SegFamily]]'s fresh segment joins each shard's manifest:
+    * REPLACE makes it the only live segment (build / compact / remove —
+    * the full-surface writes), APPEND adds it after the pinned
+    * generation's list (the O(delta) update — requires the pinned
+    * generation to be segmented already; callers migrate legacy roots
+    * with one REPLACE write first). */
+  sealed trait SegMode
+  case object SegReplace extends SegMode
+  case object SegAppend extends SegMode
+
+  /** A [[Family]] committing through the SEGMENTED layout
+    * ([[graft.sinks.SegmentStore]]): each touched shard gets one new
+    * immutable `_seg_*` data dir plus a manifest-only generation. */
+  final case class SegFamily(shards: Seq[(Int, Pin)],
+                             surfaces: Seq[Surface], mode: SegMode)
+
   /** Stage every family's surfaces, assemble per-shard generations, and
     * flip all pointers in one transaction. `singletons` are bounded
     * rollup roots (e.g. BM25's 1-row stats) committing in the same
@@ -112,6 +128,84 @@ object ShardedCommit {
         commits += ((root, gen, loaded))
       }
       ArtifactStore.commitGenAll(spark, path, commits.toSeq)
+    } finally staged.foreach { case (_, surfs) =>
+      surfs.foreach { case (_, stage) =>
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      }
+    }
+  }
+
+  /** The segmented twin of [[commit]] — same staging (one
+    * `partitionBy("shard")` job per surface), but each shard's staged
+    * partitions land in a fresh IMMUTABLE `_seg_*` dir and the new
+    * generation holds only the manifest naming the live segment list
+    * (see [[graft.sinks.SegmentStore]]): write volume is the staged
+    * rows, never the shard's prior surface. The pointer transaction is
+    * the same [[ArtifactStore.commitGenAll]]; after it, each root's
+    * orphaned segments (displaced-out manifests' data past the staging
+    * grace) are swept. */
+  def commitSegmented(spark: SparkSession, path: String,
+                      families: Seq[SegFamily],
+                      singletons: Seq[(DataFrame, Pin)] = Nil): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staged: Seq[(SegFamily, Seq[(Surface, String)])] =
+      families.zipWithIndex.map { case (fam, fi) =>
+        fam -> fam.surfaces.zipWithIndex.map { case (surf, si) =>
+          surf -> s"$path/__stage_${tag}_${fi}_${si}_${surf.name}"
+        }
+      }
+    try {
+      staged.foreach { case (_, surfs) =>
+        surfs.foreach { case (surf, stage) =>
+          surf.df.repartition(org.apache.spark.sql.functions.col("shard"))
+            .write.mode("overwrite").partitionBy("shard").parquet(stage)
+        }
+      }
+      val commits = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Option[String])]
+      val roots = scala.collection.mutable.ArrayBuffer.empty[String]
+      staged.foreach { case (fam, surfs) =>
+        fam.shards.foreach { case (sh, (root, loaded, pinnedGen)) =>
+          val segName = SegmentStore.newSegName(spark, root)
+          val segDir = s"$root/$segName"
+          fs.mkdirs(new org.apache.hadoop.fs.Path(segDir))
+          surfs.foreach { case (surf, stage) =>
+            val src = new org.apache.hadoop.fs.Path(s"$stage/shard=$sh")
+            if (fs.exists(src))
+              require(fs.rename(src,
+                  new org.apache.hadoop.fs.Path(s"$segDir/${surf.name}")),
+                s"segmented commit: cannot stage $src as " +
+                  s"$segDir/${surf.name}")
+            else
+              surf.empty().coalesce(1).write.mode("overwrite")
+                .parquet(s"$segDir/${surf.name}")
+          }
+          val manifest = fam.mode match {
+            case SegReplace => Seq(segName)
+            case SegAppend =>
+              val prev = SegmentStore.readManifest(spark, pinnedGen)
+                .getOrElse(throw new IllegalStateException(
+                  s"SegAppend on a LEGACY (unsegmented) root $root — " +
+                    s"migrate it first with one full write (merge-mode " +
+                    s"update, remove, or index-compact)"))
+              prev :+ segName
+          }
+          val gen = ArtifactStore.newGenDir(spark, root, loaded)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(gen))
+          SegmentStore.writeManifest(spark, gen, manifest)
+          commits += ((root, gen, loaded))
+          roots += root
+        }
+      }
+      singletons.foreach { case (df, (root, loaded, _)) =>
+        val gen = ArtifactStore.newGenDir(spark, root, loaded)
+        df.coalesce(1).write.mode("overwrite").parquet(gen)
+        commits += ((root, gen, loaded))
+      }
+      ArtifactStore.commitGenAll(spark, path, commits.toSeq)
+      roots.distinct.foreach(r => SegmentStore.sweepOrphans(spark, r))
     } finally staged.foreach { case (_, surfs) =>
       surfs.foreach { case (_, stage) =>
         fs.delete(new org.apache.hadoop.fs.Path(stage), true)

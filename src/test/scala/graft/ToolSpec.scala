@@ -2969,6 +2969,151 @@ class ToolSpec extends SparkSpec {
     assert(serve("--parity=skip").status == "SUCCEEDED")
   }
 
+  test("segmented tiers: append updates write delta-sized segments; reads merge partials/masks exactly; index-compact and merge-mode reset; gc sweeps orphan segments") {
+    import spark.implicits._
+    val base = tmpDir("idxsegmented")
+    val corpus = Seq(
+      (0L, "spark join hash table scan"), (1L, "row batch filter merge"),
+      (2L, "spark join hash data"), (3L, "slow order vector line"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$base/corpus")
+    def segsOf(tpe: String, p: String): Long =
+      Tool.run(spark, Array("index-describe", s"--type=$tpe",
+        s"--path=$p")).counters("live_segments")
+    def serveOf(tpe: String, p: String, tag: String,
+                in: String, extra: String*): Seq[Seq[Any]] = {
+      val out = s"$base/out-$tag"
+      assert(Tool.run(spark, Array("index-serve", s"--type=$tpe",
+        s"--path=$p", s"--input=format=parquet file=$base/$in",
+        s"--output=format=parquet file=$out") ++ extra)
+        .status == "SUCCEEDED", tag)
+      val df = spark.read.parquet(out).drop("batch")
+      df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSeq
+    }
+
+    // ── BM25: TWO append deltas REUSING corpus vocabulary, so the df
+    //    partials MUST sum at read to match the rebuilt index ──
+    val bm = s"$base/bm25sh"
+    assert(Tool.run(spark, Array("index-build", "--type=bm25-sharded",
+      s"--path=$bm", s"--input=format=parquet file=$base/corpus",
+      "--shards=4")).status == "SUCCEEDED")
+    assert(segsOf("bm25-sharded", bm) == 8L, "4 term + 4 doc roots")
+    Seq((10L, "spark join filter")).toDF("doc_id", "text")
+      .write.parquet(s"$base/d1")
+    Seq((11L, "hash table merge")).toDF("doc_id", "text")
+      .write.parquet(s"$base/d2")
+    for (d <- Seq("d1", "d2"))
+      assert(Tool.run(spark, Array("index-update", "--type=bm25-sharded",
+        s"--path=$bm", s"--input=format=parquet file=$base/$d"))
+        .status == "SUCCEEDED", d)
+    val grown = segsOf("bm25-sharded", bm)
+    assert(grown > 8L, s"appends must add segments: $grown")
+    corpus.unionByName(
+        spark.read.parquet(s"$base/d1").unionByName(
+          spark.read.parquet(s"$base/d2")))
+      .write.parquet(s"$base/bmfull")
+    assert(Tool.run(spark, Array("index-build", "--type=bm25",
+      s"--path=$base/bmfull-idx",
+      s"--input=format=parquet file=$base/bmfull"))
+      .status == "SUCCEEDED")
+    Seq((20L, "spark join hash"), (21L, "filter merge table"))
+      .toDF("doc_id", "text").write.parquet(s"$base/probe")
+    val wantBm = serveOf("bm25", s"$base/bmfull-idx", "bmfull", "probe",
+      "--topk=5")
+    assert(wantBm.nonEmpty)
+    assert(serveOf("bm25-sharded", bm, "bmseg", "probe", "--topk=5")
+      == wantBm, "append-mode serve must equal the rebuilt index")
+    // compact: purely physical — count resets, serve identical
+    val c = Tool.run(spark, Array("index-compact", "--type=bm25-sharded",
+      s"--path=$bm"))
+    assert(c.counters("segments_before") == grown &&
+      c.counters("segments_after") == 8L, c.counters.toString)
+    assert(serveOf("bm25-sharded", bm, "bmpost", "probe", "--topk=5")
+      == wantBm)
+    // merge-mode updates never grow the segment count
+    Seq((12L, "query window stream")).toDF("doc_id", "text")
+      .write.parquet(s"$base/d3")
+    assert(Tool.run(spark, Array("index-update", "--type=bm25-sharded",
+      s"--path=$bm", s"--input=format=parquet file=$base/d3",
+      "--mode=merge")).status == "SUCCEEDED")
+    assert(segsOf("bm25-sharded", bm) == 8L,
+      "merge mode is the compacting write")
+
+    // ── LSH: the append delta is an EXACT COPY of doc 0's text, so
+    //    every bucket it routes to already holds doc 0's rows — the
+    //    shadow segment must SUPERSEDE those buckets' censuses, never
+    //    duplicate them ──
+    val lsh = s"$base/lshsh"
+    assert(Tool.run(spark, Array("index-build", "--type=lsh-sharded",
+      s"--path=$lsh", s"--input=format=parquet file=$base/corpus",
+      "--shingle-n=2", "--shards=4")).status == "SUCCEEDED")
+    Seq((30L, "spark join hash table scan")).toDF("doc_id", "text")
+      .write.parquet(s"$base/dup")
+    assert(Tool.run(spark, Array("index-update", "--type=lsh-sharded",
+      s"--path=$lsh", s"--input=format=parquet file=$base/dup",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    corpus.unionByName(spark.read.parquet(s"$base/dup"))
+      .write.parquet(s"$base/lshfull")
+    assert(Tool.run(spark, Array("index-build", "--type=lsh",
+      s"--path=$base/lshfull-idx",
+      s"--input=format=parquet file=$base/lshfull",
+      "--shingle-n=2")).status == "SUCCEEDED")
+    Seq((40L, "spark join hash table scan")).toDF("doc_id", "text")
+      .write.parquet(s"$base/lprobe")
+    val wantLsh = serveOf("lsh", s"$base/lshfull-idx", "lfull", "lprobe",
+      "--shingle-n=2", "--threshold=0.5")
+    assert(wantLsh.exists(_.contains(0L)) && wantLsh.exists(_.contains(30L)),
+      s"probe must match both copies: $wantLsh")
+    assert(serveOf("lsh-sharded", lsh, "lseg", "lprobe",
+      "--shingle-n=2", "--threshold=0.5") == wantLsh,
+      "masked segment serve must equal the rebuilt index")
+    val lc = Tool.run(spark, Array("index-compact", "--type=lsh-sharded",
+      s"--path=$lsh"))
+    assert(lc.counters("segments_after") == 4L, lc.counters.toString)
+    assert(serveOf("lsh-sharded", lsh, "lpost", "lprobe",
+      "--shingle-n=2", "--threshold=0.5") == wantLsh)
+
+    // ── CDC: the append delta shares every chunk with doc 0, so the
+    //    rollup partial OVERLAPS the base rows — n_occ must sum and
+    //    first_doc must min at read ──
+    val cdc = s"$base/cdcsh"
+    assert(Tool.run(spark, Array("index-build", "--type=cdc-sharded",
+      s"--path=$cdc", s"--input=format=parquet file=$base/corpus",
+      "--avg-mask=8", "--shards=4")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-update", "--type=cdc-sharded",
+      s"--path=$cdc", s"--input=format=parquet file=$base/dup",
+      "--avg-mask=8")).status == "SUCCEEDED")
+    assert(Tool.run(spark, Array("index-build", "--type=cdc",
+      s"--path=$base/cdcfull-idx",
+      s"--input=format=parquet file=$base/lshfull",
+      "--avg-mask=8")).status == "SUCCEEDED")
+    val wantCdc = serveOf("cdc", s"$base/cdcfull-idx", "cfull", "lprobe",
+      "--avg-mask=8")
+    assert(wantCdc.nonEmpty)
+    assert(serveOf("cdc-sharded", cdc, "cseg", "lprobe", "--avg-mask=8")
+      == wantCdc, "partial-merged rollup serve must equal the rebuild")
+    val cc = Tool.run(spark, Array("index-compact", "--type=cdc-sharded",
+      s"--path=$cdc"))
+    assert(cc.counters("segments_after") == 4L, cc.counters.toString)
+    assert(serveOf("cdc-sharded", cdc, "cpost", "lprobe", "--avg-mask=8")
+      == wantCdc)
+
+    // ── gc: an unreferenced _seg_* dir (crashed writer) past the grace
+    //    is swept; the live serve is untouched ──
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root0 = s"${graft.sinks.ArtifactStore.resolve(spark, lsh)}/shards/0"
+    val orphan = new org.apache.hadoop.fs.Path(s"$root0/_seg_99_deadbeef")
+    fs.mkdirs(orphan)
+    fs.setTimes(orphan, 1000L, -1L)
+    val g = Tool.run(spark, Array("index-gc", s"--path=$lsh"))
+    assert(g.counters("swept_segments") == 1L, g.counters.toString)
+    assert(!fs.exists(orphan))
+    assert(serveOf("lsh-sharded", lsh, "lpostgc", "lprobe",
+      "--shingle-n=2", "--threshold=0.5") == wantLsh)
+  }
+
   test("unsharded updates gate whole-surface rewrites: past --max-rewrite-rows the refusal names the sharded twin") {
     import spark.implicits._
     val base = tmpDir("idxrewritegate")
