@@ -480,15 +480,23 @@ object Clustering {
     * collect), so a `coalesce(1)` there would re-create the single-task
     * bottleneck the fallback exists to avoid. */
   def saveSemIndex(idx: SemIndex, path: String): Unit = {
-    idx.assign.write.mode("overwrite").parquet(s"$path/assign")
-    idx.lanes.coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
-    idx.seeds.write.mode("overwrite").parquet(s"$path/seeds")
-    idx.sizes.write.mode("overwrite").parquet(s"$path/sizes")
     val spark = idx.lanes.sparkSession
     import spark.implicits._
-    Seq((idx.coarseK, idx.clusterCap, idx.salt))
-      .toDF("coarse_k", "cluster_cap", "salt")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // five independent surface writes, overlapped (guide §2.6); they
+    // share the fit's persisted sv ancestor, so no duplicated lineage
+    concurrentWrites(Seq(
+      idx.assign -> ((df: DataFrame) => df.write.mode("overwrite")
+        .parquet(s"$path/assign")),
+      idx.lanes -> ((df: DataFrame) => df.coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/lanes")),
+      idx.seeds -> ((df: DataFrame) => df.write.mode("overwrite")
+        .parquet(s"$path/seeds")),
+      idx.sizes -> ((df: DataFrame) => df.write.mode("overwrite")
+        .parquet(s"$path/sizes")),
+      Seq((idx.coarseK, idx.clusterCap, idx.salt))
+        .toDF("coarse_k", "cluster_cap", "salt") ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/meta"))))
   }
 
   def loadSemIndex(spark: org.apache.spark.sql.SparkSession,
@@ -534,13 +542,18 @@ object Clustering {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = idx.lanes.sparkSession
     import graft.sinks.{ArtifactStore, ShardedCommit}
-    idx.lanes.coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
-    idx.seeds.write.mode("overwrite").parquet(s"$path/seeds")
-    idx.sizes.write.mode("overwrite").parquet(s"$path/sizes")
     import spark.implicits._
-    Seq((numShards, idx.coarseK, idx.clusterCap, idx.salt))
-      .toDF("num_shards", "coarse_k", "cluster_cap", "salt")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    concurrentWrites(Seq(
+      idx.lanes -> ((df: DataFrame) => df.coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/lanes")),
+      idx.seeds -> ((df: DataFrame) => df.write.mode("overwrite")
+        .parquet(s"$path/seeds")),
+      idx.sizes -> ((df: DataFrame) => df.write.mode("overwrite")
+        .parquet(s"$path/sizes")),
+      Seq((numShards, idx.coarseK, idx.clusterCap, idx.salt))
+        .toDF("num_shards", "coarse_k", "cluster_cap", "salt") ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/meta"))))
     val assign = assignCols(idx.assign).withColumn("shard", vidShard(numShards))
     ShardedCommit.commitSegmented(spark, path, Seq(ShardedCommit.SegFamily(
       (0 until numShards).map(sh =>
@@ -925,6 +938,30 @@ object Clustering {
     })
   }
 
+
+  /** Explicit shuffle-partition count for partitioned artifact writes.
+    * A keyed `repartition(cols…)` with NO explicit count lets AQE
+    * coalesce the tiny post-shuffle stage to one task, and that one
+    * task then creates every partition directory's file SERIALLY —
+    * measured 5.9 s vs 1.1 s for the 256-dir sharded cells staging at
+    * sf0.1 (round 18). An explicit count (which AQE honors) keeps file
+    * creation parallel; the count tracks `spark.sql.shuffle.partitions`,
+    * so it scales with the session's configured parallelism instead of
+    * hard-coding local core counts. The file layout is unchanged: each
+    * (key-group) still lands in exactly one task, one file per dir. */
+  private[graft] def writePar(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Run a batch of independent artifact writes concurrently — each
+    * frame with its own write action, lambda-isolated ([[concurrentFrames]]).
+    * Persist-path jobs are individually small (bounded codebooks, single
+    * surfaces); overlapping them collapses their driver/commit latencies
+    * (guide §2.6 — measured round 18 on the index persist queries). */
+  private[graft] def concurrentWrites(writes: Seq[(DataFrame, DataFrame => Unit)]): Unit = {
+    concurrentFrames(writes.map(_._1)) { (i, df) => writes(i)._2(df) }
+    ()
+  }
+
   /** UNSAFE raw form of [[concurrentFrames]] (each thunk fires its own
     * Spark jobs; SparkSession is thread-safe; results in INPUT order).
     * The caller must guarantee no two thunks evaluate plans sharing
@@ -980,18 +1017,37 @@ object Clustering {
   /** `iters` Lloyd rounds; returns (final centroid lanes, the assignment
     * that produced them). Centroids collapse to k·dim driver-held longs
     * each round, so both returned frames evaluate against LITERAL
-    * centroids — re-execution is deterministic. */
+    * centroids — re-execution is deterministic.
+    *
+    * Two measured costs are removed here (round 18, guide §1.2/§5):
+    * the scaled projection is PERSISTED for the duration of the fit —
+    * every Lloyd round (and the final assignment's downstream
+    * consumers) otherwise re-runs the scan+scale lineage, `iters`+
+    * consumers full input passes instead of one (MLlib's KMeans caches
+    * its input for the same reason); and the returned lanes are the
+    * LITERAL rows of the final round's collect (each round already
+    * collects the lanes to build the next centroid set — keeping `n`
+    * costs nothing), so lanes consumers (codebook writes, broadcast
+    * distance tables, [[Similarity.centroidSetFromLanes]]) never
+    * re-execute the corpus aggregation behind the lanes plan. Values
+    * are bit-identical either way: the literal rows ARE the collected
+    * aggregation output. */
   private def lloyd(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, salt: String,
                     preScaled: Boolean = false): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
     // preScaled: the input is already int64 lattice vectors (e.g. the
     // residual arrays of the ivfpqr tier) — scaling floats twice would
     // be wrong, and residuals never existed as floats
-    val sv = emb.select(col(idCol).cast(LongType).as("vid"),
-      (if (preScaled) col(vecCol) else scaled(col(vecCol))).as("v"))
+    val sv = OperatorCaches.register(
+      emb.select(col(idCol).cast(LongType).as("vid"),
+          (if (preScaled) col(vecCol) else scaled(col(vecCol))).as("v"))
+        .persist())
     // Deterministic seeds: global top-k by (hash28, id) — a k-row
-    // total-order limit, not a full sort materialization.
+    // total-order limit, not a full sort materialization (this first
+    // action also materializes the persisted projection).
     val seeds = sv
       .withColumn("hb", hash28(concat(lit(salt), col("vid").cast("string"))))
       .orderBy(col("hb"), col("vid")).limit(k)
@@ -1000,10 +1056,10 @@ object Clustering {
     var centroids: Seq[(Int, Seq[Long])] =
       seeds.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     var assigned: DataFrame = null
-    var lanes: DataFrame = null
+    var laneRows: Array[(Int, Int, Long, Long)] = null
     for (_ <- 1 to iters) {
       assigned = assignClusters(sv, centroids)
-      lanes = assigned
+      val lanes = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -1011,12 +1067,14 @@ object Clustering {
         .select(col("cluster"), col("pos"),
           (col("s").cast(DoubleType) / col("n")).cast(LongType).as("cval"),
           col("n"))
-      centroids = lanes.orderBy(col("cluster"), col("pos")).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      laneRows = lanes.orderBy(col("cluster"), col("pos")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      centroids = laneRows
+        .map(r => (r._1, r._2, r._3))
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toSeq) }
     }
-    (lanes, assigned)
+    (laneRows.toSeq.toDF("cluster", "pos", "cval", "n"), assigned)
   }
 
   /** PQ asymmetric-distance (ADC) top-k search: queries (`idCol <
@@ -1062,10 +1120,12 @@ object Clustering {
   /** Persist a [[PqIndex]] as two parquet tables. The codes table is the
     * corpus-sized side (m rows per vector) and keeps its partitioning;
     * the codebooks are k·m·subDim rows — one file. */
-  def savePqIndex(idx: PqIndex, path: String): Unit = {
-    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
-    idx.lanes.coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
-  }
+  def savePqIndex(idx: PqIndex, path: String): Unit =
+    concurrentWrites(Seq(
+      idx.codes -> ((df: DataFrame) => df.write.mode("overwrite")
+        .parquet(s"$path/codes")),
+      idx.lanes -> ((df: DataFrame) => df.coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/lanes"))))
 
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
                   p0: String): PqIndex = {
@@ -1405,12 +1465,14 @@ object Clustering {
 
   /** Persist: dim-bounded lanes funnel to one file; the codes keep
     * their partitioning (the corpus-sized surface). */
-  def saveSqIndex(idx: SqIndex, path: String): Unit = {
-    idx.lanes.select(col("d"), col("lo"), col("hi"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
-    idx.codes.select(col("n_id"), col("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-  }
+  def saveSqIndex(idx: SqIndex, path: String): Unit =
+    concurrentWrites(Seq(
+      idx.lanes.select(col("d"), col("lo"), col("hi")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/lanes")),
+      idx.codes.select(col("n_id"), col("code")) ->
+        ((df: DataFrame) => df.write.mode("overwrite")
+          .parquet(s"$path/codes"))))
 
   def loadSqIndex(spark: org.apache.spark.sql.SparkSession,
                   p0: String): SqIndex = {
@@ -1556,15 +1618,19 @@ object Clustering {
   /** Persist: both fitted surfaces funnel to one file each (bounded);
     * codes get the inverted-list directory layout the serve-time
     * partition filter prunes. */
-  def saveIvfSqIndex(idx: IvfSqIndex, path: String): Unit = {
-    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
-    idx.sqLanes.select(col("d"), col("lo"), col("hi"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/sqlanes")
-    idx.codes.select(col("n_id"), col("code"), col("c_id"))
-      .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/codes")
-  }
+  def saveIvfSqIndex(idx: IvfSqIndex, path: String): Unit =
+    concurrentWrites(Seq(
+      idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
+        col("n")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/lanes")),
+      idx.sqLanes.select(col("d"), col("lo"), col("hi")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/sqlanes")),
+      idx.codes.select(col("n_id"), col("code"), col("c_id")) ->
+        ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id")
+          .parquet(s"$path/codes"))))
 
   def loadIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
                      p0: String): IvfSqIndex = {
@@ -1801,19 +1867,23 @@ object Clustering {
   /** Persist/load: the [[IvfPqIndex]] layout (bounded codebooks funnel
     * to one file each; cells get the inverted-list directory layout;
     * codes stay n_id-keyed). */
-  def saveIvfPqrIndex(idx: IvfPqrIndex, path: String): Unit = {
-    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
-    idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
-    idx.cells
-      .select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
-        col("c_id"): _*)
-      .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/cells")
-    idx.codes.select(col("n_id"), col("s"), col("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-  }
+  def saveIvfPqrIndex(idx: IvfPqrIndex, path: String): Unit =
+    concurrentWrites(Seq(
+      idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
+        col("n")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/coarse")),
+      idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/pqlanes")),
+      idx.cells.select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
+        col("c_id"): _*) ->
+        ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id")
+          .parquet(s"$path/cells")),
+      idx.codes.select(col("n_id"), col("s"), col("code")) ->
+        ((df: DataFrame) => df.write.mode("overwrite")
+          .parquet(s"$path/codes"))))
 
   def loadIvfPqrIndex(spark: org.apache.spark.sql.SparkSession,
                       p0: String): IvfPqrIndex = {
@@ -1852,12 +1922,15 @@ object Clustering {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = idx.coarseLanes.sparkSession
     import spark.implicits._
-    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
-    idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
-    Seq(numShards).toDF("num_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // bounded codebook/meta writes overlapped, as [[saveIvfPqSharded]]
+    concurrentFrames(Seq(
+      idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
+        col("n")),
+      idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")),
+      Seq(numShards).toDF("num_shards"))) { (i, df) =>
+      val dest = Seq("coarse", "pqlanes", "meta")(i)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$path/$dest")
+    }
     val attrs = cellsAttrCols(idx.cells)
     val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
     val pinned = (0 until numShards)
@@ -2092,15 +2165,16 @@ object Clustering {
   private def postingsAttrCols(postings: DataFrame): Seq[String] =
     postings.columns.toSeq.filterNot(Set("n_id", "nv", "nn", "c_id"))
 
-  def saveIvfFlatIndex(idx: IvfFlatIndex, path: String): Unit = {
-    idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
-    idx.postings
-      .select(Seq(col("n_id"), col("nv"), col("nn")) ++
-        postingsAttrCols(idx.postings).map(col) :+ col("c_id"): _*)
-      .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/postings")
-  }
+  def saveIvfFlatIndex(idx: IvfFlatIndex, path: String): Unit =
+    concurrentWrites(Seq(
+      idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/lanes")),
+      idx.postings.select(Seq(col("n_id"), col("nv"), col("nn")) ++
+        postingsAttrCols(idx.postings).map(col) :+ col("c_id"): _*) ->
+        ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id")
+          .parquet(s"$path/postings"))))
 
   def loadIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
                        p0: String): IvfFlatIndex = {
@@ -2362,17 +2436,22 @@ object Clustering {
   /** Persist: both half-codebooks and the 1-row meta funnel to one file
     * (bounded); postings get the inverted-list directory layout. */
   def saveImiIndex(idx: ImiIndex, path: String): Unit = {
-    idx.lanesA.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes_a")
-    idx.lanesB.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes_b")
     val spark = idx.lanesA.sparkSession
     import spark.implicits._
-    Seq((idx.kA, idx.kB, idx.dim)).toDF("ka", "kb", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    idx.postings.select(col("n_id"), col("nv"), col("nn"), col("c_id"))
-      .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/postings")
+    concurrentWrites(Seq(
+      idx.lanesA.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/lanes_a")),
+      idx.lanesB.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/lanes_b")),
+      Seq((idx.kA, idx.kB, idx.dim)).toDF("ka", "kb", "dim") ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/meta")),
+      idx.postings.select(col("n_id"), col("nv"), col("nn"), col("c_id")) ->
+        ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id")
+          .parquet(s"$path/postings"))))
   }
 
   def loadImiIndex(spark: org.apache.spark.sql.SparkSession,
@@ -2473,10 +2552,13 @@ object Clustering {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = idx.lanes.sparkSession
     import spark.implicits._
-    idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes")
-    Seq(numShards).toDF("num_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    concurrentWrites(Seq(
+      idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/lanes")),
+      Seq(numShards).toDF("num_shards") ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/meta"))))
     // ONE corpus scan writes every shard's inverted-list layout
     // (partitionBy(shard, c_id)), then each shard=<s> subtree is RENAMED
     // into that shard's fresh generation — S metadata moves instead of S
@@ -2495,7 +2577,7 @@ object Clustering {
         .select(Seq(col("n_id"), col("nv"), col("nn")) ++ attrs.map(col) ++
           Seq(pmod(col("n_id"), lit(numShards.toLong)).as("shard"),
             col("c_id")): _*)
-        .repartition(col("shard"), col("c_id"))
+        .repartition(writePar(idx.postings), col("shard"), col("c_id"))
         .write.mode("overwrite").partitionBy("shard", "c_id").parquet(staging)
       // stage EVERY shard's generation first (renames + empty-shard
       // writes — all data movement), then commit all pointers in one
@@ -2613,7 +2695,7 @@ object Clustering {
     try {
       existingTouched
         .unionByName(assigned.select(cols.map(col) :+ col("shard"): _*))
-        .repartition(col("shard"), col("c_id"))
+        .repartition(writePar(existingTouched), col("shard"), col("c_id"))
         .write.mode("overwrite").partitionBy("shard", "c_id")
         .parquet(staging)
       import graft.sinks.ArtifactStore
@@ -2667,7 +2749,7 @@ object Clustering {
     try {
       existingTouched
         .join(ids.select(col("n_id")), Seq("n_id"), "left_anti")
-        .repartition(col("shard"), col("c_id"))
+        .repartition(writePar(existingTouched), col("shard"), col("c_id"))
         .write.mode("overwrite").partitionBy("shard", "c_id")
         .parquet(staging)
       import graft.sinks.ArtifactStore
@@ -2808,19 +2890,23 @@ object Clustering {
   private def cellsAttrCols(cells: DataFrame): Seq[String] =
     cells.columns.toSeq.filterNot(Set("n_id", "c_id"))
 
-  def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
-    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
-    idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
-    idx.cells
-      .select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
-        col("c_id"): _*)
-      .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/cells")
-    idx.codes.select(col("n_id"), col("s"), col("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-  }
+  def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit =
+    concurrentWrites(Seq(
+      idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
+        col("n")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/coarse")),
+      idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")) ->
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/pqlanes")),
+      idx.cells.select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
+        col("c_id"): _*) ->
+        ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id")
+          .parquet(s"$path/cells")),
+      idx.codes.select(col("n_id"), col("s"), col("code")) ->
+        ((df: DataFrame) => df.write.mode("overwrite")
+          .parquet(s"$path/codes"))))
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      p0: String): IvfPqIndex = {
@@ -2954,12 +3040,16 @@ object Clustering {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = idx.coarseLanes.sparkSession
     import spark.implicits._
-    idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
-    idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqlanes")
-    Seq(numShards).toDF("num_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the three bounded codebook/meta writes are independent one-file
+    // jobs — overlap them (guide §2.6)
+    concurrentFrames(Seq(
+      idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
+        col("n")),
+      idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")),
+      Seq(numShards).toDF("num_shards"))) { (i, df) =>
+      val dest = Seq("coarse", "pqlanes", "meta")(i)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$path/$dest")
+    }
     val attrs = cellsAttrCols(idx.cells)
     val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
     val pinned = (0 until numShards)
@@ -3098,11 +3188,17 @@ object Clustering {
     val stagingC = s"$path/__cells_stage_$tag"
     val stagingK = s"$path/__codes_stage_$tag"
     try {
-      cells.repartition(col("shard"), col("c_id"))
-        .write.mode("overwrite").partitionBy("shard", "c_id")
-        .parquet(stagingC)
-      codes.repartition(col("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(stagingK)
+      // the two surface stagings are independent jobs — overlap them
+      // (guide §2.6; the sequential form paid both write latencies)
+      concurrentFrames(Seq(cells, codes)) { (i, df) =>
+        if (i == 0)
+          df.repartition(writePar(df), col("shard"), col("c_id"))
+            .write.mode("overwrite").partitionBy("shard", "c_id")
+            .parquet(stagingC)
+        else
+          df.repartition(writePar(df), col("shard"))
+            .write.mode("overwrite").partitionBy("shard").parquet(stagingK)
+      }
       val commits = shards.map { sh =>
         val (shardRoot, loaded, _) = pinned(sh)
         val gen = ArtifactStore.newGenDir(spark, shardRoot, loaded)

@@ -174,6 +174,13 @@ object Retrieval {
     val spark = index.postings.sparkSession
     graft.sinks.ShardedCommit.writeMeta(spark, path, numShards)
     import graft.sinks.{ArtifactStore, ShardedCommit}
+    // persist the two corpus-derived bases: postings' staging job
+    // materializes the tf cache which the (wave-1) docfreq staging and
+    // the stats rollup then substitute instead of re-running the
+    // tokenize+aggregate corpus scan (saveBm25Index's wave economics,
+    // now on the sharded path too)
+    OperatorCaches.register(index.postings.persist())
+    OperatorCaches.register(index.doclen.persist())
     commitBm25Shards(spark, path,
       (0 until numShards).map(sh =>
         sh -> ArtifactStore.pinGen(spark, s"$path/shards/$sh")),
@@ -248,10 +255,14 @@ object Retrieval {
     import graft.sinks.{ArtifactStore, SegmentStore, ShardedCommit}
     val n = shardedNumShards(spark, path)
     val d = buildBm25Index(deltaTerms)
-    val dPost = OperatorCaches.register(
-      d.postings.withColumn("shard", termShard(n)).persist())
-    val dLen = OperatorCaches.register(
-      d.doclen.withColumn("shard", docShard(n)).persist())
+    // persist the BASE surfaces (not the shard-annotated projections):
+    // d.docfreq and d.stats derive from the same tf/doclen subtrees, so
+    // cache substitution covers every consumer below, including the
+    // wave-1 docfreq staging
+    OperatorCaches.register(d.postings.persist())
+    OperatorCaches.register(d.doclen.persist())
+    val dPost = d.postings.withColumn("shard", termShard(n))
+    val dLen = d.doclen.withColumn("shard", docShard(n))
     val tTouched = dPost.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     val dTouched = dLen.select(col("shard")).distinct()
@@ -368,12 +379,13 @@ object Retrieval {
     val dPinned = dTouched.map(sh =>
       sh -> ArtifactStore.pinGen(spark, s"$path/docshards/$sh")).toMap
     val sPin = ArtifactStore.pinGen(spark, s"$path/stats")
-    val keptPost = tAll.map { sh =>
+    val keptPost = OperatorCaches.register(tAll.map { sh =>
       spark.read.parquet(graft.sinks.SegmentStore.surfacePathsAt(spark,
           s"$path/shards/$sh", tPinned(sh)._3, "postings"): _*)
         .select(col("term"), col("doc_id"), col("tf"))
         .withColumn("shard", lit(sh))
     }.reduce(_ unionByName _).join(ids, Seq("doc_id"), "left_anti")
+      .persist())
     val touchedLen = dTouched.map { sh =>
       spark.read.parquet(graft.sinks.SegmentStore.surfacePathsAt(spark,
           s"$path/docshards/$sh", dPinned(sh)._3, "doclen"): _*)
@@ -419,7 +431,11 @@ object Retrieval {
       Seq(
         SegFamily(termShards, Seq(
           Surface("postings", postings, () => postings.limit(0).drop("shard")),
-          Surface("docfreq", docfreq, () => docfreq.limit(0).drop("shard"))),
+          // wave 1: docfreq usually derives from the postings frame's
+          // persisted lineage — staging it after the postings wave lets
+          // it substitute the freshly materialized cache
+          Surface("docfreq", docfreq, () => docfreq.limit(0).drop("shard"),
+            wave = 1)),
           mode),
         SegFamily(docShards, Seq(
           Surface("doclen", doclen, () => doclen.limit(0).drop("shard"))),

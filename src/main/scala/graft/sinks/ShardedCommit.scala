@@ -40,9 +40,14 @@ object ShardedCommit {
 
   /** One shard-keyed surface: `df` must carry an int `shard` column
     * routing each row; `empty` supplies the schema-bearing zero-row
-    * frame written where a shard has no staged rows. */
+    * frame written where a shard has no staged rows. `wave` orders the
+    * staging: surfaces stage concurrently WITHIN a wave, waves run in
+    * ascending order — a surface derived from another surface's
+    * persisted lineage stages in a later wave so its job plans against
+    * the already-materialized cache instead of recomputing the shared
+    * ancestor (the saveBm25Index wave pattern, generalized). */
   final case class Surface(name: String, df: DataFrame,
-                           empty: () => DataFrame)
+                           empty: () => DataFrame, wave: Int = 0)
 
   /** A family of shard roots swapping the same surfaces together:
     * every `(shardId, pin)` gets one fresh generation holding one
@@ -84,6 +89,27 @@ object ShardedCommit {
     * flip all pointers in one transaction. `singletons` are bounded
     * rollup roots (e.g. BM25's 1-row stats) committing in the same
     * transaction as single-file generations. */
+
+  /** Stage every surface concurrently: the per-surface staging writes
+    * are independent jobs, so overlapping them collapses their driver
+    * scheduling / output-commit latencies (guide §2.6 — measured round
+    * 18: the sequential form serialized 2-4 write jobs per commit).
+    * Lambda isolation via [[graft.operators.Clustering.concurrentFrames]]
+    * keeps concurrently-evaluating plans from sharing
+    * `NamedLambdaVariable` slots. */
+  private def stageAll(surfs: Seq[(Surface, String)]): Unit =
+    surfs.groupBy(_._1.wave).toSeq.sortBy(_._1).foreach { case (_, ws) =>
+      graft.operators.Clustering.concurrentFrames(ws.map(_._1.df)) {
+        (i, df) =>
+          // explicit count: a bare keyed repartition lets AQE coalesce
+          // the staging to one serial-writer task (Clustering.writePar)
+          df.repartition(graft.operators.Clustering.writePar(df),
+              org.apache.spark.sql.functions.col("shard"))
+            .write.mode("overwrite").partitionBy("shard").parquet(ws(i)._2)
+      }
+      ()
+    }
+
   def commit(spark: SparkSession, path: String,
              families: Seq[Family],
              singletons: Seq[(DataFrame, Pin)] = Nil): Unit = {
@@ -97,12 +123,7 @@ object ShardedCommit {
         }
       }
     try {
-      staged.foreach { case (_, surfs) =>
-        surfs.foreach { case (surf, stage) =>
-          surf.df.repartition(org.apache.spark.sql.functions.col("shard"))
-            .write.mode("overwrite").partitionBy("shard").parquet(stage)
-        }
-      }
+      stageAll(staged.flatMap(_._2))
       val commits = scala.collection.mutable.ArrayBuffer
         .empty[(String, String, Option[String])]
       staged.foreach { case (fam, surfs) =>
@@ -157,12 +178,7 @@ object ShardedCommit {
         }
       }
     try {
-      staged.foreach { case (_, surfs) =>
-        surfs.foreach { case (surf, stage) =>
-          surf.df.repartition(org.apache.spark.sql.functions.col("shard"))
-            .write.mode("overwrite").partitionBy("shard").parquet(stage)
-        }
-      }
+      stageAll(staged.flatMap(_._2))
       val commits = scala.collection.mutable.ArrayBuffer
         .empty[(String, String, Option[String])]
       val roots = scala.collection.mutable.ArrayBuffer.empty[String]
