@@ -72,12 +72,12 @@ object Bench {
     // cores. Results are unchanged by construction (split count never
     // affects per-row kernels or aggregates) — BASELINE.md records the
     // measured effect. Left unset for the driver's committed sf0.1 board.
-    val builder = SparkSession.builder()
+    val builder = EngineConf.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
     val spark = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
       .fold(builder)(v => builder.config("spark.sql.files.maxPartitionBytes", v))
       .getOrCreate()

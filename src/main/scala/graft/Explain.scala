@@ -2,10 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the executed physical plan of named queries (all of
-  * them with no args). Usage: `runMain graft.Explain [sfDir] [q...]`.
+/** Dev tool: print the physical plan of named queries (all of them with
+  * no args). Usage: `runMain graft.Explain [sfDir] [q...]`.
   * This is how the partition/shuffle/pushdown audit happens — a query is
   * not done until its plan is the one you'd ship at 100 TB.
+  *
+  * `SPARK_GRAFT_EXPLAIN_DIR`: also write each query's FULL
+  * `explain("formatted")` output to `<dir>/<query>.txt` — the committed
+  * `plans/rNN/` audit artifacts the optimization rounds diff.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -21,18 +25,27 @@ object Explain {
     require(bad.isEmpty,
       s"unknown queries: ${bad.mkString(", ")}; valid: ${known.toSeq.sorted.mkString(", ")}")
     val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
+    val spark = EngineConf.tune(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    outDir.foreach(d => new java.io.File(d).mkdirs())
     names.foreach { q =>
       println(s"\n========== $q ==========")
-      println(SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.toString.take(4000))
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(formatted.take(4000))
+      outDir.foreach { d =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$d/$q.txt"), formatted)
+      }
+      graft.operators.OperatorCaches.releaseAll()
     }
     spark.stop()
   }

@@ -29,12 +29,12 @@ import graft.sources.Formats
 object Tool {
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = EngineConf.tune(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     run(spark, args)
   }

@@ -73,6 +73,15 @@ object Bpe {
     val freqs = wordFreq.select(col("word"), col("freq"))
     var toks = OperatorCaches.register(charTokens(wordFreq).persist())
     val induced = scala.collection.mutable.ListBuffer.empty[Merge]
+    // The PREVIOUS round's token cache, retired but not yet dropped: the
+    // next round's pair-count collect reads (and thereby materializes)
+    // the CURRENT cache first, after which the parent is safe to drop —
+    // so no round needs an explicit materialize-only count() job, and at
+    // most two generations are ever cached at once (the same peak the
+    // old count-then-unpersist sequence had). The final generation's
+    // parent stays cached until OperatorCaches.releaseAll — the
+    // registered-cache contract every caller already follows.
+    var retired: Option[DataFrame] = None
     var exhausted = false
     for (step <- 1 to merges if !exhausted) {
       val withNext = toks.withColumn("ntok", lead(col("tok"), 1).over(wWord))
@@ -85,6 +94,10 @@ object Bpe {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
+      // the collect above read every partition of `toks`, so its cache
+      // is materialized — the retired parent can go now
+      retired.foreach(_.unpersist(false))
+      retired = None
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) =
@@ -110,8 +123,7 @@ object Bpe {
             when(col("acc") === 1, concat(col("tok"), col("ntok")))
               .otherwise(col("tok")).as("tok"))
         val p = OperatorCaches.register(next.persist())
-        p.count() // materialize before dropping the previous round
-        toks.unpersist(false)
+        retired = Some(toks) // dropped after the next round materializes p
         toks = p
       }
     }

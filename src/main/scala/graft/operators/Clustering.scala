@@ -554,6 +554,7 @@ object Clustering {
         .toDF("num_shards", "coarse_k", "cluster_cap", "salt") ->
         ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
           .parquet(s"$path/meta"))))
+    ShardedCommit.writeMetaMarker(spark, path, numShards)
     val assign = assignCols(idx.assign).withColumn("shard", vidShard(numShards))
     ShardedCommit.commitSegmented(spark, path, Seq(ShardedCommit.SegFamily(
       (0 until numShards).map(sh =>
@@ -933,8 +934,26 @@ object Clustering {
       act: (Int, DataFrame) => A): Seq[A] = {
     import org.apache.spark.sql.graftbridge.PlanBridge
     val iso = frames.map(PlanBridge.isolateLambdas) // driver-side, serial
+    // Label each future's jobs with the CALLING site (guide §1.5): jobs
+    // submitted from a Future otherwise all report the executor-pool
+    // frame as their call site, which makes the UI/job-level profiling
+    // unreadable exactly for the overlapped persist/commit paths that
+    // need it most. Descriptions are thread-local, so each thunk labels
+    // only its own jobs.
+    val caller = Thread.currentThread.getStackTrace
+      .find(e => e.getClassName.startsWith("graft.") &&
+        !(e.getClassName.endsWith("Clustering$") &&
+          (e.getMethodName.startsWith("concurrent") ||
+            e.getMethodName == "stageAll")))
+      .map(e => s"${e.getFileName}:${e.getLineNumber}")
+      .getOrElse("concurrentFrames")
     concurrentlyUnchecked(iso.zipWithIndex.map { case (df, i) =>
-      () => act(i, df)
+      () => {
+        val sc = df.sparkSession.sparkContext
+        val prev = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(s"$caller#$i")
+        try act(i, df) finally sc.setJobDescription(prev)
+      }
     })
   }
 
@@ -1067,8 +1086,14 @@ object Clustering {
         .select(col("cluster"), col("pos"),
           (col("s").cast(DoubleType) / col("n")).cast(LongType).as("cval"),
           col("n"))
-      laneRows = lanes.orderBy(col("cluster"), col("pos")).collect()
+      // Collect unsorted and order DRIVER-side: the orderBy existed only
+      // to make the collected array deterministic, and as an executor
+      // sort it cost one extra shuffle + AQE stage job per Lloyd
+      // iteration per fit (guide §2.4 — an orderBy used only for
+      // deterministic output). k·dim rows sort in microseconds here.
+      laneRows = lanes.collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2))
       centroids = laneRows
         .map(r => (r._1, r._2, r._3))
         .groupBy(_._1).toSeq.sortBy(_._1)
@@ -1931,6 +1956,7 @@ object Clustering {
       val dest = Seq("coarse", "pqlanes", "meta")(i)
       df.coalesce(1).write.mode("overwrite").parquet(s"$path/$dest")
     }
+    graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
     val attrs = cellsAttrCols(idx.cells)
     val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
     val pinned = (0 until numShards)
@@ -2559,6 +2585,7 @@ object Clustering {
       Seq(numShards).toDF("num_shards") ->
         ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
           .parquet(s"$path/meta"))))
+    graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
     // ONE corpus scan writes every shard's inverted-list layout
     // (partitionBy(shard, c_id)), then each shard=<s> subtree is RENAMED
     // into that shard's fresh generation — S metadata moves instead of S
@@ -2624,7 +2651,7 @@ object Clustering {
 
   def shardedNumShards(spark: org.apache.spark.sql.SparkSession,
                        path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getInt(0)
+    graft.sinks.ShardedCommit.numShards(spark, path)
 
   /** Load the sharded artifact as a regular [[IvfFlatIndex]]: union of
     * the per-shard live generations. Each union branch keeps its own
@@ -3050,6 +3077,7 @@ object Clustering {
       val dest = Seq("coarse", "pqlanes", "meta")(i)
       df.coalesce(1).write.mode("overwrite").parquet(s"$path/$dest")
     }
+    graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
     val attrs = cellsAttrCols(idx.cells)
     val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
     val pinned = (0 until numShards)

@@ -62,12 +62,45 @@ object ShardedCommit {
     import spark.implicits._
     Seq(numShards).toDF("num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMetaMarker(spark, path, numShards)
   }
 
-  def numShards(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta")
-      .select(org.apache.spark.sql.functions.col("num_shards"))
-      .head().getInt(0)
+  /** Grid-size fast path: a tiny `meta/_num_shards` text file written
+    * beside the parquet meta. Every load/update/serve of a sharded
+    * artifact starts with the grid size, and reading it through
+    * `spark.read.parquet(...).head()` is a full Spark JOB (~60-150 ms
+    * of scheduling for one int, several times per lifecycle op —
+    * measured round 18). The marker is one driver-side read; the
+    * parquet meta stays authoritative for legacy artifacts and
+    * schema-bearing readers. Underscore-prefixed, so Spark listings of
+    * the meta directory never surface it. */
+  private val MetaMarker = "_num_shards"
+
+  def writeMetaMarker(spark: SparkSession, path: String,
+                      numShards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/$MetaMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(numShards.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def numShards(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/$MetaMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fast =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.toIntOption // empty/torn marker → parquet fallback
+      }
+    fast.getOrElse(
+      spark.read.parquet(s"$path/meta")
+        .select(org.apache.spark.sql.functions.col("num_shards"))
+        .head().getInt(0))
+  }
 
   /** How a [[SegFamily]]'s fresh segment joins each shard's manifest:
     * REPLACE makes it the only live segment (build / compact / remove —
