@@ -1947,26 +1947,30 @@ object Clustering {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = idx.coarseLanes.sparkSession
     import spark.implicits._
-    // bounded codebook/meta writes overlapped, as [[saveIvfPqSharded]]
-    concurrentFrames(Seq(
-      idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
-        col("n")),
-      idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")),
-      Seq(numShards).toDF("num_shards"))) { (i, df) =>
-      val dest = Seq("coarse", "pqlanes", "meta")(i)
-      df.coalesce(1).write.mode("overwrite").parquet(s"$path/$dest")
-    }
-    graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
     val attrs = cellsAttrCols(idx.cells)
     val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
     val pinned = (0 until numShards)
       .map(sh => sh -> pinShardGen(spark, path, sh)).toMap
+    // codebook/meta writes overlap the stagings, as [[saveIvfPqSharded]]
     commitPqShards(spark, path, 0 until numShards,
       idx.cells.select(col("n_id") +: attrs.map(col) :+ col("c_id"): _*)
         .withColumn("shard", shardOf),
       idx.codes.select(col("n_id"), col("s"), col("code"))
         .withColumn("shard", shardOf),
-      pinned)
+      pinned,
+      extraWrites = Seq(
+        idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
+          col("n")) ->
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/coarse")),
+        idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")) ->
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/pqlanes")),
+        Seq(numShards).toDF("num_shards") ->
+          ((df: DataFrame) => {
+            df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+            graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
+          })))
   }
 
   def loadIvfPqrSharded(spark: org.apache.spark.sql.SparkSession,
@@ -2578,14 +2582,6 @@ object Clustering {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = idx.lanes.sparkSession
     import spark.implicits._
-    concurrentWrites(Seq(
-      idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
-          .parquet(s"$path/lanes")),
-      Seq(numShards).toDF("num_shards") ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
-          .parquet(s"$path/meta"))))
-    graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
     // ONE corpus scan writes every shard's inverted-list layout
     // (partitionBy(shard, c_id)), then each shard=<s> subtree is RENAMED
     // into that shard's fresh generation — S metadata moves instead of S
@@ -2594,18 +2590,30 @@ object Clustering {
     // instances is unsafe — `scaled` is a higher-order `transform` whose
     // NamedLambdaVariable carries per-evaluation mutable state, and the
     // race was OBSERVED cross-wiring (n_id, c_id) pairs in this very
-    // write before the single-scan form replaced it.)
+    // write before the single-scan form replaced it. concurrentFrames
+    // lambda-isolates, so the lanes/meta writes can overlap it.)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = s"$path/__shards_stage_${java.util.UUID.randomUUID().toString.take(8)}"
     val attrs = postingsAttrCols(idx.postings)
     try {
-      idx.postings
-        .select(Seq(col("n_id"), col("nv"), col("nn")) ++ attrs.map(col) ++
-          Seq(pmod(col("n_id"), lit(numShards.toLong)).as("shard"),
-            col("c_id")): _*)
-        .repartition(writePar(idx.postings), col("shard"), col("c_id"))
-        .write.mode("overwrite").partitionBy("shard", "c_id").parquet(staging)
+      concurrentWrites(Seq(
+        idx.postings
+          .select(Seq(col("n_id"), col("nv"), col("nn")) ++ attrs.map(col) ++
+            Seq(pmod(col("n_id"), lit(numShards.toLong)).as("shard"),
+              col("c_id")): _*) ->
+          ((df: DataFrame) => df
+            .repartition(writePar(idx.postings), col("shard"), col("c_id"))
+            .write.mode("overwrite").partitionBy("shard", "c_id")
+            .parquet(staging)),
+        idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/lanes")),
+        Seq(numShards).toDF("num_shards") ->
+          ((df: DataFrame) => {
+            df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+            graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
+          })))
       // stage EVERY shard's generation first (renames + empty-shard
       // writes — all data movement), then commit all pointers in one
       // all-or-nothing transaction under the base claim: a crash can
@@ -3067,27 +3075,33 @@ object Clustering {
     require(numShards > 0, s"numShards must be positive: $numShards")
     val spark = idx.coarseLanes.sparkSession
     import spark.implicits._
-    // the three bounded codebook/meta writes are independent one-file
-    // jobs — overlap them (guide §2.6)
-    concurrentFrames(Seq(
-      idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
-        col("n")),
-      idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")),
-      Seq(numShards).toDF("num_shards"))) { (i, df) =>
-      val dest = Seq("coarse", "pqlanes", "meta")(i)
-      df.coalesce(1).write.mode("overwrite").parquet(s"$path/$dest")
-    }
-    graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
     val attrs = cellsAttrCols(idx.cells)
     val shardOf = pmod(col("n_id"), lit(numShards.toLong)).cast("int")
     val pinned = (0 until numShards)
       .map(sh => sh -> pinShardGen(spark, path, sh)).toMap
+    // the three bounded codebook/meta writes overlap the two corpus
+    // stagings — five independent jobs, one barrier (guide §2.6); the
+    // _num_shards marker lands AFTER the meta overwrite (which clears
+    // the directory), inside the same thunk
     commitPqShards(spark, path, 0 until numShards,
       idx.cells.select(col("n_id") +: attrs.map(col) :+ col("c_id"): _*)
         .withColumn("shard", shardOf),
       idx.codes.select(col("n_id"), col("s"), col("code"))
         .withColumn("shard", shardOf),
-      pinned)
+      pinned,
+      extraWrites = Seq(
+        idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
+          col("n")) ->
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/coarse")),
+        idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")) ->
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/pqlanes")),
+        Seq(numShards).toDF("num_shards") ->
+          ((df: DataFrame) => {
+            df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+            graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
+          })))
   }
 
   /** Load the sharded compressed artifact as a regular [[IvfPqIndex]]:
@@ -3207,7 +3221,9 @@ object Clustering {
   private def commitPqShards(spark: org.apache.spark.sql.SparkSession,
                              path: String, shards: Seq[Int],
                              cells: DataFrame, codes: DataFrame,
-                             pinned: Map[Int, (String, Option[String], String)])
+                             pinned: Map[Int, (String, Option[String], String)],
+                             extraWrites: Seq[(DataFrame, DataFrame => Unit)] =
+                               Nil)
       : Unit = {
     import graft.sinks.ArtifactStore
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -3216,16 +3232,20 @@ object Clustering {
     val stagingC = s"$path/__cells_stage_$tag"
     val stagingK = s"$path/__codes_stage_$tag"
     try {
-      // the two surface stagings are independent jobs — overlap them
-      // (guide §2.6; the sequential form paid both write latencies)
-      concurrentFrames(Seq(cells, codes)) { (i, df) =>
-        if (i == 0)
-          df.repartition(writePar(df), col("shard"), col("c_id"))
-            .write.mode("overwrite").partitionBy("shard", "c_id")
-            .parquet(stagingC)
-        else
-          df.repartition(writePar(df), col("shard"))
-            .write.mode("overwrite").partitionBy("shard").parquet(stagingK)
+      // the two surface stagings are independent jobs — overlap them,
+      // plus any caller-supplied bounded writes (codebooks/meta from the
+      // save path: serializing them BEFORE the staging paid both
+      // latencies — guide §2.6)
+      concurrentFrames(Seq(cells, codes) ++ extraWrites.map(_._1)) {
+        (i, df) =>
+          if (i == 0)
+            df.repartition(writePar(df), col("shard"), col("c_id"))
+              .write.mode("overwrite").partitionBy("shard", "c_id")
+              .parquet(stagingC)
+          else if (i == 1)
+            df.repartition(writePar(df), col("shard"))
+              .write.mode("overwrite").partitionBy("shard").parquet(stagingK)
+          else extraWrites(i - 2)._2(df)
       }
       val commits = shards.map { sh =>
         val (shardRoot, loaded, _) = pinned(sh)

@@ -127,21 +127,36 @@ object ShardedCommit {
     * are independent jobs, so overlapping them collapses their driver
     * scheduling / output-commit latencies (guide §2.6 — measured round
     * 18: the sequential form serialized 2-4 write jobs per commit).
-    * Lambda isolation via [[graft.operators.Clustering.concurrentFrames]]
-    * keeps concurrently-evaluating plans from sharing
-    * `NamedLambdaVariable` slots. */
-  private def stageAll(surfs: Seq[(Surface, String)]): Unit =
-    surfs.groupBy(_._1.wave).toSeq.sortBy(_._1).foreach { case (_, ws) =>
-      graft.operators.Clustering.concurrentFrames(ws.map(_._1.df)) {
-        (i, df) =>
+    * `extras` are bounded independent writes (the singleton rollup
+    * roots) folded into the FIRST wave instead of serializing after the
+    * renames. Lambda isolation via
+    * [[graft.operators.Clustering.concurrentFrames]] keeps
+    * concurrently-evaluating plans from sharing `NamedLambdaVariable`
+    * slots. */
+  private def stageAll(surfs: Seq[(Surface, String)],
+                       extras: Seq[(DataFrame, DataFrame => Unit)]): Unit = {
+    val byWave = surfs.groupBy(_._1.wave).toSeq.sortBy(_._1)
+    if (byWave.isEmpty) {
+      graft.operators.Clustering.concurrentFrames(extras.map(_._1)) {
+        (i, df) => extras(i)._2(df)
+      }
+      return
+    }
+    byWave.zipWithIndex.foreach { case ((_, ws), wi) =>
+      val ex = if (wi == 0) extras else Nil
+      graft.operators.Clustering.concurrentFrames(
+        ws.map(_._1.df) ++ ex.map(_._1)) { (i, df) =>
+        if (i < ws.size)
           // explicit count: a bare keyed repartition lets AQE coalesce
           // the staging to one serial-writer task (Clustering.writePar)
           df.repartition(graft.operators.Clustering.writePar(df),
               org.apache.spark.sql.functions.col("shard"))
             .write.mode("overwrite").partitionBy("shard").parquet(ws(i)._2)
+        else ex(i - ws.size)._2(df)
       }
       ()
     }
+  }
 
   def commit(spark: SparkSession, path: String,
              families: Seq[Family],
@@ -156,7 +171,17 @@ object ShardedCommit {
         }
       }
     try {
-      stageAll(staged.flatMap(_._2))
+      // singleton rollup writes overlap the wave-0 stagings: their
+      // generation dirs are named up front, written concurrently, and
+      // committed in the same pointer transaction
+      val singletonGens = singletons.map { case (df, (root, loaded, _)) =>
+        (df, root, loaded, ArtifactStore.newGenDir(spark, root, loaded))
+      }
+      stageAll(staged.flatMap(_._2), singletonGens.map {
+        case (df, _, _, gen) =>
+          df -> ((d: DataFrame) =>
+            d.coalesce(1).write.mode("overwrite").parquet(gen))
+      })
       val commits = scala.collection.mutable.ArrayBuffer
         .empty[(String, String, Option[String])]
       staged.foreach { case (fam, surfs) =>
@@ -176,9 +201,7 @@ object ShardedCommit {
           commits += ((root, gen, loaded))
         }
       }
-      singletons.foreach { case (df, (root, loaded, _)) =>
-        val gen = ArtifactStore.newGenDir(spark, root, loaded)
-        df.coalesce(1).write.mode("overwrite").parquet(gen)
+      singletonGens.foreach { case (_, root, loaded, gen) =>
         commits += ((root, gen, loaded))
       }
       ArtifactStore.commitGenAll(spark, path, commits.toSeq)
@@ -211,7 +234,15 @@ object ShardedCommit {
         }
       }
     try {
-      stageAll(staged.flatMap(_._2))
+      // singleton rollup writes overlap the wave-0 stagings (see commit)
+      val singletonGens = singletons.map { case (df, (root, loaded, _)) =>
+        (df, root, loaded, ArtifactStore.newGenDir(spark, root, loaded))
+      }
+      stageAll(staged.flatMap(_._2), singletonGens.map {
+        case (df, _, _, gen) =>
+          df -> ((d: DataFrame) =>
+            d.coalesce(1).write.mode("overwrite").parquet(gen))
+      })
       val commits = scala.collection.mutable.ArrayBuffer
         .empty[(String, String, Option[String])]
       val roots = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -248,9 +279,7 @@ object ShardedCommit {
           roots += root
         }
       }
-      singletons.foreach { case (df, (root, loaded, _)) =>
-        val gen = ArtifactStore.newGenDir(spark, root, loaded)
-        df.coalesce(1).write.mode("overwrite").parquet(gen)
+      singletonGens.foreach { case (_, root, loaded, gen) =>
         commits += ((root, gen, loaded))
       }
       ArtifactStore.commitGenAll(spark, path, commits.toSeq)
