@@ -237,6 +237,18 @@ object Bench {
       .map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val loadGate = if (loadStart > 2.0) "contended" else "clean"
+    // Corpus scale, so the driver's scaling probe can tell "fixed-cost
+    // floor" from "ignores cpus": at the contract sf0.1 every query sits
+    // on ~0.1-0.9 s job/write floors and 8-core ≈ 32-core wall time is
+    // EXPECTED (BENCH_r18's suspect_cpus_ignored false positive). Bytes
+    // and the documents row-count proxy are driver-side file stats — no
+    // Spark job, and purely ADDITIVE to the line format.
+    val corpusBytes: Long =
+      try {
+        val d = new java.io.File(sfDir)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.length()).sum
+      } catch { case _: Throwable => -1L }
     // Round archive only for full-board runs at the contract corpus —
     // subset runs would plant a partial map, scaled-corpus runs
     // wrong-scale timings (load_gate rides inside the line, so a
@@ -244,7 +256,7 @@ object Bench {
     val archive =
       if (only.isEmpty && sfDir == DefaultSfDir) s"bench_out_r$round.json"
       else "bench_out.json"
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"round":$round,"load_start":${fmt(loadStart)},"load_gate":"$loadGate","retimed":$retimedJson,"loadavg":"$loadavg","load_max":$loadMax,"load_mean":$loadMean,"queries":$qs,"total":${fmt(total)},"slowest":$slowest,"queries_file":"$archive"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"round":$round,"corpus_bytes":$corpusBytes,"load_start":${fmt(loadStart)},"load_gate":"$loadGate","retimed":$retimedJson,"loadavg":"$loadavg","load_max":$loadMax,"load_mean":$loadMean,"queries":$qs,"total":${fmt(total)},"slowest":$slowest,"queries_file":"$archive"}"""
     println(line)
     // Belt-and-braces: the same line as file artifacts, immune to stdout
     // interleaving/truncation entirely. The round-stamped copy is the

@@ -13,23 +13,42 @@ import org.apache.spark.sql.SparkSession
   *    root into a distributed listing JOB (~0.1-0.25 s of pure
   *    scheduling at any scale; a sharded serve issues S of them, and
   *    measured round 18 they were ~2 s of q194's 19 s). Driver-side
-  *    listing of ≤1024 directories is microseconds on local FS and
-  *    single-digit ms on object stores; grids larger than that still
-  *    engage the parallel path.
-  *  - '''fileoutputcommitter v2''': every engine write lands in a
-  *    staging/generation directory that is published by an atomic
+  *    listing of ≤1024 directories is microseconds on local FS
+  *    (measured: 256 dirs list in <1 ms here); on an object store each
+  *    directory is a LIST round-trip, so the driver-serial worst case
+  *    is ~1024 sequential RPCs — single-digit seconds on a slow store,
+  *    where a listing-job's fixed ~0.1-0.25 s schedule cost may win.
+  *    The default (1024) is sized for the engine's artifact grids
+  *    (≤256 dirs); deployments on high-latency stores can lower it via
+  *    `SPARK_GRAFT_LISTING_THRESHOLD` without a code change. Grids
+  *    larger than the threshold still engage the parallel path.
+  *  - '''fileoutputcommitter v2''': every STAGED engine write lands in
+  *    a staging/generation directory that is published by an atomic
   *    rename or pointer flip (ArtifactStore/ShardedCommit/BulkSink), so
   *    v1's extra job-commit rename pass (one rename per task output,
   *    serial on the driver) buys no safety the artifact protocol does
   *    not already provide — it only doubles the metadata ops of the
-  *    256-directory staged writes.
+  *    256-directory staged writes. The FLAT-LAYOUT in-place saves
+  *    (saveSemIndex, saveImiIndex, the bounded codebook/meta roots,
+  *    single-table LSH/CDC saves) are the exception: they overwrite
+  *    final paths directly, where v2 would leave a partially-committed
+  *    surface on a crash — those writes pin v1 per write
+  *    ([[graft.sinks.ArtifactStore.InPlaceCommit]]), so the session
+  *    default never weakens their all-or-nothing job commit.
   *  - '''zstd parquet''': smaller artifacts at similar read speed
   *    (guide §6); content is unchanged, so save→load exactness and
   *    every oracle comparison are unaffected.
   */
 object EngineConf {
+  /** Driver-side listing cutoff (paths per scan root). Conf-exposed so
+    * object-store deployments can size it to their LIST latency; the
+    * default matches the engine's own artifact grids. */
+  val ListingThreshold: Int =
+    sys.env.get("SPARK_GRAFT_LISTING_THRESHOLD").map(_.toInt).getOrElse(1024)
+
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+      ListingThreshold.toString)
     .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .config("spark.sql.parquet.compression.codec", "zstd")
 }

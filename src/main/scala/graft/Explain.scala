@@ -35,6 +35,18 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
     outDir.foreach(d => new java.io.File(d).mkdirs())
+    // LIMITATION (stated in every dumped artifact): this prints the
+    // PRE-EXECUTION plan (`AdaptiveSparkPlan isFinalPlan=false`), not
+    // AQE's final runtime plan — AQE-applied changes (post-shuffle
+    // coalescing, runtime join-strategy rewrites, skew splits) are not
+    // visible here. Runtime AQE hazards on the write paths are guarded
+    // in code instead (explicit repartition counts — Clustering.writePar)
+    // and measured via ProfileQuery job counts, not via these dumps.
+    val header =
+      "-- NOTE: pre-execution plan (AQE initial, isFinalPlan=false).\n" +
+      "-- AQE runtime rewrites (partition coalescing, join strategy\n" +
+      "-- changes, skew splits) are NOT shown; write-path AQE behavior\n" +
+      "-- is pinned in code (Clustering.writePar) and job-count profiles.\n"
     names.foreach { q =>
       println(s"\n========== $q ==========")
       val df = SparkEntry.queries(q)(spark, sfDir)
@@ -43,7 +55,7 @@ object Explain {
       println(formatted.take(4000))
       outDir.foreach { d =>
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$d/$q.txt"), formatted)
+          java.nio.file.Paths.get(s"$d/$q.txt"), header + formatted)
       }
       graft.operators.OperatorCaches.releaseAll()
     }

@@ -603,24 +603,41 @@ object IndexTool {
           val idx = Clustering.loadIvfPqrSharded(spark, base)
           (idx.cells, idx.coarseLanes)
         }
-      val skew = Clustering.postingsOccupancySkew(cells)
+      // The three PRE-BUILD reads — the occupancy-skew agg, the
+      // stale-corpus id check, and the centroid-count default — are
+      // independent read-only jobs; running them concurrently collapses
+      // their driver/scheduling latencies into one barrier (guide §2.6;
+      // the round-18 extraWrites pattern applied to the read side).
+      // concurrentFrames lambda-isolates each plan, so the shared cells
+      // lineage cannot cross-wire under concurrency.
+      val doCheck = !flags.get("skip-corpus-check").exists(_.toBoolean)
+      // GUARD frame: a stale corpus would silently DROP every indexed
+      // vector it lacks (the rebuild replaces the surfaces wholesale) —
+      // refuse when the artifact holds ids the supplied corpus does not.
+      // Extra corpus ids are fine: rebuilding onto a grown corpus is the
+      // grow-the-index path. One column-pruned anti-join, never
+      // collected past the 6-row message sample.
+      val missingFrame = existingIds(spark, tpe, base).distinct()
+        .join(embOf(corpus, flags).select(col("vec_id").as("id"))
+          .distinct(), Seq("id"), "left_anti")
+        .limit(6)
+      val preFrames = Seq(Clustering.occupancySkewAgg(cells),
+        coarseLanes.select(col("cluster")).distinct()) ++
+        (if (doCheck) Seq(missingFrame) else Nil)
+      val pre = Clustering.concurrentFrames(preFrames) { (i, df) =>
+        if (i == 0) Clustering.decodeOccupancySkew(df.head()): Any
+        else if (i == 1) df.count(): Any
+        else df.collect().map(_.getLong(0)): Any
+      }
+      val skew = pre(0).asInstanceOf[Double]
       val minSkew = flags.get("min-skew").map(_.toDouble).getOrElse(0.0)
       require(skew >= minSkew || flags.get("force").contains("true"),
         f"index-rebuild --type=$tpe: occupancy skew $skew%.2f is below " +
           f"--min-skew=$minSkew%.2f — the codebooks do not need a " +
           f"retrain yet (watch index-describe's occupancy_skew_x100), " +
           f"or pass --force=true")
-      // GUARD: a stale corpus would silently DROP every indexed vector
-      // it lacks (the rebuild replaces the surfaces wholesale) — refuse
-      // when the artifact holds ids the supplied corpus does not. Extra
-      // corpus ids are fine: rebuilding onto a grown corpus is the
-      // grow-the-index path. One column-pruned anti-join, never
-      // collected past the 6-row message sample.
-      if (!flags.get("skip-corpus-check").exists(_.toBoolean)) {
-        val missing = existingIds(spark, tpe, base).distinct()
-          .join(embOf(corpus, flags).select(col("vec_id").as("id"))
-            .distinct(), Seq("id"), "left_anti")
-          .limit(6).collect().map(_.getLong(0))
+      if (doCheck) {
+        val missing = pre(2).asInstanceOf[Array[Long]]
         require(missing.isEmpty,
           s"index-rebuild --type=$tpe: the artifact holds vector id(s) " +
             s"the supplied --input corpus lacks " +
@@ -636,8 +653,7 @@ object IndexTool {
       // columns from the cells surface
       val defaults = Map(
         "shards" -> Clustering.shardedNumShards(spark, base).toString,
-        "centroids" -> coarseLanes.select(col("cluster")).distinct()
-          .count().toString,
+        "centroids" -> pre(1).asInstanceOf[Long].toString,
         "attr-cols" -> cells.columns.toSeq
           .filterNot(Set("n_id", "c_id")).mkString(","))
         .filter { case (_, v) => v.nonEmpty }

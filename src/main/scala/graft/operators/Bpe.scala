@@ -185,11 +185,17 @@ object Bpe {
     collected.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
   }
 
-  def trainLocal(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) = {
+  def trainLocal(wordFreq: DataFrame, merges: Int): (Seq[Merge], DataFrame) =
+    trainLocalWords(collectWordFreq(wordFreq), merges, wordFreq.sparkSession)
+
+  /** [[trainLocal]] over an ALREADY-COLLECTED word set (sorted by word,
+    * the [[collectWordFreq]] contract) — the body shared with
+    * [[trainAuto]]'s fused route-and-collect path. */
+  private def trainLocalWords(words: Array[(String, Long)], merges: Int,
+                              spark: org.apache.spark.sql.SparkSession)
+      : (Seq[Merge], DataFrame) = {
     require(merges > 0, s"merges must be positive: $merges")
-    val spark = wordFreq.sparkSession
     import spark.implicits._
-    val words = collectWordFreq(wordFreq)
     // split by CODE POINTS, not UTF-16 chars: the distributed trainer's
     // charTokens uses Spark substring (code-point semantics), and a raw
     // char map would shatter supplementary-plane characters into
@@ -271,10 +277,23 @@ object Bpe {
       : (Seq[Merge], DataFrame) = {
     val persisted = OperatorCaches.register(wordFreq.persist())
     // clamp to the hard collect guard: a caller-raised cap above the
-    // constant would route LOCAL and then throw from collectWordFreq —
-    // the parameterized routing and the driver-budget guard must agree
-    if (persisted.count() <= math.min(maxLocalWords, MaxLocalWords.toLong))
-      trainLocal(persisted, merges)
+    // constant would route LOCAL past the driver budget — the
+    // parameterized routing and the driver-budget guard must agree
+    val cap = math.min(maxLocalWords, MaxLocalWords.toLong).toInt
+    // ONE capped collect both ROUTES and FEEDS the local trainer: the
+    // previous count()-then-collect shape paid two Spark jobs over the
+    // aggregated word table for every local induction (q95/q109/q112 and
+    // every CLI bpe build — measured round 19). Over-cap corpora collect
+    // at most cap+1 rows before routing to the distributed trainer
+    // (whose first pair-count job completes the cache the limit left
+    // partially materialized).
+    val collected = persisted
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .limit(cap + 1).collect()
+    if (collected.length <= cap)
+      trainLocalWords(
+        collected.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1),
+        merges, persisted.sparkSession)
     else train(persisted, merges)
   }
 
@@ -287,7 +306,7 @@ object Bpe {
                  path: String): Unit = {
     import spark.implicits._
     merges.toDF("step", "lhs", "rhs", "cnt")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(path)
   }
 
   def loadMerges(spark: org.apache.spark.sql.SparkSession,

@@ -485,17 +485,17 @@ object Clustering {
     // five independent surface writes, overlapped (guide §2.6); they
     // share the fit's persisted sv ancestor, so no duplicated lineage
     concurrentWrites(Seq(
-      idx.assign -> ((df: DataFrame) => df.write.mode("overwrite")
+      idx.assign -> ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
         .parquet(s"$path/assign")),
       idx.lanes -> ((df: DataFrame) => df.coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/lanes")),
-      idx.seeds -> ((df: DataFrame) => df.write.mode("overwrite")
+        .write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/lanes")),
+      idx.seeds -> ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
         .parquet(s"$path/seeds")),
-      idx.sizes -> ((df: DataFrame) => df.write.mode("overwrite")
+      idx.sizes -> ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
         .parquet(s"$path/sizes")),
       Seq((idx.coarseK, idx.clusterCap, idx.salt))
         .toDF("coarse_k", "cluster_cap", "salt") ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/meta"))))
   }
 
@@ -545,14 +545,14 @@ object Clustering {
     import spark.implicits._
     concurrentWrites(Seq(
       idx.lanes -> ((df: DataFrame) => df.coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/lanes")),
-      idx.seeds -> ((df: DataFrame) => df.write.mode("overwrite")
+        .write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/lanes")),
+      idx.seeds -> ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
         .parquet(s"$path/seeds")),
-      idx.sizes -> ((df: DataFrame) => df.write.mode("overwrite")
+      idx.sizes -> ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
         .parquet(s"$path/sizes")),
       Seq((numShards, idx.coarseK, idx.clusterCap, idx.salt))
         .toDF("num_shards", "coarse_k", "cluster_cap", "salt") ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/meta"))))
     ShardedCommit.writeMetaMarker(spark, path, numShards)
     val assign = assignCols(idx.assign).withColumn("shard", vidShard(numShards))
@@ -940,11 +940,17 @@ object Clustering {
     // unreadable exactly for the overlapped persist/commit paths that
     // need it most. Descriptions are thread-local, so each thunk labels
     // only its own jobs.
+    // Skip the shared plumbing frames (this method, concurrentWrites,
+    // ShardedCommit.stageAll/commit*) so jobs are labeled with the REAL
+    // operator call site: the round-18 filter conjoined the method check
+    // with `Clustering$`, but stageAll lives in ShardedCommit$ — every
+    // sharded commit's jobs were labeled 'ShardedCommit.scala:<line>'
+    // and the per-operator attribution was lost (ADVICE round 18).
     val caller = Thread.currentThread.getStackTrace
       .find(e => e.getClassName.startsWith("graft.") &&
         !(e.getClassName.endsWith("Clustering$") &&
-          (e.getMethodName.startsWith("concurrent") ||
-            e.getMethodName == "stageAll")))
+          e.getMethodName.startsWith("concurrent")) &&
+        !e.getClassName.startsWith("graft.sinks.ShardedCommit"))
       .map(e => s"${e.getFileName}:${e.getLineNumber}")
       .getOrElse("concurrentFrames")
     concurrentlyUnchecked(iso.zipWithIndex.map { case (df, i) =>
@@ -1147,10 +1153,10 @@ object Clustering {
     * the codebooks are k·m·subDim rows — one file. */
   def savePqIndex(idx: PqIndex, path: String): Unit =
     concurrentWrites(Seq(
-      idx.codes -> ((df: DataFrame) => df.write.mode("overwrite")
+      idx.codes -> ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
         .parquet(s"$path/codes")),
       idx.lanes -> ((df: DataFrame) => df.coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/lanes"))))
+        .write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/lanes"))))
 
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
                   p0: String): PqIndex = {
@@ -1493,10 +1499,10 @@ object Clustering {
   def saveSqIndex(idx: SqIndex, path: String): Unit =
     concurrentWrites(Seq(
       idx.lanes.select(col("d"), col("lo"), col("hi")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/lanes")),
       idx.codes.select(col("n_id"), col("code")) ->
-        ((df: DataFrame) => df.write.mode("overwrite")
+        ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/codes"))))
 
   def loadSqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1647,14 +1653,14 @@ object Clustering {
     concurrentWrites(Seq(
       idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
         col("n")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/lanes")),
       idx.sqLanes.select(col("d"), col("lo"), col("hi")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/sqlanes")),
       idx.codes.select(col("n_id"), col("code"), col("c_id")) ->
         ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
-          .write.mode("overwrite").partitionBy("c_id")
+          .write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).partitionBy("c_id")
           .parquet(s"$path/codes"))))
 
   def loadIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1896,18 +1902,18 @@ object Clustering {
     concurrentWrites(Seq(
       idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
         col("n")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/coarse")),
       idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/pqlanes")),
       idx.cells.select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
         col("c_id"): _*) ->
         ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
-          .write.mode("overwrite").partitionBy("c_id")
+          .write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).partitionBy("c_id")
           .parquet(s"$path/cells")),
       idx.codes.select(col("n_id"), col("s"), col("code")) ->
-        ((df: DataFrame) => df.write.mode("overwrite")
+        ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/codes"))))
 
   def loadIvfPqrIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1961,14 +1967,14 @@ object Clustering {
       extraWrites = Seq(
         idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
           col("n")) ->
-          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
             .parquet(s"$path/coarse")),
         idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")) ->
-          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
             .parquet(s"$path/pqlanes")),
         Seq(numShards).toDF("num_shards") ->
           ((df: DataFrame) => {
-            df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+            df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/meta")
             graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
           })))
   }
@@ -2127,7 +2133,7 @@ object Clustering {
     * bit-identical to the freshly trained one. */
   def saveIvfCodebook(lanes: DataFrame, path: String): Unit =
     lanes.select(col("cluster"), col("pos"), col("cval"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(path)
 
   def loadIvfCodebook(spark: org.apache.spark.sql.SparkSession,
                       path: String): graft.plans.IvfCentroids =
@@ -2198,12 +2204,12 @@ object Clustering {
   def saveIvfFlatIndex(idx: IvfFlatIndex, path: String): Unit =
     concurrentWrites(Seq(
       idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/lanes")),
       idx.postings.select(Seq(col("n_id"), col("nv"), col("nn")) ++
         postingsAttrCols(idx.postings).map(col) :+ col("c_id"): _*) ->
         ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
-          .write.mode("overwrite").partitionBy("c_id")
+          .write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).partitionBy("c_id")
           .parquet(s"$path/postings"))))
 
   def loadIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
@@ -2470,17 +2476,17 @@ object Clustering {
     import spark.implicits._
     concurrentWrites(Seq(
       idx.lanesA.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/lanes_a")),
       idx.lanesB.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/lanes_b")),
       Seq((idx.kA, idx.kB, idx.dim)).toDF("ka", "kb", "dim") ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/meta")),
       idx.postings.select(col("n_id"), col("nv"), col("nn"), col("c_id")) ->
         ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
-          .write.mode("overwrite").partitionBy("c_id")
+          .write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).partitionBy("c_id")
           .parquet(s"$path/postings"))))
   }
 
@@ -2577,6 +2583,39 @@ object Clustering {
     * per-shard probe UNIONED before the shared top-k rerank, which
     * reproduces the single-artifact serve bit-for-bit (postings sets
     * are equal; the rerank is deterministic). */
+  /** [[saveIvfFlatSharded]] followed by a serve FROM THE SAVED ARTIFACT,
+    * with the serve's probe stage overlapped with the save (guide §2.6 —
+    * VERDICT r18 #3): the probe queries and their distinct-cells collect
+    * depend only on the CODEBOOK, which is identical in memory and on
+    * disk (integer lanes roundtrip bit-exactly — pinned by q175/q111),
+    * while the rerank reads the LOADED per-shard postings. The served
+    * frame is therefore bit-identical to
+    * `serveIvfFlat(loadIvfFlatSharded(path), …)`, but the probe-cells
+    * job's latency hides inside the save's staging barrier instead of
+    * serializing after the commit. */
+  def saveIvfFlatShardedAndServe(idx: IvfFlatIndex, path: String,
+                                 numShards: Int, emb: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 maxQueryId: Long, nprobe: Int,
+                                 k: Int): DataFrame = {
+    val spark = idx.lanes.sparkSession
+    val queries = org.apache.spark.sql.graftbridge.PlanBridge.isolateLambdas(
+      Similarity.ivfProbeQueries(emb, idCol, vecCol,
+        Similarity.centroidSetFromLanes(idx.lanes), maxQueryId, nprobe))
+    @volatile var cells: Array[Long] = null
+    // isolateLambdas above + saveIvfFlatSharded's own internal isolation
+    // keep the two chains' higher-order expressions disjoint
+    concurrentlyUnchecked(Seq(
+      () => saveIvfFlatSharded(idx, path, numShards),
+      () => { cells = collectProbedCells(queries) }))
+    val loaded = loadIvfFlatSharded(spark, path)
+    val postings =
+      if (cells.length <= ServeCellFilterCap)
+        loaded.postings.filter(col("c_id").isInCollection(cells))
+      else loaded.postings
+    Similarity.ivfRerank(postings, queries, k)
+  }
+
   def saveIvfFlatSharded(idx: IvfFlatIndex, path: String,
                          numShards: Int): Unit = {
     require(numShards > 0, s"numShards must be positive: $numShards")
@@ -2607,11 +2646,11 @@ object Clustering {
             .write.mode("overwrite").partitionBy("shard", "c_id")
             .parquet(staging)),
         idx.lanes.select(col("cluster"), col("pos"), col("cval"), col("n")) ->
-          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
             .parquet(s"$path/lanes")),
         Seq(numShards).toDF("num_shards") ->
           ((df: DataFrame) => {
-            df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+            df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/meta")
             graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
           })))
       // stage EVERY shard's generation first (renames + empty-shard
@@ -2813,13 +2852,22 @@ object Clustering {
     * drifted ingestion concentrates new vectors in few cells — serve
     * cost grows toward O(corpus/probed-skewed-cell) and recall decays.
     * `index-describe` reports this; [[rebuildIvfFlatIndex]] repairs it. */
-  def postingsOccupancySkew(postings: DataFrame): Double = {
-    val r = postings.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+  def postingsOccupancySkew(postings: DataFrame): Double =
+    decodeOccupancySkew(occupancySkewAgg(postings).head())
+
+  /** The skew computation split into its 2-row agg frame + row decoder,
+    * so callers with OTHER independent pre-build jobs (IndexTool.rebuild:
+    * corpus-id check, centroid-count default) can overlap the three
+    * collects instead of serializing them (guide §2.6). */
+  private[graft] def occupancySkewAgg(postings: DataFrame): DataFrame =
+    postings.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).cast("double").as("mx"),
-        avg(col("n")).as("mean")).head()
+        avg(col("n")).as("mean"))
+
+  private[graft] def decodeOccupancySkew(
+      r: org.apache.spark.sql.Row): Double =
     if (r.isNullAt(0) || r.getDouble(1) == 0.0) 0.0
     else r.getDouble(0) / r.getDouble(1)
-  }
 
   /** RETRAIN the coarse codebook from the index's own postings and
     * re-assign them — the drift repair for a frozen-codebook index.
@@ -2929,18 +2977,18 @@ object Clustering {
     concurrentWrites(Seq(
       idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
         col("n")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/coarse")),
       idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")) ->
-        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+        ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/pqlanes")),
       idx.cells.select(col("n_id") +: cellsAttrCols(idx.cells).map(col) :+
         col("c_id"): _*) ->
         ((df: DataFrame) => df.repartition(writePar(df), col("c_id"))
-          .write.mode("overwrite").partitionBy("c_id")
+          .write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).partitionBy("c_id")
           .parquet(s"$path/cells")),
       idx.codes.select(col("n_id"), col("s"), col("code")) ->
-        ((df: DataFrame) => df.write.mode("overwrite")
+        ((df: DataFrame) => df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
           .parquet(s"$path/codes"))))
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -3092,14 +3140,14 @@ object Clustering {
       extraWrites = Seq(
         idx.coarseLanes.select(col("cluster"), col("pos"), col("cval"),
           col("n")) ->
-          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
             .parquet(s"$path/coarse")),
         idx.pqLanes.select(col("s"), col("code"), col("pos"), col("cval")) ->
-          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite")
+          ((df: DataFrame) => df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit)
             .parquet(s"$path/pqlanes")),
         Seq(numShards).toDF("num_shards") ->
           ((df: DataFrame) => {
-            df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+            df.coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/meta")
             graft.sinks.ShardedCommit.writeMetaMarker(spark, path, numShards)
           })))
   }

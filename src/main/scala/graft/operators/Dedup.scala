@@ -413,7 +413,7 @@ object Dedup {
     * `Clustering.savePqIndex`). Partitioning survives as parquet file
     * layout; the serve-side join re-shuffles on (band, bkey) either way. */
   def saveLshIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").parquet(path)
+    index.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(path)
 
   /** Loads resolve the versioned-artifact pointer when present
     * ([[graft.sinks.ArtifactStore.resolve]] — the CLI layout) and fall
@@ -1286,7 +1286,7 @@ object Dedup {
       .agg(min(col("id")).as("first_doc"), count(lit(1)).as("n_occ"))
 
   def saveCdcIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").parquet(path)
+    index.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(path)
 
   /** Fold a DELTA batch's chunks into an existing chunk index — the
     * update leg of the CDC screen. The index rows `(h, first_doc,
@@ -1378,8 +1378,8 @@ object Dedup {
     * pattern, one wave deep). */
   def saveCdcArtifact(idx: CdcArtifact, path: String): Unit = {
     val c = OperatorCaches.register(idx.chunks.persist())
-    c.write.mode("overwrite").parquet(s"$path/chunks")
-    idx.rollup.write.mode("overwrite").parquet(s"$path/rollup")
+    c.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/chunks")
+    idx.rollup.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/rollup")
   }
 
   /** Loads the two-surface layout; a LEGACY rollup-only artifact (the

@@ -71,7 +71,7 @@ object Retrieval {
     val dl = OperatorCaches.register(index.doclen.persist())
     def wave(frames: Seq[(String, DataFrame)]): Unit = {
       Clustering.concurrentFrames(frames.map(_._2)) { (i, df) =>
-        df.write.mode("overwrite").parquet(s"$path/${frames(i)._1}")
+        df.write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(s"$path/${frames(i)._1}")
       }
       ()
     }

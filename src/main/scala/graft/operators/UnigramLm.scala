@@ -246,7 +246,7 @@ object UnigramLm {
     import spark.implicits._
     vocab.pieces.map(p => (p.piece, p.cnt, p.cost, vocab.unkCost))
       .toDF("piece", "cnt", "cost", "unk_cost")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(path)
   }
 
   def loadVocab(spark: SparkSession, path: String): Vocab = {

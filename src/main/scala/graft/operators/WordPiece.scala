@@ -124,11 +124,17 @@ object WordPiece {
     * fixed point via BigInt, same greedy application) — [[Bpe.trainLocal]]'s
     * economics: zero jobs per merge once the vocabulary-bounded word set
     * is collected. */
-  def trainLocal(wordFreq: DataFrame, merges: Int): (Seq[WpMerge], DataFrame) = {
+  def trainLocal(wordFreq: DataFrame, merges: Int): (Seq[WpMerge], DataFrame) =
+    trainLocalWords(Bpe.collectWordFreq(wordFreq), merges,
+      wordFreq.sparkSession)
+
+  /** [[trainLocal]] over an already-collected word set — shared with
+    * [[trainAuto]]'s fused route-and-collect path (see [[Bpe.trainAuto]]). */
+  private def trainLocalWords(words: Array[(String, Long)], merges: Int,
+                              spark: org.apache.spark.sql.SparkSession)
+      : (Seq[WpMerge], DataFrame) = {
     require(merges > 0, s"merges must be positive: $merges")
-    val spark = wordFreq.sparkSession
     import spark.implicits._
-    val words = Bpe.collectWordFreq(wordFreq)
     // code-point split, matching Bpe.charTokens' Spark substring
     // semantics (see Bpe.trainLocal's parity note)
     def codePointTokens(s: String): Array[String] = {
@@ -193,10 +199,18 @@ object WordPiece {
     (induced.toList, tokRows.toDF("word", "pos", "tok"))
   }
 
-  /** Route by vocabulary size, as [[Bpe.trainAuto]]. */
+  /** Route by vocabulary size, as [[Bpe.trainAuto]] — ONE capped collect
+    * both routes and feeds the local trainer (the count()-then-collect
+    * shape paid two jobs over the aggregated word table). */
   def trainAuto(wordFreq: DataFrame, merges: Int): (Seq[WpMerge], DataFrame) = {
     val persisted = OperatorCaches.register(wordFreq.persist())
-    if (persisted.count() <= Bpe.MaxLocalWords) trainLocal(persisted, merges)
+    val collected = persisted
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .limit(Bpe.MaxLocalWords + 1).collect()
+    if (collected.length <= Bpe.MaxLocalWords)
+      trainLocalWords(
+        collected.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1),
+        merges, persisted.sparkSession)
     else train(persisted, merges)
   }
 
@@ -224,7 +238,7 @@ object WordPiece {
     import spark.implicits._
     (vocab.head.map((_, false)) ++ vocab.cont.map((_, true))).toSeq
       .toDF("piece", "is_cont")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").options(graft.sinks.ArtifactStore.InPlaceCommit).parquet(path)
   }
 
   def loadVocab(spark: SparkSession, path: String): WpVocab = {

@@ -1364,11 +1364,13 @@ object VectorQueries {
       graft.operators.Clustering.loadIvfFlatSharded(s, path),
       1 << ivfBits(s, d))
     val rebPath = QueryTmp.dir("ivfflatshreb2", d)
-    graft.operators.Clustering.saveIvfFlatSharded(rebuilt, rebPath,
-      numShards = 4)
-    graft.operators.Clustering.serveIvfFlat(
-        graft.operators.Clustering.loadIvfFlatSharded(s, rebPath),
-        emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe, IvfK)
+    // save + serve with the probe stage overlapped into the save barrier
+    // (bit-identical to save → load → serveIvfFlat: the probes depend
+    // only on the codebook, which roundtrips exactly; the rerank reads
+    // the LOADED postings — see saveIvfFlatShardedAndServe)
+    graft.operators.Clustering.saveIvfFlatShardedAndServe(rebuilt, rebPath,
+        numShards = 4, emb, "vec_id", "embedding", IvfMaxQueryId, IvfNprobe,
+        IvfK)
       .orderBy($"q_id", $"rank")
   }
 

@@ -52,6 +52,24 @@ object ArtifactStore {
 
   val PointerFile = "_gen_current"
   val ClaimFile = "_gen_claim"
+
+  /** Per-write options for a FLAT-LAYOUT artifact surface written IN
+    * PLACE — a final path with mode=overwrite, no staging directory or
+    * generation pointer (saveSemIndex, saveImiIndex, the bounded
+    * codebook/meta roots of the sharded tiers, the single-table LSH/CDC
+    * saves, …). The engine-wide session default is committer v2
+    * (EngineConf — correct for every STAGED write, whose publication is
+    * an atomic rename/pointer flip), but v2 commits task files straight
+    * into the destination, so a crash mid-job leaves partially-committed
+    * part-files a later `spark.read.parquet` silently accepts as the
+    * full artifact where v1 failed loudly (no visible data files until
+    * job commit). Pinning v1 for exactly these writes restores that
+    * failure mode at the cost of one serial rename per file —
+    * negligible for the bounded in-place surfaces. (Verified
+    * empirically: per-write options reach the Hadoop committer — an
+    * invalid version value fails the write.) */
+  val InPlaceCommit: Map[String, String] =
+    Map("mapreduce.fileoutputcommitter.algorithm.version" -> "1")
   /** Generation directories are UNDERSCORE-prefixed so Spark's file
     * listing never surfaces them to a reader resolving a LEGACY flat
     * root: a crash (or the window between a staged generation landing

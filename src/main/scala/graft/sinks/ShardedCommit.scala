@@ -61,7 +61,8 @@ object ShardedCommit {
     require(numShards > 0, s"numShards must be positive: $numShards")
     import spark.implicits._
     Seq(numShards).toDF("num_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite")
+      .options(ArtifactStore.InPlaceCommit).parquet(s"$path/meta")
     writeMetaMarker(spark, path, numShards)
   }
 
@@ -87,15 +88,17 @@ object ShardedCommit {
   def numShards(spark: SparkSession, path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta/$MetaMarker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // open directly and treat FileNotFound as the fallback signal — the
+    // exists()+open() form paid TWO metadata RPCs per read on object
+    // stores (ADVICE round 18); one open is the whole fast path
     val fast =
-      if (!fs.exists(p)) None
-      else {
+      try {
         val in = fs.open(p)
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
         txt.toIntOption // empty/torn marker → parquet fallback
-      }
+      } catch { case _: java.io.FileNotFoundException => None }
     fast.getOrElse(
       spark.read.parquet(s"$path/meta")
         .select(org.apache.spark.sql.functions.col("num_shards"))

@@ -332,7 +332,8 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * rewriting only touched buckets, now G write jobs instead of one. */
   private def foldBuckets(newCells: DataFrame, touched: Seq[Int],
                           numBuckets: Int, numPartitions: Int,
-                          extraFiles: Map[String, String]): Unit = {
+                          extraFiles: Map[String, String],
+                          deferred: DeferredFiles = None): Unit = {
     import graft.sinks.ArtifactStore
     val rootPin = ArtifactStore.pinGen(spark, path)
     val pins = touched.map(b =>
@@ -346,27 +347,37 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       layout.families.exists(f => f.localityGroup != "default" ||
         f.compression != "snappy" || f.inMemory)
     try {
-      if (!grouped)
-        newCells.withColumn("bucket", bucketOf(numBuckets))
-          .repartitionByRange(numPartitions, col("bucket"), col("entity_id"))
-          .sortWithinPartitions(sortCols: _*)
-          .write.mode("overwrite").partitionBy("bucket").parquet(s"$staging/flat")
-      else {
-        val lgFor = layout.families.foldLeft(lit("default")) { (acc, f) =>
-          when(col("family") === f.name, lit(f.localityGroup)).otherwise(acc)
+      // the staged write(s) — one job ungrouped, one per locality group
+      // — run CONCURRENTLY with each other and with the deferred marker
+      // agg (guide §2.6): a grouped layout's per-group stagings were
+      // previously serial, G jobs of write latency back to back
+      val stagingWrites: Seq[(DataFrame, DataFrame => Unit)] =
+        if (!grouped)
+          Seq(newCells.withColumn("bucket", bucketOf(numBuckets)) ->
+            ((df: DataFrame) => df
+              .repartitionByRange(numPartitions, col("bucket"),
+                col("entity_id"))
+              .sortWithinPartitions(sortCols: _*)
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$staging/flat")))
+        else {
+          val lgFor = layout.families.foldLeft(lit("default")) { (acc, f) =>
+            when(col("family") === f.name, lit(f.localityGroup)).otherwise(acc)
+          }
+          val tagged = newCells.withColumn("lg", lgFor)
+            .withColumn("bucket", bucketOf(numBuckets))
+          groups.toSeq.map { case (g, fams) =>
+            tagged.filter(col("lg") === g).drop("lg") ->
+              ((df: DataFrame) => df
+                .repartitionByRange(numPartitions, col("bucket"),
+                  col("entity_id"))
+                .sortWithinPartitions(sortCols: _*)
+                .write.mode("overwrite")
+                .option("compression", fams.head.compression)
+                .partitionBy("bucket").parquet(s"$staging/g_$g"))
+          }
         }
-        val tagged = newCells.withColumn("lg", lgFor)
-          .withColumn("bucket", bucketOf(numBuckets))
-        groups.foreach { case (g, fams) =>
-          tagged.filter(col("lg") === g).drop("lg")
-            .repartitionByRange(numPartitions, col("bucket"),
-              col("entity_id"))
-            .sortWithinPartitions(sortCols: _*)
-            .write.mode("overwrite")
-            .option("compression", fams.head.compression)
-            .partitionBy("bucket").parquet(s"$staging/g_$g")
-        }
-      }
+      val deferredFiles = stageWithDeferred(stagingWrites, deferred)
       val commits =
         scala.collection.mutable.ArrayBuffer.empty[(String, String, Option[String])]
       val newGenName = scala.collection.mutable.Map.empty[Int, String]
@@ -419,8 +430,8 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
       }.mkString("\n")
       val rootGen = ArtifactStore.newGenDir(spark, path, rootPin._2)
       hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(rootGen))
-      BulkSink.writeExtraFiles(spark, rootGen, extraFiles ++ Map(
-        "_numbuckets" -> numBuckets.toString, "_bucket_gens" -> manifest))
+      BulkSink.writeExtraFiles(spark, rootGen, extraFiles ++ deferredFiles ++
+        Map("_numbuckets" -> numBuckets.toString, "_bucket_gens" -> manifest))
       commits += ((path, rootGen, rootPin._2))
       ArtifactStore.commitGenAll(spark, path, commits.toSeq)
     } finally {
@@ -681,7 +692,8 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
 
   private def bulkLoadWith(newCells: DataFrame, numPartitions: Int,
                            maxRecordsPerFile: Long,
-                           extraFiles: Map[String, String]): Unit = {
+                           extraFiles: Map[String, String],
+                           deferred: DeferredFiles = None): Unit = {
     val groups = layout.localityGroups
     val grouped = groups.size > 1 ||
       layout.families.exists(f => f.localityGroup != "default" ||
@@ -689,27 +701,44 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     val sortCols =
       Seq(col("entity_id"), col("family"), col("qualifier"), col("ts").desc)
     val guarded = guardLayout(newCells, allowNullScope = false)
-    if (!grouped)
-      BulkSink.bulkLoad(guarded, path, numPartitions, Seq("entity_id"),
-        sortCols, maxRecordsPerFile, extraFiles)
-    else {
+    if (!grouped) {
+      // the staged write and the deferred marker agg overlap (§2.6)
+      val (genDir, loadedGen) = BulkSink.newStagingGen(spark, path)
+      val deferredFiles = stageWithDeferred(Seq(guarded ->
+        ((df: DataFrame) => {
+          val w = df.repartitionByRange(numPartitions, col("entity_id"))
+            .sortWithinPartitions(sortCols: _*)
+            .write.mode("overwrite")
+          (if (maxRecordsPerFile > 0)
+            w.option("maxRecordsPerFile", maxRecordsPerFile)
+          else w).parquet(genDir)
+        })), deferred)
+      BulkSink.writeExtraFiles(spark, genDir, extraFiles ++ deferredFiles)
+      BulkSink.commitStaged(spark, path, genDir, loadedGen)
+    } else {
       val lgFor = layout.families.foldLeft(lit("default")) { (acc, f) =>
         when(col("family") === f.name, lit(f.localityGroup)).otherwise(acc)
       }
       // one file set per locality group, staged directly into a fresh
-      // generation directory (invisible until the pointer CAS commit)
+      // generation directory (invisible until the pointer CAS commit);
+      // the per-group stagings are independent jobs — overlapped, with
+      // the deferred marker agg riding the same barrier (§2.6)
       val (genDir, loadedGen) = BulkSink.newStagingGen(spark, path)
       val tagged = guarded.withColumn("lg", lgFor)
-      groups.foreach { case (g, fams) =>
-        val w = tagged.filter(col("lg") === g).drop("lg")
-          .repartitionByRange(numPartitions, col("entity_id"))
-          .sortWithinPartitions(sortCols: _*)
-          .write.mode("overwrite")
-          .option("compression", fams.head.compression)
-        (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
-         else w).parquet(s"$genDir/lg=$g")
+      val writes = groups.toSeq.map { case (g, fams) =>
+        tagged.filter(col("lg") === g).drop("lg") ->
+          ((df: DataFrame) => {
+            val w = df.repartitionByRange(numPartitions, col("entity_id"))
+              .sortWithinPartitions(sortCols: _*)
+              .write.mode("overwrite")
+              .option("compression", fams.head.compression)
+            (if (maxRecordsPerFile > 0)
+              w.option("maxRecordsPerFile", maxRecordsPerFile)
+            else w).parquet(s"$genDir/lg=$g")
+          })
       }
-      BulkSink.writeExtraFiles(spark, genDir, extraFiles)
+      val deferredFiles = stageWithDeferred(writes, deferred)
+      BulkSink.writeExtraFiles(spark, genDir, extraFiles ++ deferredFiles)
       BulkSink.commitStaged(spark, path, genDir, loadedGen)
     }
   }
@@ -968,19 +997,26 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * probed again once no reservation is in flight. */
   def compactFeed(maxFiles: Int = 0): Unit = {
     sweepArrivalClaims()
-    val (files, _) = changeFeedStats
-    if (files <= math.max(maxFiles, 1)) return // 0 or 1 file: nothing to fold
+    // One generation resolution AND one feed listing for the whole fold:
+    // the fold trigger needs only the FILE COUNT — the previous
+    // changeFeedStats call also ran a full feed-rows count() job whose
+    // result was discarded (one wasted Spark job per compactFeed,
+    // measured round 19; the CLI describe verb still reports rows via
+    // changeFeedStats, where they are actually printed).
+    val dir = dataDir
+    val files = feedDataFilesIn(dir)
+    if (files.length <= math.max(maxFiles, 1)) return // 0/1 file: no fold
     val staging = new org.apache.hadoop.fs.Path(
-      s"$dataDir/__changes_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"$dir/__changes_compact_${java.util.UUID.randomUUID().toString.take(8)}")
     // Size-based fold width: the intended delta-sized feed folds to one
     // file, but the feed is UNBOUNDED if folds are deferred (a month of
     // appends must not funnel through one writer task) — bound each fold
     // task at ~128 MB of input (the saveSemIndex partition-count fix's
     // pattern, applied to the fold).
-    val feedBytes = feedDataFiles.map(_.getLen).sum
+    val feedBytes = files.map(_.getLen).sum
     val foldParts = math.max(1L, feedBytes / (128L << 20)).toInt
-    pendingChanges.coalesce(foldParts).write.parquet(staging.toString)
-    val feed = new org.apache.hadoop.fs.Path(changesPath)
+    pendingChangesIn(dir).coalesce(foldParts).write.parquet(staging.toString)
+    val feed = new org.apache.hadoop.fs.Path(feedPathIn(dir))
     hadoopFs.delete(feed, true)
     require(hadoopFs.rename(staging, feed),
       s"compactFeed: rename $staging -> $feed failed")
@@ -1007,6 +1043,70 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     }
   }
 
+  /** A deferred extra-files computation: a 1-row agg frame over the
+    * PRE-fold state plus the decoder turning its head row into marker
+    * files. Handed to the fold paths so the agg job runs CONCURRENTLY
+    * with the staged survivors write — both only read pre-fold files,
+    * and the markers are needed only at extra-files time, after the
+    * staged write lands (guide §2.6; one serialized watermark-agg job
+    * per physical fold removed, measured round 19). */
+  private type DeferredFiles =
+    Option[(DataFrame, org.apache.spark.sql.Row => Map[String, String])]
+
+  /** Run a staged-write batch and the deferred marker agg concurrently
+    * (lambda-isolated — [[graft.operators.Clustering.concurrentFrames]]);
+    * returns the decoded extra files. */
+  private def stageWithDeferred(
+      writes: Seq[(DataFrame, DataFrame => Unit)],
+      deferred: DeferredFiles): Map[String, String] = {
+    @volatile var out = Map.empty[String, String]
+    val all = writes ++ deferred.map { case (df, dec) =>
+      df -> ((d: DataFrame) => { out = dec(d.head()) })
+    }
+    graft.operators.Clustering.concurrentFrames(all.map(_._1)) { (i, df) =>
+      all(i)._2(df)
+    }
+    out
+  }
+
+  /** The fold paths' shared deferred-marker computation: one 1-row agg
+    * carrying the feed's high-water marks (ts + arrival, null when
+    * absent/unstamped) and the folded `changes`' max ts (null when the
+    * caller folds no extra changes), decoded against the prior
+    * watermarks to the marker-file map. Exactly the markers the
+    * serialized form computed — one agg job instead of two, evaluated
+    * inside the staging barrier. */
+  private def deferredWatermarks(dir: String,
+                                 changes: Option[DataFrame]): DeferredFiles = {
+    import org.apache.spark.sql.types.LongType
+    val spark = this.spark
+    val feedAgg =
+      if (!hasPendingChangesIn(dir))
+        spark.range(1).select(lit(null).cast(LongType).as("f_ts"),
+          lit(null).cast(LongType).as("f_arr"))
+      else {
+        val pc = pendingChangesIn(dir)
+        if (pc.columns.contains("arrival"))
+          pc.agg(max(col("ts")).as("f_ts"), max(col("arrival")).as("f_arr"))
+        else pc.agg(max(col("ts")).as("f_ts"),
+          lit(null).cast(LongType).as("f_arr"))
+      }
+    val frame = changes.fold(
+      feedAgg.select(col("f_ts"), col("f_arr"),
+        lit(null).cast(LongType).as("c_ts")))(c =>
+      feedAgg.crossJoin(c.agg(max(col("ts")).as("c_ts"))))
+    val decode: org.apache.spark.sql.Row => Map[String, String] = r => {
+      def at(i: Int): Long = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+      val w = Seq(asOfWatermark, at(0), at(2)).max
+      val wa = math.max(asOfArrivalWatermark, at(1))
+      (if (w > Long.MinValue) Map("_asof_watermark" -> w.toString)
+       else Map.empty[String, String]) ++
+        (if (wa > Long.MinValue) Map("_asof_arrival_watermark" -> wa.toString)
+         else Map.empty[String, String])
+    }
+    Some((frame, decode))
+  }
+
   /** Merge a change feed (puts + tombstones) and rewrite the table — the
     * full compaction path (any pending `_changes` feed folds in too, via
     * `cells`). For an O(delta) write that defers the rewrite, use
@@ -1020,26 +1120,12 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * folded feed, and the folded `changes` timestamps), and cuts
     * strictly below refuse instead of silently serving post-fold state. */
   def applyChanges(changes: DataFrame, numPartitions: Int = 32): Unit = {
-    def maxOf(df: DataFrame, c: String): Long =
-      Option(df.agg(max(col(c))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-    // one feed scan for both high-water marks (ts + arrival), not two
-    val (feedTs, feedArrival) =
-      if (!hasPendingChanges) (Long.MinValue, Long.MinValue)
-      else if (pendingChanges.columns.contains("arrival")) {
-        val r = pendingChanges
-          .agg(max(col("ts")).as("mt"), max(col("arrival")).as("ma")).head()
-        (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue),
-          Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))
-      } else (maxOf(pendingChanges, "ts"), Long.MinValue)
-    val w = Seq(asOfWatermark, feedTs, maxOf(changes, "ts")).max
-    val wa = math.max(asOfArrivalWatermark, feedArrival)
-    val markers =
-      (if (w > Long.MinValue) Map("_asof_watermark" -> w.toString)
-       else Map.empty[String, String]) ++
-      (if (wa > Long.MinValue) Map("_asof_arrival_watermark" -> wa.toString)
-       else Map.empty[String, String])
     val dir = dataDir
+    // History-barrier markers as a DEFERRED 1-row agg: the fold paths
+    // evaluate it concurrently with the staged survivors write (both
+    // read only pre-fold state) instead of serializing two watermark
+    // agg jobs before the staging.
+    val markers = deferredWatermarks(dir, Some(changes))
     numBucketsIn(dir) match {
       case Some(n) =>
         // BUCKETED fold: only the buckets the feed + changes route to
@@ -1055,20 +1141,37 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
           .select(bucketOf(n).as("bucket")).distinct()
           .collect().map(_.getInt(0)).sorted.toSeq
         if (touched.isEmpty) return // nothing to fold anywhere
-        val base = bucketBasesIn(dir, n).zipWithIndex
-          .collect { case (p, b) if touched.contains(b) =>
-            val df = spark.read.parquet(p)
-            if (df.columns.contains("lg")) df.drop("lg") else df }
-          .reduce(_ unionByName _)
+        // ONE multi-path scan over the touched buckets' leaf dirs — a
+        // per-bucket union of single scans paid one listing + schema
+        // inference per branch (16 jobs at B=16, measured round 19; the
+        // baseCellsIn multi-path lesson applied to the fold's read). No
+        // per-bucket tag is needed: foldBuckets re-derives the routing
+        // from entity_id. Leaf expansion mirrors baseCellsIn (a grouped
+        // bucketed table's lg= file sets would otherwise break partition
+        // inference across roots).
+        val touchedLeaves = bucketBasesIn(dir, n).zipWithIndex
+          .collect { case (p, b) if touched.contains(b) => p }
+          .flatMap { b =>
+            val p = new org.apache.hadoop.fs.Path(b)
+            val lgs =
+              if (!hadoopFs.exists(p)) Seq.empty
+              else hadoopFs.listStatus(p).toSeq.filter(s => s.isDirectory &&
+                s.getPath.getName.startsWith("lg=")).map(_.getPath.toString)
+            if (lgs.isEmpty) Seq(b) else lgs
+          }
+        val rawBase = spark.read.parquet(touchedLeaves: _*)
+        val base =
+          if (rawBase.columns.contains("lg")) rawBase.drop("lg") else rawBase
         val merged =
           if (hasPendingChangesIn(dir))
             Dml.applyChanges(base, pendingChangesIn(dir))
           else base
         foldBuckets(guardLayout(Dml.applyChanges(merged, changes),
-          allowNullScope = false), touched, n, numPartitions, markers)
+          allowNullScope = false), touched, n, numPartitions, Map.empty,
+          markers)
       case None =>
         bulkLoadWith(Dml.applyChanges(cells, changes), numPartitions, 0L,
-          markers)
+          Map.empty, markers)
     }
   }
 
@@ -1090,46 +1193,34 @@ final class EntityTable(spark: SparkSession, path: String, layout: TableLayout) 
     * the source files are only replaced by the final commit rename. */
   def majorCompact(asOfMicros: Long = Long.MaxValue,
                    numPartitions: Int = 32): Unit = {
-    // History-barrier bookkeeping BEFORE the fold: the max feed ts about
-    // to be folded (this fold's high-water mark) and any prior watermark
-    // (the marker file lives inside the table dir, which the bulk-load
-    // commit rename replaces). The monotone max rides the STAGING dir
-    // through the atomic commit — a marker written after the commit
-    // would leave a crash window in which the fold is live but the
-    // barrier is lost, silently serving below-fold as-of cuts.
-    // one feed scan for both high-water marks (ts + arrival), not two
-    val (folded, foldedArrival) =
-      if (!hasPendingChanges) (None: Option[Long], Long.MinValue)
-      else if (pendingChanges.columns.contains("arrival")) {
-        val r = pendingChanges
-          .agg(max(col("ts")).as("mt"), max(col("arrival")).as("ma")).head()
-        (Option(r.get(0)).map(_.asInstanceOf[Long]),
-          Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))
-      } else
-        (Option(pendingChanges.agg(max(col("ts"))).head().get(0))
-          .map(_.asInstanceOf[Long]), Long.MinValue)
-    val prior = asOfWatermark
+    // History-barrier bookkeeping rides the fold as a DEFERRED agg: the
+    // max feed ts/arrival about to be folded (this fold's high-water
+    // marks) maxed with any prior watermark (the marker file lives
+    // inside the table dir, which the bulk-load commit rename replaces).
+    // The monotone max rides the STAGING dir through the atomic commit —
+    // a marker written after the commit would leave a crash window in
+    // which the fold is live but the barrier is lost, silently serving
+    // below-fold as-of cuts. Deferred = the agg job runs concurrently
+    // with the staged survivors write (both only read pre-fold files)
+    // instead of serializing before it.
+    val dir = dataDir
+    val markers = deferredWatermarks(dir, None)
     val survivors = read(DataRequest(maxVersions = Int.MaxValue), asOfMicros)
       .select(col("entity_id"), col("family"), col("qualifier"),
         explode(col("versions")).as("v"))
       .select(col("entity_id"), col("family"), col("qualifier"),
         col("v.ts").as("ts"), col("v.value").as("value"))
-    val w = math.max(prior, folded.getOrElse(Long.MinValue))
-    val wa = math.max(asOfArrivalWatermark, foldedArrival)
-    val markers =
-      (if (w > Long.MinValue) Map("_asof_watermark" -> w.toString)
-       else Map.empty[String, String]) ++
-      (if (wa > Long.MinValue) Map("_asof_arrival_watermark" -> wa.toString)
-       else Map.empty[String, String])
-    numBucketsIn(dataDir) match {
+    numBucketsIn(dir) match {
       case Some(n) =>
         // retention (TTL/max_versions) touches every key range by
         // definition, so a bucketed major compaction rewrites the whole
         // grid — but still as per-bucket generations under one atomic
         // multi-root commit, preserving the layout for later
         // touched-only applyChanges folds
-        foldBuckets(survivors, 0 until n, n, numPartitions, markers)
-      case None => bulkLoadWith(survivors, numPartitions, 0L, markers)
+        foldBuckets(survivors, 0 until n, n, numPartitions, Map.empty,
+          markers)
+      case None =>
+        bulkLoadWith(survivors, numPartitions, 0L, Map.empty, markers)
     }
   }
 
