@@ -13,8 +13,10 @@ import org.apache.spark.sql.SparkSession
   *    root into a distributed listing JOB (~0.1-0.25 s of pure
   *    scheduling at any scale; a sharded serve issues S of them, and
   *    measured round 18 they were ~2 s of q194's 19 s). Driver-side
-  *    listing of ≤1024 directories is microseconds on local FS
-  *    (measured: 256 dirs list in <1 ms here); on an object store each
+  *    listing of ≤1024 directories is milliseconds on local FS
+  *    (measured round 19: a 256-dir artifact grid lists in ~3 ms cold,
+  *    <3 ms warm — vs the listing JOB's ~0.1-0.25 s); on an object
+  *    store each
   *    directory is a LIST round-trip, so the driver-serial worst case
   *    is ~1024 sequential RPCs — single-digit seconds on a slow store,
   *    where a listing-job's fixed ~0.1-0.25 s schedule cost may win.
